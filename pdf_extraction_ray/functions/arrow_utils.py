@@ -1,0 +1,29 @@
+"""Small Arrow helpers shared by the vectorized stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def as_array(col) -> pa.Array:
+    """ChunkedArray | Array -> contiguous Array (no copy when one chunk)."""
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def list_offsets(list_col) -> np.ndarray:
+    """int64 offsets[n+1] of a list column, from per-row lengths (robust to
+    slicing, unlike reading ``.offsets`` directly)."""
+    import pyarrow.compute as pc
+    lengths = pc.list_value_length(list_col).to_numpy(zero_copy_only=False)
+    out = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=out[1:])
+    return out
+
+
+def relist(offsets: np.ndarray, values) -> pa.ListArray:
+    """Re-nest flat values under int32 offsets."""
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                    as_array(values))

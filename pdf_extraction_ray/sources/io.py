@@ -1,0 +1,70 @@
+"""Sources: interleaved-docs readers and adapters.
+
+The canonical input is a Lance table of interleaved documents
+(``input_hint``); in environments without the lance reader (this sandbox)
+the identical Arrow schema is read from parquet shards — same columns,
+same semantics (SURVEY.md §1.4). ``read_docs`` prefers
+``ray.data.read_lance`` when available and falls back transparently.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..schema import DOCS_SCHEMA
+
+
+def read_docs(path: str, **kwargs) -> "ray.data.Dataset":
+    """Read an interleaved-docs table (Lance dataset dir or parquet shards).
+
+    Parallelism comes from file sharding — pass a directory of parquet
+    shards (``fixtures.ensure_corpus`` layout) or a ``.lance`` dataset.
+    """
+    if path.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
+        if hasattr(ray.data, "read_lance"):
+            return ray.data.read_lance(path, **kwargs)
+        raise RuntimeError("lance reader unavailable; use parquet shards")
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        return ray.data.read_parquet(files, **kwargs)
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def text_table_to_docs(batch: pa.Table) -> pa.Table:
+    """Adapter: a plain text table (``documents``-style: doc_id, text) ->
+    DOCS_SCHEMA interleaved rows. Deterministic byte-stream tokenizer:
+    paragraphs split on blank lines, offsets = running paragraph index * 10,
+    flat font (10.0) so structure comes from markdown rules; no vector
+    geometry. Used by ``entry()`` to run the flagship pipeline over the
+    driver's ``documents.parquet``.
+    """
+    doc_ids = [str(v) for v in batch.column("doc_id").to_pylist()]
+    texts = batch.column("text").to_pylist()
+    rows = []
+    for doc_id, text in zip(doc_ids, texts):
+        paras = [p for p in (text or "").split("\n\n")]
+        spans, fonts, pages, links, bboxes = [], [], [], [], []
+        n = max(len(paras), 1)
+        for k, p in enumerate(paras):
+            spans.append({"kind": "text", "text": p, "media_ref": "",
+                          "offset": 10 * k})
+            fonts.append(10.0)
+            pages.append(1)
+            links.append(0.0)
+            y = k / n
+            bboxes.append([0.1, float(y), 0.9, float(min(1.0, y + 0.8 / n))])
+        rows.append({"doc_id": doc_id, "spans": spans, "font_size": fonts,
+                     "page": pages, "link_density": links, "bbox": bboxes,
+                     "regions": [], "n_pages": 1})
+    return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+
+
+def dataset_from_text_table(path: str, **kwargs) -> "ray.data.Dataset":
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"], **kwargs)
+    return ds.map_batches(text_table_to_docs, batch_format="pyarrow")
