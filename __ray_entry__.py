@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline; ``queries()`` exposes
+every implemented operator/pipeline family (SURVEY.md §2 + the
+training-data-scale additions); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query (identical column names and
+integer-scaled numerics so value hashes match bit-exactly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -20,25 +17,93 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline over /root/testdata/sf0.001: adapt the plain-text
+    ``documents`` table into interleaved (doc_id, spans) rows, run the
+    3-stage extraction pipeline (tokenize -> layout actor pool ->
+    reassemble), and return the flattened span table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pdf_extraction_ray.sources import dataset_from_text_table
+    from pdf_extraction_ray.pipelines import extract_pipeline
+
+    ds = dataset_from_text_table("/root/testdata/sf0.001/documents.parquet")
+    out = extract_pipeline(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
+        doc_id = pc.take(batch.column("doc_id"), parent)
+        return pa.Table.from_arrays(
+            [doc_id if not isinstance(doc_id, pa.ChunkedArray) else doc_id.combine_chunks(),
+             pc.struct_field(flat, "kind"),
+             pc.struct_field(flat, "text"),
+             pc.struct_field(flat, "media_ref"),
+             pc.struct_field(flat, "offset")],
+            names=["doc_id", "kind", "text", "media_ref", "offset"])
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+def _extract_spans_query(sf_dir: str):
+    """Flagship extraction over the deterministic synthetic interleaved
+    corpus (scaled by sf tier), flattened to one row per span."""
+    from pdf_extraction_ray.fixtures import ensure_corpus
+    from pdf_extraction_ray.sources import read_docs
+    from pdf_extraction_ray.pipelines import extract_pipeline
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = {"sf0.001": 100, "sf0.01": 2000, "sf0.1": 20000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 2000)
+    path = ensure_corpus("query", 42, n)
+    out = extract_pipeline(read_docs(path))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans)
+        doc_id = pc.take(batch.column("doc_id"), parent)
+        if isinstance(doc_id, pa.ChunkedArray):
+            doc_id = doc_id.combine_chunks()
+        return pa.Table.from_arrays(
+            [doc_id, pc.struct_field(flat, "kind"),
+             pc.struct_field(flat, "offset")],
+            names=["doc_id", "kind", "offset"])
+
+    return out.map_batches(explode, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_extraction_ray.pipelines.relational import RELATIONAL_QUERIES
+    from pdf_extraction_ray.pipelines.textops import TEXT_QUERIES
+    from pdf_extraction_ray.pipelines.dedup import DEDUP_QUERIES
+    from pdf_extraction_ray.pipelines.similarity import SIMILARITY_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES,
+                SIMILARITY_QUERIES):
+        for name, (fn, _sql) in reg.items():
+            out[name] = fn
+    out["extract_flagship_spans"] = _extract_spans_query
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_extraction_ray.pipelines.relational import RELATIONAL_QUERIES
+    from pdf_extraction_ray.pipelines.textops import TEXT_QUERIES
+    from pdf_extraction_ray.pipelines.dedup import DEDUP_QUERIES
+    from pdf_extraction_ray.pipelines.similarity import SIMILARITY_QUERIES
+
+    out: dict[str, str] = {}
+    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES,
+                SIMILARITY_QUERIES):
+        for name, (_fn, sql) in reg.items():
+            if sql is not None:
+                out[name] = sql
+    return out

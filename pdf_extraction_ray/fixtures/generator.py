@@ -157,6 +157,9 @@ def generate_doc(seed: int, i: int, pathological_frac: float = 0.01) -> dict:
             y = 0.1 + y_step * k
             put("text", text, "", font, 0.0, (0.1, y, 0.9, y + y_step * 0.7))
 
+        if single_span:
+            break
+
         # boilerplate noise
         if rng.random() < 0.6:
             for _ in range(int(rng.integers(1, 3))):
@@ -204,9 +207,6 @@ def generate_doc(seed: int, i: int, pathological_frac: float = 0.01) -> dict:
             regions.append({"page": page_no, "offset": base + 900 + ridx,
                             "bbox": [float(v) for v in fb],
                             "lines": _diag_lines(rng, fb, int(rng.integers(3, 7)))})
-
-        if single_span:
-            break
 
     # shuffled span order: offsets stay, positions permute (all parallel
     # columns permute together); reassembly must restore offset order

@@ -1,0 +1,163 @@
+"""Near-duplicate detection pipelines: MinHash+LSH, SimHash, n-gram
+Jaccard verification, embedding-cosine — the large-scale training-data
+dedup family. Not SQL-expressible (driver records rows-only checks);
+deterministic by construction (fixed hash seeds), verified by unit tests
+with planted duplicates.
+
+Scale shape (the part that matters at 10^12 docs):
+
+- signatures are computed **vectorized per batch** (numpy over flattened
+  token arrays — ``functions.hashing``), so the expensive pass is
+  embarrassingly parallel;
+- the only shuffle moves ``(band_id, band_hash, doc_id)`` rows — never
+  text, never signatures;
+- candidate groups are tiny (docs sharing a band bucket), so per-group
+  pairwise verification is cheap; texts for verification are re-fetched
+  via broadcast at test scale, hash-partitioned re-join at real scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..functions import hashing as H
+
+MINHASH_JACCARD_THRESHOLD = 0.7
+SIMHASH_MAX_HAMMING = 3
+EMBED_COSINE_THRESHOLD = 0.95
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def dedup_minhash_lsh(sf_dir: str):
+    """MinHash(128) + LSH(16 bands x 8 rows) candidate pairs, verified by
+    word-3-gram Jaccard >= 0.7. Output: (doc_a, doc_b, jaccard_x1e6)."""
+    texts_ref = ray.put(pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .set_index("doc_id")["text"].to_dict())
+
+    def bands(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        sig = H.minhash_signatures(text)
+        bh = H.lsh_band_hashes(sig)                      # (n, N_BANDS)
+        n = len(batch)
+        doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), H.N_BANDS)
+        band_id = np.tile(np.arange(H.N_BANDS, dtype=np.int64), n)
+        return pa.Table.from_arrays(
+            [pa.array(band_id), pa.array(bh.reshape(-1).view(np.int64)),
+             pa.array(doc)],
+            names=["band_id", "band_hash", "doc_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
+        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+
+    cand = (_docs(sf_dir)
+            .map_batches(bands, batch_format="pyarrow")
+            .groupby(["band_id", "band_hash"])
+            .map_groups(pairs, batch_format="pandas"))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard_x1e6": pd.Series([], dtype="int64")})
+        texts = ray.get(texts_ref)
+        out = []
+        for a, b in zip(batch["doc_a"], batch["doc_b"]):
+            j = H.jaccard(H.word_ngrams(texts[a]), H.word_ngrams(texts[b]))
+            if j >= MINHASH_JACCARD_THRESHOLD:
+                out.append((int(a), int(b), int(j * 1e6)))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_x1e6"]) \
+            .astype("int64")
+
+    # drop_duplicates: a pair can surface from several bands
+    verified = cand.map_batches(verify, batch_format="pandas")
+    return (verified.groupby(["doc_a", "doc_b"])
+            .map_groups(lambda g: g.head(1), batch_format="pandas")
+            .sort(["doc_a", "doc_b"]))
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash near-dup: 64-bit signatures, bucketed by the top 16 bits,
+    pairwise Hamming <= 3 within buckets. Output: (doc_a, doc_b, hamming)."""
+    def sigs(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        s = H.simhash(text)
+        bucket = (s >> np.uint64(48)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(s.view(np.int64)), pa.array(bucket)],
+            names=["doc_id", "simhash", "bucket"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().view(np.uint64)
+        order = np.argsort(ids)
+        ids, sh = ids[order], sh[order]
+        for i in range(len(ids)):
+            d = H.hamming_distance(np.full(len(ids) - i - 1, sh[i]), sh[i + 1:])
+            for j, dist in zip(range(i + 1, len(ids)), d):
+                if dist <= SIMHASH_MAX_HAMMING:
+                    rows.append((int(ids[i]), int(ids[j]), int(dist)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]) \
+            .astype("int64")
+
+    return (_docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(pairs, batch_format="pandas")
+            .sort(["doc_a", "doc_b"]))
+
+
+def dedup_embedding_cosine(sf_dir: str):
+    """Embedding near-dup: brute-force cosine >= 0.95 pairs. The all-pairs
+    matmul runs per batch against a broadcast matrix (fine to ~1e5 rows);
+    the scale path is the IVF variant in ``similarity.py`` (bucket by
+    nearest centroid, compare within buckets)."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ids = emb["vec_id"].to_numpy()
+    ref = ray.put((mat, ids))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        amat, aids = ray.get(ref)
+        v = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        cos = v @ amat.T
+        bi, aj = np.nonzero(cos >= EMBED_COSINE_THRESHOLD)
+        vb = batch["vec_id"].to_numpy(zero_copy_only=False)[bi]
+        va = aids[aj]
+        keep = vb < va                     # each unordered pair once
+        return pa.Table.from_arrays(
+            [pa.array(vb[keep], type=pa.int64()),
+             pa.array(va[keep], type=pa.int64()),
+             pa.array((cos[bi, aj][keep] * 1e6).astype(np.int64))],
+            names=["vec_a", "vec_b", "cosine_x1e6"])
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort(["vec_a", "vec_b"])
+
+
+DEDUP_QUERIES: dict[str, tuple] = {
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, None),
+}

@@ -1,0 +1,422 @@
+"""Relational operator pipelines over the TPC-H-ish testdata tables —
+the engine's filter / project / join / aggregate / sort / distinct /
+window surface (SURVEY.md §2.2, §2.5-2.8 cross-doc analogs), each with a
+DuckDB oracle SQL string for the driver's side-by-side check.
+
+Scale design notes (these run on ~100 TB inputs in production):
+
+- **Partial aggregation**: every groupby pre-aggregates inside
+  ``map_batches`` (one row per key per batch) so the all-to-all shuffle
+  moves partials, not rows.
+- **Broadcast joins**: dimension sides (region/nation/supplier/customer/
+  part, and filtered orders) are built once on the driver, ``ray.put``
+  into the object store, and hash-looked-up inside ``map_batches`` —
+  no shuffle. When the "small" side stops being small (orders at full
+  scale), the documented fallback is bucket-partitioned hash join:
+  add ``bucket = hash(key) % B`` to both sides and join per bucket.
+- **Exact money math**: decimal columns are scaled to int64 (cents /
+  x1e4 / x1e6) BEFORE summation, so distributed summation order cannot
+  perturb results and the DuckDB comparison is bit-exact.
+- **Pruned reads**: every ``read_parquet`` passes ``columns=``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+def _cents(col, scale: float = 100.0):
+    """round(col * scale) -> int64 (exact decimal-scaled integer)."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (grouped aggregate with partial pre-aggregation)
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "2000-09-02"
+
+
+def q1_pricing_summary(sf_dir: str):
+    ds = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(
+            batch["l_shipdate"],
+            pa.scalar(pd.Timestamp(Q1_CUTOFF).to_datetime64())))
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "l_linestatus": t["l_linestatus"].to_pandas(),
+            "sum_qty_x100": _cents(t["l_quantity"]).to_pandas(),
+            "sum_base_x100": _cents(t["l_extendedprice"]).to_pandas(),
+            "sum_disc_x1e4": _cents(disc, 1e4).to_pandas(),
+            "sum_charge_x1e6": _cents(charge, 1e6).to_pandas(),
+        })
+        g = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+               .agg(sum_qty_x100=("sum_qty_x100", "sum"),
+                    sum_base_x100=("sum_base_x100", "sum"),
+                    sum_disc_x1e4=("sum_disc_x1e4", "sum"),
+                    sum_charge_x1e6=("sum_charge_x1e6", "sum"),
+                    count_order=("sum_qty_x100", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("sum_qty_x100", alias_name="sum_qty_x100"),
+                        Sum("sum_base_x100", alias_name="sum_base_x100"),
+                        Sum("sum_disc_x1e4", alias_name="sum_disc_x1e4"),
+                        Sum("sum_charge_x1e6", alias_name="sum_charge_x1e6"),
+                        Sum("count_order", alias_name="count_order")))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        q = batch["sum_qty_x100"].to_numpy(zero_copy_only=False)
+        n = batch["count_order"].to_numpy(zero_copy_only=False)
+        avg = np.where(n > 0, (q * 100) // np.maximum(n, 1), 0)
+        return batch.append_column("avg_qty_x1e4", pa.array(avg, type=pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+              .sort(["l_returnflag", "l_linestatus"])
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS sum_qty_x100,
+       SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_x100,
+       SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS sum_disc_x1e4,
+       SUM(CAST(ROUND(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 1000000.0) AS BIGINT)) AS sum_charge_x1e6,
+       COUNT(*) AS count_order,
+       (SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) * 100) // COUNT(*) AS avg_qty_x1e4
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — top orders by revenue (broadcast semi-join + grouped agg + top-k)
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_TOPK = 10
+
+
+def q3_top_orders(sf_dir: str):
+    # small side 1: customers in segment -> key set (broadcast)
+    cust = pd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    custkeys = set(cust.loc[cust.c_mktsegment == Q3_SEGMENT, "c_custkey"])
+    # small side 2: their orders -> orderkey -> orderdate map (broadcast)
+    orders = pd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders[orders.o_custkey.isin(custkeys)]
+    omap_ref = ray.put(dict(zip(orders.o_orderkey, orders.o_orderdate)))
+
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        omap = ray.get(omap_ref)
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        mask = np.array([k in omap for k in keys], dtype=bool)
+        t = batch.filter(pa.array(mask))
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"])), 1e4)
+        df = pd.DataFrame({"o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+                           "revenue_x1e4": rev.to_numpy(zero_copy_only=False)})
+        g = df.groupby("o_orderkey", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("o_orderkey")
+             .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4")))
+
+    top = agg.sort(["revenue_x1e4", "o_orderkey"],
+                   descending=[True, False]).limit(Q3_TOPK)
+
+    def attach_date(batch: pa.Table) -> pa.Table:
+        omap = ray.get(omap_ref)
+        dates = [pd.Timestamp(omap[k]).strftime("%Y-%m-%d")
+                 for k in batch["o_orderkey"].to_pylist()]
+        return batch.append_column("o_orderdate", pa.array(dates, type=pa.string()))
+
+    return top.map_batches(attach_date, batch_format="pyarrow")
+
+
+Q3_SQL = f"""
+SELECT o_orderkey,
+       SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS revenue_x1e4,
+       strftime(ANY_VALUE(o_orderdate), '%Y-%m-%d') AS o_orderdate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+GROUP BY o_orderkey
+ORDER BY revenue_x1e4 DESC, o_orderkey
+LIMIT {Q3_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5-style — revenue by nation (multi-dim broadcast join chain)
+# ---------------------------------------------------------------------------
+
+def q5_nation_revenue(sf_dir: str):
+    nation = pd.read_parquet(_pq(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    supplier = pd.read_parquet(_pq(sf_dir, "supplier"),
+                               columns=["s_suppkey", "s_nationkey"])
+    side = supplier.merge(nation, left_on="s_nationkey",
+                          right_on="n_nationkey")[["s_suppkey", "n_name"]]
+    side_ref = ray.put(dict(zip(side.s_suppkey, side.n_name)))
+
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        smap = ray.get(side_ref)
+        rev = _cents(pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"])),
+                     1e4).to_numpy(zero_copy_only=False)
+        names = [smap[k] for k in batch["l_suppkey"].to_pylist()]
+        df = pd.DataFrame({"n_name": names, "revenue_x1e4": rev})
+        return pa.Table.from_pandas(
+            df.groupby("n_name", as_index=False).sum(), preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("n_name")
+              .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4"))
+              .sort("n_name"))
+
+
+Q5_SQL = """
+SELECT n_name,
+       SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS revenue_x1e4
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vectorized filter + computed projection
+# ---------------------------------------------------------------------------
+
+FILTER_MIN_QTY = 48.0
+
+
+def filter_high_quantity(sf_dir: str):
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linenumber", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["l_quantity"],
+                                          pa.scalar(FILTER_MIN_QTY)))
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"])), 1e4)
+        return pa.Table.from_arrays(
+            [t["l_orderkey"], pc.cast(t["l_linenumber"], pa.int64()), rev],
+            names=["l_orderkey", "l_linenumber", "revenue_x1e4"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+FILTER_SQL = f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT) AS revenue_x1e4
+FROM lineitem WHERE l_quantity >= {FILTER_MIN_QTY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct / dedup-by-key
+# ---------------------------------------------------------------------------
+
+def distinct_segments(sf_dir: str):
+    ds = rd.read_parquet(_pq(sf_dir, "customer"), columns=["c_mktsegment"])
+    return ds.groupby("c_mktsegment").aggregate(Count(alias_name="n_customers")) \
+             .sort("c_mktsegment")
+
+
+DISTINCT_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temporal bucket aggregate (orders by month)
+# ---------------------------------------------------------------------------
+
+def orders_monthly(sf_dir: str):
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        month = pc.strftime(batch["o_orderdate"], format="%Y-%m")
+        df = pd.DataFrame({
+            "month": month.to_pandas(),
+            "total_x100": _cents(batch["o_totalprice"]).to_pandas()})
+        g = (df.groupby("month", as_index=False)
+               .agg(total_x100=("total_x100", "sum"),
+                    n_orders=("total_x100", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("month")
+              .aggregate(Sum("total_x100", alias_name="total_x100"),
+                         Sum("n_orders", alias_name="n_orders"))
+              .sort("month"))
+
+
+ORDERS_MONTHLY_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS total_x100,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY month ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension join + top-k (part brands by revenue)
+# ---------------------------------------------------------------------------
+
+BRAND_TOPK = 5
+
+
+def brand_revenue_topk(sf_dir: str):
+    part = pd.read_parquet(_pq(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    bmap_ref = ray.put(dict(zip(part.p_partkey, part.p_brand)))
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bmap = ray.get(bmap_ref)
+        rev = _cents(pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"])),
+                     1e4).to_numpy(zero_copy_only=False)
+        brands = [bmap[k] for k in batch["l_partkey"].to_pylist()]
+        df = pd.DataFrame({"p_brand": brands, "revenue_x1e4": rev})
+        return pa.Table.from_pandas(
+            df.groupby("p_brand", as_index=False).sum(), preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("p_brand")
+              .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4"))
+              .sort(["revenue_x1e4", "p_brand"], descending=[True, False])
+              .limit(BRAND_TOPK))
+
+
+BRAND_SQL = f"""
+SELECT p_brand,
+       SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS revenue_x1e4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue_x1e4 DESC, p_brand
+LIMIT {BRAND_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling-window aggregate (streaming-shaped batch semantics)
+# ---------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str):
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(batch["ts"], format="%Y-%m-%d %H")
+        df = pd.DataFrame({
+            "hour": hour.to_pandas(),
+            "event_type": batch["event_type"].to_pandas(),
+            "value_x1e6": _cents(batch["value"], 1e6).to_pandas()})
+        g = (df.groupby(["hour", "event_type"], as_index=False)
+               .agg(value_x1e6=("value_x1e6", "sum"),
+                    n_events=("value_x1e6", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["hour", "event_type"])
+              .aggregate(Sum("value_x1e6", alias_name="value_x1e6"),
+                         Sum("n_events", alias_name="n_events"))
+              .sort(["hour", "event_type"]))
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS value_x1e6,
+       COUNT(*) AS n_events
+FROM events GROUP BY hour, event_type ORDER BY hour, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization (gap > 30 min) — partitioned ordered-log windowing
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def events_sessions(sf_dir: str):
+    """Per-user session stats. Partition by user (groupby shuffle), order by
+    ts within the group, count gap-based session breaks — the documented
+    Ray Data pattern for stream-shaped references (ordering assumption:
+    within one user's group only)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_sessions": [int(gaps.sum()) + 1],
+            "n_events": [len(g)]})
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas") \
+             .sort("user_id")
+
+
+EVENTS_SESSIONS_SQL = f"""
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM marks GROUP BY user_id ORDER BY user_id
+"""
+
+
+RELATIONAL_QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "filter_high_quantity": (filter_high_quantity, FILTER_SQL),
+    "distinct_segments": (distinct_segments, DISTINCT_SQL),
+    "orders_monthly": (orders_monthly, ORDERS_MONTHLY_SQL),
+    "brand_revenue_topk": (brand_revenue_topk, BRAND_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+}

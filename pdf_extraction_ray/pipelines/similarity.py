@@ -1,0 +1,149 @@
+"""Similarity search over the ``embeddings`` table (list<float> column):
+brute-force cosine top-k as the baseline (numpy matmul per batch against a
+broadcast query matrix) and an IVF-bucketed variant as the scale path.
+Plus per-label centroid sums with a bit-exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+KNN_QUERY_VEC_ID = 0
+KNN_K = 10
+IVF_NPROBE = 2
+
+
+def _emb(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding", "label"])
+
+
+def _query_vec(sf_dir: str, vec_id: int) -> np.ndarray:
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    v = np.asarray(emb.loc[emb.vec_id == vec_id, "embedding"].iloc[0],
+                   dtype=np.float64)
+    return v
+
+
+def knn_cosine(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query vector, per-batch numpy
+    dot products, global sort + limit. Output (vec_id, rank), rank 1-based;
+    ties broken by vec_id (deterministic)."""
+    q = _query_vec(sf_dir, KNN_QUERY_VEC_ID)
+    qref = ray.put(q / max(np.linalg.norm(q), 1e-12))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pa.Table.from_arrays(
+            [batch["vec_id"], pa.array(m @ qv)], names=["vec_id", "cos"])
+
+    top = (_emb(sf_dir).map_batches(score, batch_format="pyarrow")
+           .sort(["cos", "vec_id"], descending=[True, False])
+           .limit(KNN_K))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        # runs on the tiny top-k result only
+        return pa.Table.from_arrays(
+            [batch["vec_id"],
+             pa.array(np.arange(1, len(batch) + 1, dtype=np.int64))],
+            names=["vec_id", "rank"])
+
+    return rd.from_arrow(rank(pa.Table.from_pandas(
+        top.to_pandas(), preserve_index=False)))
+
+
+KNN_SQL = f"""
+SELECT vec_id,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY list_cosine_similarity(
+                embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = {KNN_QUERY_VEC_ID})
+            ) DESC, vec_id) AS BIGINT) AS rank
+FROM embeddings
+ORDER BY rank
+LIMIT {KNN_K}
+"""
+
+
+def knn_cosine_ivf(sf_dir: str):
+    """IVF-style scale path: vectors bucketed by nearest of the per-label
+    centroids (the 'coarse quantizer'); the query probes the IVF_NPROBE
+    nearest centroids and scores only those buckets. Not exact — recall
+    depends on nprobe — so rows-only checked; determinism is exact."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    cents = np.stack([mat[emb.label.to_numpy() == l].mean(axis=0)
+                      for l in sorted(emb.label.unique())])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    q = _query_vec(sf_dir, KNN_QUERY_VEC_ID)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = set(np.argsort(-(cents @ qn))[:IVF_NPROBE].tolist())
+    qref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        norm = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        mn = m / norm
+        bucket = np.asarray([int(b) for b in np.argmax(mn @ cents.T, axis=1)])
+        keep = np.isin(bucket, list(probe))
+        cos = (mn[keep] @ qv * 1e6).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(batch["vec_id"].to_numpy(zero_copy_only=False)[keep]),
+             pa.array(cos)],
+            names=["vec_id", "cosine_x1e6"])
+
+    return (_emb(sf_dir).map_batches(score, batch_format="pyarrow")
+            .sort(["cosine_x1e6", "vec_id"], descending=[True, False])
+            .limit(KNN_K))
+
+
+def embedding_centroid_sums(sf_dir: str):
+    """Per-(label, dim) integer-floored component sums — a distributed
+    'centroid' aggregate with a bit-exact oracle: each component is floored
+    to int BEFORE summation, so order cannot perturb the result."""
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        fl = np.floor(m * 1e6).astype(np.int64)          # (n, d)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        d = fl.shape[1]
+        df = pd.DataFrame({
+            "label": np.repeat(lab, d).astype(np.int64),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(lab)),
+            "sum_x1e6": fl.reshape(-1)})
+        g = df.groupby(["label", "dim"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "dim"])
+            .aggregate(Sum("sum_x1e6", alias_name="sum_x1e6"))
+            .sort(["label", "dim"]))
+
+
+CENTROID_SQL = """
+SELECT CAST(label AS BIGINT) AS label, i AS dim,
+       SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sum_x1e6
+FROM embeddings, range(1, 65) t(i)
+GROUP BY label, i
+ORDER BY label, dim
+"""
+
+
+SIMILARITY_QUERIES: dict[str, tuple] = {
+    "knn_cosine": (knn_cosine, KNN_SQL),
+    "knn_cosine_ivf": (knn_cosine_ivf, None),
+    "embedding_centroid_sums": (embedding_centroid_sums, CENTROID_SQL),
+}

@@ -1,0 +1,211 @@
+"""Text-analysis pipelines over the ``documents`` table: token counting,
+quality scoring, language ID, exact dedup, chunking, fingerprinting —
+the training-data-pipeline text operators, each vectorized per batch and
+(where SQL-expressible) paired with a DuckDB oracle.
+
+All fractional scores are integer-scaled (``x1e6`` via integer division)
+so distributed execution and the SQL oracle agree bit-exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..functions import text as T
+from ..functions.chunker import chunk_text
+from ..functions.hashing import rolling_fingerprint
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# Token / char statistics
+# ---------------------------------------------------------------------------
+
+def doc_token_stats(sf_dir: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        stats = T.token_stats(batch["text"].combine_chunks()
+                              if isinstance(batch["text"], pa.ChunkedArray)
+                              else batch["text"])
+        return pa.Table.from_arrays(
+            [batch["doc_id"], stats["n_chars"], stats["n_tokens"],
+             stats["token_chars"], stats["punct_cnt"]],
+            names=["doc_id", "n_chars", "n_tokens", "token_chars", "punct_cnt"])
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                          x -> length(x)), 'sum') AS BIGINT) AS token_chars,
+       CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scores
+# ---------------------------------------------------------------------------
+
+def doc_quality(sf_dir: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        q = T.quality_scores(text)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], q["n_chars"], q["n_tokens"],
+             q["punct_ratio_x1e6"], q["stop_ratio_x1e6"],
+             q["mean_token_len_x1e6"]],
+            names=["doc_id", "n_chars", "n_tokens", "punct_ratio_x1e6",
+                   "stop_ratio_x1e6", "mean_token_len_x1e6"])
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+_EN = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents)
+SELECT doc_id, n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CASE WHEN n_chars > 0 THEN (punct_cnt * 1000000) // n_chars ELSE 0 END AS punct_ratio_x1e6,
+       CASE WHEN len(toks) > 0 THEN
+         (CAST(len(list_filter(ltoks, x -> x IN ({_EN}))) AS BIGINT) * 1000000) // len(toks)
+       ELSE 0 END AS stop_ratio_x1e6,
+       CASE WHEN len(toks) > 0 THEN
+         (CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) * 1000000) // len(toks)
+       ELSE 0 END AS mean_token_len_x1e6
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+
+def doc_langid(sf_dir: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        return pa.Table.from_arrays([batch["doc_id"], T.langid(text)],
+                                    names=["doc_id", "pred_lang"])
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def _langid_sql() -> str:
+    hits = {lang: f"len(list_filter(ltoks, x -> x IN "
+                  f"({', '.join(repr(w) for w in T.LANG_STOPWORDS[lang])})))"
+            for lang in T.LANG_ORDER}
+    # earlier languages win ties: strict comparison against earlier langs,
+    # >= against later ones (mirrors numpy argmax tie-break in T.langid)
+    cascades = []
+    for i, lang in enumerate(T.LANG_ORDER):
+        parts = [f"s_{lang} > s_{o}" for o in T.LANG_ORDER[:i]]
+        parts += [f"s_{lang} >= s_{o}" for o in T.LANG_ORDER[i + 1:]]
+        cond = " AND ".join(parts) if parts else "TRUE"
+        cascades.append(f"WHEN {cond} AND s_{lang} >= {T.LANG_MIN_HITS} THEN '{lang}'")
+    case = "CASE " + " ".join(cascades) + " ELSE 'und' END"
+    sels = ", ".join(f"{expr} AS s_{lang}" for lang, expr in hits.items())
+    return rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents),
+s AS (SELECT doc_id, {sels} FROM t)
+SELECT doc_id, {case} AS pred_lang FROM s
+"""
+
+
+LANGID_SQL = _langid_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-partitioned group-by-content, keep first
+# ---------------------------------------------------------------------------
+
+def doc_dedup_exact(sf_dir: str):
+    """Exact dedup groups: md5 of normalized text -> representative doc
+    (min doc_id) + group size. At scale the md5 key hash-partitions the
+    shuffle; content never re-ships after the key column is added."""
+    def keyed(batch: pa.Table) -> pa.Table:
+        norm = T.normalize_for_dedup(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"])
+        md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in norm.to_pylist()], type=pa.string())
+        return pa.Table.from_arrays([md5, batch["doc_id"]],
+                                    names=["text_md5", "doc_id"])
+
+    return (_docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
+            .groupby("text_md5")
+            .aggregate(Min("doc_id", alias_name="rep_doc_id"),
+                       Count(alias_name="n_dups"))
+            .sort("text_md5"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(text))) AS text_md5,
+       MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY text_md5 ORDER BY text_md5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chunker (flat_map: 1 doc -> N chunks) — not SQL-expressible
+# ---------------------------------------------------------------------------
+
+def doc_chunks(sf_dir: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_ids, sizes = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for ci, ch in enumerate(chunk_text(text or "")):
+                doc_ids.append(doc_id)
+                chunk_ids.append(ci)
+                sizes.append(len(ch))
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids, type=pa.int64()),
+             pa.array(chunk_ids, type=pa.int64()),
+             pa.array(sizes, type=pa.int64())],
+            names=["doc_id", "chunk_id", "chunk_size"])
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint — not SQL-expressible
+# ---------------------------------------------------------------------------
+
+def doc_fingerprint(sf_dir: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        fp = rolling_fingerprint(text).view(np.int64)   # reinterpret for arrow
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(fp, type=pa.int64())],
+            names=["doc_id", "fingerprint"])
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+TEXT_QUERIES: dict[str, tuple] = {
+    "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
+    "doc_quality": (doc_quality, QUALITY_SQL),
+    "doc_langid": (doc_langid, LANGID_SQL),
+    "doc_dedup_exact": (doc_dedup_exact, DEDUP_EXACT_SQL),
+    "doc_chunks": (doc_chunks, None),
+    "doc_fingerprint": (doc_fingerprint, None),
+}
