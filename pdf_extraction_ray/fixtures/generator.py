@@ -235,28 +235,46 @@ def corpus_path(name: str, seed: int, n_docs: int,
     return os.path.join(root, f"{name}-s{seed}-n{n_docs}")
 
 
+def _write_shard(path: str, seed: int, start: int, count: int,
+                 pathological_frac: float) -> str:
+    shard = os.path.join(path, f"part-{start:08d}.parquet")
+    if not os.path.exists(shard):
+        tbl = generate_docs_table(seed, start, count, pathological_frac)
+        pq.write_table(tbl, shard + f".tmp{os.getpid()}")
+        os.replace(shard + f".tmp{os.getpid()}", shard)
+    return shard
+
+
 def ensure_corpus(name: str, seed: int, n_docs: int,
                   pathological_frac: float = 0.01,
                   shard_rows: int = 1000,
-                  root: str = "/tmp/pdfxr_fixtures") -> str:
+                  root: str = "/tmp/pdfxr_fixtures",
+                  use_ray: bool = False) -> str:
     """Generate (once, cached) a corpus as a directory of parquet shards.
 
     Sharded so readers parallelize; content depends only on (seed, index),
-    never on sharding. Returns the directory path. Uses plain pyarrow
-    writes (generation is test infrastructure, not the engine under test).
+    never on sharding. With ``use_ray=True`` (and an active session) the
+    shards generate as parallel Ray tasks — content is identical either
+    way. Returns the directory path.
     """
     path = corpus_path(name, seed, n_docs, root)
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
     os.makedirs(path, exist_ok=True)
-    for start in range(0, n_docs, shard_rows):
-        count = min(shard_rows, n_docs - start)
-        shard = os.path.join(path, f"part-{start:08d}.parquet")
-        if not os.path.exists(shard):
-            tbl = generate_docs_table(seed, start, count, pathological_frac)
-            pq.write_table(tbl, shard + ".tmp")
-            os.replace(shard + ".tmp", shard)
+    starts = list(range(0, n_docs, shard_rows))
+    if use_ray:
+        import ray
+        if ray.is_initialized():
+            task = ray.remote(num_cpus=1)(_write_shard)
+            ray.get([task.remote(path, seed, s, min(shard_rows, n_docs - s),
+                                 pathological_frac) for s in starts])
+        else:
+            use_ray = False
+    if not use_ray:
+        for s in starts:
+            _write_shard(path, seed, s, min(shard_rows, n_docs - s),
+                         pathological_frac)
     with open(done, "w") as f:
         f.write(f"{seed} {n_docs} {pathological_frac}\n")
     return path

@@ -1,0 +1,81 @@
+"""Analysis pipeline: extraction output -> heuristic visual describer
+(VLM stand-in actor pool) -> vectorized content-type counters -> per-doc
+counts and global totals (A2/A3 aggregates in SURVEY.md §2.6).
+
+Rebuild of the reference's VLM-only lifecycle (SURVEY.md §3.2) with the
+memory hazard fixed: pages/docs stream through the describer in batches
+instead of rasterizing everything up front (gpt4_comprehensive_visual_
+processor.py:349).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ..fixtures.generator import ensure_corpus
+from ..sources.io import read_docs
+from ..stages.counters import analyze_content_types_batch
+from ..stages.describe import VisualDescriber
+from .extract import extract_pipeline
+
+COUNT_COLS = ["formulas", "tables", "graphs", "figures", "data_points"]
+
+
+def _corpus_for(sf_dir: str) -> str:
+    n = {"sf0.001": 100, "sf0.01": 2000, "sf0.1": 20000}.get(
+        sf_dir.rstrip("/").rsplit("/", 1)[-1], 2000)
+    return ensure_corpus("query", 42, n)
+
+
+def analysis_pipeline(ds: Dataset, *, batch_size: int = 256,
+                      describer_concurrency=None) -> Dataset:
+    if describer_concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        describer_concurrency = (1, max(2, ncpu // 2))
+    out = extract_pipeline(ds, batch_size=batch_size)
+    out = out.map_batches(VisualDescriber, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          concurrency=describer_concurrency, num_cpus=1)
+    return out.map_batches(analyze_content_types_batch, batch_format="pyarrow")
+
+
+def vlm_content_counts(sf_dir: str):
+    """Per-doc content-type counts over the synthetic corpus (rows-only)."""
+    ds = analysis_pipeline(read_docs(_corpus_for(sf_dir)))
+    return ds.select_columns(["doc_id", "has_visuals"] + COUNT_COLS)
+
+
+def vlm_content_totals(sf_dir: str):
+    """Global totals + pages-with-visuals count (A2/A3 partial+final)."""
+    ds = analysis_pipeline(read_docs(_corpus_for(sf_dir)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        arrays = [pa.array([len(batch)], type=pa.int64())]
+        names = ["n_docs"]
+        arrays.append(pa.array(
+            [pc.sum(pc.cast(batch["has_visuals"], pa.int64())).as_py() or 0],
+            type=pa.int64()))
+        names.append("docs_with_visuals")
+        for c in COUNT_COLS:
+            arrays.append(pa.array([pc.sum(batch[c]).as_py() or 0],
+                                   type=pa.int64()))
+            names.append(f"total_{c}")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    cols = ["n_docs", "docs_with_visuals"] + [f"total_{c}" for c in COUNT_COLS]
+    res = ds.map_batches(partial, batch_format="pyarrow") \
+            .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    import pandas as pd
+    return pd.DataFrame([res])[cols]
+
+
+ANALYSIS_QUERIES: dict[str, tuple] = {
+    "vlm_content_counts": (vlm_content_counts, None),
+    "vlm_content_totals": (vlm_content_totals, None),
+}

@@ -135,7 +135,8 @@ def q3_top_orders(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         omap = ray.get(omap_ref)
         keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        mask = np.array([k in omap for k in keys], dtype=bool)
+        mask = np.isin(keys, np.fromiter(omap.keys(), dtype=np.int64,
+                                         count=len(omap)))
         t = batch.filter(pa.array(mask))
         rev = _cents(pc.multiply(t["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), t["l_discount"])), 1e4)
@@ -194,7 +195,8 @@ def q5_nation_revenue(sf_dir: str):
         rev = _cents(pc.multiply(batch["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), batch["l_discount"])),
                      1e4).to_numpy(zero_copy_only=False)
-        names = [smap[k] for k in batch["l_suppkey"].to_pylist()]
+        names = pd.Series(batch["l_suppkey"].to_numpy(zero_copy_only=False)) \
+            .map(smap).to_numpy()
         df = pd.DataFrame({"n_name": names, "revenue_x1e4": rev})
         return pa.Table.from_pandas(
             df.groupby("n_name", as_index=False).sum(), preserve_index=False)
@@ -313,7 +315,8 @@ def brand_revenue_topk(sf_dir: str):
         rev = _cents(pc.multiply(batch["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), batch["l_discount"])),
                      1e4).to_numpy(zero_copy_only=False)
-        brands = [bmap[k] for k in batch["l_partkey"].to_pylist()]
+        brands = pd.Series(batch["l_partkey"].to_numpy(zero_copy_only=False)) \
+            .map(bmap).to_numpy()
         df = pd.DataFrame({"p_brand": brands, "revenue_x1e4": rev})
         return pa.Table.from_pandas(
             df.groupby("p_brand", as_index=False).sum(), preserve_index=False)
