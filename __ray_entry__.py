@@ -85,10 +85,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extraction_ray.pipelines.dedup import DEDUP_QUERIES
     from pdf_extraction_ray.pipelines.similarity import SIMILARITY_QUERIES
     from pdf_extraction_ray.pipelines.analysis import ANALYSIS_QUERIES
+    from pdf_extraction_ray.pipelines.retrieval import RETRIEVAL_QUERIES
+    from pdf_extraction_ray.pipelines.media import MEDIA_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
     for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES,
-                SIMILARITY_QUERIES, ANALYSIS_QUERIES):
+                SIMILARITY_QUERIES, ANALYSIS_QUERIES, RETRIEVAL_QUERIES,
+                MEDIA_QUERIES):
         for name, (fn, _sql) in reg.items():
             out[name] = fn
     out["extract_flagship_spans"] = _extract_spans_query

@@ -75,7 +75,17 @@ def vlm_content_totals(sf_dir: str):
     return pd.DataFrame([res])[cols]
 
 
+def spatial_relations(sf_dir: str):
+    """Doc-local pairwise spatial relations (J2) over the synthetic corpus."""
+    from ..stages.spatial import spatial_relations_batch
+    from ..stages.tokenize import classify_spans
+    ds = read_docs(_corpus_for(sf_dir))
+    return ds.map_batches(classify_spans, batch_format="pyarrow") \
+             .map_batches(spatial_relations_batch, batch_format="pyarrow")
+
+
 ANALYSIS_QUERIES: dict[str, tuple] = {
     "vlm_content_counts": (vlm_content_counts, None),
     "vlm_content_totals": (vlm_content_totals, None),
+    "spatial_relations": (spatial_relations, None),
 }

@@ -1,0 +1,74 @@
+"""Media pipeline: build the opaque-binary media table from the corpus's
+image spans, decode features (actor pool), sample frames. The payloads
+are deterministic fakes (no media libs here) but the table/actor/batch
+plumbing is exactly what real decode needs."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from ..functions.arrow_utils import as_array
+from ..stages.multimodal import MEDIA_SCHEMA, FrameSampler, MediaDecoder, synth_payload
+from ..sources.io import read_docs
+from .analysis import _corpus_for
+
+
+def media_table_from_docs(ds: Dataset) -> Dataset:
+    """Explode image spans into one media row per media_ref, synthesizing
+    deterministic payloads (media_type cycles by ref hash)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = as_array(pc.list_flatten(spans))
+        parent = as_array(pc.list_parent_indices(spans))
+        kind = pc.struct_field(flat, "kind")
+        mask = pc.equal(kind, "image")
+        refs = pc.filter(pc.struct_field(flat, "media_ref"), mask).to_pylist()
+        docs = pc.take(batch.column("doc_id"),
+                       pc.filter(parent, mask)).to_pylist()
+        rows = []
+        for doc, ref in zip(docs, refs):
+            mt = ["image", "audio", "video"][
+                int.from_bytes(ref.encode()[-2:], "big") % 3]
+            rows.append({
+                "doc_id": doc, "media_ref": ref, "media_type": mt,
+                "payload": synth_payload(ref, mt),
+                "meta": {"declared_w": 0, "declared_h": 0, "duration_ms": 0}})
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def media_features(sf_dir: str):
+    """Decode stub features for every media payload (rows-only check)."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    ds = media_table_from_docs(read_docs(_corpus_for(sf_dir)))
+    # bytes-bounded batches: payloads are ~260B fakes; real images would
+    # push batch_size down to target_bytes/payload_size
+    return ds.map_batches(MediaDecoder, batch_format="pyarrow",
+                          batch_size=512, concurrency=(1, max(2, ncpu // 2)),
+                          num_cpus=1,
+                          fn_constructor_kwargs={"codec": "stub"})
+
+
+def media_frames(sf_dir: str):
+    """Frame sampling over decoded video rows (flat explode)."""
+    feats = media_features(sf_dir)
+    vids = feats.map_batches(
+        lambda t: t.filter(pc.equal(t["media_type"], "video")),
+        batch_format="pyarrow")
+    return vids.map_batches(FrameSampler, batch_format="pyarrow",
+                            batch_size=512, concurrency=(1, 2), num_cpus=1)
+
+
+MEDIA_QUERIES: dict[str, tuple] = {
+    "media_features": (media_features, None),
+    "media_frames": (media_frames, None),
+}

@@ -1,0 +1,146 @@
+"""RAG-evaluation analog (SURVEY.md §3.3 lifecycle, rebuilt Ray-Data-first):
+
+    documents -> chunker (flat_map, 1200/200 recursive splitter, M20)
+              -> embed actor pool (T6 stand-in)
+              -> per-query top-k retrieval (J4/O2: broadcast query matrix,
+                 per-batch partial top-k, tiny global merge)
+              -> context assembly (M22: numbered top-3 context string)
+
+plus chunk-size statistics (A5: mean/min/max via ds.aggregate).
+
+Retrieval never shuffles chunk embeddings: each batch scores against the
+broadcast query matrix and emits only its local top-k rows per query
+(k x n_queries rows per batch), so the global merge input is tiny. At
+10^12-chunk scale the same shape holds — the scale path swaps brute-force
+scoring for the IVF bucketing in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Max, Mean, Min, Count
+
+from ..functions.chunker import chunk_text
+from ..stages.embed import HashEmbedder
+
+TOP_K = 5
+CONTEXT_K = 3
+# fixed evaluation queries (the reference evaluates 5 fixed kor queries,
+# complete_multimodal_rag_evaluation.py:199-211; ours match the synthetic
+# corpus domain)
+EVAL_QUERIES = [
+    "table extraction pipeline",
+    "figure caption region",
+    "document quality score",
+    "stream partition shuffle",
+    "checkpoint resume manifest",
+]
+
+
+def chunk_documents_ds(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_ids, texts = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for ci, ch in enumerate(chunk_text(text or "")):
+                doc_ids.append(doc_id)
+                chunk_ids.append(ci)
+                texts.append(ch)
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids, type=pa.int64()),
+             pa.array(chunk_ids, type=pa.int64()),
+             pa.array(texts, type=pa.string())],
+            names=["doc_id", "chunk_id", "chunk_text"])
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def chunk_stats(sf_dir: str):
+    """A5 chunk-size statistics as a global aggregate."""
+    ds = chunk_documents_ds(sf_dir)
+
+    def size(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.append_column(
+            "chunk_size", pc.cast(pc.utf8_length(batch["chunk_text"]),
+                                  pa.int64()))
+
+    res = ds.map_batches(size, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_chunks"),
+        Mean("chunk_size", alias_name="mean_size"),
+        Min("chunk_size", alias_name="min_size"),
+        Max("chunk_size", alias_name="max_size"))
+    return pd.DataFrame([res])[["n_chunks", "mean_size", "min_size", "max_size"]]
+
+
+def rag_topk_contexts(sf_dir: str):
+    """Top-k retrieval + assembled context per eval query.
+
+    Output: (query_id, query, context) — context is the reference's
+    numbered join of the top-CONTEXT_K chunks (RAG:84; CMP:30-34)."""
+    embedder = HashEmbedder()        # driver-side twin embeds the queries
+    qmat = embedder.embed(pa.array(EVAL_QUERIES))
+    qref = ray.put(qmat)
+
+    chunks = chunk_documents_ds(sf_dir)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    embedded = chunks.map_batches(HashEmbedder, batch_format="pyarrow",
+                                  batch_size=1024,
+                                  concurrency=(1, max(2, ncpu // 2)),
+                                  num_cpus=1)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)                             # (Q, d)
+        emb = np.asarray(batch["embedding"].combine_chunks().flatten()
+                         if isinstance(batch["embedding"], pa.ChunkedArray)
+                         else batch["embedding"].flatten()) \
+            .reshape(len(batch), -1).astype(np.float64)
+        scores = emb @ q.T                            # (n, Q)
+        rows = []
+        for qi in range(q.shape[0]):
+            s = scores[:, qi]
+            k = min(TOP_K, len(s))
+            idx = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            for j in idx:
+                rows.append((qi, int(batch["doc_id"][j].as_py()),
+                             int(batch["chunk_id"][j].as_py()),
+                             batch["chunk_text"][j].as_py(),
+                             int(np.floor(s[j] * 1e6))))
+        return pa.Table.from_pylist(
+            [dict(zip(["query_id", "doc_id", "chunk_id", "chunk_text",
+                       "score_x1e6"], r)) for r in rows],
+            schema=pa.schema([("query_id", pa.int64()),
+                              ("doc_id", pa.int64()),
+                              ("chunk_id", pa.int64()),
+                              ("chunk_text", pa.string()),
+                              ("score_x1e6", pa.int64())]))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_x1e6", "doc_id", "chunk_id"],
+                          ascending=[False, True, True]).head(CONTEXT_K)
+        qi = int(g["query_id"].iloc[0])
+        ctx = "\n\n".join(f"[문서 {i + 1}] {t}"
+                          for i, t in enumerate(g["chunk_text"]))
+        return pd.DataFrame({"query_id": [qi],
+                             "query": [EVAL_QUERIES[qi]],
+                             "context": [ctx]})
+
+    return (embedded.map_batches(partial_topk, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(merge, batch_format="pandas")
+            .sort("query_id"))
+
+
+RETRIEVAL_QUERIES: dict[str, tuple] = {
+    "chunk_stats": (chunk_stats, None),
+    "rag_topk_contexts": (rag_topk_contexts, None),
+}
