@@ -84,8 +84,58 @@ def spatial_relations(sf_dir: str):
              .map_batches(spatial_relations_batch, batch_format="pyarrow")
 
 
+def xycut_reading_order(sf_dir: str):
+    """XY-cut reading order per (doc, page) over kept spans: one row per
+    span with its whitespace-cut rank (rows-only; the ordering itself is
+    unit-tested against constructed layouts)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ..functions.arrow_utils import as_array, list_offsets
+    from ..functions.xycut import xy_cut_order
+    from ..stages.tokenize import classify_spans
+
+    def ranks(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        spans = batch.column("spans")
+        offsets = list_offsets(spans)
+        flat = as_array(pc.list_flatten(spans))
+        span_off = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False)
+        keep = as_array(pc.list_flatten(batch.column("keep"))) \
+            .to_numpy(zero_copy_only=False)
+        page = as_array(pc.list_flatten(batch.column("page"))) \
+            .to_numpy(zero_copy_only=False)
+        nested = as_array(pc.list_flatten(batch.column("bbox")))
+        bb = np.asarray(nested.flatten(), dtype=np.float64).reshape(-1, 4) \
+            if len(nested) else np.zeros((0, 4))
+        doc_ids = batch.column("doc_id").to_pylist()
+        rows = {"doc_id": [], "page": [], "offset": [], "xy_rank": []}
+        for d in range(len(doc_ids)):
+            lo, hi = offsets[d], offsets[d + 1]
+            k = keep[lo:hi]
+            pg = page[lo:hi]
+            for p in np.unique(pg[k]):
+                idx = np.nonzero(k & (pg == p))[0]
+                order = xy_cut_order(bb[lo + idx])
+                for rank, oi in enumerate(order):
+                    rows["doc_id"].append(doc_ids[d])
+                    rows["page"].append(int(p))
+                    rows["offset"].append(int(span_off[lo + idx[oi]]))
+                    rows["xy_rank"].append(rank)
+        return pa.Table.from_arrays(
+            [pa.array(rows["doc_id"], type=pa.string()),
+             pa.array(rows["page"], type=pa.int32()),
+             pa.array(rows["offset"], type=pa.int32()),
+             pa.array(rows["xy_rank"], type=pa.int32())],
+            names=["doc_id", "page", "offset", "xy_rank"])
+
+    return read_docs(_corpus_for(sf_dir)) \
+        .map_batches(classify_spans, batch_format="pyarrow") \
+        .map_batches(ranks, batch_format="pyarrow")
+
+
 ANALYSIS_QUERIES: dict[str, tuple] = {
     "vlm_content_counts": (vlm_content_counts, None),
     "vlm_content_totals": (vlm_content_totals, None),
     "spatial_relations": (spatial_relations, None),
+    "xycut_reading_order": (xycut_reading_order, None),
 }

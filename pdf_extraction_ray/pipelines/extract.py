@@ -24,8 +24,30 @@ from ..stages.layout import LayoutParser, layout_parse
 from ..stages.reassemble import reassemble_spans
 
 
+def bucket_by_size(ds: Dataset, boundaries=(50, 200, 1000)) -> Dataset:
+    """Skew control (SURVEY.md §4): bucket docs by span count and sort
+    descending so pathological multi-hundred-page docs are scheduled
+    FIRST and spread across workers instead of straggling at the tail.
+    This is a full shuffle — apply it only when the corpus has a heavy
+    tail worth paying the exchange for (the resumable runner gets the
+    same effect for free from largest-shard-first dispatch)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(batch["spans"]).to_numpy(zero_copy_only=False)
+        bucket = np.digitize(n, np.asarray(boundaries))
+        return batch.append_column("size_bucket",
+                                   pa.array(bucket, type=pa.int8()))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+             .sort("size_bucket", descending=True)
+
+
 def extract_pipeline(ds: Dataset, *, batch_size: int = 256,
                      layout_mode: str = "tasks",
+                     skew_bucketing: bool = False,
                      layout_concurrency=None) -> Dataset:
     """Wire the three extraction stages onto an interleaved-docs Dataset.
 
@@ -46,6 +68,8 @@ def extract_pipeline(ds: Dataset, *, batch_size: int = 256,
       bounded (rate-limited clients). Measurably slower to dispatch for
       sub-millisecond-per-doc work, so not the default here.
     """
+    if skew_bucketing:
+        ds = bucket_by_size(ds)
     ds = ds.map_batches(classify_spans, batch_format="pyarrow",
                         batch_size=batch_size)
     if layout_mode == "tasks":

@@ -412,6 +412,87 @@ FROM marks GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# As-of join (events enriched with the latest order at-or-before ts)
+# ---------------------------------------------------------------------------
+
+def events_asof_orders(sf_dir: str):
+    """As-of join: each event joined to the most recent order of customer
+    ``user_id`` placed at or before the event timestamp (Ray Data has no
+    as-of join primitive — the documented pattern: partition by key via
+    groupby, sort within group, ``pd.merge_asof`` per group; the orders
+    side is broadcast since it is the small side)."""
+    orders = pd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    oref = ray.put(orders)
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        odf = ray.get(oref)
+        uid = int(g["user_id"].iloc[0])
+        mine = odf[odf.o_custkey == uid]
+        g = g.sort_values(["ts", "event_id"])
+        # latest order with o_orderdate <= ts; ties on date -> max orderkey
+        # (deterministic; mirrored in the SQL with ORDER BY + LIMIT)
+        merged = pd.merge_asof(
+            g, mine.drop_duplicates("o_orderdate", keep="last"),
+            left_on="ts", right_on="o_orderdate", direction="backward")
+        return pd.DataFrame({
+            "event_id": merged["event_id"].astype("int64"),
+            "user_id": uid,
+            "o_orderkey": merged["o_orderkey"].fillna(-1).astype("int64")})
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas") \
+             .sort("event_id")
+
+
+EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id,
+       COALESCE((SELECT o.o_orderkey FROM orders o
+                 WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1),
+                -1) AS o_orderkey
+FROM events e
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window function: per-user running totals over the event log
+# ---------------------------------------------------------------------------
+
+def events_running_totals(sf_dir: str):
+    """Cumulative per-user value totals in ts order — the ordered-log
+    window pattern (groupby shuffle on the key, sort + cumsum within the
+    group; ordering assumption holds only within one user's group)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = (g["value"] * 1e6).round().astype("int64")
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "running_value_x1e6": v.cumsum()})
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas") \
+             .sort("event_id")
+
+
+EVENTS_RUNNING_SQL = """
+SELECT event_id, user_id,
+       SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS running_value_x1e6
+FROM events
+ORDER BY event_id
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -422,4 +503,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "brand_revenue_topk": (brand_revenue_topk, BRAND_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
+    "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
+    "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
 }

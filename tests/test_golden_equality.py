@@ -68,6 +68,31 @@ def test_batch_size_invariance(t2_corpus):
     assert a == b
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_skew_bucketing_invariance(t2_corpus):
+    """The size-bucket repartition (skew control shuffle) never changes
+    per-doc output."""
+    path, _ = t2_corpus
+    plain = {r["doc_id"]: as_seq(r["spans"])
+             for r in extract_pipeline(read_docs(path)).take_all()}
+    bucketed = {r["doc_id"]: as_seq(r["spans"])
+                for r in extract_pipeline(read_docs(path),
+                                          skew_bucketing=True).take_all()}
+    assert plain == bucketed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_pool_mode_matches(t2_corpus):
+    """The actor-pool layout mode produces identical spans to task mode."""
+    path, _ = t2_corpus
+    tasks = {r["doc_id"]: as_seq(r["spans"])
+             for r in extract_pipeline(read_docs(path)).take_all()}
+    actors = {r["doc_id"]: as_seq(r["spans"])
+              for r in extract_pipeline(read_docs(path),
+                                        layout_mode="actors").take_all()}
+    assert tasks == actors
+
+
 def test_golden_empty_doc():
     d = {"doc_id": "x", "spans": [], "font_size": [], "page": [],
          "link_density": [], "bbox": [], "regions": [], "n_pages": 0}
