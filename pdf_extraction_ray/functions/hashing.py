@@ -38,13 +38,17 @@ def hash_strings(arr) -> np.ndarray:
 
 
 def _doc_tokens(text: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """-> (token_hashes uint64, parent doc index per token, doc lengths)."""
+    """-> (token_hashes uint64, parent doc index per token, doc lengths).
+    Empty-string tokens (from empty/whitespace docs) are dropped."""
     toks = as_array(pc.split_pattern_regex(
         pc.utf8_lower(pc.utf8_trim_whitespace(text)), r"\s+"))
     flat = as_array(pc.list_flatten(toks))
     parent = as_array(pc.list_parent_indices(toks)).to_numpy(zero_copy_only=False)
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-    return hash_strings(flat), parent, lengths.astype(np.int64)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    parent = parent[nonempty]
+    lengths = np.bincount(parent, minlength=len(text)).astype(np.int64)
+    return hash_strings(flat), parent, lengths
 
 
 def shingle_hashes(text: pa.Array, k: int = SHINGLE_K) -> tuple[np.ndarray, np.ndarray]:
@@ -83,14 +87,12 @@ def minhash_signatures(text: pa.Array, n_perm: int = N_PERM) -> np.ndarray:
     sig = np.full((n_docs, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(sh) == 0:
         return sig
-    starts = np.searchsorted(sp, np.arange(n_docs))
-    have = np.zeros(n_docs, dtype=bool)
-    have[sp] = True
+    have_docs = np.unique(sp)                    # docs with >=1 shingle
+    seg_starts = np.searchsorted(sp, have_docs)  # strictly increasing, < len
     base = sh % MERSENNE61
     for p in range(n_perm):
         hp = (_MINHASH_A[p] * base + _MINHASH_B[p]) % MERSENNE61
-        mins = np.minimum.reduceat(hp, np.minimum(starts, len(hp) - 1))
-        sig[have, p] = mins[have]
+        sig[have_docs, p] = np.minimum.reduceat(hp, seg_starts)
     return sig
 
 

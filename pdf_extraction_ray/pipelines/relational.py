@@ -413,6 +413,45 @@ FROM marks GROUP BY user_id ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Anti-join: customers with no orders (broadcast key set, filter not-in)
+# ---------------------------------------------------------------------------
+
+ANTI_CUTOFF = "2000-06-01"
+
+
+def customers_without_orders(sf_dir: str):
+    """Anti-semi-join via broadcast key set (at real scale: a Bloom filter
+    of the key set, same shape) — SURVEY.md §2.8 D3/D4 cross-table analog.
+    'Recent orders' cutoff keeps the result non-empty at every sf."""
+    orders = pd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate"])
+    orders = orders[orders.o_orderdate >= pd.Timestamp(ANTI_CUTOFF)]
+    keys_ref = ray.put(np.unique(orders["o_custkey"].to_numpy()))
+    ds = rd.read_parquet(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        mask = ~np.isin(batch["c_custkey"].to_numpy(zero_copy_only=False), keys)
+        t = batch.filter(pa.array(mask))
+        return pa.Table.from_arrays(
+            [t["c_custkey"], t["c_name"], _cents(t["c_acctbal"])],
+            names=["c_custkey", "c_name", "acctbal_x100"])
+
+    return ds.map_batches(anti, batch_format="pyarrow").sort("c_custkey")
+
+
+ANTI_JOIN_SQL = f"""
+SELECT c_custkey, c_name,
+       CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS acctbal_x100
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '{ANTI_CUTOFF} 00:00:00')
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # As-of join (events enriched with the latest order at-or-before ts)
 # ---------------------------------------------------------------------------
 
@@ -505,4 +544,5 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
+    "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
 }
