@@ -136,15 +136,18 @@ def line_orientation(x0: float, y0: float, x1: float, y1: float) -> str:
 
 def _interval_regularity(positions: Iterable[float]) -> float | None:
     """1 - coefficient-of-variation of sorted position deltas; None when
-    fewer than 3 positions (pdf_vector_utils.py:194-218)."""
+    fewer than 3 positions (pdf_vector_utils.py:194-218). Pure-python math
+    — numpy per-call overhead dominates on these tiny inputs."""
     pos = sorted(positions)
-    if len(pos) < 3:
+    n = len(pos) - 1
+    if n < 2:
         return None
-    deltas = np.diff(np.asarray(pos, dtype=np.float64))
-    mean = float(deltas.mean())
+    deltas = [pos[i + 1] - pos[i] for i in range(n)]
+    mean = sum(deltas) / n
     if mean <= 0.0:
         return 0.0
-    cv = float(deltas.std()) / mean
+    var = sum((d - mean) ** 2 for d in deltas) / n
+    cv = math.sqrt(var) / mean
     return max(0.0, 1.0 - cv)
 
 
@@ -178,7 +181,7 @@ def analyze_grid(lines: Sequence[tuple[float, float, float, float]]) -> dict:
     regs = [r for r in (_interval_regularity([h[2] for h in horiz]),
                         _interval_regularity([v[2] for v in vert]))
             if r is not None]
-    regularity = float(np.mean(regs)) if regs else 0.0
+    regularity = sum(regs) / len(regs) if regs else 0.0
     return {
         "n_h": len(horiz),
         "n_v": len(vert),
@@ -210,6 +213,8 @@ def caption_evidence(texts: Iterable[str]) -> float:
     absent (table_figure_classifier.py:175-192)."""
     t_hits = f_hits = 0
     for t in texts:
+        if not CAPTION_ANY_RE.search(t):     # fast miss (same alternation)
+            continue
         if TABLE_CAPTION_RE.search(t):
             t_hits += 1
         if FIGURE_CAPTION_RE.search(t):

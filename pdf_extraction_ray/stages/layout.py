@@ -1,12 +1,13 @@
-"""Stage B — layout parse: a stateful actor-pool stage.
+"""Stage B — layout parse: a stateful stage (actor pool or task pool).
 
-Callable class passed to ``map_batches(LayoutParser, concurrency=N)``:
+Callable class usable as ``map_batches(LayoutParser, concurrency=N)``:
 parser/OCR state (compiled patterns, the stub OCR "engine", classifier
 weights) is built once per actor in ``__init__`` (T1-T4 in SURVEY.md
 §2.4), batches flow through ``__call__``. In production this actor holds
 real model state (Docling converter / Tesseract / layout weights); here
 the deterministic stand-ins keep fixtures reproducible while exercising
-identical actor-pool mechanics.
+identical actor-pool mechanics. ``layout_parse`` is the task-pool form
+with per-worker-process cached state (default — see pipelines.extract).
 
 Per document (all state doc-local — never a shuffle):
 - stub OCR for image spans (advanced_layout_extractor.py:360-386)
@@ -16,6 +17,11 @@ Per document (all state doc-local — never a shuffle):
   (pdf_vector_utils.py:118-218; table_figure_classifier.py:15-24,244-251)
 - caption assignment for kept text spans near kept regions
   (table_figure_classifier.py:155-192)
+
+Hot-path shape: strings never round-trip through python object arrays —
+sparse updates (OCR texts, caption kinds) apply via
+``pc.replace_with_mask``; caption proximity is numpy-broadcast per page;
+only region geometry (a handful of rows per doc) runs as python loops.
 
 Adds ``region_spans`` (synthesized table/figure spans) and prunes the
 heavy metadata columns so downstream batches stay narrow.
@@ -46,38 +52,46 @@ class LayoutParser:
         offsets = list_offsets(spans)
 
         flat = as_array(pc.list_flatten(spans))
-        kind_flat = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
-        media_flat = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
-        keep_flat = as_array(pc.list_flatten(batch.column("keep"))) \
+        kind = pc.struct_field(flat, "kind")
+        is_image = pc.equal(kind, spec.KIND_IMAGE)
+        is_text_np = pc.equal(kind, spec.KIND_TEXT).to_numpy(zero_copy_only=False)
+        keep_np = as_array(pc.list_flatten(batch.column("keep"))) \
             .to_numpy(zero_copy_only=False)
-        cls_flat = as_array(pc.list_flatten(batch.column("cls"))) \
-            .to_numpy(zero_copy_only=False).astype(object)
-        text_flat = as_array(pc.list_flatten(batch.column("out_text"))) \
-            .to_numpy(zero_copy_only=False).astype(object)
-        page_flat = as_array(pc.list_flatten(batch.column("page"))) \
+        kept_text_np = keep_np & is_text_np
+        cls_arr = as_array(pc.list_flatten(batch.column("cls")))
+        text_arr = as_array(pc.list_flatten(batch.column("out_text")))
+        page_np = as_array(pc.list_flatten(batch.column("page"))) \
             .to_numpy(zero_copy_only=False)
         bbox_nested = as_array(pc.list_flatten(batch.column("bbox")))
         bbox_flat = np.asarray(bbox_nested.flatten(), dtype=np.float64) \
             .reshape(-1, 4) if len(bbox_nested) else np.zeros((0, 4))
 
-        # OCR image spans (loop touches only image spans)
-        for j in np.nonzero(kind_flat == spec.KIND_IMAGE)[0]:
-            text_flat[j] = self.ocr(media_flat[j])
+        # one C-level conversion to a python list; indexed access after is
+        # cheap (object-array / per-element arrow access both lose to this)
+        text_list = text_arr.to_pylist()
+
+        # OCR image spans: python only on image rows
+        img_mask = is_image.to_numpy(zero_copy_only=False)
+        if img_mask.any():
+            img_idx = np.nonzero(img_mask)[0]
+            refs = pc.take(pc.struct_field(flat, "media_ref"),
+                           pa.array(img_idx)).to_pylist()
+            for j, r in zip(img_idx, refs):
+                text_list[j] = self.ocr(r)
 
         regions_py = batch.column("regions").to_pylist()
         doc_ids = batch.column("doc_id").to_pylist()
         region_counts = np.zeros(n_docs, dtype=np.int64)
         region_rows: list[dict] = []
+        caption_idx: list[int] = []          # global span indices -> caption
 
         for d in range(n_docs):
             regs = regions_py[d]
             if not regs:
                 continue
             lo, hi = offsets[d], offsets[d + 1]
-            k = keep_flat[lo:hi]
-            pg = page_flat[lo:hi]
-            kd = kind_flat[lo:hi]
-            kept_text = k & (kd == spec.KIND_TEXT)
+            kept_text = kept_text_np[lo:hi]
+            pg = page_np[lo:hi]
 
             by_page: dict[int, list[dict]] = {}
             for r in regs:
@@ -86,15 +100,33 @@ class LayoutParser:
             for page, cands in by_page.items():
                 kept_idx = spec.dedup_boxes_iou([r["bbox"] for r in cands])
                 pidx = np.nonzero(kept_text & (pg == page))[0]
-                kept_bboxes = []
+                pbb = bbox_flat[lo + pidx] if len(pidx) else np.zeros((0, 4))
+                near_any = np.zeros(len(pidx), dtype=bool)
+                near_texts_cache: dict[int, list[str]] = {}
                 for ridx in kept_idx:
                     r = cands[ridx]
                     grid = spec.analyze_grid(
                         [(ln["x0"], ln["y0"], ln["x1"], ln["y1"])
                          for ln in r["lines"]])
-                    near = [int(j) for j in pidx
-                            if spec.caption_near(bbox_flat[lo + j], r["bbox"])]
-                    cap = spec.caption_evidence([text_flat[lo + j] for j in near])
+                    rx0, ry0, rx1, ry1 = r["bbox"]
+                    if len(pidx):
+                        # exact caption_near semantics, broadcast:
+                        # horizontal overlap > 0 AND (within margin above /
+                        # within margin below / vertical overlap)
+                        ov = (np.minimum(pbb[:, 2], rx1)
+                              - np.maximum(pbb[:, 0], rx0)) > 0.0
+                        above = pbb[:, 3] <= ry0
+                        below = pbb[:, 1] >= ry1
+                        near = ov & (
+                            (above & ((ry0 - pbb[:, 3]) <= spec.CAPTION_MARGIN))
+                            | (~above & below
+                               & ((pbb[:, 1] - ry1) <= spec.CAPTION_MARGIN))
+                            | (~above & ~below))
+                    else:
+                        near = near_any
+                    cap = spec.caption_evidence(
+                        [text_list[j] for j in lo + pidx[near]]
+                        if near.any() else [])
                     rkind, _ = spec.classify_region(grid, cap)
                     region_rows.append({
                         "kind": rkind,
@@ -103,13 +135,17 @@ class LayoutParser:
                         "offset": r["offset"],
                     })
                     region_counts[d] += 1
-                    kept_bboxes.append(r["bbox"])
-                # caption override: near any kept region + caption keyword
-                for j in pidx:
-                    if self.caption_any.search(text_flat[lo + j]) and any(
-                            spec.caption_near(bbox_flat[lo + j], rb)
-                            for rb in kept_bboxes):
-                        cls_flat[lo + j] = spec.OUT_CAPTION
+                    near_any |= near
+                for j in lo + pidx[near_any]:
+                    if self.caption_any.search(text_list[j]):
+                        caption_idx.append(int(j))
+
+        if caption_idx:
+            cap_mask = np.zeros(len(flat), dtype=bool)
+            cap_mask[caption_idx] = True
+            cls_arr = pc.replace_with_mask(
+                cls_arr, pa.array(cap_mask),
+                pa.array([spec.OUT_CAPTION] * len(caption_idx)))
 
         off32 = pa.array(offsets, type=pa.int32())
         roff = np.zeros(n_docs + 1, dtype=np.int64)
@@ -119,10 +155,11 @@ class LayoutParser:
             pa.array(region_rows, type=SPAN_STRUCT))
 
         out = batch.select(["doc_id", "spans", "keep"])
+        out = out.append_column("cls", pa.ListArray.from_arrays(off32, cls_arr))
         out = out.append_column(
-            "cls", pa.ListArray.from_arrays(off32, pa.array(cls_flat, type=pa.string())))
-        out = out.append_column(
-            "out_text", pa.ListArray.from_arrays(off32, pa.array(text_flat, type=pa.string())))
+            "out_text",
+            pa.ListArray.from_arrays(off32,
+                                     pa.array(text_list, type=pa.string())))
         return out.append_column("region_spans", region_col)
 
 
