@@ -178,11 +178,18 @@ def generate_doc(seed: int, i: int, pathological_frac: float = 0.01) -> dict:
         # vector regions: table-like / irregular / sparse / diagram
         ridx = 0
         if rng.random() < 0.5:
-            rb = (0.15, 0.55, 0.85, 0.8)
+            # occasionally an oversized region (w>0.6, h>0.3) with a central
+            # vertical grid line -> exercises the V4/V8 large-table splitter
+            if rng.random() < 0.25:
+                rb = (0.1, 0.5, 0.9, 0.85)
+                n_cols = int(rng.choice([2, 4]))   # even -> center line
+            else:
+                rb = (0.15, 0.55, 0.85, 0.8)
+                n_cols = int(rng.integers(2, 6))
             kind_roll = rng.random()
             if kind_roll < 0.6:         # regular grid -> true table
                 lines = _grid_lines(rng, rb, int(rng.integers(3, 7)),
-                                    int(rng.integers(2, 6)), 0.0)
+                                    n_cols, 0.0)
             elif kind_roll < 0.8:       # heavy jitter -> irregular grid
                 lines = _grid_lines(rng, rb, int(rng.integers(3, 7)),
                                     int(rng.integers(2, 6)), 0.18)

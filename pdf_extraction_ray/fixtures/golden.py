@@ -70,21 +70,22 @@ def golden_extract_doc(doc: dict) -> list[dict]:
         by_page.setdefault(r["page"], []).append(r)
     for page, cands in by_page.items():
         kept_idx = spec.dedup_boxes_iou([r["bbox"] for r in cands])
+
+        def near_texts(part_bbox, _page=page):
+            return [text for (_, kind, text, _, _, _, sp, bb) in kept
+                    if kind == spec.KIND_TEXT and sp == _page
+                    and spec.caption_near(bb, part_bbox)]
+
         for ridx in kept_idx:       # ridx = per-page pre-dedup candidate index
             r = cands[ridx]
-            grid = spec.analyze_grid(
-                [(ln["x0"], ln["y0"], ln["x1"], ln["y1"]) for ln in r["lines"]])
-            near_texts = [
-                text for (_, kind, text, _, _, _, sp, bb) in kept
-                if kind == spec.KIND_TEXT and sp == page
-                and spec.caption_near(bb, r["bbox"])
-            ]
-            cap_score = spec.caption_evidence(near_texts)
-            rkind, _ = spec.classify_region(grid, cap_score)
-            out_regions.append((rkind, spec.region_span_text(rkind, grid),
-                                spec.region_media_ref(doc_id, page, ridx),
-                                r["offset"]))
-            kept_region_bboxes.setdefault(page, []).append(r["bbox"])
+            for part in spec.emit_region_spans(
+                    doc_id, page, ridx, r["bbox"],
+                    [(ln["x0"], ln["y0"], ln["x1"], ln["y1"])
+                     for ln in r["lines"]],
+                    r["offset"], near_texts):
+                out_regions.append((part["kind"], part["text"],
+                                    part["media_ref"], part["offset"]))
+                kept_region_bboxes.setdefault(page, []).append(part["bbox"])
 
     # 3 + 5. span kinds
     out = []

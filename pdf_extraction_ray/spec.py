@@ -250,6 +250,65 @@ def classify_region(grid: dict, caption_score: float) -> tuple[str, float]:
     return kind, score
 
 
+# Large-region splitter (V4/V8 in SURVEY.md §2.3, advanced_layout_
+# extractor.py:693-749, 1036-1071 — re-specified with ONE bbox convention):
+SPLIT_MIN_W_FRAC = 0.6      # region wider than 60% of the page
+SPLIT_MIN_H_FRAC = 0.3      # and taller than 30%
+SPLIT_BAND_FRAC = 0.25      # split line must sit within +-25% of center
+SPLIT_MIN_LINE_FRAC = 0.8   # and span >= 80% of the region height
+SPLIT_MIN_SIDE = 0.05       # both halves >= 5% of the page wide
+
+
+def maybe_split_region(bbox: Sequence[float],
+                       lines: Sequence[tuple[float, float, float, float]]):
+    """Split an oversized region at its strongest central vertical line.
+    Returns (left_bbox, right_bbox, split_x) or None. The splitting line
+    belongs to BOTH halves (closed-interval membership)."""
+    x0, y0, x1, y1 = bbox
+    w, h = x1 - x0, y1 - y0
+    if not (w > SPLIT_MIN_W_FRAC and h > SPLIT_MIN_H_FRAC):
+        return None
+    cx = (x0 + x1) / 2.0
+    band = SPLIT_BAND_FRAC * w
+    best = None
+    for (lx0, ly0, lx1, ly1) in lines:
+        if line_orientation(lx0, ly0, lx1, ly1) != "vertical":
+            continue
+        lx = (lx0 + lx1) / 2.0
+        if abs(lx - cx) <= band and abs(ly1 - ly0) >= SPLIT_MIN_LINE_FRAC * h:
+            d = abs(lx - cx)
+            if best is None or d < best[0]:
+                best = (d, lx)
+    if best is None:
+        return None
+    sx = best[1]
+    if sx - x0 < SPLIT_MIN_SIDE or x1 - sx < SPLIT_MIN_SIDE:
+        return None
+    return (x0, y0, sx, y1), (sx, y0, x1, y1), sx
+
+
+def lines_in_bbox(lines: Sequence[tuple[float, float, float, float]],
+                  bbox: Sequence[float]) -> list[tuple[float, float, float, float]]:
+    """Lines whose bounding box intersects ``bbox`` (closed intervals, so a
+    boundary line belongs to both halves of a split) —
+    pdf_vector_utils.py:127-136 predicate."""
+    x0, y0, x1, y1 = bbox
+    out = []
+    for (lx0, ly0, lx1, ly1) in lines:
+        if (min(lx0, lx1) <= x1 and max(lx0, lx1) >= x0
+                and min(ly0, ly1) <= y1 and max(ly0, ly1) >= y0):
+            out.append((lx0, ly0, lx1, ly1))
+    return out
+
+
+# a split region's right half sits at this offset delta after the left
+SPLIT_RIGHT_OFFSET_DELTA = 5
+
+
+def region_sub_refs(base_ref: str) -> tuple[str, str]:
+    return base_ref + "/L", base_ref + "/R"
+
+
 def region_span_text(kind: str, grid: dict) -> str:
     """Deterministic text payload for a synthesized region span."""
     if kind == OUT_TABLE:
@@ -259,6 +318,35 @@ def region_span_text(kind: str, grid: dict) -> str:
 
 def region_media_ref(doc_id: str, page: int, region_idx: int) -> str:
     return f"vector://{doc_id}/p{page}/r{region_idx}"
+
+
+def emit_region_spans(doc_id: str, page: int, ridx: int,
+                      bbox: Sequence[float],
+                      lines: Sequence[tuple[float, float, float, float]],
+                      offset: int, near_texts) -> list[dict]:
+    """Shared region kernel (golden extractor AND pipeline call this):
+    split-aware emission of classified table/figure spans for ONE kept
+    candidate region. ``near_texts(part_bbox) -> list[str]`` supplies the
+    caption-proximate span texts for each (possibly split) part. Each
+    returned dict carries its part bbox under "bbox" (caller strips it
+    before output)."""
+    split = maybe_split_region(bbox, lines)
+    base_ref = region_media_ref(doc_id, page, ridx)
+    if split is None:
+        parts = [(tuple(bbox), list(lines), base_ref, offset)]
+    else:
+        lb, rb, _sx = split
+        ref_l, ref_r = region_sub_refs(base_ref)
+        parts = [(lb, lines_in_bbox(lines, lb), ref_l, offset),
+                 (rb, lines_in_bbox(lines, rb), ref_r,
+                  offset + SPLIT_RIGHT_OFFSET_DELTA)]
+    out = []
+    for (bb, ls, ref, off) in parts:
+        grid = analyze_grid(ls)
+        kind, _ = classify_region(grid, caption_evidence(near_texts(bb)))
+        out.append({"kind": kind, "text": region_span_text(kind, grid),
+                    "media_ref": ref, "offset": off, "bbox": bb})
+    return out
 
 
 def classify_text_kind(text: str, font_size: float, page_median: float) -> str:

@@ -102,40 +102,44 @@ class LayoutParser:
                 pidx = np.nonzero(kept_text & (pg == page))[0]
                 pbb = bbox_flat[lo + pidx] if len(pidx) else np.zeros((0, 4))
                 near_any = np.zeros(len(pidx), dtype=bool)
-                near_texts_cache: dict[int, list[str]] = {}
+
+                def near_mask(part_bbox):
+                    # exact caption_near semantics, broadcast: horizontal
+                    # overlap > 0 AND (within margin above / within margin
+                    # below / vertical overlap)
+                    rx0, ry0, rx1, ry1 = part_bbox
+                    if not len(pidx):
+                        return near_any
+                    ov = (np.minimum(pbb[:, 2], rx1)
+                          - np.maximum(pbb[:, 0], rx0)) > 0.0
+                    above = pbb[:, 3] <= ry0
+                    below = pbb[:, 1] >= ry1
+                    return ov & (
+                        (above & ((ry0 - pbb[:, 3]) <= spec.CAPTION_MARGIN))
+                        | (~above & below
+                           & ((pbb[:, 1] - ry1) <= spec.CAPTION_MARGIN))
+                        | (~above & ~below))
+
+                def near_texts(part_bbox):
+                    nonlocal near_any
+                    near = near_mask(part_bbox)
+                    near_any = near_any | near
+                    return [text_list[j] for j in lo + pidx[near]] \
+                        if near.any() else []
+
                 for ridx in kept_idx:
                     r = cands[ridx]
-                    grid = spec.analyze_grid(
+                    parts = spec.emit_region_spans(
+                        doc_ids[d], page, ridx, r["bbox"],
                         [(ln["x0"], ln["y0"], ln["x1"], ln["y1"])
-                         for ln in r["lines"]])
-                    rx0, ry0, rx1, ry1 = r["bbox"]
-                    if len(pidx):
-                        # exact caption_near semantics, broadcast:
-                        # horizontal overlap > 0 AND (within margin above /
-                        # within margin below / vertical overlap)
-                        ov = (np.minimum(pbb[:, 2], rx1)
-                              - np.maximum(pbb[:, 0], rx0)) > 0.0
-                        above = pbb[:, 3] <= ry0
-                        below = pbb[:, 1] >= ry1
-                        near = ov & (
-                            (above & ((ry0 - pbb[:, 3]) <= spec.CAPTION_MARGIN))
-                            | (~above & below
-                               & ((pbb[:, 1] - ry1) <= spec.CAPTION_MARGIN))
-                            | (~above & ~below))
-                    else:
-                        near = near_any
-                    cap = spec.caption_evidence(
-                        [text_list[j] for j in lo + pidx[near]]
-                        if near.any() else [])
-                    rkind, _ = spec.classify_region(grid, cap)
-                    region_rows.append({
-                        "kind": rkind,
-                        "text": spec.region_span_text(rkind, grid),
-                        "media_ref": spec.region_media_ref(doc_ids[d], page, ridx),
-                        "offset": r["offset"],
-                    })
-                    region_counts[d] += 1
-                    near_any |= near
+                         for ln in r["lines"]],
+                        r["offset"], near_texts)
+                    for part in parts:
+                        region_rows.append({
+                            "kind": part["kind"], "text": part["text"],
+                            "media_ref": part["media_ref"],
+                            "offset": part["offset"]})
+                    region_counts[d] += len(parts)
                 for j in lo + pidx[near_any]:
                     if self.caption_any.search(text_list[j]):
                         caption_idx.append(int(j))

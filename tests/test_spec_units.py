@@ -153,3 +153,50 @@ class TestStubOcr:
         assert a == spec.stub_ocr("media://doc-1/1-0")
         assert a != spec.stub_ocr("media://doc-1/1-1")
         assert a.startswith("ocr[")
+
+
+class TestRegionSplitter:
+    def _lines(self, bbox, n_rows, n_cols):
+        return grid_lines(bbox, n_rows, n_cols)
+
+    def test_oversized_region_splits_at_center(self):
+        bbox = (0.1, 0.5, 0.9, 0.85)
+        lines = self._lines(bbox, 4, 2)     # center vertical at x=0.5
+        got = spec.maybe_split_region(bbox, lines)
+        assert got is not None
+        left, right, sx = got
+        assert abs(sx - 0.5) < 1e-9
+        assert left == (0.1, 0.5, 0.5, 0.85)
+        assert right == (0.5, 0.5, 0.9, 0.85)
+
+    def test_small_region_never_splits(self):
+        bbox = (0.15, 0.55, 0.85, 0.8)      # h = 0.25 < 0.3
+        assert spec.maybe_split_region(bbox, self._lines(bbox, 4, 2)) is None
+
+    def test_no_central_line_no_split(self):
+        bbox = (0.1, 0.5, 0.9, 0.85)
+        lines = self._lines(bbox, 4, 1)     # verticals only at edges
+        assert spec.maybe_split_region(bbox, lines) is None
+
+    def test_shared_line_belongs_to_both_halves(self):
+        bbox = (0.1, 0.5, 0.9, 0.85)
+        lines = self._lines(bbox, 4, 2)
+        left, right, sx = spec.maybe_split_region(bbox, lines)
+        in_left = spec.lines_in_bbox(lines, left)
+        in_right = spec.lines_in_bbox(lines, right)
+        center = [(x0, y0, x1, y1) for (x0, y0, x1, y1) in lines
+                  if abs(x0 - 0.5) < 1e-9 and abs(x1 - 0.5) < 1e-9]
+        assert center and all(c in in_left and c in in_right for c in center)
+
+    def test_emit_region_spans_split_offsets_and_refs(self):
+        bbox = (0.1, 0.5, 0.9, 0.85)
+        lines = self._lines(bbox, 4, 4)
+        parts = spec.emit_region_spans("d", 1, 0, bbox, lines, 900,
+                                       lambda bb: [])
+        assert len(parts) == 2
+        assert parts[0]["offset"] == 900
+        assert parts[1]["offset"] == 900 + spec.SPLIT_RIGHT_OFFSET_DELTA
+        assert parts[0]["media_ref"].endswith("/L")
+        assert parts[1]["media_ref"].endswith("/R")
+        # each half keeps a table-grade grid (rows span both halves)
+        assert all(p["kind"] in ("table", "figure") for p in parts)
