@@ -84,6 +84,25 @@ def spatial_relations(sf_dir: str):
              .map_batches(spatial_relations_batch, batch_format="pyarrow")
 
 
+def visual_docs(sf_dir: str):
+    """M21 visual-analysis doc builder: page analyses with has_visuals ->
+    retrieval documents with metadata (complete_multimodal_rag_
+    evaluation.py:156-176 analog)."""
+    import pyarrow.compute as pc
+    ds = analysis_pipeline(read_docs(_corpus_for(sf_dir)))
+
+    def build(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["has_visuals"], True))
+        n = len(t)
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["analysis_md"],
+             pa.array(["visual_analysis"] * n, type=pa.string()),
+             pa.array([True] * n, type=pa.bool_())],
+            names=["doc_id", "page_content", "type", "has_visuals"])
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
 def xycut_reading_order(sf_dir: str):
     """XY-cut reading order per (doc, page) over kept spans: one row per
     span with its whitespace-cut rank (rows-only; the ordering itself is
@@ -138,4 +157,5 @@ ANALYSIS_QUERIES: dict[str, tuple] = {
     "vlm_content_totals": (vlm_content_totals, None),
     "spatial_relations": (spatial_relations, None),
     "xycut_reading_order": (xycut_reading_order, None),
+    "visual_docs": (visual_docs, None),
 }

@@ -301,6 +301,32 @@ def lines_in_bbox(lines: Sequence[tuple[float, float, float, float]],
     return out
 
 
+SNAP_TOL = 0.01      # bbox-edge snap distance (pdf_vector_utils.py:220-248
+                     # uses 5pt on ~500pt pages ~= 1% normalized)
+
+
+def snap_bbox_to_lines(bbox: Sequence[float],
+                       lines: Sequence[tuple[float, float, float, float]],
+                       tol: float = SNAP_TOL) -> tuple[float, float, float, float]:
+    """Snap bbox edges to nearby vector-line coordinates (M26 in SURVEY.md
+    §2.2): each edge moves to the closest h/v line position within ``tol``.
+    Diagnostic/refinement utility — not part of the golden span contract."""
+    xs, ys = [], []
+    for (x0, y0, x1, y1) in lines:
+        o = line_orientation(x0, y0, x1, y1)
+        if o == "vertical":
+            xs.append((x0 + x1) / 2.0)
+        elif o == "horizontal":
+            ys.append((y0 + y1) / 2.0)
+
+    def snap(v: float, cands: list[float]) -> float:
+        best = min(cands, key=lambda c: abs(c - v), default=None)
+        return best if best is not None and abs(best - v) <= tol else v
+
+    bx0, by0, bx1, by1 = bbox
+    return (snap(bx0, xs), snap(by0, ys), snap(bx1, xs), snap(by1, ys))
+
+
 # a split region's right half sits at this offset delta after the left
 SPLIT_RIGHT_OFFSET_DELTA = 5
 

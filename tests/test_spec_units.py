@@ -200,3 +200,18 @@ class TestRegionSplitter:
         assert parts[1]["media_ref"].endswith("/R")
         # each half keeps a table-grade grid (rows span both halves)
         assert all(p["kind"] in ("table", "figure") for p in parts)
+
+
+class TestBboxSnap:
+    def test_snaps_within_tolerance(self):
+        lines = [(0.2, 0.1, 0.2, 0.9),      # vertical at x=0.2
+                 (0.1, 0.5, 0.9, 0.5)]      # horizontal at y=0.5
+        got = spec.snap_bbox_to_lines((0.205, 0.495, 0.7, 0.8), lines)
+        assert abs(got[0] - 0.2) < 1e-12
+        assert abs(got[1] - 0.5) < 1e-12
+        assert got[2] == 0.7 and got[3] == 0.8   # nothing nearby -> unchanged
+
+    def test_beyond_tolerance_unchanged(self):
+        lines = [(0.2, 0.1, 0.2, 0.9)]
+        got = spec.snap_bbox_to_lines((0.25, 0.1, 0.7, 0.8), lines)
+        assert got[0] == 0.25
