@@ -44,6 +44,12 @@ def dedup_minhash_lsh(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .set_index("doc_id")["text"].to_dict())
 
+    N_COARSE = 256      # coarse shuffle partitions: the exchange key is
+                        # band_hash % N_COARSE (constant group count at any
+                        # scale); exact (band_id, band_hash) grouping runs
+                        # as a pandas groupby INSIDE each partition — tiny
+                        # Ray groups are pure scheduler overhead otherwise
+
     def bands(batch: pa.Table) -> pa.Table:
         text = batch["text"].combine_chunks() \
             if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
@@ -52,21 +58,26 @@ def dedup_minhash_lsh(sf_dir: str):
         n = len(batch)
         doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), H.N_BANDS)
         band_id = np.tile(np.arange(H.N_BANDS, dtype=np.int64), n)
+        bh_flat = bh.reshape(-1)
         return pa.Table.from_arrays(
-            [pa.array(band_id), pa.array(bh.reshape(-1).view(np.int64)),
+            [pa.array(band_id), pa.array(bh_flat.view(np.int64)),
+             pa.array((bh_flat % np.uint64(N_COARSE)).astype(np.int64)),
              pa.array(doc)],
-            names=["band_id", "band_hash", "doc_id"])
+            names=["band_id", "band_hash", "coarse", "doc_id"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+        out_a, out_b = [], []
+        for (_, _), grp in g.groupby(["band_id", "band_hash"]):
+            ids = sorted(grp["doc_id"].unique())
+            for i, x in enumerate(ids):
+                for y in ids[i + 1:]:
+                    out_a.append(x)
+                    out_b.append(y)
+        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
     cand = (_docs(sf_dir)
             .map_batches(bands, batch_format="pyarrow")
-            .groupby(["band_id", "band_hash"])
+            .groupby("coarse")
             .map_groups(pairs, batch_format="pandas"))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -83,41 +94,51 @@ def dedup_minhash_lsh(sf_dir: str):
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_x1e6"]) \
             .astype("int64")
 
-    # drop_duplicates: a pair can surface from several bands
-    verified = cand.map_batches(verify, batch_format="pandas")
-    return (verified.groupby(["doc_a", "doc_b"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas")
-            .sort(["doc_a", "doc_b"]))
+    # a pair can surface from several bands; the VERIFIED pair set is a
+    # small result (near-dup density is low by definition), so the final
+    # dedup/sort runs driver-side instead of paying another shuffle
+    verified = cand.map_batches(verify, batch_format="pandas").to_pandas()
+    if len(verified) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard_x1e6": pd.Series([], dtype="int64")})
+    return (verified.drop_duplicates(["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
 def dedup_simhash(sf_dir: str):
     """SimHash near-dup: 64-bit signatures, bucketed by the top 16 bits,
     pairwise Hamming <= 3 within buckets. Output: (doc_a, doc_b, hamming)."""
+    N_COARSE = 64       # same coarse-shuffle trick as MinHash-LSH
+
     def sigs(batch: pa.Table) -> pa.Table:
         text = batch["text"].combine_chunks() \
             if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
         s = H.simhash(text)
         bucket = (s >> np.uint64(48)).astype(np.int64)
         return pa.Table.from_arrays(
-            [batch["doc_id"], pa.array(s.view(np.int64)), pa.array(bucket)],
-            names=["doc_id", "simhash", "bucket"])
+            [batch["doc_id"], pa.array(s.view(np.int64)), pa.array(bucket),
+             pa.array(bucket % N_COARSE)],
+            names=["doc_id", "simhash", "bucket", "coarse"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy().view(np.uint64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        for i in range(len(ids)):
-            d = H.hamming_distance(np.full(len(ids) - i - 1, sh[i]), sh[i + 1:])
-            for j, dist in zip(range(i + 1, len(ids)), d):
-                if dist <= SIMHASH_MAX_HAMMING:
-                    rows.append((int(ids[i]), int(ids[j]), int(dist)))
+        for _, grp in g.groupby("bucket"):
+            ids = grp["doc_id"].to_numpy()
+            sh = grp["simhash"].to_numpy().view(np.uint64)
+            order = np.argsort(ids)
+            ids, sh = ids[order], sh[order]
+            for i in range(len(ids)):
+                d = H.hamming_distance(np.full(len(ids) - i - 1, sh[i]),
+                                       sh[i + 1:])
+                for j, dist in zip(range(i + 1, len(ids)), d):
+                    if dist <= SIMHASH_MAX_HAMMING:
+                        rows.append((int(ids[i]), int(ids[j]), int(dist)))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]) \
             .astype("int64")
 
     return (_docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
-            .groupby("bucket")
+            .groupby("coarse")
             .map_groups(pairs, batch_format="pandas")
             .sort(["doc_a", "doc_b"]))
 

@@ -71,11 +71,15 @@ class TestSimHash:
         assert H.hamming_distance(np.array([s[0]]), np.array([s[1]]))[0] <= 8
 
 
+def _df(res):
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_minhash_lsh_pipeline_finds_planted_dups(tmp_path):
     from pdf_extraction_ray.pipelines.dedup import dedup_minhash_lsh
     d = make_docs_parquet(tmp_path)
-    pairs = dedup_minhash_lsh(d).to_pandas()
+    pairs = _df(dedup_minhash_lsh(d))
     found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
     assert (0, 40) in found          # exact dup
     assert (1, 41) in found          # near dup
@@ -87,7 +91,7 @@ def test_minhash_lsh_pipeline_finds_planted_dups(tmp_path):
 def test_simhash_pipeline_finds_planted_dups(tmp_path):
     from pdf_extraction_ray.pipelines.dedup import dedup_simhash
     d = make_docs_parquet(tmp_path)
-    pairs = dedup_simhash(d).to_pandas()
+    pairs = _df(dedup_simhash(d))
     found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
     assert (0, 40) in found
     zero = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 40)]
