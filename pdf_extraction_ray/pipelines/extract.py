@@ -97,3 +97,58 @@ def run_extract(input_path: str, output_path: str | None = None,
     if output_path is not None:
         out.write_parquet(output_path)
     return out
+
+
+def safe_extract_pipeline(ds: Dataset, *, batch_size: int = 256,
+                          kernel=None) -> Dataset:
+    """Error-as-data variant of the streaming path (SURVEY.md §4: one
+    poisoned document must never fail the job — the reference's
+    per-page failure counters generalized,
+    gpt4_comprehensive_visual_processor.py:411-421).
+
+    Each batch runs the fused kernel; on failure it falls back to
+    per-document execution and emits error rows (empty spans +
+    status/error columns) for exactly the documents that fail. Output =
+    OUT_SCHEMA + (status: string, error: string).
+
+    ``kernel`` (a DOCS_SCHEMA table -> OUT_SCHEMA table callable)
+    defaults to the real three-stage chain; tests inject failing kernels.
+    """
+    import pyarrow as pa
+
+    from ..schema import SPAN_STRUCT
+    from ..stages.layout import layout_parse
+
+    if kernel is None:
+        def kernel(t: pa.Table) -> pa.Table:
+            return reassemble_spans(layout_parse(classify_spans(t)))
+
+    def _finish(out: pa.Table, status: list[str], errors: list[str]) -> pa.Table:
+        return (out.append_column("status", pa.array(status, type=pa.string()))
+                   .append_column("error", pa.array(errors, type=pa.string())))
+
+    def safe(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        try:
+            out = kernel(batch)
+            return _finish(out, ["ok"] * len(out), [""] * len(out))
+        except Exception:
+            pass
+        # isolate: one doc at a time; failures become rows, not raises
+        parts, status, errors = [], [], []
+        for i in range(len(batch)):
+            row = batch.slice(i, 1)
+            try:
+                parts.append(kernel(row))
+                status.append("ok")
+                errors.append("")
+            except Exception as e:          # error-as-data
+                parts.append(pa.Table.from_arrays(
+                    [row.column("doc_id"),
+                     pa.array([[]], type=pa.list_(SPAN_STRUCT))],
+                    names=["doc_id", "spans"]))
+                status.append("error")
+                errors.append(repr(e)[:500])
+        return _finish(pa.concat_tables(parts), status, errors)
+
+    return ds.map_batches(safe, batch_format="pyarrow", batch_size=batch_size)
