@@ -41,6 +41,14 @@ def _cents(col, scale: float = 100.0):
     return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))), pa.int64())
 
 
+def _from_pandas(df) -> pa.Table:
+    """from_pandas with pandas schema metadata stripped — leftover metadata
+    defeats Ray's block-schema deduplication during shuffles (visible as
+    'Failed to hash the schemas' warnings and slower exchanges)."""
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
 # ---------------------------------------------------------------------------
 # Q1 — pricing summary (grouped aggregate with partial pre-aggregation)
 # ---------------------------------------------------------------------------
@@ -75,7 +83,7 @@ def q1_pricing_summary(sf_dir: str):
                     sum_disc_x1e4=("sum_disc_x1e4", "sum"),
                     sum_charge_x1e6=("sum_charge_x1e6", "sum"),
                     count_order=("sum_qty_x100", "size")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["l_returnflag", "l_linestatus"])
@@ -127,25 +135,29 @@ def q3_top_orders(sf_dir: str):
     orders = pd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey", "o_orderdate"])
     orders = orders[orders.o_custkey.isin(custkeys)]
+    okeys_ref = ray.put(np.sort(orders.o_orderkey.to_numpy()))
     omap_ref = ray.put(dict(zip(orders.o_orderkey, orders.o_orderdate)))
 
     ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        omap = ray.get(omap_ref)
-        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        mask = np.isin(keys, np.fromiter(omap.keys(), dtype=np.int64,
-                                         count=len(omap)))
+        keys = ray.get(okeys_ref)                # broadcast sorted key set
+        lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lk)
+        mask = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == lk)
         t = batch.filter(pa.array(mask))
         rev = _cents(pc.multiply(t["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), t["l_discount"])), 1e4)
         df = pd.DataFrame({"o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
                            "revenue_x1e4": rev.to_numpy(zero_copy_only=False)})
         g = df.groupby("o_orderkey", as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
+    # partials are small; coalesce before the high-cardinality groupby so
+    # the sort-based shuffle runs over a few blocks, not 64 tiny ones
     agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .repartition(16)
              .groupby("o_orderkey")
              .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4")))
 
@@ -280,7 +292,7 @@ def orders_monthly(sf_dir: str):
         g = (df.groupby("month", as_index=False)
                .agg(total_x100=("total_x100", "sum"),
                     n_orders=("total_x100", "size")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("month")
@@ -355,7 +367,7 @@ def events_hourly(sf_dir: str):
         g = (df.groupby(["hour", "event_type"], as_index=False)
                .agg(value_x1e6=("value_x1e6", "sum"),
                     n_events=("value_x1e6", "size")))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _from_pandas(g)
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["hour", "event_type"])
