@@ -544,6 +544,67 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-group top-k (window rank): each customer's highest-value order
+# ---------------------------------------------------------------------------
+
+def top_order_per_customer(sf_dir: str):
+    """Grouped top-1 (ROW_NUMBER window analog): groupby shuffle on the
+    key, per-group sort + head inside ``map_groups``."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(total_x100=(g["o_totalprice"] * 100).round().astype("int64"))
+        g = g.sort_values(["total_x100", "o_orderkey"],
+                          ascending=[False, True]).head(1)
+        return g[["o_custkey", "o_orderkey", "total_x100"]].astype("int64")
+
+    return ds.groupby("o_custkey").map_groups(top1, batch_format="pandas") \
+             .sort("o_custkey")
+
+
+TOP_ORDER_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS total_x100
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_custkey
+          ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT) DESC,
+                   o_orderkey) AS rn
+      FROM orders)
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct count (HyperLogLog, mergeable custom aggregate)
+# ---------------------------------------------------------------------------
+
+def approx_distinct_users(sf_dir: str):
+    """HLL(p=12) count-distinct over events.user_id: one 4 KiB sketch per
+    batch flows to the driver-side merge instead of shuffling every key
+    (rows-only check; tests bound the error vs the exact count at <2%)."""
+    from ..functions import sketch as S
+    from ..functions.hashing import hash_strings
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = S.hll_create()
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        S.hll_add_hashes(reg, hash_strings(ids.astype(str)))
+        return pa.Table.from_arrays(
+            [pa.array([reg.tobytes()], type=pa.binary())], names=["sketch"])
+
+    merged = S.hll_create()
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for sk in b["sketch"].to_pylist():
+            merged = S.hll_merge(merged, np.frombuffer(sk, dtype=np.uint8))
+    return pd.DataFrame({"approx_distinct_users": [S.hll_count(merged)]})
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -557,4 +618,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
+    "top_order_per_customer": (top_order_per_customer, TOP_ORDER_SQL),
+    "approx_distinct_users": (approx_distinct_users, None),
 }
