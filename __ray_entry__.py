@@ -88,11 +88,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extraction_ray.pipelines.retrieval import RETRIEVAL_QUERIES
     from pdf_extraction_ray.pipelines.media import MEDIA_QUERIES
     from pdf_extraction_ray.pipelines.compare import COMPARE_QUERIES
+    from pdf_extraction_ray.pipelines.streaming import STREAMING_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
     for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES,
                 SIMILARITY_QUERIES, ANALYSIS_QUERIES, RETRIEVAL_QUERIES,
-                MEDIA_QUERIES, COMPARE_QUERIES):
+                MEDIA_QUERIES, COMPARE_QUERIES, STREAMING_QUERIES):
         for name, (fn, _sql) in reg.items():
             out[name] = fn
     out["extract_flagship_spans"] = _extract_spans_query
@@ -104,10 +105,11 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_ray.pipelines.textops import TEXT_QUERIES
     from pdf_extraction_ray.pipelines.dedup import DEDUP_QUERIES
     from pdf_extraction_ray.pipelines.similarity import SIMILARITY_QUERIES
+    from pdf_extraction_ray.pipelines.streaming import STREAMING_QUERIES
 
     out: dict[str, str] = {}
     for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES,
-                SIMILARITY_QUERIES):
+                SIMILARITY_QUERIES, STREAMING_QUERIES):
         for name, (_fn, sql) in reg.items():
             if sql is not None:
                 out[name] = sql
