@@ -237,9 +237,14 @@ def generate_docs_table(seed: int, start: int, count: int,
     return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
 
 
+# bump when generator output changes: stale /tmp corpus caches from an
+# older generator would otherwise poison golden-equality runs
+GENERATOR_VERSION = 2
+
+
 def corpus_path(name: str, seed: int, n_docs: int,
                 root: str = "/tmp/pdfxr_fixtures") -> str:
-    return os.path.join(root, f"{name}-s{seed}-n{n_docs}")
+    return os.path.join(root, f"{name}-v{GENERATOR_VERSION}-s{seed}-n{n_docs}")
 
 
 def _write_shard(path: str, seed: int, start: int, count: int,

@@ -545,6 +545,53 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# Native distributed hash join (both-sides-large tier)
+# ---------------------------------------------------------------------------
+
+def segment_order_revenue_native_join(sf_dir: str):
+    """Revenue by market segment via ``Dataset.join`` — the hash-partitioned
+    both-sides-large join tier (broadcast is the small-side default
+    elsewhere; this exercises the native exchange both sides pay)."""
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def scale(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["o_custkey"], _cents(batch["o_totalprice"])],
+            names=["o_custkey", "total_x100"])
+
+    customer = rd.read_parquet(_pq(sf_dir, "customer"),
+                               columns=["c_custkey", "c_mktsegment"])
+    joined = orders.map_batches(scale, batch_format="pyarrow").join(
+        customer, join_type="inner", num_partitions=16,
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_mktsegment": batch["c_mktsegment"].to_pandas(),
+            "total_x100": batch["total_x100"].to_pandas()})
+        g = (df.groupby("c_mktsegment", as_index=False)
+               .agg(total_x100=("total_x100", "sum"),
+                    n_orders=("total_x100", "size")))
+        return _from_pandas(g)
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(Sum("total_x100", alias_name="total_x100"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .sort("c_mktsegment"))
+
+
+NATIVE_JOIN_SQL = """
+SELECT c_mktsegment,
+       SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS total_x100,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-group top-k (window rank): each customer's highest-value order
 # ---------------------------------------------------------------------------
 
@@ -620,4 +667,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
     "top_order_per_customer": (top_order_per_customer, TOP_ORDER_SQL),
     "approx_distinct_users": (approx_distinct_users, None),
+    "segment_order_revenue_native_join":
+        (segment_order_revenue_native_join, NATIVE_JOIN_SQL),
 }
