@@ -177,8 +177,59 @@ def dedup_embedding_cosine(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow").sort(["vec_a", "vec_b"])
 
 
+NGRAM_JACCARD_THRESHOLD = 0.5
+
+
+def dedup_fingerprint_jaccard(sf_dir: str):
+    """N-gram Jaccard dedup with winnowing-fingerprint blocking: docs
+    sharing a rolling-hash fingerprint (functions.hashing.rolling_
+    fingerprint) become candidates; candidates verify by word-3-gram
+    Jaccard >= 0.5. A different recall/cost point than MinHash-LSH
+    (single int64 blocking key -> one cheap exchange; misses dups whose
+    minimal window changed). Output: (doc_a, doc_b, jaccard_x1e6)."""
+    texts_ref = ray.put(pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .set_index("doc_id")["text"].to_dict())
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        fp = H.rolling_fingerprint(text).view(np.int64)
+        return pa.Table.from_arrays([pa.array(fp), batch["doc_id"]],
+                                    names=["fingerprint", "doc_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(texts_ref)
+        out = []
+        for _, grp in g.groupby("fingerprint"):
+            ids = sorted(grp["doc_id"].unique())
+            for i, a in enumerate(ids):
+                ng_a = H.word_ngrams(texts[a])
+                for b in ids[i + 1:]:
+                    j = H.jaccard(ng_a, H.word_ngrams(texts[b]))
+                    if j >= NGRAM_JACCARD_THRESHOLD:
+                        out.append((int(a), int(b), int(j * 1e6)))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_x1e6"]) \
+            .astype("int64")
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        c = (batch["fingerprint"].to_numpy(zero_copy_only=False)
+             .view(np.uint64) % np.uint64(64)).astype(np.int64)
+        return batch.append_column("coarse", pa.array(c))
+
+    return (keyed_ds.map_batches(coarse, batch_format="pyarrow")
+            .groupby("coarse")
+            .map_groups(pairs, batch_format="pandas")
+            .sort(["doc_a", "doc_b"]))
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding_cosine": (dedup_embedding_cosine, None),
+    "dedup_fingerprint_jaccard": (dedup_fingerprint_jaccard, None),
 }

@@ -99,6 +99,15 @@ def test_simhash_pipeline_finds_planted_dups(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_fingerprint_jaccard_finds_exact_dup(tmp_path):
+    from pdf_extraction_ray.pipelines.dedup import dedup_fingerprint_jaccard
+    d = make_docs_parquet(tmp_path)
+    pairs = _df(dedup_fingerprint_jaccard(d))
+    found = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 40) in found          # exact dup always shares its fingerprint
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_exact_dedup_groups_planted(tmp_path):
     from pdf_extraction_ray.pipelines.textops import doc_dedup_exact
     d = make_docs_parquet(tmp_path)
