@@ -22,6 +22,10 @@ from .arrow_utils import as_array
 
 TOKEN_SPLIT_RE = r"\s+"
 PUNCT_RE = r"[.,;:!?]"
+# BPE-ish tokenizer (GPT-2-style pattern, RE2-compatible so Arrow and
+# DuckDB count identically): contractions | letter runs | digit runs |
+# punctuation runs
+BPE_TOKEN_RE = r"'[a-z]+|\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
 
 # Stopword profiles for the language-ID heuristic. Deterministic cascade:
 # first language (in LANG_ORDER) whose hit-count is maximal and >= 2 wins,
@@ -54,6 +58,8 @@ def token_stats(text: pa.Array) -> dict[str, pa.Array]:
     return {
         "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
         "n_tokens": n_tokens,
+        "n_tokens_bpe": pc.cast(
+            pc.count_substring_regex(text, BPE_TOKEN_RE), pa.int64()),
         "token_chars": pa.array(tok_chars, type=pa.int64()),
         "punct_cnt": pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.int64()),
     }

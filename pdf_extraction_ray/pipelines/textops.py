@@ -39,15 +39,19 @@ def doc_token_stats(sf_dir: str):
                               else batch["text"])
         return pa.Table.from_arrays(
             [batch["doc_id"], stats["n_chars"], stats["n_tokens"],
-             stats["token_chars"], stats["punct_cnt"]],
-            names=["doc_id", "n_chars", "n_tokens", "token_chars", "punct_cnt"])
+             stats["n_tokens_bpe"], stats["token_chars"], stats["punct_cnt"]],
+            names=["doc_id", "n_chars", "n_tokens", "n_tokens_bpe",
+                   "token_chars", "punct_cnt"])
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+# the BPE-ish pattern is RE2 in both engines (Arrow count_substring_regex
+# and DuckDB regexp_extract_all), so counts match exactly
 TOKEN_STATS_SQL = r"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, $$'[a-z]+|\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+$$)) AS BIGINT) AS n_tokens_bpe,
        CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\s+'),
                                           x -> length(x)), 'sum') AS BIGINT) AS token_chars,
        CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt
