@@ -16,67 +16,49 @@ from collections.abc import Callable
 from typing import Any
 
 
-def entry() -> Any:
-    """Flagship pipeline over /root/testdata/sf0.001: adapt the plain-text
-    ``documents`` table into interleaved (doc_id, spans) rows, run the
-    3-stage extraction pipeline (tokenize -> layout actor pool ->
-    reassemble), and return the flattened span table."""
+def _explode_spans(batch, columns=("kind", "text", "media_ref", "offset")):
+    """OUT_SCHEMA batch -> one row per span (shared by entry() and the
+    extraction queries)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    doc_id = pc.take(batch.column("doc_id"), pc.list_parent_indices(spans))
+    if isinstance(doc_id, pa.ChunkedArray):
+        doc_id = doc_id.combine_chunks()
+    return pa.Table.from_arrays(
+        [doc_id] + [pc.struct_field(flat, c) for c in columns],
+        names=["doc_id", *columns])
+
+
+def entry() -> Any:
+    """Flagship pipeline over /root/testdata/sf0.001: adapt the plain-text
+    ``documents`` table into interleaved (doc_id, spans) rows, run the
+    3-stage extraction pipeline (tokenize -> layout -> reassemble), and
+    return the flattened span table."""
     from pdf_extraction_ray.sources import dataset_from_text_table
     from pdf_extraction_ray.pipelines import extract_pipeline
 
     ds = dataset_from_text_table("/root/testdata/sf0.001/documents.parquet")
-    out = extract_pipeline(ds)
-
-    def explode(batch: pa.Table) -> pa.Table:
-        spans = batch.column("spans")
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.combine_chunks()
-        flat = pc.list_flatten(spans)
-        parent = pc.list_parent_indices(spans)
-        doc_id = pc.take(batch.column("doc_id"), parent)
-        return pa.Table.from_arrays(
-            [doc_id if not isinstance(doc_id, pa.ChunkedArray) else doc_id.combine_chunks(),
-             pc.struct_field(flat, "kind"),
-             pc.struct_field(flat, "text"),
-             pc.struct_field(flat, "media_ref"),
-             pc.struct_field(flat, "offset")],
-            names=["doc_id", "kind", "text", "media_ref", "offset"])
-
-    return out.map_batches(explode, batch_format="pyarrow")
+    return extract_pipeline(ds).map_batches(_explode_spans,
+                                            batch_format="pyarrow")
 
 
 def _extract_spans_query(sf_dir: str):
     """Flagship extraction over the deterministic synthetic interleaved
     corpus (scaled by sf tier), flattened to one row per span."""
-    from pdf_extraction_ray.fixtures import ensure_corpus
+    from functools import partial
+
+    from pdf_extraction_ray.pipelines.analysis import _corpus_for
     from pdf_extraction_ray.sources import read_docs
     from pdf_extraction_ray.pipelines import extract_pipeline
-    import pyarrow as pa
-    import pyarrow.compute as pc
 
-    n = {"sf0.001": 100, "sf0.01": 2000, "sf0.1": 20000}.get(
-        sf_dir.rstrip("/").rsplit("/", 1)[-1], 2000)
-    path = ensure_corpus("query", 42, n)
-    out = extract_pipeline(read_docs(path))
-
-    def explode(batch: pa.Table) -> pa.Table:
-        spans = batch.column("spans")
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.combine_chunks()
-        flat = pc.list_flatten(spans)
-        parent = pc.list_parent_indices(spans)
-        doc_id = pc.take(batch.column("doc_id"), parent)
-        if isinstance(doc_id, pa.ChunkedArray):
-            doc_id = doc_id.combine_chunks()
-        return pa.Table.from_arrays(
-            [doc_id, pc.struct_field(flat, "kind"),
-             pc.struct_field(flat, "offset")],
-            names=["doc_id", "kind", "offset"])
-
-    return out.map_batches(explode, batch_format="pyarrow")
+    out = extract_pipeline(read_docs(_corpus_for(sf_dir)))
+    return out.map_batches(partial(_explode_spans, columns=("kind", "offset")),
+                           batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

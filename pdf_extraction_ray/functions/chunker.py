@@ -11,14 +11,15 @@ from __future__ import annotations
 from ..spec import CHUNK_OVERLAP, CHUNK_SEPARATORS, CHUNK_SIZE
 
 
-def _split_recursive(text: str, separators: list[str]) -> list[str]:
+def _split_recursive(text: str, separators: list[str],
+                     chunk_size: int = CHUNK_SIZE) -> list[str]:
     """Split on the first separator present; recurse into oversize pieces."""
-    if len(text) <= CHUNK_SIZE:
+    if len(text) <= chunk_size:
         return [text] if text else []
     for i, sep in enumerate(separators):
         if sep == "":
             # hard split
-            return [text[j:j + CHUNK_SIZE] for j in range(0, len(text), CHUNK_SIZE)]
+            return [text[j:j + chunk_size] for j in range(0, len(text), chunk_size)]
         if sep in text:
             parts = text.split(sep)
             # re-attach separator prefix to all but the first piece so no
@@ -26,8 +27,9 @@ def _split_recursive(text: str, separators: list[str]) -> list[str]:
             pieces = [parts[0]] + [sep + p for p in parts[1:]]
             out: list[str] = []
             for p in pieces:
-                if len(p) > CHUNK_SIZE:
-                    out.extend(_split_recursive(p, separators[i + 1:]))
+                if len(p) > chunk_size:
+                    out.extend(_split_recursive(p, separators[i + 1:],
+                                                chunk_size))
                 else:
                     out.append(p)
             return [p for p in out if p]
@@ -38,7 +40,7 @@ def chunk_text(text: str, chunk_size: int = CHUNK_SIZE,
                overlap: int = CHUNK_OVERLAP) -> list[str]:
     """Merge recursive splits into chunks <= chunk_size with ~overlap
     characters of tail carried between consecutive chunks."""
-    pieces = _split_recursive(text, CHUNK_SEPARATORS)
+    pieces = _split_recursive(text, CHUNK_SEPARATORS, chunk_size)
     chunks: list[str] = []
     cur = ""
     for p in pieces:

@@ -20,11 +20,23 @@ from __future__ import annotations
 
 import re
 
-_NUMBERED = re.compile(r"^\d+\.\s+\*\*[^*]+\*\*", re.MULTILINE)
-_TABLE_SEP = re.compile(r"\|[\s-]*\|[\s-]*\|")
-_NUMBERED_TABLE = re.compile(r"^\d+\.\s+\*\*.*Table", re.MULTILINE | re.IGNORECASE)
-_FIGURE_PAT = re.compile(r"\*\*Figure[^*]*\*\*|\*\*Figures[^*]*\*\*")
-_NUMBER = re.compile(r"\d+\.?\d*")
+# Pattern STRINGS shared with the vectorized stage (stages/counters.py):
+# ASCII-explicit classes only, so Python re here and RE2 there count
+# identically (the reference's `\d`/`\s` are pinned to ASCII by this
+# re-specification).
+_WS = r"[ \t\r\n\f\v]"
+NUMBERED_PATTERN = r"^[0-9]+\." + _WS + r"+\*\*[^*]+\*\*"
+TABLE_SEP_PATTERN = r"\|[ \t\r\n\f\v-]*\|[ \t\r\n\f\v-]*\|"
+NUMBERED_TABLE_PATTERN = r"^[0-9]+\." + _WS + r"+\*\*.*Table"
+FIGURE_PATTERN = r"\*\*Figure[^*]*\*\*|\*\*Figures[^*]*\*\*"
+FIGURE_AND_PATTERN = r"\*\*Figure[^*]* and [^*]*\*\*|\*\*Figures[^*]* and [^*]*\*\*"
+NUMBER_PATTERN = r"[0-9]+\.?[0-9]*"
+
+_NUMBERED = re.compile(NUMBERED_PATTERN, re.MULTILINE)
+_TABLE_SEP = re.compile(TABLE_SEP_PATTERN)
+_NUMBERED_TABLE = re.compile(NUMBERED_TABLE_PATTERN, re.MULTILINE | re.IGNORECASE)
+_FIGURE_PAT = re.compile(FIGURE_PATTERN)
+_NUMBER = re.compile(NUMBER_PATTERN)
 
 VISUAL_INDICATORS = ["schematic", "diagram shows", "illustration", "drawing",
                      "visual representation", "flowchart", "circuit diagram"]

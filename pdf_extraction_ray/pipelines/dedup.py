@@ -73,7 +73,10 @@ def dedup_minhash_lsh(sf_dir: str):
                 for y in ids[i + 1:]:
                     out_a.append(x)
                     out_b.append(y)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        # explicit dtypes: empty object-typed frames become Arrow null
+        # columns and break schema unification downstream
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
 
     cand = (_docs(sf_dir)
             .map_batches(bands, batch_format="pyarrow")
@@ -86,9 +89,17 @@ def dedup_minhash_lsh(sf_dir: str):
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "jaccard_x1e6": pd.Series([], dtype="int64")})
         texts = ray.get(texts_ref)
+        ngrams: dict[int, set] = {}       # per-batch memo: a doc in m pairs
+                                          # shingles once, not m times
+        def ng(doc):
+            s = ngrams.get(doc)
+            if s is None:
+                s = ngrams[doc] = H.word_ngrams(texts[doc])
+            return s
+
         out = []
         for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            j = H.jaccard(H.word_ngrams(texts[a]), H.word_ngrams(texts[b]))
+            j = H.jaccard(ng(a), ng(b))
             if j >= MINHASH_JACCARD_THRESHOLD:
                 out.append((int(a), int(b), int(j * 1e6)))
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_x1e6"]) \

@@ -37,8 +37,18 @@ def _pq(sf_dir: str, table: str) -> str:
 
 
 def _cents(col, scale: float = 100.0):
-    """round(col * scale) -> int64 (exact decimal-scaled integer)."""
-    return pc.cast(pc.round(pc.multiply(col, pa.scalar(float(scale)))), pa.int64())
+    """ROUND(col * scale) -> int64, half-AWAY-from-zero to match DuckDB's
+    ROUND exactly (pc.round/np.round default to half-to-even — a latent
+    oracle divergence whenever a scaled value lands on .5)."""
+    x = pc.multiply(col, pa.scalar(float(scale)))
+    away = pc.multiply(pc.sign(x),
+                       pc.floor(pc.add(pc.abs(x), pa.scalar(0.5))))
+    return pc.cast(away, pa.int64())
+
+
+def _round_half_away(a: "np.ndarray") -> "np.ndarray":
+    """numpy twin of _cents' rounding (DuckDB ROUND semantics)."""
+    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype("int64")
 
 
 def _from_pandas(df) -> pa.Table:
@@ -524,7 +534,8 @@ def events_running_totals(sf_dir: str):
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
-        v = (g["value"] * 1e6).round().astype("int64")
+        v = pd.Series(_round_half_away(g["value"].to_numpy() * 1e6),
+                      index=g.index)
         return pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
             "user_id": g["user_id"].astype("int64"),
@@ -602,7 +613,8 @@ def top_order_per_customer(sf_dir: str):
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def top1(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(total_x100=(g["o_totalprice"] * 100).round().astype("int64"))
+        g = g.assign(total_x100=_round_half_away(
+            g["o_totalprice"].to_numpy() * 100))
         g = g.sort_values(["total_x100", "o_orderkey"],
                           ascending=[False, True]).head(1)
         return g[["o_custkey", "o_orderkey", "total_x100"]].astype("int64")

@@ -43,9 +43,10 @@ def _process_shard(shard: str, out_dir: str, run_id: str,
     from ..stages.tokenize import classify_spans
 
     t0 = time.perf_counter()
-    fp = input_fingerprint(shard)
+    fp = "unavailable"
     try:
-        table = pq.read_table(shard)
+        fp = input_fingerprint(shard)       # inside try: a vanished shard
+        table = pq.read_table(shard)        # is error-as-data, not job death
         out = reassemble_spans(layout_parse(classify_spans(table)))
         dst = data_path(out_dir, partition_id)
         tmp = dst + f".tmp{os.getpid()}"

@@ -105,11 +105,16 @@ def rag_topk_contexts(sf_dir: str):
                          else batch["embedding"].flatten()) \
             .reshape(len(batch), -1).astype(np.float64)
         scores = emb @ q.T                            # (n, Q)
+        doc_np = batch["doc_id"].to_numpy(zero_copy_only=False)
+        chunk_np = batch["chunk_id"].to_numpy(zero_copy_only=False)
         rows = []
         for qi in range(q.shape[0]):
             s = scores[:, qi]
             k = min(TOP_K, len(s))
-            idx = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            # deterministic tie-break: (-score, doc_id, chunk_id) — a tied
+            # score at the k boundary must never depend on batch layout
+            order = np.lexsort((chunk_np, doc_np, -s))
+            idx = order[:k]
             for j in idx:
                 rows.append((qi, int(batch["doc_id"][j].as_py()),
                              int(batch["chunk_id"][j].as_py()),

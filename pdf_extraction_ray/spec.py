@@ -68,8 +68,15 @@ CAPTION_ANY_RE = re.compile(
 )
 
 # Markdown structure rules (applied before the font rule, in this order).
-MD_HEADER_RE = re.compile(r"^#{1,6}\s")
-LIST_ITEM_RE = re.compile(r"^(?:[-*]|\d+\.)\s")
+# Pattern STRINGS are the contract: ASCII-explicit classes only, because
+# the vectorized stages evaluate the same strings under RE2 (Arrow) while
+# the golden extractor uses Python re — `\s`/`\d` diverge on unicode
+# whitespace/digits between the two engines, explicit classes do not.
+WS = r"[ \t\r\n\f\v]"
+MD_HEADER_PATTERN = r"^#{1,6}" + WS
+LIST_ITEM_PATTERN = r"^(?:[-*]|[0-9]+\.)" + WS
+MD_HEADER_RE = re.compile(MD_HEADER_PATTERN)
+LIST_ITEM_RE = re.compile(LIST_ITEM_PATTERN)
 
 # Input span kinds.
 KIND_TEXT = "text"

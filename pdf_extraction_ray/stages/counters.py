@@ -18,9 +18,10 @@ import pyarrow.compute as pc
 from ..functions import counters as C
 from ..functions.arrow_utils import as_array
 
-_NUMBERED_RE = r"(?m)^\d+\.\s+\*\*[^*]+\*\*"
-_FIGURE_RE = r"\*\*Figure[^*]*\*\*|\*\*Figures[^*]*\*\*"
-_FIGURE_AND_RE = r"\*\*Figure[^*]* and [^*]*\*\*|\*\*Figures[^*]* and [^*]*\*\*"
+# shared ASCII-explicit pattern strings (see functions/counters.py)
+_NUMBERED_RE = "(?m)" + C.NUMBERED_PATTERN
+_FIGURE_RE = C.FIGURE_PATTERN
+_FIGURE_AND_RE = C.FIGURE_AND_PATTERN
 
 
 def _np(arr) -> np.ndarray:
@@ -67,8 +68,8 @@ def analyze_content_types_batch(batch: pa.Table,
         _count(f_sec, _NUMBERED_RE))
 
     t_sec, t_found = _section(text, "Tables and Data")
-    seps = _count(t_sec, r"\|[\s-]*\|[\s-]*\|")
-    numbered_tables = _count(t_sec, r"(?mi)^\d+\.\s+\*\*.*Table")
+    seps = _count(t_sec, C.TABLE_SEP_PATTERN)
+    numbered_tables = _count(t_sec, "(?mi)" + C.NUMBERED_TABLE_PATTERN)
     tables = np.where(_any_phrase(low, C.NO_TABLES) | ~t_found, 0,
                       np.where(seps > 0, seps, numbered_tables))
 
@@ -89,7 +90,7 @@ def analyze_content_types_batch(batch: pa.Table,
         np.maximum.reduce([_count(d_sec, _NUMBERED_RE),
                            _figure_count(d_sec), has_visual]))
 
-    data_points = (_count(_np(text).astype(object), r"\d+\.?\d*")
+    data_points = (_count(_np(text).astype(object), C.NUMBER_PATTERN)
                    + _np(pc.count_substring(text, "=")).astype(np.int64)
                    + _np(pc.count_substring(text, "%")).astype(np.int64))
 

@@ -66,20 +66,23 @@ class LayoutParser:
         bbox_flat = np.asarray(bbox_nested.flatten(), dtype=np.float64) \
             .reshape(-1, 4) if len(bbox_nested) else np.zeros((0, 4))
 
-        # one C-level conversion to a python list; indexed access after is
-        # cheap (object-array / per-element arrow access both lose to this)
-        text_list = text_arr.to_pylist()
+        regions_py = batch.column("regions").to_pylist()
+        img_mask = is_image.to_numpy(zero_copy_only=False)
+        has_work = bool(img_mask.any()) or any(regions_py)
+
+        # one C-level conversion to a python list (indexed access after is
+        # cheap; object-array / per-element arrow access both lose to it)
+        # — skipped entirely for batches with no images and no regions,
+        # which then pass text through zero-copy
+        text_list = text_arr.to_pylist() if has_work else None
 
         # OCR image spans: python only on image rows
-        img_mask = is_image.to_numpy(zero_copy_only=False)
         if img_mask.any():
             img_idx = np.nonzero(img_mask)[0]
             refs = pc.take(pc.struct_field(flat, "media_ref"),
                            pa.array(img_idx)).to_pylist()
             for j, r in zip(img_idx, refs):
                 text_list[j] = self.ocr(r)
-
-        regions_py = batch.column("regions").to_pylist()
         doc_ids = batch.column("doc_id").to_pylist()
         region_counts = np.zeros(n_docs, dtype=np.int64)
         region_rows: list[dict] = []
@@ -158,12 +161,12 @@ class LayoutParser:
             pa.array(roff, type=pa.int32()),
             pa.array(region_rows, type=SPAN_STRUCT))
 
+        out_text = pa.array(text_list, type=pa.string()) \
+            if text_list is not None else text_arr
         out = batch.select(["doc_id", "spans", "keep"])
         out = out.append_column("cls", pa.ListArray.from_arrays(off32, cls_arr))
         out = out.append_column(
-            "out_text",
-            pa.ListArray.from_arrays(off32,
-                                     pa.array(text_list, type=pa.string())))
+            "out_text", pa.ListArray.from_arrays(off32, out_text))
         return out.append_column("region_spans", region_col)
 
 

@@ -64,9 +64,11 @@ def classify_spans(batch: pa.Table) -> pa.Table:
                            "f": font[keep_text]})
         med[keep_text] = df.groupby(["d", "p"])["f"].transform("median").to_numpy()
 
-    header = pc.match_substring_regex(stripped, r"^#{1,6}\s") \
+    # same ASCII-explicit pattern strings as the golden extractor (spec):
+    # RE2 here, Python re there — explicit classes keep them identical
+    header = pc.match_substring_regex(stripped, spec.MD_HEADER_PATTERN) \
         .to_numpy(zero_copy_only=False)
-    listm = pc.match_substring_regex(stripped, r"^(?:[-*]|\d+\.)\s") \
+    listm = pc.match_substring_regex(stripped, spec.LIST_ITEM_PATTERN) \
         .to_numpy(zero_copy_only=False)
     title_font = (med > 0.0) & (font >= spec.TITLE_FONT_RATIO * med)
 

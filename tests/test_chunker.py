@@ -7,6 +7,12 @@ from pdf_extraction_ray.functions.chunker import (_split_recursive, chunk_text)
 from pdf_extraction_ray.spec import CHUNK_OVERLAP, CHUNK_SEPARATORS, CHUNK_SIZE
 
 
+def test_custom_chunk_size_respected():
+    chunks = chunk_text("x" * 5000, chunk_size=100, overlap=10)
+    assert all(len(c) <= 110 for c in chunks)
+    assert len(chunks) >= 40
+
+
 def test_short_text_single_chunk():
     assert chunk_text("hello world") == ["hello world"]
     assert chunk_text("") == []

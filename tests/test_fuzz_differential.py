@@ -19,6 +19,8 @@ WEIRD_TEXTS = [
     "표", "그림 ", "Table", "fig. 9", "예시 텍스트 ​ zero width",
     "🙂 emoji only", "a" * 500, "line\nbreaks\nin\nspan", "  leading spaces",
     "## 한국어 헤더", "* star bullet", "None", "nan",
+    "##\xa0nbsp header", "٣. arabic-indic digit list", "1.\xa0nbsp list",
+    " em-space lead", "７. fullwidth digit",
 ]
 
 
