@@ -142,8 +142,21 @@ ORDER BY label, dim
 """
 
 
+def knn_ivf_recall(sf_dir: str):
+    """Recall@k of the IVF path vs exact brute force (quality measurement
+    for the approximate scale path; rows-only)."""
+    exact = set(knn_cosine(sf_dir).to_pandas()["vec_id"])
+    approx = set(knn_cosine_ivf(sf_dir).to_pandas()["vec_id"])
+    hit = len(exact & approx)
+    return pd.DataFrame({
+        "k": [KNN_K],
+        "nprobe": [IVF_NPROBE],
+        "recall_x1e6": [int(hit * 1_000_000 / max(len(exact), 1))]})
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "knn_cosine": (knn_cosine, KNN_SQL),
     "knn_cosine_ivf": (knn_cosine_ivf, None),
+    "knn_ivf_recall": (knn_ivf_recall, None),
     "embedding_centroid_sums": (embedding_centroid_sums, CENTROID_SQL),
 }

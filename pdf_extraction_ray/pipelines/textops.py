@@ -205,6 +205,36 @@ def doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def langid_accuracy(sf_dir: str):
+    """Evaluation harness analog (A6/CMP): predicted language vs the
+    table's lang label, per label (rows-only; the heuristic itself is
+    oracled separately in doc_langid)."""
+    import ray
+    pred = doc_langid(sf_dir)
+    labels = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang"])
+    lref = ray.put(labels.set_index("doc_id")["lang"].to_dict())
+
+    def score(batch: pa.Table) -> pa.Table:
+        lmap = ray.get(lref)
+        df = pd.DataFrame({
+            "lang": [lmap[d] for d in batch["doc_id"].to_pylist()],
+            "hit": [int(p == lmap[d]) for d, p in
+                    zip(batch["doc_id"].to_pylist(),
+                        batch["pred_lang"].to_pylist())]})
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("hit", "size"), n_correct=("hit", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+    return (pred.map_batches(score, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_correct", alias_name="n_correct"))
+            .sort("lang"))
+
+
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),
@@ -212,4 +242,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_dedup_exact": (doc_dedup_exact, DEDUP_EXACT_SQL),
     "doc_chunks": (doc_chunks, None),
     "doc_fingerprint": (doc_fingerprint, None),
+    "langid_accuracy": (langid_accuracy, None),
 }
