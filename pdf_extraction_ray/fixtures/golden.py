@@ -38,21 +38,24 @@ def golden_extract_doc(doc: dict) -> list[dict]:
     bboxes = doc["bbox"]
     doc_id = doc["doc_id"]
 
-    # 1. strip + normalize
+    # 1. strip + normalize (null policy: null text/kind -> "", numerics -> 0)
     kept = []  # (pos, kind, stripped_text, media_ref, offset, font, page, bbox)
     for pos, s in enumerate(spans):
-        kind = s["kind"]
+        kind = s["kind"] or ""
+        link = links[pos] or 0.0
+        font = fonts[pos] or 0.0
+        page = pages[pos] or 0
         if kind == spec.KIND_BOILER:
             continue
         if kind == spec.KIND_TEXT:
-            stripped = s["text"].strip()
-            if stripped == "" or links[pos] >= spec.BOILER_LINK_DENSITY:
+            stripped = (s["text"] or "").strip()
+            if stripped == "" or link >= spec.BOILER_LINK_DENSITY:
                 continue
-            kept.append((pos, kind, stripped, s["media_ref"], s["offset"],
-                         fonts[pos], pages[pos], bboxes[pos]))
+            kept.append((pos, kind, stripped, s["media_ref"] or "",
+                         s["offset"], font, page, bboxes[pos]))
         elif kind == spec.KIND_IMAGE:
-            kept.append((pos, kind, s["text"], s["media_ref"], s["offset"],
-                         fonts[pos], pages[pos], bboxes[pos]))
+            kept.append((pos, kind, s["text"] or "", s["media_ref"] or "",
+                         s["offset"], font, page, bboxes[pos]))
 
     # 2. per-page median font over kept text spans
     page_fonts: dict[int, list[float]] = {}

@@ -353,6 +353,28 @@ def region_media_ref(doc_id: str, page: int, region_idx: int) -> str:
     return f"vector://{doc_id}/p{page}/r{region_idx}"
 
 
+MEANINGFUL_TEXT_MIN_CHARS = 3
+
+
+def meaningful_text_gate(ocr_text: str) -> bool:
+    """V16 meaningful-text gate (table_figure_classifier.py:253-309):
+    a region whose OCR text has fewer than 3 characters or no
+    alphanumeric/non-ASCII content cannot be a table — force 'figure'.
+    (The stub OCR always emits >= 3 alnum chars, so with stub OCR the
+    gate is structurally open; it bites once a real OCR engine returns
+    empty/garbage text.)"""
+    t = ocr_text.strip()
+    if len(t) < MEANINGFUL_TEXT_MIN_CHARS:
+        return False
+    return any(c.isalnum() or ord(c) > 127 for c in t)
+
+
+def region_ocr_text(media_ref: str) -> str:
+    """Deterministic OCR stand-in for a vector region (same engine slot
+    as stub_ocr; keyed by the region's media_ref)."""
+    return stub_ocr(media_ref)
+
+
 def emit_region_spans(doc_id: str, page: int, ridx: int,
                       bbox: Sequence[float],
                       lines: Sequence[tuple[float, float, float, float]],
@@ -377,6 +399,8 @@ def emit_region_spans(doc_id: str, page: int, ridx: int,
     for (bb, ls, ref, off) in parts:
         grid = analyze_grid(ls)
         kind, _ = classify_region(grid, caption_evidence(near_texts(bb)))
+        if kind == OUT_TABLE and not meaningful_text_gate(region_ocr_text(ref)):
+            kind = OUT_FIGURE               # V16 gate: text-free "tables"
         out.append({"kind": kind, "text": region_span_text(kind, grid),
                     "media_ref": ref, "offset": off, "bbox": bb})
     return out

@@ -60,7 +60,7 @@ class LayoutParser:
         kept_text_np = keep_np & is_text_np
         cls_arr = as_array(pc.list_flatten(batch.column("cls")))
         text_arr = as_array(pc.list_flatten(batch.column("out_text")))
-        page_np = as_array(pc.list_flatten(batch.column("page"))) \
+        page_np = as_array(pc.fill_null(pc.list_flatten(batch.column("page")), 0)) \
             .to_numpy(zero_copy_only=False)
         bbox_nested = as_array(pc.list_flatten(batch.column("bbox")))
         bbox_flat = np.asarray(bbox_nested.flatten(), dtype=np.float64) \
@@ -79,7 +79,7 @@ class LayoutParser:
         # OCR image spans: python only on image rows
         if img_mask.any():
             img_idx = np.nonzero(img_mask)[0]
-            refs = pc.take(pc.struct_field(flat, "media_ref"),
+            refs = pc.take(pc.fill_null(pc.struct_field(flat, "media_ref"), ""),
                            pa.array(img_idx)).to_pylist()
             for j, r in zip(img_idx, refs):
                 text_list[j] = self.ocr(r)

@@ -31,7 +31,8 @@ def reassemble_spans(batch: pa.Table) -> pa.Table:
 
     cls = as_array(pc.take(as_array(pc.list_flatten(batch.column("cls"))), kept_idx))
     text = as_array(pc.take(as_array(pc.list_flatten(batch.column("out_text"))), kept_idx))
-    media = as_array(pc.take(pc.struct_field(flat, "media_ref"), kept_idx))
+    media = as_array(pc.take(
+        pc.fill_null(pc.struct_field(flat, "media_ref"), ""), kept_idx))
     off = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False)[np.asarray(kept_idx)]
     doc = parent[np.asarray(kept_idx)]
 

@@ -41,14 +41,16 @@ def classify_spans(batch: pa.Table) -> pa.Table:
                      .append_column("cls", empty_str)
                      .append_column("out_text", empty_str))
 
+    # null policy (spec): null text/kind -> "", null numerics -> 0
     parent = as_array(pc.list_parent_indices(spans)).to_numpy(zero_copy_only=False)
-    kind = pc.struct_field(flat, "kind")
-    stripped = as_array(pc.utf8_trim_whitespace(pc.struct_field(flat, "text")))
-    font = as_array(pc.list_flatten(batch.column("font_size"))) \
+    kind = pc.fill_null(pc.struct_field(flat, "kind"), "")
+    stripped = as_array(pc.utf8_trim_whitespace(
+        pc.fill_null(pc.struct_field(flat, "text"), "")))
+    font = as_array(pc.fill_null(pc.list_flatten(batch.column("font_size")), 0)) \
         .to_numpy(zero_copy_only=False).astype(np.float64)
-    page = as_array(pc.list_flatten(batch.column("page"))) \
+    page = as_array(pc.fill_null(pc.list_flatten(batch.column("page")), 0)) \
         .to_numpy(zero_copy_only=False)
-    link = as_array(pc.list_flatten(batch.column("link_density"))) \
+    link = as_array(pc.fill_null(pc.list_flatten(batch.column("link_density")), 0)) \
         .to_numpy(zero_copy_only=False).astype(np.float64)
 
     is_text = pc.equal(kind, spec.KIND_TEXT).to_numpy(zero_copy_only=False)

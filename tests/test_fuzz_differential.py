@@ -35,8 +35,10 @@ def chaotic_doc(seed: int, i: int) -> dict:
         text = str(rng.choice(WEIRD_TEXTS)) if kind == "text" else ""
         spans.append({
             "kind": kind,
-            "text": text,
-            "media_ref": f"media://x/{k}" if kind == "image" else "",
+            # null policy: occasional null text/media_ref must behave as ""
+            "text": None if rng.random() < 0.05 else text,
+            "media_ref": (f"media://x/{k}" if kind == "image"
+                          else (None if rng.random() < 0.05 else "")),
             "offset": int(offsets_pool[k % len(offsets_pool)]),
         })
         fonts.append(float(rng.choice([0.0, 0.1, 10.0, 12.0, 99.0, 1e-3])))

@@ -215,3 +215,25 @@ class TestBboxSnap:
         lines = [(0.2, 0.1, 0.2, 0.9)]
         got = spec.snap_bbox_to_lines((0.25, 0.1, 0.7, 0.8), lines)
         assert got[0] == 0.25
+
+
+class TestMeaningfulTextGate:
+    def test_short_text_rejected(self):
+        assert not spec.meaningful_text_gate("")
+        assert not spec.meaningful_text_gate("ab")
+        assert not spec.meaningful_text_gate("  a  ")
+
+    def test_symbol_only_rejected(self):
+        assert not spec.meaningful_text_gate("---|||---")
+
+    def test_alnum_accepted(self):
+        assert spec.meaningful_text_gate("abc")
+        assert spec.meaningful_text_gate("1 2 3")
+
+    def test_non_ascii_accepted(self):
+        assert spec.meaningful_text_gate("한국어")
+
+    def test_stub_ocr_always_passes(self):
+        # structurally open with the stub engine (hex digest text)
+        assert spec.meaningful_text_gate(
+            spec.region_ocr_text("vector://d/p1/r0"))
