@@ -21,7 +21,7 @@ def ray_session():
 def t2_corpus():
     """Deterministic correctness corpus (cached across runs under /tmp)."""
     from pdf_extraction_ray.fixtures import ensure_corpus
-    path = ensure_corpus("t2", 42, 600, pathological_frac=0.01, shard_rows=200)
+    path = ensure_corpus("t2", 42, 2000, pathological_frac=0.01, shard_rows=500)
     docs = pa.concat_tables(
         [pq.read_table(f) for f in sorted(glob.glob(path + "/*.parquet"))])
     return path, docs

@@ -1,0 +1,32 @@
+"""CLI surface: `python -m pdf_extraction_ray.run` end-to-end in its own
+process (owns its Ray session, as `ray job submit` would)."""
+
+import glob
+import json
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+
+from pdf_extraction_ray.fixtures import ensure_corpus
+
+
+def _run(args, timeout=300):
+    r = subprocess.run([sys.executable, "-m", "pdf_extraction_ray.run", *args],
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+def test_cli_extract_and_resumable(tmp_path):
+    corpus = ensure_corpus("cli", 5, 120, shard_rows=40)
+
+    out = _run(["--input", corpus, "--output", str(tmp_path / "x"),
+                "--num-cpus", "4"])
+    assert out["pipeline"] == "extract"
+    n = sum(pq.read_metadata(f).num_rows
+            for f in glob.glob(str(tmp_path / "x") + "/*.parquet"))
+    assert n == 120
+
+    out = _run(["--input", corpus, "--output", str(tmp_path / "r"),
+                "--pipeline", "resumable", "--num-cpus", "4"])
+    assert out["processed"] == 3 and out["errors"] == 0
