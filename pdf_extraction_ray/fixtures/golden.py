@@ -52,10 +52,10 @@ def golden_extract_doc(doc: dict) -> list[dict]:
             if stripped == "" or link >= spec.BOILER_LINK_DENSITY:
                 continue
             kept.append((pos, kind, stripped, s["media_ref"] or "",
-                         s["offset"], font, page, bboxes[pos]))
+                         s["offset"] or 0, font, page, bboxes[pos]))
         elif kind == spec.KIND_IMAGE:
             kept.append((pos, kind, s["text"] or "", s["media_ref"] or "",
-                         s["offset"], font, page, bboxes[pos]))
+                         s["offset"] or 0, font, page, bboxes[pos]))
 
     # 2. per-page median font over kept text spans
     page_fonts: dict[int, list[float]] = {}

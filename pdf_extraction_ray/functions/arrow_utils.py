@@ -27,3 +27,10 @@ def relist(offsets: np.ndarray, values) -> pa.ListArray:
     """Re-nest flat values under int32 offsets."""
     return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
                                     as_array(values))
+
+
+def round_half_away(a: np.ndarray) -> np.ndarray:
+    """Half-AWAY-from-zero rounding to int64 — DuckDB ROUND semantics.
+    The single numpy home for oracle-parity rounding (np.round/pc.round
+    default to half-to-even and silently diverge from SQL on .5)."""
+    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype("int64")

@@ -22,10 +22,8 @@ def hll_add_hashes(reg: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     if len(hashes) == 0:
         return reg
     idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
-    rest = hashes << np.uint64(HLL_P)
     # rank = leading zeros of the remaining 64-P bits, + 1 (capped)
-    lz = np.full(len(hashes), 64 - HLL_P, dtype=np.uint8)
-    bits = rest
+    bits = hashes << np.uint64(HLL_P)
     found = np.zeros(len(hashes), dtype=bool)
     pos = np.zeros(len(hashes), dtype=np.uint8)
     for b in range(64 - HLL_P):

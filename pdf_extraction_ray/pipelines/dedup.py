@@ -211,13 +211,20 @@ def dedup_fingerprint_jaccard(sf_dir: str):
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         texts = ray.get(texts_ref)
+        ngrams: dict[int, set] = {}       # per-batch memo (see minhash verify)
+
+        def ng(doc):
+            s = ngrams.get(doc)
+            if s is None:
+                s = ngrams[doc] = H.word_ngrams(texts[doc])
+            return s
+
         out = []
         for _, grp in g.groupby("fingerprint"):
             ids = sorted(grp["doc_id"].unique())
             for i, a in enumerate(ids):
-                ng_a = H.word_ngrams(texts[a])
                 for b in ids[i + 1:]:
-                    j = H.jaccard(ng_a, H.word_ngrams(texts[b]))
+                    j = H.jaccard(ng(a), ng(b))
                     if j >= NGRAM_JACCARD_THRESHOLD:
                         out.append((int(a), int(b), int(j * 1e6)))
         return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_x1e6"]) \

@@ -46,9 +46,7 @@ def _cents(col, scale: float = 100.0):
     return pc.cast(away, pa.int64())
 
 
-def _round_half_away(a: "np.ndarray") -> "np.ndarray":
-    """numpy twin of _cents' rounding (DuckDB ROUND semantics)."""
-    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype("int64")
+from ..functions.arrow_utils import round_half_away as _round_half_away  # noqa: E402
 
 
 def _from_pandas(df) -> pa.Table:
@@ -154,8 +152,12 @@ def q3_top_orders(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         keys = ray.get(okeys_ref)                # broadcast sorted key set
         lk = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, lk)
-        mask = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == lk)
+        if len(keys) == 0:                       # empty segment -> no rows
+            mask = np.zeros(len(lk), dtype=bool)
+        else:
+            pos = np.searchsorted(keys, lk)
+            mask = (pos < len(keys)) \
+                & (keys[np.minimum(pos, len(keys) - 1)] == lk)
         t = batch.filter(pa.array(mask))
         rev = _cents(pc.multiply(t["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), t["l_discount"])), 1e4)
@@ -645,14 +647,15 @@ def approx_distinct_users(sf_dir: str):
     batch flows to the driver-side merge instead of shuffling every key
     (rows-only check; tests bound the error vs the exact count at <2%)."""
     from ..functions import sketch as S
-    from ..functions.hashing import hash_strings
 
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
         reg = S.hll_create()
         ids = batch["user_id"].to_numpy(zero_copy_only=False)
-        S.hll_add_hashes(reg, hash_strings(ids.astype(str)))
+        # hash the int64 array directly (deterministic, no per-element
+        # python string boxing)
+        S.hll_add_hashes(reg, pd.util.hash_array(ids))
         return pa.Table.from_arrays(
             [pa.array([reg.tobytes()], type=pa.binary())], names=["sketch"])
 

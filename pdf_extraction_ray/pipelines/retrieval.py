@@ -114,10 +114,8 @@ def rag_topk_contexts(sf_dir: str):
             # deterministic tie-break: (-score, doc_id, chunk_id) — a tied
             # score at the k boundary must never depend on batch layout
             order = np.lexsort((chunk_np, doc_np, -s))
-            idx = order[:k]
-            for j in idx:
-                rows.append((qi, int(batch["doc_id"][j].as_py()),
-                             int(batch["chunk_id"][j].as_py()),
+            for j in order[:k]:
+                rows.append((qi, int(doc_np[j]), int(chunk_np[j]),
                              batch["chunk_text"][j].as_py(),
                              int(np.floor(s[j] * 1e6))))
         return pa.Table.from_pylist(

@@ -78,9 +78,9 @@ def events_stream_windows(sf_dir: str):
         users = batch["user_id"].to_numpy(zero_copy_only=False)
         ts_ms = batch["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64) // 1000
-        v = batch["value"].to_numpy(zero_copy_only=False) * 1e6
-        # half-away rounding to match the DuckDB oracle's ROUND
-        vals = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        from ..functions.arrow_utils import round_half_away
+        vals = round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 1e6)
         buckets = users % N_BUCKETS
         for b in np.unique(buckets):
             m = buckets == b

@@ -33,7 +33,9 @@ def reassemble_spans(batch: pa.Table) -> pa.Table:
     text = as_array(pc.take(as_array(pc.list_flatten(batch.column("out_text"))), kept_idx))
     media = as_array(pc.take(
         pc.fill_null(pc.struct_field(flat, "media_ref"), ""), kept_idx))
-    off = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False)[np.asarray(kept_idx)]
+    # null policy: null offset -> 0 (matches golden's `offset or 0`)
+    off = as_array(pc.fill_null(pc.struct_field(flat, "offset"), 0)) \
+        .to_numpy(zero_copy_only=False)[np.asarray(kept_idx)]
     doc = parent[np.asarray(kept_idx)]
 
     rspans = batch.column("region_spans")

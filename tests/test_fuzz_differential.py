@@ -39,7 +39,8 @@ def chaotic_doc(seed: int, i: int) -> dict:
             "text": None if rng.random() < 0.05 else text,
             "media_ref": (f"media://x/{k}" if kind == "image"
                           else (None if rng.random() < 0.05 else "")),
-            "offset": int(offsets_pool[k % len(offsets_pool)]),
+            "offset": (None if rng.random() < 0.03
+                       else int(offsets_pool[k % len(offsets_pool)])),
         })
         fonts.append(float(rng.choice([0.0, 0.1, 10.0, 12.0, 99.0, 1e-3])))
         pages.append(int(rng.choice([1, 1, 2, 7, 100])))
