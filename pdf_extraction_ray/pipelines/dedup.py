@@ -245,9 +245,45 @@ def dedup_fingerprint_jaccard(sf_dir: str):
             .sort(["doc_a", "doc_b"]))
 
 
+def dedup_clusters(sf_dir: str):
+    """Resolve near-dup pairs into clusters (the dedup endpoint: keep one
+    representative per cluster). Iterative min-label propagation over the
+    pair edges — each round is a vectorized pandas pass; at 10^12-doc
+    scale each round is the groupby form (explode edges -> min label per
+    node -> join back) and converges in O(log diameter) rounds; here the
+    verified pair set is small so the rounds run driver-side.
+
+    Output: (doc_id, cluster_rep) for every doc in some duplicate cluster,
+    cluster_rep = min doc_id of the cluster."""
+    pairs = dedup_minhash_lsh(sf_dir)
+    if len(pairs) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_rep": pd.Series([], dtype="int64")})
+    edges = pairs[["doc_a", "doc_b"]].to_numpy()
+    nodes = np.unique(edges)
+    label = pd.Series(nodes, index=nodes)          # start: own id
+    for _ in range(64):                            # converges in log rounds
+        e = pd.DataFrame({"a": edges[:, 0], "b": edges[:, 1]})
+        e["la"] = label.loc[e["a"]].to_numpy()
+        e["lb"] = label.loc[e["b"]].to_numpy()
+        m = np.minimum(e["la"], e["lb"])
+        new = label.copy()
+        upd_a = pd.Series(m.to_numpy(), index=e["a"]).groupby(level=0).min()
+        upd_b = pd.Series(m.to_numpy(), index=e["b"]).groupby(level=0).min()
+        new.loc[upd_a.index] = np.minimum(new.loc[upd_a.index], upd_a)
+        new.loc[upd_b.index] = np.minimum(new.loc[upd_b.index], upd_b)
+        if new.equals(label):
+            break
+        label = new
+    return pd.DataFrame({"doc_id": nodes,
+                         "cluster_rep": label.loc[nodes].to_numpy()}) \
+        .astype("int64").sort_values("doc_id").reset_index(drop=True)
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding_cosine": (dedup_embedding_cosine, None),
     "dedup_fingerprint_jaccard": (dedup_fingerprint_jaccard, None),
+    "dedup_clusters": (dedup_clusters, None),
 }

@@ -205,6 +205,53 @@ def doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+QUALITY_MIN_TOKENS = 20
+QUALITY_MAX_PUNCT_X1E6 = 60_000       # <= 6% punctuation
+QUALITY_MIN_MTL_X1E6 = 3_000_000      # mean token length >= 3
+
+
+def doc_quality_filter(sf_dir: str):
+    """Training-data quality gate: keep docs passing the documented
+    thresholds (the trafilatura-style pipeline endpoint for the quality
+    scores). Integer thresholds so the oracle is bit-exact."""
+    import pyarrow.compute as pc
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(batch["n_tokens"],
+                                     pa.scalar(QUALITY_MIN_TOKENS)),
+                    pc.less_equal(batch["punct_ratio_x1e6"],
+                                  pa.scalar(QUALITY_MAX_PUNCT_X1E6))),
+            pc.greater_equal(batch["mean_token_len_x1e6"],
+                             pa.scalar(QUALITY_MIN_MTL_X1E6)))
+        return batch.filter(keep).select(["doc_id", "n_tokens",
+                                          "punct_ratio_x1e6",
+                                          "mean_token_len_x1e6"])
+
+    return doc_quality(sf_dir).map_batches(gate, batch_format="pyarrow")
+
+
+QUALITY_FILTER_SQL = rf"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CASE WHEN length(text) > 0 THEN
+           (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) * 1000000)
+             // length(text) ELSE 0 END AS punct_ratio_x1e6,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0 THEN
+           (CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                               x -> length(x)), 'sum') AS BIGINT) * 1000000)
+             // len(regexp_split_to_array(trim(text), '\s+'))
+         ELSE 0 END AS mean_token_len_x1e6
+  FROM documents)
+SELECT doc_id, n_tokens, punct_ratio_x1e6, mean_token_len_x1e6
+FROM q
+WHERE n_tokens >= {QUALITY_MIN_TOKENS}
+  AND punct_ratio_x1e6 <= {QUALITY_MAX_PUNCT_X1E6}
+  AND mean_token_len_x1e6 >= {QUALITY_MIN_MTL_X1E6}
+"""
+
+
 def langid_accuracy(sf_dir: str):
     """Evaluation harness analog (A6/CMP): predicted language vs the
     table's lang label, per label (rows-only; the heuristic itself is
@@ -243,4 +290,5 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_chunks": (doc_chunks, None),
     "doc_fingerprint": (doc_fingerprint, None),
     "langid_accuracy": (langid_accuracy, None),
+    "doc_quality_filter": (doc_quality_filter, QUALITY_FILTER_SQL),
 }

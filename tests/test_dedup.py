@@ -116,3 +116,25 @@ def test_exact_dedup_groups_planted(tmp_path):
     assert (g["n_dups"] == 2).sum() == 1
     rep = g[g.n_dups == 2]["rep_doc_id"].iloc[0]
     assert rep == 0                            # min doc_id wins
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_clusters_transitive(tmp_path):
+    """A ring A~B, B~C must resolve to ONE cluster rep (transitivity)."""
+    from pdf_extraction_ray.pipelines.dedup import dedup_clusters
+    rng = np.random.default_rng(4)
+    base = " ".join(rng.choice(WORDS, size=80))
+    toks = base.split()
+    t1 = list(toks); t1[3] = "ONE"
+    t2 = list(toks); t2[70] = "TWO"
+    # doc1 ~ doc0 ~ doc2 (doc1 and doc2 differ in 2 tokens -> may or may
+    # not pair directly; transitivity must still cluster all three)
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "text": [base, " ".join(t1), " ".join(t2),
+                                "completely different content here now"]})
+    d = tmp_path / "ring"; d.mkdir()
+    df.to_parquet(d / "documents.parquet")
+    out = dedup_clusters(str(d))
+    reps = dict(zip(out.doc_id, out.cluster_rep))
+    assert reps.get(0) == 0 and reps.get(1) == 0 and reps.get(2) == 0
+    assert 3 not in reps
