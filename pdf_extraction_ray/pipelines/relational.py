@@ -49,6 +49,25 @@ def _cents(col, scale: float = 100.0):
 from ..functions.arrow_utils import round_half_away as _round_half_away  # noqa: E402
 
 
+def _coarse_grouped_map(ds, key: str, per_group_fn, n_coarse: int = 64):
+    """Per-key grouped map with a COARSE shuffle key: the exchange
+    partitions on ``key % n_coarse`` (constant group count at any scale);
+    the exact per-key grouping runs as a pandas groupby inside each
+    partition. One tiny Ray group per key is pure scheduler overhead —
+    same pattern as the LSH band grouping in pipelines/dedup.py."""
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        c = batch[key].to_numpy(zero_copy_only=False) % n_coarse
+        return batch.append_column("_coarse", pa.array(c.astype(np.int64)))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [per_group_fn(sub.drop(columns=["_coarse"]))
+                for _, sub in g.groupby(key)]
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+
+    return ds.map_batches(add_coarse, batch_format="pyarrow") \
+             .groupby("_coarse").map_groups(run, batch_format="pandas")
+
+
 def _from_pandas(df) -> pa.Table:
     """from_pandas with pandas schema metadata stripped — leftover metadata
     defeats Ray's block-schema deduplication during shuffles (visible as
@@ -418,8 +437,7 @@ def events_sessions(sf_dir: str):
             "n_sessions": [int(gaps.sum()) + 1],
             "n_events": [len(g)]})
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas") \
-             .sort("user_id")
+    return _coarse_grouped_map(ds, "user_id", sessionize).sort("user_id")
 
 
 EVENTS_SESSIONS_SQL = f"""
@@ -508,8 +526,7 @@ def events_asof_orders(sf_dir: str):
             "user_id": uid,
             "o_orderkey": merged["o_orderkey"].fillna(-1).astype("int64")})
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas") \
-             .sort("event_id")
+    return _coarse_grouped_map(ds, "user_id", asof).sort("event_id")
 
 
 EVENTS_ASOF_SQL = """
@@ -543,8 +560,7 @@ def events_running_totals(sf_dir: str):
             "user_id": g["user_id"].astype("int64"),
             "running_value_x1e6": v.cumsum()})
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas") \
-             .sort("event_id")
+    return _coarse_grouped_map(ds, "user_id", running).sort("event_id")
 
 
 EVENTS_RUNNING_SQL = """
@@ -621,8 +637,7 @@ def top_order_per_customer(sf_dir: str):
                           ascending=[False, True]).head(1)
         return g[["o_custkey", "o_orderkey", "total_x100"]].astype("int64")
 
-    return ds.groupby("o_custkey").map_groups(top1, batch_format="pandas") \
-             .sort("o_custkey")
+    return _coarse_grouped_map(ds, "o_custkey", top1).sort("o_custkey")
 
 
 TOP_ORDER_SQL = """
