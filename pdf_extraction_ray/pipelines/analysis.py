@@ -44,6 +44,56 @@ def analysis_pipeline(ds: Dataset, *, batch_size: int = 256,
     return out.map_batches(analyze_content_types_batch, batch_format="pyarrow")
 
 
+def page_analysis_pipeline(ds: Dataset, *, batch_size: int = 256) -> Dataset:
+    """Page-granular analysis (the reference's per-page VLM unit): layout
+    output -> per-(doc, page) describer -> counters."""
+    from ..stages.describe import PageVisualDescriber
+    from ..stages.layout import layout_parse
+    from ..stages.tokenize import classify_spans
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    ds = ds.map_batches(classify_spans, batch_format="pyarrow",
+                        batch_size=batch_size)
+    ds = ds.map_batches(layout_parse, batch_format="pyarrow",
+                        batch_size=batch_size)
+    ds = ds.map_batches(PageVisualDescriber, batch_format="pyarrow",
+                        batch_size=batch_size,
+                        concurrency=(1, max(2, ncpu // 2)), num_cpus=1)
+    return ds.map_batches(analyze_content_types_batch, batch_format="pyarrow")
+
+
+def vlm_page_counts(sf_dir: str):
+    """Per-(doc, page) content-type counts (rows-only)."""
+    ds = page_analysis_pipeline(read_docs(_corpus_for(sf_dir)))
+    return ds.select_columns(["doc_id", "page", "has_visuals"] + COUNT_COLS)
+
+
+def vlm_page_totals(sf_dir: str):
+    """Run summary at page granularity (the reference's summary block:
+    total_pages, pages_with_visuals + element totals,
+    hybrid_docling_gpt4_processor.py:511-517)."""
+    ds = page_analysis_pipeline(read_docs(_corpus_for(sf_dir)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        arrays = [pa.array([len(batch)], type=pa.int64()),
+                  pa.array([pc.sum(pc.cast(batch["has_visuals"], pa.int64()))
+                            .as_py() or 0], type=pa.int64())]
+        names = ["total_pages", "pages_with_visuals"]
+        for c in COUNT_COLS:
+            arrays.append(pa.array([pc.sum(batch[c]).as_py() or 0],
+                                   type=pa.int64()))
+            names.append(f"total_{c}")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    cols = (["total_pages", "pages_with_visuals"]
+            + [f"total_{c}" for c in COUNT_COLS])
+    res = ds.map_batches(partial, batch_format="pyarrow") \
+            .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    import pandas as pd
+    return pd.DataFrame([res])[cols]
+
+
 def vlm_content_counts(sf_dir: str):
     """Per-doc content-type counts over the synthetic corpus (rows-only)."""
     ds = analysis_pipeline(read_docs(_corpus_for(sf_dir)))
@@ -158,4 +208,6 @@ ANALYSIS_QUERIES: dict[str, tuple] = {
     "spatial_relations": (spatial_relations, None),
     "xycut_reading_order": (xycut_reading_order, None),
     "visual_docs": (visual_docs, None),
+    "vlm_page_counts": (vlm_page_counts, None),
+    "vlm_page_totals": (vlm_page_totals, None),
 }

@@ -163,7 +163,9 @@ class LayoutParser:
 
         out_text = pa.array(text_list, type=pa.string()) \
             if text_list is not None else text_arr
-        out = batch.select(["doc_id", "spans", "keep"])
+        # `page` rides along for page-granular consumers (per-page
+        # describer); reassemble ignores it
+        out = batch.select(["doc_id", "spans", "keep", "page"])
         out = out.append_column("cls", pa.ListArray.from_arrays(off32, cls_arr))
         out = out.append_column(
             "out_text", pa.ListArray.from_arrays(off32, out_text))
