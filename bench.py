@@ -37,6 +37,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "250000"))
+# scaling mode uses a larger corpus: fixed per-run overhead (~2.5 s at 32
+# CPUs) otherwise eats into the efficiency ratio and amplifies VM noise
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "500000"))
 BENCH_SEED = 42
 BENCH_BATCH = 1024
 SCALE_LO, SCALE_HI = 8, 32
@@ -68,7 +71,8 @@ def _spin_eff() -> float:
 
 
 def _run_level(ncpu: int, burners: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               GRAFT_BENCH_DOCS=str(SCALING_DOCS))
     procs = [subprocess.Popen(["nice", "-n", "19", sys.executable, "-c", _BURNER])
              for _ in range(burners)]
     try:
