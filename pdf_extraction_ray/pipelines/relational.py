@@ -654,6 +654,81 @@ ORDER BY o_custkey
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling + union
+# ---------------------------------------------------------------------------
+
+SAMPLE_MOD = 10
+
+
+def events_hash_sample(sf_dir: str):
+    """Deterministic 1-in-N sample (key-hash sampling — reproducible at
+    any parallelism, unlike random_sample; the smoke-subset analog of
+    SURVEY O6/O7)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % SAMPLE_MOD == 0))
+        return pa.Table.from_arrays(
+            [t["event_id"], t["event_type"], _cents(t["value"], 1e6)],
+            names=["event_id", "event_type", "value_x1e6"])
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("event_id")
+
+
+SAMPLE_SQL = f"""
+SELECT event_id, event_type,
+       CAST(ROUND(value * 1000000.0) AS BIGINT) AS value_x1e6
+FROM events WHERE event_id % {SAMPLE_MOD} = 0 ORDER BY event_id
+"""
+
+
+def orders_priority_union(sf_dir: str):
+    """Dataset.union of two disjoint filtered subsets (D1 cross-dataset
+    union) re-aggregated by priority."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderpriority", "o_orderstatus",
+                                  "o_totalprice"])
+
+    def split(status):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["o_orderstatus"], status))
+            return pa.Table.from_arrays(
+                [t["o_orderpriority"], _cents(t["o_totalprice"])],
+                names=["o_orderpriority", "total_x100"])
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    both = split("F").union(split("O"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+            "total_x100": batch["total_x100"].to_pandas()})
+        g = (df.groupby("o_orderpriority", as_index=False)
+               .agg(total_x100=("total_x100", "sum"),
+                    n_orders=("total_x100", "size")))
+        return _from_pandas(g)
+
+    return (both.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("total_x100", alias_name="total_x100"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .sort("o_orderpriority"))
+
+
+UNION_SQL = """
+SELECT o_orderpriority,
+       SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS total_x100,
+       COUNT(*) AS n_orders
+FROM (SELECT * FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderstatus = 'O')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # Approximate distinct count (HyperLogLog, mergeable custom aggregate)
 # ---------------------------------------------------------------------------
 
@@ -699,4 +774,6 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "approx_distinct_users": (approx_distinct_users, None),
     "segment_order_revenue_native_join":
         (segment_order_revenue_native_join, NATIVE_JOIN_SQL),
+    "events_hash_sample": (events_hash_sample, SAMPLE_SQL),
+    "orders_priority_union": (orders_priority_union, UNION_SQL),
 }
