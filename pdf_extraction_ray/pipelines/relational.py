@@ -132,12 +132,12 @@ def q1_pricing_summary(sf_dir: str):
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS sum_qty_x100,
-       SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_x100,
-       SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS sum_disc_x1e4,
-       SUM(CAST(ROUND(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 1000000.0) AS BIGINT)) AS sum_charge_x1e6,
+       CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_x100,
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS BIGINT) AS sum_disc_x1e4,
+       CAST(SUM(CAST(ROUND(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_charge_x1e6,
        COUNT(*) AS count_order,
-       (SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) * 100) // COUNT(*) AS avg_qty_x1e4
+       (CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS BIGINT) * 100) // COUNT(*) AS avg_qty_x1e4
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -206,7 +206,7 @@ def q3_top_orders(sf_dir: str):
 
 Q3_SQL = f"""
 SELECT o_orderkey,
-       SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS revenue_x1e4,
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_x1e4,
        strftime(ANY_VALUE(o_orderdate), '%Y-%m-%d') AS o_orderdate
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
@@ -252,7 +252,7 @@ def q5_nation_revenue(sf_dir: str):
 
 Q5_SQL = """
 SELECT n_name,
-       SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS revenue_x1e4
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_x1e4
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name
@@ -334,7 +334,7 @@ def orders_monthly(sf_dir: str):
 
 ORDERS_MONTHLY_SQL = """
 SELECT strftime(o_orderdate, '%Y-%m') AS month,
-       SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS total_x100,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_x100,
        COUNT(*) AS n_orders
 FROM orders GROUP BY month ORDER BY month
 """
@@ -373,7 +373,7 @@ def brand_revenue_topk(sf_dir: str):
 
 BRAND_SQL = f"""
 SELECT p_brand,
-       SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS revenue_x1e4
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_x1e4
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY revenue_x1e4 DESC, p_brand
@@ -409,7 +409,7 @@ def events_hourly(sf_dir: str):
 
 EVENTS_HOURLY_SQL = """
 SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
-       SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS value_x1e6,
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT) AS value_x1e6,
        COUNT(*) AS n_events
 FROM events GROUP BY hour, event_type ORDER BY hour, event_type
 """
@@ -565,9 +565,9 @@ def events_running_totals(sf_dir: str):
 
 EVENTS_RUNNING_SQL = """
 SELECT event_id, user_id,
-       SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS running_value_x1e6
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_value_x1e6
 FROM events
 ORDER BY event_id
 """
@@ -613,7 +613,7 @@ def segment_order_revenue_native_join(sf_dir: str):
 
 NATIVE_JOIN_SQL = """
 SELECT c_mktsegment,
-       SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS total_x100,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_x100,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
@@ -719,7 +719,7 @@ def orders_priority_union(sf_dir: str):
 
 UNION_SQL = """
 SELECT o_orderpriority,
-       SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS total_x100,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_x100,
        COUNT(*) AS n_orders
 FROM (SELECT * FROM orders WHERE o_orderstatus = 'F'
       UNION ALL

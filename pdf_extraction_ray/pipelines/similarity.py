@@ -135,7 +135,7 @@ def embedding_centroid_sums(sf_dir: str):
 
 CENTROID_SQL = """
 SELECT CAST(label AS BIGINT) AS label, i AS dim,
-       SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sum_x1e6
+       CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_x1e6
 FROM embeddings, range(1, 65) t(i)
 GROUP BY label, i
 ORDER BY label, dim

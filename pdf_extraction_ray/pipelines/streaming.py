@@ -99,7 +99,7 @@ def events_stream_windows(sf_dir: str):
 STREAM_WINDOWS_SQL = """
 SELECT user_id, strftime(ts, '%Y-%m-%d %H') AS hour,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS value_x1e6
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT) AS value_x1e6
 FROM events
 GROUP BY user_id, hour
 ORDER BY user_id, hour

@@ -52,6 +52,11 @@ def test_oracle_parity(name):
         f"{name}: columns {list(ray_df.columns)} != {list(duck_df.columns)}"
     assert len(ray_df) == len(duck_df), \
         f"{name}: rows {len(ray_df)} != {len(duck_df)}"
+    # dtype KINDS must agree (a HUGEINT oracle comes back float64 and
+    # would hash differently than Ray's int64 under a strict driver)
+    for c in ray_df.columns:
+        assert ray_df[c].dtype.kind == duck_df[c].dtype.kind, \
+            f"{name}.{c}: dtype {ray_df[c].dtype} != {duck_df[c].dtype}"
     pd.testing.assert_frame_equal(ray_df, duck_df, check_dtype=False,
                                   check_exact=True, obj=name)
 
