@@ -57,7 +57,8 @@ def _coarse_grouped_map(ds, key: str, per_group_fn, n_coarse: int = 64):
     same pattern as the LSH band grouping in pipelines/dedup.py."""
     def add_coarse(batch: pa.Table) -> pa.Table:
         c = batch[key].to_numpy(zero_copy_only=False) % n_coarse
-        return batch.append_column("_coarse", pa.array(c.astype(np.int64)))
+        return batch.append_column("_coarse", pa.array(c.astype(np.int64))) \
+            .replace_schema_metadata(None)   # clean schemas shuffle faster
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
         outs = [per_group_fn(sub.drop(columns=["_coarse"]))
@@ -590,7 +591,9 @@ def segment_order_revenue_native_join(sf_dir: str):
             names=["o_custkey", "total_x100"])
 
     customer = rd.read_parquet(_pq(sf_dir, "customer"),
-                               columns=["c_custkey", "c_mktsegment"])
+                               columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.replace_schema_metadata(None),
+                     batch_format="pyarrow")
     joined = orders.map_batches(scale, batch_format="pyarrow").join(
         customer, join_type="inner", num_partitions=16,
         on=("o_custkey",), right_on=("c_custkey",))
