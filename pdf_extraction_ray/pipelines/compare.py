@@ -12,8 +12,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data import Dataset
-
 from ..functions.arrow_utils import as_array
 from ..sources.io import read_docs
 from .analysis import _corpus_for

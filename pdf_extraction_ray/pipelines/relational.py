@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 
 def _pq(sf_dir: str, table: str) -> str:

@@ -32,8 +32,6 @@ import math
 import re
 from typing import Iterable, Sequence
 
-import numpy as np
-
 # ---------------------------------------------------------------------------
 # Constants (tunable config in the rebuild; reference values cited above)
 # ---------------------------------------------------------------------------
