@@ -243,8 +243,12 @@ GENERATOR_VERSION = 2
 
 
 def corpus_path(name: str, seed: int, n_docs: int,
-                root: str = "/tmp/pdfxr_fixtures") -> str:
-    return os.path.join(root, f"{name}-v{GENERATOR_VERSION}-s{seed}-n{n_docs}")
+                root: str = "/tmp/pdfxr_fixtures",
+                pathological_frac: float = 0.01) -> str:
+    # every generation parameter is part of the cache key — a stale corpus
+    # generated with different knobs must never be silently reused
+    return os.path.join(
+        root, f"{name}-v{GENERATOR_VERSION}-s{seed}-n{n_docs}-p{pathological_frac}")
 
 
 def _write_shard(path: str, seed: int, start: int, count: int,
@@ -269,7 +273,7 @@ def ensure_corpus(name: str, seed: int, n_docs: int,
     shards generate as parallel Ray tasks — content is identical either
     way. Returns the directory path.
     """
-    path = corpus_path(name, seed, n_docs, root)
+    path = corpus_path(name, seed, n_docs, root, pathological_frac)
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path

@@ -38,12 +38,21 @@ def golden_extract_doc(doc: dict) -> list[dict]:
     bboxes = doc["bbox"]
     doc_id = doc["doc_id"]
 
-    # 1. strip + normalize (null policy: null text/kind -> "", numerics -> 0)
+    def _num(v):
+        """null/NaN numeric -> 0 (the spec's null policy; NaN != NaN)."""
+        return 0.0 if v is None or v != v else v
+
+    def _bb(b):
+        return [_num(v) for v in b] if b is not None else [0.0] * 4
+
+    # 1. strip + normalize (null policy: null text/kind -> "", null/NaN
+    # numerics -> 0, null lists -> empty)
+    spans = spans or []
     kept = []  # (pos, kind, stripped_text, media_ref, offset, font, page, bbox)
     for pos, s in enumerate(spans):
         kind = s["kind"] or ""
-        link = links[pos] or 0.0
-        font = fonts[pos] or 0.0
+        link = _num(links[pos])
+        font = _num(fonts[pos])
         page = pages[pos] or 0
         if kind == spec.KIND_BOILER:
             continue
@@ -52,10 +61,10 @@ def golden_extract_doc(doc: dict) -> list[dict]:
             if stripped == "" or link >= spec.BOILER_LINK_DENSITY:
                 continue
             kept.append((pos, kind, stripped, s["media_ref"] or "",
-                         s["offset"] or 0, font, page, bboxes[pos]))
+                         s["offset"] or 0, font, page, _bb(bboxes[pos])))
         elif kind == spec.KIND_IMAGE:
             kept.append((pos, kind, s["text"] or "", s["media_ref"] or "",
-                         s["offset"] or 0, font, page, bboxes[pos]))
+                         s["offset"] or 0, font, page, _bb(bboxes[pos])))
 
     # 2. per-page median font over kept text spans
     page_fonts: dict[int, list[float]] = {}

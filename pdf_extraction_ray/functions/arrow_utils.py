@@ -15,9 +15,12 @@ def as_array(col) -> pa.Array:
 
 def list_offsets(list_col) -> np.ndarray:
     """int64 offsets[n+1] of a list column, from per-row lengths (robust to
-    slicing, unlike reading ``.offsets`` directly)."""
+    slicing, unlike reading ``.offsets`` directly). Null list rows count as
+    length 0 — consistent with ``pc.list_flatten`` skipping them, so flat
+    arrays stay aligned with these offsets."""
     import pyarrow.compute as pc
-    lengths = pc.list_value_length(list_col).to_numpy(zero_copy_only=False)
+    lengths = pc.fill_null(pc.list_value_length(list_col), 0) \
+        .to_numpy(zero_copy_only=False)
     out = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=out[1:])
     return out

@@ -174,7 +174,8 @@ def xycut_reading_order(sf_dir: str):
         page = as_array(pc.list_flatten(batch.column("page"))) \
             .to_numpy(zero_copy_only=False)
         nested = as_array(pc.list_flatten(batch.column("bbox")))
-        bb = np.asarray(nested.flatten(), dtype=np.float64).reshape(-1, 4) \
+        bb = np.nan_to_num(nested.values.to_numpy(zero_copy_only=False).astype(np.float64),
+                           nan=0.0).reshape(-1, 4) \
             if len(nested) else np.zeros((0, 4))
         doc_ids = batch.column("doc_id").to_pylist()
         rows = {"doc_id": [], "page": [], "offset": [], "xy_rank": []}

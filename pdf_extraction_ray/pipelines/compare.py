@@ -63,7 +63,8 @@ def debug_overlay_records(sf_dir: str):
         keep = as_array(pc.list_flatten(batch.column("keep")))
         page = as_array(pc.list_flatten(batch.column("page")))
         nested = as_array(pc.list_flatten(batch.column("bbox")))
-        bb = np.asarray(nested.flatten(), dtype=np.float32).reshape(-1, 4) \
+        bb = np.nan_to_num(nested.values.to_numpy(zero_copy_only=False).astype(np.float32),
+                           nan=0.0).reshape(-1, 4) \
             if len(nested) else np.zeros((0, 4), dtype=np.float32)
         return pa.Table.from_arrays(
             [doc_id, page, cls, keep,

@@ -63,8 +63,19 @@ class LayoutParser:
         page_np = as_array(pc.fill_null(pc.list_flatten(batch.column("page")), 0)) \
             .to_numpy(zero_copy_only=False)
         bbox_nested = as_array(pc.list_flatten(batch.column("bbox")))
-        bbox_flat = np.asarray(bbox_nested.flatten(), dtype=np.float64) \
-            .reshape(-1, 4) if len(bbox_nested) else np.zeros((0, 4))
+        if len(bbox_nested):
+            # .values (not .flatten()): flatten DROPS null fixed-size-list
+            # slots and silently misaligns every later span; .values keeps
+            # one 4-slot block per entry, and NaN/null leaves become 0
+            # (the spec's null policy, mirrored in golden)
+            bbox_flat = np.nan_to_num(
+                bbox_nested.values.to_numpy(zero_copy_only=False)
+                .astype(np.float64), nan=0.0).reshape(-1, 4)
+        else:
+            bbox_flat = np.zeros((0, 4))
+        if len(bbox_flat) != len(flat):
+            raise ValueError(f"bbox column misaligned with spans: "
+                             f"{len(bbox_flat)} != {len(flat)}")
 
         regions_py = batch.column("regions").to_pylist()
         img_mask = is_image.to_numpy(zero_copy_only=False)

@@ -72,7 +72,9 @@ def spatial_relations_batch(batch: pa.Table) -> pa.Table:
     page = as_array(pc.list_flatten(batch.column("page"))) \
         .to_numpy(zero_copy_only=False)
     bbox_nested = as_array(pc.list_flatten(batch.column("bbox")))
-    bb = np.asarray(bbox_nested.flatten(), dtype=np.float64).reshape(-1, 4) \
+    # .values keeps null fixed-size-list slots aligned (flatten drops them)
+    bb = np.nan_to_num(bbox_nested.values.to_numpy(zero_copy_only=False).astype(np.float64),
+                       nan=0.0).reshape(-1, 4) \
         if len(bbox_nested) else np.zeros((0, 4))
     doc_ids = batch.column("doc_id").to_pylist()
 

@@ -46,12 +46,25 @@ def classify_spans(batch: pa.Table) -> pa.Table:
     kind = pc.fill_null(pc.struct_field(flat, "kind"), "")
     stripped = as_array(pc.utf8_trim_whitespace(
         pc.fill_null(pc.struct_field(flat, "text"), "")))
-    font = as_array(pc.fill_null(pc.list_flatten(batch.column("font_size")), 0)) \
-        .to_numpy(zero_copy_only=False).astype(np.float64)
+    # NaN (not just null) numerics also normalize to 0 — the complementary
+    # keep/drop comparisons and the median would otherwise diverge between
+    # the NaN-propagating golden path and vectorized kernels
+    font = np.nan_to_num(
+        as_array(pc.fill_null(pc.list_flatten(batch.column("font_size")), 0))
+        .to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
     page = as_array(pc.fill_null(pc.list_flatten(batch.column("page")), 0)) \
         .to_numpy(zero_copy_only=False)
-    link = as_array(pc.fill_null(pc.list_flatten(batch.column("link_density")), 0)) \
-        .to_numpy(zero_copy_only=False).astype(np.float64)
+    link = np.nan_to_num(
+        as_array(pc.fill_null(pc.list_flatten(batch.column("link_density")), 0))
+        .to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0)
+
+    # structural contract: meta lists are parallel to spans — misalignment
+    # must fail loudly (safe mode turns it into an error row), never slice
+    # downstream docs against shifted flat arrays
+    if not (len(font) == len(page) == len(link) == n):
+        raise ValueError(
+            f"meta columns misaligned with spans: spans={n} font={len(font)} "
+            f"page={len(page)} link={len(link)}")
 
     is_text = pc.equal(kind, spec.KIND_TEXT).to_numpy(zero_copy_only=False)
     is_image = pc.equal(kind, spec.KIND_IMAGE).to_numpy(zero_copy_only=False)

@@ -42,13 +42,17 @@ def chaotic_doc(seed: int, i: int) -> dict:
             "offset": (None if rng.random() < 0.03
                        else int(offsets_pool[k % len(offsets_pool)])),
         })
-        fonts.append(float(rng.choice([0.0, 0.1, 10.0, 12.0, 99.0, 1e-3])))
+        fonts.append(float(rng.choice([0.0, 0.1, 10.0, 12.0, 99.0, 1e-3,
+                                       np.nan])))
         pages.append(int(rng.choice([1, 1, 2, 7, 100])))
-        links.append(float(rng.choice([0.0, 0.499, 0.5, 0.999, 1.0])))
+        links.append(float(rng.choice([0.0, 0.499, 0.5, 0.999, 1.0, np.nan])))
         x0, y0 = rng.uniform(0, 0.9, 2)
-        bboxes.append([float(x0), float(y0),
-                       float(min(1.0, x0 + rng.uniform(0, 0.4))),
-                       float(min(1.0, y0 + rng.uniform(0, 0.2)))])
+        bb = [float(x0), float(y0),
+              float(min(1.0, x0 + rng.uniform(0, 0.4))),
+              float(min(1.0, y0 + rng.uniform(0, 0.2)))]
+        if rng.random() < 0.05:
+            bb[int(rng.integers(0, 4))] = float(np.nan)
+        bboxes.append(None if rng.random() < 0.03 else bb)
     regions = []
     for ridx in range(int(rng.integers(0, 3))):
         page = int(rng.choice([1, 2, 50]))       # may have no spans at all
