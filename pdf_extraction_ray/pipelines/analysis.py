@@ -34,9 +34,8 @@ def _corpus_for(sf_dir: str) -> str:
 def analysis_pipeline(ds: Dataset, *, batch_size: int = 256,
                       describer_concurrency=None) -> Dataset:
     if describer_concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) \
-            if ray.is_initialized() else 8
-        describer_concurrency = (1, max(2, ncpu // 2))
+        from ..functions.cluster import half_pool
+        describer_concurrency = half_pool()
     out = extract_pipeline(ds, batch_size=batch_size)
     out = out.map_batches(VisualDescriber, batch_format="pyarrow",
                           batch_size=batch_size,
@@ -47,18 +46,17 @@ def analysis_pipeline(ds: Dataset, *, batch_size: int = 256,
 def page_analysis_pipeline(ds: Dataset, *, batch_size: int = 256) -> Dataset:
     """Page-granular analysis (the reference's per-page VLM unit): layout
     output -> per-(doc, page) describer -> counters."""
+    from ..functions.cluster import half_pool
     from ..stages.describe import PageVisualDescriber
     from ..stages.layout import layout_parse
     from ..stages.tokenize import classify_spans
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
     ds = ds.map_batches(classify_spans, batch_format="pyarrow",
                         batch_size=batch_size)
     ds = ds.map_batches(layout_parse, batch_format="pyarrow",
                         batch_size=batch_size)
     ds = ds.map_batches(PageVisualDescriber, batch_format="pyarrow",
                         batch_size=batch_size,
-                        concurrency=(1, max(2, ncpu // 2)), num_cpus=1)
+                        concurrency=half_pool(), num_cpus=1)
     return ds.map_batches(analyze_content_types_batch, batch_format="pyarrow")
 
 

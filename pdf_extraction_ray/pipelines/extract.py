@@ -77,12 +77,10 @@ def extract_pipeline(ds: Dataset, *, batch_size: int = 256,
                             batch_size=batch_size)
     else:
         if layout_concurrency is None:
-            import ray
-            ncpu = int(ray.cluster_resources().get("CPU", 8)) \
-                if ray.is_initialized() else 8
+            from ..functions.cluster import cluster_cpus
             # min 1 so small sessions never starve the read/write task
             # pools (two pools with min>=2 deadlock a 4-CPU session)
-            layout_concurrency = (1, max(2, ncpu - 2))
+            layout_concurrency = (1, max(2, cluster_cpus() - 2))
         ds = ds.map_batches(LayoutParser, batch_format="pyarrow",
                             batch_size=batch_size,
                             concurrency=layout_concurrency,

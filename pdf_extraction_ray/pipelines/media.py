@@ -29,7 +29,8 @@ def media_table_from_docs(ds: Dataset) -> Dataset:
         parent = as_array(pc.list_parent_indices(spans))
         kind = pc.struct_field(flat, "kind")
         mask = pc.equal(kind, "image")
-        refs = pc.filter(pc.struct_field(flat, "media_ref"), mask).to_pylist()
+        refs = pc.filter(pc.fill_null(pc.struct_field(flat, "media_ref"), ""),
+                         mask).to_pylist()
         docs = pc.take(batch.column("doc_id"),
                        pc.filter(parent, mask)).to_pylist()
         rows = []
@@ -47,13 +48,12 @@ def media_table_from_docs(ds: Dataset) -> Dataset:
 
 def media_features(sf_dir: str):
     """Decode stub features for every media payload (rows-only check)."""
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    from ..functions.cluster import half_pool
     ds = media_table_from_docs(read_docs(_corpus_for(sf_dir)))
     # bytes-bounded batches: payloads are ~260B fakes; real images would
     # push batch_size down to target_bytes/payload_size
     return ds.map_batches(MediaDecoder, batch_format="pyarrow",
-                          batch_size=512, concurrency=(1, max(2, ncpu // 2)),
+                          batch_size=512, concurrency=half_pool(),
                           num_cpus=1,
                           fn_constructor_kwargs={"codec": "stub"})
 

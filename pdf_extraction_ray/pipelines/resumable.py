@@ -28,8 +28,8 @@ import time
 
 import ray
 
-from ..state.manifest import (PartitionManifest, completed_partitions,
-                              data_path, input_fingerprint, read_manifests,
+from ..state.manifest import (PartitionManifest, data_path,
+                              input_fingerprint, read_manifests,
                               write_manifest)
 
 
@@ -51,6 +51,8 @@ def _process_shard(shard: str, out_dir: str, run_id: str,
         dst = data_path(out_dir, partition_id)
         tmp = dst + f".tmp{os.getpid()}"
         pq.write_table(out, tmp)
+        from ..state.manifest import fsync_file
+        fsync_file(tmp)      # data durable BEFORE its ok-manifest exists
         os.replace(tmp, dst)
         n_spans = int(pc.sum(pc.list_value_length(out["spans"])).as_py() or 0)
         m = PartitionManifest(partition_id, run_id, shard, fp, "ok",
@@ -73,14 +75,28 @@ def run_extract_resumable(input_dir: str, out_dir: str, run_id: str = "run0",
     """
     os.makedirs(out_dir, exist_ok=True)
     shards = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
-    done = completed_partitions(out_dir)
+    # one manifest snapshot: deriving 'done' from a second listing would
+    # race against concurrent manifest changes
     manifests = read_manifests(out_dir)
+    done = {pid for pid, m in manifests.items()
+            if m.status == "ok" and os.path.exists(data_path(out_dir, pid))}
+
+    def _safe_stat(p: str) -> int:
+        try:                 # a shard vanishing mid-listing is error-as-data
+            return os.stat(p).st_size
+        except OSError:
+            return 0
+
+    def _safe_fp(p: str) -> str:
+        try:
+            return input_fingerprint(p)
+        except OSError:
+            return "vanished"
 
     todo = []
     for shard in shards:
         pid = os.path.splitext(os.path.basename(shard))[0]
-        if pid in done and manifests[pid].input_fingerprint == \
-                input_fingerprint(shard):
+        if pid in done and manifests[pid].input_fingerprint == _safe_fp(shard):
             continue                             # completed + input unchanged
         todo.append((shard, pid))
     skipped = len(shards) - len(todo)
@@ -88,7 +104,7 @@ def run_extract_resumable(input_dir: str, out_dir: str, run_id: str = "run0",
         todo = todo[:max_partitions]
 
     # largest shards first: the skew guard
-    todo.sort(key=lambda sp: -os.stat(sp[0]).st_size)
+    todo.sort(key=lambda sp: -_safe_stat(sp[0]))
 
     task = ray.remote(num_cpus=1)(_process_shard)
     results = ray.get([task.remote(s, out_dir, run_id, pid)

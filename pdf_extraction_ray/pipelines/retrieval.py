@@ -90,12 +90,11 @@ def rag_topk_contexts(sf_dir: str):
     qmat = embedder.embed(pa.array(EVAL_QUERIES))
     qref = ray.put(qmat)
 
+    from ..functions.cluster import half_pool
     chunks = chunk_documents_ds(sf_dir)
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
     embedded = chunks.map_batches(HashEmbedder, batch_format="pyarrow",
                                   batch_size=1024,
-                                  concurrency=(1, max(2, ncpu // 2)),
+                                  concurrency=half_pool(),
                                   num_cpus=1)
 
     def partial_topk(batch: pa.Table) -> pa.Table:

@@ -45,11 +45,19 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     if args.pipeline == "resumable":
+        for flag, val in (("--limit", args.limit),
+                          ("--skew-bucketing", args.skew_bucketing or None)):
+            if val is not None:
+                print(f"warning: {flag} is ignored by --pipeline resumable",
+                      file=sys.stderr)
         stats = run_extract_resumable(args.input, args.output,
                                       run_id=args.run_id)
     else:
+        if args.pipeline == "analysis" and args.skew_bucketing:
+            print("warning: --skew-bucketing is ignored by --pipeline "
+                  "analysis", file=sys.stderr)
         ds = read_docs(args.input)
-        if args.limit:
+        if args.limit is not None:
             ds = ds.limit(args.limit)
         if args.pipeline == "analysis":
             from .pipelines.analysis import analysis_pipeline

@@ -31,6 +31,10 @@ def read_docs(path: str, **kwargs) -> "ray.data.Dataset":
         raise RuntimeError("lance reader unavailable; use parquet shards")
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(
+                f"no parquet shards in {path!r} (generation incomplete or "
+                "wrong path?)")
         return ray.data.read_parquet(files, **kwargs)
     return ray.data.read_parquet(path, **kwargs)
 

@@ -30,10 +30,17 @@ class HashEmbedder:
 
     def embed(self, texts: pa.Array) -> np.ndarray:
         toks = as_array(pc.split_pattern_regex(
-            pc.utf8_lower(pc.utf8_trim_whitespace(texts)), r"\s+"))
+            pc.utf8_lower(pc.utf8_trim_whitespace(pc.fill_null(texts, ""))),
+            r"\s+"))
         flat = as_array(pc.list_flatten(toks))
         parent = as_array(pc.list_parent_indices(toks)) \
             .to_numpy(zero_copy_only=False)
+        # drop empty tokens (from ""/whitespace docs) — otherwise every
+        # degenerate text embeds to the same unit vector and junk chunks
+        # score cosine 1.0 against each other; empty text -> zero vector
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parent = parent[nonempty]
         out = np.zeros((len(texts), self.dim), dtype=np.float64)
         if len(flat):
             rows = self.proj[hash_strings(flat) % _VOCAB_BUCKETS]

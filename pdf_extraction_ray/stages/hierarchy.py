@@ -26,8 +26,8 @@ def hierarchy_batch(batch: pa.Table) -> pa.Table:
     offsets = list_offsets(spans)
     flat = as_array(pc.list_flatten(spans))
     kind = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
-    off = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
+    off = as_array(pc.fill_null(pc.struct_field(flat, "offset"), 0)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)   # null -> 0 policy
     parent_doc = as_array(pc.list_parent_indices(spans)) \
         .to_numpy(zero_copy_only=False)
 

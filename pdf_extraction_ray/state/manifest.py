@@ -55,14 +55,24 @@ def data_path(out_dir: str, partition_id: str) -> str:
     return os.path.join(out_dir, f"part-{partition_id}.parquet")
 
 
+def fsync_file(path: str) -> None:
+    """Force file contents to stable storage (a manifest must never outlive
+    a power loss that its data file did not survive)."""
+    with open(path, "rb") as f:
+        os.fsync(f.fileno())
+
+
 def write_manifest(out_dir: str, m: PartitionManifest) -> None:
-    """Atomic write (tmp + rename), AFTER the partition data file exists —
-    a manifest therefore proves its data file is complete."""
+    """Durable atomic write (tmp + fsync + rename), AFTER the partition
+    data file exists and is fsynced — a manifest therefore proves its data
+    file is complete, even across power loss."""
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
     p = manifest_path(out_dir, m.partition_id)
     tmp = p + f".tmp{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(asdict(m), f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, p)
 
 
