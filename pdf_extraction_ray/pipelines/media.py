@@ -5,6 +5,8 @@ plumbing is exactly what real decode needs."""
 
 from __future__ import annotations
 
+import hashlib
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -35,8 +37,11 @@ def media_table_from_docs(ds: Dataset) -> Dataset:
                        pc.filter(parent, mask)).to_pylist()
         rows = []
         for doc, ref in zip(docs, refs):
+            # Type by a hash of the FULL ref: generator refs end only in
+            # -0/-1, so any suffix-derived typing silently never yields
+            # "video" (round-1 bug: media_frames was always empty).
             mt = ["image", "audio", "video"][
-                int.from_bytes(ref.encode()[-2:], "big") % 3]
+                hashlib.sha1(ref.encode()).digest()[0] % 3]
             rows.append({
                 "doc_id": doc, "media_ref": ref, "media_type": mt,
                 "payload": synth_payload(ref, mt),
@@ -46,26 +51,36 @@ def media_table_from_docs(ds: Dataset) -> Dataset:
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
-def media_features(sf_dir: str):
-    """Decode stub features for every media payload (rows-only check)."""
+def features_pipeline(ds: Dataset) -> Dataset:
+    """Decode stub features for every media payload in a docs Dataset."""
     from ..functions.cluster import half_pool
-    ds = media_table_from_docs(read_docs(_corpus_for(sf_dir)))
+    media = media_table_from_docs(ds)
     # bytes-bounded batches: payloads are ~260B fakes; real images would
     # push batch_size down to target_bytes/payload_size
-    return ds.map_batches(MediaDecoder, batch_format="pyarrow",
-                          batch_size=512, concurrency=half_pool(),
-                          num_cpus=1,
-                          fn_constructor_kwargs={"codec": "stub"})
+    return media.map_batches(MediaDecoder, batch_format="pyarrow",
+                             batch_size=512, concurrency=half_pool(),
+                             num_cpus=1,
+                             fn_constructor_kwargs={"codec": "stub"})
 
 
-def media_frames(sf_dir: str):
+def frames_pipeline(ds: Dataset) -> Dataset:
     """Frame sampling over decoded video rows (flat explode)."""
-    feats = media_features(sf_dir)
+    feats = features_pipeline(ds)
     vids = feats.map_batches(
         lambda t: t.filter(pc.equal(t["media_type"], "video")),
         batch_format="pyarrow")
     return vids.map_batches(FrameSampler, batch_format="pyarrow",
                             batch_size=512, concurrency=(1, 2), num_cpus=1)
+
+
+def media_features(sf_dir: str):
+    """Decode stub features for every media payload (rows-only check)."""
+    return features_pipeline(read_docs(_corpus_for(sf_dir)))
+
+
+def media_frames(sf_dir: str):
+    """Frame sampling over decoded video rows (flat explode)."""
+    return frames_pipeline(read_docs(_corpus_for(sf_dir)))
 
 
 MEDIA_QUERIES: dict[str, tuple] = {

@@ -1,0 +1,75 @@
+"""Media pipeline tests: frame-sampler semantics and the planted-video
+invariant (round-1 bug: suffix-derived typing never produced "video", so
+``media_frames`` was silently always empty — these tests pin the fix)."""
+
+import glob
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_extraction_ray.stages.multimodal import FrameSampler
+
+
+def test_frame_sampler_stride_ceil():
+    """ceil(n_frames / stride) frames per row, indices 0, s, 2s, ..."""
+    batch = pa.table({
+        "doc_id": ["d1", "d2", "d3"],
+        "media_ref": ["m1", "m2", "m3"],
+        "media_type": ["video"] * 3,
+        "n_frames": pa.array([1, 8, 17], type=pa.int32()),
+    })
+    out = FrameSampler(stride=8)(batch)
+    per_doc = {}
+    for d in out.column("doc_id").to_pylist():
+        per_doc[d] = per_doc.get(d, 0) + 1
+    assert per_doc == {"d1": 1, "d2": 1, "d3": 3}
+    d3 = out.filter(pc.equal(out["doc_id"], "d3"))
+    assert d3.column("frame_index").to_pylist() == [0, 8, 16]
+    assert d3.column("frame_ref").to_pylist() == [
+        "m3#frame=0", "m3#frame=8", "m3#frame=16"]
+
+
+def test_frame_sampler_empty_batch_stable_schema():
+    batch = pa.table({
+        "doc_id": pa.array([], type=pa.string()),
+        "media_ref": pa.array([], type=pa.string()),
+        "n_frames": pa.array([], type=pa.int32()),
+    })
+    out = FrameSampler()(batch)
+    assert out.num_rows == 0
+    assert out.column_names == ["doc_id", "frame_ref", "frame_index"]
+
+
+@pytest.fixture(scope="module")
+def media_corpus(ray_session):
+    from pdf_extraction_ray.fixtures import ensure_corpus
+    return ensure_corpus("media_t", 7, 300)
+
+
+def test_media_types_cover_all_three(media_corpus):
+    """Full-ref-hash typing must yield image, audio AND video."""
+    from pdf_extraction_ray.pipelines.media import media_table_from_docs
+    from pdf_extraction_ray.sources.io import read_docs
+    media = media_table_from_docs(read_docs(media_corpus))
+    types = set(
+        media.groupby("media_type").count().to_pandas()["media_type"])
+    assert types == {"image", "audio", "video"}
+
+
+def test_media_frames_nonempty_one_plus_per_video(media_corpus):
+    """Every decoded video row yields >=1 frame row; counts obey
+    ceil(n_frames / stride) with the default stride."""
+    from pdf_extraction_ray.pipelines.media import (features_pipeline,
+                                                    frames_pipeline)
+    from pdf_extraction_ray.sources.io import read_docs
+    feats = features_pipeline(read_docs(media_corpus)).to_pandas()
+    vids = feats[feats.media_type == "video"]
+    assert len(vids) > 0, "corpus must plant videos"
+    frames = frames_pipeline(read_docs(media_corpus)).to_pandas()
+    assert len(frames) > 0
+    expected = int(((vids.n_frames + 7) // 8).sum())  # default stride=8
+    assert len(frames) == expected
+    # frame refs are unique and parse back to their media refs
+    assert frames.frame_ref.is_unique
