@@ -29,7 +29,6 @@ from ..functions import hashing as H
 
 MINHASH_JACCARD_THRESHOLD = 0.7
 SIMHASH_MAX_HAMMING = 3
-EMBED_COSINE_THRESHOLD = 0.95
 
 
 def _docs(sf_dir: str):
@@ -154,37 +153,127 @@ def dedup_simhash(sf_dir: str):
             .sort(["doc_a", "doc_b"]))
 
 
-def dedup_embedding_cosine(sf_dir: str):
-    """Embedding near-dup: brute-force cosine >= 0.95 pairs. The all-pairs
-    matmul runs per batch against a broadcast matrix (fine to ~1e5 rows);
-    the scale path is the IVF variant in ``similarity.py`` (bucket by
-    nearest centroid, compare within buckets)."""
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ids = emb["vec_id"].to_numpy()
-    ref = ray.put((mat, ids))
+EMBED_COSINE_THRESHOLD_X1E6 = 950_000   # near-dup decision (0.95)
+PAIRS_COSINE_THRESHOLD_X1E6 = 400_000   # non-vacuous oracle twin (0.40)
+IVF_ASSIGN = 2                          # buckets each vector lands in
+
+_EMPTY_PAIRS = {"vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine_x1e6": pd.Series([], dtype="int64")}
+
+
+def _label_centroids(sf_dir: str) -> np.ndarray:
+    """Normalized per-label centroids via a distributed partial-sum pass
+    (each block contributes (label, count, component sums); the driver
+    only ever sees nlabels x ndims partials — scale-safe)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq))
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(counts.astype(np.int64)),
+             pa.array(list(sums))],
+            names=["label", "count", "sums"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("label").apply(
+        lambda g: pd.Series({"count": g["count"].sum(),
+                             "sums": np.sum(np.stack(g["sums"]), axis=0)}),
+        include_groups=False).sort_index()
+    cents = np.stack(agg["sums"]) / agg["count"].to_numpy()[:, None]
+    return cents / np.maximum(
+        np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
+def dedup_embedding_cosine(sf_dir: str,
+                           threshold_x1e6: int = EMBED_COSINE_THRESHOLD_X1E6):
+    """Embedding near-dup pairs, fixed-point cosine >= 0.95 — IVF-bucketed
+    scale path: each vector is assigned to its IVF_ASSIGN nearest label
+    centroids, all-pairs comparison runs only WITHIN a bucket, and the
+    shuffle moves (bucket, vec_id, quantized vector) rows — never a
+    broadcast of the whole matrix. A true near-dup pair (cosine >= 0.95)
+    shares its nearest centroids for any non-degenerate quantizer, so the
+    result matches the exact self-join the oracle computes (the subset
+    property also means IVF can never ADD a false pair).
+
+    Oracle: DuckDB self-join on the identical fixed-point kernel
+    (``functions.vectors``). Output: (vec_a, vec_b, cosine_x1e6)."""
+    from ..functions import vectors as V
+
+    cents_ref = ray.put(_label_centroids(sf_dir))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        q = V.quantize_batch(batch)
+        m = q.astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sim = m @ cents.T
+        top = np.argsort(-sim, axis=1, kind="stable")[:, :IVF_ASSIGN]
+        n = len(q)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(top.reshape(-1).astype(np.int64)),
+             pa.array(np.repeat(ids, IVF_ASSIGN)),
+             pa.array(list(np.repeat(q, IVF_ASSIGN, axis=0)))],
+            names=["bucket", "vec_id", "qvec"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        q = np.stack(g["qvec"].to_numpy()).astype(np.int64)
+        ids = g["vec_id"].to_numpy()
+        va, vb, cos = V.cosine_pairs_block(ids, q, ids, q, threshold_x1e6)
+        return pd.DataFrame({"vec_a": pd.Series(va, dtype="int64"),
+                             "vec_b": pd.Series(vb, dtype="int64"),
+                             "cosine_x1e6": pd.Series(cos, dtype="int64")})
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    out = (ds.map_batches(assign, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(pairs, batch_format="pandas")
+           .to_pandas())        # verified near-dup pair set: small result
+    if len(out) == 0:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    # a pair can surface from both of its shared buckets
+    return (out.drop_duplicates(["vec_a", "vec_b"])
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+
+
+def embedding_cosine_pairs(sf_dir: str):
+    """Exact all-pairs fixed-point cosine >= 0.40 — the brute-force
+    baseline (per-batch block vs a broadcast quantized matrix, O(N^2):
+    the small-side reference implementation the IVF path is checked
+    against; the threshold is low enough to yield real rows at every sf,
+    making this the NON-VACUOUS value-level oracle of the cosine kernel
+    (at 0.95 the synthetic embeddings have no pairs at all)."""
+    from ..functions import vectors as V
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    qmat = V.quantize(np.stack(emb["embedding"].to_numpy()))
+    ref = ray.put((qmat, emb["vec_id"].to_numpy()))
 
     def fn(batch: pa.Table) -> pa.Table:
         amat, aids = ray.get(ref)
-        v = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
-            .astype(np.float64)
-        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        cos = v @ amat.T
-        bi, aj = np.nonzero(cos >= EMBED_COSINE_THRESHOLD)
-        vb = batch["vec_id"].to_numpy(zero_copy_only=False)[bi]
-        va = aids[aj]
-        keep = vb < va                     # each unordered pair once
+        q = V.quantize_batch(batch)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        va, vb, cos = V.cosine_pairs_block(
+            ids, q, aids, amat, PAIRS_COSINE_THRESHOLD_X1E6)
         return pa.Table.from_arrays(
-            [pa.array(vb[keep], type=pa.int64()),
-             pa.array(va[keep], type=pa.int64()),
-             pa.array((cos[bi, aj][keep] * 1e6).astype(np.int64))],
+            [pa.array(va, type=pa.int64()), pa.array(vb, type=pa.int64()),
+             pa.array(cos, type=pa.int64())],
             names=["vec_a", "vec_b", "cosine_x1e6"])
 
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
     return ds.map_batches(fn, batch_format="pyarrow").sort(["vec_a", "vec_b"])
 
 
@@ -280,10 +369,18 @@ def dedup_clusters(sf_dir: str):
         .astype("int64").sort_values("doc_id").reset_index(drop=True)
 
 
+def _pairs_sql(threshold: int) -> str:
+    from ..functions.vectors import pairs_sql
+    return pairs_sql(threshold)
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
-    "dedup_embedding_cosine": (dedup_embedding_cosine, None),
+    "dedup_embedding_cosine": (dedup_embedding_cosine,
+                               _pairs_sql(EMBED_COSINE_THRESHOLD_X1E6)),
+    "embedding_cosine_pairs": (embedding_cosine_pairs,
+                               _pairs_sql(PAIRS_COSINE_THRESHOLD_X1E6)),
     "dedup_fingerprint_jaccard": (dedup_fingerprint_jaccard, None),
     "dedup_clusters": (dedup_clusters, None),
 }

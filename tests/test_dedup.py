@@ -138,3 +138,68 @@ def test_dedup_clusters_transitive(tmp_path):
     reps = dict(zip(out.doc_id, out.cluster_rep))
     assert reps.get(0) == 0 and reps.get(1) == 0 and reps.get(2) == 0
     assert 3 not in reps
+
+
+def make_embeddings_parquet(tmp_path, n=200, d=64, n_labels=8, planted=3):
+    """Label-clustered embeddings + `planted` near-identical pairs (the
+    duplicate of vec i gets id n+j). Returns (dir, expected_pair_set)."""
+    rng = np.random.default_rng(11)
+    cents = rng.normal(size=(n_labels, d)) * 3.0
+    labels = rng.integers(0, n_labels, size=n)
+    vecs = cents[labels] + rng.normal(size=(n, d)) * 0.4
+    dup_of = rng.choice(n, size=planted, replace=False)
+    dups = vecs[dup_of] + rng.normal(size=(planted, d)) * 0.01
+    all_vecs = np.vstack([vecs, dups]).astype(np.float32)
+    all_labels = np.concatenate([labels, labels[dup_of]]).astype(np.int32)
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(all_vecs), dtype=np.int64),
+        "embedding": list(all_vecs),
+        "label": all_labels})
+    out = tmp_path / "emb"; out.mkdir()
+    df.to_parquet(out / "embeddings.parquet")
+    expected = {(int(i), int(n + j)) for j, i in enumerate(dup_of)}
+    return str(out), expected, all_vecs
+
+
+def _exact_pairs_x1e6(vecs, threshold):
+    """Reference all-pairs fixed-point cosine (numpy, no Ray)."""
+    from pdf_extraction_ray.functions import vectors as V
+    q = V.quantize(vecs.astype(np.float64))
+    cos = V.cosine_x1e6(q, q)
+    ai, bj = np.nonzero(np.triu(cos >= threshold, k=1))
+    return {(int(a), int(b)) for a, b in zip(ai, bj)}, cos
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_cosine_dedup_finds_planted_pairs(tmp_path):
+    from pdf_extraction_ray.pipelines.dedup import (
+        EMBED_COSINE_THRESHOLD_X1E6, dedup_embedding_cosine)
+    d, expected, vecs = make_embeddings_parquet(tmp_path)
+    out = _df(dedup_embedding_cosine(d))
+    found = set(map(tuple, out[["vec_a", "vec_b"]].to_numpy()))
+    assert expected <= found, f"missing planted pairs: {expected - found}"
+    # IVF agreement with the exact brute-force kernel (subset property
+    # means IVF can't add pairs; this checks it didn't DROP any either)
+    exact, cos = _exact_pairs_x1e6(vecs, EMBED_COSINE_THRESHOLD_X1E6)
+    assert found == exact
+    # reported cosine values match the kernel exactly
+    for _, r in out.iterrows():
+        assert r["cosine_x1e6"] == cos[r["vec_a"], r["vec_b"]]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_cosine_pairs_matches_duckdb_oracle(tmp_path):
+    """Bit-exact fixed-point parity of the exact path vs DuckDB on a
+    low threshold that yields real rows."""
+    import duckdb
+    from pdf_extraction_ray.functions.vectors import pairs_sql
+    from pdf_extraction_ray.pipelines.dedup import (
+        PAIRS_COSINE_THRESHOLD_X1E6, embedding_cosine_pairs)
+    d, _, _ = make_embeddings_parquet(tmp_path)
+    ray_df = _df(embedding_cosine_pairs(d)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet')")
+    duck = con.sql(pairs_sql(PAIRS_COSINE_THRESHOLD_X1E6)).df()
+    assert len(ray_df) > 0, "threshold must yield real rows"
+    pd.testing.assert_frame_equal(ray_df, duck, check_dtype=False)
