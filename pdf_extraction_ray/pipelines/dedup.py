@@ -12,8 +12,9 @@ Scale shape (the part that matters at 10^12 docs):
 - the only shuffle moves ``(band_id, band_hash, doc_id)`` rows — never
   text, never signatures;
 - candidate groups are tiny (docs sharing a band bucket), so per-group
-  pairwise verification is cheap; texts for verification are re-fetched
-  via broadcast at test scale, hash-partitioned re-join at real scale.
+  pairwise verification is cheap; texts for verification are re-joined
+  to the candidate pairs through the same coarse hash exchange
+  (``_verify_pairs_jaccard``) — never broadcast, never driver-held.
 """
 
 from __future__ import annotations
@@ -36,13 +37,211 @@ def _docs(sf_dir: str):
                            columns=["doc_id", "text"])
 
 
+_EMPTY_VERIFIED = {"doc_a": pd.Series([], dtype="int64"),
+                   "doc_b": pd.Series([], dtype="int64"),
+                   "jaccard_x1e6": pd.Series([], dtype="int64")}
+
+
+def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
+                          n_coarse: int = 64,
+                          max_broadcast_ids: int = 5_000_000,
+                          max_broadcast_bytes: int = 256 << 20) -> pd.DataFrame:
+    """Jaccard-verify candidate (doc_a, doc_b) pairs WITHOUT broadcasting
+    corpus text: texts ship through the same coarse hash exchange as the
+    pairs, in two stages — attach text_a keyed on doc_a, then attach
+    text_b and verify keyed on doc_b — so no single process ever holds
+    more than one hash partition of text (the round-1 design put the
+    ENTIRE corpus dict in one ``ray.put``, a driver OOM at 10^12 docs).
+
+    Pair dedup is free in stage 1: a pair surfacing from several LSH
+    bands always hashes to the same doc_a partition.
+
+    Cost control, adaptive by measured size (never whole-corpus):
+    1. candidate DOC-ID set small (ints only, ``max_broadcast_ids``) ->
+       semi-join texts to it so only candidate docs' text moves at all;
+    2. semi-joined text side ALSO small in bytes
+       (``max_broadcast_bytes``) -> broadcast that bounded small side
+       and verify with zero exchanges (idiomatic small-side join);
+    3. otherwise -> the two-stage hash exchange below, where the text
+       stream is scan-shaped and spillable and no process ever holds
+       more than one partition.
+
+    Returns the verified pair set (small by the near-dup-density
+    argument) as a sorted DataFrame (doc_a, doc_b, jaccard_x1e6)."""
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array((a % n_coarse).astype(np.int64)),
+             pa.array(np.zeros(n, dtype=np.int8)),
+             batch["doc_a"], batch["doc_b"],
+             pa.array([""] * n, type=pa.string()),
+             pa.array([""] * n, type=pa.string())],
+            names=["_coarse", "side", "doc_a", "doc_b", "text_a", "payload"])
+
+    def tag_texts(key_col: str):
+        other = "doc_b" if key_col == "doc_a" else "doc_a"
+
+        def tag(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            cols = {"_coarse": pa.array((ids % n_coarse).astype(np.int64)),
+                    "side": pa.array(np.ones(n, dtype=np.int8)),
+                    key_col: batch["doc_id"],
+                    other: pa.array(np.full(n, -1, dtype=np.int64)),
+                    "text_a": pa.array([""] * n, type=pa.string()),
+                    "payload": batch["text"]}
+            order = ["_coarse", "side", "doc_a", "doc_b", "text_a", "payload"]
+            return pa.Table.from_arrays([cols[c] for c in order], names=order)
+
+        return tag
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        if p.empty:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "text_a": pd.Series([], dtype="string")})
+        t = g[g["side"] == 1]
+        tmap = dict(zip(t["doc_a"], t["payload"]))
+        p = p.drop_duplicates(["doc_a", "doc_b"])
+        return pd.DataFrame({
+            "doc_a": p["doc_a"].astype("int64").to_numpy(),
+            "doc_b": p["doc_b"].astype("int64").to_numpy(),
+            "text_a": pd.array(
+                [tmap.get(a, "") for a in p["doc_a"]], dtype="string")})
+
+    def tag_stage1(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array((b % n_coarse).astype(np.int64)),
+             pa.array(np.zeros(n, dtype=np.int8)),
+             batch["doc_a"], batch["doc_b"], batch["text_a"],
+             pa.array([""] * n, type=pa.string())],
+            names=["_coarse", "side", "doc_a", "doc_b", "text_a", "payload"])
+
+    def verify_b(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        if p.empty:
+            return pd.DataFrame(_EMPTY_VERIFIED)
+        t = g[g["side"] == 1]
+        tmap = dict(zip(t["doc_b"], t["payload"]))
+        ngrams: dict[int, set] = {}      # per-partition memo: a doc in m
+                                         # pairs shingles once, not m times
+        def ng_b(doc):
+            s = ngrams.get(doc)
+            if s is None:
+                s = ngrams[doc] = H.word_ngrams(tmap.get(doc, ""))
+            return s
+
+        ngrams_a: dict[int, set] = {}
+
+        def ng_a(doc, text):
+            s = ngrams_a.get(doc)
+            if s is None:
+                s = ngrams_a[doc] = H.word_ngrams(text)
+            return s
+
+        out = []
+        for a, b, ta in zip(p["doc_a"], p["doc_b"], p["text_a"]):
+            j = H.jaccard(ng_a(a, ta), ng_b(b))
+            if j >= threshold:
+                out.append((int(a), int(b), int(j * 1e6)))
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_x1e6"]) \
+            .astype("int64")
+
+    # materialize once: candidates feed both the id-set extraction and
+    # the pair exchange; recomputing them would re-run the signature pass
+    cand = cand.materialize()
+
+    def block_ids(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate(
+            [batch["doc_a"].to_numpy(zero_copy_only=False),
+             batch["doc_b"].to_numpy(zero_copy_only=False)]))
+        return pa.Table.from_arrays([pa.array(u.astype(np.int64))],
+                                    names=["doc_id"])
+
+    # single pass, per-block partial unique -> tiny driver concat (vs two
+    # full Aggregate shuffles from Dataset.unique)
+    cand_ids = np.unique(
+        cand.map_batches(block_ids, batch_format="pyarrow")
+        .to_pandas()["doc_id"].to_numpy())
+
+    texts = _docs(sf_dir)
+    texts_filtered = False
+    if len(cand_ids) <= max_broadcast_ids:
+        ids_ref = ray.put(cand_ids)        # ints only — cheap broadcast
+
+        def semi(batch: pa.Table) -> pa.Table:
+            keep = np.isin(batch["doc_id"].to_numpy(zero_copy_only=False),
+                           ray.get(ids_ref))
+            return batch.filter(pa.array(keep))
+
+        # candidate docs' text is small; materialize so the exchange
+        # stages read the filtered table instead of re-scanning parquet
+        texts = (texts.map_batches(semi, batch_format="pyarrow")
+                 .materialize())
+        texts_filtered = True
+
+    if texts_filtered and texts.size_bytes() <= max_broadcast_bytes:
+        # fast path: the SEMI-JOINED text side is a bounded small side —
+        # broadcast it (the idiomatic Ray small-side join) and verify
+        # with zero exchanges. This is NOT the round-1 whole-corpus
+        # broadcast: only candidate docs' text, with a byte cap.
+        tdf = texts.to_pandas()
+        tref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
+
+        def verify_bc(batch: pd.DataFrame) -> pd.DataFrame:
+            if len(batch) == 0:
+                return pd.DataFrame(_EMPTY_VERIFIED)
+            tmap = ray.get(tref)
+            ngrams: dict[int, set] = {}
+            def ng(doc):
+                s = ngrams.get(doc)
+                if s is None:
+                    s = ngrams[doc] = H.word_ngrams(tmap.get(doc, ""))
+                return s
+            out = []
+            for a, b in zip(batch["doc_a"], batch["doc_b"]):
+                j = H.jaccard(ng(a), ng(b))
+                if j >= threshold:
+                    out.append((int(a), int(b), int(j * 1e6)))
+            return pd.DataFrame(out,
+                                columns=["doc_a", "doc_b", "jaccard_x1e6"]) \
+                .astype("int64")
+
+        verified = cand.map_batches(verify_bc,
+                                    batch_format="pandas").to_pandas()
+        if len(verified) == 0:
+            return pd.DataFrame(_EMPTY_VERIFIED)
+        # a pair can surface from several bands -> several partitions
+        return (verified.drop_duplicates(["doc_a", "doc_b"])
+                .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    # scale path: two-stage hash exchange; no process holds more than one
+    # partition of text
+    stage1 = (cand.map_batches(tag_pairs, batch_format="pyarrow")
+              .union(texts.map_batches(tag_texts("doc_a"),
+                                       batch_format="pyarrow"))
+              .groupby("_coarse").map_groups(attach_a, batch_format="pandas"))
+    verified = (stage1.map_batches(tag_stage1, batch_format="pyarrow")
+                .union(texts.map_batches(tag_texts("doc_b"),
+                                         batch_format="pyarrow"))
+                .groupby("_coarse").map_groups(verify_b,
+                                               batch_format="pandas")
+                .to_pandas())            # small verified pair set
+    if len(verified) == 0:
+        return pd.DataFrame(_EMPTY_VERIFIED)
+    return (verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
 def dedup_minhash_lsh(sf_dir: str):
     """MinHash(128) + LSH(16 bands x 8 rows) candidate pairs, verified by
-    word-3-gram Jaccard >= 0.7. Output: (doc_a, doc_b, jaccard_x1e6)."""
-    texts_ref = ray.put(pd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .set_index("doc_id")["text"].to_dict())
-
+    word-3-gram Jaccard >= 0.7 through the partitioned text re-join
+    (``_verify_pairs_jaccard`` — no whole-corpus broadcast anywhere).
+    Output: (doc_a, doc_b, jaccard_x1e6)."""
     N_COARSE = 256      # coarse shuffle partitions: the exchange key is
                         # band_hash % N_COARSE (constant group count at any
                         # scale); exact (band_id, band_hash) grouping runs
@@ -82,38 +281,7 @@ def dedup_minhash_lsh(sf_dir: str):
             .groupby("coarse")
             .map_groups(pairs, batch_format="pandas"))
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "jaccard_x1e6": pd.Series([], dtype="int64")})
-        texts = ray.get(texts_ref)
-        ngrams: dict[int, set] = {}       # per-batch memo: a doc in m pairs
-                                          # shingles once, not m times
-        def ng(doc):
-            s = ngrams.get(doc)
-            if s is None:
-                s = ngrams[doc] = H.word_ngrams(texts[doc])
-            return s
-
-        out = []
-        for a, b in zip(batch["doc_a"], batch["doc_b"]):
-            j = H.jaccard(ng(a), ng(b))
-            if j >= MINHASH_JACCARD_THRESHOLD:
-                out.append((int(a), int(b), int(j * 1e6)))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_x1e6"]) \
-            .astype("int64")
-
-    # a pair can surface from several bands; the VERIFIED pair set is a
-    # small result (near-dup density is low by definition), so the final
-    # dedup/sort runs driver-side instead of paying another shuffle
-    verified = cand.map_batches(verify, batch_format="pandas").to_pandas()
-    if len(verified) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard_x1e6": pd.Series([], dtype="int64")})
-    return (verified.drop_duplicates(["doc_a", "doc_b"])
-            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    return _verify_pairs_jaccard(cand, sf_dir, MINHASH_JACCARD_THRESHOLD)
 
 
 def dedup_simhash(sf_dir: str):
@@ -284,12 +452,10 @@ def dedup_fingerprint_jaccard(sf_dir: str):
     """N-gram Jaccard dedup with winnowing-fingerprint blocking: docs
     sharing a rolling-hash fingerprint (functions.hashing.rolling_
     fingerprint) become candidates; candidates verify by word-3-gram
-    Jaccard >= 0.5. A different recall/cost point than MinHash-LSH
-    (single int64 blocking key -> one cheap exchange; misses dups whose
-    minimal window changed). Output: (doc_a, doc_b, jaccard_x1e6)."""
-    texts_ref = ray.put(pd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .set_index("doc_id")["text"].to_dict())
+    Jaccard >= 0.5 through the partitioned text re-join (no broadcast).
+    A different recall/cost point than MinHash-LSH (single int64
+    blocking key -> one cheap exchange; misses dups whose minimal window
+    changed). Output: (doc_a, doc_b, jaccard_x1e6)."""
 
     def keyed(batch: pa.Table) -> pa.Table:
         text = batch["text"].combine_chunks() \
@@ -299,39 +465,28 @@ def dedup_fingerprint_jaccard(sf_dir: str):
                                     names=["fingerprint", "doc_id"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(texts_ref)
-        ngrams: dict[int, set] = {}       # per-batch memo (see minhash verify)
-
-        def ng(doc):
-            s = ngrams.get(doc)
-            if s is None:
-                s = ngrams[doc] = H.word_ngrams(texts[doc])
-            return s
-
-        out = []
+        out_a, out_b = [], []
         for _, grp in g.groupby("fingerprint"):
             ids = sorted(grp["doc_id"].unique())
             for i, a in enumerate(ids):
                 for b in ids[i + 1:]:
-                    j = H.jaccard(ng(a), ng(b))
-                    if j >= NGRAM_JACCARD_THRESHOLD:
-                        out.append((int(a), int(b), int(j * 1e6)))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_x1e6"]) \
-            .astype("int64")
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
 
     def coarse(batch: pa.Table) -> pa.Table:
         c = (batch["fingerprint"].to_numpy(zero_copy_only=False)
              .view(np.uint64) % np.uint64(64)).astype(np.int64)
         return batch.append_column("coarse", pa.array(c))
 
-    return (keyed_ds.map_batches(coarse, batch_format="pyarrow")
+    cand = (_docs(sf_dir)
+            .map_batches(keyed, batch_format="pyarrow")
+            .map_batches(coarse, batch_format="pyarrow")
             .groupby("coarse")
-            .map_groups(pairs, batch_format="pandas")
-            .sort(["doc_a", "doc_b"]))
+            .map_groups(pairs, batch_format="pandas"))
+
+    return _verify_pairs_jaccard(cand, sf_dir, NGRAM_JACCARD_THRESHOLD)
 
 
 def dedup_clusters(sf_dir: str):

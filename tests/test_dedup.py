@@ -203,3 +203,24 @@ def test_embedding_cosine_pairs_matches_duckdb_oracle(tmp_path):
     duck = con.sql(pairs_sql(PAIRS_COSINE_THRESHOLD_X1E6)).df()
     assert len(ray_df) > 0, "threshold must yield real rows"
     pd.testing.assert_frame_equal(ray_df, duck, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_verify_scale_path_matches_broadcast(tmp_path):
+    """Forcing the two-stage hash-exchange path (thresholds=0) must give
+    the same verified pairs as the broadcast fast path."""
+    import ray.data as rd
+    from pdf_extraction_ray.pipelines.dedup import _verify_pairs_jaccard
+    d = make_docs_parquet(tmp_path)
+    cand = rd.from_pandas(pd.DataFrame({
+        "doc_a": pd.Series([0, 1, 2, 0], dtype="int64"),
+        "doc_b": pd.Series([40, 41, 3, 40], dtype="int64")}))  # dup pair
+    fast = _verify_pairs_jaccard(cand, d, 0.7)
+    cand2 = rd.from_pandas(pd.DataFrame({
+        "doc_a": pd.Series([0, 1, 2, 0], dtype="int64"),
+        "doc_b": pd.Series([40, 41, 3, 40], dtype="int64")}))
+    scale = _verify_pairs_jaccard(cand2, d, 0.7, max_broadcast_bytes=0)
+    pd.testing.assert_frame_equal(fast, scale)
+    found = set(map(tuple, fast[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 40) in found and (1, 41) in found and (2, 3) not in found
+    assert len(fast) == len(fast.drop_duplicates(["doc_a", "doc_b"]))
