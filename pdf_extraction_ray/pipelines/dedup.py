@@ -489,17 +489,147 @@ def dedup_fingerprint_jaccard(sf_dir: str):
     return _verify_pairs_jaccard(cand, sf_dir, NGRAM_JACCARD_THRESHOLD)
 
 
+def _clusters_distributed(pairs: pd.DataFrame, n_coarse: int = 64,
+                          max_rounds: int = 64) -> pd.DataFrame:
+    """Distributed min-label propagation (connected components) over the
+    near-dup edge set: per round, attach each endpoint's current label to
+    the edge via a hash exchange, take the edge minimum, explode it back
+    to both endpoints, and groupby-min per node. Labels only decrease, so
+    a stable label SUM (one cheap scalar aggregate per round) certifies
+    convergence; rounds are O(log diameter). This is the groupby form the
+    driver path mirrors — no process ever holds the full node set."""
+    edges = rd.from_pandas(
+        pairs[["doc_a", "doc_b"]].astype("int64")).repartition(8) \
+        .materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        n = np.concatenate([batch["doc_a"].to_numpy(zero_copy_only=False),
+                            batch["doc_b"].to_numpy(zero_copy_only=False)])
+        u = np.unique(n)
+        return pa.Table.from_arrays([pa.array(u), pa.array(u)],
+                                    names=["node", "lab"])
+
+    def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["node", "lab"]].drop_duplicates("node").astype("int64")
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        k = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array((k % n_coarse).astype(np.int64)),
+             batch["node"], batch["lab"]],
+            names=["_coarse", "node", "lab"])
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+              .map_batches(add_coarse, batch_format="pyarrow")
+              .groupby("_coarse")
+              .map_groups(dedup_nodes, batch_format="pandas")
+              .materialize())
+
+    def _attach(edge_like, label_ds, key_col, label_out, edge_cols):
+        """Attach labels[key_col] onto edge rows through one coarse
+        exchange (side-tagged union, same pattern as the dedup text
+        re-join)."""
+
+        def tag_e(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].to_numpy(zero_copy_only=False)
+            n = len(batch)
+            arrs = [pa.array((k % n_coarse).astype(np.int64)),
+                    pa.array(np.zeros(n, dtype=np.int8))]
+            names = ["_coarse", "side"]
+            for c in edge_cols:
+                arrs.append(batch[c])
+                names.append(c)
+            arrs.append(pa.array(np.full(n, -1, dtype=np.int64)))
+            names.append(label_out)
+            return pa.Table.from_arrays(arrs, names=names)
+
+        def tag_l(batch: pa.Table) -> pa.Table:
+            k = batch["node"].to_numpy(zero_copy_only=False)
+            n = len(batch)
+            arrs = [pa.array((k % n_coarse).astype(np.int64)),
+                    pa.array(np.ones(n, dtype=np.int8))]
+            names = ["_coarse", "side"]
+            for c in edge_cols:
+                arrs.append(batch["node"] if c == key_col
+                            else pa.array(np.full(n, -1, dtype=np.int64)))
+                names.append(c)
+            arrs.append(batch["lab"])
+            names.append(label_out)
+            return pa.Table.from_arrays(arrs, names=names)
+
+        out_cols = list(edge_cols) + [label_out]
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[g["side"] == 0]
+            if e.empty:
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype="int64") for c in out_cols})
+            lmap = dict(zip(g.loc[g["side"] == 1, key_col],
+                            g.loc[g["side"] == 1, label_out]))
+            out = {c: e[c].astype("int64").to_numpy() for c in edge_cols}
+            out[label_out] = e[key_col].map(lmap).astype("int64").to_numpy()
+            return pd.DataFrame(out)
+
+        return (edge_like.map_batches(tag_e, batch_format="pyarrow")
+                .union(label_ds.map_batches(tag_l, batch_format="pyarrow"))
+                .groupby("_coarse").map_groups(attach, batch_format="pandas"))
+
+    def updates(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        m = np.minimum(batch["la"].to_numpy(zero_copy_only=False),
+                       batch["lb"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([a, b])),
+             pa.array(np.concatenate([m, m]))],
+            names=["node", "lab"])
+
+    def node_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False)["lab"].min().astype("int64")
+
+    prev_sum = labels.sum("lab")
+    for _ in range(max_rounds):
+        with_la = _attach(edges, labels, "doc_a", "la",
+                          ["doc_a", "doc_b"])
+        with_lb = _attach(with_la, labels, "doc_b", "lb",
+                          ["doc_a", "doc_b", "la"])
+        labels = (with_lb.map_batches(updates, batch_format="pyarrow")
+                  .union(labels.select_columns(["node", "lab"]))
+                  .map_batches(add_coarse, batch_format="pyarrow")
+                  .groupby("_coarse").map_groups(node_min,
+                                                 batch_format="pandas")
+                  # bound block count: without this the union+sort output
+                  # blocks COMPOUND round over round and each round gets
+                  # slower than the last
+                  .repartition(n_coarse)
+                  .materialize())
+        cur = labels.sum("lab")
+        if cur == prev_sum:          # labels only decrease: stable == done
+            break
+        prev_sum = cur
+
+    out = labels.to_pandas()         # cluster membership: small result
+    return (pd.DataFrame({"doc_id": out["node"].astype("int64"),
+                          "cluster_rep": out["lab"].astype("int64")})
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+DISTRIBUTED_CLUSTER_THRESHOLD = 100_000
+
+
 def dedup_clusters(sf_dir: str):
     """Resolve near-dup pairs into clusters (the dedup endpoint: keep one
     representative per cluster). Iterative min-label propagation over the
-    pair edges — each round is a vectorized pandas pass; at 10^12-doc
-    scale each round is the groupby form (explode edges -> min label per
-    node -> join back) and converges in O(log diameter) rounds; here the
-    verified pair set is small so the rounds run driver-side.
+    pair edges — small pair sets run vectorized driver rounds; past
+    ``DISTRIBUTED_CLUSTER_THRESHOLD`` edges the groupby form
+    (``_clusters_distributed``) runs the same propagation with the node
+    and edge sets fully distributed.
 
     Output: (doc_id, cluster_rep) for every doc in some duplicate cluster,
     cluster_rep = min doc_id of the cluster."""
     pairs = dedup_minhash_lsh(sf_dir)
+    if len(pairs) > DISTRIBUTED_CLUSTER_THRESHOLD:
+        return _clusters_distributed(pairs)
     if len(pairs) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "cluster_rep": pd.Series([], dtype="int64")})

@@ -500,34 +500,63 @@ ORDER BY c_custkey
 
 def events_asof_orders(sf_dir: str):
     """As-of join: each event joined to the most recent order of customer
-    ``user_id`` placed at or before the event timestamp (Ray Data has no
-    as-of join primitive — the documented pattern: partition by key via
-    groupby, sort within group, ``pd.merge_asof`` per group; the orders
-    side is broadcast since it is the small side)."""
-    orders = pd.read_parquet(_pq(sf_dir, "orders"),
-                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
-    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-    oref = ray.put(orders)
+    ``user_id`` placed at or before the event timestamp. Ray Data has no
+    as-of join primitive, so BOTH sides are co-partitioned on the key
+    through one coarse exchange (side-tagged union on user_id %% 64) and
+    each per-user group runs ``pd.merge_asof`` — at full scale orders is
+    not a dimension table, so no side is broadcast and no side is
+    scanned per group (the round-1 form ray.put the whole orders table
+    and filtered it O(|orders|) once per user)."""
 
-    ds = rd.read_parquet(_pq(sf_dir, "events"),
-                         columns=["event_id", "user_id", "ts"])
+    def tag_events(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["user_id"],
+             pa.array(np.zeros(n, dtype=np.int8)),
+             batch["event_id"],
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pc.cast(batch["ts"], pa.timestamp("us"))],
+            names=["user_id", "side", "event_id", "okey", "t"])
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [pc.cast(batch["o_custkey"], pa.int64()),
+             pa.array(np.ones(n, dtype=np.int8)),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pc.cast(batch["o_orderkey"], pa.int64()),
+             pc.cast(batch["o_orderdate"], pa.timestamp("us"))],
+            names=["user_id", "side", "event_id", "okey", "t"])
+
+    events = rd.read_parquet(_pq(sf_dir, "events"),
+                             columns=["event_id", "user_id", "ts"]) \
+        .map_batches(tag_events, batch_format="pyarrow")
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(tag_orders, batch_format="pyarrow")
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:
-        odf = ray.get(oref)
         uid = int(g["user_id"].iloc[0])
-        mine = odf[odf.o_custkey == uid]
-        g = g.sort_values(["ts", "event_id"])
-        # latest order with o_orderdate <= ts; ties on date -> max orderkey
+        ev = g[g["side"] == 0][["event_id", "t"]] \
+            .sort_values(["t", "event_id"])
+        if ev.empty:                     # user has orders but no events
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "o_orderkey": pd.Series([], dtype="int64")})
+        # latest order with t <= event ts; ties on date -> max orderkey
         # (deterministic; mirrored in the SQL with ORDER BY + LIMIT)
-        merged = pd.merge_asof(
-            g, mine.drop_duplicates("o_orderdate", keep="last"),
-            left_on="ts", right_on="o_orderdate", direction="backward")
+        od = g[g["side"] == 1][["okey", "t"]].sort_values(["t", "okey"]) \
+            .drop_duplicates("t", keep="last")
+        merged = pd.merge_asof(ev, od, on="t", direction="backward")
         return pd.DataFrame({
             "event_id": merged["event_id"].astype("int64"),
             "user_id": uid,
-            "o_orderkey": merged["o_orderkey"].fillna(-1).astype("int64")})
+            "o_orderkey": merged["okey"].fillna(-1).astype("int64")})
 
-    return _coarse_grouped_map(ds, "user_id", asof).sort("event_id")
+    return _coarse_grouped_map(events.union(orders), "user_id", asof) \
+        .sort("event_id")
 
 
 EVENTS_ASOF_SQL = """

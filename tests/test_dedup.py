@@ -224,3 +224,20 @@ def test_partitioned_verify_scale_path_matches_broadcast(tmp_path):
     found = set(map(tuple, fast[["doc_a", "doc_b"]].to_numpy()))
     assert (0, 40) in found and (1, 41) in found and (2, 3) not in found
     assert len(fast) == len(fast.drop_duplicates(["doc_a", "doc_b"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distributed_clusters_matches_driver_path():
+    """The groupby min-label propagation must resolve the same clusters
+    as the driver rounds, including transitivity through a chain."""
+    from pdf_extraction_ray.pipelines.dedup import _clusters_distributed
+    # chain 5-7-9-11, pair (2,4), isolated pair (100,200)
+    pairs = pd.DataFrame({
+        "doc_a": pd.Series([7, 9, 5, 2, 100], dtype="int64"),
+        "doc_b": pd.Series([9, 11, 7, 4, 200], dtype="int64")})
+    # n_coarse=4 keeps the per-round sort exchanges cheap in the 4-CPU
+    # test session; production default (64) only runs past the >100k-pair
+    # threshold where exchange overhead amortizes
+    out = _clusters_distributed(pairs, n_coarse=4)
+    reps = dict(zip(out.doc_id, out.cluster_rep))
+    assert reps == {5: 5, 7: 5, 9: 5, 11: 5, 2: 2, 4: 2, 100: 100, 200: 100}
