@@ -10,16 +10,21 @@ end-of-log.
 
 Partitioning assumption (documented per the task's custom-operator rule):
 rows for one user always route to the same bucket actor, and arrive in
-global ts order (the driver emulates a partitioned ordered log with one
-``sort("ts")``; a real deployment reads an already-partitioned stream).
-The final result is independent of bucketing and equals the batch
-group-by — which is exactly what the DuckDB oracle checks.
+ts order WITHIN their bucket (watermarks are per-actor state, so only
+per-bucket order matters — no global sort). The log is staged as
+bucket-partitioned parquet (a real deployment reads an
+already-partitioned stream, e.g. one Kafka partition per bucket), and
+one feeder TASK per bucket drives its actor — the driver never touches
+an event batch, so no single process is the throughput ceiling. The
+final result is independent of bucketing and equals the batch group-by
+— which is exactly what the DuckDB oracle checks.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
@@ -66,27 +71,69 @@ class WindowActor:            # reservation so small sessions can host all
         return self.closed
 
 
-def events_stream_windows(sf_dir: str):
-    """Per-(user, hour) event counts/sums computed INCREMENTALLY by bucket
-    actors over the ordered log; result equals the batch group-by."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["user_id", "ts", "value"]).sort("ts")
-    actors = [WindowActor.remote() for _ in range(N_BUCKETS)]
+@ray.remote(num_cpus=1)
+def _feed_bucket(part_dir: str, actor) -> int:
+    """Feeder task for ONE bucket: read that bucket's partition of the
+    staged log, order it by ts (per-bucket sort — watermarks are
+    per-actor, so global order is never needed), and drive the bucket's
+    actor batch by batch. At real scale the partition is a time-ordered
+    file sequence and the feeder streams file-by-file instead of
+    concatenating (noted; the per-bucket memory here is |log|/N_BUCKETS)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.arrow_utils import round_half_away
+
+    files = sorted(_glob.glob(f"{part_dir}/*.parquet"))
+    if not files:
+        return 0
+    t = pa.concat_tables([pq.read_table(f, columns=["user_id", "ts", "value"])
+                          for f in files])
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
     pending = []
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+    for batch in t.to_batches(max_chunksize=4096):
         users = batch["user_id"].to_numpy(zero_copy_only=False)
         ts_ms = batch["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64) // 1000
-        from ..functions.arrow_utils import round_half_away
         vals = round_half_away(
             batch["value"].to_numpy(zero_copy_only=False) * 1e6)
-        buckets = users % N_BUCKETS
-        for b in np.unique(buckets):
-            m = buckets == b
-            pending.append(actors[b].add.remote(users[m], ts_ms[m], vals[m]))
+        pending.append(actor.add.remote(users, ts_ms, vals))
     ray.get(pending)                     # ordered per actor (actor mailbox)
-    rows = [r for chunk in ray.get([a.flush.remote() for a in actors])
-            for r in chunk]
+    return t.num_rows
+
+
+def events_stream_windows(sf_dir: str):
+    """Per-(user, hour) event counts/sums computed INCREMENTALLY by bucket
+    actors over the partitioned log; result equals the batch group-by.
+
+    Shape: one hash-partitioning pass stages the log as bucket=N parquet
+    (the partitioned-stream emulation), then N_BUCKETS feeder tasks run
+    in parallel, each driving its own actor — no driver loop, no global
+    sort."""
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_stage_", dir="/tmp")
+    try:
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = batch["user_id"].to_numpy(zero_copy_only=False) % N_BUCKETS
+            return batch.append_column("bucket",
+                                       pa.array(b.astype(np.int64)))
+
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "value"]) \
+            .map_batches(add_bucket, batch_format="pyarrow") \
+            .write_parquet(stage, partition_cols=["bucket"])
+
+        actors = [WindowActor.remote() for _ in range(N_BUCKETS)]
+        ray.get([_feed_bucket.remote(f"{stage}/bucket={b}", actors[b])
+                 for b in range(N_BUCKETS)])
+        rows = [r for chunk in ray.get([a.flush.remote() for a in actors])
+                for r in chunk]
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     df = pd.DataFrame(rows, columns=["user_id", "hour_ms", "n_events",
                                      "value_x1e6"]).astype("int64")
     df["hour"] = pd.to_datetime(df["hour_ms"], unit="ms") \
