@@ -18,30 +18,80 @@ from .analysis import _corpus_for
 from .extract import extract_pipeline
 
 
-def _seqs(rows) -> dict:
-    return {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
-                          for s in r["spans"]] for r in rows}
+def _span_hash_ds(out_ds):
+    """OUT_SCHEMA Dataset -> (doc_id, h, _coarse) per-doc span-sequence
+    hashes: the A/B compare unit. Streams — each batch reduces to 16
+    bytes/doc, so neither side's corpus is ever driver-held."""
+    import hashlib
+
+    import numpy as np
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        docs = batch["doc_id"].to_pylist()
+        spans = batch["spans"].to_pylist()
+        hs, coarse = [], []
+        for s in spans:
+            m = hashlib.sha1()
+            for sp in s:
+                m.update(repr((sp["kind"], sp["text"], sp["media_ref"],
+                               sp["offset"])).encode())
+            d = m.digest()
+            hs.append(int.from_bytes(d[:8], "big", signed=True))
+            coarse.append(d[8] % 64)
+        return pa.Table.from_arrays(
+            [pa.array(docs, type=pa.string()),
+             pa.array(np.asarray(hs, dtype=np.int64)),
+             pa.array(np.asarray(coarse, dtype=np.int64))],
+            names=["doc_id", "h", "_coarse"])
+
+    return out_ds.map_batches(hashes, batch_format="pyarrow")
 
 
 def compare_extract_modes(sf_dir: str) -> pd.DataFrame:
     """Run the task-mode and actor-mode layout variants on the same corpus
-    and report agreement + timings (one summary row)."""
+    and report agreement + timings (one summary row). The agreement check
+    is a streamed per-doc hash compare — per-partition partial counts,
+    then a tiny sum — NOT a double take_all (the round-1 form held two
+    full span corpora in driver memory)."""
+    import numpy as np
+
     path = _corpus_for(sf_dir)
 
     t0 = time.perf_counter()
-    a = _seqs(extract_pipeline(read_docs(path)).take_all())
+    ah = _span_hash_ds(extract_pipeline(read_docs(path))).materialize()
     t_a = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    b = _seqs(extract_pipeline(read_docs(path),
-                               layout_mode="actors").take_all())
+    bh = _span_hash_ds(extract_pipeline(read_docs(path),
+                                        layout_mode="actors")).materialize()
     t_b = time.perf_counter() - t0
 
-    mism = sum(1 for k in a if a[k] != b.get(k))
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(len(batch), side, dtype=np.int8)))
+        return f
+
+    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0].set_index("doc_id")["h"]
+        b = g[g["side"] == 1].set_index("doc_id")["h"]
+        joined = a.to_frame("ha").join(b.to_frame("hb"), how="outer")
+        mism = int((joined["ha"].isna() | joined["hb"].isna()
+                    | (joined["ha"] != joined["hb"])).sum())
+        return pd.DataFrame({"n_docs": pd.Series([len(a)], dtype="int64"),
+                             "mismatched": pd.Series([mism], dtype="int64")})
+
+    parts = (ah.map_batches(tag(0), batch_format="pyarrow")
+             .union(bh.map_batches(tag(1), batch_format="pyarrow"))
+             .groupby("_coarse")
+             .map_groups(partial_counts, batch_format="pandas")
+             .to_pandas())                     # <=64 partial rows
+    n_docs = int(parts["n_docs"].sum())
+    mism = int(parts["mismatched"].sum())
     return pd.DataFrame([{
-        "n_docs": len(a),
+        "n_docs": n_docs,
         "mismatched_docs": mism,
-        "identical": mism == 0 and set(a) == set(b),
+        "identical": mism == 0,
         "sec_tasks": round(t_a, 3),
         "sec_actors": round(t_b, 3),
     }])

@@ -1,0 +1,32 @@
+"""Streamed A/B compare: hash-based agreement must replicate the
+full-sequence compare (and never hold span corpora on the driver)."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compare_modes_identical_and_detects_diff(tmp_path):
+    from pdf_extraction_ray.fixtures import ensure_corpus
+    from pdf_extraction_ray.pipelines.compare import (_span_hash_ds,
+                                                      compare_extract_modes)
+    from pdf_extraction_ray.pipelines.extract import extract_pipeline
+    from pdf_extraction_ray.sources.io import read_docs
+    import pdf_extraction_ray.pipelines.compare as compare
+
+    path = ensure_corpus("cmp_t", 3, 120)
+    # task vs actor layout must agree doc-for-doc
+    orig = compare._corpus_for
+    compare._corpus_for = lambda sf: path           # pin corpus
+    try:
+        out = compare_extract_modes("ignored")
+    finally:
+        compare._corpus_for = orig
+    assert int(out["n_docs"].iloc[0]) == 120
+    assert bool(out["identical"].iloc[0])
+    assert int(out["mismatched_docs"].iloc[0]) == 0
+
+    # the hash unit actually discriminates: two different docs hash apart
+    hs = _span_hash_ds(extract_pipeline(read_docs(path))).to_pandas()
+    assert hs["doc_id"].is_unique
+    assert hs["h"].nunique() > 1
