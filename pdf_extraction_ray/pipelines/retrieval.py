@@ -81,11 +81,11 @@ def chunk_stats(sf_dir: str):
     return pd.DataFrame([res])[["n_chunks", "mean_size", "min_size", "max_size"]]
 
 
-def rag_topk_contexts(sf_dir: str):
+def rag_topk_contexts(sf_dir: str, context_k: int = CONTEXT_K):
     """Top-k retrieval + assembled context per eval query.
 
     Output: (query_id, query, context) — context is the reference's
-    numbered join of the top-CONTEXT_K chunks (RAG:84; CMP:30-34)."""
+    numbered join of the top-``context_k`` chunks (RAG:84; CMP:30-34)."""
     embedder = HashEmbedder()        # driver-side twin embeds the queries
     qmat = embedder.embed(pa.array(EVAL_QUERIES))
     qref = ray.put(qmat)
@@ -128,7 +128,7 @@ def rag_topk_contexts(sf_dir: str):
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score_x1e6", "doc_id", "chunk_id"],
-                          ascending=[False, True, True]).head(CONTEXT_K)
+                          ascending=[False, True, True]).head(context_k)
         qi = int(g["query_id"].iloc[0])
         ctx = "\n\n".join(f"[문서 {i + 1}] {t}"
                           for i, t in enumerate(g["chunk_text"]))
@@ -142,7 +142,76 @@ def rag_topk_contexts(sf_dir: str):
             .sort("query_id"))
 
 
+def rag_answers(sf_dir: str, context_k: int = CONTEXT_K):
+    """Answer generation over the assembled contexts — the §3.3 lifecycle
+    step the reference runs per query (RAG:80-131): deterministic
+    extractive answerer stand-in (``functions.answerer``) + per-query
+    latency and token accounting. Runs as a map over the tiny context
+    table (one row per eval query)."""
+    import time as _time
+
+    from ..functions.answerer import generate_answer
+
+    def answer(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in batch.iterrows():
+            t0 = _time.perf_counter_ns()
+            a = generate_answer(r["query"], r["context"])
+            dt_us = (_time.perf_counter_ns() - t0) // 1000
+            rows.append({"query_id": int(r["query_id"]),
+                         "query": r["query"],
+                         "answer": a["answer"],
+                         "processing_time_us": int(dt_us),
+                         "input_tokens": a["input_tokens"],
+                         "output_tokens": a["output_tokens"],
+                         "total_tokens": a["total_tokens"]})
+        return pd.DataFrame(rows)
+
+    return rag_topk_contexts(sf_dir, context_k=context_k) \
+        .map_batches(answer, batch_format="pandas")
+
+
+def rag_eval_totals(sf_dir: str):
+    """Performance summary over the answer run (RAG:287-301 analog:
+    total/mean processing time, total/input/output token sums, question
+    count) as Sum/Mean Dataset aggregates."""
+    from ray.data.aggregate import Sum
+
+    res = rag_answers(sf_dir).aggregate(
+        Count(alias_name="n_queries"),
+        Sum("processing_time_us", alias_name="total_time_us"),
+        Mean("processing_time_us", alias_name="mean_time_us"),
+        Sum("total_tokens", alias_name="total_tokens"),
+        Sum("input_tokens", alias_name="total_input_tokens"),
+        Sum("output_tokens", alias_name="total_output_tokens"))
+    return pd.DataFrame([res])[["n_queries", "total_time_us", "mean_time_us",
+                                "total_tokens", "total_input_tokens",
+                                "total_output_tokens"]]
+
+
+def rag_ab_compare(sf_dir: str):
+    """A/B answer comparison between two retrieval configs (the
+    compare_gpt_vs_hybrid.py:129-135 analog: same queries, two systems,
+    per-query answer match + time/token deltas). Config A = top-3
+    contexts, config B = top-1 context."""
+    a = rag_answers(sf_dir, context_k=CONTEXT_K).to_pandas() \
+        .set_index("query_id")
+    b = rag_answers(sf_dir, context_k=1).to_pandas().set_index("query_id")
+    out = pd.DataFrame({
+        "query_id": a.index.astype("int64"),
+        "query": a["query"].to_numpy(),
+        "same_answer": (a["answer"] == b["answer"]).to_numpy(),
+        "token_diff": (a["total_tokens"] - b["total_tokens"])
+        .astype("int64").to_numpy(),
+        "time_diff_us": (a["processing_time_us"] - b["processing_time_us"])
+        .astype("int64").to_numpy()})
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 RETRIEVAL_QUERIES: dict[str, tuple] = {
     "chunk_stats": (chunk_stats, None),
     "rag_topk_contexts": (rag_topk_contexts, None),
+    "rag_answers": (rag_answers, None),
+    "rag_eval_totals": (rag_eval_totals, None),
+    "rag_ab_compare": (rag_ab_compare, None),
 }

@@ -1,0 +1,71 @@
+"""Deterministic extractive answerer unit tests + RAG lifecycle rows."""
+
+import pandas as pd
+import pytest
+
+from pdf_extraction_ray.functions.answerer import (NOT_FOUND,
+                                                   PROMPT_OVERHEAD_TOKENS,
+                                                   generate_answer)
+
+
+def test_extracts_matching_sentence():
+    ctx = ("[1] The quick brown fox jumps.\n\n"
+           "[2] Table extraction uses grid lines. Nothing else here.\n\n"
+           "[3] Some other topic entirely.")
+    a = generate_answer("table extraction grid", ctx)
+    assert "Table extraction uses grid lines." in a["answer"]
+    assert NOT_FOUND not in a["answer"]
+    assert a["output_tokens"] == len(a["answer"].split())
+    assert a["input_tokens"] == (PROMPT_OVERHEAD_TOKENS
+                                 + 3 + len(ctx.split()))
+    assert a["total_tokens"] == a["input_tokens"] + a["output_tokens"]
+
+
+def test_not_found_when_no_overlap():
+    a = generate_answer("zebra quantum", "All about pdf layout parsing.")
+    assert a["answer"] == NOT_FOUND
+
+
+def test_deterministic():
+    ctx = "Alpha beta gamma. Beta gamma delta. Gamma delta epsilon."
+    assert generate_answer("gamma", ctx) == generate_answer("gamma", ctx)
+
+
+def test_top_sentences_in_context_order():
+    ctx = "B match here too. Irrelevant filler. A match here first."
+    a = generate_answer("match here", ctx)
+    # both matching sentences selected, emitted in CONTEXT order
+    assert a["answer"] == "B match here too. A match here first."
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rag_answers_and_totals(tmp_path):
+    import numpy as np
+    from pdf_extraction_ray.pipelines.retrieval import (EVAL_QUERIES,
+                                                        rag_ab_compare,
+                                                        rag_answers,
+                                                        rag_eval_totals)
+    rng = np.random.default_rng(5)
+    words = ("table extraction pipeline figure caption region quality "
+             "score stream partition shuffle checkpoint resume manifest "
+             "alpha beta gamma delta epsilon").split()
+    texts = [" ".join(rng.choice(words, size=200)) + "." for _ in range(30)]
+    d = tmp_path / "rag"
+    d.mkdir()
+    pd.DataFrame({"doc_id": range(30), "text": texts}) \
+        .to_parquet(d / "documents.parquet")
+
+    ans = rag_answers(str(d)).to_pandas()
+    assert len(ans) == len(EVAL_QUERIES)
+    assert (ans["total_tokens"]
+            == ans["input_tokens"] + ans["output_tokens"]).all()
+    assert (ans["answer"].str.len() > 0).all()
+
+    tot = rag_eval_totals(str(d))
+    assert int(tot["n_queries"].iloc[0]) == len(EVAL_QUERIES)
+    assert int(tot["total_tokens"].iloc[0]) == int(ans["total_tokens"].sum())
+
+    ab = rag_ab_compare(str(d))
+    assert len(ab) == len(EVAL_QUERIES)
+    # top-3 context always has >= as many prompt tokens as top-1
+    assert (ab["token_diff"] >= 0).all()
