@@ -134,8 +134,43 @@ def span_hierarchy(sf_dir: str):
     return out.map_batches(hierarchy_batch, batch_format="pyarrow")
 
 
+def region_provenance(sf_dir: str):
+    """Provenance-tagged detector merge (J1 extended-schema mode): one
+    row per emitted table/figure region with its merge tag —
+    ``layout_validated`` (cross-signal caption evidence or evidence score
+    past the high-confidence bar) vs ``layout_detected`` (geometry-only
+    acceptance), mirroring hybrid_docling_gpt4_processor.py:404,421."""
+    from ..functions.cluster import half_pool
+    from ..stages.layout import LayoutParser
+    from ..stages.tokenize import classify_spans
+
+    ds = read_docs(_corpus_for(sf_dir)) \
+        .map_batches(classify_spans, batch_format="pyarrow") \
+        .map_batches(LayoutParser, batch_format="pyarrow",
+                     fn_constructor_kwargs={"emit_provenance": True},
+                     concurrency=half_pool(), num_cpus=1)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        rs = batch.column("region_spans")
+        flat = as_array(pc.list_flatten(rs))
+        parent = as_array(pc.list_parent_indices(rs))
+        doc_id = as_array(pc.take(batch.column("doc_id"), parent))
+        prov = as_array(pc.list_flatten(batch.column("region_prov")))
+        return pa.Table.from_arrays(
+            [doc_id,
+             pc.struct_field(flat, "kind"),
+             pc.struct_field(flat, "media_ref"),
+             pc.struct_field(flat, "offset"),
+             prov],
+            names=["doc_id", "kind", "media_ref", "offset", "source"])
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 COMPARE_QUERIES: dict[str, tuple] = {
     "ab_compare_extract_modes": (compare_extract_modes, None),
     "debug_overlay_records": (debug_overlay_records, None),
     "span_hierarchy": (span_hierarchy, None),
+    "region_provenance": (region_provenance, None),
 }

@@ -88,6 +88,11 @@ OUT_TABLE = "table"
 OUT_FIGURE = "figure"
 OUT_CAPTION = "caption"
 
+# region provenance vocabulary (J1 merge tags,
+# hybrid_docling_gpt4_processor.py:404,421)
+PROV_VALIDATED = "layout_validated"
+PROV_DETECTED = "layout_detected"
+
 
 # ---------------------------------------------------------------------------
 # Scalar kernels
@@ -396,11 +401,21 @@ def emit_region_spans(doc_id: str, page: int, ridx: int,
     out = []
     for (bb, ls, ref, off) in parts:
         grid = analyze_grid(ls)
-        kind, _ = classify_region(grid, caption_evidence(near_texts(bb)))
+        cap_ev = caption_evidence(near_texts(bb))
+        kind, score = classify_region(grid, cap_ev)
         if kind == OUT_TABLE and not meaningful_text_gate(region_ocr_text(ref)):
             kind = OUT_FIGURE               # V16 gate: text-free "tables"
+        # provenance (J1, hybrid_docling_gpt4_processor.py:404,421):
+        # "layout_validated" = a second signal agrees (caption-text
+        # evidence — the cross-detector analog) or the evidence score
+        # clears the reference's high-confidence bar; "layout_detected"
+        # = accepted on geometry alone (the lenient figure rule)
+        source = (PROV_VALIDATED
+                  if cap_ev > 0.0 or score >= CLASSIFIER_THRESHOLD
+                  else PROV_DETECTED)
         out.append({"kind": kind, "text": region_span_text(kind, grid),
-                    "media_ref": ref, "offset": off, "bbox": bb})
+                    "media_ref": ref, "offset": off, "bbox": bb,
+                    "source": source})
     return out
 
 

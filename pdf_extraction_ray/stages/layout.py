@@ -39,11 +39,16 @@ from ..schema import SPAN_STRUCT
 
 
 class LayoutParser:
-    def __init__(self, classifier_weights: dict | None = None):
+    def __init__(self, classifier_weights: dict | None = None,
+                 emit_provenance: bool = False):
         # once-per-actor setup: compiled patterns + "loaded" OCR engine
         self.caption_any = spec.CAPTION_ANY_RE
         self.weights = classifier_weights or spec.CLASSIFIER_WEIGHTS
         self.ocr = spec.stub_ocr
+        # opt-in extended schema: a per-region "source" provenance column
+        # (layout_validated / layout_detected, J1 merge tags) parallel to
+        # region_spans; OFF by default so the hot path stays narrow
+        self.emit_provenance = emit_provenance
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -97,6 +102,7 @@ class LayoutParser:
         doc_ids = batch.column("doc_id").to_pylist()
         region_counts = np.zeros(n_docs, dtype=np.int64)
         region_rows: list[dict] = []
+        prov_rows: list[str] = []            # parallel to region_rows
         caption_idx: list[int] = []          # global span indices -> caption
 
         for d in range(n_docs):
@@ -153,6 +159,8 @@ class LayoutParser:
                             "kind": part["kind"], "text": part["text"],
                             "media_ref": part["media_ref"],
                             "offset": part["offset"]})
+                        if self.emit_provenance:
+                            prov_rows.append(part["source"])
                     region_counts[d] += len(parts)
                 for j in lo + pidx[near_any]:
                     if self.caption_any.search(text_list[j]):
@@ -180,7 +188,14 @@ class LayoutParser:
         out = out.append_column("cls", pa.ListArray.from_arrays(off32, cls_arr))
         out = out.append_column(
             "out_text", pa.ListArray.from_arrays(off32, out_text))
-        return out.append_column("region_spans", region_col)
+        out = out.append_column("region_spans", region_col)
+        if self.emit_provenance:
+            out = out.append_column(
+                "region_prov",
+                pa.ListArray.from_arrays(pa.array(roff, type=pa.int32()),
+                                         pa.array(prov_rows,
+                                                  type=pa.string())))
+        return out
 
 
 _TASK_PARSER: LayoutParser | None = None

@@ -30,3 +30,38 @@ def test_compare_modes_identical_and_detects_diff(tmp_path):
     hs = _span_hash_ds(extract_pipeline(read_docs(path))).to_pandas()
     assert hs["doc_id"].is_unique
     assert hs["h"].nunique() > 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_region_provenance_agrees_with_default_path():
+    """The provenance-tagged mode must emit exactly the regions the
+    absorbed-classifier path emits (same kind/media_ref/offset multiset),
+    plus a source tag from the J1 vocabulary, with both tags occurring
+    on the fixture corpus."""
+    from pdf_extraction_ray.fixtures import ensure_corpus
+    import pdf_extraction_ray.pipelines.compare as compare
+    from pdf_extraction_ray.pipelines.extract import extract_pipeline
+    from pdf_extraction_ray.sources.io import read_docs
+
+    path = ensure_corpus("prov_t", 3, 200)
+    orig = compare._corpus_for
+    compare._corpus_for = lambda sf: path
+    try:
+        prov = compare.region_provenance("ignored").to_pandas()
+    finally:
+        compare._corpus_for = orig
+    assert set(prov["source"]) == {"layout_validated", "layout_detected"}
+    assert set(prov["kind"]) <= {"table", "figure"}
+
+    # agreement: default extraction's VECTOR region spans == provenance
+    # run's rows (image-derived figures carry media:// refs and are not
+    # detector-merge output, so they have no provenance row)
+    out = extract_pipeline(read_docs(path)).to_pandas()
+    regions = []
+    for spans in out["spans"]:
+        for s in spans:
+            if (s["kind"] in ("table", "figure")
+                    and s["media_ref"].startswith("vector://")):
+                regions.append((s["kind"], s["media_ref"], s["offset"]))
+    got = list(map(tuple, prov[["kind", "media_ref", "offset"]].to_numpy()))
+    assert sorted(regions) == sorted(got)
