@@ -168,9 +168,46 @@ def region_provenance(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def raster_vector_agreement(sf_dir: str):
+    """Dual-detector cross-check (V1/V2 raster path vs V17 vector path):
+    every candidate region is rasterized (deterministic synthetic render)
+    and classified by BOTH the pure-numpy morphology detector
+    (functions.raster) and the vector-grid detector (spec.analyze_grid);
+    one row per region with both verdicts. The raster path is the
+    reference's primary detector shape (advanced_layout_extractor.py:
+    594-691) — this query is where the two implementations are held to
+    agree on real corpus regions."""
+    from .. import spec
+    from ..functions import raster as R
+
+    def classify_both(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, regs in zip(batch["doc_id"].to_pylist(),
+                                batch["regions"].to_pylist()):
+            for ridx, r in enumerate(regs or []):
+                lines = [(ln["x0"], ln["y0"], ln["x1"], ln["y1"])
+                         for ln in r["lines"]]
+                vkind, _ = spec.classify_region(spec.analyze_grid(lines),
+                                                caption_score=0.0)
+                img = R.rasterize_region(lines, r["bbox"])
+                rkind, _ = R.classify_region_raster(img, caption_score=0.0)
+                rows.append({"doc_id": doc_id, "page": int(r["page"]),
+                             "region_idx": ridx, "vector_kind": vkind,
+                             "raster_kind": rkind,
+                             "agree": vkind == rkind})
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("doc_id", pa.string()), ("page", pa.int64()),
+             ("region_idx", pa.int64()), ("vector_kind", pa.string()),
+             ("raster_kind", pa.string()), ("agree", pa.bool_())]))
+
+    return read_docs(_corpus_for(sf_dir)) \
+        .map_batches(classify_both, batch_format="pyarrow", batch_size=64)
+
+
 COMPARE_QUERIES: dict[str, tuple] = {
     "ab_compare_extract_modes": (compare_extract_modes, None),
     "debug_overlay_records": (debug_overlay_records, None),
     "span_hierarchy": (span_hierarchy, None),
     "region_provenance": (region_provenance, None),
+    "raster_vector_agreement": (raster_vector_agreement, None),
 }
