@@ -153,9 +153,11 @@ def main():
         queries = __ray_entry__.queries()
         bench_queries = ["q1_pricing_summary", "q3_top_orders",
                          "q5_nation_revenue", "events_hourly",
-                         "events_sessions", "doc_token_stats", "doc_quality",
-                         "doc_dedup_exact", "dedup_minhash_lsh",
-                         "dedup_simhash", "knn_cosine"]
+                         "events_sessions", "events_asof_orders",
+                         "events_stream_windows", "doc_token_stats",
+                         "doc_quality", "doc_dedup_exact",
+                         "dedup_minhash_lsh", "dedup_simhash",
+                         "embedding_cosine_pairs", "knn_cosine"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

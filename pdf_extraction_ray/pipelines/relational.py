@@ -536,27 +536,42 @@ def events_asof_orders(sf_dir: str):
                                       "o_orderdate"]) \
         .map_batches(tag_orders, batch_format="pyarrow")
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        uid = int(g["user_id"].iloc[0])
-        ev = g[g["side"] == 0][["event_id", "t"]] \
-            .sort_values(["t", "event_id"])
-        if ev.empty:                     # user has orders but no events
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Whole-partition as-of via ``merge_asof(by="user_id")`` — one
+        vectorized call instead of one python merge per user."""
+        ev = g[g["side"] == 0][["event_id", "user_id", "t"]] \
+            .sort_values("t", kind="stable")
+        if ev.empty:                     # partition has orders, no events
             return pd.DataFrame({
                 "event_id": pd.Series([], dtype="int64"),
                 "user_id": pd.Series([], dtype="int64"),
                 "o_orderkey": pd.Series([], dtype="int64")})
         # latest order with t <= event ts; ties on date -> max orderkey
-        # (deterministic; mirrored in the SQL with ORDER BY + LIMIT)
-        od = g[g["side"] == 1][["okey", "t"]].sort_values(["t", "okey"]) \
-            .drop_duplicates("t", keep="last")
-        merged = pd.merge_asof(ev, od, on="t", direction="backward")
+        # (keep="last" after the (t, okey) sort; mirrored in the SQL with
+        # ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1)
+        od = g[g["side"] == 1][["user_id", "okey", "t"]] \
+            .sort_values(["t", "okey"], kind="stable") \
+            .drop_duplicates(["user_id", "t"], keep="last") \
+            .sort_values("t", kind="stable")
+        merged = pd.merge_asof(ev, od, on="t", by="user_id",
+                               direction="backward")
         return pd.DataFrame({
             "event_id": merged["event_id"].astype("int64"),
-            "user_id": uid,
+            "user_id": merged["user_id"].astype("int64"),
             "o_orderkey": merged["okey"].fillna(-1).astype("int64")})
 
-    return _coarse_grouped_map(events.union(orders), "user_id", asof) \
-        .sort("event_id")
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        c = batch["user_id"].to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("_coarse",
+                                   pa.array(c.astype(np.int64))) \
+            .replace_schema_metadata(None)
+
+    return (events.union(orders)
+            .map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("_coarse")
+            .map_groups(lambda g: asof_part(g.drop(columns=["_coarse"])),
+                        batch_format="pandas")
+            .sort("event_id"))
 
 
 EVENTS_ASOF_SQL = """
