@@ -804,7 +804,129 @@ def approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_distinct_users": [S.hll_count(merged)]})
 
 
+# ---------------------------------------------------------------------------
+# LAG window: per-user gap to the previous event
+# ---------------------------------------------------------------------------
+
+def events_lead_lag(sf_dir: str):
+    """Per-user previous-event gap (LAG window): (event_id, user_id,
+    prev_gap_us), gap -1 for each user's first event. Same co-partitioned
+    grouped-map shape as the running totals."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = -1
+        if len(g) > 1:
+            gap[1:] = ts_us[1:] - ts_us[:-1]
+        return pd.DataFrame({"event_id": g["event_id"].astype("int64"),
+                             "user_id": g["user_id"].astype("int64"),
+                             "prev_gap_us": gap})
+
+    return _coarse_grouped_map(ds, "user_id", lag).sort("event_id")
+
+
+EVENTS_LAG_SQL = """
+SELECT event_id, user_id,
+       COALESCE(CAST(epoch_us(ts) - epoch_us(
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS BIGINT), -1) AS prev_gap_us
+FROM events
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Histogram: lineitem discount buckets (vectorized bucket + groupby count)
+# ---------------------------------------------------------------------------
+
+def lineitem_discount_hist(sf_dir: str):
+    """Discount histogram: bucket = floor(discount * 100) (exact integer
+    percent), count + summed quantity per bucket — partial aggregation
+    in-batch, tiny final groupby."""
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_discount", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = np.floor(batch["l_discount"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"bucket": b, "n": 1, "sum_qty": q})
+        g = df.groupby("bucket", as_index=False).sum()
+        return _from_pandas(g.astype("int64"))
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_qty", alias_name="sum_qty"))
+            .sort("bucket"))
+
+
+DISCOUNT_HIST_SQL = """
+SELECT CAST(FLOOR(l_discount * 100.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Discrete median per group (exact order statistic, no interpolation)
+# ---------------------------------------------------------------------------
+
+def part_brand_median_price(sf_dir: str):
+    """Per-brand discrete median retail price in cents: exact order
+    statistic (element at floor((n-1)/2) of the sorted values — DuckDB's
+    quantile_disc(0.5)). Grouped map over the brand key; per-group
+    values fit comfortably (a brand is a bounded category)."""
+    ds = rd.read_parquet(_pq(sf_dir, "part"),
+                         columns=["p_brand", "p_retailprice"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        cents = _round_half_away(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0)
+        h = pd.util.hash_array(
+            batch["p_brand"].to_numpy(zero_copy_only=False).astype(str))
+        return pa.Table.from_arrays(
+            [batch["p_brand"], pa.array(cents),
+             pa.array((h % np.uint64(16)).astype(np.int64))],
+            names=["p_brand", "price_cents", "_coarse"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for brand, sub in g.groupby("p_brand"):
+            v = np.sort(sub["price_cents"].to_numpy())
+            rows.append((brand, int(v[(len(v) - 1) // 2])))
+        return pd.DataFrame(rows, columns=["p_brand", "median_cents"]) \
+            .astype({"median_cents": "int64"})
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+            .groupby("_coarse")
+            .map_groups(med, batch_format="pandas")
+            .sort("p_brand"))
+
+
+BRAND_MEDIAN_SQL = """
+SELECT p_brand,
+       CAST(quantile_disc(CAST(ROUND(p_retailprice * 100.0) AS BIGINT), 0.5)
+            AS BIGINT) AS median_cents
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "events_lead_lag": (events_lead_lag, EVENTS_LAG_SQL),
+    "lineitem_discount_hist": (lineitem_discount_hist, DISCOUNT_HIST_SQL),
+    "part_brand_median_price": (part_brand_median_price, BRAND_MEDIAN_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),

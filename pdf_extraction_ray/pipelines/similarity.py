@@ -25,11 +25,11 @@ def _emb(sf_dir: str):
 
 
 def _query_vec(sf_dir: str, vec_id: int) -> np.ndarray:
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-    v = np.asarray(emb.loc[emb.vec_id == vec_id, "embedding"].iloc[0],
-                   dtype=np.float64)
-    return v
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", vec_id)])   # row-group prune
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
 def knn_cosine(sf_dir: str):
@@ -80,12 +80,11 @@ def knn_cosine_ivf(sf_dir: str):
     centroids (the 'coarse quantizer'); the query probes the IVF_NPROBE
     nearest centroids and scores only those buckets. Not exact — recall
     depends on nprobe — so rows-only checked; determinism is exact."""
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding", "label"])
-    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
-    cents = np.stack([mat[emb.label.to_numpy() == l].mean(axis=0)
-                      for l in sorted(emb.label.unique())])
-    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    # normalized per-label centroids via the DISTRIBUTED partial-sum pass
+    # (the driver only ever sees nlabels x ndims partials — the round-1
+    # full-parquet driver read was flagged as the 100-TB weak spot)
+    from .dedup import _label_centroids
+    cents = _label_centroids(sf_dir)
     q = _query_vec(sf_dir, KNN_QUERY_VEC_ID)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe = set(np.argsort(-(cents @ qn))[:IVF_NPROBE].tolist())
