@@ -141,6 +141,75 @@ ORDER BY label, dim
 """
 
 
+LSH_BITS = 6              # random-hyperplane signature width
+LSH_PROBE_RADIUS = 2      # probe all buckets within this Hamming radius
+                          # (recall on UNCLUSTERED data ~= probed-bucket
+                          # fraction: 22/64 here; tune bits/radius per
+                          # selectivity target at real scale)
+LSH_SEED = 1234
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    """Deterministic random hyperplanes (dim, LSH_BITS)."""
+    return np.random.default_rng(LSH_SEED).normal(size=(dim, LSH_BITS))
+
+
+def _lsh_sig(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit signatures -> int bucket ids."""
+    bits = (mat @ planes) > 0.0
+    return (bits.astype(np.int64)
+            * (1 << np.arange(LSH_BITS, dtype=np.int64))).sum(axis=1)
+
+
+def knn_cosine_lsh(sf_dir: str):
+    """LSH-bucketed ANN scale path (random-hyperplane signatures): each
+    vector hashes to one of 2^LSH_BITS buckets; the query probes its own
+    bucket plus every Hamming-1 neighbor and scores ONLY those rows —
+    per-batch work shrinks by the bucket selectivity, and at real scale
+    the signature doubles as the partition key so probes touch only
+    matching partitions. Approximate (rows-only + recall query), exact
+    scores for every returned row (checked in tests vs the fixed-point
+    kernel)."""
+    q = _query_vec(sf_dir, KNN_QUERY_VEC_ID)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    planes = _lsh_planes(len(q))
+    qsig = int(_lsh_sig(qn[None, :], planes)[0])
+    probe = {qsig}
+    frontier = {qsig}
+    for _ in range(LSH_PROBE_RADIUS):
+        frontier = {s ^ (1 << b) for s in frontier for b in range(LSH_BITS)}
+        probe |= frontier
+    qref = ray.put((qn, planes, np.asarray(sorted(probe))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv, pl, pr = ray.get(qref)
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        keep = np.isin(_lsh_sig(mn, pl), pr)
+        cos = (mn[keep] @ qv * 1e6).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(batch["vec_id"].to_numpy(zero_copy_only=False)[keep]),
+             pa.array(cos)],
+            names=["vec_id", "cosine_x1e6"])
+
+    return (_emb(sf_dir).map_batches(score, batch_format="pyarrow")
+            .sort(["cosine_x1e6", "vec_id"], descending=[True, False])
+            .limit(KNN_K))
+
+
+def knn_lsh_recall(sf_dir: str):
+    """Recall@k of the LSH path vs exact brute force."""
+    exact = set(knn_cosine(sf_dir).to_pandas()["vec_id"])
+    approx = set(knn_cosine_lsh(sf_dir).to_pandas()["vec_id"])
+    hit = len(exact & approx)
+    return pd.DataFrame({
+        "k": [KNN_K],
+        "bits": [LSH_BITS],
+        "probe_radius": [LSH_PROBE_RADIUS],
+        "recall_x1e6": [int(hit * 1_000_000 / max(len(exact), 1))]})
+
+
 def knn_ivf_recall(sf_dir: str):
     """Recall@k of the IVF path vs exact brute force (quality measurement
     for the approximate scale path; rows-only)."""
@@ -157,5 +226,7 @@ SIMILARITY_QUERIES: dict[str, tuple] = {
     "knn_cosine": (knn_cosine, KNN_SQL),
     "knn_cosine_ivf": (knn_cosine_ivf, None),
     "knn_ivf_recall": (knn_ivf_recall, None),
+    "knn_cosine_lsh": (knn_cosine_lsh, None),
+    "knn_lsh_recall": (knn_lsh_recall, None),
     "embedding_centroid_sums": (embedding_centroid_sums, CENTROID_SQL),
 }

@@ -1,0 +1,63 @@
+"""Similarity-search family: value-level checks for the approximate
+paths (every returned score must match the exact kernel; the recall
+queries report real recall)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory):
+    rng = np.random.default_rng(21)
+    n, d, n_labels = 300, 64, 8
+    cents = rng.normal(size=(n_labels, d)) * 3.0
+    labels = rng.integers(0, n_labels, size=n)
+    vecs = (cents[labels] + rng.normal(size=(n, d)) * 0.5).astype(np.float32)
+    out = tmp_path_factory.mktemp("sim")
+    pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                  "embedding": list(vecs),
+                  "label": labels.astype(np.int32)}) \
+        .to_parquet(out / "embeddings.parquet")
+    return str(out), vecs
+
+
+def _exact_cosines(vecs, qid=0):
+    m = vecs.astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return m @ m[qid]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_scores_exact_and_deterministic(emb_dir):
+    from pdf_extraction_ray.pipelines.similarity import (KNN_K,
+                                                         knn_cosine_lsh)
+    d, vecs = emb_dir
+    cos = _exact_cosines(vecs)
+    out1 = knn_cosine_lsh(d).to_pandas()
+    out2 = knn_cosine_lsh(d).to_pandas()
+    pd.testing.assert_frame_equal(out1, out2)        # deterministic
+    assert len(out1) == KNN_K
+    for _, r in out1.iterrows():                     # scores are exact
+        assert abs(r["cosine_x1e6"] - int(cos[r["vec_id"]] * 1e6)) <= 1
+    # descending by score
+    assert (np.diff(out1["cosine_x1e6"].to_numpy()) <= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_recall_reported(emb_dir):
+    from pdf_extraction_ray.pipelines.similarity import knn_lsh_recall
+    d, _ = emb_dir
+    r = knn_lsh_recall(d)
+    assert 0 <= int(r["recall_x1e6"].iloc[0]) <= 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_scores_subset_of_exact_topk_universe(emb_dir):
+    from pdf_extraction_ray.pipelines.similarity import knn_cosine_ivf
+    d, vecs = emb_dir
+    cos = _exact_cosines(vecs)
+    out = knn_cosine_ivf(d).to_pandas()
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        assert abs(r["cosine_x1e6"] - int(cos[r["vec_id"]] * 1e6)) <= 1
