@@ -204,9 +204,77 @@ def raster_vector_agreement(sf_dir: str):
         .map_batches(classify_both, batch_format="pyarrow", batch_size=64)
 
 
+OVERLAY_RENDER_DOC_LIMIT = 64       # diagnostic sink: sample, not sweep
+OVERLAY_SIZE = 256
+# cls -> stroke gray level (distinct, dark-on-white)
+_OVERLAY_SHADE = {"title": 0, "paragraph": 96, "list": 64, "table": 32,
+                  "figure": 128, "caption": 160}
+
+
+def debug_overlay_render(sf_dir: str):
+    """Rendered debug overlays (S8 completed): per (doc, page) an actual
+    PNG image with every span's bbox drawn, stroke shade coded by class
+    (pure-stdlib encoder — functions/png.py). A diagnostic sink, so it
+    renders a bounded sample of docs, not the corpus.
+    Output: (doc_id, page, n_boxes, png) with png a real decodable
+    grayscale PNG binary column."""
+    import numpy as np
+
+    from ..functions.png import draw_rect, encode_png_gray
+    from ..stages.tokenize import classify_spans
+
+    def render(batch: pa.Table) -> pa.Table:
+        recs = {}
+        tbl = debug_overlay_rows_table(batch)
+        for i in range(tbl.num_rows):
+            key = (tbl["doc_id"][i].as_py(), tbl["page"][i].as_py())
+            recs.setdefault(key, []).append(
+                (tbl["cls"][i].as_py(),
+                 tbl["x0"][i].as_py(), tbl["y0"][i].as_py(),
+                 tbl["x1"][i].as_py(), tbl["y1"][i].as_py()))
+        rows = []
+        for (doc, page), boxes in recs.items():
+            img = np.full((OVERLAY_SIZE, OVERLAY_SIZE), 255, dtype=np.uint8)
+            for cls, x0, y0, x1, y1 in boxes:
+                draw_rect(img, x0, y0, x1, y1,
+                          _OVERLAY_SHADE.get(cls, 0), thickness=2)
+            rows.append({"doc_id": doc, "page": int(page),
+                         "n_boxes": len(boxes),
+                         "png": encode_png_gray(img)})
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("doc_id", pa.string()), ("page", pa.int64()),
+             ("n_boxes", pa.int64()), ("png", pa.binary())]))
+
+    def debug_overlay_rows_table(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        batch = batch.combine_chunks()
+        spans = batch.column("spans")
+        flat = as_array(pc.list_flatten(spans))
+        parent = as_array(pc.list_parent_indices(spans))
+        doc_id = as_array(pc.take(batch.column("doc_id"), parent))
+        cls = as_array(pc.list_flatten(batch.column("cls")))
+        page = as_array(pc.list_flatten(batch.column("page")))
+        nested = as_array(pc.list_flatten(batch.column("bbox")))
+        bb = np.nan_to_num(
+            nested.values.to_numpy(zero_copy_only=False).astype(np.float32),
+            nan=0.0).reshape(-1, 4) if len(nested) \
+            else np.zeros((0, 4), dtype=np.float32)
+        return pa.Table.from_arrays(
+            [doc_id, page, cls,
+             pa.array(bb[:, 0]), pa.array(bb[:, 1]),
+             pa.array(bb[:, 2]), pa.array(bb[:, 3])],
+            names=["doc_id", "page", "cls", "x0", "y0", "x1", "y1"])
+
+    return read_docs(_corpus_for(sf_dir)) \
+        .limit(OVERLAY_RENDER_DOC_LIMIT) \
+        .map_batches(classify_spans, batch_format="pyarrow") \
+        .map_batches(render, batch_format="pyarrow")
+
+
 COMPARE_QUERIES: dict[str, tuple] = {
     "ab_compare_extract_modes": (compare_extract_modes, None),
     "debug_overlay_records": (debug_overlay_records, None),
+    "debug_overlay_render": (debug_overlay_render, None),
     "span_hierarchy": (span_hierarchy, None),
     "region_provenance": (region_provenance, None),
     "raster_vector_agreement": (raster_vector_agreement, None),
