@@ -923,7 +923,150 @@ ORDER BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Pivot: per-user event-type counts as columns (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_type_pivot(sf_dir: str):
+    """Pivot the event log to one row per user with a count column per
+    event type — in-batch partial pivot (pandas crosstab shape), tiny
+    final groupby-sum over the 5 count columns."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False)})
+        for t in EVENT_TYPES:
+            df[f"n_{t}"] = (df["event_type"] == t).astype("int64")
+        g = df.drop(columns=["event_type"]) \
+            .groupby("user_id", as_index=False).sum()
+        return _from_pandas(g.astype("int64"))
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id").aggregate(*aggs).sort("user_id"))
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup: order counts/revenue at (year, month), (year), () levels
+# ---------------------------------------------------------------------------
+
+def orders_rollup(sf_dir: str):
+    """GROUPING-SETS-style rollup computed the distributed way: ONE
+    month-level partial aggregation over the data, then the (year) and
+    grand-total levels derive from that tiny result — never a second
+    scan. Sentinel -1 marks rolled-up levels (hash-stable, no NULLs)."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]")
+        year = (d.astype("datetime64[Y]").astype(np.int64) + 1970)
+        month = (d.astype(np.int64) % 12) + 1
+        cents = _round_half_away(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0)
+        df = pd.DataFrame({"year": year, "month": month,
+                           "n_orders": 1, "revenue_cents": cents})
+        return _from_pandas(
+            df.groupby(["year", "month"], as_index=False).sum()
+            .astype("int64"))
+
+    from ray.data.aggregate import Sum
+    monthly = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["year", "month"])
+               .aggregate(Sum("n_orders", alias_name="n_orders"),
+                          Sum("revenue_cents", alias_name="revenue_cents"))
+               .to_pandas())            # tiny: years x 12 rows
+    yearly = monthly.groupby("year", as_index=False)[
+        ["n_orders", "revenue_cents"]].sum()
+    yearly["month"] = -1
+    total = pd.DataFrame({
+        "year": [-1], "month": [-1],
+        "n_orders": [monthly["n_orders"].sum()],
+        "revenue_cents": [monthly["revenue_cents"].sum()]})
+    out = pd.concat([monthly, yearly, total], ignore_index=True)
+    return out[["year", "month", "n_orders", "revenue_cents"]] \
+        .astype("int64").sort_values(["year", "month"]) \
+        .reset_index(drop=True)
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT CAST(COALESCE(year(o_orderdate), -1) AS BIGINT) AS year,
+       CAST(COALESCE(month(o_orderdate), -1) AS BIGINT) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+ORDER BY year, month
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped string aggregation (ordered concat per segment)
+# ---------------------------------------------------------------------------
+
+def segment_names_agg(sf_dir: str):
+    """string_agg analog: per market segment, the comma-joined sorted
+    list of its 5 lexicographically-first customer names (bounded output;
+    per-group top-k then concat — the scalable form of string_agg)."""
+    ds = rd.read_parquet(_pq(sf_dir, "customer"),
+                         columns=["c_mktsegment", "c_name"])
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for seg, sub in g.groupby("c_mktsegment"):
+            names = sorted(sub["c_name"])[:5]
+            rows.append((seg, ",".join(names)))
+        return pd.DataFrame(rows, columns=["c_mktsegment", "first_names"])
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch["c_mktsegment"].to_numpy(zero_copy_only=False).astype(str))
+        return batch.append_column(
+            "_coarse", pa.array((h % np.uint64(8)).astype(np.int64)))
+
+    return (ds.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("_coarse")
+            .map_groups(lambda g: partial(g.drop(columns=["_coarse"])),
+                        batch_format="pandas")
+            .sort("c_mktsegment"))
+
+
+SEGMENT_NAMES_SQL = """
+SELECT c_mktsegment,
+       array_to_string((array_agg(c_name ORDER BY c_name))[1:5], ',')
+           AS first_names
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
+    "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
+    "segment_names_agg": (segment_names_agg, SEGMENT_NAMES_SQL),
     "events_lead_lag": (events_lead_lag, EVENTS_LAG_SQL),
     "lineitem_discount_hist": (lineitem_discount_hist, DISCOUNT_HIST_SQL),
     "part_brand_median_price": (part_brand_median_price, BRAND_MEDIAN_SQL),

@@ -282,7 +282,56 @@ def langid_accuracy(sf_dir: str):
             .sort("lang"))
 
 
+# ---------------------------------------------------------------------------
+# Regex extraction counts (RE2 in BOTH engines -> exact count parity)
+# ---------------------------------------------------------------------------
+
+# ASCII-explicit pattern STRINGS shared verbatim with the SQL (same rule
+# as the BPE pattern above: RE2 via Arrow count_substring_regex and
+# DuckDB regexp_extract_all; no \s/\d shorthand anywhere)
+PATTERN_OPS = "(scan|sort|merge|join)"
+PATTERN_VOWEL_PAIR = "[aeiou][aeiou]"
+PATTERN_WINDOW = "window"
+
+
+def doc_pattern_counts(sf_dir: str):
+    """Per-doc non-overlapping match counts for three extraction
+    patterns — the regex-mining stage of a text pipeline, vectorized
+    with Arrow's RE2 kernel."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        text = pc.fill_null(text, "")
+        return pa.Table.from_arrays(
+            [batch["doc_id"],
+             pc.cast(pc.count_substring_regex(text, PATTERN_OPS),
+                     pa.int64()),
+             pc.cast(pc.count_substring_regex(text, PATTERN_VOWEL_PAIR),
+                     pa.int64()),
+             pc.cast(pc.count_substring_regex(text, PATTERN_WINDOW),
+                     pa.int64())],
+            names=["doc_id", "n_ops", "n_vowel_pairs", "n_window"])
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+PATTERN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{PATTERN_OPS}'))
+            AS BIGINT) AS n_ops,
+       CAST(len(regexp_extract_all(COALESCE(text, ''),
+                                   '{PATTERN_VOWEL_PAIR}'))
+            AS BIGINT) AS n_vowel_pairs,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{PATTERN_WINDOW}'))
+            AS BIGINT) AS n_window
+FROM documents
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "doc_pattern_counts": (doc_pattern_counts, PATTERN_COUNTS_SQL),
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),
     "doc_langid": (doc_langid, LANGID_SQL),
