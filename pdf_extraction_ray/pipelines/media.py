@@ -83,7 +83,43 @@ def media_frames(sf_dir: str):
     return frames_pipeline(read_docs(_corpus_for(sf_dir)))
 
 
+def media_resized(sf_dir: str):
+    """Image resize plumbing: decode (payload kept) -> actor-pool resize
+    (aspect-preserving to max dim 128, payload bytes shrunk by the area
+    ratio) over the image rows only; payload pruned after."""
+    from ..functions.cluster import half_pool
+    from ..stages.multimodal import MediaResizer
+
+    media = media_table_from_docs(read_docs(_corpus_for(sf_dir)))
+    imgs = media.map_batches(
+        lambda t: t.filter(pc.equal(t["media_type"], "image")),
+        batch_format="pyarrow")
+    decoded = imgs.map_batches(MediaDecoder, batch_format="pyarrow",
+                               batch_size=512, concurrency=half_pool(),
+                               num_cpus=1,
+                               fn_constructor_kwargs={"keep_payload": True})
+    resized = decoded.map_batches(MediaResizer, batch_format="pyarrow",
+                                  batch_size=512, concurrency=(1, 2),
+                                  num_cpus=1)
+    return resized.drop_columns(["resized_payload"])
+
+
+def media_audio_features(sf_dir: str):
+    """Spectral band energies for audio rows (numpy rfft over the
+    payload-as-waveform; AUDIO_BANDS int64 energies per row)."""
+    from ..stages.multimodal import AudioFeaturizer
+
+    media = media_table_from_docs(read_docs(_corpus_for(sf_dir)))
+    audio = media.map_batches(
+        lambda t: t.filter(pc.equal(t["media_type"], "audio")),
+        batch_format="pyarrow")
+    return audio.map_batches(AudioFeaturizer, batch_format="pyarrow",
+                             batch_size=512, concurrency=(1, 2), num_cpus=1)
+
+
 MEDIA_QUERIES: dict[str, tuple] = {
     "media_features": (media_features, None),
     "media_frames": (media_frames, None),
+    "media_resized": (media_resized, None),
+    "media_audio_features": (media_audio_features, None),
 }

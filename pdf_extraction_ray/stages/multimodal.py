@@ -52,12 +52,15 @@ class MediaDecoder:
     exist in the image — the call sites and schemas don't change.
     """
 
-    def __init__(self, codec: str = "stub"):
+    def __init__(self, codec: str = "stub", keep_payload: bool = False):
         if codec != "stub":
             raise NotImplementedError(
                 f"codec={codec!r}: real decoders (PIL/libsndfile/ffmpeg) are "
                 "not available in this environment; use codec='stub'")
         self.codec = codec
+        # downstream payload-transform stages (resize) need the bytes;
+        # feature-only consumers keep the default pruning
+        self.keep_payload = keep_payload
 
     @staticmethod
     def _decode_stub(payload: bytes) -> tuple[int, int, int, int]:
@@ -76,11 +79,80 @@ class MediaDecoder:
         for p in payloads:
             a, b, c, d = self._decode_stub(p)
             w.append(a); ht.append(b); nf.append(c); en.append(d)
-        out = batch.drop_columns(["payload"])       # prune heavy bytes
+        out = batch if self.keep_payload \
+            else batch.drop_columns(["payload"])    # prune heavy bytes
         return (out.append_column("width", pa.array(w, type=pa.int32()))
                    .append_column("height", pa.array(ht, type=pa.int32()))
                    .append_column("n_frames", pa.array(nf, type=pa.int32()))
                    .append_column("energy_x1e3", pa.array(en, type=pa.int64())))
+
+
+class MediaResizer:
+    """Actor-pool resize stage (image analog): given decoded dims, emit
+    target dims preserving aspect ratio (longest side -> ``max_dim``)
+    plus a deterministic "resized" payload whose length scales with the
+    area ratio — the real-codec seam is the same ``codec="stub"`` gate
+    as MediaDecoder (PIL would replace ``_resize_stub`` only)."""
+
+    def __init__(self, max_dim: int = 128, codec: str = "stub"):
+        if codec != "stub":
+            raise NotImplementedError(
+                f"codec={codec!r}: real resize needs an imaging library; "
+                "use codec='stub'")
+        self.max_dim = max_dim
+
+    def _dims(self, w: int, h: int) -> tuple[int, int]:
+        if max(w, h) <= self.max_dim:
+            return w, h
+        scale = self.max_dim / max(w, h)
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws = as_array(batch.column("width")).to_pylist()
+        hs = as_array(batch.column("height")).to_pylist()
+        payloads = as_array(batch.column("payload")).to_pylist() \
+            if "payload" in batch.column_names else [b""] * len(ws)
+        nw, nh, out_payload = [], [], []
+        for w, h, p in zip(ws, hs, payloads):
+            w2, h2 = self._dims(w, h)
+            nw.append(w2)
+            nh.append(h2)
+            # deterministic stub: keep a prefix proportional to area ratio
+            keep = max(8, int(len(p) * (w2 * h2) / max(w * h, 1)))
+            out_payload.append(p[:keep])
+        out = batch.drop_columns(
+            [c for c in ("payload",) if c in batch.column_names])
+        return (out.append_column("out_width",
+                                  pa.array(nw, type=pa.int32()))
+                   .append_column("out_height",
+                                  pa.array(nh, type=pa.int32()))
+                   .append_column("resized_payload",
+                                  pa.array(out_payload, type=pa.binary())))
+
+
+AUDIO_BANDS = 4
+
+
+class AudioFeaturizer:
+    """Actor-pool audio feature stage: payload bytes as a fake int8
+    waveform -> per-band spectral energy (numpy rfft, AUDIO_BANDS bands).
+    The FFT is real compute over the binary column — the plumbing a real
+    libsndfile decode would feed."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = as_array(batch.column("payload")).to_pylist()
+        feats = []
+        for p in payloads:
+            wave = np.frombuffer(p[4:], dtype=np.int8).astype(np.float64)
+            if len(wave) == 0:
+                feats.append([0] * AUDIO_BANDS)
+                continue
+            spec = np.abs(np.fft.rfft(wave)) ** 2
+            bands = np.array_split(spec, AUDIO_BANDS)
+            feats.append([int(b.sum()) for b in bands])
+        out = batch.drop_columns(["payload"])
+        return out.append_column(
+            "band_energy", pa.array(feats, type=pa.list_(pa.int64())))
 
 
 class FrameSampler:

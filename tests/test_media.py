@@ -73,3 +73,47 @@ def test_media_frames_nonempty_one_plus_per_video(media_corpus):
     assert len(frames) == expected
     # frame refs are unique and parse back to their media refs
     assert frames.frame_ref.is_unique
+
+
+def test_media_resizer_dims_and_payload():
+    from pdf_extraction_ray.stages.multimodal import MediaResizer
+    batch = pa.table({
+        "media_ref": ["a", "b"],
+        "width": pa.array([320, 64], type=pa.int32()),
+        "height": pa.array([160, 100], type=pa.int32()),
+        "payload": [b"x" * 1000, b"y" * 1000]})
+    out = MediaResizer(max_dim=128)(batch)
+    assert out.column("out_width").to_pylist() == [128, 64]   # aspect kept
+    assert out.column("out_height").to_pylist() == [64, 100]  # small kept
+    rp = out.column("resized_payload").to_pylist()
+    assert len(rp[0]) < 1000          # shrunk by area ratio
+    assert len(rp[1]) == 1000         # no-op resize keeps all bytes
+    assert "payload" not in out.column_names
+
+
+def test_audio_featurizer_deterministic_nonzero():
+    from pdf_extraction_ray.stages.multimodal import (AUDIO_BANDS,
+                                                      AudioFeaturizer,
+                                                      synth_payload)
+    batch = pa.table({"media_ref": ["m"],
+                      "payload": [synth_payload("m", "audio")]})
+    out1 = AudioFeaturizer()(batch)
+    out2 = AudioFeaturizer()(batch)
+    assert out1.column("band_energy").to_pylist() \
+        == out2.column("band_energy").to_pylist()
+    bands = out1.column("band_energy").to_pylist()[0]
+    assert len(bands) == AUDIO_BANDS and sum(bands) > 0
+
+
+def test_media_resized_and_audio_pipelines(media_corpus):
+    from pdf_extraction_ray.pipelines import media as M
+    orig = M._corpus_for
+    M._corpus_for = lambda sf: media_corpus
+    try:
+        rs = M.media_resized("ignored").to_pandas()
+        au = M.media_audio_features("ignored").to_pandas()
+    finally:
+        M._corpus_for = orig
+    assert len(rs) > 0 and (rs["out_width"] <= 128).all() \
+        and (rs["out_height"] <= 128).all()
+    assert len(au) > 0 and au["band_energy"].map(sum).gt(0).all()
