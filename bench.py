@@ -112,9 +112,39 @@ def _scaling():
                 "during the low-CPU run)"}))
 
 
+def _stress():
+    """1M-doc stress tier: the headline pipeline at 4x bench scale
+    through the parquet sink (throughput should hold; no spill)."""
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from pdf_extraction_ray.fixtures import ensure_corpus
+    from pdf_extraction_ray.sources import read_docs
+    from pdf_extraction_ray.pipelines import extract_pipeline
+    n = 1_000_000
+    corpus = ensure_corpus("stress", BENCH_SEED, n, shard_rows=5000,
+                           use_ray=True)
+    read_docs(corpus).count()
+    out = "/tmp/pdfxr_stress_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    extract_pipeline(read_docs(corpus), batch_size=BENCH_BATCH) \
+        .write_parquet(out)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"metric": "stress_wall_sec", "value": round(dt, 1),
+                      "unit": "sec", "n_docs": n, "num_cpus": 32,
+                      "docs_per_sec": round(n / dt, 1)}))
+    ray.shutdown()
+
+
 def main():
     if "--scaling" in sys.argv:
         _scaling()
+        return
+    if "--stress" in sys.argv:
+        _stress()
         return
     headline_only = "--headline-only" in sys.argv
 
