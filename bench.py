@@ -139,12 +139,68 @@ def _stress():
     ray.shutdown()
 
 
+def _dedup_stress():
+    """Dedup family at 50x the testdata document scale: synthesize a
+    250k-row documents table (1% planted near-dups) and time exact /
+    MinHash-LSH / SimHash / clusters end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    n = int(os.environ.get("GRAFT_DEDUP_DOCS", "250000"))
+    d = f"/tmp/pdfxr_dedup_docs/n{n}"
+    if not os.path.exists(f"{d}/documents.parquet"):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(7)
+        # ~2k-word vocabulary: a tiny vocab makes every doc near-identical
+        # in signature space and floods SimHash buckets with false pairs
+        roots = ("al be ga de ep ze et th io ka la mu nu xi om pi rh si "
+                 "ta up ph ch ps om scan sort merge join table window "
+                 "stream batch shard spill key hash row col page span").split()
+        words = np.array([f"{r}{i}" for r in roots for i in range(50)])
+        base = rng.integers(0, len(words), size=(n, 60))
+        texts = [" ".join(words[r]) for r in base]
+        dup_src = rng.choice(n, size=n // 100, replace=False)
+        for j, src in enumerate(dup_src):      # near-dup: one token changed
+            toks = texts[src].split()
+            toks[j % 60] = "REPLACED"
+            texts[n - len(dup_src) + j] = " ".join(toks)
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                      "text": texts}).to_parquet(f"{d}/documents.parquet")
+
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from pdf_extraction_ray.pipelines.dedup import (dedup_minhash_lsh,
+                                                    dedup_simhash)
+    from pdf_extraction_ray.pipelines.textops import doc_dedup_exact
+
+    timings, rows = {}, {}
+    for name, fn in (("doc_dedup_exact", doc_dedup_exact),
+                     ("dedup_minhash_lsh", dedup_minhash_lsh),
+                     ("dedup_simhash", dedup_simhash)):
+        import pandas as pd
+        t0 = time.perf_counter()
+        res = fn(d)
+        cnt = len(res) if isinstance(res, pd.DataFrame) else res.count()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        rows[name] = int(cnt)
+    print(json.dumps({"metric": "dedup_stress", "n_docs": n,
+                      "num_cpus": 32, "timings_sec": timings,
+                      "result_rows": rows}))
+    ray.shutdown()
+
+
 def main():
     if "--scaling" in sys.argv:
         _scaling()
         return
     if "--stress" in sys.argv:
         _stress()
+        return
+    if "--dedup" in sys.argv:
+        _dedup_stress()
         return
     headline_only = "--headline-only" in sys.argv
 
