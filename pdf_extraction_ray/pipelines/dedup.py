@@ -254,27 +254,49 @@ def dedup_minhash_lsh(sf_dir: str):
         sig = H.minhash_signatures(text)
         bh = H.lsh_band_hashes(sig)                      # (n, N_BANDS)
         n = len(batch)
-        doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), H.N_BANDS)
-        band_id = np.tile(np.arange(H.N_BANDS, dtype=np.int64), n)
-        bh_flat = bh.reshape(-1)
+        doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False),
+                        H.N_BANDS)
+        # ONE combined int64 key per (band_id, band_hash): halves the
+        # shuffle payload vs two key columns; band-specific xor constant
+        # keeps same-hash-different-band rows in distinct groups
+        band_salt = (np.arange(H.N_BANDS, dtype=np.uint64)
+                     * np.uint64(0x9E3779B97F4A7C15))
+        key = bh.reshape(-1) ^ np.tile(band_salt, n)
         return pa.Table.from_arrays(
-            [pa.array(band_id), pa.array(bh_flat.view(np.int64)),
-             pa.array((bh_flat % np.uint64(N_COARSE)).astype(np.int64)),
+            [pa.array(key.view(np.int64)),
+             pa.array((key % np.uint64(N_COARSE)).astype(np.int64)),
              pa.array(doc)],
-            names=["band_id", "band_hash", "coarse", "doc_id"])
+            names=["key", "coarse", "doc_id"])
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized group-boundary scan: nearly every band bucket is a
+        # singleton, so python touches only the multi-member groups
+        key = g["key"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, key))
+        key, doc = key[order], doc[order]
         out_a, out_b = [], []
-        for (_, _), grp in g.groupby(["band_id", "band_hash"]):
-            ids = sorted(grp["doc_id"].unique())
-            for i, x in enumerate(ids):
-                for y in ids[i + 1:]:
-                    out_a.append(x)
-                    out_b.append(y)
+        if len(key):
+            new = np.empty(len(key), dtype=bool)
+            new[0] = True
+            np.not_equal(key[1:], key[:-1], out=new[1:])
+            starts = np.nonzero(new)[0]
+            counts = np.diff(np.append(starts, len(key)))
+            for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+                ids = np.unique(doc[s:s + c])
+                if len(ids) < 2:
+                    continue
+                ai, bj = np.triu_indices(len(ids), 1)
+                out_a.append(ids[ai])
+                out_b.append(ids[bj])
+        if out_a:
+            return pd.DataFrame({
+                "doc_a": pd.Series(np.concatenate(out_a), dtype="int64"),
+                "doc_b": pd.Series(np.concatenate(out_b), dtype="int64")})
         # explicit dtypes: empty object-typed frames become Arrow null
         # columns and break schema unification downstream
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64")})
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
 
     cand = (_docs(sf_dir)
             .map_batches(bands, batch_format="pyarrow")
@@ -299,21 +321,45 @@ def dedup_simhash(sf_dir: str):
              pa.array(bucket % N_COARSE)],
             names=["doc_id", "simhash", "bucket", "coarse"])
 
+    _triu_cache: dict[int, tuple] = {}
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, grp in g.groupby("bucket"):
-            ids = grp["doc_id"].to_numpy()
-            sh = grp["simhash"].to_numpy().view(np.uint64)
-            order = np.argsort(ids)
-            ids, sh = ids[order], sh[order]
-            for i in range(len(ids)):
-                d = H.hamming_distance(np.full(len(ids) - i - 1, sh[i]),
-                                       sh[i + 1:])
-                for j, dist in zip(range(i + 1, len(ids)), d):
-                    if dist <= SIMHASH_MAX_HAMMING:
-                        rows.append((int(ids[i]), int(ids[j]), int(dist)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"]) \
-            .astype("int64")
+        # boundary-scan + one vectorized hamming pass over ALL candidate
+        # pairs in the partition (python only assembles index arrays for
+        # the multi-member buckets)
+        b = g["bucket"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().view(np.uint64)
+        order = np.lexsort((doc, b))
+        b, doc, sh = b[order], doc[order], sh[order]
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
+        if not len(b):
+            return empty
+        new = np.empty(len(b), dtype=bool)
+        new[0] = True
+        np.not_equal(b[1:], b[:-1], out=new[1:])
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, len(b)))
+        ai_parts, bj_parts = [], []
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            tri = _triu_cache.get(c)
+            if tri is None:
+                tri = _triu_cache[c] = np.triu_indices(int(c), 1)
+            ai_parts.append(tri[0] + s)
+            bj_parts.append(tri[1] + s)
+        if not ai_parts:
+            return empty
+        ai = np.concatenate(ai_parts)
+        bj = np.concatenate(bj_parts)
+        d = H.hamming_distance(sh[ai], sh[bj])
+        keep = d <= SIMHASH_MAX_HAMMING
+        # within-bucket doc sort makes doc[ai] < doc[bj] automatically
+        return pd.DataFrame({
+            "doc_a": pd.Series(doc[ai][keep], dtype="int64"),
+            "doc_b": pd.Series(doc[bj][keep], dtype="int64"),
+            "hamming": pd.Series(d[keep], dtype="int64")})
 
     return (_docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
             .groupby("coarse")
