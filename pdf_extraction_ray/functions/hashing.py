@@ -111,14 +111,26 @@ def lsh_band_hashes(sig: np.ndarray) -> np.ndarray:
 
 def simhash(text: pa.Array) -> np.ndarray:
     """64-bit SimHash per doc (uint64): sign of the sum of +-1 bit vectors
-    of token hashes."""
-    h, parent, _ = _doc_tokens(text)
+    of token hashes. Per-doc segment sums run through ``np.add.reduceat``
+    (``parent`` from list_parent_indices is sorted ascending), not the
+    unbuffered ``np.add.at``."""
+    h, parent, lengths = _doc_tokens(text)
     n_docs = len(text)
     acc = np.zeros((n_docs, SIMHASH_BITS), dtype=np.int64)
     if len(h):
-        bits = ((h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64) * 2 - 1
-        np.add.at(acc, parent, bits)
+        # uint8 unpack (19 MB for 300k tokens) instead of 64 int64 shifts
+        # (150 MB); bitorder='little' puts hash bit b in column b
+        bits01 = np.unpackbits(
+            np.ascontiguousarray(h[:, None]).view(np.uint8),
+            axis=1, bitorder="little")
+        nz = lengths > 0
+        # consecutive nonzero docs have strictly increasing starts, which
+        # is exactly what reduceat's segment semantics need (zero-token
+        # docs would alias the next doc's start — they stay all-zero)
+        starts = np.searchsorted(parent, np.nonzero(nz)[0])
+        ones = np.add.reduceat(bits01, starts, axis=0, dtype=np.int64)
+        # sum of +-1 bits == 2 * ones - n_tokens
+        acc[nz] = 2 * ones - lengths[nz][:, None]
     out = np.zeros(n_docs, dtype=np.uint64)
     pos = acc > 0
     for b in range(SIMHASH_BITS):
@@ -127,12 +139,13 @@ def simhash(text: pa.Array) -> np.ndarray:
 
 
 def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(a, b)
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    while x.any():
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x = x >> np.uint64(1)
-    return cnt
+    """Popcount of xor via one unpackbits pass (vs 64 shift iterations)."""
+    x = np.ascontiguousarray(np.bitwise_xor(a, b))
+    if x.size == 0:
+        return np.zeros(x.shape, dtype=np.int64)
+    bytes_view = x.reshape(-1, 1).view(np.uint8)
+    return np.unpackbits(bytes_view, axis=1).sum(axis=1).astype(np.int64) \
+        .reshape(x.shape)
 
 
 def jaccard(a_tokens: set, b_tokens: set) -> float:
