@@ -200,6 +200,50 @@ def _dedup_stress():
     ray.shutdown()
 
 
+def _knn_stress():
+    """Similarity search at 2000x the testdata scale: 1M x 64-dim
+    clustered embeddings; brute-force / IVF / LSH top-k + the centroid
+    aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    n = int(os.environ.get("GRAFT_KNN_DOCS", "1000000"))
+    d = f"/tmp/pdfxr_knn_emb/n{n}"
+    if not os.path.exists(f"{d}/embeddings.parquet"):
+        os.makedirs(f"{d}/embeddings.parquet", exist_ok=True)
+        rng = np.random.default_rng(3)
+        cents = rng.normal(size=(10, 64)) * 3.0
+        shard = 100_000
+        for i in range(0, n, shard):
+            m = min(shard, n - i)
+            lab = rng.integers(0, 10, size=m)
+            vecs = (cents[lab] + rng.normal(size=(m, 64))).astype(np.float32)
+            pd.DataFrame({"vec_id": np.arange(i, i + m, dtype=np.int64),
+                          "embedding": list(vecs),
+                          "label": lab.astype(np.int32)}).to_parquet(
+                f"{d}/embeddings.parquet/part-{i // shard:03d}.parquet")
+
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_centroid_sums, knn_cosine, knn_cosine_ivf, knn_cosine_lsh)
+
+    timings = {}
+    for name, fn in (("knn_cosine", knn_cosine),
+                     ("knn_cosine_ivf", knn_cosine_ivf),
+                     ("knn_cosine_lsh", knn_cosine_lsh),
+                     ("embedding_centroid_sums", embedding_centroid_sums)):
+        t0 = time.perf_counter()
+        fn(d).count()
+        timings[name] = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"metric": "knn_stress", "n_vectors": n,
+                      "num_cpus": 32, "timings_sec": timings}))
+    ray.shutdown()
+
+
 def main():
     if "--scaling" in sys.argv:
         _scaling()
@@ -209,6 +253,9 @@ def main():
         return
     if "--dedup" in sys.argv:
         _dedup_stress()
+        return
+    if "--knn" in sys.argv:
+        _knn_stress()
         return
     headline_only = "--headline-only" in sys.argv
 
