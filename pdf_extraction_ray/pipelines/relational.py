@@ -1063,7 +1063,295 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# RANK + NTILE windows: balance quartiles per market segment
+# ---------------------------------------------------------------------------
+
+NTILE_BUCKETS = 4
+
+
+def customer_balance_ntile(sf_dir: str):
+    """Per-segment balance RANK (competition ranking, ties share rank)
+    and NTILE(4) quartile — the ranked-window family on top of the
+    grouped-map shuffle. NTILE needs a total order per partition; at full
+    scale the same result comes from a per-segment sort + broadcast of
+    the 3 quantile boundaries instead of one giant ordered group (the
+    segment count is bounded, so the grouped form is fine here)."""
+    ds = rd.read_parquet(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        bal = _round_half_away(
+            batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0)
+        h = pd.util.hash_array(
+            batch["c_mktsegment"].to_numpy(zero_copy_only=False).astype(str))
+        return pa.Table.from_arrays(
+            [batch["c_custkey"], batch["c_mktsegment"], pa.array(bal),
+             pa.array((h % np.uint64(8)).astype(np.int64))],
+            names=["c_custkey", "c_mktsegment", "bal_x100", "_coarse"])
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for seg, sub in g.groupby("c_mktsegment"):
+            sub = sub.sort_values(["bal_x100", "c_custkey"],
+                                  ascending=[False, True]).reset_index(drop=True)
+            n = len(sub)
+            bal = sub["bal_x100"].to_numpy()
+            # competition rank over bal desc: 1 + #rows strictly greater
+            first_pos = np.zeros(n, dtype=np.int64)
+            uniq, idx = np.unique(-bal, return_index=True)   # sorted asc = bal desc
+            first_pos = idx[np.searchsorted(uniq, -bal)]
+            rank = first_pos + 1
+            # NTILE(k): first (n % k) buckets get ceil(n/k) rows
+            k = NTILE_BUCKETS
+            base, extra = divmod(n, k)
+            sizes = np.full(k, base, dtype=np.int64)
+            sizes[:extra] += 1
+            quartile = np.repeat(np.arange(1, k + 1), sizes)[:n]
+            outs.append(pd.DataFrame({
+                "c_custkey": sub["c_custkey"].astype("int64"),
+                "c_mktsegment": sub["c_mktsegment"],
+                "bal_x100": bal,
+                "bal_rank": rank,
+                "bal_quartile": quartile}))
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+            .groupby("_coarse")
+            .map_groups(lambda g: windows(g.drop(columns=["_coarse"])),
+                        batch_format="pandas")
+            .sort("c_custkey"))
+
+
+NTILE_SQL = f"""
+SELECT c_custkey, c_mktsegment,
+       CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bal_x100,
+       CAST(RANK() OVER (PARTITION BY c_mktsegment
+                         ORDER BY CAST(ROUND(c_acctbal * 100.0) AS BIGINT) DESC)
+            AS BIGINT) AS bal_rank,
+       CAST(NTILE({NTILE_BUCKETS}) OVER (
+            PARTITION BY c_mktsegment
+            ORDER BY CAST(ROUND(c_acctbal * 100.0) AS BIGINT) DESC, c_custkey)
+            AS BIGINT) AS bal_quartile
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Frame-based moving window: trailing 3-order revenue per customer
+# ---------------------------------------------------------------------------
+
+MOVING_FRAME = 3
+
+
+def orders_moving_window(sf_dir: str):
+    """Per-customer trailing-3-order revenue sum (ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW) in (orderdate, orderkey) order — the
+    frame-based window tier next to the unbounded running totals.
+    Exact int64 frame sums via cumsum difference (no float rolling)."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def moving(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"])
+        cents = _round_half_away(g["o_totalprice"].to_numpy() * 100.0)
+        cs = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.maximum(np.arange(len(cents)) - (MOVING_FRAME - 1), 0)
+        win = cs[np.arange(1, len(cents) + 1)] - cs[lo]
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].astype("int64"),
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "total_x100": cents,
+            "trailing3_x100": win})
+
+    return _coarse_grouped_map(ds, "o_custkey", moving).sort("o_orderkey")
+
+
+MOVING_SQL = f"""
+SELECT o_orderkey, o_custkey,
+       CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS total_x100,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN {MOVING_FRAME - 1} PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS trailing3_x100
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER join: customer counts per nation, zero-preserving
+# ---------------------------------------------------------------------------
+
+def nation_customer_counts_left(sf_dir: str):
+    """Customers per nation with nations that have NO customers kept at
+    zero (LEFT OUTER semantics) — distributed as: fact-side partial
+    counts -> tiny keyed aggregate -> broadcast onto the dimension table
+    with a 0 default. The outer side never shuffles."""
+    counts = (rd.read_parquet(_pq(sf_dir, "customer"),
+                              columns=["c_nationkey"])
+              .map_batches(lambda b: _from_pandas(
+                  pd.DataFrame({"c_nationkey": b["c_nationkey"]
+                                .to_numpy(zero_copy_only=False)})
+                  .groupby("c_nationkey", as_index=False).size()
+                  .rename(columns={"size": "n"})),
+                  batch_format="pyarrow")
+              .groupby("c_nationkey")
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    cmap_ref = ray.put(dict(zip(counts["c_nationkey"], counts["n"])))
+
+    nations = rd.read_parquet(_pq(sf_dir, "nation"),
+                              columns=["n_nationkey", "n_name", "n_regionkey"])
+    regions = pd.read_parquet(_pq(sf_dir, "region"),
+                              columns=["r_regionkey", "r_name"])
+    rmap_ref = ray.put(dict(zip(regions["r_regionkey"], regions["r_name"])))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cmap, rmap = ray.get(cmap_ref), ray.get(rmap_ref)
+        nk = batch["n_nationkey"].to_numpy(zero_copy_only=False)
+        rk = batch["n_regionkey"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [batch["n_name"],
+             pa.array([rmap[k] for k in rk], type=pa.string()),
+             pa.array([int(cmap.get(k, 0)) for k in nk], type=pa.int64())],
+            names=["n_name", "r_name", "n_customers"])
+
+    return nations.map_batches(attach, batch_format="pyarrow").sort("n_name")
+
+
+LEFT_JOIN_SQL = """
+SELECT n_name, r_name, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_customers
+FROM nation
+JOIN region ON n_regionkey = r_regionkey
+LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt
+           FROM customer GROUP BY c_nationkey) c
+  ON n_nationkey = c.c_nationkey
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all grouping-set margins over (status, priority)
+# ---------------------------------------------------------------------------
+
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE (o_orderstatus, o_orderpriority): one full-resolution
+    distributed aggregation, all three margin levels derived from that
+    tiny result driver-side (never a second scan). Sentinel 'ALL' marks
+    rolled-up dimensions (hash-stable, no NULL keys)."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderstatus": batch["o_orderstatus"].to_numpy(zero_copy_only=False),
+            "o_orderpriority": batch["o_orderpriority"].to_numpy(zero_copy_only=False),
+            "revenue_cents": _round_half_away(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0),
+            "n_orders": 1})
+        return _from_pandas(
+            df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False)
+            .sum())
+
+    full = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                       Sum("n_orders", alias_name="n_orders"))
+            .to_pandas())            # tiny: |status| x |priority| rows
+
+    def margin(df, keys):
+        m = df.groupby(keys, as_index=False)[
+            ["revenue_cents", "n_orders"]].sum() if keys else \
+            pd.DataFrame({"revenue_cents": [df["revenue_cents"].sum()],
+                          "n_orders": [df["n_orders"].sum()]})
+        for c in ("o_orderstatus", "o_orderpriority"):
+            if c not in m.columns:
+                m[c] = "ALL"
+        return m
+
+    out = pd.concat([full, margin(full, ["o_orderstatus"]),
+                     margin(full, ["o_orderpriority"]), margin(full, [])],
+                    ignore_index=True)
+    out = out[["o_orderstatus", "o_orderpriority", "revenue_cents",
+               "n_orders"]].astype({"revenue_cents": "int64",
+                                    "n_orders": "int64"})
+    return out.sort_values(["o_orderstatus", "o_orderpriority"]) \
+        .reset_index(drop=True)
+
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact second-moment components per group (covariance/correlation blocks)
+# ---------------------------------------------------------------------------
+
+def part_brand_price_stats(sf_dir: str):
+    """Per-brand exact integer moment components for size-vs-price
+    covariance/correlation: n, sum(size), sum(size^2), sum(price_x100),
+    sum(price_x100^2), sum(size*price_x100). All int64-exact under any
+    summation order, so corr/covar derive bit-stably downstream."""
+    ds = rd.read_parquet(_pq(sf_dir, "part"),
+                         columns=["p_brand", "p_size", "p_retailprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = _round_half_away(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0)
+        df = pd.DataFrame({
+            "p_brand": batch["p_brand"].to_numpy(zero_copy_only=False),
+            "n": 1, "sum_size": size, "sum_size_sq": size * size,
+            "sum_price_x100": price, "sum_price_sq_x10000": price * price,
+            "sum_size_price_x100": size * price})
+        return _from_pandas(df.groupby("p_brand", as_index=False).sum())
+
+    cols = ["n", "sum_size", "sum_size_sq", "sum_price_x100",
+            "sum_price_sq_x10000", "sum_size_price_x100"]
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("p_brand")
+            .aggregate(*[Sum(c, alias_name=c) for c in cols])
+            .sort("p_brand"))
+
+
+PRICE_STATS_SQL = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size,
+       CAST(SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS BIGINT)
+           AS sum_size_sq,
+       CAST(SUM(CAST(ROUND(p_retailprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS sum_price_x100,
+       CAST(SUM(CAST(ROUND(p_retailprice * 100.0) AS BIGINT)
+              * CAST(ROUND(p_retailprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS sum_price_sq_x10000,
+       CAST(SUM(CAST(p_size AS BIGINT)
+              * CAST(ROUND(p_retailprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS sum_size_price_x100
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "customer_balance_ntile": (customer_balance_ntile, NTILE_SQL),
+    "orders_moving_window": (orders_moving_window, MOVING_SQL),
+    "nation_customer_counts_left":
+        (nation_customer_counts_left, LEFT_JOIN_SQL),
+    "orders_cube": (orders_cube, CUBE_SQL),
+    "part_brand_price_stats": (part_brand_price_stats, PRICE_STATS_SQL),
     "events_type_pivot": (events_type_pivot, EVENTS_PIVOT_SQL),
     "orders_rollup": (orders_rollup, ORDERS_ROLLUP_SQL),
     "segment_names_agg": (segment_names_agg, SEGMENT_NAMES_SQL),
