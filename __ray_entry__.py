@@ -64,6 +64,7 @@ def _extract_spans_query(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extraction_ray.pipelines.relational import RELATIONAL_QUERIES
     from pdf_extraction_ray.pipelines.textops import TEXT_QUERIES
+    from pdf_extraction_ray.pipelines.corpus import CORPUS_QUERIES
     from pdf_extraction_ray.pipelines.dedup import DEDUP_QUERIES
     from pdf_extraction_ray.pipelines.similarity import SIMILARITY_QUERIES
     from pdf_extraction_ray.pipelines.analysis import ANALYSIS_QUERIES
@@ -73,7 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extraction_ray.pipelines.streaming import STREAMING_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
-    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES,
+    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, CORPUS_QUERIES,
+                DEDUP_QUERIES,
                 SIMILARITY_QUERIES, ANALYSIS_QUERIES, RETRIEVAL_QUERIES,
                 MEDIA_QUERIES, COMPARE_QUERIES, STREAMING_QUERIES):
         for name, (fn, _sql) in reg.items():
@@ -85,12 +87,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from pdf_extraction_ray.pipelines.relational import RELATIONAL_QUERIES
     from pdf_extraction_ray.pipelines.textops import TEXT_QUERIES
+    from pdf_extraction_ray.pipelines.corpus import CORPUS_QUERIES
     from pdf_extraction_ray.pipelines.dedup import DEDUP_QUERIES
     from pdf_extraction_ray.pipelines.similarity import SIMILARITY_QUERIES
     from pdf_extraction_ray.pipelines.streaming import STREAMING_QUERIES
 
     out: dict[str, str] = {}
-    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, DEDUP_QUERIES,
+    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, CORPUS_QUERIES,
+                DEDUP_QUERIES,
                 SIMILARITY_QUERIES, STREAMING_QUERIES):
         for name, (_fn, sql) in reg.items():
             if sql is not None:

@@ -1,0 +1,445 @@
+"""Corpus-level text statistics over the ``documents`` table — the
+vocabulary / term-frequency operators a training-data pipeline runs
+before and after filtering: corpus heavy hitters, vocabulary stats,
+TF-IDF term scoring, repetition (Gopher-style) quality signals, token
+length histograms, blocklist redaction, and an inverted index. Each is
+paired with a DuckDB oracle (identical tokenization: lower(trim(text))
+split on ``\\s+``, same RE2 class in both engines).
+
+Scale shapes (these run over ~100 TB of text in production):
+
+- Tokenization is a zero-copy Arrow kernel (``split_pattern_regex`` +
+  ``list_flatten``/``list_parent_indices``) — no python loop over rows.
+- Every corpus-wide count pre-aggregates per batch (one row per term per
+  batch) so the term shuffle moves partial counts, not token instances.
+- Term-keyed stages (df, postings) shuffle on a COARSE hash of the term
+  (``hash(term) % 64``) — bounded group count at any vocabulary size —
+  with the exact per-term grouping done in pandas inside the partition.
+- Per-doc stages (TF-IDF top-k, repetition) never shuffle token rows at
+  all: a document's tokens live in its own batch row, so tf/bigram
+  counting is batch-local; only the tiny (doc, term, tf) partials and
+  the df side table move.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..functions import text as T
+from ..functions.arrow_utils import as_array
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def _from_pandas(df: pd.DataFrame) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+def _doc_terms(batch: pa.Table):
+    """(doc_id_per_token, token) flat numpy/arrow pair for one batch —
+    lowercase, whitespace-split, identical to the oracle's
+    regexp_split_to_array(lower(trim(text)), '\\s+')."""
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = as_array(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(text)), T.TOKEN_SPLIT_RE))
+    flat = as_array(pc.list_flatten(toks))
+    parent = as_array(pc.list_parent_indices(toks)) \
+        .to_numpy(zero_copy_only=False)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parent]
+    return doc_ids, flat
+
+
+def _coarse_str_group(ds, key: str, per_group_fn, n_coarse: int = 64):
+    """Grouped map keyed by a STRING column via a coarse hash shuffle
+    (cf. relational._coarse_grouped_map, which keys on ints)."""
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch[key].to_numpy(zero_copy_only=False).astype(str))
+        return batch.append_column(
+            "_coarse", pa.array((h % np.uint64(n_coarse)).astype(np.int64))) \
+            .replace_schema_metadata(None)
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return per_group_fn(g.drop(columns=["_coarse"]))
+
+    return ds.map_batches(add_coarse, batch_format="pyarrow") \
+             .groupby("_coarse").map_groups(run, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Corpus heavy hitters: top-k most frequent tokens
+# ---------------------------------------------------------------------------
+
+HEAVY_HITTERS_K = 20
+
+
+def _token_counts(sf_dir: str):
+    """(token, n) dataset: per-batch partial counts -> keyed Sum."""
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat = _doc_terms(batch)
+        vc = pd.Series(flat.to_numpy(zero_copy_only=False)).value_counts()
+        return _from_pandas(pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)}))
+
+    return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("n", alias_name="n")))
+
+
+def corpus_heavy_hitters(sf_dir: str):
+    """Exact corpus-wide top-k tokens by frequency (the exact baseline
+    the count-min-sketch path is checked against). Ties break on token
+    so the result is deterministic at any parallelism."""
+    return _token_counts(sf_dir) \
+        .sort(["n", "token"], descending=[True, False]) \
+        .limit(HEAVY_HITTERS_K)
+
+
+HEAVY_HITTERS_SQL = rf"""
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents)
+GROUP BY tok
+ORDER BY n DESC, token
+LIMIT {HEAVY_HITTERS_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary stats (single-row corpus summary)
+# ---------------------------------------------------------------------------
+
+def corpus_vocab_stats(sf_dir: str):
+    """One-row corpus summary off the token-count aggregate: vocabulary
+    size, hapax count (tokens seen exactly once), total token instances.
+    The second pass reduces (token, n) rows — already tiny relative to
+    the corpus — through a global Sum, never back to the driver."""
+    tc = _token_counts(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "vocab_size": [np.int64(len(n))],
+            "hapax_count": [np.int64((n == 1).sum())],
+            "total_tokens": [np.int64(n.sum())]})
+
+    agg = (tc.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("vocab_size", alias_name="vocab_size"),
+                      Sum("hapax_count", alias_name="hapax_count"),
+                      Sum("total_tokens", alias_name="total_tokens")))
+    return pd.DataFrame([{k: np.int64(v) for k, v in agg.items()}])
+
+
+VOCAB_STATS_SQL = r"""
+WITH tc AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents)
+  GROUP BY tok)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) FILTER (n = 1) AS BIGINT) AS hapax_count,
+       CAST(SUM(n) AS BIGINT) AS total_tokens
+FROM tc
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def doc_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-3 terms by integer TF-IDF score ``tf * N // df``
+    (N = corpus size, df = docs containing the term — integer-scaled so
+    the oracle matches bit-exactly; log-idf would be float-ordered the
+    same way for top-k but not hash-comparable).
+
+    Shuffle plan: batch-local (doc, term, tf) partials -> term-keyed
+    coarse exchange to attach df -> doc-keyed coarse exchange for the
+    per-doc top-k. Token instances never move; only per-doc-term rows."""
+    n_docs = _n_docs(sf_dir)
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, flat = _doc_terms(batch)
+        df = pd.DataFrame({"doc_id": doc_ids,
+                           "term": flat.to_numpy(zero_copy_only=False)})
+        g = df.groupby(["doc_id", "term"], as_index=False).size() \
+              .rename(columns={"size": "tf"})
+        return _from_pandas(g.astype({"doc_id": "int64", "tf": "int64"}))
+
+    tf = _docs(sf_dir).map_batches(tf_partial, batch_format="pyarrow")
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # every (doc, term) row for a term lands in one group -> df is
+        # the per-term row count (doc-term pairs are unique by build)
+        g = g.copy()
+        g["df"] = g.groupby("term")["term"].transform("size").astype("int64")
+        g["score"] = (g["tf"] * np.int64(n_docs)) // g["df"]
+        return g
+
+    scored = _coarse_str_group(tf, "term", attach_df)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby("doc_id"):
+            sub = sub.sort_values(["score", "term"],
+                                  ascending=[False, True]).head(TFIDF_TOPK)
+            outs.append(sub[["doc_id", "term", "tf", "score"]])
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+
+    from .relational import _coarse_grouped_map
+    return _coarse_grouped_map(scored, "doc_id", topk) \
+        .sort(["doc_id", "term"])
+
+
+TFIDF_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM t GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+s AS (SELECT doc_id, tf.term, tf,
+             (tf * (SELECT COUNT(*) FROM documents)) // df AS score
+      FROM tf JOIN df USING (term)),
+r AS (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)
+SELECT doc_id, term, tf, score FROM r WHERE rn <= {TFIDF_TOPK}
+ORDER BY doc_id, term
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition / diversity signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def doc_repetition(sf_dir: str):
+    """Per-doc repetition signals: distinct-token ratio and the fraction
+    of bigram slots taken by the single most frequent bigram — the
+    Gopher repetition-rule family over newline-free text. Entirely
+    batch-local (a doc's tokens sit in its own row); no shuffle."""
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids_flat, flat = _doc_terms(batch)
+        toks = flat.to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+
+        df = pd.DataFrame({"doc_id": doc_ids_flat, "tok": toks})
+        per = df.groupby("doc_id").agg(n_tokens=("tok", "size"),
+                                       n_distinct=("tok", "nunique"))
+        per = per.reindex(ids, fill_value=0)
+
+        # bigrams: adjacent token pairs within the same doc
+        same = doc_ids_flat[1:] == doc_ids_flat[:-1]
+        bg = pd.DataFrame({"doc_id": doc_ids_flat[1:][same],
+                           "a": toks[:-1][same], "b": toks[1:][same]})
+        if len(bg):
+            counts = bg.groupby(["doc_id", "a", "b"]).size() \
+                       .groupby("doc_id").max()
+        else:
+            counts = pd.Series(dtype="int64")
+        top_bg = counts.reindex(ids, fill_value=0).to_numpy(np.int64)
+
+        n_tok = per["n_tokens"].to_numpy(np.int64)
+        n_dis = per["n_distinct"].to_numpy(np.int64)
+        distinct_ratio = np.where(n_tok > 0,
+                                  (n_dis * 1_000_000) // np.maximum(n_tok, 1),
+                                  0)
+        bg_slots = np.maximum(n_tok - 1, 1)
+        top_bg_frac = np.where(n_tok > 1,
+                               (top_bg * 1_000_000) // bg_slots, 0)
+        return pa.Table.from_pydict({
+            "doc_id": ids,
+            "n_tokens": n_tok,
+            "distinct_ratio_x1e6": distinct_ratio.astype(np.int64),
+            "top_bigram_cnt": top_bg,
+            "top_bigram_frac_x1e6": top_bg_frac.astype(np.int64)})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS ord FROM t),
+bg AS (SELECT doc_id,
+              tok || ' ' || LEAD(tok) OVER (
+                  PARTITION BY doc_id ORDER BY ord) AS bigram
+       FROM u),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+       WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+m AS (SELECT doc_id, MAX(c) AS top_bigram_cnt FROM bc GROUP BY doc_id),
+d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      FROM t)
+SELECT d.doc_id, n_tokens,
+       CASE WHEN n_tokens > 0 THEN (n_distinct * 1000000) // n_tokens
+            ELSE 0 END AS distinct_ratio_x1e6,
+       CAST(COALESCE(top_bigram_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+       CASE WHEN n_tokens > 1 THEN
+            (CAST(COALESCE(top_bigram_cnt, 0) AS BIGINT) * 1000000)
+                // (n_tokens - 1)
+            ELSE 0 END AS top_bigram_frac_x1e6
+FROM d LEFT JOIN m ON d.doc_id = m.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token length histogram (corpus-wide)
+# ---------------------------------------------------------------------------
+
+def token_length_hist(sf_dir: str):
+    """Corpus histogram of token lengths — partial bincounts per batch,
+    tiny keyed Sum (the distribution snapshot a tokenizer-budget
+    analysis reads)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat = _doc_terms(batch)
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        vc = np.bincount(lens)
+        nz = np.nonzero(vc)[0]
+        return pa.Table.from_pydict({
+            "token_len": nz.astype(np.int64),
+            "n": vc[nz].astype(np.int64)})
+
+    return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+            .groupby("token_len").aggregate(Sum("n", alias_name="n"))
+            .sort("token_len"))
+
+
+TOKEN_LEN_HIST_SQL = r"""
+SELECT CAST(length(tok) AS BIGINT) AS token_len,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+      FROM documents)
+GROUP BY token_len
+ORDER BY token_len
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocklist redaction (the PII-scrub machinery on synthetic text)
+# ---------------------------------------------------------------------------
+
+# the redaction machinery is what matters (vectorized RE2 substitution +
+# audit counts); on real data this pattern is emails/phones/SSNs — the
+# synthetic corpus has none, so the blocklist targets terms it does have
+REDACT_PATTERN = r"(spark|hash|customer)"
+REDACT_TOKEN = "[REDACTED]"
+
+
+def doc_redact(sf_dir: str):
+    """Blocklist redaction with an audit trail: per doc, the number of
+    redactions and the md5 of the redacted text (hash instead of the
+    full text keeps the result driver-small; the full-text variant is
+    the same kernel flowing to write_parquet)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        n_red = pc.cast(pc.count_substring_regex(text, REDACT_PATTERN),
+                        pa.int64())
+        red = pc.replace_substring_regex(text, REDACT_PATTERN, REDACT_TOKEN)
+        md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in red.to_pylist()], type=pa.string())
+        return pa.Table.from_arrays(
+            [batch["doc_id"], n_red, md5],
+            names=["doc_id", "n_redactions", "redacted_md5"])
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+REDACT_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(COALESCE(text, ''), '{REDACT_PATTERN}'))
+            AS BIGINT) AS n_redactions,
+       md5(regexp_replace(COALESCE(text, ''), '{REDACT_PATTERN}',
+                          '{REDACT_TOKEN}', 'g')) AS redacted_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: term -> bounded posting list + document frequency
+# ---------------------------------------------------------------------------
+
+POSTINGS_K = 5
+
+
+def corpus_inverted_index(sf_dir: str):
+    """Term -> (df, first-K doc_ids ascending as CSV): the retrieval-side
+    index build. Posting lists are BOUNDED (top-K head; full lists go to
+    partitioned parquet in the write variant) so no single term row can
+    blow a block. Doc-term pairs arrive pre-deduped from the tf stage."""
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        doc_ids, flat = _doc_terms(batch)
+        df = pd.DataFrame({"doc_id": doc_ids,
+                           "term": flat.to_numpy(zero_copy_only=False)})
+        g = df.drop_duplicates()
+        return _from_pandas(g.astype({"doc_id": "int64"}))
+
+    pairs = _docs(sf_dir).map_batches(tf_partial, batch_format="pyarrow")
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for term, sub in g.groupby("term"):
+            ids = np.sort(sub["doc_id"].to_numpy())
+            rows.append((term, np.int64(len(ids)),
+                         ",".join(str(i) for i in ids[:POSTINGS_K])))
+        return pd.DataFrame(rows, columns=["term", "df", "postings"]) \
+            .astype({"df": "int64"})
+
+    return _coarse_str_group(pairs, "term", postings).sort("term")
+
+
+INVERTED_INDEX_SQL = rf"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents))
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       array_to_string((array_agg(doc_id ORDER BY doc_id))[1:{POSTINGS_K}],
+                       ',') AS postings
+FROM pairs
+GROUP BY term
+ORDER BY term
+"""
+
+
+CORPUS_QUERIES: dict[str, tuple] = {
+    "corpus_heavy_hitters": (corpus_heavy_hitters, HEAVY_HITTERS_SQL),
+    "corpus_vocab_stats": (corpus_vocab_stats, VOCAB_STATS_SQL),
+    "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_SQL),
+    "doc_repetition": (doc_repetition, REPETITION_SQL),
+    "token_length_hist": (token_length_hist, TOKEN_LEN_HIST_SQL),
+    "doc_redact": (doc_redact, REDACT_SQL),
+    "corpus_inverted_index": (corpus_inverted_index, INVERTED_INDEX_SQL),
+}
