@@ -1,9 +1,15 @@
 """Mergeable sketches for approximate aggregates at 10^12-row scale.
 
-HyperLogLog (Flajolet et al. 2007, public algorithm): vectorized add
-(numpy over uint64 hashes), byte-serializable registers, associative
-merge — the shape that lets a distributed count-distinct ship one small
-sketch per batch through the exchange instead of every key."""
+All public algorithms, vectorized over numpy uint64 hash arrays and
+byte-serializable so one small sketch per batch flows through the
+exchange instead of every key:
+
+- HyperLogLog (Flajolet et al. 2007): count-distinct, max-merge.
+- Count-Min Sketch (Cormode & Muthukrishnan 2005): frequency
+  estimation with one-sided (over-)error <= eps*N, sum-merge.
+- Bloom filter (Bloom 1970): approximate membership with bounded
+  false-positive rate and no false negatives, OR-merge — the join
+  pre-filter that prunes probe-side rows before an exact verify."""
 
 from __future__ import annotations
 
@@ -50,3 +56,95 @@ def hll_count(reg: np.ndarray) -> int:
     if est <= 2.5 * m and zeros > 0:          # small-range correction
         est = m * np.log(m / zeros)
     return int(round(est))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+CMS_W = 2048                    # eps ~ e/w ~ 0.13% of total count
+CMS_D = 4                       # failure prob ~ e^-d ~ 1.8%
+def cms_create() -> np.ndarray:
+    return np.zeros((CMS_D, CMS_W), dtype=np.int64)
+
+
+def _splitmix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain, Vigna): full-avalanche mix so
+    h2 is independent of h1's low bits. A plain odd-constant multiply is
+    NOT enough here: with power-of-two widths, (h * c) mod w depends only
+    on h's low bits, so keys sharing them would collide in EVERY row."""
+    z = h ^ (h >> np.uint64(30))
+    z = z * np.uint64(0xBF58476D1CE4E5B9)
+    z = z ^ (z >> np.uint64(27))
+    z = z * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _double_hash_idx(hashes: np.ndarray, row: int, width: int) -> np.ndarray:
+    """Row-i index via double hashing (Kirsch-Mitzenmacher):
+    (h1 + i*h2) mod width with h2 = splitmix64(h1)."""
+    h2 = _splitmix64(hashes)
+    return ((hashes + np.uint64(row) * h2) % np.uint64(width)).astype(np.int64)
+
+
+def cms_add_hashes(sk: np.ndarray, hashes: np.ndarray,
+                   counts: np.ndarray | None = None) -> np.ndarray:
+    if len(hashes) == 0:
+        return sk
+    w = counts if counts is not None else np.ones(len(hashes), dtype=np.int64)
+    for i in range(CMS_D):
+        np.add.at(sk[i], _double_hash_idx(hashes, i, CMS_W), w)
+    return sk
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query(sk: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Estimated counts (int64, >= true count) for pre-hashed keys."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=np.int64)
+    est = np.full(len(hashes), np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(CMS_D):
+        est = np.minimum(est, sk[i][_double_hash_idx(hashes, i, CMS_W)])
+    return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 17          # 128 Kbit = 16 KiB
+BLOOM_K = 6                     # FPR ~ 0.009 at n = m/12 keys
+
+
+def bloom_create() -> np.ndarray:
+    return np.zeros(BLOOM_M_BITS // 8, dtype=np.uint8)
+
+
+def bloom_add_hashes(bf: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    if len(hashes) == 0:
+        return bf
+    for i in range(BLOOM_K):
+        idx = _double_hash_idx(hashes, i, BLOOM_M_BITS)
+        np.bitwise_or.at(bf, idx >> 3,
+                         np.left_shift(np.uint8(1),
+                                       (idx & 7).astype(np.uint8)))
+    return bf
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a | b
+
+
+def bloom_contains_hashes(bf: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Boolean membership mask (no false negatives) for pre-hashed keys."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    out = np.ones(len(hashes), dtype=bool)
+    for i in range(BLOOM_K):
+        idx = _double_hash_idx(hashes, i, BLOOM_M_BITS)
+        bit = (bf[idx >> 3] >> (idx & 7).astype(np.uint8)) & np.uint8(1)
+        out &= bit.astype(bool)
+    return out

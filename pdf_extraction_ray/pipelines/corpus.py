@@ -434,7 +434,52 @@ ORDER BY term
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (approximate tier of corpus_heavy_hitters)
+# ---------------------------------------------------------------------------
+
+def cms_token_counts(sf_dir: str):
+    """Approximate corpus heavy hitters via Count-Min Sketch: each batch
+    ships one fixed-size sketch plus its local top candidates; the merge
+    sums sketches and unions candidates, then estimates each candidate's
+    corpus count from the merged sketch. At 10^12 rows this moves
+    (n_batches x 64 KiB) instead of a vocabulary-wide shuffle, at the
+    cost of one-sided overestimates bounded by ~e/w of total tokens
+    (tests/test_sketch.py bounds it against the exact counts)."""
+    from ..functions import sketch as S
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, flat = _doc_terms(batch)
+        toks = flat.to_numpy(zero_copy_only=False)
+        vc = pd.Series(toks).value_counts()
+        sk = S.cms_create()
+        S.cms_add_hashes(sk, pd.util.hash_array(vc.index.to_numpy(str)),
+                         vc.to_numpy(np.int64))
+        cand = vc.index[:2 * HEAVY_HITTERS_K].astype(str)
+        return pa.Table.from_pydict({
+            "sketch": [sk.tobytes()],
+            "candidates": [",".join(cand)]})
+
+    sk = S.cms_create()
+    cands: set[str] = set()
+    for b in _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+                          .iter_batches(batch_format="pyarrow"):
+        for raw, cs in zip(b["sketch"].to_pylist(),
+                           b["candidates"].to_pylist()):
+            sk = S.cms_merge(sk, np.frombuffer(raw, dtype=np.int64)
+                             .reshape(S.CMS_D, S.CMS_W))
+            cands.update(c for c in cs.split(",") if c)
+
+    cand = np.array(sorted(cands), dtype=object)
+    est = S.cms_query(sk, pd.util.hash_array(cand.astype(str)))
+    out = pd.DataFrame({"token": cand.astype(str), "est_n": est}) \
+        .sort_values(["est_n", "token"], ascending=[False, True]) \
+        .head(HEAVY_HITTERS_K).reset_index(drop=True)
+    return out
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "cms_token_counts": (cms_token_counts, None),
     "corpus_heavy_hitters": (corpus_heavy_hitters, HEAVY_HITTERS_SQL),
     "corpus_vocab_stats": (corpus_vocab_stats, VOCAB_STATS_SQL),
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_SQL),

@@ -1345,7 +1345,70 @@ ORDER BY p_brand
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-pruned semi-join (exact result, sketch-accelerated)
+# ---------------------------------------------------------------------------
+
+BLOOM_SEGMENT = "AUTOMOBILE"
+
+
+def orders_bloom_semi_count(sf_dir: str):
+    """Order count + revenue for one customer segment, computed as a
+    Bloom-filter-pruned semi-join: the build side ships a 16 KiB filter
+    of segment customer keys; probe batches drop non-members BEFORE the
+    exact verify, so at scale only ~(selectivity + FPR) of probe rows
+    ever touch the exact key structure. The exact verify keeps the
+    result deterministic (oracle-equal) — the sketch only prunes."""
+    from ..functions import sketch as S
+
+    cust = pd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    keys = np.sort(cust.loc[cust.c_mktsegment == BLOOM_SEGMENT,
+                            "c_custkey"].to_numpy())
+    bf = S.bloom_create()
+    S.bloom_add_hashes(bf, pd.util.hash_array(keys))
+    bf_ref = ray.put(bf)
+    keys_ref = ray.put(keys)
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bfl, exact = ray.get(bf_ref), ray.get(keys_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        maybe = S.bloom_contains_hashes(bfl, pd.util.hash_array(ck))
+        t = batch.filter(pa.array(maybe))
+        ck = ck[maybe]
+        if len(exact) and len(ck):          # exact verify on survivors only
+            pos = np.searchsorted(exact, ck)
+            ok = (pos < len(exact)) & \
+                (exact[np.minimum(pos, len(exact) - 1)] == ck)
+        else:
+            ok = np.zeros(len(ck), dtype=bool)
+        t = t.filter(pa.array(ok))
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "n_orders": [np.int64(len(t))],
+            "total_x100": [np.int64(cents.sum())]})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("total_x100", alias_name="total_x100")))
+    return pd.DataFrame([{"n_orders": np.int64(agg["n_orders"]),
+                          "total_x100": np.int64(agg["total_x100"])}])
+
+
+BLOOM_SEMI_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_x100
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "orders_bloom_semi_count": (orders_bloom_semi_count, BLOOM_SEMI_SQL),
     "customer_balance_ntile": (customer_balance_ntile, NTILE_SQL),
     "orders_moving_window": (orders_moving_window, MOVING_SQL),
     "nation_customer_counts_left":

@@ -46,3 +46,73 @@ def test_pipeline_matches_exact_count():
                        "read_parquet('/root/testdata/sf0.01/events.parquet')") \
         .fetchone()[0]
     assert abs(est - exact) / exact < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_overestimates_and_bounded():
+    rng = np.random.default_rng(7)
+    # zipfian-ish counts over 5000 keys
+    keys = np.array([f"k{i}" for i in range(5000)], dtype=object)
+    counts = (10000 / (1 + np.arange(5000))).astype(np.int64) + 1
+    sk = S.cms_create()
+    S.cms_add_hashes(sk, _hashes(keys), counts)
+    est = S.cms_query(sk, _hashes(keys))
+    assert (est >= counts).all()                       # one-sided error
+    eps_n = int(np.e / S.CMS_W * counts.sum()) + 1
+    # overwhelming majority of keys within the eps*N bound
+    assert ((est - counts) <= 2 * eps_n).mean() > 0.99
+
+
+def test_cms_merge_equals_single():
+    ha, hb = _hashes(range(0, 2000)), _hashes(range(1000, 3000))
+    a, b, u = S.cms_create(), S.cms_create(), S.cms_create()
+    S.cms_add_hashes(a, ha)
+    S.cms_add_hashes(b, hb)
+    S.cms_add_hashes(u, np.concatenate([ha, hb]))
+    assert np.array_equal(S.cms_merge(a, b), u)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cms_top_tokens_match_exact_heavy_hitters():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from pdf_extraction_ray.pipelines.corpus import (
+        cms_token_counts, corpus_heavy_hitters)
+    approx = cms_token_counts("/root/testdata/sf0.001")
+    exact = corpus_heavy_hitters("/root/testdata/sf0.001").to_pandas()
+    exact_map = dict(zip(exact["token"], exact["n"]))
+    got = dict(zip(approx["token"], approx["est_n"]))
+    # every estimate >= truth, and within eps*N of it
+    total = exact["n"].sum()   # lower bound on corpus total
+    for tok, est in got.items():
+        if tok in exact_map:
+            assert est >= exact_map[tok]
+            assert est - exact_map[tok] <= max(0.01 * total, 50)
+    # the true top-5 tokens all surface in the approximate top-k
+    assert set(exact["token"].head(5)) <= set(approx["token"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    members = _hashes(range(10_000))
+    others = _hashes(range(10_000, 110_000))
+    bf = S.bloom_create()
+    S.bloom_add_hashes(bf, members)
+    assert S.bloom_contains_hashes(bf, members).all()
+    assert S.bloom_contains_hashes(bf, others).mean() < 0.02
+
+
+def test_bloom_merge_is_union():
+    ha, hb = _hashes(range(0, 500)), _hashes(range(500, 1000))
+    a, b, u = S.bloom_create(), S.bloom_create(), S.bloom_create()
+    S.bloom_add_hashes(a, ha)
+    S.bloom_add_hashes(b, hb)
+    S.bloom_add_hashes(u, np.concatenate([ha, hb]))
+    assert np.array_equal(S.bloom_merge(a, b), u)
