@@ -72,12 +72,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from pdf_extraction_ray.pipelines.media import MEDIA_QUERIES
     from pdf_extraction_ray.pipelines.compare import COMPARE_QUERIES
     from pdf_extraction_ray.pipelines.streaming import STREAMING_QUERIES
+    from pdf_extraction_ray.pipelines.packing import PACKING_QUERIES
 
     out: dict[str, Callable[[str], Any]] = {}
     for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, CORPUS_QUERIES,
                 DEDUP_QUERIES,
                 SIMILARITY_QUERIES, ANALYSIS_QUERIES, RETRIEVAL_QUERIES,
-                MEDIA_QUERIES, COMPARE_QUERIES, STREAMING_QUERIES):
+                MEDIA_QUERIES, COMPARE_QUERIES, STREAMING_QUERIES,
+                PACKING_QUERIES):
         for name, (fn, _sql) in reg.items():
             out[name] = fn
     out["extract_flagship_spans"] = _extract_spans_query

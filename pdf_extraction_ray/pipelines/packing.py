@@ -1,0 +1,99 @@
+"""Sequence packing pipeline: documents -> recursive chunks -> fixed
+token-budget training sequences (the sample-packing stage of an LLM
+data pipeline, downstream of chunking and upstream of tokenized shard
+writing).
+
+Scale shape: packing is inherently order-dependent, so global first-fit
+would serialize. Instead chunks pack independently per doc-hash bucket
+(``hash(doc_id) % PACK_BUCKETS``) in (doc_id, chunk_id) order — the
+result is deterministic at ANY parallelism (bucket membership and
+in-bucket order are data-derived, not scheduler-derived), each bucket is
+an independent grouped-map task, and a resumable run can re-pack one
+bucket without touching the rest. The fill-ratio loss vs a global pack
+is bounded: at most one under-filled tail sequence per bucket."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Max, Sum  # noqa: F401  (Count imported lazily)
+
+from ..functions.chunker import chunk_text
+from ..functions.packing import pack_greedy
+
+PACK_CAPACITY = 256             # whitespace tokens per training sequence
+PACK_BUCKETS = 32
+
+
+def _chunk_tokens(sf_dir: str):
+    """(bucket, doc_id, chunk_id, n_tokens) rows — chunker fan-out with
+    per-chunk whitespace token counts, batch-local."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_ids, toks = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for ci, ch in enumerate(chunk_text(text or "")):
+                doc_ids.append(doc_id)
+                chunk_ids.append(ci)
+                toks.append(len(ch.split()))
+        doc = np.asarray(doc_ids, dtype=np.int64)
+        return pa.Table.from_pydict({
+            "bucket": (pd.util.hash_array(doc) % np.uint64(PACK_BUCKETS))
+            .astype(np.int64),
+            "doc_id": doc,
+            "chunk_id": np.asarray(chunk_ids, dtype=np.int64),
+            "n_tokens": np.asarray(toks, dtype=np.int64)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def packed_sequences(sf_dir: str):
+    """One row per packed training sequence: (bucket, seq_id, n_chunks,
+    n_tokens, fill_x1e6). seq_id is bucket-local and deterministic."""
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_id"])
+        seq = pack_greedy(g["n_tokens"].to_numpy(), PACK_CAPACITY)
+        out = pd.DataFrame({"seq_id": seq,
+                            "n_tokens": g["n_tokens"].to_numpy()}) \
+            .groupby("seq_id", as_index=False) \
+            .agg(n_chunks=("n_tokens", "size"), n_tokens=("n_tokens", "sum"))
+        out.insert(0, "bucket", np.int64(g["bucket"].iloc[0]))
+        out["fill_x1e6"] = (out["n_tokens"] * 1_000_000) // PACK_CAPACITY
+        return out.astype("int64")
+
+    return (_chunk_tokens(sf_dir)
+            .groupby("bucket")
+            .map_groups(pack, batch_format="pandas")
+            .sort(["bucket", "seq_id"]))
+
+
+def packing_stats(sf_dir: str):
+    """One-row packing summary: sequences, chunks, token totals, mean
+    fill ratio, max sequence size (reduced distributed, never a driver
+    materialization of the sequence table)."""
+    from ray.data.aggregate import Count
+    agg = packed_sequences(sf_dir).aggregate(
+        Count(alias_name="n_sequences"),
+        Sum("n_chunks", alias_name="total_chunks"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Sum("fill_x1e6", alias_name="fill_sum_x1e6"),
+        Max("n_tokens", alias_name="max_seq_tokens"))
+    n_seqs = int(agg["n_sequences"])
+    return pd.DataFrame([{
+        "n_sequences": np.int64(n_seqs),
+        "total_chunks": np.int64(agg["total_chunks"]),
+        "total_tokens": np.int64(agg["total_tokens"]),
+        "mean_fill_x1e6": np.int64(agg["fill_sum_x1e6"] // max(n_seqs, 1)),
+        "max_seq_tokens": np.int64(agg["max_seq_tokens"])}])
+
+
+PACKING_QUERIES: dict[str, tuple] = {
+    "packed_sequences": (packed_sequences, None),
+    "packing_stats": (packing_stats, None),
+}

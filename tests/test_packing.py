@@ -1,0 +1,67 @@
+"""Sequence packing: kernel vs serial reference, invariants, pipeline."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pdf_extraction_ray.functions.packing import (
+    pack_greedy, pack_greedy_reference)
+
+SF = "/root/testdata/sf0.001"
+
+
+@given(st.lists(st.integers(min_value=1, max_value=400), max_size=200),
+       st.integers(min_value=50, max_value=300))
+@settings(max_examples=200, deadline=None)
+def test_kernel_matches_serial_reference(tokens, cap):
+    got = pack_greedy(np.asarray(tokens, dtype=np.int64), cap)
+    assert got.tolist() == pack_greedy_reference(tokens, cap)
+
+
+def test_kernel_invariants():
+    rng = np.random.default_rng(3)
+    toks = rng.integers(1, 200, 5000)
+    seq = pack_greedy(toks, 256)
+    # sequence ids are contiguous and non-decreasing
+    assert seq[0] == 0
+    assert ((np.diff(seq) == 0) | (np.diff(seq) == 1)).all()
+    # no sequence exceeds capacity unless it is a single oversize chunk
+    import pandas as pd
+    df = pd.DataFrame({"seq": seq, "t": toks})
+    g = df.groupby("seq").agg(total=("t", "sum"), n=("t", "size"))
+    bad = g[(g.total > 256) & (g.n > 1)]
+    assert len(bad) == 0
+    # greedy: the first chunk of every sequence did NOT fit in the
+    # previous one
+    starts = np.flatnonzero(np.diff(seq)) + 1
+    prev_tot = g["total"].to_numpy()[:-1]
+    assert (prev_tot + toks[starts] > 256).all()
+
+
+def test_oversize_chunk_gets_own_sequence():
+    seq = pack_greedy(np.array([10, 500, 10], dtype=np.int64), 256)
+    assert seq.tolist() == [0, 1, 2]
+    assert pack_greedy_reference([10, 500, 10], 256) == [0, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_invariants_and_determinism():
+    from pdf_extraction_ray.pipelines.packing import (
+        packed_sequences, packing_stats, PACK_CAPACITY, _chunk_tokens)
+    seqs = packed_sequences(SF).to_pandas()
+    assert len(seqs) > 0
+    # capacity respected (multi-chunk sequences)
+    bad = seqs[(seqs.n_tokens > PACK_CAPACITY) & (seqs.n_chunks > 1)]
+    assert len(bad) == 0
+    # every chunk packed exactly once
+    chunks = _chunk_tokens(SF).to_pandas()
+    assert seqs["n_chunks"].sum() == len(chunks)
+    assert seqs["n_tokens"].sum() == chunks["n_tokens"].sum()
+    # deterministic under repartition (parallelism-independent)
+    again = packed_sequences(SF).to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        seqs.reset_index(drop=True), again.reset_index(drop=True))
+    stats = packing_stats(SF)
+    assert int(stats["n_sequences"].iloc[0]) == len(seqs)
+    assert int(stats["total_chunks"].iloc[0]) == len(chunks)
