@@ -298,7 +298,9 @@ def main():
                          "events_stream_windows", "doc_token_stats",
                          "doc_quality", "doc_dedup_exact",
                          "dedup_minhash_lsh", "dedup_simhash",
-                         "embedding_cosine_pairs", "knn_cosine"]
+                         "embedding_cosine_pairs", "knn_cosine",
+                         "corpus_heavy_hitters", "doc_tfidf_top_terms",
+                         "packed_sequences", "orders_bloom_semi_count"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

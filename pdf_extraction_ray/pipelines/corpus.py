@@ -478,8 +478,91 @@ def cms_token_counts(sf_dir: str):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling + train/val/test hash split
+# ---------------------------------------------------------------------------
+
+STRATA_K = 10
+
+
+def docs_stratified_sample(sf_dir: str):
+    """K docs per language stratum, chosen by smallest md5(doc_id) —
+    a reproducible pseudo-random stratified sample (same rows at any
+    parallelism and on any engine, unlike random_sample). Per-stratum
+    top-k via the coarse grouped map; only (doc_id, lang, md5) rows
+    shuffle, never text."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        md5 = pa.array([hashlib.md5(str(d).encode()).hexdigest()
+                        for d in batch["doc_id"].to_pylist()],
+                       type=pa.string())
+        return batch.append_column("h", md5)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby("lang"):
+            sub = sub.sort_values(["h", "doc_id"]).head(STRATA_K)
+            outs.append(sub[["doc_id", "lang"]])
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+
+    return _coarse_str_group(
+        ds.map_batches(add_md5, batch_format="pyarrow"), "lang", topk) \
+        .sort(["lang", "doc_id"])
+
+
+STRATIFIED_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             AS rn
+  FROM documents)
+WHERE rn <= {STRATA_K}
+ORDER BY lang, doc_id
+"""
+
+
+def docs_train_split(sf_dir: str):
+    """Deterministic train/val/test assignment from the last hex digit
+    of md5(doc_id) — 12/2/2 of 16 — reported as per-split counts. The
+    assignment is pure per-row compute (no shuffle); only the tiny
+    count aggregate exchanges."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        last = np.array([hashlib.md5(str(d).encode()).hexdigest()[-1]
+                         for d in batch["doc_id"].to_pylist()])
+        split = np.where(last < "c", "train",
+                         np.where(last < "e", "val", "test"))
+        vc = pd.Series(split).value_counts()
+        return _from_pandas(pd.DataFrame(
+            {"split": vc.index.astype(str),
+             "n_docs": vc.to_numpy(np.int64)}))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("split").aggregate(Sum("n_docs", alias_name="n_docs"))
+            .sort("split"))
+
+
+TRAIN_SPLIT_SQL = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) < 'c'
+                 THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) < 'e'
+                 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY split
+ORDER BY split
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "cms_token_counts": (cms_token_counts, None),
+    "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SQL),
+    "docs_train_split": (docs_train_split, TRAIN_SPLIT_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, HEAVY_HITTERS_SQL),
     "corpus_vocab_stats": (corpus_vocab_stats, VOCAB_STATS_SQL),
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_SQL),

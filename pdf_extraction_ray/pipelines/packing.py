@@ -28,11 +28,11 @@ PACK_CAPACITY = 256             # whitespace tokens per training sequence
 PACK_BUCKETS = 32
 
 
-def _chunk_tokens(sf_dir: str):
+def _chunk_tokens(sf_dir: str, docs=None):
     """(bucket, doc_id, chunk_id, n_tokens) rows — chunker fan-out with
     per-chunk whitespace token counts, batch-local."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = docs if docs is not None else rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         doc_ids, chunk_ids, toks = [], [], []
@@ -53,7 +53,7 @@ def _chunk_tokens(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def packed_sequences(sf_dir: str):
+def packed_sequences(sf_dir: str, docs=None):
     """One row per packed training sequence: (bucket, seq_id, n_chunks,
     n_tokens, fill_x1e6). seq_id is bucket-local and deterministic."""
     def pack(g: pd.DataFrame) -> pd.DataFrame:
@@ -67,10 +67,74 @@ def packed_sequences(sf_dir: str):
         out["fill_x1e6"] = (out["n_tokens"] * 1_000_000) // PACK_CAPACITY
         return out.astype("int64")
 
-    return (_chunk_tokens(sf_dir)
+    return (_chunk_tokens(sf_dir, docs)
             .groupby("bucket")
             .map_groups(pack, batch_format="pandas")
             .sort(["bucket", "seq_id"]))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline: quality gate -> dedup -> chunk -> pack
+# ---------------------------------------------------------------------------
+
+def training_pipeline_sequences(sf_dir: str):
+    """The composed LLM-data flow as ONE streaming Dataset pipeline:
+    quality-gate documents (same thresholds as doc_quality_filter), drop
+    exact duplicates keeping each content group's min-doc_id
+    representative, then chunk and pack the survivors. The dedup
+    keeper set attaches via the NATIVE hash-partitioned ``Dataset.join``
+    (both sides large at 100 TB — no broadcast of the corpus), and the
+    packing stage inherits the per-bucket determinism of
+    ``packed_sequences``."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+    from ..functions import text as T
+    from .textops import (QUALITY_MAX_PUNCT_X1E6, QUALITY_MIN_MTL_X1E6,
+                          QUALITY_MIN_TOKENS)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        q = T.quality_scores(text)
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(q["n_tokens"],
+                                     pa.scalar(QUALITY_MIN_TOKENS)),
+                    pc.less_equal(q["punct_ratio_x1e6"],
+                                  pa.scalar(QUALITY_MAX_PUNCT_X1E6))),
+            pc.greater_equal(q["mean_token_len_x1e6"],
+                             pa.scalar(QUALITY_MIN_MTL_X1E6)))
+        t = batch.filter(keep)
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        norm = T.normalize_for_dedup(text)
+        md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in norm.to_pylist()], type=pa.string())
+        return t.append_column("text_md5", md5) \
+            .replace_schema_metadata(None)
+
+    gated = docs.map_batches(gate, batch_format="pyarrow")
+
+    # keeper per content group: min doc_id (ships only (md5, doc_id))
+    keepers = (gated.select_columns(["text_md5", "doc_id"])
+               .groupby("text_md5")
+               .aggregate(Min("doc_id", alias_name="rep_doc_id"))
+               .select_columns(["rep_doc_id"])
+               .map_batches(lambda t: t.replace_schema_metadata(None),
+                            batch_format="pyarrow"))
+
+    clean = gated.select_columns(["doc_id", "text"]).join(
+        keepers, join_type="inner", num_partitions=8,
+        on=("doc_id",), right_on=("rep_doc_id",))
+
+    return packed_sequences(sf_dir, docs=clean)
 
 
 def packing_stats(sf_dir: str):
@@ -96,4 +160,5 @@ def packing_stats(sf_dir: str):
 PACKING_QUERIES: dict[str, tuple] = {
     "packed_sequences": (packed_sequences, None),
     "packing_stats": (packing_stats, None),
+    "training_pipeline_sequences": (training_pipeline_sequences, None),
 }

@@ -1407,7 +1407,71 @@ WHERE c_mktsegment = '{BLOOM_SEGMENT}'
 """
 
 
+# ---------------------------------------------------------------------------
+# Salted aggregation for pathological key skew
+# ---------------------------------------------------------------------------
+
+SALT_FANOUT = 16
+
+
+def events_type_salted_agg(sf_dir: str):
+    """Value totals per event_type via SALTED two-phase aggregation:
+    phase 1 groups on (event_type, salt) — splitting each hot key across
+    SALT_FANOUT reducers — and phase 2 combines the per-salt partials.
+    With only ~5 event types, a plain groupby would route the whole
+    table through 5 reducers; salting bounds any single reducer's share
+    at 1/SALT_FANOUT of a key. Result is identical to the unsalted
+    groupby (oracled) because the aggregate is commutative."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        salt = (batch["event_id"].to_numpy(zero_copy_only=False)
+                % SALT_FANOUT).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "salt": salt,
+            "value_x1e6": _round_half_away(
+                batch["value"].to_numpy(zero_copy_only=False) * 1e6),
+            "n": 1})
+        return _from_pandas(
+            df.groupby(["event_type", "salt"], as_index=False).sum())
+
+    salted = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["event_type", "salt"])
+              .aggregate(Sum("value_x1e6", alias_name="value_x1e6"),
+                         Sum("n", alias_name="n")))
+
+    def unsalt(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "value_x1e6": batch["value_x1e6"].to_numpy(zero_copy_only=False),
+            "n": batch["n"].to_numpy(zero_copy_only=False)})
+        return _from_pandas(
+            df.groupby("event_type", as_index=False).sum().astype(
+                {"value_x1e6": "int64", "n": "int64"}))
+
+    # phase 2: |types| x SALT_FANOUT partial rows -> tiny final groupby
+    return (salted.map_batches(unsalt, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("value_x1e6", alias_name="value_x1e6"),
+                       Sum("n", alias_name="n"))
+            .sort("event_type"))
+
+
+SALTED_AGG_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS value_x1e6,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "events_type_salted_agg": (events_type_salted_agg, SALTED_AGG_SQL),
     "orders_bloom_semi_count": (orders_bloom_semi_count, BLOOM_SEMI_SQL),
     "customer_balance_ntile": (customer_balance_ntile, NTILE_SQL),
     "orders_moving_window": (orders_moving_window, MOVING_SQL),

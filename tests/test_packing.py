@@ -65,3 +65,49 @@ def test_pipeline_invariants_and_determinism():
     stats = packing_stats(SF)
     assert int(stats["n_sequences"].iloc[0]) == len(seqs)
     assert int(stats["total_chunks"].iloc[0]) == len(chunks)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_training_pipeline_composition():
+    """The composed flow equals quality-filter + exact-dedup computed
+    serially, then packed by the same kernel."""
+    import duckdb
+    import pandas as pd
+    from pdf_extraction_ray.pipelines.packing import (
+        training_pipeline_sequences, packed_sequences)
+    from pdf_extraction_ray.pipelines.textops import (
+        QUALITY_MIN_TOKENS, QUALITY_MAX_PUNCT_X1E6, QUALITY_MIN_MTL_X1E6)
+
+    got = training_pipeline_sequences(SF).to_pandas()
+
+    clean = duckdb.sql(rf"""
+        WITH q AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 CASE WHEN length(text) > 0 THEN
+                   (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) * 1000000)
+                     // length(text) ELSE 0 END AS punct,
+                 CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0 THEN
+                   (CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                                       x -> length(x)), 'sum') AS BIGINT) * 1000000)
+                     // len(regexp_split_to_array(trim(text), '\s+'))
+                 ELSE 0 END AS mtl
+          FROM read_parquet('{SF}/documents.parquet')),
+        f AS (SELECT doc_id, text, md5(lower(trim(text))) AS h FROM q
+              WHERE n_tokens >= {QUALITY_MIN_TOKENS}
+                AND punct <= {QUALITY_MAX_PUNCT_X1E6}
+                AND mtl >= {QUALITY_MIN_MTL_X1E6})
+        SELECT doc_id, text FROM f
+        WHERE doc_id = (SELECT MIN(doc_id) FROM f f2 WHERE f2.h = f.h)
+        """).df()
+    assert len(clean) > 0
+
+    # pack the serial clean set through the distributed packer
+    import ray.data as rd
+    want = packed_sequences(
+        SF, docs=rd.from_pandas(clean)).to_pandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    # composition dropped something (planted dups / low-quality docs)
+    full = packed_sequences(SF).to_pandas()
+    assert got["n_chunks"].sum() < full["n_chunks"].sum()
