@@ -174,41 +174,48 @@ def doc_tfidf_top_terms(sf_dir: str):
     the oracle matches bit-exactly; log-idf would be float-ordered the
     same way for top-k but not hash-comparable).
 
-    Shuffle plan: batch-local (doc, term, tf) partials -> term-keyed
-    coarse exchange to attach df -> doc-keyed coarse exchange for the
-    per-doc top-k. Token instances never move; only per-doc-term rows."""
+    Shuffle plan: the ONLY exchange is the tiny (term, df) aggregate —
+    a document's terms live in its own batch row, so tf counting AND
+    the per-doc top-k are batch-local once the df table is broadcast
+    (``ray.put`` once, read per task). At vocabularies too large to
+    broadcast, the fallback is the term-keyed coarse exchange attaching
+    df to (doc, term, tf) rows — one extra shuffle of per-doc-term
+    partials, never token instances."""
+    import ray
+
     n_docs = _n_docs(sf_dir)
 
-    def tf_partial(batch: pa.Table) -> pa.Table:
+    def df_partial(batch: pa.Table) -> pa.Table:
+        # per-batch docs-per-term counts are exact partials (each doc is
+        # wholly inside one batch row)
         doc_ids, flat = _doc_terms(batch)
-        df = pd.DataFrame({"doc_id": doc_ids,
-                           "term": flat.to_numpy(zero_copy_only=False)})
-        g = df.groupby(["doc_id", "term"], as_index=False).size() \
-              .rename(columns={"size": "tf"})
-        return _from_pandas(g.astype({"doc_id": "int64", "tf": "int64"}))
+        g = pd.DataFrame({"doc_id": doc_ids,
+                          "term": flat.to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates().groupby("term", as_index=False).size() \
+            .rename(columns={"size": "df"})
+        return _from_pandas(g.astype({"df": "int64"}))
 
-    tf = _docs(sf_dir).map_batches(tf_partial, batch_format="pyarrow")
+    dfs = (_docs(sf_dir).map_batches(df_partial, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("df", alias_name="df"))
+           .to_pandas())
+    df_ref = ray.put(dict(zip(dfs["term"], dfs["df"].astype(np.int64))))
 
-    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
-        # every (doc, term) row for a term lands in one group -> df is
-        # the per-term row count (doc-term pairs are unique by build)
-        g = g.copy()
-        g["df"] = g.groupby("term")["term"].transform("size").astype("int64")
-        g["score"] = (g["tf"] * np.int64(n_docs)) // g["df"]
-        return g
+    def topk(batch: pa.Table) -> pa.Table:
+        dmap = ray.get(df_ref)
+        doc_ids, flat = _doc_terms(batch)
+        tf = pd.DataFrame({"doc_id": doc_ids,
+                           "term": flat.to_numpy(zero_copy_only=False)}) \
+            .groupby(["doc_id", "term"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        tf["score"] = (tf["tf"].to_numpy(np.int64) * np.int64(n_docs)) \
+            // tf["term"].map(dmap).to_numpy(np.int64)
+        out = (tf.sort_values(["doc_id", "score", "term"],
+                              ascending=[True, False, True])
+               .groupby("doc_id").head(TFIDF_TOPK))
+        return _from_pandas(out.astype({"doc_id": "int64", "tf": "int64",
+                                        "score": "int64"}))
 
-    scored = _coarse_str_group(tf, "term", attach_df)
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, sub in g.groupby("doc_id"):
-            sub = sub.sort_values(["score", "term"],
-                                  ascending=[False, True]).head(TFIDF_TOPK)
-            outs.append(sub[["doc_id", "term", "tf", "score"]])
-        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
-
-    from .relational import _coarse_grouped_map
-    return _coarse_grouped_map(scored, "doc_id", topk) \
+    return _docs(sf_dir).map_batches(topk, batch_format="pyarrow") \
         .sort(["doc_id", "term"])
 
 
