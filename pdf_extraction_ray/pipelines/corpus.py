@@ -566,8 +566,92 @@ ORDER BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-corpus duplicate-block stats (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+DUP_BLOCK_TOKENS = 20
+
+
+def doc_dup_block_stats(sf_dir: str):
+    """Per-doc count of 20-token blocks that appear (verbatim) anywhere
+    else in the corpus — the corpus-level 'duplicate lines' Gopher rule,
+    and the cheap precursor to exact-substring dedup. Blocks travel as
+    fixed-width md5 keys (never the text); the only exchanges are the
+    md5-keyed duplicate count and the per-doc roll-up of (doc, is_dup)
+    rows."""
+    def blocks(batch: pa.Table) -> pa.Table:
+        doc_ids, flat = _doc_terms(batch)
+        df = pd.DataFrame({"doc_id": doc_ids,
+                           "tok": flat.to_numpy(zero_copy_only=False)})
+        df["ord"] = df.groupby("doc_id").cumcount()
+        df["blk"] = df["ord"] // DUP_BLOCK_TOKENS
+        sh = df.groupby(["doc_id", "blk"])["tok"].agg(" ".join) \
+               .reset_index(name="shingle")
+        sh["blk_md5"] = [hashlib.md5(s.encode("utf-8")).hexdigest()
+                         for s in sh["shingle"]]
+        return _from_pandas(sh[["doc_id", "blk_md5"]]
+                            .astype({"doc_id": "int64"}))
+
+    pairs = _docs(sf_dir).map_batches(blocks, batch_format="pyarrow")
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows for one md5 land in one group: dup <=> group size > 1
+        g = g.copy()
+        g["is_dup"] = (g.groupby("blk_md5")["blk_md5"]
+                       .transform("size") > 1).astype("int64")
+        return g[["doc_id", "is_dup"]]
+
+    marked = _coarse_str_group(pairs, "blk_md5", mark_dups)
+
+    def roll(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "is_dup": batch["is_dup"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_blocks=("is_dup", "size"), dup_blocks=("is_dup", "sum"))
+        return _from_pandas(g.astype("int64"))
+
+    out = (marked.map_batches(roll, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("n_blocks", alias_name="n_blocks"),
+                      Sum("dup_blocks", alias_name="dup_blocks")))
+
+    def frac(batch: pa.Table) -> pa.Table:
+        nb = batch["n_blocks"].to_numpy(zero_copy_only=False)
+        db = batch["dup_blocks"].to_numpy(zero_copy_only=False)
+        f = (db * 1_000_000) // np.maximum(nb, 1)
+        return batch.append_column("dup_frac_x1e6",
+                                   pa.array(f.astype(np.int64)))
+
+    return out.map_batches(frac, batch_format="pyarrow").sort("doc_id")
+
+
+DUP_BLOCK_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS ord FROM t),
+b AS (SELECT doc_id, ord // {DUP_BLOCK_TOKENS} AS blk,
+             md5(string_agg(tok, ' ' ORDER BY ord)) AS blk_md5
+      FROM u GROUP BY doc_id, blk),
+c AS (SELECT blk_md5, COUNT(*) AS n FROM b GROUP BY blk_md5)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(COUNT(*) FILTER (n > 1) AS BIGINT) AS dup_blocks,
+       (CAST(COUNT(*) FILTER (n > 1) AS BIGINT) * 1000000)
+           // GREATEST(COUNT(*), 1) AS dup_frac_x1e6
+FROM b JOIN c USING (blk_md5)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "cms_token_counts": (cms_token_counts, None),
+    "doc_dup_block_stats": (doc_dup_block_stats, DUP_BLOCK_SQL),
     "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SQL),
     "docs_train_split": (docs_train_split, TRAIN_SPLIT_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, HEAVY_HITTERS_SQL),

@@ -1470,7 +1470,70 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact per-group percentiles (discrete order statistics)
+# ---------------------------------------------------------------------------
+
+PCTL_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def events_value_percentiles(sf_dir: str):
+    """Exact p25/p50/p90/p99 of event value per event_type — discrete
+    order statistics (DuckDB quantile_disc: 1-based element
+    ceil(q*n) of the sorted values). Grouped map over the bounded type
+    key; at unbounded group sizes the same numbers come from a
+    per-key distributed sort + offset lookup, or a t-digest when
+    approximate is acceptable."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 1e6)
+        h = pd.util.hash_array(
+            batch["event_type"].to_numpy(zero_copy_only=False).astype(str))
+        return pa.Table.from_arrays(
+            [batch["event_type"], pa.array(v),
+             pa.array((h % np.uint64(8)).astype(np.int64))],
+            names=["event_type", "value_x1e6", "_coarse"])
+
+    def pctl(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in g.groupby("event_type"):
+            v = np.sort(sub["value_x1e6"].to_numpy())
+            n = len(v)
+            row = {"event_type": et}
+            for q in PCTL_QS:
+                idx = int(np.ceil(q * n)) - 1
+                row[f"p{int(q * 100)}_x1e6"] = np.int64(v[max(idx, 0)])
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+            .groupby("_coarse")
+            .map_groups(lambda g: pctl(g.drop(columns=["_coarse"])),
+                        batch_format="pandas")
+            .sort("event_type"))
+
+
+PCTL_SQL = """
+SELECT event_type,
+       CAST(quantile_disc(CAST(ROUND(value * 1000000.0) AS BIGINT), 0.25)
+            AS BIGINT) AS p25_x1e6,
+       CAST(quantile_disc(CAST(ROUND(value * 1000000.0) AS BIGINT), 0.5)
+            AS BIGINT) AS p50_x1e6,
+       CAST(quantile_disc(CAST(ROUND(value * 1000000.0) AS BIGINT), 0.9)
+            AS BIGINT) AS p90_x1e6,
+       CAST(quantile_disc(CAST(ROUND(value * 1000000.0) AS BIGINT), 0.99)
+            AS BIGINT) AS p99_x1e6
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "events_value_percentiles": (events_value_percentiles, PCTL_SQL),
     "events_type_salted_agg": (events_type_salted_agg, SALTED_AGG_SQL),
     "orders_bloom_semi_count": (orders_bloom_semi_count, BLOOM_SEMI_SQL),
     "customer_balance_ntile": (customer_balance_ntile, NTILE_SQL),
