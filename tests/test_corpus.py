@@ -1,0 +1,77 @@
+"""Corpus-family operators on a PLANTED tiny table (edge cases the sf
+fixtures don't exercise): empty text, single token, exact duplicates,
+repeated bigrams, unicode — each checked bit-exactly against the same
+DuckDB oracle SQL run over the same parquet file."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pdf_extraction_ray.pipelines.corpus import CORPUS_QUERIES
+
+PLANTED = pd.DataFrame({
+    "doc_id": [0, 1, 2, 3, 4, 5],
+    "text": [
+        "",                                        # empty
+        "solo",                                    # single token
+        "alpha beta gamma delta epsilon zeta",     # normal
+        "alpha beta gamma delta epsilon zeta",     # exact dup of 2
+        "spin spin spin spin spin stop",           # repeated bigram
+        "café naïve über café naïve",  # unicode
+    ],
+    "lang": ["en", "en", "fr", "fr", "de", "de"],
+})
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("planted_docs")
+    PLANTED.to_parquet(os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+def _oracle(planted_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{planted_dir}/documents.parquet')")
+    return con.sql(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+ORACLED = sorted(n for n, (_f, sql) in CORPUS_QUERIES.items()
+                 if sql is not None)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", ORACLED)
+def test_corpus_op_on_planted_edge_cases(planted_dir, name):
+    fn, sql = CORPUS_QUERIES[name]
+    res = fn(planted_dir)
+    ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    duck_df = _oracle(planted_dir, sql)
+    pd.testing.assert_frame_equal(_canon(ray_df), _canon(duck_df),
+                                  check_dtype=False, check_exact=True,
+                                  obj=name)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_planted_semantics_spot_checks(planted_dir):
+    from pdf_extraction_ray.pipelines.corpus import (
+        doc_repetition, doc_dup_block_stats)
+    rep = doc_repetition(planted_dir).to_pandas().set_index("doc_id")
+    assert rep.loc[0, "n_tokens"] == 1          # '' splits to one '' token
+    assert rep.loc[4, "top_bigram_cnt"] == 4    # 'spin spin' x4
+    assert rep.loc[4, "distinct_ratio_x1e6"] == 2_000_000 // 6
+
+    dup = doc_dup_block_stats(planted_dir).to_pandas().set_index("doc_id")
+    # docs 2 and 3 are verbatim duplicates -> their (single, short) block
+    # is a cross-corpus duplicate
+    assert dup.loc[2, "dup_blocks"] == 1
+    assert dup.loc[3, "dup_blocks"] == 1
+    assert dup.loc[1, "dup_blocks"] == 0
