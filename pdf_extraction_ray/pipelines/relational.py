@@ -1532,7 +1532,149 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q3 at full scale: bucket-partitioned hash joins, no broadcast side
+# ---------------------------------------------------------------------------
+
+def q3_partitioned_join(sf_dir: str):
+    """The documented at-scale fallback for q3_top_orders, implemented:
+    when orders/customer stop being broadcastable, BOTH joins run as
+    native hash-partitioned exchanges (customer-filter ⨝ orders on
+    custkey, then ⨝ per-batch lineitem revenue partials on orderkey).
+    Nothing is read driver-side and no ``ray.put`` of a table exists in
+    this path. Same oracle as q3 — identical result, different plan."""
+    cust = (rd.read_parquet(_pq(sf_dir, "customer"),
+                            columns=["c_custkey", "c_mktsegment"])
+            .map_batches(lambda b: b.filter(
+                pc.equal(b["c_mktsegment"], Q3_SEGMENT))
+                .select(["c_custkey"]).replace_schema_metadata(None),
+                batch_format="pyarrow"))
+
+    orders = (rd.read_parquet(_pq(sf_dir, "orders"),
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate"])
+              .map_batches(lambda b: pa.Table.from_arrays(
+                  [b["o_orderkey"], b["o_custkey"],
+                   pc.strftime(b["o_orderdate"], format="%Y-%m-%d")],
+                  names=["o_orderkey", "o_custkey", "o_orderdate"]),
+                  batch_format="pyarrow"))
+
+    seg_orders = orders.join(cust, join_type="inner", num_partitions=16,
+                             on=("o_custkey",), right_on=("c_custkey",)) \
+        .select_columns(["o_orderkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.replace_schema_metadata(None),
+                     batch_format="pyarrow")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"])), 1e4)
+        df = pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+            "revenue_x1e4": rev.to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby("l_orderkey", as_index=False).sum())
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+
+    # second exchange: co-partition BOTH sides on orderkey through the
+    # sort-based coarse groupby (a second concurrent hash-join actor
+    # pool can starve small clusters — two pools of aggregators exceed
+    # the CPU budget and deadlock the streaming executor at 4 CPUs)
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["o_orderkey"],
+             pa.array(np.zeros(len(batch), dtype=np.int64)),
+             batch["o_orderdate"]],
+            names=["k", "revenue_x1e4", "o_orderdate"])
+
+    def tag_li(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["l_orderkey"], batch["revenue_x1e4"],
+             pa.array([""] * len(batch), type=pa.string())],
+            names=["k", "revenue_x1e4", "o_orderdate"])
+
+    both = seg_orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(li.map_batches(tag_li, batch_format="pyarrow"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        dates = g.loc[g["o_orderdate"] != "", "o_orderdate"]
+        if dates.empty:                      # order outside the segment
+            return pd.DataFrame()
+        rev = np.int64(g["revenue_x1e4"].sum())
+        if (g["o_orderdate"] == "").sum() == 0:
+            return pd.DataFrame()            # no lineitems: inner join drops
+        return pd.DataFrame({"o_orderkey": [np.int64(g["k"].iloc[0])],
+                             "revenue_x1e4": [rev],
+                             "o_orderdate": [dates.iloc[0]]})
+
+    agg = _coarse_grouped_map(both, "k", combine)
+    return agg.sort(["revenue_x1e4", "o_orderkey"],
+                    descending=[True, False]).limit(Q3_TOPK) \
+        .select_columns(["o_orderkey", "revenue_x1e4", "o_orderdate"])
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: distinct users per (first-seen week, week offset)
+# ---------------------------------------------------------------------------
+
+def _week_floor_days(days: np.ndarray) -> np.ndarray:
+    """Monday-floor of days-since-epoch (1970-01-01 was a Thursday), the
+    same bucketing as DuckDB date_trunc('week')."""
+    return days - ((days + 3) % 7)
+
+
+def events_cohort_retention(sf_dir: str):
+    """Classic cohort table: users bucketed by first-activity week, the
+    count still active at each week offset. One user-keyed exchange
+    (each user's events co-locate; w0 and the distinct-week set are
+    group-local), then a tiny (cohort, offset) count aggregate."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        weeks = np.unique(_week_floor_days(days))
+        w0 = weeks[0]
+        return pd.DataFrame({
+            "cohort_week": np.datetime64(0, "D") + w0,
+            "week_offset": (weeks - w0) // 7,
+            "n_users": 1})
+
+    partial = _coarse_grouped_map(ds, "user_id", per_user)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        cw = pc.strftime(pc.cast(batch["cohort_week"], pa.timestamp("us")),
+                         format="%Y-%m-%d")
+        return pa.Table.from_arrays(
+            [cw, batch["week_offset"], batch["n_users"]],
+            names=["cohort_week", "week_offset", "n_users"])
+
+    return (partial.map_batches(fmt, batch_format="pyarrow")
+            .groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users"))
+            .sort(["cohort_week", "week_offset"]))
+
+
+COHORT_SQL = """
+WITH f AS (SELECT user_id, MIN(date_trunc('week', ts)) AS w0
+           FROM events GROUP BY user_id),
+w AS (SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS wk, f.w0
+      FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT strftime(w0, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch(wk) - epoch(w0)) // (7 * 86400) AS BIGINT)
+           AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM w
+GROUP BY w0, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "q3_partitioned_join": (q3_partitioned_join, Q3_SQL),
+    "events_cohort_retention": (events_cohort_retention, COHORT_SQL),
     "events_value_percentiles": (events_value_percentiles, PCTL_SQL),
     "events_type_salted_agg": (events_type_salted_agg, SALTED_AGG_SQL),
     "orders_bloom_semi_count": (orders_bloom_semi_count, BLOOM_SEMI_SQL),
