@@ -139,14 +139,12 @@ def _stress():
     ray.shutdown()
 
 
-def _dedup_stress():
-    """Dedup family at 50x the testdata document scale: synthesize a
-    250k-row documents table (1% planted near-dups) and time exact /
-    MinHash-LSH / SimHash / clusters end-to-end."""
+def _ensure_stress_docs(n: int) -> str:
+    """Synthesize (once, cached) a sharded n-row documents table with 1%
+    planted near-dups — shared by the dedup and corpus stress tiers."""
     import numpy as np
     import pandas as pd
 
-    n = int(os.environ.get("GRAFT_DEDUP_DOCS", "250000"))
     d = f"/tmp/pdfxr_dedup_docs/n{n}"
     if not os.path.exists(f"{d}/documents.parquet"):
         os.makedirs(f"{d}/documents.parquet", exist_ok=True)
@@ -174,6 +172,28 @@ def _dedup_stress():
         for i in range(0, n, shard):
             df.iloc[i:i + shard].to_parquet(
                 f"{d}/documents.parquet/part-{i // shard:04d}.parquet")
+    return d
+
+
+def _time_queries(d: str, pairs) -> tuple[dict, dict]:
+    import pandas as pd
+
+    timings, rows = {}, {}
+    for name, fn in pairs:
+        t0 = time.perf_counter()
+        res = fn(d)
+        cnt = len(res) if isinstance(res, pd.DataFrame) else res.count()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        rows[name] = int(cnt)
+    return timings, rows
+
+
+def _dedup_stress():
+    """Dedup family at 50x the testdata document scale: 250k-row
+    documents table (1% planted near-dups), exact / MinHash-LSH /
+    SimHash end-to-end."""
+    n = int(os.environ.get("GRAFT_DEDUP_DOCS", "250000"))
+    d = _ensure_stress_docs(n)
 
     import ray
     ray.init(address="local", num_cpus=32, include_dashboard=False,
@@ -184,17 +204,41 @@ def _dedup_stress():
                                                     dedup_simhash)
     from pdf_extraction_ray.pipelines.textops import doc_dedup_exact
 
-    timings, rows = {}, {}
-    for name, fn in (("doc_dedup_exact", doc_dedup_exact),
-                     ("dedup_minhash_lsh", dedup_minhash_lsh),
-                     ("dedup_simhash", dedup_simhash)):
-        import pandas as pd
-        t0 = time.perf_counter()
-        res = fn(d)
-        cnt = len(res) if isinstance(res, pd.DataFrame) else res.count()
-        timings[name] = round(time.perf_counter() - t0, 2)
-        rows[name] = int(cnt)
+    timings, rows = _time_queries(d, (
+        ("doc_dedup_exact", doc_dedup_exact),
+        ("dedup_minhash_lsh", dedup_minhash_lsh),
+        ("dedup_simhash", dedup_simhash)))
     print(json.dumps({"metric": "dedup_stress", "n_docs": n,
+                      "num_cpus": 32, "timings_sec": timings,
+                      "result_rows": rows}))
+    ray.shutdown()
+
+
+def _corpus_stress():
+    """Corpus + packing families at 50x the testdata document scale
+    (same 250k-doc synthetic table as the dedup tier)."""
+    n = int(os.environ.get("GRAFT_DEDUP_DOCS", "250000"))
+    d = _ensure_stress_docs(n)
+
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from pdf_extraction_ray.pipelines.corpus import (
+        corpus_heavy_hitters, corpus_vocab_stats, doc_tfidf_top_terms,
+        doc_repetition, doc_dup_block_stats, corpus_inverted_index)
+    from pdf_extraction_ray.pipelines.packing import packed_sequences
+
+    timings, rows = _time_queries(d, (
+        ("corpus_heavy_hitters", corpus_heavy_hitters),
+        ("corpus_vocab_stats", corpus_vocab_stats),
+        ("doc_tfidf_top_terms", doc_tfidf_top_terms),
+        ("doc_repetition", doc_repetition),
+        ("doc_dup_block_stats", doc_dup_block_stats),
+        ("corpus_inverted_index", corpus_inverted_index),
+        ("packed_sequences", packed_sequences)))
+    print(json.dumps({"metric": "corpus_stress", "n_docs": n,
                       "num_cpus": 32, "timings_sec": timings,
                       "result_rows": rows}))
     ray.shutdown()
@@ -253,6 +297,9 @@ def main():
         return
     if "--dedup" in sys.argv:
         _dedup_stress()
+        return
+    if "--corpus" in sys.argv:
+        _corpus_stress()
         return
     if "--knn" in sys.argv:
         _knn_stress()

@@ -43,8 +43,9 @@ def _docs(sf_dir: str):
 
 
 def _n_docs(sf_dir: str) -> int:
-    import pyarrow.parquet as pq
-    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    """Row count from parquet footers only (single file or shard dir)."""
+    import pyarrow.dataset as pads
+    return pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
 
 
 def _from_pandas(df: pd.DataFrame) -> pa.Table:
@@ -96,9 +97,10 @@ def _token_counts(sf_dir: str):
     """(token, n) dataset: per-batch partial counts -> keyed Sum."""
     def partial(batch: pa.Table) -> pa.Table:
         _, flat = _doc_terms(batch)
-        vc = pd.Series(flat.to_numpy(zero_copy_only=False)).value_counts()
-        return _from_pandas(pd.DataFrame(
-            {"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)}))
+        vc = pc.value_counts(flat)       # Arrow-native, no object boxing
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            names=["token", "n"]).replace_schema_metadata(None)
 
     return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
             .groupby("token").aggregate(Sum("n", alias_name="n")))
