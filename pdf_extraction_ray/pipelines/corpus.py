@@ -584,16 +584,31 @@ def doc_dup_block_stats(sf_dir: str):
     rows."""
     def blocks(batch: pa.Table) -> pa.Table:
         doc_ids, flat = _doc_terms(batch)
-        df = pd.DataFrame({"doc_id": doc_ids,
-                           "tok": flat.to_numpy(zero_copy_only=False)})
-        df["ord"] = df.groupby("doc_id").cumcount()
-        df["blk"] = df["ord"] // DUP_BLOCK_TOKENS
-        sh = df.groupby(["doc_id", "blk"])["tok"].agg(" ".join) \
-               .reset_index(name="shingle")
-        sh["blk_md5"] = [hashlib.md5(s.encode("utf-8")).hexdigest()
-                         for s in sh["shingle"]]
-        return _from_pandas(sh[["doc_id", "blk_md5"]]
-                            .astype({"doc_id": "int64"}))
+        if len(doc_ids) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "blk_md5": pa.array([], type=pa.string())})
+        # tokens arrive doc-major and in order, so blocks are contiguous
+        # runs: a block starts at every doc change and every
+        # DUP_BLOCK_TOKENS-th token within a doc. Build the per-block
+        # token lists from run offsets and join them with Arrow's
+        # vectorized binary_join (a 750k-group pandas join measured ~6x
+        # slower at the stress tier).
+        new_doc = np.empty(len(doc_ids), dtype=bool)
+        new_doc[0] = True
+        new_doc[1:] = doc_ids[1:] != doc_ids[:-1]
+        ord_in_doc = np.arange(len(doc_ids), dtype=np.int64)
+        ord_in_doc -= np.maximum.accumulate(
+            np.where(new_doc, ord_in_doc, 0))
+        starts = new_doc | (ord_in_doc % DUP_BLOCK_TOKENS == 0)
+        offs = np.flatnonzero(starts)
+        offsets = np.concatenate([offs, [len(doc_ids)]]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets), flat)
+        shingles = pc.binary_join(lists, " ")
+        md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in shingles.to_pylist()], type=pa.string())
+        return pa.Table.from_pydict(
+            {"doc_id": doc_ids[offs], "blk_md5": md5})
 
     pairs = _docs(sf_dir).map_batches(blocks, batch_format="pyarrow")
 
