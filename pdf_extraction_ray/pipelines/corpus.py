@@ -575,6 +575,36 @@ ORDER BY split
 DUP_BLOCK_TOKENS = 20
 
 
+def _block_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, blk_md5) per DUP_BLOCK_TOKENS-token block of one batch.
+
+    Tokens arrive doc-major and in order, so blocks are contiguous runs:
+    a block starts at every doc change and every DUP_BLOCK_TOKENS-th
+    token within a doc. The per-block token lists come from run offsets
+    and join with Arrow's vectorized binary_join (a 750k-group pandas
+    string join measured ~6x slower at the stress tier)."""
+    doc_ids, flat = _doc_terms(batch)
+    if len(doc_ids) == 0:
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "blk_md5": pa.array([], type=pa.string())})
+    new_doc = np.empty(len(doc_ids), dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = doc_ids[1:] != doc_ids[:-1]
+    ord_in_doc = np.arange(len(doc_ids), dtype=np.int64)
+    ord_in_doc -= np.maximum.accumulate(
+        np.where(new_doc, ord_in_doc, 0))
+    starts = new_doc | (ord_in_doc % DUP_BLOCK_TOKENS == 0)
+    offs = np.flatnonzero(starts)
+    offsets = np.concatenate([offs, [len(doc_ids)]]).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offsets), flat)
+    shingles = pc.binary_join(lists, " ")
+    md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                    for s in shingles.to_pylist()], type=pa.string())
+    return pa.Table.from_pydict(
+        {"doc_id": doc_ids[offs], "blk_md5": md5})
+
+
 def doc_dup_block_stats(sf_dir: str):
     """Per-doc count of 20-token blocks that appear (verbatim) anywhere
     else in the corpus — the corpus-level 'duplicate lines' Gopher rule,
@@ -582,35 +612,7 @@ def doc_dup_block_stats(sf_dir: str):
     fixed-width md5 keys (never the text); the only exchanges are the
     md5-keyed duplicate count and the per-doc roll-up of (doc, is_dup)
     rows."""
-    def blocks(batch: pa.Table) -> pa.Table:
-        doc_ids, flat = _doc_terms(batch)
-        if len(doc_ids) == 0:
-            return pa.Table.from_pydict(
-                {"doc_id": pa.array([], type=pa.int64()),
-                 "blk_md5": pa.array([], type=pa.string())})
-        # tokens arrive doc-major and in order, so blocks are contiguous
-        # runs: a block starts at every doc change and every
-        # DUP_BLOCK_TOKENS-th token within a doc. Build the per-block
-        # token lists from run offsets and join them with Arrow's
-        # vectorized binary_join (a 750k-group pandas join measured ~6x
-        # slower at the stress tier).
-        new_doc = np.empty(len(doc_ids), dtype=bool)
-        new_doc[0] = True
-        new_doc[1:] = doc_ids[1:] != doc_ids[:-1]
-        ord_in_doc = np.arange(len(doc_ids), dtype=np.int64)
-        ord_in_doc -= np.maximum.accumulate(
-            np.where(new_doc, ord_in_doc, 0))
-        starts = new_doc | (ord_in_doc % DUP_BLOCK_TOKENS == 0)
-        offs = np.flatnonzero(starts)
-        offsets = np.concatenate([offs, [len(doc_ids)]]).astype(np.int32)
-        lists = pa.ListArray.from_arrays(pa.array(offsets), flat)
-        shingles = pc.binary_join(lists, " ")
-        md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
-                        for s in shingles.to_pylist()], type=pa.string())
-        return pa.Table.from_pydict(
-            {"doc_id": doc_ids[offs], "blk_md5": md5})
-
-    pairs = _docs(sf_dir).map_batches(blocks, batch_format="pyarrow")
+    pairs = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow")
 
     def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
         # all rows for one md5 land in one group: dup <=> group size > 1
@@ -666,9 +668,87 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Eval-set contamination check (decontamination primitive)
+# ---------------------------------------------------------------------------
+
+def eval_contamination(sf_dir: str):
+    """For each eval-set document (the deterministic stratified sample),
+    how many of its 20-token blocks also appear in ANY other corpus
+    document — the exact form of the train/eval decontamination check.
+    The corpus side flows as md5 block keys through the same coarse
+    exchange as doc_dup_block_stats; the tiny eval id set broadcasts.
+    (At extreme scale the corpus side drops to a Bloom pre-filter with
+    exact verify on survivors — the orders_bloom_semi_count pattern.)"""
+    import ray
+
+    eval_ids = np.sort(docs_stratified_sample(sf_dir)
+                       .to_pandas()["doc_id"].to_numpy(np.int64))
+    eval_ref = ray.put(eval_ids)
+
+    pairs = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        ev = ray.get(eval_ref)
+        g = g.copy()
+        nd = g.groupby("blk_md5")["doc_id"].transform("nunique")
+        g["contaminated"] = (nd > 1).astype("int64")
+        keep = np.isin(g["doc_id"].to_numpy(np.int64), ev)
+        return g.loc[keep, ["doc_id", "contaminated"]]
+
+    marked = _coarse_str_group(pairs, "blk_md5", mark)
+
+    def roll(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "contaminated": batch["contaminated"]
+            .to_numpy(zero_copy_only=False)})
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_blocks=("contaminated", "size"),
+            contaminated_blocks=("contaminated", "sum"))
+        return _from_pandas(g.astype("int64"))
+
+    return (marked.map_batches(roll, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_blocks", alias_name="n_blocks"),
+                       Sum("contaminated_blocks",
+                           alias_name="contaminated_blocks"))
+            .sort("doc_id"))
+
+
+CONTAMINATION_SQL = rf"""
+WITH eval_set AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+    FROM documents)
+  WHERE rn <= {STRATA_K}),
+t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS ord FROM t),
+b AS (SELECT doc_id, ord // {DUP_BLOCK_TOKENS} AS blk,
+             md5(string_agg(tok, ' ' ORDER BY ord)) AS blk_md5
+      FROM u GROUP BY doc_id, blk),
+c AS (SELECT blk_md5, COUNT(DISTINCT doc_id) AS nd FROM b GROUP BY blk_md5)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(COUNT(*) FILTER (c.nd > 1) AS BIGINT) AS contaminated_blocks
+FROM b JOIN c USING (blk_md5)
+WHERE b.doc_id IN (SELECT doc_id FROM eval_set)
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "cms_token_counts": (cms_token_counts, None),
     "doc_dup_block_stats": (doc_dup_block_stats, DUP_BLOCK_SQL),
+    "eval_contamination": (eval_contamination, CONTAMINATION_SQL),
     "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SQL),
     "docs_train_split": (docs_train_split, TRAIN_SPLIT_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, HEAVY_HITTERS_SQL),
