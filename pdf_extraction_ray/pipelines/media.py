@@ -117,7 +117,31 @@ def media_audio_features(sf_dir: str):
                              batch_size=512, concurrency=(1, 2), num_cpus=1)
 
 
+def media_payload_dedup(sf_dir: str):
+    """Exact dedup over opaque BINARY payloads: sha1 of the payload
+    bytes -> representative (min media_ref) + copy count per content
+    group. The binary-column analog of doc_dedup_exact: only the
+    fixed-width digest and ref shuffle, never payload bytes."""
+    from ray.data.aggregate import Count, Min
+
+    media = media_table_from_docs(read_docs(_corpus_for(sf_dir)))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        sha = pa.array([hashlib.sha1(p).hexdigest()
+                        for p in batch["payload"].to_pylist()],
+                       type=pa.string())
+        return pa.Table.from_arrays([sha, batch["media_ref"]],
+                                    names=["payload_sha1", "media_ref"])
+
+    return (media.map_batches(keyed, batch_format="pyarrow")
+            .groupby("payload_sha1")
+            .aggregate(Min("media_ref", alias_name="rep_media_ref"),
+                       Count(alias_name="n_copies"))
+            .sort("payload_sha1"))
+
+
 MEDIA_QUERIES: dict[str, tuple] = {
+    "media_payload_dedup": (media_payload_dedup, None),
     "media_features": (media_features, None),
     "media_frames": (media_frames, None),
     "media_resized": (media_resized, None),

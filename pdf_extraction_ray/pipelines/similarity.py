@@ -222,7 +222,69 @@ def knn_ivf_recall(sf_dir: str):
         "recall_x1e6": [int(hit * 1_000_000 / max(len(exact), 1))]})
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def embeddings_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means, KMEANS_ITERS iterations — the
+    engine's iterative-algorithm representative (not SQL-expressible;
+    tests assert inertia is non-increasing and sizes cover N). Each
+    iteration is one streaming pass: broadcast centroids, per-batch
+    nearest-centroid assignment + per-cluster partial (sum, count,
+    sq-dist) rows, tiny keyed Sum; the driver only ever holds k x dim
+    floats. Deterministic init from the first k vec_ids."""
+    # deterministic init: embeddings of vec_id 0..k-1 (pruned read)
+    init = (_emb(sf_dir)
+            .filter(expr=f"vec_id < {KMEANS_K}")
+            .to_pandas().sort_values("vec_id"))
+    cents = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+
+    stats = None
+    for _ in range(KMEANS_ITERS):
+        cref = ray.put(cents)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            lab = d2.argmin(axis=1)
+            best = d2[np.arange(len(m)), lab]
+            k, dim = c.shape
+            sums = np.zeros((k, dim))
+            np.add.at(sums, lab, m)
+            cnt = np.bincount(lab, minlength=k).astype(np.int64)
+            sq = np.zeros(k)
+            np.add.at(sq, lab, best)
+            out = pd.DataFrame({"cluster": np.arange(k, dtype=np.int64),
+                                "n": cnt,
+                                "sq_dist": sq})
+            for j in range(dim):
+                out[f"s{j}"] = sums[:, j]
+            return pa.Table.from_pandas(out, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        dim = cents.shape[1]
+        aggs = [Sum("n", alias_name="n"), Sum("sq_dist", alias_name="sq_dist")]
+        aggs += [Sum(f"s{j}", alias_name=f"s{j}") for j in range(dim)]
+        stats = (_emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+                 .groupby("cluster").aggregate(*aggs).to_pandas()
+                 .sort_values("cluster").reset_index(drop=True))
+        n = stats["n"].to_numpy(np.float64)
+        sums = stats[[f"s{j}" for j in range(dim)]].to_numpy()
+        nonzero = n > 0
+        cents = np.where(nonzero[:, None],
+                         sums / np.maximum(n[:, None], 1.0), cents)
+
+    return pd.DataFrame({
+        "cluster": stats["cluster"].astype("int64"),
+        "n_vectors": stats["n"].astype("int64"),
+        "inertia_x1e3": (stats["sq_dist"] * 1e3).astype("int64")})
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "embeddings_kmeans": (embeddings_kmeans, None),
     "knn_cosine": (knn_cosine, KNN_SQL),
     "knn_cosine_ivf": (knn_cosine_ivf, None),
     "knn_ivf_recall": (knn_ivf_recall, None),

@@ -330,7 +330,80 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Model-scored quality gate (actor-pool model inference pattern)
+# ---------------------------------------------------------------------------
+
+MODEL_SCORE_THRESHOLD = 4_600_000     # ~median of the synthetic corpus
+                                      # so the gate visibly splits it
+
+
+class QualityModel:
+    """Deterministic linear stand-in for a fastText-style quality
+    classifier: 'weights' load ONCE per actor in ``__init__`` (the place
+    a real model file/deserialization goes), scoring is vectorized per
+    batch in ``__call__``. Integer weights over the integer-scaled
+    quality features keep the result oracle-exact."""
+
+    WEIGHTS = {"stop_ratio_x1e6": 2, "mean_token_len_x1e6": 1,
+               "punct_ratio_x1e6": -3}
+
+    def __init__(self):
+        # deterministic "model load" — constants here, a checkpoint
+        # read in production; per-actor, never per-batch
+        self.w = dict(self.WEIGHTS)
+        self.threshold = MODEL_SCORE_THRESHOLD
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        score = np.zeros(len(batch), dtype=np.int64)
+        for col, w in self.w.items():
+            score += w * batch[col].to_numpy(zero_copy_only=False)
+        kept = (score >= self.threshold).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], pa.array(score), pa.array(kept)],
+            names=["doc_id", "model_score", "kept"])
+
+
+def doc_model_scores(sf_dir: str):
+    """Quality-classifier scoring as an ACTOR-POOL stage over the quality
+    features — the batched model-inference shape (T6/M13 analog with a
+    linear stand-in)."""
+    return doc_quality(sf_dir).map_batches(
+        QualityModel, batch_format="pyarrow", batch_size=2048,
+        concurrency=2, num_cpus=1).sort("doc_id")
+
+
+MODEL_SCORES_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents),
+q AS (
+  SELECT doc_id,
+       CASE WHEN n_chars > 0 THEN (punct_cnt * 1000000) // n_chars ELSE 0 END AS punct_ratio_x1e6,
+       CASE WHEN len(toks) > 0 THEN
+         (CAST(len(list_filter(ltoks, x -> x IN ({_EN}))) AS BIGINT) * 1000000) // len(toks)
+       ELSE 0 END AS stop_ratio_x1e6,
+       CASE WHEN len(toks) > 0 THEN
+         (CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) * 1000000) // len(toks)
+       ELSE 0 END AS mean_token_len_x1e6
+  FROM t)
+SELECT doc_id,
+       2 * stop_ratio_x1e6 + mean_token_len_x1e6 - 3 * punct_ratio_x1e6
+           AS model_score,
+       CAST(CASE WHEN 2 * stop_ratio_x1e6 + mean_token_len_x1e6
+                      - 3 * punct_ratio_x1e6 >= {MODEL_SCORE_THRESHOLD}
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM q
+ORDER BY doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "doc_model_scores": (doc_model_scores, MODEL_SCORES_SQL),
     "doc_pattern_counts": (doc_pattern_counts, PATTERN_COUNTS_SQL),
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),

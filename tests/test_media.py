@@ -117,3 +117,19 @@ def test_media_resized_and_audio_pipelines(media_corpus):
     assert len(rs) > 0 and (rs["out_width"] <= 128).all() \
         and (rs["out_height"] <= 128).all()
     assert len(au) > 0 and au["band_energy"].map(sum).gt(0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_payload_dedup_partitions_media_rows():
+    from pdf_extraction_ray.pipelines.media import (
+        media_payload_dedup, media_table_from_docs)
+    from pdf_extraction_ray.pipelines.analysis import _corpus_for
+    from pdf_extraction_ray.sources.io import read_docs
+
+    sf = "/root/testdata/sf0.001"
+    groups = media_payload_dedup(sf).to_pandas()
+    n_media = media_table_from_docs(read_docs(_corpus_for(sf))).count()
+    # every media row lands in exactly one content group
+    assert groups["n_copies"].sum() == n_media
+    assert (groups["n_copies"] >= 1).all()
+    assert groups["payload_sha1"].is_unique

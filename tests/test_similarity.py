@@ -61,3 +61,32 @@ def test_ivf_scores_subset_of_exact_topk_universe(emb_dir):
     assert len(out) > 0
     for _, r in out.iterrows():
         assert abs(r["cosine_x1e6"] - int(cos[r["vec_id"]] * 1e6)) <= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_inertia_monotone_and_partition():
+    import duckdb
+    import numpy as np
+    from pdf_extraction_ray.pipelines import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{sf}/embeddings.parquet')").fetchone()[0]
+
+    res = S.embeddings_kmeans(sf)
+    assert res["n_vectors"].sum() == n          # every vector assigned
+    assert (res["n_vectors"] > 0).any()
+    total3 = res["inertia_x1e3"].sum()
+
+    # fewer iterations must not produce LOWER inertia (Lloyd's monotone)
+    old_iters = S.KMEANS_ITERS
+    try:
+        S.KMEANS_ITERS = 1
+        total1 = S.embeddings_kmeans(sf)["inertia_x1e3"].sum()
+    finally:
+        S.KMEANS_ITERS = old_iters
+    assert total3 <= total1 + 1                  # +1 for int truncation
+
+    # deterministic
+    again = S.embeddings_kmeans(sf)
+    assert np.array_equal(res["inertia_x1e3"].to_numpy(),
+                          again["inertia_x1e3"].to_numpy())
