@@ -273,16 +273,16 @@ def _knn_stress():
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     from pdf_extraction_ray.pipelines.similarity import (
-        embedding_centroid_sums, knn_cosine, knn_cosine_ivf, knn_cosine_lsh)
+        embedding_centroid_sums, embeddings_kmeans, knn_cosine,
+        knn_cosine_ivf, knn_cosine_lsh, knn_multi_query)
 
-    timings = {}
-    for name, fn in (("knn_cosine", knn_cosine),
-                     ("knn_cosine_ivf", knn_cosine_ivf),
-                     ("knn_cosine_lsh", knn_cosine_lsh),
-                     ("embedding_centroid_sums", embedding_centroid_sums)):
-        t0 = time.perf_counter()
-        fn(d).count()
-        timings[name] = round(time.perf_counter() - t0, 2)
+    timings, _rows = _time_queries(d, (
+        ("knn_cosine", knn_cosine),
+        ("knn_multi_query", knn_multi_query),
+        ("knn_cosine_ivf", knn_cosine_ivf),
+        ("knn_cosine_lsh", knn_cosine_lsh),
+        ("embeddings_kmeans", embeddings_kmeans),
+        ("embedding_centroid_sums", embedding_centroid_sums)))
     print(json.dumps({"metric": "knn_stress", "n_vectors": n,
                       "num_cpus": 32, "timings_sec": timings}))
     ray.shutdown()

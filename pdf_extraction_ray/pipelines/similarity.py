@@ -222,6 +222,70 @@ def knn_ivf_recall(sf_dir: str):
         "recall_x1e6": [int(hit * 1_000_000 / max(len(exact), 1))]})
 
 
+KNN_MULTI_QUERY_IDS = (0, 100, 200, 300, 400)
+
+
+def knn_multi_query(sf_dir: str):
+    """Batched brute-force KNN: ALL queries score in ONE corpus pass via
+    a broadcast (Q x d) query matrix and a per-batch matmul — the shape
+    that amortizes the scan across a whole query workload. Each batch
+    emits only its per-query partial top-k (bounded: batches x Q x 4k
+    rows), so the final exact rank runs over a tiny candidate set."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", list(KNN_MULTI_QUERY_IDS))])
+    qdf = qt.to_pandas().sort_values("vec_id")
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qm = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    qref = ray.put((qids, qm))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids, qmat = ray.get(qref)
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        scores = m @ qmat.T                       # (n, Q)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = min(4 * KNN_K, len(vids))          # 4k margin absorbs ties
+        rows_q, rows_v, rows_c = [], [], []
+        for j, qid in enumerate(ids):
+            top = np.argpartition(-scores[:, j], keep - 1)[:keep]
+            rows_q.append(np.full(keep, qid, dtype=np.int64))
+            rows_v.append(vids[top])
+            rows_c.append(scores[top, j])
+        return pa.Table.from_pydict({
+            "query_vec_id": np.concatenate(rows_q),
+            "vec_id": np.concatenate(rows_v),
+            "cos": np.concatenate(rows_c)})
+
+    cand = _emb(sf_dir).map_batches(partial_topk, batch_format="pyarrow") \
+        .to_pandas()                  # bounded: n_batches x Q x 4k rows
+    out = (cand.sort_values(["query_vec_id", "cos", "vec_id"],
+                            ascending=[True, False, True])
+           .groupby("query_vec_id").head(KNN_K))
+    out["rank"] = out.groupby("query_vec_id").cumcount() + 1
+    return out[["query_vec_id", "vec_id", "rank"]] \
+        .astype("int64").reset_index(drop=True)
+
+
+KNN_MULTI_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN {KNN_MULTI_QUERY_IDS}),
+s AS (SELECT q.qid, e.vec_id,
+             ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                          e.vec_id) AS rank
+      FROM embeddings e CROSS JOIN q)
+SELECT qid AS query_vec_id, vec_id, CAST(rank AS BIGINT) AS rank
+FROM s WHERE rank <= {KNN_K}
+ORDER BY query_vec_id, rank
+"""
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 
@@ -285,6 +349,7 @@ def embeddings_kmeans(sf_dir: str):
 
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "embeddings_kmeans": (embeddings_kmeans, None),
+    "knn_multi_query": (knn_multi_query, KNN_MULTI_SQL),
     "knn_cosine": (knn_cosine, KNN_SQL),
     "knn_cosine_ivf": (knn_cosine_ivf, None),
     "knn_ivf_recall": (knn_ivf_recall, None),
