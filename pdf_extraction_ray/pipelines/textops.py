@@ -112,7 +112,7 @@ def doc_langid(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
-def _langid_sql() -> str:
+def _langid_pieces() -> tuple[str, str]:
     hits = {lang: f"len(list_filter(ltoks, x -> x IN "
                   f"({', '.join(repr(w) for w in T.LANG_STOPWORDS[lang])})))"
             for lang in T.LANG_ORDER}
@@ -126,6 +126,11 @@ def _langid_sql() -> str:
         cascades.append(f"WHEN {cond} AND s_{lang} >= {T.LANG_MIN_HITS} THEN '{lang}'")
     case = "CASE " + " ".join(cascades) + " ELSE 'und' END"
     sels = ", ".join(f"{expr} AS s_{lang}" for lang, expr in hits.items())
+    return sels, case
+
+
+def _langid_sql() -> str:
+    sels, case = _langid_pieces()
     return rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
@@ -135,7 +140,22 @@ SELECT doc_id, {case} AS pred_lang FROM s
 """
 
 
+def _langid_accuracy_sql() -> str:
+    sels, case = _langid_pieces()
+    return rf"""
+WITH t AS (
+  SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents),
+s AS (SELECT lang, {sels} FROM t),
+p AS (SELECT lang, {case} AS pred_lang FROM s)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (pred_lang = lang) AS BIGINT) AS n_correct
+FROM p GROUP BY lang ORDER BY lang
+"""
+
+
 LANGID_SQL = _langid_sql()
+LANGID_ACC_SQL = _langid_accuracy_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +225,47 @@ def doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+# The oracle replays the winnowing hash (min over 8-char-window
+# polynomial hashes, base 257, mod 2^64) with HUGEINT arithmetic.
+# ord(char) == utf-8 byte only for ASCII — which the testdata is; the
+# Ray kernel itself is byte-exact for any input.
+FINGERPRINT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n FROM documents),
+ch AS (
+  SELECT doc_id, n, list_transform(split(text, ''), x -> ord(x)) AS cs
+  FROM t),
+win0 AS (
+  SELECT doc_id, cs, unnest(range(1, CAST(GREATEST(n - 6, 1) AS BIGINT))) AS i
+  FROM ch WHERE n >= 8),
+win AS (
+  SELECT doc_id,
+         MIN(CAST((
+             CAST(cs[i]   AS HUGEINT) * 74051159531521793 +
+             CAST(cs[i+1] AS HUGEINT) * 288136807515649 +
+             CAST(cs[i+2] AS HUGEINT) * 1121154893057 +
+             CAST(cs[i+3] AS HUGEINT) * 4362470401 +
+             CAST(cs[i+4] AS HUGEINT) * 16974593 +
+             CAST(cs[i+5] AS HUGEINT) * 66049 +
+             CAST(cs[i+6] AS HUGEINT) * 257 +
+             CAST(cs[i+7] AS HUGEINT)
+           ) % 18446744073709551616 AS UHUGEINT)) AS h
+  FROM win0
+  GROUP BY doc_id),
+short AS (
+  SELECT doc_id,
+         CASE WHEN n = 0 THEN 0
+              ELSE CAST(list_reduce(cs, (a, b) -> a * 257 + b) AS UHUGEINT)
+         END AS h
+  FROM ch WHERE n < 8),
+u AS (SELECT * FROM win UNION ALL SELECT * FROM short)
+SELECT doc_id,
+       CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+                 ELSE h END AS BIGINT) AS fingerprint
+FROM u ORDER BY doc_id
+"""
+
+
 QUALITY_MIN_TOKENS = 20
 QUALITY_MAX_PUNCT_X1E6 = 60_000       # <= 6% punctuation
 QUALITY_MIN_MTL_X1E6 = 3_000_000      # mean token length >= 3
@@ -254,28 +315,27 @@ WHERE n_tokens >= {QUALITY_MIN_TOKENS}
 
 def langid_accuracy(sf_dir: str):
     """Evaluation harness analog (A6/CMP): predicted language vs the
-    table's lang label, per label (rows-only; the heuristic itself is
-    oracled separately in doc_langid)."""
-    import ray
-    pred = doc_langid(sf_dir)
-    labels = pd.read_parquet(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id", "lang"])
-    lref = ray.put(labels.set_index("doc_id")["lang"].to_dict())
+    table's lang label, per label. Labels are COLUMNS of the same rows
+    being scored, so prediction and truth meet batch-locally — no
+    broadcast, no join (the round-1 form shipped a whole-corpus label
+    dict through the object store)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
 
     def score(batch: pa.Table) -> pa.Table:
-        lmap = ray.get(lref)
-        df = pd.DataFrame({
-            "lang": [lmap[d] for d in batch["doc_id"].to_pylist()],
-            "hit": [int(p == lmap[d]) for d, p in
-                    zip(batch["doc_id"].to_pylist(),
-                        batch["pred_lang"].to_pylist())]})
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        pred = T.langid(text).to_numpy(zero_copy_only=False)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": lang,
+                           "hit": (pred == lang).astype("int64")})
         g = df.groupby("lang", as_index=False).agg(
             n_docs=("hit", "size"), n_correct=("hit", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False) \
             .replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
-    return (pred.map_batches(score, batch_format="pyarrow")
+    return (ds.map_batches(score, batch_format="pyarrow")
             .groupby("lang")
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("n_correct", alias_name="n_correct"))
@@ -410,7 +470,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_dedup_exact": (doc_dedup_exact, DEDUP_EXACT_SQL),
     "doc_chunks": (doc_chunks, None),
-    "doc_fingerprint": (doc_fingerprint, None),
-    "langid_accuracy": (langid_accuracy, None),
+    "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
+    "langid_accuracy": (langid_accuracy, LANGID_ACC_SQL),
     "doc_quality_filter": (doc_quality_filter, QUALITY_FILTER_SQL),
 }
