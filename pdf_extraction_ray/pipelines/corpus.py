@@ -147,7 +147,8 @@ def corpus_vocab_stats(sf_dir: str):
            .aggregate(Sum("vocab_size", alias_name="vocab_size"),
                       Sum("hapax_count", alias_name="hapax_count"),
                       Sum("total_tokens", alias_name="total_tokens")))
-    return pd.DataFrame([{k: np.int64(v) for k, v in agg.items()}])
+    # empty input -> None sums -> well-defined zeros
+    return pd.DataFrame([{k: np.int64(v or 0) for k, v in agg.items()}])
 
 
 VOCAB_STATS_SQL = r"""
@@ -200,6 +201,8 @@ def doc_tfidf_top_terms(sf_dir: str):
     dfs = (_docs(sf_dir).map_batches(df_partial, batch_format="pyarrow")
            .groupby("term").aggregate(Sum("df", alias_name="df"))
            .to_pandas())
+    if "term" not in dfs.columns:      # empty input loses its schema
+        dfs = pd.DataFrame({"term": [], "df": []})
     df_ref = ray.put(dict(zip(dfs["term"], dfs["df"].astype(np.int64))))
 
     def topk(batch: pa.Table) -> pa.Table:
@@ -682,8 +685,10 @@ def eval_contamination(sf_dir: str):
     exact verify on survivors — the orders_bloom_semi_count pattern.)"""
     import ray
 
-    eval_ids = np.sort(docs_stratified_sample(sf_dir)
-                       .to_pandas()["doc_id"].to_numpy(np.int64))
+    sample = docs_stratified_sample(sf_dir).to_pandas()
+    # empty results legitimately lose their schema through to_pandas
+    eval_ids = np.sort(sample["doc_id"].to_numpy(np.int64)) \
+        if "doc_id" in sample.columns else np.empty(0, dtype=np.int64)
     eval_ref = ray.put(eval_ids)
 
     pairs = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow")

@@ -130,6 +130,13 @@ def training_pipeline_sequences(sf_dir: str):
                .map_batches(lambda t: t.replace_schema_metadata(None),
                             batch_format="pyarrow"))
 
+    # the native hash-shuffle join cannot finalize over schema-less
+    # empty inputs (and an empty corpus needs no join at all)
+    if keepers.count() == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("bucket", "seq_id", "n_chunks", "n_tokens",
+                              "fill_x1e6")})
+
     clean = gated.select_columns(["doc_id", "text"]).join(
         keepers, join_type="inner", num_partitions=8,
         on=("doc_id",), right_on=("rep_doc_id",))
@@ -148,13 +155,14 @@ def packing_stats(sf_dir: str):
         Sum("n_tokens", alias_name="total_tokens"),
         Sum("fill_x1e6", alias_name="fill_sum_x1e6"),
         Max("n_tokens", alias_name="max_seq_tokens"))
-    n_seqs = int(agg["n_sequences"])
+    n_seqs = int(agg["n_sequences"] or 0)    # None sums on empty input
     return pd.DataFrame([{
         "n_sequences": np.int64(n_seqs),
-        "total_chunks": np.int64(agg["total_chunks"]),
-        "total_tokens": np.int64(agg["total_tokens"]),
-        "mean_fill_x1e6": np.int64(agg["fill_sum_x1e6"] // max(n_seqs, 1)),
-        "max_seq_tokens": np.int64(agg["max_seq_tokens"])}])
+        "total_chunks": np.int64(agg["total_chunks"] or 0),
+        "total_tokens": np.int64(agg["total_tokens"] or 0),
+        "mean_fill_x1e6": np.int64((agg["fill_sum_x1e6"] or 0)
+                                   // max(n_seqs, 1)),
+        "max_seq_tokens": np.int64(agg["max_seq_tokens"] or 0)}])
 
 
 PACKING_QUERIES: dict[str, tuple] = {

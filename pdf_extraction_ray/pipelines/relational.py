@@ -1672,7 +1672,72 @@ ORDER BY cohort_week, week_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# Sliding windows: 60-min windows advancing every 15 min
+# ---------------------------------------------------------------------------
+
+SLIDE_WINDOW_US = 3_600_000_000
+SLIDE_STEP_US = 900_000_000
+_SLIDE_FANOUT = SLIDE_WINDOW_US // SLIDE_STEP_US     # windows per event
+
+
+def events_sliding_windows(sf_dir: str):
+    """Sliding-window aggregate (60-min window, 15-min slide): each
+    event fans out to its WINDOW/STEP member windows inside the batch
+    (a flat-map, no state), then partial sums per window shuffle to a
+    tiny keyed reduce. The streaming-actor tier (events_stream_windows)
+    covers the stateful tumbling form; this is the overlap form."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "value"])
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        base = (us // SLIDE_STEP_US) * SLIDE_STEP_US
+        cents = _round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 1e6)
+        starts = (base[:, None]
+                  - np.arange(_SLIDE_FANOUT, dtype=np.int64)[None, :]
+                  * SLIDE_STEP_US).reshape(-1)
+        vals = np.repeat(cents, _SLIDE_FANOUT)
+        df = pd.DataFrame({"win_us": starts, "value_x1e6": vals, "n": 1})
+        g = df.groupby("win_us", as_index=False).sum()
+        return _from_pandas(g.astype("int64"))
+
+    agg = (ds.map_batches(fanout, batch_format="pyarrow")
+           .groupby("win_us")
+           .aggregate(Sum("value_x1e6", alias_name="value_x1e6"),
+                      Sum("n", alias_name="n_events")))
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        ts = pa.array(batch["win_us"].to_numpy(zero_copy_only=False)
+                      .astype("datetime64[us]"))
+        return pa.Table.from_arrays(
+            [pc.strftime(ts, format="%Y-%m-%d %H:%M"),
+             batch["value_x1e6"], batch["n_events"]],
+            names=["window_start", "value_x1e6", "n_events"])
+
+    return agg.map_batches(fmt, batch_format="pyarrow").sort("window_start")
+
+
+SLIDING_SQL = f"""
+WITH e AS (SELECT epoch_us(ts) AS us,
+                  CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+           FROM events),
+w AS (SELECT (us // {SLIDE_STEP_US}) * {SLIDE_STEP_US}
+             - unnest(range({_SLIDE_FANOUT})) * {SLIDE_STEP_US} AS win_us,
+             v
+      FROM e)
+SELECT strftime(make_timestamp(win_us), '%Y-%m-%d %H:%M') AS window_start,
+       CAST(SUM(v) AS BIGINT) AS value_x1e6,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM w
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "q3_partitioned_join": (q3_partitioned_join, Q3_SQL),
     "events_cohort_retention": (events_cohort_retention, COHORT_SQL),
     "events_value_percentiles": (events_value_percentiles, PCTL_SQL),

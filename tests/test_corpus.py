@@ -75,3 +75,30 @@ def test_planted_semantics_spot_checks(planted_dir):
     assert dup.loc[2, "dup_blocks"] == 1
     assert dup.loc[3, "dup_blocks"] == 1
     assert dup.loc[1, "dup_blocks"] == 0
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_docs")
+    PLANTED.iloc[0:0].to_parquet(os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_family_on_empty_table(empty_dir):
+    """Every documents-family operator must return an empty (or
+    well-defined aggregate) result on an empty input, not crash — empty
+    partitions are routine at scale."""
+    from pdf_extraction_ray.pipelines.corpus import CORPUS_QUERIES
+    from pdf_extraction_ray.pipelines.textops import TEXT_QUERIES
+    from pdf_extraction_ray.pipelines.packing import PACKING_QUERIES
+
+    for name, (fn, _sql) in {**CORPUS_QUERIES, **TEXT_QUERIES,
+                             **PACKING_QUERIES}.items():
+        res = fn(empty_dir)
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        assert df is not None, name
+        if name in ("corpus_vocab_stats", "packing_stats"):
+            assert len(df) == 1, name          # one-row aggregates
+        else:
+            assert len(df) == 0, name
