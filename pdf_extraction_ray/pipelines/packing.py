@@ -133,9 +133,10 @@ def training_pipeline_sequences(sf_dir: str):
     # the native hash-shuffle join cannot finalize over schema-less
     # empty inputs (and an empty corpus needs no join at all)
     if keepers.count() == 0:
-        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
-                             ("bucket", "seq_id", "n_chunks", "n_tokens",
-                              "fill_x1e6")})
+        return rd.from_pandas(            # Dataset, like the normal path
+            pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("bucket", "seq_id", "n_chunks", "n_tokens",
+                           "fill_x1e6")}))
 
     clean = gated.select_columns(["doc_id", "text"]).join(
         keepers, join_type="inner", num_partitions=8,
