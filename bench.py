@@ -288,9 +288,34 @@ def _knn_stress():
     ray.shutdown()
 
 
+def _stats():
+    """Print the flagship pipeline's per-stage Ray Data stats (wall
+    time, CPU, memory per operator) over the bench corpus — the
+    where-does-the-time-go diagnostic."""
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from pdf_extraction_ray.fixtures import ensure_corpus
+    from pdf_extraction_ray.sources import read_docs
+    from pdf_extraction_ray.pipelines import extract_pipeline
+    corpus = ensure_corpus("bench", BENCH_SEED, BENCH_DOCS, shard_rows=5000,
+                           use_ray=True)
+    out = extract_pipeline(read_docs(corpus), batch_size=BENCH_BATCH)
+    # materialize so the executed plan's stats attach to this Dataset
+    # (count() builds a separate AggregateNumRows plan whose stats are
+    # not visible on `out`)
+    print(out.materialize().stats())
+    ray.shutdown()
+
+
 def main():
     if "--scaling" in sys.argv:
         _scaling()
+        return
+    if "--stats" in sys.argv:
+        _stats()
         return
     if "--stress" in sys.argv:
         _stress()
