@@ -1599,18 +1599,32 @@ def q3_partitioned_join(sf_dir: str):
     both = seg_orders.map_batches(tag_orders, batch_format="pyarrow") \
         .union(li.map_batches(tag_li, batch_format="pyarrow"))
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        dates = g.loc[g["o_orderdate"] != "", "o_orderdate"]
-        if dates.empty:                      # order outside the segment
-            return pd.DataFrame()
-        rev = np.int64(g["revenue_x1e4"].sum())
-        if (g["o_orderdate"] == "").sum() == 0:
-            return pd.DataFrame()            # no lineitems: inner join drops
-        return pd.DataFrame({"o_orderkey": [np.int64(g["k"].iloc[0])],
-                             "revenue_x1e4": [rev],
-                             "o_orderdate": [dates.iloc[0]]})
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        c = batch["k"].to_numpy(zero_copy_only=False) % 64
+        return batch.append_column("_coarse",
+                                   pa.array(c.astype(np.int64))) \
+            .replace_schema_metadata(None)
 
-    agg = _coarse_grouped_map(both, "k", combine)
+    def combine_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over the WHOLE coarse partition (one pandas groupby
+        # per partition; a per-orderkey callback costs a DataFrame
+        # construction per key — measured 22 s vs 6 s at sf0.1)
+        g = g.assign(is_order=(g["o_orderdate"] != "").astype("int64"))
+        a = g.groupby("k").agg(
+            revenue_x1e4=("revenue_x1e4", "sum"),
+            n_rows=("revenue_x1e4", "size"),
+            n_ord=("is_order", "sum"),
+            o_orderdate=("o_orderdate", "max"))   # "" sorts below dates
+        a = a[(a["n_ord"] > 0) & (a["n_rows"] > a["n_ord"])]  # inner join
+        return pd.DataFrame({
+            "o_orderkey": a.index.to_numpy(np.int64),
+            "revenue_x1e4": a["revenue_x1e4"].to_numpy(np.int64),
+            "o_orderdate": a["o_orderdate"].to_numpy()})
+
+    agg = (both.map_batches(add_coarse, batch_format="pyarrow")
+           .groupby("_coarse")
+           .map_groups(lambda g: combine_partition(
+               g.drop(columns=["_coarse"])), batch_format="pandas"))
     return agg.sort(["revenue_x1e4", "o_orderkey"],
                     descending=[True, False]).limit(Q3_TOPK) \
         .select_columns(["o_orderkey", "revenue_x1e4", "o_orderdate"])
