@@ -69,6 +69,23 @@ def _coarse_grouped_map(ds, key: str, per_group_fn, n_coarse: int = 64):
              .groupby("_coarse").map_groups(run, batch_format="pandas")
 
 
+def _coarse_partition_map(ds, key: str, partition_fn, n_coarse: int = 64):
+    """Like ``_coarse_grouped_map`` but hands the WHOLE coarse partition
+    (all keys that hashed to it) to ``partition_fn`` in one DataFrame.
+    Use with pandas-groupby-vectorized window logic: a per-key callback
+    costs one DataFrame construction per key (~130 us), which dominates
+    wall time once a table has >10k keys."""
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        c = batch[key].to_numpy(zero_copy_only=False) % n_coarse
+        return batch.append_column("_coarse", pa.array(c.astype(np.int64))) \
+            .replace_schema_metadata(None)
+
+    return ds.map_batches(add_coarse, batch_format="pyarrow") \
+             .groupby("_coarse") \
+             .map_groups(lambda g: partition_fn(g.drop(columns=["_coarse"])),
+                         batch_format="pandas")
+
+
 def _from_pandas(df) -> pa.Table:
     """from_pandas with pandas schema metadata stripped — leftover metadata
     defeats Ray's block-schema deduplication during shuffles (visible as
@@ -597,15 +614,16 @@ def events_running_totals(sf_dir: str):
                          columns=["event_id", "user_id", "ts", "value"])
 
     def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        # whole-partition vectorized: one sort + one grouped cumsum
+        g = g.sort_values(["user_id", "ts", "event_id"])
         v = pd.Series(_round_half_away(g["value"].to_numpy() * 1e6),
                       index=g.index)
         return pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
             "user_id": g["user_id"].astype("int64"),
-            "running_value_x1e6": v.cumsum()})
+            "running_value_x1e6": v.groupby(g["user_id"].to_numpy()).cumsum()})
 
-    return _coarse_grouped_map(ds, "user_id", running).sort("event_id")
+    return _coarse_partition_map(ds, "user_id", running).sort("event_id")
 
 
 EVENTS_RUNNING_SQL = """
@@ -678,13 +696,15 @@ def top_order_per_customer(sf_dir: str):
                          columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def top1(g: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition vectorized: sort + first row per key
         g = g.assign(total_x100=_round_half_away(
             g["o_totalprice"].to_numpy() * 100))
-        g = g.sort_values(["total_x100", "o_orderkey"],
-                          ascending=[False, True]).head(1)
+        g = g.sort_values(["o_custkey", "total_x100", "o_orderkey"],
+                          ascending=[True, False, True]) \
+             .drop_duplicates("o_custkey", keep="first")
         return g[["o_custkey", "o_orderkey", "total_x100"]].astype("int64")
 
-    return _coarse_grouped_map(ds, "o_custkey", top1).sort("o_custkey")
+    return _coarse_partition_map(ds, "o_custkey", top1).sort("o_custkey")
 
 
 TOP_ORDER_SQL = """
@@ -816,17 +836,20 @@ def events_lead_lag(sf_dir: str):
                          columns=["event_id", "user_id", "ts"])
 
     def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        # whole-partition vectorized: gap at each user's first row is -1
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
         ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         gap = np.empty(len(g), dtype=np.int64)
-        gap[0] = -1
-        if len(g) > 1:
-            gap[1:] = ts_us[1:] - ts_us[:-1]
+        if len(g):
+            gap[0] = -1
+            gap[1:] = np.where(uid[1:] == uid[:-1],
+                               ts_us[1:] - ts_us[:-1], -1)
         return pd.DataFrame({"event_id": g["event_id"].astype("int64"),
-                             "user_id": g["user_id"].astype("int64"),
+                             "user_id": uid,
                              "prev_gap_us": gap})
 
-    return _coarse_grouped_map(ds, "user_id", lag).sort("event_id")
+    return _coarse_partition_map(ds, "user_id", lag).sort("event_id")
 
 
 EVENTS_LAG_SQL = """
@@ -1155,18 +1178,22 @@ def orders_moving_window(sf_dir: str):
                                   "o_totalprice"])
 
     def moving(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"])
-        cents = _round_half_away(g["o_totalprice"].to_numpy() * 100.0)
-        cs = np.concatenate([[0], np.cumsum(cents)])
-        lo = np.maximum(np.arange(len(cents)) - (MOVING_FRAME - 1), 0)
-        win = cs[np.arange(1, len(cents) + 1)] - cs[lo]
+        # whole-partition vectorized: the trailing frame is the sum of
+        # MOVING_FRAME-1 grouped shifts plus the row itself (exact int64)
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cents = pd.Series(_round_half_away(
+            g["o_totalprice"].to_numpy() * 100.0), index=g.index)
+        grp = cents.groupby(g["o_custkey"].to_numpy())
+        win = cents.copy()
+        for s in range(1, MOVING_FRAME):
+            win = win + grp.shift(s, fill_value=0)
         return pd.DataFrame({
             "o_orderkey": g["o_orderkey"].astype("int64"),
             "o_custkey": g["o_custkey"].astype("int64"),
             "total_x100": cents,
             "trailing3_x100": win})
 
-    return _coarse_grouped_map(ds, "o_custkey", moving).sort("o_orderkey")
+    return _coarse_partition_map(ds, "o_custkey", moving).sort("o_orderkey")
 
 
 MOVING_SQL = f"""
@@ -1647,16 +1674,19 @@ def events_cohort_retention(sf_dir: str):
     group-local), then a tiny (cohort, offset) count aggregate."""
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition vectorized: distinct (user, week) rows, then a
+        # grouped min-transform for each user's cohort week
         days = g["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
-        weeks = np.unique(_week_floor_days(days))
-        w0 = weeks[0]
+        df = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                           "wk": _week_floor_days(days)}).drop_duplicates()
+        w0 = df.groupby("u")["wk"].transform("min").to_numpy()
         return pd.DataFrame({
             "cohort_week": np.datetime64(0, "D") + w0,
-            "week_offset": (weeks - w0) // 7,
+            "week_offset": (df["wk"].to_numpy() - w0) // 7,
             "n_users": 1})
 
-    partial = _coarse_grouped_map(ds, "user_id", per_user)
+    partial = _coarse_partition_map(ds, "user_id", per_partition)
 
     def fmt(batch: pa.Table) -> pa.Table:
         cw = pc.strftime(pc.cast(batch["cohort_week"], pa.timestamp("us")),
