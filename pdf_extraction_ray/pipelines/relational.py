@@ -1780,7 +1780,82 @@ ORDER BY window_start
 """
 
 
+# ---------------------------------------------------------------------------
+# Range (interval) join: events within 7 days after the same user's order
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_DAYS = 7
+_RANGE_US = RANGE_JOIN_DAYS * 86_400_000_000
+
+
+def orders_events_range_join(sf_dir: str):
+    """Range join — Ray Data has no interval-join primitive, so both
+    sides co-partition on the equality key (user) through one
+    side-tagged union exchange, and the interval predicate evaluates
+    vectorized inside each partition (user-equality merge + range
+    filter). Per-order event counts keep the output bounded; heavy
+    users fan out pairs, so at real scale the per-user pair product is
+    capped by splitting the time axis into the exchange key as well
+    (user, ts_bucket)."""
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(batch["o_custkey"], pa.int64()),
+             pa.array(np.zeros(len(batch), dtype=np.int8)),
+             batch["o_orderkey"],
+             pc.cast(batch["o_orderdate"], pa.timestamp("us"))],
+            names=["user_id", "side", "okey", "t"])
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["user_id"],
+             pa.array(np.ones(len(batch), dtype=np.int8)),
+             pa.array(np.full(len(batch), -1, dtype=np.int64)),
+             pc.cast(batch["ts"], pa.timestamp("us"))],
+            names=["user_id", "side", "okey", "t"])
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(tag_orders, batch_format="pyarrow")
+    events = rd.read_parquet(_pq(sf_dir, "events"),
+                             columns=["user_id", "ts"]) \
+        .map_batches(tag_events, batch_format="pyarrow")
+
+    def range_part(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["side"] == 0]
+        if od.empty:
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64")})
+        ev = g[g["side"] == 1][["user_id", "t"]]
+        pairs = od[["user_id", "okey", "t"]].merge(
+            ev, on="user_id", suffixes=("_o", "_e"))
+        t_o = pairs["t_o"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        t_e = pairs["t_e"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        pairs = pairs[(t_e >= t_o) & (t_e < t_o + _RANGE_US)]
+        cnt = pairs.groupby("okey").size()
+        out = pd.DataFrame({
+            "o_orderkey": od["okey"].to_numpy(np.int64),
+            "n_events": cnt.reindex(od["okey"].to_numpy(),
+                                    fill_value=0).to_numpy(np.int64)})
+        return out
+
+    return _coarse_partition_map(orders.union(events), "user_id",
+                                 range_part).sort("o_orderkey")
+
+
+RANGE_JOIN_SQL = f"""
+SELECT o_orderkey, CAST(COUNT(e.ts) AS BIGINT) AS n_events
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL {RANGE_JOIN_DAYS} DAY
+GROUP BY o_orderkey
+ORDER BY o_orderkey
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "orders_events_range_join": (orders_events_range_join, RANGE_JOIN_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "q3_partitioned_join": (q3_partitioned_join, Q3_SQL),
     "events_cohort_retention": (events_cohort_retention, COHORT_SQL),
