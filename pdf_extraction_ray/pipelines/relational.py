@@ -94,6 +94,14 @@ def _from_pandas(df) -> pa.Table:
         .replace_schema_metadata(None)
 
 
+def _table_empty(sf_dir: str, table: str) -> bool:
+    """Row count straight from parquet footers (no data read) — used to
+    short-circuit native hash joins, whose aggregators cannot finalize
+    fully-empty inputs."""
+    import pyarrow.dataset as pads
+    return pads.dataset(_pq(sf_dir, table)).count_rows() == 0
+
+
 # ---------------------------------------------------------------------------
 # Q1 — pricing summary (grouped aggregate with partial pre-aggregation)
 # ---------------------------------------------------------------------------
@@ -644,6 +652,10 @@ def segment_order_revenue_native_join(sf_dir: str):
     """Revenue by market segment via ``Dataset.join`` — the hash-partitioned
     both-sides-large join tier (broadcast is the small-side default
     elsewhere; this exercises the native exchange both sides pay)."""
+    if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "customer"):
+        return pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
+                             "total_x100": pd.Series(dtype="int64"),
+                             "n_orders": pd.Series(dtype="int64")})
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_custkey", "o_totalprice"])
 
@@ -1020,6 +1032,10 @@ def orders_rollup(sf_dir: str):
                .aggregate(Sum("n_orders", alias_name="n_orders"),
                           Sum("revenue_cents", alias_name="revenue_cents"))
                .to_pandas())            # tiny: years x 12 rows
+    if "year" not in monthly.columns:     # empty input loses schema
+        monthly = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                ("year", "month", "n_orders",
+                                 "revenue_cents")})
     yearly = monthly.groupby("year", as_index=False)[
         ["n_orders", "revenue_cents"]].sum()
     yearly["month"] = -1
@@ -1227,6 +1243,8 @@ def nation_customer_counts_left(sf_dir: str):
                   batch_format="pyarrow")
               .groupby("c_nationkey")
               .aggregate(Sum("n", alias_name="n")).to_pandas())
+    if "c_nationkey" not in counts.columns:   # empty input loses schema
+        counts = pd.DataFrame({"c_nationkey": [], "n": []})
     cmap_ref = ray.put(dict(zip(counts["c_nationkey"], counts["n"])))
 
     nations = rd.read_parquet(_pq(sf_dir, "nation"),
@@ -1288,6 +1306,11 @@ def orders_cube(sf_dir: str):
             .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
                        Sum("n_orders", alias_name="n_orders"))
             .to_pandas())            # tiny: |status| x |priority| rows
+    if "o_orderstatus" not in full.columns:   # empty input loses schema
+        full = pd.DataFrame({"o_orderstatus": pd.Series(dtype="object"),
+                             "o_orderpriority": pd.Series(dtype="object"),
+                             "revenue_cents": pd.Series(dtype="int64"),
+                             "n_orders": pd.Series(dtype="int64")})
 
     def margin(df, keys):
         m = df.groupby(keys, as_index=False)[
@@ -1421,8 +1444,8 @@ def orders_bloom_semi_count(sf_dir: str):
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .aggregate(Sum("n_orders", alias_name="n_orders"),
                       Sum("total_x100", alias_name="total_x100")))
-    return pd.DataFrame([{"n_orders": np.int64(agg["n_orders"]),
-                          "total_x100": np.int64(agg["total_x100"])}])
+    return pd.DataFrame([{"n_orders": np.int64(agg["n_orders"] or 0),
+                          "total_x100": np.int64(agg["total_x100"] or 0)}])
 
 
 BLOOM_SEMI_SQL = f"""
@@ -1570,6 +1593,10 @@ def q3_partitioned_join(sf_dir: str):
     custkey, then ⨝ per-batch lineitem revenue partials on orderkey).
     Nothing is read driver-side and no ``ray.put`` of a table exists in
     this path. Same oracle as q3 — identical result, different plan."""
+    if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "customer"):
+        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                             "revenue_x1e4": pd.Series(dtype="int64"),
+                             "o_orderdate": pd.Series(dtype="object")})
     cust = (rd.read_parquet(_pq(sf_dir, "customer"),
                             columns=["c_custkey", "c_mktsegment"])
             .map_batches(lambda b: b.filter(

@@ -102,3 +102,28 @@ def test_corpus_family_on_empty_table(empty_dir):
             assert len(df) == 1, name          # one-row aggregates
         else:
             assert len(df) == 0, name
+
+
+@pytest.fixture(scope="module")
+def empty_tables_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    d = tmp_path_factory.mktemp("empty_tables")
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), os.path.join(d, f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_relational_family_on_empty_tables(empty_tables_dir):
+    """Relational operators over fully-empty tables must return empty
+    (or well-defined aggregate) results, not crash."""
+    from pdf_extraction_ray.pipelines.relational import RELATIONAL_QUERIES
+
+    for name, (fn, _sql) in RELATIONAL_QUERIES.items():
+        res = fn(empty_tables_dir)
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        assert df is not None, name
