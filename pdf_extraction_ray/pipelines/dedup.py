@@ -165,9 +165,9 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
 
     # single pass, per-block partial unique -> tiny driver concat (vs two
     # full Aggregate shuffles from Dataset.unique)
-    cand_ids = np.unique(
-        cand.map_batches(block_ids, batch_format="pyarrow")
-        .to_pandas()["doc_id"].to_numpy())
+    cdf = cand.map_batches(block_ids, batch_format="pyarrow").to_pandas()
+    cand_ids = np.unique(cdf["doc_id"].to_numpy()) \
+        if "doc_id" in cdf.columns else np.empty(0, dtype=np.int64)
 
     texts = _docs(sf_dir)
     texts_filtered = False
@@ -191,6 +191,8 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
         # with zero exchanges. This is NOT the round-1 whole-corpus
         # broadcast: only candidate docs' text, with a byte cap.
         tdf = texts.to_pandas()
+        if "doc_id" not in tdf.columns:    # empty input loses schema
+            tdf = pd.DataFrame({"doc_id": [], "text": []})
         tref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
 
         def verify_bc(batch: pd.DataFrame) -> pd.DataFrame:
@@ -397,6 +399,8 @@ def _label_centroids(sf_dir: str) -> np.ndarray:
             names=["label", "count", "sums"])
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if "label" not in parts.columns:       # empty input loses schema
+        return np.zeros((0, 1))
     agg = parts.groupby("label").apply(
         lambda g: pd.Series({"count": g["count"].sum(),
                              "sums": np.sum(np.stack(g["sums"]), axis=0)}),
@@ -421,7 +425,10 @@ def dedup_embedding_cosine(sf_dir: str,
     (``functions.vectors``). Output: (vec_a, vec_b, cosine_x1e6)."""
     from ..functions import vectors as V
 
-    cents_ref = ray.put(_label_centroids(sf_dir))
+    cents = _label_centroids(sf_dir)
+    if cents.shape[0] == 0:                # empty embeddings table
+        return pd.DataFrame(_EMPTY_PAIRS)
+    cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(cents_ref)
@@ -472,6 +479,8 @@ def embedding_cosine_pairs(sf_dir: str):
 
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
+    if emb.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
     qmat = V.quantize(np.stack(emb["embedding"].to_numpy()))
     ref = ray.put((qmat, emb["vec_id"].to_numpy()))
 
