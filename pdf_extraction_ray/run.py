@@ -5,6 +5,11 @@ argparse mains)::
         [--pipeline extract|resumable|analysis] [--limit N] \
         [--run-id RUN] [--num-cpus N] [--skew-bucketing]
 
+    # run any registered query over an sf-style table dir -> parquet
+    python -m pdf_extraction_ray.run --query <name> --input <sf dir> \
+        --output <dir> [--num-cpus N]
+    python -m pdf_extraction_ray.run --list-queries
+
 On a cluster this is the payload of ``ray job submit -- python -m
 pdf_extraction_ray.run ...``; locally it owns its Ray session (guarded
 init + shutdown — the only CLI-owned session besides bench.py and the
@@ -19,18 +24,45 @@ import sys
 import time
 
 
+def _query_registry() -> dict:
+    from .pipelines.relational import RELATIONAL_QUERIES
+    from .pipelines.textops import TEXT_QUERIES
+    from .pipelines.corpus import CORPUS_QUERIES
+    from .pipelines.dedup import DEDUP_QUERIES
+    from .pipelines.similarity import SIMILARITY_QUERIES
+    from .pipelines.packing import PACKING_QUERIES
+    from .pipelines.streaming import STREAMING_QUERIES
+
+    out = {}
+    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, CORPUS_QUERIES,
+                DEDUP_QUERIES, SIMILARITY_QUERIES, PACKING_QUERIES,
+                STREAMING_QUERIES):
+        for name, (fn, _sql) in reg.items():
+            out[name] = fn
+    return out
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="pdf_extraction_ray.run")
-    p.add_argument("--input", required=True, help="interleaved-docs dir (parquet shards or .lance)")
-    p.add_argument("--output", required=True)
+    p.add_argument("--input", help="interleaved-docs dir (parquet shards or .lance); for --query, the sf-style table dir")
+    p.add_argument("--output")
     p.add_argument("--pipeline", default="extract",
                    choices=["extract", "resumable", "analysis"])
+    p.add_argument("--query", default=None,
+                   help="run one registered query over --input to --output")
+    p.add_argument("--list-queries", action="store_true")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--run-id", default="run0")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--skew-bucketing", action="store_true")
     args = p.parse_args(argv)
+
+    if args.list_queries:
+        print("\n".join(sorted(_query_registry())))
+        return 0
+    if not args.input or not args.output:
+        p.error("--input and --output are required")
 
     import ray
     if not ray.is_initialized():
@@ -44,6 +76,27 @@ def main(argv=None) -> int:
     from .pipelines.resumable import run_extract_resumable
 
     t0 = time.perf_counter()
+    if args.query is not None:
+        reg = _query_registry()
+        if args.query not in reg:
+            print(f"unknown query {args.query!r} (see --list-queries)",
+                  file=sys.stderr)
+            ray.shutdown()
+            return 2
+        res = reg[args.query](args.input)
+        if hasattr(res, "write_parquet"):          # Ray Dataset
+            res.write_parquet(args.output)
+            n = "written"
+        else:                                      # small pandas result
+            import os
+            os.makedirs(args.output, exist_ok=True)
+            res.to_parquet(f"{args.output}/part-0.parquet", index=False)
+            n = len(res)
+        print(json.dumps({"query": args.query, "output": args.output,
+                          "sec": round(time.perf_counter() - t0, 2),
+                          "rows": n}))
+        ray.shutdown()
+        return 0
     if args.pipeline == "resumable":
         for flag, val in (("--limit", args.limit),
                           ("--skew-bucketing", args.skew_bucketing or None)):

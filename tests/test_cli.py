@@ -30,3 +30,31 @@ def test_cli_extract_and_resumable(tmp_path):
     out = _run(["--input", corpus, "--output", str(tmp_path / "r"),
                 "--pipeline", "resumable", "--num-cpus", "4"])
     assert out["processed"] == 3 and out["errors"] == 0
+
+
+def test_cli_query_mode(tmp_path):
+    out = _run(["--query", "doc_token_stats",
+                "--input", "/root/testdata/sf0.001",
+                "--output", str(tmp_path / "q"), "--num-cpus", "4"])
+    assert out["query"] == "doc_token_stats"
+    n = sum(pq.read_metadata(f).num_rows
+            for f in glob.glob(str(tmp_path / "q") + "/*.parquet"))
+    assert n == 500
+
+
+def test_cli_list_queries():
+    r = subprocess.run([sys.executable, "-m", "pdf_extraction_ray.run",
+                        "--list-queries"], capture_output=True, text=True,
+                       timeout=120)
+    assert r.returncode == 0
+    names = r.stdout.split()
+    assert "q1_pricing_summary" in names and "packed_sequences" in names
+
+
+def test_cli_unknown_query(tmp_path):
+    r = subprocess.run([sys.executable, "-m", "pdf_extraction_ray.run",
+                        "--query", "nope", "--input", "/root/testdata/sf0.001",
+                        "--output", str(tmp_path / "n")],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 2
+    assert "unknown query" in r.stderr
