@@ -372,7 +372,11 @@ def main():
                          "dedup_minhash_lsh", "dedup_simhash",
                          "embedding_cosine_pairs", "knn_cosine",
                          "corpus_heavy_hitters", "doc_tfidf_top_terms",
-                         "packed_sequences", "orders_bloom_semi_count"]
+                         "packed_sequences", "orders_bloom_semi_count",
+                         "events_running_totals", "top_order_per_customer",
+                         "orders_events_range_join",
+                         "events_sliding_windows", "doc_model_scores",
+                         "training_pipeline_sequences", "knn_multi_query"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
