@@ -1881,7 +1881,79 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# FULL OUTER join summary (completes the join-type matrix)
+# ---------------------------------------------------------------------------
+
+FULL_OUTER_MIN_BAL = 5000.0
+
+
+def customers_orders_full_outer(sf_dir: str):
+    """FULL OUTER join of orders against the high-balance customer
+    subset, summarized as match-status counts (matched / customer-only /
+    order-only) so the result stays bounded. Distributed as two
+    independent passes sharing one broadcast key set — the outer-join
+    bookkeeping reduces to a semi-count on each side, so neither table
+    shuffles."""
+    cust = pd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_acctbal"])
+    keys = np.sort(cust.loc[cust.c_acctbal >= FULL_OUTER_MIN_BAL,
+                            "c_custkey"].to_numpy())
+    keys_ref = ray.put(keys)
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        if len(k):
+            pos = np.searchsorted(k, ck)
+            hit = (pos < len(k)) & (k[np.minimum(pos, len(k) - 1)] == ck)
+        else:
+            hit = np.zeros(len(ck), dtype=bool)
+        return pa.Table.from_pydict({
+            "n_matched": [np.int64(hit.sum())],
+            "n_order_only": [np.int64((~hit).sum())]})
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey"])
+    agg = (orders.map_batches(order_partial, batch_format="pyarrow")
+           .aggregate(Sum("n_matched", alias_name="n_matched"),
+                      Sum("n_order_only", alias_name="n_order_only")))
+
+    # customer-only = high-balance customers with NO orders: semi-count
+    # of the key set against the distinct order custkeys
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({"o_custkey": u.astype(np.int64)})
+
+    ordered = (orders.map_batches(cust_partial, batch_format="pyarrow")
+               .groupby("o_custkey").aggregate(Count(alias_name="_n"))
+               .to_pandas())
+    have_orders = set(ordered["o_custkey"]) \
+        if "o_custkey" in ordered.columns else set()
+    n_cust_only = int(np.sum(~np.isin(keys, list(have_orders))))
+
+    return pd.DataFrame([{
+        "n_matched": np.int64(agg["n_matched"] or 0),
+        "n_customer_only": np.int64(n_cust_only),
+        "n_order_only": np.int64(agg["n_order_only"] or 0)}])
+
+
+FULL_OUTER_SQL = f"""
+WITH hc AS (SELECT c_custkey FROM customer
+            WHERE c_acctbal >= {FULL_OUTER_MIN_BAL})
+SELECT CAST(COUNT(*) FILTER (o.o_orderkey IS NOT NULL
+                             AND hc.c_custkey IS NOT NULL) AS BIGINT)
+           AS n_matched,
+       CAST(COUNT(DISTINCT hc.c_custkey)
+                FILTER (o.o_orderkey IS NULL) AS BIGINT) AS n_customer_only,
+       CAST(COUNT(*) FILTER (hc.c_custkey IS NULL) AS BIGINT)
+           AS n_order_only
+FROM hc FULL OUTER JOIN orders o ON hc.c_custkey = o.o_custkey
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "customers_orders_full_outer":
+        (customers_orders_full_outer, FULL_OUTER_SQL),
     "orders_events_range_join": (orders_events_range_join, RANGE_JOIN_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "q3_partitioned_join": (q3_partitioned_join, Q3_SQL),
