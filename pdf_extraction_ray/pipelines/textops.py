@@ -253,9 +253,14 @@ win AS (
   FROM win0
   GROUP BY doc_id),
 short AS (
+  -- reduce in HUGEINT: ord() is INT32 and a 5-7 char doc overflows a
+  -- 32-bit polynomial accumulation (latent until a sub-8-char doc
+  -- appears; the sf corpus has none)
   SELECT doc_id,
          CASE WHEN n = 0 THEN 0
-              ELSE CAST(list_reduce(cs, (a, b) -> a * 257 + b) AS UHUGEINT)
+              ELSE CAST(list_reduce(
+                       list_transform(cs, x -> CAST(x AS HUGEINT)),
+                       (a, b) -> a * 257 + b) AS UHUGEINT)
          END AS h
   FROM ch WHERE n < 8),
 u AS (SELECT * FROM win UNION ALL SELECT * FROM short)
