@@ -68,3 +68,79 @@ def test_oracled_docs_ops_on_random_tables(tmp_path, seed):
             .sort_values(by=sorted(duck_df.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(rc, oc, check_dtype=False,
                                       check_exact=True, obj=f"{name}@{seed}")
+
+
+# ---------------------------------------------------------------------------
+# Events/orders family on random tables (ties + rounding edge cases)
+# ---------------------------------------------------------------------------
+
+EVENT_QUERIES = [
+    "events_hourly", "events_sessions", "events_running_totals",
+    "events_lead_lag", "events_value_percentiles",
+    "events_type_salted_agg", "events_sliding_windows",
+    "events_cohort_retention", "events_asof_orders",
+    "orders_events_range_join", "top_order_per_customer",
+    "orders_moving_window", "orders_monthly", "orders_rollup",
+    "orders_cube",
+]
+
+
+def _random_events_orders(seed: int, d):
+    rng = np.random.default_rng(seed)
+    n_ev, n_ord, n_users = 300, 60, 6
+    # a SMALL timestamp pool forces ties (ordering tie-break coverage)
+    ts_pool = pd.to_datetime("2024-03-01") + \
+        pd.to_timedelta(rng.integers(0, 40, size=25), unit="h")
+    events = pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "ts": rng.choice(ts_pool, size=n_ev),
+        "user_id": rng.integers(0, n_users, size=n_ev).astype(np.int64),
+        "event_type": rng.choice(["click", "error", "purchase", "signup",
+                                  "view"], size=n_ev),
+        # .5-boundary values stress ROUND-half-away parity
+        "value": rng.integers(0, 2000, size=n_ev) / 2 * 1e-6 +
+        rng.integers(0, 100, size=n_ev).astype(float),
+        "props": ["{}"] * n_ev})
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, n_users, size=n_ord).astype(np.int64),
+        "o_orderstatus": rng.choice(["F", "O", "P"], size=n_ord),
+        "o_totalprice": rng.integers(0, 10_000_000, size=n_ord) / 200.0,
+        "o_orderdate": rng.choice(ts_pool, size=n_ord),
+        "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"],
+                                      size=n_ord)})
+    events.to_parquet(os.path.join(d, "events.parquet"))
+    orders.to_parquet(os.path.join(d, "orders.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [5, 17])
+def test_oracled_event_ops_on_random_tables(tmp_path, seed):
+    import shutil
+    from pdf_extraction_ray.pipelines.relational import RELATIONAL_QUERIES
+
+    d = str(tmp_path / f"ev{seed}")
+    os.makedirs(d, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem", "documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    os.path.join(d, f"{t}.parquet"))
+    _random_events_orders(seed, d)
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+
+    for name in EVENT_QUERIES:
+        fn, sql = RELATIONAL_QUERIES[name]
+        res = fn(d)
+        ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        duck_df = con.sql(sql).df()
+        rc = ray_df[sorted(ray_df.columns)] \
+            .sort_values(by=sorted(ray_df.columns)).reset_index(drop=True)
+        oc = duck_df[sorted(duck_df.columns)] \
+            .sort_values(by=sorted(duck_df.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rc, oc, check_dtype=False,
+                                      check_exact=True, obj=f"{name}@{seed}")
