@@ -117,14 +117,15 @@ def media_audio_features(sf_dir: str):
                              batch_size=512, concurrency=(1, 2), num_cpus=1)
 
 
-def media_payload_dedup(sf_dir: str):
+def media_payload_dedup(sf_dir: str, docs: Dataset | None = None):
     """Exact dedup over opaque BINARY payloads: sha1 of the payload
     bytes -> representative (min media_ref) + copy count per content
     group. The binary-column analog of doc_dedup_exact: only the
     fixed-width digest and ref shuffle, never payload bytes."""
     from ray.data.aggregate import Count, Min
 
-    media = media_table_from_docs(read_docs(_corpus_for(sf_dir)))
+    media = media_table_from_docs(
+        docs if docs is not None else read_docs(_corpus_for(sf_dir)))
 
     def keyed(batch: pa.Table) -> pa.Table:
         sha = pa.array([hashlib.sha1(p).hexdigest()

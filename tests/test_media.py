@@ -133,3 +133,28 @@ def test_media_payload_dedup_partitions_media_rows():
     assert groups["n_copies"].sum() == n_media
     assert (groups["n_copies"] >= 1).all()
     assert groups["payload_sha1"].is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_payload_dedup_groups_planted_duplicates():
+    """Two docs referencing the SAME media asset produce one content
+    group with n_copies=2 and the lexicographically-first ref as rep."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pdf_extraction_ray.pipelines.media import media_payload_dedup
+    from pdf_extraction_ray.schema import OUT_SCHEMA
+
+    shared = "media://shared/asset-0"
+    rows = [
+        {"doc_id": f"d{i}", "spans": [
+            {"kind": "image", "text": "", "media_ref": shared, "offset": 0}]}
+        for i in range(2)
+    ] + [{"doc_id": "d2", "spans": [
+        {"kind": "image", "text": "", "media_ref": "media://solo/x-1",
+         "offset": 0}]}]
+    docs = rd.from_arrow(pa.Table.from_pylist(rows, schema=OUT_SCHEMA))
+    groups = media_payload_dedup("unused", docs=docs).to_pandas()
+    assert len(groups) == 2
+    dup = groups[groups.n_copies == 2]
+    assert len(dup) == 1 and dup.iloc[0]["rep_media_ref"] == shared
+    assert (groups.n_copies.sum()) == 3
