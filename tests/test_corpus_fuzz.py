@@ -144,3 +144,84 @@ def test_oracled_event_ops_on_random_tables(tmp_path, seed):
             .sort_values(by=sorted(duck_df.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(rc, oc, check_dtype=False,
                                       check_exact=True, obj=f"{name}@{seed}")
+
+
+# ---------------------------------------------------------------------------
+# Lineitem/part/customer family (ROUND-half-away parity on .5 boundaries)
+# ---------------------------------------------------------------------------
+
+LINEITEM_QUERIES = [
+    "q1_pricing_summary", "filter_high_quantity", "lineitem_discount_hist",
+    "part_brand_median_price", "part_brand_price_stats",
+    "customer_balance_ntile", "distinct_segments", "segment_names_agg",
+]
+
+
+def _random_lineitem_tables(seed: int, d):
+    rng = np.random.default_rng(seed)
+    n_li, n_part, n_cust = 400, 80, 50
+    # prices at exact half-cent boundaries: scaled x100 they land on .5,
+    # the divergence point between ROUND and banker's rounding
+    li = pd.DataFrame({
+        "l_orderkey": rng.integers(0, 100, size=n_li).astype(np.int64),
+        "l_partkey": rng.integers(0, n_part, size=n_li).astype(np.int64),
+        "l_suppkey": rng.integers(0, 10, size=n_li).astype(np.int64),
+        "l_linenumber": rng.integers(1, 7, size=n_li).astype(np.int32),
+        "l_quantity": (rng.integers(1, 100, size=n_li)).astype(float),
+        "l_extendedprice": rng.integers(0, 2_000_000, size=n_li) / 200.0,
+        "l_discount": rng.integers(0, 21, size=n_li) / 200.0,
+        "l_tax": rng.integers(0, 17, size=n_li) / 200.0,
+        "l_returnflag": rng.choice(["A", "N", "R"], size=n_li),
+        "l_linestatus": rng.choice(["F", "O"], size=n_li),
+        "l_shipdate": pd.to_datetime("1996-01-01") +
+        pd.to_timedelta(rng.integers(0, 2500, size=n_li), unit="D")})
+    part = pd.DataFrame({
+        "p_partkey": np.arange(n_part, dtype=np.int64),
+        "p_name": [f"part {i}" for i in range(n_part)],
+        "p_brand": rng.choice([f"Brand#{b}" for b in range(5)], size=n_part),
+        "p_type": rng.choice(["STANDARD", "SMALL", "LARGE"], size=n_part),
+        "p_size": rng.integers(1, 50, size=n_part).astype(np.int32),
+        "p_retailprice": rng.integers(0, 400_000, size=n_part) / 200.0})
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": rng.integers(0, 25, size=n_cust).astype(np.int32),
+        "c_acctbal": rng.integers(-200_000, 2_000_000, size=n_cust) / 200.0,
+        "c_mktsegment": rng.choice(["AUTOMOBILE", "BUILDING", "FURNITURE",
+                                    "HOUSEHOLD", "MACHINERY"], size=n_cust)})
+    li.to_parquet(os.path.join(d, "lineitem.parquet"))
+    part.to_parquet(os.path.join(d, "part.parquet"))
+    cust.to_parquet(os.path.join(d, "customer.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [7, 29])
+def test_oracled_lineitem_ops_on_random_tables(tmp_path, seed):
+    import shutil
+    from pdf_extraction_ray.pipelines.relational import RELATIONAL_QUERIES
+
+    d = str(tmp_path / f"li{seed}")
+    os.makedirs(d, exist_ok=True)
+    for t in ("region", "nation", "supplier", "orders", "events",
+              "documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    os.path.join(d, f"{t}.parquet"))
+    _random_lineitem_tables(seed, d)
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+
+    for name in LINEITEM_QUERIES:
+        fn, sql = RELATIONAL_QUERIES[name]
+        res = fn(d)
+        ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        duck_df = con.sql(sql).df()
+        rc = ray_df[sorted(ray_df.columns)] \
+            .sort_values(by=sorted(ray_df.columns)).reset_index(drop=True)
+        oc = duck_df[sorted(duck_df.columns)] \
+            .sort_values(by=sorted(duck_df.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rc, oc, check_dtype=False,
+                                      check_exact=True, obj=f"{name}@{seed}")
