@@ -120,7 +120,12 @@ def training_pipeline_sequences(sf_dir: str):
         return t.append_column("text_md5", md5) \
             .replace_schema_metadata(None)
 
-    gated = docs.map_batches(gate, batch_format="pyarrow")
+    # materialize the gated stage once: three consumers follow (keeper
+    # aggregate, emptiness check, join probe side) and each would
+    # otherwise re-run the full gate scan. At production scale this is
+    # the checkpoint-to-storage step; in-session the object store holds
+    # it (and spills if needed).
+    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
 
     # keeper per content group: min doc_id (ships only (md5, doc_id))
     keepers = (gated.select_columns(["text_md5", "doc_id"])
