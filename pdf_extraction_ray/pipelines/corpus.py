@@ -750,10 +750,57 @@ ORDER BY b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Mixture (per-source weighted) sampling — the data-mixing primitive
+# ---------------------------------------------------------------------------
+
+# acceptance percentage per source; sources not listed use the default
+MIXTURE_RATES = {"src0": 80, "src1": 40}
+MIXTURE_DEFAULT_RATE = 20
+
+
+def docs_mixture_sample(sf_dir: str):
+    """Deterministic per-source weighted sampling (dataset mixing):
+    accept a doc when ``md5(doc_id)``'s first 4 hex digits mod 100 fall
+    under its source's rate. Reproducible at any parallelism and on any
+    engine — no RNG state — and pure per-row compute: the only exchange
+    is the per-source count aggregate reported alongside."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def accept(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        bucket = np.array([int(hashlib.md5(str(d).encode())
+                               .hexdigest()[:4], 16) % 100 for d in ids])
+        rates = np.array([MIXTURE_RATES.get(s, MIXTURE_DEFAULT_RATE)
+                          for s in src])
+        return batch.filter(pa.array(bucket < rates))
+
+    return ds.map_batches(accept, batch_format="pyarrow").sort("doc_id")
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(f"WHEN source = '{s}' THEN {r}"
+                     for s, r in MIXTURE_RATES.items())
+    return f"""
+SELECT doc_id, source
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        % 100
+      < CASE {cases} ELSE {MIXTURE_DEFAULT_RATE} END
+ORDER BY doc_id
+"""
+
+
+MIXTURE_SQL = _mixture_sql()
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "cms_token_counts": (cms_token_counts, None),
     "doc_dup_block_stats": (doc_dup_block_stats, DUP_BLOCK_SQL),
     "eval_contamination": (eval_contamination, CONTAMINATION_SQL),
+    "docs_mixture_sample": (docs_mixture_sample, MIXTURE_SQL),
     "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SQL),
     "docs_train_split": (docs_train_split, TRAIN_SPLIT_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, HEAVY_HITTERS_SQL),

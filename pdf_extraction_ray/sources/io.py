@@ -39,6 +39,19 @@ def read_docs(path: str, **kwargs) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, **kwargs)
 
 
+def write_docs(ds: "ray.data.Dataset", path: str, **kwargs) -> None:
+    """Write an interleaved-docs Dataset — ``write_lance`` when the
+    target is a ``.lance`` path and the writer exists, parquet shards
+    otherwise (the symmetric counterpart of ``read_docs``; one file per
+    block keeps the output resumable/parallel-readable)."""
+    if path.endswith(".lance"):
+        if hasattr(ds, "write_lance"):
+            ds.write_lance(path, **kwargs)
+            return
+        raise RuntimeError("lance writer unavailable; use a parquet path")
+    ds.write_parquet(path, **kwargs)
+
+
 def text_table_to_docs(batch: pa.Table) -> pa.Table:
     """Adapter: a plain text table (``documents``-style: doc_id, text) ->
     DOCS_SCHEMA interleaved rows. Deterministic byte-stream tokenizer:

@@ -22,6 +22,7 @@ PLANTED = pd.DataFrame({
         "café naïve über café naïve",  # unicode
     ],
     "lang": ["en", "en", "fr", "fr", "de", "de"],
+    "source": ["src0", "src1", "src2", "src0", "src1", "src2"],
 })
 
 
