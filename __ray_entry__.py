@@ -62,43 +62,16 @@ def _extract_spans_query(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from pdf_extraction_ray.pipelines.relational import RELATIONAL_QUERIES
-    from pdf_extraction_ray.pipelines.textops import TEXT_QUERIES
-    from pdf_extraction_ray.pipelines.corpus import CORPUS_QUERIES
-    from pdf_extraction_ray.pipelines.dedup import DEDUP_QUERIES
-    from pdf_extraction_ray.pipelines.similarity import SIMILARITY_QUERIES
-    from pdf_extraction_ray.pipelines.analysis import ANALYSIS_QUERIES
-    from pdf_extraction_ray.pipelines.retrieval import RETRIEVAL_QUERIES
-    from pdf_extraction_ray.pipelines.media import MEDIA_QUERIES
-    from pdf_extraction_ray.pipelines.compare import COMPARE_QUERIES
-    from pdf_extraction_ray.pipelines.streaming import STREAMING_QUERIES
-    from pdf_extraction_ray.pipelines.packing import PACKING_QUERIES
+    from pdf_extraction_ray.registry import all_queries
 
-    out: dict[str, Callable[[str], Any]] = {}
-    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, CORPUS_QUERIES,
-                DEDUP_QUERIES,
-                SIMILARITY_QUERIES, ANALYSIS_QUERIES, RETRIEVAL_QUERIES,
-                MEDIA_QUERIES, COMPARE_QUERIES, STREAMING_QUERIES,
-                PACKING_QUERIES):
-        for name, (fn, _sql) in reg.items():
-            out[name] = fn
+    out: dict[str, Callable[[str], Any]] = {
+        name: fn for name, (fn, _sql) in all_queries().items()}
     out["extract_flagship_spans"] = _extract_spans_query
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from pdf_extraction_ray.pipelines.relational import RELATIONAL_QUERIES
-    from pdf_extraction_ray.pipelines.textops import TEXT_QUERIES
-    from pdf_extraction_ray.pipelines.corpus import CORPUS_QUERIES
-    from pdf_extraction_ray.pipelines.dedup import DEDUP_QUERIES
-    from pdf_extraction_ray.pipelines.similarity import SIMILARITY_QUERIES
-    from pdf_extraction_ray.pipelines.streaming import STREAMING_QUERIES
+    from pdf_extraction_ray.registry import all_queries
 
-    out: dict[str, str] = {}
-    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, CORPUS_QUERIES,
-                DEDUP_QUERIES,
-                SIMILARITY_QUERIES, STREAMING_QUERIES):
-        for name, (_fn, sql) in reg.items():
-            if sql is not None:
-                out[name] = sql
-    return out
+    return {name: sql for name, (_fn, sql) in all_queries().items()
+            if sql is not None}

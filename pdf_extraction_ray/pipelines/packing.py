@@ -136,8 +136,11 @@ def training_pipeline_sequences(sf_dir: str):
                             batch_format="pyarrow"))
 
     # the native hash-shuffle join cannot finalize over schema-less
-    # empty inputs (and an empty corpus needs no join at all)
-    if keepers.count() == 0:
+    # empty inputs (and an empty corpus needs no join at all). Check the
+    # MATERIALIZED gated stage — keepers is empty iff gated is, and
+    # counting keepers would execute its groupby shuffle a second time
+    # when the join re-runs it as the build side.
+    if gated.count() == 0:
         return rd.from_pandas(            # Dataset, like the normal path
             pd.DataFrame({c: pd.Series(dtype="int64") for c in
                           ("bucket", "seq_id", "n_chunks", "n_tokens",

@@ -86,6 +86,25 @@ def _coarse_partition_map(ds, key: str, partition_fn, n_coarse: int = 64):
                          batch_format="pandas")
 
 
+def _coarse_str_partition_map(ds, key: str, partition_fn,
+                              n_coarse: int = 8):
+    """``_coarse_partition_map`` for STRING keys (stable string hash
+    instead of int modulo). One implementation shared by every
+    string-keyed grouped map in this module (corpus.py carries the same
+    helper for its term/md5 exchanges)."""
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch[key].to_numpy(zero_copy_only=False).astype(str))
+        return batch.append_column(
+            "_coarse", pa.array((h % np.uint64(n_coarse)).astype(np.int64))) \
+            .replace_schema_metadata(None)
+
+    return ds.map_batches(add_coarse, batch_format="pyarrow") \
+             .groupby("_coarse") \
+             .map_groups(lambda g: partition_fn(g.drop(columns=["_coarse"])),
+                         batch_format="pandas")
+
+
 def _from_pandas(df) -> pa.Table:
     """from_pandas with pandas schema metadata stripped — leftover metadata
     defeats Ray's block-schema deduplication during shuffles (visible as
@@ -1122,12 +1141,9 @@ def customer_balance_ntile(sf_dir: str):
     def add_key(batch: pa.Table) -> pa.Table:
         bal = _round_half_away(
             batch["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0)
-        h = pd.util.hash_array(
-            batch["c_mktsegment"].to_numpy(zero_copy_only=False).astype(str))
         return pa.Table.from_arrays(
-            [batch["c_custkey"], batch["c_mktsegment"], pa.array(bal),
-             pa.array((h % np.uint64(8)).astype(np.int64))],
-            names=["c_custkey", "c_mktsegment", "bal_x100", "_coarse"])
+            [batch["c_custkey"], batch["c_mktsegment"], pa.array(bal)],
+            names=["c_custkey", "c_mktsegment", "bal_x100"])
 
     def windows(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -1137,10 +1153,8 @@ def customer_balance_ntile(sf_dir: str):
             n = len(sub)
             bal = sub["bal_x100"].to_numpy()
             # competition rank over bal desc: 1 + #rows strictly greater
-            first_pos = np.zeros(n, dtype=np.int64)
             uniq, idx = np.unique(-bal, return_index=True)   # sorted asc = bal desc
-            first_pos = idx[np.searchsorted(uniq, -bal)]
-            rank = first_pos + 1
+            rank = idx[np.searchsorted(uniq, -bal)] + 1
             # NTILE(k): first (n % k) buckets get ceil(n/k) rows
             k = NTILE_BUCKETS
             base, extra = divmod(n, k)
@@ -1155,11 +1169,9 @@ def customer_balance_ntile(sf_dir: str):
                 "bal_quartile": quartile}))
         return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
 
-    return (ds.map_batches(add_key, batch_format="pyarrow")
-            .groupby("_coarse")
-            .map_groups(lambda g: windows(g.drop(columns=["_coarse"])),
-                        batch_format="pandas")
-            .sort("c_custkey"))
+    return _coarse_str_partition_map(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        "c_mktsegment", windows).sort("c_custkey")
 
 
 NTILE_SQL = f"""
@@ -1540,12 +1552,9 @@ def events_value_percentiles(sf_dir: str):
     def add_key(batch: pa.Table) -> pa.Table:
         v = _round_half_away(
             batch["value"].to_numpy(zero_copy_only=False) * 1e6)
-        h = pd.util.hash_array(
-            batch["event_type"].to_numpy(zero_copy_only=False).astype(str))
         return pa.Table.from_arrays(
-            [batch["event_type"], pa.array(v),
-             pa.array((h % np.uint64(8)).astype(np.int64))],
-            names=["event_type", "value_x1e6", "_coarse"])
+            [batch["event_type"], pa.array(v)],
+            names=["event_type", "value_x1e6"])
 
     def pctl(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -1559,11 +1568,9 @@ def events_value_percentiles(sf_dir: str):
             rows.append(row)
         return pd.DataFrame(rows)
 
-    return (ds.map_batches(add_key, batch_format="pyarrow")
-            .groupby("_coarse")
-            .map_groups(lambda g: pctl(g.drop(columns=["_coarse"])),
-                        batch_format="pandas")
-            .sort("event_type"))
+    return _coarse_str_partition_map(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        "event_type", pctl).sort("event_type")
 
 
 PCTL_SQL = """

@@ -1,0 +1,28 @@
+"""Canonical query registry: every pipeline family's (name -> (callable,
+oracle_sql)) mapping in ONE place, consumed by both the driver contract
+(``__ray_entry__``) and the CLI (``run.py --query``) so the two can
+never drift."""
+
+from __future__ import annotations
+
+
+def all_queries() -> dict[str, tuple]:
+    from .pipelines.relational import RELATIONAL_QUERIES
+    from .pipelines.textops import TEXT_QUERIES
+    from .pipelines.corpus import CORPUS_QUERIES
+    from .pipelines.dedup import DEDUP_QUERIES
+    from .pipelines.similarity import SIMILARITY_QUERIES
+    from .pipelines.analysis import ANALYSIS_QUERIES
+    from .pipelines.retrieval import RETRIEVAL_QUERIES
+    from .pipelines.media import MEDIA_QUERIES
+    from .pipelines.compare import COMPARE_QUERIES
+    from .pipelines.streaming import STREAMING_QUERIES
+    from .pipelines.packing import PACKING_QUERIES
+
+    out: dict[str, tuple] = {}
+    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, CORPUS_QUERIES,
+                DEDUP_QUERIES, SIMILARITY_QUERIES, ANALYSIS_QUERIES,
+                RETRIEVAL_QUERIES, MEDIA_QUERIES, COMPARE_QUERIES,
+                STREAMING_QUERIES, PACKING_QUERIES):
+        out.update(reg)
+    return out

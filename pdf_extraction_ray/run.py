@@ -25,21 +25,8 @@ import time
 
 
 def _query_registry() -> dict:
-    from .pipelines.relational import RELATIONAL_QUERIES
-    from .pipelines.textops import TEXT_QUERIES
-    from .pipelines.corpus import CORPUS_QUERIES
-    from .pipelines.dedup import DEDUP_QUERIES
-    from .pipelines.similarity import SIMILARITY_QUERIES
-    from .pipelines.packing import PACKING_QUERIES
-    from .pipelines.streaming import STREAMING_QUERIES
-
-    out = {}
-    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, CORPUS_QUERIES,
-                DEDUP_QUERIES, SIMILARITY_QUERIES, PACKING_QUERIES,
-                STREAMING_QUERIES):
-        for name, (fn, _sql) in reg.items():
-            out[name] = fn
-    return out
+    from .registry import all_queries
+    return {name: fn for name, (fn, _sql) in all_queries().items()}
 
 
 def main(argv=None) -> int:
