@@ -946,12 +946,9 @@ def part_brand_median_price(sf_dir: str):
     def add_key(batch: pa.Table) -> pa.Table:
         cents = _round_half_away(
             batch["p_retailprice"].to_numpy(zero_copy_only=False) * 100.0)
-        h = pd.util.hash_array(
-            batch["p_brand"].to_numpy(zero_copy_only=False).astype(str))
         return pa.Table.from_arrays(
-            [batch["p_brand"], pa.array(cents),
-             pa.array((h % np.uint64(16)).astype(np.int64))],
-            names=["p_brand", "price_cents", "_coarse"])
+            [batch["p_brand"], pa.array(cents)],
+            names=["p_brand", "price_cents"])
 
     def med(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -961,10 +958,9 @@ def part_brand_median_price(sf_dir: str):
         return pd.DataFrame(rows, columns=["p_brand", "median_cents"]) \
             .astype({"median_cents": "int64"})
 
-    return (ds.map_batches(add_key, batch_format="pyarrow")
-            .groupby("_coarse")
-            .map_groups(med, batch_format="pandas")
-            .sort("p_brand"))
+    return _coarse_str_partition_map(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        "p_brand", med, n_coarse=16).sort("p_brand")
 
 
 BRAND_MEDIAN_SQL = """
@@ -1098,17 +1094,8 @@ def segment_names_agg(sf_dir: str):
             rows.append((seg, ",".join(names)))
         return pd.DataFrame(rows, columns=["c_mktsegment", "first_names"])
 
-    def add_coarse(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            batch["c_mktsegment"].to_numpy(zero_copy_only=False).astype(str))
-        return batch.append_column(
-            "_coarse", pa.array((h % np.uint64(8)).astype(np.int64)))
-
-    return (ds.map_batches(add_coarse, batch_format="pyarrow")
-            .groupby("_coarse")
-            .map_groups(lambda g: partial(g.drop(columns=["_coarse"])),
-                        batch_format="pandas")
-            .sort("c_mktsegment"))
+    return _coarse_str_partition_map(ds, "c_mktsegment", partial) \
+        .sort("c_mktsegment")
 
 
 SEGMENT_NAMES_SQL = """

@@ -39,7 +39,8 @@ def _random_docs(seed: int, n: int = 40) -> pd.DataFrame:
     return pd.DataFrame({
         "doc_id": np.arange(n, dtype=np.int64),
         "text": texts,
-        "lang": rng.choice(["en", "fr", "es", "de", "zh"], size=n)})
+        "lang": rng.choice(["en", "fr", "es", "de", "zh"], size=n),
+        "source": rng.choice(["src0", "src1", "src2"], size=n)})
 
 
 ORACLED = sorted(
