@@ -396,6 +396,71 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# PII-style masking (redaction rewrite, C4/Dolma-style scrub stage)
+# ---------------------------------------------------------------------------
+
+# Ordered rule list: (RE2 pattern, replacement token), applied
+# sequentially. Email/URL are the real-world PII rules (the synthetic
+# corpus contains none, so they are exercised by the planted-PII unit
+# test); the entity-word rule fires on the corpus itself so the query
+# path does real rewrites at every sf. Both engines run RE2
+# (Arrow ``replace_substring_regex`` / DuckDB ``regexp_replace`` with
+# 'g'), and both count non-overlapping matches, so text and counts
+# match bit-exactly.
+MASK_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "[EMAIL]"),
+    (r"https?://[^ \t\n]+", "[URL]"),
+    (r"\bcustomer\b", "[ENTITY]"),
+)
+
+
+def doc_pii_masked(sf_dir: str):
+    """Redaction transform: apply the ordered ``MASK_RULES`` rewrites to
+    every document (vectorized RE2 per batch — no Python row loop) and
+    return the masked text plus the per-doc total replacement count.
+    The scrub stage every large-scale training-data pipeline runs before
+    tokenization; reference analog: the keyword-normalization pass of
+    the content validator (`advanced_layout_extractor.py` keyword
+    lists), generalized to a configurable rewrite list."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        masked = pc.fill_null(text, "")
+        total = np.zeros(len(batch), dtype=np.int64)
+        for pat, rep in MASK_RULES:
+            total += pc.count_substring_regex(masked, pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            masked = pc.replace_substring_regex(masked, pat, rep)
+        return pa.Table.from_arrays(
+            [batch["doc_id"], masked, pa.array(total)],
+            names=["doc_id", "masked", "n_masked"])
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def _mask_sql() -> str:
+    """Generate the sequential-rewrite oracle (one CTE per rule, counting
+    before replacing, exactly mirroring the batch function's order)."""
+    parts = ["WITH s0 AS (SELECT doc_id, COALESCE(text, '') AS t, "
+             "CAST(0 AS BIGINT) AS c FROM documents)"]
+    prev = "s0"
+    for i, (pat, rep) in enumerate(MASK_RULES, 1):
+        parts.append(
+            f", s{i} AS (SELECT doc_id, "
+            f"regexp_replace(t, $${pat}$$, '{rep}', 'g') AS t, "
+            f"c + len(regexp_extract_all(t, $${pat}$$)) AS c FROM {prev})")
+        prev = f"s{i}"
+    parts.append(f"SELECT doc_id, t AS masked, CAST(c AS BIGINT) AS n_masked "
+                 f"FROM {prev}")
+    return "\n".join(parts)
+
+
+PII_MASK_SQL = _mask_sql()
+
+
+# ---------------------------------------------------------------------------
 # Model-scored quality gate (actor-pool model inference pattern)
 # ---------------------------------------------------------------------------
 
@@ -469,6 +534,7 @@ ORDER BY doc_id
 
 TEXT_QUERIES: dict[str, tuple] = {
     "doc_model_scores": (doc_model_scores, MODEL_SCORES_SQL),
+    "doc_pii_masked": (doc_pii_masked, PII_MASK_SQL),
     "doc_pattern_counts": (doc_pattern_counts, PATTERN_COUNTS_SQL),
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),

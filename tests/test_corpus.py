@@ -78,6 +78,53 @@ def test_planted_semantics_spot_checks(planted_dir):
     assert dup.loc[1, "dup_blocks"] == 0
 
 
+PII_PLANTED = pd.DataFrame({
+    "doc_id": [0, 1, 2, 3, 4],
+    "text": [
+        "contact bob.smith+x@example.co.uk or see https://ex.org/a?b=c now",
+        "customer met another customer",          # corpus-visible rule
+        "plain text with no sensitive content",   # no rule fires
+        "",                                       # empty
+        "mid http://a.b/c@d.ef tail",             # email inside URL: order
+    ],
+    "lang": ["en"] * 5,
+    "source": ["s"] * 5,
+})
+
+
+@pytest.fixture(scope="module")
+def pii_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pii_docs")
+    PII_PLANTED.to_parquet(os.path.join(d, "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pii_masking_planted(pii_dir):
+    from pdf_extraction_ray.pipelines.textops import (
+        doc_pii_masked, PII_MASK_SQL)
+    got = doc_pii_masked(pii_dir).to_pandas().set_index("doc_id")
+
+    assert got.loc[0, "masked"] == \
+        "contact [EMAIL] or see [URL] now"
+    assert got.loc[0, "n_masked"] == 2
+    assert got.loc[1, "masked"] == "[ENTITY] met another [ENTITY]"
+    assert got.loc[1, "n_masked"] == 2
+    assert got.loc[2, "masked"] == PII_PLANTED.loc[2, "text"]
+    assert got.loc[2, "n_masked"] == 0
+    assert got.loc[3, "masked"] == ""
+    # email rule runs first ('c@d.ef' -> [EMAIL]), then the URL rule
+    # swallows the whole rewritten token — deterministic in both engines
+    # because both apply the rules in the same order
+    assert got.loc[4, "n_masked"] == 2
+    assert got.loc[4, "masked"] == "mid [URL] tail"
+
+    duck_df = _oracle(pii_dir, PII_MASK_SQL)
+    pd.testing.assert_frame_equal(
+        _canon(got.reset_index()), _canon(duck_df),
+        check_dtype=False, check_exact=True, obj="doc_pii_masked")
+
+
 @pytest.fixture(scope="module")
 def empty_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_docs")
