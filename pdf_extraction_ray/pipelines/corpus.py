@@ -590,6 +590,7 @@ def _block_rows(batch: pa.Table) -> pa.Table:
     if len(doc_ids) == 0:
         return pa.Table.from_pydict(
             {"doc_id": pa.array([], type=pa.int64()),
+             "blk_ord": pa.array([], type=pa.int64()),
              "blk_md5": pa.array([], type=pa.string())})
     new_doc = np.empty(len(doc_ids), dtype=bool)
     new_doc[0] = True
@@ -605,7 +606,9 @@ def _block_rows(batch: pa.Table) -> pa.Table:
     md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
                     for s in shingles.to_pylist()], type=pa.string())
     return pa.Table.from_pydict(
-        {"doc_id": doc_ids[offs], "blk_md5": md5})
+        {"doc_id": doc_ids[offs],
+         "blk_ord": ord_in_doc[offs] // DUP_BLOCK_TOKENS,
+         "blk_md5": md5})
 
 
 def doc_dup_block_stats(sf_dir: str):
@@ -668,6 +671,116 @@ SELECT doc_id,
 FROM b JOIN c USING (blk_md5)
 GROUP BY doc_id
 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup REWRITE (block-level, keep-first)
+# ---------------------------------------------------------------------------
+
+def doc_dedup_blocks(sf_dir: str, n_coarse: int = 64):
+    """Block-level exact-substring dedup rewrite: every 20-token block
+    that appears verbatim elsewhere in the corpus is DROPPED unless this
+    occurrence is the corpus-wide first (minimal ``(doc_id, blk_ord)``)
+    — the train-data transform of Lee et al. 2021 ("Deduplicating
+    Training Data"), downstream of the ``doc_dup_block_stats`` signal.
+    Output text is tokenization-normalized (lowercase, single-spaced),
+    the form a block-level deduper emits.
+
+    Scale shape: the wide md5-keyed exchange moves ONLY
+    ``(blk_md5, doc_id, blk_ord)`` rows — never text — and only the
+    DROPPED markers (a tiny fraction) re-join the documents through an
+    int-keyed coarse exchange; the rebuild re-tokenizes each doc locally
+    (a second read pass, same trade as ``doc_tfidf_top_terms``)."""
+    pairs = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow")
+
+    def drop_markers(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of one md5 land in one coarse group: everything after
+        # the lexicographic (doc_id, blk_ord) first is a drop
+        g = g.sort_values(["blk_md5", "doc_id", "blk_ord"])
+        dup = g.duplicated("blk_md5")
+        return g.loc[dup, ["doc_id", "blk_ord"]].astype("int64")
+
+    drops = _coarse_str_group(pairs, "blk_md5", drop_markers)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array((ids % n_coarse).astype(np.int64)), batch["doc_id"],
+             pa.array(np.full(len(batch), -1, dtype=np.int64)),
+             batch["text"]],
+            names=["_coarse", "doc_id", "blk_ord", "text"])
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array((ids % n_coarse).astype(np.int64)), batch["doc_id"],
+             batch["blk_ord"],
+             pa.array([""] * len(batch), type=pa.string())],
+            names=["_coarse", "doc_id", "blk_ord", "text"])
+
+    W = DUP_BLOCK_TOKENS
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["blk_ord"] < 0]
+        dropset: dict[int, set] = {}
+        for d, o in zip(g.loc[g["blk_ord"] >= 0, "doc_id"],
+                        g.loc[g["blk_ord"] >= 0, "blk_ord"]):
+            dropset.setdefault(int(d), set()).add(int(o))
+        if docs.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "text_kept": pd.Series([], dtype="string"),
+                "n_blocks": pd.Series([], dtype="int64"),
+                "kept_blocks": pd.Series([], dtype="int64")})
+        # the SAME tokenizer as the block stage (Arrow RE2), so the
+        # rebuilt blocks match the hashed ones byte-for-byte
+        toks_list = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                pa.array(docs["text"].tolist(), type=pa.string()))),
+            T.TOKEN_SPLIT_RE).to_pylist()
+        out_id, out_txt, out_nb, out_kb = [], [], [], []
+        for d, toks in zip(docs["doc_id"], toks_list):
+            nb = (len(toks) + W - 1) // W
+            dr = dropset.get(int(d), ())
+            kept = [" ".join(toks[i * W:(i + 1) * W])
+                    for i in range(nb) if i not in dr]
+            out_id.append(int(d))
+            out_txt.append(" ".join(kept))
+            out_nb.append(nb)
+            out_kb.append(nb - len(dr))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_id, dtype="int64"),
+            "text_kept": pd.Series(out_txt, dtype="string"),
+            "n_blocks": pd.Series(out_nb, dtype="int64"),
+            "kept_blocks": pd.Series(out_kb, dtype="int64")})
+
+    return (_docs(sf_dir).map_batches(tag_docs, batch_format="pyarrow")
+            .union(drops.map_batches(tag_drops, batch_format="pyarrow"))
+            .groupby("_coarse")
+            .map_groups(rebuild, batch_format="pandas")
+            .sort("doc_id"))
+
+
+DEDUP_BLOCKS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS ord FROM t),
+b AS (SELECT doc_id, ord // {DUP_BLOCK_TOKENS} AS blk,
+             md5(string_agg(tok, ' ' ORDER BY ord)) AS blk_md5,
+             string_agg(tok, ' ' ORDER BY ord) AS blk_text
+      FROM u GROUP BY doc_id, blk),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY blk_md5
+                                   ORDER BY doc_id, blk) AS rn FROM b)
+SELECT doc_id,
+       COALESCE(string_agg(blk_text, ' ' ORDER BY blk) FILTER (rn = 1), '')
+           AS text_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(COUNT(*) FILTER (rn = 1) AS BIGINT) AS kept_blocks
+FROM r GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -799,6 +912,7 @@ MIXTURE_SQL = _mixture_sql()
 CORPUS_QUERIES: dict[str, tuple] = {
     "cms_token_counts": (cms_token_counts, None),
     "doc_dup_block_stats": (doc_dup_block_stats, DUP_BLOCK_SQL),
+    "doc_dedup_blocks": (doc_dedup_blocks, DEDUP_BLOCKS_SQL),
     "eval_contamination": (eval_contamination, CONTAMINATION_SQL),
     "docs_mixture_sample": (docs_mixture_sample, MIXTURE_SQL),
     "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SQL),

@@ -77,6 +77,17 @@ def test_planted_semantics_spot_checks(planted_dir):
     assert dup.loc[3, "dup_blocks"] == 1
     assert dup.loc[1, "dup_blocks"] == 0
 
+    from pdf_extraction_ray.pipelines.corpus import doc_dedup_blocks
+    dd = doc_dedup_blocks(planted_dir).to_pandas().set_index("doc_id")
+    # keep-first rewrite: doc 2 (the earlier copy) keeps its block, the
+    # verbatim duplicate doc 3 loses everything
+    assert dd.loc[2, "kept_blocks"] == 1
+    assert dd.loc[2, "text_kept"] == "alpha beta gamma delta epsilon zeta"
+    assert dd.loc[3, "kept_blocks"] == 0
+    assert dd.loc[3, "text_kept"] == ""
+    # unique docs come back tokenization-normalized but intact
+    assert dd.loc[4, "text_kept"] == "spin spin spin spin spin stop"
+
 
 PII_PLANTED = pd.DataFrame({
     "doc_id": [0, 1, 2, 3, 4],
