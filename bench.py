@@ -376,7 +376,8 @@ def main():
                          "events_running_totals", "top_order_per_customer",
                          "orders_events_range_join",
                          "events_sliding_windows", "doc_model_scores",
-                         "training_pipeline_sequences", "knn_multi_query"]
+                         "training_pipeline_sequences", "knn_multi_query",
+                         "doc_pii_masked", "doc_dedup_blocks"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -755,11 +755,14 @@ def doc_dedup_blocks(sf_dir: str, n_coarse: int = 64):
             "n_blocks": pd.Series(out_nb, dtype="int64"),
             "kept_blocks": pd.Series(out_kb, dtype="int64")})
 
+    # no final sort: it would move every rebuilt TEXT through one more
+    # all-to-all for ordering the comparison doesn't need (the driver's
+    # value compare is order-insensitive; the int-only stats queries sort
+    # because their exchange is cheap)
     return (_docs(sf_dir).map_batches(tag_docs, batch_format="pyarrow")
             .union(drops.map_batches(tag_drops, batch_format="pyarrow"))
             .groupby("_coarse")
-            .map_groups(rebuild, batch_format="pandas")
-            .sort("doc_id"))
+            .map_groups(rebuild, batch_format="pandas"))
 
 
 DEDUP_BLOCKS_SQL = rf"""
