@@ -227,8 +227,10 @@ def _corpus_stress():
     DataContext.get_current().enable_progress_bars = False
     from pdf_extraction_ray.pipelines.corpus import (
         corpus_heavy_hitters, corpus_vocab_stats, doc_tfidf_top_terms,
-        doc_repetition, doc_dup_block_stats, corpus_inverted_index)
+        doc_repetition, doc_dup_block_stats, doc_dedup_blocks,
+        corpus_inverted_index)
     from pdf_extraction_ray.pipelines.packing import packed_sequences
+    from pdf_extraction_ray.pipelines.textops import doc_pii_masked
 
     timings, rows = _time_queries(d, (
         ("corpus_heavy_hitters", corpus_heavy_hitters),
@@ -236,6 +238,8 @@ def _corpus_stress():
         ("doc_tfidf_top_terms", doc_tfidf_top_terms),
         ("doc_repetition", doc_repetition),
         ("doc_dup_block_stats", doc_dup_block_stats),
+        ("doc_dedup_blocks", doc_dedup_blocks),
+        ("doc_pii_masked", doc_pii_masked),
         ("corpus_inverted_index", corpus_inverted_index),
         ("packed_sequences", packed_sequences)))
     print(json.dumps({"metric": "corpus_stress", "n_docs": n,
