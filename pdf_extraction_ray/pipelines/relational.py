@@ -1580,6 +1580,31 @@ ORDER BY event_type
 # Q3 at full scale: bucket-partitioned hash joins, no broadcast side
 # ---------------------------------------------------------------------------
 
+# a worker can comfortably hold ~5M keyed build-side rows (low hundreds
+# of MB once broadcast); past that the partitioned plan wins
+BROADCAST_ROW_LIMIT = 5_000_000
+
+
+def _table_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footers only — the planner's size probe."""
+    import pyarrow.dataset as pads
+    return pads.dataset(_pq(sf_dir, table)).count_rows()
+
+
+def q3_auto(sf_dir: str):
+    """Size-aware plan selection — the decision a 100-TB deployment must
+    make automatically rather than by code edit: probe ONLY the parquet
+    footers of the build sides, then run the broadcast plan
+    (``q3_top_orders``) while orders/customer fit a worker's heap, or
+    the fully hash-partitioned plan (``q3_partitioned_join``) once they
+    don't. Same oracle either way — identical result, different plan."""
+    build_rows = max(_table_rows(sf_dir, "orders"),
+                     _table_rows(sf_dir, "customer"))
+    if build_rows <= BROADCAST_ROW_LIMIT:
+        return q3_top_orders(sf_dir)
+    return q3_partitioned_join(sf_dir)
+
+
 def q3_partitioned_join(sf_dir: str):
     """The documented at-scale fallback for q3_top_orders, implemented:
     when orders/customer stop being broadcastable, BOTH joins run as
@@ -1951,6 +1976,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "orders_events_range_join": (orders_events_range_join, RANGE_JOIN_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "q3_partitioned_join": (q3_partitioned_join, Q3_SQL),
+    "q3_auto": (q3_auto, Q3_SQL),
     "events_cohort_retention": (events_cohort_retention, COHORT_SQL),
     "events_value_percentiles": (events_value_percentiles, PCTL_SQL),
     "events_type_salted_agg": (events_type_salted_agg, SALTED_AGG_SQL),
