@@ -263,6 +263,150 @@ LIMIT {Q3_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# Q6-style — forecast revenue (predicate-heavy scan, no join, no groupby)
+# ---------------------------------------------------------------------------
+
+Q6_DISC_LO, Q6_DISC_HI, Q6_QTY_LIM = 0.05, 0.07, 24.0
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: the pure filter-then-reduce pattern — every
+    predicate applied per batch with Arrow kernels, only an int64
+    partial sum leaving each task, one global Sum at the end. The
+    cheapest possible plan over the biggest table: no exchange at all."""
+    import datetime
+    lo, hi = datetime.date(1996, 1, 1), datetime.date(1997, 1, 1)
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_shipdate", "l_discount",
+                                  "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                    pc.less(batch["l_shipdate"], pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(batch["l_discount"],
+                                         pa.scalar(Q6_DISC_LO)),
+                        pc.less_equal(batch["l_discount"],
+                                      pa.scalar(Q6_DISC_HI))),
+                pc.less(batch["l_quantity"], pa.scalar(Q6_QTY_LIM))))
+        t = batch.filter(m)
+        rev = _cents(pc.multiply(t["l_extendedprice"], t["l_discount"]),
+                     1e4)
+        s = pc.sum(rev).as_py() or 0
+        return pa.Table.from_pydict(
+            {"revenue_x1e4": pa.array([s], type=pa.int64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow") \
+        .sum("revenue_x1e4")
+    return pd.DataFrame({"revenue_x1e4":
+                         pd.Series([int(total or 0)], dtype="int64")})
+
+
+Q6_SQL = """
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount
+                                    * 10000.0) AS BIGINT)), 0) AS BIGINT)
+           AS revenue_x1e4
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18-style — large-volume orders (HAVING on a grouped sum + native join)
+# ---------------------------------------------------------------------------
+
+Q18_QTY_THRESHOLD_X100 = 180 * 100
+Q18_TOPK = 10
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: high-cardinality grouped sum over the big table,
+    HAVING filter, then a native hash-partitioned join of the (now
+    small) survivor set to orders and a global top-k. Lineitem
+    pre-aggregates inside each batch so the exchange moves partials;
+    orders is never broadcast."""
+    if _table_empty(sf_dir, "lineitem") or _table_empty(sf_dir, "orders"):
+        return pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_custkey": pd.Series(dtype="int64"),
+            "total_qty_x100": pd.Series(dtype="int64"),
+            "total_x100": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="object")})
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"]
+            .to_numpy(zero_copy_only=False),
+            "qty_x100": _cents(batch["l_quantity"])
+            .to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby("l_orderkey", as_index=False).sum())
+
+    big = (li.map_batches(partial, batch_format="pyarrow")
+           .repartition(16)
+           .groupby("l_orderkey")
+           .aggregate(Sum("qty_x100", alias_name="total_qty_x100"))
+           .map_batches(lambda t: t.filter(
+               pc.greater(t["total_qty_x100"],
+                          pa.scalar(Q18_QTY_THRESHOLD_X100)))
+               .replace_schema_metadata(None), batch_format="pyarrow"))
+
+    def scale_orders(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(batch["o_orderkey"], pa.int64()),
+             pc.cast(batch["o_custkey"], pa.int64()),
+             _cents(batch["o_totalprice"]),
+             pc.strftime(pc.cast(batch["o_orderdate"], pa.timestamp("us")),
+                         format="%Y-%m-%d")],
+            names=["o_orderkey", "o_custkey", "total_x100", "o_orderdate"])
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice", "o_orderdate"]) \
+        .map_batches(scale_orders, batch_format="pyarrow")
+
+    joined = big.join(orders, join_type="inner", num_partitions=16,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["l_orderkey"], batch["o_custkey"],
+             batch["total_qty_x100"], batch["total_x100"],
+             batch["o_orderdate"]],
+            names=["o_orderkey", "o_custkey", "total_qty_x100",
+                   "total_x100", "o_orderdate"])
+
+    return (joined.map_batches(project, batch_format="pyarrow")
+            .sort(["total_x100", "o_orderkey"], descending=[True, False])
+            .limit(Q18_TOPK))
+
+
+Q18_SQL = f"""
+SELECT q.o_orderkey, o.o_custkey, q.total_qty_x100, o.total_x100,
+       o.o_orderdate
+FROM (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_qty_x100
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT))
+             > {Q18_QTY_THRESHOLD_X100}) q
+JOIN (
+  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS total_x100,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+  FROM orders) o USING (o_orderkey)
+ORDER BY o.total_x100 DESC, q.o_orderkey
+LIMIT {Q18_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q5-style — revenue by nation (multi-dim broadcast join chain)
 # ---------------------------------------------------------------------------
 
@@ -1977,6 +2121,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "q3_partitioned_join": (q3_partitioned_join, Q3_SQL),
     "q3_auto": (q3_auto, Q3_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
     "events_cohort_retention": (events_cohort_retention, COHORT_SQL),
     "events_value_percentiles": (events_value_percentiles, PCTL_SQL),
     "events_type_salted_agg": (events_type_salted_agg, SALTED_AGG_SQL),

@@ -155,6 +155,7 @@ LINEITEM_QUERIES = [
     "q1_pricing_summary", "filter_high_quantity", "lineitem_discount_hist",
     "part_brand_median_price", "part_brand_price_stats",
     "customer_balance_ntile", "distinct_segments", "segment_names_agg",
+    "q6_forecast_revenue", "q18_large_orders",
 ]
 
 
