@@ -86,6 +86,26 @@ def _coarse_partition_map(ds, key: str, partition_fn, n_coarse: int = 64):
                          batch_format="pandas")
 
 
+def _coarse_grouped_map_union(left, right, partition_fn, key: str = "key",
+                              n_coarse: int = 64):
+    """Co-partitioned merge of two SIDE-TAGGED datasets sharing one
+    schema: union them, hash both through one coarse exchange on the
+    int ``key`` column, and hand each whole partition to
+    ``partition_fn``. The pool-free alternative to a second native hash
+    join — two concurrent join actor pools starve each other on small
+    CPU budgets, while this shape is plain tasks + one sort exchange."""
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        c = batch[key].to_numpy(zero_copy_only=False) % n_coarse
+        return batch.append_column("_coarse", pa.array(c.astype(np.int64))) \
+            .replace_schema_metadata(None)
+
+    return (left.union(right)
+            .map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("_coarse")
+            .map_groups(lambda g: partition_fn(g.drop(columns=["_coarse"])),
+                        batch_format="pandas"))
+
+
 def _coarse_str_partition_map(ds, key: str, partition_fn,
                               n_coarse: int = 8):
     """``_coarse_partition_map`` for STRING keys (stable string hash
@@ -381,9 +401,17 @@ def q18_large_orders(sf_dir: str):
             names=["o_orderkey", "o_custkey", "total_qty_x100",
                    "total_x100", "o_orderdate"])
 
-    return (joined.map_batches(project, batch_format="pyarrow")
-            .sort(["total_x100", "o_orderkey"], descending=[True, False])
-            .limit(Q18_TOPK))
+    out = (joined.map_batches(project, batch_format="pyarrow")
+           .sort(["total_x100", "o_orderkey"], descending=[True, False])
+           .limit(Q18_TOPK).to_pandas())
+    if len(out.columns) == 0:      # schema lost through an all-empty result
+        return pd.DataFrame({
+            "o_orderkey": pd.Series(dtype="int64"),
+            "o_custkey": pd.Series(dtype="int64"),
+            "total_qty_x100": pd.Series(dtype="int64"),
+            "total_x100": pd.Series(dtype="int64"),
+            "o_orderdate": pd.Series(dtype="object")})
+    return out
 
 
 Q18_SQL = f"""
@@ -403,6 +431,185 @@ JOIN (
   FROM orders) o USING (o_orderkey)
 ORDER BY o.total_x100 DESC, q.o_orderkey
 LIMIT {Q18_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10-style — returned-item customer revenue (two native joins + dims)
+# ---------------------------------------------------------------------------
+
+Q10_TOPK = 20
+
+
+def q10_returned_customers(sf_dir: str):
+    """TPC-H Q10 shape: revenue lost to returned items per customer over
+    a date window, top-20. Scale plan: lineitem pre-aggregates R-flag
+    revenue per orderkey inside each batch; a native hash-partitioned
+    join attaches the window-filtered orders (orders is NOT broadcast);
+    customer attributes attach through a coarse co-partitioned union
+    merge — two concurrent native-join actor pools starve each other
+    below ~8 CPUs, so the second equi-join uses the pool-free exchange
+    (same partitioning semantics, deadlock-immune); only the 25-row
+    nation table is broadcast. The exchanges move partial sums, never
+    raw lineitems."""
+    import datetime
+    lo, hi = datetime.date(1996, 1, 1), datetime.date(1996, 7, 1)
+
+    if _table_empty(sf_dir, "lineitem") or _table_empty(sf_dir, "orders") \
+            or _table_empty(sf_dir, "customer"):
+        return pd.DataFrame({
+            "c_custkey": pd.Series(dtype="int64"),
+            "c_name": pd.Series(dtype="object"),
+            "revenue_x1e4": pd.Series(dtype="int64"),
+            "acctbal_x100": pd.Series(dtype="int64"),
+            "n_name": pd.Series(dtype="object")})
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0),
+                                             t["l_discount"])), 1e4)
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "revenue_x1e4": rev.to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby("l_orderkey", as_index=False).sum())
+
+    rev_by_order = (li.map_batches(li_partial, batch_format="pyarrow")
+                    .repartition(16)
+                    .groupby("l_orderkey")
+                    .aggregate(Sum("revenue_x1e4",
+                                   alias_name="revenue_x1e4")))
+
+    def orders_window(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
+                    pc.less(batch["o_orderdate"], pa.scalar(hi)))
+        t = batch.filter(m)
+        return pa.Table.from_arrays(
+            [pc.cast(t["o_orderkey"], pa.int64()),
+             pc.cast(t["o_custkey"], pa.int64())],
+            names=["o_orderkey", "o_custkey"])
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(orders_window, batch_format="pyarrow")
+
+    by_cust = (rev_by_order
+               .join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+               .map_batches(lambda t: pa.Table.from_arrays(
+                   [t["o_custkey"], t["revenue_x1e4"]],
+                   names=["o_custkey", "revenue_x1e4"])
+                   .replace_schema_metadata(None),
+                   batch_format="pyarrow")
+               .groupby("o_custkey")
+               .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4")))
+
+    nation = pd.read_parquet(_pq(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    nmap_ref = ray.put(dict(zip(nation.n_nationkey.astype(int),
+                                nation.n_name)))
+
+    def cust_project(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)           # 25-row broadcast dimension
+        names = [nmap.get(int(k), "") for k in
+                 batch["c_nationkey"].to_pylist()]
+        return pa.Table.from_arrays(
+            [pc.cast(batch["c_custkey"], pa.int64()), batch["c_name"],
+             _cents(batch["c_acctbal"]),
+             pa.array(names, type=pa.string())],
+            names=["c_custkey", "c_name", "acctbal_x100", "n_name"])
+
+    customer = rd.read_parquet(_pq(sf_dir, "customer"),
+                               columns=["c_custkey", "c_name",
+                                        "c_acctbal", "c_nationkey"]) \
+        .map_batches(cust_project, batch_format="pyarrow")
+
+    def tag_rev(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["o_custkey"], pa.array(np.zeros(n, dtype=np.int8)),
+             batch["revenue_x1e4"],
+             pa.array([""] * n, type=pa.string()),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pa.array([""] * n, type=pa.string())],
+            names=["key", "side", "revenue_x1e4", "c_name",
+                   "acctbal_x100", "n_name"])
+
+    def tag_cust(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["c_custkey"], pa.array(np.ones(n, dtype=np.int8)),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             batch["c_name"], batch["acctbal_x100"], batch["n_name"]],
+            names=["key", "side", "revenue_x1e4", "c_name",
+                   "acctbal_x100", "n_name"])
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        cu = g[g["side"] == 1].set_index("key")
+        # INNER join: revenue rows without a customer row are dropped
+        rev = g[(g["side"] == 0) & g["key"].isin(cu.index)]
+        if rev.empty:
+            return pd.DataFrame({
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_name": pd.Series(dtype="object"),
+                "revenue_x1e4": pd.Series(dtype="int64"),
+                "acctbal_x100": pd.Series(dtype="int64"),
+                "n_name": pd.Series(dtype="object")})
+        keys = rev["key"].to_numpy()
+        return pd.DataFrame({
+            "c_custkey": pd.Series(keys, dtype="int64"),
+            "c_name": cu["c_name"].reindex(keys).to_numpy(),
+            "revenue_x1e4": rev["revenue_x1e4"].astype("int64").to_numpy(),
+            "acctbal_x100": cu["acctbal_x100"].reindex(keys)
+            .astype("int64").to_numpy(),
+            "n_name": cu["n_name"].reindex(keys).to_numpy()})
+
+    joined = _coarse_grouped_map_union(
+        by_cust.map_batches(tag_rev, batch_format="pyarrow"),
+        customer.map_batches(tag_cust, batch_format="pyarrow"),
+        attach)
+
+    # top-k result is tiny: land it driver-side so an empty result keeps
+    # its schema (an all-empty Dataset loses columns through to_pandas)
+    out = (joined
+           .sort(["revenue_x1e4", "c_custkey"], descending=[True, False])
+           .limit(Q10_TOPK).to_pandas())
+    if len(out.columns) == 0:
+        return pd.DataFrame({
+            "c_custkey": pd.Series(dtype="int64"),
+            "c_name": pd.Series(dtype="object"),
+            "revenue_x1e4": pd.Series(dtype="int64"),
+            "acctbal_x100": pd.Series(dtype="int64"),
+            "n_name": pd.Series(dtype="object")})
+    return out
+
+
+Q10_SQL = f"""
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+       r.revenue_x1e4,
+       CAST(ROUND(c.c_acctbal * 100.0) AS BIGINT) AS acctbal_x100,
+       n.n_name
+FROM (
+  SELECT o_custkey,
+         CAST(SUM(revenue_x1e4) AS BIGINT) AS revenue_x1e4
+  FROM (
+    SELECT l_orderkey,
+           SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0)
+                    AS BIGINT)) AS revenue_x1e4
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey) lr
+  JOIN orders ON lr.l_orderkey = o_orderkey
+  WHERE o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1996-07-01'
+  GROUP BY o_custkey) r
+JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY r.revenue_x1e4 DESC, c.c_custkey
+LIMIT {Q10_TOPK}
 """
 
 
@@ -2122,6 +2329,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q3_partitioned_join": (q3_partitioned_join, Q3_SQL),
     "q3_auto": (q3_auto, Q3_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q10_returned_customers": (q10_returned_customers, Q10_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
     "events_cohort_retention": (events_cohort_retention, COHORT_SQL),
     "events_value_percentiles": (events_value_percentiles, PCTL_SQL),

@@ -155,13 +155,15 @@ LINEITEM_QUERIES = [
     "q1_pricing_summary", "filter_high_quantity", "lineitem_discount_hist",
     "part_brand_median_price", "part_brand_price_stats",
     "customer_balance_ntile", "distinct_segments", "segment_names_agg",
-    "q6_forecast_revenue", "q18_large_orders",
+    "q6_forecast_revenue", "q18_large_orders", "q10_returned_customers",
 ]
 
 
 def _random_lineitem_tables(seed: int, d):
     rng = np.random.default_rng(seed)
-    n_li, n_part, n_cust = 400, 80, 50
+    # n_cust covers the sf0.001 orders table's full o_custkey range so
+    # order->customer joins (q10) produce non-trivial matches
+    n_li, n_part, n_cust = 400, 80, 150
     # prices at exact half-cent boundaries: scaled x100 they land on .5,
     # the divergence point between ROUND and banker's rounding
     li = pd.DataFrame({
