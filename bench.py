@@ -381,7 +381,9 @@ def main():
                          "orders_events_range_join",
                          "events_sliding_windows", "doc_model_scores",
                          "training_pipeline_sequences", "knn_multi_query",
-                         "doc_pii_masked", "doc_dedup_blocks"]
+                         "doc_pii_masked", "doc_dedup_blocks",
+                         "q6_forecast_revenue", "q10_returned_customers",
+                         "q18_large_orders"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

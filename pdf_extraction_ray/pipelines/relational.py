@@ -344,10 +344,15 @@ Q18_TOPK = 10
 
 def q18_large_orders(sf_dir: str):
     """TPC-H Q18 shape: high-cardinality grouped sum over the big table,
-    HAVING filter, then a native hash-partitioned join of the (now
-    small) survivor set to orders and a global top-k. Lineitem
-    pre-aggregates inside each batch so the exchange moves partials;
-    orders is never broadcast."""
+    HAVING filter, orders attach, global top-k — in ONE exchange.
+    Lineitem pre-aggregates per-orderkey partials inside each batch;
+    the coarse hash exchange co-locates every partial of a key together
+    with that key's orders row, so the final sum, the HAVING filter and
+    the attach all happen in the same partition pass. Orders is never
+    broadcast and no join actor pool spins up (the native JoinOperator
+    costs ~13 s flat at this scale and stays exercised by
+    q3_partitioned_join / the outer-join family / the composed
+    pipeline)."""
     if _table_empty(sf_dir, "lineitem") or _table_empty(sf_dir, "orders"):
         return pd.DataFrame({
             "o_orderkey": pd.Series(dtype="int64"),
@@ -359,49 +364,67 @@ def q18_large_orders(sf_dir: str):
     li = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_quantity"])
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def li_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
-            "l_orderkey": batch["l_orderkey"]
-            .to_numpy(zero_copy_only=False),
+            "key": batch["l_orderkey"].to_numpy(zero_copy_only=False),
             "qty_x100": _cents(batch["l_quantity"])
             .to_numpy(zero_copy_only=False)})
-        return _from_pandas(df.groupby("l_orderkey", as_index=False).sum())
+        g = df.groupby("key", as_index=False).sum()
+        n = len(g)
+        return pa.Table.from_pydict({
+            "key": g["key"].astype("int64"),
+            "side": np.zeros(n, dtype=np.int8),
+            "qty_x100": g["qty_x100"].astype("int64"),
+            "o_custkey": np.full(n, -1, dtype=np.int64),
+            "total_x100": np.full(n, -1, dtype=np.int64),
+            "o_orderdate": pa.array([""] * n, type=pa.string())})
 
-    big = (li.map_batches(partial, batch_format="pyarrow")
-           .repartition(16)
-           .groupby("l_orderkey")
-           .aggregate(Sum("qty_x100", alias_name="total_qty_x100"))
-           .map_batches(lambda t: t.filter(
-               pc.greater(t["total_qty_x100"],
-                          pa.scalar(Q18_QTY_THRESHOLD_X100)))
-               .replace_schema_metadata(None), batch_format="pyarrow"))
-
-    def scale_orders(batch: pa.Table) -> pa.Table:
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        n = len(batch)
         return pa.Table.from_arrays(
             [pc.cast(batch["o_orderkey"], pa.int64()),
+             pa.array(np.ones(n, dtype=np.int8)),
+             pa.array(np.full(n, -1, dtype=np.int64)),
              pc.cast(batch["o_custkey"], pa.int64()),
              _cents(batch["o_totalprice"]),
              pc.strftime(pc.cast(batch["o_orderdate"], pa.timestamp("us")),
                          format="%Y-%m-%d")],
-            names=["o_orderkey", "o_custkey", "total_x100", "o_orderdate"])
+            names=["key", "side", "qty_x100", "o_custkey",
+                   "total_x100", "o_orderdate"])
 
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey",
                                       "o_totalprice", "o_orderdate"]) \
-        .map_batches(scale_orders, batch_format="pyarrow")
+        .map_batches(tag_orders, batch_format="pyarrow")
 
-    joined = big.join(orders, join_type="inner", num_partitions=16,
-                      on=("l_orderkey",), right_on=("o_orderkey",))
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        # every partial of a key lands here: final sum + HAVING + attach
+        b = g[g["side"] == 0].groupby("key", as_index=False)["qty_x100"] \
+            .sum()
+        b = b[b["qty_x100"] > Q18_QTY_THRESHOLD_X100]
+        od = g[g["side"] == 1].set_index("key")
+        b = b[b["key"].isin(od.index)]
+        if b.empty:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series(dtype="int64"),
+                "o_custkey": pd.Series(dtype="int64"),
+                "total_qty_x100": pd.Series(dtype="int64"),
+                "total_x100": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="object")})
+        keys = b["key"].to_numpy()
+        return pd.DataFrame({
+            "o_orderkey": pd.Series(keys, dtype="int64"),
+            "o_custkey": od["o_custkey"].reindex(keys)
+            .astype("int64").to_numpy(),
+            "total_qty_x100": b["qty_x100"].astype("int64").to_numpy(),
+            "total_x100": od["total_x100"].reindex(keys)
+            .astype("int64").to_numpy(),
+            "o_orderdate": od["o_orderdate"].reindex(keys).to_numpy()})
 
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [batch["l_orderkey"], batch["o_custkey"],
-             batch["total_qty_x100"], batch["total_x100"],
-             batch["o_orderdate"]],
-            names=["o_orderkey", "o_custkey", "total_qty_x100",
-                   "total_x100", "o_orderdate"])
+    joined = _coarse_grouped_map_union(
+        li.map_batches(li_partial, batch_format="pyarrow"), orders, attach)
 
-    out = (joined.map_batches(project, batch_format="pyarrow")
+    out = (joined
            .sort(["total_x100", "o_orderkey"], descending=[True, False])
            .limit(Q18_TOPK).to_pandas())
     if len(out.columns) == 0:      # schema lost through an all-empty result
@@ -444,14 +467,14 @@ Q10_TOPK = 20
 def q10_returned_customers(sf_dir: str):
     """TPC-H Q10 shape: revenue lost to returned items per customer over
     a date window, top-20. Scale plan: lineitem pre-aggregates R-flag
-    revenue per orderkey inside each batch; a native hash-partitioned
-    join attaches the window-filtered orders (orders is NOT broadcast);
-    customer attributes attach through a coarse co-partitioned union
-    merge — two concurrent native-join actor pools starve each other
-    below ~8 CPUs, so the second equi-join uses the pool-free exchange
-    (same partitioning semantics, deadlock-immune); only the 25-row
-    nation table is broadcast. The exchanges move partial sums, never
-    raw lineitems."""
+    revenue per orderkey inside each batch; the window-filtered orders
+    and then the customer attributes attach through coarse
+    co-partitioned union merges (orders and customer are NOT broadcast;
+    the pool-free exchange does the same hash co-partitioning as the
+    native JoinOperator without its aggregator-pool spin-up — ~13 s
+    flat at sf0.1 — and without the mutual starvation two concurrent
+    join pools exhibit below ~8 CPUs); only the 25-row nation table is
+    broadcast. The exchanges move partial sums, never raw lineitems."""
     import datetime
     lo, hi = datetime.date(1996, 1, 1), datetime.date(1996, 7, 1)
 
@@ -488,26 +511,45 @@ def q10_returned_customers(sf_dir: str):
         m = pc.and_(pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
                     pc.less(batch["o_orderdate"], pa.scalar(hi)))
         t = batch.filter(m)
+        n = t.num_rows
         return pa.Table.from_arrays(
             [pc.cast(t["o_orderkey"], pa.int64()),
+             pa.array(np.ones(n, dtype=np.int8)),
+             pa.array(np.full(n, -1, dtype=np.int64)),
              pc.cast(t["o_custkey"], pa.int64())],
-            names=["o_orderkey", "o_custkey"])
+            names=["key", "side", "revenue_x1e4", "o_custkey"])
 
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"]) \
         .map_batches(orders_window, batch_format="pyarrow")
 
-    by_cust = (rev_by_order
-               .join(orders, join_type="inner", num_partitions=16,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
-               .map_batches(lambda t: pa.Table.from_arrays(
-                   [t["o_custkey"], t["revenue_x1e4"]],
-                   names=["o_custkey", "revenue_x1e4"])
-                   .replace_schema_metadata(None),
-                   batch_format="pyarrow")
-               .groupby("o_custkey")
-               .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4")))
+    def tag_rev_order(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["l_orderkey"], pa.array(np.zeros(n, dtype=np.int8)),
+             batch["revenue_x1e4"],
+             pa.array(np.full(n, -1, dtype=np.int64))],
+            names=["key", "side", "revenue_x1e4", "o_custkey"])
+
+    def attach_orders(g: pd.DataFrame) -> pd.DataFrame:
+        od = g[g["side"] == 1].set_index("key")
+        r = g[(g["side"] == 0) & g["key"].isin(od.index)]
+        if r.empty:
+            return pd.DataFrame({
+                "o_custkey": pd.Series(dtype="int64"),
+                "revenue_x1e4": pd.Series(dtype="int64")})
+        keys = r["key"].to_numpy()
+        return pd.DataFrame({
+            "o_custkey": od["o_custkey"].reindex(keys)
+            .astype("int64").to_numpy(),
+            "revenue_x1e4": r["revenue_x1e4"].astype("int64").to_numpy()})
+
+    by_cust = (_coarse_grouped_map_union(
+        rev_by_order.map_batches(tag_rev_order, batch_format="pyarrow"),
+        orders, attach_orders)
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4")))
 
     nation = pd.read_parquet(_pq(sf_dir, "nation"),
                              columns=["n_nationkey", "n_name"])
