@@ -8,6 +8,7 @@ from __future__ import annotations
 
 def all_queries() -> dict[str, tuple]:
     from .pipelines.relational import RELATIONAL_QUERIES
+    from .pipelines.tpch import TPCH_QUERIES
     from .pipelines.textops import TEXT_QUERIES
     from .pipelines.corpus import CORPUS_QUERIES
     from .pipelines.dedup import DEDUP_QUERIES
@@ -20,7 +21,8 @@ def all_queries() -> dict[str, tuple]:
     from .pipelines.packing import PACKING_QUERIES
 
     out: dict[str, tuple] = {}
-    for reg in (RELATIONAL_QUERIES, TEXT_QUERIES, CORPUS_QUERIES,
+    for reg in (RELATIONAL_QUERIES, TPCH_QUERIES, TEXT_QUERIES,
+                CORPUS_QUERIES,
                 DEDUP_QUERIES, SIMILARITY_QUERIES, ANALYSIS_QUERIES,
                 RETRIEVAL_QUERIES, MEDIA_QUERIES, COMPARE_QUERIES,
                 STREAMING_QUERIES, PACKING_QUERIES):

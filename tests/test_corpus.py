@@ -189,6 +189,16 @@ def test_relational_family_on_empty_tables(empty_tables_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_tpch_family_on_empty_tables(empty_tables_dir):
+    from pdf_extraction_ray.pipelines.tpch import TPCH_QUERIES
+
+    for name, (fn, _sql) in TPCH_QUERIES.items():
+        res = fn(empty_tables_dir)
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        assert df is not None, name
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dedup_family_on_empty_tables(empty_tables_dir):
     from pdf_extraction_ray.pipelines.dedup import DEDUP_QUERIES
 
