@@ -44,6 +44,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from ..functions.arrow_utils import round_half_away
 from .relational import (
     _cents,
     _coarse_grouped_map_union,
@@ -807,7 +808,434 @@ ORDER BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations (two dims + big-big join)
+# ---------------------------------------------------------------------------
+
+Q7_NATION_A, Q7_NATION_B = 3, 7          # NATION_3 <-> NATION_7
+Q7_LO, Q7_HI = "1996-01-01", "1998-01-01"
+
+
+def _year_of(us: np.ndarray) -> np.ndarray:
+    """epoch-us int64 -> calendar year int64 (vectorized)."""
+    return us.astype("datetime64[us]").astype("datetime64[Y]") \
+        .astype(np.int64) + 1970
+
+
+def _cust_nation_ref(sf_dir: str):
+    """Broadcast custkey -> nationkey sorted-lookup arrays (customer is
+    a dimension here, same treatment as q5/q10; the full-scale fallback
+    is a second custkey exchange)."""
+    cust = pd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    order = np.argsort(cust["c_custkey"].to_numpy())
+    return ray.put((cust["c_custkey"].to_numpy()[order].astype(np.int64),
+                    cust["c_nationkey"].to_numpy()[order]
+                    .astype(np.int64)))
+
+
+def _supp_nation_ref(sf_dir: str):
+    supp = pd.read_parquet(_pq(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"])
+    order = np.argsort(supp["s_suppkey"].to_numpy())
+    return ray.put((supp["s_suppkey"].to_numpy()[order].astype(np.int64),
+                    supp["s_nationkey"].to_numpy()[order]
+                    .astype(np.int64)))
+
+
+def q7_nation_trade(sf_dir: str):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. Supplier nation resolves from a broadcast lookup inside
+    the lineitem scan (rows not from either nation drop immediately);
+    customer nation attaches to orders the same way; one co-partitioned
+    orderkey exchange pairs them, and the <=4-cell final groupby runs on
+    the driver."""
+    empty = pd.DataFrame({"supp_nation": pd.Series(dtype="object"),
+                          "cust_nation": pd.Series(dtype="object"),
+                          "l_year": pd.Series(dtype="int64"),
+                          "revenue_x1e4": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "lineitem"):
+        return empty
+    s_ref = _supp_nation_ref(sf_dir)
+    c_ref = _cust_nation_ref(sf_dir)
+    lo, hi = _date_us(Q7_LO), _date_us(Q7_HI)
+    pair = {Q7_NATION_A, Q7_NATION_B}
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sk_s, snat_s = ray.get(s_ref)
+        ship = _ts_us(batch["l_shipdate"])
+        found, pos = _sorted_lookup(
+            sk_s, batch["l_suppkey"].to_numpy(zero_copy_only=False))
+        snat = np.where(found, snat_s[pos], -1)
+        m = (ship >= lo) & (ship < hi) & np.isin(snat, list(pair))
+        t = batch.filter(pa.array(m))
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0),
+                                             t["l_discount"])), 1e4) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "key": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "nat": snat[m],
+            "year": _year_of(ship[m]),
+            "rev": rev}).groupby(["key", "nat", "year"],
+                                 as_index=False).sum()
+        n = len(df)
+        return pa.Table.from_pydict({
+            "key": df["key"].astype("int64"),
+            "side": np.zeros(n, dtype=np.int8),
+            "nat": df["nat"].astype("int64"),
+            "year": df["year"].astype("int64"),
+            "rev": df["rev"].astype("int64")})
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck_s, cnat_s = ray.get(c_ref)
+        found, pos = _sorted_lookup(
+            ck_s, batch["o_custkey"].to_numpy(zero_copy_only=False))
+        cnat = np.where(found, cnat_s[pos], -1)
+        m = np.isin(cnat, list(pair))
+        n = int(m.sum())
+        return pa.Table.from_pydict({
+            "key": batch["o_orderkey"].to_numpy(zero_copy_only=False)[m]
+            .astype(np.int64),
+            "side": np.ones(n, dtype=np.int8),
+            "nat": cnat[m],
+            "year": np.full(n, -1, dtype=np.int64),
+            "rev": np.zeros(n, dtype=np.int64)})
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(tag_orders, batch_format="pyarrow")
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"supp_nat": pd.Series(dtype="int64"),
+                                  "cust_nat": pd.Series(dtype="int64"),
+                                  "l_year": pd.Series(dtype="int64"),
+                                  "revenue_x1e4":
+                                      pd.Series(dtype="int64")})
+        li_g = g[g["side"] == 0]
+        ords = g[g["side"] == 1].set_index("key")["nat"]
+        if li_g.empty or ords.empty:
+            return out_empty
+        cnat = ords.reindex(li_g["key"]).to_numpy()
+        snat = li_g["nat"].to_numpy()
+        keep = ((cnat == Q7_NATION_A) & (snat == Q7_NATION_B)) \
+            | ((cnat == Q7_NATION_B) & (snat == Q7_NATION_A))
+        if not keep.any():
+            return out_empty
+        df = pd.DataFrame({"supp_nat": snat[keep],
+                           "cust_nat": cnat[keep].astype(np.int64),
+                           "l_year": li_g["year"].to_numpy()[keep],
+                           "revenue_x1e4": li_g["rev"].to_numpy()[keep]})
+        return df.groupby(["supp_nat", "cust_nat", "l_year"],
+                          as_index=False).sum()
+
+    parts = _coarse_grouped_map_union(li, orders, part_fn).to_pandas()
+    if parts.empty or "supp_nat" not in parts.columns:
+        return empty
+    out = parts.groupby(["supp_nat", "cust_nat", "l_year"],
+                        as_index=False).sum()
+    out["supp_nation"] = "NATION_" + out["supp_nat"].astype(str)
+    out["cust_nation"] = "NATION_" + out["cust_nat"].astype(str)
+    out = out[["supp_nation", "cust_nation", "l_year", "revenue_x1e4"]] \
+        .sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+    return out.astype({"l_year": "int64", "revenue_x1e4": "int64"})
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS BIGINT) AS revenue_x1e4
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0)
+              AS BIGINT) AS rev
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_nationkey = {Q7_NATION_A}
+          AND n2.n_nationkey = {Q7_NATION_B})
+      OR (n1.n_nationkey = {Q7_NATION_B}
+          AND n2.n_nationkey = {Q7_NATION_A}))
+    AND l_shipdate >= DATE '{Q7_LO}' AND l_shipdate < DATE '{Q7_HI}') t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share within a region (part+supp+cust dims)
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "EUROPE"
+Q8_TARGET_NATION = 8                      # NATION_8
+Q8_PTYPE = "STANDARD"
+Q8_LO, Q8_HI = "1996-01-01", "1998-01-01"
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: one nation's share of a part type's revenue among
+    a region's customers, by order year — kept as its two exact integer
+    components (target_rev / total_rev) per year. Part filter and
+    supplier nation ride the lineitem scan; orders keep only the
+    region's customers (broadcast customer->nation->region) and carry
+    the year; one orderkey exchange pairs them."""
+    empty = pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                          "target_rev_x1e4": pd.Series(dtype="int64"),
+                          "total_rev_x1e4": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "lineitem"):
+        return empty
+    nat = pd.read_parquet(_pq(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_regionkey"])
+    reg = pd.read_parquet(_pq(sf_dir, "region"),
+                          columns=["r_regionkey", "r_name"])
+    rk = reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"]
+    region_nations = nat.loc[nat["n_regionkey"].isin(rk), "n_nationkey"] \
+        .to_numpy().astype(np.int64)
+    part = pd.read_parquet(_pq(sf_dir, "part"),
+                           columns=["p_partkey", "p_type"])
+    pk = np.sort(part.loc[part["p_type"] == Q8_PTYPE, "p_partkey"]
+                 .to_numpy().astype(np.int64))
+    p_ref = ray.put(pk)
+    s_ref = _supp_nation_ref(sf_dir)
+    c_ref = _cust_nation_ref(sf_dir)
+    lo, hi = _date_us(Q8_LO), _date_us(Q8_HI)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        pk_s = ray.get(p_ref)
+        sk_s, snat_s = ray.get(s_ref)
+        pfound, _ = _sorted_lookup(
+            pk_s, batch["l_partkey"].to_numpy(zero_copy_only=False))
+        t = batch.filter(pa.array(pfound))
+        sfound, spos = _sorted_lookup(
+            sk_s, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        snat = np.where(sfound, snat_s[spos], -1)
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0),
+                                             t["l_discount"])), 1e4) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "key": t["l_orderkey"].to_numpy(zero_copy_only=False)[sfound],
+            "nat": snat[sfound],
+            "rev": rev[sfound]}).groupby(["key", "nat"],
+                                         as_index=False).sum()
+        n = len(df)
+        return pa.Table.from_pydict({
+            "key": df["key"].astype("int64"),
+            "side": np.zeros(n, dtype=np.int8),
+            "nat": df["nat"].astype("int64"),
+            "year": np.full(n, -1, dtype=np.int64),
+            "rev": df["rev"].astype("int64")})
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        ck_s, cnat_s = ray.get(c_ref)
+        od = _ts_us(batch["o_orderdate"])
+        found, pos = _sorted_lookup(
+            ck_s, batch["o_custkey"].to_numpy(zero_copy_only=False))
+        cnat = np.where(found, cnat_s[pos], -1)
+        m = (od >= lo) & (od < hi) & np.isin(cnat, region_nations)
+        n = int(m.sum())
+        return pa.Table.from_pydict({
+            "key": batch["o_orderkey"].to_numpy(zero_copy_only=False)[m]
+            .astype(np.int64),
+            "side": np.ones(n, dtype=np.int8),
+            "nat": np.full(n, -1, dtype=np.int64),
+            "year": _year_of(od[m]),
+            "rev": np.zeros(n, dtype=np.int64)})
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"]) \
+        .map_batches(tag_orders, batch_format="pyarrow")
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                                  "target_rev_x1e4":
+                                      pd.Series(dtype="int64"),
+                                  "total_rev_x1e4":
+                                      pd.Series(dtype="int64")})
+        li_g = g[g["side"] == 0]
+        ords = g[g["side"] == 1].set_index("key")["year"]
+        if li_g.empty or ords.empty:
+            return out_empty
+        year = ords.reindex(li_g["key"]).to_numpy()
+        keep = ~np.isnan(year)
+        if not keep.any():
+            return out_empty
+        rev = li_g["rev"].to_numpy()[keep]
+        target = li_g["nat"].to_numpy()[keep] == Q8_TARGET_NATION
+        df = pd.DataFrame({"o_year": year[keep].astype(np.int64),
+                           "target_rev_x1e4": np.where(target, rev, 0),
+                           "total_rev_x1e4": rev})
+        return df.groupby("o_year", as_index=False).sum()
+
+    parts = _coarse_grouped_map_union(li, orders, part_fn).to_pandas()
+    if parts.empty or "o_year" not in parts.columns:
+        return empty
+    out = parts.groupby("o_year", as_index=False).sum() \
+        .sort_values("o_year").reset_index(drop=True)
+    return out.astype("int64")
+
+
+Q8_SQL = f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN s_nat = {Q8_TARGET_NATION} THEN rev ELSE 0 END)
+            AS BIGINT) AS target_rev_x1e4,
+       CAST(SUM(rev) AS BIGINT) AS total_rev_x1e4
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0)
+              AS BIGINT) AS rev,
+         s_nationkey AS s_nat
+  FROM part, supplier, lineitem, orders, customer, nation n1, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = '{Q8_REGION}'
+    AND o_orderdate >= DATE '{Q8_LO}' AND o_orderdate < DATE '{Q8_HI}'
+    AND p_type = '{Q8_PTYPE}') t
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product profit by nation and year (name-substring part filter)
+# ---------------------------------------------------------------------------
+
+Q9_NAME_WORD = "bolt"
+Q9_COST_FACTOR = 0.6       # retailprice stand-in for absent supplycost
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    part-name-substring filter. With no partsupp table, unit cost is
+    ``p_retailprice * 0.6``; both engines compute
+    round(rev*1e4) - round(qty*retail*0.6*1e4) in the same float order
+    so the subtraction is exact. Part and supplier ride the lineitem
+    scan as broadcast lookups; orders contribute only the year via the
+    one orderkey exchange."""
+    empty = pd.DataFrame({"nation": pd.Series(dtype="object"),
+                          "o_year": pd.Series(dtype="int64"),
+                          "profit_x1e4": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "lineitem"):
+        return empty
+    part = pd.read_parquet(_pq(sf_dir, "part"),
+                           columns=["p_partkey", "p_name",
+                                    "p_retailprice"])
+    m = part["p_name"].str.contains(Q9_NAME_WORD, regex=False)
+    part = part[m]
+    order = np.argsort(part["p_partkey"].to_numpy())
+    p_ref = ray.put((part["p_partkey"].to_numpy()[order].astype(np.int64),
+                     part["p_retailprice"].to_numpy()[order]))
+    s_ref = _supp_nation_ref(sf_dir)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        pk_s, retail_s = ray.get(p_ref)
+        sk_s, snat_s = ray.get(s_ref)
+        found, pos = _sorted_lookup(
+            pk_s, batch["l_partkey"].to_numpy(zero_copy_only=False))
+        t = batch.filter(pa.array(found))
+        retail = retail_s[pos[found]]
+        sfound, spos = _sorted_lookup(
+            sk_s, t["l_suppkey"].to_numpy(zero_copy_only=False))
+        snat = np.where(sfound, snat_s[spos], -1)
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0),
+                                             t["l_discount"])), 1e4) \
+            .to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        cost_f = (qty * retail) * Q9_COST_FACTOR
+        cost = round_half_away(cost_f * 10000.0)
+        df = pd.DataFrame({
+            "key": t["l_orderkey"].to_numpy(zero_copy_only=False)[sfound],
+            "nat": snat[sfound],
+            "amt": (rev - cost)[sfound]}).groupby(["key", "nat"],
+                                                  as_index=False).sum()
+        n = len(df)
+        return pa.Table.from_pydict({
+            "key": df["key"].astype("int64"),
+            "side": np.zeros(n, dtype=np.int8),
+            "nat": df["nat"].astype("int64"),
+            "year": np.full(n, -1, dtype=np.int64),
+            "amt": df["amt"].astype("int64")})
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict({
+            "key": pc.cast(batch["o_orderkey"], pa.int64()),
+            "side": np.ones(n, dtype=np.int8),
+            "nat": np.full(n, -1, dtype=np.int64),
+            "year": _year_of(_ts_us(batch["o_orderdate"])),
+            "amt": np.zeros(n, dtype=np.int64)})
+
+    li = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(tag_orders, batch_format="pyarrow")
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame({"nat": pd.Series(dtype="int64"),
+                                  "o_year": pd.Series(dtype="int64"),
+                                  "profit_x1e4": pd.Series(dtype="int64")})
+        li_g = g[g["side"] == 0]
+        ords = g[g["side"] == 1].set_index("key")["year"]
+        if li_g.empty or ords.empty:
+            return out_empty
+        year = ords.reindex(li_g["key"]).to_numpy()
+        keep = ~np.isnan(year)
+        if not keep.any():
+            return out_empty
+        df = pd.DataFrame({"nat": li_g["nat"].to_numpy()[keep],
+                           "o_year": year[keep].astype(np.int64),
+                           "profit_x1e4": li_g["amt"].to_numpy()[keep]})
+        return df.groupby(["nat", "o_year"], as_index=False).sum()
+
+    parts = _coarse_grouped_map_union(li, orders, part_fn).to_pandas()
+    if parts.empty or "nat" not in parts.columns:
+        return empty
+    out = parts.groupby(["nat", "o_year"], as_index=False).sum()
+    out["nation"] = "NATION_" + out["nat"].astype(str)
+    out = out[["nation", "o_year", "profit_x1e4"]] \
+        .sort_values(["nation", "o_year"]).reset_index(drop=True)
+    return out.astype({"o_year": "int64", "profit_x1e4": "int64"})
+
+
+Q9_SQL = f"""
+SELECT nation, o_year, CAST(SUM(amount) AS BIGINT) AS profit_x1e4
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000.0)
+              AS BIGINT)
+         - CAST(ROUND(((l_quantity * p_retailprice) * {Q9_COST_FACTOR})
+                      * 10000.0) AS BIGINT) AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%{Q9_NAME_WORD}%') t
+GROUP BY nation, o_year
+ORDER BY nation, o_year
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
+    "q7_nation_trade": (q7_nation_trade, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q4_priority_count": (q4_priority_count, Q4_SQL),
     "q12_priority_class": (q12_priority_class, Q12_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
