@@ -383,7 +383,9 @@ def main():
                          "training_pipeline_sequences", "knn_multi_query",
                          "doc_pii_masked", "doc_dedup_blocks",
                          "q6_forecast_revenue", "q10_returned_customers",
-                         "q18_large_orders"]
+                         "q18_large_orders", "q4_priority_count",
+                         "q9_product_profit", "q14_promo_revenue",
+                         "q21_late_suppliers"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -91,7 +91,17 @@ def q4_priority_count(sf_dir: str):
     collapses to ``max(l_shipdate) per order``, so lineitem pre-reduces
     to one (orderkey, max_ship) partial per batch before the single
     co-partitioned exchange; the 5-row final groupby runs on the
-    driver."""
+    driver.
+
+    Only ~4% of orders fall in the quarter, so shipping a max-ship
+    partial for EVERY orderkey would waste ~96% of the exchange. A
+    Bloom filter of the quarter's orderkeys — built distributed (one
+    16 KiB partial per batch, OR-merged in a streamed driver pass, the
+    same shape as the HLL sketch) and broadcast once — prunes lineitem
+    rows before the per-batch reduce; false positives just ship a few
+    harmless extra partials (the exchange join stays exact)."""
+    from ..functions import sketch as S
+
     empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
                           "order_count": pd.Series(dtype="int64")})
     if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "lineitem"):
@@ -99,6 +109,24 @@ def q4_priority_count(sf_dir: str):
 
     lo, hi = _date_us(Q4_LO), _date_us(Q4_HI)
     late_us = Q4_LATE_DAYS * _DAY_US
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        od = _ts_us(batch["o_orderdate"])
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)[
+            (od >= lo) & (od < hi)]
+        bf = S.bloom_create()
+        S.bloom_add_hashes(bf, pd.util.hash_array(keys))
+        return pa.Table.from_arrays(
+            [pa.array([bf.tobytes()], type=pa.binary())], names=["bf"])
+
+    bf = S.bloom_create()
+    for b in rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"]) \
+            .map_batches(bloom_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for part in b["bf"].to_pylist():
+            bf |= np.frombuffer(part, dtype=np.uint8)
+    bf_ref = ray.put(bf)
 
     def tag_orders(batch: pa.Table) -> pa.Table:
         od = _ts_us(batch["o_orderdate"])
@@ -112,9 +140,12 @@ def q4_priority_count(sf_dir: str):
             "priority": batch["o_orderpriority"].filter(pa.array(m))})
 
     def li_partial(batch: pa.Table) -> pa.Table:
+        bfl = ray.get(bf_ref)
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        maybe = S.bloom_contains_hashes(bfl, pd.util.hash_array(keys))
         df = pd.DataFrame({
-            "key": batch["l_orderkey"].to_numpy(zero_copy_only=False),
-            "t_us": _ts_us(batch["l_shipdate"])})
+            "key": keys[maybe],
+            "t_us": _ts_us(batch["l_shipdate"])[maybe]})
         g = df.groupby("key", as_index=False)["t_us"].max()
         n = len(g)
         return pa.Table.from_pydict({
