@@ -229,3 +229,134 @@ def test_oracled_lineitem_ops_on_random_tables(tmp_path, seed):
             .sort_values(by=sorted(duck_df.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(rc, oc, check_dtype=False,
                                       check_exact=True, obj=f"{name}@{seed}")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H tier on random tables (join-boundary + correlated-avg edges)
+# ---------------------------------------------------------------------------
+
+TPCH_FUZZ_QUERIES = [
+    "q4_priority_count", "q7_nation_trade", "q8_market_share",
+    "q9_product_profit", "q12_priority_class", "q14_promo_revenue",
+    "q15_top_supplier", "q16_brand_supplier_counts",
+    "q17_small_qty_revenue", "q19_disjunctive_revenue",
+    "q21_late_suppliers", "q22_idle_balance",
+]
+
+
+def _random_tpch_tables(seed: int, d):
+    """Plants the cases the sf fixtures don't guarantee: lineitems
+    shipped EXACTLY 60/90 days after the order date (the strict-> late
+    boundary of q4/q21), a part whose quantities hit 5*qty*n == sum_qty
+    exactly (q17's strict-< average boundary), orphan lineitem orderkeys
+    (inner-join semantics), and brand/type/size pools chosen so every
+    q16/q17/q19 predicate branch matches some rows."""
+    rng = np.random.default_rng(seed)
+    n_li, n_ord, n_part, n_cust, n_supp = 500, 80, 60, 150, 12
+
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, n_cust, size=n_ord).astype(np.int64),
+        "o_orderstatus": rng.choice(["F", "O", "P"], size=n_ord),
+        "o_totalprice": rng.integers(0, 10_000_000, size=n_ord) / 200.0,
+        "o_orderdate": pd.to_datetime("1996-01-01") +
+        pd.to_timedelta(rng.integers(0, 1825, size=n_ord), unit="D"),
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"], size=n_ord)})
+
+    # lineitem orderkeys run past n_ord (orphans must drop in every
+    # inner-join query); shipdate = orderdate + offset with offsets
+    # pinning the exact 60/90-day late boundaries
+    lkey = rng.integers(0, n_ord + 20, size=n_li).astype(np.int64)
+    offs = rng.choice([0, 30, 59, 60, 61, 89, 90, 91, 200, 400],
+                      size=n_li)
+    base = pd.to_datetime("1996-06-01")
+    odate = orders.set_index("o_orderkey")["o_orderdate"]
+    ship = np.where(
+        lkey < n_ord,
+        odate.reindex(np.minimum(lkey, n_ord - 1)).to_numpy(),
+        base.to_datetime64())
+    ship = pd.to_datetime(ship) + pd.to_timedelta(offs, unit="D")
+    li = pd.DataFrame({
+        "l_orderkey": lkey,
+        "l_partkey": rng.integers(0, n_part, size=n_li).astype(np.int64),
+        "l_suppkey": rng.integers(0, n_supp, size=n_li).astype(np.int64),
+        "l_linenumber": rng.integers(1, 7, size=n_li).astype(np.int32),
+        "l_quantity": rng.integers(1, 60, size=n_li).astype(float),
+        "l_extendedprice": rng.integers(0, 2_000_000, size=n_li) / 200.0,
+        "l_discount": rng.integers(0, 21, size=n_li) / 200.0,
+        "l_tax": rng.integers(0, 17, size=n_li) / 200.0,
+        "l_returnflag": rng.choice(["A", "N", "R"], size=n_li),
+        "l_linestatus": rng.choice(["F", "O"], size=n_li),
+        "l_shipdate": ship})
+    # q17 boundary: part 0 is Brand#13 with quantities (10, 90) only ->
+    # 5 * 1000 * 2 == 10000 == sum_qty_x100 (strict < excludes both)
+    li.loc[li["l_partkey"] == 0, "l_partkey"] = 1
+    b = li.index[:2]
+    li.loc[b, "l_partkey"] = 0
+    li.loc[b, "l_quantity"] = [10.0, 90.0]
+
+    part = pd.DataFrame({
+        "p_partkey": np.arange(n_part, dtype=np.int64),
+        "p_name": [f"{rng.choice(['red', 'blue', 'hot', 'small'])} "
+                   f"{rng.choice(['bolt', 'gear', 'widget', 'ring'])}"
+                   for _ in range(n_part)],
+        "p_brand": rng.choice(["Brand#3", "Brand#13", "Brand#14",
+                               "Brand#21", "Brand#25"], size=n_part),
+        "p_type": rng.choice(["STANDARD", "PROMO", "SMALL"], size=n_part),
+        "p_size": rng.choice([1, 4, 9, 14, 19, 23, 36, 45, 2, 7],
+                             size=n_part).astype(np.int32),
+        "p_retailprice": rng.integers(0, 400_000, size=n_part) / 200.0})
+    part.loc[0, "p_brand"] = "Brand#13"          # the q17 boundary part
+
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": rng.integers(0, 25, size=n_cust).astype(np.int32),
+        "c_acctbal": rng.integers(-200_000, 2_000_000, size=n_cust) / 200.0,
+        "c_mktsegment": rng.choice(["AUTOMOBILE", "BUILDING"],
+                                   size=n_cust)})
+    supp = pd.DataFrame({
+        "s_suppkey": np.arange(n_supp, dtype=np.int64),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": rng.integers(0, 25, size=n_supp).astype(np.int32),
+        "s_acctbal": rng.integers(0, 2_000_000, size=n_supp) / 200.0})
+
+    li.to_parquet(os.path.join(d, "lineitem.parquet"))
+    orders.to_parquet(os.path.join(d, "orders.parquet"))
+    part.to_parquet(os.path.join(d, "part.parquet"))
+    cust.to_parquet(os.path.join(d, "customer.parquet"))
+    supp.to_parquet(os.path.join(d, "supplier.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [3, 41])
+def test_oracled_tpch_ops_on_random_tables(tmp_path, seed):
+    import shutil
+    from pdf_extraction_ray.pipelines.tpch import TPCH_QUERIES
+
+    d = str(tmp_path / f"tpch{seed}")
+    os.makedirs(d, exist_ok=True)
+    for t in ("region", "nation", "events", "documents", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    os.path.join(d, f"{t}.parquet"))
+    _random_tpch_tables(seed, d)
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+
+    for name in TPCH_FUZZ_QUERIES:
+        fn, sql = TPCH_QUERIES[name]
+        res = fn(d)
+        ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        duck_df = con.sql(sql).df()
+        rc = ray_df[sorted(ray_df.columns)] \
+            .sort_values(by=sorted(ray_df.columns)).reset_index(drop=True)
+        oc = duck_df[sorted(duck_df.columns)] \
+            .sort_values(by=sorted(duck_df.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rc, oc, check_dtype=False,
+                                      check_exact=True, obj=f"{name}@{seed}")
