@@ -385,7 +385,8 @@ def main():
                          "q6_forecast_revenue", "q10_returned_customers",
                          "q18_large_orders", "q4_priority_count",
                          "q9_product_profit", "q14_promo_revenue",
-                         "q21_late_suppliers"]
+                         "q21_late_suppliers", "doc_quality_rank",
+                         "doc_trigram_lm"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -532,7 +532,174 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Trained trigram-LM perplexity scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+LM_VOCAB_K = 65_536
+
+
+def doc_trigram_lm(sf_dir: str):
+    """Two-stage trained-model scoring, the CCNet/KenLM quality-filter
+    shape: (1) TRAIN — per-batch byte-trigram count partials (numpy
+    unique over one shared buffer, no per-row Python) flow through one
+    groupby-sum whose key space is bounded by the charset (<=2^24,
+    practically ~50k), top-K capped so the broadcast model has a fixed
+    ceiling regardless of corpus size; (2) SCORE — the model ships once
+    via ``ray.put`` and every batch computes per-doc mean -log2 p by
+    vectorized lookup + one grouped sum. Returns
+    (doc_id, n_trigrams, nll_x1e3); higher nll = less like the corpus.
+    Not SQL-expressible (trained model) — verified by a pure-python
+    differential test and planted-gibberish ordering tests."""
+    from ..functions import lm as L
+
+    import pyarrow.dataset as pads
+    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_trigrams": pd.Series(dtype="int64"),
+                             "nll_x1e3": pd.Series(dtype="int64")})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        codes, _ = L.trigram_codes(text)
+        u, c = L.count_trigrams(codes)
+        return pa.Table.from_pydict({"code": u, "cnt": c.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+    vocab_df = _docs(sf_dir) \
+        .map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("code").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    if vocab_df.empty or "code" not in vocab_df.columns:
+        vocab = np.zeros(0, dtype=np.int64)
+        counts = np.zeros(0, dtype=np.int64)
+    else:
+        vocab, counts = L.top_k_vocab(
+            vocab_df["code"].to_numpy(np.int64),
+            vocab_df["cnt"].to_numpy(np.int64), LM_VOCAB_K)
+    total = int(counts.sum())
+    v_size = len(vocab) + 1
+    import ray as _ray
+    model_ref = _ray.put((vocab, counts, total, v_size))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vo, co, tot, vs = _ray.get(model_ref)
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        codes, doc_idx = L.trigram_codes(text)
+        sums, ns = L.nll_partials(codes, doc_idx, len(batch),
+                                  vo, co, tot, vs)
+        mean = np.divide(sums, ns, out=np.zeros(len(ns)),
+                         where=ns > 0)
+        from ..functions.arrow_utils import round_half_away
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "n_trigrams": ns,
+            "nll_x1e3": round_half_away(mean * 1000.0)})
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Distributed global rank (ORDER BY + ROW_NUMBER at scale)
+# ---------------------------------------------------------------------------
+
+RANK_BUCKETS = 64
+_RANK_SCALE = 1_000_000          # stop_ratio_x1e6 lives in [0, 1e6]
+
+
+def doc_quality_rank(sf_dir: str):
+    """Global ROW_NUMBER() over ORDER BY (stop_ratio DESC, doc_id) —
+    the distributed-sort operator a curriculum-ordering pipeline needs.
+    No single node ever sees the whole corpus in order: the score key
+    has a FIXED range ([0, 1e6] integer), so rows range-partition into
+    64 equal-width buckets with no sampling pass; one tiny groupby
+    counts each bucket, the driver turns counts into descending-order
+    rank offsets (<=64 ints, broadcast by closure), and each bucket
+    sorts locally and adds its offset. Ties break on doc_id, so the
+    result is deterministic and bit-exact against the SQL window.
+
+    The scored projection (doc_id, score, bucket — 24 bytes/row) is
+    materialized once so the count pass and the rank pass don't both
+    re-read the text column; the text itself never crosses an exchange.
+    """
+    import pyarrow.dataset as pads
+    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64")})
+
+    def score_fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        q = T.quality_scores(text)
+        s = q["stop_ratio_x1e6"].to_numpy(zero_copy_only=False)
+        bucket = np.minimum(s * RANK_BUCKETS // (_RANK_SCALE + 1),
+                            RANK_BUCKETS - 1).astype(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "score": s.astype(np.int64),
+            "bucket": bucket})
+
+    scored = _docs(sf_dir).map_batches(score_fn, batch_format="pyarrow") \
+        .materialize()
+
+    # bucket sizes: per-batch bincount partials streamed to the driver
+    # (64 ints per block — no exchange, unlike a groupby().count())
+    def size_partial(batch: pa.Table) -> pa.Table:
+        h = np.bincount(batch["bucket"].to_numpy(zero_copy_only=False),
+                        minlength=RANK_BUCKETS)
+        return pa.Table.from_pydict({"h": [h.astype(np.int64).tobytes()]})
+
+    sizes = np.zeros(RANK_BUCKETS, dtype=np.int64)
+    for b in scored.map_batches(size_partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for part in b["h"].to_pylist():
+            sizes += np.frombuffer(part, dtype=np.int64)
+    # rank offset of bucket b = rows in all HIGHER-score buckets
+    higher = np.concatenate([[0], np.cumsum(sizes[::-1])[:-1]])[::-1]
+    offsets = {b: int(higher[b]) for b in range(RANK_BUCKETS)}
+
+    def rank_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"],
+                          ascending=[False, True], ignore_index=True)
+        base = offsets[int(g["bucket"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "score": g["score"].astype("int64"),
+            "rank": pd.Series(np.arange(1, len(g) + 1) + base,
+                              dtype="int64")})
+
+    return scored.groupby("bucket").map_groups(rank_fn,
+                                               batch_format="pandas")
+
+
+QUALITY_RANK_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           (CAST(len(list_filter(ltoks, x -> x IN ({_EN}))) AS BIGINT)
+            * 1000000) // len(toks)
+         ELSE 0 END AS score
+  FROM t)
+SELECT doc_id, score,
+       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank
+FROM s
+ORDER BY rank
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "doc_quality_rank": (doc_quality_rank, QUALITY_RANK_SQL),
+    "doc_trigram_lm": (doc_trigram_lm, None),
     "doc_model_scores": (doc_model_scores, MODEL_SCORES_SQL),
     "doc_pii_masked": (doc_pii_masked, PII_MASK_SQL),
     "doc_pattern_counts": (doc_pattern_counts, PATTERN_COUNTS_SQL),
