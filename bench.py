@@ -386,7 +386,7 @@ def main():
                          "q18_large_orders", "q4_priority_count",
                          "q9_product_profit", "q14_promo_revenue",
                          "q21_late_suppliers", "doc_quality_rank",
-                         "doc_trigram_lm"]
+                         "doc_trigram_lm", "media_phash_pairs"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -14,7 +15,8 @@ import ray
 from ray.data import Dataset
 
 from ..functions.arrow_utils import as_array
-from ..stages.multimodal import MEDIA_SCHEMA, FrameSampler, MediaDecoder, synth_payload
+from ..stages.multimodal import (MEDIA_SCHEMA, FrameSampler, MediaDecoder,
+                                 synth_payload_variant)
 from ..sources.io import read_docs
 from .analysis import _corpus_for
 
@@ -44,7 +46,7 @@ def media_table_from_docs(ds: Dataset) -> Dataset:
                 hashlib.sha1(ref.encode()).digest()[0] % 3]
             rows.append({
                 "doc_id": doc, "media_ref": ref, "media_type": mt,
-                "payload": synth_payload(ref, mt),
+                "payload": synth_payload_variant(ref, mt),
                 "meta": {"declared_w": 0, "declared_h": 0, "duration_ms": 0}})
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
@@ -141,7 +143,130 @@ def media_payload_dedup(sf_dir: str, docs: Dataset | None = None):
             .sort("payload_sha1"))
 
 
+def phash_features(media: Dataset) -> Dataset:
+    """(media_ref, phash int64) for every image row — DCT pHash over the
+    decoded 32x32 thumbnail, vectorized per batch."""
+    from ..functions import phash as P
+
+    def fn(batch: pa.Table) -> pa.Table:
+        imgs = P.payload_gray32(batch["payload"].to_pylist())
+        h = P.phash64(imgs)
+        return pa.Table.from_pydict({
+            "media_ref": batch["media_ref"].to_numpy(zero_copy_only=False),
+            "phash": h.view(np.int64)})
+
+    return media.map_batches(
+        lambda t: t.filter(pc.equal(t["media_type"], "image")),
+        batch_format="pyarrow").map_batches(fn, batch_format="pyarrow")
+
+
+def phash_pairs_from_media(media: Dataset):
+    """Image near-dup pairs by banded pHash search: every image emits
+    8 (band_key, ref, hash) rows; one coarse exchange groups band
+    collisions; each group Hamming-verifies its candidates against the
+    full 64-bit hash it carried along (8 bytes — unlike text, the hash
+    itself rides the shuffle, so no re-join). 8 bands x 8 bits makes
+    recall EXACT at Hamming <= 7 (pigeonhole: 7 flips can't touch all 8
+    bands). Cross-band duplicate pairs collapse in one tiny second
+    exchange keyed on the pair."""
+    from ..functions import phash as P
+
+    N_COARSE = 64
+
+    def bands(batch: pa.Table) -> pa.Table:
+        imgs = P.payload_gray32(batch["payload"].to_pylist())
+        h = P.phash64(imgs)
+        keys = P.band_keys(h)                      # (n, N_BANDS)
+        n = len(batch)
+        refs = np.repeat(batch["media_ref"].to_numpy(zero_copy_only=False),
+                         P.N_BANDS)
+        flat = keys.reshape(-1)
+        return pa.Table.from_pydict({
+            "key": flat,
+            "coarse": (flat.view(np.uint64)
+                       % np.uint64(N_COARSE)).astype(np.int64),
+            "media_ref": refs,
+            "phash": np.repeat(h.view(np.int64), P.N_BANDS)})
+
+    import pandas as pd
+
+    def pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        from ..functions.hashing import hamming_distance
+        empty = pd.DataFrame({"ref_a": pd.Series(dtype="object"),
+                              "ref_b": pd.Series(dtype="object"),
+                              "hamming": pd.Series(dtype="int64")})
+        key = g["key"].to_numpy()
+        ref = g["media_ref"].to_numpy()
+        ph = g["phash"].to_numpy().view(np.uint64)
+        order = np.lexsort((ref, key))
+        key, ref, ph = key[order], ref[order], ph[order]
+        if not len(key):
+            return empty
+        new = np.empty(len(key), dtype=bool)
+        new[0] = True
+        np.not_equal(key[1:], key[:-1], out=new[1:])
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.append(starts, len(key)))
+        ai_parts, bj_parts = [], []
+        for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+            tri = np.triu_indices(int(c), 1)
+            ai_parts.append(tri[0] + s)
+            bj_parts.append(tri[1] + s)
+        if not ai_parts:
+            return empty
+        ai, bj = np.concatenate(ai_parts), np.concatenate(bj_parts)
+        d = hamming_distance(ph[ai], ph[bj])
+        keep = (d <= P.MAX_HAMMING) & (ref[ai] != ref[bj])
+        a, b = ref[ai][keep], ref[bj][keep]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pd.DataFrame({"ref_a": a2, "ref_b": b2,
+                             "hamming": pd.Series(d[keep], dtype="int64")})
+
+    def distinct(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.drop_duplicates(["ref_a", "ref_b"])
+
+    cand = media.map_batches(
+        lambda t: t.filter(pc.equal(t["media_type"], "image")),
+        batch_format="pyarrow") \
+        .map_batches(bands, batch_format="pyarrow") \
+        .groupby("coarse").map_groups(pairs, batch_format="pandas")
+
+    def pair_key(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+        h = pd_.util.hash_array(
+            (pc.binary_join_element_wise(batch["ref_a"], batch["ref_b"],
+                                         "|")).to_numpy(zero_copy_only=False)
+            .astype(str))
+        return batch.append_column(
+            "pcoarse", pa.array((h % np.uint64(N_COARSE)).astype(np.int64)))
+
+    return cand.map_batches(pair_key, batch_format="pyarrow") \
+        .groupby("pcoarse") \
+        .map_groups(lambda g: distinct(g.drop(columns=["pcoarse"])),
+                    batch_format="pandas") \
+        .sort(["ref_a", "ref_b"])
+
+
+def media_phash(sf_dir: str):
+    """Perceptual-hash feature table for every image (rows-only)."""
+    return phash_features(
+        media_table_from_docs(read_docs(_corpus_for(sf_dir))))
+
+
+def media_phash_pairs(sf_dir: str):
+    """Image near-duplicate pairs over the corpus media table: the same
+    asset recurring across documents carries a couple of bytes of
+    recompression-style noise (synth_payload_variant), so the pHash
+    pair search finds real cross-document near-dups at every sf."""
+    return phash_pairs_from_media(
+        media_table_from_docs(read_docs(_corpus_for(sf_dir))))
+
+
 MEDIA_QUERIES: dict[str, tuple] = {
+    "media_phash": (media_phash, None),
+    "media_phash_pairs": (media_phash_pairs, None),
     "media_payload_dedup": (media_payload_dedup, None),
     "media_features": (media_features, None),
     "media_frames": (media_frames, None),

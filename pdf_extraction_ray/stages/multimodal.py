@@ -44,6 +44,30 @@ def synth_payload(media_ref: str, kind: str = "image") -> bytes:
     return magic + rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
 
 
+_VARIANT_CLUSTER = 10      # docs per shared-asset window
+
+
+def synth_payload_variant(media_ref: str, kind: str = "image") -> bytes:
+    """Payload whose CONTENT is keyed on the asset name scoped to a
+    BOUNDED window of documents, with a few ref-specific byte flips on
+    top — the web reality that the same source image recurs across a
+    handful of documents with slight recompression noise. Refs sharing
+    (asset name, doc window) => payloads within a couple of bytes of
+    each other; anything else => unrelated bytes. The window bound
+    (<=10 docs per asset) keeps near-dup cluster size O(1), so the pair
+    count grows LINEARLY with the corpus — an unbounded shared-asset
+    keyspace would make every pair stage quadratic at scale."""
+    head, _, suffix = media_ref.rpartition("/")
+    digits = "".join(ch for ch in head if ch.isdigit())
+    window = int(digits) // _VARIANT_CLUSTER if digits \
+        else int.from_bytes(hashlib.sha1(head.encode()).digest()[:4], "big")
+    base = bytearray(synth_payload(f"{window}:{suffix}", kind))
+    h = hashlib.sha1(media_ref.encode()).digest()
+    for i in range(h[0] % 3):                       # 0-2 noisy bytes
+        base[4 + h[i + 1]] = h[i + 5]
+    return bytes(base)
+
+
 class MediaDecoder:
     """Actor-pool decode stage: payload binary -> typed features.
 

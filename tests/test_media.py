@@ -158,3 +158,88 @@ def test_media_payload_dedup_groups_planted_duplicates():
     dup = groups[groups.n_copies == 2]
     assert len(dup) == 1 and dup.iloc[0]["rep_media_ref"] == shared
     assert (groups.n_copies.sum()) == 3
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash) near-dup
+# ---------------------------------------------------------------------------
+
+def test_phash_noise_robust_and_discriminative():
+    import numpy as np
+    from pdf_extraction_ray.functions import phash as P
+    from pdf_extraction_ray.functions.hashing import hamming_distance
+    from pdf_extraction_ray.stages.multimodal import synth_payload
+
+    a = synth_payload("asset-A")
+    noisy = bytearray(a)
+    noisy[10] ^= 0xFF
+    noisy[200] ^= 0x55
+    b = synth_payload("asset-B")
+    h = P.phash64(P.payload_gray32([a, bytes(noisy), b, a]))
+    assert h[0] == h[3]                               # deterministic
+    d_near = int(hamming_distance(h[:1], h[1:2])[0])
+    d_far = int(hamming_distance(h[:1], h[2:3])[0])
+    assert d_near <= P.MAX_HAMMING, d_near
+    assert d_far > P.MAX_HAMMING, d_far
+
+
+def test_phash_band_recall_guarantee():
+    """Any two hashes within Hamming MAX_HAMMING share >=1 band key —
+    the pigeonhole property the banded search's exact recall rests on."""
+    import numpy as np
+    from pdf_extraction_ray.functions import phash as P
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 2**63, size=200, dtype=np.int64).view(np.uint64)
+    for h in base:
+        flips = rng.choice(64, size=P.MAX_HAMMING, replace=False)
+        h2 = h
+        for f in flips:
+            h2 = h2 ^ (np.uint64(1) << np.uint64(f))
+        k1 = P.band_keys(np.array([h]))[0]
+        k2 = P.band_keys(np.array([h2]))[0]
+        assert (k1 == k2).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_phash_pairs_planted_near_duplicates():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from pdf_extraction_ray.functions import phash as P
+    from pdf_extraction_ray.pipelines.media import phash_pairs_from_media
+    from pdf_extraction_ray.stages.multimodal import (MEDIA_SCHEMA,
+                                                      synth_payload)
+
+    a = synth_payload("asset-A")
+    noisy = bytearray(a)
+    noisy[33] ^= 0x0F
+    rows = []
+    for ref, payload in [("media://d1/a", a),
+                         ("media://d2/a-noisy", bytes(noisy)),
+                         ("media://d3/b", synth_payload("asset-B")),
+                         ("media://d4/c", synth_payload("asset-C"))]:
+        rows.append({"doc_id": ref.split("/")[2], "media_ref": ref,
+                     "media_type": "image", "payload": payload,
+                     "meta": {"declared_w": 0, "declared_h": 0,
+                              "duration_ms": 0}})
+    media = rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    pairs = phash_pairs_from_media(media).to_pandas()
+    assert len(pairs) == 1, pairs
+    assert pairs.iloc[0]["ref_a"] == "media://d1/a"
+    assert pairs.iloc[0]["ref_b"] == "media://d2/a-noisy"
+    assert pairs.iloc[0]["hamming"] <= P.MAX_HAMMING
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_phash_pairs_nonempty_on_sf_corpus():
+    """The variant payload model plants cross-document near-dups of the
+    same asset, so the corpus query must find pairs at every sf (a
+    0-row result here would mean the operator went dead — the round-1
+    embedding-dedup failure mode)."""
+    from pdf_extraction_ray.pipelines.media import media_phash_pairs
+
+    pairs = media_phash_pairs("/root/testdata/sf0.001").to_pandas()
+    assert len(pairs) > 0
+    assert (pairs["hamming"] <= 7).all()
+    assert (pairs["ref_a"] < pairs["ref_b"]).all()
