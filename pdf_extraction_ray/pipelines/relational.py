@@ -2363,7 +2363,80 @@ FROM hc FULL OUTER JOIN orders o ON hc.c_custkey = o.o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Conversion funnel (sequential per-user pattern over the event log)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+FUNNEL_WINDOW_DAYS = 3
+_FUNNEL_WIN_US = FUNNEL_WINDOW_DAYS * 86_400_000_000
+
+
+def events_funnel(sf_dir: str):
+    """Sequential conversion funnel: users who signed up, then clicked
+    STRICTLY after their first signup but within 3 days, then purchased
+    strictly after that first qualifying click within 3 days. All three
+    steps are per-user min-timestamp chains, so one coarse user_id
+    exchange computes the whole funnel vectorized per partition and
+    only 3-row partials leave each task."""
+    zero = pd.DataFrame({"step": list(FUNNEL_STEPS),
+                         "n_users": pd.Series([0, 0, 0], dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return zero
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        cur = None
+        counts = []
+        for step in FUNNEL_STEPS:
+            e = g.loc[g["event_type"] == step, ["user_id", "ts"]]
+            if cur is not None:
+                e = e.merge(cur, on="user_id")
+                ts = e["ts"].to_numpy().astype("datetime64[us]") \
+                    .astype(np.int64)
+                tp = e["t_prev"].to_numpy().astype("datetime64[us]") \
+                    .astype(np.int64)
+                e = e[(ts > tp) & (ts <= tp + _FUNNEL_WIN_US)]
+            cur = e.groupby("user_id", as_index=False)["ts"].min() \
+                .rename(columns={"ts": "t_prev"})
+            counts.append(len(cur))
+        return pd.DataFrame({"step": list(FUNNEL_STEPS),
+                             "n_users": pd.Series(counts, dtype="int64")})
+
+    parts = _coarse_partition_map(ds, "user_id", funnel_part).to_pandas()
+    if parts.empty or "step" not in parts.columns:
+        return zero
+    out = parts.groupby("step", as_index=False)["n_users"].sum()
+    out = pd.DataFrame({"step": list(FUNNEL_STEPS)}).merge(out, how="left") \
+        .fillna({"n_users": 0}).sort_values("step").reset_index(drop=True)
+    return out.astype({"n_users": "int64"})
+
+
+FUNNEL_SQL = f"""
+WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND e.ts > s1.t
+         AND e.ts <= s1.t + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND e.ts > s2.t
+         AND e.ts <= s2.t + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+       GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT '{FUNNEL_STEPS[0]}' AS step,
+         CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+  UNION ALL
+  SELECT '{FUNNEL_STEPS[1]}', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT '{FUNNEL_STEPS[2]}', CAST(COUNT(*) AS BIGINT) FROM s3)
+ORDER BY step
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":
         (customers_orders_full_outer, FULL_OUTER_SQL),
     "orders_events_range_join": (orders_events_range_join, RANGE_JOIN_SQL),

@@ -697,7 +697,46 @@ ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Unicode normalization rewrite (NFC + whitespace canonicalization)
+# ---------------------------------------------------------------------------
+
+def doc_text_normalized(sf_dir: str):
+    """Text-canonicalization rewrite: unicode NFC, whitespace runs
+    collapsed to single spaces, trimmed — the first stage of any
+    web-scale text pipeline (mojibake-adjacent cleanup). All three
+    transforms are Arrow kernels (utf8_normalize + RE2 replace), zero
+    per-row Python; the oracle applies DuckDB's nfc_normalize +
+    regexp_replace in the same order."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_normalize(text, form="NFC"), r"\s+", " "))
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "norm_text": norm,
+            "n_chars_before": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_chars_after": pc.cast(pc.utf8_length(norm), pa.int64())})
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+NORMALIZED_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))
+           AS norm_text,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length(trim(regexp_replace(nfc_normalize(text), '\s+', ' ',
+                                       'g'))) AS BIGINT) AS n_chars_after
+FROM documents
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "doc_text_normalized": (doc_text_normalized, NORMALIZED_SQL),
     "doc_quality_rank": (doc_quality_rank, QUALITY_RANK_SQL),
     "doc_trigram_lm": (doc_trigram_lm, None),
     "doc_model_scores": (doc_model_scores, MODEL_SCORES_SQL),
