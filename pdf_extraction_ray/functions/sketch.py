@@ -148,3 +148,57 @@ def bloom_contains_hashes(bf: np.ndarray, hashes: np.ndarray) -> np.ndarray:
         bit = (bf[idx >> 3] >> (idx & 7).astype(np.uint8)) & np.uint8(1)
         out &= bit.astype(bool)
     return out
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style log-binned quantile sketch (mergeable, relative-error
+# bounded). Bins are gamma^i boundaries with gamma = (1+alpha)/(1-alpha),
+# so any returned quantile is within alpha relative error of the true
+# value; merging is elementwise addition, so partial sketches stream
+# through any tree of combines without error growth.
+# ---------------------------------------------------------------------------
+
+DDS_ALPHA = 0.01
+DDS_GAMMA = (1 + DDS_ALPHA) / (1 - DDS_ALPHA)
+DDS_MIN = 1e-9                 # values below this collapse into bin 0
+DDS_BINS = 4096                # covers up to DDS_MIN * gamma^4095 (~1e26)
+_LOG_G = np.log(DDS_GAMMA)
+
+
+def dds_create() -> np.ndarray:
+    """int64[DDS_BINS + 1]: slot 0 counts values <= DDS_MIN (incl. 0)."""
+    return np.zeros(DDS_BINS + 1, dtype=np.int64)
+
+
+def dds_add(sk: np.ndarray, values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values, dtype=np.float64)
+    v = v[~np.isnan(v)]
+    if len(v) == 0:
+        return sk
+    small = v <= DDS_MIN
+    sk[0] += int(small.sum())
+    big = v[~small]
+    if len(big):
+        idx = np.ceil(np.log(big / DDS_MIN) / _LOG_G).astype(np.int64)
+        idx = np.clip(idx, 1, DDS_BINS)
+        np.add.at(sk, idx, 1)
+    return sk
+
+
+def dds_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def dds_quantile(sk: np.ndarray, q: float) -> float:
+    """Value at quantile q (rank = ceil(q * n), lower bin midpoint in
+    log space) — within DDS_ALPHA relative error of the exact result."""
+    n = int(sk.sum())
+    if n == 0:
+        return 0.0
+    rank = max(1, int(np.ceil(q * n)))
+    cum = np.cumsum(sk)
+    b = int(np.searchsorted(cum, rank))
+    if b == 0:
+        return 0.0
+    # geometric midpoint of (gamma^(b-1), gamma^b] * DDS_MIN
+    return float(DDS_MIN * DDS_GAMMA ** (b - 0.5))

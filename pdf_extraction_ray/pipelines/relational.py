@@ -2364,6 +2364,114 @@ FROM hc FULL OUTER JOIN orders o ON hc.c_custkey = o.o_custkey
 
 
 # ---------------------------------------------------------------------------
+# Group-wise top-k (bounded partials, no exchange)
+# ---------------------------------------------------------------------------
+
+SEG_TOPK = 3
+
+
+def segment_top_orders(sf_dir: str):
+    """Top-3 orders per market segment by total price (ROW_NUMBER <= k
+    per group): every batch keeps only its local top-3 per segment
+    (group count is bounded, so partials are <= 3*|segments| rows per
+    block), and the driver finishes on that bounded set — group-wise
+    top-k never needs an exchange when the group domain is small."""
+    empty = pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
+                          "o_orderkey": pd.Series(dtype="int64"),
+                          "total_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "customer"):
+        return empty
+    cust = pd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"])
+    order = np.argsort(cust["c_custkey"].to_numpy())
+    ck = cust["c_custkey"].to_numpy()[order].astype(np.int64)
+    seg = cust["c_mktsegment"].to_numpy()[order]
+    ref = ray.put((ck, seg))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck_s, seg_s = ray.get(ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ck_s, keys), len(ck_s) - 1) \
+            if len(ck_s) else np.zeros(len(keys), dtype=int)
+        found = len(ck_s) > 0 and (ck_s[pos] == keys)
+        df = pd.DataFrame({
+            "c_mktsegment": seg_s[pos][found],
+            "o_orderkey": batch["o_orderkey"]
+            .to_numpy(zero_copy_only=False)[found],
+            "total_x100": _cents(batch["o_totalprice"])
+            .to_numpy(zero_copy_only=False)[found]})
+        top = df.sort_values(["total_x100", "o_orderkey"],
+                             ascending=[False, True]) \
+            .groupby("c_mktsegment").head(SEG_TOPK)
+        return _from_pandas(top)
+
+    parts = rd.read_parquet(_pq(sf_dir, "orders"),
+                            columns=["o_custkey", "o_orderkey",
+                                     "o_totalprice"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    out = parts.sort_values(["total_x100", "o_orderkey"],
+                            ascending=[False, True]) \
+        .groupby("c_mktsegment").head(SEG_TOPK) \
+        .sort_values(["c_mktsegment", "total_x100", "o_orderkey"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+    return out.astype({"o_orderkey": "int64", "total_x100": "int64"})
+
+
+SEG_TOPK_SQL = f"""
+SELECT c_mktsegment, o_orderkey, total_x100 FROM (
+  SELECT c_mktsegment, o_orderkey,
+         CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS total_x100,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY CAST(ROUND(o_totalprice * 100.0) AS BIGINT) DESC,
+                    o_orderkey) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey) t
+WHERE rn <= {SEG_TOPK}
+ORDER BY c_mktsegment, total_x100 DESC, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles (mergeable DDSketch — bounded relative error)
+# ---------------------------------------------------------------------------
+
+DDS_QUANTILES = (0.5, 0.9, 0.99)
+
+
+def events_value_quantiles_approx(sf_dir: str):
+    """Approximate p50/p90/p99 of events.value by mergeable log-binned
+    sketch (DDSketch shape): each batch emits one 32 KiB histogram, the
+    driver streams and adds them (same shape as the HLL sketch), and
+    any answer is within 1% relative error of exact — the scale path
+    for quantiles over data too big to sort (the exact groupwise
+    percentiles operator stays for oracled workloads). Rows-only query;
+    the error bound is asserted against exact quantiles in tests."""
+    from ..functions import sketch as S
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = S.dds_create()
+        S.dds_add(sk, batch["value"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [pa.array([sk.tobytes()], type=pa.binary())], names=["sk"])
+
+    merged = S.dds_create()
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for raw in b["sk"].to_pylist():
+            merged = S.dds_merge(merged,
+                                 np.frombuffer(raw, dtype=np.int64))
+    return pd.DataFrame({
+        "quantile": pd.Series(DDS_QUANTILES, dtype="float64"),
+        "value_approx": pd.Series(
+            [S.dds_quantile(merged, q) for q in DDS_QUANTILES],
+            dtype="float64")})
+
+
+# ---------------------------------------------------------------------------
 # Conversion funnel (sequential per-user pattern over the event log)
 # ---------------------------------------------------------------------------
 
@@ -2436,6 +2544,8 @@ ORDER BY step
 
 
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "events_value_quantiles_approx": (events_value_quantiles_approx, None),
+    "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":
         (customers_orders_full_outer, FULL_OUTER_SQL),

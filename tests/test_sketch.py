@@ -116,3 +116,56 @@ def test_bloom_merge_is_union():
     S.bloom_add_hashes(b, hb)
     S.bloom_add_hashes(u, np.concatenate([ha, hb]))
     assert np.array_equal(S.bloom_merge(a, b), u)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch quantiles
+# ---------------------------------------------------------------------------
+
+def test_dds_quantile_error_bound_and_merge():
+    import numpy as np
+    from pdf_extraction_ray.functions import sketch as S
+
+    rng = np.random.default_rng(5)
+    v = np.concatenate([rng.exponential(50, 50000),
+                        rng.uniform(0, 1, 5000), [0.0] * 50])
+    # split into 7 partials merged in arbitrary order == one-shot sketch
+    parts = np.array_split(rng.permutation(v), 7)
+    merged = S.dds_create()
+    for p in parts:
+        sk = S.dds_create()
+        S.dds_add(sk, p)
+        merged = S.dds_merge(merged, sk)
+    one = S.dds_create()
+    S.dds_add(one, v)
+    assert (merged == one).all()
+    for q in (0.5, 0.9, 0.99):
+        est = S.dds_quantile(merged, q)
+        true = float(np.quantile(v, q))
+        assert abs(est - true) / true <= 2.5 * S.DDS_ALPHA, (q, est, true)
+
+
+def test_dds_zeros_and_empty():
+    import numpy as np
+    from pdf_extraction_ray.functions import sketch as S
+
+    assert S.dds_quantile(S.dds_create(), 0.5) == 0.0
+    sk = S.dds_create()
+    S.dds_add(sk, np.zeros(10))
+    assert S.dds_quantile(sk, 0.99) == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_events_value_quantiles_approx_vs_exact():
+    import duckdb
+    from pdf_extraction_ray.pipelines.relational import (
+        events_value_quantiles_approx)
+
+    sf = "/root/testdata/sf0.001"
+    out = events_value_quantiles_approx(sf).set_index("quantile")
+    exact = duckdb.sql(
+        f"SELECT quantile_cont(value, [0.5, 0.9, 0.99]) FROM "
+        f"read_parquet('{sf}/events.parquet')").fetchall()[0][0]
+    for q, true in zip((0.5, 0.9, 0.99), exact):
+        est = out.loc[q, "value_approx"]
+        assert abs(est - true) / true <= 0.025, (q, est, true)
