@@ -2364,6 +2364,66 @@ FROM hc FULL OUTER JOIN orders o ON hc.c_custkey = o.o_custkey
 
 
 # ---------------------------------------------------------------------------
+# CDC latest-state compaction (upsert log -> current table)
+# ---------------------------------------------------------------------------
+
+def events_latest_state(sf_dir: str):
+    """Change-log compaction: the event stream as an upsert log, reduced
+    to each user's CURRENT state (latest event by ts, event_id as the
+    tie-break — the Delta/Hudi merge-latest shape). Each batch first
+    reduces to its own per-user latest, so the exchange moves at most
+    one row per (user, batch); the per-partition merge picks the global
+    latest. Oracled against the ROW_NUMBER()=1 window."""
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "last_ts": pd.Series(dtype="datetime64[us]"),
+                          "last_event_type": pd.Series(dtype="object"),
+                          "last_value_x1e6": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        return df.groupby("user_id", as_index=False).last()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "ts": batch["ts"].to_numpy(zero_copy_only=False),
+            "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"]
+            .to_numpy(zero_copy_only=False),
+            "value_x1e6": _cents(batch["value"], 1e6)
+            .to_numpy(zero_copy_only=False)})
+        return _from_pandas(latest(df))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        m = latest(g)
+        return pd.DataFrame({
+            "user_id": m["user_id"].astype("int64"),
+            "last_ts": m["ts"],
+            "last_event_type": m["event_type"],
+            "last_value_x1e6": m["value_x1e6"].astype("int64")})
+
+    out = _coarse_partition_map(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", final)
+    return out.sort("user_id")
+
+
+LATEST_STATE_SQL = """
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       CAST(ROUND(value * 1000000.0) AS BIGINT) AS last_value_x1e6
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Group-wise top-k (bounded partials, no exchange)
 # ---------------------------------------------------------------------------
 
@@ -2545,6 +2605,7 @@ ORDER BY step
 
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_value_quantiles_approx": (events_value_quantiles_approx, None),
+    "events_latest_state": (events_latest_state, LATEST_STATE_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

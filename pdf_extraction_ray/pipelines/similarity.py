@@ -347,7 +347,67 @@ def embeddings_kmeans(sf_dir: str):
         "inertia_x1e3": (stats["sq_dist"] * 1e3).astype("int64")})
 
 
+# ---------------------------------------------------------------------------
+# Distributed PCA (one-pass second-moment partials + tiny driver eigh)
+# ---------------------------------------------------------------------------
+
+PCA_TOPK = 4
+
+
+def embedding_pca_top(sf_dir: str):
+    """Top principal components of the embedding matrix: ONE streaming
+    pass emits each batch's (sum, count, X^T X) moment partials — a
+    d x d float64 block regardless of corpus size — the driver adds
+    them, forms the covariance, and eigendecomposes the tiny d x d
+    matrix. The classic scale shape for PCA over data too big to
+    centralize: no row ever leaves its batch. Output: component rank,
+    eigenvalue, explained-variance ratio. Tested against numpy PCA on
+    the full matrix (float tolerance — partial-sum order makes bit
+    equality meaningless here, unlike the integer aggregates)."""
+    ds = _emb(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        xtx = m.T @ m                                   # (d, d)
+        s = m.sum(axis=0)                               # (d,)
+        return pa.Table.from_pydict({
+            "xtx": [xtx.tobytes()],
+            "s": [s.tobytes()],
+            "n": [np.int64(len(m))],
+            "d": [np.int64(m.shape[1])]})
+
+    xtx_sum, s_sum, n_total, d = None, None, 0, 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for xtx_raw, s_raw, n, dd in zip(b["xtx"].to_pylist(),
+                                         b["s"].to_pylist(),
+                                         b["n"].to_pylist(),
+                                         b["d"].to_pylist()):
+            d = int(dd)
+            x = np.frombuffer(xtx_raw).reshape(d, d)
+            s = np.frombuffer(s_raw)
+            xtx_sum = x if xtx_sum is None else xtx_sum + x
+            s_sum = s if s_sum is None else s_sum + s
+            n_total += int(n)
+    if n_total < 2:
+        return pd.DataFrame({"component": pd.Series(dtype="int64"),
+                             "eigenvalue": pd.Series(dtype="float64"),
+                             "explained_ratio":
+                                 pd.Series(dtype="float64")})
+    mean = s_sum / n_total
+    cov = xtx_sum / n_total - np.outer(mean, mean)
+    w = np.linalg.eigvalsh(cov)[::-1]                   # descending
+    total = float(w.sum())
+    top = w[:PCA_TOPK]
+    return pd.DataFrame({
+        "component": pd.Series(np.arange(1, len(top) + 1), dtype="int64"),
+        "eigenvalue": pd.Series(top, dtype="float64"),
+        "explained_ratio": pd.Series(top / total, dtype="float64")})
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "embedding_pca_top": (embedding_pca_top, None),
     "embeddings_kmeans": (embeddings_kmeans, None),
     "knn_multi_query": (knn_multi_query, KNN_MULTI_SQL),
     "knn_cosine": (knn_cosine, KNN_SQL),

@@ -82,7 +82,7 @@ EVENT_QUERIES = [
     "events_cohort_retention", "events_asof_orders",
     "orders_events_range_join", "top_order_per_customer",
     "orders_moving_window", "orders_monthly", "orders_rollup",
-    "orders_cube", "events_funnel",
+    "orders_cube", "events_funnel", "events_latest_state",
 ]
 
 

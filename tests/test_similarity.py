@@ -90,3 +90,24 @@ def test_kmeans_inertia_monotone_and_partition():
     again = S.embeddings_kmeans(sf)
     assert np.array_equal(res["inertia_x1e3"].to_numpy(),
                           again["inertia_x1e3"].to_numpy())
+
+
+def test_embedding_pca_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pdf_extraction_ray.pipelines.similarity import embedding_pca_top
+
+    sf = "/root/testdata/sf0.001"
+    out = embedding_pca_top(sf)
+    m = np.stack(pq.read_table(f"{sf}/embeddings.parquet",
+                               columns=["embedding"])["embedding"]
+                 .to_numpy(zero_copy_only=False)).astype(np.float64)
+    cov = np.cov(m, rowvar=False, bias=True)
+    w = np.linalg.eigvalsh(cov)[::-1]
+    assert len(out) == 4
+    np.testing.assert_allclose(out["eigenvalue"].to_numpy(), w[:4],
+                               rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(out["explained_ratio"].to_numpy(),
+                               w[:4] / w.sum(), rtol=1e-8, atol=1e-12)
+    assert (out["eigenvalue"].to_numpy()[:-1]
+            >= out["eigenvalue"].to_numpy()[1:]).all()
