@@ -210,6 +210,35 @@ def doc_chunks(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def doc_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (gear rolling hash, min/max clamped):
+    boundaries key on CONTENT, so edits perturb only nearby chunks and
+    chunk-level exact dedup collapses the shared remainder across
+    near-identical documents — the dedup-friendly complement to the
+    fixed recursive chunker. Emits (doc_id, chunk_id, chunk_size,
+    chunk_md5); the md5 is what a downstream chunk-dedup groups on.
+    Not SQL-expressible (rolling hash); the shift-invariance property
+    and exact reassembly are unit-tested."""
+    from ..functions.cdc import cdc_chunks
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_ids, sizes, md5s = [], [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for ci, ch in enumerate(cdc_chunks(text or "")):
+                doc_ids.append(doc_id)
+                chunk_ids.append(ci)
+                sizes.append(len(ch))
+                md5s.append(hashlib.md5(ch.encode()).hexdigest())
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids, type=pa.int64()),
+             pa.array(chunk_ids, type=pa.int64()),
+             pa.array(sizes, type=pa.int64()),
+             pa.array(md5s, type=pa.string())],
+            names=["doc_id", "chunk_id", "chunk_size", "chunk_md5"])
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Rolling-hash fingerprint — not SQL-expressible
 # ---------------------------------------------------------------------------
@@ -747,6 +776,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_dedup_exact": (doc_dedup_exact, DEDUP_EXACT_SQL),
     "doc_chunks": (doc_chunks, None),
+    "doc_cdc_chunks": (doc_cdc_chunks, None),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
     "langid_accuracy": (langid_accuracy, LANGID_ACC_SQL),
     "doc_quality_filter": (doc_quality_filter, QUALITY_FILTER_SQL),
