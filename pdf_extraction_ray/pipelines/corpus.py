@@ -912,7 +912,65 @@ ORDER BY doc_id
 MIXTURE_SQL = _mixture_sql()
 
 
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield-Lund-Thorup weighted sample, exact oracle)
+# ---------------------------------------------------------------------------
+
+PRIORITY_SAMPLE_K = 50
+_PRI_MULT = 2654435761          # Knuth multiplicative hash
+_PRI_MOD = 4294967296           # 2^32
+
+
+def doc_priority_sample(sf_dir: str):
+    """Weighted sample of K documents by priority sampling: each doc
+    gets priority q = w / u with weight w = n_chars and u = h/2^32 a
+    deterministic per-doc uniform; the K largest-priority docs form an
+    unbiased weighted sample (Duffield-Lund-Thorup) — the mixture-
+    building sampler that upweights long documents without a shuffle.
+    Every batch keeps its local top-K, the driver finishes on the
+    bounded partials. The key uses ONLY IEEE-exact operations
+    (integer hash, one multiply, one divide — no pow/log), so the
+    DuckDB oracle reproduces the ordering bit-exactly."""
+    k = PRIORITY_SAMPLE_K
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        w = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = (doc * _PRI_MULT) % _PRI_MOD + 1
+        q = (w.astype(np.float64) * float(_PRI_MOD)) / h
+        top = np.lexsort((doc, -q))[:k]
+        return pa.Table.from_pydict({
+            "doc_id": doc[top].astype(np.int64),
+            "n_chars": w[top],
+            "priority": q[top]})
+
+    parts = _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_chars": pd.Series(dtype="int64"),
+                             "priority": pd.Series(dtype="float64")})
+    return parts.sort_values(["priority", "doc_id"],
+                             ascending=[False, True]).head(k) \
+        .reset_index(drop=True)
+
+
+PRIORITY_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars, priority FROM (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         (CAST(length(text) AS DOUBLE) * {_PRI_MOD}.0)
+           / ((doc_id * {_PRI_MULT}) % {_PRI_MOD} + 1) AS priority
+  FROM documents) t
+ORDER BY priority DESC, doc_id
+LIMIT {PRIORITY_SAMPLE_K}
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "doc_priority_sample": (doc_priority_sample, PRIORITY_SAMPLE_SQL),
     "cms_token_counts": (cms_token_counts, None),
     "doc_dup_block_stats": (doc_dup_block_stats, DUP_BLOCK_SQL),
     "doc_dedup_blocks": (doc_dedup_blocks, DEDUP_BLOCKS_SQL),
