@@ -188,6 +188,98 @@ def _time_queries(d: str, pairs) -> tuple[dict, dict]:
     return timings, rows
 
 
+def _ensure_relstress_tables(n_li: int) -> str:
+    """Synthesize a TPC-H-shaped dataset at ~20x the sf0.1 row scale:
+    sharded lineitem (n_li rows) + orders (n_li/4), dimension tables
+    copied from sf0.1 so key domains line up. Cached under /tmp."""
+    import numpy as np
+    import pandas as pd
+    import shutil as sh
+
+    d = f"/tmp/pdfxr_relstress/{n_li}"
+    if os.path.exists(os.path.join(d, "_READY")):
+        return d
+    sh.rmtree(d, ignore_errors=True)
+    os.makedirs(os.path.join(d, "lineitem.parquet"), exist_ok=True)
+    src = "/root/testdata/sf0.1"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "events", "documents", "embeddings"):
+        sh.copy(f"{src}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    n_ord = n_li // 4
+    n_part = pd.read_parquet(f"{src}/part.parquet",
+                             columns=["p_partkey"]).shape[0]
+    n_supp = 100
+    n_cust = pd.read_parquet(f"{src}/customer.parquet",
+                             columns=["c_custkey"]).shape[0]
+    rng = np.random.default_rng(7)
+    base = np.datetime64("1995-01-01")
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, n_cust, n_ord).astype(np.int64),
+        "o_orderstatus": rng.choice(["F", "O", "P"], n_ord),
+        "o_totalprice": rng.integers(0, 50_000_000, n_ord) / 100.0,
+        "o_orderdate": base + rng.integers(0, 2400, n_ord)
+        .astype("timedelta64[D]"),
+        "o_orderpriority": rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"], n_ord)})
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders.to_parquet(os.path.join(d, "orders.parquet"))
+    odate = orders["o_orderdate"].to_numpy()
+    shard = 500_000
+    for s in range(0, n_li, shard):
+        m = min(shard, n_li - s)
+        key = rng.integers(0, n_ord, m).astype(np.int64)
+        li = pd.DataFrame({
+            "l_orderkey": key,
+            "l_partkey": rng.integers(0, n_part, m).astype(np.int64),
+            "l_suppkey": rng.integers(0, n_supp, m).astype(np.int64),
+            "l_linenumber": rng.integers(1, 8, m).astype(np.int32),
+            "l_quantity": rng.integers(1, 51, m).astype(float),
+            "l_extendedprice": rng.integers(100, 10_000_000, m) / 100.0,
+            "l_discount": rng.integers(0, 11, m) / 100.0,
+            "l_tax": rng.integers(0, 9, m) / 100.0,
+            "l_returnflag": rng.choice(["A", "N", "R"], m),
+            "l_linestatus": rng.choice(["F", "O"], m),
+            "l_shipdate": (odate[key] + rng.integers(1, 130, m)
+                           .astype("timedelta64[D]"))
+            .astype("datetime64[us]")})
+        li.to_parquet(os.path.join(d, "lineitem.parquet",
+                                   f"part-{s // shard:04d}.parquet"))
+    open(os.path.join(d, "_READY"), "w").write("ok")
+    return d
+
+
+def _relstress():
+    """Relational tier at ~20x the sf0.1 scale (10M lineitem / 2.5M
+    orders): scan-shaped (q1/q6/q14) and exchange-shaped (q4/q18/q12)
+    queries end-to-end, verifying the plans hold past the test SFs."""
+    n_li = int(os.environ.get("GRAFT_RELSTRESS_ROWS", "10000000"))
+    d = _ensure_relstress_tables(n_li)
+
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from pdf_extraction_ray.pipelines.relational import (
+        q1_pricing_summary, q6_forecast_revenue, q18_large_orders)
+    from pdf_extraction_ray.pipelines.tpch import (
+        q4_priority_count, q12_priority_class, q14_promo_revenue)
+
+    timings, rows = _time_queries(d, (
+        ("q1_pricing_summary", q1_pricing_summary),
+        ("q6_forecast_revenue", q6_forecast_revenue),
+        ("q14_promo_revenue", q14_promo_revenue),
+        ("q4_priority_count", q4_priority_count),
+        ("q12_priority_class", q12_priority_class),
+        ("q18_large_orders", q18_large_orders)))
+    print(json.dumps({"metric": "relational_stress", "n_lineitem": n_li,
+                      "num_cpus": 32, "timings_sec": timings,
+                      "result_rows": rows}))
+    ray.shutdown()
+
+
 def _dedup_stress():
     """Dedup family at 50x the testdata document scale: 250k-row
     documents table (1% planted near-dups), exact / MinHash-LSH /
@@ -326,6 +418,9 @@ def main():
         return
     if "--dedup" in sys.argv:
         _dedup_stress()
+        return
+    if "--relstress" in sys.argv:
+        _relstress()
         return
     if "--corpus" in sys.argv:
         _corpus_stress()

@@ -18,6 +18,11 @@ Scale design notes (these run on ~100 TB inputs in production):
   x1e4 / x1e6) BEFORE summation, so distributed summation order cannot
   perturb results and the DuckDB comparison is bit-exact.
 - **Pruned reads**: every ``read_parquet`` passes ``columns=``.
+- **Whole-block batches**: every stateless vectorized stage passes
+  ``batch_size=None`` (= one batch per block). The map_batches default
+  of 1024 rows costs one pandas/Arrow kernel dispatch per KB-scale
+  slice — measured 4.7x slower on q18 at 10M rows — while these
+  kernels are O(rows) on block-sized inputs.
 """
 
 from __future__ import annotations
@@ -65,7 +70,7 @@ def _coarse_grouped_map(ds, key: str, per_group_fn, n_coarse: int = 64):
                 for _, sub in g.groupby(key)]
         return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
 
-    return ds.map_batches(add_coarse, batch_format="pyarrow") \
+    return ds.map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
              .groupby("_coarse").map_groups(run, batch_format="pandas")
 
 
@@ -80,7 +85,7 @@ def _coarse_partition_map(ds, key: str, partition_fn, n_coarse: int = 64):
         return batch.append_column("_coarse", pa.array(c.astype(np.int64))) \
             .replace_schema_metadata(None)
 
-    return ds.map_batches(add_coarse, batch_format="pyarrow") \
+    return ds.map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
              .groupby("_coarse") \
              .map_groups(lambda g: partition_fn(g.drop(columns=["_coarse"])),
                          batch_format="pandas")
@@ -100,7 +105,7 @@ def _coarse_grouped_map_union(left, right, partition_fn, key: str = "key",
             .replace_schema_metadata(None)
 
     return (left.union(right)
-            .map_batches(add_coarse, batch_format="pyarrow")
+            .map_batches(add_coarse, batch_format="pyarrow", batch_size=None)
             .groupby("_coarse")
             .map_groups(lambda g: partition_fn(g.drop(columns=["_coarse"])),
                         batch_format="pandas"))
@@ -119,7 +124,7 @@ def _coarse_str_partition_map(ds, key: str, partition_fn,
             "_coarse", pa.array((h % np.uint64(n_coarse)).astype(np.int64))) \
             .replace_schema_metadata(None)
 
-    return ds.map_batches(add_coarse, batch_format="pyarrow") \
+    return ds.map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
              .groupby("_coarse") \
              .map_groups(lambda g: partition_fn(g.drop(columns=["_coarse"])),
                          batch_format="pandas")
@@ -177,7 +182,7 @@ def q1_pricing_summary(sf_dir: str):
                     count_order=("sum_qty_x100", "size")))
         return _from_pandas(g)
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
              .groupby(["l_returnflag", "l_linestatus"])
              .aggregate(Sum("sum_qty_x100", alias_name="sum_qty_x100"),
                         Sum("sum_base_x100", alias_name="sum_base_x100"),
@@ -191,7 +196,7 @@ def q1_pricing_summary(sf_dir: str):
         avg = np.where(n > 0, (q * 100) // np.maximum(n, 1), 0)
         return batch.append_column("avg_qty_x1e4", pa.array(avg, type=pa.int64()))
 
-    return agg.map_batches(finalize, batch_format="pyarrow") \
+    return agg.map_batches(finalize, batch_format="pyarrow", batch_size=None) \
               .sort(["l_returnflag", "l_linestatus"])
 
 
@@ -252,7 +257,7 @@ def q3_top_orders(sf_dir: str):
 
     # partials are small; coalesce before the high-cardinality groupby so
     # the sort-based shuffle runs over a few blocks, not 64 tiny ones
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
              .repartition(16)
              .groupby("o_orderkey")
              .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4")))
@@ -266,7 +271,7 @@ def q3_top_orders(sf_dir: str):
                  for k in batch["o_orderkey"].to_pylist()]
         return batch.append_column("o_orderdate", pa.array(dates, type=pa.string()))
 
-    return top.map_batches(attach_date, batch_format="pyarrow")
+    return top.map_batches(attach_date, batch_format="pyarrow", batch_size=None)
 
 
 Q3_SQL = f"""
@@ -317,7 +322,7 @@ def q6_forecast_revenue(sf_dir: str):
         return pa.Table.from_pydict(
             {"revenue_x1e4": pa.array([s], type=pa.int64())})
 
-    total = ds.map_batches(partial, batch_format="pyarrow") \
+    total = ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
         .sum("revenue_x1e4")
     return pd.DataFrame({"revenue_x1e4":
                          pd.Series([int(total or 0)], dtype="int64")})
@@ -395,7 +400,7 @@ def q18_large_orders(sf_dir: str):
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey",
                                       "o_totalprice", "o_orderdate"]) \
-        .map_batches(tag_orders, batch_format="pyarrow")
+        .map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         # every partial of a key lands here: final sum + HAVING + attach
@@ -422,7 +427,7 @@ def q18_large_orders(sf_dir: str):
             "o_orderdate": od["o_orderdate"].reindex(keys).to_numpy()})
 
     joined = _coarse_grouped_map_union(
-        li.map_batches(li_partial, batch_format="pyarrow"), orders, attach)
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=None), orders, attach)
 
     out = (joined
            .sort(["total_x100", "o_orderkey"], descending=[True, False])
@@ -501,7 +506,7 @@ def q10_returned_customers(sf_dir: str):
             "revenue_x1e4": rev.to_numpy(zero_copy_only=False)})
         return _from_pandas(df.groupby("l_orderkey", as_index=False).sum())
 
-    rev_by_order = (li.map_batches(li_partial, batch_format="pyarrow")
+    rev_by_order = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=None)
                     .repartition(16)
                     .groupby("l_orderkey")
                     .aggregate(Sum("revenue_x1e4",
@@ -522,7 +527,7 @@ def q10_returned_customers(sf_dir: str):
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"]) \
-        .map_batches(orders_window, batch_format="pyarrow")
+        .map_batches(orders_window, batch_format="pyarrow", batch_size=None)
 
     def tag_rev_order(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -546,7 +551,7 @@ def q10_returned_customers(sf_dir: str):
             "revenue_x1e4": r["revenue_x1e4"].astype("int64").to_numpy()})
 
     by_cust = (_coarse_grouped_map_union(
-        rev_by_order.map_batches(tag_rev_order, batch_format="pyarrow"),
+        rev_by_order.map_batches(tag_rev_order, batch_format="pyarrow", batch_size=None),
         orders, attach_orders)
         .groupby("o_custkey")
         .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4")))
@@ -569,7 +574,7 @@ def q10_returned_customers(sf_dir: str):
     customer = rd.read_parquet(_pq(sf_dir, "customer"),
                                columns=["c_custkey", "c_name",
                                         "c_acctbal", "c_nationkey"]) \
-        .map_batches(cust_project, batch_format="pyarrow")
+        .map_batches(cust_project, batch_format="pyarrow", batch_size=None)
 
     def tag_rev(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -612,8 +617,8 @@ def q10_returned_customers(sf_dir: str):
             "n_name": cu["n_name"].reindex(keys).to_numpy()})
 
     joined = _coarse_grouped_map_union(
-        by_cust.map_batches(tag_rev, batch_format="pyarrow"),
-        customer.map_batches(tag_cust, batch_format="pyarrow"),
+        by_cust.map_batches(tag_rev, batch_format="pyarrow", batch_size=None),
+        customer.map_batches(tag_cust, batch_format="pyarrow", batch_size=None),
         attach)
 
     # top-k result is tiny: land it driver-side so an empty result keeps
@@ -682,7 +687,7 @@ def q5_nation_revenue(sf_dir: str):
         return pa.Table.from_pandas(
             df.groupby("n_name", as_index=False).sum(), preserve_index=False)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
               .groupby("n_name")
               .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4"))
               .sort("n_name"))
@@ -719,7 +724,7 @@ def filter_high_quantity(sf_dir: str):
             [t["l_orderkey"], pc.cast(t["l_linenumber"], pa.int64()), rev],
             names=["l_orderkey", "l_linenumber", "revenue_x1e4"])
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 FILTER_SQL = f"""
@@ -763,7 +768,7 @@ def orders_monthly(sf_dir: str):
                     n_orders=("total_x100", "size")))
         return _from_pandas(g)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
               .groupby("month")
               .aggregate(Sum("total_x100", alias_name="total_x100"),
                          Sum("n_orders", alias_name="n_orders"))
@@ -802,7 +807,7 @@ def brand_revenue_topk(sf_dir: str):
         return pa.Table.from_pandas(
             df.groupby("p_brand", as_index=False).sum(), preserve_index=False)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
               .groupby("p_brand")
               .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4"))
               .sort(["revenue_x1e4", "p_brand"], descending=[True, False])
@@ -838,7 +843,7 @@ def events_hourly(sf_dir: str):
                     n_events=("value_x1e6", "size")))
         return _from_pandas(g)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
               .groupby(["hour", "event_type"])
               .aggregate(Sum("value_x1e6", alias_name="value_x1e6"),
                          Sum("n_events", alias_name="n_events"))
@@ -918,7 +923,7 @@ def customers_without_orders(sf_dir: str):
             [t["c_custkey"], t["c_name"], _cents(t["c_acctbal"])],
             names=["c_custkey", "c_name", "acctbal_x100"])
 
-    return ds.map_batches(anti, batch_format="pyarrow").sort("c_custkey")
+    return ds.map_batches(anti, batch_format="pyarrow", batch_size=None).sort("c_custkey")
 
 
 ANTI_JOIN_SQL = f"""
@@ -967,11 +972,11 @@ def events_asof_orders(sf_dir: str):
 
     events = rd.read_parquet(_pq(sf_dir, "events"),
                              columns=["event_id", "user_id", "ts"]) \
-        .map_batches(tag_events, batch_format="pyarrow")
+        .map_batches(tag_events, batch_format="pyarrow", batch_size=None)
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"]) \
-        .map_batches(tag_orders, batch_format="pyarrow")
+        .map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
 
     def asof_part(g: pd.DataFrame) -> pd.DataFrame:
         """Whole-partition as-of via ``merge_asof(by="user_id")`` — one
@@ -1004,7 +1009,7 @@ def events_asof_orders(sf_dir: str):
             .replace_schema_metadata(None)
 
     return (events.union(orders)
-            .map_batches(add_coarse, batch_format="pyarrow")
+            .map_batches(add_coarse, batch_format="pyarrow", batch_size=None)
             .groupby("_coarse")
             .map_groups(lambda g: asof_part(g.drop(columns=["_coarse"])),
                         batch_format="pandas")
@@ -1079,8 +1084,8 @@ def segment_order_revenue_native_join(sf_dir: str):
     customer = rd.read_parquet(_pq(sf_dir, "customer"),
                                columns=["c_custkey", "c_mktsegment"]) \
         .map_batches(lambda t: t.replace_schema_metadata(None),
-                     batch_format="pyarrow")
-    joined = orders.map_batches(scale, batch_format="pyarrow").join(
+                     batch_format="pyarrow", batch_size=None)
+    joined = orders.map_batches(scale, batch_format="pyarrow", batch_size=None).join(
         customer, join_type="inner", num_partitions=16,
         on=("o_custkey",), right_on=("c_custkey",))
 
@@ -1093,7 +1098,7 @@ def segment_order_revenue_native_join(sf_dir: str):
                     n_orders=("total_x100", "size")))
         return _from_pandas(g)
 
-    return (joined.map_batches(partial, batch_format="pyarrow")
+    return (joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("c_mktsegment")
             .aggregate(Sum("total_x100", alias_name="total_x100"),
                        Sum("n_orders", alias_name="n_orders"))
@@ -1165,7 +1170,7 @@ def events_hash_sample(sf_dir: str):
             [t["event_id"], t["event_type"], _cents(t["value"], 1e6)],
             names=["event_id", "event_type", "value_x1e6"])
 
-    return ds.map_batches(keep, batch_format="pyarrow").sort("event_id")
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None).sort("event_id")
 
 
 SAMPLE_SQL = f"""
@@ -1188,7 +1193,7 @@ def orders_priority_union(sf_dir: str):
             return pa.Table.from_arrays(
                 [t["o_orderpriority"], _cents(t["o_totalprice"])],
                 names=["o_orderpriority", "total_x100"])
-        return ds.map_batches(fn, batch_format="pyarrow")
+        return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
     both = split("F").union(split("O"))
 
@@ -1201,7 +1206,7 @@ def orders_priority_union(sf_dir: str):
                     n_orders=("total_x100", "size")))
         return _from_pandas(g)
 
-    return (both.map_batches(partial, batch_format="pyarrow")
+    return (both.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("o_orderpriority")
             .aggregate(Sum("total_x100", alias_name="total_x100"),
                        Sum("n_orders", alias_name="n_orders"))
@@ -1241,8 +1246,8 @@ def approx_distinct_users(sf_dir: str):
             [pa.array([reg.tobytes()], type=pa.binary())], names=["sketch"])
 
     merged = S.hll_create()
-    for b in ds.map_batches(partial, batch_format="pyarrow") \
-               .iter_batches(batch_format="pyarrow"):
+    for b in ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
+               .iter_batches(batch_format="pyarrow", batch_size=None):
         for sk in b["sketch"].to_pylist():
             merged = S.hll_merge(merged, np.frombuffer(sk, dtype=np.uint8))
     return pd.DataFrame({"approx_distinct_users": [S.hll_count(merged)]})
@@ -1307,7 +1312,7 @@ def lineitem_discount_hist(sf_dir: str):
         return _from_pandas(g.astype("int64"))
 
     from ray.data.aggregate import Sum
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("bucket")
             .aggregate(Sum("n", alias_name="n"),
                        Sum("sum_qty", alias_name="sum_qty"))
@@ -1352,7 +1357,7 @@ def part_brand_median_price(sf_dir: str):
             .astype({"median_cents": "int64"})
 
     return _coarse_str_partition_map(
-        ds.map_batches(add_key, batch_format="pyarrow"),
+        ds.map_batches(add_key, batch_format="pyarrow", batch_size=None),
         "p_brand", med, n_coarse=16).sort("p_brand")
 
 
@@ -1394,7 +1399,7 @@ def events_type_pivot(sf_dir: str):
         return _from_pandas(g.astype("int64"))
 
     aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("user_id").aggregate(*aggs).sort("user_id"))
 
 
@@ -1435,7 +1440,7 @@ def orders_rollup(sf_dir: str):
             .astype("int64"))
 
     from ray.data.aggregate import Sum
-    monthly = (ds.map_batches(partial, batch_format="pyarrow")
+    monthly = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
                .groupby(["year", "month"])
                .aggregate(Sum("n_orders", alias_name="n_orders"),
                           Sum("revenue_cents", alias_name="revenue_cents"))
@@ -1550,7 +1555,7 @@ def customer_balance_ntile(sf_dir: str):
         return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
 
     return _coarse_str_partition_map(
-        ds.map_batches(add_key, batch_format="pyarrow"),
+        ds.map_batches(add_key, batch_format="pyarrow", batch_size=None),
         "c_mktsegment", windows).sort("c_custkey")
 
 
@@ -1632,7 +1637,7 @@ def nation_customer_counts_left(sf_dir: str):
                                 .to_numpy(zero_copy_only=False)})
                   .groupby("c_nationkey", as_index=False).size()
                   .rename(columns={"size": "n"})),
-                  batch_format="pyarrow")
+                  batch_format="pyarrow", batch_size=None)
               .groupby("c_nationkey")
               .aggregate(Sum("n", alias_name="n")).to_pandas())
     if "c_nationkey" not in counts.columns:   # empty input loses schema
@@ -1655,7 +1660,7 @@ def nation_customer_counts_left(sf_dir: str):
              pa.array([int(cmap.get(k, 0)) for k in nk], type=pa.int64())],
             names=["n_name", "r_name", "n_customers"])
 
-    return nations.map_batches(attach, batch_format="pyarrow").sort("n_name")
+    return nations.map_batches(attach, batch_format="pyarrow", batch_size=None).sort("n_name")
 
 
 LEFT_JOIN_SQL = """
@@ -1693,7 +1698,7 @@ def orders_cube(sf_dir: str):
             df.groupby(["o_orderstatus", "o_orderpriority"], as_index=False)
             .sum())
 
-    full = (ds.map_batches(partial, batch_format="pyarrow")
+    full = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby(["o_orderstatus", "o_orderpriority"])
             .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
                        Sum("n_orders", alias_name="n_orders"))
@@ -1761,7 +1766,7 @@ def part_brand_price_stats(sf_dir: str):
 
     cols = ["n", "sum_size", "sum_size_sq", "sum_price_x100",
             "sum_price_sq_x10000", "sum_size_price_x100"]
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("p_brand")
             .aggregate(*[Sum(c, alias_name=c) for c in cols])
             .sort("p_brand"))
@@ -1833,7 +1838,7 @@ def orders_bloom_semi_count(sf_dir: str):
             "n_orders": [np.int64(len(t))],
             "total_x100": [np.int64(cents.sum())]})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
+    agg = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
            .aggregate(Sum("n_orders", alias_name="n_orders"),
                       Sum("total_x100", alias_name="total_x100")))
     return pd.DataFrame([{"n_orders": np.int64(agg["n_orders"] or 0),
@@ -1879,7 +1884,7 @@ def events_type_salted_agg(sf_dir: str):
         return _from_pandas(
             df.groupby(["event_type", "salt"], as_index=False).sum())
 
-    salted = (ds.map_batches(partial, batch_format="pyarrow")
+    salted = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
               .groupby(["event_type", "salt"])
               .aggregate(Sum("value_x1e6", alias_name="value_x1e6"),
                          Sum("n", alias_name="n")))
@@ -1894,7 +1899,7 @@ def events_type_salted_agg(sf_dir: str):
                 {"value_x1e6": "int64", "n": "int64"}))
 
     # phase 2: |types| x SALT_FANOUT partial rows -> tiny final groupby
-    return (salted.map_batches(unsalt, batch_format="pyarrow")
+    return (salted.map_batches(unsalt, batch_format="pyarrow", batch_size=None)
             .groupby("event_type")
             .aggregate(Sum("value_x1e6", alias_name="value_x1e6"),
                        Sum("n", alias_name="n"))
@@ -1949,7 +1954,7 @@ def events_value_percentiles(sf_dir: str):
         return pd.DataFrame(rows)
 
     return _coarse_str_partition_map(
-        ds.map_batches(add_key, batch_format="pyarrow"),
+        ds.map_batches(add_key, batch_format="pyarrow", batch_size=None),
         "event_type", pctl).sort("event_type")
 
 
@@ -2014,7 +2019,7 @@ def q3_partitioned_join(sf_dir: str):
             .map_batches(lambda b: b.filter(
                 pc.equal(b["c_mktsegment"], Q3_SEGMENT))
                 .select(["c_custkey"]).replace_schema_metadata(None),
-                batch_format="pyarrow"))
+                batch_format="pyarrow", batch_size=None))
 
     orders = (rd.read_parquet(_pq(sf_dir, "orders"),
                               columns=["o_orderkey", "o_custkey",
@@ -2023,13 +2028,13 @@ def q3_partitioned_join(sf_dir: str):
                   [b["o_orderkey"], b["o_custkey"],
                    pc.strftime(b["o_orderdate"], format="%Y-%m-%d")],
                   names=["o_orderkey", "o_custkey", "o_orderdate"]),
-                  batch_format="pyarrow"))
+                  batch_format="pyarrow", batch_size=None))
 
     seg_orders = orders.join(cust, join_type="inner", num_partitions=16,
                              on=("o_custkey",), right_on=("c_custkey",)) \
         .select_columns(["o_orderkey", "o_orderdate"]) \
         .map_batches(lambda t: t.replace_schema_metadata(None),
-                     batch_format="pyarrow")
+                     batch_format="pyarrow", batch_size=None)
 
     def li_partial(batch: pa.Table) -> pa.Table:
         rev = _cents(pc.multiply(
@@ -2043,7 +2048,7 @@ def q3_partitioned_join(sf_dir: str):
     li = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount"]) \
-        .map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=None)
 
     # second exchange: co-partition BOTH sides on orderkey through the
     # sort-based coarse groupby (a second concurrent hash-join actor
@@ -2062,8 +2067,8 @@ def q3_partitioned_join(sf_dir: str):
              pa.array([""] * len(batch), type=pa.string())],
             names=["k", "revenue_x1e4", "o_orderdate"])
 
-    both = seg_orders.map_batches(tag_orders, batch_format="pyarrow") \
-        .union(li.map_batches(tag_li, batch_format="pyarrow"))
+    both = seg_orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=None) \
+        .union(li.map_batches(tag_li, batch_format="pyarrow", batch_size=None))
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         c = batch["k"].to_numpy(zero_copy_only=False) % 64
@@ -2087,7 +2092,7 @@ def q3_partitioned_join(sf_dir: str):
             "revenue_x1e4": a["revenue_x1e4"].to_numpy(np.int64),
             "o_orderdate": a["o_orderdate"].to_numpy()})
 
-    agg = (both.map_batches(add_coarse, batch_format="pyarrow")
+    agg = (both.map_batches(add_coarse, batch_format="pyarrow", batch_size=None)
            .groupby("_coarse")
            .map_groups(lambda g: combine_partition(
                g.drop(columns=["_coarse"])), batch_format="pandas"))
@@ -2134,7 +2139,7 @@ def events_cohort_retention(sf_dir: str):
             [cw, batch["week_offset"], batch["n_users"]],
             names=["cohort_week", "week_offset", "n_users"])
 
-    return (partial.map_batches(fmt, batch_format="pyarrow")
+    return (partial.map_batches(fmt, batch_format="pyarrow", batch_size=None)
             .groupby(["cohort_week", "week_offset"])
             .aggregate(Sum("n_users", alias_name="n_users"))
             .sort(["cohort_week", "week_offset"]))
@@ -2186,7 +2191,7 @@ def events_sliding_windows(sf_dir: str):
         g = df.groupby("win_us", as_index=False).sum()
         return _from_pandas(g.astype("int64"))
 
-    agg = (ds.map_batches(fanout, batch_format="pyarrow")
+    agg = (ds.map_batches(fanout, batch_format="pyarrow", batch_size=None)
            .groupby("win_us")
            .aggregate(Sum("value_x1e6", alias_name="value_x1e6"),
                       Sum("n", alias_name="n_events")))
@@ -2199,7 +2204,7 @@ def events_sliding_windows(sf_dir: str):
              batch["value_x1e6"], batch["n_events"]],
             names=["window_start", "value_x1e6", "n_events"])
 
-    return agg.map_batches(fmt, batch_format="pyarrow").sort("window_start")
+    return agg.map_batches(fmt, batch_format="pyarrow", batch_size=None).sort("window_start")
 
 
 SLIDING_SQL = f"""
@@ -2255,10 +2260,10 @@ def orders_events_range_join(sf_dir: str):
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"]) \
-        .map_batches(tag_orders, batch_format="pyarrow")
+        .map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
     events = rd.read_parquet(_pq(sf_dir, "events"),
                              columns=["user_id", "ts"]) \
-        .map_batches(tag_events, batch_format="pyarrow")
+        .map_batches(tag_events, batch_format="pyarrow", batch_size=None)
 
     def range_part(g: pd.DataFrame) -> pd.DataFrame:
         od = g[g["side"] == 0]
@@ -2326,7 +2331,7 @@ def customers_orders_full_outer(sf_dir: str):
             "n_order_only": [np.int64((~hit).sum())]})
 
     orders = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_custkey"])
-    agg = (orders.map_batches(order_partial, batch_format="pyarrow")
+    agg = (orders.map_batches(order_partial, batch_format="pyarrow", batch_size=None)
            .aggregate(Sum("n_matched", alias_name="n_matched"),
                       Sum("n_order_only", alias_name="n_order_only")))
 
@@ -2336,7 +2341,7 @@ def customers_orders_full_outer(sf_dir: str):
         u = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
         return pa.Table.from_pydict({"o_custkey": u.astype(np.int64)})
 
-    ordered = (orders.map_batches(cust_partial, batch_format="pyarrow")
+    ordered = (orders.map_batches(cust_partial, batch_format="pyarrow", batch_size=None)
                .groupby("o_custkey").aggregate(Count(alias_name="_n"))
                .to_pandas())
     have_orders = set(ordered["o_custkey"]) \
@@ -2408,7 +2413,7 @@ def events_latest_state(sf_dir: str):
             "last_value_x1e6": m["value_x1e6"].astype("int64")})
 
     out = _coarse_partition_map(
-        ds.map_batches(partial, batch_format="pyarrow"), "user_id", final)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None), "user_id", final)
     return out.sort("user_id")
 
 
@@ -2468,7 +2473,7 @@ def segment_top_orders(sf_dir: str):
     parts = rd.read_parquet(_pq(sf_dir, "orders"),
                             columns=["o_custkey", "o_orderkey",
                                      "o_totalprice"]) \
-        .map_batches(partial, batch_format="pyarrow").to_pandas()
+        .map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
     if parts.empty:
         return empty
     out = parts.sort_values(["total_x100", "o_orderkey"],
@@ -2519,8 +2524,8 @@ def events_value_quantiles_approx(sf_dir: str):
             [pa.array([sk.tobytes()], type=pa.binary())], names=["sk"])
 
     merged = S.dds_create()
-    for b in ds.map_batches(partial, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+    for b in ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
         for raw in b["sk"].to_pylist():
             merged = S.dds_merge(merged,
                                  np.frombuffer(raw, dtype=np.int64))

@@ -122,8 +122,8 @@ def q4_priority_count(sf_dir: str):
     bf = S.bloom_create()
     for b in rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderdate"]) \
-            .map_batches(bloom_partial, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+            .map_batches(bloom_partial, batch_format="pyarrow", batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
         for part in b["bf"].to_pylist():
             bf |= np.frombuffer(part, dtype=np.uint8)
     bf_ref = ray.put(bf)
@@ -157,10 +157,10 @@ def q4_priority_count(sf_dir: str):
     orders = rd.read_parquet(
         _pq(sf_dir, "orders"),
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
-        .map_batches(tag_orders, batch_format="pyarrow")
+        .map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
     li = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_shipdate"]) \
-        .map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=None)
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
         ords = g[g["side"] == 1]
@@ -242,10 +242,10 @@ def q12_priority_class(sf_dir: str):
     li = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_linestatus",
                                   "l_shipdate"]) \
-        .map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=None)
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderpriority"]) \
-        .map_batches(tag_orders, batch_format="pyarrow")
+        .map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
         li_g = g[g["side"] == 0]
@@ -330,7 +330,7 @@ def q14_promo_revenue(sf_dir: str):
     ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_partkey", "l_shipdate",
                                   "l_extendedprice", "l_discount"])
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
+    agg = ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
         .aggregate(Sum("promo_rev_x1e4", alias_name="promo_rev_x1e4"),
                    Sum("total_rev_x1e4", alias_name="total_rev_x1e4"))
     return pd.DataFrame([{
@@ -382,7 +382,7 @@ def q15_top_supplier(sf_dir: str):
     rev = rd.read_parquet(_pq(sf_dir, "lineitem"),
                           columns=["l_suppkey", "l_shipdate",
                                    "l_extendedprice", "l_discount"]) \
-        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
         .groupby("s_suppkey") \
         .aggregate(Sum("total_rev_x1e4", alias_name="total_rev_x1e4")) \
         .to_pandas()
@@ -457,7 +457,7 @@ def q16_brand_supplier_counts(sf_dir: str):
 
     g = rd.read_parquet(_pq(sf_dir, "lineitem"),
                         columns=["l_partkey", "l_suppkey"]) \
-        .map_batches(triples, batch_format="pyarrow") \
+        .map_batches(triples, batch_format="pyarrow", batch_size=None) \
         .groupby(["p_brand", "p_size", "l_suppkey"]) \
         .aggregate(Count(alias_name="_n")).to_pandas()
     if g.empty or "p_brand" not in g.columns:
@@ -515,7 +515,7 @@ def q17_small_qty_revenue(sf_dir: str):
     ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_partkey", "l_quantity",
                                   "l_extendedprice"]) \
-        .map_batches(pick, batch_format="pyarrow")
+        .map_batches(pick, batch_format="pyarrow", batch_size=None)
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
         grp = g.groupby("l_partkey")["qty_x100"]
@@ -590,7 +590,7 @@ def q19_disjunctive_revenue(sf_dir: str):
     total = rd.read_parquet(_pq(sf_dir, "lineitem"),
                             columns=["l_partkey", "l_quantity",
                                      "l_extendedprice", "l_discount"]) \
-        .map_batches(partial, batch_format="pyarrow").sum("revenue_x1e4")
+        .map_batches(partial, batch_format="pyarrow", batch_size=None).sum("revenue_x1e4")
     return pd.DataFrame({"revenue_x1e4":
                          pd.Series([int(total or 0)], dtype="int64")})
 
@@ -657,11 +657,11 @@ def q21_late_suppliers(sf_dir: str):
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderstatus",
                                       "o_orderdate"]) \
-        .map_batches(tag_orders, batch_format="pyarrow")
+        .map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
     li = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_suppkey",
                                   "l_shipdate"]) \
-        .map_batches(tag_li, batch_format="pyarrow")
+        .map_batches(tag_li, batch_format="pyarrow", batch_size=None)
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
         out_empty = pd.DataFrame({"l_suppkey": pd.Series(dtype="int64"),
@@ -760,7 +760,7 @@ def q22_idle_balance(sf_dir: str):
 
     cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
     agg = rd.read_parquet(_pq(sf_dir, "customer"), columns=cust_cols) \
-        .map_batches(thr_partial, batch_format="pyarrow") \
+        .map_batches(thr_partial, batch_format="pyarrow", batch_size=None) \
         .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
     thr_s, thr_n = int(agg["s"] or 0), int(agg["n"] or 0)
     if thr_n == 0:
@@ -793,10 +793,10 @@ def q22_idle_balance(sf_dir: str):
             "bal_x100": np.zeros(n, dtype=np.int64)})
 
     cust = rd.read_parquet(_pq(sf_dir, "customer"), columns=cust_cols) \
-        .map_batches(tag_cust, batch_format="pyarrow")
+        .map_batches(tag_cust, batch_format="pyarrow", batch_size=None)
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_custkey", "o_orderdate"]) \
-        .map_batches(tag_orders, batch_format="pyarrow")
+        .map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
         c = g[g["side"] == 0]
@@ -936,10 +936,10 @@ def q7_nation_trade(sf_dir: str):
     li = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_suppkey", "l_shipdate",
                                   "l_extendedprice", "l_discount"]) \
-        .map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=None)
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey"]) \
-        .map_batches(tag_orders, batch_format="pyarrow")
+        .map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
         out_empty = pd.DataFrame({"supp_nat": pd.Series(dtype="int64"),
@@ -1082,11 +1082,11 @@ def q8_market_share(sf_dir: str):
     li = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_partkey", "l_suppkey",
                                   "l_extendedprice", "l_discount"]) \
-        .map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=None)
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey",
                                       "o_orderdate"]) \
-        .map_batches(tag_orders, batch_format="pyarrow")
+        .map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
         out_empty = pd.DataFrame({"o_year": pd.Series(dtype="int64"),
@@ -1213,10 +1213,10 @@ def q9_product_profit(sf_dir: str):
                          columns=["l_orderkey", "l_partkey", "l_suppkey",
                                   "l_quantity", "l_extendedprice",
                                   "l_discount"]) \
-        .map_batches(li_partial, batch_format="pyarrow")
+        .map_batches(li_partial, batch_format="pyarrow", batch_size=None)
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderdate"]) \
-        .map_batches(tag_orders, batch_format="pyarrow")
+        .map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
         out_empty = pd.DataFrame({"nat": pd.Series(dtype="int64"),
