@@ -40,7 +40,7 @@ def analysis_pipeline(ds: Dataset, *, batch_size: int = 256,
     out = out.map_batches(VisualDescriber, batch_format="pyarrow",
                           batch_size=batch_size,
                           concurrency=describer_concurrency, num_cpus=1)
-    return out.map_batches(analyze_content_types_batch, batch_format="pyarrow")
+    return out.map_batches(analyze_content_types_batch, batch_format="pyarrow", batch_size=None)
 
 
 def page_analysis_pipeline(ds: Dataset, *, batch_size: int = 256) -> Dataset:
@@ -57,7 +57,7 @@ def page_analysis_pipeline(ds: Dataset, *, batch_size: int = 256) -> Dataset:
     ds = ds.map_batches(PageVisualDescriber, batch_format="pyarrow",
                         batch_size=batch_size,
                         concurrency=half_pool(), num_cpus=1)
-    return ds.map_batches(analyze_content_types_batch, batch_format="pyarrow")
+    return ds.map_batches(analyze_content_types_batch, batch_format="pyarrow", batch_size=None)
 
 
 def vlm_page_counts(sf_dir: str):
@@ -86,7 +86,7 @@ def vlm_page_totals(sf_dir: str):
 
     cols = (["total_pages", "pages_with_visuals"]
             + [f"total_{c}" for c in COUNT_COLS])
-    res = ds.map_batches(partial, batch_format="pyarrow") \
+    res = ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
             .aggregate(*[Sum(c, alias_name=c) for c in cols])
     import pandas as pd
     return pd.DataFrame([res])[cols]
@@ -117,7 +117,7 @@ def vlm_content_totals(sf_dir: str):
         return pa.Table.from_arrays(arrays, names=names)
 
     cols = ["n_docs", "docs_with_visuals"] + [f"total_{c}" for c in COUNT_COLS]
-    res = ds.map_batches(partial, batch_format="pyarrow") \
+    res = ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
             .aggregate(*[Sum(c, alias_name=c) for c in cols])
     import pandas as pd
     return pd.DataFrame([res])[cols]
@@ -128,8 +128,8 @@ def spatial_relations(sf_dir: str):
     from ..stages.spatial import spatial_relations_batch
     from ..stages.tokenize import classify_spans
     ds = read_docs(_corpus_for(sf_dir))
-    return ds.map_batches(classify_spans, batch_format="pyarrow") \
-             .map_batches(spatial_relations_batch, batch_format="pyarrow")
+    return ds.map_batches(classify_spans, batch_format="pyarrow", batch_size=None) \
+             .map_batches(spatial_relations_batch, batch_format="pyarrow", batch_size=None)
 
 
 def visual_docs(sf_dir: str):
@@ -148,7 +148,7 @@ def visual_docs(sf_dir: str):
              pa.array([True] * n, type=pa.bool_())],
             names=["doc_id", "page_content", "type", "has_visuals"])
 
-    return ds.map_batches(build, batch_format="pyarrow")
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=None)
 
 
 def xycut_reading_order(sf_dir: str):
@@ -197,8 +197,8 @@ def xycut_reading_order(sf_dir: str):
             names=["doc_id", "page", "offset", "xy_rank"])
 
     return read_docs(_corpus_for(sf_dir)) \
-        .map_batches(classify_spans, batch_format="pyarrow") \
-        .map_batches(ranks, batch_format="pyarrow")
+        .map_batches(classify_spans, batch_format="pyarrow", batch_size=None) \
+        .map_batches(ranks, batch_format="pyarrow", batch_size=None)
 
 
 ANALYSIS_QUERIES: dict[str, tuple] = {

@@ -44,7 +44,7 @@ def _span_hash_ds(out_ds):
              pa.array(np.asarray(coarse, dtype=np.int64))],
             names=["doc_id", "h", "_coarse"])
 
-    return out_ds.map_batches(hashes, batch_format="pyarrow")
+    return out_ds.map_batches(hashes, batch_format="pyarrow", batch_size=None)
 
 
 def compare_extract_modes(sf_dir: str) -> pd.DataFrame:
@@ -81,8 +81,8 @@ def compare_extract_modes(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"n_docs": pd.Series([len(a)], dtype="int64"),
                              "mismatched": pd.Series([mism], dtype="int64")})
 
-    parts = (ah.map_batches(tag(0), batch_format="pyarrow")
-             .union(bh.map_batches(tag(1), batch_format="pyarrow"))
+    parts = (ah.map_batches(tag(0), batch_format="pyarrow", batch_size=None)
+             .union(bh.map_batches(tag(1), batch_format="pyarrow", batch_size=None))
              .groupby("_coarse")
              .map_groups(partial_counts, batch_format="pandas")
              .to_pandas())                     # <=64 partial rows
@@ -123,15 +123,15 @@ def debug_overlay_records(sf_dir: str):
             names=["doc_id", "page", "cls", "keep", "x0", "y0", "x1", "y1"])
 
     return read_docs(_corpus_for(sf_dir)) \
-        .map_batches(classify_spans, batch_format="pyarrow") \
-        .map_batches(records, batch_format="pyarrow")
+        .map_batches(classify_spans, batch_format="pyarrow", batch_size=None) \
+        .map_batches(records, batch_format="pyarrow", batch_size=None)
 
 
 def span_hierarchy(sf_dir: str):
     """Title-anchored parent/child hierarchy over extracted spans."""
     from ..stages.hierarchy import hierarchy_batch
     out = extract_pipeline(read_docs(_corpus_for(sf_dir)))
-    return out.map_batches(hierarchy_batch, batch_format="pyarrow")
+    return out.map_batches(hierarchy_batch, batch_format="pyarrow", batch_size=None)
 
 
 def region_provenance(sf_dir: str):
@@ -145,7 +145,7 @@ def region_provenance(sf_dir: str):
     from ..stages.tokenize import classify_spans
 
     ds = read_docs(_corpus_for(sf_dir)) \
-        .map_batches(classify_spans, batch_format="pyarrow") \
+        .map_batches(classify_spans, batch_format="pyarrow", batch_size=None) \
         .map_batches(LayoutParser, batch_format="pyarrow",
                      fn_constructor_kwargs={"emit_provenance": True},
                      concurrency=half_pool(), num_cpus=1)
@@ -165,7 +165,7 @@ def region_provenance(sf_dir: str):
              prov],
             names=["doc_id", "kind", "media_ref", "offset", "source"])
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
 
 def raster_vector_agreement(sf_dir: str):
@@ -267,8 +267,8 @@ def debug_overlay_render(sf_dir: str):
 
     return read_docs(_corpus_for(sf_dir)) \
         .limit(OVERLAY_RENDER_DOC_LIMIT) \
-        .map_batches(classify_spans, batch_format="pyarrow") \
-        .map_batches(render, batch_format="pyarrow")
+        .map_batches(classify_spans, batch_format="pyarrow", batch_size=None) \
+        .map_batches(render, batch_format="pyarrow", batch_size=None)
 
 
 COMPARE_QUERIES: dict[str, tuple] = {

@@ -82,7 +82,7 @@ def _coarse_str_group(ds, key: str, per_group_fn, n_coarse: int = 64):
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return per_group_fn(g.drop(columns=["_coarse"]))
 
-    return ds.map_batches(add_coarse, batch_format="pyarrow") \
+    return ds.map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
              .groupby("_coarse").map_groups(run, batch_format="pandas")
 
 
@@ -102,7 +102,7 @@ def _token_counts(sf_dir: str):
             [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
             names=["token", "n"]).replace_schema_metadata(None)
 
-    return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("token").aggregate(Sum("n", alias_name="n")))
 
 
@@ -143,7 +143,7 @@ def corpus_vocab_stats(sf_dir: str):
             "hapax_count": [np.int64((n == 1).sum())],
             "total_tokens": [np.int64(n.sum())]})
 
-    agg = (tc.map_batches(partial, batch_format="pyarrow")
+    agg = (tc.map_batches(partial, batch_format="pyarrow", batch_size=None)
            .aggregate(Sum("vocab_size", alias_name="vocab_size"),
                       Sum("hapax_count", alias_name="hapax_count"),
                       Sum("total_tokens", alias_name="total_tokens")))
@@ -198,7 +198,7 @@ def doc_tfidf_top_terms(sf_dir: str):
             .rename(columns={"size": "df"})
         return _from_pandas(g.astype({"df": "int64"}))
 
-    dfs = (_docs(sf_dir).map_batches(df_partial, batch_format="pyarrow")
+    dfs = (_docs(sf_dir).map_batches(df_partial, batch_format="pyarrow", batch_size=None)
            .groupby("term").aggregate(Sum("df", alias_name="df"))
            .to_pandas())
     if "term" not in dfs.columns:      # empty input loses its schema
@@ -220,7 +220,7 @@ def doc_tfidf_top_terms(sf_dir: str):
         return _from_pandas(out.astype({"doc_id": "int64", "tf": "int64",
                                         "score": "int64"}))
 
-    return _docs(sf_dir).map_batches(topk, batch_format="pyarrow") \
+    return _docs(sf_dir).map_batches(topk, batch_format="pyarrow", batch_size=None) \
         .sort(["doc_id", "term"])
 
 
@@ -287,7 +287,7 @@ def doc_repetition(sf_dir: str):
             "top_bigram_cnt": top_bg,
             "top_bigram_frac_x1e6": top_bg_frac.astype(np.int64)})
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow") \
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None) \
         .sort("doc_id")
 
 
@@ -338,7 +338,7 @@ def token_length_hist(sf_dir: str):
             "token_len": nz.astype(np.int64),
             "n": vc[nz].astype(np.int64)})
 
-    return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return (_docs(sf_dir).map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("token_len").aggregate(Sum("n", alias_name="n"))
             .sort("token_len"))
 
@@ -383,7 +383,7 @@ def doc_redact(sf_dir: str):
             [batch["doc_id"], n_red, md5],
             names=["doc_id", "n_redactions", "redacted_md5"])
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow") \
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None) \
         .sort("doc_id")
 
 
@@ -417,7 +417,7 @@ def corpus_inverted_index(sf_dir: str):
         g = df.drop_duplicates()
         return _from_pandas(g.astype({"doc_id": "int64"}))
 
-    pairs = _docs(sf_dir).map_batches(tf_partial, batch_format="pyarrow")
+    pairs = _docs(sf_dir).map_batches(tf_partial, batch_format="pyarrow", batch_size=None)
 
     def postings(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -474,8 +474,8 @@ def cms_token_counts(sf_dir: str):
 
     sk = S.cms_create()
     cands: set[str] = set()
-    for b in _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
-                          .iter_batches(batch_format="pyarrow"):
+    for b in _docs(sf_dir).map_batches(partial, batch_format="pyarrow", batch_size=None) \
+                          .iter_batches(batch_format="pyarrow", batch_size=None):
         for raw, cs in zip(b["sketch"].to_pylist(),
                            b["candidates"].to_pylist()):
             sk = S.cms_merge(sk, np.frombuffer(raw, dtype=np.int64)
@@ -520,7 +520,7 @@ def docs_stratified_sample(sf_dir: str):
         return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
 
     return _coarse_str_group(
-        ds.map_batches(add_md5, batch_format="pyarrow"), "lang", topk) \
+        ds.map_batches(add_md5, batch_format="pyarrow", batch_size=None), "lang", topk) \
         .sort(["lang", "doc_id"])
 
 
@@ -553,7 +553,7 @@ def docs_train_split(sf_dir: str):
             {"split": vc.index.astype(str),
              "n_docs": vc.to_numpy(np.int64)}))
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("split").aggregate(Sum("n_docs", alias_name="n_docs"))
             .sort("split"))
 
@@ -618,7 +618,7 @@ def doc_dup_block_stats(sf_dir: str):
     fixed-width md5 keys (never the text); the only exchanges are the
     md5-keyed duplicate count and the per-doc roll-up of (doc, is_dup)
     rows."""
-    pairs = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow")
+    pairs = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow", batch_size=None)
 
     def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
         # all rows for one md5 land in one group: dup <=> group size > 1
@@ -637,7 +637,7 @@ def doc_dup_block_stats(sf_dir: str):
             n_blocks=("is_dup", "size"), dup_blocks=("is_dup", "sum"))
         return _from_pandas(g.astype("int64"))
 
-    out = (marked.map_batches(roll, batch_format="pyarrow")
+    out = (marked.map_batches(roll, batch_format="pyarrow", batch_size=None)
            .groupby("doc_id")
            .aggregate(Sum("n_blocks", alias_name="n_blocks"),
                       Sum("dup_blocks", alias_name="dup_blocks")))
@@ -649,7 +649,7 @@ def doc_dup_block_stats(sf_dir: str):
         return batch.append_column("dup_frac_x1e6",
                                    pa.array(f.astype(np.int64)))
 
-    return out.map_batches(frac, batch_format="pyarrow").sort("doc_id")
+    return out.map_batches(frac, batch_format="pyarrow", batch_size=None).sort("doc_id")
 
 
 DUP_BLOCK_SQL = rf"""
@@ -692,7 +692,7 @@ def doc_dedup_blocks(sf_dir: str, n_coarse: int = 64):
     DROPPED markers (a tiny fraction) re-join the documents through an
     int-keyed coarse exchange; the rebuild re-tokenizes each doc locally
     (a second read pass, same trade as ``doc_tfidf_top_terms``)."""
-    pairs = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow")
+    pairs = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow", batch_size=None)
 
     def drop_markers(g: pd.DataFrame) -> pd.DataFrame:
         # all rows of one md5 land in one coarse group: everything after
@@ -759,8 +759,8 @@ def doc_dedup_blocks(sf_dir: str, n_coarse: int = 64):
     # all-to-all for ordering the comparison doesn't need (the driver's
     # value compare is order-insensitive; the int-only stats queries sort
     # because their exchange is cheap)
-    return (_docs(sf_dir).map_batches(tag_docs, batch_format="pyarrow")
-            .union(drops.map_batches(tag_drops, batch_format="pyarrow"))
+    return (_docs(sf_dir).map_batches(tag_docs, batch_format="pyarrow", batch_size=None)
+            .union(drops.map_batches(tag_drops, batch_format="pyarrow", batch_size=None))
             .groupby("_coarse")
             .map_groups(rebuild, batch_format="pandas"))
 
@@ -807,7 +807,7 @@ def eval_contamination(sf_dir: str):
         if "doc_id" in sample.columns else np.empty(0, dtype=np.int64)
     eval_ref = ray.put(eval_ids)
 
-    pairs = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow")
+    pairs = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow", batch_size=None)
 
     def mark(g: pd.DataFrame) -> pd.DataFrame:
         ev = ray.get(eval_ref)
@@ -829,7 +829,7 @@ def eval_contamination(sf_dir: str):
             contaminated_blocks=("contaminated", "sum"))
         return _from_pandas(g.astype("int64"))
 
-    return (marked.map_batches(roll, batch_format="pyarrow")
+    return (marked.map_batches(roll, batch_format="pyarrow", batch_size=None)
             .groupby("doc_id")
             .aggregate(Sum("n_blocks", alias_name="n_blocks"),
                        Sum("contaminated_blocks",
@@ -893,7 +893,7 @@ def docs_mixture_sample(sf_dir: str):
                           for s in src])
         return batch.filter(pa.array(bucket < rates))
 
-    return ds.map_batches(accept, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(accept, batch_format="pyarrow", batch_size=None).sort("doc_id")
 
 
 def _mixture_sql() -> str:
@@ -947,7 +947,7 @@ def doc_priority_sample(sf_dir: str):
             "n_chars": w[top],
             "priority": q[top]})
 
-    parts = _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+    parts = _docs(sf_dir).map_batches(partial, batch_format="pyarrow", batch_size=None) \
         .to_pandas()
     if parts.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),

@@ -165,7 +165,7 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
 
     # single pass, per-block partial unique -> tiny driver concat (vs two
     # full Aggregate shuffles from Dataset.unique)
-    cdf = cand.map_batches(block_ids, batch_format="pyarrow").to_pandas()
+    cdf = cand.map_batches(block_ids, batch_format="pyarrow", batch_size=None).to_pandas()
     cand_ids = np.unique(cdf["doc_id"].to_numpy()) \
         if "doc_id" in cdf.columns else np.empty(0, dtype=np.int64)
 
@@ -181,7 +181,7 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
 
         # candidate docs' text is small; materialize so the exchange
         # stages read the filtered table instead of re-scanning parquet
-        texts = (texts.map_batches(semi, batch_format="pyarrow")
+        texts = (texts.map_batches(semi, batch_format="pyarrow", batch_size=None)
                  .materialize())
         texts_filtered = True
 
@@ -224,13 +224,13 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
 
     # scale path: two-stage hash exchange; no process holds more than one
     # partition of text
-    stage1 = (cand.map_batches(tag_pairs, batch_format="pyarrow")
+    stage1 = (cand.map_batches(tag_pairs, batch_format="pyarrow", batch_size=None)
               .union(texts.map_batches(tag_texts("doc_a"),
-                                       batch_format="pyarrow"))
+                                       batch_format="pyarrow", batch_size=None))
               .groupby("_coarse").map_groups(attach_a, batch_format="pandas"))
-    verified = (stage1.map_batches(tag_stage1, batch_format="pyarrow")
+    verified = (stage1.map_batches(tag_stage1, batch_format="pyarrow", batch_size=None)
                 .union(texts.map_batches(tag_texts("doc_b"),
-                                         batch_format="pyarrow"))
+                                         batch_format="pyarrow", batch_size=None))
                 .groupby("_coarse").map_groups(verify_b,
                                                batch_format="pandas")
                 .to_pandas())            # small verified pair set
@@ -301,7 +301,7 @@ def dedup_minhash_lsh(sf_dir: str):
                              "doc_b": pd.Series([], dtype="int64")})
 
     cand = (_docs(sf_dir)
-            .map_batches(bands, batch_format="pyarrow")
+            .map_batches(bands, batch_format="pyarrow", batch_size=None)
             .groupby("coarse")
             .map_groups(pairs, batch_format="pandas"))
 
@@ -363,7 +363,7 @@ def dedup_simhash(sf_dir: str):
             "doc_b": pd.Series(doc[bj][keep], dtype="int64"),
             "hamming": pd.Series(d[keep], dtype="int64")})
 
-    return (_docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
+    return (_docs(sf_dir).map_batches(sigs, batch_format="pyarrow", batch_size=None)
             .groupby("coarse")
             .map_groups(pairs, batch_format="pandas")
             .sort(["doc_a", "doc_b"]))
@@ -398,7 +398,7 @@ def _label_centroids(sf_dir: str) -> np.ndarray:
              pa.array(list(sums))],
             names=["label", "count", "sums"])
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
     if "label" not in parts.columns:       # empty input loses schema
         return np.zeros((0, 1))
     agg = parts.groupby("label").apply(
@@ -457,7 +457,7 @@ def dedup_embedding_cosine(sf_dir: str,
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    out = (ds.map_batches(assign, batch_format="pyarrow")
+    out = (ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
            .groupby("bucket")
            .map_groups(pairs, batch_format="pandas")
            .to_pandas())        # verified near-dup pair set: small result
@@ -497,7 +497,7 @@ def embedding_cosine_pairs(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    return ds.map_batches(fn, batch_format="pyarrow").sort(["vec_a", "vec_b"])
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None).sort(["vec_a", "vec_b"])
 
 
 NGRAM_JACCARD_THRESHOLD = 0.5
@@ -536,8 +536,8 @@ def dedup_fingerprint_jaccard(sf_dir: str):
         return batch.append_column("coarse", pa.array(c))
 
     cand = (_docs(sf_dir)
-            .map_batches(keyed, batch_format="pyarrow")
-            .map_batches(coarse, batch_format="pyarrow")
+            .map_batches(keyed, batch_format="pyarrow", batch_size=None)
+            .map_batches(coarse, batch_format="pyarrow", batch_size=None)
             .groupby("coarse")
             .map_groups(pairs, batch_format="pandas"))
 
@@ -574,8 +574,8 @@ def _clusters_distributed(pairs: pd.DataFrame, n_coarse: int = 64,
              batch["node"], batch["lab"]],
             names=["_coarse", "node", "lab"])
 
-    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
-              .map_batches(add_coarse, batch_format="pyarrow")
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow", batch_size=None)
+              .map_batches(add_coarse, batch_format="pyarrow", batch_size=None)
               .groupby("_coarse")
               .map_groups(dedup_nodes, batch_format="pandas")
               .materialize())
@@ -625,8 +625,8 @@ def _clusters_distributed(pairs: pd.DataFrame, n_coarse: int = 64,
             out[label_out] = e[key_col].map(lmap).astype("int64").to_numpy()
             return pd.DataFrame(out)
 
-        return (edge_like.map_batches(tag_e, batch_format="pyarrow")
-                .union(label_ds.map_batches(tag_l, batch_format="pyarrow"))
+        return (edge_like.map_batches(tag_e, batch_format="pyarrow", batch_size=None)
+                .union(label_ds.map_batches(tag_l, batch_format="pyarrow", batch_size=None))
                 .groupby("_coarse").map_groups(attach, batch_format="pandas"))
 
     def updates(batch: pa.Table) -> pa.Table:
@@ -648,9 +648,9 @@ def _clusters_distributed(pairs: pd.DataFrame, n_coarse: int = 64,
                           ["doc_a", "doc_b"])
         with_lb = _attach(with_la, labels, "doc_b", "lb",
                           ["doc_a", "doc_b", "la"])
-        labels = (with_lb.map_batches(updates, batch_format="pyarrow")
+        labels = (with_lb.map_batches(updates, batch_format="pyarrow", batch_size=None)
                   .union(labels.select_columns(["node", "lab"]))
-                  .map_batches(add_coarse, batch_format="pyarrow")
+                  .map_batches(add_coarse, batch_format="pyarrow", batch_size=None)
                   .groupby("_coarse").map_groups(node_min,
                                                  batch_format="pandas")
                   # bound block count: without this the union+sort output

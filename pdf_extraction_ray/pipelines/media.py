@@ -50,7 +50,7 @@ def media_table_from_docs(ds: Dataset) -> Dataset:
                 "meta": {"declared_w": 0, "declared_h": 0, "duration_ms": 0}})
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
 
 def features_pipeline(ds: Dataset) -> Dataset:
@@ -70,7 +70,7 @@ def frames_pipeline(ds: Dataset) -> Dataset:
     feats = features_pipeline(ds)
     vids = feats.map_batches(
         lambda t: t.filter(pc.equal(t["media_type"], "video")),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
     return vids.map_batches(FrameSampler, batch_format="pyarrow",
                             batch_size=512, concurrency=(1, 2), num_cpus=1)
 
@@ -95,7 +95,7 @@ def media_resized(sf_dir: str):
     media = media_table_from_docs(read_docs(_corpus_for(sf_dir)))
     imgs = media.map_batches(
         lambda t: t.filter(pc.equal(t["media_type"], "image")),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
     decoded = imgs.map_batches(MediaDecoder, batch_format="pyarrow",
                                batch_size=512, concurrency=half_pool(),
                                num_cpus=1,
@@ -114,7 +114,7 @@ def media_audio_features(sf_dir: str):
     media = media_table_from_docs(read_docs(_corpus_for(sf_dir)))
     audio = media.map_batches(
         lambda t: t.filter(pc.equal(t["media_type"], "audio")),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
     return audio.map_batches(AudioFeaturizer, batch_format="pyarrow",
                              batch_size=512, concurrency=(1, 2), num_cpus=1)
 
@@ -136,7 +136,7 @@ def media_payload_dedup(sf_dir: str, docs: Dataset | None = None):
         return pa.Table.from_arrays([sha, batch["media_ref"]],
                                     names=["payload_sha1", "media_ref"])
 
-    return (media.map_batches(keyed, batch_format="pyarrow")
+    return (media.map_batches(keyed, batch_format="pyarrow", batch_size=None)
             .groupby("payload_sha1")
             .aggregate(Min("media_ref", alias_name="rep_media_ref"),
                        Count(alias_name="n_copies"))
@@ -157,7 +157,7 @@ def phash_features(media: Dataset) -> Dataset:
 
     return media.map_batches(
         lambda t: t.filter(pc.equal(t["media_type"], "image")),
-        batch_format="pyarrow").map_batches(fn, batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def phash_pairs_from_media(media: Dataset):
@@ -229,8 +229,8 @@ def phash_pairs_from_media(media: Dataset):
 
     cand = media.map_batches(
         lambda t: t.filter(pc.equal(t["media_type"], "image")),
-        batch_format="pyarrow") \
-        .map_batches(bands, batch_format="pyarrow") \
+        batch_format="pyarrow", batch_size=None) \
+        .map_batches(bands, batch_format="pyarrow", batch_size=None) \
         .groupby("coarse").map_groups(pairs, batch_format="pandas")
 
     def pair_key(batch: pa.Table) -> pa.Table:
@@ -242,7 +242,7 @@ def phash_pairs_from_media(media: Dataset):
         return batch.append_column(
             "pcoarse", pa.array((h % np.uint64(N_COARSE)).astype(np.int64)))
 
-    return cand.map_batches(pair_key, batch_format="pyarrow") \
+    return cand.map_batches(pair_key, batch_format="pyarrow", batch_size=None) \
         .groupby("pcoarse") \
         .map_groups(lambda g: distinct(g.drop(columns=["pcoarse"])),
                     batch_format="pandas") \

@@ -50,7 +50,7 @@ def _chunk_tokens(sf_dir: str, docs=None):
             "chunk_id": np.asarray(chunk_ids, dtype=np.int64),
             "n_tokens": np.asarray(toks, dtype=np.int64)})
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def packed_sequences(sf_dir: str, docs=None):
@@ -125,7 +125,7 @@ def training_pipeline_sequences(sf_dir: str):
     # otherwise re-run the full gate scan. At production scale this is
     # the checkpoint-to-storage step; in-session the object store holds
     # it (and spills if needed).
-    gated = docs.map_batches(gate, batch_format="pyarrow").materialize()
+    gated = docs.map_batches(gate, batch_format="pyarrow", batch_size=None).materialize()
 
     # keeper per content group: min doc_id (ships only (md5, doc_id))
     keepers = (gated.select_columns(["text_md5", "doc_id"])
@@ -133,7 +133,7 @@ def training_pipeline_sequences(sf_dir: str):
                .aggregate(Min("doc_id", alias_name="rep_doc_id"))
                .select_columns(["rep_doc_id"])
                .map_batches(lambda t: t.replace_schema_metadata(None),
-                            batch_format="pyarrow"))
+                            batch_format="pyarrow", batch_size=None))
 
     # the native hash-shuffle join cannot finalize over schema-less
     # empty inputs (and an empty corpus needs no join at all). Check the

@@ -60,7 +60,7 @@ def chunk_documents_ds(sf_dir: str):
              pa.array(texts, type=pa.string())],
             names=["doc_id", "chunk_id", "chunk_text"])
 
-    return ds.map_batches(chunks, batch_format="pyarrow")
+    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=None)
 
 
 def chunk_stats(sf_dir: str):
@@ -73,7 +73,7 @@ def chunk_stats(sf_dir: str):
             "chunk_size", pc.cast(pc.utf8_length(batch["chunk_text"]),
                                   pa.int64()))
 
-    res = ds.map_batches(size, batch_format="pyarrow").aggregate(
+    res = ds.map_batches(size, batch_format="pyarrow", batch_size=None).aggregate(
         Count(alias_name="n_chunks"),
         Mean("chunk_size", alias_name="mean_size"),
         Min("chunk_size", alias_name="min_size"),
@@ -136,7 +136,7 @@ def rag_topk_contexts(sf_dir: str, context_k: int = CONTEXT_K):
                              "query": [EVAL_QUERIES[qi]],
                              "context": [ctx]})
 
-    return (embedded.map_batches(partial_topk, batch_format="pyarrow")
+    return (embedded.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
             .groupby("query_id")
             .map_groups(merge, batch_format="pandas")
             .sort("query_id"))

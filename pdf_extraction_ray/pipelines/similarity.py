@@ -47,7 +47,7 @@ def knn_cosine(sf_dir: str):
         return pa.Table.from_arrays(
             [batch["vec_id"], pa.array(m @ qv)], names=["vec_id", "cos"])
 
-    top = (_emb(sf_dir).map_batches(score, batch_format="pyarrow")
+    top = (_emb(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=None)
            .sort(["cos", "vec_id"], descending=[True, False])
            .limit(KNN_K))
 
@@ -104,7 +104,7 @@ def knn_cosine_ivf(sf_dir: str):
              pa.array(cos)],
             names=["vec_id", "cosine_x1e6"])
 
-    return (_emb(sf_dir).map_batches(score, batch_format="pyarrow")
+    return (_emb(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=None)
             .sort(["cosine_x1e6", "vec_id"], descending=[True, False])
             .limit(KNN_K))
 
@@ -126,7 +126,7 @@ def embedding_centroid_sums(sf_dir: str):
         g = df.groupby(["label", "dim"], as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (_emb(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return (_emb(sf_dir).map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby(["label", "dim"])
             .aggregate(Sum("sum_x1e6", alias_name="sum_x1e6"))
             .sort(["label", "dim"]))
@@ -193,7 +193,7 @@ def knn_cosine_lsh(sf_dir: str):
              pa.array(cos)],
             names=["vec_id", "cosine_x1e6"])
 
-    return (_emb(sf_dir).map_batches(score, batch_format="pyarrow")
+    return (_emb(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=None)
             .sort(["cosine_x1e6", "vec_id"], descending=[True, False])
             .limit(KNN_K))
 
@@ -261,7 +261,7 @@ def knn_multi_query(sf_dir: str):
             "vec_id": np.concatenate(rows_v),
             "cos": np.concatenate(rows_c)})
 
-    cand = _emb(sf_dir).map_batches(partial_topk, batch_format="pyarrow") \
+    cand = _emb(sf_dir).map_batches(partial_topk, batch_format="pyarrow", batch_size=None) \
         .to_pandas()                  # bounded: n_batches x Q x 4k rows
     out = (cand.sort_values(["query_vec_id", "cos", "vec_id"],
                             ascending=[True, False, True])
@@ -332,7 +332,7 @@ def embeddings_kmeans(sf_dir: str):
         dim = cents.shape[1]
         aggs = [Sum("n", alias_name="n"), Sum("sq_dist", alias_name="sq_dist")]
         aggs += [Sum(f"s{j}", alias_name=f"s{j}") for j in range(dim)]
-        stats = (_emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+        stats = (_emb(sf_dir).map_batches(assign, batch_format="pyarrow", batch_size=None)
                  .groupby("cluster").aggregate(*aggs).to_pandas()
                  .sort_values("cluster").reset_index(drop=True))
         n = stats["n"].to_numpy(np.float64)
@@ -378,8 +378,8 @@ def embedding_pca_top(sf_dir: str):
             "d": [np.int64(m.shape[1])]})
 
     xtx_sum, s_sum, n_total, d = None, None, 0, 0
-    for b in ds.map_batches(partial, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+    for b in ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
         for xtx_raw, s_raw, n, dd in zip(b["xtx"].to_pylist(),
                                          b["s"].to_pylist(),
                                          b["n"].to_pylist(),

@@ -124,7 +124,7 @@ def events_stream_windows(sf_dir: str):
 
         rd.read_parquet(f"{sf_dir}/events.parquet",
                         columns=["user_id", "ts", "value"]) \
-            .map_batches(add_bucket, batch_format="pyarrow") \
+            .map_batches(add_bucket, batch_format="pyarrow", batch_size=None) \
             .write_parquet(stage, partition_cols=["bucket"])
 
         actors = [WindowActor.remote() for _ in range(N_BUCKETS)]

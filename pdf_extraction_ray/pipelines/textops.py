@@ -42,7 +42,7 @@ def doc_token_stats(sf_dir: str):
              stats["n_tokens_bpe"], stats["token_chars"], stats["punct_cnt"]],
             names=["doc_id", "n_chars", "n_tokens", "n_tokens_bpe",
                    "token_chars", "punct_cnt"])
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 # the BPE-ish pattern is RE2 in both engines (Arrow count_substring_regex
@@ -74,7 +74,7 @@ def doc_quality(sf_dir: str):
              q["mean_token_len_x1e6"]],
             names=["doc_id", "n_chars", "n_tokens", "punct_ratio_x1e6",
                    "stop_ratio_x1e6", "mean_token_len_x1e6"])
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 _EN = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
@@ -109,7 +109,7 @@ def doc_langid(sf_dir: str):
             if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
         return pa.Table.from_arrays([batch["doc_id"], T.langid(text)],
                                     names=["doc_id", "pred_lang"])
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def _langid_pieces() -> tuple[str, str]:
@@ -175,7 +175,7 @@ def doc_dedup_exact(sf_dir: str):
         return pa.Table.from_arrays([md5, batch["doc_id"]],
                                     names=["text_md5", "doc_id"])
 
-    return (_docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
+    return (_docs(sf_dir).map_batches(keyed, batch_format="pyarrow", batch_size=None)
             .groupby("text_md5")
             .aggregate(Min("doc_id", alias_name="rep_doc_id"),
                        Count(alias_name="n_dups"))
@@ -207,7 +207,7 @@ def doc_chunks(sf_dir: str):
              pa.array(chunk_ids, type=pa.int64()),
              pa.array(sizes, type=pa.int64())],
             names=["doc_id", "chunk_id", "chunk_size"])
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def doc_cdc_chunks(sf_dir: str):
@@ -236,7 +236,7 @@ def doc_cdc_chunks(sf_dir: str):
              pa.array(sizes, type=pa.int64()),
              pa.array(md5s, type=pa.string())],
             names=["doc_id", "chunk_id", "chunk_size", "chunk_md5"])
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +251,7 @@ def doc_fingerprint(sf_dir: str):
         return pa.Table.from_arrays(
             [batch["doc_id"], pa.array(fp, type=pa.int64())],
             names=["doc_id", "fingerprint"])
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 # The oracle replays the winnowing hash (min over 8-char-window
@@ -323,7 +323,7 @@ def doc_quality_filter(sf_dir: str):
                                           "punct_ratio_x1e6",
                                           "mean_token_len_x1e6"])
 
-    return doc_quality(sf_dir).map_batches(gate, batch_format="pyarrow")
+    return doc_quality(sf_dir).map_batches(gate, batch_format="pyarrow", batch_size=None)
 
 
 QUALITY_FILTER_SQL = rf"""
@@ -369,7 +369,7 @@ def langid_accuracy(sf_dir: str):
             .replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
-    return (ds.map_batches(score, batch_format="pyarrow")
+    return (ds.map_batches(score, batch_format="pyarrow", batch_size=None)
             .groupby("lang")
             .aggregate(Sum("n_docs", alias_name="n_docs"),
                        Sum("n_correct", alias_name="n_correct"))
@@ -408,7 +408,7 @@ def doc_pattern_counts(sf_dir: str):
                      pa.int64())],
             names=["doc_id", "n_ops", "n_vowel_pairs", "n_window"])
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 PATTERN_COUNTS_SQL = f"""
@@ -466,7 +466,7 @@ def doc_pii_masked(sf_dir: str):
             [batch["doc_id"], masked, pa.array(total)],
             names=["doc_id", "masked", "n_masked"])
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def _mask_sql() -> str:
@@ -597,7 +597,7 @@ def doc_trigram_lm(sf_dir: str):
 
     from ray.data.aggregate import Sum
     vocab_df = _docs(sf_dir) \
-        .map_batches(count_partial, batch_format="pyarrow") \
+        .map_batches(count_partial, batch_format="pyarrow", batch_size=None) \
         .groupby("code").aggregate(Sum("cnt", alias_name="cnt")) \
         .to_pandas()
     if vocab_df.empty or "code" not in vocab_df.columns:
@@ -627,7 +627,7 @@ def doc_trigram_lm(sf_dir: str):
             "n_trigrams": ns,
             "nll_x1e3": round_half_away(mean * 1000.0)})
 
-    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -671,7 +671,7 @@ def doc_quality_rank(sf_dir: str):
             "score": s.astype(np.int64),
             "bucket": bucket})
 
-    scored = _docs(sf_dir).map_batches(score_fn, batch_format="pyarrow") \
+    scored = _docs(sf_dir).map_batches(score_fn, batch_format="pyarrow", batch_size=None) \
         .materialize()
 
     # bucket sizes: per-batch bincount partials streamed to the driver
@@ -682,8 +682,8 @@ def doc_quality_rank(sf_dir: str):
         return pa.Table.from_pydict({"h": [h.astype(np.int64).tobytes()]})
 
     sizes = np.zeros(RANK_BUCKETS, dtype=np.int64)
-    for b in scored.map_batches(size_partial, batch_format="pyarrow") \
-            .iter_batches(batch_format="pyarrow"):
+    for b in scored.map_batches(size_partial, batch_format="pyarrow", batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
         for part in b["h"].to_pylist():
             sizes += np.frombuffer(part, dtype=np.int64)
     # rank offset of bucket b = rows in all HIGHER-score buckets
@@ -750,7 +750,7 @@ def doc_text_normalized(sf_dir: str):
             "n_chars_before": pc.cast(pc.utf8_length(text), pa.int64()),
             "n_chars_after": pc.cast(pc.utf8_length(norm), pa.int64())})
 
-    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 NORMALIZED_SQL = r"""
