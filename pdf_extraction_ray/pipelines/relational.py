@@ -506,11 +506,13 @@ def q10_returned_customers(sf_dir: str):
             "revenue_x1e4": rev.to_numpy(zero_copy_only=False)})
         return _from_pandas(df.groupby("l_orderkey", as_index=False).sum())
 
-    rev_by_order = (li.map_batches(li_partial, batch_format="pyarrow", batch_size=None)
-                    .repartition(16)
-                    .groupby("l_orderkey")
-                    .aggregate(Sum("revenue_x1e4",
-                                   alias_name="revenue_x1e4")))
+    # NOTE: no standalone groupby(l_orderkey) here — the co-partitioned
+    # union exchange below already lands every per-order partial in the
+    # same partition as its order row, so attach_orders finishes the
+    # per-order sum for free (a separate keyed aggregate was a fourth
+    # all-to-all and measured ~1/3 of q10's wall time at sf0.1)
+    rev_partials = li.map_batches(li_partial, batch_format="pyarrow",
+                                  batch_size=None)
 
     def orders_window(batch: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(batch["o_orderdate"], pa.scalar(lo)),
@@ -539,22 +541,27 @@ def q10_returned_customers(sf_dir: str):
 
     def attach_orders(g: pd.DataFrame) -> pd.DataFrame:
         od = g[g["side"] == 1].set_index("key")
-        r = g[(g["side"] == 0) & g["key"].isin(od.index)]
+        r = g[g["side"] == 0].groupby("key", as_index=False)[
+            "revenue_x1e4"].sum()                  # finish per-order sum
+        r = r[r["key"].isin(od.index)]
         if r.empty:
             return pd.DataFrame({
                 "o_custkey": pd.Series(dtype="int64"),
                 "revenue_x1e4": pd.Series(dtype="int64")})
         keys = r["key"].to_numpy()
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "o_custkey": od["o_custkey"].reindex(keys)
             .astype("int64").to_numpy(),
             "revenue_x1e4": r["revenue_x1e4"].astype("int64").to_numpy()})
+        # PARTIAL per-customer sums only — the custkey-keyed exchange
+        # below finishes them (a standalone groupby here was a third
+        # all-to-all; each exchange costs ~5 s flat at sf0.1)
+        return out.groupby("o_custkey", as_index=False).sum()
 
-    by_cust = (_coarse_grouped_map_union(
-        rev_by_order.map_batches(tag_rev_order, batch_format="pyarrow", batch_size=None),
+    by_cust = _coarse_grouped_map_union(
+        rev_partials.map_batches(tag_rev_order, batch_format="pyarrow",
+                                 batch_size=None),
         orders, attach_orders)
-        .groupby("o_custkey")
-        .aggregate(Sum("revenue_x1e4", alias_name="revenue_x1e4")))
 
     nation = pd.read_parquet(_pq(sf_dir, "nation"),
                              columns=["n_nationkey", "n_name"])
@@ -598,8 +605,11 @@ def q10_returned_customers(sf_dir: str):
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
         cu = g[g["side"] == 1].set_index("key")
-        # INNER join: revenue rows without a customer row are dropped
-        rev = g[(g["side"] == 0) & g["key"].isin(cu.index)]
+        # finish the per-customer revenue sum (partials arrive from the
+        # order-attach partitions), then INNER-join customer attributes
+        rev = g[g["side"] == 0].groupby("key", as_index=False)[
+            "revenue_x1e4"].sum()
+        rev = rev[rev["key"].isin(cu.index)]
         if rev.empty:
             return pd.DataFrame({
                 "c_custkey": pd.Series(dtype="int64"),
