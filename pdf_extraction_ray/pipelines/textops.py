@@ -190,6 +190,69 @@ FROM documents GROUP BY text_md5 ORDER BY text_md5
 
 
 # ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup: new docs vs a prior snapshot
+# ---------------------------------------------------------------------------
+
+def doc_dedup_incremental(sf_dir: str):
+    """Cross-snapshot contamination check — the month-over-month crawl
+    shape: documents with even doc_id stand in for the PRIOR snapshot,
+    odd for the NEW batch; flag every new doc sharing a verbatim
+    20-token block with prior content, attributed to the smallest such
+    prior doc. Both sides reduce to (doc, block-md5) rows inside their
+    scan and meet in ONE coarse md5-keyed exchange (text never
+    re-ships; at real scale the prior side is the stored block index,
+    read not recomputed); the per-doc MIN attribution finishes on the
+    small match set."""
+    from ray.data.aggregate import Min as _Min
+
+    from .corpus import _block_rows
+    from .relational import _coarse_str_partition_map
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "dup_of": pd.Series(dtype="int64")})
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy()
+        prior = g[doc % 2 == 0].groupby("blk_md5")["doc_id"].min()
+        new = g[doc % 2 == 1][["doc_id", "blk_md5"]].drop_duplicates()
+        dup_of = prior.reindex(new["blk_md5"]).to_numpy()
+        hit = ~pd.isna(dup_of)
+        out = pd.DataFrame({
+            "doc_id": new["doc_id"].to_numpy()[hit].astype("int64"),
+            "dup_of": dup_of[hit].astype("int64")})
+        # partial per-doc MIN (several blocks of one doc land here)
+        return out.groupby("doc_id", as_index=False).min()
+
+    blocks = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow",
+                                       batch_size=None)
+    matches = _coarse_str_partition_map(blocks, "blk_md5", part_fn)
+    out = matches.groupby("doc_id") \
+        .aggregate(_Min("dup_of", alias_name="dup_of")).to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype("int64")
+
+
+DEDUP_INCREMENTAL_SQL = rf"""
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS ord FROM t),
+b AS (SELECT doc_id, ord // 20 AS blk,
+             md5(string_agg(tok, ' ' ORDER BY ord)) AS blk_md5
+      FROM u GROUP BY doc_id, blk)
+SELECT n.doc_id, CAST(MIN(p.dup_of) AS BIGINT) AS dup_of
+FROM (SELECT DISTINCT doc_id, blk_md5 FROM b WHERE doc_id % 2 = 1) n
+JOIN (SELECT blk_md5, MIN(doc_id) AS dup_of
+      FROM b WHERE doc_id % 2 = 0 GROUP BY 1) p USING (blk_md5)
+GROUP BY n.doc_id
+ORDER BY n.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Chunker (flat_map: 1 doc -> N chunks) — not SQL-expressible
 # ---------------------------------------------------------------------------
 
@@ -775,6 +838,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_quality": (doc_quality, QUALITY_SQL),
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_dedup_exact": (doc_dedup_exact, DEDUP_EXACT_SQL),
+    "doc_dedup_incremental": (doc_dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "doc_chunks": (doc_chunks, None),
     "doc_cdc_chunks": (doc_cdc_chunks, None),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),
