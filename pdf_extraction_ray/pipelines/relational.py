@@ -2379,6 +2379,63 @@ FROM hc FULL OUTER JOIN orders o ON hc.c_custkey = o.o_custkey
 
 
 # ---------------------------------------------------------------------------
+# Semi-structured (JSON) field extraction + aggregate
+# ---------------------------------------------------------------------------
+
+_PROPS_K_RE = r'"k"\s*:\s*(?P<k>-?\d+)'
+
+
+def events_props_ksum(sf_dir: str):
+    """Semi-structured column handling: extract the integer field ``k``
+    from the JSON ``props`` string and aggregate it per event type.
+    Extraction is one vectorized RE2 pass (Arrow ``extract_regex``);
+    the oracle uses DuckDB's identical-RE2 ``regexp_extract``, so
+    malformed/missing entries null out the same way on both engines
+    (a real JSON parser would slot into the same batch fn). Per-batch
+    partials -> one tiny groupby over |event types| keys."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], _PROPS_K_RE)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False),
+            "has_k": pc.is_valid(k).to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "k": pc.fill_null(k, 0).to_numpy(zero_copy_only=False)})
+        g = df.groupby("event_type", as_index=False).sum()
+        return _from_pandas(g.rename(columns={"has_k": "n_with_k",
+                                              "k": "sum_k"}))
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None) \
+        .groupby("event_type") \
+        .aggregate(Sum("n_with_k", alias_name="n_with_k"),
+                   Sum("sum_k", alias_name="sum_k")).to_pandas()
+    if out.empty or "event_type" not in out.columns:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "n_with_k": pd.Series(dtype="int64"),
+                             "sum_k": pd.Series(dtype="int64")})
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"n_with_k": "int64", "sum_k": "int64"})
+
+
+PROPS_KSUM_SQL = r"""
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k
+FROM (SELECT event_type,
+             TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                      AS BIGINT) AS k
+      FROM events) t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # CDC latest-state compaction (upsert log -> current table)
 # ---------------------------------------------------------------------------
 
@@ -2621,6 +2678,7 @@ ORDER BY step
 RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_value_quantiles_approx": (events_value_quantiles_approx, None),
     "events_latest_state": (events_latest_state, LATEST_STATE_SQL),
+    "events_props_ksum": (events_props_ksum, PROPS_KSUM_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

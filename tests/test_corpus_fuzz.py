@@ -83,7 +83,15 @@ EVENT_QUERIES = [
     "orders_events_range_join", "top_order_per_customer",
     "orders_moving_window", "orders_monthly", "orders_rollup",
     "orders_cube", "events_funnel", "events_latest_state",
+    "events_props_ksum",
 ]
+
+# props pool stresses the JSON field extraction: valid ints (incl.
+# negatives and whitespace variants), missing key, non-numeric value,
+# malformed JSON, nested first-match, and NULL
+PROPS_POOL = ['{"k": 87}', '{"k": -3}', '{ "k" :  5 }', "{}",
+              '{"k": "str"}', "not json at all", '{"a": {"k": 1}, "k": 2}',
+              '{"other": 9}', None]
 
 
 def _random_events_orders(seed: int, d):
@@ -101,7 +109,8 @@ def _random_events_orders(seed: int, d):
         # .5-boundary values stress ROUND-half-away parity
         "value": rng.integers(0, 2000, size=n_ev) / 2 * 1e-6 +
         rng.integers(0, 100, size=n_ev).astype(float),
-        "props": ["{}"] * n_ev})
+        "props": [PROPS_POOL[i] for i in
+                  rng.integers(0, len(PROPS_POOL), size=n_ev)]})
     orders = pd.DataFrame({
         "o_orderkey": np.arange(n_ord, dtype=np.int64),
         "o_custkey": rng.integers(0, n_users, size=n_ord).astype(np.int64),
