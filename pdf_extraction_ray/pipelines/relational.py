@@ -2436,6 +2436,200 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Time-series gap fill (resample with zero-filled missing cells)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_gapfill(sf_dir: str):
+    """Hourly event counts per type with missing (hour, type) cells
+    filled with 0 over the global [min_hour, max_hour] span — the
+    resample/densify op every time-series pipeline needs before window
+    math. The wide work is the same partial-counts aggregate as
+    ``events_hourly`` (shuffle moves one row per (hour,type) per
+    block); the dense grid is OUTPUT-sized (|hours| x |types|), so
+    densification legitimately runs on the collected result."""
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "hour": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(batch["ts"], format="%Y-%m-%d %H")
+        df = pd.DataFrame({"hour": hour.to_pandas(),
+                           "event_type": batch["event_type"].to_pandas()})
+        g = df.groupby(["hour", "event_type"], as_index=False).size() \
+              .rename(columns={"size": "n"})
+        return _from_pandas(g)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby(["hour", "event_type"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if counts.empty:
+        return empty
+    # the hour format sorts lexicographically == chronologically
+    h0 = pd.to_datetime(counts["hour"].min(), format="%Y-%m-%d %H")
+    h1 = pd.to_datetime(counts["hour"].max(), format="%Y-%m-%d %H")
+    hours = pd.date_range(h0, h1, freq="h").strftime("%Y-%m-%d %H")
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product(
+        [types, hours], names=["event_type", "hour"]).to_frame(index=False)
+    out = grid.merge(counts, on=["event_type", "hour"], how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+GAPFILL_SQL = """
+WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+                  date_trunc('hour', MAX(ts)) AS h1 FROM events),
+hours AS (SELECT strftime(unnest(generate_series(h0, h1,
+                                                 INTERVAL 1 HOUR)),
+                          '%Y-%m-%d %H') AS hour FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+c AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+SELECT t.event_type, h.hour, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM hours h CROSS JOIN types t
+LEFT JOIN c ON c.hour = h.hour AND c.event_type = t.event_type
+ORDER BY t.event_type, h.hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set ops over high-cardinality keys: INTERSECT / EXCEPT DISTINCT
+# ---------------------------------------------------------------------------
+
+
+def _order_custkey_sides(sf_dir: str) -> pd.DataFrame:
+    """Per-custkey presence flags for 'F'- and 'O'-status orders.
+    Per-batch distinct partials (one row per custkey per block), one
+    keyed exchange combining flags with Max — set membership never
+    ships raw rows."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        keep = (st == "F") | (st == "O")
+        df = pd.DataFrame({
+            "o_custkey": batch["o_custkey"]
+            .to_numpy(zero_copy_only=False)[keep],
+            "in_f": (st[keep] == "F").astype(np.int64),
+            "in_o": (st[keep] == "O").astype(np.int64)})
+        return _from_pandas(df.groupby("o_custkey", as_index=False).max())
+
+    from ray.data.aggregate import Max
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("o_custkey") \
+        .aggregate(Max("in_f", alias_name="in_f"),
+                   Max("in_o", alias_name="in_o")).to_pandas()
+
+
+def _custkey_setop(sf_dir: str, keep_mask_fn) -> pd.DataFrame:
+    empty = pd.DataFrame({"o_custkey": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    sides = _order_custkey_sides(sf_dir)
+    if sides.empty or "o_custkey" not in sides.columns:
+        return empty
+    out = sides[keep_mask_fn(sides)][["o_custkey"]]
+    return out.sort_values("o_custkey").reset_index(drop=True) \
+        .astype({"o_custkey": "int64"})
+
+
+def order_custkeys_intersect(sf_dir: str):
+    """INTERSECT DISTINCT (D4 set-op completion): customers with BOTH
+    an 'F'-status and an 'O'-status order."""
+    return _custkey_setop(
+        sf_dir, lambda s: (s["in_f"] == 1) & (s["in_o"] == 1))
+
+
+def order_custkeys_except(sf_dir: str):
+    """EXCEPT DISTINCT: customers with an 'F'-status order but no
+    'O'-status order."""
+    return _custkey_setop(
+        sf_dir, lambda s: (s["in_f"] == 1) & (s["in_o"] == 0))
+
+
+CUSTKEY_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey
+"""
+
+CUSTKEY_EXCEPT_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user activity histogram (data-distribution profiling)
+# ---------------------------------------------------------------------------
+
+
+def events_user_activity_hist(sf_dir: str):
+    """Log2-bucket histogram of per-user event counts — the skew
+    profile you compute before choosing partitioning keys. Two-level
+    aggregate: per-user counts (keyed exchange over partial counts),
+    then a tiny bucket groupby over the |users|-sized intermediate.
+    Buckets are exact on both engines: log2 of a power of two is exact
+    in IEEE doubles, and every other count sits >= 1/(n ln 2) away
+    from an integer boundary — far beyond 1-ulp libm divergence."""
+    empty = pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                          "n_users": pd.Series(dtype="int64"),
+                          "n_events": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": batch["user_id"]
+                           .to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby("user_id", as_index=False)
+                            .size().rename(columns={"size": "n"}))
+
+    per_user = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None) \
+        .groupby("user_id").aggregate(Sum("n", alias_name="n"))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "bucket": np.floor(np.log2(n)).astype(np.int64),
+            "n_users": np.ones(len(n), dtype=np.int64),
+            "n_events": n})
+        return _from_pandas(df.groupby("bucket", as_index=False).sum())
+
+    out = per_user.map_batches(bucketize, batch_format="pyarrow",
+                               batch_size=None) \
+        .groupby("bucket") \
+        .aggregate(Sum("n_users", alias_name="n_users"),
+                   Sum("n_events", alias_name="n_events")).to_pandas()
+    if out.empty or "bucket" not in out.columns:
+        return empty
+    return out.sort_values("bucket").reset_index(drop=True) \
+        .astype({"bucket": "int64", "n_users": "int64",
+                 "n_events": "int64"})
+
+
+ACTIVITY_HIST_SQL = """
+SELECT CAST(FLOOR(LOG2(n)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id) t
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
 # CDC latest-state compaction (upsert log -> current table)
 # ---------------------------------------------------------------------------
 
@@ -2679,6 +2873,12 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_value_quantiles_approx": (events_value_quantiles_approx, None),
     "events_latest_state": (events_latest_state, LATEST_STATE_SQL),
     "events_props_ksum": (events_props_ksum, PROPS_KSUM_SQL),
+    "events_hourly_gapfill": (events_hourly_gapfill, GAPFILL_SQL),
+    "order_custkeys_intersect": (order_custkeys_intersect,
+                                 CUSTKEY_INTERSECT_SQL),
+    "order_custkeys_except": (order_custkeys_except, CUSTKEY_EXCEPT_SQL),
+    "events_user_activity_hist": (events_user_activity_hist,
+                                  ACTIVITY_HIST_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

@@ -83,7 +83,9 @@ EVENT_QUERIES = [
     "orders_events_range_join", "top_order_per_customer",
     "orders_moving_window", "orders_monthly", "orders_rollup",
     "orders_cube", "events_funnel", "events_latest_state",
-    "events_props_ksum",
+    "events_props_ksum", "events_hourly_gapfill",
+    "order_custkeys_intersect", "order_custkeys_except",
+    "events_user_activity_hist",
 ]
 
 # props pool stresses the JSON field extraction: valid ints (incl.
