@@ -969,7 +969,60 @@ LIMIT {PRIORITY_SAMPLE_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus bigrams: top-k adjacent token pairs (collocation counts)
+# ---------------------------------------------------------------------------
+
+BIGRAM_K = 20
+
+
+def corpus_bigrams(sf_dir: str):
+    """Exact corpus-wide top-k adjacent token pairs — the collocation /
+    phrase statistic a BPE-style vocab builder computes before picking
+    merges. Bigram construction is batch-local Arrow (two offset slices
+    + one ``binary_join_element_wise``; cross-document pairs masked by
+    parent-id equality); the shuffle moves per-batch partial
+    (bigram, n) counts only. Ties break on the bigram text, so the
+    result is deterministic at any parallelism."""
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.int64())],
+        names=["bigram", "n"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d, flat = _doc_terms(batch)
+        if len(flat) < 2:
+            return empty
+        left = flat.slice(0, len(flat) - 1)
+        right = flat.slice(1, len(flat) - 1)
+        joined = pc.binary_join_element_wise(left, right, " ")
+        vc = pc.value_counts(joined.filter(pa.array(d[:-1] == d[1:])))
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            names=["bigram", "n"]).replace_schema_metadata(None)
+
+    return (_docs(sf_dir)
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+            .sort(["n", "bigram"], descending=[True, False])
+            .limit(BIGRAM_K))
+
+
+BIGRAMS_SQL = rf"""
+WITH toks AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS l
+  FROM documents),
+pairs AS (
+  SELECT l[i.g] || ' ' || l[i.g + 1] AS bigram
+  FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS i(g))
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {BIGRAM_K}
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "corpus_bigrams": (corpus_bigrams, BIGRAMS_SQL),
     "doc_priority_sample": (doc_priority_sample, PRIORITY_SAMPLE_SQL),
     "cms_token_counts": (cms_token_counts, None),
     "doc_dup_block_stats": (doc_dup_block_stats, DUP_BLOCK_SQL),
