@@ -1021,8 +1021,59 @@ LIMIT {BIGRAM_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-group deterministic sample (k docs per language by hash order)
+# ---------------------------------------------------------------------------
+
+GROUP_SAMPLE_K = 3
+
+
+def docs_group_sample(sf_dir: str):
+    """Deterministic k-per-group sample: the first ``GROUP_SAMPLE_K``
+    docs per language in md5(doc_id) order — the inspect-a-few-per-
+    stratum op run before shipping a filtered corpus. Same zero-exchange
+    group-wise top-k shape as ``segment_top_orders``: every batch keeps
+    only its local top-k per language (bounded group domain), the
+    driver finishes on the <= k*|langs|*|blocks| partial set."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False),
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "h": [hashlib.md5(str(d).encode()).hexdigest() for d in ids]})
+        top = df.sort_values(["h", "doc_id"]) \
+            .groupby("lang").head(GROUP_SAMPLE_K)
+        return _from_pandas(top)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                             "doc_id": pd.Series(dtype="int64")})
+    out = parts.sort_values(["h", "doc_id"]) \
+        .groupby("lang").head(GROUP_SAMPLE_K)[["lang", "doc_id"]]
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
+GROUP_SAMPLE_SQL = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= {GROUP_SAMPLE_K}
+ORDER BY lang, doc_id
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "corpus_bigrams": (corpus_bigrams, BIGRAMS_SQL),
+    "docs_group_sample": (docs_group_sample, GROUP_SAMPLE_SQL),
     "doc_priority_sample": (doc_priority_sample, PRIORITY_SAMPLE_SQL),
     "cms_token_counts": (cms_token_counts, None),
     "doc_dup_block_stats": (doc_dup_block_stats, DUP_BLOCK_SQL),

@@ -2630,6 +2630,64 @@ GROUP BY bucket ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# User-acquisition curve: new + cumulative unique users per day
+# ---------------------------------------------------------------------------
+
+
+def events_new_users_daily(sf_dir: str):
+    """First-appearance day per user -> new-user counts per day -> the
+    cumulative unique-user curve. Distinct-over-time is a classic
+    distributed trap (a naive COUNT(DISTINCT) per day rescans history);
+    the scale-honest form is two partial-aggregated exchanges — (user,
+    min_day) then (day, n) — with the running sum over the |days|-sized
+    collected result."""
+    empty = pd.DataFrame({"day": pd.Series(dtype="object"),
+                          "new_users": pd.Series(dtype="int64"),
+                          "cum_users": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    from ray.data.aggregate import Min
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "day": pc.strftime(batch["ts"], format="%Y-%m-%d").to_pandas()})
+        return _from_pandas(df.groupby("user_id", as_index=False).min())
+
+    first = ds.map_batches(first_seen, batch_format="pyarrow",
+                           batch_size=None) \
+        .groupby("user_id").aggregate(Min("day", alias_name="day"))
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"day": batch["day"]
+                           .to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby("day", as_index=False).size()
+                            .rename(columns={"size": "new_users"}))
+
+    out = first.map_batches(day_counts, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby("day") \
+        .aggregate(Sum("new_users", alias_name="new_users")).to_pandas()
+    if out.empty or "day" not in out.columns:
+        return empty
+    out = out.sort_values("day").reset_index(drop=True)
+    out["new_users"] = out["new_users"].astype("int64")
+    out["cum_users"] = out["new_users"].cumsum().astype("int64")
+    return out
+
+
+NEW_USERS_SQL = """
+WITH f AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+           FROM events GROUP BY user_id),
+d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY day)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
 # CDC latest-state compaction (upsert log -> current table)
 # ---------------------------------------------------------------------------
 
@@ -2879,6 +2937,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "order_custkeys_except": (order_custkeys_except, CUSTKEY_EXCEPT_SQL),
     "events_user_activity_hist": (events_user_activity_hist,
                                   ACTIVITY_HIST_SQL),
+    "events_new_users_daily": (events_new_users_daily, NEW_USERS_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

@@ -85,7 +85,7 @@ EVENT_QUERIES = [
     "orders_cube", "events_funnel", "events_latest_state",
     "events_props_ksum", "events_hourly_gapfill",
     "order_custkeys_intersect", "order_custkeys_except",
-    "events_user_activity_hist",
+    "events_user_activity_hist", "events_new_users_daily",
 ]
 
 # props pool stresses the JSON field extraction: valid ints (incl.
