@@ -1264,6 +1264,106 @@ def approx_distinct_users(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Grouped count-distinct: exact (oracled) + grouped-HLL (error-bounded)
+# ---------------------------------------------------------------------------
+
+
+def events_type_distinct_users(sf_dir: str):
+    """Exact distinct users per event type — the exact baseline for the
+    grouped-HLL path below. Per-batch distinct (type, user) partials ->
+    one keyed exchange over the deduped pairs -> a tiny per-type count.
+    At 100 TB the pair exchange is the honest exact cost; the sketch
+    variant below removes it when +-2% is acceptable."""
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n_users": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        return _from_pandas(df)
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow",
+                           batch_size=None) \
+        .groupby(["event_type", "user_id"]).aggregate(Count())
+
+    def per_type(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"event_type": batch["event_type"]
+                           .to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby("event_type", as_index=False)
+                            .size().rename(columns={"size": "n_users"}))
+
+    out = pairs.map_batches(per_type, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby("event_type") \
+        .aggregate(Sum("n_users", alias_name="n_users")).to_pandas()
+    if out.empty or "event_type" not in out.columns:
+        return empty
+    return out[["event_type", "n_users"]] \
+        .sort_values("event_type").reset_index(drop=True) \
+        .astype({"n_users": "int64"})
+
+
+TYPE_DISTINCT_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_type_approx_distinct(sf_dir: str):
+    """Grouped HLL(p=12): one 4 KiB sketch per (event_type, batch) row
+    flows through a |types|-group merge — NO (type, user) pair exchange
+    at all, the 100-TB shape for grouped count-distinct. Rows-only;
+    tests bound per-group error at <2% vs the exact query above."""
+    from ..functions import sketch as S
+
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "approx_users": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(types, kind="stable")
+        st, si = types[order], pd.util.hash_array(ids[order])
+        bounds = np.flatnonzero(np.r_[True, st[1:] != st[:-1], True])
+        out_t, out_s = [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            reg = S.hll_create()
+            S.hll_add_hashes(reg, si[a:b])
+            out_t.append(st[a])
+            out_s.append(reg.tobytes())
+        return pa.Table.from_arrays(
+            [pa.array(out_t, pa.string()), pa.array(out_s, pa.binary())],
+            names=["event_type", "sketch"])
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import sketch as S2
+        reg = S2.hll_create()
+        for sk in g["sketch"]:
+            reg = S2.hll_merge(reg, np.frombuffer(sk, dtype=np.uint8))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "approx_users": [np.int64(S2.hll_count(reg))]})
+
+    out = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None) \
+        .groupby("event_type") \
+        .map_groups(merge_group, batch_format="pandas").to_pandas()
+    if out.empty or "event_type" not in out.columns:
+        return empty
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"approx_users": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # LAG window: per-user gap to the previous event
 # ---------------------------------------------------------------------------
 
@@ -2938,6 +3038,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_user_activity_hist": (events_user_activity_hist,
                                   ACTIVITY_HIST_SQL),
     "events_new_users_daily": (events_new_users_daily, NEW_USERS_SQL),
+    "events_type_distinct_users": (events_type_distinct_users,
+                                   TYPE_DISTINCT_SQL),
+    "events_type_approx_distinct": (events_type_approx_distinct, None),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

@@ -169,3 +169,20 @@ def test_events_value_quantiles_approx_vs_exact():
     for q, true in zip((0.5, 0.9, 0.99), exact):
         est = out.loc[q, "value_approx"]
         assert abs(est - true) / true <= 0.025, (q, est, true)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_hll_matches_exact_per_group():
+    """Grouped-HLL approx distinct stays within 2% of the exact grouped
+    distinct for every event type (the sketch path never exchanges
+    (type, user) pairs, so this bound is its only value check)."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_type_approx_distinct, events_type_distinct_users)
+
+    sf = "/root/testdata/sf0.01"
+    exact = events_type_distinct_users(sf).set_index("event_type")
+    approx = events_type_approx_distinct(sf).set_index("event_type")
+    assert sorted(exact.index) == sorted(approx.index)
+    for t in exact.index:
+        n, est = int(exact.loc[t, "n_users"]), int(approx.loc[t, "approx_users"])
+        assert abs(est - n) / n < 0.02, (t, n, est)
