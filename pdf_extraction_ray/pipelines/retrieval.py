@@ -81,22 +81,10 @@ def chunk_stats(sf_dir: str):
     return pd.DataFrame([res])[["n_chunks", "mean_size", "min_size", "max_size"]]
 
 
-def rag_topk_contexts(sf_dir: str, context_k: int = CONTEXT_K):
-    """Top-k retrieval + assembled context per eval query.
-
-    Output: (query_id, query, context) — context is the reference's
-    numbered join of the top-``context_k`` chunks (RAG:84; CMP:30-34)."""
-    embedder = HashEmbedder()        # driver-side twin embeds the queries
-    qmat = embedder.embed(pa.array(EVAL_QUERIES))
-    qref = ray.put(qmat)
-
-    from ..functions.cluster import half_pool
-    chunks = chunk_documents_ds(sf_dir)
-    embedded = chunks.map_batches(HashEmbedder, batch_format="pyarrow",
-                                  batch_size=1024,
-                                  concurrency=half_pool(),
-                                  num_cpus=1)
-
+def _partial_topk_fn(qref):
+    """Stage-1 scorer factory: per-batch partial top-k against the
+    broadcast query matrix (shared by the single-stage and reranked
+    retrieval pipelines)."""
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(qref)                             # (Q, d)
         emb = np.asarray(batch["embedding"].combine_chunks().flatten()
@@ -126,6 +114,26 @@ def rag_topk_contexts(sf_dir: str, context_k: int = CONTEXT_K):
                               ("chunk_text", pa.string()),
                               ("score_x1e6", pa.int64())]))
 
+    return partial_topk
+
+
+def rag_topk_contexts(sf_dir: str, context_k: int = CONTEXT_K):
+    """Top-k retrieval + assembled context per eval query.
+
+    Output: (query_id, query, context) — context is the reference's
+    numbered join of the top-``context_k`` chunks (RAG:84; CMP:30-34)."""
+    embedder = HashEmbedder()        # driver-side twin embeds the queries
+    qmat = embedder.embed(pa.array(EVAL_QUERIES))
+    qref = ray.put(qmat)
+
+    from ..functions.cluster import half_pool
+    chunks = chunk_documents_ds(sf_dir)
+    embedded = chunks.map_batches(HashEmbedder, batch_format="pyarrow",
+                                  batch_size=1024,
+                                  concurrency=half_pool(),
+                                  num_cpus=1)
+    partial_topk = _partial_topk_fn(qref)
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score_x1e6", "doc_id", "chunk_id"],
                           ascending=[False, True, True]).head(context_k)
@@ -139,6 +147,54 @@ def rag_topk_contexts(sf_dir: str, context_k: int = CONTEXT_K):
     return (embedded.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
             .groupby("query_id")
             .map_groups(merge, batch_format="pandas")
+            .sort("query_id"))
+
+
+def rag_reranked_contexts(sf_dir: str, context_k: int = CONTEXT_K):
+    """Two-stage retrieval: the embedding top-k builds a per-query
+    candidate POOL (stage 1, same broadcast/partial-top-k shape as
+    ``rag_topk_contexts``), then a second-stage reranker rescores only
+    the pooled candidates and the context is assembled in RERANK order
+    (stage 2). At scale this is the standard recall-then-precision
+    split: stage 1 touches every chunk but ships k rows per batch;
+    stage 2 — the expensive per-pair scorer — sees only k*|queries|
+    rows total. Output: (query_id, query, context, top_rerank_x1e6)."""
+    from ..functions.rerank import rerank_score_x1e6
+
+    embedder = HashEmbedder()
+    qmat = embedder.embed(pa.array(EVAL_QUERIES))
+    qref = ray.put(qmat)
+
+    from ..functions.cluster import half_pool
+    chunks = chunk_documents_ds(sf_dir)
+    embedded = chunks.map_batches(HashEmbedder, batch_format="pyarrow",
+                                  batch_size=1024,
+                                  concurrency=half_pool(),
+                                  num_cpus=1)
+
+    def rerank_group(g: pd.DataFrame) -> pd.DataFrame:
+        # global stage-1 pool: top TOP_K by embedding score
+        g = g.sort_values(["score_x1e6", "doc_id", "chunk_id"],
+                          ascending=[False, True, True]).head(TOP_K)
+        qi = int(g["query_id"].iloc[0])
+        query = EVAL_QUERIES[qi]
+        rr = [rerank_score_x1e6(query, t) for t in g["chunk_text"]]
+        g = g.assign(rerank_x1e6=rr) \
+            .sort_values(["rerank_x1e6", "score_x1e6", "doc_id", "chunk_id"],
+                         ascending=[False, False, True, True]) \
+            .head(context_k)
+        ctx = "\n\n".join(f"[문서 {i + 1}] {t}"
+                          for i, t in enumerate(g["chunk_text"]))
+        return pd.DataFrame({"query_id": [qi], "query": [query],
+                             "context": [ctx],
+                             "top_rerank_x1e6":
+                             [np.int64(g["rerank_x1e6"].iloc[0])]})
+
+    partial_topk = _partial_topk_fn(qref)
+    return (embedded.map_batches(partial_topk, batch_format="pyarrow",
+                                 batch_size=None)
+            .groupby("query_id")
+            .map_groups(rerank_group, batch_format="pandas")
             .sort("query_id"))
 
 
@@ -211,6 +267,7 @@ def rag_ab_compare(sf_dir: str):
 RETRIEVAL_QUERIES: dict[str, tuple] = {
     "chunk_stats": (chunk_stats, None),
     "rag_topk_contexts": (rag_topk_contexts, None),
+    "rag_reranked_contexts": (rag_reranked_contexts, None),
     "rag_answers": (rag_answers, None),
     "rag_eval_totals": (rag_eval_totals, None),
     "rag_ab_compare": (rag_ab_compare, None),

@@ -1,5 +1,6 @@
 """Deterministic extractive answerer unit tests + RAG lifecycle rows."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -69,3 +70,49 @@ def test_rag_answers_and_totals(tmp_path):
     assert len(ab) == len(EVAL_QUERIES)
     # top-3 context always has >= as many prompt tokens as top-1
     assert (ab["token_diff"] >= 0).all()
+
+
+def test_rerank_score_kernel():
+    from pdf_extraction_ray.functions.rerank import rerank_score_x1e6
+
+    assert rerank_score_x1e6("table extraction pipeline",
+                             "the table extraction pipeline runs") == 1_000_000
+    assert rerank_score_x1e6("table extraction pipeline",
+                             "nothing relevant here") == 0
+    # 1 of 3 query tokens present, case-insensitive
+    assert rerank_score_x1e6("table extraction pipeline",
+                             "a TABLE of numbers") == 333_333
+    assert rerank_score_x1e6("", "anything") == 0
+    assert rerank_score_x1e6("q", "") == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reranked_contexts_prefer_lexical_overlap(tmp_path):
+    """Two-stage retrieval: a chunk containing the literal query tokens
+    must lead the reranked context even when embedding-similar noise
+    chunks exist; the stage-2 order is deterministic."""
+    from pdf_extraction_ray.pipelines.retrieval import (
+        EVAL_QUERIES, rag_reranked_contexts)
+
+    rng = np.random.default_rng(3)
+    words = np.array(["alpha", "beta", "gamma", "delta", "epsilon",
+                      "zeta", "eta", "theta"])
+    texts = [" ".join(rng.choice(words, size=150)) + "." for _ in range(25)]
+    # plant one perfect-overlap doc per eval query
+    for qi, q in enumerate(EVAL_QUERIES):
+        texts[qi] = (q + " ") * 40
+    d = tmp_path / "rerank"
+    d.mkdir()
+    pd.DataFrame({"doc_id": range(len(texts)), "text": texts}) \
+        .to_parquet(d / "documents.parquet")
+
+    out = rag_reranked_contexts(str(d)).to_pandas()
+    assert len(out) == len(EVAL_QUERIES)
+    for _, r in out.iterrows():
+        q = EVAL_QUERIES[int(r["query_id"])]
+        first = r["context"].split("\n\n")[0]
+        assert all(w in first.lower() for w in q.lower().split()), \
+            (q, first[:80])
+        assert int(r["top_rerank_x1e6"]) == 1_000_000
+    again = rag_reranked_contexts(str(d)).to_pandas()
+    pd.testing.assert_frame_equal(out, again)
