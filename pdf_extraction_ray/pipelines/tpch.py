@@ -1,10 +1,14 @@
-"""Remaining TPC-H query-shape analogs (q4/q12/q14/q15/q16/q17/q19/q21/
-q22), adapted to the testdata schema (no partsupp, no commit/receipt
-dates, single-word ``p_type``), each with an exact-integer DuckDB oracle.
+"""Remaining TPC-H query-shape analogs (q2/q4/q11/q12/q13/q14/q15/q16/
+q17/q19/q20/q21/q22), adapted to the testdata schema (no partsupp, no
+commit/receipt dates, single-word ``p_type``), each with an
+exact-integer DuckDB oracle.
 
-Together with q1/q3/q5/q6/q10/q18 in ``relational.py`` this covers every
-TPC-H query shape expressible over the available tables; q2/q11/q20 need
-the partsupp table the testdata does not carry.
+Together with q1/q3/q5/q6/q10/q18 in ``relational.py`` this covers all
+22 TPC-H query SHAPES. q2/q11/q20 reference the partsupp table the
+testdata does not carry, so their analogs here preserve the pattern —
+correlated MIN subquery, HAVING against a global-sum scalar, semi-join
+chain with a correlated half-sum threshold — over lineitem-derived
+supply facts instead of partsupp rows.
 
 Scale design (same rules as ``relational.py``):
 
@@ -1263,7 +1267,361 @@ ORDER BY nation, o_year
 """
 
 
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (LEFT JOIN + double groupby)
+# ---------------------------------------------------------------------------
+
+Q13_EXCL_PRIORITY = "1-URGENT"
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders
+    (excluding one priority class — the comment-pattern filter analog).
+    Per-custkey partial counts -> one keyed exchange -> a tiny c_count
+    distribution aggregate; the zero bucket comes from the customer
+    row count (parquet footers) minus the nonzero-custkey count, which
+    is exactly the LEFT JOIN semantics without ever scanning customer
+    rows. Order custkeys are membership-checked against the broadcast
+    customer key set (inner-join leg of the LEFT JOIN)."""
+    empty = pd.DataFrame({"c_count": pd.Series(dtype="int64"),
+                          "custdist": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "customer"):
+        return empty
+    import pyarrow.dataset as pads
+    n_cust = pads.dataset(_pq(sf_dir, "customer")).count_rows()
+
+    cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
+    ckeys = np.sort(cust["c_custkey"].to_numpy().astype(np.int64))
+    cref = ray.put(ckeys)
+
+    if _table_empty(sf_dir, "orders"):
+        nonzero = pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                                "c_count": pd.Series(dtype="int64")})
+    else:
+        def partial(batch: pa.Table) -> pa.Table:
+            ck = ray.get(cref)
+            pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+            keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            found, _ = _sorted_lookup(ck, keys)
+            m = (pr != Q13_EXCL_PRIORITY) & found
+            df = pd.DataFrame({"o_custkey": keys[m]})
+            return _from_pandas(df.groupby("o_custkey", as_index=False)
+                                .size().rename(columns={"size": "c_count"}))
+
+        nonzero = rd.read_parquet(_pq(sf_dir, "orders"),
+                                  columns=["o_custkey",
+                                           "o_orderpriority"]) \
+            .map_batches(partial, batch_format="pyarrow",
+                         batch_size=None) \
+            .groupby("o_custkey") \
+            .aggregate(Sum("c_count", alias_name="c_count")).to_pandas()
+
+    if nonzero.empty or "c_count" not in nonzero.columns:
+        dist = pd.DataFrame({"c_count": pd.Series(dtype="int64"),
+                             "custdist": pd.Series(dtype="int64")})
+    else:
+        dist = nonzero.groupby("c_count", as_index=False).size() \
+            .rename(columns={"size": "custdist"})
+    n_zero = n_cust - int(dist["custdist"].sum())
+    if n_zero > 0:
+        dist = pd.concat([dist, pd.DataFrame({"c_count": [0],
+                                              "custdist": [n_zero]})],
+                         ignore_index=True)
+    return dist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]) \
+        .reset_index(drop=True).astype({"c_count": "int64",
+                                        "custdist": "int64"})
+
+
+Q13_SQL = f"""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '{Q13_EXCL_PRIORITY}'
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 — min-cost supplier per part (correlated MIN subquery)
+# ---------------------------------------------------------------------------
+
+Q2_REGION = "ASIA"
+Q2_MAX_SIZE = 15
+Q2_LIMIT = 20
+
+
+def _region_supp_ref(sf_dir: str, region_name: str):
+    """Broadcast (sorted suppkeys, names) of one region's suppliers."""
+    reg = pd.read_parquet(_pq(sf_dir, "region"),
+                          columns=["r_regionkey", "r_name"])
+    nat = pd.read_parquet(_pq(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_regionkey"])
+    rk = set(reg[reg["r_name"] == region_name]["r_regionkey"])
+    nk = set(nat[nat["n_regionkey"].isin(rk)]["n_nationkey"])
+    supp = pd.read_parquet(_pq(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_name", "s_nationkey"])
+    supp = supp[supp["s_nationkey"].isin(nk)].sort_values("s_suppkey")
+    return ray.put((supp["s_suppkey"].to_numpy().astype(np.int64),
+                    supp["s_name"].to_numpy()))
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape without partsupp: for small parts, the supplier(s)
+    in one region achieving the MINIMUM observed line price for that
+    part (the correlated-MIN-subquery pattern). Both dimension probes
+    (region-supplier set, small-part set) are broadcast filters inside
+    the lineitem scan; the exchange carries per-(part, supplier) MIN
+    partials only; the per-part correlated min + tie expansion runs
+    co-partitioned on the part key."""
+    empty = pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                          "s_name": pd.Series(dtype="object"),
+                          "cost_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "lineitem") or _table_empty(sf_dir, "part") \
+            or _table_empty(sf_dir, "supplier"):
+        return empty
+    sref = _region_supp_ref(sf_dir, Q2_REGION)
+    part = pd.read_parquet(_pq(sf_dir, "part"),
+                           columns=["p_partkey", "p_size"])
+    small = np.sort(part[part["p_size"] <= Q2_MAX_SIZE]["p_partkey"]
+                    .to_numpy().astype(np.int64))
+    pref = ray.put(small)
+
+    from ray.data.aggregate import Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk, _names = ray.get(sref)
+        pk = ray.get(pref)
+        lsupp = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        lpart = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        s_found, _ = _sorted_lookup(sk, lsupp)
+        p_found, _ = _sorted_lookup(pk, lpart)
+        m = s_found & p_found
+        df = pd.DataFrame({
+            "p_partkey": lpart[m],
+            "s_suppkey": lsupp[m],
+            "cost_x100": _cents(batch["l_extendedprice"])
+            .to_numpy(zero_copy_only=False)[m]})
+        return _from_pandas(df.groupby(["p_partkey", "s_suppkey"],
+                                       as_index=False).min())
+
+    per_pair = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                               columns=["l_partkey", "l_suppkey",
+                                        "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby(["p_partkey", "s_suppkey"]) \
+        .aggregate(Min("cost_x100", alias_name="cost_x100"))
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        lo = g.groupby("p_partkey")["cost_x100"].transform("min")
+        return g[g["cost_x100"] == lo]
+
+    rows = _coarse_partition_map(per_pair, "p_partkey", keep_min) \
+        .to_pandas()
+    if rows.empty:
+        return empty
+    sk, names = ray.get(sref)
+    _f, pos = _sorted_lookup(sk, rows["s_suppkey"].to_numpy()
+                             .astype(np.int64))
+    rows = rows.assign(s_name=names[pos])
+    return rows.sort_values(["cost_x100", "p_partkey", "s_name"]) \
+        .head(Q2_LIMIT)[["p_partkey", "s_name", "cost_x100"]] \
+        .reset_index(drop=True) \
+        .astype({"p_partkey": "int64", "cost_x100": "int64"})
+
+
+Q2_SQL = f"""
+WITH ssup AS (
+  SELECT s_suppkey, s_name FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'),
+cost AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         MIN(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS cost_x100
+  FROM lineitem
+  JOIN ssup ON l_suppkey = ssup.s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_size <= {Q2_MAX_SIZE}
+  GROUP BY 1, 2)
+SELECT c.p_partkey, s.s_name, c.cost_x100
+FROM cost c JOIN ssup s USING (s_suppkey)
+WHERE c.cost_x100 = (SELECT MIN(c2.cost_x100) FROM cost c2
+                     WHERE c2.p_partkey = c.p_partkey)
+ORDER BY c.cost_x100, c.p_partkey, s.s_name
+LIMIT {Q2_LIMIT}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts (HAVING against a global-sum scalar)
+# ---------------------------------------------------------------------------
+
+Q11_REGION = "EUROPE"
+Q11_FRACTION_DEN = 1000          # keep parts with value > total/1000
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape without partsupp: per-part line value from one
+    region's suppliers, keeping parts whose value exceeds 1/1000 of the
+    global total — the HAVING-vs-global-scalar pattern. The per-part
+    exchange moves partial sums; the global total is a streaming
+    aggregate over the (bounded, per-part) intermediate, which is
+    materialized ONCE and reused for both the scalar and the filter;
+    the threshold compare is integer cross-multiplied (value*1000 >
+    total) so no float fraction exists on either engine."""
+    empty = pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                          "value_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "lineitem") or _table_empty(sf_dir, "supplier"):
+        return empty
+    sref = _region_supp_ref(sf_dir, Q11_REGION)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk, _names = ray.get(sref)
+        lsupp = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        found, _ = _sorted_lookup(sk, lsupp)
+        df = pd.DataFrame({
+            "p_partkey": batch["l_partkey"]
+            .to_numpy(zero_copy_only=False)[found],
+            "value_x100": _cents(batch["l_extendedprice"])
+            .to_numpy(zero_copy_only=False)[found]})
+        return _from_pandas(df.groupby("p_partkey", as_index=False).sum())
+
+    per_part = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                               columns=["l_partkey", "l_suppkey",
+                                        "l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("p_partkey") \
+        .aggregate(Sum("value_x100", alias_name="value_x100")) \
+        .materialize()           # bounded by |parts|; reused twice below
+    agg = per_part.aggregate(Sum("value_x100", alias_name="total"))
+    total = int(agg["total"] or 0)
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t["value_x100"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v * Q11_FRACTION_DEN > total))
+
+    out = per_part.map_batches(keep, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    if out.empty or "p_partkey" not in out.columns:
+        return empty
+    return out.sort_values(["value_x100", "p_partkey"],
+                           ascending=[False, True]) \
+        .reset_index(drop=True)[["p_partkey", "value_x100"]] \
+        .astype({"p_partkey": "int64", "value_x100": "int64"})
+
+
+Q11_SQL = f"""
+WITH ssup AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q11_REGION}'),
+v AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT))
+              AS BIGINT) AS value_x100
+  FROM lineitem JOIN ssup ON l_suppkey = ssup.s_suppkey
+  GROUP BY 1)
+SELECT p_partkey, value_x100
+FROM v
+WHERE value_x100 * {Q11_FRACTION_DEN} > (SELECT SUM(value_x100) FROM v)
+ORDER BY value_x100 DESC, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — excess shippers (semi-join chain + correlated half-sum threshold)
+# ---------------------------------------------------------------------------
+
+Q20_TYPE = "PROMO"
+Q20_SHARE_DEN = 6                # keep suppliers with qty_97 > qty_all/6
+Q20_LO = "1997-01-01"
+Q20_HI = "1998-01-01"
+
+
+def q20_excess_shippers(sf_dir: str):
+    """TPC-H Q20 shape without partsupp availqty: suppliers whose 1997
+    shipped quantity of promo-type parts exceeds a SIXTH of their
+    all-time shipped quantity of those parts (the testdata's shipdates
+    span ~6 years, so 1/6 is the neutral share — a half-threshold would
+    select nobody at any sf) — part-class filter, correlated threshold
+    (integer cross-multiplied: 6*qty_97 > qty_all), supplier
+    name attach. One per-supplier exchange over dual partial sums; the
+    promo-part set is a broadcast probe inside the lineitem scan."""
+    empty = pd.DataFrame({"s_name": pd.Series(dtype="object"),
+                          "qty_97": pd.Series(dtype="int64"),
+                          "qty_all": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "lineitem") or _table_empty(sf_dir, "part") \
+            or _table_empty(sf_dir, "supplier"):
+        return empty
+    part = pd.read_parquet(_pq(sf_dir, "part"),
+                           columns=["p_partkey", "p_type"])
+    promo = np.sort(part[part["p_type"] == Q20_TYPE]["p_partkey"]
+                    .to_numpy().astype(np.int64))
+    pref = ray.put(promo)
+    lo, hi = _date_us(Q20_LO), _date_us(Q20_HI)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pk = ray.get(pref)
+        lpart = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        found, _ = _sorted_lookup(pk, lpart)
+        t = batch.filter(pa.array(found))
+        ship = _ts_us(t["l_shipdate"])
+        qty = _cents(t["l_quantity"], 1.0).to_numpy(zero_copy_only=False)
+        in97 = (ship >= lo) & (ship < hi)
+        df = pd.DataFrame({
+            "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False),
+            "qty_97": np.where(in97, qty, 0),
+            "qty_all": qty})
+        return _from_pandas(df.groupby("s_suppkey", as_index=False).sum())
+
+    per_supp = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                               columns=["l_partkey", "l_suppkey",
+                                        "l_quantity", "l_shipdate"]) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=None) \
+        .groupby("s_suppkey") \
+        .aggregate(Sum("qty_97", alias_name="qty_97"),
+                   Sum("qty_all", alias_name="qty_all")).to_pandas()
+    if per_supp.empty or "s_suppkey" not in per_supp.columns:
+        return empty
+    per_supp = per_supp[per_supp["qty_97"] * Q20_SHARE_DEN
+                        > per_supp["qty_all"]]
+    names = pd.read_parquet(_pq(sf_dir, "supplier"),
+                            columns=["s_suppkey", "s_name"])
+    out = per_supp.merge(names, on="s_suppkey")
+    return out.sort_values("s_name").reset_index(drop=True) \
+        [["s_name", "qty_97", "qty_all"]] \
+        .astype({"qty_97": "int64", "qty_all": "int64"})
+
+
+Q20_SQL = f"""
+WITH q AS (
+  SELECT l_suppkey,
+         CAST(SUM(CASE WHEN l_shipdate >= DATE '{Q20_LO}'
+                        AND l_shipdate <  DATE '{Q20_HI}'
+                       THEN CAST(ROUND(l_quantity) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS qty_97,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+             AS qty_all
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{Q20_TYPE}'
+  GROUP BY l_suppkey)
+SELECT s.s_name, q.qty_97, q.qty_all
+FROM q JOIN supplier s ON q.l_suppkey = s.s_suppkey
+WHERE q.qty_97 * {Q20_SHARE_DEN} > q.qty_all
+ORDER BY s.s_name
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q20_excess_shippers": (q20_excess_shippers, Q20_SQL),
     "q7_nation_trade": (q7_nation_trade, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),

@@ -254,6 +254,8 @@ TPCH_FUZZ_QUERIES = [
     "q15_top_supplier", "q16_brand_supplier_counts",
     "q17_small_qty_revenue", "q19_disjunctive_revenue",
     "q21_late_suppliers", "q22_idle_balance",
+    "q2_min_cost_supplier", "q11_important_parts",
+    "q13_customer_distribution", "q20_excess_shippers",
 ]
 
 
