@@ -481,7 +481,10 @@ def main():
                          "q18_large_orders", "q4_priority_count",
                          "q9_product_profit", "q14_promo_revenue",
                          "q21_late_suppliers", "doc_quality_rank",
-                         "doc_trigram_lm", "media_phash_pairs"]
+                         "doc_trigram_lm", "media_phash_pairs",
+                         "q2_min_cost_supplier",
+                         "q13_customer_distribution",
+                         "events_type_distinct_users", "corpus_bigrams"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
