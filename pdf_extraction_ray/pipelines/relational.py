@@ -300,10 +300,22 @@ def q6_forecast_revenue(sf_dir: str):
     partial sum leaving each task, one global Sum at the end. The
     cheapest possible plan over the biggest table: no exchange at all."""
     import datetime
+    import pyarrow.dataset as pads
     lo, hi = datetime.date(1996, 1, 1), datetime.date(1997, 1, 1)
+    # the full predicate is ALSO pushed into the parquet scan
+    # (row-group statistics pruning + scan-level filtering — at 100 TB
+    # a date-sorted layout skips most of the table before any task
+    # sees it); the in-batch mask below stays as the correctness
+    # guard, costing one redundant vectorized pass over survivors
+    push = ((pads.field("l_shipdate") >= pa.scalar(lo))
+            & (pads.field("l_shipdate") < pa.scalar(hi))
+            & (pads.field("l_discount") >= Q6_DISC_LO)
+            & (pads.field("l_discount") <= Q6_DISC_HI)
+            & (pads.field("l_quantity") < Q6_QTY_LIM))
     ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_shipdate", "l_discount",
-                                  "l_quantity", "l_extendedprice"])
+                                  "l_quantity", "l_extendedprice"],
+                         filter=push)
 
     def partial(batch: pa.Table) -> pa.Table:
         m = pc.and_(
@@ -721,9 +733,14 @@ FILTER_MIN_QTY = 48.0
 
 
 def filter_high_quantity(sf_dir: str):
+    import pyarrow.dataset as pads
+    # predicate pushed to the parquet scan (row-group pruning); the
+    # in-batch filter remains the correctness guard
     ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_linenumber", "l_quantity",
-                                  "l_extendedprice", "l_discount"])
+                                  "l_extendedprice", "l_discount"],
+                         filter=pads.field("l_quantity")
+                         >= FILTER_MIN_QTY)
 
     def fn(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.greater_equal(batch["l_quantity"],
