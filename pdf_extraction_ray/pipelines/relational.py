@@ -2747,6 +2747,81 @@ GROUP BY bucket ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# Robust outlier profile: per-type median + MAD + 3-MAD outlier count
+# ---------------------------------------------------------------------------
+
+
+def events_type_robust_outliers(sf_dir: str):
+    """Robust anomaly profile per event type: discrete median, MAD
+    (median absolute deviation, also discrete), and the count of
+    values deviating more than 3*MAD from the median — the
+    outlier-detection pass a data-quality pipeline runs before
+    training-set admission. All math is integer (x1e6 values, integer
+    MAD compare), so both engines agree bit-exactly. Grouped map over
+    the bounded type key, same shape as ``events_value_percentiles``;
+    at unbounded group sizes the same numbers come from two per-key
+    distributed order statistics."""
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "med_x1e6": pd.Series(dtype="int64"),
+                          "mad_x1e6": pd.Series(dtype="int64"),
+                          "n_outliers": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        v = _round_half_away(
+            batch["value"].to_numpy(zero_copy_only=False) * 1e6)
+        return pa.Table.from_arrays(
+            [batch["event_type"], pa.array(v)],
+            names=["event_type", "value_x1e6"])
+
+    def robust(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in g.groupby("event_type"):
+            v = np.sort(sub["value_x1e6"].to_numpy())
+            n = len(v)
+            med = v[max(int(np.ceil(0.5 * n)) - 1, 0)]
+            dev = np.sort(np.abs(v - med))
+            mad = dev[max(int(np.ceil(0.5 * n)) - 1, 0)]
+            rows.append({"event_type": et,
+                         "med_x1e6": np.int64(med),
+                         "mad_x1e6": np.int64(mad),
+                         "n_outliers": np.int64((dev > 3 * mad).sum())})
+        return pd.DataFrame(rows)
+
+    out = _coarse_str_partition_map(
+        ds.map_batches(add_key, batch_format="pyarrow", batch_size=None),
+        "event_type", robust).to_pandas()
+    if out.empty or "event_type" not in out.columns:
+        return empty
+    return out.sort_values("event_type").reset_index(drop=True) \
+        .astype({"med_x1e6": "int64", "mad_x1e6": "int64",
+                 "n_outliers": "int64"})
+
+
+ROBUST_OUTLIERS_SQL = """
+WITH s AS (SELECT event_type,
+                  CAST(ROUND(value * 1000000.0) AS BIGINT) AS v
+           FROM events),
+m AS (SELECT event_type, quantile_disc(v, 0.5) AS med
+      FROM s GROUP BY event_type),
+d AS (SELECT s.event_type, ABS(s.v - m.med) AS dev, m.med
+      FROM s JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+       FROM d GROUP BY event_type)
+SELECT d.event_type,
+       CAST(MAX(d.med) AS BIGINT) AS med_x1e6,
+       CAST(MAX(md.mad) AS BIGINT) AS mad_x1e6,
+       CAST(SUM(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # User-acquisition curve: new + cumulative unique users per day
 # ---------------------------------------------------------------------------
 
@@ -3058,6 +3133,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_type_distinct_users": (events_type_distinct_users,
                                    TYPE_DISTINCT_SQL),
     "events_type_approx_distinct": (events_type_approx_distinct, None),
+    "events_type_robust_outliers": (events_type_robust_outliers,
+                                    ROBUST_OUTLIERS_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

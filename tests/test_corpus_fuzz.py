@@ -86,7 +86,7 @@ EVENT_QUERIES = [
     "events_props_ksum", "events_hourly_gapfill",
     "order_custkeys_intersect", "order_custkeys_except",
     "events_user_activity_hist", "events_new_users_daily",
-    "events_type_distinct_users",
+    "events_type_distinct_users", "events_type_robust_outliers",
 ]
 
 # props pool stresses the JSON field extraction: valid ints (incl.
