@@ -406,7 +406,89 @@ def embedding_pca_top(sf_dir: str):
         "explained_ratio": pd.Series(top / total, dtype="float64")})
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: 4x-smaller vectors + recall evaluation
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 255               # 8-bit codes 0..255
+
+
+def _dim_minmax(sf_dir: str):
+    """Pass 1 of scalar quantization: per-dimension global min/max.
+    Each batch emits ONE (lo, hi) float-vector pair (2*d floats), so
+    the driver-side merge sees |batches| tiny rows — the same
+    mergeable-partial shape as the HLL sketches."""
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        return pa.Table.from_arrays(
+            [pa.array([m.min(axis=0).tobytes()], pa.binary()),
+             pa.array([m.max(axis=0).tobytes()], pa.binary())],
+            names=["lo", "hi"])
+
+    lo = hi = None
+    for b in _emb(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                      batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for lob, hib in zip(b["lo"].to_pylist(), b["hi"].to_pylist()):
+            l_ = np.frombuffer(lob, dtype=np.float64)
+            h_ = np.frombuffer(hib, dtype=np.float64)
+            lo = l_ if lo is None else np.minimum(lo, l_)
+            hi = h_ if hi is None else np.maximum(hi, h_)
+    return lo, hi
+
+
+def knn_cosine_quantized(sf_dir: str):
+    """Brute-force top-k over int8 scalar-quantized vectors — the
+    4x-smaller storage path for a 100-TB embedding store. Pass 1
+    computes per-dimension (lo, hi); pass 2 quantizes each batch to
+    uint8 codes, immediately dequantizes for scoring, and ships only
+    its local candidates. Same output contract as ``knn_cosine``
+    (vec_id, rank); quality is pinned by ``knn_quantized_recall``."""
+    lo, hi = _dim_minmax(sf_dir)
+    if lo is None:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64")})
+    scale = np.where(hi > lo, (hi - lo) / QUANT_LEVELS, 1.0)
+    q = _query_vec(sf_dir, KNN_QUERY_VEC_ID)
+    qref = ray.put((q / max(np.linalg.norm(q), 1e-12), lo, scale))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv, lo_, sc_ = ray.get(qref)
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        # quantize -> uint8 codes (what a real store would persist) ...
+        codes = np.clip(np.rint((m - lo_) / sc_), 0,
+                        QUANT_LEVELS).astype(np.uint8)
+        # ... and score on the DEQUANTIZED reconstruction
+        deq = lo_ + codes.astype(np.float64) * sc_
+        deq /= np.maximum(np.linalg.norm(deq, axis=1, keepdims=True),
+                          1e-12)
+        return pa.Table.from_arrays(
+            [batch["vec_id"], pa.array(deq @ qv)], names=["vec_id", "cos"])
+
+    top = (_emb(sf_dir).map_batches(score, batch_format="pyarrow",
+                                    batch_size=None)
+           .sort(["cos", "vec_id"], descending=[True, False])
+           .limit(KNN_K)).to_pandas()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["vec_id", "rank"]].astype({"vec_id": "int64"})
+
+
+def knn_quantized_recall(sf_dir: str):
+    """Recall@k of the int8-quantized path vs exact brute force."""
+    exact = set(knn_cosine(sf_dir).to_pandas()["vec_id"])
+    approx = set(knn_cosine_quantized(sf_dir)["vec_id"])
+    hit = len(exact & approx)
+    return pd.DataFrame({
+        "k": [KNN_K],
+        "levels": [QUANT_LEVELS],
+        "recall_x1e6": [int(hit * 1_000_000 / max(len(exact), 1))]})
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "knn_cosine_quantized": (knn_cosine_quantized, None),
+    "knn_quantized_recall": (knn_quantized_recall, None),
     "embedding_pca_top": (embedding_pca_top, None),
     "embeddings_kmeans": (embeddings_kmeans, None),
     "knn_multi_query": (knn_multi_query, KNN_MULTI_SQL),

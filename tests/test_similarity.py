@@ -111,3 +111,25 @@ def test_embedding_pca_matches_numpy(ray_session):
                                w[:4] / w.sum(), rtol=1e-8, atol=1e-12)
     assert (out["eigenvalue"].to_numpy()[:-1]
             >= out["eigenvalue"].to_numpy()[1:]).all()
+
+
+def test_quantized_knn_recall_and_minmax(ray_session):
+    """int8 scalar quantization: the per-dimension (lo, hi) pass must
+    match a direct numpy reduction, and the quantized top-k must keep
+    >= 80% recall vs exact brute force (8-bit codes on these smooth
+    embeddings should in fact be near-perfect)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from pdf_extraction_ray.pipelines.similarity import (
+        _dim_minmax, knn_quantized_recall)
+
+    sf = "/root/testdata/sf0.001"
+    lo, hi = _dim_minmax(sf)
+    m = np.stack(pq.read_table(f"{sf}/embeddings.parquet",
+                               columns=["embedding"])["embedding"]
+                 .to_numpy(zero_copy_only=False)).astype(np.float64)
+    np.testing.assert_array_equal(lo, m.min(axis=0))
+    np.testing.assert_array_equal(hi, m.max(axis=0))
+
+    rec = knn_quantized_recall(sf)
+    assert int(rec["recall_x1e6"].iloc[0]) >= 800_000
