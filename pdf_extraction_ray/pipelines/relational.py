@@ -481,9 +481,78 @@ LIMIT {Q18_TOPK}
 Q10_TOPK = 20
 
 
+def _q10_empty() -> pd.DataFrame:
+    return pd.DataFrame({
+        "c_custkey": pd.Series(dtype="int64"),
+        "c_name": pd.Series(dtype="object"),
+        "revenue_x1e4": pd.Series(dtype="int64"),
+        "acctbal_x100": pd.Series(dtype="int64"),
+        "n_name": pd.Series(dtype="object")})
+
+
 def q10_returned_customers(sf_dir: str):
-    """TPC-H Q10 shape: revenue lost to returned items per customer over
-    a date window, top-20. Scale plan: lineitem pre-aggregates R-flag
+    """TPC-H Q10 shape: revenue lost to returned items per customer
+    over a date window, top-20 — with q3_auto-style size-aware plan
+    selection. While the orders table fits a worker's heap (parquet
+    footer probe, same ``BROADCAST_ROW_LIMIT``) the WINDOW-FILTERED
+    orders (one 6-month slice, ~7% of rows) broadcast as sorted
+    key->custkey arrays and the whole query runs with ONE custkey
+    exchange; past the limit it switches to ``q10_partitioned``'s
+    two co-partitioned union merges (no broadcast of any fact table).
+    Identical result either way — the oracle covers both plans."""
+    if _table_rows(sf_dir, "orders") <= BROADCAST_ROW_LIMIT:
+        return _q10_broadcast(sf_dir)
+    return q10_partitioned(sf_dir)
+
+
+def _q10_broadcast(sf_dir: str):
+    """One-exchange q10 plan: window-filtered orders broadcast
+    (orderkey -> custkey sorted-lookup), lineitem R-flag revenue maps
+    straight to custkeys inside the scan, and only the custkey-keyed
+    customer attach exchanges."""
+    import datetime
+    lo, hi = datetime.date(1996, 1, 1), datetime.date(1996, 7, 1)
+    if _table_empty(sf_dir, "lineitem") or _table_empty(sf_dir, "orders") \
+            or _table_empty(sf_dir, "customer"):
+        return _q10_empty()
+
+    import pyarrow.dataset as pads
+    expr = ((pads.field("o_orderdate") >= pa.scalar(pd.Timestamp(lo)))
+            & (pads.field("o_orderdate") < pa.scalar(pd.Timestamp(hi))))
+    ot = pads.dataset(_pq(sf_dir, "orders")) \
+        .to_table(columns=["o_orderkey", "o_custkey"], filter=expr)
+    ok = ot["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ck = ot["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ok)
+    oref = ray.put((ok[order], ck[order]))
+
+    def li_to_cust(batch: pa.Table) -> pa.Table:
+        ok_s, ck_s = ray.get(oref)
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        if len(ok_s) == 0 or len(keys) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["o_custkey", "revenue_x1e4"])
+        pos = np.minimum(np.searchsorted(ok_s, keys), len(ok_s) - 1)
+        found = ok_s[pos] == keys
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0),
+                                             t["l_discount"])), 1e4) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"o_custkey": ck_s[pos][found],
+                           "revenue_x1e4": rev[found]})
+        return _from_pandas(df.groupby("o_custkey", as_index=False).sum())
+
+    by_cust = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                              columns=["l_orderkey", "l_returnflag",
+                                       "l_extendedprice", "l_discount"]) \
+        .map_batches(li_to_cust, batch_format="pyarrow", batch_size=None)
+    return _q10_cust_attach(sf_dir, by_cust)
+
+
+def q10_partitioned(sf_dir: str):
+    """The at-scale q10 plan: lineitem pre-aggregates R-flag
     revenue per orderkey inside each batch; the window-filtered orders
     and then the customer attributes attach through coarse
     co-partitioned union merges (orders and customer are NOT broadcast;
@@ -497,12 +566,7 @@ def q10_returned_customers(sf_dir: str):
 
     if _table_empty(sf_dir, "lineitem") or _table_empty(sf_dir, "orders") \
             or _table_empty(sf_dir, "customer"):
-        return pd.DataFrame({
-            "c_custkey": pd.Series(dtype="int64"),
-            "c_name": pd.Series(dtype="object"),
-            "revenue_x1e4": pd.Series(dtype="int64"),
-            "acctbal_x100": pd.Series(dtype="int64"),
-            "n_name": pd.Series(dtype="object")})
+        return _q10_empty()
 
     li = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_returnflag",
@@ -574,7 +638,13 @@ def q10_returned_customers(sf_dir: str):
         rev_partials.map_batches(tag_rev_order, batch_format="pyarrow",
                                  batch_size=None),
         orders, attach_orders)
+    return _q10_cust_attach(sf_dir, by_cust)
 
+
+def _q10_cust_attach(sf_dir: str, by_cust):
+    """Shared q10 tail: co-partitioned customer-attribute attach over a
+    (o_custkey, revenue_x1e4) partial-sum Dataset, then the tiny top-k
+    landing. Used by both the broadcast and partitioned plans."""
     nation = pd.read_parquet(_pq(sf_dir, "nation"),
                              columns=["n_nationkey", "n_name"])
     nmap_ref = ray.put(dict(zip(nation.n_nationkey.astype(int),
@@ -3135,6 +3205,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_type_approx_distinct": (events_type_approx_distinct, None),
     "events_type_robust_outliers": (events_type_robust_outliers,
                                     ROBUST_OUTLIERS_SQL),
+    "q10_partitioned": (q10_partitioned, Q10_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":
