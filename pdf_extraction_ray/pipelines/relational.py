@@ -652,12 +652,17 @@ def _q10_cust_attach(sf_dir: str, by_cust):
 
     def cust_project(batch: pa.Table) -> pa.Table:
         nmap = ray.get(nmap_ref)           # 25-row broadcast dimension
-        names = [nmap.get(int(k), "") for k in
+        # INNER-join semantics, same as the oracle: a c_nationkey
+        # absent from nation DROPS the customer (never fabricate "")
+        names = [nmap.get(int(k)) for k in
                  batch["c_nationkey"].to_pylist()]
+        keep = pa.array([n is not None for n in names])
+        t = batch.filter(keep)
         return pa.Table.from_arrays(
-            [pc.cast(batch["c_custkey"], pa.int64()), batch["c_name"],
-             _cents(batch["c_acctbal"]),
-             pa.array(names, type=pa.string())],
+            [pc.cast(t["c_custkey"], pa.int64()), t["c_name"],
+             _cents(t["c_acctbal"]),
+             pa.array([n for n in names if n is not None],
+                      type=pa.string())],
             names=["c_custkey", "c_name", "acctbal_x100", "n_name"])
 
     customer = rd.read_parquet(_pq(sf_dir, "customer"),
@@ -719,12 +724,7 @@ def _q10_cust_attach(sf_dir: str, by_cust):
            .sort(["revenue_x1e4", "c_custkey"], descending=[True, False])
            .limit(Q10_TOPK).to_pandas())
     if len(out.columns) == 0:
-        return pd.DataFrame({
-            "c_custkey": pd.Series(dtype="int64"),
-            "c_name": pd.Series(dtype="object"),
-            "revenue_x1e4": pd.Series(dtype="int64"),
-            "acctbal_x100": pd.Series(dtype="int64"),
-            "n_name": pd.Series(dtype="object")})
+        return _q10_empty()
     return out
 
 
@@ -1419,6 +1419,10 @@ def events_type_approx_distinct(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         types = batch["event_type"].to_numpy(zero_copy_only=False)
         ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        if len(types) == 0:            # empty blocks are routine at scale
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.binary())],
+                names=["event_type", "sketch"])
         order = np.argsort(types, kind="stable")
         st, si = types[order], pd.util.hash_array(ids[order])
         bounds = np.flatnonzero(np.r_[True, st[1:] != st[:-1], True])

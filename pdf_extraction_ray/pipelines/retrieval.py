@@ -117,22 +117,30 @@ def _partial_topk_fn(qref):
     return partial_topk
 
 
+def _stage1_candidates(sf_dir: str):
+    """Shared stage-1 retrieval: chunk -> actor-pool embed -> per-batch
+    partial top-k against the broadcast query matrix. Returns the
+    candidate Dataset (query_id, doc_id, chunk_id, chunk_text,
+    score_x1e6), k rows per query per batch. One wiring for both the
+    single-stage and the reranked pipelines — a tuning change (batch
+    size, pool size, embedder) applies to both."""
+    embedder = HashEmbedder()        # driver-side twin embeds the queries
+    qref = ray.put(embedder.embed(pa.array(EVAL_QUERIES)))
+
+    from ..functions.cluster import half_pool
+    embedded = chunk_documents_ds(sf_dir) \
+        .map_batches(HashEmbedder, batch_format="pyarrow",
+                     batch_size=1024, concurrency=half_pool(),
+                     num_cpus=1)
+    return embedded.map_batches(_partial_topk_fn(qref),
+                                batch_format="pyarrow", batch_size=None)
+
+
 def rag_topk_contexts(sf_dir: str, context_k: int = CONTEXT_K):
     """Top-k retrieval + assembled context per eval query.
 
     Output: (query_id, query, context) — context is the reference's
     numbered join of the top-``context_k`` chunks (RAG:84; CMP:30-34)."""
-    embedder = HashEmbedder()        # driver-side twin embeds the queries
-    qmat = embedder.embed(pa.array(EVAL_QUERIES))
-    qref = ray.put(qmat)
-
-    from ..functions.cluster import half_pool
-    chunks = chunk_documents_ds(sf_dir)
-    embedded = chunks.map_batches(HashEmbedder, batch_format="pyarrow",
-                                  batch_size=1024,
-                                  concurrency=half_pool(),
-                                  num_cpus=1)
-    partial_topk = _partial_topk_fn(qref)
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score_x1e6", "doc_id", "chunk_id"],
@@ -144,7 +152,7 @@ def rag_topk_contexts(sf_dir: str, context_k: int = CONTEXT_K):
                              "query": [EVAL_QUERIES[qi]],
                              "context": [ctx]})
 
-    return (embedded.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
+    return (_stage1_candidates(sf_dir)
             .groupby("query_id")
             .map_groups(merge, batch_format="pandas")
             .sort("query_id"))
@@ -160,17 +168,6 @@ def rag_reranked_contexts(sf_dir: str, context_k: int = CONTEXT_K):
     stage 2 — the expensive per-pair scorer — sees only k*|queries|
     rows total. Output: (query_id, query, context, top_rerank_x1e6)."""
     from ..functions.rerank import rerank_score_x1e6
-
-    embedder = HashEmbedder()
-    qmat = embedder.embed(pa.array(EVAL_QUERIES))
-    qref = ray.put(qmat)
-
-    from ..functions.cluster import half_pool
-    chunks = chunk_documents_ds(sf_dir)
-    embedded = chunks.map_batches(HashEmbedder, batch_format="pyarrow",
-                                  batch_size=1024,
-                                  concurrency=half_pool(),
-                                  num_cpus=1)
 
     def rerank_group(g: pd.DataFrame) -> pd.DataFrame:
         # global stage-1 pool: top TOP_K by embedding score
@@ -190,9 +187,7 @@ def rag_reranked_contexts(sf_dir: str, context_k: int = CONTEXT_K):
                              "top_rerank_x1e6":
                              [np.int64(g["rerank_x1e6"].iloc[0])]})
 
-    partial_topk = _partial_topk_fn(qref)
-    return (embedded.map_batches(partial_topk, batch_format="pyarrow",
-                                 batch_size=None)
+    return (_stage1_candidates(sf_dir)
             .groupby("query_id")
             .map_groups(rerank_group, batch_format="pandas")
             .sort("query_id"))

@@ -50,6 +50,7 @@ from ray.data.aggregate import Count, Sum
 
 from ..functions.arrow_utils import round_half_away
 from .relational import (
+    BROADCAST_ROW_LIMIT,
     _cents,
     _coarse_grouped_map_union,
     _coarse_partition_map,
@@ -1274,21 +1275,90 @@ ORDER BY nation, o_year
 Q13_EXCL_PRIORITY = "1-URGENT"
 
 
+_Q13_EMPTY_COLS = {"c_count": "int64", "custdist": "int64"}
+
+
+def _q13_empty() -> pd.DataFrame:
+    return pd.DataFrame({k: pd.Series(dtype=v)
+                         for k, v in _Q13_EMPTY_COLS.items()})
+
+
 def q13_customer_distribution(sf_dir: str):
     """TPC-H Q13 shape: how many customers placed 0, 1, 2, ... orders
-    (excluding one priority class — the comment-pattern filter analog).
-    Per-custkey partial counts -> one keyed exchange -> a tiny c_count
-    distribution aggregate; the zero bucket comes from the customer
-    row count (parquet footers) minus the nonzero-custkey count, which
-    is exactly the LEFT JOIN semantics without ever scanning customer
-    rows. Order custkeys are membership-checked against the broadcast
-    customer key set (inner-join leg of the LEFT JOIN)."""
-    empty = pd.DataFrame({"c_count": pd.Series(dtype="int64"),
-                          "custdist": pd.Series(dtype="int64")})
+    (excluding one priority class — the comment-pattern filter analog),
+    with q3_auto-style plan selection: below ``BROADCAST_ROW_LIMIT``
+    (parquet-footer probe) the customer key set broadcasts and the zero
+    bucket comes from the footer row count minus the nonzero-custkey
+    count; past it, ``q13_partitioned`` co-partitions customer keys
+    with the per-custkey order counts so nothing fact-scale ever lands
+    on the driver. Identical result either way (same oracle)."""
+    from .relational import _table_rows
     if _table_empty(sf_dir, "customer"):
-        return empty
-    import pyarrow.dataset as pads
-    n_cust = pads.dataset(_pq(sf_dir, "customer")).count_rows()
+        return _q13_empty()
+    if _table_rows(sf_dir, "customer") <= BROADCAST_ROW_LIMIT:
+        return _q13_broadcast(sf_dir)
+    return q13_partitioned(sf_dir)
+
+
+def q13_partitioned(sf_dir: str):
+    """The at-scale q13 plan: orders pre-count per custkey inside each
+    batch (no membership filter at the scan), then ONE co-partitioned
+    union exchange lands every customer key with its count partials;
+    each partition finishes the LEFT JOIN locally — customers with no
+    order rows become its zero-bucket partials — and emits a tiny
+    (c_count, custdist) partial distribution."""
+    if _table_empty(sf_dir, "customer"):
+        return _q13_empty()
+
+    def cust_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [pc.cast(batch["c_custkey"], pa.int64()),
+             pa.array(np.ones(n, dtype=np.int8)),
+             pa.array(np.zeros(n, dtype=np.int64))],
+            names=["key", "side", "c_count"])
+
+    customer = rd.read_parquet(_pq(sf_dir, "customer"),
+                               columns=["c_custkey"]) \
+        .map_batches(cust_side, batch_format="pyarrow", batch_size=None)
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        pr = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"key": keys[pr != Q13_EXCL_PRIORITY]}) \
+            .groupby("key", as_index=False).size() \
+            .rename(columns={"size": "c_count"})
+        df["side"] = np.int8(0)
+        return _from_pandas(df[["key", "side", "c_count"]]
+                            .astype({"key": "int64", "c_count": "int64"}))
+
+    orders = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderpriority"]) \
+        .map_batches(order_partial, batch_format="pyarrow",
+                     batch_size=None)
+
+    def dist_partial(g: pd.DataFrame) -> pd.DataFrame:
+        cu = g[g["side"] == 1]["key"].to_numpy()
+        oc = g[g["side"] == 0].groupby("key")["c_count"].sum() \
+            .reindex(cu, fill_value=0)          # LEFT JOIN, locally
+        vc = oc.value_counts()
+        return pd.DataFrame({"c_count": vc.index.astype("int64"),
+                             "custdist": vc.to_numpy(np.int64)})
+
+    parts = _coarse_grouped_map_union(orders, customer, dist_partial) \
+        .to_pandas()
+    if parts.empty or "c_count" not in parts.columns:
+        return _q13_empty()
+    dist = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    return dist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False]) \
+        .reset_index(drop=True).astype(_Q13_EMPTY_COLS)
+
+
+def _q13_broadcast(sf_dir: str):
+    from .relational import _table_rows
+    empty = _q13_empty()
+    n_cust = _table_rows(sf_dir, "customer")
 
     cust = pd.read_parquet(_pq(sf_dir, "customer"), columns=["c_custkey"])
     ckeys = np.sort(cust["c_custkey"].to_numpy().astype(np.int64))
@@ -1621,6 +1691,7 @@ TPCH_QUERIES: dict[str, tuple] = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q13_partitioned": (q13_partitioned, Q13_SQL),
     "q20_excess_shippers": (q20_excess_shippers, Q20_SQL),
     "q7_nation_trade": (q7_nation_trade, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),

@@ -202,7 +202,9 @@ def _random_lineitem_tables(seed: int, d):
     cust = pd.DataFrame({
         "c_custkey": np.arange(n_cust, dtype=np.int64),
         "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
-        "c_nationkey": rng.integers(0, 25, size=n_cust).astype(np.int32),
+        # keys 25/26 are ORPHANS (nation has 0-24): INNER-join queries
+        # must drop those customers exactly like the SQL oracle
+        "c_nationkey": rng.integers(0, 27, size=n_cust).astype(np.int32),
         "c_acctbal": rng.integers(-200_000, 2_000_000, size=n_cust) / 200.0,
         "c_mktsegment": rng.choice(["AUTOMOBILE", "BUILDING", "FURNITURE",
                                     "HOUSEHOLD", "MACHINERY"], size=n_cust)})

@@ -186,3 +186,36 @@ def test_grouped_hll_matches_exact_per_group():
     for t in exact.index:
         n, est = int(exact.loc[t, "n_users"]), int(approx.loc[t, "approx_users"])
         assert abs(est - n) / n < 0.02, (t, n, est)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_hll_survives_empty_shard(tmp_path):
+    """An events table stored as shards where one shard is EMPTY must
+    not crash the grouped-HLL partial (empty blocks are routine at
+    scale; regression: IndexError on zero-row batches)."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_extraction_ray.pipelines.relational import (
+        events_type_approx_distinct)
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(src, os.path.join(d, "events.parquet"))
+    os.mkdir(d / "shards")  # a sharded layout with one empty shard
+    sharded = tmp_path / "sharded"
+    sharded.mkdir()
+    edir = sharded / "events.parquet"
+    edir.mkdir()
+    pq.write_table(src, str(edir / "part0.parquet"))
+    pq.write_table(src.slice(0, 0), str(edir / "part1.parquet"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        import shutil
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    str(sharded / f"{t}.parquet"))
+
+    out = events_type_approx_distinct(str(sharded))
+    assert len(out) == 5 and (out["approx_users"] > 0).all()
