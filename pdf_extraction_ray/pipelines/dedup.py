@@ -544,6 +544,25 @@ def dedup_fingerprint_jaccard(sf_dir: str):
     return _verify_pairs_jaccard(cand, sf_dir, NGRAM_JACCARD_THRESHOLD)
 
 
+def doc_dedup_ensemble(sf_dir: str):
+    """Multi-signal (ensemble) dedup: embedding near-dup CANDIDATES
+    (IVF-bucketed fixed-point cosine >= 0.95 — ``dedup_embedding_
+    cosine``'s oracled kernel) VERIFIED by word-3-gram text Jaccard
+    >= 0.5 over the aligned ``documents`` table (vec_id == doc_id is
+    the fixture contract) — the two-modality agreement rule production
+    dedup uses so embedding-similar but textually distinct documents
+    are NOT dropped. The candidate set is output-sized; texts re-join
+    through the partitioned verify exchange (no corpus broadcast).
+    Output: (doc_a, doc_b, jaccard_x1e6)."""
+    emb = dedup_embedding_cosine(sf_dir)
+    if emb.empty:
+        return pd.DataFrame(_EMPTY_VERIFIED)
+    cand = rd.from_pandas(
+        emb.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"})
+        [["doc_a", "doc_b"]])
+    return _verify_pairs_jaccard(cand, sf_dir, NGRAM_JACCARD_THRESHOLD)
+
+
 def _clusters_distributed(pairs: pd.DataFrame, n_coarse: int = 64,
                           max_rounds: int = 64) -> pd.DataFrame:
     """Distributed min-label propagation (connected components) over the
@@ -723,4 +742,5 @@ DEDUP_QUERIES: dict[str, tuple] = {
                                _pairs_sql(PAIRS_COSINE_THRESHOLD_X1E6)),
     "dedup_fingerprint_jaccard": (dedup_fingerprint_jaccard, None),
     "dedup_clusters": (dedup_clusters, None),
+    "doc_dedup_ensemble": (doc_dedup_ensemble, None),
 }

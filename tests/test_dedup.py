@@ -1,6 +1,8 @@
 """Dedup-family semantics with planted duplicates (the rows-only queries
 need real assertions somewhere: here)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -241,3 +243,39 @@ def test_distributed_clusters_matches_driver_path():
     out = _clusters_distributed(pairs, n_coarse=4)
     reps = dict(zip(out.doc_id, out.cluster_rep))
     assert reps == {5: 5, 7: 5, 9: 5, 11: 5, 2: 2, 4: 2, 100: 100, 200: 100}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ensemble_dedup_requires_both_signals(tmp_path):
+    """Ensemble dedup keeps an embedding near-dup pair ONLY when the
+    aligned documents' texts also agree (word-3-gram Jaccard >= 0.5):
+    a pair with near-identical embeddings but disjoint text must be
+    dropped; one with matching text must survive with its jaccard."""
+    from pdf_extraction_ray.pipelines.dedup import doc_dedup_ensemble
+
+    d, expected, _vecs = make_embeddings_parquet(tmp_path)
+    pairs = sorted(expected)
+    n_docs = 200 + len(pairs)
+    rng = np.random.default_rng(5)
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps",
+                      "zeta", "eta", "theta", "iota", "kappa"])
+    texts = [" ".join(rng.choice(words, size=30)) for _ in range(n_docs)]
+    # pair 0: same text on both sides -> must SURVIVE
+    a0, b0 = pairs[0]
+    texts[b0] = texts[a0]
+    # remaining pairs: textually disjoint -> must be DROPPED
+    for a, b in pairs[1:]:
+        texts[b] = " ".join(f"uniq{b}tok{k}" for k in range(30))
+    pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64),
+                  "text": texts,
+                  "lang": ["en"] * n_docs,
+                  "source": ["s"] * n_docs}) \
+        .to_parquet(os.path.join(d, "documents.parquet"))
+
+    out = doc_dedup_ensemble(d)
+    got = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    assert (a0, b0) in got
+    for a, b in pairs[1:]:
+        assert (a, b) not in got, (a, b)
+    row = out.set_index(["doc_a", "doc_b"]).loc[(a0, b0)]
+    assert int(row["jaccard_x1e6"]) == 1_000_000
