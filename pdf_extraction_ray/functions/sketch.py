@@ -112,6 +112,48 @@ def cms_query(sk: np.ndarray, hashes: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Count-Sketch (signed) — unbiased inner products for join-size estimation
+# ---------------------------------------------------------------------------
+
+CS_W = 16384                    # var(inner) ~ ||a||2^2 * ||b||2^2 / W
+CS_D = 5                        # median of 5 independent estimates
+
+
+def cs_create() -> np.ndarray:
+    return np.zeros((CS_D, CS_W), dtype=np.int64)
+
+
+def _cs_sign(hashes: np.ndarray, row: int) -> np.ndarray:
+    """±1 from an independent bit of the row-i double hash (fast-AGMS:
+    sign and bucket from the same Kirsch-Mitzenmacher family)."""
+    h2 = _splitmix64(hashes + np.uint64(0x9E3779B97F4A7C15) * np.uint64(row + 1))
+    return (1 - 2 * ((h2 >> np.uint64(63)).astype(np.int64)))
+
+
+def cs_add_hashes(sk: np.ndarray, hashes: np.ndarray,
+                  counts: np.ndarray | None = None) -> np.ndarray:
+    if len(hashes) == 0:
+        return sk
+    w = counts if counts is not None else np.ones(len(hashes), dtype=np.int64)
+    for i in range(CS_D):
+        np.add.at(sk[i], _double_hash_idx(hashes, i, CS_W),
+                  _cs_sign(hashes, i) * w)
+    return sk
+
+
+def cs_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cs_inner(a: np.ndarray, b: np.ndarray) -> int:
+    """Unbiased estimate of the inner product of the two sketched
+    frequency vectors — i.e. the JOIN SIZE when each side sketched its
+    key column (fast-AGMS, Cormode-Garofalakis): median over rows of
+    the per-row dot products."""
+    return int(np.median(np.einsum("ij,ij->i", a, b)))
+
+
+# ---------------------------------------------------------------------------
 # Bloom filter
 # ---------------------------------------------------------------------------
 

@@ -2821,6 +2821,100 @@ GROUP BY bucket ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# Join-size: exact (oracled) + Count-Sketch estimate (the planner input)
+# ---------------------------------------------------------------------------
+
+
+def orders_lineitem_join_size(sf_dir: str):
+    """Exact join cardinality |orders JOIN lineitem ON orderkey| — the
+    number a planner needs before choosing broadcast vs partitioned.
+    Per-side per-batch key-count partials, ONE co-partitioned union
+    exchange, per-partition product-sum."""
+    empty = pd.DataFrame({"join_size": pd.Series([0], dtype="int64")})
+    if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "lineitem"):
+        return empty
+
+    def counts(table: str, key: str, side: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({"key": batch[key]
+                               .to_numpy(zero_copy_only=False)}) \
+                .groupby("key", as_index=False).size() \
+                .rename(columns={"size": "n"})
+            df["side"] = np.int8(side)
+            return _from_pandas(df[["key", "side", "n"]]
+                                .astype({"key": "int64", "n": "int64"}))
+        return rd.read_parquet(_pq(sf_dir, table), columns=[key]) \
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def product_sum(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 1].groupby("key")["n"].sum()
+        l_ = g[g["side"] == 0].groupby("key")["n"].sum()
+        both = o.index.intersection(l_.index)
+        return pd.DataFrame({"join_size": [np.int64(
+            (o.loc[both] * l_.loc[both]).sum())]})
+
+    parts = _coarse_grouped_map_union(
+        counts("lineitem", "l_orderkey", 0),
+        counts("orders", "o_orderkey", 1), product_sum).to_pandas()
+    if parts.empty or "join_size" not in parts.columns:
+        return empty
+    return pd.DataFrame({"join_size":
+                         pd.Series([int(parts["join_size"].sum())],
+                                   dtype="int64")})
+
+
+JOIN_SIZE_SQL = """
+SELECT CAST(COALESCE(SUM(n_o * n_l), 0) AS BIGINT) AS join_size
+FROM (SELECT o_orderkey AS key, COUNT(*) AS n_o
+      FROM orders GROUP BY 1) o
+JOIN (SELECT l_orderkey AS key, COUNT(*) AS n_l
+      FROM lineitem GROUP BY 1) l USING (key)
+"""
+
+
+def join_size_estimate_cms(sf_dir: str):
+    """Sketch-based join-size estimate (fast-AGMS / Count-Sketch inner
+    product, cf. the sketches-based join-estimation literature): each
+    side builds mergeable signed key sketches per batch (5x4096 int64,
+    160 KiB), the estimate is the median per-row dot product — NO key
+    exchange at all, the shape a planner uses to probe a join it can't
+    afford to run. Rows-only; a test bounds the relative error vs the
+    exact query above."""
+    from ..functions import sketch as S
+
+    empty = pd.DataFrame({"estimate": pd.Series([0], dtype="int64"),
+                          "w": pd.Series([S.CS_W], dtype="int64"),
+                          "d": pd.Series([S.CS_D], dtype="int64")})
+    if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "lineitem"):
+        return empty
+
+    def sketch_side(table: str, key: str) -> np.ndarray:
+        def partial(batch: pa.Table) -> pa.Table:
+            sk = S.cs_create()
+            keys = batch[key].to_numpy(zero_copy_only=False)
+            S.cs_add_hashes(sk, pd.util.hash_array(keys))
+            return pa.Table.from_arrays(
+                [pa.array([sk.tobytes()], pa.binary())], names=["sk"])
+
+        merged = S.cs_create()
+        ds = rd.read_parquet(_pq(sf_dir, table), columns=[key]) \
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            for raw in b["sk"].to_pylist():
+                merged = S.cs_merge(
+                    merged, np.frombuffer(raw, dtype=np.int64)
+                    .reshape(S.CS_D, S.CS_W))
+        return merged
+
+    a = sketch_side("orders", "o_orderkey")
+    b = sketch_side("lineitem", "l_orderkey")
+    return pd.DataFrame({"estimate":
+                         pd.Series([S.cs_inner(a, b)], dtype="int64"),
+                         "w": pd.Series([S.CS_W], dtype="int64"),
+                         "d": pd.Series([S.CS_D], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
 # Robust outlier profile: per-type median + MAD + 3-MAD outlier count
 # ---------------------------------------------------------------------------
 
@@ -3210,6 +3304,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_type_robust_outliers": (events_type_robust_outliers,
                                     ROBUST_OUTLIERS_SQL),
     "q10_partitioned": (q10_partitioned, Q10_SQL),
+    "orders_lineitem_join_size": (orders_lineitem_join_size,
+                                  JOIN_SIZE_SQL),
+    "join_size_estimate_cms": (join_size_estimate_cms, None),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

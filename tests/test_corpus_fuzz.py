@@ -168,7 +168,7 @@ LINEITEM_QUERIES = [
     "part_brand_median_price", "part_brand_price_stats",
     "customer_balance_ntile", "distinct_segments", "segment_names_agg",
     "q6_forecast_revenue", "q18_large_orders", "q10_returned_customers",
-    "q10_partitioned", "segment_top_orders",
+    "q10_partitioned", "segment_top_orders", "orders_lineitem_join_size",
 ]
 
 

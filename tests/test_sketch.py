@@ -219,3 +219,40 @@ def test_grouped_hll_survives_empty_shard(tmp_path):
 
     out = events_type_approx_distinct(str(sharded))
     assert len(out) == 5 and (out["approx_users"] > 0).all()
+
+
+def test_count_sketch_inner_product_unbiased():
+    """Count-Sketch inner product: exact on disjoint key sets (0) and
+    within a few percent on a realistic skewed join."""
+    from pdf_extraction_ray.functions import sketch as S
+    rng = np.random.default_rng(7)
+    # side A: unique keys; side B: zipf-ish repeats of a subset
+    a_keys = np.arange(20_000, dtype=np.int64)
+    # moderate skew (p ~ 1/sqrt(rank)): std ~ sqrt(|a|*||b||2^2/W) ~ 1.4%
+    # of the true size — an extreme zipf(1) tail needs sketch skimming
+    # (heavy hitters removed first), out of scope for the estimator
+    b_keys = rng.choice(15_000, size=80_000,
+                        p=(lambda w: w / w.sum())(
+                            1.0 / np.sqrt(np.arange(1, 15_001)))) \
+        .astype(np.int64)
+    exact = np.isin(b_keys, a_keys).sum()    # a-side counts are all 1
+    ska, skb = S.cs_create(), S.cs_create()
+    S.cs_add_hashes(ska, _hashes(a_keys))
+    S.cs_add_hashes(skb, _hashes(b_keys))
+    est = S.cs_inner(ska, skb)
+    assert abs(est - exact) / exact < 0.05, (est, int(exact))
+    # disjoint sides -> estimate near zero relative to the joint mass
+    skc = S.cs_create()
+    S.cs_add_hashes(skc, _hashes(np.arange(100_000, 120_000)))
+    assert abs(S.cs_inner(ska, skc)) < 0.02 * exact
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_join_size_estimate_vs_exact():
+    from pdf_extraction_ray.pipelines.relational import (
+        join_size_estimate_cms, orders_lineitem_join_size)
+    sf = "/root/testdata/sf0.001"
+    exact = int(orders_lineitem_join_size(sf)["join_size"].iloc[0])
+    est = int(join_size_estimate_cms(sf)["estimate"].iloc[0])
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.05, (est, exact)
