@@ -239,6 +239,30 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
     return (verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
+DEDUP_STAR_THRESHOLD = 256
+
+
+def _bucket_pair_indices(count: int, triu_cache: dict):
+    """Within-bucket candidate pair indices with a hot-bucket guard:
+    all pairs (triu) up to ``DEDUP_STAR_THRESHOLD`` members, then a
+    STAR around the first (min-doc) member — a boilerplate flood
+    (10^5+ docs sharing every band signature) would otherwise emit
+    O(n^2) candidate pairs out of one partition. The star keeps every
+    member connected to the representative, so the verified-pair
+    components (dedup_clusters) are preserved for the
+    identical-content flood case; for near-dup CHAINS inside a giant
+    bucket this is the standard recall/cost tradeoff — members that
+    only verify against each other, not the representative, are
+    missed (at linear instead of quadratic cost)."""
+    if count <= DEDUP_STAR_THRESHOLD:
+        tri = triu_cache.get(count)
+        if tri is None:
+            tri = triu_cache[count] = np.triu_indices(int(count), 1)
+        return tri
+    idx = np.arange(1, count)
+    return np.zeros(count - 1, dtype=np.int64), idx
+
+
 def dedup_minhash_lsh(sf_dir: str):
     """MinHash(128) + LSH(16 bands x 8 rows) candidate pairs, verified by
     word-3-gram Jaccard >= 0.7 through the partitioned text re-join
@@ -284,11 +308,12 @@ def dedup_minhash_lsh(sf_dir: str):
             np.not_equal(key[1:], key[:-1], out=new[1:])
             starts = np.nonzero(new)[0]
             counts = np.diff(np.append(starts, len(key)))
+            tri_cache: dict[int, tuple] = {}
             for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
                 ids = np.unique(doc[s:s + c])
                 if len(ids) < 2:
                     continue
-                ai, bj = np.triu_indices(len(ids), 1)
+                ai, bj = _bucket_pair_indices(len(ids), tri_cache)
                 out_a.append(ids[ai])
                 out_b.append(ids[bj])
         if out_a:
@@ -346,11 +371,9 @@ def dedup_simhash(sf_dir: str):
         counts = np.diff(np.append(starts, len(b)))
         ai_parts, bj_parts = [], []
         for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
-            tri = _triu_cache.get(c)
-            if tri is None:
-                tri = _triu_cache[c] = np.triu_indices(int(c), 1)
-            ai_parts.append(tri[0] + s)
-            bj_parts.append(tri[1] + s)
+            ai_b, bj_b = _bucket_pair_indices(int(c), _triu_cache)
+            ai_parts.append(ai_b + s)
+            bj_parts.append(bj_b + s)
         if not ai_parts:
             return empty
         ai = np.concatenate(ai_parts)
@@ -521,14 +544,20 @@ def dedup_fingerprint_jaccard(sf_dir: str):
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b = [], []
+        tri_cache: dict[int, tuple] = {}
         for _, grp in g.groupby("fingerprint"):
-            ids = sorted(grp["doc_id"].unique())
-            for i, a in enumerate(ids):
-                for b in ids[i + 1:]:
-                    out_a.append(a)
-                    out_b.append(b)
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64")})
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ai, bj = _bucket_pair_indices(len(ids), tri_cache)
+            out_a.append(ids[ai])
+            out_b.append(ids[bj])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"doc_a": pd.Series(np.concatenate(out_a), dtype="int64"),
+             "doc_b": pd.Series(np.concatenate(out_b), dtype="int64")})
 
     def coarse(batch: pa.Table) -> pa.Table:
         c = (batch["fingerprint"].to_numpy(zero_copy_only=False)

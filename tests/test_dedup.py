@@ -279,3 +279,39 @@ def test_ensemble_dedup_requires_both_signals(tmp_path):
         assert (a, b) not in got, (a, b)
     row = out.set_index(["doc_a", "doc_b"]).loc[(a0, b0)]
     assert int(row["jaccard_x1e6"]) == 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_bucket_star_guard(tmp_path):
+    """A boilerplate flood (600 identical docs) must emit LINEAR star
+    candidates, not O(n^2) pairs — and cluster resolution must still
+    place the whole flood in ONE cluster around the min doc."""
+    from pdf_extraction_ray.pipelines.dedup import (
+        DEDUP_STAR_THRESHOLD, dedup_clusters, dedup_minhash_lsh)
+
+    n_flood, n_rand = 600, 40
+    assert n_flood > DEDUP_STAR_THRESHOLD
+    rng = np.random.default_rng(9)
+    flood = " ".join(rng.choice(WORDS, size=60))
+    texts = [flood] * n_flood + \
+        [" ".join(rng.choice(WORDS, size=60)) + f" uniq{i}"
+         for i in range(n_rand)]
+    d = tmp_path / "flood"
+    d.mkdir()
+    pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                  "text": texts,
+                  "lang": ["en"] * len(texts),
+                  "source": ["s"] * len(texts)}) \
+        .to_parquet(d / "documents.parquet")
+
+    pairs = dedup_minhash_lsh(str(d))
+    flood_pairs = pairs[(pairs["doc_a"] < n_flood)
+                        & (pairs["doc_b"] < n_flood)]
+    # star guard: linear in flood size, far below the 179700 all-pairs
+    assert len(flood_pairs) <= 2 * n_flood, len(flood_pairs)
+    assert (flood_pairs["jaccard_x1e6"] == 1_000_000).all()
+
+    clusters = dedup_clusters(str(d))
+    fl = clusters[clusters["doc_id"] < n_flood]
+    assert len(fl) == n_flood                      # every flood member
+    assert (fl["cluster_rep"] == fl["cluster_rep"].min()).all()
