@@ -207,11 +207,15 @@ def phash_pairs_from_media(media: Dataset):
         np.not_equal(key[1:], key[:-1], out=new[1:])
         starts = np.nonzero(new)[0]
         counts = np.diff(np.append(starts, len(key)))
+        # same hot-bucket star guard as the text dedup tier: a repeated
+        # asset (site logo on every page) floods one phash bucket
+        from .dedup import _bucket_pair_indices
         ai_parts, bj_parts = [], []
+        tri_cache: dict[int, tuple] = {}
         for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
-            tri = np.triu_indices(int(c), 1)
-            ai_parts.append(tri[0] + s)
-            bj_parts.append(tri[1] + s)
+            ai_b, bj_b = _bucket_pair_indices(int(c), tri_cache)
+            ai_parts.append(ai_b + s)
+            bj_parts.append(bj_b + s)
         if not ai_parts:
             return empty
         ai, bj = np.concatenate(ai_parts), np.concatenate(bj_parts)
