@@ -2435,28 +2435,40 @@ _RANGE_US = RANGE_JOIN_DAYS * 86_400_000_000
 
 def orders_events_range_join(sf_dir: str):
     """Range join — Ray Data has no interval-join primitive, so both
-    sides co-partition on the equality key (user) through one
-    side-tagged union exchange, and the interval predicate evaluates
-    vectorized inside each partition (user-equality merge + range
-    filter). Per-order event counts keep the output bounded; heavy
-    users fan out pairs, so at real scale the per-user pair product is
-    capped by splitting the time axis into the exchange key as well
-    (user, ts_bucket)."""
+    sides co-partition on (user, week-bucket) through one side-tagged
+    union exchange, and the interval predicate evaluates vectorized
+    inside each partition (user+bucket equality merge + range filter).
+    The TIME AXIS IS PART OF THE KEY: orders key on their own week,
+    events replicate into their week and the PRIOR week (a 7-day range
+    spans at most two buckets), so a hot user's pair product is capped
+    by events-per-two-weeks instead of events-per-user — the guard the
+    round-1 design only documented. Events ship <= 2x; each order lives
+    in exactly one partition, so counts need no re-aggregation."""
     def tag_orders(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["o_orderdate"], pa.timestamp("us"))
+        us = t.to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
         return pa.Table.from_arrays(
             [pc.cast(batch["o_custkey"], pa.int64()),
+             pa.array(us // _RANGE_US),
              pa.array(np.zeros(len(batch), dtype=np.int8)),
-             batch["o_orderkey"],
-             pc.cast(batch["o_orderdate"], pa.timestamp("us"))],
-            names=["user_id", "side", "okey", "t"])
+             batch["o_orderkey"], t],
+            names=["user_id", "bucket", "side", "okey", "t"])
 
     def tag_events(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.timestamp("us"))
+        us = t.to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        w = us // _RANGE_US
+        n = len(batch)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
         return pa.Table.from_arrays(
-            [batch["user_id"],
-             pa.array(np.ones(len(batch), dtype=np.int8)),
-             pa.array(np.full(len(batch), -1, dtype=np.int64)),
-             pc.cast(batch["ts"], pa.timestamp("us"))],
-            names=["user_id", "side", "okey", "t"])
+            [pa.array(np.repeat(uid, 2)),
+             pa.array(np.column_stack([w, w - 1]).reshape(-1)),
+             pa.array(np.ones(2 * n, dtype=np.int8)),
+             pa.array(np.full(2 * n, -1, dtype=np.int64)),
+             pa.array(np.repeat(us, 2).view("datetime64[us]"))],
+            names=["user_id", "bucket", "side", "okey", "t"])
 
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey",
@@ -2471,9 +2483,9 @@ def orders_events_range_join(sf_dir: str):
         if od.empty:
             return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
                                  "n_events": pd.Series([], dtype="int64")})
-        ev = g[g["side"] == 1][["user_id", "t"]]
-        pairs = od[["user_id", "okey", "t"]].merge(
-            ev, on="user_id", suffixes=("_o", "_e"))
+        ev = g[g["side"] == 1][["user_id", "bucket", "t"]]
+        pairs = od[["user_id", "bucket", "okey", "t"]].merge(
+            ev, on=["user_id", "bucket"], suffixes=("_o", "_e"))
         t_o = pairs["t_o"].to_numpy().astype("datetime64[us]").astype(np.int64)
         t_e = pairs["t_e"].to_numpy().astype("datetime64[us]").astype(np.int64)
         pairs = pairs[(t_e >= t_o) & (t_e < t_o + _RANGE_US)]
@@ -2484,8 +2496,23 @@ def orders_events_range_join(sf_dir: str):
                                     fill_value=0).to_numpy(np.int64)})
         return out
 
-    return _coarse_partition_map(orders.union(events), "user_id",
-                                 range_part).sort("o_orderkey")
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        b = batch["bucket"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        c = ((u * np.uint64(0x9E3779B97F4A7C15)) ^
+             (b * np.uint64(0xBF58476D1CE4E5B9))) % np.uint64(64)
+        return batch.append_column("_coarse",
+                                   pa.array(c.astype(np.int64))) \
+            .replace_schema_metadata(None)
+
+    return orders.union(events) \
+        .map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
+        .groupby("_coarse") \
+        .map_groups(lambda g: range_part(g.drop(columns=["_coarse"])),
+                    batch_format="pandas") \
+        .sort("o_orderkey")
 
 
 RANGE_JOIN_SQL = f"""
