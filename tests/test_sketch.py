@@ -256,3 +256,24 @@ def test_join_size_estimate_vs_exact():
     est = int(join_size_estimate_cms(sf)["estimate"].iloc[0])
     assert exact > 0
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cumulative_hll_tracks_exact_curve():
+    """The HLL cumulative-unique-users curve stays within 2% of the
+    exact first-seen-day curve on EVERY day (prefix merges must not
+    accumulate drift beyond the sketch's standard error)."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_cum_users_approx, events_new_users_daily)
+
+    sf = "/root/testdata/sf0.01"
+    exact = events_new_users_daily(sf).set_index("day")["cum_users"]
+    approx = events_cum_users_approx(sf).set_index("day")[
+        "cum_users_approx"].sort_index()
+    # the exact curve lists only first-seen days; between them the
+    # cumulative count is flat, so forward-fill onto every event day
+    assert set(exact.index) <= set(approx.index)
+    exact_ff = exact.reindex(approx.index).ffill()
+    for day in approx.index:
+        n, est = int(exact_ff.loc[day]), int(approx.loc[day])
+        assert abs(est - n) / max(n, 1) < 0.02, (day, n, est)
