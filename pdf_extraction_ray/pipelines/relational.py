@@ -2942,6 +2942,32 @@ def join_size_estimate_cms(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Catalog probe: per-table row counts from parquet footers only
+# ---------------------------------------------------------------------------
+
+_CATALOG_TABLES = ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents",
+                   "embeddings")
+
+
+def table_stats(sf_dir: str):
+    """Catalog statistics: row count per table, read from parquet
+    FOOTERS only (zero data bytes scanned — the probe the q3/q10/q13
+    planners run before choosing a join plan, exposed as a query so
+    the driver hash-checks it against real COUNT(*)s)."""
+    return pd.DataFrame({
+        "table_name": list(_CATALOG_TABLES),
+        "n_rows": pd.Series([_table_rows(sf_dir, t)
+                             for t in _CATALOG_TABLES], dtype="int64")}) \
+        .sort_values("table_name").reset_index(drop=True)
+
+
+TABLE_STATS_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows "
+    f"FROM {t}" for t in _CATALOG_TABLES) + "\nORDER BY table_name"
+
+
+# ---------------------------------------------------------------------------
 # Robust outlier profile: per-type median + MAD + 3-MAD outlier count
 # ---------------------------------------------------------------------------
 
@@ -3403,6 +3429,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "q10_partitioned": (q10_partitioned, Q10_SQL),
     "orders_lineitem_join_size": (orders_lineitem_join_size,
                                   JOIN_SIZE_SQL),
+    "table_stats": (table_stats, TABLE_STATS_SQL),
     "join_size_estimate_cms": (join_size_estimate_cms, None),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
