@@ -125,8 +125,11 @@ def cs_create() -> np.ndarray:
 
 def _cs_sign(hashes: np.ndarray, row: int) -> np.ndarray:
     """±1 from an independent bit of the row-i double hash (fast-AGMS:
-    sign and bucket from the same Kirsch-Mitzenmacher family)."""
-    h2 = _splitmix64(hashes + np.uint64(0x9E3779B97F4A7C15) * np.uint64(row + 1))
+    sign and bucket from the same Kirsch-Mitzenmacher family). The
+    row constant wraps mod 2^64 in PYTHON ints — a numpy uint64 scalar
+    multiply warns on the (intended) overflow."""
+    salt = np.uint64((0x9E3779B97F4A7C15 * (row + 1)) & 0xFFFFFFFFFFFFFFFF)
+    h2 = _splitmix64(hashes + salt)
     return (1 - 2 * ((h2 >> np.uint64(63)).astype(np.int64)))
 
 

@@ -106,11 +106,14 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
         t = g[g["side"] == 1]
         tmap = dict(zip(t["doc_a"], t["payload"]))
         p = p.drop_duplicates(["doc_a", "doc_b"])
+        # a doc_a with NO documents row contributes no text evidence —
+        # drop its pairs here (same policy as the broadcast path)
+        p = p[p["doc_a"].isin(tmap.keys())]
         return pd.DataFrame({
             "doc_a": p["doc_a"].astype("int64").to_numpy(),
             "doc_b": p["doc_b"].astype("int64").to_numpy(),
             "text_a": pd.array(
-                [tmap.get(a, "") for a in p["doc_a"]], dtype="string")})
+                [tmap[a] for a in p["doc_a"]], dtype="string")})
 
     def tag_stage1(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -146,6 +149,8 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
 
         out = []
         for a, b, ta in zip(p["doc_a"], p["doc_b"], p["text_a"]):
+            if b not in tmap:             # no doc_b row -> no evidence
+                continue
             j = H.jaccard(ng_a(a, ta), ng_b(b))
             if j >= threshold:
                 out.append((int(a), int(b), int(j * 1e6)))
@@ -207,6 +212,12 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
                 return s
             out = []
             for a, b in zip(batch["doc_a"], batch["doc_b"]):
+                # a candidate id with NO documents row has no text
+                # evidence — drop it (jaccard("","")=1 would otherwise
+                # auto-confirm misaligned ids); a present-but-empty
+                # text still matches another empty text
+                if a not in tmap or b not in tmap:
+                    continue
                 j = H.jaccard(ng(a), ng(b))
                 if j >= threshold:
                     out.append((int(a), int(b), int(j * 1e6)))
@@ -333,6 +344,39 @@ def dedup_minhash_lsh(sf_dir: str):
     return _verify_pairs_jaccard(cand, sf_dir, MINHASH_JACCARD_THRESHOLD)
 
 
+def _simhash_big_bucket_pairs(sig: np.ndarray, doc: np.ndarray,
+                              triu_cache: dict) -> list:
+    """HOT simhash bucket (> DEDUP_STAR_THRESHOLD members): a plain
+    star would let an unrelated doc with the smallest id (same 16-bit
+    prefix, different low bits) poison the representative and drop the
+    whole flood. Sub-group by EXACT signature instead: star inside
+    each identical-signature run (hamming 0 by construction), then
+    Hamming-verify pairs of the per-signature representatives across
+    runs (star over those too if even the unique-signature count
+    floods). Returns a list of (doc_a, doc_b, hamming) frames."""
+    o2 = np.lexsort((doc, sig))
+    sg, dg = sig[o2], doc[o2]
+    frames = []
+    rb = np.flatnonzero(np.r_[True, sg[1:] != sg[:-1], True])
+    for a0, b0 in zip(rb[:-1], rb[1:]):
+        if b0 - a0 >= 2:                  # run star: rep = min doc
+            frames.append(pd.DataFrame({
+                "doc_a": np.full(b0 - a0 - 1, dg[a0]),
+                "doc_b": dg[a0 + 1:b0],
+                "hamming": np.zeros(b0 - a0 - 1, dtype=np.int64)}))
+    reps_d, reps_s = dg[rb[:-1]], sg[rb[:-1]]
+    if len(reps_d) >= 2:
+        ra, rj = _bucket_pair_indices(len(reps_d), triu_cache)
+        rd_ = H.hamming_distance(reps_s[ra], reps_s[rj])
+        k = rd_ <= SIMHASH_MAX_HAMMING
+        a_, b_ = reps_d[ra][k], reps_d[rj][k]
+        lo, hi = np.minimum(a_, b_), np.maximum(a_, b_)
+        frames.append(pd.DataFrame({
+            "doc_a": lo, "doc_b": hi,
+            "hamming": rd_[k].astype(np.int64)}))
+    return frames
+
+
 def dedup_simhash(sf_dir: str):
     """SimHash near-dup: 64-bit signatures, bucketed by the top 16 bits,
     pairwise Hamming <= 3 within buckets. Output: (doc_a, doc_b, hamming)."""
@@ -370,21 +414,34 @@ def dedup_simhash(sf_dir: str):
         starts = np.nonzero(new)[0]
         counts = np.diff(np.append(starts, len(b)))
         ai_parts, bj_parts = [], []
+        big_frames = []
         for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
-            ai_b, bj_b = _bucket_pair_indices(int(c), _triu_cache)
-            ai_parts.append(ai_b + s)
-            bj_parts.append(bj_b + s)
-        if not ai_parts:
+            if c <= DEDUP_STAR_THRESHOLD:
+                tri = _triu_cache.get(c)
+                if tri is None:
+                    tri = _triu_cache[c] = np.triu_indices(int(c), 1)
+                ai_parts.append(tri[0] + s)
+                bj_parts.append(tri[1] + s)
+                continue
+            sl = slice(int(s), int(s + c))
+            big_frames.extend(_simhash_big_bucket_pairs(
+                sh[sl], doc[sl], _triu_cache))
+        frames = []
+        if ai_parts:
+            ai = np.concatenate(ai_parts)
+            bj = np.concatenate(bj_parts)
+            d = H.hamming_distance(sh[ai], sh[bj])
+            keep = d <= SIMHASH_MAX_HAMMING
+            # within-bucket doc sort makes doc[ai] < doc[bj] automatic
+            frames.append(pd.DataFrame({
+                "doc_a": doc[ai][keep], "doc_b": doc[bj][keep],
+                "hamming": d[keep].astype(np.int64)}))
+        frames.extend(big_frames)
+        if not frames:
             return empty
-        ai = np.concatenate(ai_parts)
-        bj = np.concatenate(bj_parts)
-        d = H.hamming_distance(sh[ai], sh[bj])
-        keep = d <= SIMHASH_MAX_HAMMING
-        # within-bucket doc sort makes doc[ai] < doc[bj] automatically
-        return pd.DataFrame({
-            "doc_a": pd.Series(doc[ai][keep], dtype="int64"),
-            "doc_b": pd.Series(doc[bj][keep], dtype="int64"),
-            "hamming": pd.Series(d[keep], dtype="int64")})
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({"doc_a": "int64", "doc_b": "int64",
+                           "hamming": "int64"})
 
     return (_docs(sf_dir).map_batches(sigs, batch_format="pyarrow", batch_size=None)
             .groupby("coarse")

@@ -166,9 +166,15 @@ def phash_pairs_from_media(media: Dataset):
     collisions; each group Hamming-verifies its candidates against the
     full 64-bit hash it carried along (8 bytes — unlike text, the hash
     itself rides the shuffle, so no re-join). 8 bands x 8 bits makes
-    recall EXACT at Hamming <= 7 (pigeonhole: 7 flips can't touch all 8
-    bands). Cross-band duplicate pairs collapse in one tiny second
-    exchange keyed on the pair."""
+    candidate recall EXACT at Hamming <= 7 (pigeonhole: 7 flips can't
+    touch all 8 bands) for buckets up to DEDUP_STAR_THRESHOLD members;
+    past that the hot-bucket star guard pairs members to the bucket's
+    min-ref representative only — a repeated-asset flood (site logo on
+    every page) keeps linear pair output and full rep-connectivity, but
+    two near-dups both far from the representative can be missed inside
+    such a flood bucket (the same documented recall/cost tradeoff as
+    the text dedup tier). Cross-band duplicate pairs collapse in one
+    tiny second exchange keyed on the pair."""
     from ..functions import phash as P
 
     N_COARSE = 64

@@ -2444,16 +2444,25 @@ def orders_events_range_join(sf_dir: str):
     by events-per-two-weeks instead of events-per-user — the guard the
     round-1 design only documented. Events ship <= 2x; each order lives
     in exactly one partition, so counts need no re-aggregation."""
+    def _ukey(uid: np.ndarray, bucket: np.ndarray) -> pa.Array:
+        """One packed int64 exchange key from (user, week-bucket), so
+        the shared _coarse_grouped_map_union helper does the exchange."""
+        m = ((uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             ^ (bucket.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)))
+        return pa.array(m.view(np.int64))
+
     def tag_orders(batch: pa.Table) -> pa.Table:
         t = pc.cast(batch["o_orderdate"], pa.timestamp("us"))
         us = t.to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
+        uid = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = us // _RANGE_US
         return pa.Table.from_arrays(
-            [pc.cast(batch["o_custkey"], pa.int64()),
-             pa.array(us // _RANGE_US),
+            [_ukey(uid, w), pa.array(uid), pa.array(w),
              pa.array(np.zeros(len(batch), dtype=np.int8)),
              batch["o_orderkey"], t],
-            names=["user_id", "bucket", "side", "okey", "t"])
+            names=["key", "user_id", "bucket", "side", "okey", "t"])
 
     def tag_events(batch: pa.Table) -> pa.Table:
         t = pc.cast(batch["ts"], pa.timestamp("us"))
@@ -2461,14 +2470,15 @@ def orders_events_range_join(sf_dir: str):
             .astype("datetime64[us]").astype(np.int64)
         w = us // _RANGE_US
         n = len(batch)
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        uid = np.repeat(batch["user_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64), 2)
+        wb = np.column_stack([w, w - 1]).reshape(-1)
         return pa.Table.from_arrays(
-            [pa.array(np.repeat(uid, 2)),
-             pa.array(np.column_stack([w, w - 1]).reshape(-1)),
+            [_ukey(uid, wb), pa.array(uid), pa.array(wb),
              pa.array(np.ones(2 * n, dtype=np.int8)),
              pa.array(np.full(2 * n, -1, dtype=np.int64)),
              pa.array(np.repeat(us, 2).view("datetime64[us]"))],
-            names=["user_id", "bucket", "side", "okey", "t"])
+            names=["key", "user_id", "bucket", "side", "okey", "t"])
 
     orders = rd.read_parquet(_pq(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey",
@@ -2496,22 +2506,7 @@ def orders_events_range_join(sf_dir: str):
                                     fill_value=0).to_numpy(np.int64)})
         return out
 
-    def add_coarse(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        b = batch["bucket"].to_numpy(zero_copy_only=False) \
-            .astype(np.uint64)
-        c = ((u * np.uint64(0x9E3779B97F4A7C15)) ^
-             (b * np.uint64(0xBF58476D1CE4E5B9))) % np.uint64(64)
-        return batch.append_column("_coarse",
-                                   pa.array(c.astype(np.int64))) \
-            .replace_schema_metadata(None)
-
-    return orders.union(events) \
-        .map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
-        .groupby("_coarse") \
-        .map_groups(lambda g: range_part(g.drop(columns=["_coarse"])),
-                    batch_format="pandas") \
+    return _coarse_grouped_map_union(orders, events, range_part) \
         .sort("o_orderkey")
 
 
@@ -2902,8 +2897,8 @@ JOIN (SELECT l_orderkey AS key, COUNT(*) AS n_l
 def join_size_estimate_cms(sf_dir: str):
     """Sketch-based join-size estimate (fast-AGMS / Count-Sketch inner
     product, cf. the sketches-based join-estimation literature): each
-    side builds mergeable signed key sketches per batch (5x4096 int64,
-    160 KiB), the estimate is the median per-row dot product — NO key
+    side builds mergeable signed key sketches per batch (5x16384 int64,
+    640 KiB), the estimate is the median per-row dot product — NO key
     exchange at all, the shape a planner uses to probe a join it can't
     afford to run. Rows-only; a test bounds the relative error vs the
     exact query above."""
@@ -3161,9 +3156,8 @@ def events_cum_users_approx(sf_dir: str):
     cum = []
     for sk in per_day["sketch"]:
         sk = np.frombuffer(sk, dtype=np.uint8)
-        from ..functions import sketch as S2
-        run = sk.copy() if run is None else S2.hll_merge(run, sk)
-        cum.append(np.int64(S2.hll_count(run)))
+        run = sk.copy() if run is None else S.hll_merge(run, sk)
+        cum.append(np.int64(S.hll_count(run)))
     return pd.DataFrame({"day": per_day["day"].to_numpy(),
                          "cum_users_approx": pd.Series(cum,
                                                        dtype="int64")})

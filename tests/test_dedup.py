@@ -315,3 +315,44 @@ def test_hot_bucket_star_guard(tmp_path):
     fl = clusters[clusters["doc_id"] < n_flood]
     assert len(fl) == n_flood                      # every flood member
     assert (fl["cluster_rep"] == fl["cluster_rep"].min()).all()
+
+
+def test_simhash_big_bucket_outlier_cannot_poison_star():
+    """A hot simhash bucket sub-groups by exact signature: an unrelated
+    smallest-id doc sharing only the 16-bit bucket prefix must NOT
+    become the star representative and erase the flood's pairs."""
+    from pdf_extraction_ray.pipelines.dedup import (
+        _simhash_big_bucket_pairs)
+
+    flood_sig = np.uint64(0xABCD_0000_0000_FF00)
+    outlier_sig = np.uint64(0xABCD_0000_0000_00FF)   # hamming 16, same top16
+    n_flood = 300
+    sig = np.concatenate([[outlier_sig], [flood_sig] * n_flood]) \
+        .astype(np.uint64)
+    doc = np.arange(n_flood + 1, dtype=np.int64)     # outlier has id 0
+    frames = _simhash_big_bucket_pairs(sig, doc, {})
+    out = pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+    flood_pairs = out[(out["doc_a"] >= 1) & (out["doc_b"] >= 1)]
+    # the flood keeps its full star (rep = doc 1, hamming 0) ...
+    assert len(flood_pairs) == n_flood - 1
+    assert (flood_pairs["doc_a"] == 1).all()
+    assert (flood_pairs["hamming"] == 0).all()
+    # ... and the far outlier pairs with nobody
+    assert not ((out["doc_a"] == 0) | (out["doc_b"] == 0)).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ensemble_drops_candidates_without_documents_rows(tmp_path):
+    """vec_ids with no matching doc_id must be DROPPED by the text
+    verification, not auto-confirmed via jaccard(\"\",\"\") == 1."""
+    from pdf_extraction_ray.pipelines.dedup import doc_dedup_ensemble
+
+    d, expected, _ = make_embeddings_parquet(tmp_path)
+    # documents table covers NONE of the planted pair ids
+    pd.DataFrame({"doc_id": np.arange(5000, 5010, dtype=np.int64),
+                  "text": ["some text here"] * 10,
+                  "lang": ["en"] * 10, "source": ["s"] * 10}) \
+        .to_parquet(os.path.join(d, "documents.parquet"))
+    out = doc_dedup_ensemble(d)
+    assert len(out) == 0, out
