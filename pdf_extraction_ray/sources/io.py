@@ -52,6 +52,33 @@ def write_docs(ds: "ray.data.Dataset", path: str, **kwargs) -> None:
     ds.write_parquet(path, **kwargs)
 
 
+def compact_shards(in_path: str, out_path: str,
+                   target_rows: int = 100_000) -> int:
+    """Small-file compaction: rewrite a directory of parquet shards as
+    ~``target_rows``-row files (the maintenance op every long-running
+    ingest needs — thousands of tiny commit files destroy read
+    parallelism economics and metadata caches at 100 TB). Streaming:
+    read -> repartition to ceil(n/target) blocks -> one file per block.
+    Row counts come from footers only. Returns the output file count.
+
+    Schema drift across input shards (a column added mid-ingest) is
+    unified by the read — missing columns surface as nulls, so the
+    compacted output carries ONE schema.
+    """
+    import math
+
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(in_path).count_rows()
+    if n == 0:
+        os.makedirs(out_path, exist_ok=True)
+        return 0
+    blocks = max(1, math.ceil(n / target_rows))
+    ray.data.read_parquet(in_path).repartition(blocks) \
+        .write_parquet(out_path, min_rows_per_file=min(target_rows, n))
+    return len(glob.glob(os.path.join(out_path, "*.parquet")))
+
+
 def text_table_to_docs(batch: pa.Table) -> pa.Table:
     """Adapter: a plain text table (``documents``-style: doc_id, text) ->
     DOCS_SCHEMA interleaved rows. Deterministic byte-stream tokenizer:

@@ -87,3 +87,46 @@ def test_parquet_roundtrip_through_write_docs(tmp_path):
     assert files
     back = read_docs(str(out)).to_pandas().sort_values("doc_id")
     assert list(back["text"]) == ["a", "b"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_schema_drift_unifies_with_nulls(tmp_path):
+    """Shards written before/after a column was added must read as ONE
+    dataset with nulls for the missing column (mid-ingest schema
+    evolution is routine at scale)."""
+    import pandas as pd
+    d = tmp_path / "drift"
+    d.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"],
+                  "lang": ["en", "fr"]}).to_parquet(d / "p0.parquet")
+    pd.DataFrame({"doc_id": [3], "text": ["c"]}) \
+        .to_parquet(d / "p1.parquet")
+    df = read_docs(str(d)).to_pandas().sort_values("doc_id")
+    assert list(df["doc_id"]) == [1, 2, 3]
+    assert df["lang"].isna().sum() == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_shards_merges_small_files(tmp_path):
+    """120 tiny shards -> a handful of target-sized files with content
+    (including drifted-schema nulls) preserved."""
+    import pandas as pd
+    from pdf_extraction_ray.sources.io import compact_shards
+
+    src = tmp_path / "tiny"
+    src.mkdir()
+    for i in range(120):
+        pd.DataFrame({"doc_id": [i], "text": [f"t{i}"]}) \
+            .to_parquet(src / f"p{i:03d}.parquet")
+    out = tmp_path / "compact"
+    n_files = compact_shards(str(src), str(out), target_rows=50)
+    assert 1 <= n_files <= 4, n_files
+    back = read_docs(str(out)).to_pandas().sort_values("doc_id")
+    assert list(back["doc_id"]) == list(range(120))
+
+    empty_out = tmp_path / "empty_out"
+    esrc = tmp_path / "empty_src"
+    esrc.mkdir()
+    pd.DataFrame({"doc_id": pd.Series(dtype="int64")}) \
+        .to_parquet(esrc / "p0.parquet")
+    assert compact_shards(str(esrc), str(empty_out)) == 0
