@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--skew-bucketing", action="store_true")
+    p.add_argument("--compact", action="store_true",
+                   help="compact --input's small parquet shards into "
+                        "~--target-rows files at --output")
+    p.add_argument("--target-rows", type=int, default=100_000)
     args = p.parse_args(argv)
 
     if args.list_queries:
@@ -63,6 +67,15 @@ def main(argv=None) -> int:
     from .pipelines.resumable import run_extract_resumable
 
     t0 = time.perf_counter()
+    if args.compact:
+        from .sources.io import compact_shards
+        n_files = compact_shards(args.input, args.output,
+                                 target_rows=args.target_rows)
+        print(json.dumps({"compacted_to_files": n_files,
+                          "output": args.output,
+                          "sec": round(time.perf_counter() - t0, 2)}))
+        ray.shutdown()
+        return 0
     if args.query is not None:
         reg = _query_registry()
         if args.query not in reg:

@@ -58,3 +58,19 @@ def test_cli_unknown_query(tmp_path):
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 2
     assert "unknown query" in r.stderr
+
+
+def test_cli_compact(tmp_path):
+    import pandas as pd
+    src = tmp_path / "tiny"
+    src.mkdir()
+    for i in range(30):
+        pd.DataFrame({"doc_id": [i], "text": [f"t{i}"]}) \
+            .to_parquet(src / f"p{i:02d}.parquet")
+    out = _run(["--compact", "--input", str(src),
+                "--output", str(tmp_path / "c"), "--target-rows", "10",
+                "--num-cpus", "4"])
+    assert 1 <= out["compacted_to_files"] <= 4
+    n = sum(pq.read_metadata(f).num_rows
+            for f in glob.glob(str(tmp_path / "c") + "/*.parquet"))
+    assert n == 30
