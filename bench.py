@@ -484,7 +484,10 @@ def main():
                          "doc_trigram_lm", "media_phash_pairs",
                          "q2_min_cost_supplier",
                          "q13_customer_distribution",
-                         "events_type_distinct_users", "corpus_bigrams"]
+                         "events_type_distinct_users", "corpus_bigrams",
+                         "events_type_robust_outliers",
+                         "orders_lineitem_join_size",
+                         "knn_cosine_quantized", "doc_dedup_ensemble"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
