@@ -47,6 +47,24 @@ SCALE_LO, SCALE_HI = 8, 32
 _BURNER = "while True:\n  for _ in range(100000): pass\n"
 
 
+def _cpu_calib_miters() -> float:
+    """Absolute single-process pure-python spin rate (M iterations/s).
+
+    This is the epoch anchor: the shared VM's effective per-core speed
+    swings 2-3x between calm and noisy epochs (turbo, steal, neighbors),
+    which moves EVERY wall-clock number in this file uniformly. Recording
+    the anchor beside each measurement makes numbers from different
+    epochs comparable: docs_per_sec / cpu_calib_miters is epoch-stable.
+    BASELINE.md records the anchor observed with its reference numbers.
+    """
+    t0 = time.perf_counter()
+    c = 0
+    while time.perf_counter() - t0 < 1.0:
+        for _ in range(10000):
+            c += 1
+    return round(c / (time.perf_counter() - t0) / 1e6, 1)
+
+
 def _spin_eff() -> float:
     """Aggregate pure-python spin throughput at SCALE_LO vs SCALE_HI
     processes — the host's CPU-frequency scaling ceiling."""
@@ -107,6 +125,7 @@ def _scaling():
         "n_docs": hi["n_docs"],
         "scaling_efficiency": round(eff, 3),
         "cpu_spin_eff": spin_eff,
+        "cpu_calib_miters": _cpu_calib_miters(),
         "efficiency_vs_cpu_ceiling": round(eff / spin_eff, 3),
         "mode": "frequency-equalized (low-priority spinners on unused cores "
                 "during the low-CPU run)"}))
@@ -429,6 +448,7 @@ def main():
         _knn_stress()
         return
     headline_only = "--headline-only" in sys.argv
+    cpu_calib = _cpu_calib_miters()   # before ray.init: idle-host anchor
 
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -504,6 +524,7 @@ def main():
         "num_cpus": ncpu,
         "n_docs": BENCH_DOCS,
         "docs_per_sec": round(BENCH_DOCS / headline, 1),
+        "cpu_calib_miters": cpu_calib,
     }))
     ray.shutdown()
 
