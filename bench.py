@@ -482,6 +482,12 @@ def main():
     timings["extract_flagship"] = round(headline, 3)
 
     if not headline_only:
+        # generate the sf-derived query-tier corpus OUTSIDE the timed
+        # region: it is a fixture, not the operator under test, and a
+        # cold cache otherwise bills ~60 s to whichever corpus-backed
+        # query runs first (observed on media_phash_pairs)
+        from pdf_extraction_ray.pipelines.analysis import _corpus_for
+        _corpus_for(sf_dir)
         queries = __ray_entry__.queries()
         bench_queries = ["q1_pricing_summary", "q3_top_orders",
                          "q5_nation_revenue", "events_hourly",

@@ -290,22 +290,21 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
-def embeddings_kmeans(sf_dir: str):
-    """Distributed Lloyd's k-means, KMEANS_ITERS iterations — the
-    engine's iterative-algorithm representative (not SQL-expressible;
-    tests assert inertia is non-increasing and sizes cover N). Each
-    iteration is one streaming pass: broadcast centroids, per-batch
-    nearest-centroid assignment + per-cluster partial (sum, count,
-    sq-dist) rows, tiny keyed Sum; the driver only ever holds k x dim
-    floats. Deterministic init from the first k vec_ids."""
+def _kmeans_centroids(sf_dir: str, k: int = KMEANS_K,
+                      iters: int = KMEANS_ITERS):
+    """Shared Lloyd's-iteration core: returns (centroids, last-iter stats
+    DataFrame) after ``iters`` streaming passes. Deterministic init from
+    the first ``k`` vec_ids; the driver only ever holds k x dim floats."""
     # deterministic init: embeddings of vec_id 0..k-1 (pruned read)
     init = (_emb(sf_dir)
-            .filter(expr=f"vec_id < {KMEANS_K}")
+            .filter(expr=f"vec_id < {k}")
             .to_pandas().sort_values("vec_id"))
+    if init.empty:
+        return np.zeros((0, 0)), None
     cents = np.stack(init["embedding"].to_numpy()).astype(np.float64)
 
     stats = None
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         cref = ray.put(cents)
 
         def assign(batch: pa.Table) -> pa.Table:
@@ -341,10 +340,115 @@ def embeddings_kmeans(sf_dir: str):
         cents = np.where(nonzero[:, None],
                          sums / np.maximum(n[:, None], 1.0), cents)
 
+    return cents, stats
+
+
+def embeddings_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means, KMEANS_ITERS iterations — the
+    engine's iterative-algorithm representative (not SQL-expressible;
+    tests assert inertia is non-increasing and sizes cover N). Each
+    iteration is one streaming pass: broadcast centroids, per-batch
+    nearest-centroid assignment + per-cluster partial (sum, count,
+    sq-dist) rows, tiny keyed Sum; the driver only ever holds k x dim
+    floats. Deterministic init from the first k vec_ids."""
+    cents, stats = _kmeans_centroids(sf_dir)
+    if stats is None:
+        return pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                             "n_vectors": pd.Series([], dtype="int64"),
+                             "inertia_x1e3": pd.Series([], dtype="int64")})
     return pd.DataFrame({
         "cluster": stats["cluster"].astype("int64"),
         "n_vectors": stats["n"].astype("int64"),
         "inertia_x1e3": (stats["sq_dist"] * 1e3).astype("int64")})
+
+
+SEMDEDUP_THRESHOLD_X1E6 = 950_000      # prune at cosine >= 0.95
+SEMDEDUP_CHUNK = 2048
+
+
+def embeddings_semdedup(sf_dir: str, k: int = KMEANS_K,
+                        iters: int = KMEANS_ITERS,
+                        threshold_x1e6: int = SEMDEDUP_THRESHOLD_X1E6):
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then prune
+    within each cluster every vector whose cosine similarity to an
+    earlier KEPT (lower vec_id, itself not pruned) member of the same
+    cluster reaches the threshold — greedy leader selection, first
+    occurrence kept, deterministic.
+
+    Scale shape: the k-means passes stream (see _kmeans_centroids); the
+    prune is one assignment pass + ONE groupby("cluster") exchange with
+    per-cluster vectorized work (normalized matmul in vec_id-sorted
+    chunks: chunk-vs-kept-prefix plus in-chunk upper triangle — never a
+    full n^2 similarity matrix in memory at once). Per-cluster cost is
+    O(n_c * kept_c * dim); the paper's own scaling lever applies: pick
+    k proportional to N so expected cluster size stays bounded. Output:
+    (vec_id, cluster, keep 0/1) sorted by vec_id; rows-only check (the
+    k-means stage makes it non-SQL) + planted-duplicate unit tests.
+
+    Reference analog: the dedup family of SURVEY.md §2.8 / the
+    embedding-cosine tier in pipelines/dedup.py — this composes it with
+    clustering so the candidate search is global, not
+    threshold-bucketed."""
+    cents, _ = _kmeans_centroids(sf_dir, k=k, iters=iters)
+    if cents.shape[0] == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cluster": pd.Series([], dtype="int64"),
+                             "keep": pd.Series([], dtype="int64")})
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        # (n,k) expanded form, never the (n,k,dim) broadcast
+        d2 = ((m * m).sum(axis=1, keepdims=True)
+              - 2.0 * (m @ c.T) + (c * c).sum(axis=1))
+        lab = d2.argmin(axis=1).astype(np.int64)
+        return pa.Table.from_arrays(
+            [batch["vec_id"], pa.array(lab),
+             batch["embedding"]],
+            names=["vec_id", "cluster", "embedding"])
+
+    thr = threshold_x1e6 / 1e6
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        kept_rows: list[np.ndarray] = []
+        for s in range(0, n, SEMDEDUP_CHUNK):
+            e = min(s + SEMDEDUP_CHUNK, n)
+            chunk = m[s:e]
+            dup = np.zeros(e - s, dtype=bool)
+            if kept_rows:
+                prior = np.concatenate(kept_rows)
+                dup |= (chunk @ prior.T >= thr).any(axis=1)
+            # in-chunk: earlier kept members of the same chunk
+            sims = chunk @ chunk.T
+            for j in range(e - s):
+                if dup[j]:
+                    continue
+                later = sims[j, j + 1:] >= thr
+                dup[j + 1:] |= later
+            keep[s:e] = ~dup
+            if (~dup).any():
+                kept_rows.append(chunk[~dup])
+        return pd.DataFrame({
+            "vec_id": pd.Series(ids, dtype="int64"),
+            "cluster": pd.Series(g["cluster"].to_numpy()[order],
+                                 dtype="int64"),
+            "keep": pd.Series(keep.astype(np.int64), dtype="int64")})
+
+    return (_emb(sf_dir)
+            .map_batches(assign, batch_format="pyarrow", batch_size=None)
+            .groupby("cluster")
+            .map_groups(prune, batch_format="pandas")
+            .sort("vec_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -491,6 +595,7 @@ SIMILARITY_QUERIES: dict[str, tuple] = {
     "knn_quantized_recall": (knn_quantized_recall, None),
     "embedding_pca_top": (embedding_pca_top, None),
     "embeddings_kmeans": (embeddings_kmeans, None),
+    "embeddings_semdedup": (embeddings_semdedup, None),
     "knn_multi_query": (knn_multi_query, KNN_MULTI_SQL),
     "knn_cosine": (knn_cosine, KNN_SQL),
     "knn_cosine_ivf": (knn_cosine_ivf, None),

@@ -133,3 +133,80 @@ def test_quantized_knn_recall_and_minmax(ray_session):
 
     rec = knn_quantized_recall(sf)
     assert int(rec["recall_x1e6"].iloc[0]) >= 800_000
+
+
+def _semdedup_postconditions(out, vecs, thr):
+    """The greedy-leader output is uniquely characterized by: (a) kept
+    vectors in a cluster are pairwise below threshold, (b) every pruned
+    vector has an earlier (lower vec_id) kept cluster-mate at/above
+    threshold, (c) each cluster's first member is kept."""
+    m = vecs.astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    for _, g in out.groupby("cluster"):
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        kept = g["keep"].to_numpy().astype(bool)
+        assert kept[0], "first cluster member must be kept"
+        sims = m[ids] @ m[ids].T
+        kidx = np.nonzero(kept)[0]
+        if len(kidx) > 1:
+            ks = sims[np.ix_(kidx, kidx)]
+            np.fill_diagonal(ks, 0.0)
+            assert (ks < thr).all(), "kept vectors must be pairwise < thr"
+        for j in np.nonzero(~kept)[0]:
+            assert (sims[j, kidx[kidx < j]] >= thr).any(), \
+                f"pruned vec {ids[j]} has no earlier kept leader"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_planted_duplicates(tmp_path):
+    from pdf_extraction_ray.pipelines.similarity import (
+        SEMDEDUP_THRESHOLD_X1E6, embeddings_semdedup)
+
+    rng = np.random.default_rng(5)
+    n, d = 60, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float64)
+    # planted near-dup groups (cosine ~0.9999): leaders 10 and 15
+    for grp in ([10, 20, 30], [15, 40]):
+        base = vecs[grp[0]]
+        for v in grp[1:]:
+            vecs[v] = base + rng.normal(size=d) * 1e-3
+    pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                  "embedding": list(vecs.astype(np.float32)),
+                  "label": np.zeros(n, dtype=np.int32)}) \
+        .to_parquet(tmp_path / "embeddings.parquet")
+
+    out = embeddings_semdedup(str(tmp_path)).to_pandas()
+    assert len(out) == n
+    assert set(out.columns) == {"vec_id", "cluster", "keep"}
+    keep = out.set_index("vec_id")["keep"]
+    # group leaders kept, followers pruned
+    assert keep[10] == 1 and keep[20] == 0 and keep[30] == 0
+    assert keep[15] == 1 and keep[40] == 0
+    # near-identical vectors must land in the same cluster
+    cl = out.set_index("vec_id")["cluster"]
+    assert cl[10] == cl[20] == cl[30]
+    assert cl[15] == cl[40]
+    # random 16-dim vectors are far below 0.95 cosine: everything else kept
+    planted_followers = {20, 30, 40}
+    assert (out[~out["vec_id"].isin(planted_followers)]["keep"] == 1).all()
+    # full postcondition + determinism
+    _semdedup_postconditions(out, vecs, SEMDEDUP_THRESHOLD_X1E6 / 1e6)
+    again = embeddings_semdedup(str(tmp_path)).to_pandas()
+    pd.testing.assert_frame_equal(out, again)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_postconditions_on_clustered_corpus(emb_dir):
+    from pdf_extraction_ray.pipelines.similarity import (
+        SEMDEDUP_THRESHOLD_X1E6, embeddings_semdedup)
+
+    d, vecs = emb_dir
+    out = embeddings_semdedup(d).to_pandas()
+    assert len(out) == len(vecs)
+    # this fixture's label clusters sit ~0.97 cosine apart internally,
+    # so the prune must actually fire
+    assert (out["keep"] == 0).any()
+    assert (out["keep"] == 1).any()
+    _semdedup_postconditions(out, vecs.astype(np.float64),
+                             SEMDEDUP_THRESHOLD_X1E6 / 1e6)
