@@ -158,6 +158,84 @@ def _stress():
     ray.shutdown()
 
 
+def _spill():
+    """Constrained-object-store tier: the headline pipeline with the
+    object store capped far below the working set. This is the 100-TB
+    shape in miniature — the input cannot be resident, so the run only
+    completes if the streaming executor's backpressure + spilling work
+    end-to-end. Reports wall time, bytes spilled/restored, and verifies
+    the output row count against the input."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import ray
+    store_bytes = int(os.environ.get("GRAFT_SPILL_STORE_MB", "512")) << 20
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR", object_store_memory=store_bytes)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from pdf_extraction_ray.fixtures import ensure_corpus
+    from pdf_extraction_ray.pipelines import extract_pipeline
+    from pdf_extraction_ray.sources import read_docs
+    n = int(os.environ.get("GRAFT_SPILL_DOCS", "500000"))
+    corpus = ensure_corpus("bench" if n == SCALING_DOCS else "spill",
+                           BENCH_SEED, n, shard_rows=5000, use_ray=True)
+    out = "/tmp/pdfxr_spill_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    extract_pipeline(read_docs(corpus), batch_size=BENCH_BATCH) \
+        .write_parquet(out)
+    dt = time.perf_counter() - t0
+    rows = sum(pq.read_metadata(f).num_rows
+               for f in glob.glob(f"{out}/*.parquet"))
+    spilled, restored = _spill_counters()
+
+    # second leg: an all-to-all exchange (hash groupby over the full
+    # corpus text) whose shuffle blocks CANNOT fit a 512 MB store — this
+    # run must actually spill and still produce the exact answer
+    from ray.data.aggregate import Count
+    t1 = time.perf_counter()
+    n_groups = (read_docs(corpus)
+                .groupby("doc_id").aggregate(Count(alias_name="n"))
+                .count())
+    shuffle_dt = time.perf_counter() - t1
+    sp2, re2 = _spill_counters()
+    print(json.dumps({"metric": "spill_wall_sec", "value": round(dt, 1),
+                      "unit": "sec", "n_docs": n, "num_cpus": 32,
+                      "object_store_mb": store_bytes >> 20,
+                      "docs_per_sec": round(n / dt, 1),
+                      "rows_out": rows, "rows_ok": rows == n,
+                      "spilled_mib": spilled, "restored_mib": restored,
+                      "shuffle_wall_sec": round(shuffle_dt, 1),
+                      "shuffle_groups_ok": n_groups == n,
+                      "shuffle_spilled_mib": sp2,
+                      "shuffle_restored_mib": re2}))
+    ray.shutdown()
+
+
+def _spill_counters() -> tuple:
+    """Cumulative (spilled, restored) MiB from the raylet session log.
+    grpc (memory_summary's transport) is absent from this image, so we
+    read the raylet's periodic spill report instead."""
+    import ray
+    spilled = restored = 0
+    try:
+        session = ray._private.worker._global_node.get_session_dir_path()
+        with open(os.path.join(session, "logs", "raylet.out"),
+                  errors="ignore") as f:
+            for line in f:
+                if "Spilled " in line:
+                    spilled = max(spilled, int(float(
+                        line.split("Spilled ")[1].split(" MiB")[0])))
+                if "Restored " in line:
+                    restored = max(restored, int(float(
+                        line.split("Restored ")[1].split(" MiB")[0])))
+    except (OSError, ValueError, IndexError, AttributeError):
+        spilled = restored = -1          # log unavailable, not a failure
+    return spilled, restored
+
+
 def _ensure_stress_docs(n: int) -> str:
     """Synthesize (once, cached) a sharded n-row documents table with 1%
     planted near-dups — shared by the dedup and corpus stress tiers."""
@@ -434,6 +512,9 @@ def main():
         return
     if "--stress" in sys.argv:
         _stress()
+        return
+    if "--spill" in sys.argv:
+        _spill()
         return
     if "--dedup" in sys.argv:
         _dedup_stress()
