@@ -3403,7 +3403,161 @@ ORDER BY step
 """
 
 
+# ---------------------------------------------------------------------------
+# Skew-aware partitioned join (hot-key replication)
+# ---------------------------------------------------------------------------
+
+SKEW_HOT_FACTOR = 1.15   # hot := per-key count > factor * mean count
+
+
+def _skew_hot_keys(events_ds, key: str = "user_id"):
+    """Exact fact-side key histogram -> the HOT key set (count >
+    SKEW_HOT_FACTOR x mean). Per-batch partial counts keep the exchange
+    at one (key, n) row per key per batch; the finished histogram is a
+    key-cardinality table (same bounded class as IVF centroids), and
+    only the hot SUBSET — bounded by construction, a power law has few
+    heavy hitters — ever reaches the driver. At 100 TB the same split
+    can come from the Count-Min path (``join_size_estimate_cms``)
+    instead of an exact histogram; the exact form is used here so the
+    oracle stays bit-exact."""
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(np.int64)), pa.array(c.astype(np.int64))],
+            names=[key, "n"])
+
+    hist = (events_ds.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
+            .groupby(key).aggregate(Sum("n", alias_name="n"))
+            .materialize())
+    tot = hist.aggregate(Sum("n", alias_name="rows"), Count())
+    n_keys = tot["count()"] or 1
+    thr = SKEW_HOT_FACTOR * (tot["rows"] or 0) / n_keys
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["n"], pa.scalar(float(thr))))
+
+    hot = hist.map_batches(only_hot, batch_format="pyarrow",
+                           batch_size=None).take_all()
+    return np.array(sorted(r[key] for r in hot), dtype=np.int64)
+
+
+def events_nation_skew_join(sf_dir: str):
+    """events ⨝ customer on ``user_id = c_custkey`` aggregated to
+    per-nation activity — executed with the skew split every partitioned
+    join needs once fact keys follow a power law. An exact key histogram
+    (`_skew_hot_keys`) labels heavy-hitter keys; HOT keys' build rows are
+    broadcast once (``ray.put`` of a bounded dict) and joined map-side —
+    so a hot key's fact rows are pre-aggregated inside their own batches
+    and never converge on one partition — while the cold tail flows
+    through the ordinary co-partitioned side-tagged exchange. Uniform
+    inputs just make the hot set small; both paths stay exercised at
+    every sf (the planted-zipf unit test forces an extreme split).
+    Reference analog: the caption/figure proximity joins never face skew
+    (per-page domains); this is the engine-level join the 100 TB tier
+    needs (SURVEY.md §2.5 cross-table family)."""
+    empty = pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                          "n_events": pd.Series(dtype="int64"),
+                          "value_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "value"])
+    hot_keys = _skew_hot_keys(ds)
+
+    cust = pd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    hot_build = cust[cust.c_custkey.isin(hot_keys)]
+    hot_ref = ray.put((hot_keys,
+                       dict(zip(hot_build.c_custkey.to_numpy(),
+                                hot_build.c_nationkey.to_numpy()))))
+
+    # one pass over the fact side: hot rows collapse to per-nation
+    # partials inside their own batch (side=2, exchange-keyed on the
+    # small nation domain); cold rows ride the key exchange (side=0)
+    def split(batch: pa.Table) -> pa.Table:
+        hk, hmap = ray.get(hot_ref)
+        k = batch["user_id"].to_numpy(zero_copy_only=False)
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        is_hot = np.isin(k, hk)
+        parts = [pd.DataFrame({"k": k[~is_hot], "side": 0,
+                               "nationkey": -1, "n_events": 1,
+                               "value_x100": v[~is_hot]})]
+        if is_hot.any():
+            hd = pd.DataFrame({"nk": pd.Series(k[is_hot]).map(hmap),
+                               "v": v[is_hot]}).dropna(subset=["nk"])
+            agg = hd.groupby("nk").agg(n=("v", "size"), s=("v", "sum"))
+            parts.append(pd.DataFrame({
+                "k": agg.index.to_numpy(np.int64), "side": 2,
+                "nationkey": agg.index.to_numpy(np.int64),
+                "n_events": agg["n"].to_numpy(np.int64),
+                "value_x100": agg["s"].to_numpy(np.int64)}))
+        return _from_pandas(pd.concat(parts, ignore_index=True)
+                            .astype({"k": "int64", "side": "int64",
+                                     "nationkey": "int64",
+                                     "n_events": "int64",
+                                     "value_x100": "int64"}))
+
+    fact = ds.map_batches(split, batch_format="pyarrow", batch_size=None)
+
+    cold_build = cust[~cust.c_custkey.isin(hot_keys)]
+    build = rd.from_pandas(pd.DataFrame({
+        "k": cold_build.c_custkey.to_numpy(np.int64), "side": 1,
+        "nationkey": cold_build.c_nationkey.to_numpy(np.int64),
+        "n_events": 0, "value_x100": 0}).astype("int64"))
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        pre = g[g.side == 2]
+        if len(pre):
+            outs.append(pre[["nationkey", "n_events", "value_x100"]])
+        bmap = g[g.side == 1].set_index("k")["nationkey"]
+        probe = g[g.side == 0]
+        if len(probe) and len(bmap):
+            nk = probe["k"].map(bmap)
+            hit = probe[nk.notna()].assign(nationkey=nk.dropna().astype("int64"))
+            if len(hit):
+                a = hit.groupby("nationkey").agg(
+                    n_events=("n_events", "sum"),
+                    value_x100=("value_x100", "sum"))
+                outs.append(a.reset_index())
+        if not outs:
+            return pd.DataFrame({"nationkey": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "value_x100": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    partials = _coarse_grouped_map_union(fact, build, join_partition, key="k")
+
+    nation = pd.read_parquet(_pq(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    nmap_ref = ray.put(dict(zip(nation.n_nationkey, nation.n_name)))
+
+    def name_it(batch: pa.Table) -> pa.Table:
+        nmap = ray.get(nmap_ref)
+        df = batch.to_pandas()
+        df["n_name"] = df["nationkey"].map(nmap)
+        return _from_pandas(df[["n_name", "n_events", "value_x100"]])
+
+    return (partials.groupby("nationkey")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("value_x100", alias_name="value_x100"))
+            .map_batches(name_it, batch_format="pyarrow", batch_size=None)
+            .sort("n_name"))
+
+
+SKEW_JOIN_SQL = """
+SELECT n_name, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS value_x100
+FROM events JOIN customer ON user_id = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "events_nation_skew_join": (events_nation_skew_join, SKEW_JOIN_SQL),
     "events_value_quantiles_approx": (events_value_quantiles_approx, None),
     "events_latest_state": (events_latest_state, LATEST_STATE_SQL),
     "events_props_ksum": (events_props_ksum, PROPS_KSUM_SQL),

@@ -1,0 +1,222 @@
+"""Table-maintenance operators: MERGE INTO (changelog upsert against a
+base table) and Hive-partitioned writes with partition-pruned reads.
+
+The reference writes versioned JSON result directories per run
+(`hybrid_docling_gpt4_processor.py` output layout; re-expressed in
+`state/manifest.py`); these two operators are the engine-level
+generalization a 100 TB lakehouse tier needs on top of that:
+
+- ``customer_merge_upsert`` — the Delta/Hudi/Iceberg MERGE shape:
+  compact a changelog to latest-per-key (same machinery as
+  ``events_latest_state``), then resolve base-vs-change per key in ONE
+  co-partitioned exchange (side-tagged union) — inserts, updates and
+  deletes in a single pass, no side broadcast anywhere.
+- ``events_partitioned_prune`` — write a table Hive-partitioned by a
+  column via ``Dataset.write_parquet(partition_cols=...)``, then answer
+  a partition-selective query by reading ONLY that partition's
+  directory: the scan never touches the other partitions' bytes (the
+  resumable-output requirement of the north rule applied to reads).
+
+Both are DuckDB-oracled (the oracle recomputes from the raw table).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .relational import (_cents, _coarse_grouped_map_union, _from_pandas,
+                         _pq, _table_empty)
+
+# ---------------------------------------------------------------------------
+# MERGE INTO: apply an event changelog to the customer base table
+# ---------------------------------------------------------------------------
+
+# deterministic changelog derived from events: merge key spreads across
+# AND beyond the customer key range, so all three MERGE arms (update /
+# delete / insert) are exercised at every sf.  'error' events are
+# tombstones; anything else upserts the account balance to the event
+# value.  Latest (ts, event_id) wins per key.
+MERGE_KEY_STRIDE = 11
+
+
+def customer_merge_upsert(sf_dir: str):
+    """MERGE INTO customer USING latest-changelog ON key. Two stages,
+    both exchange-bounded: (1) per-batch merge-latest compaction of the
+    changelog so the exchange moves at most one row per (key, batch);
+    (2) side-tagged union of base and compacted changes through one
+    coarse key exchange, with per-partition pandas resolution:
+    matched+tombstone -> drop, matched+upsert -> new balance,
+    unmatched change -> insert, untouched base -> keep. No process
+    holds more than one partition of either table."""
+    empty = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                          "c_name": pd.Series(dtype="object"),
+                          "acctbal_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "customer") and _table_empty(sf_dir, "events"):
+        return empty
+
+    changes = rd.read_parquet(_pq(sf_dir, "events"),
+                              columns=["user_id", "ts", "event_id",
+                                       "event_type", "value"])
+
+    def compact(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "k": batch["user_id"].to_numpy(zero_copy_only=False)
+            * MERGE_KEY_STRIDE,
+            "ts": batch["ts"].to_numpy(zero_copy_only=False),
+            "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+            "is_delete": pc.equal(batch["event_type"], "error")
+            .to_numpy(zero_copy_only=False),
+            "val_x100": _cents(batch["value"]).to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["k", "ts", "event_id"]) \
+            .groupby("k", as_index=False).last()
+        return _from_pandas(pd.DataFrame({
+            "k": df["k"].astype("int64"), "side": 1,
+            "ts": df["ts"], "event_id": df["event_id"].astype("int64"),
+            "is_delete": df["is_delete"].astype("int64"),
+            "val_x100": df["val_x100"].astype("int64"),
+            "c_name": ""}))
+
+    base = rd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name", "c_acctbal"])
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return _from_pandas(pd.DataFrame({
+            "k": batch["c_custkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "side": 0,
+            "ts": pd.Series(np.zeros(n, dtype="datetime64[us]")),
+            "event_id": -1,
+            "is_delete": 0,
+            "val_x100": _cents(batch["c_acctbal"])
+            .to_numpy(zero_copy_only=False),
+            "c_name": batch["c_name"].to_numpy(zero_copy_only=False)}))
+
+    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
+        ch = g[g.side == 1].sort_values(["k", "ts", "event_id"]) \
+            .groupby("k", as_index=False).last()
+        b = g[g.side == 0]
+        m = b.merge(ch, on="k", how="outer", suffixes=("", "_ch"),
+                    indicator=True)
+        # matched tombstone or unmatched tombstone-insert: drop
+        deleted = m["is_delete_ch"].fillna(m["is_delete"]).astype(bool) \
+            if "is_delete_ch" in m else m["is_delete"].astype(bool)
+        m = m[~deleted]
+        has_change = m["_merge"] != "left_only"
+        bal = np.where(has_change, m["val_x100_ch"].fillna(0),
+                       m["val_x100"].fillna(0)).astype(np.int64)
+        name = np.where(m["_merge"] == "right_only",
+                        "NEW#" + m["k"].astype(np.int64).astype(str),
+                        m["c_name"].fillna(""))
+        return pd.DataFrame({"c_custkey": m["k"].astype("int64"),
+                             "c_name": name,
+                             "acctbal_x100": bal})
+
+    out = _coarse_grouped_map_union(
+        base.map_batches(tag_base, batch_format="pyarrow", batch_size=None),
+        changes.map_batches(compact, batch_format="pyarrow",
+                            batch_size=None),
+        merge_partition, key="k")
+    return out.sort("c_custkey")
+
+
+MERGE_UPSERT_SQL = f"""
+WITH latest AS (
+  SELECT user_id * {MERGE_KEY_STRIDE} AS k,
+         event_type = 'error' AS is_delete,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS val_x100
+  FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+  WHERE rn = 1)
+SELECT COALESCE(l.k, c.c_custkey) AS c_custkey,
+       COALESCE(c.c_name, 'NEW#' || CAST(l.k AS VARCHAR)) AS c_name,
+       CASE WHEN l.k IS NULL
+            THEN CAST(ROUND(c_acctbal * 100.0) AS BIGINT)
+            ELSE l.val_x100 END AS acctbal_x100
+FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k
+WHERE NOT COALESCE(l.is_delete, FALSE)
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned write + partition-pruned read
+# ---------------------------------------------------------------------------
+
+PRUNE_EVENT_TYPE = "purchase"
+
+
+def events_partitioned_prune(sf_dir: str):
+    """Write events Hive-partitioned by event_type
+    (``write_parquet(partition_cols=["event_type"])`` — one directory
+    per type, the resumable layout the north rule requires of sinks),
+    then answer a type-selective daily aggregate by reading ONLY
+    ``event_type=purchase/``: bytes of the other partitions are never
+    opened. The oracle recomputes from the raw table, proving the
+    round-trip through the partitioned layout is lossless."""
+    empty = pd.DataFrame({"day": pd.Series(dtype="object"),
+                          "n_events": pd.Series(dtype="int64"),
+                          "value_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    root = tempfile.mkdtemp(prefix="events_part_", dir="/tmp")
+    try:
+        (rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["ts", "value", "event_type"])
+         .write_parquet(root, partition_cols=["event_type"]))
+
+        part_dir = os.path.join(root, f"event_type={PRUNE_EVENT_TYPE}")
+        if not os.path.isdir(part_dir):
+            return empty
+        ds = rd.read_parquet(part_dir, columns=["ts", "value"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "day": pc.strftime(batch["ts"], format="%Y-%m-%d")
+                .to_numpy(zero_copy_only=False),
+                "value_x100": _cents(batch["value"])
+                .to_numpy(zero_copy_only=False)})
+            a = df.groupby("day").agg(n_events=("value_x100", "size"),
+                                      value_x100=("value_x100", "sum"))
+            return _from_pandas(a.reset_index().astype(
+                {"n_events": "int64", "value_x100": "int64"}))
+
+        from ray.data.aggregate import Sum
+        out = (ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+               .groupby("day")
+               .aggregate(Sum("n_events", alias_name="n_events"),
+                          Sum("value_x100", alias_name="value_x100"))
+               .sort("day"))
+        return out.to_pandas()   # tiny (one row per day); scratch dir
+        #                          must outlive lazy execution
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+PARTITIONED_PRUNE_SQL = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+           AS value_x100
+FROM events
+WHERE event_type = '{PRUNE_EVENT_TYPE}'
+GROUP BY day
+ORDER BY day
+"""
+
+
+STORAGE_QUERIES: dict[str, tuple] = {
+    "customer_merge_upsert": (customer_merge_upsert, MERGE_UPSERT_SQL),
+    "events_partitioned_prune": (events_partitioned_prune,
+                                 PARTITIONED_PRUNE_SQL),
+}

@@ -19,12 +19,13 @@ def all_queries() -> dict[str, tuple]:
     from .pipelines.compare import COMPARE_QUERIES
     from .pipelines.streaming import STREAMING_QUERIES
     from .pipelines.packing import PACKING_QUERIES
+    from .pipelines.storage import STORAGE_QUERIES
 
     out: dict[str, tuple] = {}
     for reg in (RELATIONAL_QUERIES, TPCH_QUERIES, TEXT_QUERIES,
                 CORPUS_QUERIES,
                 DEDUP_QUERIES, SIMILARITY_QUERIES, ANALYSIS_QUERIES,
                 RETRIEVAL_QUERIES, MEDIA_QUERIES, COMPARE_QUERIES,
-                STREAMING_QUERIES, PACKING_QUERIES):
+                STREAMING_QUERIES, PACKING_QUERIES, STORAGE_QUERIES):
         out.update(reg)
     return out

@@ -1,0 +1,184 @@
+"""Table-maintenance operators: skew-aware join (hot-key replication),
+MERGE INTO changelog upsert, and Hive-partitioned write + pruned read."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from pdf_extraction_ray.pipelines.relational import (_skew_hot_keys,
+                                                     events_nation_skew_join,
+                                                     SKEW_JOIN_SQL)
+from pdf_extraction_ray.pipelines.storage import (customer_merge_upsert,
+                                                  events_partitioned_prune,
+                                                  MERGE_UPSERT_SQL,
+                                                  MERGE_KEY_STRIDE,
+                                                  PARTITIONED_PRUNE_SQL,
+                                                  PRUNE_EVENT_TYPE)
+
+
+def _write_events(d, df):
+    os.makedirs(d, exist_ok=True)
+    df.to_parquet(os.path.join(d, "events.parquet"))
+
+
+def _oracle(sf_dir, sql, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def _canon(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _zipf_dir(tmp_path):
+    """20 cold users (5 events each) + one user with 500 events: the hot
+    key carries 5x the uniform share, forcing the split."""
+    d = str(tmp_path / "zipf")
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(7)
+    users = np.concatenate([np.repeat(np.arange(1, 21), 5),
+                            np.repeat(99, 500)])
+    n = len(users)
+    events = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.Timestamp("2020-01-01")
+        + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        "user_id": users.astype(np.int64),
+        "event_type": np.where(rng.random(n) < 0.2, "error", "click"),
+        "value": rng.random(n) * 100,
+        "props": '{"k": 1}'})
+    events.to_parquet(os.path.join(d, "events.parquet"))
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(0, 120, dtype=np.int64),
+        "c_name": [f"Customer#{i}" for i in range(120)],
+        "c_nationkey": (np.arange(120) % 7).astype(np.int64),
+        "c_acctbal": np.linspace(0, 999, 120)})
+    cust.to_parquet(os.path.join(d, "customer.parquet"))
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(7, dtype=np.int64),
+        "n_name": [f"NATION_{i}" for i in range(7)]})
+    nation.to_parquet(os.path.join(d, "nation.parquet"))
+    return d
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkewJoin:
+    def test_hot_key_detected(self, tmp_path):
+        d = _zipf_dir(tmp_path)
+        ds = rd.read_parquet(os.path.join(d, "events.parquet"),
+                             columns=["user_id", "value"])
+        hot = _skew_hot_keys(ds)
+        assert 99 in hot
+        # cold users (uniform share) stay out of the broadcast set
+        assert len(hot) == 1
+
+    def test_planted_zipf_matches_oracle(self, tmp_path):
+        d = _zipf_dir(tmp_path)
+        got = _canon(events_nation_skew_join(d).to_pandas())
+        want = _canon(_oracle(d, SKEW_JOIN_SQL,
+                              ["events", "customer", "nation"]))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_hot_rows_counted_once(self, tmp_path):
+        """Total event count across nations must equal the raw joined
+        count — a double-counted hot path would inflate it."""
+        d = _zipf_dir(tmp_path)
+        got = events_nation_skew_join(d).to_pandas()
+        ev = pd.read_parquet(os.path.join(d, "events.parquet"))
+        cust = pd.read_parquet(os.path.join(d, "customer.parquet"))
+        joined = ev.merge(cust, left_on="user_id", right_on="c_custkey")
+        assert got["n_events"].sum() == len(joined)
+
+
+def _merge_dir(tmp_path):
+    d = str(tmp_path / "merge")
+    os.makedirs(d, exist_ok=True)
+    # base keys 0..10 (stride-aligned keys 0, 11 exist in base)
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(0, 12, dtype=np.int64),
+        "c_name": [f"Customer#{i}" for i in range(12)],
+        "c_nationkey": np.zeros(12, dtype=np.int64),
+        "c_acctbal": np.full(12, 50.0)})
+    cust.to_parquet(os.path.join(d, "customer.parquet"))
+    # user 0 -> key 0: update (click, latest value 7.0)
+    # user 1 -> key 11: delete (latest is error)
+    # user 5 -> key 55: insert (not in base)
+    events = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "ts": pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-01",
+                              "2020-01-03", "2020-01-02"]),
+        "user_id": np.array([0, 0, 1, 1, 5], dtype=np.int64),
+        "event_type": ["error", "click", "click", "error", "view"],
+        "value": [1.0, 7.0, 2.0, 3.0, 9.5],
+        "props": '{"k": 1}'})
+    events.to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMergeUpsert:
+    def test_all_three_arms(self, tmp_path):
+        d = _merge_dir(tmp_path)
+        got = customer_merge_upsert(d).to_pandas() \
+            .set_index("c_custkey")
+        # update: latest change for key 0 is the click at 7.0
+        assert got.loc[0, "acctbal_x100"] == 700
+        assert got.loc[0, "c_name"] == "Customer#0"
+        # delete: key 11 tombstoned by the latest error event
+        assert 11 not in got.index
+        # insert: key 55 was not in base
+        assert got.loc[55, "acctbal_x100"] == 950
+        assert got.loc[55, "c_name"] == "NEW#55"
+        # untouched base rows keep their balance
+        assert got.loc[2, "acctbal_x100"] == 5000
+        assert MERGE_KEY_STRIDE == 11
+
+    def test_matches_oracle(self, tmp_path):
+        d = _merge_dir(tmp_path)
+        got = _canon(customer_merge_upsert(d).to_pandas())
+        want = _canon(_oracle(d, MERGE_UPSERT_SQL, ["customer", "events"]))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPartitionedPrune:
+    def test_round_trip_matches_oracle(self, tmp_path):
+        d = str(tmp_path / "ev")
+        rng = np.random.default_rng(3)
+        n = 400
+        ev = pd.DataFrame({
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2021-06-01")
+            + pd.to_timedelta(rng.integers(0, 86400 * 5, n), unit="s"),
+            "user_id": rng.integers(0, 10, n).astype(np.int64),
+            "event_type": rng.choice(
+                [PRUNE_EVENT_TYPE, "click", "view"], n),
+            "value": rng.random(n) * 10,
+            "props": '{"k": 1}'})
+        _write_events(d, ev)
+        got = _canon(events_partitioned_prune(d))
+        want = _canon(_oracle(d, PARTITIONED_PRUNE_SQL, ["events"]))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_missing_partition_is_empty(self, tmp_path):
+        d = str(tmp_path / "ev2")
+        ev = pd.DataFrame({
+            "event_id": np.array([0], dtype=np.int64),
+            "ts": pd.to_datetime(["2021-06-01"]),
+            "user_id": np.array([1], dtype=np.int64),
+            "event_type": ["click"],   # no purchase partition at all
+            "value": [1.0],
+            "props": '{"k": 1}'})
+        _write_events(d, ev)
+        out = events_partitioned_prune(d)
+        assert len(out) == 0
+        assert list(out.columns) == ["day", "n_events", "value_x100"]
