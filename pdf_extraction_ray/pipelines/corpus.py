@@ -1071,7 +1071,133 @@ ORDER BY lang, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE vocabulary learning (iterative merges over the word-count table)
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 24
+BPE_MIN_PAIR = 2          # stop early when the best pair occurs once
+
+
+def corpus_bpe_merges(sf_dir: str, n_merges: int = BPE_N_MERGES):
+    """Distributed byte-pair-encoding vocabulary learning (Sennrich
+    BPE): ONE corpus-wide exchange builds the word-frequency table —
+    after that every merge round runs over the vocab-bounded (word,
+    count) table only, never re-touching the corpus. Each round is a
+    per-batch adjacent-pair partial count + a small two-key groupby to
+    pick the global best pair (ties break (count desc, left, right) so
+    the merge sequence is deterministic at any parallelism), then a
+    map_batches rewrite applying just that merge; the table is
+    re-materialized per round to keep the lineage chain flat. The
+    per-word python loop is bounded by vocabulary size, the same
+    bounded-table class as the k-means centroid and IVF label updates
+    (it never sees corpus rows). Differential-tested against the pure
+    reference learner in ``functions/bpe.py``.
+    """
+    from ..functions import bpe as B
+
+    empty = pd.DataFrame({"rank": pd.Series(dtype="int64"),
+                          "left": pd.Series(dtype="object"),
+                          "right": pd.Series(dtype="object"),
+                          "merged": pd.Series(dtype="object"),
+                          "pair_count": pd.Series(dtype="int64")})
+
+    def symbolize(batch: pa.Table) -> pa.Table:
+        words = batch["token"].to_pylist()
+        return pa.table({
+            "syms": pa.array([list(B.word_symbols(w)) for w in words],
+                             type=pa.list_(pa.string())),
+            "n": batch["n"]})
+
+    # compact the vocab-bounded table into a handful of blocks once:
+    # each merge round then schedules O(4) tasks instead of one per
+    # corpus read shard (at larger vocabularies, raise with vocab size)
+    words = _token_counts(sf_dir) \
+        .map_batches(symbolize, batch_format="pyarrow", batch_size=None) \
+        .repartition(4).materialize()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        ns = batch["n"].to_numpy(zero_copy_only=False)
+        for syms, n in zip(batch["syms"].to_pylist(), ns):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + int(n)
+        if not counts:
+            return pa.table({"left": pa.array([], type=pa.string()),
+                             "right": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        l, r = zip(*counts.keys())
+        return pa.table({"left": pa.array(l), "right": pa.array(r),
+                         "cnt": pa.array(list(counts.values()),
+                                         type=pa.int64())})
+
+    merges = []
+    for rank in range(n_merges):
+        top = (words.map_batches(pair_partial, batch_format="pyarrow",
+                                 batch_size=None)
+               .groupby(["left", "right"])
+               .aggregate(Sum("cnt", alias_name="cnt"))
+               .sort(["cnt", "left", "right"],
+                     descending=[True, False, False])
+               .limit(1).take_all())
+        if not top or top[0]["cnt"] < BPE_MIN_PAIR:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["cnt"]
+        merges.append({"rank": rank, "left": left, "right": right,
+                       "merged": left + right, "pair_count": int(cnt)})
+
+        def apply_merge(batch: pa.Table, _l=left, _r=right) -> pa.Table:
+            out = [list(B.merge_word(tuple(s), _l, _r))
+                   for s in batch["syms"].to_pylist()]
+            return pa.table({
+                "syms": pa.array(out, type=pa.list_(pa.string())),
+                "n": batch["n"]})
+
+        words = words.map_batches(apply_merge, batch_format="pyarrow",
+                                  batch_size=None).materialize()
+
+    return pd.DataFrame(merges) if merges else empty
+
+
+def corpus_bpe_token_stats(sf_dir: str):
+    """Apply the learned BPE merge sequence to every document: per-doc
+    whitespace word count and post-BPE subword count. The merge list is
+    broadcast once (``ray.put``, bounded by BPE_N_MERGES); each batch
+    encodes only its UNIQUE words (memoized per batch), so the python
+    cost is per distinct word, not per token instance."""
+    import ray as _ray
+    from ..functions import bpe as B
+
+    merge_rows = corpus_bpe_merges(sf_dir)
+    merges = [(r.left, r.right) for r in merge_rows.itertuples()]
+    merges_ref = _ray.put(merges)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ms = _ray.get(merges_ref)
+        doc_ids, flat = _doc_terms(batch)
+        toks = flat.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        lens = np.array([len(B.encode_word(w, ms)) for w in uniq],
+                        dtype=np.int64)
+        per_tok = lens[inv]
+        df = pd.DataFrame({"doc_id": doc_ids, "n": per_tok})
+        a = df.groupby("doc_id").agg(n_words=("n", "size"),
+                                     n_bpe_tokens=("n", "sum"))
+        return pa.Table.from_pandas(a.reset_index(), preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return (_docs(sf_dir)
+            .map_batches(encode, batch_format="pyarrow", batch_size=None)
+            .groupby("doc_id")
+            .aggregate(Sum("n_words", alias_name="n_words"),
+                       Sum("n_bpe_tokens", alias_name="n_bpe_tokens"))
+            .sort("doc_id"))
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "corpus_bpe_merges": (corpus_bpe_merges, None),
+    "corpus_bpe_token_stats": (corpus_bpe_token_stats, None),
     "corpus_bigrams": (corpus_bigrams, BIGRAMS_SQL),
     "docs_group_sample": (docs_group_sample, GROUP_SAMPLE_SQL),
     "doc_priority_sample": (doc_priority_sample, PRIORITY_SAMPLE_SQL),
