@@ -152,6 +152,146 @@ ORDER BY user_id, hour
 """
 
 
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (last-click attribution)
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_MS = 3_600_000   # purchase attributes to a click <= 1h before
+
+
+@ray.remote(num_cpus=0.1)
+class AttributionActor:
+    """Incremental last-click attribution for one key bucket: per user,
+    a bounded buffer of recent clicks (evicted once older than the
+    window behind the bucket's clock — state is window x arrival rate,
+    never the stream). The feed arrives in (ts, event_id) log order, so
+    when a purchase arrives every attributable click is already
+    buffered and the LAST buffer entry inside the window is the match;
+    no retraction logic is needed."""
+
+    def __init__(self):
+        self.clicks: dict[int, list[tuple[int, int]]] = {}   # user -> [(ts_ms, id)]
+        self.out: list[tuple[int, int, int, int]] = []
+
+    def add(self, user_id: np.ndarray, ts_ms: np.ndarray,
+            event_id: np.ndarray, is_click: np.ndarray) -> int:
+        for u, t, eid, c in zip(user_id.tolist(), ts_ms.tolist(),
+                                event_id.tolist(), is_click.tolist()):
+            buf = self.clicks.get(u)
+            if c:
+                if buf is None:
+                    self.clicks[u] = [(t, eid)]
+                else:
+                    buf.append((t, eid))
+            else:                                   # purchase
+                if buf:
+                    # evict clicks that fell out of the window
+                    lo = t - ATTR_WINDOW_MS
+                    while buf and buf[0][0] < lo:
+                        buf.pop(0)
+                    if buf:
+                        ct, cid = buf[-1]
+                        self.out.append((eid, u, cid, t - ct))
+        return len(self.out)
+
+    def flush(self) -> list[tuple[int, int, int, int]]:
+        return self.out
+
+
+@ray.remote(num_cpus=1)
+def _feed_attribution(part_dir: str, actor) -> int:
+    """Feeder for ONE bucket of the click/purchase log: per-bucket sort
+    on (ts, event_id) — the log-order tiebreak both engines share — and
+    batch-wise ordered drive of the bucket's actor."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(f"{part_dir}/*.parquet"))
+    if not files:
+        return 0
+    t = pa.concat_tables(
+        [pq.read_table(f, columns=["user_id", "ts", "event_id",
+                                   "event_type"]) for f in files])
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"),
+                                             ("event_id", "ascending")]))
+    pending = []
+    for batch in t.to_batches(max_chunksize=4096):
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts_ms = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 1000
+        eids = batch["event_id"].to_numpy(zero_copy_only=False)
+        is_click = pc.equal(batch["event_type"], "click") \
+            .to_numpy(zero_copy_only=False)
+        pending.append(actor.add.remote(users, ts_ms, eids, is_click))
+    ray.get(pending)
+    return t.num_rows
+
+
+def events_stream_attribution(sf_dir: str):
+    """Stream-stream interval join, incremental: every purchase is
+    attributed to the user's most recent click at most 1 hour earlier
+    (strictly earlier in (ts, event_id) log order). Same partitioned-log
+    shape as ``events_stream_windows`` — hash-staged buckets, one feeder
+    task per bucket, per-user bounded click buffers as actor state — and
+    the result equals the batch interval join, which is what the oracle
+    (windowed self-join, ROW_NUMBER = 1) checks."""
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="stream_attr_", dir="/tmp")
+    try:
+        def keep_and_bucket(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.is_in(batch["event_type"],
+                            value_set=pa.array(["click", "purchase"]))
+            t2 = batch.filter(mask)
+            b = t2["user_id"].to_numpy(zero_copy_only=False) % N_BUCKETS
+            return t2.append_column("bucket", pa.array(b.astype(np.int64)))
+
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id",
+                                 "event_type"]) \
+            .map_batches(keep_and_bucket, batch_format="pyarrow",
+                         batch_size=None) \
+            .write_parquet(stage, partition_cols=["bucket"])
+
+        actors = [AttributionActor.remote() for _ in range(N_BUCKETS)]
+        ray.get([_feed_attribution.remote(f"{stage}/bucket={b}", actors[b])
+                 for b in range(N_BUCKETS)])
+        rows = [r for chunk in ray.get([a.flush.remote() for a in actors])
+                for r in chunk]
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    df = pd.DataFrame(rows, columns=["purchase_id", "user_id", "click_id",
+                                     "lag_ms"]).astype("int64")
+    return df.sort_values("purchase_id").reset_index(drop=True)
+
+
+STREAM_ATTRIBUTION_SQL = f"""
+WITH c AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+     pairs AS (
+       SELECT p.event_id AS purchase_id, p.user_id,
+              c.event_id AS click_id,
+              CAST(date_diff('millisecond', c.ts, p.ts) AS BIGINT)
+                  AS lag_ms,
+              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ts DESC, c.event_id DESC)
+                  AS rn
+       FROM p JOIN c ON p.user_id = c.user_id
+        AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        AND date_diff('millisecond', c.ts, p.ts) <= {ATTR_WINDOW_MS})
+SELECT purchase_id, user_id, click_id, lag_ms FROM pairs WHERE rn = 1
+ORDER BY purchase_id
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "events_stream_windows": (events_stream_windows, STREAM_WINDOWS_SQL),
+    "events_stream_attribution": (events_stream_attribution,
+                                  STREAM_ATTRIBUTION_SQL),
 }

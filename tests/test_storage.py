@@ -150,6 +150,55 @@ class TestMergeUpsert:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestZorder:
+    def test_morton_monotone_locality(self):
+        from pdf_extraction_ray.pipelines.storage import _morton2
+        a = np.array([0, 1, 0, 1], dtype=np.int64)
+        b = np.array([0, 0, 1, 1], dtype=np.int64)
+        # the 2x2 quadrant order of the Z curve
+        assert _morton2(a, b).tolist() == [0, 1, 2, 3]
+
+    def test_prune_matches_oracle(self, tmp_path):
+        from pdf_extraction_ray.pipelines.storage import (
+            ZORDER_PRUNE_SQL, events_zorder_prune)
+        sf = "/root/testdata/sf0.001"
+        got = events_zorder_prune(sf)
+        want = _oracle(sf, ZORDER_PRUNE_SQL, ["events"])
+        pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                      want.reset_index(drop=True),
+                                      check_dtype=False)
+
+    def test_balanced_pruning_vs_single_dim_sort(self, tmp_path):
+        """The user-dimension box must be prunable ONLY under z-order
+        (a ts-sorted layout reads every file), and across a mixed box
+        workload z-order must read no more files overall."""
+        from pdf_extraction_ray.pipelines.storage import (
+            _events_bounds, surviving_files, write_layout)
+        sf = "/root/testdata/sf0.001"
+        umin, umax, tmin, tmax = _events_bounds(sf)
+        boxes = {
+            "user": (umin + (umax - umin) * 2 // 5,
+                     umin + (umax - umin) * 3 // 5, tmin, tmax),
+            "time": (umin, umax, tmin + (tmax - tmin) * 2 // 5,
+                     tmin + (tmax - tmin) * 3 // 5),
+            "2d": (umin + (umax - umin) * 2 // 5,
+                   umin + (umax - umin) * 3 // 5,
+                   tmin + (tmax - tmin) * 2 // 5,
+                   tmin + (tmax - tmin) * 3 // 5)}
+        reads = {}
+        for order in ("ts", "zorder"):
+            d = str(tmp_path / order)
+            files = write_layout(sf, d, order)
+            reads[order] = {b: len(surviving_files(files, box))
+                            for b, box in boxes.items()}
+            reads[order]["total_files"] = len(files)
+        assert reads["ts"]["user"] == reads["ts"]["total_files"]
+        assert reads["zorder"]["user"] < reads["ts"]["user"]
+        assert sum(reads["zorder"][b] for b in boxes) <= \
+            sum(reads["ts"][b] for b in boxes)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestPartitionedPrune:
     def test_round_trip_matches_oracle(self, tmp_path):
         d = str(tmp_path / "ev")

@@ -1,0 +1,88 @@
+"""Stream-stream last-click attribution: planted boundary cases (log-
+order ties, exact-window lag, eviction, click reuse) against the
+windowed self-join oracle."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extraction_ray.pipelines.streaming import (
+    ATTR_WINDOW_MS, STREAM_ATTRIBUTION_SQL, events_stream_attribution)
+
+T0 = pd.Timestamp("2022-01-01 12:00:00")
+MS = pd.Timedelta(milliseconds=1)
+H = pd.Timedelta(hours=1)
+
+
+def _dir(tmp_path):
+    rows = [
+        # u1: click at t0, purchase exactly 1h later -> lag == window, match
+        (1, T0, 1, "click"),
+        (2, T0 + H, 1, "purchase"),
+        # u2: click, purchase 1h + 1ms later -> outside window, no match
+        (3, T0, 2, "click"),
+        (4, T0 + H + MS, 2, "purchase"),
+        # u3: same-ts tie, click id < purchase id -> click is earlier in
+        # log order, match
+        (5, T0, 3, "click"),
+        (6, T0, 3, "purchase"),
+        # u4: same-ts tie, click id > purchase id -> later in log order,
+        # no match
+        (8, T0, 4, "purchase"),
+        (9, T0, 4, "click"),
+        # u5: two clicks in window -> newest wins; second purchase
+        # reuses the same click
+        (10, T0, 5, "click"),
+        (11, T0 + MS * 500, 5, "click"),
+        (12, T0 + MS * 900, 5, "purchase"),
+        (13, T0 + MS * 1000, 5, "purchase"),
+        # u6: purchase with no click at all
+        (14, T0, 6, "purchase"),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    ev["event_id"] = ev["event_id"].astype(np.int64)
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["value"] = 1.0
+    ev["props"] = '{"k": 1}'
+    d = str(tmp_path / "attr")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_planted_boundaries(tmp_path):
+    d = _dir(tmp_path)
+    got = events_stream_attribution(d).set_index("purchase_id")
+    # u1: exact-window lag matches
+    assert got.loc[2, "click_id"] == 1
+    assert got.loc[2, "lag_ms"] == ATTR_WINDOW_MS
+    # u2: one ms past the window does not
+    assert 4 not in got.index
+    # u3 tie: click earlier in log order matches at lag 0
+    assert got.loc[6, "click_id"] == 5 and got.loc[6, "lag_ms"] == 0
+    # u4 tie: click later in log order does not
+    assert 8 not in got.index
+    # u5: newest click wins, and is reused by the second purchase
+    assert got.loc[12, "click_id"] == 11
+    assert got.loc[13, "click_id"] == 11
+    # u6: no click, no row
+    assert 14 not in got.index
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_matches_oracle(tmp_path):
+    d = _dir(tmp_path)
+    got = events_stream_attribution(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    want = con.sql(STREAM_ATTRIBUTION_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
