@@ -594,7 +594,11 @@ def main():
                          "events_type_distinct_users", "corpus_bigrams",
                          "events_type_robust_outliers",
                          "orders_lineitem_join_size",
-                         "knn_cosine_quantized", "doc_dedup_ensemble"]
+                         "knn_cosine_quantized", "doc_dedup_ensemble",
+                         "events_nation_skew_join",
+                         "customer_merge_upsert", "events_zorder_prune",
+                         "events_stream_attribution",
+                         "orders_monthly_view"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

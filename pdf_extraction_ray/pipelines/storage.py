@@ -404,7 +404,122 @@ WHERE user_id >= umin + (umax - umin) * 2 // 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Incrementally-maintained materialized view (append-only refresh)
+# ---------------------------------------------------------------------------
+
+MATVIEW_ROOT = "/tmp/pdfxr_matviews"
+
+
+def _source_files(path: str) -> dict[str, tuple[int, int]]:
+    """Fingerprint every file backing a table: path -> (size, mtime_ns).
+    Footer-only metadata; no data pages are opened."""
+    import pyarrow.dataset as pads
+    out = {}
+    for f in pads.dataset(path).files:
+        st = os.stat(f)
+        out[f] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def refresh_orders_monthly_view(sf_dir: str, store_dir: str | None = None):
+    """Materialized `orders_monthly` with INCREMENTAL refresh: the view
+    store holds the month-level partial aggregate plus a manifest of
+    source-file fingerprints. A refresh aggregates ONLY files not yet in
+    the manifest (the append-only fast path — at 10^12-document scale a
+    daily refresh touches one day of shards, not the table) and merges
+    the delta into the stored view; a changed or deleted known file
+    voids the append-only assumption and triggers a full rebuild. The
+    merge is exact because the view stores int partials (sum, count) —
+    the same mergeable-partial property every groupby in this engine
+    relies on. Returns (view_df, files_scanned, full_rebuild)."""
+    import hashlib
+    import json
+
+    src = _pq(sf_dir, "orders")
+    if store_dir is None:
+        store_dir = os.path.join(
+            MATVIEW_ROOT,
+            hashlib.sha1(os.path.abspath(src).encode()).hexdigest()[:16])
+    os.makedirs(store_dir, exist_ok=True)
+    man_path = os.path.join(store_dir, "manifest.json")
+    view_path = os.path.join(store_dir, "view.parquet")
+
+    current = _source_files(src)
+    known: dict[str, tuple[int, int]] = {}
+    if os.path.exists(man_path) and os.path.exists(view_path):
+        with open(man_path) as fh:
+            known = {k: tuple(v) for k, v in json.load(fh).items()}
+
+    full_rebuild = any(k not in current or current[k] != v
+                       for k, v in known.items())
+    if full_rebuild:
+        known = {}
+    new_files = [f for f in current if f not in known]
+
+    cols = ["month", "total_x100", "n_orders"]
+    if known and os.path.exists(view_path) and not full_rebuild:
+        base = pd.read_parquet(view_path)
+    else:
+        base = pd.DataFrame({c: pd.Series(dtype="int64" if c != "month"
+                                          else "object") for c in cols})
+
+    import pyarrow.dataset as pads
+    if new_files and pads.dataset(new_files).count_rows() > 0:
+        ds = rd.read_parquet(new_files,
+                             columns=["o_orderdate", "o_totalprice"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "month": pc.strftime(batch["o_orderdate"], format="%Y-%m")
+                .to_pandas(),
+                "total_x100": _cents(batch["o_totalprice"]).to_pandas()})
+            g = df.groupby("month", as_index=False).agg(
+                total_x100=("total_x100", "sum"),
+                n_orders=("total_x100", "size"))
+            return _from_pandas(g)
+
+        from ray.data.aggregate import Sum
+        delta = (ds.map_batches(partial, batch_format="pyarrow",
+                                batch_size=None)
+                 .groupby("month")
+                 .aggregate(Sum("total_x100", alias_name="total_x100"),
+                            Sum("n_orders", alias_name="n_orders"))
+                 .to_pandas())
+        base = (pd.concat([base, delta], ignore_index=True)
+                .groupby("month", as_index=False)
+                .agg(total_x100=("total_x100", "sum"),
+                     n_orders=("n_orders", "sum")))
+
+    base = base.sort_values("month").reset_index(drop=True) \
+        .astype({"total_x100": "int64", "n_orders": "int64"})
+    tmp = view_path + ".tmp"
+    base.to_parquet(tmp)
+    os.replace(tmp, view_path)            # atomic swap: readers never
+    with open(man_path, "w") as fh:       # see a half-written view
+        json.dump({k: list(v) for k, v in current.items()}, fh)
+    return base, len(new_files), full_rebuild
+
+
+def orders_monthly_view(sf_dir: str):
+    """`orders_monthly` served from the materialized view (refreshing it
+    first if the source advanced). Same oracle as the base query —
+    the view must be indistinguishable from recomputation."""
+    view, _, _ = refresh_orders_monthly_view(sf_dir)
+    return view[["month", "total_x100", "n_orders"]]
+
+
+MONTHLY_VIEW_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_x100,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY month ORDER BY month
+"""
+
+
 STORAGE_QUERIES: dict[str, tuple] = {
+    "orders_monthly_view": (orders_monthly_view, MONTHLY_VIEW_SQL),
     "events_zorder_prune": (events_zorder_prune, ZORDER_PRUNE_SQL),
     "customer_merge_upsert": (customer_merge_upsert, MERGE_UPSERT_SQL),
     "events_partitioned_prune": (events_partitioned_prune,

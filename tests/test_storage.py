@@ -29,8 +29,11 @@ def _write_events(d, df):
 def _oracle(sf_dir, sql, tables):
     con = duckdb.connect()
     for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{sf_dir}/{t}.parquet')")
+                    f"read_parquet('{p}')")
     return con.sql(sql).df()
 
 
@@ -196,6 +199,65 @@ class TestZorder:
         assert reads["zorder"]["user"] < reads["ts"]["user"]
         assert sum(reads["zorder"][b] for b in boxes) <= \
             sum(reads["ts"][b] for b in boxes)
+
+
+def _orders_shard(n0, n, month_offset=0):
+    dates = pd.to_datetime("2020-01-15") \
+        + pd.to_timedelta((np.arange(n) % 90) + month_offset * 30, unit="D")
+    return pd.DataFrame({
+        "o_orderkey": np.arange(n0, n0 + n, dtype=np.int64),
+        "o_custkey": np.ones(n, dtype=np.int64),
+        "o_orderdate": dates.astype("datetime64[us]"),
+        "o_totalprice": np.linspace(10, 500, n)})
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMatview:
+    def test_incremental_refresh_and_rebuild(self, tmp_path):
+        from pdf_extraction_ray.pipelines.storage import (
+            refresh_orders_monthly_view)
+        sf = str(tmp_path / "src")
+        odir = os.path.join(sf, "orders.parquet")   # table as a shard dir
+        os.makedirs(odir)
+        store = str(tmp_path / "store")
+        _orders_shard(0, 100).to_parquet(os.path.join(odir, "s0.parquet"))
+        _orders_shard(100, 80).to_parquet(os.path.join(odir, "s1.parquet"))
+
+        v1, scanned, rebuilt = refresh_orders_monthly_view(sf, store)
+        assert scanned == 2 and not rebuilt
+
+        # append-only advance: one new shard -> only it is scanned
+        _orders_shard(180, 60, month_offset=3).to_parquet(
+            os.path.join(odir, "s2.parquet"))
+        v2, scanned, rebuilt = refresh_orders_monthly_view(sf, store)
+        assert scanned == 1 and not rebuilt
+
+        want = _oracle(sf, """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS total_x100,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY month ORDER BY month""", ["orders"])
+        pd.testing.assert_frame_equal(v2.reset_index(drop=True), want,
+                                      check_dtype=False)
+
+        # no change -> nothing scanned, same view
+        v3, scanned, rebuilt = refresh_orders_monthly_view(sf, store)
+        assert scanned == 0 and not rebuilt
+        pd.testing.assert_frame_equal(v3, v2)
+
+        # rewriting a known shard voids append-only -> full rebuild
+        _orders_shard(0, 50).to_parquet(os.path.join(odir, "s0.parquet"))
+        v4, scanned, rebuilt = refresh_orders_monthly_view(sf, store)
+        assert rebuilt and scanned == 3
+        want = _oracle(sf, """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS total_x100,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY month ORDER BY month""", ["orders"])
+        pd.testing.assert_frame_equal(v4.reset_index(drop=True), want,
+                                      check_dtype=False)
 
 
 @pytest.mark.usefixtures("ray_session")
