@@ -1,0 +1,81 @@
+"""Fault tolerance: a WORKER PROCESS that dies mid-task must be retried
+by Ray with no effect on results — the property that lets a 256-node
+run survive preempted workers. The injection is a hard ``os._exit``
+(worker death = system failure, which Ray retries; a user exception is
+correctly NOT retried), gated by a tmp-dir marker so the retried task
+sees the marker and succeeds — exactly one death per test.
+
+All injected callables are built INSIDE the tests so cloudpickle ships
+them by value (module-level test helpers pickle by reference and are
+unimportable on workers)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+def _make_flaky(marker: str, body):
+    """Closure factory used inline by each test: die hard once (durable
+    marker first), then behave as ``body`` on the retry."""
+    def fn(batch):
+        if not os.path.exists(marker):
+            fd = os.open(marker, os.O_CREAT | os.O_WRONLY)
+            os.fsync(fd)
+            os.close(fd)
+            os._exit(1)
+        return body(batch)
+    return fn
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_map_batches_survives_worker_death(tmp_path):
+    n = 10_000
+    df = pd.DataFrame({"x": np.arange(n, dtype=np.int64)})
+    marker = os.path.join(str(tmp_path), "died_once")
+
+    def double(batch):
+        out = batch.to_pandas()
+        out["doubled"] = out["x"] * 2
+        return out
+
+    out = (rd.from_pandas(df).repartition(8)
+           .map_batches(_make_flaky(marker, double),
+                        batch_format="pyarrow", batch_size=None)
+           .to_pandas())
+    assert os.path.exists(marker)
+    assert len(out) == n
+    assert int(out["doubled"].sum()) == int(df["x"].sum()) * 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extraction_pipeline_survives_worker_death(tmp_path):
+    """End-to-end: the flagship extract over a small corpus with one
+    injected worker death still matches the golden spans exactly."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_ray.fixtures import ensure_corpus, golden_extract_table
+    from pdf_extraction_ray.pipelines.extract import extract_pipeline
+    from pdf_extraction_ray.sources.io import read_docs
+
+    path = ensure_corpus("fault", 11, 120, shard_rows=40)
+    docs = pa.concat_tables(
+        [pq.read_table(f) for f in sorted(glob.glob(path + "/*.parquet"))])
+    golden = {r["doc_id"]: r["spans"]
+              for r in golden_extract_table(docs).to_pylist()}
+
+    marker = os.path.join(str(tmp_path), "died_once")
+    ds = read_docs(path).map_batches(
+        _make_flaky(marker, lambda batch: batch),
+        batch_format="pyarrow", batch_size=None)
+    rows = extract_pipeline(ds).take_all()    # small corpus: test-only
+    assert os.path.exists(marker)
+    assert len(rows) == 120
+    for r in rows:
+        assert r["spans"] == golden[r["doc_id"]], r["doc_id"]
