@@ -266,22 +266,23 @@ def _events_bounds(sf_dir: str) -> tuple[int, int, int, int]:
     return r["umin"], r["umax"], r["tmin"], r["tmax"]
 
 
-def _zorder_box(sf_dir: str):
+def _zorder_box(sf_dir: str, bounds=None):
     """The benchmark box: middle fifth of BOTH dimensions, derived from
     the global bounds with integer math both engines reproduce."""
-    umin, umax, tmin, tmax = _events_bounds(sf_dir)
+    umin, umax, tmin, tmax = bounds or _events_bounds(sf_dir)
     return (umin + (umax - umin) * 2 // 5, umin + (umax - umin) * 3 // 5,
             tmin + (tmax - tmin) * 2 // 5, tmin + (tmax - tmin) * 3 // 5)
 
 
-def write_layout(sf_dir: str, out_dir: str, order: str) -> list[str]:
+def write_layout(sf_dir: str, out_dir: str, order: str,
+                 bounds=None) -> list[str]:
     """Rewrite events into ``ZORDER_FILES`` parquet blocks clustered by
     ``order``: 'ts' (plain time-sorted) or 'zorder' (Morton interleave
     of user_id x time — one global sort, the standard one-off
     clustering cost, amortized over every pruned query after it)."""
     import pyarrow.dataset as pads
 
-    umin, umax, tmin, tmax = _events_bounds(sf_dir)
+    umin, umax, tmin, tmax = bounds or _events_bounds(sf_dir)
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["user_id", "ts", "value"])
 
@@ -361,8 +362,9 @@ def events_zorder_prune(sf_dir: str):
         return empty
     root = tempfile.mkdtemp(prefix="zorder_", dir="/tmp")
     try:
-        files = write_layout(sf_dir, root, "zorder")
-        box = _zorder_box(sf_dir)
+        bounds = _events_bounds(sf_dir)   # one scan serves layout + box
+        files = write_layout(sf_dir, root, "zorder", bounds=bounds)
+        box = _zorder_box(sf_dir, bounds=bounds)
         keep = surviving_files(files, box)
         if not keep:
             return pd.DataFrame({"n_events": [0], "value_x100": [0]})
@@ -422,6 +424,23 @@ def _source_files(path: str) -> dict[str, tuple[int, int]]:
     return out
 
 
+def _load_snapshot(store_dir: str):
+    """Read the committed snapshot named by the CURRENT pointer.
+    Returns (known_fingerprints, view_df) or ({}, None). ANY defect —
+    missing pointer, dangling name, unreadable manifest or view — is
+    treated as 'no committed snapshot' and heals via full rebuild."""
+    import json
+    try:
+        with open(os.path.join(store_dir, "CURRENT")) as fh:
+            snap = fh.read().strip()
+        sdir = os.path.join(store_dir, snap)
+        with open(os.path.join(sdir, "manifest.json")) as fh:
+            known = {k: tuple(v) for k, v in json.load(fh).items()}
+        return known, pd.read_parquet(os.path.join(sdir, "view.parquet"))
+    except Exception:
+        return {}, None
+
+
 def refresh_orders_monthly_view(sf_dir: str, store_dir: str | None = None):
     """Materialized `orders_monthly` with INCREMENTAL refresh: the view
     store holds the month-level partial aggregate plus a manifest of
@@ -432,7 +451,16 @@ def refresh_orders_monthly_view(sf_dir: str, store_dir: str | None = None):
     voids the append-only assumption and triggers a full rebuild. The
     merge is exact because the view stores int partials (sum, count) —
     the same mergeable-partial property every groupby in this engine
-    relies on. Returns (view_df, files_scanned, full_rebuild)."""
+    relies on.
+
+    Commit protocol: view + manifest are written together into a NEW
+    snapshot directory, then a one-line CURRENT pointer is atomically
+    replaced — a crash at any point leaves the previous snapshot
+    committed (never a view whose files the manifest does not list,
+    which would double-count on the next refresh), and a corrupt store
+    degrades to a full rebuild, not an error. Old snapshots remain
+    readable until GC (keep-2), giving time-travel for free.
+    Returns (view_df, files_scanned, full_rebuild)."""
     import hashlib
     import json
 
@@ -442,27 +470,21 @@ def refresh_orders_monthly_view(sf_dir: str, store_dir: str | None = None):
             MATVIEW_ROOT,
             hashlib.sha1(os.path.abspath(src).encode()).hexdigest()[:16])
     os.makedirs(store_dir, exist_ok=True)
-    man_path = os.path.join(store_dir, "manifest.json")
-    view_path = os.path.join(store_dir, "view.parquet")
 
     current = _source_files(src)
-    known: dict[str, tuple[int, int]] = {}
-    if os.path.exists(man_path) and os.path.exists(view_path):
-        with open(man_path) as fh:
-            known = {k: tuple(v) for k, v in json.load(fh).items()}
+    known, base = _load_snapshot(store_dir)
 
-    full_rebuild = any(k not in current or current[k] != v
-                       for k, v in known.items())
-    if full_rebuild:
+    full_rebuild = bool(known) and any(
+        k not in current or current[k] != v for k, v in known.items())
+    if full_rebuild or base is None:
         known = {}
+        base = pd.DataFrame({
+            "month": pd.Series(dtype="object"),
+            "total_x100": pd.Series(dtype="int64"),
+            "n_orders": pd.Series(dtype="int64")})
     new_files = [f for f in current if f not in known]
-
-    cols = ["month", "total_x100", "n_orders"]
-    if known and os.path.exists(view_path) and not full_rebuild:
-        base = pd.read_parquet(view_path)
-    else:
-        base = pd.DataFrame({c: pd.Series(dtype="int64" if c != "month"
-                                          else "object") for c in cols})
+    if not new_files and not full_rebuild:
+        return base, 0, False             # up to date: no commit churn
 
     import pyarrow.dataset as pads
     if new_files and pads.dataset(new_files).count_rows() > 0:
@@ -493,20 +515,42 @@ def refresh_orders_monthly_view(sf_dir: str, store_dir: str | None = None):
 
     base = base.sort_values("month").reset_index(drop=True) \
         .astype({"total_x100": "int64", "n_orders": "int64"})
-    tmp = view_path + ".tmp"
-    base.to_parquet(tmp)
-    os.replace(tmp, view_path)            # atomic swap: readers never
-    with open(man_path, "w") as fh:       # see a half-written view
+
+    # commit: snapshot dir first, CURRENT pointer swap last
+    snaps = sorted(d for d in os.listdir(store_dir) if d.startswith("v"))
+    snap = f"v{(int(snaps[-1][1:]) + 1) if snaps else 1:08d}"
+    sdir = os.path.join(store_dir, snap)
+    os.makedirs(sdir)
+    base.to_parquet(os.path.join(sdir, "view.parquet"))
+    with open(os.path.join(sdir, "manifest.json"), "w") as fh:
         json.dump({k: list(v) for k, v in current.items()}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    ptr_tmp = os.path.join(store_dir, "CURRENT.tmp")
+    with open(ptr_tmp, "w") as fh:
+        fh.write(snap)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(ptr_tmp, os.path.join(store_dir, "CURRENT"))
+    for old in snaps[:-1]:                # GC: keep previous + new
+        shutil.rmtree(os.path.join(store_dir, old), ignore_errors=True)
     return base, len(new_files), full_rebuild
 
 
 def orders_monthly_view(sf_dir: str):
-    """`orders_monthly` served from the materialized view (refreshing it
-    first if the source advanced). Same oracle as the base query —
-    the view must be indistinguishable from recomputation."""
-    view, _, _ = refresh_orders_monthly_view(sf_dir)
-    return view[["month", "total_x100", "n_orders"]]
+    """`orders_monthly` served from the materialized view. The
+    driver-visible query uses an EPHEMERAL store (fresh build, removed
+    after) so its timing and result never depend on leftover /tmp state
+    from earlier runs; the incremental behavior against a persistent
+    store is exercised by `tests/test_storage.py::TestMatview`. Same
+    oracle as the base query — the view must be indistinguishable from
+    recomputation."""
+    store = tempfile.mkdtemp(prefix="matview_q_", dir="/tmp")
+    try:
+        view, _, _ = refresh_orders_monthly_view(sf_dir, store)
+        return view[["month", "total_x100", "n_orders"]]
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 MONTHLY_VIEW_SQL = """

@@ -178,15 +178,19 @@ class AttributionActor:
         for u, t, eid, c in zip(user_id.tolist(), ts_ms.tolist(),
                                 event_id.tolist(), is_click.tolist()):
             buf = self.clicks.get(u)
+            lo = t - ATTR_WINDOW_MS
             if c:
                 if buf is None:
                     self.clicks[u] = [(t, eid)]
                 else:
+                    # evict on EVERY arrival, not only purchases — a
+                    # click-heavy user who never buys must not grow the
+                    # buffer past window x rate
+                    while buf and buf[0][0] < lo:
+                        buf.pop(0)
                     buf.append((t, eid))
             else:                                   # purchase
                 if buf:
-                    # evict clicks that fell out of the window
-                    lo = t - ATTR_WINDOW_MS
                     while buf and buf[0][0] < lo:
                         buf.pop(0)
                     if buf:

@@ -246,6 +246,14 @@ class TestMatview:
         assert scanned == 0 and not rebuilt
         pd.testing.assert_frame_equal(v3, v2)
 
+        # a corrupted store pointer degrades to a full rebuild, never an
+        # error or a double count
+        with open(os.path.join(store, "CURRENT"), "w") as fh:
+            fh.write("not-a-snapshot")
+        vc, scanned, rebuilt = refresh_orders_monthly_view(sf, store)
+        assert scanned == 3
+        pd.testing.assert_frame_equal(vc, v2)
+
         # rewriting a known shard voids append-only -> full rebuild
         _orders_shard(0, 50).to_parquet(os.path.join(odir, "s0.parquet"))
         v4, scanned, rebuilt = refresh_orders_monthly_view(sf, store)

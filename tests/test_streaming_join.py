@@ -41,6 +41,11 @@ def _dir(tmp_path):
         (13, T0 + MS * 1000, 5, "purchase"),
         # u6: purchase with no click at all
         (14, T0, 6, "purchase"),
+        # u7: stale click evicted on the LATER click's arrival; the
+        # purchase just after matches the fresh click
+        (15, T0, 7, "click"),
+        (16, T0 + 2 * H, 7, "click"),
+        (17, T0 + 2 * H + MS, 7, "purchase"),
     ]
     ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
                                      "event_type"])
@@ -73,6 +78,8 @@ def test_planted_boundaries(tmp_path):
     assert got.loc[13, "click_id"] == 11
     # u6: no click, no row
     assert 14 not in got.index
+    # u7: fresh click wins after the stale one was evicted click-side
+    assert got.loc[17, "click_id"] == 16 and got.loc[17, "lag_ms"] == 1
 
 
 @pytest.mark.usefixtures("ray_session")
