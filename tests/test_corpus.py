@@ -199,6 +199,19 @@ def test_tpch_family_on_empty_tables(empty_tables_dir):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_storage_streaming_family_on_empty_tables(empty_tables_dir):
+    from pdf_extraction_ray.pipelines.storage import STORAGE_QUERIES
+    from pdf_extraction_ray.pipelines.streaming import STREAMING_QUERIES
+
+    for name, (fn, _sql) in {**STORAGE_QUERIES,
+                             **STREAMING_QUERIES}.items():
+        res = fn(empty_tables_dir)
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        assert df is not None, name
+        assert len(df) == 0, name
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dedup_family_on_empty_tables(empty_tables_dir):
     from pdf_extraction_ray.pipelines.dedup import DEDUP_QUERIES
 
