@@ -274,7 +274,87 @@ def media_phash_pairs(sf_dir: str):
         media_table_from_docs(read_docs(_corpus_for(sf_dir))))
 
 
+SCENE_CUT_HAMMING = 19     # consecutive-frame pHash distance => cut.
+#  pHash bits near the DCT median flip under any jitter, so within-scene
+#  distances have a tail to ~18 while cross-scene distances concentrate
+#  at ~32 with a floor near 20 (measured at two sfs): 19 sits in the
+#  gap. Detection is statistical by nature — the differential test
+#  asserts >= 98% agreement with planted boundaries, not exactness.
+
+
+def media_scene_changes(sf_dir: str):
+    """Temporal scene-change (shot-boundary) detection over sampled
+    video frames: decode each sampled frame (stub; real codecs replace
+    only the frame decode), pHash it, and within each video compare
+    consecutive sampled frames — Hamming distance above
+    SCENE_CUT_HAMMING marks a cut. Frame hashing is batch-local; the
+    only exchange moves (video, frame_index, 8-byte hash) rows through
+    a coarse video-keyed shuffle, so payload bytes never cross the
+    wire. A video's own frame list is bounded by duration x sample
+    rate, so the per-group sort is O(frames-per-video), never
+    corpus-shaped. Differential-tested against the frame generator's
+    planted segment boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.phash import phash64
+    from ..stages.multimodal import synth_frame_gray
+
+    frames = frames_pipeline(read_docs(_corpus_for(sf_dir)))
+
+    def hash_frames(batch: pa.Table) -> pa.Table:
+        refs = batch["frame_ref"].to_pylist()
+        idxs = batch["frame_index"].to_numpy(zero_copy_only=False)
+        vids = [r.rsplit("#frame=", 1)[0] for r in refs]
+        if not refs:
+            return pa.table({"doc_id": pa.array([], type=pa.string()),
+                             "media_ref": pa.array([], type=pa.string()),
+                             "frame_index": pa.array([], type=pa.int64()),
+                             "phash": pa.array([], type=pa.int64())})
+        imgs = np.stack([synth_frame_gray(v, int(i))
+                         for v, i in zip(vids, idxs)])
+        h = phash64(imgs).view(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "media_ref": pa.array(vids, type=pa.string()),
+                         "frame_index": pa.array(idxs.astype(np.int64)),
+                         "phash": pa.array(h)})
+
+    hashed = frames.map_batches(hash_frames, batch_format="pyarrow",
+                                batch_size=None)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+        h = _pd.util.hash_array(
+            batch["media_ref"].to_numpy(zero_copy_only=False).astype(str))
+        return batch.append_column(
+            "_coarse", pa.array((h % np.uint64(16)).astype(np.int64))) \
+            .replace_schema_metadata(None)
+
+    def cuts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_coarse"]) \
+            .sort_values(["media_ref", "frame_index"])
+        prev_hash = g.groupby("media_ref")["phash"].shift(1)
+        x = (g["phash"].to_numpy(np.int64).view(np.uint64)
+             ^ prev_hash.fillna(g["phash"]).to_numpy(np.int64)
+             .view(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1) \
+            .sum(axis=1).astype(np.int64)
+        ham[prev_hash.isna().to_numpy()] = -1     # first sampled frame
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "media_ref": g["media_ref"].to_numpy(),
+            "frame_index": g["frame_index"].to_numpy(np.int64),
+            "hamming_prev": ham,
+            "is_cut": (ham > SCENE_CUT_HAMMING).astype(np.int64)})
+
+    return (hashed.map_batches(add_coarse, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("_coarse").map_groups(cuts, batch_format="pandas")
+            .sort(["media_ref", "frame_index"]))
+
+
 MEDIA_QUERIES: dict[str, tuple] = {
+    "media_scene_changes": (media_scene_changes, None),
     "media_phash": (media_phash, None),
     "media_phash_pairs": (media_phash_pairs, None),
     "media_payload_dedup": (media_payload_dedup, None),

@@ -44,6 +44,30 @@ def synth_payload(media_ref: str, kind: str = "image") -> bytes:
     return magic + rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
 
 
+SCENE_SEGMENT_LEN = 12     # frames per synthetic "scene" segment
+SCENE_JITTER = 0.02        # per-frame luminance noise inside a scene
+
+
+def synth_frame_gray(video_ref: str, frame_index: int) -> "np.ndarray":
+    """Deterministic stub FRAME decode: a (16, 16) grayscale image that
+    is stable within a scene segment (same base image for all frames in
+    one SCENE_SEGMENT_LEN window, plus a few percent of per-frame
+    noise) and unrelated across segments — the temporal structure a
+    real codec's frames have at shot boundaries. Real decoders replace
+    exactly this function; the pHash/cut kernels downstream are the
+    production path."""
+    def gray(seed_key: str) -> np.ndarray:
+        seed = int.from_bytes(
+            hashlib.sha1(seed_key.encode()).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        return rng.random((16, 16)) * 255.0
+
+    seg = frame_index // SCENE_SEGMENT_LEN
+    base = gray(f"{video_ref}|seg={seg}")
+    jit = gray(f"{video_ref}|frame={frame_index}")
+    return base * (1.0 - SCENE_JITTER) + jit * SCENE_JITTER
+
+
 _VARIANT_CLUSTER = 10      # docs per shared-asset window
 
 
