@@ -3556,7 +3556,105 @@ ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Data-quality expectation checks (validation gate before training)
+# ---------------------------------------------------------------------------
+
+QC_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+QC_VALUE_HIGH = 95.0
+
+
+def events_quality_checks(sf_dir: str):
+    """Expectation-suite validation of the events table — the data
+    gate a training pipeline runs before consuming a drop: one row per
+    constraint with its violation count. Null/range/domain checks are
+    per-batch partial sums (no exchange); referential integrity uses a
+    broadcast key set (Bloom filter at full scale, same substitution as
+    every semi-join here); exact uniqueness hash-partitions event_id so
+    per-partition distinct counts SUM to the global one — only the key
+    column ever crosses the wire. All six checks are recomputed by the
+    DuckDB oracle."""
+    checks = ["duplicate_event_id", "negative_value", "null_ts",
+              "orphan_user", "unknown_event_type",
+              f"value_gt_{int(QC_VALUE_HIGH)}"]
+    if _table_empty(sf_dir, "events"):
+        return pd.DataFrame({"check_name": checks,
+                             "n_violations": np.zeros(6, dtype=np.int64)})
+
+    cust_keys = np.unique(pd.read_parquet(
+        _pq(sf_dir, "customer"), columns=["c_custkey"])
+        .c_custkey.to_numpy(np.int64))
+    keys_ref = ray.put(cust_keys)
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "null_ts": [int(batch["ts"].null_count)],
+            "negative_value": [int((v < 0).sum())],
+            "value_high": [int((v > QC_VALUE_HIGH).sum())],
+            "unknown_event_type":
+                [int((~np.isin(et, QC_EVENT_TYPES)).sum())],
+            "orphan_user": [int((~np.isin(u, keys)).sum())],
+            "n_rows": [len(batch)]})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=None) \
+        .aggregate(*[Sum(c, alias_name=c)
+                     for c in ["null_ts", "negative_value", "value_high",
+                               "unknown_event_type", "orphan_user",
+                               "n_rows"]])
+
+    # exact uniqueness: distinct-within-hash-partition sums globally
+    def id_only(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_id"]).replace_schema_metadata(None)
+
+    def nunique(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"d": [int(g["event_id"].nunique())]})
+
+    parts = _coarse_partition_map(
+        ds.map_batches(id_only, batch_format="pyarrow", batch_size=None),
+        "event_id", nunique)
+    n_distinct = int(parts.aggregate(Sum("d", alias_name="d"))["d"])
+
+    return pd.DataFrame({
+        "check_name": checks,
+        "n_violations": np.array(
+            [agg["n_rows"] - n_distinct, agg["negative_value"],
+             agg["null_ts"], agg["orphan_user"],
+             agg["unknown_event_type"], agg["value_high"]],
+            dtype=np.int64)})
+
+
+QUALITY_CHECKS_SQL = f"""
+SELECT * FROM (
+  SELECT 'duplicate_event_id' AS check_name,
+         COUNT(*) - COUNT(DISTINCT event_id) AS n_violations FROM events
+  UNION ALL
+  SELECT 'negative_value', COUNT(*) FILTER (WHERE value < 0) FROM events
+  UNION ALL
+  SELECT 'null_ts', COUNT(*) FILTER (WHERE ts IS NULL) FROM events
+  UNION ALL
+  SELECT 'orphan_user', COUNT(*) FROM events
+  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = user_id)
+  UNION ALL
+  SELECT 'unknown_event_type',
+         COUNT(*) FILTER (WHERE event_type NOT IN
+             {QC_EVENT_TYPES!r}) FROM events
+  UNION ALL
+  SELECT 'value_gt_{int(QC_VALUE_HIGH)}',
+         COUNT(*) FILTER (WHERE value > {QC_VALUE_HIGH}) FROM events)
+ORDER BY check_name
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "events_quality_checks": (events_quality_checks, QUALITY_CHECKS_SQL),
     "events_nation_skew_join": (events_nation_skew_join, SKEW_JOIN_SQL),
     "events_value_quantiles_approx": (events_value_quantiles_approx, None),
     "events_latest_state": (events_latest_state, LATEST_STATE_SQL),

@@ -47,6 +47,9 @@ def main(argv=None) -> int:
                    help="compact --input's small parquet shards into "
                         "~--target-rows files at --output")
     p.add_argument("--target-rows", type=int, default=100_000)
+    p.add_argument("--stats", action="store_true",
+                   help="with --query: print the executed Dataset's "
+                        "per-stage ds.stats() profile to stderr")
     args = p.parse_args(argv)
 
     if args.list_queries:
@@ -87,11 +90,16 @@ def main(argv=None) -> int:
         if hasattr(res, "write_parquet"):          # Ray Dataset
             res.write_parquet(args.output)
             n = "written"
+            if args.stats:                         # post-execution profile
+                print(res.stats(), file=sys.stderr)
         else:                                      # small pandas result
             import os
             os.makedirs(args.output, exist_ok=True)
             res.to_parquet(f"{args.output}/part-0.parquet", index=False)
             n = len(res)
+            if args.stats:
+                print(f"(driver-finalized result: {n} rows; no Dataset "
+                      "stats)", file=sys.stderr)
         print(json.dumps({"query": args.query, "output": args.output,
                           "sec": round(time.perf_counter() - t0, 2),
                           "rows": n}))

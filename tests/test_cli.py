@@ -42,6 +42,19 @@ def test_cli_query_mode(tmp_path):
     assert n == 500
 
 
+def test_cli_query_stats(tmp_path):
+    r = subprocess.run([sys.executable, "-m", "pdf_extraction_ray.run",
+                        "--query", "q1_pricing_summary",
+                        "--input", "/root/testdata/sf0.001",
+                        "--output", str(tmp_path / "q"),
+                        "--num-cpus", "4", "--stats"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # the per-operator profile lands on stderr, result JSON on stdout
+    assert "Operator" in r.stderr and "wall time" in r.stderr
+    assert json.loads(r.stdout.strip().splitlines()[-1])["rows"] == "written"
+
+
 def test_cli_list_queries():
     r = subprocess.run([sys.executable, "-m", "pdf_extraction_ray.run",
                         "--list-queries"], capture_output=True, text=True,
