@@ -590,7 +590,166 @@ def knn_quantized_recall(sf_dir: str):
         "recall_x1e6": [int(hit * 1_000_000 / max(len(exact), 1))]})
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: subspace codebooks + ADC scoring
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces (codes are PQ_M bytes per vector: 64x
+#                   smaller than float64[64] — the real 100-TB ANN path)
+PQ_K = 32         # centroids per subspace codebook
+PQ_ITERS = 4
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _pq_codebooks(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
+                  iters: int = PQ_ITERS):
+    """Train M subspace codebooks with Lloyd's iterations over UNIT
+    vectors — all M subspaces learned in the SAME streaming pass (the
+    per-batch partial carries (subspace, cluster, count, sums) rows for
+    every subspace), so PQ training costs exactly as many corpus passes
+    as one k-means. Driver state is m x k x (d/m) floats — the codebook,
+    never the corpus. Deterministic init from the first k vec_ids."""
+    init = (_emb(sf_dir).filter(expr=f"vec_id < {k}")
+            .to_pandas().sort_values("vec_id"))
+    if init.empty:
+        return None
+    x0 = _normalize_rows(np.stack(init["embedding"].to_numpy())
+                         .astype(np.float64))
+    d = x0.shape[1]
+    ds_ = d // m
+    books = np.stack([x0[:, j * ds_:(j + 1) * ds_] for j in range(m)])
+
+    for _ in range(iters):
+        bref = ray.put(books)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            bks = ray.get(bref)
+            x = _normalize_rows(
+                np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+                .astype(np.float64))
+            frames = []
+            for j in range(m):
+                sub = x[:, j * ds_:(j + 1) * ds_]
+                d2 = ((sub[:, None, :] - bks[j][None, :, :]) ** 2).sum(2)
+                lab = d2.argmin(axis=1)
+                sums = np.zeros((k, ds_))
+                np.add.at(sums, lab, sub)
+                out = pd.DataFrame({
+                    "sub": np.full(k, j, dtype=np.int64),
+                    "cluster": np.arange(k, dtype=np.int64),
+                    "n": np.bincount(lab, minlength=k).astype(np.int64)})
+                for t in range(ds_):
+                    out[f"s{t}"] = sums[:, t]
+                frames.append(out)
+            return pa.Table.from_pandas(pd.concat(frames,
+                                                  ignore_index=True),
+                                        preserve_index=False) \
+                .replace_schema_metadata(None)
+
+        aggs = [Sum("n", alias_name="n")]
+        aggs += [Sum(f"s{t}", alias_name=f"s{t}") for t in range(ds_)]
+        stats = (_emb(sf_dir)
+                 .map_batches(assign, batch_format="pyarrow",
+                              batch_size=None)
+                 .groupby(["sub", "cluster"]).aggregate(*aggs)
+                 .to_pandas().sort_values(["sub", "cluster"]))
+        n = stats["n"].to_numpy(np.float64).reshape(m, k)
+        sums = stats[[f"s{t}" for t in range(ds_)]].to_numpy() \
+            .reshape(m, k, ds_)
+        nz = n > 0
+        books = np.where(nz[:, :, None],
+                         sums / np.maximum(n[:, :, None], 1.0), books)
+    return books
+
+
+PQ_SHORTLIST = 100   # ADC candidates kept for the exact re-rank
+
+
+def knn_cosine_pq(sf_dir: str):
+    """ANN top-k via product quantization with asymmetric distance
+    computation (ADC) plus exact re-rank — the production PQ shape:
+    corpus vectors are normalized and encoded to PQ_M one-byte codes
+    against the trained codebooks; the query builds an (M x K)
+    inner-product lookup table once, and every vector's approximate
+    cosine is M table lookups summed — no float reconstruction in the
+    scan. The ADC pass only has to get the true neighbors into its
+    top-PQ_SHORTLIST; a second exact pass re-scores just those
+    (bounded) candidates. Same output contract as ``knn_cosine``;
+    quality pinned by ``knn_pq_recall``."""
+    books = _pq_codebooks(sf_dir)
+    if books is None:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64")})
+    m, k, ds_ = books.shape
+    q = _query_vec(sf_dir, KNN_QUERY_VEC_ID)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    lut = np.stack([books[j] @ qn[j * ds_:(j + 1) * ds_]
+                    for j in range(m)])          # (m, k) ip table
+    ref = ray.put((books, lut))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bks, lt = ray.get(ref)
+        x = _normalize_rows(
+            np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+            .astype(np.float64))
+        approx = np.zeros(len(x))
+        for j in range(bks.shape[0]):
+            sub = x[:, j * ds_:(j + 1) * ds_]
+            d2 = ((sub[:, None, :] - bks[j][None, :, :]) ** 2).sum(2)
+            codes = d2.argmin(axis=1)            # the stored byte
+            approx += lt[j][codes]               # ADC lookup
+        return pa.Table.from_arrays(
+            [batch["vec_id"], pa.array(approx)], names=["vec_id", "cos"])
+
+    shortlist = (_emb(sf_dir)
+                 .map_batches(score, batch_format="pyarrow",
+                              batch_size=None)
+                 .sort(["cos", "vec_id"], descending=[True, False])
+                 .limit(PQ_SHORTLIST)).to_pandas()
+    cand = np.sort(shortlist["vec_id"].to_numpy(np.int64))
+    cref = ray.put((cand, qn))
+
+    def exact(batch: pa.Table) -> pa.Table:     # re-rank candidates only
+        ids, qv = ray.get(cref)
+        v = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = np.isin(v, ids)
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cos": pa.array([], type=pa.float64())})
+        x = _normalize_rows(
+            np.stack(batch["embedding"].to_numpy(zero_copy_only=False)
+                     [mask]).astype(np.float64))
+        return pa.Table.from_arrays(
+            [pa.array(v[mask]), pa.array(x @ qv)],
+            names=["vec_id", "cos"])
+
+    top = (_emb(sf_dir).map_batches(exact, batch_format="pyarrow",
+                                    batch_size=None)
+           .sort(["cos", "vec_id"], descending=[True, False])
+           .limit(KNN_K)).to_pandas()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["vec_id", "rank"]].astype({"vec_id": "int64"})
+
+
+def knn_pq_recall(sf_dir: str):
+    """Recall@k of the PQ/ADC path vs exact brute force, with the
+    storage ratio the codes achieve (bytes per vector: PQ_M vs 8*d)."""
+    exact = set(knn_cosine(sf_dir).to_pandas()["vec_id"])
+    approx = set(knn_cosine_pq(sf_dir)["vec_id"])
+    hit = len(exact & approx)
+    return pd.DataFrame({
+        "k": [KNN_K],
+        "m_codes": [PQ_M],
+        "compression_x": [64 * 8 // PQ_M],
+        "recall_x1e6": [int(hit * 1_000_000 / max(len(exact), 1))]})
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "knn_cosine_pq": (knn_cosine_pq, None),
+    "knn_pq_recall": (knn_pq_recall, None),
     "knn_cosine_quantized": (knn_cosine_quantized, None),
     "knn_quantized_recall": (knn_quantized_recall, None),
     "embedding_pca_top": (embedding_pca_top, None),

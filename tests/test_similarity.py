@@ -135,6 +135,25 @@ def test_quantized_knn_recall_and_minmax(ray_session):
     assert int(rec["recall_x1e6"].iloc[0]) >= 800_000
 
 
+def test_pq_codebooks_and_recall(ray_session):
+    """Product quantization: codebooks must have the configured shape
+    with no NaNs, the ADC+rerank top-k must keep >= 80% recall vs exact
+    brute force, and the recall row must report the 64x storage ratio
+    (PQ_M one-byte codes vs float64[64])."""
+    import numpy as np
+    from pdf_extraction_ray.pipelines.similarity import (
+        PQ_K, PQ_M, _pq_codebooks, knn_pq_recall)
+
+    sf = "/root/testdata/sf0.001"
+    books = _pq_codebooks(sf)
+    assert books.shape == (PQ_M, PQ_K, 64 // PQ_M)
+    assert np.isfinite(books).all()
+
+    rec = knn_pq_recall(sf)
+    assert int(rec["recall_x1e6"].iloc[0]) >= 800_000
+    assert int(rec["compression_x"].iloc[0]) == 64
+
+
 def _semdedup_postconditions(out, vecs, thr):
     """The greedy-leader output is uniquely characterized by: (a) kept
     vectors in a cluster are pairwise below threshold, (b) every pruned
