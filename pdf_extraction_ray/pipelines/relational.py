@@ -3653,7 +3653,57 @@ ORDER BY check_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (per-user Markov bigrams)
+# ---------------------------------------------------------------------------
+
+def events_type_transitions(sf_dir: str):
+    """First-order transition counts between consecutive event types
+    within each user's (ts, event_id)-ordered stream — the Markov
+    matrix behind "what happens after a click" path analysis. One
+    user-keyed coarse exchange; each partition emits its (from, to,
+    count) partials vectorized (sort + shift, no per-user python), and
+    a tiny two-key groupby sums them — transitions never leave as raw
+    rows."""
+    empty = pd.DataFrame({"from_type": pd.Series(dtype="object"),
+                          "to_type": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id")["event_type"].shift(1)
+        d = pd.DataFrame({"from_type": prev, "to_type": g["event_type"]}) \
+            .dropna(subset=["from_type"])
+        out = d.groupby(["from_type", "to_type"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        return out.astype({"n": "int64"})
+
+    return (_coarse_partition_map(ds, "user_id", transitions)
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["from_type", "to_type"]))
+
+
+TYPE_TRANSITIONS_SQL = """
+WITH s AS (SELECT event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "events_type_transitions": (events_type_transitions,
+                                TYPE_TRANSITIONS_SQL),
     "events_quality_checks": (events_quality_checks, QUALITY_CHECKS_SQL),
     "events_nation_skew_join": (events_nation_skew_join, SKEW_JOIN_SQL),
     "events_value_quantiles_approx": (events_value_quantiles_approx, None),

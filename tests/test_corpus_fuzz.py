@@ -87,6 +87,10 @@ EVENT_QUERIES = [
     "order_custkeys_intersect", "order_custkeys_except",
     "events_user_activity_hist", "events_new_users_daily",
     "events_type_distinct_users", "events_type_robust_outliers",
+    "events_type_transitions", "events_quality_checks",
+    "events_nation_skew_join", "customer_merge_upsert",
+    "events_stream_attribution", "events_partitioned_prune",
+    "orders_monthly_view", "events_zorder_prune",
 ]
 
 # props pool stresses the JSON field extraction: valid ints (incl.
@@ -131,6 +135,10 @@ def _random_events_orders(seed: int, d):
 def test_oracled_event_ops_on_random_tables(tmp_path, seed):
     import shutil
     from pdf_extraction_ray.pipelines.relational import RELATIONAL_QUERIES
+    from pdf_extraction_ray.pipelines.storage import STORAGE_QUERIES
+    from pdf_extraction_ray.pipelines.streaming import STREAMING_QUERIES
+    registry = {**RELATIONAL_QUERIES, **STORAGE_QUERIES,
+                **STREAMING_QUERIES}
 
     d = str(tmp_path / f"ev{seed}")
     os.makedirs(d, exist_ok=True)
@@ -147,7 +155,7 @@ def test_oracled_event_ops_on_random_tables(tmp_path, seed):
                     f"read_parquet('{d}/{t}.parquet')")
 
     for name in EVENT_QUERIES:
-        fn, sql = RELATIONAL_QUERIES[name]
+        fn, sql = registry[name]
         res = fn(d)
         ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         duck_df = con.sql(sql).df()
