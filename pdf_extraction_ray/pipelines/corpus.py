@@ -71,7 +71,12 @@ def _doc_terms(batch: pa.Table):
 
 def _coarse_str_group(ds, key: str, per_group_fn, n_coarse: int = 64):
     """Grouped map keyed by a STRING column via a coarse hash shuffle
-    (cf. relational._coarse_grouped_map, which keys on ints)."""
+    (cf. relational._coarse_grouped_map, which keys on ints). Blocks
+    entering the exchange are bounded to ~cores/2 first (see
+    relational._pre_coalesce — sort cost carries a per-block
+    constant)."""
+    from .relational import _pre_coalesce
+
     def add_coarse(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
             batch[key].to_numpy(zero_copy_only=False).astype(str))
@@ -82,8 +87,9 @@ def _coarse_str_group(ds, key: str, per_group_fn, n_coarse: int = 64):
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return per_group_fn(g.drop(columns=["_coarse"]))
 
-    return ds.map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
-             .groupby("_coarse").map_groups(run, batch_format="pandas")
+    return _pre_coalesce(ds, "auto") \
+        .map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
+        .groupby("_coarse").map_groups(run, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -54,7 +54,26 @@ def _cents(col, scale: float = 100.0):
 from ..functions.arrow_utils import round_half_away as _round_half_away  # noqa: E402
 
 
-def _coarse_grouped_map(ds, key: str, per_group_fn, n_coarse: int = 64):
+def _pre_coalesce(ds, spec):
+    """Bound the block count entering a sort-based exchange. Ray's sort
+    cost carries a per-block constant (sampling + partition + merge
+    bookkeeping) that dominates when the input is over-fragmented —
+    parquet SplitBlocks targets ~2 blocks/core regardless of table
+    size, so two unioned narrow projections enter the exchange as 128
+    tiny blocks at sf scales. ``"auto"`` coalesces to ~cores/2 blocks
+    (measured on the as-of join at sf0.1: 4.0 s -> 1.5 s; sessions
+    1.2 s -> 0.6 s), which stays data-proportional on a real cluster
+    (cores grows with nodes). Pass ``None`` when the exchanged rows are
+    petabyte-raw and per-block bytes would exceed the object-store
+    block target — the one regime where fewer blocks is wrong."""
+    if spec == "auto":
+        from ..functions.cluster import cluster_cpus
+        spec = max(8, cluster_cpus() // 2)
+    return ds.repartition(spec) if spec else ds
+
+
+def _coarse_grouped_map(ds, key: str, per_group_fn, n_coarse: int = 64,
+                        pre_coalesce="auto"):
     """Per-key grouped map with a COARSE shuffle key: the exchange
     partitions on ``key % n_coarse`` (constant group count at any scale);
     the exact per-key grouping runs as a pandas groupby inside each
@@ -70,11 +89,13 @@ def _coarse_grouped_map(ds, key: str, per_group_fn, n_coarse: int = 64):
                 for _, sub in g.groupby(key)]
         return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
 
-    return ds.map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
-             .groupby("_coarse").map_groups(run, batch_format="pandas")
+    return _pre_coalesce(ds, pre_coalesce) \
+        .map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
+        .groupby("_coarse").map_groups(run, batch_format="pandas")
 
 
-def _coarse_partition_map(ds, key: str, partition_fn, n_coarse: int = 64):
+def _coarse_partition_map(ds, key: str, partition_fn, n_coarse: int = 64,
+                          pre_coalesce="auto"):
     """Like ``_coarse_grouped_map`` but hands the WHOLE coarse partition
     (all keys that hashed to it) to ``partition_fn`` in one DataFrame.
     Use with pandas-groupby-vectorized window logic: a per-key callback
@@ -85,14 +106,15 @@ def _coarse_partition_map(ds, key: str, partition_fn, n_coarse: int = 64):
         return batch.append_column("_coarse", pa.array(c.astype(np.int64))) \
             .replace_schema_metadata(None)
 
-    return ds.map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
-             .groupby("_coarse") \
-             .map_groups(lambda g: partition_fn(g.drop(columns=["_coarse"])),
-                         batch_format="pandas")
+    return _pre_coalesce(ds, pre_coalesce) \
+        .map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
+        .groupby("_coarse") \
+        .map_groups(lambda g: partition_fn(g.drop(columns=["_coarse"])),
+                    batch_format="pandas")
 
 
 def _coarse_grouped_map_union(left, right, partition_fn, key: str = "key",
-                              n_coarse: int = 64):
+                              n_coarse: int = 64, pre_coalesce="auto"):
     """Co-partitioned merge of two SIDE-TAGGED datasets sharing one
     schema: union them, hash both through one coarse exchange on the
     int ``key`` column, and hand each whole partition to
@@ -104,7 +126,7 @@ def _coarse_grouped_map_union(left, right, partition_fn, key: str = "key",
         return batch.append_column("_coarse", pa.array(c.astype(np.int64))) \
             .replace_schema_metadata(None)
 
-    return (left.union(right)
+    return (_pre_coalesce(left.union(right), pre_coalesce)
             .map_batches(add_coarse, batch_format="pyarrow", batch_size=None)
             .groupby("_coarse")
             .map_groups(lambda g: partition_fn(g.drop(columns=["_coarse"])),
@@ -112,7 +134,7 @@ def _coarse_grouped_map_union(left, right, partition_fn, key: str = "key",
 
 
 def _coarse_str_partition_map(ds, key: str, partition_fn,
-                              n_coarse: int = 8):
+                              n_coarse: int = 8, pre_coalesce="auto"):
     """``_coarse_partition_map`` for STRING keys (stable string hash
     instead of int modulo). One implementation shared by every
     string-keyed grouped map in this module (corpus.py carries the same
@@ -124,10 +146,11 @@ def _coarse_str_partition_map(ds, key: str, partition_fn,
             "_coarse", pa.array((h % np.uint64(n_coarse)).astype(np.int64))) \
             .replace_schema_metadata(None)
 
-    return ds.map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
-             .groupby("_coarse") \
-             .map_groups(lambda g: partition_fn(g.drop(columns=["_coarse"])),
-                         batch_format="pandas")
+    return _pre_coalesce(ds, pre_coalesce) \
+        .map_batches(add_coarse, batch_format="pyarrow", batch_size=None) \
+        .groupby("_coarse") \
+        .map_groups(lambda g: partition_fn(g.drop(columns=["_coarse"])),
+                    batch_format="pandas")
 
 
 def _from_pandas(df) -> pa.Table:
@@ -1105,7 +1128,7 @@ def events_asof_orders(sf_dir: str):
                                    pa.array(c.astype(np.int64))) \
             .replace_schema_metadata(None)
 
-    return (events.union(orders)
+    return (_pre_coalesce(events.union(orders), "auto")
             .map_batches(add_coarse, batch_format="pyarrow", batch_size=None)
             .groupby("_coarse")
             .map_groups(lambda g: asof_part(g.drop(columns=["_coarse"])),
@@ -2293,7 +2316,8 @@ def q3_partitioned_join(sf_dir: str):
             "revenue_x1e4": a["revenue_x1e4"].to_numpy(np.int64),
             "o_orderdate": a["o_orderdate"].to_numpy()})
 
-    agg = (both.map_batches(add_coarse, batch_format="pyarrow", batch_size=None)
+    agg = (_pre_coalesce(both, "auto")
+           .map_batches(add_coarse, batch_format="pyarrow", batch_size=None)
            .groupby("_coarse")
            .map_groups(lambda g: combine_partition(
                g.drop(columns=["_coarse"])), batch_format="pandas"))
@@ -3427,8 +3451,9 @@ def _skew_hot_keys(events_ds, key: str = "user_id"):
             [pa.array(u.astype(np.int64)), pa.array(c.astype(np.int64))],
             names=[key, "n"])
 
-    hist = (events_ds.map_batches(partial, batch_format="pyarrow",
-                                  batch_size=None)
+    hist = (_pre_coalesce(
+                events_ds.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=None), "auto")
             .groupby(key).aggregate(Sum("n", alias_name="n"))
             .materialize())
     tot = hist.aggregate(Sum("n", alias_name="rows"), Count())
@@ -3501,10 +3526,13 @@ def events_nation_skew_join(sf_dir: str):
     fact = ds.map_batches(split, batch_format="pyarrow", batch_size=None)
 
     cold_build = cust[~cust.c_custkey.isin(hot_keys)]
-    build = rd.from_pandas(pd.DataFrame({
+    # Arrow block (from_arrow), matching the fact side: a union of
+    # pandas and Arrow blocks cannot be re-bundled by the repartition
+    # inside the coarse exchange
+    build = rd.from_arrow(_from_pandas(pd.DataFrame({
         "k": cold_build.c_custkey.to_numpy(np.int64), "side": 1,
         "nationkey": cold_build.c_nationkey.to_numpy(np.int64),
-        "n_events": 0, "value_x100": 0}).astype("int64"))
+        "n_events": 0, "value_x100": 0}).astype("int64")))
 
     def join_partition(g: pd.DataFrame) -> pd.DataFrame:
         outs = []
