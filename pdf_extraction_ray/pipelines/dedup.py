@@ -777,18 +777,17 @@ def _clusters_distributed(pairs: pd.DataFrame, n_coarse: int = 64,
 DISTRIBUTED_CLUSTER_THRESHOLD = 100_000
 
 
-def dedup_clusters(sf_dir: str):
-    """Resolve near-dup pairs into clusters (the dedup endpoint: keep one
-    representative per cluster). Iterative min-label propagation over the
-    pair edges — small pair sets run vectorized driver rounds; past
-    ``DISTRIBUTED_CLUSTER_THRESHOLD`` edges the groupby form
-    (``_clusters_distributed``) runs the same propagation with the node
-    and edge sets fully distributed.
-
-    Output: (doc_id, cluster_rep) for every doc in some duplicate cluster,
-    cluster_rep = min doc_id of the cluster."""
-    pairs = dedup_minhash_lsh(sf_dir)
-    if len(pairs) > DISTRIBUTED_CLUSTER_THRESHOLD:
+def resolve_components(pairs: pd.DataFrame,
+                       threshold: int = None) -> pd.DataFrame:
+    """Connected components over an edge list with columns
+    (doc_a, doc_b): min-label propagation, driver-vectorized below
+    ``threshold`` edges (default ``DISTRIBUTED_CLUSTER_THRESHOLD``),
+    the distributed groupby form (``_clusters_distributed``) above it.
+    Shared by the dedup endpoint and the graph pipeline
+    (``copurchase_components``). Output: (doc_id, cluster_rep)."""
+    if threshold is None:
+        threshold = DISTRIBUTED_CLUSTER_THRESHOLD
+    if len(pairs) > threshold:
         return _clusters_distributed(pairs)
     if len(pairs) == 0:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -812,6 +811,19 @@ def dedup_clusters(sf_dir: str):
     return pd.DataFrame({"doc_id": nodes,
                          "cluster_rep": label.loc[nodes].to_numpy()}) \
         .astype("int64").sort_values("doc_id").reset_index(drop=True)
+
+
+def dedup_clusters(sf_dir: str):
+    """Resolve near-dup pairs into clusters (the dedup endpoint: keep one
+    representative per cluster). Iterative min-label propagation over the
+    pair edges — small pair sets run vectorized driver rounds; past
+    ``DISTRIBUTED_CLUSTER_THRESHOLD`` edges the groupby form
+    (``_clusters_distributed``) runs the same propagation with the node
+    and edge sets fully distributed.
+
+    Output: (doc_id, cluster_rep) for every doc in some duplicate cluster,
+    cluster_rep = min doc_id of the cluster."""
+    return resolve_components(dedup_minhash_lsh(sf_dir))
 
 
 def _pairs_sql(threshold: int) -> str:

@@ -1,0 +1,319 @@
+"""Graph analytics over the part co-purchase graph.
+
+The reference's only graph-shaped computation is doc-local (the spatial
+relationship pairs of `advanced_layout_extractor.py:471-538` and the
+IoU dedup clusters); a 100 TB training-data engine also needs the
+CROSS-ROW graph tier — co-occurrence graph construction, connected
+components, and an iterative vertex program (PageRank) — because
+link-based quality signals and dedup-cluster resolution are graph jobs.
+
+Graph definition (derived, no external data): two parts are linked when
+they appear in the same order; the edge weight is the SQL-join pair
+count (multiplicity-aware: a part appearing twice in one order pairs
+twice). Components/PageRank run over edges with weight >= 2 so the
+graph is noise-pruned and its size is output-shaped, not corpus-shaped.
+
+Scale notes:
+- pair generation never self-joins the fact table globally: one coarse
+  exchange on ``l_orderkey`` (same machinery as every grouped map in
+  relational.py), per-order pair expansion is bounded by order size
+  (~7 lines), and pair counts pre-reduce inside each partition before
+  the (part_a, part_b) aggregation exchange.
+- components reuse the dedup tier's min-label propagation
+  (``dedup.resolve_components``): driver-vectorized rounds for small
+  edge sets, the distributed groupby form past 100k edges.
+- PageRank keeps BOTH the rank vector and the edge set distributed:
+  each iteration is one side-tagged coarse exchange co-partitioning
+  ranks with edges (per-partition contribution emit, pre-reduced), a
+  groupby-sum on the destination key, and a second side-tagged
+  exchange folding the sums back into the (node, rank, deg) vector.
+  No process ever holds the full vertex set; edges are materialized
+  once and reused across iterations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .relational import (_coarse_partition_map, _coarse_grouped_map_union,
+                         _from_pandas, _pq, _table_empty)
+
+PAIR_TOPK = 20
+DEGREE_TOPK = 20
+COMPONENT_MIN_WEIGHT = 2
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 8
+
+_EMPTY_PAIRS = {"part_a": pd.Series(dtype="int64"),
+                "part_b": pd.Series(dtype="int64"),
+                "n_orders": pd.Series(dtype="int64")}
+
+
+def _copurchase_pair_counts(sf_dir: str):
+    """Dataset of (part_a, part_b, n_orders) for every co-purchased part
+    pair (part_a < part_b), multiplicity-aware to match the SQL
+    self-join count exactly. One orderkey exchange + one pair-key
+    aggregation exchange, pairs pre-reduced per partition."""
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # multiplicity per (order, part), then a per-order self-merge:
+        # pair weight = mult_a * mult_b (== the SQL join's row count)
+        m = g.groupby(["l_orderkey", "l_partkey"], as_index=False) \
+             .size().rename(columns={"size": "m"})
+        j = m.merge(m, on="l_orderkey", suffixes=("_a", "_b"))
+        j = j[j["l_partkey_a"] < j["l_partkey_b"]]
+        if j.empty:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        j["n_orders"] = j["m_a"] * j["m_b"]
+        out = j.rename(columns={"l_partkey_a": "part_a",
+                                "l_partkey_b": "part_b"}) \
+               [["part_a", "part_b", "n_orders"]] \
+            .groupby(["part_a", "part_b"], as_index=False).sum()
+        return out.astype("int64")
+
+    return (_coarse_partition_map(ds, "l_orderkey", pairs_in_partition)
+            .groupby(["part_a", "part_b"])
+            .aggregate(Sum("n_orders", alias_name="n_orders")))
+
+
+def part_copurchase_pairs(sf_dir: str):
+    """Top co-purchased part pairs by pair count (ties broken on the
+    part keys — a deterministic total order both engines share)."""
+    if _table_empty(sf_dir, "lineitem"):
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return (_copurchase_pair_counts(sf_dir)
+            .sort(["n_orders", "part_a", "part_b"],
+                  descending=[True, False, False])
+            .limit(PAIR_TOPK))
+
+
+COPURCHASE_PAIRS_SQL = f"""
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       count(*) AS n_orders
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {PAIR_TOPK}
+"""
+
+
+def part_copurchase_degree(sf_dir: str):
+    """Top parts by DISTINCT co-purchase partner count (graph degree).
+    The aggregated pair set IS the distinct edge set, so degree is one
+    explode + one part-keyed count exchange on output-shaped data."""
+    if _table_empty(sf_dir, "lineitem"):
+        return pd.DataFrame({"part": pd.Series(dtype="int64"),
+                             "degree": pd.Series(dtype="int64")})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["part_a"].to_numpy(zero_copy_only=False)
+        b = batch["part_b"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"part": np.concatenate([a, b])})
+        out = df.groupby("part", as_index=False).size() \
+                .rename(columns={"size": "degree"}).astype("int64")
+        return _from_pandas(out)
+
+    return (_copurchase_pair_counts(sf_dir)
+            .map_batches(explode, batch_format="pyarrow", batch_size=None)
+            .groupby("part")
+            .aggregate(Sum("degree", alias_name="degree"))
+            .sort(["degree", "part"], descending=[True, False])
+            .limit(DEGREE_TOPK))
+
+
+COPURCHASE_DEGREE_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT part, count(*) AS degree
+FROM (SELECT pa AS part FROM pairs UNION ALL SELECT pb FROM pairs)
+GROUP BY part
+ORDER BY degree DESC, part
+LIMIT {DEGREE_TOPK}
+"""
+
+
+def _copurchase_edges(sf_dir: str) -> pd.DataFrame:
+    """Noise-pruned edge list (weight >= COMPONENT_MIN_WEIGHT) as a
+    driver DataFrame. The pruned graph is output-shaped (only pairs
+    that repeat across orders), collected after both reduction
+    exchanges — the same bounded-result contract as the dedup pair
+    sets (past ~100k edges the consumers below switch to their
+    distributed forms and this collect should become a materialized
+    Dataset; resolve_components already carries that dual path)."""
+    agg = _copurchase_pair_counts(sf_dir) \
+        .filter(lambda r: r["n_orders"] >= COMPONENT_MIN_WEIGHT)
+    df = agg.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64")})
+    return df.rename(columns={"part_a": "doc_a", "part_b": "doc_b"}) \
+             [["doc_a", "doc_b"]].astype("int64")
+
+
+def copurchase_components(sf_dir: str):
+    """Connected components of the pruned co-purchase graph: every part
+    labeled with the min part key of its component. Reuses the dedup
+    tier's min-label propagation (distributed groupby form past 100k
+    edges)."""
+    from .dedup import resolve_components
+    if _table_empty(sf_dir, "lineitem"):
+        return pd.DataFrame({"part": pd.Series(dtype="int64"),
+                             "component": pd.Series(dtype="int64")})
+    out = resolve_components(_copurchase_edges(sf_dir))
+    return out.rename(columns={"doc_id": "part", "cluster_rep": "component"})
+
+
+COPURCHASE_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {COMPONENT_MIN_WEIGHT}),
+edges AS (SELECT pa AS s, pb AS d FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+cc(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.node
+  WHERE cc.label < e.d
+)
+SELECT node AS part, min(label) AS component FROM cc GROUP BY node
+"""
+
+
+def part_copurchase_pagerank(sf_dir: str):
+    """PageRank over the pruned co-purchase graph (damping 0.85, 8
+    iterations, uniform init 1/N). The rank vector stays a distributed
+    (node, rank, deg) Dataset: each iteration co-partitions it with
+    the static edge Dataset through one side-tagged coarse exchange
+    (contributions rank/deg emitted per partition, pre-reduced), sums
+    contributions with a groupby on the destination key, and folds the
+    sums back through a second side-tagged exchange. The symmetric
+    graph has no dangling nodes, so (1-d)/N teleport closes the
+    recurrence. Output: top-20 (part, pagerank) by rank.
+    Not SQL-expressible (iterative fixpoint) — verified by a
+    numpy-differential test (tests/test_graph.py)."""
+    empty = pd.DataFrame({"part": pd.Series(dtype="int64"),
+                          "pagerank": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    pairs = _copurchase_edges(sf_dir)
+    if pairs.empty:
+        return empty
+
+    # symmetric directed edge list, materialized once, reused per iter
+    sym = pd.DataFrame({
+        "src": np.concatenate([pairs.doc_a.to_numpy(),
+                               pairs.doc_b.to_numpy()]),
+        "dst": np.concatenate([pairs.doc_b.to_numpy(),
+                               pairs.doc_a.to_numpy()])}).astype("int64")
+    deg = sym.groupby("src", as_index=False).size() \
+             .rename(columns={"src": "node", "size": "deg"})
+    n_nodes = len(deg)
+    teleport = (1.0 - PAGERANK_DAMPING) / n_nodes
+
+    edges_ds = rd.from_pandas(sym).repartition(8).materialize()
+    ranks_ds = rd.from_pandas(
+        pd.DataFrame({"node": deg.node.astype("int64"),
+                      "rank": np.full(n_nodes, 1.0 / n_nodes),
+                      "deg": deg.deg.astype("float64")})).materialize()
+
+    # shared side-tag schema for the contribution exchange:
+    # (key, side, dst, val); edges side 0 carry dst, ranks side 1
+    # carry val = rank/deg (the out-mass per neighbor).
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["src"], pa.array(np.zeros(n, dtype=np.int8)),
+             batch["dst"], pa.array(np.full(n, np.nan))],
+            names=["key", "side", "dst", "val"])
+
+    def tag_ranks(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        out = (batch["rank"].to_numpy(zero_copy_only=False)
+               / batch["deg"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_arrays(
+            [batch["node"], pa.array(np.ones(n, dtype=np.int8)),
+             pa.array(np.full(n, -1, dtype=np.int64)), pa.array(out)],
+            names=["key", "side", "dst", "val"])
+
+    def contribs(part: pd.DataFrame) -> pd.DataFrame:
+        r = part[part["side"] == 1].set_index("key")["val"]
+        e = part[part["side"] == 0]
+        if e.empty or r.empty:
+            return pd.DataFrame({"dst": pd.Series(dtype="int64"),
+                                 "contrib": pd.Series(dtype="float64")})
+        out = pd.DataFrame({"dst": e["dst"].to_numpy(),
+                            "contrib": e["key"].map(r).to_numpy()})
+        return out.groupby("dst", as_index=False).sum()
+
+    # fold exchange: summed contributions (side 0) + current vector
+    # (side 1, val carries deg so it survives into the next vector)
+    def tag_sums(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["dst"], pa.array(np.zeros(n, dtype=np.int8)),
+             batch["contrib"]],
+            names=["key", "side", "val"])
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["node"], pa.array(np.ones(n, dtype=np.int8)),
+             batch["deg"]],
+            names=["key", "side", "val"])
+
+    def new_ranks(part: pd.DataFrame) -> pd.DataFrame:
+        s = part[part["side"] == 0].set_index("key")["val"]
+        d = part[part["side"] == 1]
+        if d.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="float64"),
+                                 "deg": pd.Series(dtype="float64")})
+        got = d["key"].map(s).fillna(0.0).to_numpy()
+        return pd.DataFrame({
+            "node": d["key"].to_numpy(),
+            "rank": teleport + PAGERANK_DAMPING * got,
+            "deg": d["val"].to_numpy()})
+
+    for _ in range(PAGERANK_ITERS):
+        summed = (_coarse_grouped_map_union(
+            edges_ds.map_batches(tag_edges, batch_format="pyarrow",
+                                 batch_size=None),
+            ranks_ds.map_batches(tag_ranks, batch_format="pyarrow",
+                                 batch_size=None),
+            contribs, key="key")
+            .groupby("dst").aggregate(Sum("contrib", alias_name="contrib")))
+        ranks_ds = _coarse_grouped_map_union(
+            summed.map_batches(tag_sums, batch_format="pyarrow",
+                               batch_size=None),
+            ranks_ds.map_batches(tag_deg, batch_format="pyarrow",
+                                 batch_size=None),
+            new_ranks, key="key").repartition(8).materialize()
+
+    return (ranks_ds
+            .map_batches(lambda b: pa.Table.from_arrays(
+                [b["node"], b["rank"]], names=["part", "pagerank"]),
+                batch_format="pyarrow", batch_size=None)
+            .sort(["pagerank", "part"], descending=[True, False])
+            .limit(PAIR_TOPK))
+
+
+GRAPH_QUERIES: dict[str, tuple] = {
+    "part_copurchase_pairs": (part_copurchase_pairs, COPURCHASE_PAIRS_SQL),
+    "part_copurchase_degree": (part_copurchase_degree,
+                               COPURCHASE_DEGREE_SQL),
+    "copurchase_components": (copurchase_components,
+                              COPURCHASE_COMPONENTS_SQL),
+    "part_copurchase_pagerank": (part_copurchase_pagerank, None),
+}

@@ -1,0 +1,404 @@
+"""Statistical / analytical operators: grouped OLS trend, interpolated
+percentiles, skyline (Pareto frontier), and an edit-distance fuzzy
+self-join — the analytics tier above the plain grouped aggregates of
+pipelines/relational.py.
+
+Reference analogs: the evidence classifier's weighted linear scoring
+(`table_figure_classifier.py:15-24`) and grid-regularity statistics
+(`pdf_vector_utils.py:194-218`) are the reference's only statistical
+kernels; these operators generalize that tier to cross-row model
+fitting (trend), order statistics (percentile_cont), multi-objective
+selection (skyline), and approximate string matching (entity-resolution
+blocking), all DuckDB-oracled bit-exactly.
+
+Exactness strategy (shared with relational.py): every sum that feeds a
+final float expression is an INTEGER partial (cents / epoch days), the
+final expression is evaluated once from exact integers with the same
+operation order as the oracle SQL, so float results are bit-identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .relational import _cents, _from_pandas, _pq, _table_empty
+
+# ---------------------------------------------------------------------------
+# Grouped OLS trend: revenue slope per supplier nation
+# ---------------------------------------------------------------------------
+
+# Epoch-day offset subtracted from x before the moment sums: slope is
+# shift-invariant, and centering keeps sum(x*y) inside int64 out to
+# ~600M rows/group (|x'| <= ~1300 days for the 1995-2001 ship range,
+# y <= ~1e7 cents). The per-nation moment combination runs in Python
+# ints (exact, unbounded) on the tiny per-group partial rows.
+TREND_X_BASE = 10400
+
+
+def nation_revenue_trend(sf_dir: str):
+    """Per-supplier-nation OLS slope of line revenue (cents) against
+    ship day: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) over raw line
+    items. Partials (n, Sx, Sy, Sxy, Sxx) are exact int64 per batch,
+    pre-reduced map-side so the exchange moves <= 25 rows per batch;
+    the final moments combine driver-side in Python ints and convert
+    to double once — the identical operation sequence the oracle's
+    HUGEINT sums + CAST AS DOUBLE perform, so results are bit-exact.
+    Output: (nation, n_lines, slope_x100_per_day)."""
+    empty = pd.DataFrame({"nation": pd.Series(dtype="object"),
+                          "n_lines": pd.Series(dtype="int64"),
+                          "slope_x100_per_day": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+
+    sup = pd.read_parquet(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_pq(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_name"])
+    nk = dict(zip(sup.s_suppkey, sup.s_nationkey))
+    nname = dict(zip(nat.n_nationkey, nat.n_name))
+    import ray
+    maps_ref = ray.put((nk, nname))
+
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk, nname = ray.get(maps_ref)
+        # date32 cast is timestamp-unit-agnostic (us fixtures, ns pandas)
+        x = (batch["l_shipdate"].cast(pa.date32()).cast(pa.int32())
+             .to_numpy(zero_copy_only=False).astype(np.int64)
+             - TREND_X_BASE)
+        y = _cents(pc.multiply(batch["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0),
+                                           batch["l_discount"]))) \
+            .to_numpy(zero_copy_only=False)
+        nations = pd.Series(batch["l_suppkey"].to_numpy(zero_copy_only=False)) \
+            .map(nk).map(nname)
+        df = pd.DataFrame({"nation": nations.to_numpy(),
+                           "n_lines": np.ones(len(batch), dtype=np.int64),
+                           "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        return _from_pandas(df.groupby("nation", as_index=False).sum())
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+             .groupby("nation")
+             .aggregate(Sum("n_lines", alias_name="n_lines"),
+                        Sum("sx", alias_name="sx"),
+                        Sum("sy", alias_name="sy"),
+                        Sum("sxy", alias_name="sxy"),
+                        Sum("sxx", alias_name="sxx"))
+             .to_pandas())
+    rows = []
+    for r in parts.itertuples(index=False):
+        n, sx, sy, sxy, sxx = (int(r.n_lines), int(r.sx), int(r.sy),
+                               int(r.sxy), int(r.sxx))
+        den = n * sxx - sx * sx
+        if n < 2 or den == 0:
+            continue
+        rows.append((r.nation, n, float(n * sxy - sx * sy) / float(den)))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["nation", "n_lines",
+                                       "slope_x100_per_day"]) \
+        .sort_values("nation").reset_index(drop=True)
+
+
+TREND_SQL = f"""
+WITH pts AS (
+  SELECT n.n_name AS nation,
+         (CAST(l.l_shipdate AS DATE) - DATE '1970-01-01')
+           - {TREND_X_BASE} AS x,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS y
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+sums AS (
+  SELECT nation, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pts GROUP BY nation)
+SELECT nation, CAST(n AS BIGINT) AS n_lines,
+       CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+         AS slope_x100_per_day
+FROM sums
+WHERE n >= 2 AND (n*sxx - sx*sx) <> 0
+ORDER BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interpolated per-group percentiles (percentile_cont semantics)
+# ---------------------------------------------------------------------------
+
+PCTL_QS = (0.5, 0.9)
+
+
+def events_value_percentiles_cont(sf_dir: str):
+    """Per event-type INTERPOLATED percentiles (p50/p90) of the event
+    value in cents — percentile_cont semantics, exact (not sketched;
+    the DDSketch variant is ``events_value_quantiles_approx``).
+    Distributed form: one (type, cents) pre-reduced count exchange
+    compacts the corpus to its value histogram (bounded by the value
+    domain, ~50k cent values, NOT by row count); the order statistics
+    interpolate from cumulative counts with DuckDB's exact formula
+    rn = q*(n-1); lo + (rn-floor(rn))*(hi-lo), evaluated in float64 in
+    the same op order, so results are bit-exact."""
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "p50_x100": pd.Series(dtype="float64"),
+                          "p90_x100": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "v_x100": _cents(batch["value"]).to_numpy(zero_copy_only=False)})
+        out = df.groupby(["event_type", "v_x100"], as_index=False).size() \
+                .rename(columns={"size": "cnt"})
+        return _from_pandas(out)
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["event_type", "v_x100"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("v_x100")
+        vals = g["v_x100"].to_numpy(dtype=np.float64)
+        cum = g["cnt"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        ps = []
+        for q in PCTL_QS:
+            rn = q * (n - 1)
+            frn = np.floor(rn)
+            crn = np.ceil(rn)
+            lo = vals[np.searchsorted(cum, int(frn), side="right")]
+            hi = vals[np.searchsorted(cum, int(crn), side="right")]
+            # DuckDB's Interpolator: lo*(CRN-RN) + hi*(RN-FRN) when the
+            # bracket is proper, plain lo when RN is integral — NOT the
+            # lo + frac*(hi-lo) form, which differs in the last ulp
+            ps.append(lo if crn == frn
+                      else lo * (crn - rn) + hi * (rn - frn))
+        rows.append((etype, *ps))
+    return pd.DataFrame(rows, columns=["event_type", "p50_x100",
+                                       "p90_x100"]) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+PCTL_SQL = """
+SELECT event_type,
+  percentile_cont(0.5) WITHIN GROUP
+    (ORDER BY CAST(round(value*100) AS BIGINT)) AS p50_x100,
+  percentile_cont(0.9) WITHIN GROUP
+    (ORDER BY CAST(round(value*100) AS BIGINT)) AS p90_x100
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier): cheapest-largest parts
+# ---------------------------------------------------------------------------
+
+def part_price_size_skyline(sf_dir: str):
+    """Pareto frontier over (minimize p_retailprice, maximize p_size):
+    parts no other part dominates. Skylines COMPOSE — the global
+    skyline is the skyline of the union of per-block skylines — so one
+    vectorized local pass per block reduces the corpus to frontier
+    candidates (tiny), and a single final pass resolves them. No keyed
+    exchange at all; the reduction is a map + coalesce."""
+    empty = pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                          "p_retailprice": pd.Series(dtype="float64"),
+                          "p_size": pd.Series(dtype="int32")})
+    if _table_empty(sf_dir, "part"):
+        return empty
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        # dominated iff a strictly-cheaper part has >= size, or a
+        # same-price part has > size. Vectorized: per-price max size,
+        # prefix-max over strictly cheaper prices.
+        gmax = df.groupby("p_retailprice")["p_size"].max().sort_index()
+        prefix = gmax.cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+        price_ok = gmax > prefix
+        keep = ((df["p_size"].to_numpy()
+                 == df["p_retailprice"].map(gmax).to_numpy())
+                & df["p_retailprice"].map(price_ok).to_numpy())
+        return df[keep]
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "p_partkey": batch["p_partkey"].to_numpy(zero_copy_only=False),
+            "p_retailprice":
+                batch["p_retailprice"].to_numpy(zero_copy_only=False),
+            "p_size": batch["p_size"].to_numpy(zero_copy_only=False)})
+        return _from_pandas(local_skyline(df))
+
+    ds = rd.read_parquet(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_retailprice", "p_size"])
+    cands = ds.map_batches(per_batch, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if cands.empty:
+        return empty
+    out = local_skyline(cands)
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+SKYLINE_SQL = """
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy self-join over part names (ER blocking)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+def levenshtein(s: str, t: str) -> int:
+    """Classic unit-cost edit distance (insert/delete/substitute = 1),
+    the semantics DuckDB's levenshtein() implements. Row-vectorized DP
+    over the shorter string."""
+    if len(s) < len(t):
+        s, t = t, s
+    if not t:
+        return len(s)
+    t_codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(len(t) + 1)
+    for i, cs in enumerate(s, 1):
+        cur = np.empty(len(t) + 1, dtype=np.int64)
+        cur[0] = i
+        sub = prev[:-1] + (t_codes != ord(cs)).astype(np.int64)
+        for j in range(1, len(t) + 1):
+            cur[j] = min(cur[j - 1] + 1, prev[j] + 1, sub[j - 1])
+        prev = cur
+    return int(prev[-1])
+
+
+def part_name_fuzzy_pairs(sf_dir: str):
+    """All DISTINCT part-name pairs within edit distance <= 2, with the
+    per-name part counts — the blocking step of fuzzy entity
+    resolution. Scale shape: (1) one name-keyed count exchange compacts
+    the corpus to its name vocabulary (vocab-bounded, never row-bounded);
+    (2) candidate generation is a LENGTH-BUCKET exchange — each name
+    posts an index row at its own length and probe rows at lengths
+    len..len+2, so every pair within the distance bound (which forces
+    |len(a)-len(b)| <= 2) meets in EXACTLY one bucket, with no
+    all-pairs comparison across buckets; (3) the DP verify runs inside
+    each bucket. Output: (name_a, name_b, dist, cnt_a, cnt_b),
+    lexicographically ordered pairs."""
+    empty = pd.DataFrame({"name_a": pd.Series(dtype="object"),
+                          "name_b": pd.Series(dtype="object"),
+                          "dist": pd.Series(dtype="int64"),
+                          "cnt_a": pd.Series(dtype="int64"),
+                          "cnt_b": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "part"):
+        return empty
+
+    ds = rd.read_parquet(_pq(sf_dir, "part"), columns=["p_name"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "name": batch["p_name"].to_numpy(zero_copy_only=False)})
+        out = df.groupby("name", as_index=False).size() \
+                .rename(columns={"size": "cnt"})
+        return _from_pandas(out)
+
+    names = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+             .groupby("name").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def post(batch: pa.Table) -> pa.Table:
+        nm = batch["name"].to_numpy(zero_copy_only=False)
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        lens = np.char.str_len(nm.astype(str))
+        buckets, sides, out_nm, out_cnt = [], [], [], []
+        for k in range(FUZZY_MAX_DIST + 1):       # probe rows upward
+            buckets.append(lens + k)
+            sides.append(np.zeros(len(nm), dtype=np.int8))
+            out_nm.append(nm)
+            out_cnt.append(cnt)
+        buckets.append(lens)                       # index row at own len
+        sides.append(np.ones(len(nm), dtype=np.int8))
+        out_nm.append(nm)
+        out_cnt.append(cnt)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(buckets).astype(np.int64)),
+             pa.array(np.concatenate(sides)),
+             pa.array(np.concatenate(out_nm)),
+             pa.array(np.concatenate(out_cnt).astype(np.int64))],
+            names=["bucket", "side", "name", "cnt"])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        idx = g[g["side"] == 1]
+        prb = g[g["side"] == 0]
+        rows = []
+        for pn, pcnt in zip(prb["name"], prb["cnt"]):
+            for ix, icnt in zip(idx["name"], idx["cnt"]):
+                # each unordered pair verifies exactly once: the
+                # shorter name probes the longer's bucket; equal
+                # lengths tie-break lexicographically
+                if len(pn) > len(ix):
+                    continue
+                if len(pn) == len(ix) and pn >= ix:
+                    continue
+                d = levenshtein(pn, ix)
+                if d <= FUZZY_MAX_DIST:
+                    a, b = (pn, ix) if pn < ix else (ix, pn)
+                    ca, cb = (pcnt, icnt) if pn < ix else (icnt, pcnt)
+                    rows.append((a, b, d, int(ca), int(cb)))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["name_a", "name_b", "dist",
+                                           "cnt_a", "cnt_b"])
+
+    out = (names.map_batches(post, batch_format="pyarrow", batch_size=None)
+           .groupby("bucket")
+           .map_groups(per_bucket, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return empty
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True) \
+        .astype({"dist": "int64", "cnt_a": "int64", "cnt_b": "int64"})
+
+
+FUZZY_SQL = f"""
+WITH d AS (SELECT p_name AS name, count(*) AS cnt FROM part GROUP BY 1)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+       a.cnt AS cnt_a, b.cnt AS cnt_b
+FROM d a JOIN d b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
+
+
+STATS_QUERIES: dict[str, tuple] = {
+    "nation_revenue_trend": (nation_revenue_trend, TREND_SQL),
+    "events_value_percentiles_cont": (events_value_percentiles_cont,
+                                      PCTL_SQL),
+    "part_price_size_skyline": (part_price_size_skyline, SKYLINE_SQL),
+    "part_name_fuzzy_pairs": (part_name_fuzzy_pairs, FUZZY_SQL),
+}

@@ -20,12 +20,15 @@ def all_queries() -> dict[str, tuple]:
     from .pipelines.streaming import STREAMING_QUERIES
     from .pipelines.packing import PACKING_QUERIES
     from .pipelines.storage import STORAGE_QUERIES
+    from .pipelines.graph import GRAPH_QUERIES
+    from .pipelines.stats import STATS_QUERIES
 
     out: dict[str, tuple] = {}
     for reg in (RELATIONAL_QUERIES, TPCH_QUERIES, TEXT_QUERIES,
                 CORPUS_QUERIES,
                 DEDUP_QUERIES, SIMILARITY_QUERIES, ANALYSIS_QUERIES,
                 RETRIEVAL_QUERIES, MEDIA_QUERIES, COMPARE_QUERIES,
-                STREAMING_QUERIES, PACKING_QUERIES, STORAGE_QUERIES):
+                STREAMING_QUERIES, PACKING_QUERIES, STORAGE_QUERIES,
+                GRAPH_QUERIES, STATS_QUERIES):
         out.update(reg)
     return out

@@ -1,0 +1,158 @@
+"""Graph-analytics tier: co-purchase pair semantics (multiplicity-aware,
+the SQL self-join contract), connected components on planted cliques,
+and a numpy-differential check of the distributed PageRank iteration."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extraction_ray.pipelines import graph as G
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_lineitem(d, orders):
+    """orders: list of part-key lists (one entry per order, with
+    multiplicities)."""
+    rows = []
+    for ok, parts in enumerate(orders):
+        for pk in parts:
+            rows.append((ok + 1, pk))
+    pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]) \
+        .astype("int64").to_parquet(os.path.join(d, "lineitem.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copurchase_pairs_multiplicity(tmp_path):
+    """A part appearing twice in one order pairs twice — the exact
+    count(*) of the SQL self-join, not the distinct-pair count."""
+    d = str(tmp_path)
+    _write_lineitem(d, [
+        [1, 2, 2],        # (1,2) weight 2 (multiplicity), (2,2) excluded
+        [1, 2],           # (1,2) +1 -> 3
+        [3, 4], [3, 4],   # (3,4) weight 2
+        [5, 6],           # weight 1
+        [7],              # singleton order: no pairs
+    ])
+    out = G.part_copurchase_pairs(d)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    got = {(r.part_a, r.part_b): r.n_orders for r in df.itertuples()}
+    assert got == {(1, 2): 3, (3, 4): 2, (5, 6): 1}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{d}/lineitem.parquet')")
+    odf = con.sql(G.COPURCHASE_PAIRS_SQL).df()
+    assert got == {(r.part_a, r.part_b): r.n_orders
+                   for r in odf.itertuples()}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_copurchase_components_planted_cliques(tmp_path):
+    """Two disjoint repeat-pair cliques resolve to two components with
+    min-key labels; weight-1 edges are pruned out entirely."""
+    d = str(tmp_path)
+    _write_lineitem(d, [
+        [1, 2], [1, 2],            # edge (1,2) w2
+        [2, 3], [2, 3],            # edge (2,3) w2 -> {1,2,3}
+        [10, 11], [10, 11],        # {10,11}
+        [5, 6],                    # w1: pruned, 5/6 absent from output
+    ])
+    out = G.copurchase_components(d)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    got = dict(zip(df.part, df.component))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_matches_numpy_power_iteration(tmp_path, monkeypatch):
+    """The distributed (ranks x edges co-partition -> contribution sum
+    -> fold) iteration must equal the dense numpy recurrence at every
+    returned vertex."""
+    monkeypatch.setattr(G, "PAGERANK_ITERS", 3)
+    d = str(tmp_path)
+    # a star {1..5 around 0} plus a triangle {20,21,22}, all weight 2
+    orders = []
+    for leaf in (1, 2, 3, 4, 5):
+        orders += [[0, leaf], [0, leaf]]
+    for a, b in ((20, 21), (21, 22), (20, 22)):
+        orders += [[a, b], [a, b]]
+    _write_lineitem(d, orders)
+
+    out = G.part_copurchase_pagerank(d)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert len(df) == 9          # all nodes fit in the top-20
+
+    # dense reference with identical semantics
+    edges = [(0, leaf) for leaf in (1, 2, 3, 4, 5)] + \
+        [(20, 21), (21, 22), (20, 22)]
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, b in edges:
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(3):
+        contrib = np.zeros(n)
+        out_mass = rank / deg
+        for a, b in edges:
+            contrib[idx[b]] += out_mass[idx[a]]
+            contrib[idx[a]] += out_mass[idx[b]]
+        rank = (1 - G.PAGERANK_DAMPING) / n + G.PAGERANK_DAMPING * contrib
+    expected = {node: rank[idx[node]] for node in nodes}
+    for r in df.itertuples():
+        assert abs(r.pagerank - expected[r.part]) < 1e-12, r.part
+    # hub outranks leaves; triangle nodes are symmetric
+    ranks = dict(zip(df.part, df.pagerank))
+    assert ranks[0] > ranks[1]
+    assert abs(ranks[20] - ranks[21]) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_graph_family_on_empty_tables(tmp_path):
+    import pyarrow.parquet as pq
+    d = str(tmp_path / "empty")
+    os.makedirs(d, exist_ok=True)
+    tbl = pq.read_table(f"{SF}/lineitem.parquet")
+    pq.write_table(tbl.slice(0, 0), os.path.join(d, "lineitem.parquet"))
+    for name, (fn, _sql) in G.GRAPH_QUERIES.items():
+        res = fn(d)
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        assert len(df) == 0, name
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [3, 19])
+def test_graph_oracles_on_random_tables(tmp_path, seed):
+    """Randomized co-purchase structure (small part pool forces heavy
+    multiplicity and repeat pairs) vs the DuckDB oracles."""
+    rng = np.random.default_rng(seed)
+    d = str(tmp_path / f"g{seed}")
+    os.makedirs(d, exist_ok=True)
+    n_li = 500
+    pd.DataFrame({
+        "l_orderkey": rng.integers(0, 80, size=n_li).astype(np.int64),
+        "l_partkey": rng.integers(0, 25, size=n_li).astype(np.int64),
+    }).to_parquet(os.path.join(d, "lineitem.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{d}/lineitem.parquet')")
+    for name, (fn, sql) in G.GRAPH_QUERIES.items():
+        if sql is None:
+            continue
+        res = fn(d)
+        ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        duck_df = con.sql(sql).df()
+        rc = ray_df[sorted(ray_df.columns)] \
+            .sort_values(by=sorted(ray_df.columns)).reset_index(drop=True)
+        oc = duck_df[sorted(duck_df.columns)] \
+            .sort_values(by=sorted(duck_df.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rc, oc, check_dtype=False,
+                                      check_exact=True,
+                                      obj=f"{name}@{seed}")

@@ -1,0 +1,209 @@
+"""Statistical tier: OLS trend exactness on planted linear data,
+percentile_cont interpolation parity, skyline dominance semantics
+(duplicates, same-price ties), the edit-distance kernel vs DuckDB, and
+randomized oracle fuzz for all four operators."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extraction_ray.pipelines import stats as S
+
+
+# ---------------------------------------------------------------------------
+# levenshtein kernel
+# ---------------------------------------------------------------------------
+
+def test_levenshtein_known_values():
+    assert S.levenshtein("kitten", "sitting") == 3
+    assert S.levenshtein("", "") == 0
+    assert S.levenshtein("", "ab") == 2
+    assert S.levenshtein("abc", "abc") == 0
+    assert S.levenshtein("abc", "abd") == 1
+    assert S.levenshtein("abc", "abcd") == 1
+    assert S.levenshtein("hot gear", "hot bear") == 1
+    assert S.levenshtein("new plate", "red plate") == 2
+
+
+def test_levenshtein_matches_duckdb_random():
+    rng = np.random.default_rng(42)
+    con = duckdb.connect()
+    alphabet = list("abcde ")
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet, size=rng.integers(0, 12)))
+        t = "".join(rng.choice(alphabet, size=rng.integers(0, 12)))
+        want = con.execute("SELECT levenshtein(?, ?)", [s, t]).fetchone()[0]
+        assert S.levenshtein(s, t) == want, (s, t)
+
+
+# ---------------------------------------------------------------------------
+# planted-case tests
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_trend_exact_on_planted_linear_data(tmp_path):
+    """Perfectly linear revenue (price = 2*(day - base) + 500 dollars,
+    zero discount) must fit slope = 200 cents/day exactly."""
+    d = str(tmp_path)
+    days = np.arange(S.TREND_X_BASE - 50, S.TREND_X_BASE + 50)
+    price = 2.0 * (days - S.TREND_X_BASE) + 500.0
+    pd.DataFrame({
+        "l_suppkey": np.ones(len(days), dtype=np.int64),
+        "l_shipdate": pd.to_datetime(days, unit="D"),
+        "l_extendedprice": price,
+        "l_discount": np.zeros(len(days))}) \
+        .to_parquet(os.path.join(d, "lineitem.parquet"))
+    pd.DataFrame({"s_suppkey": [1], "s_nationkey": [0]}) \
+        .to_parquet(os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({"n_nationkey": [0], "n_name": ["ALPHA"]}) \
+        .to_parquet(os.path.join(d, "nation.parquet"))
+
+    out = S.nation_revenue_trend(d)
+    assert list(out.nation) == ["ALPHA"]
+    assert out.n_lines.iloc[0] == len(days)
+    assert out.slope_x100_per_day.iloc[0] == 200.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_percentile_cont_interpolation(tmp_path):
+    """Even-count group interpolates the midpoint; odd count hits the
+    middle order statistic exactly — DuckDB's rn = q*(n-1) formula."""
+    d = str(tmp_path)
+    pd.DataFrame({
+        "event_type": ["a"] * 4 + ["b"] * 5,
+        "value": [1.0, 2.0, 4.0, 9.0, 1.0, 2.0, 4.0, 9.0, 100.0]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_value_percentiles_cont(d)
+    got = out.set_index("event_type")
+    # 'a' (n=4): rn=1.5 -> 200 + .5*(400-200) = 300
+    assert got.loc["a", "p50_x100"] == 300.0
+    # 'b' (n=5): middle = 400
+    assert got.loc["b", "p50_x100"] == 400.0
+    # p90 of 'a': rn=2.7 -> 400 + .7*(900-400) = 750.0000000000001 (fp)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    odf = con.sql(S.PCTL_SQL).df().set_index("event_type")
+    for t in ("a", "b"):
+        for c in ("p50_x100", "p90_x100"):
+            assert got.loc[t, c] == odf.loc[t, c], (t, c)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skyline_dominance_semantics(tmp_path):
+    """Duplicates on both dims both survive; same-price smaller size is
+    dominated; cheaper-same-size dominates."""
+    d = str(tmp_path)
+    pd.DataFrame({
+        "p_partkey": np.arange(1, 7, dtype=np.int64),
+        "p_retailprice": [10.0, 10.0, 10.0, 9.0, 11.0, 11.0],
+        "p_size": np.array([5, 5, 4, 3, 6, 5], dtype=np.int32)}) \
+        .to_parquet(os.path.join(d, "part.parquet"))
+    out = S.part_price_size_skyline(d)
+    # 3 dominated by 1 (same price, bigger size); 6 dominated by 1/2
+    # (cheaper, same size); duplicates 1 and 2 both kept
+    assert list(out.p_partkey) == [1, 2, 4, 5]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fuzzy_pairs_blocking_is_complete(tmp_path):
+    """Length-bucket blocking must find every pair the quadratic oracle
+    finds, including the |len|=2 boundary, and nothing past it."""
+    d = str(tmp_path)
+    names = ["abc", "abd", "abcd", "abcde", "abcdef", "zz", "z",
+             "hot gear", "hot bear", "hot gears"]
+    pd.DataFrame({"p_name": names * 2}) \
+        .to_parquet(os.path.join(d, "part.parquet"))
+    out = S.part_name_fuzzy_pairs(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{d}/part.parquet')")
+    odf = con.sql(S.FUZZY_SQL).df()
+    got = set(zip(out.name_a, out.name_b, out.dist))
+    want = set(zip(odf.name_a, odf.name_b, odf.dist))
+    assert got == want
+    assert ("abc", "abcde", 2) in got       # len-diff-2 boundary included
+    assert not any(a == "abc" and b == "abcdef" for a, b, _ in got)
+    assert (out.cnt_a == 2).all() and (out.cnt_b == 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stats_family_on_empty_tables(tmp_path):
+    import pyarrow.parquet as pq
+    d = str(tmp_path / "empty")
+    os.makedirs(d, exist_ok=True)
+    for t in ("lineitem", "part", "supplier", "nation", "events"):
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), os.path.join(d, f"{t}.parquet"))
+    for name, (fn, _sql) in S.STATS_QUERIES.items():
+        res = fn(d)
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        assert len(df) == 0, name
+
+
+# ---------------------------------------------------------------------------
+# randomized oracle fuzz
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [13, 31])
+def test_stats_oracles_on_random_tables(tmp_path, seed):
+    """Random tables stressing the hard spots: tie-heavy event values at
+    .5-cent boundaries (percentile interpolation + rounding), duplicate
+    part names and near-collision names (fuzzy join), duplicated
+    price/size points (skyline), few-row nations (trend dof guard)."""
+    rng = np.random.default_rng(seed)
+    d = str(tmp_path / f"s{seed}")
+    os.makedirs(d, exist_ok=True)
+
+    n_ev = 400
+    pd.DataFrame({
+        "event_type": rng.choice(["x", "y", "z"], size=n_ev),
+        "value": rng.integers(0, 40, size=n_ev) / 2.0
+        + rng.integers(0, 3, size=n_ev) * 1e-6}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+
+    base = ["ring", "rings", "ping", "rink", "widget", "midget",
+            "gadget", "qqqqqqqq"]
+    n_part = 120
+    pd.DataFrame({
+        "p_partkey": np.arange(n_part, dtype=np.int64),
+        "p_name": rng.choice(base, size=n_part),
+        "p_size": rng.integers(1, 8, size=n_part).astype(np.int32),
+        "p_retailprice": rng.integers(5, 15, size=n_part) / 1.0}) \
+        .to_parquet(os.path.join(d, "part.parquet"))
+
+    n_li = 300
+    pd.DataFrame({
+        "l_suppkey": rng.integers(0, 5, size=n_li).astype(np.int64),
+        "l_shipdate": pd.to_datetime("1997-06-01")
+        + pd.to_timedelta(rng.integers(0, 900, size=n_li), unit="D"),
+        "l_extendedprice": rng.integers(0, 2_000_000, size=n_li) / 200.0,
+        "l_discount": rng.integers(0, 21, size=n_li) / 200.0}) \
+        .to_parquet(os.path.join(d, "lineitem.parquet"))
+    pd.DataFrame({"s_suppkey": np.arange(5, dtype=np.int64),
+                  "s_nationkey": np.array([0, 0, 1, 2, 2],
+                                          dtype=np.int32)}) \
+        .to_parquet(os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({"n_nationkey": np.arange(3, dtype=np.int32),
+                  "n_name": ["N_A", "N_B", "N_C"]}) \
+        .to_parquet(os.path.join(d, "nation.parquet"))
+
+    con = duckdb.connect()
+    for t in ("events", "part", "lineitem", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+    for name, (fn, sql) in S.STATS_QUERIES.items():
+        res = fn(d)
+        ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        duck_df = con.sql(sql).df()
+        rc = ray_df[sorted(ray_df.columns)] \
+            .sort_values(by=sorted(ray_df.columns)).reset_index(drop=True)
+        oc = duck_df[sorted(duck_df.columns)] \
+            .sort_values(by=sorted(duck_df.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(rc, oc, check_dtype=False,
+                                      check_exact=True,
+                                      obj=f"{name}@{seed}")
