@@ -309,6 +309,130 @@ def part_copurchase_pagerank(sf_dir: str):
             .limit(PAIR_TOPK))
 
 
+# ---------------------------------------------------------------------------
+# Set-similarity self-join over order baskets (PPJoin-style prefix filter)
+# ---------------------------------------------------------------------------
+
+BASKET_JACCARD_T = 0.5
+
+
+def orders_similar_baskets(sf_dir: str):
+    """All order pairs whose part BASKETS (distinct part sets) have
+    Jaccard >= 0.5 — the set-similarity join shape (near-identical
+    shopping carts / document token sets). Exact, with prefix-filter
+    blocking (SSJoin/PPJoin): under a global canonical token order
+    (ascending part frequency, then key — rarest first), a pair with
+    |A∩B| >= a shares a token inside both prefixes of length
+    |X| - a + 1; J >= t implies |A∩B| >= ceil(t*|X|) for each side, so
+    emitting each basket's first |X| - ceil(t*|X|) + 1 tokens is a
+    COMPLETE candidate generator (tests assert completeness vs the
+    quadratic oracle). Scale shape: one orderkey exchange builds
+    baskets (order-size-bounded rows), one token exchange groups
+    candidates (prefix tokens are the RARE tokens, so groups stay
+    small), per-group verification is exact set intersection; the
+    threshold test runs in integers (2i >= u  <=>  i/u >= 0.5).
+    Frequencies broadcast once (part-dimension-bounded).
+    Output: (order_a, order_b, inter_sz, union_sz, jaccard)."""
+    empty = pd.DataFrame({"order_a": pd.Series(dtype="int64"),
+                          "order_b": pd.Series(dtype="int64"),
+                          "inter_sz": pd.Series(dtype="int64"),
+                          "union_sz": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    import ray
+
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+
+    def part_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "part": batch["l_partkey"].to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby("part", as_index=False).size()
+                            .rename(columns={"size": "freq"}))
+
+    freq_df = (ds.map_batches(part_partial, batch_format="pyarrow",
+                              batch_size=None)
+               .groupby("part").aggregate(Sum("freq", alias_name="freq"))
+               .to_pandas())
+    freq_ref = ray.put(dict(zip(freq_df.part, freq_df.freq)))
+
+    def emit_prefixes(g: pd.DataFrame) -> pd.DataFrame:
+        freq = ray.get(freq_ref)
+        b = g.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
+        b["f"] = b["l_partkey"].map(freq)
+        b = b.sort_values(["l_orderkey", "f", "l_partkey"])
+        tokens, orders, baskets = [], [], []
+        for o, grp in b.groupby("l_orderkey", sort=False):
+            parts = grp["l_partkey"].to_numpy()
+            s = len(parts)
+            plen = s - (s + 1) // 2 + 1        # s - ceil(t*s) + 1, t=0.5
+            basket = np.sort(parts)
+            for tok in parts[:plen]:
+                tokens.append(int(tok))
+                orders.append(int(o))
+                baskets.append(basket)
+        if not tokens:
+            return pd.DataFrame({"token": pd.Series(dtype="int64"),
+                                 "order_id": pd.Series(dtype="int64"),
+                                 "basket": pd.Series(dtype="object")})
+        return pd.DataFrame({"token": tokens, "order_id": orders,
+                             "basket": baskets})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("token", sort=False):
+            if len(grp) < 2:
+                continue
+            orders = grp["order_id"].to_numpy()
+            baskets = list(grp["basket"])
+            sizes = np.array([len(x) for x in baskets])
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    if orders[i] == orders[j]:
+                        continue
+                    sa, sb = sizes[i], sizes[j]
+                    if 2 * min(sa, sb) < max(sa, sb):   # size filter
+                        continue
+                    inter = np.intersect1d(baskets[i], baskets[j],
+                                           assume_unique=True).size
+                    union = int(sa + sb - inter)
+                    if 2 * inter >= union:              # J >= 0.5 exact
+                        a, b2 = sorted((int(orders[i]), int(orders[j])))
+                        rows.append((a, b2, int(inter), union,
+                                     float(inter) / float(union)))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["order_a", "order_b",
+                                           "inter_sz", "union_sz",
+                                           "jaccard"])
+
+    out = _coarse_partition_map(
+        _coarse_partition_map(ds, "l_orderkey", emit_prefixes),
+        "token", verify).to_pandas()
+    if out.empty:
+        return empty
+    # a pair sharing several prefix tokens verifies once per token
+    return out.drop_duplicates(["order_a", "order_b"]) \
+        .sort_values(["order_a", "order_b"]).reset_index(drop=True)
+
+
+SIMILAR_BASKETS_SQL = f"""
+WITH b AS (SELECT l_orderkey o, l_partkey p FROM lineitem GROUP BY 1, 2),
+sz AS (SELECT o, count(*) s FROM b GROUP BY o),
+inter AS (
+  SELECT a.o oa, c.o ob, count(*) i
+  FROM b a JOIN b c ON a.p = c.p AND a.o < c.o
+  GROUP BY 1, 2)
+SELECT oa AS order_a, ob AS order_b,
+       i AS inter_sz, (sa.s + sb.s - i) AS union_sz,
+       CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS jaccard
+FROM inter JOIN sz sa ON sa.o = oa JOIN sz sb ON sb.o = ob
+WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= {BASKET_JACCARD_T}
+ORDER BY order_a, order_b
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     "part_copurchase_pairs": (part_copurchase_pairs, COPURCHASE_PAIRS_SQL),
     "part_copurchase_degree": (part_copurchase_degree,
@@ -316,4 +440,6 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "copurchase_components": (copurchase_components,
                               COPURCHASE_COMPONENTS_SQL),
     "part_copurchase_pagerank": (part_copurchase_pagerank, None),
+    "orders_similar_baskets": (orders_similar_baskets,
+                               SIMILAR_BASKETS_SQL),
 }

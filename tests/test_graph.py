@@ -114,6 +114,28 @@ def test_pagerank_matches_numpy_power_iteration(tmp_path, monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_similar_baskets_boundary_semantics(tmp_path):
+    """Jaccard boundary inclusion (exactly 0.5 kept), identical baskets
+    (J=1), below-boundary excluded, multiplicities collapse to sets."""
+    d = str(tmp_path)
+    _write_lineitem(d, [
+        [1, 2],           # o1: {1,2}
+        [1, 2],           # o2: identical -> J(o1,o2)=1
+        [1],              # o3: {1}; J(o3,o1)=1/2 boundary -> kept
+        [3, 4, 5, 6],     # o4
+        [3, 4, 7, 8],     # o5: inter 2, union 6 -> 1/3 excluded
+        [9, 9, 10],       # o6: set {9,10} (multiplicity collapsed)
+        [9, 10, 10],      # o7: set {9,10} -> J=1
+    ])
+    out = G.orders_similar_baskets(d)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    got = {(r.order_a, r.order_b): (r.inter_sz, r.union_sz, r.jaccard)
+           for r in df.itertuples()}
+    assert got == {(1, 2): (2, 2, 1.0), (1, 3): (1, 2, 0.5),
+                   (2, 3): (1, 2, 0.5), (6, 7): (2, 2, 1.0)}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_graph_family_on_empty_tables(tmp_path):
     import pyarrow.parquet as pq
     d = str(tmp_path / "empty")
