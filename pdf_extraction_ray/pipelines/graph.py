@@ -36,6 +36,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Sum
@@ -58,7 +59,11 @@ def _copurchase_pair_counts(sf_dir: str):
     """Dataset of (part_a, part_b, n_orders) for every co-purchased part
     pair (part_a < part_b), multiplicity-aware to match the SQL
     self-join count exactly. One orderkey exchange + one pair-key
-    aggregation exchange, pairs pre-reduced per partition."""
+    aggregation exchange, pairs pre-reduced per partition. The final
+    sum is a coarse exchange + in-partition pandas groupby, NOT a Ray
+    Aggregate: the pair key is high-cardinality (~2 pairs per lineitem
+    row) and one Ray reduce group per pair is pure scheduler overhead
+    (measured 35 s -> 6 s at sf0.01)."""
     ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
                          columns=["l_orderkey", "l_partkey"])
 
@@ -70,17 +75,24 @@ def _copurchase_pair_counts(sf_dir: str):
         j = m.merge(m, on="l_orderkey", suffixes=("_a", "_b"))
         j = j[j["l_partkey_a"] < j["l_partkey_b"]]
         if j.empty:
-            return pd.DataFrame(_EMPTY_PAIRS)
+            return pd.DataFrame({**_EMPTY_PAIRS,
+                                 "pairkey": pd.Series(dtype="int64")})
         j["n_orders"] = j["m_a"] * j["m_b"]
         out = j.rename(columns={"l_partkey_a": "part_a",
                                 "l_partkey_b": "part_b"}) \
                [["part_a", "part_b", "n_orders"]] \
-            .groupby(["part_a", "part_b"], as_index=False).sum()
-        return out.astype("int64")
+            .groupby(["part_a", "part_b"], as_index=False).sum() \
+            .astype("int64")
+        out["pairkey"] = out["part_a"] * (1 << 32) + out["part_b"]
+        return out
 
-    return (_coarse_partition_map(ds, "l_orderkey", pairs_in_partition)
-            .groupby(["part_a", "part_b"])
-            .aggregate(Sum("n_orders", alias_name="n_orders")))
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["part_a", "part_b"], as_index=False) \
+            ["n_orders"].sum().astype("int64")
+
+    return _coarse_partition_map(
+        _coarse_partition_map(ds, "l_orderkey", pairs_in_partition),
+        "pairkey", final_sum)
 
 
 def part_copurchase_pairs(sf_dir: str):
@@ -150,8 +162,10 @@ def _copurchase_edges(sf_dir: str) -> pd.DataFrame:
     sets (past ~100k edges the consumers below switch to their
     distributed forms and this collect should become a materialized
     Dataset; resolve_components already carries that dual path)."""
-    agg = _copurchase_pair_counts(sf_dir) \
-        .filter(lambda r: r["n_orders"] >= COMPONENT_MIN_WEIGHT)
+    agg = _copurchase_pair_counts(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_orders"],
+                                            COMPONENT_MIN_WEIGHT)),
+        batch_format="pyarrow", batch_size=None)
     df = agg.to_pandas()
     if df.empty:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
@@ -274,7 +288,10 @@ def part_copurchase_pagerank(sf_dir: str):
             names=["key", "side", "val"])
 
     def new_ranks(part: pd.DataFrame) -> pd.DataFrame:
-        s = part[part["side"] == 0].set_index("key")["val"]
+        # side-0 rows are PARTIAL contribution sums (one per source
+        # partition); summing them here replaces a whole Ray Aggregate
+        # round per iteration
+        s = part[part["side"] == 0].groupby("key")["val"].sum()
         d = part[part["side"] == 1]
         if d.empty:
             return pd.DataFrame({"node": pd.Series(dtype="int64"),
@@ -287,13 +304,12 @@ def part_copurchase_pagerank(sf_dir: str):
             "deg": d["val"].to_numpy()})
 
     for _ in range(PAGERANK_ITERS):
-        summed = (_coarse_grouped_map_union(
+        summed = _coarse_grouped_map_union(
             edges_ds.map_batches(tag_edges, batch_format="pyarrow",
                                  batch_size=None),
             ranks_ds.map_batches(tag_ranks, batch_format="pyarrow",
                                  batch_size=None),
             contribs, key="key")
-            .groupby("dst").aggregate(Sum("contrib", alias_name="contrib")))
         ranks_ds = _coarse_grouped_map_union(
             summed.map_batches(tag_sums, batch_format="pyarrow",
                                batch_size=None),
