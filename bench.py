@@ -598,7 +598,11 @@ def main():
                          "events_nation_skew_join",
                          "customer_merge_upsert", "events_zorder_prune",
                          "events_stream_attribution",
-                         "orders_monthly_view"]
+                         "orders_monthly_view",
+                         "part_copurchase_pairs", "copurchase_components",
+                         "orders_similar_baskets", "nation_revenue_trend",
+                         "events_value_percentiles_cont",
+                         "part_name_fuzzy_pairs"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

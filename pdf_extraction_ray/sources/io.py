@@ -39,6 +39,62 @@ def read_docs(path: str, **kwargs) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, **kwargs)
 
 
+def read_table_auto(path: str, **kwargs) -> "ray.data.Dataset":
+    """Format-dispatching reader for FLAT tables (``documents``/
+    ``events``-style): parquet, JSONL (``.json``/``.jsonl``), or CSV by
+    extension — the reference chains stages through JSON files
+    (`complete_multimodal_rag_evaluation.py:144-145`,
+    `compare_gpt_vs_hybrid.py:24,62`); this is the engine-level analog
+    so a pipeline can ingest whichever serialization the upstream stage
+    produced. Directories dispatch on their first file's extension."""
+    probe = path
+    if os.path.isdir(path):
+        files = sorted(f for f in glob.glob(os.path.join(path, "*"))
+                       if os.path.isfile(f))
+        if not files:
+            raise FileNotFoundError(f"no files in {path!r}")
+        probe = files[0]
+    if probe.endswith(".parquet"):
+        return ray.data.read_parquet(path, **kwargs)
+    if probe.endswith((".json", ".jsonl")):
+        return ray.data.read_json(path, **kwargs)
+    if probe.endswith(".csv"):
+        return ray.data.read_csv(path, **kwargs)
+    raise ValueError(f"unrecognized table format: {probe!r}")
+
+
+def _json_safe(dt: pa.DataType) -> pa.DataType:
+    """The Arrow JSON parser cannot emit fixed_size_list; parse those as
+    variable lists and cast back after."""
+    if pa.types.is_fixed_size_list(dt):
+        return pa.list_(_json_safe(dt.value_type))
+    if pa.types.is_list(dt):
+        return pa.list_(_json_safe(dt.value_type))
+    if pa.types.is_struct(dt):
+        return pa.struct([pa.field(f.name, _json_safe(f.type))
+                          for f in dt])
+    return dt
+
+
+def read_docs_jsonl(path: str, **kwargs) -> "ray.data.Dataset":
+    """Interleaved-docs corpus from JSONL shards. The nested schema
+    (span structs, per-span float lists, 4-float bboxes, region line
+    structs) is declared EXPLICITLY — JSON inference would type empty
+    lists as null and integral floats as int64, breaking the block
+    contract downstream. Fixed-size lists (bbox) parse as variable
+    lists and cast back per batch."""
+    from pyarrow import json as pajson
+
+    parse_schema = pa.schema([pa.field(f.name, _json_safe(f.type))
+                              for f in DOCS_SCHEMA])
+    ds = ray.data.read_json(
+        path,
+        parse_options=pajson.ParseOptions(explicit_schema=parse_schema),
+        **kwargs)
+    return ds.map_batches(lambda b: b.cast(DOCS_SCHEMA),
+                          batch_format="pyarrow")
+
+
 def write_docs(ds: "ray.data.Dataset", path: str, **kwargs) -> None:
     """Write an interleaved-docs Dataset — ``write_lance`` when the
     target is a ``.lance`` path and the writer exists, parquet shards
