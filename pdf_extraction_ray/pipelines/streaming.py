@@ -294,8 +294,143 @@ ORDER BY purchase_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Gap-based SESSION windows (data-driven window boundaries)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MS = 30 * 60_000            # same 30-min gap as the batch tier
+
+
+@ray.remote(num_cpus=0.1)
+class SessionActor:
+    """Incremental gap-session windowing for one key bucket: per user,
+    ONE open session (start, last, count) — unlike tumbling windows the
+    boundary is data-driven, so a session closes the moment its user's
+    next event arrives past the gap (or at end-of-log). Per-user state
+    is O(1); emitted sessions leave the actor eagerly."""
+
+    def __init__(self):
+        self.open: dict[int, list[int]] = {}   # user -> [start, last, n, sid]
+        self.next_sid: dict[int, int] = {}
+        self.out: list[tuple[int, int, int, int, int]] = []
+
+    def add(self, user_id: np.ndarray, ts_ms: np.ndarray) -> int:
+        for u, t in zip(user_id.tolist(), ts_ms.tolist()):
+            cur = self.open.get(u)
+            if cur is None:
+                sid = self.next_sid.get(u, 0) + 1
+                self.next_sid[u] = sid
+                self.open[u] = [t, t, 1, sid]
+            elif t - cur[1] > SESSION_GAP_MS:
+                self.out.append((u, cur[3], cur[0], cur[1], cur[2]))
+                sid = self.next_sid[u] + 1
+                self.next_sid[u] = sid
+                self.open[u] = [t, t, 1, sid]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        return len(self.out)
+
+    def flush(self) -> list[tuple[int, int, int, int, int]]:
+        for u, cur in self.open.items():
+            self.out.append((u, cur[3], cur[0], cur[1], cur[2]))
+        self.open.clear()
+        return self.out
+
+
+@ray.remote(num_cpus=1)
+def _feed_sessions(part_dir: str, actor) -> int:
+    """Feeder for ONE bucket: per-bucket ts sort (same-ts order is
+    irrelevant to gap semantics — a zero gap never breaks a session),
+    batch-wise ordered drive."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(f"{part_dir}/*.parquet"))
+    if not files:
+        return 0
+    t = pa.concat_tables([pq.read_table(f, columns=["user_id", "ts"])
+                          for f in files])
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    pending = []
+    for batch in t.to_batches(max_chunksize=4096):
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts_ms = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 1000
+        pending.append(actor.add.remote(users, ts_ms))
+    ray.get(pending)
+    return t.num_rows
+
+
+def events_stream_sessions(sf_dir: str):
+    """Per-SESSION rows (user, session #, start, end, event count) from
+    gap-based session windows computed incrementally on the bucket-actor
+    tier — the data-driven-boundary window the tumbling/sliding tiers
+    cannot express. Same partitioned-log shape: hash-staged buckets, one
+    feeder task per bucket, O(1) per-user actor state. Equals the batch
+    LAG-mark + running-sum sessionization, which the oracle checks."""
+    import shutil
+    import tempfile
+
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ["user_id", "session_id", "start_ms", "end_ms",
+                           "n_events"]})
+    stage = tempfile.mkdtemp(prefix="stream_sess_", dir="/tmp")
+    try:
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = batch["user_id"].to_numpy(zero_copy_only=False) % N_BUCKETS
+            return batch.append_column("bucket",
+                                       pa.array(b.astype(np.int64)))
+
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"]) \
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         batch_size=None) \
+            .write_parquet(stage, partition_cols=["bucket"])
+
+        actors = [SessionActor.remote() for _ in range(N_BUCKETS)]
+        ray.get([_feed_sessions.remote(f"{stage}/bucket={b}", actors[b])
+                 for b in range(N_BUCKETS)])
+        rows = [r for chunk in ray.get([a.flush.remote() for a in actors])
+                for r in chunk]
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["user_id", "session_id", "start_ms",
+                                       "end_ms", "n_events"]) \
+        .astype("int64").sort_values(["user_id", "session_id"]) \
+        .reset_index(drop=True)
+
+
+STREAM_SESSIONS_SQL = f"""
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MS // 60000} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
+       CAST(epoch_ms(MAX(ts)) AS BIGINT) AS end_ms,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_id
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "events_stream_windows": (events_stream_windows, STREAM_WINDOWS_SQL),
     "events_stream_attribution": (events_stream_attribution,
                                   STREAM_ATTRIBUTION_SQL),
+    "events_stream_sessions": (events_stream_sessions,
+                               STREAM_SESSIONS_SQL),
 }

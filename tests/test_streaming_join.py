@@ -93,3 +93,61 @@ def test_matches_oracle(tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Gap-session windows (events_stream_sessions)
+# ---------------------------------------------------------------------------
+
+from pdf_extraction_ray.pipelines.streaming import (   # noqa: E402
+    SESSION_GAP_MS, STREAM_SESSIONS_SQL, events_stream_sessions)
+
+GAP = pd.Timedelta(milliseconds=SESSION_GAP_MS)
+
+
+def _sessions_dir(tmp_path):
+    rows = [
+        # u1: gap EXACTLY 30 min -> same session (strict > breaks)
+        (1, T0), (1, T0 + GAP),
+        # gap 30 min + 1ms after the last event -> new session
+        (1, T0 + 2 * GAP + MS),
+        # u2: single event
+        (2, T0),
+        # u3: three sessions, each one event, exact numbering
+        (3, T0), (3, T0 + GAP + MS), (3, T0 + 2 * (GAP + MS)),
+        # u10 (different bucket than u2 under %8): interleaved with the
+        # others, isolation check
+        (10, T0), (10, T0 + MS),
+    ]
+    ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+    d = str(tmp_path / "sess")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_gap_boundaries(tmp_path):
+    d = _sessions_dir(tmp_path)
+    got = events_stream_sessions(d)
+    g1 = got[got.user_id == 1]
+    assert list(g1.session_id) == [1, 2]
+    assert list(g1.n_events) == [2, 1]       # exact-gap pair stays joined
+    assert list(got[got.user_id == 2].n_events) == [1]
+    assert list(got[got.user_id == 3].session_id) == [1, 2, 3]
+    g10 = got[got.user_id == 10]
+    assert list(g10.n_events) == [2]
+    assert (g10.end_ms - g10.start_ms).iloc[0] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessions_match_oracle(tmp_path):
+    d = _sessions_dir(tmp_path)
+    got = events_stream_sessions(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    want = con.sql(STREAM_SESSIONS_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
