@@ -326,6 +326,142 @@ def part_copurchase_pagerank(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# BFS traversal: hop distance from the min-key node
+# ---------------------------------------------------------------------------
+
+BFS_MAX_DEPTH = 16
+
+
+def copurchase_bfs_depths(sf_dir: str):
+    """Single-source BFS over the pruned co-purchase graph: hop distance
+    from the globally smallest part key, capped at BFS_MAX_DEPTH (the
+    same cap the recursive-CTE oracle applies, so unreachable-within-cap
+    nodes are absent from both). Distributed frontier expansion: the
+    known-distance vector and the edge set co-partition through one
+    side-tagged coarse exchange per round (newly-settled nodes emit
+    candidate dist+1 for their neighbors), a fold exchange keeps the
+    per-node minimum; rounds stop when no node settles (frontier empty),
+    i.e. O(diameter) rounds like the component propagation.
+    Output: (part, dist)."""
+    empty = pd.DataFrame({"part": pd.Series(dtype="int64"),
+                          "dist": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    pairs = _copurchase_edges(sf_dir)
+    if pairs.empty:
+        return empty
+
+    sym = pd.DataFrame({
+        "src": np.concatenate([pairs.doc_a.to_numpy(),
+                               pairs.doc_b.to_numpy()]),
+        "dst": np.concatenate([pairs.doc_b.to_numpy(),
+                               pairs.doc_a.to_numpy()])}).astype("int64")
+    source = int(sym["src"].min())
+
+    edges_ds = rd.from_pandas(sym).repartition(8).materialize()
+    # dist vector rows: (node, dist, fresh) — fresh marks the frontier
+    dist_ds = rd.from_pandas(pd.DataFrame(
+        {"node": [source], "dist": [0], "fresh": [1]})).materialize()
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["src"], pa.array(np.zeros(n, dtype=np.int8)),
+             batch["dst"], pa.array(np.full(n, -1, dtype=np.int64))],
+            names=["key", "side", "dst", "val"])
+
+    def tag_frontier(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["fresh"], 1))
+        n = len(t)
+        return pa.Table.from_arrays(
+            [t["node"], pa.array(np.ones(n, dtype=np.int8)),
+             pa.array(np.full(n, -1, dtype=np.int64)), t["dist"]],
+            names=["key", "side", "dst", "val"])
+
+    def expand(part: pd.DataFrame) -> pd.DataFrame:
+        f = part[part["side"] == 1].set_index("key")["val"]
+        e = part[part["side"] == 0]
+        if f.empty or e.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "cand": pd.Series(dtype="int64")})
+        d = e["key"].map(f)
+        keep = d.notna().to_numpy()
+        out = pd.DataFrame({"node": e["dst"].to_numpy()[keep],
+                            "cand": d.to_numpy()[keep].astype(np.int64) + 1})
+        return out.groupby("node", as_index=False).min()
+
+    def tag_cands(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["node"], pa.array(np.zeros(n, dtype=np.int8)),
+             batch["cand"]],
+            names=["key", "side", "val"])
+
+    def tag_known(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["node"], pa.array(np.ones(n, dtype=np.int8)),
+             batch["dist"]],
+            names=["key", "side", "val"])
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        known = part[part["side"] == 1].set_index("key")["val"]
+        cand = part[part["side"] == 0].groupby("key")["val"].min()
+        nodes = known.index.union(cand.index)
+        d = known.reindex(nodes)
+        c = cand.reindex(nodes)
+        # a node settles (fresh=1) iff it had no distance before — BFS
+        # candidates never improve a settled hop distance
+        fresh = d.isna() & c.notna()
+        dist = d.fillna(c)
+        return pd.DataFrame({"node": nodes.to_numpy(),
+                             "dist": dist.to_numpy().astype(np.int64),
+                             "fresh": fresh.to_numpy().astype(np.int64)})
+
+    for _depth in range(BFS_MAX_DEPTH):
+        cands = _coarse_grouped_map_union(
+            edges_ds.map_batches(tag_edges, batch_format="pyarrow",
+                                 batch_size=None),
+            dist_ds.map_batches(tag_frontier, batch_format="pyarrow",
+                                batch_size=None),
+            expand, key="key")
+        dist_ds = _coarse_grouped_map_union(
+            cands.map_batches(tag_cands, batch_format="pyarrow",
+                              batch_size=None),
+            dist_ds.map_batches(tag_known, batch_format="pyarrow",
+                                batch_size=None),
+            fold, key="key").repartition(8).materialize()
+        if dist_ds.sum("fresh") == 0:     # frontier exhausted
+            break
+
+    out = dist_ds.to_pandas()             # settled set: output-bounded
+    return out[["node", "dist"]] \
+        .rename(columns={"node": "part"}).astype("int64") \
+        .sort_values("part").reset_index(drop=True)
+
+
+BFS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {COMPONENT_MIN_WEIGHT}),
+edges AS (SELECT pa AS s, pb AS d FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+src AS (SELECT min(s) AS m FROM edges),
+walk(node, dist) AS (
+  SELECT m, 0 FROM src
+  UNION
+  SELECT e.d, walk.dist + 1 FROM walk JOIN edges e ON e.s = walk.node
+  WHERE walk.dist < {BFS_MAX_DEPTH}
+)
+SELECT node AS part, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+ORDER BY part
+"""
+
+
+# ---------------------------------------------------------------------------
 # Set-similarity self-join over order baskets (PPJoin-style prefix filter)
 # ---------------------------------------------------------------------------
 
@@ -456,6 +592,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "copurchase_components": (copurchase_components,
                               COPURCHASE_COMPONENTS_SQL),
     "part_copurchase_pagerank": (part_copurchase_pagerank, None),
+    "copurchase_bfs_depths": (copurchase_bfs_depths, BFS_SQL),
     "orders_similar_baskets": (orders_similar_baskets,
                                SIMILAR_BASKETS_SQL),
 }

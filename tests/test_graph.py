@@ -114,6 +114,20 @@ def test_pagerank_matches_numpy_power_iteration(tmp_path, monkeypatch):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bfs_depths_on_planted_path(tmp_path):
+    """Chain 1-2-3-4: hop distances 0..3 from the min node; the other
+    component (10-11) is unreachable and absent."""
+    d = str(tmp_path)
+    orders = []
+    for a, b in ((1, 2), (2, 3), (3, 4), (10, 11)):
+        orders += [[a, b], [a, b]]        # weight 2 -> kept edges
+    _write_lineitem(d, orders)
+    out = G.copurchase_bfs_depths(d)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert dict(zip(df.part, df.dist)) == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_similar_baskets_boundary_semantics(tmp_path):
     """Jaccard boundary inclusion (exactly 0.5 kept), identical baskets
     (J=1), below-boundary excluded, multiplicities collapse to sets."""
