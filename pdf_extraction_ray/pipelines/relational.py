@@ -1798,6 +1798,60 @@ ORDER BY c_custkey
 """
 
 
+def events_value_cume_dist(sf_dir: str):
+    """CUME_DIST + PERCENT_RANK of the event value within its type —
+    the distribution-position windows completing the ranked family
+    (RANK/NTILE above). Per-partition order statistics come from one
+    sorted-values searchsorted per group (no per-row loop); the float
+    results mirror the SQL engines' int->double division exactly.
+    Output: (event_id, event_type, v_x100, cume_dist, percent_rank)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        v = _cents(batch["value"])
+        return pa.Table.from_arrays(
+            [batch["event_id"], batch["event_type"], v],
+            names=["event_id", "event_type", "v_x100"])
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for etype, sub in g.groupby("event_type"):
+            v = sub["v_x100"].to_numpy()
+            n = len(v)
+            sv = np.sort(v)
+            n_le = np.searchsorted(sv, v, side="right")   # rows <= v
+            n_lt = np.searchsorted(sv, v, side="left")    # rows <  v
+            cume = n_le.astype(np.float64) / float(n)
+            prank = (np.zeros(n) if n == 1
+                     else n_lt.astype(np.float64) / float(n - 1))
+            outs.append(pd.DataFrame({
+                "event_id": sub["event_id"].astype("int64"),
+                "event_type": etype,
+                "v_x100": v,
+                "cume_dist": cume,
+                "percent_rank": prank}))
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+
+    return _coarse_str_partition_map(
+        ds.map_batches(add_key, batch_format="pyarrow", batch_size=None),
+        "event_type", windows).sort("event_id")
+
+
+CUME_DIST_SQL = """
+SELECT event_id, event_type,
+       CAST(ROUND(value * 100.0) AS BIGINT) AS v_x100,
+       CUME_DIST() OVER (PARTITION BY event_type
+                         ORDER BY CAST(ROUND(value * 100.0) AS BIGINT))
+           AS cume_dist,
+       PERCENT_RANK() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ROUND(value * 100.0) AS BIGINT))
+           AS percent_rank
+FROM events
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Frame-based moving window: trailing 3-order revenue per customer
 # ---------------------------------------------------------------------------
@@ -3771,6 +3825,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_type_salted_agg": (events_type_salted_agg, SALTED_AGG_SQL),
     "orders_bloom_semi_count": (orders_bloom_semi_count, BLOOM_SEMI_SQL),
     "customer_balance_ntile": (customer_balance_ntile, NTILE_SQL),
+    "events_value_cume_dist": (events_value_cume_dist, CUME_DIST_SQL),
     "orders_moving_window": (orders_moving_window, MOVING_SQL),
     "nation_customer_counts_left":
         (nation_customer_counts_left, LEFT_JOIN_SQL),

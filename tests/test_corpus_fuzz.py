@@ -88,6 +88,7 @@ EVENT_QUERIES = [
     "events_user_activity_hist", "events_new_users_daily",
     "events_type_distinct_users", "events_type_robust_outliers",
     "events_type_transitions", "events_quality_checks",
+    "events_value_cume_dist",
     "events_nation_skew_join", "customer_merge_upsert",
     "events_stream_attribution", "events_partitioned_prune",
     "orders_monthly_view", "events_zorder_prune",
