@@ -23,9 +23,9 @@ from ..functions.chunker import chunk_text
 from ..functions.hashing import rolling_fingerprint
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns=("doc_id", "text")):
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+                           columns=list(columns))
 
 
 # ---------------------------------------------------------------------------
@@ -827,7 +827,205 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection (quality-ordered prefix under a budget)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 12_000
+
+
+def docs_token_budget_select(sf_dir: str):
+    """Select the best documents that fit a training token budget: order
+    the corpus by (quality score DESC, doc_id) and keep the maximal
+    prefix whose cumulative whitespace-token count stays <= the budget
+    — the data-mixing primitive behind 'take the top N tokens of this
+    source'. Same fixed-range bucket partitioning as doc_quality_rank:
+    per-bucket TOKEN sums stream to the driver (64 ints), become
+    cumulative offsets, and each bucket computes exact global running
+    totals locally — the corpus is never globally sorted on one node.
+    Output: (doc_id, score, n_tokens, cum_tokens), cum <= budget."""
+    import pyarrow.dataset as pads
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ["doc_id", "score", "n_tokens", "cum_tokens"]})
+    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
+        return empty
+
+    def score_fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        q = T.quality_scores(text)
+        s = q["stop_ratio_x1e6"].to_numpy(zero_copy_only=False)
+        bucket = np.minimum(s * RANK_BUCKETS // (_RANK_SCALE + 1),
+                            RANK_BUCKETS - 1).astype(np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "score": s.astype(np.int64),
+            "n_tokens": q["n_tokens"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "bucket": bucket})
+
+    scored = _docs(sf_dir).map_batches(score_fn, batch_format="pyarrow",
+                                       batch_size=None).materialize()
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        h = np.bincount(batch["bucket"].to_numpy(zero_copy_only=False),
+                        weights=batch["n_tokens"]
+                        .to_numpy(zero_copy_only=False),
+                        minlength=RANK_BUCKETS).astype(np.int64)
+        return pa.Table.from_pydict({"h": [h.tobytes()]})
+
+    tok = np.zeros(RANK_BUCKETS, dtype=np.int64)
+    for b in scored.map_batches(sum_partial, batch_format="pyarrow",
+                                batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for part in b["h"].to_pylist():
+            tok += np.frombuffer(part, dtype=np.int64)
+    # tokens in all HIGHER-score buckets precede bucket b in the order
+    higher = np.concatenate([[0], np.cumsum(tok[::-1])[:-1]])[::-1]
+    offsets = {b: int(higher[b]) for b in range(RANK_BUCKETS)}
+
+    def select_fn(g: pd.DataFrame) -> pd.DataFrame:
+        base = offsets[int(g["bucket"].iloc[0])]
+        if base > TOKEN_BUDGET:          # whole bucket past the budget
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ["doc_id", "score", "n_tokens",
+                                  "cum_tokens"]})
+        g = g.sort_values(["score", "doc_id"],
+                          ascending=[False, True], ignore_index=True)
+        cum = g["n_tokens"].to_numpy().cumsum() + base
+        keep = cum <= TOKEN_BUDGET
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy()[keep],
+            "score": g["score"].to_numpy()[keep],
+            "n_tokens": g["n_tokens"].to_numpy()[keep],
+            "cum_tokens": cum[keep]}).astype("int64")
+
+    return scored.groupby("bucket").map_groups(select_fn,
+                                               batch_format="pandas")
+
+
+TOKEN_BUDGET_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           (CAST(len(list_filter(ltoks, x -> x IN ({_EN}))) AS BIGINT)
+            * 1000000) // len(toks)
+         ELSE 0 END AS score,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM t),
+w AS (
+  SELECT doc_id, score, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM s)
+SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM w WHERE cum_tokens <= {TOKEN_BUDGET}
+ORDER BY cum_tokens
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source-level quality gate (aggregate up, filter down)
+# ---------------------------------------------------------------------------
+
+SOURCE_GATE_THR_X1E6 = 60_000
+
+
+def docs_source_quality_gate(sf_dir: str):
+    """Two-pass provenance filter: aggregate document quality UP to the
+    source (domain) level, then keep every document whose SOURCE passes
+    — the C4/RefinedWeb-style rule that drops a whole low-quality
+    domain even when individual pages look fine. Pass 1 pre-reduces
+    (source, sum(score), count) per batch into a tiny exchange; the
+    passing-source set (source-cardinality-bounded) broadcasts back as
+    a filter. The mean test is integer cross-multiplied
+    (sum >= thr * n), so no float mean is ever compared.
+    Output: kept (doc_id, source, score)."""
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "source": pd.Series(dtype="object"),
+                          "score": pd.Series(dtype="int64")})
+    import pyarrow.dataset as pads
+    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
+        return empty
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    def score_fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        q = T.quality_scores(text)
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "source": batch["source"].to_numpy(zero_copy_only=False),
+            "score": q["stop_ratio_x1e6"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    scored = _docs(sf_dir, columns=["doc_id", "text", "source"]) \
+        .map_batches(score_fn, batch_format="pyarrow", batch_size=None) \
+        .materialize()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch["source"].to_numpy(zero_copy_only=False),
+            "ss": batch["score"].to_numpy(zero_copy_only=False),
+            "cnt": np.ones(len(batch), dtype=np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False).sum(),
+            preserve_index=False).replace_schema_metadata(None)
+
+    agg = (scored.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+           .groupby("source")
+           .aggregate(_Sum("ss", alias_name="ss"),
+                      _Sum("cnt", alias_name="cnt"))
+           .to_pandas())
+    passing = set(agg.loc[agg["ss"] >= SOURCE_GATE_THR_X1E6 * agg["cnt"],
+                          "source"])
+    pass_ref = ray.put(passing)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ok = ray.get(pass_ref)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        mask = np.array([s in ok for s in src])
+        return batch.filter(pa.array(mask))
+
+    out = scored.map_batches(gate, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    return out if not out.empty else empty
+
+
+SOURCE_GATE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents),
+s AS (
+  SELECT doc_id, source,
+         CASE WHEN len(toks) > 0 THEN
+           (CAST(len(list_filter(ltoks, x -> x IN ({_EN}))) AS BIGINT)
+            * 1000000) // len(toks)
+         ELSE 0 END AS score
+  FROM t),
+g AS (SELECT source, SUM(score) AS ss, COUNT(*) AS cnt FROM s
+      GROUP BY source)
+SELECT s.doc_id, s.source, s.score
+FROM s JOIN g ON s.source = g.source
+WHERE g.ss >= {SOURCE_GATE_THR_X1E6} * g.cnt
+ORDER BY s.doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "docs_token_budget_select": (docs_token_budget_select,
+                                 TOKEN_BUDGET_SQL),
+    "docs_source_quality_gate": (docs_source_quality_gate,
+                                 SOURCE_GATE_SQL),
     "doc_text_normalized": (doc_text_normalized, NORMALIZED_SQL),
     "doc_quality_rank": (doc_quality_rank, QUALITY_RANK_SQL),
     "doc_trigram_lm": (doc_trigram_lm, None),
