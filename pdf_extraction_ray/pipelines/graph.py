@@ -503,10 +503,16 @@ def orders_similar_baskets(sf_dir: str):
         return _from_pandas(df.groupby("part", as_index=False).size()
                             .rename(columns={"size": "freq"}))
 
-    freq_df = (ds.map_batches(part_partial, batch_format="pyarrow",
-                              batch_size=None)
-               .groupby("part").aggregate(Sum("freq", alias_name="freq"))
-               .to_pandas())
+    def freq_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("part", as_index=False)["freq"].sum() \
+            .astype("int64")
+
+    # coarse exchange, not a Ray Aggregate: one reduce group per part
+    # key is pure scheduler overhead at part cardinality (9 s -> 1 s)
+    freq_df = _coarse_partition_map(
+        ds.map_batches(part_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "part", freq_sum).to_pandas()
     freq_ref = ray.put(dict(zip(freq_df.part, freq_df.freq)))
 
     def emit_prefixes(g: pd.DataFrame) -> pd.DataFrame:
@@ -514,22 +520,24 @@ def orders_similar_baskets(sf_dir: str):
         b = g.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
         b["f"] = b["l_partkey"].map(freq)
         b = b.sort_values(["l_orderkey", "f", "l_partkey"])
-        tokens, orders, baskets = [], [], []
+        tokens, orders, baskets, poss = [], [], [], []
         for o, grp in b.groupby("l_orderkey", sort=False):
             parts = grp["l_partkey"].to_numpy()
             s = len(parts)
             plen = s - (s + 1) // 2 + 1        # s - ceil(t*s) + 1, t=0.5
             basket = np.sort(parts)
-            for tok in parts[:plen]:
+            for pos, tok in enumerate(parts[:plen]):
                 tokens.append(int(tok))
                 orders.append(int(o))
                 baskets.append(basket)
+                poss.append(pos)               # canonical-order position
         if not tokens:
             return pd.DataFrame({"token": pd.Series(dtype="int64"),
                                  "order_id": pd.Series(dtype="int64"),
-                                 "basket": pd.Series(dtype="object")})
+                                 "basket": pd.Series(dtype="object"),
+                                 "pos": pd.Series(dtype="int64")})
         return pd.DataFrame({"token": tokens, "order_id": orders,
-                             "basket": baskets})
+                             "basket": baskets, "pos": poss})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -537,21 +545,32 @@ def orders_similar_baskets(sf_dir: str):
             if len(grp) < 2:
                 continue
             orders = grp["order_id"].to_numpy()
-            baskets = list(grp["basket"])
-            sizes = np.array([len(x) for x in baskets])
+            # python frozensets beat np.intersect1d ~10x on these tiny
+            # (<=13-element) baskets — the verify loop is the hot path
+            baskets = [frozenset(x.tolist()) for x in grp["basket"]]
+            sizes = [len(x) for x in baskets]
+            pos = grp["pos"].to_numpy()
             for i in range(len(grp)):
+                bi, sa, oi, pi = baskets[i], sizes[i], orders[i], pos[i]
                 for j in range(i + 1, len(grp)):
-                    if orders[i] == orders[j]:
+                    sb = sizes[j]
+                    if orders[j] == oi:
                         continue
-                    sa, sb = sizes[i], sizes[j]
                     if 2 * min(sa, sb) < max(sa, sb):   # size filter
                         continue
-                    inter = np.intersect1d(baskets[i], baskets[j],
-                                           assume_unique=True).size
-                    union = int(sa + sb - inter)
+                    # PPJoin position filter: overlap is bounded by
+                    # 1 + what remains after this token in each basket;
+                    # J >= 1/2 needs overlap >= (sa+sb)/3. A true pair
+                    # always passes at its FIRST shared prefix token,
+                    # which is the occurrence that survives dedup.
+                    maxov = 1 + min(sa - pi - 1, sb - pos[j] - 1)
+                    if 3 * maxov < sa + sb:
+                        continue
+                    inter = len(bi & baskets[j])
+                    union = sa + sb - inter
                     if 2 * inter >= union:              # J >= 0.5 exact
-                        a, b2 = sorted((int(orders[i]), int(orders[j])))
-                        rows.append((a, b2, int(inter), union,
+                        a, b2 = sorted((int(oi), int(orders[j])))
+                        rows.append((a, b2, inter, union,
                                      float(inter) / float(union)))
         if not rows:
             return empty

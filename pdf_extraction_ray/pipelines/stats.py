@@ -395,10 +395,118 @@ ORDER BY name_a, name_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Entity clusters over the fuzzy name pairs (blocking -> verify -> resolve)
+# ---------------------------------------------------------------------------
+
+def part_name_entity_clusters(sf_dir: str):
+    """End-to-end entity resolution: the fuzzy-join pairs (edit distance
+    <= 2) resolved into connected components, canonical = lexicographic
+    min name — blocking, verification, and cluster resolution composed
+    into the full ER pipeline. The pair set is vocabulary-bounded
+    (names, not rows), so label propagation runs driver-side; with an
+    unbounded key domain it would route through the dedup tier's
+    distributed propagation like ``copurchase_components``.
+    Output: (name, canonical) for every name in some cluster."""
+    empty = pd.DataFrame({"name": pd.Series(dtype="object"),
+                          "canonical": pd.Series(dtype="object")})
+    pairs = part_name_fuzzy_pairs(sf_dir)
+    if pairs.empty:
+        return empty
+    label: dict[str, str] = {}
+    for n in pd.unique(pairs[["name_a", "name_b"]].to_numpy().ravel()):
+        label[n] = n
+    edges = list(zip(pairs.name_a, pairs.name_b))
+    for _ in range(64):
+        changed = False
+        for a, b in edges:
+            m = min(label[a], label[b])
+            if label[a] != m:
+                label[a] = m
+                changed = True
+            if label[b] != m:
+                label[b] = m
+                changed = True
+        if not changed:
+            break
+    return pd.DataFrame(sorted(label.items()),
+                        columns=["name", "canonical"])
+
+
+ENTITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE d AS (SELECT p_name AS name FROM part GROUP BY 1),
+pairs AS (
+  SELECT a.name AS na, b.name AS nb
+  FROM d a JOIN d b ON a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}),
+edges AS (SELECT na AS s, nb AS t FROM pairs
+          UNION ALL SELECT nb, na FROM pairs),
+cc(node, label) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.t, cc.label FROM cc JOIN edges e ON e.s = cc.node
+  WHERE cc.label < e.t
+)
+SELECT node AS name, min(label) AS canonical FROM cc GROUP BY node
+ORDER BY name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event debouncing (LAG-window suppression of rapid repeats)
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_MS = 5_000
+
+
+def events_debounced(sf_dir: str):
+    """Suppress rapid repeats: an event is kept iff no event of the same
+    (user, type) occurred within the previous 5 s — the LAG-window
+    debounce that de-noises interaction logs before sessionization.
+    One user-keyed coarse exchange; per-partition pandas computes the
+    per-(user, type) ordered diffs vectorized. Ties ((ts, event_id)
+    order) match the SQL window's tiebreak.
+    Output: kept (event_id, user_id, event_type)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts"])
+
+    def debounce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          ignore_index=True)
+        ts_ms = g["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        same = (g["user_id"].to_numpy()[1:] == g["user_id"].to_numpy()[:-1]) \
+            & (g["event_type"].to_numpy()[1:]
+               == g["event_type"].to_numpy()[:-1])
+        close = (ts_ms[1:] - ts_ms[:-1]) <= DEBOUNCE_MS
+        drop = np.concatenate([[False], same & close])
+        out = g.loc[~drop, ["event_id", "user_id", "event_type"]]
+        return out.reset_index(drop=True)
+
+    from .relational import _coarse_partition_map
+    return _coarse_partition_map(ds, "user_id", debounce)
+
+
+DEBOUNCE_SQL = f"""
+WITH m AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT event_id, user_id, event_type FROM m
+WHERE prev IS NULL
+   OR date_diff('millisecond', prev, ts) > {DEBOUNCE_MS}
+ORDER BY event_id
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
     "nation_revenue_trend": (nation_revenue_trend, TREND_SQL),
     "events_value_percentiles_cont": (events_value_percentiles_cont,
                                       PCTL_SQL),
     "part_price_size_skyline": (part_price_size_skyline, SKYLINE_SQL),
     "part_name_fuzzy_pairs": (part_name_fuzzy_pairs, FUZZY_SQL),
+    "part_name_entity_clusters": (part_name_entity_clusters,
+                                  ENTITY_CLUSTERS_SQL),
+    "events_debounced": (events_debounced, DEBOUNCE_SQL),
 }

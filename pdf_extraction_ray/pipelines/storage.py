@@ -562,10 +562,94 @@ FROM orders GROUP BY month ORDER BY month
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff: what changed between two table versions
+# ---------------------------------------------------------------------------
+
+def customer_snapshot_diff(sf_dir: str):
+    """Row-level diff between two snapshots of the customer table — the
+    base table vs the MERGE-d version (``customer_merge_upsert``) — the
+    audit/CDC-extraction primitive of a versioned lakehouse: emit one
+    row per INSERTED, DELETED, or UPDATED key (balance change), nothing
+    for untouched rows. One side-tagged co-partitioned exchange
+    compares the snapshots per key; neither snapshot is broadcast.
+    Balances are float64 with NaN for the missing side (matching the
+    oracle's nullable BIGINT -> double projection).
+    Output: (c_custkey, change, old_bal_x100, new_bal_x100)."""
+    empty = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                          "change": pd.Series(dtype="object"),
+                          "old_bal_x100": pd.Series(dtype="float64"),
+                          "new_bal_x100": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "customer") and _table_empty(sf_dir, "events"):
+        return empty
+
+    new_snap = customer_merge_upsert(sf_dir)
+    if not isinstance(new_snap, pd.DataFrame):
+        new_snap = new_snap.to_pandas()
+    new_ds = _from_pandas(pd.DataFrame({
+        "key": new_snap["c_custkey"].astype("int64"),
+        "side": np.ones(len(new_snap), dtype=np.int8),
+        "bal": new_snap["acctbal_x100"].astype("float64")}))
+    old = rd.read_parquet(_pq(sf_dir, "customer"),
+                          columns=["c_custkey", "c_acctbal"])
+
+    def tag_old(batch: pa.Table) -> pa.Table:
+        bal = _cents(batch["c_acctbal"]).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.Table.from_arrays(
+            [batch["c_custkey"],
+             pa.array(np.zeros(len(batch), dtype=np.int8)),
+             pa.array(bal)],
+            names=["key", "side", "bal"])
+
+    def diff(part: pd.DataFrame) -> pd.DataFrame:
+        o = part[part["side"] == 0].set_index("key")["bal"]
+        n = part[part["side"] == 1].set_index("key")["bal"]
+        keys = o.index.union(n.index)
+        ob = o.reindex(keys)
+        nb = n.reindex(keys)
+        ins = ob.isna()
+        dele = nb.isna()
+        upd = (~ins) & (~dele) & (ob != nb)
+        changed = ins | dele | upd
+        change = np.where(ins, "insert", np.where(dele, "delete", "update"))
+        return pd.DataFrame({
+            "c_custkey": keys.to_numpy()[changed.to_numpy()],
+            "change": change[changed.to_numpy()],
+            "old_bal_x100": ob.to_numpy()[changed.to_numpy()],
+            "new_bal_x100": nb.to_numpy()[changed.to_numpy()]})
+
+    out = _coarse_grouped_map_union(
+        old.map_batches(tag_old, batch_format="pyarrow", batch_size=None),
+        rd.from_arrow(new_ds), diff, key="key").to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH new_snap AS ({MERGE_UPSERT_SQL.replace("ORDER BY c_custkey", "")}),
+old_snap AS (SELECT c_custkey,
+                    CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS bal
+             FROM customer)
+SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN o.c_custkey IS NULL THEN 'insert'
+            WHEN n.c_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change,
+       CAST(o.bal AS DOUBLE) AS old_bal_x100,
+       CAST(n.acctbal_x100 AS DOUBLE) AS new_bal_x100
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.c_custkey = n.c_custkey
+WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR o.bal <> n.acctbal_x100
+ORDER BY c_custkey
+"""
+
+
 STORAGE_QUERIES: dict[str, tuple] = {
     "orders_monthly_view": (orders_monthly_view, MONTHLY_VIEW_SQL),
     "events_zorder_prune": (events_zorder_prune, ZORDER_PRUNE_SQL),
     "customer_merge_upsert": (customer_merge_upsert, MERGE_UPSERT_SQL),
+    "customer_snapshot_diff": (customer_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "events_partitioned_prune": (events_partitioned_prune,
                                  PARTITIONED_PRUNE_SQL),
 }

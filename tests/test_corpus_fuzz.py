@@ -88,7 +88,8 @@ EVENT_QUERIES = [
     "events_user_activity_hist", "events_new_users_daily",
     "events_type_distinct_users", "events_type_robust_outliers",
     "events_type_transitions", "events_quality_checks",
-    "events_value_cume_dist",
+    "events_value_cume_dist", "events_debounced",
+    "customer_snapshot_diff",
     "events_nation_skew_join", "customer_merge_upsert",
     "events_stream_attribution", "events_partitioned_prune",
     "orders_monthly_view", "events_zorder_prune",
@@ -136,9 +137,10 @@ def _random_events_orders(seed: int, d):
 def test_oracled_event_ops_on_random_tables(tmp_path, seed):
     import shutil
     from pdf_extraction_ray.pipelines.relational import RELATIONAL_QUERIES
+    from pdf_extraction_ray.pipelines.stats import STATS_QUERIES
     from pdf_extraction_ray.pipelines.storage import STORAGE_QUERIES
     from pdf_extraction_ray.pipelines.streaming import STREAMING_QUERIES
-    registry = {**RELATIONAL_QUERIES, **STORAGE_QUERIES,
+    registry = {**RELATIONAL_QUERIES, **STATS_QUERIES, **STORAGE_QUERIES,
                 **STREAMING_QUERIES}
 
     d = str(tmp_path / f"ev{seed}")

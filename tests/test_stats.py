@@ -131,6 +131,45 @@ def test_fuzzy_pairs_blocking_is_complete(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_entity_clusters_transitive(tmp_path):
+    """a-b and b-c within distance 2 but a-c at distance 2 via chain:
+    one cluster, canonical = lexicographic min."""
+    d = str(tmp_path)
+    pd.DataFrame({"p_name": ["aaaa", "aaab", "aabb", "zzzz"]}) \
+        .to_parquet(os.path.join(d, "part.parquet"))
+    out = S.part_name_entity_clusters(d)
+    got = dict(zip(out.name, out.canonical))
+    # aaaa-aaab d1, aaab-aabb d1, aaaa-aabb d2: all one cluster
+    assert got == {"aaaa": "aaaa", "aaab": "aaaa", "aabb": "aaaa"}
+    assert "zzzz" not in got                  # isolated name absent
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_debounce_boundaries(tmp_path):
+    """Exactly 5 s gap is suppressed (strict >), 5 s + 1 ms survives;
+    chains compare to the immediately previous event (LAG semantics);
+    types and users are independent."""
+    d = str(tmp_path)
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    ms = pd.Timedelta(milliseconds=1)
+    rows = [
+        (1, 1, "a", t0),                      # kept
+        (2, 1, "a", t0 + 5 * s),              # exactly 5s -> dropped
+        (3, 1, "a", t0 + 10 * s + ms),        # 5s+1ms after #2 -> kept
+        (4, 1, "b", t0),                      # other type: kept
+        (5, 2, "a", t0),                      # other user: kept
+        (6, 2, "a", t0),                      # same-ts tie -> dropped
+    ]
+    pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                "ts"]) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_debounced(d)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert sorted(df.event_id) == [1, 3, 4, 5]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_stats_family_on_empty_tables(tmp_path):
     import pyarrow.parquet as pq
     d = str(tmp_path / "empty")
@@ -160,7 +199,14 @@ def test_stats_oracles_on_random_tables(tmp_path, seed):
     os.makedirs(d, exist_ok=True)
 
     n_ev = 400
+    # a SMALL timestamp pool forces same-ts ties and sub-5s gaps (the
+    # debounce boundary) alongside the .5-boundary values
+    ts_pool = pd.to_datetime("2024-05-01") + \
+        pd.to_timedelta(rng.integers(0, 200, size=30) * 2500, unit="ms")
     pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "user_id": rng.integers(0, 5, size=n_ev).astype(np.int64),
+        "ts": rng.choice(ts_pool, size=n_ev),
         "event_type": rng.choice(["x", "y", "z"], size=n_ev),
         "value": rng.integers(0, 40, size=n_ev) / 2.0
         + rng.integers(0, 3, size=n_ev) * 1e-6}) \
