@@ -27,7 +27,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from .relational import _cents, _from_pandas, _pq, _table_empty
+from .relational import (_cents, _coarse_partition_map, _from_pandas,
+                         _pq, _table_empty)
 
 # ---------------------------------------------------------------------------
 # Grouped OLS trend: revenue slope per supplier nation
@@ -483,7 +484,6 @@ def events_debounced(sf_dir: str):
         out = g.loc[~drop, ["event_id", "user_id", "event_type"]]
         return out.reset_index(drop=True)
 
-    from .relational import _coarse_partition_map
     return _coarse_partition_map(ds, "user_id", debounce)
 
 
@@ -500,6 +500,57 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching (CEP / MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+# one or more views, then a click, then a purchase — contiguous in the
+# user's event sequence (type initials are distinct: c,e,p,s,v)
+EVENT_PATTERN = "v+cp"
+
+
+def events_pattern_matches(sf_dir: str):
+    """Complex-event-processing-lite: count non-overlapping occurrences
+    of a regex over each user's ordered event-type sequence
+    (view+ click purchase, contiguous) — the sequence-mining shape
+    MATCH_RECOGNIZE covers in engines that have it. One user-keyed
+    coarse exchange; per partition the sequence string builds
+    vectorized (type initials) and one compiled-regex pass counts
+    matches per user. Leftmost non-overlapping semantics match RE2's
+    regexp_extract_all. Output: (user_id, n_matches) for every user."""
+    import re as _re
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts",
+                                  "event_id"])
+    rex = _re.compile(EVENT_PATTERN)
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+        initials = g["event_type"].str[0]
+        out = []
+        for uid, sub in initials.groupby(g["user_id"], sort=False):
+            out.append((uid, len(rex.findall("".join(sub)))))
+        return pd.DataFrame(out, columns=["user_id", "n_matches"]) \
+            .astype("int64")
+
+    return _coarse_partition_map(ds, "user_id", count)
+
+
+PATTERN_MATCHES_SQL = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+             AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, '{EVENT_PATTERN}')) AS BIGINT)
+           AS n_matches
+FROM seqs ORDER BY user_id
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
     "nation_revenue_trend": (nation_revenue_trend, TREND_SQL),
     "events_value_percentiles_cont": (events_value_percentiles_cont,
@@ -509,4 +560,6 @@ STATS_QUERIES: dict[str, tuple] = {
     "part_name_entity_clusters": (part_name_entity_clusters,
                                   ENTITY_CLUSTERS_SQL),
     "events_debounced": (events_debounced, DEBOUNCE_SQL),
+    "events_pattern_matches": (events_pattern_matches,
+                               PATTERN_MATCHES_SQL),
 }

@@ -930,6 +930,79 @@ ORDER BY cum_tokens
 
 
 # ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (seeded global training order)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 7
+_SHUFFLE_BUCKETS = 256
+
+
+def docs_epoch_shuffle(sf_dir: str):
+    """Seeded deterministic global shuffle: every document's training
+    position for one epoch, as ROW_NUMBER over md5(doc_id ':' seed) —
+    reproducible across runs and engines (the md5 hex IS the sort key,
+    so resharding the input cannot change the order). Distributed rank
+    without a global sort: the key is uniform by construction, so its
+    first byte range-partitions into 256 equal buckets; per-bucket
+    counts stream to the driver and become rank offsets, each bucket
+    sorts locally (the doc_quality_rank machinery on a hash key).
+    Output: (doc_id, shuffle_pos)."""
+    import hashlib
+    import pyarrow.dataset as pads
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "shuffle_pos": pd.Series(dtype="int64")})
+    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
+        return empty
+
+    def key_fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keys = [hashlib.md5(f"{i}:{SHUFFLE_SEED}".encode()).hexdigest()
+                for i in ids]
+        bucket = np.array([int(k[:2], 16) for k in keys], dtype=np.int64)
+        return pa.Table.from_pydict({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "key": keys, "bucket": bucket})
+
+    keyed = _docs(sf_dir, columns=["doc_id"]) \
+        .map_batches(key_fn, batch_format="pyarrow", batch_size=None) \
+        .materialize()
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        h = np.bincount(batch["bucket"].to_numpy(zero_copy_only=False),
+                        minlength=_SHUFFLE_BUCKETS)
+        return pa.Table.from_pydict({"h": [h.astype(np.int64).tobytes()]})
+
+    sizes = np.zeros(_SHUFFLE_BUCKETS, dtype=np.int64)
+    for b in keyed.map_batches(size_partial, batch_format="pyarrow",
+                               batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for part in b["h"].to_pylist():
+            sizes += np.frombuffer(part, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+
+    def rank_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("key", ignore_index=True)
+        base = int(offsets[int(g["bucket"].iloc[0])])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "shuffle_pos": pd.Series(np.arange(1, len(g) + 1) + base,
+                                     dtype="int64")})
+
+    return keyed.groupby("bucket").map_groups(rank_fn,
+                                              batch_format="pandas")
+
+
+EPOCH_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}'))
+            AS BIGINT) AS shuffle_pos
+FROM documents
+ORDER BY shuffle_pos
+"""
+
+
+# ---------------------------------------------------------------------------
 # Source-level quality gate (aggregate up, filter down)
 # ---------------------------------------------------------------------------
 
@@ -1026,6 +1099,7 @@ TEXT_QUERIES: dict[str, tuple] = {
                                  TOKEN_BUDGET_SQL),
     "docs_source_quality_gate": (docs_source_quality_gate,
                                  SOURCE_GATE_SQL),
+    "docs_epoch_shuffle": (docs_epoch_shuffle, EPOCH_SHUFFLE_SQL),
     "doc_text_normalized": (doc_text_normalized, NORMALIZED_SQL),
     "doc_quality_rank": (doc_quality_rank, QUALITY_RANK_SQL),
     "doc_trigram_lm": (doc_trigram_lm, None),

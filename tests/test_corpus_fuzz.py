@@ -89,6 +89,7 @@ EVENT_QUERIES = [
     "events_type_distinct_users", "events_type_robust_outliers",
     "events_type_transitions", "events_quality_checks",
     "events_value_cume_dist", "events_debounced",
+    "events_pattern_matches",
     "customer_snapshot_diff",
     "events_nation_skew_join", "customer_merge_upsert",
     "events_stream_attribution", "events_partitioned_prune",
