@@ -205,26 +205,14 @@ SELECT node AS part, min(label) AS component FROM cc GROUP BY node
 """
 
 
-def part_copurchase_pagerank(sf_dir: str):
-    """PageRank over the pruned co-purchase graph (damping 0.85, 8
-    iterations, uniform init 1/N). The rank vector stays a distributed
-    (node, rank, deg) Dataset: each iteration co-partitions it with
-    the static edge Dataset through one side-tagged coarse exchange
-    (contributions rank/deg emitted per partition, pre-reduced), sums
-    contributions with a groupby on the destination key, and folds the
-    sums back through a second side-tagged exchange. The symmetric
-    graph has no dangling nodes, so (1-d)/N teleport closes the
-    recurrence. Output: top-20 (part, pagerank) by rank.
-    Not SQL-expressible (iterative fixpoint) — verified by a
-    numpy-differential test (tests/test_graph.py)."""
-    empty = pd.DataFrame({"part": pd.Series(dtype="int64"),
-                          "pagerank": pd.Series(dtype="float64")})
+def _pagerank_graph(sf_dir: str):
+    """(edges_ds, initial ranks_ds, teleport) for the pruned co-purchase
+    graph, or (None, None, None) when the graph is empty."""
     if _table_empty(sf_dir, "lineitem"):
-        return empty
+        return None, None, None
     pairs = _copurchase_edges(sf_dir)
     if pairs.empty:
-        return empty
-
+        return None, None, None
     # symmetric directed edge list, materialized once, reused per iter
     sym = pd.DataFrame({
         "src": np.concatenate([pairs.doc_a.to_numpy(),
@@ -234,13 +222,23 @@ def part_copurchase_pagerank(sf_dir: str):
     deg = sym.groupby("src", as_index=False).size() \
              .rename(columns={"src": "node", "size": "deg"})
     n_nodes = len(deg)
-    teleport = (1.0 - PAGERANK_DAMPING) / n_nodes
-
     edges_ds = rd.from_pandas(sym).repartition(8).materialize()
     ranks_ds = rd.from_pandas(
         pd.DataFrame({"node": deg.node.astype("int64"),
                       "rank": np.full(n_nodes, 1.0 / n_nodes),
                       "deg": deg.deg.astype("float64")})).materialize()
+    return edges_ds, ranks_ds, (1.0 - PAGERANK_DAMPING) / n_nodes
+
+
+def _pagerank_iterate(edges_ds, ranks_ds, teleport: float, n_iters: int,
+                      checkpoint_dir: str = None, start: int = 0):
+    """Run ``n_iters - start`` PageRank rounds from ``ranks_ds``. With
+    ``checkpoint_dir``, every completed iteration writes its rank
+    vector as ``iter_{k:02d}/`` parquet plus a ``_DONE`` marker (write
+    THEN mark, so a torn checkpoint is never resumed from) — a
+    preempted iterative job restarts from the last complete round
+    instead of round 0 (``resume_pagerank``)."""
+    import os as _os
 
     # shared side-tag schema for the contribution exchange:
     # (key, side, dst, val); edges side 0 carry dst, ranks side 1
@@ -303,7 +301,7 @@ def part_copurchase_pagerank(sf_dir: str):
             "rank": teleport + PAGERANK_DAMPING * got,
             "deg": d["val"].to_numpy()})
 
-    for _ in range(PAGERANK_ITERS):
+    for k in range(start, n_iters):
         summed = _coarse_grouped_map_union(
             edges_ds.map_batches(tag_edges, batch_format="pyarrow",
                                  batch_size=None),
@@ -316,13 +314,72 @@ def part_copurchase_pagerank(sf_dir: str):
             ranks_ds.map_batches(tag_deg, batch_format="pyarrow",
                                  batch_size=None),
             new_ranks, key="key").repartition(8).materialize()
+        if checkpoint_dir:
+            d = _os.path.join(checkpoint_dir, f"iter_{k:02d}")
+            ranks_ds.write_parquet(d)
+            with open(_os.path.join(d, "_DONE"), "w") as fh:
+                fh.write("ok")
+    return ranks_ds
 
+
+def _pagerank_topk(ranks_ds):
     return (ranks_ds
             .map_batches(lambda b: pa.Table.from_arrays(
                 [b["node"], b["rank"]], names=["part", "pagerank"]),
                 batch_format="pyarrow", batch_size=None)
             .sort(["pagerank", "part"], descending=[True, False])
             .limit(PAIR_TOPK))
+
+
+_PAGERANK_EMPTY = {"part": pd.Series(dtype="int64"),
+                   "pagerank": pd.Series(dtype="float64")}
+
+
+def part_copurchase_pagerank(sf_dir: str, checkpoint_dir: str = None):
+    """PageRank over the pruned co-purchase graph (damping 0.85, 8
+    iterations, uniform init 1/N). The rank vector stays a distributed
+    (node, rank, deg) Dataset: each iteration co-partitions it with
+    the static edge Dataset through one side-tagged coarse exchange
+    (contributions rank/deg emitted per partition, pre-reduced) and a
+    fold exchange that sums partials and applies the teleport. The
+    symmetric graph has no dangling nodes, so (1-d)/N closes the
+    recurrence. With ``checkpoint_dir``, each round checkpoints its
+    rank vector (see ``resume_pagerank``). Output: top-20
+    (part, pagerank) by rank. Not SQL-expressible (iterative fixpoint)
+    — verified by a numpy-differential test (tests/test_graph.py)."""
+    edges_ds, ranks_ds, teleport = _pagerank_graph(sf_dir)
+    if edges_ds is None:
+        return pd.DataFrame(_PAGERANK_EMPTY)
+    ranks_ds = _pagerank_iterate(edges_ds, ranks_ds, teleport,
+                                 PAGERANK_ITERS,
+                                 checkpoint_dir=checkpoint_dir)
+    return _pagerank_topk(ranks_ds)
+
+
+def resume_pagerank(sf_dir: str, checkpoint_dir: str,
+                    n_iters: int = PAGERANK_ITERS):
+    """Resume a checkpointed PageRank run: find the last iteration with
+    a complete (``_DONE``-marked) rank-vector checkpoint, reload it as
+    a Dataset, and run only the remaining rounds — the iterative-job
+    analog of the extraction tier's partition-manifest resume."""
+    import glob as _glob
+    import os as _os
+
+    done = sorted(d for d in _glob.glob(
+        _os.path.join(checkpoint_dir, "iter_*"))
+        if _os.path.exists(_os.path.join(d, "_DONE")))
+    edges_ds, ranks_ds, teleport = _pagerank_graph(sf_dir)
+    if edges_ds is None:
+        return pd.DataFrame(_PAGERANK_EMPTY)
+    start = 0
+    if done:
+        last = done[-1]
+        start = int(_os.path.basename(last).split("_")[1]) + 1
+        ranks_ds = rd.read_parquet(last).materialize()
+    ranks_ds = _pagerank_iterate(edges_ds, ranks_ds, teleport, n_iters,
+                                 checkpoint_dir=checkpoint_dir,
+                                 start=start)
+    return _pagerank_topk(ranks_ds)
 
 
 # ---------------------------------------------------------------------------

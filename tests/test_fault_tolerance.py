@@ -79,3 +79,38 @@ def test_extraction_pipeline_survives_worker_death(tmp_path):
     assert len(rows) == 120
     for r in rows:
         assert r["spans"] == golden[r["doc_id"]], r["doc_id"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exchange_query_survives_worker_death(tmp_path):
+    """A query whose plan crosses a sort-based EXCHANGE (coarse groupby)
+    must also survive worker death — retries on the map side of a
+    shuffle exercise a different recovery path than plain map_batches.
+    The flaky stage is injected before the exchange; the grouped result
+    must equal the DuckDB oracle bit-exactly."""
+    import duckdb
+
+    from pdf_extraction_ray.pipelines.relational import (
+        _coarse_partition_map)
+
+    SF = "/root/testdata/sf0.001"
+    marker = os.path.join(str(tmp_path), "died_once")
+
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "value"]) \
+        .map_batches(_make_flaky(marker, lambda b: b),
+                     batch_format="pyarrow", batch_size=None)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)["value"].count()
+        return out.rename(columns={"value": "n"}).astype("int64")
+
+    got = _coarse_partition_map(ds, "user_id", per_user).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert os.path.exists(marker)
+
+    con = duckdb.connect()
+    want = con.sql(f"""SELECT user_id, count(*) AS n
+                       FROM '{SF}/events.parquet'
+                       GROUP BY user_id ORDER BY user_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -192,3 +192,39 @@ def test_graph_oracles_on_random_tables(tmp_path, seed):
         pd.testing.assert_frame_equal(rc, oc, check_dtype=False,
                                       check_exact=True,
                                       obj=f"{name}@{seed}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_checkpoint_resume(tmp_path, monkeypatch):
+    """A preempted iterative job resumes from the last complete
+    checkpoint: 2 checkpointed rounds + resume to 4 must equal a
+    straight 4-round run at every vertex."""
+    monkeypatch.setattr(G, "PAGERANK_ITERS", 4)
+    d = str(tmp_path / "g")
+    os.makedirs(d, exist_ok=True)
+    orders = []
+    for a, b in ((1, 2), (2, 3), (3, 4), (1, 4), (2, 5)):
+        orders += [[a, b], [a, b]]
+    _write_lineitem(d, orders)
+
+    full = G.part_copurchase_pagerank(d)
+    full = full if isinstance(full, pd.DataFrame) else full.to_pandas()
+
+    # "crash" after 2 checkpointed rounds...
+    store = str(tmp_path / "ckpt")
+    os.makedirs(store, exist_ok=True)
+    monkeypatch.setattr(G, "PAGERANK_ITERS", 2)
+    G.part_copurchase_pagerank(d, checkpoint_dir=store)
+    assert os.path.exists(os.path.join(store, "iter_01", "_DONE"))
+    # ...then resume to 4 total
+    monkeypatch.setattr(G, "PAGERANK_ITERS", 4)
+    resumed = G.resume_pagerank(d, store, n_iters=4)
+    resumed = resumed if isinstance(resumed, pd.DataFrame) \
+        else resumed.to_pandas()
+    assert os.path.exists(os.path.join(store, "iter_03", "_DONE"))
+
+    f = dict(zip(full.part, full.pagerank))
+    r = dict(zip(resumed.part, resumed.pagerank))
+    assert set(f) == set(r)
+    for k in f:
+        assert abs(f[k] - r[k]) < 1e-12, k
