@@ -519,6 +519,122 @@ ORDER BY part
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting (wedge-check, min-vertex orientation)
+# ---------------------------------------------------------------------------
+
+TRIANGLE_TOPK = 20
+
+
+def copurchase_triangles(sf_dir: str):
+    """Per-node triangle participation in the pruned co-purchase graph
+    (top-20 by count) — the clustering-structure primitive. Min-vertex
+    orientation: every triangle {u<v<w} is generated exactly once as a
+    wedge (v, w) at its smallest vertex u, then verified against the
+    directed a<b edge set through ONE side-tagged coarse exchange on
+    the (v, w) pair key — wedges never meet edges anywhere else, and
+    neither the adjacency lists nor the wedge set ever converge on one
+    process. Output: (part, n_triangles)."""
+    empty = pd.DataFrame({"part": pd.Series(dtype="int64"),
+                          "n_triangles": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    pairs = _copurchase_edges(sf_dir)      # doc_a < doc_b, distinct
+    if pairs.empty:
+        return empty
+
+    edges_df = pairs.rename(columns={"doc_a": "a", "doc_b": "b"})
+    edges_ds = rd.from_pandas(edges_df).repartition(8).materialize()
+
+    # wedges at the min vertex: group a<b edges by a; emit neighbor
+    # pairs (v < w) with their generating vertex u
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v, out_w = [], [], []
+        for u, grp in g.groupby("a", sort=False):
+            nb = np.sort(grp["b"].to_numpy())
+            for i in range(len(nb)):
+                for j in range(i + 1, len(nb)):
+                    out_u.append(u)
+                    out_v.append(nb[i])
+                    out_w.append(nb[j])
+        return pd.DataFrame({"u": out_u, "v": out_v, "w": out_w}) \
+            .astype("int64") if out_u else \
+            pd.DataFrame({c: pd.Series(dtype="int64")
+                          for c in ("u", "v", "w")})
+
+    wedge_ds = _coarse_partition_map(edges_ds, "a", wedges)
+
+    def tag_wedges(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(v * (1 << 32) + w),
+             pa.array(np.zeros(len(batch), dtype=np.int8)),
+             batch["u"]],
+            names=["key", "side", "u"])
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(a * (1 << 32) + b),
+             pa.array(np.ones(len(batch), dtype=np.int8)),
+             pa.array(np.full(len(batch), -1, dtype=np.int64))],
+            names=["key", "side", "u"])
+
+    def close_wedges(part: pd.DataFrame) -> pd.DataFrame:
+        have = set(part.loc[part["side"] == 1, "key"].tolist())
+        wg = part[part["side"] == 0]
+        if not have or wg.empty:
+            return pd.DataFrame({"part": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        closed = wg[wg["key"].isin(have)]
+        if closed.empty:
+            return pd.DataFrame({"part": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        keys = closed["key"].to_numpy()
+        nodes = np.concatenate([closed["u"].to_numpy(),
+                                keys >> np.int64(32),
+                                keys & np.int64((1 << 32) - 1)])
+        return pd.DataFrame({"part": nodes}) \
+            .groupby("part", as_index=False).size() \
+            .rename(columns={"size": "n"}).astype("int64")
+
+    counts = _coarse_grouped_map_union(
+        wedge_ds.map_batches(tag_wedges, batch_format="pyarrow",
+                             batch_size=None),
+        edges_ds.map_batches(tag_edges, batch_format="pyarrow",
+                             batch_size=None),
+        close_wedges, key="key")
+
+    def node_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("part", as_index=False)["n"].sum() \
+            .rename(columns={"n": "n_triangles"}).astype("int64")
+
+    return _coarse_partition_map(counts, "part", node_sum) \
+        .sort(["n_triangles", "part"], descending=[True, False]) \
+        .limit(TRIANGLE_TOPK)
+
+
+TRIANGLES_SQL = f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {COMPONENT_MIN_WEIGHT}),
+tri AS (
+  SELECT e1.pa AS u, e1.pb AS v, e2.pb AS w
+  FROM pairs e1 JOIN pairs e2 ON e2.pa = e1.pb
+  JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+SELECT part, count(*) AS n_triangles
+FROM (SELECT u AS part FROM tri UNION ALL
+      SELECT v FROM tri UNION ALL SELECT w FROM tri)
+GROUP BY part
+ORDER BY n_triangles DESC, part
+LIMIT {TRIANGLE_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Set-similarity self-join over order baskets (PPJoin-style prefix filter)
 # ---------------------------------------------------------------------------
 
@@ -669,6 +785,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
                               COPURCHASE_COMPONENTS_SQL),
     "part_copurchase_pagerank": (part_copurchase_pagerank, None),
     "copurchase_bfs_depths": (copurchase_bfs_depths, BFS_SQL),
+    "copurchase_triangles": (copurchase_triangles, TRIANGLES_SQL),
     "orders_similar_baskets": (orders_similar_baskets,
                                SIMILAR_BASKETS_SQL),
 }

@@ -501,6 +501,89 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# Trimmed mean per group (robust central tendency, exact)
+# ---------------------------------------------------------------------------
+
+TRIM_LO_Q = 0.1
+TRIM_HI_Q = 0.9
+
+
+def events_value_trimmed_mean(sf_dir: str):
+    """Per event-type mean of the values between the discrete p10 and
+    p90 (inclusive) — the outlier-robust mean a metrics pipeline
+    reports instead of the raw average. Same compacted (type, cents)
+    histogram exchange as the percentile operator; the trim bounds use
+    DuckDB's quantile_disc index rule ceil(q*n)-1, the kept-range sum
+    and count come exactly from the histogram, and the final mean is
+    one int->double division. Output: (event_type, n_kept,
+    trimmed_mean_x100)."""
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n_kept": pd.Series(dtype="int64"),
+                          "trimmed_mean_x100": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "v_x100": _cents(batch["value"]).to_numpy(zero_copy_only=False),
+            "cnt": np.ones(len(batch), dtype=np.int64)})
+        return _from_pandas(df.groupby(["event_type", "v_x100"],
+                                       as_index=False).sum())
+
+    def hist_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "v_x100"], as_index=False) \
+            ["cnt"].sum()
+
+    from .relational import _coarse_str_partition_map
+    hist = _coarse_str_partition_map(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "event_type", hist_sum).to_pandas()
+    if hist.empty:
+        return empty
+
+    rows = []
+    for etype, g in hist.groupby("event_type"):
+        g = g.sort_values("v_x100")
+        vals = g["v_x100"].to_numpy(dtype=np.int64)
+        cnts = g["cnt"].to_numpy(dtype=np.int64)
+        cum = cnts.cumsum()
+        n = int(cum[-1])
+        lo_i = int(np.ceil(TRIM_LO_Q * n)) - 1     # quantile_disc index
+        hi_i = int(np.ceil(TRIM_HI_Q * n)) - 1
+        lo = vals[np.searchsorted(cum, lo_i, side="right")]
+        hi = vals[np.searchsorted(cum, hi_i, side="right")]
+        keep = (vals >= lo) & (vals <= hi)
+        total = int((vals[keep] * cnts[keep]).sum())
+        kept = int(cnts[keep].sum())
+        rows.append((etype, kept, float(total) / float(kept)))
+    return pd.DataFrame(rows, columns=["event_type", "n_kept",
+                                       "trimmed_mean_x100"]) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+TRIMMED_MEAN_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT event_type, quantile_disc(v, {TRIM_LO_Q}) AS lo,
+         quantile_disc(v, {TRIM_HI_Q}) AS hi
+  FROM c GROUP BY event_type)
+SELECT c.event_type, COUNT(*) AS n_kept,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS trimmed_mean_x100
+FROM c JOIN b ON c.event_type = b.event_type
+WHERE v BETWEEN lo AND hi
+GROUP BY c.event_type
+ORDER BY c.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sequence-pattern matching (CEP / MATCH_RECOGNIZE-lite)
 # ---------------------------------------------------------------------------
 
@@ -562,4 +645,6 @@ STATS_QUERIES: dict[str, tuple] = {
     "events_debounced": (events_debounced, DEBOUNCE_SQL),
     "events_pattern_matches": (events_pattern_matches,
                                PATTERN_MATCHES_SQL),
+    "events_value_trimmed_mean": (events_value_trimmed_mean,
+                                  TRIMMED_MEAN_SQL),
 }
