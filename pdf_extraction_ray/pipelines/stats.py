@@ -501,6 +501,197 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# Z-score normalization (feature scaling REWRITE, bit-exact floats)
+# ---------------------------------------------------------------------------
+
+def events_value_zscore(sf_dir: str):
+    """Per-type z-score of every event's value — the feature-scaling
+    rewrite a training pipeline applies before modeling. Exactness
+    discipline for a float output: both engines evaluate the IDENTICAL
+    expression z = (n*v - sx) / sqrt(n * (n*sxx - sx^2)) from exact
+    integer moments (algebraically (v - mean)/stddev_pop; sqrt is
+    IEEE-correctly-rounded, so same ints -> same double). One moment
+    pass (pre-reduced partials), one broadcast of the 5-row moment
+    table, one vectorized rewrite pass.
+    Output: (event_id, event_type, v_x100, zscore)."""
+    empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                          "event_type": pd.Series(dtype="object"),
+                          "v_x100": pd.Series(dtype="int64"),
+                          "zscore": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    import ray
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "n": np.ones(len(batch), dtype=np.int64),
+            "sx": v, "sxx": v * v})
+        return _from_pandas(df.groupby("event_type", as_index=False).sum())
+
+    mom = (ds.map_batches(moments, batch_format="pyarrow", batch_size=None)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sxx", alias_name="sxx"))
+           .to_pandas())
+    # per-type (n, sx, denom = sqrt(n*(n*sxx - sx^2))) in Python ints
+    # then one float sqrt — identical op order to the oracle SQL
+    table = {}
+    for r in mom.itertuples(index=False):
+        n, sx, sxx = int(r.n), int(r.sx), int(r.sxx)
+        var_num = n * (n * sxx - sx * sx)
+        if n == 0 or var_num == 0:
+            continue
+        table[r.event_type] = (n, sx, float(np.sqrt(float(var_num))))
+    mom_ref = ray.put(table)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        t = ray.get(mom_ref)
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        n = np.array([t[e][0] if e in t else 0 for e in et],
+                     dtype=np.int64)
+        sx = np.array([t[e][1] if e in t else 0 for e in et],
+                      dtype=np.int64)
+        den = np.array([t[e][2] if e in t else np.nan for e in et])
+        keep = n > 0
+        z = (n[keep] * v[keep] - sx[keep]).astype(np.float64) / den[keep]
+        return pa.Table.from_pydict({
+            "event_id": batch["event_id"].to_numpy(
+                zero_copy_only=False)[keep],
+            "event_type": et[keep], "v_x100": v[keep], "zscore": z})
+
+    return ds.map_batches(rewrite, batch_format="pyarrow",
+                          batch_size=None)
+
+
+ZSCORE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(v AS HUGEINT)) AS sx,
+         sum(CAST(v AS HUGEINT) * v) AS sxx
+  FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type, c.v AS v_x100,
+       CAST(m.n * c.v - m.sx AS DOUBLE)
+         / sqrt(CAST(m.n * (m.n * m.sxx - m.sx * m.sx) AS DOUBLE))
+           AS zscore
+FROM c JOIN m ON c.event_type = m.event_type
+WHERE m.n > 0 AND (m.n * m.sxx - m.sx * m.sx) <> 0
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation per group (two-metric moments)
+# ---------------------------------------------------------------------------
+
+def nation_price_qty_corr(sf_dir: str):
+    """Per-supplier-nation Pearson correlation between line quantity
+    and revenue cents — the two-metric extension of the OLS trend:
+    partials (n, sx, sy, sxy, sxx, syy) are exact int64 per batch, the
+    final r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))
+    evaluates once from Python ints with IEEE sqrt on both engines.
+    Output: (nation, n_lines, corr_r)."""
+    empty = pd.DataFrame({"nation": pd.Series(dtype="object"),
+                          "n_lines": pd.Series(dtype="int64"),
+                          "corr_r": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    import ray
+
+    sup = pd.read_parquet(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_pq(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_name"])
+    nk = dict(zip(sup.s_suppkey, sup.s_nationkey))
+    nname = dict(zip(nat.n_nationkey, nat.n_name))
+    maps_ref = ray.put((nk, nname))
+
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk, nname = ray.get(maps_ref)
+        x = _cents(batch["l_quantity"], 1.0).to_numpy(zero_copy_only=False)
+        # revenue in whole DOLLARS: r is scale-invariant and dollar
+        # units keep sum(y^2) inside int64 out to ~sf100 (cents
+        # overflow at sf0.1: sum(y_cents^2) = 2e19 > 2^63)
+        y = _cents(pc.multiply(batch["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0),
+                                           batch["l_discount"])), 1.0) \
+            .to_numpy(zero_copy_only=False)
+        nations = pd.Series(batch["l_suppkey"]
+                            .to_numpy(zero_copy_only=False)) \
+            .map(nk).map(nname)
+        df = pd.DataFrame({"nation": nations.to_numpy(),
+                           "n_lines": np.ones(len(batch), dtype=np.int64),
+                           "sx": x, "sy": y, "sxy": x * y,
+                           "sxx": x * x, "syy": y * y})
+        return _from_pandas(df.groupby("nation", as_index=False).sum())
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("nation")
+             .aggregate(*[Sum(c, alias_name=c) for c in
+                          ("n_lines", "sx", "sy", "sxy", "sxx", "syy")])
+             .to_pandas())
+    rows = []
+    for r in parts.itertuples(index=False):
+        n, sx, sy = int(r.n_lines), int(r.sx), int(r.sy)
+        sxy, sxx, syy = int(r.sxy), int(r.sxx), int(r.syy)
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        if n < 2 or dx == 0 or dy == 0:
+            continue
+        rows.append((r.nation, n,
+                     float(n * sxy - sx * sy)
+                     / (float(np.sqrt(float(dx)))
+                        * float(np.sqrt(float(dy))))))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["nation", "n_lines", "corr_r"]) \
+        .sort_values("nation").reset_index(drop=True)
+
+
+CORR_SQL = """
+WITH pts AS (
+  SELECT n.n_name AS nation,
+         CAST(round(l.l_quantity) AS BIGINT) AS x,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount))
+              AS BIGINT) AS y
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+sums AS (
+  SELECT nation, count(*) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx,
+         sum(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts GROUP BY nation)
+SELECT nation, CAST(n AS BIGINT) AS n_lines,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+            * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_r
+FROM sums
+WHERE n >= 2 AND (n*sxx - sx*sx) <> 0 AND (n*syy - sy*sy) <> 0
+ORDER BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # Trimmed mean per group (robust central tendency, exact)
 # ---------------------------------------------------------------------------
 
@@ -647,4 +838,6 @@ STATS_QUERIES: dict[str, tuple] = {
                                PATTERN_MATCHES_SQL),
     "events_value_trimmed_mean": (events_value_trimmed_mean,
                                   TRIMMED_MEAN_SQL),
+    "events_value_zscore": (events_value_zscore, ZSCORE_SQL),
+    "nation_price_qty_corr": (nation_price_qty_corr, CORR_SQL),
 }

@@ -227,6 +227,7 @@ def test_stats_oracles_on_random_tables(tmp_path, seed):
         "l_suppkey": rng.integers(0, 5, size=n_li).astype(np.int64),
         "l_shipdate": pd.to_datetime("1997-06-01")
         + pd.to_timedelta(rng.integers(0, 900, size=n_li), unit="D"),
+        "l_quantity": rng.integers(1, 100, size=n_li).astype(float),
         "l_extendedprice": rng.integers(0, 2_000_000, size=n_li) / 200.0,
         "l_discount": rng.integers(0, 21, size=n_li) / 200.0}) \
         .to_parquet(os.path.join(d, "lineitem.parquet"))
