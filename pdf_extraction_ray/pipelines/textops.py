@@ -14,6 +14,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Min
@@ -930,6 +931,174 @@ ORDER BY cum_tokens
 
 
 # ---------------------------------------------------------------------------
+# Composed curation pipeline (langid -> quality -> dedup -> budget)
+# ---------------------------------------------------------------------------
+
+CURATION_STAGES = ("raw", "langid_en", "quality", "dedup_exact",
+                   "token_budget")
+
+
+def corpus_curation_stages(sf_dir: str):
+    """The END-TO-END web-corpus curation funnel as ONE oracled
+    operator: raw -> language filter (heuristic langid == 'en') ->
+    quality gate (>= 20 tokens) -> exact dedup (keep min doc_id per
+    md5(lower(trim(text)))) -> token-budget selection (best-score
+    prefix under the budget); emits (stage, n_docs, n_tokens) per
+    stage — the per-stage retention curve every data-curation report
+    shows. Each stage composes the already-oracled kernels; the oracle
+    recomputes the identical funnel as one CTE chain, so the whole
+    COMPOSITION is value-checked, not just the pieces. Text is read
+    once: a single projection pass computes tokens/lang/score/md5 per
+    doc and the funnel runs on the narrow projection (stage 0-2 counts
+    are streamed per-batch partials; dedup is one md5-keyed exchange;
+    the budget stage reuses the fixed-range bucket running total)."""
+    import pyarrow.dataset as pads
+    empty = pd.DataFrame({"stage": pd.Series(dtype="int64"),
+                          "stage_name": pd.Series(dtype="object"),
+                          "n_docs": pd.Series(dtype="int64"),
+                          "n_tokens": pd.Series(dtype="int64")})
+    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
+        return empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        q = T.quality_scores(text)
+        norm = T.normalize_for_dedup(text)
+        md5 = [hashlib.md5(s.encode("utf-8")).hexdigest()
+               for s in norm.to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "n_tokens": q["n_tokens"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "lang": T.langid(text),
+            "score": q["stop_ratio_x1e6"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "md5key": md5})
+
+    proj = _docs(sf_dir).map_batches(project, batch_format="pyarrow",
+                                     batch_size=None).materialize()
+
+    def _counts(ds) -> tuple:
+        n_docs, n_tokens = 0, 0
+        part = ds.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"c": [len(b)],
+                 "t": [int(b["n_tokens"].to_numpy(
+                     zero_copy_only=False).sum())]}),
+            batch_format="pyarrow", batch_size=None)
+        for b in part.iter_batches(batch_format="pyarrow",
+                                   batch_size=None):
+            n_docs += int(np.sum(b["c"].to_numpy(zero_copy_only=False)))
+            n_tokens += int(np.sum(b["t"].to_numpy(zero_copy_only=False)))
+        return n_docs, n_tokens
+
+    s1 = proj.map_batches(
+        lambda b: b.filter(pc.equal(b["lang"], "en")),
+        batch_format="pyarrow", batch_size=None).materialize()
+    s2 = s1.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_tokens"],
+                                            QUALITY_MIN_TOKENS)),
+        batch_format="pyarrow", batch_size=None).materialize()
+
+    # exact dedup: md5-keyed coarse exchange, keep min doc_id per group
+    from .relational import _coarse_str_partition_map
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id").drop_duplicates("md5key")
+
+    s3 = _coarse_str_partition_map(s2, "md5key", keep_first) \
+        .materialize()
+
+    # token budget over s3: fixed-range score buckets -> running total
+    def bucketed(batch: pa.Table) -> pa.Table:
+        s = batch["score"].to_numpy(zero_copy_only=False)
+        b = np.minimum(s * RANK_BUCKETS // (_RANK_SCALE + 1),
+                       RANK_BUCKETS - 1).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b))
+
+    s3b = s3.map_batches(bucketed, batch_format="pyarrow",
+                         batch_size=None).materialize()
+    tok = np.zeros(RANK_BUCKETS, dtype=np.int64)
+    for b in s3b.map_batches(
+            lambda t: pa.Table.from_pydict({"h": [np.bincount(
+                t["bucket"].to_numpy(zero_copy_only=False),
+                weights=t["n_tokens"].to_numpy(zero_copy_only=False),
+                minlength=RANK_BUCKETS).astype(np.int64).tobytes()]}),
+            batch_format="pyarrow", batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for part in b["h"].to_pylist():
+            tok += np.frombuffer(part, dtype=np.int64)
+    higher = np.concatenate([[0], np.cumsum(tok[::-1])[:-1]])[::-1]
+    offsets = {i: int(higher[i]) for i in range(RANK_BUCKETS)}
+
+    def select_fn(g: pd.DataFrame) -> pd.DataFrame:
+        base = offsets[int(g["bucket"].iloc[0])]
+        if base > TOKEN_BUDGET:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64")})
+        g = g.sort_values(["score", "doc_id"],
+                          ascending=[False, True], ignore_index=True)
+        cum = g["n_tokens"].to_numpy().cumsum() + base
+        keep = cum <= TOKEN_BUDGET
+        return g.loc[keep, ["doc_id", "n_tokens"]].astype("int64")
+
+    s4 = s3b.groupby("bucket").map_groups(select_fn,
+                                          batch_format="pandas")
+
+    rows = []
+    for i, (name, ds) in enumerate(zip(
+            CURATION_STAGES, (proj, s1, s2, s3, s4))):
+        c, t = _counts(ds)
+        rows.append((i, name, c, t))
+    return pd.DataFrame(rows, columns=["stage", "stage_name", "n_docs",
+                                       "n_tokens"])
+
+
+def _curation_sql() -> str:
+    sels, case = _langid_pieces()
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents),
+f AS (SELECT doc_id, text, toks, ltoks, {sels} FROM t),
+base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         {case} AS pred_lang,
+         CASE WHEN len(toks) > 0 THEN
+           (CAST(len(list_filter(ltoks, x -> x IN ({_EN}))) AS BIGINT)
+            * 1000000) // len(toks)
+         ELSE 0 END AS score,
+         md5(lower(trim(text))) AS md5key
+  FROM f),
+s1 AS (SELECT * FROM base WHERE pred_lang = 'en'),
+s2 AS (SELECT * FROM s1 WHERE n_tokens >= {QUALITY_MIN_TOKENS}),
+s3 AS (SELECT * FROM s2
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY md5key
+                                  ORDER BY doc_id) = 1),
+s4 AS (SELECT * FROM (
+         SELECT *, SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+         FROM s3)
+       WHERE cum <= {TOKEN_BUDGET})
+SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM base
+UNION ALL SELECT 1, 'langid_en', count(*),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s1
+UNION ALL SELECT 2, 'quality', count(*),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2
+UNION ALL SELECT 3, 'dedup_exact', count(*),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s3
+UNION ALL SELECT 4, 'token_budget', count(*),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s4
+ORDER BY stage
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deterministic epoch shuffle (seeded global training order)
 # ---------------------------------------------------------------------------
 
@@ -1100,6 +1269,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "docs_source_quality_gate": (docs_source_quality_gate,
                                  SOURCE_GATE_SQL),
     "docs_epoch_shuffle": (docs_epoch_shuffle, EPOCH_SHUFFLE_SQL),
+    "corpus_curation_stages": (corpus_curation_stages, _curation_sql()),
     "doc_text_normalized": (doc_text_normalized, NORMALIZED_SQL),
     "doc_quality_rank": (doc_quality_rank, QUALITY_RANK_SQL),
     "doc_trigram_lm": (doc_trigram_lm, None),

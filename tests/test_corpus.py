@@ -6,6 +6,7 @@ DuckDB oracle SQL run over the same parquet file."""
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -220,3 +221,45 @@ def test_dedup_family_on_empty_tables(empty_tables_dir):
         df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         assert df is not None, name
         assert len(df) == 0, name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_curation_funnel_every_stage_drops(tmp_path):
+    """Planted corpus where each funnel stage removes something: a
+    non-English doc (langid), a short doc (quality), an exact duplicate
+    (dedup) — stage counts must match the CTE-chain oracle and strictly
+    decrease through stage 3."""
+    import duckdb
+
+    from pdf_extraction_ray.pipelines.textops import (
+        corpus_curation_stages, _curation_sql)
+
+    en = ("the cat and the dog are in the house and they have seen "
+          "it with his her its they what which over after under again")
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [en, en,                       # exact duplicates
+                 "le la les des une est et dans pour avec sur " * 4,
+                 "the and of to a in is it the and of to",  # en, short
+                 en + " more unique tail words to differ",
+                 ""],
+        "lang": ["en"] * 6,
+        "source": ["s"] * 6})
+    d = str(tmp_path)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    got = corpus_curation_stages(d)
+    by = got.set_index("stage_name")
+    assert by.loc["raw", "n_docs"] == 6
+    assert by.loc["langid_en", "n_docs"] < 6          # french + empty out
+    assert by.loc["quality", "n_docs"] < by.loc["langid_en", "n_docs"]
+    assert by.loc["dedup_exact", "n_docs"] \
+        == by.loc["quality", "n_docs"] - 1            # one dup dropped
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    want = con.sql(_curation_sql()).df()
+    rc = got.sort_values("stage").reset_index(drop=True)
+    oc = want.sort_values("stage").reset_index(drop=True)
+    pd.testing.assert_frame_equal(rc, oc, check_dtype=False)
