@@ -747,7 +747,52 @@ def knn_pq_recall(sf_dir: str):
         "recall_x1e6": [int(hit * 1_000_000 / max(len(exact), 1))]})
 
 
+
+
+def embedding_norms(sf_dir: str):
+    """Per-vector L2 norm — the normalization precursor of every cosine
+    pipeline, as an ORACLED float op: both engines sum the squared
+    components LEFT-TO-RIGHT in float64 (python loop here, DuckDB's
+    sequential list_aggregate there) and take one IEEE sqrt, so the
+    doubles are bit-identical (numpy's pairwise np.sum would NOT be).
+    Output: (vec_id, l2_norm)."""
+    import pyarrow.dataset as pads
+    if pads.dataset(f"{sf_dir}/embeddings.parquet").count_rows() == 0:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "l2_norm": pd.Series(dtype="float64")})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def norms(batch: pa.Table) -> pa.Table:
+        import math
+        embs = batch["embedding"].to_pylist()
+        out = []
+        for row in embs:
+            acc = 0.0
+            for v in row:                     # left-to-right, like SQL
+                fv = float(v)
+                acc += fv * fv
+            out.append(math.sqrt(acc))
+        return pa.Table.from_pydict({
+            "vec_id": batch["vec_id"].to_numpy(zero_copy_only=False),
+            "l2_norm": np.asarray(out)})
+
+    return ds.map_batches(norms, batch_format="pyarrow", batch_size=None)
+
+
+NORMS_SQL = """
+SELECT vec_id,
+       sqrt(list_aggregate(
+            list_transform(embedding, v -> CAST(v AS DOUBLE) * v),
+            'sum')) AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "embedding_norms": (embedding_norms, NORMS_SQL),
     "knn_cosine_pq": (knn_cosine_pq, None),
     "knn_pq_recall": (knn_pq_recall, None),
     "knn_cosine_quantized": (knn_cosine_quantized, None),
