@@ -602,7 +602,10 @@ def main():
                          "part_copurchase_pairs", "copurchase_components",
                          "orders_similar_baskets", "nation_revenue_trend",
                          "events_value_percentiles_cont",
-                         "part_name_fuzzy_pairs"]
+                         "part_name_fuzzy_pairs", "copurchase_triangles",
+                         "events_value_zscore", "corpus_curation_stages",
+                         "docs_epoch_shuffle", "events_stream_sessions",
+                         "events_debounced"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

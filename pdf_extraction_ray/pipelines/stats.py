@@ -555,18 +555,22 @@ def events_value_zscore(sf_dir: str):
         batch = batch.drop_null()
         t = ray.get(mom_ref)
         v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        n = np.array([t[e][0] if e in t else 0 for e in et],
-                     dtype=np.int64)
-        sx = np.array([t[e][1] if e in t else 0 for e in et],
-                      dtype=np.int64)
-        den = np.array([t[e][2] if e in t else np.nan for e in et])
+        ets = pd.Series(batch["event_type"].to_numpy(zero_copy_only=False))
+        # vectorized per-type lookups (a python loop here is the hot
+        # path at full row count)
+        n = ets.map({k: m[0] for k, m in t.items()}) \
+            .fillna(0).to_numpy(dtype=np.int64)
+        sx = ets.map({k: m[1] for k, m in t.items()}) \
+            .fillna(0).to_numpy(dtype=np.int64)
+        den = ets.map({k: m[2] for k, m in t.items()}).to_numpy(
+            dtype=np.float64)
         keep = n > 0
         z = (n[keep] * v[keep] - sx[keep]).astype(np.float64) / den[keep]
         return pa.Table.from_pydict({
             "event_id": batch["event_id"].to_numpy(
                 zero_copy_only=False)[keep],
-            "event_type": et[keep], "v_x100": v[keep], "zscore": z})
+            "event_type": ets.to_numpy()[keep], "v_x100": v[keep],
+            "zscore": z})
 
     return ds.map_batches(rewrite, batch_format="pyarrow",
                           batch_size=None)
