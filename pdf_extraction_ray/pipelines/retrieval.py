@@ -259,7 +259,59 @@ def rag_ab_compare(sf_dir: str):
     return out.sort_values("query_id").reset_index(drop=True)
 
 
+
+
+MMR_LAMBDA = 0.7
+
+
+def rag_mmr_contexts(sf_dir: str, context_k: int = CONTEXT_K):
+    """Maximal-Marginal-Relevance retrieval: the stage-1 pool is
+    re-selected greedily by lambda*sim(query, c) - (1-lambda)*max
+    sim(c, already-selected) — the diversity-aware selection that keeps
+    near-duplicate chunks from filling the whole context window. The
+    pairwise similarities are computed only over the pooled TOP_K
+    candidates per query (the expensive all-pairs step never touches
+    the corpus). Output: (query_id, query, context, mmr_first_x1e6)."""
+
+    def mmr_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_x1e6", "doc_id", "chunk_id"],
+                          ascending=[False, True, True]).head(TOP_K)             .reset_index(drop=True)
+        qi = int(g["query_id"].iloc[0])
+        emb = HashEmbedder()
+        cand = emb.embed(pa.array(list(g["chunk_text"])))
+        cand = cand / np.maximum(
+            np.linalg.norm(cand, axis=1, keepdims=True), 1e-12)
+        qsim = g["score_x1e6"].to_numpy().astype(np.float64)
+        pair = cand @ cand.T
+        chosen: list[int] = []
+        remaining = list(range(len(g)))
+        while remaining and len(chosen) < context_k:
+            best_i, best_v = None, None
+            for i in remaining:
+                div = max((pair[i, j] for j in chosen), default=0.0)
+                v = MMR_LAMBDA * qsim[i] - (1 - MMR_LAMBDA) * div * 1e6
+                # deterministic tie-break: earlier pool position wins
+                if best_v is None or v > best_v + 1e-9:
+                    best_i, best_v = i, v
+            chosen.append(best_i)
+            remaining.remove(best_i)
+        sel = g.iloc[chosen]
+        ctx = "\n\n".join(f"[문서 {i + 1}] {t}"
+                           for i, t in enumerate(sel["chunk_text"]))
+        return pd.DataFrame({"query_id": [qi],
+                             "query": [EVAL_QUERIES[qi]],
+                             "context": [ctx],
+                             "mmr_first_x1e6":
+                             [np.int64(g["score_x1e6"].iloc[chosen[0]])]})
+
+    return (_stage1_candidates(sf_dir)
+            .groupby("query_id")
+            .map_groups(mmr_group, batch_format="pandas")
+            .sort("query_id"))
+
+
 RETRIEVAL_QUERIES: dict[str, tuple] = {
+    "rag_mmr_contexts": (rag_mmr_contexts, None),
     "chunk_stats": (chunk_stats, None),
     "rag_topk_contexts": (rag_topk_contexts, None),
     "rag_reranked_contexts": (rag_reranked_contexts, None),

@@ -116,3 +116,30 @@ def test_reranked_contexts_prefer_lexical_overlap(tmp_path):
         assert int(r["top_rerank_x1e6"]) == 1_000_000
     again = rag_reranked_contexts(str(d)).to_pandas()
     pd.testing.assert_frame_equal(out, again)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mmr_contexts_diversify():
+    """MMR selection: one row per eval query; the FIRST pick maximizes
+    query similarity (lambda term dominates an empty selected set), and
+    at least one query's context differs from the plain top-k context
+    (the diversity term re-orders near-duplicate-heavy pools)."""
+    SF = "/root/testdata/sf0.001"
+    from pdf_extraction_ray.pipelines.retrieval import (
+        rag_mmr_contexts, rag_topk_contexts, _stage1_candidates)
+
+    mmr = rag_mmr_contexts(SF).to_pandas()
+    assert len(mmr) == 5
+    assert (mmr.context.str.len() > 0).all()
+
+    # first pick == stage-1 argmax per query
+    pool = _stage1_candidates(SF).to_pandas()
+    best = pool.sort_values(["score_x1e6", "doc_id", "chunk_id"],
+                            ascending=[False, True, True]) \
+        .groupby("query_id").first()
+    got = mmr.set_index("query_id")["mmr_first_x1e6"]
+    for qi in got.index:
+        assert got.loc[qi] == best.loc[qi, "score_x1e6"], qi
+
+    plain = rag_topk_contexts(SF).to_pandas()
+    assert (mmr.context.values != plain.context.values).any()
