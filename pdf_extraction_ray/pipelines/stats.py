@@ -397,6 +397,161 @@ ORDER BY name_a, name_b
 
 
 # ---------------------------------------------------------------------------
+# Feature-table build (star-join denormalization rewrite)
+# ---------------------------------------------------------------------------
+
+def events_feature_table(sf_dir: str):
+    """The feature-engineering denormalization every training pipeline
+    runs before modeling: one wide row per event with the user's
+    account features (balance cents, segment, nation name) and derived
+    time features (hour-of-day, day-of-week) attached. The dimension
+    chain customer->nation broadcasts once (dimension-bounded; the
+    co-partitioned q10 machinery is the fallback when the user side
+    stops being broadcastable) and the rewrite is a single vectorized
+    map over the fact stream — no exchange at all.
+    Output: (event_id, user_id, hour, dow, value_x100, bal_x100,
+    segment, nation)."""
+    empty = pd.DataFrame({
+        "event_id": pd.Series(dtype="int64"),
+        "user_id": pd.Series(dtype="int64"),
+        "hour": pd.Series(dtype="int64"),
+        "dow": pd.Series(dtype="int64"),
+        "value_x100": pd.Series(dtype="int64"),
+        "bal_x100": pd.Series(dtype="int64"),
+        "segment": pd.Series(dtype="object"),
+        "nation": pd.Series(dtype="object")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    import ray
+
+    cust = pd.read_parquet(_pq(sf_dir, "customer"),
+                           columns=["c_custkey", "c_acctbal",
+                                    "c_mktsegment", "c_nationkey"])
+    nat = pd.read_parquet(_pq(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_name"])
+    side = cust.merge(nat, left_on="c_nationkey",
+                      right_on="n_nationkey")
+    from ..functions.arrow_utils import round_half_away
+    side_map = {
+        int(r.c_custkey): (int(round_half_away(
+            np.array([r.c_acctbal]))[0]), r.c_mktsegment, r.n_name)
+        for r in side.assign(c_acctbal=side.c_acctbal * 100.0)
+        .itertuples()}
+    side_ref = ray.put(side_map)
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        m = ray.get(side_ref)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        feats = pd.Series(uid).map(m)
+        keep = feats.notna().to_numpy()          # INNER join semantics
+        feats = feats[keep]
+        ts = pd.Series(batch["ts"].to_numpy(zero_copy_only=False)[keep])
+        return pa.Table.from_pydict({
+            "event_id": batch["event_id"].to_numpy(
+                zero_copy_only=False)[keep],
+            "user_id": uid[keep],
+            "hour": ts.dt.hour.to_numpy(dtype=np.int64),
+            "dow": ts.dt.dayofweek.to_numpy(dtype=np.int64),
+            "value_x100": _cents(batch["value"]).to_numpy(
+                zero_copy_only=False)[keep],
+            "bal_x100": np.array([f[0] for f in feats], dtype=np.int64),
+            "segment": np.array([f[1] for f in feats], dtype=object),
+            "nation": np.array([f[2] for f in feats], dtype=object)})
+
+    return ds.map_batches(widen, batch_format="pyarrow", batch_size=None)
+
+
+FEATURE_TABLE_SQL = """
+SELECT e.event_id, e.user_id,
+       CAST(hour(e.ts) AS BIGINT) AS hour,
+       CAST(isodow(e.ts) - 1 AS BIGINT) AS dow,
+       CAST(round(e.value * 100) AS BIGINT) AS value_x100,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_x100,
+       c.c_mktsegment AS segment,
+       n.n_name AS nation
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total contribution (two-pass share analysis)
+# ---------------------------------------------------------------------------
+
+def nation_revenue_share(sf_dir: str):
+    """Each supplier nation's revenue share of the corpus total — the
+    contribution-analysis window (SUM OVER ()) as a two-pass
+    distributed plan: pass 1 is the existing pre-reduced grouped sum,
+    the scalar total folds driver-side in Python ints, and the share is
+    one exact int->double division per group.
+    Output: (nation, revenue_x100, share)."""
+    empty = pd.DataFrame({"nation": pd.Series(dtype="object"),
+                          "revenue_x100": pd.Series(dtype="int64"),
+                          "share": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    sup = pd.read_parquet(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_pq(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_name"])
+    nk = dict(zip(sup.s_suppkey, sup.s_nationkey))
+    nname = dict(zip(nat.n_nationkey, nat.n_name))
+    maps_ref = ray.put((nk, nname))
+
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk, nname = ray.get(maps_ref)
+        y = _cents(pc.multiply(batch["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0),
+                                           batch["l_discount"]))) \
+            .to_numpy(zero_copy_only=False)
+        nations = pd.Series(batch["l_suppkey"]
+                            .to_numpy(zero_copy_only=False)) \
+            .map(nk).map(nname)
+        df = pd.DataFrame({"nation": nations.to_numpy(),
+                           "revenue_x100": y})
+        return _from_pandas(df.groupby("nation", as_index=False).sum())
+
+    g = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby("nation")
+         .aggregate(_Sum("revenue_x100", alias_name="revenue_x100"))
+         .to_pandas())
+    total = int(g["revenue_x100"].astype("int64").sum())
+    if total == 0:
+        return empty
+    g["revenue_x100"] = g["revenue_x100"].astype("int64")
+    g["share"] = np.array(
+        [float(int(v)) / float(total) for v in g["revenue_x100"]])
+    return g.sort_values("nation").reset_index(drop=True)
+
+
+REVENUE_SHARE_SQL = """
+WITH g AS (
+  SELECT n.n_name AS nation,
+         SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT)) AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name)
+SELECT nation, CAST(rev AS BIGINT) AS revenue_x100,
+       CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share
+FROM g ORDER BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # Entity clusters over the fuzzy name pairs (blocking -> verify -> resolve)
 # ---------------------------------------------------------------------------
 
@@ -843,5 +998,7 @@ STATS_QUERIES: dict[str, tuple] = {
     "events_value_trimmed_mean": (events_value_trimmed_mean,
                                   TRIMMED_MEAN_SQL),
     "events_value_zscore": (events_value_zscore, ZSCORE_SQL),
+    "events_feature_table": (events_feature_table, FEATURE_TABLE_SQL),
+    "nation_revenue_share": (nation_revenue_share, REVENUE_SHARE_SQL),
     "nation_price_qty_corr": (nation_price_qty_corr, CORR_SQL),
 }

@@ -238,9 +238,19 @@ def test_stats_oracles_on_random_tables(tmp_path, seed):
     pd.DataFrame({"n_nationkey": np.arange(3, dtype=np.int32),
                   "n_name": ["N_A", "N_B", "N_C"]}) \
         .to_parquet(os.path.join(d, "nation.parquet"))
+    # customer keys 0..3: user 4 is an orphan the INNER join must drop,
+    # balances on half-cent boundaries stress ROUND parity
+    pd.DataFrame({"c_custkey": np.arange(4, dtype=np.int64),
+                  "c_acctbal": rng.integers(-4000, 4000, size=4) / 2.0
+                  / 100.0 * 100.0,
+                  "c_mktsegment": rng.choice(["A", "B"], size=4),
+                  "c_nationkey": np.array([0, 1, 2, 0],
+                                          dtype=np.int32)}) \
+        .to_parquet(os.path.join(d, "customer.parquet"))
 
     con = duckdb.connect()
-    for t in ("events", "part", "lineitem", "supplier", "nation"):
+    for t in ("events", "part", "lineitem", "supplier", "nation",
+              "customer"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{d}/{t}.parquet')")
     for name, (fn, sql) in S.STATS_QUERIES.items():
