@@ -656,6 +656,87 @@ ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# Decile binning (quantile-bound feature bucketing, all-integer)
+# ---------------------------------------------------------------------------
+
+N_DECILES = 10
+
+
+def events_value_deciles(sf_dir: str):
+    """Assign every event its global value DECILE (1..10) — the
+    quantile-binning rewrite feature pipelines use for monotone
+    bucketing. Bucket = 1 + (# decile bounds strictly below the value),
+    with bounds = quantile_disc(k/10) computed exactly from the
+    compacted value histogram (DuckDB's ceil(q*n)-1 index rule) and
+    broadcast; the assignment is one vectorized searchsorted per batch.
+    All-integer logic — no float boundary risk at the bucket edges.
+    Output: (event_id, v_x100, decile)."""
+    empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                          "v_x100": pd.Series(dtype="int64"),
+                          "decile": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    import ray
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.drop_null()
+        df = pd.DataFrame({
+            "v_x100": _cents(batch["value"]).to_numpy(zero_copy_only=False),
+            "cnt": np.ones(len(batch), dtype=np.int64)})
+        return _from_pandas(df.groupby("v_x100", as_index=False).sum())
+
+    def hist_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v_x100", as_index=False)["cnt"].sum()
+
+    hist = _coarse_partition_map(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "v_x100", hist_sum).to_pandas().sort_values("v_x100")
+    if hist.empty:
+        return empty
+    vals = hist["v_x100"].to_numpy(dtype=np.int64)
+    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1])
+    bounds = []
+    for k in range(1, N_DECILES):
+        idx = int(np.ceil(k / N_DECILES * n)) - 1   # quantile_disc rule
+        bounds.append(int(vals[np.searchsorted(cum, idx, side="right")]))
+    b_ref = ray.put(np.asarray(bounds, dtype=np.int64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = ray.get(b_ref)
+        batch = batch.drop_null()
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        # decile = 1 + (# bounds strictly below v)
+        dec = 1 + np.searchsorted(b, v, side="left")
+        return pa.Table.from_pydict({
+            "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+            "v_x100": v, "decile": dec.astype(np.int64)})
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def _deciles_sql() -> str:
+    bounds = ", ".join(
+        f"quantile_disc(v, {k}/10.0) AS b{k}" for k in range(1, N_DECILES))
+    terms = " + ".join(
+        f"CASE WHEN c.v > b.b{k} THEN 1 ELSE 0 END"
+        for k in range(1, N_DECILES))
+    return f"""
+WITH c AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+b AS (SELECT {bounds} FROM c)
+SELECT c.event_id, c.v AS v_x100,
+       CAST(1 + {terms} AS BIGINT) AS decile
+FROM c, b
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Z-score normalization (feature scaling REWRITE, bit-exact floats)
 # ---------------------------------------------------------------------------
 
@@ -998,6 +1079,7 @@ STATS_QUERIES: dict[str, tuple] = {
     "events_value_trimmed_mean": (events_value_trimmed_mean,
                                   TRIMMED_MEAN_SQL),
     "events_value_zscore": (events_value_zscore, ZSCORE_SQL),
+    "events_value_deciles": (events_value_deciles, _deciles_sql()),
     "events_feature_table": (events_feature_table, FEATURE_TABLE_SQL),
     "nation_revenue_share": (nation_revenue_share, REVENUE_SHARE_SQL),
     "nation_price_qty_corr": (nation_price_qty_corr, CORR_SQL),
