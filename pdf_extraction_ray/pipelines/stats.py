@@ -1065,6 +1065,123 @@ FROM seqs ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped exact mode (aggregate -> argmax): modal event type per user
+# ---------------------------------------------------------------------------
+
+def events_user_modal_type(sf_dir: str):
+    """Most frequent event type per user, ties broken by smallest type
+    string — the aggregate-then-argmax plan shape (distinct from the
+    row_number-top-1-by-VALUE of top_order_per_customer: here the argmax
+    runs over a DERIVED count, so the job is two aggregation levels).
+    Scale shape: per-batch pandas groupby pre-reduces (user, type) counts
+    map-side, so the one coarse exchange moves <= |users|x|types| partial
+    rows, never events. All-integer counts + lexicographic ties => the
+    DuckDB window oracle is bit-exact.
+    Output: (user_id, modal_type, n_modal)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["user_id", "event_type"], sort=False) \
+              .size().rename("n").reset_index()
+        return c
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], sort=False)["n"] \
+             .sum().reset_index()
+        c = c.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True],
+                          ignore_index=True)
+        top = c.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": top["user_id"].astype("int64"),
+            "modal_type": top["event_type"].astype("object"),
+            "n_modal": top["n"].astype("int64")})
+
+    return _coarse_partition_map(partials, "user_id", argmax)
+
+
+MODAL_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n_modal
+  FROM events GROUP BY user_id, event_type),
+r AS (
+  SELECT user_id, event_type AS modal_type, n_modal,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n_modal DESC, event_type) AS rk
+  FROM c)
+SELECT user_id, modal_type, n_modal FROM r WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics per user (exact integer microseconds)
+# ---------------------------------------------------------------------------
+
+def events_user_interarrival(sf_dir: str):
+    """Per-user inter-arrival statistics over the ordered event stream:
+    event count, total span (last-first, == the telescoping sum of
+    gaps), and max/min gap, all in exact integer microseconds (-1
+    max/min for single-event users, matching the SQL COALESCE over an
+    all-NULL LAG window). One user-keyed coarse exchange; gaps are one
+    vectorized diff per partition and the per-user max/min reduce is a
+    pandas hash groupby over the within-user gap rows only.
+    Output: (user_id, n_events, span_us, max_gap_us, min_gap_us)."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]") \
+                       .astype(np.int64)
+        if len(g) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "span_us": pd.Series(dtype="int64"),
+                "max_gap_us": pd.Series(dtype="int64"),
+                "min_gap_us": pd.Series(dtype="int64")})
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        counts = np.diff(np.r_[starts, len(uid)])
+        span = ts_us[starts + counts - 1] - ts_us[starts]
+        out = pd.DataFrame({"user_id": uid[starts],
+                            "n_events": counts.astype(np.int64),
+                            "span_us": span})
+        within = uid[1:] == uid[:-1]
+        gaps = pd.DataFrame({"user_id": uid[1:][within],
+                             "gap": ts_us[1:][within]
+                             - ts_us[:-1][within]})
+        mm = gaps.groupby("user_id")["gap"].agg(["max", "min"])
+        out = out.merge(mm, on="user_id", how="left")
+        out["max_gap_us"] = out.pop("max").fillna(-1).astype("int64")
+        out["min_gap_us"] = out.pop("min").fillna(-1).astype("int64")
+        return out
+
+    return _coarse_partition_map(ds, "user_id", stats)
+
+
+INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS span_us,
+       COALESCE(MAX(gap), -1) AS max_gap_us,
+       COALESCE(MIN(gap), -1) AS min_gap_us
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
     "nation_revenue_trend": (nation_revenue_trend, TREND_SQL),
     "events_value_percentiles_cont": (events_value_percentiles_cont,
@@ -1083,4 +1200,7 @@ STATS_QUERIES: dict[str, tuple] = {
     "events_feature_table": (events_feature_table, FEATURE_TABLE_SQL),
     "nation_revenue_share": (nation_revenue_share, REVENUE_SHARE_SQL),
     "nation_price_qty_corr": (nation_price_qty_corr, CORR_SQL),
+    "events_user_modal_type": (events_user_modal_type, MODAL_TYPE_SQL),
+    "events_user_interarrival": (events_user_interarrival,
+                                 INTERARRIVAL_SQL),
 }

@@ -170,6 +170,39 @@ def test_debounce_boundaries(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_modal_type_tiebreak_and_interarrival(tmp_path):
+    """Tied counts resolve to the lexicographically smallest type; a
+    single-event user reports -1 gaps and span 0; span telescopes to
+    last-first regardless of intermediate gaps."""
+    d = str(tmp_path)
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        (1, 1, "b", t0),            # user 1: b x2, a x2 -> tie -> "a"
+        (2, 1, "b", t0 + 3 * s),
+        (3, 1, "a", t0 + 10 * s),
+        (4, 1, "a", t0 + 11 * s),
+        (5, 2, "z", t0),            # single event: -1 gaps, span 0
+    ]
+    pd.DataFrame(rows, columns=["event_id", "user_id", "event_type",
+                                "ts"]) \
+        .assign(value=1.0) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+
+    out = S.events_user_modal_type(d).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert list(out.modal_type) == ["a", "z"]
+    assert list(out.n_modal) == [2, 1]
+
+    ia = S.events_user_interarrival(d).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert list(ia.n_events) == [4, 1]
+    assert list(ia.span_us) == [11_000_000, 0]
+    assert list(ia.max_gap_us) == [7_000_000, -1]
+    assert list(ia.min_gap_us) == [1_000_000, -1]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_stats_family_on_empty_tables(tmp_path):
     import pyarrow.parquet as pq
     d = str(tmp_path / "empty")
