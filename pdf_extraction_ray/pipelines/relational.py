@@ -903,6 +903,50 @@ FROM orders GROUP BY month ORDER BY month
 """
 
 
+def orders_monthly_growth(sf_dir: str):
+    """Month-over-month revenue growth: a WINDOW OVER AN AGGREGATE —
+    the full-size scan reduces to one row per month first (exact cents,
+    the distributed part), then the LAG ratio runs on that tiny
+    months-sized table driver-side (at 100 TB this table is still
+    <=1200 rows, so a driver window is the scale-honest plan, not a
+    shuffle). growth is ONE IEEE division of two exact integers, so the
+    oracle matches bit-exactly; the first month carries prev=-1 and
+    growth 0 by convention (COALESCE in the oracle).
+    Output: (month, total_x100, prev_x100, growth)."""
+    m = orders_monthly(sf_dir).to_pandas()
+    if len(m) == 0:
+        return pd.DataFrame({"month": pd.Series(dtype="object"),
+                             "total_x100": pd.Series(dtype="int64"),
+                             "prev_x100": pd.Series(dtype="int64"),
+                             "growth": pd.Series(dtype="float64")})
+    m = m.sort_values("month", ignore_index=True)
+    total = m["total_x100"].to_numpy(np.int64)
+    prev = np.empty_like(total)
+    prev[0] = -1
+    prev[1:] = total[:-1]
+    growth = np.zeros(len(total), dtype=np.float64)
+    growth[1:] = (total[1:] - prev[1:]).astype(np.float64) \
+        / prev[1:].astype(np.float64)
+    return pd.DataFrame({"month": m["month"], "total_x100": total,
+                         "prev_x100": prev, "growth": growth})
+
+
+ORDERS_MONTHLY_GROWTH_SQL = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_x100
+  FROM orders GROUP BY month)
+SELECT month, total_x100,
+       COALESCE(LAG(total_x100) OVER (ORDER BY month), -1) AS prev_x100,
+       COALESCE(CAST(total_x100 - LAG(total_x100) OVER (ORDER BY month)
+                     AS DOUBLE)
+                / CAST(LAG(total_x100) OVER (ORDER BY month) AS DOUBLE),
+                0.0) AS growth
+FROM m ORDER BY month
+"""
+
+
 # ---------------------------------------------------------------------------
 # Broadcast dimension join + top-k (part brands by revenue)
 # ---------------------------------------------------------------------------
@@ -3843,6 +3887,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "filter_high_quantity": (filter_high_quantity, FILTER_SQL),
     "distinct_segments": (distinct_segments, DISTINCT_SQL),
     "orders_monthly": (orders_monthly, ORDERS_MONTHLY_SQL),
+    "orders_monthly_growth": (orders_monthly_growth,
+                              ORDERS_MONTHLY_GROWTH_SQL),
     "brand_revenue_topk": (brand_revenue_topk, BRAND_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
