@@ -645,6 +645,115 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Small-file compaction (bin-pack fragments to target-size files)
+# ---------------------------------------------------------------------------
+
+COMPACT_FRAGMENTS = 48   # fragmentation factor for the demo query
+COMPACT_BINS = 8         # target ~8 compacted files
+
+
+def plan_compaction_bins(in_dir: str,
+                         target_bytes: int) -> list[list[str]]:
+    """Deterministic next-fit bin packing over the fragment FILE SIZES
+    (footer metadata only — the plan never reads data bytes, so at
+    100 TB planning is O(n_files) driver work on a directory listing).
+    Files are taken in sorted-name order; a bin closes when adding the
+    next file would exceed ``target_bytes`` (a single oversized file
+    gets its own bin — compaction never splits a file)."""
+    files = sorted(
+        os.path.join(in_dir, f) for f in os.listdir(in_dir)
+        if f.endswith(".parquet"))
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in files:
+        s = os.path.getsize(f)
+        if cur and cur_bytes + s > target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += s
+    if cur:
+        bins.append(cur)
+    return bins
+
+
+def compact_parquet_dir(in_dir: str, out_dir: str,
+                        target_bytes: int):
+    """Distributed small-file compaction: rewrite a directory of many
+    small parquet fragments into ~``total/target_bytes`` files of
+    ~``target_bytes`` each — the table-maintenance pass every long-lived
+    100 TB dataset needs after incremental/resumable writes (the north
+    rule's per-shard sinks produce one file per shard; readers want
+    row-group-sized files). One Ray task per output bin reads only its
+    own fragments and writes exactly one file (idempotent name
+    ``part-{bin:05d}.parquet``), so a failed run reruns only missing
+    bins and no task ever holds more than ``target_bytes`` of input.
+    Returns the per-bin stats Dataset (bin, n_files, rows)."""
+    os.makedirs(out_dir, exist_ok=True)
+    bins = plan_compaction_bins(in_dir, target_bytes)
+
+    def compact_bin(row: dict) -> dict:
+        import pyarrow.parquet as pq
+        tbl = pa.concat_tables([pq.read_table(f) for f in row["files"]])
+        pq.write_table(
+            tbl, os.path.join(out_dir, f"part-{row['bin']:05d}.parquet"))
+        return {"bin": row["bin"], "n_files": len(row["files"]),
+                "rows": tbl.num_rows}
+
+    if not bins:
+        return rd.from_items([])
+    return rd.from_items(
+        [{"bin": i, "files": b} for i, b in enumerate(bins)]).map(compact_bin)
+
+
+def events_compacted_roundtrip(sf_dir: str):
+    """Fragment events into COMPACT_FRAGMENTS small files, compact them
+    to ~COMPACT_BINS target-size files with ``compact_parquet_dir``,
+    then recompute (n_events, value_x100) FROM THE COMPACTED LAYOUT.
+    The oracle recomputes from the raw table, proving the compaction
+    round-trip is lossless (row- and value-exact)."""
+    empty = pd.DataFrame({"n_events": pd.Series(dtype="int64"),
+                          "value_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    root = tempfile.mkdtemp(prefix="compact_", dir="/tmp")
+    try:
+        frag = os.path.join(root, "frags")
+        outd = os.path.join(root, "compacted")
+        (rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "value"])
+         .repartition(COMPACT_FRAGMENTS).write_parquet(frag))
+        total = sum(os.path.getsize(os.path.join(frag, f))
+                    for f in os.listdir(frag))
+        stats = compact_parquet_dir(
+            frag, outd, max(1, total // COMPACT_BINS)).to_pandas()
+        assert int(stats["n_files"].sum()) == len(os.listdir(frag))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "n_events": [len(v)],
+                "value_x100": [int(v.sum())]})
+
+        agg = (rd.read_parquet(outd, columns=["value"])
+               .map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas())
+        return pd.DataFrame({"n_events": [int(agg["n_events"].sum())],
+                             "value_x100": [int(agg["value_x100"].sum())]})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+COMPACTED_ROUNDTRIP_SQL = """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+           AS value_x100
+FROM events
+"""
+
+
 STORAGE_QUERIES: dict[str, tuple] = {
     "orders_monthly_view": (orders_monthly_view, MONTHLY_VIEW_SQL),
     "events_zorder_prune": (events_zorder_prune, ZORDER_PRUNE_SQL),
@@ -652,4 +761,6 @@ STORAGE_QUERIES: dict[str, tuple] = {
     "customer_snapshot_diff": (customer_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "events_partitioned_prune": (events_partitioned_prune,
                                  PARTITIONED_PRUNE_SQL),
+    "events_compacted_roundtrip": (events_compacted_roundtrip,
+                                   COMPACTED_ROUNDTRIP_SQL),
 }

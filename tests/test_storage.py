@@ -301,3 +301,49 @@ class TestPartitionedPrune:
         out = events_partitioned_prune(d)
         assert len(out) == 0
         assert list(out.columns) == ["day", "n_events", "value_x100"]
+
+
+class TestCompaction:
+    def test_plan_next_fit_semantics(self, tmp_path):
+        from pdf_extraction_ray.pipelines.storage import plan_compaction_bins
+        d = str(tmp_path / "frags")
+        os.makedirs(d)
+        # deterministic sizes via padded binary columns: name order a..e
+        sizes = {"a": 100, "b": 100, "c": 100, "d": 500, "e": 100}
+        for name, extra in sizes.items():
+            with open(os.path.join(d, f"{name}.parquet"), "wb") as f:
+                f.write(b"x" * extra)
+        bins = plan_compaction_bins(d, target_bytes=250)
+        names = [[os.path.basename(p)[0] for p in b] for b in bins]
+        # a+b fit (200), c opens a new bin, d (500 > target) closes c's
+        # bin and sits alone (never split), e starts fresh
+        assert names == [["a", "b"], ["c"], ["d"], ["e"]]
+        # every multi-file bin respects the target on INPUT bytes
+        for b in bins:
+            if len(b) > 1:
+                assert sum(os.path.getsize(p) for p in b) <= 250
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_compact_roundtrip_content_exact(self, tmp_path):
+        from pdf_extraction_ray.pipelines.storage import (
+            compact_parquet_dir, plan_compaction_bins)
+        import pyarrow.parquet as pq
+        frag = str(tmp_path / "in")
+        outd = str(tmp_path / "out")
+        df = pd.DataFrame({"k": np.arange(5000, dtype=np.int64),
+                           "v": np.arange(5000, dtype=np.int64) * 3})
+        rd.from_pandas(df).repartition(20).write_parquet(frag)
+        n_in = len(os.listdir(frag))
+        assert n_in >= 10
+        total = sum(os.path.getsize(os.path.join(frag, f))
+                    for f in os.listdir(frag))
+        target = total // 4
+        stats = compact_parquet_dir(frag, outd, target).to_pandas()
+        outs = sorted(os.listdir(outd))
+        assert len(outs) == len(plan_compaction_bins(frag, target))
+        assert len(outs) < n_in                       # actually compacted
+        assert int(stats["rows"].sum()) == 5000
+        back = pd.concat([pq.read_table(os.path.join(outd, f)).to_pandas()
+                          for f in outs]).sort_values("k",
+                                                      ignore_index=True)
+        pd.testing.assert_frame_equal(back, df)
