@@ -1182,6 +1182,125 @@ FROM g GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact selection over an UNBOUNDED value domain (multi-pass refinement)
+# ---------------------------------------------------------------------------
+
+SELECT_BUCKETS = 1 << 16
+
+
+def orders_price_median_exact(sf_dir: str):
+    """Exact interpolated median of o_totalprice (cents) — distributed
+    SELECTION over a near-continuous column. events_value_percentiles
+    exploits a bounded cent domain (~50k distinct values compact into
+    one histogram); order prices don't compact (cardinality ~ rows), so
+    this uses the classic multi-pass refinement instead, never assuming
+    a bounded domain:
+
+      pass 1: (n, min, max) aggregate;
+      pass 2: 65536-bucket count histogram (per-batch np.bincount
+              partials, pre-reduced map-side — the exchange moves
+              <= 65536 rows per batch, never values);
+      pass 3: exact (value, count) compaction of ONLY the straddling
+              bucket range (expected n/65536 rows — at 100 TB with a
+              pathological single-bucket skew the pass re-refines, but
+              on any real distribution one refinement suffices).
+
+    The bracket values interpolate with DuckDB's Interpolator op order
+    (lo*(CRN-RN) + hi*(RN-FRN)), so the oracle is bit-exact.
+    Output: (n_orders, median_x100)."""
+    empty = pd.DataFrame({"n_orders": pd.Series(dtype="int64"),
+                          "median_x100": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+
+    def cents_ds():
+        ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_totalprice"])
+
+        def to_cents(batch: pa.Table) -> pa.Table:
+            c = _cents(batch["o_totalprice"])
+            return pa.Table.from_arrays([c], names=["cents"])
+
+        return ds.map_batches(to_cents, batch_format="pyarrow",
+                              batch_size=None)
+
+    # pass 1: n / min / max
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = batch["cents"].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.Table.from_pydict(
+                {"n": [], "lo": [], "hi": []},
+                schema=pa.schema([("n", pa.int64()), ("lo", pa.int64()),
+                                  ("hi", pa.int64())]))
+        return pa.Table.from_pydict({"n": [len(v)],
+                                     "lo": [int(v.min())],
+                                     "hi": [int(v.max())]})
+
+    mm = cents_ds().map_batches(minmax, batch_format="pyarrow",
+                                batch_size=None).to_pandas()
+    if mm.empty or mm["n"].sum() == 0:
+        return empty
+    n = int(mm["n"].sum())
+    lo_dom, hi_dom = int(mm["lo"].min()), int(mm["hi"].max())
+    width = max(1, (hi_dom - lo_dom + SELECT_BUCKETS) // SELECT_BUCKETS)
+
+    # pass 2: bucket-count histogram (bounded exchange)
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        v = batch["cents"].to_numpy(zero_copy_only=False)
+        b = (v - lo_dom) // width
+        cnt = np.bincount(b, minlength=1)
+        nz = np.flatnonzero(cnt)
+        return pa.Table.from_pydict({"bucket": nz.astype(np.int64),
+                                     "cnt": cnt[nz].astype(np.int64)})
+
+    hist = (cents_ds()
+            .map_batches(bucket_counts, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values("bucket", ignore_index=True))
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    buckets = hist["bucket"].to_numpy(np.int64)
+
+    rn = 0.5 * (n - 1)
+    frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+    b_lo = buckets[np.searchsorted(cum, frn, side="right")]
+    b_hi = buckets[np.searchsorted(cum, crn, side="right")]
+    below = int(cum[np.searchsorted(buckets, b_lo) - 1]) \
+        if np.searchsorted(buckets, b_lo) > 0 else 0
+    r_start = lo_dom + int(b_lo) * width
+    r_end = lo_dom + (int(b_hi) + 1) * width      # exclusive
+
+    # pass 3: exact value compaction of the straddling range only
+    def in_range(batch: pa.Table) -> pa.Table:
+        v = batch["cents"].to_numpy(zero_copy_only=False)
+        v = v[(v >= r_start) & (v < r_end)]
+        u, c = np.unique(v, return_counts=True)
+        return pa.Table.from_pydict({"cents": u.astype(np.int64),
+                                     "cnt": c.astype(np.int64)})
+
+    fine = (cents_ds()
+            .map_batches(in_range, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("cents").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values("cents", ignore_index=True))
+    vals = fine["cents"].to_numpy(np.float64)
+    fcum = below + fine["cnt"].to_numpy(np.int64).cumsum()
+    lo_v = vals[np.searchsorted(fcum, frn, side="right")]
+    hi_v = vals[np.searchsorted(fcum, crn, side="right")]
+    med = lo_v if crn == frn else lo_v * (crn - rn) + hi_v * (rn - frn)
+    return pd.DataFrame({"n_orders": [n], "median_x100": [float(med)]})
+
+
+MEDIAN_EXACT_SQL = """
+SELECT COUNT(*) AS n_orders,
+       percentile_cont(0.5) WITHIN GROUP
+         (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+           AS median_x100
+FROM orders
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
     "nation_revenue_trend": (nation_revenue_trend, TREND_SQL),
     "events_value_percentiles_cont": (events_value_percentiles_cont,
@@ -1203,4 +1322,6 @@ STATS_QUERIES: dict[str, tuple] = {
     "events_user_modal_type": (events_user_modal_type, MODAL_TYPE_SQL),
     "events_user_interarrival": (events_user_interarrival,
                                  INTERARRIVAL_SQL),
+    "orders_price_median_exact": (orders_price_median_exact,
+                                  MEDIAN_EXACT_SQL),
 }

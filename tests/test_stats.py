@@ -203,11 +203,31 @@ def test_modal_type_tiebreak_and_interarrival(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("prices,want", [
+    ([10.00, 30.00, 20.00], 2000.0),                 # odd n
+    ([10.00, 20.00, 30.00, 40.00], 2500.0),          # even n: midpoint
+    ([7.77] * 5, 777.0),                             # all equal
+    ([42.42], 4242.0),                               # single row
+    ([10.00, 10.00, 99999999.99], 1000.0),           # huge domain, dup lo
+])
+def test_median_exact_edge_cases(tmp_path, prices, want):
+    d = str(tmp_path)
+    pd.DataFrame({
+        "o_orderkey": np.arange(len(prices), dtype=np.int64),
+        "o_totalprice": prices}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+    out = S.orders_price_median_exact(d)
+    assert list(out.n_orders) == [len(prices)]
+    assert list(out.median_x100) == [want]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_stats_family_on_empty_tables(tmp_path):
     import pyarrow.parquet as pq
     d = str(tmp_path / "empty")
     os.makedirs(d, exist_ok=True)
-    for t in ("lineitem", "part", "supplier", "nation", "events"):
+    for t in ("lineitem", "part", "supplier", "nation", "events",
+              "orders", "customer"):
         tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
         pq.write_table(tbl.slice(0, 0), os.path.join(d, f"{t}.parquet"))
     for name, (fn, _sql) in S.STATS_QUERIES.items():
@@ -281,9 +301,23 @@ def test_stats_oracles_on_random_tables(tmp_path, seed):
                                           dtype=np.int32)}) \
         .to_parquet(os.path.join(d, "customer.parquet"))
 
+    # orders on half-cent boundaries with heavy duplication: stresses
+    # the selection buckets (tiny domain -> width 1) and interpolation
+    n_ord = 250
+    pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rng.integers(0, 4, size=n_ord).astype(np.int64),
+        "o_totalprice": rng.integers(100, 140, size=n_ord) / 2.0,
+        "o_orderdate": pd.to_datetime("1996-01-01")
+        + pd.to_timedelta(rng.integers(0, 400, size=n_ord), unit="D"),
+        "o_orderpriority": rng.choice(["1-URGENT", "3-MEDIUM"],
+                                      size=n_ord),
+        "o_orderstatus": rng.choice(["O", "F"], size=n_ord)}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+
     con = duckdb.connect()
     for t in ("events", "part", "lineitem", "supplier", "nation",
-              "customer"):
+              "customer", "orders"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{d}/{t}.parquet')")
     for name, (fn, sql) in S.STATS_QUERIES.items():
