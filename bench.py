@@ -605,7 +605,10 @@ def main():
                          "part_name_fuzzy_pairs", "copurchase_triangles",
                          "events_value_zscore", "corpus_curation_stages",
                          "docs_epoch_shuffle", "events_stream_sessions",
-                         "events_debounced"]
+                         "events_debounced", "events_user_modal_type",
+                         "events_user_interarrival",
+                         "orders_price_median_exact",
+                         "events_compacted_roundtrip"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
