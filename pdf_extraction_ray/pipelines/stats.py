@@ -1301,6 +1301,146 @@ FROM orders
 """
 
 
+def orders_priority_median_exact(sf_dir: str):
+    """GROUPED exact median over an unbounded domain — the 3-pass
+    selection of orders_price_median_exact composed with grouping:
+    per-group (n, min, max), then a (group, bucket) count histogram
+    with PER-GROUP bucket widths, then one exact compaction pass over
+    each group's straddling range only. Group cardinality (order
+    priorities) is tiny, so the per-group range table broadcasts in the
+    task closure; every pass stays one vectorized pandas groupby per
+    batch and the exchanges move counts, never values.
+    Output: (o_orderpriority, n_orders, median_x100)."""
+    empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
+                          "n_orders": pd.Series(dtype="int64"),
+                          "median_x100": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+
+    def cents_ds():
+        ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderpriority", "o_totalprice"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [batch["o_orderpriority"], _cents(batch["o_totalprice"])],
+                names=["grp", "cents"])
+
+        return ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=None)
+
+    # explicit Arrow schemas: empty object-dtype pandas blocks defeat
+    # Ray's block-size estimator (np.vectorize on size-0 inputs)
+    mm_schema = pa.schema([("grp", pa.string()), ("n", pa.int64()),
+                           ("lo", pa.int64()), ("hi", pa.int64())])
+    hist_schema = pa.schema([("grp", pa.string()),
+                             ("bucket", pa.int64()),
+                             ("cnt", pa.int64())])
+    fine_schema = pa.schema([("grp", pa.string()),
+                             ("cents", pa.int64()),
+                             ("cnt", pa.int64())])
+
+    # pass 1: per-group n / min / max
+    def minmax(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return mm_schema.empty_table()
+        g = df.groupby("grp")["cents"].agg(n="size", lo="min", hi="max")
+        return pa.Table.from_pandas(g.reset_index(), schema=mm_schema,
+                                    preserve_index=False)
+
+    mm = cents_ds().map_batches(minmax, batch_format="pandas",
+                                batch_size=None).to_pandas()
+    if mm.empty:
+        return empty
+    dom = mm.groupby("grp").agg(n=("n", "sum"), lo=("lo", "min"),
+                                hi=("hi", "max"))
+    dom["width"] = np.maximum(
+        1, (dom["hi"] - dom["lo"] + SELECT_BUCKETS) // SELECT_BUCKETS)
+    glo = dom["lo"].to_dict()
+    gw = dom["width"].to_dict()
+
+    # pass 2: (group, bucket) count histogram, per-group widths
+    def bucketize(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return hist_schema.empty_table()
+        lo = df["grp"].map(glo).to_numpy(np.int64)
+        w = df["grp"].map(gw).to_numpy(np.int64)
+        b = (df["cents"].to_numpy(np.int64) - lo) // w
+        out = pd.DataFrame({"grp": df["grp"], "bucket": b}) \
+            .groupby(["grp", "bucket"]).size().rename("cnt").reset_index()
+        return pa.Table.from_pandas(out, schema=hist_schema,
+                                    preserve_index=False)
+
+    hist = (cents_ds().map_batches(bucketize, batch_format="pandas",
+                                   batch_size=None)
+            .groupby(["grp", "bucket"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+
+    # straddling range per group (driver: groups x buckets is tiny)
+    ranges: dict[str, tuple[int, int, int]] = {}
+    marks: dict[str, tuple[float, int, int]] = {}
+    for grp, g in hist.groupby("grp"):
+        g = g.sort_values("bucket")
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        bks = g["bucket"].to_numpy(np.int64)
+        n = int(dom.loc[grp, "n"])
+        rn = 0.5 * (n - 1)
+        frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+        i_lo = np.searchsorted(cum, frn, side="right")
+        i_hi = np.searchsorted(cum, crn, side="right")
+        below = int(cum[np.searchsorted(bks, bks[i_lo]) - 1]) \
+            if np.searchsorted(bks, bks[i_lo]) > 0 else 0
+        start = int(glo[grp]) + int(bks[i_lo]) * int(gw[grp])
+        end = int(glo[grp]) + (int(bks[i_hi]) + 1) * int(gw[grp])
+        ranges[grp] = (start, end, below)
+        marks[grp] = (rn, frn, crn)
+
+    # pass 3: exact (group, value) compaction of straddling ranges only
+    def in_range(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return fine_schema.empty_table()
+        rs = df["grp"].map({k: v[0] for k, v in ranges.items()}) \
+            .to_numpy(np.int64)
+        re_ = df["grp"].map({k: v[1] for k, v in ranges.items()}) \
+            .to_numpy(np.int64)
+        v = df["cents"].to_numpy(np.int64)
+        keep = (v >= rs) & (v < re_)
+        out = df.loc[keep].groupby(["grp", "cents"]).size() \
+            .rename("cnt").reset_index()
+        return pa.Table.from_pandas(out, schema=fine_schema,
+                                    preserve_index=False)
+
+    fine = (cents_ds().map_batches(in_range, batch_format="pandas",
+                                   batch_size=None)
+            .groupby(["grp", "cents"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+
+    rows = []
+    for grp, g in fine.groupby("grp"):
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy(np.float64)
+        cum = ranges[grp][2] + g["cnt"].to_numpy(np.int64).cumsum()
+        rn, frn, crn = marks[grp]
+        lo_v = vals[np.searchsorted(cum, frn, side="right")]
+        hi_v = vals[np.searchsorted(cum, crn, side="right")]
+        med = lo_v if crn == frn else lo_v * (crn - rn) + hi_v * (rn - frn)
+        rows.append((grp, int(dom.loc[grp, "n"]), float(med)))
+    return pd.DataFrame(rows, columns=["o_orderpriority", "n_orders",
+                                       "median_x100"]) \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+
+
+PRIORITY_MEDIAN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       percentile_cont(0.5) WITHIN GROUP
+         (ORDER BY CAST(round(o_totalprice * 100) AS BIGINT))
+           AS median_x100
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
     "nation_revenue_trend": (nation_revenue_trend, TREND_SQL),
     "events_value_percentiles_cont": (events_value_percentiles_cont,
@@ -1324,4 +1464,6 @@ STATS_QUERIES: dict[str, tuple] = {
                                  INTERARRIVAL_SQL),
     "orders_price_median_exact": (orders_price_median_exact,
                                   MEDIAN_EXACT_SQL),
+    "orders_priority_median_exact": (orders_priority_median_exact,
+                                     PRIORITY_MEDIAN_SQL),
 }
