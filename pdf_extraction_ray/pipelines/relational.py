@@ -1101,6 +1101,86 @@ ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
+# Cross-table referential-integrity audit (exact orphan-FK counts)
+# ---------------------------------------------------------------------------
+
+FK_RELATIONSHIPS = [
+    # (label, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def fk_integrity_audit(sf_dir: str):
+    """EXACT orphan-foreign-key counts for every parent-child
+    relationship — the cross-table completion of the single-table
+    expectation checks (events_quality_checks). No side is assumed
+    broadcastable: child keys and parent keys ride ONE side-tagged
+    co-partitioned union exchange per relationship (the
+    customer_merge_upsert machinery), each partition counts its child
+    rows with no local parent key (np.isin on the partition's arrays),
+    and the per-partition counts sum driver-side. Child row counts come
+    from parquet footers (no extra scan).
+    Output: (relationship, n_child, n_orphans)."""
+    rows = []
+    for label, child, ckey, parent, pkey in FK_RELATIONSHIPS:
+        import pyarrow.dataset as pads
+        n_child = pads.dataset(_pq(sf_dir, child)).count_rows()
+        if n_child == 0:
+            rows.append((label, 0, 0))
+            continue
+
+        def tag(side: int, col: str):
+            def fn(batch: pa.Table) -> pa.Table:
+                k = batch[col].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                return pa.Table.from_pydict(
+                    {"key": k, "side": np.full(len(k), side,
+                                               dtype=np.int64)})
+            return fn
+
+        cds = rd.read_parquet(_pq(sf_dir, child), columns=[ckey]) \
+            .map_batches(tag(0, ckey), batch_format="pyarrow",
+                         batch_size=None)
+        pds = rd.read_parquet(_pq(sf_dir, parent), columns=[pkey]) \
+            .map_batches(tag(1, pkey), batch_format="pyarrow",
+                         batch_size=None)
+
+        def orphans(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["side"].to_numpy(np.int64)
+            keys = g["key"].to_numpy(np.int64)
+            child_k = keys[side == 0]
+            parent_k = keys[side == 1]
+            n = int((~np.isin(child_k, parent_k)).sum())
+            return pd.DataFrame({"n_orphans": [n]})
+
+        part = _coarse_grouped_map_union(cds, pds, orphans).to_pandas()
+        rows.append((label, int(n_child),
+                     int(part["n_orphans"].sum()) if len(part) else 0))
+    return pd.DataFrame(rows, columns=["relationship", "n_child",
+                                       "n_orphans"]) \
+        .sort_values("relationship").reset_index(drop=True)
+
+
+FK_AUDIT_SQL = """
+SELECT relationship, n_child, n_orphans FROM (
+  SELECT 'lineitem->orders' AS relationship, COUNT(*) AS n_child,
+         COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem->part', COUNT(*),
+         COUNT(*) FILTER (WHERE p.p_partkey IS NULL)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'orders->customer', COUNT(*),
+         COUNT(*) FILTER (WHERE c.c_custkey IS NULL)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+) ORDER BY relationship
+"""
+
+
+# ---------------------------------------------------------------------------
 # As-of join (events enriched with the latest order at-or-before ts)
 # ---------------------------------------------------------------------------
 
@@ -3889,6 +3969,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "orders_monthly": (orders_monthly, ORDERS_MONTHLY_SQL),
     "orders_monthly_growth": (orders_monthly_growth,
                               ORDERS_MONTHLY_GROWTH_SQL),
+    "fk_integrity_audit": (fk_integrity_audit, FK_AUDIT_SQL),
     "brand_revenue_topk": (brand_revenue_topk, BRAND_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),

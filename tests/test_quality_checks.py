@@ -62,3 +62,39 @@ def test_matches_oracle_on_planted(tmp_path):
     want = con.sql(QUALITY_CHECKS_SQL).df()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want,
                                   check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fk_audit_counts_planted_orphans(tmp_path):
+    from pdf_extraction_ray.pipelines.relational import (FK_AUDIT_SQL,
+                                                         fk_integrity_audit)
+    d = str(tmp_path / "fk")
+    os.makedirs(d, exist_ok=True)
+    # 6 lineitems: orderkeys {1,2,9,9} -> 2 orphans vs orders {1,2,3};
+    # partkeys {10,11,99,10,11,98} -> 2 orphans vs part {10,11};
+    # orders custkeys {5,6,777} -> 1 orphan vs customer {5,6}
+    pd.DataFrame({"l_orderkey": np.array([1, 2, 9, 9, 1, 2],
+                                         dtype=np.int64),
+                  "l_partkey": np.array([10, 11, 99, 10, 11, 98],
+                                        dtype=np.int64)}) \
+        .to_parquet(os.path.join(d, "lineitem.parquet"))
+    pd.DataFrame({"o_orderkey": np.array([1, 2, 3], dtype=np.int64),
+                  "o_custkey": np.array([5, 6, 777], dtype=np.int64)}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+    pd.DataFrame({"p_partkey": np.array([10, 11], dtype=np.int64)}) \
+        .to_parquet(os.path.join(d, "part.parquet"))
+    pd.DataFrame({"c_custkey": np.array([5, 6], dtype=np.int64)}) \
+        .to_parquet(os.path.join(d, "customer.parquet"))
+
+    out = fk_integrity_audit(d).set_index("relationship")
+    assert out.loc["lineitem->orders", "n_orphans"] == 2
+    assert out.loc["lineitem->part", "n_orphans"] == 2
+    assert out.loc["orders->customer", "n_orphans"] == 1
+    assert out.loc["lineitem->orders", "n_child"] == 6
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "part", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+    want = con.sql(FK_AUDIT_SQL).df().set_index("relationship")
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
