@@ -1184,9 +1184,11 @@ SELECT relationship, n_child, n_orphans FROM (
 # As-of join (events enriched with the latest order at-or-before ts)
 # ---------------------------------------------------------------------------
 
-def events_asof_orders(sf_dir: str):
+def events_asof_orders(sf_dir: str, direction: str = "backward"):
     """As-of join: each event joined to the most recent order of customer
-    ``user_id`` placed at or before the event timestamp. Ray Data has no
+    ``user_id`` placed at or before the event timestamp (or, with
+    ``direction="forward"``, the EARLIEST order at-or-after it — the
+    attribution-window mirror). Ray Data has no
     as-of join primitive, so BOTH sides are co-partitioned on the key
     through one coarse exchange (side-tagged union on user_id %% 64) and
     each per-user group runs ``pd.merge_asof`` — at full scale orders is
@@ -1235,12 +1237,15 @@ def events_asof_orders(sf_dir: str):
         # latest order with t <= event ts; ties on date -> max orderkey
         # (keep="last" after the (t, okey) sort; mirrored in the SQL with
         # ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1)
+        # forward ties on date -> MIN orderkey (keep="first"), mirrored
+        # by the oracle's ASC, ASC LIMIT 1
+        keep = "last" if direction == "backward" else "first"
         od = g[g["side"] == 1][["user_id", "okey", "t"]] \
             .sort_values(["t", "okey"], kind="stable") \
-            .drop_duplicates(["user_id", "t"], keep="last") \
+            .drop_duplicates(["user_id", "t"], keep=keep) \
             .sort_values("t", kind="stable")
         merged = pd.merge_asof(ev, od, on="t", by="user_id",
-                               direction="backward")
+                               direction=direction)
         return pd.DataFrame({
             "event_id": merged["event_id"].astype("int64"),
             "user_id": merged["user_id"].astype("int64"),
@@ -1258,6 +1263,24 @@ def events_asof_orders(sf_dir: str):
             .map_groups(lambda g: asof_part(g.drop(columns=["_coarse"])),
                         batch_format="pandas")
             .sort("event_id"))
+
+
+def events_asof_next_order(sf_dir: str):
+    """Forward as-of: earliest order at-or-after each event — same
+    co-partitioned union exchange, ``merge_asof(direction="forward")``
+    per partition."""
+    return events_asof_orders(sf_dir, direction="forward")
+
+
+EVENTS_ASOF_FWD_SQL = """
+SELECT e.event_id, e.user_id,
+       COALESCE((SELECT o.o_orderkey FROM orders o
+                 WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+                 ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1),
+                -1) AS o_orderkey
+FROM events e
+ORDER BY event_id
+"""
 
 
 EVENTS_ASOF_SQL = """
@@ -3970,6 +3993,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "orders_monthly_growth": (orders_monthly_growth,
                               ORDERS_MONTHLY_GROWTH_SQL),
     "fk_integrity_audit": (fk_integrity_audit, FK_AUDIT_SQL),
+    "events_asof_next_order": (events_asof_next_order,
+                               EVENTS_ASOF_FWD_SQL),
     "brand_revenue_topk": (brand_revenue_topk, BRAND_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),

@@ -80,6 +80,7 @@ EVENT_QUERIES = [
     "events_lead_lag", "events_value_percentiles",
     "events_type_salted_agg", "events_sliding_windows",
     "events_cohort_retention", "events_asof_orders",
+    "events_asof_next_order",
     "orders_events_range_join", "top_order_per_customer",
     "orders_moving_window", "orders_monthly", "orders_rollup",
     "orders_cube", "events_funnel", "events_latest_state",
