@@ -3930,7 +3930,233 @@ ORDER BY from_type, to_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Arbitrary GROUPING SETS from one finest-level scan
+# ---------------------------------------------------------------------------
+
+def orders_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status, priority), (status), (priority),
+    ()) computed the distributed way: ONE partial aggregation at the
+    finest (status, priority) level — a bounded-cardinality grouped
+    result — then the three coarser sets derive driver-side from that
+    tiny table, never rescanning. Sentinel 'ALL' marks rolled-up string
+    dims (hash-stable, no NULLs)."""
+    cols = ["o_orderstatus", "o_orderpriority", "n_orders", "total_x100"]
+    empty = pd.DataFrame({
+        "o_orderstatus": pd.Series(dtype="object"),
+        "o_orderpriority": pd.Series(dtype="object"),
+        "n_orders": pd.Series(dtype="int64"),
+        "total_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderstatus": batch["o_orderstatus"].to_pandas(),
+            "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+            "n_orders": np.ones(len(batch), dtype=np.int64),
+            "total_x100": _cents(batch["o_totalprice"])
+            .to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby(
+            ["o_orderstatus", "o_orderpriority"], as_index=False).sum())
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("total_x100", alias_name="total_x100"))
+            .to_pandas())
+    if "o_orderstatus" not in fine.columns:
+        return empty
+    by_status = fine.groupby("o_orderstatus", as_index=False)[
+        ["n_orders", "total_x100"]].sum()
+    by_status["o_orderpriority"] = "ALL"
+    by_prio = fine.groupby("o_orderpriority", as_index=False)[
+        ["n_orders", "total_x100"]].sum()
+    by_prio["o_orderstatus"] = "ALL"
+    total = pd.DataFrame({
+        "o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+        "n_orders": [fine["n_orders"].sum()],
+        "total_x100": [fine["total_x100"].sum()]})
+    out = pd.concat([fine, by_status, by_prio, total], ignore_index=True)
+    out = out[cols].astype({"n_orders": "int64", "total_x100": "int64"})
+    return out.sort_values(["o_orderstatus", "o_orderpriority"]) \
+        .reset_index(drop=True)
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_x100
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: wide per-group aggregates -> long (group, measure, value)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_MEASURES = ("qty_x100", "price_x100", "disc_x100")
+
+
+def lineitem_measures_unpivot(sf_dir: str):
+    """Wide->long melt: per return flag, the three measure sums emitted
+    as (l_returnflag, measure, value_x100) rows — the UNPIVOT side of
+    the pivot family. The melt runs on the already-aggregated tiny table
+    (flags x 3 rows), so the reshape itself is free; the scan computes
+    all three sums in one pass."""
+    empty = pd.DataFrame({"l_returnflag": pd.Series(dtype="object"),
+                          "measure": pd.Series(dtype="object"),
+                          "value_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pandas(),
+            "qty_x100": _cents(batch["l_quantity"])
+            .to_numpy(zero_copy_only=False),
+            "price_x100": _cents(batch["l_extendedprice"])
+            .to_numpy(zero_copy_only=False),
+            "disc_x100": _cents(batch["l_discount"])
+            .to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby("l_returnflag", as_index=False).sum())
+
+    wide = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("l_returnflag")
+            .aggregate(*[Sum(c, alias_name=c) for c in _UNPIVOT_MEASURES])
+            .to_pandas())
+    if "l_returnflag" not in wide.columns:
+        return empty
+    long = wide.melt(id_vars=["l_returnflag"],
+                     value_vars=list(_UNPIVOT_MEASURES),
+                     var_name="measure", value_name="value_x100")
+    return long.astype({"value_x100": "int64"}) \
+        .sort_values(["l_returnflag", "measure"]).reset_index(drop=True)
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS qty_x100,
+         SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)) AS price_x100,
+         SUM(CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS disc_x100
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, measure, CAST(value_x100 AS BIGINT) AS value_x100
+FROM (
+  SELECT l_returnflag, 'qty_x100' AS measure, qty_x100 AS value_x100
+    FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'price_x100', price_x100 FROM wide
+  UNION ALL
+  SELECT l_returnflag, 'disc_x100', disc_x100 FROM wide)
+ORDER BY l_returnflag, measure
+"""
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling: per user, the event types they never produced
+# ---------------------------------------------------------------------------
+
+def events_user_negative_types(sf_dir: str):
+    """Training-data negative sampling: for each user, the event types
+    from the observed global vocabulary they emitted LESS than their
+    uniform share (count * |vocab| < user_total, an exact integer test —
+    never-seen types always qualify) — the underexposed (user, type)
+    pairs a recommender would sample as negatives. Output: (user_id,
+    n_rare, first_rare); perfectly-uniform users are omitted. The type
+    domain is an enum, so it broadcasts; the user x type grid is never
+    materialized — each batch pre-aggregates (user, type, n) partial
+    counts, the exchange moves <= |users| x |types| count rows, and the
+    rare set derives per user-partition from the broadcast vocab."""
+    out_cols = {"user_id": "int64", "n_rare": "int64",
+                "first_rare": "object"}
+    empty = pd.DataFrame({c: pd.Series(dtype=t)
+                          for c, t in out_cols.items()})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_pandas()})
+        g = df.groupby(["user_id", "event_type"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        return _from_pandas(g.astype({"n": "int64"}))
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    # global vocab: per-block partial uniques -> tiny driver set
+    def type_partial(batch: pa.Table) -> pa.Table:
+        u = pd.unique(batch["event_type"].to_pandas())
+        return pa.Table.from_pydict({"event_type": sorted(u)})
+
+    vdf = counts.map_batches(type_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    vocab = sorted(set(vdf["event_type"])) if "event_type" in vdf.columns \
+        else []
+    vocab_arr = np.array(vocab, dtype=object)
+    out_schema = pa.schema([("user_id", pa.int64()), ("n_rare", pa.int64()),
+                            ("first_rare", pa.string())])
+
+    V = len(vocab)
+
+    def rare(g: pd.DataFrame) -> pa.Table:
+        # finish the count aggregation inside the partition (all rows of
+        # a user hash here), then test each vocab type's total against
+        # the user's uniform share
+        tot = g.groupby(["user_id", "event_type"])["n"].sum()
+        rows = []
+        for uid, sub in tot.groupby(level=0):
+            per = sub.droplevel(0).reindex(vocab_arr, fill_value=0) \
+                .to_numpy().astype(np.int64)
+            mask = per * V < per.sum()
+            if mask.any():
+                rows.append((int(uid), int(mask.sum()),
+                             str(vocab_arr[mask][0])))
+        return pa.Table.from_pylist(
+            [dict(zip(out_cols, r)) for r in rows], schema=out_schema)
+
+    return _coarse_partition_map(counts, "user_id", rare).sort("user_id")
+
+
+NEGATIVE_TYPES_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+v AS (SELECT COUNT(*) AS nv FROM t),
+cnt AS (SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY user_id, event_type),
+utot AS (SELECT user_id, COUNT(*) AS tot FROM events GROUP BY user_id),
+grid AS (
+  SELECT u.user_id, t.event_type, COALESCE(c.c, 0) AS c
+  FROM u CROSS JOIN t
+  LEFT JOIN cnt c ON c.user_id = u.user_id AND c.event_type = t.event_type)
+SELECT g.user_id, CAST(COUNT(*) AS BIGINT) AS n_rare,
+       MIN(g.event_type) AS first_rare
+FROM grid g JOIN utot ut ON ut.user_id = g.user_id CROSS JOIN v
+WHERE g.c * v.nv < ut.tot
+GROUP BY g.user_id ORDER BY g.user_id
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "orders_grouping_sets": (orders_grouping_sets, GROUPING_SETS_SQL),
+    "lineitem_measures_unpivot": (lineitem_measures_unpivot, UNPIVOT_SQL),
+    "events_user_negative_types": (events_user_negative_types,
+                                   NEGATIVE_TYPES_SQL),
     "events_type_transitions": (events_type_transitions,
                                 TYPE_TRANSITIONS_SQL),
     "events_quality_checks": (events_quality_checks, QUALITY_CHECKS_SQL),

@@ -1441,7 +1441,93 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Population covariance matrix over the lineitem measure columns
+# ---------------------------------------------------------------------------
+
+# (name, source column, integer scale) — price in whole DOLLARS for the
+# same int64-headroom reason as the corr query (dollar^2 sums stay under
+# 2^63 out to ~sf100; cent^2 sums overflow at sf0.1 already)
+_COV_MEASURES = (("qty", "l_quantity", 1.0),
+                 ("price_usd", "l_extendedprice", 1.0),
+                 ("disc_x100", "l_discount", 100.0),
+                 ("tax_x100", "l_tax", 100.0))
+
+
+def lineitem_cov_matrix(sf_dir: str):
+    """Full population covariance matrix (10 unordered pairs incl.
+    diagonals = variances) over the four lineitem measures — the
+    feature-correlation pass a training pipeline runs before model
+    fitting. ONE scan computes all first and second moments as exact
+    int64 partials per batch (k + k*(k+1)/2 sums); the k x k matrix
+    assembles driver-side from Python ints, so cov_pop =
+    (n*sxy - sx*sy) / n^2 is a single IEEE division of exactly-computed
+    operands on both engines (bit-exact vs the SQL formula). Never
+    shuffles rows — the exchange moves one 15-number partial per block."""
+    names = [m[0] for m in _COV_MEASURES]
+    pair_idx = [(i, j) for i in range(len(names))
+                for j in range(i, len(names))]
+    empty = pd.DataFrame({"m_a": pd.Series(dtype="object"),
+                          "m_b": pd.Series(dtype="object"),
+                          "n_lines": pd.Series(dtype="int64"),
+                          "cov_pop": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=[m[1] for m in _COV_MEASURES])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        xs = [_cents(batch[col], sc).to_numpy(zero_copy_only=False)
+              for _, col, sc in _COV_MEASURES]
+        out = {"n": [np.int64(len(batch))]}
+        for k, x in enumerate(xs):
+            out[f"s{k}"] = [x.sum()]
+        for i, j in pair_idx:
+            out[f"s{i}{j}"] = [(xs[i] * xs[j]).sum()]
+        return pa.Table.from_pydict(out)
+
+    cols = (["n"] + [f"s{k}" for k in range(len(names))]
+            + [f"s{i}{j}" for i, j in pair_idx])
+    sums = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+    n = int(sums["n"])
+    if n == 0:
+        return empty
+    s = [int(sums[f"s{k}"]) for k in range(len(names))]
+    rows = []
+    for i, j in pair_idx:
+        num = n * int(sums[f"s{i}{j}"]) - s[i] * s[j]
+        rows.append((names[i], names[j], n, float(num) / float(n * n)))
+    return pd.DataFrame(rows, columns=["m_a", "m_b", "n_lines", "cov_pop"]) \
+        .sort_values(["m_a", "m_b"]).reset_index(drop=True)
+
+
+def _cov_matrix_sql() -> str:
+    names = [m[0] for m in _COV_MEASURES]
+    sel = ", ".join(
+        [f"sum(CAST(x{k} AS HUGEINT)) AS s{k}" for k in range(len(names))]
+        + [f"sum(CAST(x{i} AS HUGEINT) * x{j}) AS s{i}{j}"
+           for i in range(len(names)) for j in range(i, len(names))])
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{names[i]}' AS m_a, '{names[j]}' AS m_b, "
+        f"CAST(n AS BIGINT) AS n_lines, "
+        f"CAST(n*s{i}{j} - s{i}*s{j} AS DOUBLE) / CAST(n*n AS DOUBLE) "
+        f"AS cov_pop FROM s"
+        for i in range(len(names)) for j in range(i, len(names)))
+    return f"""
+WITH pts AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x0,
+         CAST(round(l_extendedprice) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100.0) AS BIGINT) AS x2,
+         CAST(round(l_tax * 100.0) AS BIGINT) AS x3
+  FROM lineitem),
+s AS (SELECT count(*) AS n, {sel} FROM pts)
+SELECT * FROM ({arms}) WHERE n_lines > 0 ORDER BY m_a, m_b
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "lineitem_cov_matrix": (lineitem_cov_matrix, _cov_matrix_sql()),
     "nation_revenue_trend": (nation_revenue_trend, TREND_SQL),
     "events_value_percentiles_cont": (events_value_percentiles_cont,
                                       PCTL_SQL),

@@ -95,6 +95,7 @@ EVENT_QUERIES = [
     "events_nation_skew_join", "customer_merge_upsert",
     "events_stream_attribution", "events_partitioned_prune",
     "orders_monthly_view", "events_zorder_prune",
+    "orders_grouping_sets", "events_user_negative_types",
 ]
 
 # props pool stresses the JSON field extraction: valid ints (incl.
@@ -182,6 +183,7 @@ LINEITEM_QUERIES = [
     "customer_balance_ntile", "distinct_segments", "segment_names_agg",
     "q6_forecast_revenue", "q18_large_orders", "q10_returned_customers",
     "q10_partitioned", "segment_top_orders", "orders_lineitem_join_size",
+    "lineitem_measures_unpivot", "lineitem_cov_matrix",
 ]
 
 
@@ -246,8 +248,10 @@ def test_oracled_lineitem_ops_on_random_tables(tmp_path, seed):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{d}/{t}.parquet')")
 
+    from pdf_extraction_ray.pipelines.stats import STATS_QUERIES
+    li_registry = {**RELATIONAL_QUERIES, **STATS_QUERIES}
     for name in LINEITEM_QUERIES:
-        fn, sql = RELATIONAL_QUERIES[name]
+        fn, sql = li_registry[name]
         res = fn(d)
         ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         duck_df = con.sql(sql).df()
