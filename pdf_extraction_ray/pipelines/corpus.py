@@ -577,6 +577,41 @@ ORDER BY split
 """
 
 
+KFOLD_K = 5
+
+
+def docs_kfold_assign(sf_dir: str):
+    """Deterministic K-fold cross-validation assignment: fold =
+    int(last md5 hex digit) mod K — reproducible at any parallelism and
+    across engines (the eval-protocol counterpart of the train/val/test
+    split). Pure per-row compute; only K count rows exchange."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fold = np.array(
+            [int(hashlib.md5(str(d).encode()).hexdigest()[-1], 16) % KFOLD_K
+             for d in batch["doc_id"].to_pylist()], dtype=np.int64)
+        vc = pd.Series(fold).value_counts()
+        return _from_pandas(pd.DataFrame(
+            {"fold": vc.index.to_numpy(np.int64),
+             "n_docs": vc.to_numpy(np.int64)}))
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("fold").aggregate(Sum("n_docs", alias_name="n_docs"))
+            .sort("fold"))
+
+
+KFOLD_SQL = f"""
+SELECT CAST((strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1)
+            % {KFOLD_K} AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY fold
+ORDER BY fold
+"""
+
+
 # ---------------------------------------------------------------------------
 # Cross-corpus duplicate-block stats (substring-level dedup signal)
 # ---------------------------------------------------------------------------
@@ -1214,6 +1249,7 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "docs_mixture_sample": (docs_mixture_sample, MIXTURE_SQL),
     "docs_stratified_sample": (docs_stratified_sample, STRATIFIED_SQL),
     "docs_train_split": (docs_train_split, TRAIN_SPLIT_SQL),
+    "docs_kfold_assign": (docs_kfold_assign, KFOLD_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, HEAVY_HITTERS_SQL),
     "corpus_vocab_stats": (corpus_vocab_stats, VOCAB_STATS_SQL),
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_SQL),

@@ -754,7 +754,77 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Columnar-format interchange: ORC and Arrow-IPC roundtrips
+# ---------------------------------------------------------------------------
+
+FORMAT_ROUNDTRIP_SHARDS = 12
+
+
+def _format_roundtrip(sf_dir: str, write_fn, read_fn):
+    """Shared body: shard events through the engine into the target
+    format (one file per block, distributed write), read it back with
+    the matching file-parallel reader, and recompute exact totals FROM
+    THE ROUNDTRIPPED LAYOUT. The oracle recomputes from the raw parquet
+    table, proving the format conversion is lossless (row-, id- and
+    value-exact)."""
+    empty = pd.DataFrame({"n_events": pd.Series(dtype="int64"),
+                          "id_sum": pd.Series(dtype="int64"),
+                          "value_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    root = tempfile.mkdtemp(prefix="fmt_rt_", dir="/tmp")
+    try:
+        ds = (rd.read_parquet(_pq(sf_dir, "events"),
+                              columns=["event_id", "value"])
+              .repartition(FORMAT_ROUNDTRIP_SHARDS))
+        write_fn(ds, root)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ids = batch["event_id"].to_numpy(zero_copy_only=False)
+            v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "n_events": [len(ids)], "id_sum": [int(ids.sum())],
+                "value_x100": [int(v.sum())]})
+
+        agg = (read_fn(root)
+               .map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas())
+        return pd.DataFrame({
+            "n_events": [int(agg["n_events"].sum())],
+            "id_sum": [int(agg["id_sum"].sum())],
+            "value_x100": [int(agg["value_x100"].sum())]})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def events_orc_roundtrip(sf_dir: str):
+    """Distributed parquet -> ORC -> engine roundtrip (S-family source/
+    sink coverage for the warehouse-native columnar format)."""
+    from ..sources.io import read_orc_dir, write_orc
+    return _format_roundtrip(sf_dir, write_orc, read_orc_dir)
+
+
+def events_ipc_roundtrip(sf_dir: str):
+    """Distributed parquet -> Arrow IPC (Feather v2) -> engine
+    roundtrip (the zero-parse interchange path between Arrow-native
+    stages)."""
+    from ..sources.io import read_ipc_dir, write_ipc
+    return _format_roundtrip(sf_dir, write_ipc, read_ipc_dir)
+
+
+FORMAT_ROUNDTRIP_SQL = """
+SELECT COUNT(*) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+           AS value_x100
+FROM events
+"""
+
+
 STORAGE_QUERIES: dict[str, tuple] = {
+    "events_orc_roundtrip": (events_orc_roundtrip, FORMAT_ROUNDTRIP_SQL),
+    "events_ipc_roundtrip": (events_ipc_roundtrip, FORMAT_ROUNDTRIP_SQL),
     "orders_monthly_view": (orders_monthly_view, MONTHLY_VIEW_SQL),
     "events_zorder_prune": (events_zorder_prune, ZORDER_PRUNE_SQL),
     "customer_merge_upsert": (customer_merge_upsert, MERGE_UPSERT_SQL),

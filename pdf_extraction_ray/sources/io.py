@@ -60,6 +60,10 @@ def read_table_auto(path: str, **kwargs) -> "ray.data.Dataset":
         return ray.data.read_json(path, **kwargs)
     if probe.endswith(".csv"):
         return ray.data.read_csv(path, **kwargs)
+    if probe.endswith(".orc"):
+        return read_orc_dir(path, **kwargs)
+    if probe.endswith(".arrow"):
+        return read_ipc_dir(path, **kwargs)
     raise ValueError(f"unrecognized table format: {probe!r}")
 
 
@@ -133,6 +137,92 @@ def compact_shards(in_path: str, out_path: str,
     ray.data.read_parquet(in_path).repartition(blocks) \
         .write_parquet(out_path, min_rows_per_file=min(target_rows, n))
     return len(glob.glob(os.path.join(out_path, "*.parquet")))
+
+
+def read_orc_dir(path: str, columns: list[str] | None = None,
+                 **kwargs) -> "ray.data.Dataset":
+    """Distributed ORC reader: one Ray block per file — the same
+    file-parallel shape as ``ray.data.read_parquet`` (the driver lists
+    paths, each task opens only its own file). ORC is columnar, so
+    ``columns`` prunes stripe streams at the read. Ray Data ships no
+    ORC datasource; this composes one from ``from_items`` + a per-file
+    ``flat_map``-style batch read."""
+    from pyarrow import orc as paorc
+
+    files = sorted(glob.glob(os.path.join(path, "*.orc"))) \
+        if os.path.isdir(path) else [path]
+    if not files:
+        raise FileNotFoundError(f"no .orc files in {path!r}")
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        tbls = [paorc.ORCFile(f).read(columns=columns)
+                for f in batch["path"].to_pylist()]
+        return pa.concat_tables(tbls)
+
+    return (ray.data.from_items([{"path": f} for f in files],
+                                override_num_blocks=len(files))
+            .map_batches(read_file, batch_format="pyarrow",
+                         batch_size=None, **kwargs))
+
+
+def write_orc(ds: "ray.data.Dataset", out_dir: str) -> None:
+    """Distributed ORC sink: one file per block (resumable/parallel-
+    readable, mirroring ``write_parquet``'s layout). File names carry a
+    uuid — content, not naming, is the contract (same as Ray's own
+    sinks)."""
+    from pyarrow import orc as paorc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import uuid
+        if batch.num_rows:
+            paorc.write_table(
+                batch, os.path.join(out_dir, f"{uuid.uuid4().hex}.orc"))
+        return pa.Table.from_pydict({"rows": [batch.num_rows]})
+
+    # consume via sum so the sink streams (no driver materialization)
+    ds.map_batches(write_block, batch_format="pyarrow",
+                   batch_size=None).sum("rows")
+
+
+def read_ipc_dir(path: str, **kwargs) -> "ray.data.Dataset":
+    """Distributed Arrow-IPC (Feather v2) reader — file-parallel like
+    ``read_orc_dir``. IPC is the zero-parse interchange format between
+    Arrow-native engines; memory-maps locally and round-trips every
+    Arrow type exactly."""
+    from pyarrow import feather
+
+    files = sorted(glob.glob(os.path.join(path, "*.arrow"))) \
+        if os.path.isdir(path) else [path]
+    if not files:
+        raise FileNotFoundError(f"no .arrow files in {path!r}")
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([feather.read_table(f)
+                                 for f in batch["path"].to_pylist()])
+
+    return (ray.data.from_items([{"path": f} for f in files],
+                                override_num_blocks=len(files))
+            .map_batches(read_file, batch_format="pyarrow",
+                         batch_size=None, **kwargs))
+
+
+def write_ipc(ds: "ray.data.Dataset", out_dir: str) -> None:
+    """Distributed Arrow-IPC sink: one ``.arrow`` file per block."""
+    from pyarrow import feather
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        import uuid
+        if batch.num_rows:
+            feather.write_feather(
+                batch, os.path.join(out_dir, f"{uuid.uuid4().hex}.arrow"))
+        return pa.Table.from_pydict({"rows": [batch.num_rows]})
+
+    ds.map_batches(write_block, batch_format="pyarrow",
+                   batch_size=None).sum("rows")
 
 
 def text_table_to_docs(batch: pa.Table) -> pa.Table:

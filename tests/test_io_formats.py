@@ -49,6 +49,36 @@ def test_flat_table_jsonl_and_csv_match_parquet(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("fmt", ["orc", "ipc"])
+def test_orc_ipc_roundtrip_content_exact(tmp_path, fmt):
+    """Engine-write then engine-read of ORC / Arrow IPC must be
+    content-identical to the parquet source, including via the
+    auto-dispatch reader; column pruning must project."""
+    from pdf_extraction_ray.sources.io import (read_ipc_dir, read_orc_dir,
+                                               write_ipc, write_orc)
+    import ray.data as rd
+
+    src = pd.read_parquet(f"{SF}/events.parquet",
+                          columns=["event_id", "event_type", "value"])
+    d = str(tmp_path / fmt)
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type", "value"]) \
+        .repartition(4)
+    write, read = (write_orc, read_orc_dir) if fmt == "orc" \
+        else (write_ipc, read_ipc_dir)
+    write(ds, d)
+    assert len(glob.glob(os.path.join(d, "*"))) == 4  # one file per block
+    back = read(d).to_pandas()
+    pd.testing.assert_frame_equal(_canon(back), _canon(src))
+    auto = read_table_auto(d).to_pandas()
+    pd.testing.assert_frame_equal(_canon(auto), _canon(src))
+    if fmt == "orc":  # stripe-level column pruning
+        pruned = read_orc_dir(d, columns=["event_id"]).to_pandas()
+        assert list(pruned.columns) == ["event_id"]
+        assert sorted(pruned["event_id"]) == sorted(src["event_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_docs_corpus_jsonl_roundtrip_preserves_extraction(tmp_path):
     """Interleaved corpus written as JSONL and read back with the
     explicit schema must extract to byte-identical span sequences."""
