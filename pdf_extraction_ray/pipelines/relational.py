@@ -4152,7 +4152,187 @@ GROUP BY g.user_id ORDER BY g.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Global sweep-line: peak concurrent sessions (distributed prefix scan)
+# ---------------------------------------------------------------------------
+
+def sessions_peak_concurrency(sf_dir: str):
+    """Maximum number of simultaneously-active user sessions (gap-based
+    intervals, inclusive ends) — the sweep-line/global-prefix-scan
+    primitive. Three scale-honest stages: (1) per-user session
+    intervals via the coarse user exchange, (2) +1/-1 boundary points
+    bucketed BY HOUR (time buckets, so equal timestamps never straddle
+    a partition), each bucket reducing to (sum, max_prefix) with +1
+    ordered before -1 at equal t (inclusive semantics), (3) the classic
+    scan combine over the tiny per-bucket partials driver-side. No
+    stage ever holds more than one bucket of points."""
+    empty = pd.DataFrame({"peak_concurrency": pd.Series(dtype="int64"),
+                          "n_sessions": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id", "ts"])
+    gap_us = np.int64(SESSION_GAP_MIN * 60 * 1_000_000)
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = (uid[1:] != uid[:-1]) | (t[1:] - t[:-1] > gap_us)
+        sid = np.cumsum(new)
+        d = pd.DataFrame({"sid": sid, "t": t})
+        agg = d.groupby("sid")["t"].agg(["min", "max"])
+        return pd.DataFrame({"start_us": agg["min"].to_numpy(np.int64),
+                             "end_us": agg["max"].to_numpy(np.int64)})
+
+    iv = _coarse_partition_map(ds, "user_id", intervals).materialize()
+    n_sessions = iv.count()
+
+    def points(batch: pa.Table) -> pa.Table:
+        s = batch["start_us"].to_numpy(zero_copy_only=False)
+        e = batch["end_us"].to_numpy(zero_copy_only=False)
+        t = np.concatenate([s, e])
+        d = np.concatenate([np.ones(len(s), dtype=np.int64),
+                            -np.ones(len(e), dtype=np.int64)])
+        return pa.Table.from_pydict({
+            "bucket": t // np.int64(3_600_000_000), "t": t, "d": d})
+
+    def bucket_partial(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, sub in g.groupby("bucket"):
+            # +1 before -1 at equal t = inclusive concurrency
+            sub = sub.sort_values(["t", "d"], ascending=[True, False])
+            c = sub["d"].to_numpy().cumsum()
+            rows.append((int(b), int(c[-1]), int(c.max())))
+        return pd.DataFrame(rows, columns=["bucket", "sum_d", "max_prefix"]) \
+            .astype("int64")
+
+    parts = _coarse_partition_map(iv.map_batches(
+        points, batch_format="pyarrow", batch_size=None),
+        "bucket", bucket_partial).to_pandas()
+    parts = parts.sort_values("bucket")
+    offsets = np.concatenate([[0], parts["sum_d"].to_numpy().cumsum()[:-1]])
+    peak = int((offsets + parts["max_prefix"].to_numpy()).max())
+    return pd.DataFrame({"peak_concurrency": [peak],
+                         "n_sessions": [int(n_sessions)]})
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid, ts
+  FROM marks),
+iv AS (SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+       FROM sess GROUP BY user_id, sid),
+pts AS (SELECT s AS t, 1 AS d FROM iv
+        UNION ALL SELECT e, -1 FROM iv),
+scan AS (SELECT SUM(d) OVER (ORDER BY t, d DESC
+                             ROWS UNBOUNDED PRECEDING) AS c FROM pts)
+SELECT CAST((SELECT MAX(c) FROM scan) AS BIGINT) AS peak_concurrency,
+       CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_sessions
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-series downsampling: per-minute OHLC bars
+# ---------------------------------------------------------------------------
+
+def events_minute_ohlc(sf_dir: str):
+    """Per-minute OHLC resample of the event value stream: open/close =
+    value at the (ts, event_id) min/max of the bucket, high/low =
+    extremes — the downsampling shape every metrics/feature pipeline
+    needs. Each batch reduces its minutes to one partial row carrying
+    the argmin/argmax keys, so the exchange moves one row per (block,
+    minute); the grouped merge resolves arg-extremes exactly."""
+    empty = pd.DataFrame({
+        "minute_ts": pd.Series(dtype="datetime64[us]"),
+        **{c: pd.Series(dtype="int64") for c in
+           ("open_x1e6", "high_x1e6", "low_x1e6", "close_x1e6", "n")}})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        v = _cents(batch["value"], 1e6).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"minute": t // np.int64(60_000_000),
+                           "t": t, "eid": eid, "v": v})
+        df = df.sort_values(["minute", "t", "eid"], kind="stable")
+        g = df.groupby("minute")
+        first, last = g.first(), g.last()
+        return _from_pandas(pd.DataFrame({
+            "minute": first.index.to_numpy(np.int64),
+            "o_t": first["t"].to_numpy(np.int64),
+            "o_eid": first["eid"].to_numpy(np.int64),
+            "open_x1e6": first["v"].to_numpy(np.int64),
+            "c_t": last["t"].to_numpy(np.int64),
+            "c_eid": last["eid"].to_numpy(np.int64),
+            "close_x1e6": last["v"].to_numpy(np.int64),
+            "high_x1e6": g["v"].max().to_numpy(np.int64),
+            "low_x1e6": g["v"].min().to_numpy(np.int64),
+            "n": g.size().to_numpy(np.int64)}))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for m, sub in g.groupby("minute"):
+            o = sub.sort_values(["o_t", "o_eid"], kind="stable").iloc[0]
+            c = sub.sort_values(["c_t", "c_eid"], kind="stable").iloc[-1]
+            rows.append((np.int64(m) * 60_000_000,
+                         int(o["open_x1e6"]), int(sub["high_x1e6"].max()),
+                         int(sub["low_x1e6"].min()), int(c["close_x1e6"]),
+                         int(sub["n"].sum())))
+        out = pd.DataFrame(rows, columns=["minute_us", "open_x1e6",
+                                          "high_x1e6", "low_x1e6",
+                                          "close_x1e6", "n"])
+        out["minute_ts"] = out.pop("minute_us").astype("datetime64[us]")
+        return out[["minute_ts", "open_x1e6", "high_x1e6", "low_x1e6",
+                    "close_x1e6", "n"]]
+
+    return _coarse_partition_map(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "minute", merge).sort("minute_ts")
+
+
+MINUTE_OHLC_SQL = """
+WITH v AS (
+  SELECT date_trunc('minute', ts) AS minute_ts, ts, event_id,
+         CAST(ROUND(value * 1000000.0) AS BIGINT) AS val
+  FROM events),
+r AS (
+  SELECT minute_ts, val,
+         ROW_NUMBER() OVER (PARTITION BY minute_ts
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY minute_ts
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM v)
+SELECT m.minute_ts,
+       (SELECT val FROM r WHERE r.minute_ts = m.minute_ts AND rn_a = 1)
+           AS open_x1e6,
+       MAX(m.val) AS high_x1e6,
+       MIN(m.val) AS low_x1e6,
+       (SELECT val FROM r WHERE r.minute_ts = m.minute_ts AND rn_d = 1)
+           AS close_x1e6,
+       COUNT(*) AS n
+FROM v m GROUP BY m.minute_ts ORDER BY m.minute_ts
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "sessions_peak_concurrency": (sessions_peak_concurrency,
+                                  PEAK_CONCURRENCY_SQL),
+    "events_minute_ohlc": (events_minute_ohlc, MINUTE_OHLC_SQL),
     "orders_grouping_sets": (orders_grouping_sets, GROUPING_SETS_SQL),
     "lineitem_measures_unpivot": (lineitem_measures_unpivot, UNPIVOT_SQL),
     "events_user_negative_types": (events_user_negative_types,

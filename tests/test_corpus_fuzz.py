@@ -96,6 +96,7 @@ EVENT_QUERIES = [
     "events_stream_attribution", "events_partitioned_prune",
     "orders_monthly_view", "events_zorder_prune",
     "orders_grouping_sets", "events_user_negative_types",
+    "sessions_peak_concurrency", "events_minute_ohlc",
 ]
 
 # props pool stresses the JSON field extraction: valid ints (incl.
