@@ -1526,8 +1526,228 @@ SELECT * FROM ({arms}) WHERE n_lines > 0 ORDER BY m_a, m_b
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quartile bins)
+# ---------------------------------------------------------------------------
+
+RFM_Q = 4
+
+
+def customer_rfm_segments(sf_dir: str):
+    """Classic RFM marketing segmentation: per customer (recency = days
+    from last order to the corpus max date, frequency = order count,
+    monetary = total cents), each dimension quartile-binned by
+    value-threshold quantiles, reported as counts per (r,f,m) bin
+    triple (<= 64 rows at any scale). Distributed shape: one grouped
+    pass builds the per-customer table (never leaves the cluster);
+    per-dimension COMPACTED VALUE HISTOGRAMS (distinct values only)
+    exchange to the driver to derive the quantile_disc bounds (DuckDB's
+    ceil(q*n)-1 index rule, all-integer); a second pass assigns bins by
+    searchsorted and pre-aggregates triple counts per block. At 100 TB
+    the monetary histogram can grow with customer count — the
+    multi-pass selection of ``orders_price_median_exact`` is the
+    drop-in replacement for deriving those bounds."""
+    empty = pd.DataFrame({
+        **{c: pd.Series(dtype="int64") for c in
+           ("r_bin", "f_bin", "m_bin", "n_customers")}})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({
+            "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+            "last_day": d, "f": np.ones(len(batch), dtype=np.int64),
+            "m": _cents(batch["o_totalprice"])
+            .to_numpy(zero_copy_only=False)})
+        g = df.groupby("o_custkey", as_index=False) \
+            .agg(last_day=("last_day", "max"), f=("f", "sum"),
+                 m=("m", "sum"))
+        return _from_pandas(g)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_custkey", as_index=False) \
+            .agg(last_day=("last_day", "max"), f=("f", "sum"),
+                 m=("m", "sum"))
+
+    per_cust = _coarse_partition_map(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "o_custkey", merge).materialize()
+    max_day = int(per_cust.max("last_day"))
+
+    def add_r(batch: pa.Table) -> pa.Table:
+        r = max_day - batch["last_day"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(r.astype(np.int64)), batch["f"], batch["m"]],
+            names=["r", "f", "m"])
+
+    rfm = per_cust.map_batches(add_r, batch_format="pyarrow",
+                               batch_size=None).materialize()
+
+    def bounds_for(col: str) -> np.ndarray:
+        def hist(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "v": batch[col].to_numpy(zero_copy_only=False),
+                "cnt": np.ones(batch.num_rows, dtype=np.int64)})
+            return _from_pandas(df.groupby("v", as_index=False).sum())
+
+        h = (rfm.map_batches(hist, batch_format="pyarrow", batch_size=None)
+             .groupby("v").aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas().sort_values("v"))
+        vals = h["v"].to_numpy(np.int64)
+        cum = h["cnt"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        return np.array(
+            [int(vals[np.searchsorted(
+                cum, int(np.ceil(k / RFM_Q * n)) - 1, side="right")])
+             for k in range(1, RFM_Q)], dtype=np.int64)
+
+    rb, fb, mb = bounds_for("r"), bounds_for("f"), bounds_for("m")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "r_bin": 1 + np.searchsorted(
+                rb, batch["r"].to_numpy(zero_copy_only=False), side="left"),
+            "f_bin": 1 + np.searchsorted(
+                fb, batch["f"].to_numpy(zero_copy_only=False), side="left"),
+            "m_bin": 1 + np.searchsorted(
+                mb, batch["m"].to_numpy(zero_copy_only=False), side="left"),
+            "n_customers": np.ones(batch.num_rows, dtype=np.int64)})
+        g = df.groupby(["r_bin", "f_bin", "m_bin"], as_index=False).sum()
+        return _from_pandas(g.astype("int64"))
+
+    return (rfm.map_batches(assign, batch_format="pyarrow", batch_size=None)
+            .groupby(["r_bin", "f_bin", "m_bin"])
+            .aggregate(Sum("n_customers", alias_name="n_customers"))
+            .sort(["r_bin", "f_bin", "m_bin"]))
+
+
+# bin = 1 + (# quantile bounds strictly below the value); searchsorted
+# side="left" counts bounds < v, the SQL mirrors with three > tests
+RFM_SQL = f"""
+WITH per AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate),
+                   (SELECT MAX(o_orderdate) FROM orders)) AS r,
+         COUNT(*) AS f,
+         SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS m
+  FROM orders GROUP BY o_custkey),
+b AS (SELECT quantile_disc(r, [{", ".join(str(k / RFM_Q) for k in range(1, RFM_Q))}]) AS rb,
+             quantile_disc(f, [{", ".join(str(k / RFM_Q) for k in range(1, RFM_Q))}]) AS fb,
+             quantile_disc(m, [{", ".join(str(k / RFM_Q) for k in range(1, RFM_Q))}]) AS mb
+      FROM per)
+SELECT CAST(1 + (per.r > b.rb[1])::INT + (per.r > b.rb[2])::INT
+              + (per.r > b.rb[3])::INT AS BIGINT) AS r_bin,
+       CAST(1 + (per.f > b.fb[1])::INT + (per.f > b.fb[2])::INT
+              + (per.f > b.fb[3])::INT AS BIGINT) AS f_bin,
+       CAST(1 + (per.m > b.mb[1])::INT + (per.m > b.mb[2])::INT
+              + (per.m > b.mb[3])::INT AS BIGINT) AS m_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM per, b
+GROUP BY r_bin, f_bin, m_bin
+ORDER BY r_bin, f_bin, m_bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU sliding-window distinct users (stickiness)
+# ---------------------------------------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def events_dau_wau(sf_dir: str):
+    """Daily active users plus the 7-day sliding-window distinct count
+    (WAU) and the DAU/WAU stickiness ratio. Sliding DISTINCT is not
+    derivable from daily counts, so each deduped (day, user) pair is
+    exploded to the WAU_WINDOW_DAYS window days it serves and deduped
+    again per window day — the standard exact form (a mergeable HLL per
+    day is the approximate alternative at extreme user counts). Both
+    dedups are coarse day-keyed exchanges of already-deduplicated
+    per-block pairs; no stage sees more than one day bucket's users."""
+    empty = pd.DataFrame({
+        "day": pd.Series(dtype="datetime64[us]"),
+        "dau": pd.Series(dtype="int64"), "wau": pd.Series(dtype="int64"),
+        "stickiness": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        d = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({
+            "day": d,
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        return _from_pandas(df)
+
+    def dedup_count(g: pd.DataFrame) -> pd.DataFrame:
+        du = g.drop_duplicates()
+        c = du.groupby("day", as_index=False).size() \
+            .rename(columns={"size": "dau"})
+        return c.astype("int64")
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow",
+                             batch_size=None).materialize()
+    dau = _coarse_partition_map(pair_ds, "day", dedup_count).to_pandas()
+    days = set(int(d) for d in dau["day"]) if "day" in dau.columns else set()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        k = WAU_WINDOW_DAYS
+        wday = (d[:, None] + np.arange(k)[None, :]).ravel()
+        wu = np.repeat(u, k)
+        keep = np.isin(wday, list(days))
+        df = pd.DataFrame({"day": wday[keep], "user_id": wu[keep]}) \
+            .drop_duplicates()
+        return _from_pandas(df)
+
+    def wau_count(g: pd.DataFrame) -> pd.DataFrame:
+        du = g.drop_duplicates()
+        c = du.groupby("day", as_index=False).size() \
+            .rename(columns={"size": "wau"})
+        return c.astype("int64")
+
+    wau = _coarse_partition_map(
+        pair_ds.map_batches(explode, batch_format="pyarrow",
+                            batch_size=None),
+        "day", wau_count).to_pandas()
+    out = dau.merge(wau, on="day")
+    out["stickiness"] = out["dau"].astype(float) / out["wau"].astype(float)
+    out["day"] = (out.pop("day").astype(np.int64)
+                  * np.int64(86_400_000_000)).astype("datetime64[us]")
+    return out[["day", "dau", "wau", "stickiness"]] \
+        .sort_values("day").reset_index(drop=True)
+
+
+DAU_WAU_SQL = f"""
+WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   user_id FROM events),
+days AS (SELECT DISTINCT d FROM du),
+dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d),
+wau AS (SELECT dy.d, COUNT(DISTINCT du.user_id) AS wau
+        FROM days dy JOIN du
+          ON du.d BETWEEN dy.d - INTERVAL {WAU_WINDOW_DAYS - 1} DAY
+                      AND dy.d
+        GROUP BY dy.d)
+SELECT CAST(dau.d AS TIMESTAMP) AS day,
+       CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+ORDER BY day
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
     "lineitem_cov_matrix": (lineitem_cov_matrix, _cov_matrix_sql()),
+    "customer_rfm_segments": (customer_rfm_segments, RFM_SQL),
+    "events_dau_wau": (events_dau_wau, DAU_WAU_SQL),
     "nation_revenue_trend": (nation_revenue_trend, TREND_SQL),
     "events_value_percentiles_cont": (events_value_percentiles_cont,
                                       PCTL_SQL),

@@ -97,6 +97,7 @@ EVENT_QUERIES = [
     "orders_monthly_view", "events_zorder_prune",
     "orders_grouping_sets", "events_user_negative_types",
     "sessions_peak_concurrency", "events_minute_ohlc",
+    "customer_rfm_segments", "events_dau_wau",
 ]
 
 # props pool stresses the JSON field extraction: valid ints (incl.
