@@ -1236,7 +1236,144 @@ def corpus_bpe_token_stats(sf_dir: str):
             .sort("doc_id"))
 
 
+# ---------------------------------------------------------------------------
+# Bigram PMI components: collocation strength via count joins
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 3
+
+
+def corpus_bigram_pmi(sf_dir: str):
+    """PMI components for every corpus bigram seen >= PMI_MIN_COUNT
+    times: (w1, w2, n_xy, n_w1, n_w2, n_tokens) — everything needed for
+    pmi = ln(n_xy * N / (n_w1 * n_w2)), kept as exact integers so the
+    oracle is bit-free of float-log ordering. Three distributed count
+    aggregations plus TWO string-keyed join exchanges (bigram side
+    tagged and unioned with the unigram table, once per endpoint) — the
+    unigram vocabulary is never broadcast or materialized driver-side."""
+    empty = pd.DataFrame({
+        "w1": pd.Series(dtype="object"), "w2": pd.Series(dtype="object"),
+        **{c: pd.Series(dtype="int64") for c in
+           ("n_xy", "n_w1", "n_w2", "n_tokens")}})
+
+    docs = _docs(sf_dir)
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        _, flat = _doc_terms(batch)
+        vc = pc.value_counts(flat)
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            names=["term", "cnt"]).replace_schema_metadata(None)
+
+    uni = (docs.map_batches(uni_partial, batch_format="pyarrow",
+                            batch_size=None)
+           .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
+           .materialize())
+    n_tokens = int(uni.sum("cnt") or 0)
+    if n_tokens == 0:
+        return empty
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        d, flat = _doc_terms(batch)
+        if len(flat) < 2:
+            return pa.Table.from_pydict(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "n_xy": pa.array([], pa.int64())})
+        keep = pa.array(d[:-1] == d[1:])
+        df = pd.DataFrame({
+            "w1": flat.slice(0, len(flat) - 1).filter(keep).to_pandas(),
+            "w2": flat.slice(1, len(flat) - 1).filter(keep).to_pandas()})
+        g = df.groupby(["w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "n_xy"})
+        return _from_pandas(g.astype({"n_xy": "int64"}))
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n_xy"],
+                                             pa.scalar(PMI_MIN_COUNT)))
+
+    bg = (docs.map_batches(bg_partial, batch_format="pyarrow",
+                           batch_size=None)
+          .groupby(["w1", "w2"]).aggregate(Sum("n_xy", alias_name="n_xy"))
+          .map_batches(thresh, batch_format="pyarrow", batch_size=None)
+          .materialize())
+
+    def attach(endpoint: str, count_col: str):
+        """Per-partition join resolve: unigram rows (side 0) + bigram
+        rows (side 1) arrive co-partitioned on the endpoint term."""
+        def resolve(g: pd.DataFrame) -> pd.DataFrame:
+            m = g[g["side"] == 0].set_index("term")["cnt"]
+            b = g[g["side"] == 1]
+            out = pd.DataFrame({
+                "term": b["term"], "other": b["other"],
+                "n_xy": b["n_xy"].astype("int64"),
+                "carry": b["carry"],
+                count_col: b["term"].map(m).astype("int64")})
+            return out
+
+        return resolve
+
+    u0 = uni.map_batches(lambda b: pa.Table.from_arrays(
+        [b["term"], pa.nulls(b.num_rows, pa.string()),
+         pa.nulls(b.num_rows, pa.int64()), pa.nulls(b.num_rows, pa.int64()),
+         b["cnt"], pa.array(np.zeros(b.num_rows, dtype=np.int64))],
+        names=["term", "other", "n_xy", "carry", "cnt", "side"]),
+        batch_format="pyarrow", batch_size=None)
+    b1 = bg.map_batches(lambda b: pa.Table.from_arrays(
+        [b["w1"], b["w2"], b["n_xy"], pa.nulls(b.num_rows, pa.int64()),
+         pa.nulls(b.num_rows, pa.int64()),
+         pa.array(np.ones(b.num_rows, dtype=np.int64))],
+        names=["term", "other", "n_xy", "carry", "cnt", "side"]),
+        batch_format="pyarrow", batch_size=None)
+    j1 = _coarse_str_group(u0.union(b1), "term", attach("w1", "n_w1"))
+
+    # second exchange: re-key on w2 ("other"), carry n_w1 through
+    b2 = j1.map_batches(lambda b: pa.Table.from_arrays(
+        [b["other"], b["term"], b["n_xy"], b["n_w1"],
+         pa.nulls(b.num_rows, pa.int64()),
+         pa.array(np.ones(b.num_rows, dtype=np.int64))],
+        names=["term", "other", "n_xy", "carry", "cnt", "side"]),
+        batch_format="pyarrow", batch_size=None)
+    j2 = _coarse_str_group(u0.union(b2), "term",
+                           attach("w2", "n_w2")).to_pandas()
+    if j2.empty or "term" not in j2.columns:
+        return empty
+    out = pd.DataFrame({
+        "w1": j2["other"], "w2": j2["term"],
+        "n_xy": j2["n_xy"].astype("int64"),
+        "n_w1": j2["carry"].astype("int64"),
+        "n_w2": j2["n_w2"].astype("int64"),
+        "n_tokens": np.int64(n_tokens)})
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+BIGRAM_PMI_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+  FROM documents),
+uni AS (
+  SELECT t.tok AS term, COUNT(*) AS n
+  FROM toks, UNNEST(l) AS t(tok) GROUP BY term),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM uni),
+pairs AS (
+  SELECT l[i.g] AS w1, l[i.g + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS i(g)),
+bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM pairs GROUP BY w1, w2
+  HAVING COUNT(*) >= {PMI_MIN_COUNT})
+SELECT bg.w1, bg.w2, bg.n_xy,
+       CAST(u1.n AS BIGINT) AS n_w1, CAST(u2.n AS BIGINT) AS n_w2,
+       tot.n_tokens
+FROM bg
+JOIN uni u1 ON u1.term = bg.w1
+JOIN uni u2 ON u2.term = bg.w2, tot
+ORDER BY bg.w1, bg.w2
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "corpus_bigram_pmi": (corpus_bigram_pmi, BIGRAM_PMI_SQL),
     "corpus_bpe_merges": (corpus_bpe_merges, None),
     "corpus_bpe_token_stats": (corpus_bpe_token_stats, None),
     "corpus_bigrams": (corpus_bigrams, BIGRAMS_SQL),

@@ -353,7 +353,49 @@ def media_scene_changes(sf_dir: str):
             .sort(["media_ref", "frame_index"]))
 
 
+PATCH_GRID = 4
+
+
+def media_patches(sf_dir: str, docs: "Dataset | None" = None):
+    """ViT-style patch tiling: every image decodes to the 16x16 stub
+    thumbnail and tiles into a PATCH_GRID x PATCH_GRID grid; one row
+    per patch with integer mean/energy features — the patch-embedding
+    front end of any vision-transformer training pipeline (the real
+    codec swaps in under the same schema). Fully vectorized: one
+    reshape/transpose per batch, no per-patch Python."""
+    from ..functions import phash as P
+
+    media = media_table_from_docs(
+        docs if docs is not None else read_docs(_corpus_for(sf_dir)))
+
+    def tile(batch: pa.Table) -> pa.Table:
+        imgs = P.payload_gray32(batch["payload"].to_pylist())
+        n = imgs.shape[0]
+        g = P.GRAY_N // PATCH_GRID
+        p = imgs.reshape(n, PATCH_GRID, g, PATCH_GRID, g) \
+            .transpose(0, 1, 3, 2, 4).reshape(n, PATCH_GRID, PATCH_GRID, -1)
+        mean = p.mean(axis=3)
+        energy = (p * p).sum(axis=3)
+        refs = np.repeat(batch["media_ref"].to_numpy(zero_copy_only=False),
+                         PATCH_GRID * PATCH_GRID)
+        rr, cc = np.meshgrid(np.arange(PATCH_GRID), np.arange(PATCH_GRID),
+                             indexing="ij")
+        return pa.Table.from_pydict({
+            "media_ref": refs,
+            "patch_row": np.tile(rr.ravel(), n).astype(np.int64),
+            "patch_col": np.tile(cc.ravel(), n).astype(np.int64),
+            "mean_x1e6": np.round(mean.reshape(-1) * 1e6).astype(np.int64),
+            "energy_x100": np.round(energy.reshape(-1) * 100.0)
+            .astype(np.int64)})
+
+    return (media.map_batches(
+        lambda t: t.filter(pc.equal(t["media_type"], "image")),
+        batch_format="pyarrow", batch_size=None)
+        .map_batches(tile, batch_format="pyarrow", batch_size=512))
+
+
 MEDIA_QUERIES: dict[str, tuple] = {
+    "media_patches": (media_patches, None),
     "media_scene_changes": (media_scene_changes, None),
     "media_phash": (media_phash, None),
     "media_phash_pairs": (media_phash_pairs, None),

@@ -243,3 +243,38 @@ def test_phash_pairs_nonempty_on_sf_corpus():
     assert len(pairs) > 0
     assert (pairs["hamming"] <= 7).all()
     assert (pairs["ref_a"] < pairs["ref_b"]).all()
+
+
+def test_media_patches_grid_and_consistency(media_corpus):
+    """Every image tiles to exactly PATCH_GRID^2 patches; patch means
+    are deterministic and average back to the full-image mean (tiling
+    is a partition of the pixels)."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extraction_ray.functions import phash as P
+    from pdf_extraction_ray.pipelines.media import (PATCH_GRID,
+                                                    media_patches,
+                                                    media_table_from_docs)
+    from pdf_extraction_ray.sources.io import read_docs
+
+    docs = read_docs(media_corpus)
+    df = media_patches("", docs=docs).to_pandas()
+    per = df.groupby("media_ref").size()
+    assert (per == PATCH_GRID * PATCH_GRID).all() and len(per) > 0
+
+    # determinism across runs
+    df2 = media_patches("", docs=read_docs(media_corpus)).to_pandas()
+    key = ["media_ref", "patch_row", "patch_col"]
+    pd.testing.assert_frame_equal(
+        df.sort_values(key).reset_index(drop=True),
+        df2.sort_values(key).reset_index(drop=True))
+
+    # partition property vs an independent full-image decode
+    media = media_table_from_docs(read_docs(media_corpus)).to_pandas()
+    imgs = media[media["media_type"] == "image"].head(5)
+    full = P.payload_gray32(list(imgs["payload"]))
+    for ref, img in zip(imgs["media_ref"], full):
+        sub = df[df["media_ref"] == ref]
+        patch_mean = sub["mean_x1e6"].to_numpy() / 1e6
+        assert abs(patch_mean.mean() - img.mean()) < 1e-4, ref
