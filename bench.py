@@ -608,7 +608,14 @@ def main():
                          "events_debounced", "events_user_modal_type",
                          "events_user_interarrival",
                          "orders_price_median_exact",
-                         "events_compacted_roundtrip"]
+                         "events_compacted_roundtrip",
+                         "events_asof_next_order", "lineitem_cov_matrix",
+                         "orders_grouping_sets",
+                         "events_user_negative_types",
+                         "sessions_peak_concurrency", "events_minute_ohlc",
+                         "customer_rfm_segments", "events_dau_wau",
+                         "corpus_bigram_pmi", "events_orc_roundtrip",
+                         "media_patches"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
