@@ -4285,20 +4285,23 @@ def events_minute_ohlc(sf_dir: str):
             "n": g.size().to_numpy(np.int64)}))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for m, sub in g.groupby("minute"):
-            o = sub.sort_values(["o_t", "o_eid"], kind="stable").iloc[0]
-            c = sub.sort_values(["c_t", "c_eid"], kind="stable").iloc[-1]
-            rows.append((np.int64(m) * 60_000_000,
-                         int(o["open_x1e6"]), int(sub["high_x1e6"].max()),
-                         int(sub["low_x1e6"].min()), int(c["close_x1e6"]),
-                         int(sub["n"].sum())))
-        out = pd.DataFrame(rows, columns=["minute_us", "open_x1e6",
-                                          "high_x1e6", "low_x1e6",
-                                          "close_x1e6", "n"])
-        out["minute_ts"] = out.pop("minute_us").astype("datetime64[us]")
-        return out[["minute_ts", "open_x1e6", "high_x1e6", "low_x1e6",
-                    "close_x1e6", "n"]]
+        # three vectorized grouped reductions, no per-minute Python
+        opens = g.sort_values(["minute", "o_t", "o_eid"], kind="stable") \
+            .groupby("minute")["open_x1e6"].first()
+        closes = g.sort_values(["minute", "c_t", "c_eid"], kind="stable") \
+            .groupby("minute")["close_x1e6"].last()
+        agg = g.groupby("minute").agg(high_x1e6=("high_x1e6", "max"),
+                                      low_x1e6=("low_x1e6", "min"),
+                                      n=("n", "sum"))
+        out = pd.DataFrame({
+            "minute_ts": (agg.index.to_numpy(np.int64)
+                          * np.int64(60_000_000)).astype("datetime64[us]"),
+            "open_x1e6": opens.to_numpy(np.int64),
+            "high_x1e6": agg["high_x1e6"].to_numpy(np.int64),
+            "low_x1e6": agg["low_x1e6"].to_numpy(np.int64),
+            "close_x1e6": closes.to_numpy(np.int64),
+            "n": agg["n"].to_numpy(np.int64)})
+        return out
 
     return _coarse_partition_map(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
