@@ -615,7 +615,8 @@ def main():
                          "sessions_peak_concurrency", "events_minute_ohlc",
                          "customer_rfm_segments", "events_dau_wau",
                          "corpus_bigram_pmi", "events_orc_roundtrip",
-                         "media_patches"]
+                         "media_patches", "model_eval_auc",
+                         "model_eval_confusion"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

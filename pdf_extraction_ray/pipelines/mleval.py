@@ -1,0 +1,239 @@
+"""Model-evaluation operators: exact distributed ROC-AUC, grouped
+confusion/precision/recall metrics — the classifier-eval tier a
+training-data pipeline runs after a quality model scores the corpus.
+
+Reference analogs: the RAG evaluation's accuracy/latency totals
+(`complete_multimodal_rag_evaluation.py:287-301`) are the reference's
+only eval aggregates; these operators generalize that tier to proper
+ranking metrics (Mann-Whitney AUC with tie correction) and per-source
+confusion tables over the quality-model scores of
+`pipelines/textops.py`.
+
+Exactness strategy (shared with stats.py): the AUC numerator is an
+exact Python-int accumulation over the compacted (score -> pos,neg)
+histogram, converted to double ONCE with the same operation order the
+oracle's HUGEINT sums + CAST AS DOUBLE perform; precision/recall/F1
+are integer floor divisions (x1e6) so no float enters the comparison
+at all.
+
+Scale shape: one streaming pass over ``documents`` emits per-batch
+(score, pos, neg) count partials; the only exchange is a groupby-sum
+whose key space is the distinct-score domain (a compacted histogram,
+the same pattern as events_value_deciles), and the final tie-corrected
+scan runs over that small table on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+from ..functions import text as T
+from .relational import _from_pandas, _table_empty
+from .textops import _docs, MODEL_SCORE_THRESHOLD, QualityModel, _EN
+
+POS_LANG = "en"
+
+
+def _score_label_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(model_score int64, label 0/1 int64) per row — the QualityModel
+    linear score over the vectorized quality features, labelled by the
+    documents table's own ``lang`` column (positive class = English)."""
+    text = batch["text"].combine_chunks() \
+        if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+    q = T.quality_scores(text)
+    score = np.zeros(len(batch), dtype=np.int64)
+    for col, w in QualityModel.WEIGHTS.items():
+        score += w * q[col].to_numpy(zero_copy_only=False)
+    lang = batch["lang"].to_numpy(zero_copy_only=False)
+    label = (lang == POS_LANG).astype(np.int64)
+    return score, label
+
+
+def _scored_cte(extra: str = "") -> str:
+    """``scored`` CTE (doc_id{extra}, score, pos) — the SQL mirror of
+    ``_score_label_batch``, with optional extra pass-through columns
+    (e.g. ``", source"``)."""
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang{extra},
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents),
+q AS (
+  SELECT doc_id, lang{extra},
+       CASE WHEN n_chars > 0 THEN (punct_cnt * 1000000) // n_chars ELSE 0 END AS punct_ratio_x1e6,
+       CASE WHEN len(toks) > 0 THEN
+         (CAST(len(list_filter(ltoks, x -> x IN ({_EN}))) AS BIGINT) * 1000000) // len(toks)
+       ELSE 0 END AS stop_ratio_x1e6,
+       CASE WHEN len(toks) > 0 THEN
+         (CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) * 1000000) // len(toks)
+       ELSE 0 END AS mean_token_len_x1e6
+  FROM t),
+scored AS (
+  SELECT doc_id{extra},
+         2 * stop_ratio_x1e6 + mean_token_len_x1e6 - 3 * punct_ratio_x1e6
+             AS score,
+         CASE WHEN lang = '{POS_LANG}' THEN 1 ELSE 0 END AS pos
+  FROM q)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC AUC (Mann-Whitney with tie correction)
+# ---------------------------------------------------------------------------
+
+def model_eval_auc(sf_dir: str):
+    """Exact ROC-AUC of the quality-model score against the lang='en'
+    label: AUC = (sum over ascending scores of 2*neg_below*pos +
+    pos*neg) / (2*P*N) — the Mann-Whitney U statistic with the 0.5
+    tie credit. Per-batch partials compact rows to (score, pos, neg)
+    counts; one groupby-sum builds the global histogram; the ordered
+    scan over it runs driver-side in Python ints (exact at any scale)
+    with ONE final int->double division. Output: (n_pos, n_neg, auc)."""
+    empty = pd.DataFrame({"n_pos": pd.Series(dtype="int64"),
+                          "n_neg": pd.Series(dtype="int64"),
+                          "auc": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "documents"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        score, label = _score_label_batch(batch)
+        df = pd.DataFrame({"score": score, "pos": label, "neg": 1 - label})
+        return _from_pandas(df.groupby("score", as_index=False).sum())
+
+    hist = (_docs(sf_dir, columns=("doc_id", "text", "lang"))
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("score")
+            .aggregate(Sum("pos", alias_name="pos"),
+                       Sum("neg", alias_name="neg"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("score")
+    pos = hist["pos"].to_numpy(np.int64)
+    neg = hist["neg"].to_numpy(np.int64)
+    n_pos, n_neg = int(pos.sum()), int(neg.sum())
+    if n_pos == 0 or n_neg == 0:
+        return empty
+    # exact Python-int accumulation: x2 numerator carries the 0.5 tie
+    # credit as an integer; one IEEE division at the very end
+    num2 = 0
+    neg_below = 0
+    for p, n in zip(pos.tolist(), neg.tolist()):
+        num2 += 2 * neg_below * p + p * n
+        neg_below += n
+    return pd.DataFrame({"n_pos": [n_pos], "n_neg": [n_neg],
+                         "auc": [float(num2)
+                                 / float(2 * n_pos * n_neg)]})
+
+
+AUC_SQL = _scored_cte() + """
+, h AS (
+  SELECT score, SUM(pos) AS pos, SUM(1 - pos) AS neg
+  FROM scored GROUP BY score),
+c AS (
+  SELECT pos, neg,
+         COALESCE(SUM(neg) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS neg_below
+  FROM h),
+agg AS (
+  SELECT SUM(CAST(2 * neg_below * pos + pos * neg AS HUGEINT)) AS num2,
+         SUM(pos) AS n_pos, SUM(neg) AS n_neg
+  FROM c)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(num2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM agg
+WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source confusion table at the production threshold
+# ---------------------------------------------------------------------------
+
+def model_eval_confusion(sf_dir: str):
+    """Per-source confusion matrix of the thresholded quality gate
+    (pred = score >= MODEL_SCORE_THRESHOLD) against the lang='en'
+    label, with precision/recall/F1 as exact integer floor divisions
+    (x1e6) — the per-slice eval table a data-quality dashboard shows.
+    Four grouped count sums; the exchange moves <= 4 rows per batch
+    per source. Output: (source, tp, fp, fn, tn, precision_x1e6,
+    recall_x1e6, f1_x1e6; -1 sentinel when a denominator is 0)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("tp", "fp", "fn", "tn", "precision_x1e6",
+                           "recall_x1e6", "f1_x1e6")})
+    empty.insert(0, "source", pd.Series(dtype="object"))
+    if _table_empty(sf_dir, "documents"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        score, label = _score_label_batch(batch)
+        pred = (score >= MODEL_SCORE_THRESHOLD).astype(np.int64)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "source": src,
+            "tp": (pred & label).astype(np.int64),
+            "fp": (pred & (1 - label)).astype(np.int64),
+            "fn": ((1 - pred) & label).astype(np.int64),
+            "tn": ((1 - pred) & (1 - label)).astype(np.int64)})
+        return _from_pandas(df.groupby("source", as_index=False).sum())
+
+    agg = (_docs(sf_dir, columns=("doc_id", "text", "lang", "source"))
+           .map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("source")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("tp", "fp", "fn", "tn")])
+           .to_pandas())
+    if agg.empty:
+        return empty
+    tp = agg["tp"].to_numpy(np.int64)
+    fp = agg["fp"].to_numpy(np.int64)
+    fn = agg["fn"].to_numpy(np.int64)
+    M = np.int64(1_000_000)
+    agg["precision_x1e6"] = np.where(tp + fp > 0, tp * M // np.maximum(tp + fp, 1), -1)
+    agg["recall_x1e6"] = np.where(tp + fn > 0, tp * M // np.maximum(tp + fn, 1), -1)
+    agg["f1_x1e6"] = np.where(2 * tp + fp + fn > 0,
+                              2 * tp * M // np.maximum(2 * tp + fp + fn, 1),
+                              -1)
+    return agg[["source", "tp", "fp", "fn", "tn", "precision_x1e6",
+                "recall_x1e6", "f1_x1e6"]] \
+        .sort_values("source").reset_index(drop=True)
+
+
+CONFUSION_SQL = _scored_cte(", source") + f"""
+, cm AS (
+  SELECT source,
+         SUM(CASE WHEN score >= {MODEL_SCORE_THRESHOLD} AND pos = 1
+                  THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN score >= {MODEL_SCORE_THRESHOLD} AND pos = 0
+                  THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN score < {MODEL_SCORE_THRESHOLD} AND pos = 1
+                  THEN 1 ELSE 0 END) AS fn,
+         SUM(CASE WHEN score < {MODEL_SCORE_THRESHOLD} AND pos = 0
+                  THEN 1 ELSE 0 END) AS tn
+  FROM scored GROUP BY source)
+SELECT source, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+                 ELSE -1 END AS BIGINT) AS precision_x1e6,
+       CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+                 ELSE -1 END AS BIGINT) AS recall_x1e6,
+       CAST(CASE WHEN 2 * tp + fp + fn > 0
+                 THEN 2 * tp * 1000000 // (2 * tp + fp + fn)
+                 ELSE -1 END AS BIGINT) AS f1_x1e6
+FROM cm
+ORDER BY source
+"""
+
+
+MLEVAL_QUERIES: dict[str, tuple] = {
+    "model_eval_auc": (model_eval_auc, AUC_SQL),
+    "model_eval_confusion": (model_eval_confusion, CONFUSION_SQL),
+}

@@ -14,6 +14,7 @@ import pandas as pd
 import pytest
 
 from pdf_extraction_ray.pipelines.corpus import CORPUS_QUERIES
+from pdf_extraction_ray.pipelines.mleval import MLEVAL_QUERIES
 from pdf_extraction_ray.pipelines.textops import TEXT_QUERIES
 
 VOCAB = ("the and of to a in is it le la les de et un une el los y que "
@@ -45,7 +46,8 @@ def _random_docs(seed: int, n: int = 40) -> pd.DataFrame:
 
 ORACLED = sorted(
     [(n, fn, sql) for n, (fn, sql) in
-     {**CORPUS_QUERIES, **TEXT_QUERIES}.items() if sql is not None])
+     {**CORPUS_QUERIES, **TEXT_QUERIES, **MLEVAL_QUERIES}.items()
+     if sql is not None])
 
 
 @pytest.mark.usefixtures("ray_session")

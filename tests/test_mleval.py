@@ -1,0 +1,108 @@
+"""Model-eval tier: exact-AUC differential vs a brute-force all-pairs
+reference, perfect-separation / all-tied edge cases, and confusion-table
+arithmetic on planted counts."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from pdf_extraction_ray.pipelines import mleval as M
+
+
+def _write_docs(d: str, texts, langs, sources=None):
+    n = len(texts)
+    pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": langs,
+        "source": sources if sources is not None else ["s0"] * n,
+        "n_chars": [len(t) for t in texts]}) \
+        .to_parquet(os.path.join(d, "documents.parquet"))
+
+
+def _brute_auc(scores, labels):
+    """All-pairs Mann-Whitney reference: P(score_pos > score_neg) +
+    0.5 * P(==)."""
+    pos = [s for s, y in zip(scores, labels) if y == 1]
+    neg = [s for s, y in zip(scores, labels) if y == 0]
+    num = 0.0
+    for p in pos:
+        for n in neg:
+            num += 1.0 if p > n else (0.5 if p == n else 0.0)
+    return num / (len(pos) * len(neg))
+
+
+# stopword-rich text with long clean words scores high (~7.7e6, above
+# the 4.6e6 gate); short punctuation junk scores ~1.0e6, below it
+_HI = "the and wonderful the and wonderful the and wonderful"
+_LO = "z. q, x; v: w? z. q, x; v: w? " * 4
+_MID = "alpha beta the gamma delta and epsilon words here mixed in text"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auc_perfect_separation(tmp_path):
+    d = str(tmp_path)
+    _write_docs(d, [_HI] * 5 + [_LO] * 7, ["en"] * 5 + ["de"] * 7)
+    out = M.model_eval_auc(d)
+    assert out.n_pos.iloc[0] == 5 and out.n_neg.iloc[0] == 7
+    assert out.auc.iloc[0] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auc_all_tied_is_half(tmp_path):
+    d = str(tmp_path)
+    _write_docs(d, [_MID] * 8, ["en"] * 3 + ["fr"] * 5)
+    out = M.model_eval_auc(d)
+    assert out.auc.iloc[0] == 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auc_matches_brute_force_pairs(tmp_path):
+    """Mixed scores with ties: the histogram-scan AUC must equal the
+    all-pairs reference computed from the very same per-doc scores."""
+    d = str(tmp_path)
+    rng = np.random.default_rng(7)
+    texts, langs = [], []
+    vocab = ["the", "and", "is", "zz", "qq", "word", "alpha", "!!", ",,"]
+    for i in range(40):
+        k = rng.integers(5, 30)
+        texts.append(" ".join(rng.choice(vocab, size=k)))
+        langs.append("en" if rng.random() < 0.4 else "de")
+    _write_docs(d, texts, langs)
+
+    tbl = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                    "text": pa.array(texts), "lang": pa.array(langs)})
+    scores, labels = M._score_label_batch(tbl)
+    want = _brute_auc(scores.tolist(), labels.tolist())
+
+    out = M.model_eval_auc(d)
+    assert out.auc.iloc[0] == pytest.approx(want, abs=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auc_single_class_empty(tmp_path):
+    d = str(tmp_path)
+    _write_docs(d, [_HI] * 4, ["en"] * 4)
+    assert len(M.model_eval_auc(d)) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_confusion_planted_counts(tmp_path):
+    """2 sources: src_a holds 2 TP + 1 FN, src_b holds 1 FP + 2 TN;
+    precision/recall/F1 must be the exact floor divisions."""
+    d = str(tmp_path)
+    texts = [_HI, _HI, _LO, _HI, _LO, _LO]
+    langs = ["en", "en", "en", "de", "de", "de"]
+    sources = ["src_a", "src_a", "src_a", "src_b", "src_b", "src_b"]
+    _write_docs(d, texts, langs, sources)
+    out = M.model_eval_confusion(d).set_index("source")
+    a, b = out.loc["src_a"], out.loc["src_b"]
+    assert (a.tp, a.fp, a.fn, a.tn) == (2, 0, 1, 0)
+    assert (b.tp, b.fp, b.fn, b.tn) == (0, 1, 0, 2)
+    assert a.precision_x1e6 == 1_000_000
+    assert a.recall_x1e6 == 2 * 1_000_000 // 3
+    assert a.f1_x1e6 == 4 * 1_000_000 // 5
+    assert b.precision_x1e6 == 0 and b.recall_x1e6 == -1 and b.f1_x1e6 == 0
