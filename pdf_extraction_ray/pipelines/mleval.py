@@ -233,7 +233,142 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Calibration table (fixed-width bins over the observed score range)
+# ---------------------------------------------------------------------------
+
+N_CALIB_BINS = 10
+
+
+def _score_histogram(sf_dir: str) -> pd.DataFrame:
+    """Compacted global (score -> pos, neg) histogram — the shared
+    distributed pass behind AUC and calibration: per-batch partial
+    counts, one groupby-sum whose key space is the distinct-score
+    domain."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        score, label = _score_label_batch(batch)
+        df = pd.DataFrame({"score": score, "pos": label, "neg": 1 - label})
+        return _from_pandas(df.groupby("score", as_index=False).sum())
+
+    return (_docs(sf_dir, columns=("doc_id", "text", "lang"))
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("score")
+            .aggregate(Sum("pos", alias_name="pos"),
+                       Sum("neg", alias_name="neg"))
+            .to_pandas())
+
+
+def model_eval_calibration(sf_dir: str):
+    """Reliability/calibration table of the quality-model score against
+    the lang='en' label: N_CALIB_BINS fixed-width bins over the observed
+    [min, max] score range, per bin the row count, positive count, exact
+    integer score sum and the observed positive rate (x1e6 floor
+    division) — all derived driver-side from the SAME compacted
+    (score -> pos, neg) histogram the AUC pass builds, so the only
+    exchange is the histogram groupby. Output: (bin, n, n_pos,
+    sum_score, obs_rate_x1e6)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("bin", "n", "n_pos", "sum_score",
+                           "obs_rate_x1e6")})
+    if _table_empty(sf_dir, "documents"):
+        return empty
+    hist = _score_histogram(sf_dir)
+    if hist.empty:
+        return empty
+    score = hist["score"].to_numpy(np.int64)
+    n = (hist["pos"] + hist["neg"]).to_numpy(np.int64)
+    pos = hist["pos"].to_numpy(np.int64)
+    mn, mx = int(score.min()), int(score.max())
+    width = mx - mn + 1  # integer bin rule shared verbatim with the SQL
+    bins = (score - mn) * N_CALIB_BINS // width
+    df = pd.DataFrame({"bin": bins, "n": n, "n_pos": pos,
+                       "sum_score": score * n})
+    out = df.groupby("bin", as_index=False).sum()
+    # exact ints only: observed rate as a floor division (never float)
+    out["obs_rate_x1e6"] = out["n_pos"] * 1_000_000 // out["n"]
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+CALIBRATION_SQL = _scored_cte() + f"""
+, b AS (
+  SELECT (score - MIN(score) OVER ()) * {N_CALIB_BINS}
+             // (MAX(score) OVER () - MIN(score) OVER () + 1) AS bin,
+         score, pos
+  FROM scored)
+SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(score) AS BIGINT) AS sum_score,
+       CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS obs_rate_x1e6
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Brier score through an arithmetic-only (rational) probability link
+# ---------------------------------------------------------------------------
+
+BRIER_LINK_C = 1_000_000.0  # score-scale constant of the rational link
+
+
+def model_eval_brier(sf_dir: str):
+    """Brier score of the quality model: probability from the rational
+    link p = 0.5 + s / (2*(|s| + C)) over the threshold-centered score
+    s = score - MODEL_SCORE_THRESHOLD — monotone in the score, p = 0.5 at
+    the production gate, and built
+    from IEEE +,*,/,abs only, so per-row doubles are bit-identical on
+    both engines (no exp/ln, whose libm rounding may differ). Each
+    row's squared error is floored to integer 1e-8 units (int64 headroom out to ~1e10 rows); partial
+    integer sums exchange one row per batch; the final mean is ONE
+    exact-int -> double division. Output: (n, brier)."""
+    empty = pd.DataFrame({"n": pd.Series(dtype="int64"),
+                          "brier": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "documents"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        score, label = _score_label_batch(batch)
+        s = (score - MODEL_SCORE_THRESHOLD).astype(np.float64)
+        p = 0.5 + s / (2.0 * (np.abs(s) + BRIER_LINK_C))
+        e = p - label.astype(np.float64)
+        units = np.floor(e * e * 1e8).astype(np.int64)
+        return pa.Table.from_pydict(
+            {"n": [len(units)], "units": [int(units.sum())]},
+            schema=pa.schema([("n", pa.int64()), ("units", pa.int64())]))
+
+    agg = (_docs(sf_dir, columns=("doc_id", "text", "lang"))
+           .map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("units", alias_name="units")))
+    n = int(agg["n"])
+    if n == 0:
+        return empty
+    units = int(agg["units"])
+    return pd.DataFrame({"n": [n],
+                         "brier": [float(units) / (float(n) * 1e8)]})
+
+
+BRIER_SQL = _scored_cte() + f"""
+, pe AS (
+  -- e computed once, squared by plain multiplication (POWER may route
+  -- through exp/ln and round differently than x*x)
+  SELECT 0.5 + CAST(score - {MODEL_SCORE_THRESHOLD} AS DOUBLE)
+             / (2.0 * (ABS(CAST(score - {MODEL_SCORE_THRESHOLD} AS DOUBLE))
+                       + {BRIER_LINK_C!r}))
+         - CAST(pos AS DOUBLE) AS e
+  FROM scored),
+e AS (
+  SELECT CAST(FLOOR(e * e * 1e8) AS BIGINT) AS units FROM pe)
+SELECT COUNT(*) AS n,
+       CAST(SUM(units) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e8)
+           AS brier
+FROM e HAVING COUNT(*) > 0
+"""
+
+
 MLEVAL_QUERIES: dict[str, tuple] = {
     "model_eval_auc": (model_eval_auc, AUC_SQL),
     "model_eval_confusion": (model_eval_confusion, CONFUSION_SQL),
+    "model_eval_calibration": (model_eval_calibration, CALIBRATION_SQL),
+    "model_eval_brier": (model_eval_brier, BRIER_SQL),
 }

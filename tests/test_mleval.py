@@ -106,3 +106,53 @@ def test_confusion_planted_counts(tmp_path):
     assert a.recall_x1e6 == 2 * 1_000_000 // 3
     assert a.f1_x1e6 == 4 * 1_000_000 // 5
     assert b.precision_x1e6 == 0 and b.recall_x1e6 == -1 and b.f1_x1e6 == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_calibration_planted_bins(tmp_path):
+    """Separable corpus: positives score high, negatives low -> bin 0
+    holds only negatives, the top bin only positives; counts conserve."""
+    d = str(tmp_path)
+    _write_docs(d, [_HI] * 4 + [_LO] * 6, ["en"] * 4 + ["de"] * 6)
+    out = M.model_eval_calibration(d)
+    assert out.bin.between(0, M.N_CALIB_BINS - 1).all()
+    assert out.n.sum() == 10 and out.n_pos.sum() == 4
+    lo, hi = out.iloc[0], out.iloc[-1]
+    assert lo.bin == 0 and lo.n == 6 and lo.n_pos == 0 \
+        and lo.obs_rate_x1e6 == 0
+    assert hi.bin == M.N_CALIB_BINS - 1 and hi.n == 4 and hi.n_pos == 4 \
+        and hi.obs_rate_x1e6 == 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brier_matches_per_row_reference(tmp_path):
+    """Distributed integer-unit Brier equals a per-row python reference
+    over the same scores (same link, same floor-to-1e-8 rule)."""
+    d = str(tmp_path)
+    rng = np.random.default_rng(11)
+    vocab = ["the", "and", "is", "zz", "qq", "word", "alpha", "!!", ",,"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(5, 30))))
+             for _ in range(30)]
+    langs = ["en" if rng.random() < 0.5 else "de" for _ in range(30)]
+    _write_docs(d, texts, langs)
+    tbl = pa.table({"doc_id": pa.array(np.arange(30, dtype=np.int64)),
+                    "text": pa.array(texts), "lang": pa.array(langs)})
+    scores, labels = M._score_label_batch(tbl)
+    units = 0
+    for s, y in zip(scores.tolist(), labels.tolist()):
+        sc = float(s - M.MODEL_SCORE_THRESHOLD)
+        p = 0.5 + sc / (2.0 * (abs(sc) + M.BRIER_LINK_C))
+        units += int(np.floor((p - y) * (p - y) * 1e8))
+    want = float(units) / (30.0 * 1e8)
+    out = M.model_eval_brier(d)
+    assert out.n.iloc[0] == 30 and out.brier.iloc[0] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brier_perfect_predictions_near_zero(tmp_path):
+    """Strongly separated corpus: the rational link saturates toward
+    1/0, so the Brier score must be well under the 0.25 coin-flip line."""
+    d = str(tmp_path)
+    _write_docs(d, [_HI] * 5 + [_LO] * 5, ["en"] * 5 + ["de"] * 5)
+    out = M.model_eval_brier(d)
+    assert 0.0 <= out.brier.iloc[0] < 0.25

@@ -282,7 +282,8 @@ def test_stats_oracles_on_random_tables(tmp_path, seed):
         + pd.to_timedelta(rng.integers(0, 900, size=n_li), unit="D"),
         "l_quantity": rng.integers(1, 100, size=n_li).astype(float),
         "l_extendedprice": rng.integers(0, 2_000_000, size=n_li) / 200.0,
-        "l_discount": rng.integers(0, 21, size=n_li) / 200.0}) \
+        "l_discount": rng.integers(0, 21, size=n_li) / 200.0,
+        "l_tax": rng.integers(0, 9, size=n_li) / 200.0}) \
         .to_parquet(os.path.join(d, "lineitem.parquet"))
     pd.DataFrame({"s_suppkey": np.arange(5, dtype=np.int64),
                   "s_nationkey": np.array([0, 0, 1, 2, 2],
