@@ -1744,7 +1744,199 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# Chi-square test of independence: event_type x ISO day-of-week
+# ---------------------------------------------------------------------------
+
+def events_type_dow_chisq(sf_dir: str):
+    """Pearson chi-square statistic for independence of event_type and
+    ISO day-of-week — the seasonality/independence screen an analytics
+    tier runs before trusting per-type daily breakdowns. One grouped
+    count exchange builds the (type, dow) contingency grid (<= |types|*7
+    rows at any scale); the statistic assembles driver-side over the
+    FULL cross grid (zero cells included, as the test requires) in exact
+    Python ints: each cell contributes (N*O - R*C)^2 * 1e6 // (N*R*C),
+    an integer floor division, so chi2_x1e6 is integer-exact on both
+    engines. Output: (n_types, n_dows, n_events, dof, chi2_x1e6)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("n_types", "n_dows", "n_events", "dof",
+                           "chi2_x1e6")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        # days since epoch; 1970-01-01 was a Thursday -> isodow 4
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        dow = (day + 3) % 7 + 1
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "dow": dow})
+        g = df.groupby(["event_type", "dow"], as_index=False).size() \
+            .rename(columns={"size": "o"})
+        return _from_pandas(g)
+
+    grid = (rd.read_parquet(_pq(sf_dir, "events"),
+                            columns=["ts", "event_type"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["event_type", "dow"])
+            .aggregate(Sum("o", alias_name="o"))
+            .to_pandas())
+    if grid.empty:
+        return empty
+    types = sorted(grid["event_type"].unique())
+    dows = sorted(int(d) for d in grid["dow"].unique())
+    obs = {(r.event_type, int(r.dow)): int(r.o)
+           for r in grid.itertuples(index=False)}
+    row_tot = {t: sum(obs.get((t, d), 0) for d in dows) for t in types}
+    col_tot = {d: sum(obs.get((t, d), 0) for t in types) for d in dows}
+    n = sum(row_tot.values())
+    chi2 = 0
+    for t in types:
+        for d in dows:
+            o = obs.get((t, d), 0)
+            num = n * o - row_tot[t] * col_tot[d]
+            chi2 += num * num * 1_000_000 // (n * row_tot[t] * col_tot[d])
+    return pd.DataFrame({"n_types": [len(types)], "n_dows": [len(dows)],
+                         "n_events": [n],
+                         "dof": [(len(types) - 1) * (len(dows) - 1)],
+                         "chi2_x1e6": [chi2]})
+
+
+CHISQ_SQL = """
+WITH c AS (
+  SELECT event_type, isodow(ts) AS dow, COUNT(*) AS o
+  FROM events GROUP BY event_type, dow),
+grid AS (
+  SELECT t.event_type, d.dow
+  FROM (SELECT DISTINCT event_type FROM c) t
+  CROSS JOIN (SELECT DISTINCT dow FROM c) d),
+f AS (
+  SELECT g.event_type, g.dow, COALESCE(c.o, 0) AS o
+  FROM grid g LEFT JOIN c ON g.event_type = c.event_type
+                         AND g.dow = c.dow),
+m AS (
+  SELECT event_type, dow, o,
+         SUM(o) OVER (PARTITION BY event_type) AS rt,
+         SUM(o) OVER (PARTITION BY dow) AS ct,
+         SUM(o) OVER () AS n
+  FROM f),
+terms AS (
+  SELECT n, rt, ct,
+         CAST(n * o - rt * ct AS HUGEINT)
+           * CAST(n * o - rt * ct AS HUGEINT) * 1000000
+           // (CAST(n AS HUGEINT) * rt * ct) AS term
+  FROM m)
+SELECT CAST((SELECT COUNT(DISTINCT event_type) FROM f) AS BIGINT)
+           AS n_types,
+       CAST((SELECT COUNT(DISTINCT dow) FROM f) AS BIGINT) AS n_dows,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(((SELECT COUNT(DISTINCT event_type) FROM f) - 1)
+            * ((SELECT COUNT(DISTINCT dow) FROM f) - 1) AS BIGINT) AS dof,
+       CAST(SUM(term) AS BIGINT) AS chi2_x1e6
+FROM terms
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the hourly event-count series (lags 1..3)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 3
+
+
+def events_hourly_acf(sf_dir: str):
+    """Autocorrelation of the DENSIFIED hourly event-count series (gap
+    hours count 0) at lags 1..ACF_MAX_LAG — the periodicity probe behind
+    seasonality detection. The distributed pass is one grouped count
+    keyed by epoch-hour; the dense series (bounded by the time span, not
+    the row count) is lagged driver-side with exact integer moments and
+    ONE float expression per lag, mirroring the oracle's HUGEINT sums:
+    r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)).
+    Zero-variance lags are omitted on both engines.
+    Output: (lag, n_pairs, r)."""
+    empty = pd.DataFrame({"lag": pd.Series(dtype="int64"),
+                          "n_pairs": pd.Series(dtype="int64"),
+                          "r": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"hr": hr}).groupby("hr", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    dense[hr - h0] = hist["c"].to_numpy(np.int64)
+    rows = []
+    for lag in range(1, ACF_MAX_LAG + 1):
+        if len(dense) <= lag:
+            break
+        x, y = dense[:-lag], dense[lag:]
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if dx <= 0 or dy <= 0:
+            continue
+        r = float(n * sxy - sx * sy) / (np.sqrt(float(dx))
+                                        * np.sqrt(float(dy)))
+        rows.append((lag, n, r))
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "r"]) \
+        if rows else empty
+
+
+def _acf_sql() -> str:
+    lag_selects = " UNION ALL ".join(
+        f"SELECT {k} AS lag" for k in range(1, ACF_MAX_LAG + 1))
+    return f"""
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, COALESCE(h.c, 0) AS c
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr),
+lags AS ({lag_selects}),
+pairs AS (
+  SELECT l.lag, d1.c AS x, d2.c AS y
+  FROM lags l
+  CROSS JOIN dense d1
+  JOIN dense d2 ON d2.hr = d1.hr + l.lag),
+mo AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+            * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+FROM mo
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+ORDER BY lag
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "events_type_dow_chisq": (events_type_dow_chisq, CHISQ_SQL),
+    "events_hourly_acf": (events_hourly_acf, _acf_sql()),
     "lineitem_cov_matrix": (lineitem_cov_matrix, _cov_matrix_sql()),
     "customer_rfm_segments": (customer_rfm_segments, RFM_SQL),
     "events_dau_wau": (events_dau_wau, DAU_WAU_SQL),

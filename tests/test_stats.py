@@ -332,3 +332,66 @@ def test_stats_oracles_on_random_tables(tmp_path, seed):
         pd.testing.assert_frame_equal(rc, oc, check_dtype=False,
                                       check_exact=True,
                                       obj=f"{name}@{seed}")
+
+
+# ---------------------------------------------------------------------------
+# chi-square + ACF planted-structure checks
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_chisq_independent_uniform_is_zero(tmp_path):
+    """A perfectly balanced type x dow grid has O == E in every cell, so
+    every integer term floors to 0."""
+    d = str(tmp_path)
+    days = pd.date_range("2024-05-06", periods=7, freq="D")  # Mon..Sun
+    rows = [(t, day) for t in ("a", "b") for day in days for _ in range(5)]
+    pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "user_id": np.zeros(len(rows), dtype=np.int64),
+        "ts": [r[1] for r in rows],
+        "event_type": [r[0] for r in rows],
+        "value": np.zeros(len(rows))}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_type_dow_chisq(d)
+    assert out.n_types.iloc[0] == 2 and out.n_dows.iloc[0] == 7
+    assert out.dof.iloc[0] == 6 and out.chi2_x1e6.iloc[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chisq_perfect_dependence(tmp_path):
+    """Type 'a' only on Monday, 'b' only on Tuesday, equal counts: the
+    2x2 chi-square equals N exactly -> chi2_x1e6 == N * 1e6."""
+    d = str(tmp_path)
+    mon, tue = pd.Timestamp("2024-05-06"), pd.Timestamp("2024-05-07")
+    n_half = 6
+    pd.DataFrame({
+        "event_id": np.arange(2 * n_half, dtype=np.int64),
+        "user_id": np.zeros(2 * n_half, dtype=np.int64),
+        "ts": [mon] * n_half + [tue] * n_half,
+        "event_type": ["a"] * n_half + ["b"] * n_half,
+        "value": np.zeros(2 * n_half)}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_type_dow_chisq(d)
+    assert out.dof.iloc[0] == 1
+    assert out.chi2_x1e6.iloc[0] == 2 * n_half * 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_acf_alternating_series(tmp_path):
+    """Counts alternating 3,1,3,1,... by hour: lag-1 autocorrelation is
+    exactly -1 (+boundary effects), lag-2 is +1; gap hours count 0."""
+    d = str(tmp_path)
+    hours = pd.date_range("2024-05-01", periods=24, freq="h")
+    rows = []
+    for i, h in enumerate(hours):
+        rows += [h] * (3 if i % 2 == 0 else 1)
+    pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "user_id": np.zeros(len(rows), dtype=np.int64),
+        "ts": rows,
+        "event_type": ["x"] * len(rows),
+        "value": np.zeros(len(rows))}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_hourly_acf(d).set_index("lag")
+    assert out.loc[1, "n_pairs"] == 23 and out.loc[2, "n_pairs"] == 22
+    assert out.loc[1, "r"] < -0.95 and out.loc[2, "r"] > 0.95
