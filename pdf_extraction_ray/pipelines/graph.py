@@ -777,7 +777,205 @@ ORDER BY order_a, order_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor / Jaccard scores for NON-edges
+# ---------------------------------------------------------------------------
+
+LINKPRED_TOPK = 20
+LINKPRED_MIN_CN = 2
+
+
+def copurchase_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction over the pruned co-purchase
+    graph: for every NON-adjacent part pair sharing >= LINKPRED_MIN_CN
+    neighbors, the common-neighbor count and the neighborhood Jaccard
+    cn / (deg_u + deg_w - cn) as an exact x1e6 floor division; top-K by
+    (jaccard, cn, keys) — the 'parts usually bought with the same
+    things' recommender primitive. Scale shape mirrors triangles: wedge
+    pairs generate at each shared node through one node exchange
+    (pre-reduced per partition), common-neighbor counts aggregate on
+    the pair key, existing edges are removed by a side-tagged
+    co-partitioned exchange on the SAME pair key, and degrees attach
+    through two more side-tagged node-key exchanges — no adjacency,
+    degree vector, or candidate set ever converges on one process.
+    Output: (part_a, part_b, cn, jaccard_x1e6)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("part_a", "part_b", "cn", "jaccard_x1e6")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    pairs = _copurchase_edges(sf_dir)      # doc_a < doc_b, distinct
+    if pairs.empty:
+        return empty
+
+    a = pairs.doc_a.to_numpy()
+    b = pairs.doc_b.to_numpy()
+    sym = pd.DataFrame({"s": np.concatenate([a, b]),
+                        "d": np.concatenate([b, a])}).astype("int64")
+    sym_ds = rd.from_pandas(sym).repartition(8).materialize()
+    edges_ds = rd.from_pandas(
+        pairs.rename(columns={"doc_a": "a", "doc_b": "b"})) \
+        .repartition(8).materialize()
+
+    # wedge pairs at every shared node (full adjacency, unlike the
+    # min-vertex triangle orientation: cn(u,w) counts ALL shared nodes)
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_w = [], []
+        for _, grp in g.groupby("s", sort=False):
+            nb = np.sort(grp["d"].to_numpy())
+            for i in range(len(nb)):
+                for j in range(i + 1, len(nb)):
+                    out_u.append(nb[i])
+                    out_w.append(nb[j])
+        if not out_u:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("pairkey", "u", "w", "cn")})
+        df = pd.DataFrame({"u": out_u, "w": out_w}).astype("int64") \
+            .groupby(["u", "w"], as_index=False).size() \
+            .rename(columns={"size": "cn"}).astype("int64")
+        df["pairkey"] = df["u"] * (1 << 32) + df["w"]
+        return df[["pairkey", "u", "w", "cn"]]
+
+    wedge_ds = _coarse_partition_map(sym_ds, "s", wedges)
+
+    def cn_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["pairkey", "u", "w"], as_index=False)["cn"].sum()
+        return out[out["cn"] >= LINKPRED_MIN_CN].astype("int64")
+
+    cn_ds = _coarse_partition_map(wedge_ds, "pairkey", cn_sum)
+
+    # drop pairs that are already edges: side-tagged pair-key exchange
+    def tag_cn(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["pairkey"],
+             pa.array(np.zeros(len(batch), dtype=np.int8)),
+             batch["u"], batch["w"], batch["cn"]],
+            names=["key", "side", "u", "w", "cn"])
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        ea = batch["a"].to_numpy(zero_copy_only=False)
+        eb = batch["b"].to_numpy(zero_copy_only=False)
+        z = np.full(len(batch), -1, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ea * (1 << 32) + eb),
+             pa.array(np.ones(len(batch), dtype=np.int8)),
+             pa.array(z), pa.array(z), pa.array(z)],
+            names=["key", "side", "u", "w", "cn"])
+
+    def drop_edges(part: pd.DataFrame) -> pd.DataFrame:
+        have = set(part.loc[part["side"] == 1, "key"].tolist())
+        cand = part[part["side"] == 0]
+        cand = cand[~cand["key"].isin(have)]
+        return cand[["u", "w", "cn"]].astype("int64")
+
+    cand_ds = _coarse_grouped_map_union(
+        cn_ds.map_batches(tag_cn, batch_format="pyarrow", batch_size=None),
+        edges_ds.map_batches(tag_edges, batch_format="pyarrow",
+                             batch_size=None),
+        drop_edges, key="key")
+
+    # distinct-neighbor degrees (node-shaped), attached through two
+    # side-tagged node-key exchanges (u first, then w)
+    def deg_count(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("s", as_index=False).size() \
+            .rename(columns={"s": "node", "size": "deg"}).astype("int64")
+
+    deg_ds = _coarse_partition_map(sym_ds, "s", deg_count)
+
+    def attach(node_col: str, out_col: str):
+        def tag_cand(batch: pa.Table) -> pa.Table:
+            cols = [batch[node_col].combine_chunks()
+                    if isinstance(batch[node_col], pa.ChunkedArray)
+                    else batch[node_col],
+                    pa.array(np.zeros(len(batch), dtype=np.int8))]
+            names = ["key", "side"]
+            for c in batch.schema.names:
+                cols.append(batch[c])
+                names.append(c)
+            return pa.Table.from_arrays(cols, names=names)
+
+        def tag_deg(batch: pa.Table, cand_names) -> pa.Table:
+            z = np.full(len(batch), -1, dtype=np.int64)
+            cols = [batch["node"],
+                    pa.array(np.ones(len(batch), dtype=np.int8))]
+            names = ["key", "side"]
+            for c in cand_names:
+                cols.append(batch["deg"] if c == out_col else pa.array(z))
+                names.append(c)
+            return pa.Table.from_arrays(cols, names=names)
+
+        def merge(part: pd.DataFrame) -> pd.DataFrame:
+            deg = part[part["side"] == 1].set_index("key")[out_col]
+            cand = part[part["side"] == 0].copy()
+            if cand.empty:
+                return cand.drop(columns=["key", "side"])
+            cand[out_col] = cand["key"].map(deg).astype("int64")
+            return cand.drop(columns=["key", "side"])
+
+        return tag_cand, tag_deg, merge
+
+    cur = cand_ds
+    for node_col, out_col in (("u", "deg_u"), ("w", "deg_w")):
+        cand_names = (["u", "w", "cn"]
+                      + (["deg_u"] if node_col == "w" else []) + [out_col])
+        tag_cand, tag_deg, merge = attach(node_col, out_col)
+
+        def tag_cand_full(batch: pa.Table, _tc=tag_cand, _oc=out_col
+                          ) -> pa.Table:
+            t = _tc(batch)
+            z = pa.array(np.full(len(t), -1, dtype=np.int64))
+            return t.append_column(_oc, z)
+
+        cur = _coarse_grouped_map_union(
+            cur.map_batches(tag_cand_full, batch_format="pyarrow",
+                            batch_size=None),
+            deg_ds.map_batches(lambda b, _td=tag_deg, _cn=cand_names:
+                               _td(b, _cn),
+                               batch_format="pyarrow", batch_size=None),
+            merge, key="key")
+
+    out = cur.to_pandas()
+    if out.empty:
+        return empty
+    out["jaccard_x1e6"] = (out["cn"] * 1_000_000
+                           // (out["deg_u"] + out["deg_w"] - out["cn"]))
+    out = out.rename(columns={"u": "part_a", "w": "part_b"})
+    out = out.sort_values(["jaccard_x1e6", "cn", "part_a", "part_b"],
+                          ascending=[False, False, True, True]) \
+        .head(LINKPRED_TOPK)
+    return out[["part_a", "part_b", "cn", "jaccard_x1e6"]] \
+        .astype("int64").reset_index(drop=True)
+
+
+LINKPRED_SQL = f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {COMPONENT_MIN_WEIGHT}),
+edges AS (SELECT pa AS s, pb AS d FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+deg AS (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY s),
+cn AS (
+  SELECT e1.d AS u, e2.d AS w, COUNT(*) AS cn
+  FROM edges e1 JOIN edges e2 ON e1.s = e2.s AND e1.d < e2.d
+  GROUP BY 1, 2 HAVING COUNT(*) >= {LINKPRED_MIN_CN}),
+nonedge AS (
+  SELECT cn.u, cn.w, cn.cn
+  FROM cn LEFT JOIN pairs p ON p.pa = cn.u AND p.pb = cn.w
+  WHERE p.pa IS NULL)
+SELECT n.u AS part_a, n.w AS part_b, n.cn,
+       n.cn * 1000000 // (du.deg + dw.deg - n.cn) AS jaccard_x1e6
+FROM nonedge n
+JOIN deg du ON du.node = n.u
+JOIN deg dw ON dw.node = n.w
+ORDER BY jaccard_x1e6 DESC, cn DESC, part_a, part_b
+LIMIT {LINKPRED_TOPK}
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
+    "copurchase_link_prediction": (copurchase_link_prediction,
+                                   LINKPRED_SQL),
     "part_copurchase_pairs": (part_copurchase_pairs, COPURCHASE_PAIRS_SQL),
     "part_copurchase_degree": (part_copurchase_degree,
                                COPURCHASE_DEGREE_SQL),

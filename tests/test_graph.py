@@ -228,3 +228,18 @@ def test_pagerank_checkpoint_resume(tmp_path, monkeypatch):
     assert set(f) == set(r)
     for k in f:
         assert abs(f[k] - r[k]) < 1e-12, k
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_link_prediction_planted(tmp_path):
+    """Edges 1-2, 1-3, 4-2, 4-3, 2-3 (each planted twice to survive the
+    weight>=2 prune): the only non-edge with >= 2 common neighbors is
+    (1,4) via {2,3}; (2,3) also shares {1,4} but IS an edge and must be
+    excluded. Jaccard(1,4) = 2/(2+2-2) = 1.0 exactly."""
+    d = str(tmp_path)
+    edges = [[1, 2], [1, 3], [4, 2], [4, 3], [2, 3]]
+    _write_lineitem(d, edges + edges)
+    out = G.copurchase_link_prediction(d)
+    df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    assert list(zip(df.part_a, df.part_b, df.cn, df.jaccard_x1e6)) == \
+        [(1, 4, 2, 1_000_000)]
