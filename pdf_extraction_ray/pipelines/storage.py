@@ -822,7 +822,197 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution: reader-side unification of heterogeneous snapshots
+# ---------------------------------------------------------------------------
+
+EVOLVE_FILL = "UNKNOWN"
+
+
+def orders_schema_evolution(sf_dir: str):
+    """Reader-side schema evolution — the lakehouse contract that old
+    files written before a column existed stay readable next to new
+    files: snapshot v1 (even orderkeys) is written WITHOUT
+    o_orderpriority, snapshot v2 (odd orderkeys) with it and with a
+    different column order; the unified read fills the missing column
+    with '{EVOLVE_FILL}' and aggregates per priority. Each snapshot is
+    read file-parallel with its OWN schema and normalized to the
+    evolved schema inside `map_batches` (no driver-side row work); the
+    oracle recomputes the same aggregate from the raw table, proving
+    the evolved layout is lossless. Output: (o_orderpriority, n_orders,
+    total_x100)."""
+    empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
+                          "n_orders": pd.Series(dtype="int64"),
+                          "total_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    root = tempfile.mkdtemp(prefix="evolve_", dir="/tmp")
+    try:
+        base = rd.read_parquet(_pq(sf_dir, "orders"),
+                               columns=["o_orderkey", "o_totalprice",
+                                        "o_orderpriority"])
+
+        def v1(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(batch["o_orderkey"], 1), 0)
+            t = batch.filter(keep)
+            return t.select(["o_orderkey", "o_totalprice"])
+
+        def v2(batch: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(batch["o_orderkey"], 1), 1)
+            t = batch.filter(keep)
+            # reordered columns: evolution must not depend on position
+            return t.select(["o_orderpriority", "o_totalprice",
+                             "o_orderkey"])
+
+        base.map_batches(v1, batch_format="pyarrow", batch_size=None) \
+            .write_parquet(os.path.join(root, "v1"))
+        base.map_batches(v2, batch_format="pyarrow", batch_size=None) \
+            .write_parquet(os.path.join(root, "v2"))
+
+        EVOLVED = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+
+        def widen_v1(batch: pa.Table) -> pa.Table:
+            fill = pa.array([EVOLVE_FILL] * len(batch))
+            return batch.append_column("o_orderpriority", fill) \
+                .select(EVOLVED)
+
+        def reorder_v2(batch: pa.Table) -> pa.Table:
+            return batch.select(EVOLVED)
+
+        unified = (rd.read_parquet(os.path.join(root, "v1"))
+                   .map_batches(widen_v1, batch_format="pyarrow",
+                                batch_size=None)
+                   .union(rd.read_parquet(os.path.join(root, "v2"))
+                          .map_batches(reorder_v2, batch_format="pyarrow",
+                                       batch_size=None)))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "o_orderpriority":
+                    batch["o_orderpriority"].to_numpy(zero_copy_only=False),
+                "total_x100": _cents(batch["o_totalprice"])
+                    .to_numpy(zero_copy_only=False)})
+            g = df.groupby("o_orderpriority").agg(
+                n_orders=("total_x100", "size"),
+                total_x100=("total_x100", "sum")).reset_index()
+            return _from_pandas(g.astype({"n_orders": "int64",
+                                          "total_x100": "int64"}))
+
+        from ray.data.aggregate import Sum
+        return (unified
+                .map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+                .groupby("o_orderpriority")
+                .aggregate(Sum("n_orders", alias_name="n_orders"),
+                           Sum("total_x100", alias_name="total_x100"))
+                .sort("o_orderpriority")
+                .to_pandas())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SCHEMA_EVOLUTION_SQL = f"""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '{EVOLVE_FILL}'
+            ELSE o_orderpriority END AS o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_x100
+FROM orders
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bucketed tables: shuffle-once-at-write, exchange-free co-located join
+# ---------------------------------------------------------------------------
+
+JOIN_BUCKETS = 16
+
+
+def orders_customer_bucketed_join(sf_dir: str):
+    """Bucketed-table join — the storage optimization that pays the
+    shuffle ONCE at write time: both orders and customer are written
+    Hive-partitioned by hash-bucket(custkey) % {JOIN_BUCKETS}; the join
+    then runs as one independent task per bucket pair (each task reads
+    exactly two co-located directories and joins in memory), with NO
+    runtime exchange of either table. Per-segment revenue totals prove
+    the bucketed layout joins losslessly vs the raw-table oracle.
+    Output: (c_mktsegment, n_orders, total_x100)."""
+    empty = pd.DataFrame({"c_mktsegment": pd.Series(dtype="object"),
+                          "n_orders": pd.Series(dtype="int64"),
+                          "total_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "customer"):
+        return empty
+    root = tempfile.mkdtemp(prefix="bucketed_", dir="/tmp")
+    try:
+        def bucketize(key: str):
+            def f(batch: pa.Table) -> pa.Table:
+                b = (batch[key].to_numpy(zero_copy_only=False)
+                     % JOIN_BUCKETS).astype(np.int64)
+                return batch.append_column("bucket", pa.array(b))
+            return f
+
+        (rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+         .map_batches(bucketize("o_custkey"), batch_format="pyarrow",
+                      batch_size=None)
+         .write_parquet(os.path.join(root, "orders"),
+                        partition_cols=["bucket"]))
+        (rd.read_parquet(_pq(sf_dir, "customer"),
+                         columns=["c_custkey", "c_mktsegment"])
+         .map_batches(bucketize("c_custkey"), batch_format="pyarrow",
+                      batch_size=None)
+         .write_parquet(os.path.join(root, "customer"),
+                        partition_cols=["bucket"]))
+
+        def join_bucket(row: dict) -> list[dict]:
+            b = int(row["bucket"])
+            od = os.path.join(root, "orders", f"bucket={b}")
+            cd = os.path.join(root, "customer", f"bucket={b}")
+            if not (os.path.isdir(od) and os.path.isdir(cd)):
+                return []
+            odf = pd.read_parquet(od)
+            cdf = pd.read_parquet(cd)
+            j = odf.merge(cdf, left_on="o_custkey", right_on="c_custkey")
+            if j.empty:
+                return []
+            j["total_x100"] = np.round(
+                j["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+            g = j.groupby("c_mktsegment").agg(
+                n_orders=("total_x100", "size"),
+                total_x100=("total_x100", "sum")).reset_index()
+            return [{"c_mktsegment": r.c_mktsegment,
+                     "n_orders": int(r.n_orders),
+                     "total_x100": int(r.total_x100)}
+                    for r in g.itertuples(index=False)]
+
+        from ray.data.aggregate import Sum
+        out = (rd.from_items([{"bucket": b} for b in range(JOIN_BUCKETS)])
+               .flat_map(join_bucket)
+               .groupby("c_mktsegment")
+               .aggregate(Sum("n_orders", alias_name="n_orders"),
+                          Sum("total_x100", alias_name="total_x100"))
+               .sort("c_mktsegment")
+               .to_pandas())
+        return out if not out.empty else empty
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+           AS total_x100
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 STORAGE_QUERIES: dict[str, tuple] = {
+    "orders_schema_evolution": (orders_schema_evolution,
+                                SCHEMA_EVOLUTION_SQL),
+    "orders_customer_bucketed_join": (orders_customer_bucketed_join,
+                                      BUCKETED_JOIN_SQL),
     "events_orc_roundtrip": (events_orc_roundtrip, FORMAT_ROUNDTRIP_SQL),
     "events_ipc_roundtrip": (events_ipc_roundtrip, FORMAT_ROUNDTRIP_SQL),
     "orders_monthly_view": (orders_monthly_view, MONTHLY_VIEW_SQL),

@@ -347,3 +347,58 @@ class TestCompaction:
                           for f in outs]).sort_values("k",
                                                       ignore_index=True)
         pd.testing.assert_frame_equal(back, df)
+
+
+# ---------------------------------------------------------------------------
+# schema evolution + bucketed join
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_schema_evolution_fill_and_exactness(tmp_path):
+    """Even orderkeys surface as the fill value, odd keep their real
+    priority; counts and cents totals are exact vs a pandas reference."""
+    from pdf_extraction_ray.pipelines.storage import (
+        orders_schema_evolution, EVOLVE_FILL)
+    d = str(tmp_path)
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(1, 21, dtype=np.int64),
+        "o_totalprice": np.arange(1, 21) * 10.01,
+        "o_orderpriority": ["1-URGENT" if k % 3 == 0 else "3-MEDIUM"
+                            for k in range(1, 21)]})
+    df.to_parquet(os.path.join(d, "orders.parquet"))
+    out = orders_schema_evolution(d)
+    ref = df.copy()
+    ref.loc[ref.o_orderkey % 2 == 0, "o_orderpriority"] = EVOLVE_FILL
+    ref["cents"] = np.round(ref.o_totalprice * 100.0).astype(np.int64)
+    want = ref.groupby("o_orderpriority").agg(
+        n_orders=("cents", "size"), total_x100=("cents", "sum")) \
+        .reset_index()
+    got = out.sort_values("o_orderpriority").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("o_orderpriority").reset_index(drop=True),
+        check_dtype=False)
+    assert EVOLVE_FILL in set(got.o_orderpriority)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_join_drops_orphans(tmp_path):
+    """Orders referencing absent customers must vanish (inner-join
+    semantics survive the bucketed layout); per-segment sums exact."""
+    from pdf_extraction_ray.pipelines.storage import (
+        orders_customer_bucketed_join)
+    d = str(tmp_path)
+    pd.DataFrame({
+        "o_orderkey": np.arange(6, dtype=np.int64),
+        "o_custkey": np.array([1, 2, 3, 99, 1, 2], dtype=np.int64),
+        "o_totalprice": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+    pd.DataFrame({
+        "c_custkey": np.array([1, 2, 3], dtype=np.int64),
+        "c_mktsegment": ["A", "B", "A"]}) \
+        .to_parquet(os.path.join(d, "customer.parquet"))
+    out = orders_customer_bucketed_join(d).set_index("c_mktsegment")
+    # custkey 99 orphan dropped; A: custkeys 1(10+50) + 3(30); B: 20+60
+    assert out.loc["A", "n_orders"] == 3
+    assert out.loc["A", "total_x100"] == (10 + 50 + 30) * 100
+    assert out.loc["B", "n_orders"] == 2
+    assert out.loc["B", "total_x100"] == (20 + 60) * 100
