@@ -427,7 +427,140 @@ ORDER BY user_id, session_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Windowed top-k: per tumbling hour, the top event types by count
+# ---------------------------------------------------------------------------
+
+STREAM_TOPK = 3
+
+
+@ray.remote(num_cpus=0.1)
+class TypeCountActor:
+    """Incremental per-(hour, event_type) counter for one key bucket,
+    with the same watermark discipline as WindowActor: hour windows
+    fully behind (max seen ts - lateness) move to the closed list
+    eagerly, the rest flush at end-of-log. Counts here are PARTIALS —
+    the hour x type grid is split across buckets by the user hash, and
+    any disjoint partition of the log sums to the same global grid."""
+
+    def __init__(self):
+        self.open: dict[tuple[int, str], int] = {}
+        self.closed: list[tuple[int, str, int]] = []
+        self.max_ts_ms = -(1 << 62)
+
+    def add(self, ts_ms: np.ndarray, types: list[str]) -> int:
+        hours = (ts_ms // 3_600_000) * 3_600_000
+        for h, ty in zip(hours.tolist(), types):
+            key = (h, ty)
+            self.open[key] = self.open.get(key, 0) + 1
+        if len(ts_ms):
+            self.max_ts_ms = max(self.max_ts_ms, int(ts_ms.max()))
+        watermark = self.max_ts_ms - ALLOWED_LATENESS_MS
+        for key in [k for k in self.open if k[0] + 3_600_000 <= watermark]:
+            self.closed.append((key[0], key[1], self.open.pop(key)))
+        return len(self.closed)
+
+    def flush(self) -> list[tuple[int, str, int]]:
+        for (h, ty), n in self.open.items():
+            self.closed.append((h, ty, n))
+        self.open.clear()
+        return self.closed
+
+
+@ray.remote(num_cpus=1)
+def _feed_type_counts(part_dir: str, actor) -> int:
+    """Feeder for ONE bucket: per-bucket ts sort, batch-wise ordered
+    drive (same-ts order is irrelevant to counting)."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(f"{part_dir}/*.parquet"))
+    if not files:
+        return 0
+    t = pa.concat_tables([pq.read_table(f, columns=["ts", "event_type"])
+                          for f in files])
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    pending = []
+    for batch in t.to_batches(max_chunksize=4096):
+        ts_ms = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 1000
+        types = batch["event_type"].to_pylist()
+        pending.append(actor.add.remote(ts_ms, types))
+    ray.get(pending)
+    return t.num_rows
+
+
+def events_stream_topk(sf_dir: str):
+    """Top-{STREAM_TOPK} event types per tumbling hour (count desc, type
+    asc tie-break) computed incrementally on the bucket-actor tier: per
+    bucket the actors hold watermarked (hour, type) count partials, and
+    the flush merge runs over the OUTPUT-SHAPED grid (hours x types, not
+    events) before the per-hour top-k selection. Equals the batch
+    grouped count + ROW_NUMBER, which the oracle checks.
+    Output: (hour, event_type, n, rnk)."""
+    import shutil
+    import tempfile
+
+    empty = pd.DataFrame({"hour": pd.Series(dtype="object"),
+                          "event_type": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64"),
+                          "rnk": pd.Series(dtype="int64")})
+    stage = tempfile.mkdtemp(prefix="stream_topk_", dir="/tmp")
+    try:
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = batch["user_id"].to_numpy(zero_copy_only=False) % N_BUCKETS
+            return batch.append_column("bucket",
+                                       pa.array(b.astype(np.int64)))
+
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_type"]) \
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         batch_size=None) \
+            .write_parquet(stage, partition_cols=["bucket"])
+
+        actors = [TypeCountActor.remote() for _ in range(N_BUCKETS)]
+        ray.get([_feed_type_counts.remote(f"{stage}/bucket={b}", actors[b])
+                 for b in range(N_BUCKETS)])
+        rows = [r for chunk in ray.get([a.flush.remote() for a in actors])
+                for r in chunk]
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    if not rows:
+        return empty
+    df = pd.DataFrame(rows, columns=["hour_ms", "event_type", "n"])
+    df = df.groupby(["hour_ms", "event_type"], as_index=False)["n"].sum()
+    df["rnk"] = df.sort_values(["n", "event_type"],
+                               ascending=[False, True]) \
+        .groupby("hour_ms").cumcount() + 1
+    df = df[df["rnk"] <= STREAM_TOPK].copy()
+    df["hour"] = pd.to_datetime(df["hour_ms"], unit="ms") \
+        .dt.strftime("%Y-%m-%d %H")
+    df["n"] = df["n"].astype("int64")
+    df["rnk"] = df["rnk"].astype("int64")
+    return df[["hour", "event_type", "n", "rnk"]] \
+        .sort_values(["hour", "rnk"]).reset_index(drop=True)
+
+
+STREAM_TOPK_SQL = f"""
+WITH c AS (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY hour, event_type),
+r AS (
+  SELECT hour, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY hour
+                            ORDER BY n DESC, event_type) AS rnk
+  FROM c)
+SELECT hour, event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {STREAM_TOPK}
+ORDER BY hour, rnk
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
+    "events_stream_topk": (events_stream_topk, STREAM_TOPK_SQL),
     "events_stream_windows": (events_stream_windows, STREAM_WINDOWS_SQL),
     "events_stream_attribution": (events_stream_attribution,
                                   STREAM_ATTRIBUTION_SQL),

@@ -151,3 +151,50 @@ def test_sessions_match_oracle(tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True),
         check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# windowed top-k event types
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_topk_tiebreak_and_window_split(tmp_path):
+    """Counts 3,3,2,2 in hour 0 (tie at the k=3 boundary resolves to the
+    lexicographically smaller type) and a second hour proving windows
+    never mix; users spread across buckets so partial merge is real."""
+    from pdf_extraction_ray.pipelines.streaming import (
+        STREAM_TOPK_SQL, events_stream_topk)
+    rows = []
+    eid = 0
+    for ty, cnt in (("a", 3), ("b", 3), ("c", 2), ("d", 2)):
+        for i in range(cnt):
+            eid += 1
+            rows.append((eid, T0 + MS * eid, eid % 5, ty))
+    for ty, cnt in (("d", 2), ("a", 1)):      # hour 2: different winner
+        for i in range(cnt):
+            eid += 1
+            rows.append((eid, T0 + 2 * H + MS * eid, eid % 5, ty))
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    ev["event_id"] = ev["event_id"].astype(np.int64)
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["value"] = 1.0
+    d = str(tmp_path / "topk")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+
+    out = events_stream_topk(d)
+    h0 = out[out.hour == T0.strftime("%Y-%m-%d %H")]
+    assert list(zip(h0.event_type, h0.n, h0.rnk)) == \
+        [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]
+    h2 = out[out.hour == (T0 + 2 * H).strftime("%Y-%m-%d %H")]
+    assert list(zip(h2.event_type, h2.n, h2.rnk)) == \
+        [("d", 2, 1), ("a", 1, 2)]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    odf = con.sql(STREAM_TOPK_SQL).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), odf, check_dtype=False)
