@@ -353,6 +353,90 @@ def media_scene_changes(sf_dir: str):
             .sort(["media_ref", "frame_index"]))
 
 
+def media_keyframes(sf_dir: str):
+    """Keyframe selection: split each video's sampled frames into shots
+    at the detected scene cuts, then pick per shot the frame with the
+    highest gradient-energy sharpness (tie -> smallest frame index) —
+    the storyboard/thumbnail primitive of a video training pipeline.
+    Frame decode + pHash + sharpness are one batch-local vectorized
+    pass; the only exchange moves (video, frame, hash, sharpness) rows
+    through the same coarse video-keyed shuffle as scene detection, and
+    the per-group shot fold is bounded by frames-per-video. Output:
+    (doc_id, media_ref, shot_id, keyframe_index, n_frames,
+    sharpness_x100)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.phash import phash64
+    from ..stages.multimodal import synth_frame_gray
+
+    frames = frames_pipeline(read_docs(_corpus_for(sf_dir)))
+
+    def hash_and_sharpen(batch: pa.Table) -> pa.Table:
+        refs = batch["frame_ref"].to_pylist()
+        idxs = batch["frame_index"].to_numpy(zero_copy_only=False)
+        if not refs:
+            return pa.table({"doc_id": pa.array([], type=pa.string()),
+                             "media_ref": pa.array([], type=pa.string()),
+                             "frame_index": pa.array([], type=pa.int64()),
+                             "phash": pa.array([], type=pa.int64()),
+                             "sharp_x100": pa.array([], type=pa.int64())})
+        vids = [r.rsplit("#frame=", 1)[0] for r in refs]
+        imgs = np.stack([synth_frame_gray(v, int(i))
+                         for v, i in zip(vids, idxs)])
+        h = phash64(imgs).view(np.int64)
+        gx = np.abs(np.diff(imgs, axis=2)).sum(axis=(1, 2))
+        gy = np.abs(np.diff(imgs, axis=1)).sum(axis=(1, 2))
+        sharp = np.round((gx + gy) * 100.0).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "media_ref": pa.array(vids, type=pa.string()),
+                         "frame_index": pa.array(idxs.astype(np.int64)),
+                         "phash": pa.array(h),
+                         "sharp_x100": pa.array(sharp)})
+
+    hashed = frames.map_batches(hash_and_sharpen, batch_format="pyarrow",
+                                batch_size=None)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        import pandas as _pd
+        h = _pd.util.hash_array(
+            batch["media_ref"].to_numpy(zero_copy_only=False).astype(str))
+        return batch.append_column(
+            "_coarse", pa.array((h % np.uint64(16)).astype(np.int64))) \
+            .replace_schema_metadata(None)
+
+    def shots(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_coarse"]) \
+            .sort_values(["media_ref", "frame_index"])
+        prev_hash = g.groupby("media_ref")["phash"].shift(1)
+        x = (g["phash"].to_numpy(np.int64).view(np.uint64)
+             ^ prev_hash.fillna(g["phash"]).to_numpy(np.int64)
+             .view(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1) \
+            .sum(axis=1).astype(np.int64)
+        is_cut = (ham > SCENE_CUT_HAMMING) & prev_hash.notna().to_numpy()
+        g = g.assign(shot_id=is_cut.astype(np.int64))
+        g["shot_id"] = g.groupby("media_ref")["shot_id"].cumsum()
+        # keyframe per (video, shot): max sharpness, then min frame idx
+        g = g.sort_values(["media_ref", "shot_id", "sharp_x100",
+                           "frame_index"],
+                          ascending=[True, True, False, True])
+        agg = g.groupby(["media_ref", "shot_id"], as_index=False).agg(
+            doc_id=("doc_id", "first"),
+            keyframe_index=("frame_index", "first"),
+            sharpness_x100=("sharp_x100", "first"),
+            n_frames=("frame_index", "size"))
+        return agg[["doc_id", "media_ref", "shot_id", "keyframe_index",
+                    "n_frames", "sharpness_x100"]].astype(
+            {"shot_id": "int64", "keyframe_index": "int64",
+             "n_frames": "int64", "sharpness_x100": "int64"})
+
+    return (hashed.map_batches(add_coarse, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("_coarse").map_groups(shots, batch_format="pandas")
+            .sort(["media_ref", "shot_id"]))
+
+
 PATCH_GRID = 4
 
 
@@ -395,6 +479,7 @@ def media_patches(sf_dir: str, docs: "Dataset | None" = None):
 
 
 MEDIA_QUERIES: dict[str, tuple] = {
+    "media_keyframes": (media_keyframes, None),
     "media_patches": (media_patches, None),
     "media_scene_changes": (media_scene_changes, None),
     "media_phash": (media_phash, None),

@@ -44,3 +44,48 @@ def test_cuts_track_planted_boundaries():
     assert agreement >= 0.98, agreement
     assert expected.sum() > 0                 # non-vacuous: cuts planted
     assert df.is_cut.sum() > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keyframes_match_pure_python_reference():
+    """media_keyframes equals a per-video pure-python recomputation
+    (same pHash cuts, same gradient-energy sharpness, same max-sharp /
+    min-index tie-break) over the engine's own sampled frame list."""
+    from pdf_extraction_ray.pipelines.media import (SCENE_CUT_HAMMING,
+                                                    media_frames,
+                                                    media_keyframes)
+
+    sf = "/root/testdata/sf0.001"
+    out = media_keyframes(sf).to_pandas()
+    assert len(out) > 0
+    assert (out.groupby("media_ref")["shot_id"].min() == 0).all()
+    assert out.n_frames.sum() == out.groupby("media_ref")["n_frames"] \
+        .sum().sum()
+
+    frames = media_frames(sf).to_pandas()
+    vids = sorted(frames.frame_ref.str.rsplit("#frame=", n=1).str[0]
+                  .unique())[:3]
+    for v in vids:
+        idxs = sorted(frames[frames.frame_ref.str.startswith(v + "#")]
+                      ["frame_index"].tolist())
+        imgs = [synth_frame_gray(v, int(i)) for i in idxs]
+        hs = [int(h) for h in phash64(np.stack(imgs))]
+        sharp = [int(round((np.abs(np.diff(im, axis=1)).sum()
+                            + np.abs(np.diff(im, axis=0)).sum()) * 100.0))
+                 for im in imgs]
+        shot, rows = 0, []
+        for k, i in enumerate(idxs):
+            if k > 0 and bin(hs[k] ^ hs[k - 1]).count("1") \
+                    > SCENE_CUT_HAMMING:
+                shot += 1
+            rows.append((shot, i, sharp[k]))
+        want = {}
+        for shot, i, s in rows:
+            best = want.get(shot)
+            if best is None or s > best[1]:
+                want[shot] = (i, s)
+        got = out[out.media_ref == v].set_index("shot_id")
+        assert len(got) == len(want), v
+        for shot, (i, s) in want.items():
+            assert got.loc[shot, "keyframe_index"] == i, (v, shot)
+            assert got.loc[shot, "sharpness_x100"] == s, (v, shot)
