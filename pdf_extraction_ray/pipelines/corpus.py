@@ -1372,7 +1372,113 @@ ORDER BY bg.w1, bg.w2
 """
 
 
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (PageRank over the co-occurrence graph)
+# ---------------------------------------------------------------------------
+
+TEXTRANK_K = 20
+TEXTRANK_MIN_COOC = 2        # prune: vocabulary graph stays output-shaped
+TEXTRANK_MIN_LEN = 3         # keyword candidates: alphabetic, len >= 3
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_ITERS = 30
+
+
+def _textrank_edges(sf_dir: str) -> pd.DataFrame:
+    """Pruned undirected co-occurrence edge list (w1 < w2, weight) from
+    ADJACENT candidate tokens within each doc. Edge construction is
+    batch-local Arrow (the bigram kernel + candidate mask); the shuffle
+    moves per-batch (edge, n) partials keyed by the joined edge string,
+    and the prune keeps the collected graph vocabulary-shaped."""
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.int64())],
+        names=["edge", "n"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d, flat = _doc_terms(batch)
+        if len(flat) < 2:
+            return empty
+        ok = pc.and_(pc.utf8_is_alpha(flat),
+                     pc.greater_equal(pc.utf8_length(flat),
+                                      TEXTRANK_MIN_LEN)) \
+            .to_numpy(zero_copy_only=False)
+        left = flat.slice(0, len(flat) - 1)
+        right = flat.slice(1, len(flat) - 1)
+        keep = ok[:-1] & ok[1:] & (d[:-1] == d[1:])
+        # undirected: join in lexicographic order so (a,b) == (b,a)
+        lo = pc.min_element_wise(left, right)
+        hi = pc.max_element_wise(left, right)
+        joined = pc.binary_join_element_wise(lo, hi, " ") \
+            .filter(pa.array(keep))
+        vc = pc.value_counts(joined)
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
+            names=["edge", "n"]).replace_schema_metadata(None)
+
+    agg = (_docs(sf_dir)
+           .map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("edge").aggregate(Sum("n", alias_name="n"))
+           .map_batches(lambda t: t.filter(
+               pc.greater_equal(t["n"], TEXTRANK_MIN_COOC)),
+               batch_format="pyarrow", batch_size=None))
+    df = agg.to_pandas()
+    if df.empty:
+        return pd.DataFrame({"w1": pd.Series(dtype="object"),
+                             "w2": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    ws = df["edge"].str.split(" ", n=1, expand=True)
+    return pd.DataFrame({"w1": ws[0], "w2": ws[1],
+                         "n": df["n"].astype("int64")})
+
+
+def textrank_scores(edges: pd.DataFrame) -> pd.DataFrame:
+    """Weighted PageRank over an undirected (w1, w2, n) edge list —
+    numpy power iteration with the classic TextRank update
+    r_i = (1-d) + d * sum_j (w_ij / wdeg_j) * r_j, init 1.0, fixed
+    iteration count (deterministic; no convergence test). Runs on the
+    PRUNED vocabulary graph (output-shaped); past ~1M vocab terms the
+    distributed PageRank of pipelines/graph.py is the same update over
+    string-keyed exchanges."""
+    terms = pd.Index(sorted(set(edges.w1) | set(edges.w2)))
+    idx = {t: i for i, t in enumerate(terms)}
+    src = np.array([idx[t] for t in edges.w1], dtype=np.int64)
+    dst = np.array([idx[t] for t in edges.w2], dtype=np.int64)
+    w = edges.n.to_numpy(np.float64)
+    n = len(terms)
+    wdeg = np.zeros(n)
+    np.add.at(wdeg, src, w)
+    np.add.at(wdeg, dst, w)
+    r = np.ones(n)
+    for _ in range(TEXTRANK_ITERS):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, w * r[src] / wdeg[src])
+        np.add.at(contrib, src, w * r[dst] / wdeg[dst])
+        r = (1.0 - TEXTRANK_DAMPING) + TEXTRANK_DAMPING * contrib
+    return pd.DataFrame({"term": terms, "score": r})
+
+
+def corpus_textrank_keywords(sf_dir: str):
+    """TextRank keyword extraction: PageRank over the corpus-wide
+    adjacent-token co-occurrence graph (candidates: alphabetic tokens,
+    len >= {TEXTRANK_MIN_LEN}; edges pruned below {TEXTRANK_MIN_COOC}
+    co-occurrences), top-{TEXTRANK_K} terms by (score desc, term asc).
+    Not SQL-expressible (iterative); differential-tested against a
+    pure-python reference over the same edge list.
+    Output: (term, score)."""
+    edges = _textrank_edges(sf_dir)
+    if edges.empty:
+        return pd.DataFrame({"term": pd.Series(dtype="object"),
+                             "score": pd.Series(dtype="float64")})
+    # canonical edge order: float accumulation order is fixed, so the
+    # scores are bit-identical at any parallelism
+    edges = edges.sort_values(["w1", "w2"]).reset_index(drop=True)
+    scores = textrank_scores(edges)
+    return scores.sort_values(["score", "term"],
+                              ascending=[False, True]) \
+        .head(TEXTRANK_K).reset_index(drop=True)
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "corpus_textrank_keywords": (corpus_textrank_keywords, None),
     "corpus_bigram_pmi": (corpus_bigram_pmi, BIGRAM_PMI_SQL),
     "corpus_bpe_merges": (corpus_bpe_merges, None),
     "corpus_bpe_token_stats": (corpus_bpe_token_stats, None),

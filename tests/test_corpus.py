@@ -263,3 +263,46 @@ def test_curation_funnel_every_stage_drops(tmp_path):
     rc = got.sort_values("stage").reset_index(drop=True)
     oc = want.sort_values("stage").reset_index(drop=True)
     pd.testing.assert_frame_equal(rc, oc, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_textrank_matches_pure_python(tmp_path):
+    """Engine TextRank equals a dict-loop pure-python PageRank over the
+    same (sorted) edge list bit-exactly, and a planted hub word wins."""
+    from pdf_extraction_ray.pipelines.corpus import (
+        TEXTRANK_DAMPING, TEXTRANK_ITERS, _textrank_edges,
+        corpus_textrank_keywords)
+    d = str(tmp_path)
+    # 'data' is adjacent to many distinct words repeatedly (hub); other
+    # words only chain among themselves; short/non-alpha tokens ignored
+    texts = (["data model data layout data engine data format"] * 3
+             + ["model layout engine format alpha beta"] * 2
+             + ["xy 12 a!b zz"] * 2)
+    pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                  "text": texts}) \
+        .to_parquet(os.path.join(d, "documents.parquet"))
+
+    out = corpus_textrank_keywords(d)
+    assert out.term.iloc[0] == "data"
+
+    edges = _textrank_edges(d).sort_values(["w1", "w2"]) \
+        .reset_index(drop=True)
+    terms = sorted(set(edges.w1) | set(edges.w2))
+    wdeg = {t: 0.0 for t in terms}
+    for r in edges.itertuples(index=False):
+        wdeg[r.w1] += float(r.n)
+        wdeg[r.w2] += float(r.n)
+    rank = {t: 1.0 for t in terms}
+    for _ in range(TEXTRANK_ITERS):
+        contrib = {t: 0.0 for t in terms}
+        for r in edges.itertuples(index=False):
+            contrib[r.w2] += float(r.n) * rank[r.w1] / wdeg[r.w1]
+            contrib[r.w1] += float(r.n) * rank[r.w2] / wdeg[r.w2]
+        rank = {t: (1.0 - TEXTRANK_DAMPING)
+                + TEXTRANK_DAMPING * contrib[t] for t in terms}
+    for r in out.itertuples(index=False):
+        assert rank[r.term] == r.score, r.term
