@@ -1239,10 +1239,37 @@ def events_asof_orders(sf_dir: str, direction: str = "backward"):
         # ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1)
         # forward ties on date -> MIN orderkey (keep="first"), mirrored
         # by the oracle's ASC, ASC LIMIT 1
+        od_all = g[g["side"] == 1][["user_id", "okey", "t"]] \
+            .sort_values(["t", "okey"], kind="stable")
+        if direction == "nearest":
+            # run both directions, pick min |distance|; ties prefer the
+            # backward (earlier) order — mirrored by the oracle's
+            # (o_orderdate > ts) ASC tiebreak
+            out = {"event_id": ev["event_id"].astype("int64"),
+                   "user_id": ev["user_id"].astype("int64")}
+            sides = {}
+            for dirn, keep in (("backward", "last"), ("forward", "first")):
+                od = od_all.drop_duplicates(["user_id", "t"], keep=keep) \
+                    .sort_values("t", kind="stable") \
+                    .assign(ot=lambda d: d["t"])
+                m = pd.merge_asof(ev, od, on="t", by="user_id",
+                                  direction=dirn)
+                sides[dirn] = m
+            ts = sides["backward"]["t"].to_numpy("datetime64[us]") \
+                .astype(np.int64)
+            kb = sides["backward"]["okey"].fillna(-1).to_numpy(np.int64)
+            kf = sides["forward"]["okey"].fillna(-1).to_numpy(np.int64)
+            BIG = np.int64(1 << 62)
+            tb = sides["backward"]["ot"]
+            tf = sides["forward"]["ot"]
+            db = np.where(kb >= 0, ts - tb.to_numpy("datetime64[us]")
+                          .astype(np.int64), BIG)
+            df_ = np.where(kf >= 0, tf.to_numpy("datetime64[us]")
+                           .astype(np.int64) - ts, BIG)
+            out["o_orderkey"] = np.where(db <= df_, kb, kf).astype(np.int64)
+            return pd.DataFrame(out)
         keep = "last" if direction == "backward" else "first"
-        od = g[g["side"] == 1][["user_id", "okey", "t"]] \
-            .sort_values(["t", "okey"], kind="stable") \
-            .drop_duplicates(["user_id", "t"], keep=keep) \
+        od = od_all.drop_duplicates(["user_id", "t"], keep=keep) \
             .sort_values("t", kind="stable")
         merged = pd.merge_asof(ev, od, on="t", by="user_id",
                                direction=direction)
@@ -1270,6 +1297,33 @@ def events_asof_next_order(sf_dir: str):
     co-partitioned union exchange, ``merge_asof(direction="forward")``
     per partition."""
     return events_asof_orders(sf_dir, direction="forward")
+
+
+def events_asof_nearest_order(sf_dir: str):
+    """Nearest as-of: the user's order with the smallest
+    |o_orderdate - ts| (completing the backward/forward family) —
+    equal-distance ties prefer the earlier (backward) order; same-date
+    ties keep the backward side's max / forward side's min orderkey.
+    One co-partitioned exchange; both directional merges run inside the
+    same partition fold."""
+    return events_asof_orders(sf_dir, direction="nearest")
+
+
+EVENTS_ASOF_NEAREST_SQL = """
+SELECT e.event_id, e.user_id,
+       COALESCE((SELECT o.o_orderkey FROM orders o
+                 WHERE o.o_custkey = e.user_id
+                 ORDER BY ABS(date_diff('microsecond', o.o_orderdate,
+                                        e.ts)) ASC,
+                          (o.o_orderdate > e.ts) ASC,
+                          CASE WHEN o.o_orderdate <= e.ts
+                               THEN -o.o_orderkey
+                               ELSE o.o_orderkey END ASC
+                 LIMIT 1),
+                -1) AS o_orderkey
+FROM events e
+ORDER BY event_id
+"""
 
 
 EVENTS_ASOF_FWD_SQL = """
@@ -4408,6 +4462,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessions": (events_sessions, EVENTS_SESSIONS_SQL),
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
+    "events_asof_nearest_order": (events_asof_nearest_order,
+                                  EVENTS_ASOF_NEAREST_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
     "top_order_per_customer": (top_order_per_customer, TOP_ORDER_SQL),

@@ -82,7 +82,9 @@ EVENT_QUERIES = [
     "events_lead_lag", "events_value_percentiles",
     "events_type_salted_agg", "events_sliding_windows",
     "events_cohort_retention", "events_asof_orders",
-    "events_asof_next_order",
+    "events_asof_next_order", "events_asof_nearest_order",
+    "events_stream_topk", "events_type_dow_chisq",
+    "events_hourly_acf",
     "orders_events_range_join", "top_order_per_customer",
     "orders_moving_window", "orders_monthly", "orders_rollup",
     "orders_cube", "events_funnel", "events_latest_state",
