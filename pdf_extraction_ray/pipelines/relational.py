@@ -3067,6 +3067,77 @@ ORDER BY o_custkey
 # ---------------------------------------------------------------------------
 
 
+def events_key_skew_profile(sf_dir: str):
+    """Key-skew summary of the user_id distribution — the diagnostic an
+    engine runs before choosing a partitioning key: key count, event
+    count, the hottest key's count, and the exact Gini coefficient of
+    per-key counts as an integer floor division (x1e9). Per-user counts
+    are one keyed exchange over partials; they compact to a
+    (count -> n_keys) histogram (output-shaped) whose driver-side scan
+    computes the rank-weighted Gini numerator in exact Python ints —
+    the rank formula sum_i (2i-n-1)*c_i over ascending counts is
+    tie-invariant, so histogram multiplicities replace per-key ranks
+    exactly. Output: (n_keys, n_events, max_count, gini_x1e9)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("n_keys", "n_events", "max_count",
+                           "gini_x1e9")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": batch["user_id"]
+                           .to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby("user_id", as_index=False)
+                            .size().rename(columns={"size": "n"}))
+
+    def to_hist(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"cnt": n}).groupby("cnt", as_index=False) \
+            .size().rename(columns={"size": "m"})
+        return _from_pandas(df.astype("int64"))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("user_id").aggregate(Sum("n", alias_name="n"))
+            .map_batches(to_hist, batch_format="pyarrow", batch_size=None)
+            .groupby("cnt").aggregate(Sum("m", alias_name="m"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("cnt")
+    cnts = hist["cnt"].astype("int64").tolist()
+    ms = hist["m"].astype("int64").tolist()
+    n_keys = sum(ms)
+    n_events = sum(c * m for c, m in zip(cnts, ms))
+    num = 0
+    r = 1                                     # next 1-based rank
+    for c, m in zip(cnts, ms):
+        # ranks r .. r+m-1 all carry value c:
+        # sum(2i - n - 1) = 2*(m*r + m*(m-1)/2) - m*(n_keys + 1)
+        num += c * (2 * (m * r + m * (m - 1) // 2) - m * (n_keys + 1))
+        r += m
+    gini = num * 1_000_000_000 // (n_keys * n_events)
+    return pd.DataFrame({"n_keys": [n_keys], "n_events": [n_events],
+                         "max_count": [cnts[-1]], "gini_x1e9": [gini]})
+
+
+KEY_SKEW_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt) AS i,
+             COUNT(*) OVER () AS n, SUM(cnt) OVER () AS s
+      FROM c),
+g AS (SELECT SUM(CAST((2 * i - n - 1) * cnt AS HUGEINT)) AS num,
+             MAX(n) AS n, MAX(s) AS s, MAX(cnt) AS mx
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_keys, CAST(s AS BIGINT) AS n_events,
+       CAST(mx AS BIGINT) AS max_count,
+       CAST(num * 1000000000 // (CAST(n AS HUGEINT) * s) AS BIGINT)
+           AS gini_x1e9
+FROM g
+"""
+
+
 def events_user_activity_hist(sf_dir: str):
     """Log2-bucket histogram of per-user event counts — the skew
     profile you compute before choosing partitioning keys. Two-level
@@ -4405,6 +4476,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "order_custkeys_intersect": (order_custkeys_intersect,
                                  CUSTKEY_INTERSECT_SQL),
     "order_custkeys_except": (order_custkeys_except, CUSTKEY_EXCEPT_SQL),
+    "events_key_skew_profile": (events_key_skew_profile, KEY_SKEW_SQL),
     "events_user_activity_hist": (events_user_activity_hist,
                                   ACTIVITY_HIST_SQL),
     "events_new_users_daily": (events_new_users_daily, NEW_USERS_SQL),

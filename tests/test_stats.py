@@ -395,3 +395,34 @@ def test_acf_alternating_series(tmp_path):
     out = S.events_hourly_acf(d).set_index("lag")
     assert out.loc[1, "n_pairs"] == 23 and out.loc[2, "n_pairs"] == 22
     assert out.loc[1, "r"] < -0.95 and out.loc[2, "r"] > 0.95
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_key_skew_gini_planted(tmp_path):
+    """Uniform keys give Gini 0; counts [1,1,1,97] give exactly
+    288/(4*100) = 0.72 through the tie-invariant rank formula."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_key_skew_profile)
+    d = str(tmp_path / "uni")
+    os.makedirs(d, exist_ok=True)
+    ts = pd.Timestamp("2024-05-01")
+    pd.DataFrame({"event_id": np.arange(12, dtype=np.int64),
+                  "user_id": np.repeat(np.arange(4, dtype=np.int64), 3),
+                  "ts": [ts] * 12, "event_type": ["x"] * 12,
+                  "value": np.zeros(12)}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = events_key_skew_profile(d)
+    assert (out.n_keys.iloc[0], out.max_count.iloc[0],
+            out.gini_x1e9.iloc[0]) == (4, 3, 0)
+
+    d2 = str(tmp_path / "hot")
+    os.makedirs(d2, exist_ok=True)
+    users = np.concatenate([np.arange(3), np.full(97, 9)]).astype(np.int64)
+    pd.DataFrame({"event_id": np.arange(100, dtype=np.int64),
+                  "user_id": users, "ts": [ts] * 100,
+                  "event_type": ["x"] * 100, "value": np.zeros(100)}) \
+        .to_parquet(os.path.join(d2, "events.parquet"))
+    out2 = events_key_skew_profile(d2)
+    assert (out2.n_keys.iloc[0], out2.n_events.iloc[0],
+            out2.max_count.iloc[0]) == (4, 100, 97)
+    assert out2.gini_x1e9.iloc[0] == 720_000_000
