@@ -791,7 +791,71 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka-style truncated-dimension search
+# ---------------------------------------------------------------------------
+
+TRUNC_D = 16
+
+
+def knn_cosine_truncated(sf_dir: str):
+    """Brute-force cosine top-k over only the FIRST TRUNC_D dimensions —
+    the Matryoshka/truncated-embedding cheap path (score on a prefix of
+    the vector, 4x less compute and bandwidth; re-rank with full dims
+    when needed). Same contract as ``knn_cosine`` (vec_id, rank);
+    prefix vectors are re-normalized before scoring on both engines."""
+    q = _query_vec(sf_dir, KNN_QUERY_VEC_ID)[:TRUNC_D]
+    qref = ray.put(q / max(np.linalg.norm(q), 1e-12))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)[:, :TRUNC_D]
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pa.Table.from_arrays(
+            [batch["vec_id"], pa.array(m @ qv)], names=["vec_id", "cos"])
+
+    top = (_emb(sf_dir).map_batches(score, batch_format="pyarrow",
+                                    batch_size=None)
+           .sort(["cos", "vec_id"], descending=[True, False])
+           .limit(KNN_K)).to_pandas()
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["vec_id", "rank"]].astype({"vec_id": "int64"})
+
+
+KNN_TRUNC_SQL = f"""
+SELECT vec_id,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY list_cosine_similarity(
+                embedding[1:{TRUNC_D}],
+                (SELECT embedding[1:{TRUNC_D}] FROM embeddings
+                 WHERE vec_id = {KNN_QUERY_VEC_ID})
+            ) DESC, vec_id) AS BIGINT) AS rank
+FROM embeddings
+ORDER BY rank
+LIMIT {KNN_K}
+"""
+
+
+def knn_truncated_recall(sf_dir: str):
+    """Recall@k of prefix-dimension search vs exact full-dim brute
+    force — the quality/number-of-dims trade curve's measured point.
+    The synthetic embeddings are isotropic random (no Matryoshka
+    training concentrates signal in the prefix), so this measures the
+    UNTRAINED floor; with real MRL embeddings the same operator reads
+    near 1.0."""
+    exact = set(knn_cosine(sf_dir).to_pandas()["vec_id"])
+    approx = set(knn_cosine_truncated(sf_dir)["vec_id"])
+    hit = len(exact & approx)
+    return pd.DataFrame({
+        "k": [KNN_K],
+        "trunc_d": [TRUNC_D],
+        "recall_x1e6": [int(hit * 1_000_000 / max(len(exact), 1))]})
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "knn_cosine_truncated": (knn_cosine_truncated, KNN_TRUNC_SQL),
+    "knn_truncated_recall": (knn_truncated_recall, None),
     "embedding_norms": (embedding_norms, NORMS_SQL),
     "knn_cosine_pq": (knn_cosine_pq, None),
     "knn_pq_recall": (knn_pq_recall, None),

@@ -229,3 +229,42 @@ def test_semdedup_postconditions_on_clustered_corpus(emb_dir):
     assert (out["keep"] == 1).any()
     _semdedup_postconditions(out, vecs.astype(np.float64),
                              SEMDEDUP_THRESHOLD_X1E6 / 1e6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_truncated_knn_prefix_semantics(tmp_path):
+    """Truncated search must rank by the PREFIX only: two vectors with
+    identical prefixes but different tails tie (vec_id order), and a
+    vector aligned with the query prefix beats one aligned only in the
+    tail."""
+    import os
+    import pandas as pd
+    from pdf_extraction_ray.pipelines.similarity import (
+        TRUNC_D, knn_cosine_truncated, KNN_QUERY_VEC_ID)
+    d = str(tmp_path)
+    dim = 64
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=dim)
+    rows = []
+    # query vector gets id KNN_QUERY_VEC_ID
+    rows.append((KNN_QUERY_VEC_ID, base.copy()))
+    v_prefix = np.concatenate([base[:TRUNC_D], rng.normal(size=dim - TRUNC_D)])
+    v_prefix2 = np.concatenate([base[:TRUNC_D], rng.normal(size=dim - TRUNC_D)])
+    v_tail = np.concatenate([-base[:TRUNC_D], base[TRUNC_D:]])
+    rows.append((1000, v_prefix))
+    rows.append((1001, v_prefix2))
+    rows.append((1002, v_tail))
+    for i in range(20):
+        rows.append((2000 + i, rng.normal(size=dim)))
+    df = pd.DataFrame({
+        "vec_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "embedding": [np.asarray(r[1], dtype=np.float32) for r in rows],
+        "label": np.zeros(len(rows), dtype=np.int32)})
+    df.to_parquet(os.path.join(d, "embeddings.parquet"))
+    out = knn_cosine_truncated(d)
+    top4 = list(out.vec_id.iloc[:4])
+    # query itself first, then the two identical-prefix vectors in
+    # vec_id order; the anti-prefix vector never enters the top
+    assert top4[0] == KNN_QUERY_VEC_ID
+    assert top4[1:3] == [1000, 1001]
+    assert 1002 not in set(out.vec_id)
