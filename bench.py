@@ -616,7 +616,18 @@ def main():
                          "customer_rfm_segments", "events_dau_wau",
                          "corpus_bigram_pmi", "events_orc_roundtrip",
                          "media_patches", "model_eval_auc",
-                         "model_eval_confusion"]
+                         "model_eval_confusion",
+                         # session-6 operators
+                         "model_eval_calibration", "model_eval_brier",
+                         "events_type_dow_chisq", "events_hourly_acf",
+                         "copurchase_link_prediction",
+                         "orders_schema_evolution",
+                         "orders_customer_bucketed_join",
+                         "events_stream_topk", "media_keyframes",
+                         "corpus_textrank_keywords",
+                         "events_asof_nearest_order",
+                         "events_key_skew_profile",
+                         "knn_cosine_truncated"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -778,6 +778,133 @@ ORDER BY order_a, order_b
 
 
 # ---------------------------------------------------------------------------
+# Association rules over order baskets (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+RULES_TOPK = 20
+
+
+def basket_association_rules(sf_dir: str):
+    """Market-basket association rules for the top co-occurring part
+    pairs: DISTINCT-basket pair supports through the same orderkey
+    exchange as the pair counts (baskets deduped per order before pair
+    expansion), item supports through a part-keyed count, and the exact
+    x1e6 floor-division metrics support, confidence both ways, and
+    lift. The top-K pair selection is a distributed sort on the
+    aggregated pair table; only the <= 2K involved part keys and the
+    K result rows ever reach the driver. Output: (part_a, part_b,
+    n_both, n_a, n_b, support_x1e6, conf_a_to_b_x1e6,
+    conf_b_to_a_x1e6, lift_x1e6)."""
+    cols = ("part_a", "part_b", "n_both", "n_a", "n_b", "support_x1e6",
+            "conf_a_to_b_x1e6", "conf_b_to_a_x1e6", "lift_x1e6")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        j = m.merge(m, on="l_orderkey", suffixes=("_a", "_b"))
+        j = j[j["l_partkey_a"] < j["l_partkey_b"]]
+        if j.empty:
+            return pd.DataFrame({**_EMPTY_PAIRS,
+                                 "pairkey": pd.Series(dtype="int64")})
+        out = j.rename(columns={"l_partkey_a": "part_a",
+                                "l_partkey_b": "part_b"}) \
+            .groupby(["part_a", "part_b"], as_index=False).size() \
+            .rename(columns={"size": "n_orders"}).astype("int64")
+        out["pairkey"] = out["part_a"] * (1 << 32) + out["part_b"]
+        return out
+
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["part_a", "part_b"], as_index=False) \
+            ["n_orders"].sum().astype("int64")
+
+    pair_ds = _coarse_partition_map(
+        _coarse_partition_map(ds, "l_orderkey", pairs_in_partition),
+        "pairkey", final_sum)
+    top = pair_ds.sort(["n_orders", "part_a", "part_b"],
+                       descending=[True, False, False]) \
+        .limit(RULES_TOPK).to_pandas()
+    if top.empty:
+        return empty
+
+    # item supports for ONLY the involved parts: broadcast the tiny key
+    # set, count distinct (order, part) rows per batch, one small sum
+    want = sorted(set(top.part_a) | set(top.part_b))
+    want_arr = pa.array(np.array(want, dtype=np.int64))
+
+    def item_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["l_partkey"],
+                                  value_set=want_arr))
+        df = pd.DataFrame({
+            "l_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False),
+            "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        return _from_pandas(df.astype("int64"))
+
+    def item_count(g: pd.DataFrame) -> pd.DataFrame:
+        du = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        return du.groupby("l_partkey", as_index=False).size() \
+            .rename(columns={"size": "c"}).astype("int64")
+
+    ic = _coarse_partition_map(
+        ds.map_batches(item_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "l_partkey", item_count).to_pandas().set_index("l_partkey")["c"]
+
+    # distinct basket count: per-batch distinct orderkeys -> one groupby
+    def okey_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": pa.array(u.astype(np.int64))})
+
+    def okey_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": [g["l_orderkey"].nunique()]}).astype("int64")
+
+    n_orders = int(_coarse_partition_map(
+        ds.map_batches(okey_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "l_orderkey", okey_count).to_pandas()["n"].sum())
+
+    rows = []
+    for r in top.itertuples(index=False):
+        na, nb = int(ic[r.part_a]), int(ic[r.part_b])
+        nab = int(r.n_orders)
+        rows.append((int(r.part_a), int(r.part_b), nab, na, nb,
+                     nab * 1_000_000 // n_orders,
+                     nab * 1_000_000 // na,
+                     nab * 1_000_000 // nb,
+                     n_orders * nab * 1_000_000 // (na * nb)))
+    return pd.DataFrame(rows, columns=list(cols)).astype("int64") \
+        .sort_values(["n_both", "part_a", "part_b"],
+                     ascending=[False, True, True]).reset_index(drop=True)
+
+
+RULES_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+n AS (SELECT COUNT(DISTINCT o) AS n FROM op),
+ic AS (SELECT p, COUNT(*) AS c FROM op GROUP BY p),
+pc2 AS (SELECT a.p AS pa, b.p AS pb, COUNT(*) AS nab
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2),
+top AS (SELECT * FROM pc2 ORDER BY nab DESC, pa, pb LIMIT {RULES_TOPK})
+SELECT pa AS part_a, pb AS part_b, CAST(nab AS BIGINT) AS n_both,
+       CAST(ca.c AS BIGINT) AS n_a, CAST(cb.c AS BIGINT) AS n_b,
+       CAST(nab * 1000000 // (SELECT n FROM n) AS BIGINT)
+           AS support_x1e6,
+       CAST(nab * 1000000 // ca.c AS BIGINT) AS conf_a_to_b_x1e6,
+       CAST(nab * 1000000 // cb.c AS BIGINT) AS conf_b_to_a_x1e6,
+       CAST(CAST((SELECT n FROM n) AS HUGEINT) * nab * 1000000
+            // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_x1e6
+FROM top JOIN ic ca ON ca.p = pa JOIN ic cb ON cb.p = pb
+ORDER BY n_both DESC, part_a, part_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Link prediction: common-neighbor / Jaccard scores for NON-edges
 # ---------------------------------------------------------------------------
 
@@ -817,19 +944,18 @@ def copurchase_link_prediction(sf_dir: str):
         .repartition(8).materialize()
 
     # wedge pairs at every shared node (full adjacency, unlike the
-    # min-vertex triangle orientation: cn(u,w) counts ALL shared nodes)
+    # min-vertex triangle orientation: cn(u,w) counts ALL shared nodes).
+    # Vectorized as a per-partition self-merge on the shared node —
+    # memory is sum(deg^2) over the partition's nodes, bounded by the
+    # weight>=2 prune (a per-node degree cap is the hub guard at 100 TB)
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        out_u, out_w = [], []
-        for _, grp in g.groupby("s", sort=False):
-            nb = np.sort(grp["d"].to_numpy())
-            for i in range(len(nb)):
-                for j in range(i + 1, len(nb)):
-                    out_u.append(nb[i])
-                    out_w.append(nb[j])
-        if not out_u:
+        m = g[["s", "d"]]
+        j = m.merge(m, on="s", suffixes=("_a", "_b"))
+        j = j[j["d_a"] < j["d_b"]]
+        if j.empty:
             return pd.DataFrame({c: pd.Series(dtype="int64")
                                  for c in ("pairkey", "u", "w", "cn")})
-        df = pd.DataFrame({"u": out_u, "w": out_w}).astype("int64") \
+        df = j.rename(columns={"d_a": "u", "d_b": "w"}) \
             .groupby(["u", "w"], as_index=False).size() \
             .rename(columns={"size": "cn"}).astype("int64")
         df["pairkey"] = df["u"] * (1 << 32) + df["w"]
@@ -974,6 +1100,7 @@ LIMIT {LINKPRED_TOPK}
 
 
 GRAPH_QUERIES: dict[str, tuple] = {
+    "basket_association_rules": (basket_association_rules, RULES_SQL),
     "copurchase_link_prediction": (copurchase_link_prediction,
                                    LINKPRED_SQL),
     "part_copurchase_pairs": (part_copurchase_pairs, COPURCHASE_PAIRS_SQL),

@@ -3067,6 +3067,75 @@ ORDER BY o_custkey
 # ---------------------------------------------------------------------------
 
 
+def events_user_diversity(sf_dir: str):
+    """Per-user behavioral diversity as the Gini-Simpson index over
+    event types: D = 1 - sum n_i*(n_i-1) / (N*(N-1)) — an exact
+    RATIONAL (no log, unlike Shannon entropy), emitted as a x1e9 floor
+    division so no float enters the compare. One grouped exchange of
+    (user, type) count partials; the per-user fold runs on the
+    user x type grid (output-shaped). Single-event users carry the
+    -1 sentinel (diversity undefined at N < 2).
+    Output: (user_id, n_events, n_types, simpson_x1e9)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("user_id", "n_events", "n_types",
+                           "simpson_x1e9")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"]
+            .to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby(["user_id", "event_type"],
+                                       as_index=False)
+                            .size().rename(columns={"size": "n"}))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "event_type"], as_index=False)["n"] \
+            .sum()
+        n = g["n"].to_numpy(np.int64)
+        agg = pd.DataFrame({
+            "user_id": g["user_id"],
+            "n_events": n,
+            "n_types": np.ones(len(g), dtype=np.int64),
+            "same": n * (n - 1)}).groupby("user_id", as_index=False).sum()
+        ne = agg["n_events"].to_numpy(np.int64)
+        same = agg.pop("same").to_numpy(np.int64)
+        # python ints: denom * 1e9 overflows int64 past ~100k events
+        # per user (the oracle's HUGEINT path has the same headroom)
+        agg["simpson_x1e9"] = [
+            ((n * (n - 1) - s) * 1_000_000_000 // (n * (n - 1)))
+            if n > 1 else -1
+            for n, s in zip(ne.tolist(), same.tolist())]
+        return agg.astype("int64")
+
+    return _coarse_partition_map(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "user_id", fold).sort("user_id")
+
+
+USER_DIVERSITY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type),
+u AS (
+  SELECT user_id, SUM(n) AS ne, COUNT(*) AS nt,
+         SUM(n * (n - 1)) AS same
+  FROM c GROUP BY user_id)
+SELECT user_id, CAST(ne AS BIGINT) AS n_events,
+       CAST(nt AS BIGINT) AS n_types,
+       CAST(CASE WHEN ne > 1
+                 THEN (ne * (ne - 1) - same) * 1000000000
+                      // (ne * (ne - 1))
+                 ELSE -1 END AS BIGINT) AS simpson_x1e9
+FROM u
+ORDER BY user_id
+"""
+
+
 def events_key_skew_profile(sf_dir: str):
     """Key-skew summary of the user_id distribution — the diagnostic an
     engine runs before choosing a partitioning key: key count, event
@@ -4477,6 +4546,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                  CUSTKEY_INTERSECT_SQL),
     "order_custkeys_except": (order_custkeys_except, CUSTKEY_EXCEPT_SQL),
     "events_key_skew_profile": (events_key_skew_profile, KEY_SKEW_SQL),
+    "events_user_diversity": (events_user_diversity, USER_DIVERSITY_SQL),
     "events_user_activity_hist": (events_user_activity_hist,
                                   ACTIVITY_HIST_SQL),
     "events_new_users_daily": (events_new_users_daily, NEW_USERS_SQL),

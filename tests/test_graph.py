@@ -243,3 +243,24 @@ def test_link_prediction_planted(tmp_path):
     df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
     assert list(zip(df.part_a, df.part_b, df.cn, df.jaccard_x1e6)) == \
         [(1, 4, 2, 1_000_000)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_association_rules_planted(tmp_path):
+    """Baskets {1,2} x3, {1} x1, {2,3} x1: n=5 distinct orders,
+    pair (1,2): support 3/5, conf 1->2 = 3/4, conf 2->1 = 3/4,
+    lift = 5*3/(4*4); multiplicities inside one basket must NOT
+    inflate distinct-basket counts."""
+    from pdf_extraction_ray.pipelines.graph import (
+        basket_association_rules)
+    d = str(tmp_path)
+    _write_lineitem(d, [[1, 2, 2], [1, 2], [1, 2], [1], [2, 3]])
+    out = basket_association_rules(d).set_index(["part_a", "part_b"])
+    r = out.loc[(1, 2)]
+    assert r.n_both == 3 and r.n_a == 4 and r.n_b == 4
+    assert r.support_x1e6 == 3 * 1_000_000 // 5
+    assert r.conf_a_to_b_x1e6 == 3 * 1_000_000 // 4
+    assert r.conf_b_to_a_x1e6 == 3 * 1_000_000 // 4
+    assert r.lift_x1e6 == 5 * 3 * 1_000_000 // 16
+    r2 = out.loc[(2, 3)]
+    assert r2.n_both == 1 and r2.n_a == 4 and r2.n_b == 1
