@@ -1934,7 +1934,196 @@ ORDER BY lag
 """
 
 
+# ---------------------------------------------------------------------------
+# EWMA smoothing of the hourly count series
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25        # exact binary fraction: 0.25*x + 0.75*s is the
+#                          same IEEE sequence on both engines
+
+
+def events_hourly_ewma(sf_dir: str):
+    """Exponentially-weighted moving average over the densified hourly
+    event-count series (s_0 = x_0; s_t = alpha*x_t + (1-alpha)*s_{t-1})
+    — the smoothing/forecast-baseline recurrence no window function
+    expresses. Distributed pass = the same grouped epoch-hour count as
+    the ACF; the sequential fold runs over the time-span-bounded dense
+    series with an EXACT-binary alpha, so every step is the identical
+    IEEE sequence the oracle's RECURSIVE CTE performs — bit-exact
+    without integerization. Output: (hr, c, ewma)."""
+    empty = pd.DataFrame({"hr": pd.Series(dtype="int64"),
+                          "c": pd.Series(dtype="int64"),
+                          "ewma": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"hr": hr}).groupby("hr", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    dense[hr - h0] = hist["c"].to_numpy(np.int64)
+    ewma = np.empty(len(dense))
+    s = float(dense[0])
+    ewma[0] = s
+    for i in range(1, len(dense)):
+        s = EWMA_ALPHA * float(dense[i]) + (1.0 - EWMA_ALPHA) * s
+        ewma[i] = s
+    return pd.DataFrame({"hr": np.arange(h0, h1 + 1, dtype=np.int64),
+                         "c": dense, "ewma": ewma})
+
+
+EWMA_SQL = f"""
+WITH RECURSIVE h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, COALESCE(h.c, 0) AS c
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr),
+rec(hr, c, ewma) AS (
+  SELECT hr, c, CAST(c AS DOUBLE) FROM dense
+  WHERE hr = (SELECT h0 FROM b)
+  UNION ALL
+  SELECT d.hr, d.c,
+         {EWMA_ALPHA!r} * CAST(d.c AS DOUBLE)
+             + {1.0 - EWMA_ALPHA!r} * rec.ewma
+  FROM rec JOIN dense d ON d.hr = rec.hr + 1)
+SELECT CAST(hr AS BIGINT) AS hr, CAST(c AS BIGINT) AS c, ewma
+FROM rec ORDER BY hr
+"""
+
+
+# ---------------------------------------------------------------------------
+# Two-regressor OLS (multiple regression via exact integer Cramer dets)
+# ---------------------------------------------------------------------------
+
+def lineitem_ols2(sf_dir: str):
+    """Multiple linear regression price_usd ~ b0 + b1*qty +
+    b2*discount_x100 over raw line items — the 2-feature generalization
+    of the grouped OLS trend. ONE scan emits the 9 exact int64 moment
+    partials (n, Sx1, Sx2, Sy, Sx11, Sx12, Sx22, Sx1y, Sx2y); the 3x3
+    normal equations solve by Cramer's rule in exact PYTHON-INT
+    determinants (y in whole dollars keeps det(A_i) inside int128 for
+    the oracle out to ~sf100), so each coefficient is ONE int->double
+    division on both engines — bit-exact with zero float-order
+    sensitivity. Output: (n_lines, b0, b1, b2)."""
+    empty = pd.DataFrame({"n_lines": pd.Series(dtype="int64"),
+                          "b0": pd.Series(dtype="float64"),
+                          "b1": pd.Series(dtype="float64"),
+                          "b2": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_quantity", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x1 = _cents(batch["l_quantity"], 1.0) \
+            .to_numpy(zero_copy_only=False)
+        x2 = _cents(batch["l_discount"], 100.0) \
+            .to_numpy(zero_copy_only=False)
+        y = _cents(batch["l_extendedprice"], 1.0) \
+            .to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "n": [len(y)],
+            "sx1": [int(x1.sum())], "sx2": [int(x2.sum())],
+            "sy": [int(y.sum())],
+            "sx11": [int((x1 * x1).sum())],
+            "sx12": [int((x1 * x2).sum())],
+            "sx22": [int((x2 * x2).sum())],
+            "sx1y": [int((x1 * y).sum())],
+            "sx2y": [int((x2 * y).sum())]})
+
+    cols = ("n", "sx1", "sx2", "sy", "sx11", "sx12", "sx22",
+            "sx1y", "sx2y")
+    s = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+    n = int(s["n"])
+    if n == 0:
+        return empty
+    a = [[n, int(s["sx1"]), int(s["sx2"])],
+         [int(s["sx1"]), int(s["sx11"]), int(s["sx12"])],
+         [int(s["sx2"]), int(s["sx12"]), int(s["sx22"])]]
+    b = [int(s["sy"]), int(s["sx1y"]), int(s["sx2y"])]
+
+    def det3(m):
+        return (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+                - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+                + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
+
+    da = det3(a)
+    if da == 0:
+        return empty
+    dets = []
+    for col in range(3):
+        m = [row[:] for row in a]
+        for r_ in range(3):
+            m[r_][col] = b[r_]
+        dets.append(det3(m))
+    return pd.DataFrame({"n_lines": [n],
+                         "b0": [float(dets[0]) / float(da)],
+                         "b1": [float(dets[1]) / float(da)],
+                         "b2": [float(dets[2]) / float(da)]})
+
+
+OLS2_SQL = """
+WITH m AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)) AS sx1,
+    SUM(CAST(CAST(ROUND(l_discount * 100.0) AS BIGINT) AS HUGEINT)) AS sx2,
+    SUM(CAST(CAST(ROUND(l_extendedprice) AS BIGINT) AS HUGEINT)) AS sy,
+    SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+        * CAST(ROUND(l_quantity) AS BIGINT)) AS sx11,
+    SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+        * CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS sx12,
+    SUM(CAST(CAST(ROUND(l_discount * 100.0) AS BIGINT) AS HUGEINT)
+        * CAST(ROUND(l_discount * 100.0) AS BIGINT)) AS sx22,
+    SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+        * CAST(ROUND(l_extendedprice) AS BIGINT)) AS sx1y,
+    SUM(CAST(CAST(ROUND(l_discount * 100.0) AS BIGINT) AS HUGEINT)
+        * CAST(ROUND(l_extendedprice) AS BIGINT)) AS sx2y
+  FROM lineitem),
+d AS (
+  SELECT n, sy, sx1y, sx2y,
+    n * (sx11 * sx22 - sx12 * sx12)
+      - sx1 * (sx1 * sx22 - sx12 * sx2)
+      + sx2 * (sx1 * sx12 - sx11 * sx2) AS da,
+    sy * (sx11 * sx22 - sx12 * sx12)
+      - sx1 * (sx1y * sx22 - sx12 * sx2y)
+      + sx2 * (sx1y * sx12 - sx11 * sx2y) AS d0,
+    n * (sx1y * sx22 - sx12 * sx2y)
+      - sy * (sx1 * sx22 - sx12 * sx2)
+      + sx2 * (sx1 * sx2y - sx1y * sx2) AS d1,
+    n * (sx11 * sx2y - sx1y * sx12)
+      - sx1 * (sx1 * sx2y - sx1y * sx2)
+      + sy * (sx1 * sx12 - sx11 * sx2) AS d2
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n_lines,
+       CAST(d0 AS DOUBLE) / CAST(da AS DOUBLE) AS b0,
+       CAST(d1 AS DOUBLE) / CAST(da AS DOUBLE) AS b1,
+       CAST(d2 AS DOUBLE) / CAST(da AS DOUBLE) AS b2
+FROM d
+WHERE n > 0 AND da <> 0
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "lineitem_ols2": (lineitem_ols2, OLS2_SQL),
+    "events_hourly_ewma": (events_hourly_ewma, EWMA_SQL),
     "events_type_dow_chisq": (events_type_dow_chisq, CHISQ_SQL),
     "events_hourly_acf": (events_hourly_acf, _acf_sql()),
     "lineitem_cov_matrix": (lineitem_cov_matrix, _cov_matrix_sql()),

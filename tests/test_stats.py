@@ -426,3 +426,40 @@ def test_key_skew_gini_planted(tmp_path):
     assert (out2.n_keys.iloc[0], out2.n_events.iloc[0],
             out2.max_count.iloc[0]) == (4, 100, 97)
     assert out2.gini_x1e9.iloc[0] == 720_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ols2_exact_on_planted_plane(tmp_path):
+    """Data generated exactly on price = 7 + 3*qty - 2*disc_x100 must
+    recover the coefficients exactly (integer determinants, one final
+    division)."""
+    d = str(tmp_path)
+    rng = np.random.default_rng(2)
+    q = rng.integers(1, 50, size=200).astype(float)
+    disc = rng.integers(0, 11, size=200) / 100.0
+    price = 7.0 + 3.0 * q - 2.0 * (disc * 100.0)
+    pd.DataFrame({"l_quantity": q, "l_extendedprice": price,
+                  "l_discount": disc}) \
+        .to_parquet(os.path.join(d, "lineitem.parquet"))
+    out = S.lineitem_ols2(d)
+    assert out.n_lines.iloc[0] == 200
+    assert (out.b0.iloc[0], out.b1.iloc[0], out.b2.iloc[0]) == \
+        (7.0, 3.0, -2.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ewma_recurrence_planted(tmp_path):
+    """EWMA over counts [4, 0, 8]: s = 4, 3, 4.25 exactly (alpha=0.25
+    is an exact binary fraction); gap hour counts as 0."""
+    d = str(tmp_path)
+    h = pd.Timestamp("2024-05-01")
+    hr = pd.Timedelta(hours=1)
+    rows = [h] * 4 + [h + 2 * hr] * 8          # hour 1 missing -> 0
+    pd.DataFrame({"event_id": np.arange(12, dtype=np.int64),
+                  "user_id": np.zeros(12, dtype=np.int64),
+                  "ts": rows, "event_type": ["x"] * 12,
+                  "value": np.zeros(12)}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_hourly_ewma(d)
+    assert list(out.c) == [4, 0, 8]
+    assert list(out.ewma) == [4.0, 3.0, 0.25 * 8 + 0.75 * 3.0]
