@@ -792,6 +792,104 @@ ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# Corpus dispersion: mean pairwise dot via the sum-of-vectors moment
+# ---------------------------------------------------------------------------
+
+DISPERSION_SCALE = 1000      # unit vectors quantized to 1e-3 components
+
+
+def embedding_dispersion(sf_dir: str):
+    """Mean pairwise similarity of the WHOLE embedding corpus in one
+    streaming pass — the collapse/diversity diagnostic (a healthy
+    corpus sits near 0, a collapsed one near 1). Uses the moment
+    identity sum_{i!=j} q_i.q_j = ||sum_i q_i||^2 - sum_i ||q_i||^2, so
+    no pair is ever materialized: each vector is normalized (left-to-
+    right float64 sums, the oracle's list_aggregate order), quantized
+    to integer 1e-3 units, and the only aggregate is (n, 64 per-dim
+    int sums, int sum of squared norms). The final statistic is one
+    exact-int -> double division. Output: (n_vectors,
+    mean_pairwise_dot)."""
+    import math
+
+    import pyarrow.dataset as pads
+
+    from ..functions.arrow_utils import round_half_away
+
+    empty = pd.DataFrame({"n_vectors": pd.Series(dtype="int64"),
+                          "mean_pairwise_dot": pd.Series(dtype="float64")})
+    if pads.dataset(f"{sf_dir}/embeddings.parquet").count_rows() < 2:
+        return empty
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        embs = batch["embedding"].to_pylist()
+        qs = []
+        for row in embs:
+            acc = 0.0
+            for v in row:                    # left-to-right, like SQL
+                fv = float(v)
+                acc += fv * fv
+            nrm = math.sqrt(acc)
+            fr = np.asarray(row, dtype=np.float64)
+            q = round_half_away(fr / nrm * DISPERSION_SCALE) \
+                if nrm > 0.0 else np.zeros(len(fr), dtype=np.int64)
+            qs.append(q.astype(np.int64))
+        m = np.stack(qs)
+        out = {"n": [np.int64(len(qs))],
+               "ssq": [int((m * m).sum())]}
+        s = m.sum(axis=0)
+        for d in range(m.shape[1]):
+            out[f"s{d}"] = [int(s[d])]
+        return pa.Table.from_pydict(out)
+
+    first = ds.take(1)[0]["embedding"]
+    dim = len(first)
+    cols = ["n", "ssq"] + [f"s{d}" for d in range(dim)]
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+    n = int(agg["n"])
+    if n < 2:
+        return empty
+    num = sum(int(agg[f"s{d}"]) ** 2 for d in range(dim)) \
+        - int(agg["ssq"])
+    den = n * (n - 1) * DISPERSION_SCALE * DISPERSION_SCALE
+    return pd.DataFrame({"n_vectors": [n],
+                         "mean_pairwise_dot": [float(num) / float(den)]})
+
+
+DISPERSION_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           v -> CAST(ROUND(CAST(v AS DOUBLE)
+                     / sqrt(list_aggregate(
+                         list_transform(embedding,
+                                        x -> CAST(x AS DOUBLE) * x),
+                         'sum')) * {DISPERSION_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (
+  SELECT unnest(generate_series(1, (SELECT MAX(len(qv)) FROM q))) AS d),
+s AS (
+  SELECT d, SUM(CAST(qv[d] AS HUGEINT)) AS sd
+  FROM q CROSS JOIN dims GROUP BY d),
+tot AS (
+  SELECT (SELECT SUM(sd * sd) FROM s) AS sq,
+         (SELECT SUM(CAST(list_aggregate(
+              list_transform(qv, x -> CAST(x AS HUGEINT) * x), 'sum')
+              AS HUGEINT)) FROM q) AS ssq,
+         (SELECT COUNT(*) FROM q) AS n)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       CAST(sq - ssq AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * (n - 1)
+                * {DISPERSION_SCALE * DISPERSION_SCALE} AS DOUBLE)
+           AS mean_pairwise_dot
+FROM tot
+WHERE n >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Matryoshka-style truncated-dimension search
 # ---------------------------------------------------------------------------
 
@@ -854,6 +952,7 @@ def knn_truncated_recall(sf_dir: str):
 
 
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "embedding_dispersion": (embedding_dispersion, DISPERSION_SQL),
     "knn_cosine_truncated": (knn_cosine_truncated, KNN_TRUNC_SQL),
     "knn_truncated_recall": (knn_truncated_recall, None),
     "embedding_norms": (embedding_norms, NORMS_SQL),

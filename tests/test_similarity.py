@@ -268,3 +268,33 @@ def test_truncated_knn_prefix_semantics(tmp_path):
     assert top4[0] == KNN_QUERY_VEC_ID
     assert top4[1:3] == [1000, 1001]
     assert 1002 not in set(out.vec_id)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dispersion_collapsed_vs_orthogonal(tmp_path):
+    """A corpus of one repeated vector reads ~1.0; an orthonormal basis
+    reads ~-1/(n-1) scaled... exactly 0 pairwise dot (quantization
+    exact for basis vectors)."""
+    import os
+    import pandas as pd
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_dispersion)
+    d1 = str(tmp_path / "collapsed")
+    os.makedirs(d1, exist_ok=True)
+    v = np.ones(8, dtype=np.float32)
+    pd.DataFrame({"vec_id": np.arange(5, dtype=np.int64),
+                  "embedding": [v] * 5,
+                  "label": np.zeros(5, dtype=np.int32)}) \
+        .to_parquet(os.path.join(d1, "embeddings.parquet"))
+    out = embedding_dispersion(d1)
+    assert abs(out.mean_pairwise_dot.iloc[0] - 1.0) < 5e-3
+
+    d2 = str(tmp_path / "ortho")
+    os.makedirs(d2, exist_ok=True)
+    eye = np.eye(8, dtype=np.float32)
+    pd.DataFrame({"vec_id": np.arange(8, dtype=np.int64),
+                  "embedding": [eye[i] for i in range(8)],
+                  "label": np.zeros(8, dtype=np.int32)}) \
+        .to_parquet(os.path.join(d2, "embeddings.parquet"))
+    out2 = embedding_dispersion(d2)
+    assert out2.mean_pairwise_dot.iloc[0] == 0.0
