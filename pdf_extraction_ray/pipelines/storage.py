@@ -1008,7 +1008,69 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Federated multi-format read: one logical table across 3 file formats
+# ---------------------------------------------------------------------------
+
+def events_multiformat_union(sf_dir: str):
+    """Federated read — one logical events table whose shards live in
+    THREE formats at once (parquet / ORC / Arrow IPC, split by
+    event_id % 3, the mid-migration state every lakehouse passes
+    through): each shard set is written distributed in its native
+    format, read back with the matching file-parallel reader, and the
+    three Datasets union into one stream for the exact totals. The
+    oracle recomputes from the raw table, proving the federation is
+    lossless. Output: (n_events, id_sum, value_x100)."""
+    empty = pd.DataFrame({"n_events": pd.Series(dtype="int64"),
+                          "id_sum": pd.Series(dtype="int64"),
+                          "value_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    from ..sources.io import (read_ipc_dir, read_orc_dir, write_ipc,
+                              write_orc)
+    root = tempfile.mkdtemp(prefix="multifmt_", dir="/tmp")
+    try:
+        base = rd.read_parquet(_pq(sf_dir, "events"),
+                               columns=["event_id", "value"])
+
+        def shard_np(k: int):
+            def f(batch: pa.Table) -> pa.Table:
+                e = batch["event_id"].to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(e % 3 == k))
+            return f
+
+        parts = [base.map_batches(shard_np(k), batch_format="pyarrow",
+                                  batch_size=None).repartition(4)
+                 for k in range(3)]
+        parts[0].write_parquet(os.path.join(root, "pq"))
+        write_orc(parts[1], os.path.join(root, "orc"))
+        write_ipc(parts[2], os.path.join(root, "ipc"))
+
+        unioned = (rd.read_parquet(os.path.join(root, "pq"))
+                   .union(read_orc_dir(os.path.join(root, "orc")))
+                   .union(read_ipc_dir(os.path.join(root, "ipc"))))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = batch.select(["event_id", "value"])
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict({
+                "n_events": [len(ids)], "id_sum": [int(ids.sum())],
+                "value_x100": [int(v.sum())]})
+
+        agg = (unioned.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None).to_pandas())
+        return pd.DataFrame({
+            "n_events": [int(agg["n_events"].sum())],
+            "id_sum": [int(agg["id_sum"].sum())],
+            "value_x100": [int(agg["value_x100"].sum())]})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 STORAGE_QUERIES: dict[str, tuple] = {
+    "events_multiformat_union": (events_multiformat_union,
+                                 FORMAT_ROUNDTRIP_SQL),
     "orders_schema_evolution": (orders_schema_evolution,
                                 SCHEMA_EVOLUTION_SQL),
     "orders_customer_bucketed_join": (orders_customer_bucketed_join,
