@@ -2121,7 +2121,212 @@ WHERE n > 0 AND da <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# LOCF imputation over the hourly value series
+# ---------------------------------------------------------------------------
+
+def events_hourly_locf(sf_dir: str):
+    """Last-observation-carried-forward imputation: the densified
+    hourly series of exact value sums (cents), with gap hours filled by
+    the most recent observed hour's sum — the imputation step before
+    any equally-spaced time-series model. Same one grouped exchange as
+    the ACF/EWMA; the fill is a driver fold over the span-bounded dense
+    series in exact ints (leading gaps keep the -1 sentinel). Output:
+    (hr, observed, value_x100)."""
+    empty = pd.DataFrame({"hr": pd.Series(dtype="int64"),
+                          "observed": pd.Series(dtype="int64"),
+                          "value_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"hr": hr, "v": v}) \
+            .groupby("hr", as_index=False)["v"].sum()
+        return _from_pandas(g.astype("int64"))
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"),
+                            columns=["ts", "value"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("v", alias_name="v"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    observed = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    vals = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    observed[hr - h0] = 1
+    vals[hr - h0] = hist["v"].to_numpy(np.int64)
+    last = -1
+    out_vals = np.empty_like(vals)
+    for i in range(len(vals)):
+        if observed[i]:
+            last = int(vals[i])
+        out_vals[i] = last
+    return pd.DataFrame({"hr": np.arange(h0, h1 + 1, dtype=np.int64),
+                         "observed": observed,
+                         "value_x100": out_vals})
+
+
+LOCF_SQL = """
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, h.v, CASE WHEN h.hr IS NULL THEN 0 ELSE 1 END AS observed
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr)
+SELECT hr, CAST(observed AS BIGINT) AS observed,
+       CAST(COALESCE(LAST_VALUE(v IGNORE NULLS)
+                     OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING), -1)
+            AS BIGINT) AS value_x100
+FROM dense
+ORDER BY hr
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity time rollup (hour -> day -> month from one scan)
+# ---------------------------------------------------------------------------
+
+def events_time_rollup(sf_dir: str):
+    """Event counts and exact value sums at three time granularities
+    (hour, day, month) from ONE finest-level scan: the hourly grouped
+    table computes distributed, and the day/month levels derive from
+    that tiny intermediate — the time-dimension ROLLUP every metrics
+    store materializes. Output: (grain, bucket, n_events,
+    value_x100)."""
+    empty = pd.DataFrame({"grain": pd.Series(dtype="object"),
+                          "bucket": pd.Series(dtype="object"),
+                          "n_events": pd.Series(dtype="int64"),
+                          "value_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(batch["ts"], format="%Y-%m-%d %H") \
+            .to_numpy(zero_copy_only=False)
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"hour": hour, "v": v}).groupby(
+            "hour", as_index=False).agg(n=("v", "size"), v=("v", "sum"))
+        return _from_pandas(g.astype({"n": "int64", "v": "int64"}))
+
+    hourly = (rd.read_parquet(_pq(sf_dir, "events"),
+                              columns=["ts", "value"])
+              .map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+              .groupby("hour")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("v", alias_name="v"))
+              .to_pandas())
+    if hourly.empty:
+        return empty
+    levels = []
+    for grain, width in (("hour", 13), ("day", 10), ("month", 7)):
+        lv = hourly.assign(bucket=hourly["hour"].str[:width]) \
+            .groupby("bucket", as_index=False)[["n", "v"]].sum()
+        lv.insert(0, "grain", grain)
+        levels.append(lv)
+    out = pd.concat(levels, ignore_index=True).rename(
+        columns={"n": "n_events", "v": "value_x100"})
+    return out.sort_values(["grain", "bucket"]).reset_index(drop=True) \
+        .astype({"n_events": "int64", "value_x100": "int64"})
+
+
+TIME_ROLLUP_SQL = """
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d %H') AS hour, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY hour)
+SELECT 'hour' AS grain, hour AS bucket, CAST(SUM(n) AS BIGINT)
+       AS n_events, CAST(SUM(v) AS BIGINT) AS value_x100
+FROM h GROUP BY hour
+UNION ALL
+SELECT 'day', substr(hour, 1, 10), CAST(SUM(n) AS BIGINT),
+       CAST(SUM(v) AS BIGINT) FROM h GROUP BY 2
+UNION ALL
+SELECT 'month', substr(hour, 1, 7), CAST(SUM(n) AS BIGINT),
+       CAST(SUM(v) AS BIGINT) FROM h GROUP BY 2
+ORDER BY grain, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile (data-quality / fraud screen)
+# ---------------------------------------------------------------------------
+
+def orders_benford_digits(sf_dir: str):
+    """First-significant-digit distribution of order totals (cents)
+    against the Benford expectation — the data-authenticity screen.
+    Counts are exact (digit extraction from the integer's decimal
+    string on both engines); shares are x1e6 floor divisions; the
+    Benford reference column is a fixed x1e6 integer constant table, so
+    no float enters the compare. Output: (digit, n_orders, share_x1e6,
+    benford_x1e6)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("digit", "n_orders", "share_x1e6",
+                           "benford_x1e6")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    # floor(log10(1+1/d)*1e6) constants, identical literals both sides
+    benford = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+               6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"]).to_numpy(
+            zero_copy_only=False)
+        cents = cents[cents > 0]
+        # leading decimal digit via string head (exact, locale-free)
+        d = np.array([int(str(c)[0]) for c in cents.tolist()],
+                     dtype=np.int64)
+        g = pd.DataFrame({"digit": d}).groupby(
+            "digit", as_index=False).size().rename(columns={"size": "n"})
+        return _from_pandas(g.astype("int64"))
+
+    agg = (rd.read_parquet(_pq(sf_dir, "orders"),
+                           columns=["o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("digit").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    if agg.empty:
+        return empty
+    agg = agg.sort_values("digit")
+    total = int(agg["n"].sum())
+    agg["share_x1e6"] = agg["n"].astype("int64") * 1_000_000 // total
+    agg["benford_x1e6"] = agg["digit"].map(benford).astype("int64")
+    return agg.rename(columns={"n": "n_orders"}) \
+        .astype("int64").reset_index(drop=True)
+
+
+BENFORD_SQL = """
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0),
+g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+ref(digit, benford_x1e6) AS (VALUES
+  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+  (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+SELECT g.digit, CAST(g.n AS BIGINT) AS n_orders,
+       CAST(g.n * 1000000 // (SELECT SUM(n) FROM g) AS BIGINT)
+           AS share_x1e6,
+       CAST(ref.benford_x1e6 AS BIGINT) AS benford_x1e6
+FROM g JOIN ref ON ref.digit = g.digit
+ORDER BY g.digit
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "events_hourly_locf": (events_hourly_locf, LOCF_SQL),
+    "events_time_rollup": (events_time_rollup, TIME_ROLLUP_SQL),
+    "orders_benford_digits": (orders_benford_digits, BENFORD_SQL),
     "lineitem_ols2": (lineitem_ols2, OLS2_SQL),
     "events_hourly_ewma": (events_hourly_ewma, EWMA_SQL),
     "events_type_dow_chisq": (events_type_dow_chisq, CHISQ_SQL),

@@ -463,3 +463,22 @@ def test_ewma_recurrence_planted(tmp_path):
     out = S.events_hourly_ewma(d)
     assert list(out.c) == [4, 0, 8]
     assert list(out.ewma) == [4.0, 3.0, 0.25 * 8 + 0.75 * 3.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_locf_fill_and_sentinel(tmp_path):
+    """Gap hours inherit the last observed sum; the first hour is by
+    construction observed (span starts at min observed hour)."""
+    d = str(tmp_path)
+    h = pd.Timestamp("2024-05-01")
+    hr = pd.Timedelta(hours=1)
+    rows = [(h, 1.0), (h, 2.5), (h + 3 * hr, 10.0)]
+    pd.DataFrame({"event_id": np.arange(3, dtype=np.int64),
+                  "user_id": np.zeros(3, dtype=np.int64),
+                  "ts": [r[0] for r in rows],
+                  "event_type": ["x"] * 3,
+                  "value": [r[1] for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_hourly_locf(d)
+    assert list(out.observed) == [1, 0, 0, 1]
+    assert list(out.value_x100) == [350, 350, 350, 1000]
