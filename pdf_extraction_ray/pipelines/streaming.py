@@ -70,6 +70,18 @@ class WindowActor:            # reservation so small sessions can host all
         self.open.clear()
         return self.closed
 
+    # -- checkpointing: plain-python state so a preempted bucket can be
+    #    re-hosted on a fresh actor and resume at a file boundary
+    def snapshot(self) -> dict:
+        return {"open": [[list(k), v] for k, v in self.open.items()],
+                "closed": list(self.closed),
+                "max_ts_ms": self.max_ts_ms}
+
+    def restore(self, state: dict) -> None:
+        self.open = {tuple(k): list(v) for k, v in state["open"]}
+        self.closed = [tuple(r) for r in state["closed"]]
+        self.max_ts_ms = state["max_ts_ms"]
+
 
 @ray.remote(num_cpus=1)
 def _feed_bucket(part_dir: str, actor) -> int:
@@ -102,6 +114,54 @@ def _feed_bucket(part_dir: str, actor) -> int:
         pending.append(actor.add.remote(users, ts_ms, vals))
     ray.get(pending)                     # ordered per actor (actor mailbox)
     return t.num_rows
+
+
+@ray.remote(num_cpus=1)
+def _feed_bucket_checkpointed(part_dir: str, actor,
+                              ckpt_path: str) -> int:
+    """Checkpointing feeder for ONE bucket: files feed in sorted-name
+    order (the staged log's time-ordered sequence); after EVERY file
+    the actor's snapshot persists atomically next to a cursor, so a
+    preempted bucket resumes on a fresh actor from the last complete
+    file — no event is fed twice and none is skipped. The snapshot is
+    per-bucket state (open windows x users-in-bucket), never the
+    stream."""
+    import glob as _glob
+    import json
+    import os as _os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..functions.arrow_utils import round_half_away
+
+    files = sorted(_glob.glob(f"{part_dir}/*.parquet"))
+    start = 0
+    if _os.path.exists(ckpt_path):
+        with open(ckpt_path) as f:
+            state = json.load(f)
+        start = state["next_file"]
+        ray.get(actor.restore.remote(state["actor"]))
+    fed = 0
+    for i in range(start, len(files)):
+        t = pq.read_table(files[i], columns=["user_id", "ts", "value"])
+        t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+        pending = []
+        for batch in t.to_batches(max_chunksize=4096):
+            users = batch["user_id"].to_numpy(zero_copy_only=False)
+            ts_ms = batch["ts"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[us]").astype(np.int64) // 1000
+            vals = round_half_away(
+                batch["value"].to_numpy(zero_copy_only=False) * 1e6)
+            pending.append(actor.add.remote(users, ts_ms, vals))
+        ray.get(pending)
+        fed += t.num_rows
+        snap = ray.get(actor.snapshot.remote())
+        tmp = ckpt_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"next_file": i + 1, "actor": snap}, f)
+        _os.replace(tmp, ckpt_path)          # atomic commit
+    return fed
 
 
 def events_stream_windows(sf_dir: str):

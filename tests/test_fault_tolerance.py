@@ -114,3 +114,72 @@ def test_exchange_query_survives_worker_death(tmp_path):
                        FROM '{SF}/events.parquet'
                        GROUP BY user_id ORDER BY user_id""").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# streaming-actor checkpoint/resume
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_stream_window_actor_checkpoint_resume(tmp_path):
+    """A bucket preempted after 2 of 4 staged files resumes on a FRESH
+    actor from the persisted snapshot (no event fed twice, none
+    skipped): the resumed flush equals the uninterrupted run and the
+    batch reference exactly."""
+    import glob
+    import json
+
+    import ray
+    from pdf_extraction_ray.pipelines.streaming import (
+        WindowActor, _feed_bucket_checkpointed)
+
+    bucket = str(tmp_path / "bucket=0")
+    os.makedirs(bucket, exist_ok=True)
+    t0 = pd.Timestamp("2024-03-01")
+    rng = np.random.default_rng(4)
+    all_rows = []
+    for f in range(4):                   # time-ordered file segments
+        n = 50
+        ts = t0 + pd.to_timedelta(f * 3600 + rng.integers(
+            0, 3600, size=n), unit="s")
+        df = pd.DataFrame({
+            "user_id": rng.integers(0, 6, size=n).astype(np.int64),
+            "ts": ts.astype("datetime64[us]"),
+            "value": rng.integers(0, 100, size=n) / 4.0})
+        df.to_parquet(os.path.join(bucket, f"seg-{f}.parquet"))
+        all_rows.append(df)
+
+    # uninterrupted reference
+    ck0 = str(tmp_path / "ck0.json")
+    a0 = WindowActor.remote()
+    ray.get(_feed_bucket_checkpointed.remote(bucket, a0, ck0))
+    want = sorted(ray.get(a0.flush.remote()))
+
+    # preempted run: feed only the first 2 files, then lose the actor
+    part = str(tmp_path / "partial" / "bucket=0")
+    os.makedirs(part, exist_ok=True)
+    for f in sorted(glob.glob(bucket + "/*.parquet"))[:2]:
+        os.link(f, os.path.join(part, os.path.basename(f)))
+    ck = str(tmp_path / "ck.json")
+    a1 = WindowActor.remote()
+    ray.get(_feed_bucket_checkpointed.remote(part, a1, ck))
+    ray.kill(a1)
+    with open(ck) as fh:
+        assert json.load(fh)["next_file"] == 2
+
+    # fresh actor resumes from the snapshot over the FULL file list
+    a2 = WindowActor.remote()
+    ray.get(_feed_bucket_checkpointed.remote(bucket, a2, ck))
+    got = sorted(ray.get(a2.flush.remote()))
+    assert got == want
+
+    # and equals the batch group-by reference
+    full = pd.concat(all_rows)
+    full["hour_ms"] = (full.ts.astype("datetime64[ms]").astype(np.int64)
+                       // 3_600_000) * 3_600_000
+    full["v"] = np.round(full.value.to_numpy() * 1e6).astype(np.int64)
+    ref = full.groupby(["user_id", "hour_ms"]).agg(
+        n=("v", "size"), s=("v", "sum")).reset_index()
+    ref_rows = sorted((int(r.user_id), int(r.hour_ms), int(r.n),
+                       int(r.s)) for r in ref.itertuples(index=False))
+    assert got == ref_rows
