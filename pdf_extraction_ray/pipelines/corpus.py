@@ -1477,7 +1477,68 @@ def corpus_textrank_keywords(sf_dir: str):
         .head(TEXTRANK_K).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Tokenized phrase search
+# ---------------------------------------------------------------------------
+
+PHRASE = "the data"          # two-token phrase under the shared tokenizer
+PHRASE_TOPK = 20
+
+
+def corpus_phrase_search(sf_dir: str):
+    """Exact tokenized phrase search: documents whose token stream
+    contains the adjacent pair {PHRASE!r}, ranked by occurrence count
+    (doc_id tie-break) — the retrieval primitive an inverted index
+    accelerates, here as the zero-exchange scan form: a document's
+    tokens live inside its own batch row, so phrase counting is one
+    batch-local Arrow bigram equality; only (doc_id, n) survivors move.
+    Output: (doc_id, n_hits)."""
+    w1, w2 = PHRASE.split(" ")
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.int64())],
+        names=["doc_id", "n_hits"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d, flat = _doc_terms(batch)
+        if len(flat) < 2:
+            return empty
+        left = flat.slice(0, len(flat) - 1)
+        right = flat.slice(1, len(flat) - 1)
+        hit = pc.and_(pc.and_(pc.equal(left, w1), pc.equal(right, w2)),
+                      pa.array(d[:-1] == d[1:])) \
+            .to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return empty
+        df = pd.DataFrame({"doc_id": d[:-1][hit]}) \
+            .groupby("doc_id", as_index=False).size() \
+            .rename(columns={"size": "n_hits"}).astype("int64")
+        return _from_pandas(df)
+
+    return (_docs(sf_dir)
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .sort(["n_hits", "doc_id"], descending=[True, False])
+            .limit(PHRASE_TOPK))
+
+
+PHRASE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+  FROM documents),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hits
+  FROM toks, UNNEST(generate_series(1, len(l) - 1)) AS i(g)
+  WHERE l[i.g] = '{PHRASE.split(" ")[0]}'
+    AND l[i.g + 1] = '{PHRASE.split(" ")[1]}'
+  GROUP BY doc_id)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+FROM hits
+ORDER BY n_hits DESC, doc_id
+LIMIT {PHRASE_TOPK}
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "corpus_phrase_search": (corpus_phrase_search, PHRASE_SQL),
     "corpus_textrank_keywords": (corpus_textrank_keywords, None),
     "corpus_bigram_pmi": (corpus_bigram_pmi, BIGRAM_PMI_SQL),
     "corpus_bpe_merges": (corpus_bpe_merges, None),

@@ -2323,7 +2323,104 @@ ORDER BY g.digit
 """
 
 
+# ---------------------------------------------------------------------------
+# Winsorization rewrite (clamp to exact [p05, p95])
+# ---------------------------------------------------------------------------
+
+WINSOR_LO_Q, WINSOR_HI_Q = 0.05, 0.95
+
+
+def events_value_winsorized(sf_dir: str):
+    """Winsorize event values to the exact global [p05, p95]
+    quantile_disc bounds — the outlier-clamping rewrite run before
+    moment-sensitive models. Bounds derive from the SAME compacted
+    value histogram as the decile binning (ceil(q*n)-1 rule, all
+    integer); the clamp is one vectorized pass. Outputs the per-type
+    audit the rewrite ships with: rows clamped each side and exact
+    cents sums before/after. Output: (event_type, n_events, n_lo,
+    n_hi, sum_x100, winsorized_sum_x100)."""
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          **{c: pd.Series(dtype="int64") for c in
+                             ("n_events", "n_lo", "n_hi", "sum_x100",
+                              "winsorized_sum_x100")}})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "v_x100": _cents(batch["value"]).to_numpy(
+                zero_copy_only=False),
+            "cnt": np.ones(len(batch), dtype=np.int64)})
+        return _from_pandas(df.groupby("v_x100", as_index=False).sum())
+
+    def hist_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("v_x100", as_index=False)["cnt"].sum()
+
+    hist = _coarse_partition_map(
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       batch_size=None),
+        "v_x100", hist_sum).to_pandas().sort_values("v_x100")
+    if hist.empty:
+        return empty
+    vals = hist["v_x100"].to_numpy(np.int64)
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+
+    def q_disc(q: float) -> int:
+        idx = int(np.ceil(q * n)) - 1
+        return int(vals[np.searchsorted(cum, idx, side="right")])
+
+    lo, hi = q_disc(WINSOR_LO_Q), q_disc(WINSOR_HI_Q)
+
+    def clamp_partial(batch: pa.Table) -> pa.Table:
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        w = np.clip(v, lo, hi)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"]
+            .to_numpy(zero_copy_only=False),
+            "n_events": np.ones(len(v), dtype=np.int64),
+            "n_lo": (v < lo).astype(np.int64),
+            "n_hi": (v > hi).astype(np.int64),
+            "sum_x100": v, "winsorized_sum_x100": w})
+        return _from_pandas(df.groupby("event_type", as_index=False)
+                            .sum())
+
+    cols = ("n_events", "n_lo", "n_hi", "sum_x100",
+            "winsorized_sum_x100")
+    return (ds.map_batches(clamp_partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("event_type")
+            .aggregate(*[Sum(c, alias_name=c) for c in cols])
+            .sort("event_type"))
+
+
+WINSOR_SQL = f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS v
+  FROM events),
+b AS (
+  SELECT quantile_disc(v, {WINSOR_LO_Q}) AS lo,
+         quantile_disc(v, {WINSOR_HI_Q}) AS hi
+  FROM v)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN v.v < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lo,
+       CAST(SUM(CASE WHEN v.v > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hi,
+       CAST(SUM(v.v) AS BIGINT) AS sum_x100,
+       CAST(SUM(LEAST(GREATEST(v.v, b.lo), b.hi)) AS BIGINT)
+           AS winsorized_sum_x100
+FROM v CROSS JOIN b
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "events_value_winsorized": (events_value_winsorized, WINSOR_SQL),
     "events_hourly_locf": (events_hourly_locf, LOCF_SQL),
     "events_time_rollup": (events_time_rollup, TIME_ROLLUP_SQL),
     "orders_benford_digits": (orders_benford_digits, BENFORD_SQL),
