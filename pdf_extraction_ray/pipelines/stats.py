@@ -2419,7 +2419,166 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution drift: total-variation distance between time halves
+# ---------------------------------------------------------------------------
+
+def events_type_drift_tvd(sf_dir: str):
+    """Drift monitor: total-variation distance between the event-type
+    distributions of the EARLY and LATE halves of the time range
+    (split at the midpoint of [min ts, max ts]) — TVD instead of
+    PSI/KL because it is an exact rational: with half counts (n_i, N)
+    and (m_i, M), TVD = sum |n_i*M - m_i*N| / (2*N*M), all integers
+    until one final floor division (x1e9). Two streaming passes (the
+    min/max probe is a tiny aggregate; the counts are one grouped
+    exchange). Output: (n_early, n_late, n_types, tvd_x1e9)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("n_early", "n_late", "n_types", "tvd_x1e9")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["ts", "event_type"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.Table.from_pydict({"lo": [int(ts.min())],
+                                     "hi": [int(ts.max())]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    mid = lo + (hi - lo) // 2               # integer us midpoint
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"]
+            .to_numpy(zero_copy_only=False),
+            "early": (ts <= mid).astype(np.int64),
+            "late": (ts > mid).astype(np.int64)})
+        return _from_pandas(df.groupby("event_type", as_index=False)
+                            .sum())
+
+    g = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby("event_type")
+         .aggregate(Sum("early", alias_name="early"),
+                    Sum("late", alias_name="late"))
+         .to_pandas())
+    if g.empty:
+        return empty
+    n = int(g["early"].sum())
+    m = int(g["late"].sum())
+    if n == 0 or m == 0:
+        return empty
+    num = sum(abs(int(e) * m - int(l) * n)
+              for e, l in zip(g["early"], g["late"]))
+    tvd = num * 1_000_000_000 // (2 * n * m)
+    return pd.DataFrame({"n_early": [n], "n_late": [m],
+                         "n_types": [len(g)], "tvd_x1e9": [tvd]})
+
+
+DRIFT_TVD_SQL = """
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events),
+s AS (
+  SELECT event_type,
+         SUM(CASE WHEN epoch_us(ts) <=
+                 (SELECT lo + (hi - lo) // 2 FROM b)
+             THEN 1 ELSE 0 END) AS early,
+         SUM(CASE WHEN epoch_us(ts) >
+                 (SELECT lo + (hi - lo) // 2 FROM b)
+             THEN 1 ELSE 0 END) AS late
+  FROM events GROUP BY event_type),
+tot AS (SELECT SUM(early) AS n, SUM(late) AS m FROM s)
+SELECT CAST(n AS BIGINT) AS n_early, CAST(m AS BIGINT) AS n_late,
+       (SELECT COUNT(*) FROM s) AS n_types,
+       CAST((SELECT SUM(ABS(CAST(early * m - late * n AS HUGEINT)))
+             FROM s, tot) * 1000000000
+            // (2 * CAST(n AS HUGEINT) * m) AS BIGINT) AS tvd_x1e9
+FROM tot
+WHERE n > 0 AND m > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point over the hourly count series
+# ---------------------------------------------------------------------------
+
+def events_hourly_changepoint(sf_dir: str):
+    """Single change-point detection on the densified hourly count
+    series via the integer CUSUM statistic D_k = n*S_k - k*S_n
+    (maximum absolute deviation of the cumulative sum from the global
+    trend line): the split hour with max |D_k|, ties to the earliest
+    hour — all integers, no float anywhere. Same grouped epoch-hour
+    exchange as the ACF/EWMA; the scan runs over the span-bounded
+    dense series. Output: (split_hr, d_abs_max, n_hours, total)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("split_hr", "d_abs_max", "n_hours", "total")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"hr": hr}).groupby("hr", as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    dense[hr - h0] = hist["c"].to_numpy(np.int64)
+    n = len(dense)
+    s = dense.cumsum()
+    total = int(s[-1])
+    k = np.arange(1, n + 1, dtype=np.int64)
+    d = n * s - k * total
+    i = int(np.lexsort((k, -np.abs(d)))[0])   # max |d|, earliest hour
+    return pd.DataFrame({"split_hr": [h0 + i],
+                         "d_abs_max": [int(abs(d[i]))],
+                         "n_hours": [n], "total": [total]})
+
+
+CHANGEPOINT_SQL = """
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, COALESCE(h.c, 0) AS c
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr),
+cum AS (
+  SELECT hr,
+         SUM(c) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS s,
+         ROW_NUMBER() OVER (ORDER BY hr) AS k,
+         COUNT(*) OVER () AS n, SUM(c) OVER () AS total
+  FROM dense),
+d AS (
+  SELECT hr, ABS(CAST(n * s - k * total AS HUGEINT)) AS dabs,
+         n, total
+  FROM cum)
+SELECT CAST(hr AS BIGINT) AS split_hr, CAST(dabs AS BIGINT) AS d_abs_max,
+       CAST(n AS BIGINT) AS n_hours, CAST(total AS BIGINT) AS total
+FROM d
+ORDER BY dabs DESC, hr
+LIMIT 1
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "events_type_drift_tvd": (events_type_drift_tvd, DRIFT_TVD_SQL),
+    "events_hourly_changepoint": (events_hourly_changepoint,
+                                  CHANGEPOINT_SQL),
     "events_value_winsorized": (events_value_winsorized, WINSOR_SQL),
     "events_hourly_locf": (events_hourly_locf, LOCF_SQL),
     "events_time_rollup": (events_time_rollup, TIME_ROLLUP_SQL),

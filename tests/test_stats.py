@@ -482,3 +482,51 @@ def test_locf_fill_and_sentinel(tmp_path):
     out = S.events_hourly_locf(d)
     assert list(out.observed) == [1, 0, 0, 1]
     assert list(out.value_x100) == [350, 350, 350, 1000]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_changepoint_planted_step(tmp_path):
+    """Step series (24h at 2/hr then 24h at 10/hr): |CUSUM| peaks at the
+    last hour of the first regime."""
+    d = str(tmp_path)
+    t0 = pd.Timestamp("2024-05-01")
+    rows = []
+    for i in range(48):
+        rows += [t0 + pd.Timedelta(hours=i)] * (2 if i < 24 else 10)
+    pd.DataFrame({"event_id": np.arange(len(rows), dtype=np.int64),
+                  "user_id": np.zeros(len(rows), dtype=np.int64),
+                  "ts": rows, "event_type": ["x"] * len(rows),
+                  "value": np.zeros(len(rows))}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_hourly_changepoint(d)
+    h0 = t0.to_datetime64().astype("datetime64[h]").astype(np.int64)
+    assert out.split_hr.iloc[0] == h0 + 23
+    assert out.n_hours.iloc[0] == 48 and out.total.iloc[0] == 288
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_drift_tvd_extremes(tmp_path):
+    """Identical halves give TVD 0; disjoint type sets give exactly
+    1e9."""
+    d = str(tmp_path / "same")
+    os.makedirs(d, exist_ok=True)
+    t0 = pd.Timestamp("2024-05-01")
+    ts = [t0, t0, t0 + pd.Timedelta(hours=10),
+          t0 + pd.Timedelta(hours=10)]
+    pd.DataFrame({"event_id": np.arange(4, dtype=np.int64),
+                  "user_id": np.zeros(4, dtype=np.int64),
+                  "ts": ts, "event_type": ["a", "b", "a", "b"],
+                  "value": np.zeros(4)}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_type_drift_tvd(d)
+    assert out.tvd_x1e9.iloc[0] == 0
+
+    d2 = str(tmp_path / "disjoint")
+    os.makedirs(d2, exist_ok=True)
+    pd.DataFrame({"event_id": np.arange(4, dtype=np.int64),
+                  "user_id": np.zeros(4, dtype=np.int64),
+                  "ts": ts, "event_type": ["a", "a", "b", "b"],
+                  "value": np.zeros(4)}) \
+        .to_parquet(os.path.join(d2, "events.parquet"))
+    out2 = S.events_type_drift_tvd(d2)
+    assert out2.tvd_x1e9.iloc[0] == 1_000_000_000
