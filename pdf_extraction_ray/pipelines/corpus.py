@@ -1514,10 +1514,14 @@ def corpus_phrase_search(sf_dir: str):
             .rename(columns={"size": "n_hits"}).astype("int64")
         return _from_pandas(df)
 
-    return (_docs(sf_dir)
-            .map_batches(partial, batch_format="pyarrow", batch_size=None)
-            .sort(["n_hits", "doc_id"], descending=[True, False])
-            .limit(PHRASE_TOPK))
+    out = (_docs(sf_dir)
+           .map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .sort(["n_hits", "doc_id"], descending=[True, False])
+           .limit(PHRASE_TOPK)).to_pandas()
+    if out.empty:           # schema survives an all-empty result
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_hits": pd.Series(dtype="int64")})
+    return out
 
 
 PHRASE_SQL = rf"""

@@ -1184,7 +1184,8 @@ SELECT relationship, n_child, n_orphans FROM (
 # As-of join (events enriched with the latest order at-or-before ts)
 # ---------------------------------------------------------------------------
 
-def events_asof_orders(sf_dir: str, direction: str = "backward"):
+def events_asof_orders(sf_dir: str, direction: str = "backward",
+                       tolerance_days: int | None = None):
     """As-of join: each event joined to the most recent order of customer
     ``user_id`` placed at or before the event timestamp (or, with
     ``direction="forward"``, the EARLIEST order at-or-after it — the
@@ -1271,8 +1272,10 @@ def events_asof_orders(sf_dir: str, direction: str = "backward"):
         keep = "last" if direction == "backward" else "first"
         od = od_all.drop_duplicates(["user_id", "t"], keep=keep) \
             .sort_values("t", kind="stable")
+        tol = pd.Timedelta(days=tolerance_days) \
+            if tolerance_days is not None else None
         merged = pd.merge_asof(ev, od, on="t", by="user_id",
-                               direction=direction)
+                               direction=direction, tolerance=tol)
         return pd.DataFrame({
             "event_id": merged["event_id"].astype("int64"),
             "user_id": merged["user_id"].astype("int64"),
@@ -1297,6 +1300,32 @@ def events_asof_next_order(sf_dir: str):
     co-partitioned union exchange, ``merge_asof(direction="forward")``
     per partition."""
     return events_asof_orders(sf_dir, direction="forward")
+
+
+ASOF_TOLERANCE_DAYS = 7
+
+
+def events_asof_orders_tolerance(sf_dir: str):
+    """Tolerance-bounded backward as-of: the latest order at-or-before
+    each event AND within {ASOF_TOLERANCE_DAYS} days — the bounded
+    attribution window that keeps stale matches out (-1 past the
+    horizon). Same co-partitioned exchange; ``merge_asof(tolerance=)``
+    per partition."""
+    return events_asof_orders(sf_dir, direction="backward",
+                              tolerance_days=ASOF_TOLERANCE_DAYS)
+
+
+EVENTS_ASOF_TOL_SQL = f"""
+SELECT e.event_id, e.user_id,
+       COALESCE((SELECT o.o_orderkey FROM orders o
+                 WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                   AND o.o_orderdate >= e.ts
+                       - INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1),
+                -1) AS o_orderkey
+FROM events e
+ORDER BY event_id
+"""
 
 
 def events_asof_nearest_order(sf_dir: str):
@@ -4606,6 +4635,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_asof_orders": (events_asof_orders, EVENTS_ASOF_SQL),
     "events_asof_nearest_order": (events_asof_nearest_order,
                                   EVENTS_ASOF_NEAREST_SQL),
+    "events_asof_orders_tolerance": (events_asof_orders_tolerance,
+                                     EVENTS_ASOF_TOL_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
     "top_order_per_customer": (top_order_per_customer, TOP_ORDER_SQL),

@@ -85,7 +85,7 @@ EVENT_QUERIES = [
     "events_asof_next_order", "events_asof_nearest_order",
     "events_stream_topk", "events_type_dow_chisq",
     "events_hourly_acf", "events_key_skew_profile",
-    "events_user_diversity",
+    "events_user_diversity", "events_asof_orders_tolerance",
     "orders_events_range_join", "top_order_per_customer",
     "orders_moving_window", "orders_monthly", "orders_rollup",
     "orders_cube", "events_funnel", "events_latest_state",
