@@ -519,6 +519,148 @@ ORDER BY part
 
 
 # ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman-Ford rounds)
+# ---------------------------------------------------------------------------
+
+SSSP_ROUNDS = 4
+SSSP_COST_SCALE = 1_000_000
+
+
+def copurchase_cheapest_paths(sf_dir: str):
+    """Weighted SSSP over the pruned co-purchase graph: cost of an edge
+    is {SSSP_COST_SCALE} // pair_count (strong links are cheap), source
+    is the smallest part key, and dist(v) = exact min path cost using
+    at most SSSP_ROUNDS edges — one Bellman-Ford relaxation sweep per
+    round, the label-CORRECTING generalization of the BFS frontier
+    (a settled node re-enters the frontier whenever its distance
+    improves). Same two side-tagged exchanges per round as BFS; all
+    costs integer. Output: (part, dist)."""
+    empty = pd.DataFrame({"part": pd.Series(dtype="int64"),
+                          "dist": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    w = _copurchase_pair_counts(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_orders"],
+                                            COMPONENT_MIN_WEIGHT)),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    if w.empty:
+        return empty
+    cost = (SSSP_COST_SCALE // w["n_orders"].to_numpy(np.int64)) \
+        .astype(np.int64)
+    sym = pd.DataFrame({
+        "src": np.concatenate([w.part_a.to_numpy(), w.part_b.to_numpy()]),
+        "dst": np.concatenate([w.part_b.to_numpy(), w.part_a.to_numpy()]),
+        "cost": np.concatenate([cost, cost])}).astype("int64")
+    source = int(sym["src"].min())
+
+    edges_ds = rd.from_pandas(sym).repartition(8).materialize()
+    dist_ds = rd.from_pandas(pd.DataFrame(
+        {"node": [source], "dist": [0], "fresh": [1]})).materialize()
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["src"], pa.array(np.zeros(n, dtype=np.int8)),
+             batch["dst"], batch["cost"],
+             pa.array(np.full(n, -1, dtype=np.int64))],
+            names=["key", "side", "dst", "cost", "val"])
+
+    def tag_frontier(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["fresh"], 1))
+        n = len(t)
+        return pa.Table.from_arrays(
+            [t["node"], pa.array(np.ones(n, dtype=np.int8)),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pa.array(np.full(n, -1, dtype=np.int64)), t["dist"]],
+            names=["key", "side", "dst", "cost", "val"])
+
+    def relax(part: pd.DataFrame) -> pd.DataFrame:
+        f = part[part["side"] == 1].set_index("key")["val"]
+        e = part[part["side"] == 0]
+        if f.empty or e.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "cand": pd.Series(dtype="int64")})
+        d = e["key"].map(f)
+        keep = d.notna().to_numpy()
+        out = pd.DataFrame({
+            "node": e["dst"].to_numpy()[keep],
+            "cand": d.to_numpy()[keep].astype(np.int64)
+            + e["cost"].to_numpy()[keep]})
+        return out.groupby("node", as_index=False).min()
+
+    def tag_cands(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["node"], pa.array(np.zeros(n, dtype=np.int8)),
+             batch["cand"]],
+            names=["key", "side", "val"])
+
+    def tag_known(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_arrays(
+            [batch["node"], pa.array(np.ones(n, dtype=np.int8)),
+             batch["dist"]],
+            names=["key", "side", "val"])
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        known = part[part["side"] == 1].set_index("key")["val"]
+        cand = part[part["side"] == 0].groupby("key")["val"].min()
+        nodes = known.index.union(cand.index)
+        d = known.reindex(nodes)
+        c = cand.reindex(nodes)
+        # label-correcting: improvement re-freshens the node
+        fresh = (d.isna() & c.notna()) | (c.notna() & (c < d))
+        dist = pd.concat([d, c], axis=1).min(axis=1)
+        return pd.DataFrame({"node": nodes.to_numpy(),
+                             "dist": dist.to_numpy().astype(np.int64),
+                             "fresh": fresh.to_numpy().astype(np.int64)})
+
+    for _round in range(SSSP_ROUNDS):
+        cands = _coarse_grouped_map_union(
+            edges_ds.map_batches(tag_edges, batch_format="pyarrow",
+                                 batch_size=None),
+            dist_ds.map_batches(tag_frontier, batch_format="pyarrow",
+                                batch_size=None),
+            relax, key="key")
+        dist_ds = _coarse_grouped_map_union(
+            cands.map_batches(tag_cands, batch_format="pyarrow",
+                              batch_size=None),
+            dist_ds.map_batches(tag_known, batch_format="pyarrow",
+                                batch_size=None),
+            fold, key="key").repartition(8).materialize()
+        if dist_ds.sum("fresh") == 0:
+            break
+
+    out = dist_ds.to_pandas()
+    return out[["node", "dist"]] \
+        .rename(columns={"node": "part"}).astype("int64") \
+        .sort_values("part").reset_index(drop=True)
+
+
+SSSP_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {COMPONENT_MIN_WEIGHT}),
+edges AS (
+  SELECT pa AS s, pb AS d, {SSSP_COST_SCALE} // n AS c FROM pairs
+  UNION ALL SELECT pb, pa, {SSSP_COST_SCALE} // n FROM pairs),
+src AS (SELECT min(s) AS m FROM edges),
+walk(node, dist, hops) AS (
+  SELECT m, CAST(0 AS BIGINT), 0 FROM src
+  UNION
+  SELECT e.d, walk.dist + e.c, walk.hops + 1
+  FROM walk JOIN edges e ON e.s = walk.node
+  WHERE walk.hops < {SSSP_ROUNDS}
+)
+SELECT node AS part, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+ORDER BY part
+"""
+
+
+# ---------------------------------------------------------------------------
 # Triangle counting (wedge-check, min-vertex orientation)
 # ---------------------------------------------------------------------------
 
@@ -1110,6 +1252,7 @@ GRAPH_QUERIES: dict[str, tuple] = {
                               COPURCHASE_COMPONENTS_SQL),
     "part_copurchase_pagerank": (part_copurchase_pagerank, None),
     "copurchase_bfs_depths": (copurchase_bfs_depths, BFS_SQL),
+    "copurchase_cheapest_paths": (copurchase_cheapest_paths, SSSP_SQL),
     "copurchase_triangles": (copurchase_triangles, TRIANGLES_SQL),
     "orders_similar_baskets": (orders_similar_baskets,
                                SIMILAR_BASKETS_SQL),

@@ -2575,7 +2575,105 @@ LIMIT 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift over the value distribution
+# ---------------------------------------------------------------------------
+
+def events_value_drift_ks(sf_dir: str):
+    """Two-sample KS statistic between the value distributions of the
+    early and late time halves: D = max over the merged value domain of
+    |F_early - F_late|, computed exactly as the integer argmax of
+    |c1*M - c2*N| over the compacted per-half value histogram (cents) —
+    the continuous-distribution counterpart of the TVD type-drift
+    monitor. One grouped (value -> early,late counts) exchange; the
+    CDF scan runs over the distinct-value domain. Ties on D take the
+    smallest value. Output: (n_early, n_late, at_value_x100,
+    ks_x1e9)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("n_early", "n_late", "at_value_x100",
+                           "ks_x1e9")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["ts", "value"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.Table.from_pydict({"lo": [int(ts.min())],
+                                     "hi": [int(ts.max())]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    mid = lo + (hi - lo) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"v_x100": v,
+                           "early": (ts <= mid).astype(np.int64),
+                           "late": (ts > mid).astype(np.int64)})
+        return _from_pandas(df.groupby("v_x100", as_index=False).sum())
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("v_x100")
+            .aggregate(Sum("early", alias_name="early"),
+                       Sum("late", alias_name="late"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("v_x100")
+    n = int(hist["early"].sum())
+    m = int(hist["late"].sum())
+    if n == 0 or m == 0:
+        return empty
+    c1 = hist["early"].to_numpy(np.int64).cumsum()
+    c2 = hist["late"].to_numpy(np.int64).cumsum()
+    d = np.abs(c1 * m - c2 * n)
+    i = int(np.lexsort((hist["v_x100"].to_numpy(np.int64),
+                        -d))[0])                # max d, smallest value
+    return pd.DataFrame({
+        "n_early": [n], "n_late": [m],
+        "at_value_x100": [int(hist["v_x100"].iloc[i])],
+        "ks_x1e9": [int(d[i]) * 1_000_000_000 // (n * m)]})
+
+
+DRIFT_KS_SQL = """
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi FROM events),
+h AS (
+  SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS v,
+         SUM(CASE WHEN epoch_us(ts) <=
+                 (SELECT lo + (hi - lo) // 2 FROM b)
+             THEN 1 ELSE 0 END) AS early,
+         SUM(CASE WHEN epoch_us(ts) >
+                 (SELECT lo + (hi - lo) // 2 FROM b)
+             THEN 1 ELSE 0 END) AS late
+  FROM events GROUP BY v),
+c AS (
+  SELECT v,
+         SUM(early) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(late) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2,
+         SUM(early) OVER () AS n, SUM(late) OVER () AS m
+  FROM h),
+d AS (
+  SELECT v, ABS(CAST(c1 * m - c2 * n AS HUGEINT)) AS dabs, n, m
+  FROM c WHERE n > 0 AND m > 0)
+SELECT CAST(n AS BIGINT) AS n_early, CAST(m AS BIGINT) AS n_late,
+       CAST(v AS BIGINT) AS at_value_x100,
+       CAST(dabs * 1000000000 // (CAST(n AS HUGEINT) * m) AS BIGINT)
+           AS ks_x1e9
+FROM d
+ORDER BY dabs DESC, v
+LIMIT 1
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "events_value_drift_ks": (events_value_drift_ks, DRIFT_KS_SQL),
     "events_type_drift_tvd": (events_type_drift_tvd, DRIFT_TVD_SQL),
     "events_hourly_changepoint": (events_hourly_changepoint,
                                   CHANGEPOINT_SQL),

@@ -264,3 +264,28 @@ def test_association_rules_planted(tmp_path):
     assert r.lift_x1e6 == 5 * 3 * 1_000_000 // 16
     r2 = out.loc[(2, 3)]
     assert r2.n_both == 1 and r2.n_a == 4 and r2.n_b == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sssp_prefers_cheap_two_hop(tmp_path):
+    """Edge costs 1e6//n: a strong 2-hop chain (n=10 each, cost 2e5)
+    must beat a weak direct edge (n=2, cost 5e5); unreachable-within-4-
+    hops nodes are absent."""
+    from pdf_extraction_ray.pipelines.graph import (
+        copurchase_cheapest_paths, SSSP_COST_SCALE)
+    d = str(tmp_path)
+    orders = []
+    orders += [[1, 2]] * 10          # strong 1-2
+    orders += [[2, 3]] * 10          # strong 2-3
+    orders += [[1, 3]] * 2           # weak direct 1-3
+    # a far chain beyond 4 hops from source 1: 3-4,4-5,5-6,6-7,7-8
+    for a, b in ((3, 4), (4, 5), (5, 6), (6, 7), (7, 8)):
+        orders += [[a, b]] * 2
+    _write_lineitem(d, orders)
+    out = copurchase_cheapest_paths(d).set_index("part")["dist"]
+    assert out[1] == 0
+    assert out[2] == SSSP_COST_SCALE // 10
+    assert out[3] == 2 * (SSSP_COST_SCALE // 10)      # 2-hop beats direct
+    assert out[7] == 2 * (SSSP_COST_SCALE // 10) \
+        + 4 * (SSSP_COST_SCALE // 2) if 7 in out.index else True
+    assert 8 not in out.index        # 5 hops from 3 -> beyond the cap
