@@ -2672,7 +2672,96 @@ LIMIT 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Linear-interpolation imputation over the hourly value series
+# ---------------------------------------------------------------------------
+
+def events_hourly_interp(sf_dir: str):
+    """Linear interpolation for gap hours between observed hourly cents
+    sums — the smooth imputation next to the LOCF step function:
+    v = v_prev + (v_next - v_prev) * (hr - hr_prev) // gap, an
+    all-integer form whose division TRUNCATES toward zero on both
+    engines (DuckDB's `//` semantics, mirrored explicitly — the delta
+    can be negative). Leading/trailing gaps cannot exist (the span is
+    [min, max] observed). Same grouped epoch-hour exchange; the fill is
+    a span-bounded driver fold. Output: (hr, observed, value_x100)."""
+    empty = pd.DataFrame({"hr": pd.Series(dtype="int64"),
+                          "observed": pd.Series(dtype="int64"),
+                          "value_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"hr": hr, "v": v}) \
+            .groupby("hr", as_index=False)["v"].sum()
+        return _from_pandas(g.astype("int64"))
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"),
+                            columns=["ts", "value"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("v", alias_name="v"))
+            .to_pandas().sort_values("hr"))
+    if hist.empty:
+        return empty
+    hrs = hist["hr"].to_numpy(np.int64)
+    vs = hist["v"].to_numpy(np.int64)
+    h0, h1 = int(hrs.min()), int(hrs.max())
+    span = np.arange(h0, h1 + 1, dtype=np.int64)
+    observed = np.zeros(len(span), dtype=np.int64)
+    observed[hrs - h0] = 1
+    # prev/next observed index per position
+    idx = np.searchsorted(hrs, span, side="right") - 1   # prev obs
+    nxt = np.searchsorted(hrs, span, side="left")        # next obs
+    nxt = np.minimum(nxt, len(hrs) - 1)
+    hp, vp = hrs[idx], vs[idx]
+    hn, vn = hrs[nxt], vs[nxt]
+    gap = np.maximum(hn - hp, 1)
+    num = (vn - vp) * (span - hp)
+    q = np.sign(num) * (np.abs(num) // gap)              # trunc division
+    vals = np.where(observed == 1, vs[np.minimum(idx, len(vs) - 1)],
+                    vp + q)
+    return pd.DataFrame({"hr": span, "observed": observed,
+                         "value_x100": vals.astype(np.int64)})
+
+
+INTERP_SQL = """
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, h.v, CASE WHEN h.hr IS NULL THEN 0 ELSE 1 END AS observed
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr),
+ctx AS (
+  SELECT hr, v, observed,
+         LAST_VALUE(v IGNORE NULLS)
+           OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS vp,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS hp,
+         FIRST_VALUE(v IGNORE NULLS)
+           OVER (ORDER BY hr ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS vn,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER (ORDER BY hr ROWS BETWEEN CURRENT ROW
+                 AND UNBOUNDED FOLLOWING) AS hn
+  FROM dense)
+SELECT hr, CAST(observed AS BIGINT) AS observed,
+       CAST(CASE WHEN observed = 1 THEN v
+                 ELSE vp + (vn - vp) * (hr - hp)
+                      // GREATEST(hn - hp, 1)
+            END AS BIGINT) AS value_x100
+FROM ctx
+ORDER BY hr
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "events_hourly_interp": (events_hourly_interp, INTERP_SQL),
     "events_value_drift_ks": (events_value_drift_ks, DRIFT_KS_SQL),
     "events_type_drift_tvd": (events_type_drift_tvd, DRIFT_TVD_SQL),
     "events_hourly_changepoint": (events_hourly_changepoint,

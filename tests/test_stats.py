@@ -530,3 +530,24 @@ def test_drift_tvd_extremes(tmp_path):
         .to_parquet(os.path.join(d2, "events.parquet"))
     out2 = S.events_type_drift_tvd(d2)
     assert out2.tvd_x1e9.iloc[0] == 1_000_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interp_gap_values(tmp_path):
+    """Observed sums 100 @h0 and 400 @h3: gaps read 200, 300 (exact
+    thirds); a DOWNWARD slope exercises the trunc-division mirror."""
+    d = str(tmp_path)
+    h = pd.Timestamp("2024-05-01")
+    hr = pd.Timedelta(hours=1)
+    rows = [(h, 1.0), (h + 3 * hr, 4.0), (h + 5 * hr, 1.0)]
+    pd.DataFrame({"event_id": np.arange(3, dtype=np.int64),
+                  "user_id": np.zeros(3, dtype=np.int64),
+                  "ts": [r[0] for r in rows],
+                  "event_type": ["x"] * 3,
+                  "value": [r[1] for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_hourly_interp(d)
+    assert list(out.observed) == [1, 0, 0, 1, 0, 1]
+    # up: 100 -> 400 over 3 h: 200, 300; down: 400 -> 100 over 2 h:
+    # 400 + (-300 * 1) trunc// 2 = 400 - 150 = 250
+    assert list(out.value_x100) == [100, 200, 300, 400, 250, 100]
