@@ -353,6 +353,123 @@ def media_scene_changes(sf_dir: str):
             .sort(["media_ref", "frame_index"]))
 
 
+def media_text_pairs(sf_dir: str, docs: "Dataset | None" = None):
+    """Image-text pair mining: every image span pairs with the NEAREST
+    text span by span offset within its own document (ties to the
+    preceding text) — the (image, caption-candidate) dataset
+    construction step of a contrastive multimodal pipeline. Entirely
+    doc-local: a document's spans live inside one batch row, so pairing
+    is a per-row searchsorted with zero exchange; only the (ref, text,
+    gap) pairs leave the stage. Output: (doc_id, media_ref, pair_text,
+    offset_gap)."""
+    import pandas as pd
+
+    src = docs if docs is not None else read_docs(_corpus_for(sf_dir))
+
+    def pair(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        out = {"doc_id": [], "media_ref": [], "pair_text": [],
+               "offset_gap": []}
+        for row in batch.to_pylist():
+            spans = row["spans"]
+            t_off = np.array([s["offset"] for s in spans
+                              if s["kind"] == "text"], dtype=np.int64)
+            t_txt = [s["text"] for s in spans if s["kind"] == "text"]
+            if len(t_off) == 0:
+                continue
+            order = np.argsort(t_off, kind="stable")
+            t_off = t_off[order]
+            t_txt = [t_txt[i] for i in order]
+            for s in spans:
+                if s["kind"] != "image":
+                    continue
+                i = int(np.searchsorted(t_off, s["offset"]))
+                cands = []
+                if i > 0:
+                    cands.append((abs(int(s["offset"] - t_off[i - 1])),
+                                  0, i - 1))
+                if i < len(t_off):
+                    cands.append((abs(int(t_off[i] - s["offset"])),
+                                  1, i))
+                gap, _, j = min(cands)
+                out["doc_id"].append(row["doc_id"])
+                out["media_ref"].append(s["media_ref"])
+                out["pair_text"].append(t_txt[j])
+                out["offset_gap"].append(gap)
+        return pa.Table.from_pydict(
+            out, schema=pa.schema([("doc_id", pa.string()),
+                                   ("media_ref", pa.string()),
+                                   ("pair_text", pa.string()),
+                                   ("offset_gap", pa.int64())]))
+
+    return src.map_batches(pair, batch_format="pyarrow", batch_size=None)
+
+
+AUDIO_SEG_WINDOW = 64          # frame length over the fake int8 waveform
+
+
+def media_audio_segments(sf_dir: str):
+    """Energy-threshold (VAD-style) segmentation over audio payloads:
+    the waveform splits into {AUDIO_SEG_WINDOW}-sample frames, a frame
+    is ACTIVE when its integer energy exceeds the clip's mean frame
+    energy, and contiguous active runs emit one segment row — the
+    speech-detection front end of an audio curation pipeline (a real
+    decoder replaces only the waveform read). All-integer energies;
+    per-clip work is payload-bounded. Output: (doc_id, media_ref,
+    seg_index, frame_start, frame_end, energy)."""
+    from ..stages.multimodal import as_array
+
+    media = media_table_from_docs(read_docs(_corpus_for(sf_dir)))
+    audio = media.map_batches(
+        lambda t: t.filter(pc.equal(t["media_type"], "audio")),
+        batch_format="pyarrow", batch_size=None)
+
+    def segments(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        out = {"doc_id": [], "media_ref": [], "seg_index": [],
+               "frame_start": [], "frame_end": [], "energy": []}
+        docs = as_array(batch.column("doc_id")).to_pylist()
+        refs = as_array(batch.column("media_ref")).to_pylist()
+        payloads = as_array(batch.column("payload")).to_pylist()
+        for doc, ref, p in zip(docs, refs, payloads):
+            wave = np.frombuffer(p[4:], dtype=np.int8).astype(np.int64)
+            n_fr = len(wave) // AUDIO_SEG_WINDOW
+            if n_fr == 0:
+                continue
+            fr = wave[:n_fr * AUDIO_SEG_WINDOW] \
+                .reshape(n_fr, AUDIO_SEG_WINDOW)
+            en = (fr * fr).sum(axis=1)
+            thr = int(en.sum()) // n_fr          # integer mean energy
+            active = en > thr
+            seg = 0
+            i = 0
+            while i < n_fr:
+                if active[i]:
+                    j = i
+                    while j + 1 < n_fr and active[j + 1]:
+                        j += 1
+                    out["doc_id"].append(doc)
+                    out["media_ref"].append(ref)
+                    out["seg_index"].append(seg)
+                    out["frame_start"].append(i)
+                    out["frame_end"].append(j)
+                    out["energy"].append(int(en[i:j + 1].sum()))
+                    seg += 1
+                    i = j + 1
+                else:
+                    i += 1
+        return pa.Table.from_pydict(
+            out, schema=pa.schema([("doc_id", pa.string()),
+                                   ("media_ref", pa.string()),
+                                   ("seg_index", pa.int64()),
+                                   ("frame_start", pa.int64()),
+                                   ("frame_end", pa.int64()),
+                                   ("energy", pa.int64())]))
+
+    return audio.map_batches(segments, batch_format="pyarrow",
+                             batch_size=512)
+
+
 def media_keyframes(sf_dir: str):
     """Keyframe selection: split each video's sampled frames into shots
     at the detected scene cuts, then pick per shot the frame with the
@@ -479,6 +596,8 @@ def media_patches(sf_dir: str, docs: "Dataset | None" = None):
 
 
 MEDIA_QUERIES: dict[str, tuple] = {
+    "media_text_pairs": (media_text_pairs, None),
+    "media_audio_segments": (media_audio_segments, None),
     "media_keyframes": (media_keyframes, None),
     "media_patches": (media_patches, None),
     "media_scene_changes": (media_scene_changes, None),

@@ -278,3 +278,85 @@ def test_media_patches_grid_and_consistency(media_corpus):
         sub = df[df["media_ref"] == ref]
         patch_mean = sub["mean_x1e6"].to_numpy() / 1e6
         assert abs(patch_mean.mean() - img.mean()) < 1e-4, ref
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_text_pairs_nearest_semantics(tmp_path):
+    """Image pairs with the nearest text by offset; equidistant ties go
+    to the PRECEDING text; image-only docs emit nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+    from pdf_extraction_ray.pipelines.media import media_text_pairs
+    from pdf_extraction_ray.schema import DOCS_SCHEMA
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref,
+                "offset": off, "font_size": 10.0, "page": 1,
+                "link_density": 0.0, "bbox": [0.1, 0.1, 0.2, 0.2]}
+
+    docs = [
+        {"doc_id": "d1", "spans": [
+            span("text", "before", "", 10),
+            span("image", "", "m://d1/a", 13),   # gap 3 back, 7 fwd
+            span("text", "after", "", 20),
+            span("image", "", "m://d1/b", 15),   # tie: 5 back, 5 fwd
+        ], "regions": []},
+        {"doc_id": "d2", "spans": [
+            span("image", "", "m://d2/a", 5),    # no text at all
+        ], "regions": []},
+    ]
+    for d in docs:
+        d.setdefault("n_pages", 1)
+    tbl = pa.Table.from_pylist(docs, schema=DOCS_SCHEMA)
+    out = media_text_pairs("", docs=rd.from_arrow(tbl)).to_pandas() \
+        .set_index("media_ref")
+    assert out.loc["m://d1/a", "pair_text"] == "before"
+    assert out.loc["m://d1/a", "offset_gap"] == 3
+    assert out.loc["m://d1/b", "pair_text"] == "before"   # tie -> prev
+    assert "m://d2/a" not in out.index
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audio_segments_match_reference():
+    """Engine segments equal a per-clip python reference (same integer
+    mean-energy threshold, same contiguity rule)."""
+    import numpy as np
+    from pdf_extraction_ray.pipelines.media import (AUDIO_SEG_WINDOW,
+                                                    media_audio_segments,
+                                                    media_table_from_docs)
+    from pdf_extraction_ray.pipelines.analysis import _corpus_for
+    from pdf_extraction_ray.sources.io import read_docs
+    import pyarrow.compute as pc
+
+    sf = "/root/testdata/sf0.001"
+    out = media_audio_segments(sf).to_pandas()
+    assert len(out) > 0
+    media = media_table_from_docs(read_docs(_corpus_for(sf))) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["media_type"], "audio")),
+            batch_format="pyarrow", batch_size=None).take_all()
+    want = []
+    for row in media:
+        wave = np.frombuffer(row["payload"][4:],
+                             dtype=np.int8).astype(np.int64)
+        n_fr = len(wave) // AUDIO_SEG_WINDOW
+        if n_fr == 0:
+            continue
+        fr = wave[:n_fr * AUDIO_SEG_WINDOW].reshape(n_fr, -1)
+        en = (fr * fr).sum(axis=1)
+        thr = int(en.sum()) // n_fr
+        seg, i = 0, 0
+        while i < n_fr:
+            if en[i] > thr:
+                j = i
+                while j + 1 < n_fr and en[j + 1] > thr:
+                    j += 1
+                want.append((row["media_ref"], seg, i, j,
+                             int(en[i:j + 1].sum())))
+                seg += 1
+                i = j + 1
+            else:
+                i += 1
+    got = sorted(zip(out.media_ref, out.seg_index, out.frame_start,
+                     out.frame_end, out.energy))
+    assert got == sorted(want)
