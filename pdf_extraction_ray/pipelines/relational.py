@@ -931,6 +931,59 @@ def orders_monthly_growth(sf_dir: str):
                          "prev_x100": prev, "growth": growth})
 
 
+def orders_seasonality_index(sf_dir: str):
+    """Calendar-month seasonality index: revenue share of each month-of-
+    year vs the uniform 1/12 expectation, as exact x1e6 floor divisions
+    (index = month_total * 12 * 1e6 // grand_total) — the seasonal
+    profile a demand model divides out. One grouped pass to a <= 12-row
+    table; everything after runs on it. Output: (month_of_year,
+    n_orders, total_x100, index_x1e6)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("month_of_year", "n_orders", "total_x100",
+                           "index_x1e6")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.month(batch["o_orderdate"]).to_numpy(zero_copy_only=False)
+        v = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"month_of_year": m.astype(np.int64),
+                          "n_orders": np.ones(len(v), dtype=np.int64),
+                          "total_x100": v}) \
+            .groupby("month_of_year", as_index=False).sum()
+        return _from_pandas(g)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("month_of_year")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("total_x100", alias_name="total_x100"))
+           .to_pandas())
+    if agg.empty:
+        return empty
+    grand = int(agg["total_x100"].sum())
+    agg["index_x1e6"] = [int(t) * 12 * 1_000_000 // grand
+                         for t in agg["total_x100"]]
+    return agg.sort_values("month_of_year").reset_index(drop=True) \
+        .astype("int64")
+
+
+SEASONALITY_SQL = """
+WITH m AS (
+  SELECT CAST(month(o_orderdate) AS BIGINT) AS month_of_year,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_x100
+  FROM orders GROUP BY month_of_year)
+SELECT month_of_year, n_orders, total_x100,
+       CAST(CAST(total_x100 AS HUGEINT) * 12 * 1000000
+            // (SELECT SUM(total_x100) FROM m) AS BIGINT) AS index_x1e6
+FROM m ORDER BY month_of_year
+"""
+
+
 ORDERS_MONTHLY_GROWTH_SQL = """
 WITH m AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -4637,6 +4690,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                   EVENTS_ASOF_NEAREST_SQL),
     "events_asof_orders_tolerance": (events_asof_orders_tolerance,
                                      EVENTS_ASOF_TOL_SQL),
+    "orders_seasonality_index": (orders_seasonality_index,
+                                 SEASONALITY_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
     "top_order_per_customer": (top_order_per_customer, TOP_ORDER_SQL),

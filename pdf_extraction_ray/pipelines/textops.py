@@ -1322,7 +1322,84 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# SFT chat-template rendering
+# ---------------------------------------------------------------------------
+
+SFT_USER_TAG = "<|user|>"
+SFT_ASSISTANT_TAG = "<|assistant|>"
+
+
+SFT_PROMPT_TOKENS = 8
+
+
+def docs_sft_render(sf_dir: str):
+    """Deterministic SFT formatting: each document with more than
+    SFT_PROMPT_TOKENS whitespace tokens renders into the chat template
+    (first SFT_PROMPT_TOKENS tokens as the user turn, the remainder as
+    the assistant turn) — the prompt-assembly rewrite every
+    instruction-tuning pipeline runs before packing. Pure vectorized
+    Arrow split/slice/join, zero exchange; short docs are filtered on
+    both engines. Output: (doc_id, rendered, n_chars)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) \
+            else batch["text"]
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text),
+                                      T.TOKEN_SPLIT_RE)
+        n = pc.list_value_length(toks)
+        keep = pc.greater(n, SFT_PROMPT_TOKENS) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.Table.from_arrays([batch["doc_id"], toks],
+                                 names=["doc_id", "toks"]) \
+            .filter(pa.array(keep))
+        tk = t["toks"].combine_chunks() \
+            if isinstance(t["toks"], pa.ChunkedArray) else t["toks"]
+        instr = pa.array([" ".join(row[:SFT_PROMPT_TOKENS])
+                          for row in tk.to_pylist()])
+        resp = pa.array([" ".join(row[SFT_PROMPT_TOKENS:])
+                         for row in tk.to_pylist()])
+        rendered = pc.binary_join_element_wise(
+            pa.array([SFT_USER_TAG + "\n"] * len(t)), instr,
+            pa.array(["\n" + SFT_ASSISTANT_TAG + "\n"] * len(t)),
+            resp, "")
+        return pa.Table.from_arrays(
+            [t["doc_id"], rendered,
+             pc.cast(pc.utf8_length(rendered), pa.int64())],
+            names=["doc_id", "rendered", "n_chars"])
+
+    out = _docs(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "rendered": pd.Series(dtype="object"),
+                             "n_chars": pd.Series(dtype="int64")})
+    return out
+
+
+SFT_RENDER_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS l
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         array_to_string(l[1:{SFT_PROMPT_TOKENS}], ' ') AS instr,
+         array_to_string(l[{SFT_PROMPT_TOKENS + 1}:], ' ') AS resp
+  FROM s WHERE len(l) > {SFT_PROMPT_TOKENS})
+SELECT doc_id,
+       '{SFT_USER_TAG}' || chr(10) || instr || chr(10)
+           || '{SFT_ASSISTANT_TAG}' || chr(10) || resp AS rendered,
+       CAST(length('{SFT_USER_TAG}' || chr(10) || instr || chr(10)
+           || '{SFT_ASSISTANT_TAG}' || chr(10) || resp) AS BIGINT)
+           AS n_chars
+FROM r
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "docs_sft_render": (docs_sft_render, SFT_RENDER_SQL),
     "doc_readability": (doc_readability, READABILITY_SQL),
     "docs_token_budget_select": (docs_token_budget_select,
                                  TOKEN_BUDGET_SQL),
