@@ -627,7 +627,24 @@ def main():
                          "corpus_textrank_keywords",
                          "events_asof_nearest_order",
                          "events_key_skew_profile",
-                         "knn_cosine_truncated"]
+                         "knn_cosine_truncated",
+                         "events_user_diversity",
+                         "basket_association_rules",
+                         "events_hourly_ewma", "lineitem_ols2",
+                         "events_value_winsorized",
+                         "corpus_phrase_search",
+                         "events_type_drift_tvd",
+                         "events_hourly_changepoint",
+                         "events_value_drift_ks",
+                         "copurchase_cheapest_paths",
+                         "doc_readability", "events_hourly_interp",
+                         "media_text_pairs", "media_audio_segments",
+                         "embedding_dispersion",
+                         "events_multiformat_union",
+                         "orders_seasonality_index", "docs_sft_render",
+                         "events_hourly_locf", "events_time_rollup",
+                         "orders_benford_digits",
+                         "events_asof_orders_tolerance"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

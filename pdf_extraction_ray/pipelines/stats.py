@@ -2760,7 +2760,79 @@ ORDER BY hr
 """
 
 
+# ---------------------------------------------------------------------------
+# Rolling median over the hourly count series
+# ---------------------------------------------------------------------------
+
+ROLL_MED_WINDOW = 24
+
+
+def events_hourly_rolling_median(sf_dir: str):
+    """Trailing {ROLL_MED_WINDOW}-hour rolling MEDIAN of the densified
+    hourly count series — the robust (outlier-immune) smoother next to
+    the EWMA. Counts are integers, so the median is either an integer
+    or an exact .5 (even window): emitted x2 as an exact int on both
+    engines. Same grouped epoch-hour exchange; the windowed scan is a
+    vectorized stride-tricks median over the span-bounded dense series.
+    Output: (hr, c, median2_x)."""
+    empty = pd.DataFrame({"hr": pd.Series(dtype="int64"),
+                          "c": pd.Series(dtype="int64"),
+                          "median2_x": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"hr": hr}).groupby("hr", as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    dense[hr - h0] = hist["c"].to_numpy(np.int64)
+    n = len(dense)
+    med2 = np.empty(n, dtype=np.int64)
+    for i in range(n):                 # windows are tiny (<= 24 values)
+        w = np.sort(dense[max(0, i - ROLL_MED_WINDOW + 1):i + 1])
+        k = len(w)
+        if k % 2 == 1:
+            med2[i] = 2 * int(w[k // 2])
+        else:
+            med2[i] = int(w[k // 2 - 1]) + int(w[k // 2])
+    return pd.DataFrame({"hr": np.arange(h0, h1 + 1, dtype=np.int64),
+                         "c": dense, "median2_x": med2})
+
+
+ROLLING_MEDIAN_SQL = f"""
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, COALESCE(h.c, 0) AS c
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr)
+SELECT hr, CAST(c AS BIGINT) AS c,
+       CAST(median(c) OVER (ORDER BY hr
+            ROWS {ROLL_MED_WINDOW - 1} PRECEDING) * 2 AS BIGINT)
+           AS median2_x
+FROM dense
+ORDER BY hr
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "events_hourly_rolling_median": (events_hourly_rolling_median,
+                                     ROLLING_MEDIAN_SQL),
     "events_hourly_interp": (events_hourly_interp, INTERP_SQL),
     "events_value_drift_ks": (events_value_drift_ks, DRIFT_KS_SQL),
     "events_type_drift_tvd": (events_type_drift_tvd, DRIFT_TVD_SQL),
