@@ -174,7 +174,87 @@ def packing_stats(sf_dir: str):
         "max_seq_tokens": np.int64(agg["max_seq_tokens"] or 0)}])
 
 
+# ---------------------------------------------------------------------------
+# Length-bucketed batch assignment (padding-efficient dynamic batching)
+# ---------------------------------------------------------------------------
+
+LEN_BATCH_SIZE = 32
+
+
+def docs_length_buckets(sf_dir: str):
+    """Length-bucketed batch assignment — the padding-efficiency
+    counterpart of sample packing: every document goes to the
+    floor(log2(n_tokens)) length bucket, and batches of
+    {LEN_BATCH_SIZE} form INSIDE each bucket in md5(doc_id) order (a
+    deterministic, parallelism-independent shuffle order), so a batch
+    never pads across a 2x length spread. The per-doc token count is
+    batch-local; the batch numbering is a per-bucket rank over the
+    (bucket, md5) key — output-shaped, mirrored by the oracle's
+    ROW_NUMBER. Output: (doc_id, n_tokens, bucket, batch_id)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("doc_id", "n_tokens", "bucket", "batch_id")})
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) \
+            else batch["text"]
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text),
+                                      r"\s+")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        md5s = [hashlib.md5(str(d).encode()).hexdigest()
+                for d in batch["doc_id"].to_pylist()]
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "n_tokens": n,
+            "bucket": np.floor(np.log2(np.maximum(n, 1)))
+            .astype(np.int64),
+            "md5": md5s})
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", "md5", "doc_id"])
+        g["batch_id"] = g.groupby("bucket").cumcount() // LEN_BATCH_SIZE
+        return g[["doc_id", "n_tokens", "bucket", "batch_id"]] \
+            .astype("int64")
+
+    from .relational import _coarse_partition_map
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = _coarse_partition_map(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+        "bucket", assign).to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+LENGTH_BUCKETS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(LOG2(GREATEST(n_tokens, 1))) AS BIGINT) AS bucket,
+         h
+  FROM t)
+SELECT doc_id, n_tokens, bucket,
+       CAST((ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY h, doc_id) - 1)
+            // {LEN_BATCH_SIZE} AS BIGINT) AS batch_id
+FROM b
+ORDER BY doc_id
+"""
+
+
 PACKING_QUERIES: dict[str, tuple] = {
+    "docs_length_buckets": (docs_length_buckets, LENGTH_BUCKETS_SQL),
     "packed_sequences": (packed_sequences, None),
     "packing_stats": (packing_stats, None),
     "training_pipeline_sequences": (training_pipeline_sequences, None),

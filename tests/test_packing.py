@@ -111,3 +111,34 @@ def test_training_pipeline_composition():
     # composition dropped something (planted dups / low-quality docs)
     full = packed_sequences(SF).to_pandas()
     assert got["n_chunks"].sum() < full["n_chunks"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_length_buckets_batch_invariants(tmp_path):
+    """Batches never span a length bucket, batch sizes are <= the cap
+    with at most one tail per bucket, and assignment is deterministic
+    across runs."""
+    import os
+
+    import pandas as pd
+
+    from pdf_extraction_ray.pipelines.packing import (LEN_BATCH_SIZE,
+                                                      docs_length_buckets)
+    d = str(tmp_path)
+    rng = np.random.default_rng(9)
+    texts = [" ".join(["w"] * int(rng.integers(1, 300)))
+             for _ in range(200)]
+    pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                  "text": texts}).to_parquet(
+        os.path.join(d, "documents.parquet"))
+    a = docs_length_buckets(d)
+    b = docs_length_buckets(d)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.bucket == np.floor(np.log2(np.maximum(a.n_tokens, 1)))
+            .astype(np.int64)).all()
+    sizes = a.groupby(["bucket", "batch_id"]).size()
+    assert (sizes <= LEN_BATCH_SIZE).all()
+    # at most one non-full batch (the tail) per bucket
+    for bkt, grp in a.groupby("bucket"):
+        s = grp.groupby("batch_id").size()
+        assert (s[:-1] == LEN_BATCH_SIZE).all() if len(s) > 1 else True
