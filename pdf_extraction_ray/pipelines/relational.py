@@ -931,6 +931,88 @@ def orders_monthly_growth(sf_dir: str):
                          "prev_x100": prev, "growth": growth})
 
 
+ISLANDS_TOPK = 20
+ISLANDS_RANGE = 4096          # key-range bucket width for the exchange
+
+
+def orders_key_islands(sf_dir: str):
+    """Gaps-and-islands over the orderkey domain: the top contiguous
+    runs of PRESENT keys (longest first, then start) — the
+    sequence-integrity audit behind 'which id ranges are complete'.
+    Distributed form: keys bucket by key // {ISLANDS_RANGE} (a RANGE
+    exchange, so a bucket holds a contiguous key interval), islands
+    resolve per bucket with the classic key-minus-rank grouping, and
+    only the <= 2-per-bucket BOUNDARY islands merge driver-side (an
+    island crossing buckets is split exactly at multiples of the range
+    width). Output: (start_key, end_key, run_len)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("start_key", "end_key", "run_len")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "orders"), columns=["o_orderkey"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch["o_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({
+            "k": k.astype(np.int64),
+            "bucket": (k // ISLANDS_RANGE).astype(np.int64)})
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby("bucket", sort=False):
+            k = np.unique(grp["k"].to_numpy(np.int64))
+            brk = np.flatnonzero(np.diff(k) > 1)
+            starts = np.concatenate([[0], brk + 1])
+            ends = np.concatenate([brk, [len(k) - 1]])
+            for s, e in zip(starts, ends):
+                out.append((int(k[s]), int(k[e])))
+        return pd.DataFrame(out, columns=["start_key", "end_key"]) \
+            .astype("int64") if out else \
+            pd.DataFrame({"start_key": pd.Series(dtype="int64"),
+                          "end_key": pd.Series(dtype="int64")})
+
+    runs = _coarse_partition_map(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+        "bucket", islands).to_pandas()
+    if runs.empty:
+        return empty
+    # merge islands that touch across bucket boundaries: only runs
+    # ending/starting at a multiple of the range width can chain
+    runs = runs.sort_values("start_key").reset_index(drop=True)
+    merged = []
+    cur_s, cur_e = None, None
+    for r in runs.itertuples(index=False):
+        if cur_s is None:
+            cur_s, cur_e = r.start_key, r.end_key
+        elif r.start_key == cur_e + 1:
+            cur_e = r.end_key
+        else:
+            merged.append((cur_s, cur_e))
+            cur_s, cur_e = r.start_key, r.end_key
+    merged.append((cur_s, cur_e))
+    out = pd.DataFrame(merged, columns=["start_key", "end_key"])
+    out["run_len"] = out["end_key"] - out["start_key"] + 1
+    return out.sort_values(["run_len", "start_key"],
+                           ascending=[False, True]) \
+        .head(ISLANDS_TOPK).reset_index(drop=True).astype("int64")
+
+
+KEY_ISLANDS_SQL = f"""
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+r AS (SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM k),
+runs AS (
+  SELECT MIN(k) AS start_key, MAX(k) AS end_key,
+         MAX(k) - MIN(k) + 1 AS run_len
+  FROM r GROUP BY grp)
+SELECT CAST(start_key AS BIGINT) AS start_key,
+       CAST(end_key AS BIGINT) AS end_key,
+       CAST(run_len AS BIGINT) AS run_len
+FROM runs
+ORDER BY run_len DESC, start_key
+LIMIT {ISLANDS_TOPK}
+"""
+
+
 def orders_seasonality_index(sf_dir: str):
     """Calendar-month seasonality index: revenue share of each month-of-
     year vs the uniform 1/12 expectation, as exact x1e6 floor divisions
@@ -4692,6 +4774,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                      EVENTS_ASOF_TOL_SQL),
     "orders_seasonality_index": (orders_seasonality_index,
                                  SEASONALITY_SQL),
+    "orders_key_islands": (orders_key_islands, KEY_ISLANDS_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
     "top_order_per_customer": (top_order_per_customer, TOP_ORDER_SQL),
