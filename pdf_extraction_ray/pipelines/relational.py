@@ -931,6 +931,95 @@ def orders_monthly_growth(sf_dir: str):
                          "prev_x100": prev, "growth": growth})
 
 
+ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
+
+
+def customer_abc_classes(sf_dir: str):
+    """ABC / Pareto classification: customers sorted by revenue
+    (desc) fall into class A while the TIE-INCLUSIVE cumulative share
+    is <= {ABC_BOUNDS[0]}%, B to <= {ABC_BOUNDS[1]}%, else C — the
+    inventory-analysis 'few customers carry most revenue' split. Tie
+    inclusion (the oracle's RANGE frame) makes the classification a
+    pure function of the revenue VALUE, so it computes entirely from
+    the compacted per-revenue histogram: per-customer sums are one
+    keyed exchange, the histogram exchange is value-domain-shaped, and
+    the 3-row class table never joins back. All comparisons are exact
+    integer cross-multiplications. Output: (abc_class, n_customers,
+    revenue_x100)."""
+    empty = pd.DataFrame({"abc_class": pd.Series(dtype="object"),
+                          "n_customers": pd.Series(dtype="int64"),
+                          "revenue_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+            "rev": _cents(batch["o_totalprice"])
+            .to_numpy(zero_copy_only=False)})
+        return _from_pandas(df.groupby("o_custkey", as_index=False)
+                            .sum())
+
+    per_cust = (ds.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+                .groupby("o_custkey").aggregate(Sum("rev",
+                                                    alias_name="rev")))
+
+    def to_hist(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"rev": batch["rev"]
+                           .to_numpy(zero_copy_only=False)})
+        g = df.groupby("rev", as_index=False).size() \
+            .rename(columns={"size": "m"})
+        return _from_pandas(g.astype("int64"))
+
+    hist = (per_cust.map_batches(to_hist, batch_format="pyarrow",
+                                 batch_size=None)
+            .groupby("rev").aggregate(Sum("m", alias_name="m"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("rev", ascending=False)
+    rev = hist["rev"].to_numpy(np.int64)
+    m = hist["m"].to_numpy(np.int64)
+    cum = (rev * m).cumsum()
+    total = int(cum[-1])
+    lo, hi = ABC_BOUNDS
+    # exact integer comparisons: cum * 100 <= bound * total
+    cls = np.where(cum * 100 <= lo * total, "A",
+                   np.where(cum * 100 <= hi * total, "B", "C"))
+    out = pd.DataFrame({"abc_class": cls, "n_customers": m,
+                        "revenue_x100": rev * m}) \
+        .groupby("abc_class", as_index=False).sum()
+    return out.sort_values("abc_class").reset_index(drop=True) \
+        .astype({"n_customers": "int64", "revenue_x100": "int64"})
+
+
+ABC_SQL = f"""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS rev
+  FROM orders GROUP BY o_custkey),
+w AS (
+  SELECT rev,
+         SUM(rev) OVER (ORDER BY rev DESC
+                        RANGE UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER () AS total
+  FROM c),
+cls AS (
+  SELECT rev,
+         CASE WHEN cum * 100 <= {ABC_BOUNDS[0]} * total THEN 'A'
+              WHEN cum * 100 <= {ABC_BOUNDS[1]} * total THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM w)
+SELECT abc_class, COUNT(*) AS n_customers,
+       CAST(SUM(rev) AS BIGINT) AS revenue_x100
+FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+
 ISLANDS_TOPK = 20
 ISLANDS_RANGE = 4096          # key-range bucket width for the exchange
 
@@ -4775,6 +4864,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "orders_seasonality_index": (orders_seasonality_index,
                                  SEASONALITY_SQL),
     "orders_key_islands": (orders_key_islands, KEY_ISLANDS_SQL),
+    "customer_abc_classes": (customer_abc_classes, ABC_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
     "top_order_per_customer": (top_order_per_customer, TOP_ORDER_SQL),
