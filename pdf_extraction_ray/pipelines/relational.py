@@ -931,6 +931,83 @@ def orders_monthly_growth(sf_dir: str):
                          "prev_x100": prev, "growth": growth})
 
 
+FIRST_CLICK_WINDOW_MS = 3_600_000
+
+
+def events_first_click_attribution(sf_dir: str):
+    """FIRST-click attribution (batch): every purchase attributes to
+    the user's EARLIEST click at most 1 hour before it (strictly
+    earlier in (ts, event_id) log order) — the campaign-origination
+    mirror of the streaming tier's last-click join. Both event roles
+    co-partition through one user-keyed exchange; the per-partition
+    match is a vectorized user merge + window filter + min-(ts, id)
+    pick. Output: (purchase_id, user_id, click_id, lag_ms)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("purchase_id", "user_id", "click_id",
+                           "lag_ms")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(
+            batch["event_type"],
+            value_set=pa.array(["click", "purchase"])))
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_ms=g["ts"].astype("datetime64[us]")
+                     .astype(np.int64) // 1000)
+        c = g[g["event_type"] == "click"][["user_id", "ts_ms",
+                                           "event_id"]]
+        p = g[g["event_type"] == "purchase"][["user_id", "ts_ms",
+                                              "event_id"]]
+        if c.empty or p.empty:
+            return empty
+        j = p.merge(c, on="user_id", suffixes=("_p", "_c"))
+        in_win = (j["ts_ms_c"] > j["ts_ms_p"] - FIRST_CLICK_WINDOW_MS) \
+            & ((j["ts_ms_c"] < j["ts_ms_p"])
+               | ((j["ts_ms_c"] == j["ts_ms_p"])
+                  & (j["event_id_c"] < j["event_id_p"])))
+        j = j[in_win]
+        if j.empty:
+            return empty
+        j = j.sort_values(["event_id_p", "ts_ms_c", "event_id_c"]) \
+            .drop_duplicates("event_id_p", keep="first")
+        return pd.DataFrame({
+            "purchase_id": j["event_id_p"].astype("int64"),
+            "user_id": j["user_id"].astype("int64"),
+            "click_id": j["event_id_c"].astype("int64"),
+            "lag_ms": (j["ts_ms_p"] - j["ts_ms_c"]).astype("int64")})
+
+    return _coarse_partition_map(
+        ds.map_batches(keep, batch_format="pyarrow", batch_size=None),
+        "user_id", match).sort("purchase_id")
+
+
+FIRST_CLICK_SQL = f"""
+WITH c AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+     pairs AS (
+       SELECT p.event_id AS purchase_id, p.user_id,
+              c.event_id AS click_id,
+              CAST(date_diff('millisecond', c.ts, p.ts) AS BIGINT)
+                  AS lag_ms,
+              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ts ASC, c.event_id ASC)
+                  AS rn
+       FROM p JOIN c ON p.user_id = c.user_id
+        AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        AND date_diff('millisecond', c.ts, p.ts)
+            < {FIRST_CLICK_WINDOW_MS})
+SELECT purchase_id, user_id, click_id, lag_ms FROM pairs WHERE rn = 1
+ORDER BY purchase_id
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -4865,6 +4942,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                  SEASONALITY_SQL),
     "orders_key_islands": (orders_key_islands, KEY_ISLANDS_SQL),
     "customer_abc_classes": (customer_abc_classes, ABC_SQL),
+    "events_first_click_attribution": (events_first_click_attribution,
+                                       FIRST_CLICK_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
     "top_order_per_customer": (top_order_per_customer, TOP_ORDER_SQL),
