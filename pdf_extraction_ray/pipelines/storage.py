@@ -1068,7 +1068,83 @@ def events_multiformat_union(sf_dir: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# SCD2 history build from a CDC changelog
+# ---------------------------------------------------------------------------
+
+def events_scd2_history(sf_dir: str):
+    """Slowly-changing-dimension (type 2) history from the event
+    changelog: per user, events are balance versions — same-timestamp
+    duplicates collapse to the max event_id (log order), then each
+    version gets [valid_from, valid_to) with valid_to = the next
+    version's timestamp and the -1 sentinel on the current row — the
+    dimension-table historization every warehouse load performs. One
+    user-keyed exchange; the interval assignment is one vectorized
+    sort + shift per partition. Output: (user_id, version_no,
+    bal_x100, valid_from_ms, valid_to_ms, is_current)."""
+    from .relational import _coarse_partition_map
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("user_id", "version_no", "bal_x100",
+                           "valid_from_ms", "valid_to_ms",
+                           "is_current")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_ms = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 1000
+        return pa.Table.from_arrays(
+            [batch["user_id"], pa.array(ts_ms), batch["event_id"],
+             _cents(batch["value"])],
+            names=["user_id", "ts_ms", "event_id", "bal_x100"])
+
+    def historize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_ms", "event_id"]) \
+            .drop_duplicates(["user_id", "ts_ms"], keep="last")
+        nxt = g.groupby("user_id")["ts_ms"].shift(-1)
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "version_no": g.groupby("user_id").cumcount().astype("int64")
+            + 1,
+            "bal_x100": g["bal_x100"].astype("int64"),
+            "valid_from_ms": g["ts_ms"].astype("int64"),
+            "valid_to_ms": nxt.fillna(-1).astype("int64"),
+            "is_current": nxt.isna().astype("int64")})
+
+    return _coarse_partition_map(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        "user_id", historize).sort(["user_id", "version_no"])
+
+
+SCD2_SQL = """
+WITH v AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS bal_x100,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events),
+d AS (SELECT user_id, ts_ms, bal_x100 FROM v WHERE rn = 1),
+h AS (
+  SELECT user_id, ts_ms, bal_x100,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_ms)
+             AS version_no,
+         LEAD(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+             AS next_ts
+  FROM d)
+SELECT user_id, CAST(version_no AS BIGINT) AS version_no, bal_x100,
+       CAST(ts_ms AS BIGINT) AS valid_from_ms,
+       CAST(COALESCE(next_ts, -1) AS BIGINT) AS valid_to_ms,
+       CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_current
+FROM h
+ORDER BY user_id, version_no
+"""
+
+
 STORAGE_QUERIES: dict[str, tuple] = {
+    "events_scd2_history": (events_scd2_history, SCD2_SQL),
     "events_multiformat_union": (events_multiformat_union,
                                  FORMAT_ROUNDTRIP_SQL),
     "orders_schema_evolution": (orders_schema_evolution,
