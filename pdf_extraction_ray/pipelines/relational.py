@@ -3207,6 +3207,61 @@ FROM hc FULL OUTER JOIN orders o ON hc.c_custkey = o.o_custkey
 _PROPS_K_RE = r'"k"\s*:\s*(?P<k>-?\d+)'
 
 
+PROPS_KEY_RE = r'"([A-Za-z_][A-Za-z0-9_]*)"\s*:'
+
+
+def events_props_keys(sf_dir: str):
+    """Semi-structured schema discovery: frequency of every key-looking
+    token in the JSON ``props`` column — the profile that tells you
+    which fields exist before you write extraction rules. One
+    vectorized RE2 extract-all pass (quoted identifier followed by a
+    colon, nested keys included — identical RE2 on both engines, so
+    malformed JSON contributes the same tokens); per-batch key-count
+    partials reach one tiny key-domain groupby.
+    Output: (key, n_occurrences)."""
+    empty = pd.DataFrame({"key": pd.Series(dtype="object"),
+                          "n_occurrences": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import re
+        rx = re.compile(PROPS_KEY_RE)
+        counts: dict[str, int] = {}
+        for s in batch["props"].to_pylist():
+            if s is None:
+                continue
+            for k in rx.findall(s):
+                counts[k] = counts.get(k, 0) + 1
+        if not counts:
+            return pa.Table.from_pydict(
+                {"key": pa.array([], pa.string()),
+                 "n_occurrences": pa.array([], pa.int64())})
+        return pa.Table.from_pydict(
+            {"key": list(counts), "n_occurrences": list(counts.values())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("key")
+           .aggregate(Sum("n_occurrences", alias_name="n_occurrences"))
+           .to_pandas())
+    if out.empty:
+        return empty
+    return out.sort_values("key").reset_index(drop=True) \
+        .astype({"n_occurrences": "int64"})
+
+
+PROPS_KEYS_SQL = rf"""
+WITH ks AS (
+  SELECT unnest(regexp_extract_all(props,
+                '{PROPS_KEY_RE.replace("'", "''")}', 1)) AS key
+  FROM events WHERE props IS NOT NULL)
+SELECT key, COUNT(*) AS n_occurrences
+FROM ks GROUP BY key ORDER BY key
+"""
+
+
 def events_props_ksum(sf_dir: str):
     """Semi-structured column handling: extract the integer field ``k``
     from the JSON ``props`` string and aggregate it per event type.
@@ -4944,6 +4999,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "customer_abc_classes": (customer_abc_classes, ABC_SQL),
     "events_first_click_attribution": (events_first_click_attribution,
                                        FIRST_CLICK_SQL),
+    "events_props_keys": (events_props_keys, PROPS_KEYS_SQL),
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
     "top_order_per_customer": (top_order_per_customer, TOP_ORDER_SQL),
