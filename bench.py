@@ -644,7 +644,12 @@ def main():
                          "orders_seasonality_index", "docs_sft_render",
                          "events_hourly_locf", "events_time_rollup",
                          "orders_benford_digits",
-                         "events_asof_orders_tolerance"]
+                         "events_asof_orders_tolerance",
+                         "events_hourly_rolling_median",
+                         "docs_length_buckets", "orders_key_islands",
+                         "customer_abc_classes",
+                         "events_first_click_attribution",
+                         "events_scd2_history", "events_props_keys"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
