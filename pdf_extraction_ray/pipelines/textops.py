@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
 from ..functions import text as T
 from ..functions.chunker import chunk_text
@@ -1398,7 +1398,159 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source duplication rate (curation dashboard slice)
+# ---------------------------------------------------------------------------
+
+def docs_dup_rate_by_source(sf_dir: str):
+    """Duplication rate per source: the share of each source's docs
+    whose normalized text also appears elsewhere in the corpus
+    (cross-source duplicates count for BOTH sources) — the per-slice
+    dedup metric a curation dashboard tracks. Two exchanges: the md5
+    group sizes (text never re-ships), then per-source counts of docs
+    in >1-sized groups; rate is an exact x1e6 floor division.
+    Output: (source, n_docs, n_duped, dup_rate_x1e6)."""
+    empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                          **{c: pd.Series(dtype="int64") for c in
+                             ("n_docs", "n_duped", "dup_rate_x1e6")}})
+    ds = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        norm = T.normalize_for_dedup(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else batch["text"])
+        md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in norm.to_pylist()], type=pa.string())
+        return pa.Table.from_arrays([md5, batch["source"]],
+                                    names=["text_md5", "source"])
+
+    from .relational import _coarse_str_partition_map
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("text_md5")["source"].transform("size")
+        g = g.assign(duped=(sz > 1).astype("int64"),
+                     one=np.ones(len(g), dtype=np.int64))
+        return g.groupby("source", as_index=False)[["one", "duped"]] \
+            .sum().rename(columns={"one": "n_docs", "duped": "n_duped"})
+
+    agg = _coarse_str_partition_map(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+        "text_md5", per_group).to_pandas()
+    if agg.empty:
+        return empty
+    out = agg.groupby("source", as_index=False)[["n_docs", "n_duped"]] \
+        .sum()
+    out["dup_rate_x1e6"] = out["n_duped"] * 1_000_000 // out["n_docs"]
+    return out.sort_values("source").reset_index(drop=True) \
+        .astype({"n_docs": "int64", "n_duped": "int64",
+                 "dup_rate_x1e6": "int64"})
+
+
+DUP_RATE_SQL = """
+WITH k AS (
+  SELECT source, md5(lower(trim(text))) AS text_md5 FROM documents),
+g AS (
+  SELECT source, text_md5,
+         COUNT(*) OVER (PARTITION BY text_md5) AS grp_sz
+  FROM k)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN grp_sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_duped,
+       CAST(SUM(CASE WHEN grp_sz > 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS dup_rate_x1e6
+FROM g GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget apportionment across sources (largest-remainder method)
+# ---------------------------------------------------------------------------
+
+ALLOC_BUDGET = 1_000_000
+
+
+def source_token_allocation(sf_dir: str):
+    """Apportion a global token budget of {ALLOC_BUDGET} across sources
+    proportional to their token counts with the largest-remainder
+    (Hamilton) method — the exact integer data-mixing computation
+    behind 'sample X tokens per source': floor quotas first, then one
+    extra token-unit to the largest remainders (source-name ties
+    deterministic). One grouped token-count exchange; the apportionment
+    runs on the sources-sized table. Output: (source, n_tokens, quota).
+    sum(quota) == min(budget, via exact remainders) by construction."""
+    empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                          "n_tokens": pd.Series(dtype="int64"),
+                          "quota": pd.Series(dtype="int64")})
+    ds = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) \
+            else batch["text"]
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text),
+                                      T.TOKEN_SPLIT_RE)
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = pd.DataFrame({"source": batch["source"]
+                          .to_numpy(zero_copy_only=False),
+                          "n_tokens": n}) \
+            .groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("source")
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas())
+    if agg.empty:
+        return empty
+    total = int(agg["n_tokens"].sum())
+    if total == 0:
+        agg["quota"] = 0
+        return agg.sort_values("source").reset_index(drop=True)
+    floor_q = [int(n) * ALLOC_BUDGET // total for n in agg["n_tokens"]]
+    rem = [int(n) * ALLOC_BUDGET % total for n in agg["n_tokens"]]
+    leftover = ALLOC_BUDGET - sum(floor_q)
+    order = sorted(range(len(agg)),
+                   key=lambda i: (-rem[i], agg["source"].iloc[i]))
+    quota = list(floor_q)
+    for i in order[:leftover]:
+        quota[i] += 1
+    agg["quota"] = quota
+    return agg.sort_values("source").reset_index(drop=True) \
+        .astype({"n_tokens": "int64", "quota": "int64"})
+
+
+ALLOC_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+q AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens AS HUGEINT) * {ALLOC_BUDGET}
+             // (SELECT SUM(n_tokens) FROM t) AS floor_q,
+         CAST(n_tokens AS HUGEINT) * {ALLOC_BUDGET}
+             % (SELECT SUM(n_tokens) FROM t) AS rem,
+         ROW_NUMBER() OVER (ORDER BY CAST(n_tokens AS HUGEINT)
+                            * {ALLOC_BUDGET}
+                            % (SELECT SUM(n_tokens) FROM t) DESC,
+                            source) AS rnk
+  FROM t),
+l AS (SELECT {ALLOC_BUDGET} - SUM(floor_q) AS leftover FROM q)
+SELECT source, n_tokens,
+       CAST(floor_q + CASE WHEN rnk <= (SELECT leftover FROM l)
+                           THEN 1 ELSE 0 END AS BIGINT) AS quota
+FROM q ORDER BY source
+"""
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "docs_dup_rate_by_source": (docs_dup_rate_by_source, DUP_RATE_SQL),
+    "source_token_allocation": (source_token_allocation, ALLOC_SQL),
     "docs_sft_render": (docs_sft_render, SFT_RENDER_SQL),
     "doc_readability": (doc_readability, READABILITY_SQL),
     "docs_token_budget_select": (docs_token_budget_select,

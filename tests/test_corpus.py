@@ -306,3 +306,25 @@ def test_textrank_matches_pure_python(tmp_path):
                 + TEXTRANK_DAMPING * contrib[t] for t in terms}
     for r in out.itertuples(index=False):
         assert rank[r.term] == r.score, r.term
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_allocation_sums_to_budget(tmp_path):
+    """Hamilton apportionment: quotas sum EXACTLY to the budget and
+    respect quota monotonicity (floor <= quota <= floor+1)."""
+    from pdf_extraction_ray.pipelines.textops import (ALLOC_BUDGET,
+                                                      source_token_allocation)
+    d = str(tmp_path)
+    rng = np.random.default_rng(3)
+    texts = [" ".join(["w"] * int(rng.integers(1, 50)))
+             for _ in range(60)]
+    pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                  "text": texts,
+                  "source": rng.choice(["a", "b", "c"], size=60)}) \
+        .to_parquet(os.path.join(d, "documents.parquet"))
+    out = source_token_allocation(d)
+    assert out.quota.sum() == ALLOC_BUDGET
+    total = out.n_tokens.sum()
+    for r in out.itertuples(index=False):
+        fl = int(r.n_tokens) * ALLOC_BUDGET // int(total)
+        assert fl <= r.quota <= fl + 1
