@@ -649,7 +649,12 @@ def main():
                          "docs_length_buckets", "orders_key_islands",
                          "customer_abc_classes",
                          "events_first_click_attribution",
-                         "events_scd2_history", "events_props_keys"]
+                         "events_scd2_history", "events_props_keys",
+                         # rank-statistics tier
+                         "lineitem_spearman_by_nation",
+                         "events_type_mannwhitney",
+                         "events_hourly_bollinger",
+                         "orders_monthly_theilsen"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

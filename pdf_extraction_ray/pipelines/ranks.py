@@ -1,0 +1,389 @@
+"""Rank-based and robust statistics: Spearman correlation, the
+Mann-Whitney rank-sum statistic, Bollinger volatility bands, and the
+Theil-Sen robust slope — the order-statistics tier that complements
+pipelines/stats.py's moment-based kernels (OLS, Pearson, z-score).
+
+Reference analog: the evidence classifier's threshold scoring
+(`table_figure_classifier.py:15-24`) is the reference's only robust
+decision rule; these operators generalize "rank instead of raw value"
+to full statistical kernels while staying bit-exact against DuckDB.
+
+Exactness strategy (shared house rule): average ranks over ties are
+multiples of 1/2, so DOUBLED ranks (``2*rank_min + tie_count - 1``) are
+exact int64; every rank moment is an integer partial, and any float a
+query emits is produced by ONE fixed operation sequence evaluated
+identically here and in the oracle SQL.
+
+Scale notes are per-operator: Spearman ranks need a per-group
+materialization (`groupby(nation).map_groups`) — fine while a group
+fits a worker (documented int64 moment bound ~1.3M rows/group; beyond
+that the low-cardinality side switches to the histogram form used by
+the Mann-Whitney kernel, which never materializes rows); Mann-Whitney
+and Bollinger reduce distributedly to value/hour histograms before any
+driver math; Theil-Sen runs its O(m^2) pair sweep only on the tiny
+months-level aggregate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .relational import (_cents, _from_pandas, _pq, _table_empty,
+                         orders_monthly)
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation per supplier nation (quantity vs revenue)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_spearman_by_nation(sf_dir: str):
+    """Per-supplier-nation Spearman correlation between line quantity
+    and revenue cents: Pearson's formula over DOUBLED average ranks
+    (exact int64 — avg ranks are halves), computed inside one
+    ``groupby(nation).map_groups`` so each nation's rank assignment is
+    a single in-group pandas rank, with the six moment partials
+    combined driver-side in Python ints and ONE final float expression
+    (same op order as the oracle). int64 moment bound: ~1.3M rows per
+    nation (4n^3 < 2^63); past that the quantity side (50 distinct
+    values) would switch to the histogram-rank form of
+    ``events_type_mannwhitney``. Output: (nation, n_lines, spearman_r)."""
+    empty = pd.DataFrame({"nation": pd.Series(dtype="object"),
+                          "n_lines": pd.Series(dtype="int64"),
+                          "spearman_r": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    import ray
+
+    sup = pd.read_parquet(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_pq(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_name"])
+    nk = dict(zip(sup.s_suppkey, sup.s_nationkey))
+    nname = dict(zip(nat.n_nationkey, nat.n_name))
+    maps_ref = ray.put((nk, nname))
+
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        nk, nname = ray.get(maps_ref)
+        x = _cents(batch["l_quantity"], 1.0).to_numpy(zero_copy_only=False)
+        y = _cents(pc.multiply(batch["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0),
+                                           batch["l_discount"]))) \
+            .to_numpy(zero_copy_only=False)
+        nations = pd.Series(batch["l_suppkey"]
+                            .to_numpy(zero_copy_only=False)) \
+            .map(nk).map(nname)
+        return pa.Table.from_pydict({"nation": nations.to_numpy(),
+                                     "x": x, "y": y})
+
+    def group_moments(g: pd.DataFrame) -> pd.DataFrame:
+        # doubled average ranks are exactly integer-valued floats
+        rx = (g["x"].rank(method="average") * 2.0).to_numpy(np.int64)
+        ry = (g["y"].rank(method="average") * 2.0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "nation": [g["nation"].iloc[0]],
+            "n": np.int64(len(g)),
+            "sx": rx.sum(), "sy": ry.sum(),
+            "sxy": (rx * ry).sum(),
+            "sxx": (rx * rx).sum(), "syy": (ry * ry).sum()})
+
+    parts = (ds.map_batches(project, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("nation")
+             .map_groups(group_moments, batch_format="pandas")
+             .to_pandas())
+    rows = []
+    for r in parts.itertuples(index=False):
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        sxy, sxx, syy = int(r.sxy), int(r.sxx), int(r.syy)
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        if n < 2 or dx == 0 or dy == 0:
+            continue
+        rows.append((r.nation, n,
+                     float(n * sxy - sx * sy)
+                     / (float(np.sqrt(float(dx)))
+                        * float(np.sqrt(float(dy))))))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["nation", "n_lines", "spearman_r"]) \
+        .sort_values("nation").reset_index(drop=True)
+
+
+SPEARMAN_SQL = """
+WITH pts AS (
+  SELECT n.n_name AS nation,
+         CAST(round(l.l_quantity) AS BIGINT) AS x,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100.0)
+              AS BIGINT) AS y
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+r AS (
+  SELECT nation,
+         2 * RANK() OVER (PARTITION BY nation ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY nation, x) - 1 AS rx,
+         2 * RANK() OVER (PARTITION BY nation ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY nation, y) - 1 AS ry
+  FROM pts),
+sums AS (
+  SELECT nation, count(*) AS n,
+         sum(CAST(rx AS HUGEINT)) AS sx, sum(CAST(ry AS HUGEINT)) AS sy,
+         sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+         sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+         sum(CAST(ry AS HUGEINT) * ry) AS syy
+  FROM r GROUP BY nation)
+SELECT nation, CAST(n AS BIGINT) AS n_lines,
+       CAST(n*sxy - sx*sy AS DOUBLE)
+         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+            * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS spearman_r
+FROM sums
+WHERE n >= 2 AND (n*sxx - sx*sx) <> 0 AND (n*syy - sy*sy) <> 0
+ORDER BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U per event type (type vs rest, via global value ranks)
+# ---------------------------------------------------------------------------
+
+
+def events_type_mannwhitney(sf_dir: str):
+    """Mann-Whitney rank-sum statistic of each event type's values
+    against all other types: U1 = R1 - n1(n1+1)/2 with R1 the sum of
+    average ranks in the COMBINED sample. The distributed part reduces
+    the full scan to a (event_type, value-cents) count histogram; the
+    driver derives doubled global rank-mins from the value-marginal
+    cumulative counts (histogram size is bounded by distinct cents
+    values x types, independent of row count) and emits the exact
+    integer ``u_x2 = sum(c * r2) - n1*(n1+1)``. No floats anywhere.
+    Output: (event_type, n1, n2, u_x2)."""
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n1": pd.Series(dtype="int64"),
+                          "n2": pd.Series(dtype="int64"),
+                          "u_x2": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["value"]))
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False),
+            "v": _cents(batch["value"]).to_numpy(zero_copy_only=False)})
+        g = df.groupby(["event_type", "v"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"),
+                            columns=["event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["event_type", "v"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    # value-marginal counts -> doubled avg rank per distinct value:
+    # r2(v) = 2*rank_min(v) + tie_count(v) - 1, rank_min = 1 + cum_prev
+    marg = hist.groupby("v", as_index=False)["c"].sum().sort_values("v")
+    cnt = marg["c"].to_numpy(np.int64)
+    cum_prev = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    r2 = 2 * (1 + cum_prev) + cnt - 1
+    r2_by_v = dict(zip(marg["v"].to_numpy(), r2))
+    total = int(cnt.sum())
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        n1 = int(g["c"].sum())
+        r2sum = int((g["c"].to_numpy(np.int64)
+                     * g["v"].map(r2_by_v).to_numpy(np.int64)).sum())
+        rows.append((et, n1, total - n1, r2sum - n1 * (n1 + 1)))
+    return pd.DataFrame(rows, columns=["event_type", "n1", "n2", "u_x2"]) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+MANNWHITNEY_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type,
+         2 * RANK() OVER (ORDER BY v)
+           + COUNT(*) OVER (PARTITION BY v) - 1 AS r2
+  FROM c),
+t AS (
+  SELECT event_type, count(*) AS n1,
+         sum(CAST(r2 AS HUGEINT)) AS r2sum
+  FROM r GROUP BY event_type),
+tot AS (SELECT count(*) AS n FROM c)
+SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+       CAST(tot.n - n1 AS BIGINT) AS n2,
+       CAST(r2sum - n1 * (n1 + 1) AS BIGINT) AS u_x2
+FROM t, tot
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands over the hourly count series
+# ---------------------------------------------------------------------------
+
+BOLL_WINDOW = 24
+
+
+def events_hourly_bollinger(sf_dir: str):
+    """Trailing 24-hour Bollinger bands (mean +/- 2 sample std) over
+    the densified hourly event-count series. Same grouped epoch-hour
+    exchange as the rolling median; window sums s and ss are exact
+    int64 (sliding cumulative differences), and the three emitted
+    floats follow ONE fixed op order replicated in the oracle:
+    mean = s/k; dev = sqrt((k*ss - s*s)/(k*(k-1))); band = mean -/+
+    2*dev. Rows with k < 2 (only the first hour) are dropped.
+    Output: (hr, c, mean_c, lower, upper)."""
+    empty = pd.DataFrame({"hr": pd.Series(dtype="int64"),
+                          "c": pd.Series(dtype="int64"),
+                          "mean_c": pd.Series(dtype="float64"),
+                          "lower": pd.Series(dtype="float64"),
+                          "upper": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"hr": hr}).groupby("hr", as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    dense[hr - h0] = hist["c"].to_numpy(np.int64)
+    n = len(dense)
+    if n < 2:
+        return empty
+    cs = np.concatenate(([0], np.cumsum(dense)))
+    cs2 = np.concatenate(([0], np.cumsum(dense * dense)))
+    i = np.arange(n)
+    lo = np.maximum(0, i - BOLL_WINDOW + 1)
+    k = (i - lo + 1).astype(np.int64)
+    s = cs[i + 1] - cs[lo]
+    ss = cs2[i + 1] - cs2[lo]
+    keep = k >= 2
+    k, s, ss, i = k[keep], s[keep], ss[keep], i[keep]
+    mean = s.astype(np.float64) / k
+    dev = np.sqrt((k * ss - s * s).astype(np.float64) / (k * (k - 1)))
+    return pd.DataFrame({"hr": (h0 + i).astype(np.int64),
+                         "c": dense[i], "mean_c": mean,
+                         "lower": mean - 2.0 * dev,
+                         "upper": mean + 2.0 * dev})
+
+
+BOLLINGER_SQL = f"""
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, COALESCE(h.c, 0) AS c
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr),
+w AS (
+  SELECT hr, c,
+         SUM(c) OVER win AS s, SUM(c * c) OVER win AS ss,
+         COUNT(*) OVER win AS k
+  FROM dense
+  WINDOW win AS (ORDER BY hr ROWS {BOLL_WINDOW - 1} PRECEDING))
+SELECT hr, CAST(c AS BIGINT) AS c,
+       CAST(s AS DOUBLE) / k AS mean_c,
+       CAST(s AS DOUBLE) / k
+         - 2.0 * sqrt(CAST(k*ss - s*s AS DOUBLE) / (k*(k-1))) AS lower,
+       CAST(s AS DOUBLE) / k
+         + 2.0 * sqrt(CAST(k*ss - s*s AS DOUBLE) / (k*(k-1))) AS upper
+FROM w WHERE k >= 2
+ORDER BY hr
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope over monthly revenue
+# ---------------------------------------------------------------------------
+
+
+def orders_monthly_theilsen(sf_dir: str):
+    """Theil-Sen robust trend of monthly order revenue: the median of
+    all pairwise slopes (rev_j - rev_i) / (month_j - month_i), i < j.
+    The distributed part is the exact-cents monthly aggregate (reused
+    from ``orders_monthly``); the O(m^2) pair sweep runs on the tiny
+    months table (<= ~1200 rows even at 100 TB -> <1M pairs) as one
+    vectorized numpy triangle. Each slope is a SINGLE int->double
+    division (bit-identical across engines); the median is emitted as
+    ``slope_med2 = lo + hi`` (the two middle order statistics, equal
+    when the pair count is odd) so no engine-specific interpolation is
+    involved. Output: (n_points, n_pairs, slope_med2)."""
+    empty = pd.DataFrame({"n_points": pd.Series(dtype="int64"),
+                          "n_pairs": pd.Series(dtype="int64"),
+                          "slope_med2": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    m = orders_monthly(sf_dir).to_pandas()
+    if len(m) < 2:
+        return empty
+    ym = m["month"].str.split("-", expand=True).astype(np.int64)
+    mi = (ym[0] * 12 + ym[1]).to_numpy(np.int64)
+    rev = m["total_x100"].to_numpy(np.int64)
+    order = np.argsort(mi)
+    mi, rev = mi[order], rev[order]
+    iu, ju = np.triu_indices(len(mi), k=1)
+    slopes = (rev[ju] - rev[iu]).astype(np.float64) / (mi[ju] - mi[iu])
+    slopes.sort()
+    k = len(slopes)
+    med2 = float(slopes[(k - 1) // 2]) + float(slopes[k // 2])
+    return pd.DataFrame({"n_points": [np.int64(len(mi))],
+                         "n_pairs": [np.int64(k)],
+                         "slope_med2": [med2]})
+
+
+THEILSEN_SQL = """
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mi,
+         SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev
+  FROM orders GROUP BY mi),
+p AS (
+  SELECT CAST(b.rev - a.rev AS DOUBLE) / (b.mi - a.mi) AS slope
+  FROM m a JOIN m b ON a.mi < b.mi),
+o AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+         count(*) OVER () AS k
+  FROM p)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_points,
+       CAST(max(k) AS BIGINT) AS n_pairs,
+       SUM(CASE WHEN rn = (k + 1) // 2 THEN slope ELSE 0 END)
+         + SUM(CASE WHEN rn = k // 2 + 1 THEN slope ELSE 0 END)
+           AS slope_med2
+FROM o
+"""
+
+
+RANKS_QUERIES: dict[str, tuple] = {
+    "lineitem_spearman_by_nation": (lineitem_spearman_by_nation,
+                                    SPEARMAN_SQL),
+    "events_type_mannwhitney": (events_type_mannwhitney, MANNWHITNEY_SQL),
+    "events_hourly_bollinger": (events_hourly_bollinger, BOLLINGER_SQL),
+    "orders_monthly_theilsen": (orders_monthly_theilsen, THEILSEN_SQL),
+}

@@ -22,6 +22,7 @@ def all_queries() -> dict[str, tuple]:
     from .pipelines.storage import STORAGE_QUERIES
     from .pipelines.graph import GRAPH_QUERIES
     from .pipelines.stats import STATS_QUERIES
+    from .pipelines.ranks import RANKS_QUERIES
     from .pipelines.mleval import MLEVAL_QUERIES
 
     out: dict[str, tuple] = {}
@@ -30,6 +31,7 @@ def all_queries() -> dict[str, tuple]:
                 DEDUP_QUERIES, SIMILARITY_QUERIES, ANALYSIS_QUERIES,
                 RETRIEVAL_QUERIES, MEDIA_QUERIES, COMPARE_QUERIES,
                 STREAMING_QUERIES, PACKING_QUERIES, STORAGE_QUERIES,
-                GRAPH_QUERIES, STATS_QUERIES, MLEVAL_QUERIES):
+                GRAPH_QUERIES, STATS_QUERIES, RANKS_QUERIES,
+                MLEVAL_QUERIES):
         out.update(reg)
     return out

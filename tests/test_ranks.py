@@ -1,0 +1,160 @@
+"""Rank-statistics tier: Spearman sign/magnitude on planted monotonic
+data, Mann-Whitney U on hand-computed tie cases, Bollinger degenerate
+(zero-variance) bands, Theil-Sen exactness on linear revenue, and a
+randomized DuckDB oracle fuzz over the tie-heavy regime."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extraction_ray.pipelines import ranks as R
+
+
+def _mk_nation_fixture(d: str, qty, price):
+    pd.DataFrame({
+        "l_suppkey": np.ones(len(qty), dtype=np.int64),
+        "l_quantity": np.asarray(qty, dtype=np.float64),
+        "l_extendedprice": np.asarray(price, dtype=np.float64),
+        "l_discount": np.zeros(len(qty))}) \
+        .to_parquet(os.path.join(d, "lineitem.parquet"))
+    pd.DataFrame({"s_suppkey": [1], "s_nationkey": [0]}) \
+        .to_parquet(os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({"n_nationkey": [0], "n_name": ["ALPHA"]}) \
+        .to_parquet(os.path.join(d, "nation.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spearman_monotonic_is_exactly_one(tmp_path):
+    """A strictly monotonic (even nonlinear) relation has identical
+    rank orders, so rho is EXACTLY 1.0 (integer moments cancel)."""
+    d = str(tmp_path)
+    qty = np.arange(1, 21, dtype=np.float64)
+    _mk_nation_fixture(d, qty, qty ** 2 + 7.0)
+    out = R.lineitem_spearman_by_nation(d)
+    assert list(out.nation) == ["ALPHA"]
+    assert out.spearman_r.iloc[0] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spearman_antitonic_is_exactly_minus_one(tmp_path):
+    d = str(tmp_path)
+    qty = np.arange(1, 16, dtype=np.float64)
+    _mk_nation_fixture(d, qty, 1000.0 - 3.0 * qty)
+    out = R.lineitem_spearman_by_nation(d)
+    # sqrt(dx)*sqrt(dy) rounds one ulp off dx, so the IEEE result is
+    # -1-1ulp on BOTH engines; assert bit-parity with the oracle, not
+    # the algebraic -1
+    assert abs(out.spearman_r.iloc[0] + 1.0) < 1e-14
+    want = _duck(d, R.SPEARMAN_SQL)
+    assert out.spearman_r.iloc[0] == want.spearman_r.iloc[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mannwhitney_separated_and_tied(tmp_path):
+    """Fully separated samples give U in {0, n1*n2}; a planted tie
+    across groups gives the hand-computed half-rank U (x2 exact)."""
+    d = str(tmp_path)
+    pd.DataFrame({"event_type": ["a"] * 3 + ["b"] * 3,
+                  "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = R.events_type_mannwhitney(d).set_index("event_type")
+    assert out.loc["a", "u_x2"] == 0            # every a below every b
+    assert out.loc["b", "u_x2"] == 2 * 3 * 3    # n1*n2, doubled
+
+    d2 = str(tmp_path / "tied")
+    os.makedirs(d2)
+    # values [1, 2] vs [2, 3]: avg ranks 1, 2.5 | 2.5, 4
+    # R_a = 3.5 -> U_a = 0.5 -> u_x2 = 1; U_b = n1*n2 - U_a = 3.5 -> 7
+    pd.DataFrame({"event_type": ["a", "a", "b", "b"],
+                  "value": [1.0, 2.0, 2.0, 3.0]}) \
+        .to_parquet(os.path.join(d2, "events.parquet"))
+    out2 = R.events_type_mannwhitney(d2).set_index("event_type")
+    assert out2.loc["a", "u_x2"] == 1
+    assert out2.loc["b", "u_x2"] == 7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bollinger_constant_series_collapses(tmp_path):
+    """A constant hourly count series has zero variance: both bands
+    equal the mean equal the count, and the k=1 first hour is absent."""
+    d = str(tmp_path)
+    base = pd.Timestamp("2024-01-01")
+    ts = [base + pd.Timedelta(hours=h, minutes=m * 7)
+          for h in range(30) for m in range(3)]
+    pd.DataFrame({"ts": ts}).to_parquet(os.path.join(d, "events.parquet"))
+    out = R.events_hourly_bollinger(d)
+    assert len(out) == 29                       # first hour dropped (k=1)
+    assert (out.c == 3).all()
+    assert (out.mean_c == 3.0).all()
+    assert (out.lower == 3.0).all()
+    assert (out.upper == 3.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_theilsen_linear_revenue_exact(tmp_path):
+    """One order per month with revenue linear in the month index:
+    every pairwise slope equals the true slope, so slope_med2 is
+    exactly twice it."""
+    d = str(tmp_path)
+    months = pd.date_range("2023-01-15", periods=12, freq="MS")
+    pd.DataFrame({"o_orderdate": months,
+                  "o_totalprice": 100.0 + 10.0 * np.arange(12)}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+    out = R.orders_monthly_theilsen(d)
+    assert out.n_points.iloc[0] == 12
+    assert out.n_pairs.iloc[0] == 12 * 11 // 2
+    assert out.slope_med2.iloc[0] == 2 * 1000.0  # 10 dollars = 1000 cents
+
+
+# ---------------------------------------------------------------------------
+# randomized oracle fuzz (tie-heavy regime: tiny value domains)
+# ---------------------------------------------------------------------------
+
+def _duck(d: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier", "nation", "orders", "events"):
+        p = os.path.join(d, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{p}')")
+    return con.sql(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mannwhitney_fuzz_vs_duckdb(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    d = str(tmp_path)
+    n = int(rng.integers(20, 120))
+    pd.DataFrame({
+        "event_type": rng.choice(list("abc"), size=n),
+        # domain of 6 distinct cents values -> dense cross-group ties
+        "value": rng.integers(0, 6, size=n) / 2.0}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    got = _canon(R.events_type_mannwhitney(d))
+    want = _canon(_duck(d, R.MANNWHITNEY_SQL))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [0, 1])
+def test_spearman_fuzz_vs_duckdb(tmp_path, seed):
+    rng = np.random.default_rng(100 + seed)
+    d = str(tmp_path)
+    n = int(rng.integers(30, 150))
+    _mk_nation_fixture(
+        d, rng.integers(1, 8, size=n).astype(np.float64),
+        rng.integers(1, 10, size=n).astype(np.float64) * 25.0)
+    got = _canon(R.lineitem_spearman_by_nation(d))
+    want = _canon(_duck(d, R.SPEARMAN_SQL))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
