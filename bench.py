@@ -654,7 +654,8 @@ def main():
                          "lineitem_spearman_by_nation",
                          "events_type_mannwhitney",
                          "events_hourly_bollinger",
-                         "orders_monthly_theilsen"]
+                         "orders_monthly_theilsen",
+                         "events_type_kendall", "events_hourly_xcorr"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

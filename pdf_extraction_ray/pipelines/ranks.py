@@ -380,10 +380,235 @@ FROM o
 """
 
 
+# ---------------------------------------------------------------------------
+# Kendall tau-b per event type (value vs time, concordance counting)
+# ---------------------------------------------------------------------------
+
+KENDALL_BLOCK = 512
+
+
+def events_type_kendall(sf_dir: str):
+    """Kendall tau-b between event time (epoch micros) and value cents,
+    per event type: tau = (C - D) / (sqrt(n0 - n1) * sqrt(n0 - n2))
+    with C - D the signed concordance sum over all pairs and n1/n2 the
+    tie-pair corrections. Every ingredient is an exact integer: the
+    pair sweep runs inside ``groupby(event_type).map_groups`` as a
+    block-chunked numpy sign product (O(n^2) work but O(block*n)
+    memory; the docstring bound is ~50k rows/group before the sweep
+    dominates — past that the scale path is the O(n log n)
+    inversion-count form). One float division finishes tau identically
+    on both engines. Output: (event_type, n, cmd, tau_b)."""
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64"),
+                          "cmd": pd.Series(dtype="int64"),
+                          "tau_b": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["value"]),
+                                     pc.is_valid(batch["ts"])))
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False),
+            "x": ts.astype("datetime64[us]").astype(np.int64),
+            "v": _cents(batch["value"]).to_numpy(zero_copy_only=False)})
+
+    def group_kendall(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["x"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        n = len(g)
+        s = 0
+        for st in range(0, n, KENDALL_BLOCK):
+            en = min(st + KENDALL_BLOCK, n)
+            dxw = np.sign(x[st:en, None] - x[None, st:en])
+            dvw = np.sign(v[st:en, None] - v[None, st:en])
+            s += int(np.triu(dxw * dvw, k=1).sum())
+            if en < n:
+                dxt = np.sign(x[st:en, None] - x[None, en:])
+                dvt = np.sign(v[st:en, None] - v[None, en:])
+                s += int((dxt * dvt).sum())
+        tx = pd.Series(x).value_counts().to_numpy(np.int64)
+        tv = pd.Series(v).value_counts().to_numpy(np.int64)
+        n0 = n * (n - 1) // 2
+        n1 = int((tx * (tx - 1) // 2).sum())
+        n2 = int((tv * (tv - 1) // 2).sum())
+        if n < 2 or n0 == n1 or n0 == n2:
+            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "cmd": pd.Series(dtype="int64"),
+                                 "tau_b": pd.Series(dtype="float64")})
+        tau = float(s) / (float(np.sqrt(float(n0 - n1)))
+                          * float(np.sqrt(float(n0 - n2))))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "n": np.int64(n), "cmd": np.int64(s),
+                             "tau_b": tau})
+
+    out = (rd.read_parquet(_pq(sf_dir, "events"),
+                           columns=["event_type", "ts", "value"])
+           .map_batches(project, batch_format="pyarrow", batch_size=None)
+           .groupby("event_type")
+           .map_groups(group_kendall, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return empty
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+KENDALL_SQL = """
+WITH c AS (
+  SELECT event_id, event_type, epoch_us(ts) AS x,
+         CAST(round(value * 100.0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+s AS (
+  SELECT a.event_type,
+         SUM(CAST(sign(a.x - b.x) * sign(a.v - b.v) AS HUGEINT)) AS cmd
+  FROM c a JOIN c b
+    ON a.event_type = b.event_type AND a.event_id < b.event_id
+  GROUP BY a.event_type),
+n AS (SELECT event_type, count(*) AS n FROM c GROUP BY event_type),
+t1 AS (
+  SELECT event_type, SUM(CAST(tc * (tc - 1) // 2 AS HUGEINT)) AS n1
+  FROM (SELECT event_type, x, count(*) AS tc FROM c
+        GROUP BY event_type, x) GROUP BY event_type),
+t2 AS (
+  SELECT event_type, SUM(CAST(tc * (tc - 1) // 2 AS HUGEINT)) AS n2
+  FROM (SELECT event_type, v, count(*) AS tc FROM c
+        GROUP BY event_type, v) GROUP BY event_type)
+SELECT n.event_type, CAST(n.n AS BIGINT) AS n,
+       CAST(s.cmd AS BIGINT) AS cmd,
+       CAST(s.cmd AS DOUBLE)
+         / (sqrt(CAST(n.n * (n.n - 1) // 2 - t1.n1 AS DOUBLE))
+            * sqrt(CAST(n.n * (n.n - 1) // 2 - t2.n2 AS DOUBLE))) AS tau_b
+FROM n
+JOIN s ON s.event_type = n.event_type
+JOIN t1 ON t1.event_type = n.event_type
+JOIN t2 ON t2.event_type = n.event_type
+WHERE n.n >= 2 AND n.n * (n.n - 1) // 2 - t1.n1 <> 0
+  AND n.n * (n.n - 1) // 2 - t2.n2 <> 0
+ORDER BY n.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation between two hourly event-count series
+# ---------------------------------------------------------------------------
+
+XCORR_MAX_LAG = 24
+XCORR_A, XCORR_B = "click", "purchase"
+
+
+def events_hourly_xcorr(sf_dir: str):
+    """Pearson cross-correlation of the hourly '{XCORR_A}' count series
+    against the '{XCORR_B}' series shifted by each lag 0..24 — "does a
+    click surge predict purchases L hours later". The distributed part
+    is the (hour, type) count aggregate; the per-lag alignment runs on
+    the tiny dense hour grid (<= ~10^5 rows even at years of data) as a
+    vectorized overlap of integer count vectors, with exact int sums
+    feeding one fixed-order Pearson expression per lag.
+    Output: (lag, n_hours, xcorr)."""
+    empty = pd.DataFrame({"lag": pd.Series(dtype="int64"),
+                          "n_hours": pd.Series(dtype="int64"),
+                          "xcorr": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"],
+                        value_set=pa.array([XCORR_A, XCORR_B]))
+        batch = batch.filter(mask)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "hr": ts.astype("datetime64[h]").astype(np.int64),
+            "event_type": batch["event_type"].to_numpy(
+                zero_copy_only=False)})
+        g = df.groupby(["hr", "event_type"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"),
+                            columns=["ts", "event_type"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["hr", "event_type"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    span = h1 - h0 + 1
+    a = np.zeros(span, dtype=np.int64)
+    b = np.zeros(span, dtype=np.int64)
+    am = hist["event_type"].to_numpy() == XCORR_A
+    a[hr[am] - h0] = hist["c"].to_numpy(np.int64)[am]
+    b[hr[~am] - h0] = hist["c"].to_numpy(np.int64)[~am]
+    rows = []
+    for lag in range(0, XCORR_MAX_LAG + 1):
+        n = span - lag
+        if n < 2:
+            break
+        x, y = a[:n], b[lag:]
+        sa, sb = int(x.sum()), int(y.sum())
+        sab = int((x * y).sum())
+        saa, sbb = int((x * x).sum()), int((y * y).sum())
+        da = n * saa - sa * sa
+        db = n * sbb - sb * sb
+        if da == 0 or db == 0:
+            continue
+        rows.append((lag, n,
+                     float(n * sab - sa * sb)
+                     / (float(np.sqrt(float(da)))
+                        * float(np.sqrt(float(db))))))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["lag", "n_hours", "xcorr"])
+
+
+XCORR_SQL = f"""
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         event_type, COUNT(*) AS c
+  FROM events WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
+  GROUP BY hr, event_type),
+bnd AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr,
+         COALESCE(MAX(CASE WHEN event_type = '{XCORR_A}' THEN c END), 0)
+           AS a,
+         COALESCE(MAX(CASE WHEN event_type = '{XCORR_B}' THEN c END), 0)
+           AS b
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM bnd) g
+  LEFT JOIN h ON h.hr = g.hr
+  GROUP BY g.hr),
+lags AS (SELECT unnest(generate_series(0, {XCORR_MAX_LAG})) AS lag),
+j AS (
+  SELECT l.lag, count(*) AS n,
+         SUM(CAST(d1.a AS HUGEINT)) AS sa,
+         SUM(CAST(d2.b AS HUGEINT)) AS sb,
+         SUM(CAST(d1.a AS HUGEINT) * d2.b) AS sab,
+         SUM(CAST(d1.a AS HUGEINT) * d1.a) AS saa,
+         SUM(CAST(d2.b AS HUGEINT) * d2.b) AS sbb
+  FROM lags l
+  JOIN dense d1 ON true
+  JOIN dense d2 ON d2.hr = d1.hr + l.lag
+  GROUP BY l.lag)
+SELECT lag, CAST(n AS BIGINT) AS n_hours,
+       CAST(n*sab - sa*sb AS DOUBLE)
+         / (sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+            * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))) AS xcorr
+FROM j
+WHERE n >= 2 AND (n*saa - sa*sa) <> 0 AND (n*sbb - sb*sb) <> 0
+ORDER BY lag
+"""
+
+
 RANKS_QUERIES: dict[str, tuple] = {
     "lineitem_spearman_by_nation": (lineitem_spearman_by_nation,
                                     SPEARMAN_SQL),
     "events_type_mannwhitney": (events_type_mannwhitney, MANNWHITNEY_SQL),
     "events_hourly_bollinger": (events_hourly_bollinger, BOLLINGER_SQL),
     "orders_monthly_theilsen": (orders_monthly_theilsen, THEILSEN_SQL),
+    "events_type_kendall": (events_type_kendall, KENDALL_SQL),
+    "events_hourly_xcorr": (events_hourly_xcorr, XCORR_SQL),
 }

@@ -109,6 +109,58 @@ def test_theilsen_linear_revenue_exact(tmp_path):
     assert out.slope_med2.iloc[0] == 2 * 1000.0  # 10 dollars = 1000 cents
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_kendall_monotone_and_tied(tmp_path):
+    """Values strictly increasing in time give tau_b = +1 (all pairs
+    concordant); a planted tie case matches the hand count."""
+    d = str(tmp_path)
+    base = pd.Timestamp("2024-01-01")
+    ts = [base + pd.Timedelta(minutes=i) for i in range(10)]
+    pd.DataFrame({"event_id": np.arange(10, dtype=np.int64),
+                  "event_type": ["a"] * 10, "ts": ts,
+                  "value": np.arange(10, dtype=np.float64)}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = R.events_type_kendall(d)
+    assert out.cmd.iloc[0] == 10 * 9 // 2       # all concordant
+    assert abs(out.tau_b.iloc[0] - 1.0) < 1e-14
+
+    d2 = str(tmp_path / "tied")
+    os.makedirs(d2)
+    # times 0,1,2,3 with values 1,2,2,1: pairs (0,1)+ (0,2)+ (0,3)=
+    # (1,1) tie-y=0, (1,2) tie 0, (1,3)- , (2,3)-  -> cmd = 2-2 = 0
+    pd.DataFrame({"event_id": np.arange(4, dtype=np.int64),
+                  "event_type": ["a"] * 4,
+                  "ts": [base + pd.Timedelta(minutes=i) for i in range(4)],
+                  "value": [1.0, 2.0, 2.0, 1.0]}) \
+        .to_parquet(os.path.join(d2, "events.parquet"))
+    out2 = R.events_type_kendall(d2)
+    assert out2.cmd.iloc[0] == 0
+    assert out2.tau_b.iloc[0] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_xcorr_detects_planted_lag(tmp_path):
+    """Purchases planted as an exact 3-hour-delayed copy of the click
+    pattern peak the cross-correlation at lag 3 with r ~ 1."""
+    d = str(tmp_path)
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.default_rng(7)
+    clicks_per_hr = rng.integers(1, 9, size=60)
+    rows = []
+    for h, c in enumerate(clicks_per_hr):
+        for k in range(int(c)):
+            rows.append(("click", base + pd.Timedelta(hours=h, minutes=k)))
+        for k in range(int(c)):                  # same counts, +3 hours
+            rows.append(("purchase",
+                         base + pd.Timedelta(hours=h + 3, minutes=30 + k)))
+    df = pd.DataFrame(rows, columns=["event_type", "ts"])
+    df.to_parquet(os.path.join(d, "events.parquet"))
+    out = R.events_hourly_xcorr(d)
+    best = out.loc[out.xcorr.idxmax()]
+    assert best.lag == 3
+    assert best.xcorr > 0.999999
+
+
 # ---------------------------------------------------------------------------
 # randomized oracle fuzz (tie-heavy regime: tiny value domains)
 # ---------------------------------------------------------------------------
@@ -141,6 +193,27 @@ def test_mannwhitney_fuzz_vs_duckdb(tmp_path, seed):
         .to_parquet(os.path.join(d, "events.parquet"))
     got = _canon(R.events_type_mannwhitney(d))
     want = _canon(_duck(d, R.MANNWHITNEY_SQL))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [0, 1])
+def test_kendall_fuzz_vs_duckdb(tmp_path, seed):
+    rng = np.random.default_rng(200 + seed)
+    d = str(tmp_path)
+    n = int(rng.integers(20, 100))
+    base = pd.Timestamp("2024-01-01")
+    # coarse second-resolution times + tiny value domain -> many ties
+    pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "event_type": rng.choice(list("ab"), size=n),
+        "ts": [base + pd.Timedelta(seconds=int(s))
+               for s in rng.integers(0, 30, size=n)],
+        "value": rng.integers(0, 5, size=n) / 2.0}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    got = _canon(R.events_type_kendall(d))
+    want = _canon(_duck(d, R.KENDALL_SQL))
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
 
