@@ -655,7 +655,8 @@ def main():
                          "events_type_mannwhitney",
                          "events_hourly_bollinger",
                          "orders_monthly_theilsen",
-                         "events_type_kendall", "events_hourly_xcorr"]
+                         "events_type_kendall", "events_hourly_xcorr",
+                         "events_watermark_lateness"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -619,7 +619,116 @@ ORDER BY hour, rnk
 """
 
 
+# ---------------------------------------------------------------------------
+# Watermark / late-arrival accounting (distributed prefix-MAX scan)
+# ---------------------------------------------------------------------------
+
+# arrival-order bucket width: event_id // WM_BUCKET rows per bucket. At
+# test scale this yields ~dozens of buckets so the carry-in path is
+# actually exercised; at 10^12 events size it so the carry table stays
+# driver-small (e.g. 2^20 rows/bucket -> ~1M carries).
+WM_BUCKET = 4096
+WM_LATE_US = 10 * 60 * 1_000_000       # allowed lateness: 10 minutes
+
+
+def events_watermark_lateness(sf_dir: str, bucket_rows: int = WM_BUCKET,
+                              late_us: int = WM_LATE_US):
+    """Late-data accounting for the event log: treating ``event_id`` as
+    ARRIVAL order, an event is late if its event time is more than 10
+    minutes behind the watermark (the max event time of all earlier
+    arrivals). The classic streaming metric, computed batch-side as a
+    distributed prefix-MAX scan: pass 1 reduces each arrival bucket
+    (event_id // {WM_BUCKET}) to its max event time, the driver
+    prefix-combines those tiny partials into per-bucket carry-ins, and
+    pass 2 re-scans each bucket with its carry-in broadcast, marking
+    lateness against the bucket-local shifted prefix max — no stage
+    ever orders more than one bucket. All integers (epoch micros);
+    grouped per event-time hour. Output: (hr, n_events, n_late)."""
+    from .relational import _coarse_partition_map, _pq, _table_empty
+
+    empty = pd.DataFrame({"hr": pd.Series(dtype="int64"),
+                          "n_events": pd.Series(dtype="int64"),
+                          "n_late": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["event_id", "ts"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        batch = batch.filter(pc.is_valid(batch["ts"]))
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        x = ts.astype("datetime64[us]").astype(np.int64)
+        return pa.Table.from_pydict({
+            "bucket": (eid // bucket_rows).astype(np.int64), "eid": eid,
+            "x": x, "hr": ts.astype("datetime64[h]").astype(np.int64)})
+
+    pts = ds.map_batches(project, batch_format="pyarrow",
+                         batch_size=None).materialize()
+
+    # pass 1: per-bucket max event time (tiny partials)
+    from ray.data.aggregate import Max, Sum
+    bmax = (pts.groupby("bucket").aggregate(Max("x", alias_name="mx"))
+            .to_pandas().sort_values("bucket"))
+    if bmax.empty:
+        return empty
+    mx = bmax["mx"].to_numpy(np.int64)
+    carry_vals = np.concatenate(([np.iinfo(np.int64).min],
+                                 np.maximum.accumulate(mx)[:-1]))
+    carry = dict(zip(bmax["bucket"].to_numpy(np.int64),
+                     carry_vals.astype(np.int64)))
+    carry_ref = ray.put(carry)
+
+    # pass 2: bucket-local shifted prefix max + carry-in -> lateness
+    def bucket_scan(g: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(carry_ref)
+        out = []
+        for b, sub in g.groupby("bucket"):
+            sub = sub.sort_values("eid")
+            x = sub["x"].to_numpy(np.int64)
+            prev = np.concatenate(([cmap[int(b)]],
+                                   np.maximum.accumulate(x)[:-1]))
+            prev = np.maximum(prev, cmap[int(b)])
+            # the very first arrival carries the int64-min sentinel (no
+            # watermark yet) — never late, and kept out of the subtract
+            has_wm = prev != np.iinfo(np.int64).min
+            late = has_wm & ((np.where(has_wm, prev, x) - x) > late_us)
+            d = pd.DataFrame({"hr": sub["hr"].to_numpy(np.int64),
+                              "late": late.astype(np.int64)})
+            a = d.groupby("hr", as_index=False).agg(
+                n_events=("late", "size"), n_late=("late", "sum"))
+            out.append(a)
+        return pd.concat(out, ignore_index=True).astype("int64")
+
+    res = (_coarse_partition_map(pts, "bucket", bucket_scan)
+           .groupby("hr")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("n_late", alias_name="n_late"))
+           .to_pandas())
+    return res.sort_values("hr").reset_index(drop=True).astype("int64")
+
+
+WATERMARK_SQL = f"""
+WITH c AS (
+  SELECT event_id, epoch_us(ts) AS x,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr
+  FROM events WHERE ts IS NOT NULL),
+w AS (
+  SELECT hr, x,
+         MAX(x) OVER (ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS wm
+  FROM c)
+SELECT hr, count(*) AS n_events,
+       CAST(COALESCE(SUM(CASE WHEN wm - x > {WM_LATE_US}
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
+FROM w GROUP BY hr ORDER BY hr
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
+    "events_watermark_lateness": (events_watermark_lateness,
+                                  WATERMARK_SQL),
     "events_stream_topk": (events_stream_topk, STREAM_TOPK_SQL),
     "events_stream_windows": (events_stream_windows, STREAM_WINDOWS_SQL),
     "events_stream_attribution": (events_stream_attribution,
