@@ -366,9 +366,168 @@ FROM e HAVING COUNT(*) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Average precision (tie-deterministic, integer floor units)
+# ---------------------------------------------------------------------------
+
+AP_UNIT = 1_000_000_000  # precision@k floored to 1e-9 units before summing
+
+
+def model_eval_ap(sf_dir: str):
+    """Exact average precision of the quality-model score under the
+    pessimistic tie convention (within a tied score block, negatives
+    rank BEFORE positives — a total order both engines share without
+    needing a per-row tiebreak column): AP = mean over positives of
+    precision@rank, each precision floored to integer 1e-9 units so the
+    sum is order-free exact integer math. Derived driver-side from the
+    SAME compacted (score -> pos, neg) histogram as the AUC — for a
+    tied block at cumulative (pos_before=A, total_before=Tb) with p
+    positives of t rows, the j-th positive sits at rank Tb+(t-p)+j with
+    cum_pos A+j. Output: (n, n_pos, ap)."""
+    empty = pd.DataFrame({"n": pd.Series(dtype="int64"),
+                          "n_pos": pd.Series(dtype="int64"),
+                          "ap": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "documents"):
+        return empty
+    hist = _score_histogram(sf_dir)
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("score", ascending=False)
+    pos = hist["pos"].to_numpy(np.int64)
+    neg = hist["neg"].to_numpy(np.int64)
+    n_pos, n = int(pos.sum()), int((pos + neg).sum())
+    if n_pos == 0:
+        return empty
+    units = 0
+    A = 0   # positives above this block
+    Tb = 0  # rows above this block
+    for p, ng in zip(pos.tolist(), neg.tolist()):
+        if p:
+            j = np.arange(1, p + 1, dtype=np.int64)
+            # (A+j)*AP_UNIT fits int64 out to ~9e9 positives
+            units += int((((A + j) * AP_UNIT) // (Tb + ng + j)).sum())
+        A += p
+        Tb += p + ng
+    return pd.DataFrame({"n": [n], "n_pos": [n_pos],
+                         "ap": [float(units) / (float(n_pos) * AP_UNIT)]})
+
+
+AP_SQL = _scored_cte() + f"""
+, r AS (
+  SELECT pos,
+         ROW_NUMBER() OVER (ORDER BY score DESC, pos ASC) AS rn,
+         SUM(pos) OVER (ORDER BY score DESC, pos ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_pos
+  FROM scored),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(pos) AS n_pos,
+         SUM(CASE WHEN pos = 1
+                  THEN CAST(cum_pos AS HUGEINT) * {AP_UNIT} // rn
+                  ELSE 0 END) AS units
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(units AS DOUBLE) / (CAST(n_pos AS DOUBLE) * {AP_UNIT}.0) AS ap
+FROM agg WHERE n_pos > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lift / gain table by score decile
+# ---------------------------------------------------------------------------
+
+N_LIFT_BINS = 10
+
+
+def model_eval_lift_deciles(sf_dir: str):
+    """Lift/gain table: rows ranked by score descending (pessimistic
+    tie convention, as in AP), cut into N_LIFT_BINS equal-count bins by
+    rank; per bin the row count, positive count, lift vs the base rate
+    (x1e6 floor division: pos_d * n * 1e6 // (n_d * n_pos)) and the
+    cumulative capture rate (cum_pos * 1e6 // n_pos) — the campaign-
+    targeting diagnostic every scoring pipeline ships. Derived from the
+    compacted histogram by interval intersection of each tied block's
+    negative/positive rank ranges with the decile boundaries, so the
+    only exchange is the histogram groupby. Output: (decile, n_rows,
+    n_pos, lift_x1e6, cum_capture_x1e6)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("decile", "n_rows", "n_pos", "lift_x1e6",
+                           "cum_capture_x1e6")})
+    if _table_empty(sf_dir, "documents"):
+        return empty
+    hist = _score_histogram(sf_dir)
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("score", ascending=False)
+    pos = hist["pos"].to_numpy(np.int64)
+    neg = hist["neg"].to_numpy(np.int64)
+    n_pos, n = int(pos.sum()), int((pos + neg).sum())
+    if n_pos == 0:
+        return empty
+    # decile of rank rn (1-based) = (rn-1)*B // n; bin d covers ranks
+    # [d*n//B + 1, (d+1)*n//B]  (exact complement of the floor rule)
+    B = N_LIFT_BINS
+    bounds = [(d * n // B, (d + 1) * n // B) for d in range(B)]  # (lo, hi]
+    n_d = np.zeros(B, dtype=np.int64)
+    pos_d = np.zeros(B, dtype=np.int64)
+    Tb = 0
+    A = 0
+    for p, ng in zip(pos.tolist(), neg.tolist()):
+        t = p + ng
+        pos_lo, pos_hi = Tb + ng, Tb + t        # positives occupy (lo, hi]
+        for d, (lo, hi) in enumerate(bounds):
+            if lo >= Tb + t or hi <= Tb:
+                continue
+            n_d[d] += min(hi, Tb + t) - max(lo, Tb)
+            pos_d[d] += max(0, min(hi, pos_hi) - max(lo, pos_lo))
+        Tb += t
+        A += p
+    cum = np.cumsum(pos_d)
+    out = pd.DataFrame({
+        "decile": np.arange(B, dtype=np.int64),
+        "n_rows": n_d, "n_pos": pos_d,
+        "lift_x1e6": np.array(
+            [int(pd_) * n * 1_000_000 // (int(nd) * n_pos) if nd else -1
+             for pd_, nd in zip(pos_d, n_d)], dtype=np.int64),
+        "cum_capture_x1e6": np.array(
+            [int(c) * 1_000_000 // n_pos for c in cum], dtype=np.int64)})
+    return out[out["n_rows"] > 0].reset_index(drop=True)
+
+
+LIFT_SQL = _scored_cte() + f"""
+, r AS (
+  SELECT pos, ROW_NUMBER() OVER (ORDER BY score DESC, pos ASC) AS rn,
+         COUNT(*) OVER () AS n, SUM(pos) OVER () AS n_pos
+  FROM scored),
+b AS (
+  SELECT (rn - 1) * {N_LIFT_BINS} // n AS decile, pos, n, n_pos FROM r),
+g AS (
+  SELECT decile, COUNT(*) AS n_rows, SUM(pos) AS pos_d,
+         MAX(n) AS n, MAX(n_pos) AS n_pos
+  FROM b GROUP BY decile)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(pos_d AS BIGINT) AS n_pos,
+       CAST(CASE WHEN n_rows > 0
+                 THEN CAST(pos_d AS HUGEINT) * n * 1000000
+                      // (CAST(n_rows AS HUGEINT) * n_pos)
+                 ELSE -1 END AS BIGINT) AS lift_x1e6,
+       CAST(SUM(pos_d) OVER (ORDER BY decile
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+            * 1000000 // MAX(n_pos) OVER () AS BIGINT)
+           AS cum_capture_x1e6
+FROM g
+WHERE n_pos > 0
+ORDER BY decile
+"""
+
+
 MLEVAL_QUERIES: dict[str, tuple] = {
     "model_eval_auc": (model_eval_auc, AUC_SQL),
     "model_eval_confusion": (model_eval_confusion, CONFUSION_SQL),
     "model_eval_calibration": (model_eval_calibration, CALIBRATION_SQL),
     "model_eval_brier": (model_eval_brier, BRIER_SQL),
+    "model_eval_ap": (model_eval_ap, AP_SQL),
+    "model_eval_lift_deciles": (model_eval_lift_deciles, LIFT_SQL),
 }
