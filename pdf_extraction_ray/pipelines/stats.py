@@ -2008,6 +2008,157 @@ FROM rec ORDER BY hr
 
 
 # ---------------------------------------------------------------------------
+# Holt linear-trend smoothing of the hourly count series
+# ---------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5      # exact binary fractions: every recurrence step is
+HOLT_BETA = 0.25      # the identical IEEE +,* sequence on both engines
+
+
+def events_hourly_holt(sf_dir: str):
+    """Holt's double-exponential (level + trend) smoothing over the
+    densified hourly event-count series — the forecast-baseline
+    recurrence one step past EWMA:
+
+        l_0 = x_0;  b_0 = 0
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    Distributed pass = the same grouped epoch-hour count as the EWMA;
+    the sequential fold runs over the time-span-bounded dense series
+    with EXACT-binary alpha/beta so every step is bit-identical to the
+    oracle's RECURSIVE CTE (which re-derives l_t textually inside the
+    b_t expression — recomputing the identical double). Output:
+    (hr, c, level, trend)."""
+    empty = pd.DataFrame({"hr": pd.Series(dtype="int64"),
+                          "c": pd.Series(dtype="int64"),
+                          "level": pd.Series(dtype="float64"),
+                          "trend": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"hr": hr}).groupby("hr", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    dense[hr - h0] = hist["c"].to_numpy(np.int64)
+    level = np.empty(len(dense))
+    trend = np.empty(len(dense))
+    lv, tr = float(dense[0]), 0.0
+    level[0], trend[0] = lv, tr
+    a, b = HOLT_ALPHA, HOLT_BETA
+    for i in range(1, len(dense)):
+        nl = a * float(dense[i]) + (1.0 - a) * (lv + tr)
+        tr = b * (nl - lv) + (1.0 - b) * tr
+        lv = nl
+        level[i], trend[i] = lv, tr
+    return pd.DataFrame({"hr": np.arange(h0, h1 + 1, dtype=np.int64),
+                         "c": dense, "level": level, "trend": trend})
+
+
+_HOLT_L = (f"{HOLT_ALPHA!r} * CAST(d.c AS DOUBLE) "
+           f"+ {1.0 - HOLT_ALPHA!r} * (rec.level + rec.trend)")
+
+HOLT_SQL = f"""
+WITH RECURSIVE h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, COALESCE(h.c, 0) AS c
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr),
+rec(hr, c, level, trend) AS (
+  -- anchor trend MUST be CAST AS DOUBLE: a bare 0.0 types the column
+  -- DECIMAL(1,1) and the union then rounds every recursive step
+  SELECT hr, c, CAST(c AS DOUBLE), CAST(0.0 AS DOUBLE) FROM dense
+  WHERE hr = (SELECT h0 FROM b)
+  UNION ALL
+  SELECT d.hr, d.c,
+         {_HOLT_L},
+         {HOLT_BETA!r} * (({_HOLT_L}) - rec.level)
+             + {1.0 - HOLT_BETA!r} * rec.trend
+  FROM rec JOIN dense d ON d.hr = rec.hr + 1)
+SELECT CAST(hr AS BIGINT) AS hr, CAST(c AS BIGINT) AS c, level, trend
+FROM rec ORDER BY hr
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily event-type Gini impurity (rational diversity index — no libm)
+# ---------------------------------------------------------------------------
+
+def events_type_gini_daily(sf_dir: str):
+    """Per-day Gini impurity of the event-type mix, 1 - sum(p_i^2) —
+    the diversity/concentration index that, unlike Shannon entropy,
+    is a pure RATIONAL in the counts (no ln, whose libm rounding
+    differs across engines): numerator and denominator stay exact
+    int64 and the final double is ONE division. Per-batch partial
+    (day, type) counts compact each batch to <= days x types rows; one
+    small groupby-sum exchange; the per-day fold is driver-side exact
+    ints. Output: (day, n, sumsq, gini)."""
+    empty = pd.DataFrame({"day": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "sumsq": pd.Series(dtype="int64"),
+                          "gini": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"day": day, "event_type": et}) \
+            .groupby(["day", "event_type"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"),
+                            columns=["ts", "event_type"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["day", "event_type"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    g = hist.assign(sq=hist["c"].astype("int64") ** 2) \
+        .groupby("day", as_index=False) \
+        .agg(n=("c", "sum"), sumsq=("sq", "sum")).astype("int64")
+    n = g["n"].to_numpy(np.int64)
+    sq = g["sumsq"].to_numpy(np.int64)
+    g["gini"] = (n * n - sq).astype(np.float64) / (n * n).astype(np.float64)
+    return g.sort_values("day").reset_index(drop=True)
+
+
+GINI_DAILY_SQL = """
+WITH c AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         event_type, COUNT(*) AS c
+  FROM events GROUP BY day, event_type),
+g AS (
+  SELECT day, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * c) AS BIGINT) AS sumsq
+  FROM c GROUP BY day)
+SELECT day, n, sumsq,
+       CAST(n * n - sumsq AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+FROM g ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
 # Two-regressor OLS (multiple regression via exact integer Cramer dets)
 # ---------------------------------------------------------------------------
 
@@ -2844,6 +2995,8 @@ STATS_QUERIES: dict[str, tuple] = {
     "orders_benford_digits": (orders_benford_digits, BENFORD_SQL),
     "lineitem_ols2": (lineitem_ols2, OLS2_SQL),
     "events_hourly_ewma": (events_hourly_ewma, EWMA_SQL),
+    "events_hourly_holt": (events_hourly_holt, HOLT_SQL),
+    "events_type_gini_daily": (events_type_gini_daily, GINI_DAILY_SQL),
     "events_type_dow_chisq": (events_type_dow_chisq, CHISQ_SQL),
     "events_hourly_acf": (events_hourly_acf, _acf_sql()),
     "lineitem_cov_matrix": (lineitem_cov_matrix, _cov_matrix_sql()),
