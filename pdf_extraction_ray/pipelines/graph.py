@@ -38,6 +38,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -1241,6 +1242,118 @@ LIMIT {LINKPRED_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Item-item cosine similarity from co-purchase counts
+# ---------------------------------------------------------------------------
+
+COSINE_MIN_CO = 2
+COSINE_TOPK = 20
+
+
+def part_copurchase_cosine(sf_dir: str):
+    """Item-item cosine similarity over binary basket vectors — the
+    classic item-based collaborative-filtering score: cosine(a, b) =
+    co / sqrt(d_a * d_b) where co = DISTINCT orders containing both
+    parts and d_x = DISTINCT orders containing x. Pair supports flow
+    through the same orderkey exchange as the basket rules (dedupe
+    before pair expansion, pre-reduced pairkey aggregation); part
+    degrees are one part-keyed count over the deduped (order, part)
+    rows and broadcast as a dimension-table lookup (the part catalog is
+    catalog-shaped, not fact-shaped; past broadcast size the same
+    side-tagged coarse exchange the PageRank fold uses applies). The
+    cosine double is ONE division by an exactly-rounded SQRT, so the
+    descending sort agrees bit-exactly with the oracle; ties break on
+    the part keys. Output: (part_a, part_b, co, da, db, cosine)."""
+    cols = ("part_a", "part_b", "co", "da", "db")
+    empty = pd.DataFrame({**{c: pd.Series(dtype="int64") for c in cols},
+                          "cosine": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        j = m.merge(m, on="l_orderkey", suffixes=("_a", "_b"))
+        j = j[j["l_partkey_a"] < j["l_partkey_b"]]
+        if j.empty:
+            return pd.DataFrame({**_EMPTY_PAIRS,
+                                 "pairkey": pd.Series(dtype="int64")})
+        out = j.rename(columns={"l_partkey_a": "part_a",
+                                "l_partkey_b": "part_b"}) \
+            .groupby(["part_a", "part_b"], as_index=False).size() \
+            .rename(columns={"size": "n_orders"}).astype("int64")
+        out["pairkey"] = out["part_a"] * (1 << 32) + out["part_b"]
+        return out
+
+    def final_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["part_a", "part_b"], as_index=False) \
+            ["n_orders"].sum().astype("int64")
+        return out[out["n_orders"] >= COSINE_MIN_CO]
+
+    pair_ds = _coarse_partition_map(
+        _coarse_partition_map(ds, "l_orderkey", pairs_in_partition),
+        "pairkey", final_sum)
+
+    # part degrees: distinct (order, part) -> part-keyed count
+    def dedupe_batch(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].to_numpy(zero_copy_only=False),
+            "l_partkey": batch["l_partkey"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        return _from_pandas(df.astype("int64"))
+
+    def item_count(g: pd.DataFrame) -> pd.DataFrame:
+        du = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        return du.groupby("l_partkey", as_index=False).size() \
+            .rename(columns={"size": "d"}).astype("int64")
+
+    deg = _coarse_partition_map(
+        ds.map_batches(dedupe_batch, batch_format="pyarrow",
+                       batch_size=None),
+        "l_partkey", item_count).to_pandas()
+    if deg.empty:
+        return empty
+    keys = deg["l_partkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    deg_ref = ray.put((keys[order], deg["d"].to_numpy(np.int64)[order]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dk, dv = ray.get(deg_ref)
+        a = batch["part_a"].to_numpy(zero_copy_only=False)
+        b = batch["part_b"].to_numpy(zero_copy_only=False)
+        co = batch["n_orders"].to_numpy(zero_copy_only=False)
+        da = dv[np.searchsorted(dk, a)]
+        db = dv[np.searchsorted(dk, b)]
+        cos = co.astype(np.float64) / np.sqrt((da * db).astype(np.float64))
+        return pa.table({"part_a": a, "part_b": b, "co": co,
+                         "da": da, "db": db, "cosine": cos})
+
+    return (pair_ds.map_batches(score, batch_format="pyarrow",
+                                batch_size=None)
+            .sort(["cosine", "part_a", "part_b"],
+                  descending=[True, False, False])
+            .limit(COSINE_TOPK))
+
+
+COPURCHASE_COSINE_SQL = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+d AS (SELECT p, COUNT(*) AS d FROM op GROUP BY p),
+c AS (
+  SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS co
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {COSINE_MIN_CO})
+SELECT part_a, part_b, CAST(co AS BIGINT) AS co,
+       CAST(da.d AS BIGINT) AS da, CAST(db.d AS BIGINT) AS db,
+       CAST(co AS DOUBLE) / SQRT(CAST(da.d * db.d AS DOUBLE)) AS cosine
+FROM c JOIN d da ON da.p = part_a JOIN d db ON db.p = part_b
+ORDER BY cosine DESC, part_a, part_b
+LIMIT {COSINE_TOPK}
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     "basket_association_rules": (basket_association_rules, RULES_SQL),
     "copurchase_link_prediction": (copurchase_link_prediction,
@@ -1256,4 +1369,6 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "copurchase_triangles": (copurchase_triangles, TRIANGLES_SQL),
     "orders_similar_baskets": (orders_similar_baskets,
                                SIMILAR_BASKETS_SQL),
+    "part_copurchase_cosine": (part_copurchase_cosine,
+                               COPURCHASE_COSINE_SQL),
 }
