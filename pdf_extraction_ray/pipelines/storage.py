@@ -1143,7 +1143,120 @@ ORDER BY user_id, version_no
 """
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) join of orders against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+PIT_DIM_TYPE = "purchase"   # changelog that versions the dimension
+PIT_FACT_TYPE = "click"     # probe facts looked up point-in-time
+
+
+def events_pit_join(sf_dir: str):
+    """Point-in-time (PIT) join: each probe fact (a ``click`` event)
+    looked up against the SCD2 balance-version history its user's
+    ``purchase`` changelog defines (historized exactly as
+    ``events_scd2_history``) to find the version VALID AT the click
+    timestamp — the feature-store / bitemporal lookup that prevents
+    label leakage in training pipelines. ONE events scan splits the
+    two roles by type; both sides co-partition through one side-tagged
+    coarse exchange on the user key (nothing broadcast); each
+    partition historizes its users' changelog vectorized and resolves
+    all its probes with a single ``merge_asof`` — versions are
+    contiguous, so backward-asof on valid_from IS the
+    [valid_from, valid_to) containment probe. Clicks before their
+    user's first version (or with no versions) drop out, mirroring the
+    oracle's inner range join. Output: (event_id, user_id, version_no,
+    bal_x100)."""
+    from .relational import _coarse_partition_map
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("event_id", "user_id", "version_no",
+                           "bal_x100")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def tag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == PIT_DIM_TYPE) | (et == PIT_FACT_TYPE)
+        t = batch.filter(pa.array(keep))
+        if len(t) == 0:
+            return pa.Table.from_pydict(
+                {"user_id": [], "side": [], "t_ms": [], "event_id": [],
+                 "bal_x100": []},
+                schema=pa.schema([("user_id", pa.int64()),
+                                  ("side", pa.int8()),
+                                  ("t_ms", pa.int64()),
+                                  ("event_id", pa.int64()),
+                                  ("bal_x100", pa.int64())]))
+        ts_ms = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 1000
+        side = (t["event_type"].to_numpy(zero_copy_only=False)
+                == PIT_FACT_TYPE).astype(np.int8)
+        return pa.Table.from_arrays(
+            [t["user_id"], pa.array(side), pa.array(ts_ms),
+             t["event_id"], _cents(t["value"])],
+            names=["user_id", "side", "t_ms", "event_id", "bal_x100"])
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value",
+                                  "event_type"]) \
+        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+    def pit_part(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["side"] == 0]
+        fx = g[g["side"] == 1]
+        if ev.empty or fx.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("event_id", "user_id", "version_no",
+                                  "bal_x100")})
+        v = ev.sort_values(["user_id", "t_ms", "event_id"]) \
+            .drop_duplicates(["user_id", "t_ms"], keep="last")
+        v = v.assign(version_no=v.groupby("user_id").cumcount()
+                     .astype("int64") + 1) \
+            [["user_id", "t_ms", "version_no", "bal_x100"]] \
+            .sort_values("t_ms", kind="stable")
+        o = fx[["event_id", "user_id", "t_ms"]].sort_values(
+            "t_ms", kind="stable")
+        m = pd.merge_asof(o, v, on="t_ms", by="user_id",
+                          direction="backward")
+        m = m[m["version_no"].notna()]
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "version_no": m["version_no"].astype("int64"),
+            "bal_x100": m["bal_x100"].astype("int64")})
+
+    return _coarse_partition_map(ds, "user_id", pit_part) \
+        .sort("event_id")
+
+
+PIT_JOIN_SQL = f"""
+WITH v AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS bal_x100,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = '{PIT_DIM_TYPE}'),
+d AS (SELECT user_id, ts_ms, bal_x100 FROM v WHERE rn = 1),
+h AS (
+  SELECT user_id, ts_ms, bal_x100,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_ms)
+             AS version_no,
+         LEAD(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+             AS next_ts
+  FROM d)
+SELECT f.event_id, h.user_id,
+       CAST(h.version_no AS BIGINT) AS version_no, h.bal_x100
+FROM events f JOIN h
+  ON f.event_type = '{PIT_FACT_TYPE}'
+ AND h.user_id = f.user_id
+ AND epoch_ms(f.ts) >= h.ts_ms
+ AND (h.next_ts IS NULL OR epoch_ms(f.ts) < h.next_ts)
+ORDER BY f.event_id
+"""
+
+
 STORAGE_QUERIES: dict[str, tuple] = {
+    "events_pit_join": (events_pit_join, PIT_JOIN_SQL),
     "events_scd2_history": (events_scd2_history, SCD2_SQL),
     "events_multiformat_union": (events_multiformat_union,
                                  FORMAT_ROUNDTRIP_SQL),
