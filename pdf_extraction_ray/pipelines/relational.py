@@ -2431,6 +2431,74 @@ ORDER BY o_orderkey
 
 
 # ---------------------------------------------------------------------------
+# RANGE-interval window frame: trailing 30 days by time, per customer
+# ---------------------------------------------------------------------------
+
+TRAILING_DAYS = 30
+
+
+def orders_trailing_30d(sf_dir: str):
+    """Per-customer trailing-30-DAY order count and revenue sum — the
+    RANGE-frame window (RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND
+    CURRENT ROW): the frame is bounded by TIME, not row count, and all
+    peer rows sharing a date get the identical frame value. One
+    customer-keyed coarse exchange; inside each partition the frame
+    collapses to per-(customer, day) cumulative sums probed by a
+    single vectorized backward ``merge_asof`` at day-31 (frame sum =
+    cum(d) - cum(last day <= d-31)) — no per-row rescan. Exact int64
+    throughout. Output: (o_orderkey, n_30d, sum_30d_x100)."""
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def trailing(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["o_orderdate"].to_numpy("datetime64[us]") \
+            .astype("datetime64[D]").astype(np.int64)
+        cents = _round_half_away(g["o_totalprice"].to_numpy() * 100.0)
+        rows = pd.DataFrame({"cust": g["o_custkey"].to_numpy(np.int64),
+                             "day": day, "cents": cents,
+                             "okey": g["o_orderkey"].to_numpy(np.int64)})
+        per = rows.groupby(["cust", "day"], as_index=False) \
+            .agg(cnt=("cents", "size"), cents=("cents", "sum")) \
+            .sort_values(["cust", "day"], kind="stable")
+        gb = per.groupby("cust")
+        per["cum_n"] = gb["cnt"].cumsum()
+        per["cum_c"] = gb["cents"].cumsum()
+        probe = per[["cust", "day", "cum_n", "cum_c"]].copy()
+        probe["probe"] = probe["day"] - (TRAILING_DAYS + 1)
+        right = per[["cust", "day", "cum_n", "cum_c"]].rename(
+            columns={"cum_n": "bn", "cum_c": "bc"})
+        m = pd.merge_asof(probe.sort_values("probe", kind="stable"),
+                          right.sort_values("day", kind="stable"),
+                          left_on="probe", right_on="day", by="cust",
+                          direction="backward", suffixes=("", "_b"))
+        m["n_30d"] = m["cum_n"] - m["bn"].fillna(0).astype("int64")
+        m["sum_30d_x100"] = m["cum_c"] - m["bc"].fillna(0).astype("int64")
+        out = rows.merge(m[["cust", "day", "n_30d", "sum_30d_x100"]],
+                         on=["cust", "day"], how="left")
+        return pd.DataFrame({
+            "o_orderkey": out["okey"].astype("int64"),
+            "n_30d": out["n_30d"].astype("int64"),
+            "sum_30d_x100": out["sum_30d_x100"].astype("int64")})
+
+    return _coarse_partition_map(ds, "o_custkey", trailing) \
+        .sort("o_orderkey")
+
+
+TRAILING_30D_SQL = f"""
+SELECT o_orderkey,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_30d,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT)) OVER w
+            AS BIGINT) AS sum_30d_x100
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL {TRAILING_DAYS} DAYS PRECEDING
+             AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # LEFT OUTER join: customer counts per nation, zero-preserving
 # ---------------------------------------------------------------------------
 
@@ -4964,6 +5032,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "customer_balance_ntile": (customer_balance_ntile, NTILE_SQL),
     "events_value_cume_dist": (events_value_cume_dist, CUME_DIST_SQL),
     "orders_moving_window": (orders_moving_window, MOVING_SQL),
+    "orders_trailing_30d": (orders_trailing_30d, TRAILING_30D_SQL),
     "nation_customer_counts_left":
         (nation_customer_counts_left, LEFT_JOIN_SQL),
     "orders_cube": (orders_cube, CUBE_SQL),
