@@ -355,6 +355,148 @@ ORDER BY purchase_id
 
 
 # ---------------------------------------------------------------------------
+# Symmetric two-stream interval join (both sides buffered)
+# ---------------------------------------------------------------------------
+
+IJOIN_WINDOW_MS = 7_200_000   # pair view/click within +-2 hours
+
+
+@ray.remote(num_cpus=0.1)
+class IntervalJoinActor:
+    """Symmetric stream-stream interval join for one key bucket — the
+    Flink-style intervalJoin: BOTH sides keep a bounded per-user buffer
+    (evicted once older than the window behind the feed clock), and
+    every arrival emits its pairs against the OTHER side's buffer. The
+    feed arrives in (ts, event_id) log order, so past-side pairs are
+    complete at arrival time and future-side pairs are produced when
+    the future element arrives — together exactly the |dt| <= W pair
+    set, with no retraction logic. State is 2 x window x arrival rate
+    per user, never the stream."""
+
+    def __init__(self):
+        # user -> ([(ts, id)] views, [(ts, id)] clicks)
+        self.buf: dict[int, tuple[list, list]] = {}
+        self.out: list[tuple[int, int, int, int]] = []
+
+    def add(self, user_id: np.ndarray, ts_ms: np.ndarray,
+            event_id: np.ndarray, is_view: np.ndarray) -> int:
+        for u, t, eid, v in zip(user_id.tolist(), ts_ms.tolist(),
+                                event_id.tolist(), is_view.tolist()):
+            pair = self.buf.get(u)
+            if pair is None:
+                pair = ([], [])
+                self.buf[u] = pair
+            views, clicks = pair
+            lo = t - IJOIN_WINDOW_MS
+            # evict BOTH sides behind the window (feed is ts-ordered)
+            while views and views[0][0] < lo:
+                views.pop(0)
+            while clicks and clicks[0][0] < lo:
+                clicks.pop(0)
+            if v:
+                for ct, cid in clicks:       # click earlier, view now
+                    self.out.append((eid, cid, u, ct - t))
+                views.append((t, eid))
+            else:
+                for vt, vid in views:        # view earlier, click now
+                    self.out.append((vid, eid, u, t - vt))
+                clicks.append((t, eid))
+        return len(self.out)
+
+    def flush(self) -> list[tuple[int, int, int, int]]:
+        return self.out
+
+
+@ray.remote(num_cpus=1)
+def _feed_interval_join(part_dir: str, actor) -> int:
+    """Feeder for ONE bucket of the view/click log: per-bucket sort on
+    (ts, event_id) and batch-wise ordered drive."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(f"{part_dir}/*.parquet"))
+    if not files:
+        return 0
+    t = pa.concat_tables(
+        [pq.read_table(f, columns=["user_id", "ts", "event_id",
+                                   "event_type"]) for f in files])
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending"),
+                                             ("event_id", "ascending")]))
+    pending = []
+    for batch in t.to_batches(max_chunksize=4096):
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts_ms = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 1000
+        eids = batch["event_id"].to_numpy(zero_copy_only=False)
+        is_view = pc.equal(batch["event_type"], "view") \
+            .to_numpy(zero_copy_only=False)
+        pending.append(actor.add.remote(users, ts_ms, eids, is_view))
+    ray.get(pending)
+    return t.num_rows
+
+
+def events_stream_interval_join(sf_dir: str):
+    """ALL (view, click) pairs of the same user within +-2 hours,
+    computed incrementally as a SYMMETRIC stream-stream interval join —
+    unlike the last-click attribution (one side buffered, top-1 match)
+    both sides buffer and every qualifying pair is emitted. Same
+    partitioned-log shape: hash-staged buckets, one feeder task per
+    bucket, bounded two-sided per-user buffers as actor state. Equals
+    the batch range self-join, which the oracle checks. Output:
+    (view_id, click_id, user_id, dt_ms = click ts - view ts)."""
+    import shutil
+    import tempfile
+
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ["view_id", "click_id", "user_id", "dt_ms"]})
+    stage = tempfile.mkdtemp(prefix="stream_ijoin_", dir="/tmp")
+    try:
+        def keep_and_bucket(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.is_in(batch["event_type"],
+                            value_set=pa.array(["view", "click"]))
+            t2 = batch.filter(mask)
+            b = t2["user_id"].to_numpy(zero_copy_only=False) % N_BUCKETS
+            return t2.append_column("bucket", pa.array(b.astype(np.int64)))
+
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "event_id",
+                                 "event_type"]) \
+            .map_batches(keep_and_bucket, batch_format="pyarrow",
+                         batch_size=None) \
+            .write_parquet(stage, partition_cols=["bucket"])
+
+        actors = [IntervalJoinActor.remote() for _ in range(N_BUCKETS)]
+        ray.get([_feed_interval_join.remote(f"{stage}/bucket={b}",
+                                            actors[b])
+                 for b in range(N_BUCKETS)])
+        rows = [r for chunk in ray.get([a.flush.remote() for a in actors])
+                for r in chunk]
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["view_id", "click_id", "user_id",
+                                       "dt_ms"]).astype("int64") \
+        .sort_values(["view_id", "click_id"]).reset_index(drop=True)
+
+
+STREAM_IJOIN_SQL = f"""
+WITH v AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'view'),
+     c AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click')
+SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+       CAST(date_diff('millisecond', v.ts, c.ts) AS BIGINT) AS dt_ms
+FROM v JOIN c ON v.user_id = c.user_id
+ AND abs(date_diff('millisecond', v.ts, c.ts)) <= {IJOIN_WINDOW_MS}
+ORDER BY view_id, click_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Gap-based SESSION windows (data-driven window boundaries)
 # ---------------------------------------------------------------------------
 
@@ -735,4 +877,6 @@ STREAMING_QUERIES: dict[str, tuple] = {
                                   STREAM_ATTRIBUTION_SQL),
     "events_stream_sessions": (events_stream_sessions,
                                STREAM_SESSIONS_SQL),
+    "events_stream_interval_join": (events_stream_interval_join,
+                                    STREAM_IJOIN_SQL),
 }
