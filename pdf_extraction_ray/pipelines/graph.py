@@ -1243,6 +1243,63 @@ LIMIT {LINKPRED_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+def kcore_labels(edges: pd.DataFrame) -> pd.DataFrame:
+    """Core number per node of an undirected edge list (columns doc_a,
+    doc_b): the largest k such that the node survives in the subgraph
+    where every node has degree >= k. Matula-Beck peeling, vectorized:
+    phase k repeatedly deletes nodes whose CURRENT degree is < k; a
+    node deleted in phase k has core number k-1. Iterate-to-fixpoint
+    inside each phase makes this non-SQL-expressible (recursive CTEs
+    cannot aggregate over the recursive reference), hence the planted
+    unit test instead of a DuckDB oracle. Each round is one bincount
+    over the surviving edge array — the distributed form is the same
+    loop with the degree count as a groupby-sum and the node drop as a
+    semi-join, peeling whole degree-classes per exchange."""
+    if edges.empty:
+        return pd.DataFrame({"part": pd.Series(dtype="int64"),
+                             "core": pd.Series(dtype="int64")})
+    a = edges["doc_a"].to_numpy(np.int64)
+    b = edges["doc_b"].to_numpy(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[:len(a)], inv[len(a):]
+    n = len(nodes)
+    alive_e = np.ones(len(ia), dtype=bool)
+    alive_n = np.ones(n, dtype=bool)
+    core = np.zeros(n, dtype=np.int64)
+    k = 1
+    while alive_n.any():
+        while True:
+            deg = np.bincount(ia[alive_e], minlength=n) \
+                + np.bincount(ib[alive_e], minlength=n)
+            drop = alive_n & (deg < k)
+            if not drop.any():
+                break
+            core[drop] = k - 1
+            alive_n &= ~drop
+            alive_e &= alive_n[ia] & alive_n[ib]
+        k += 1
+    return pd.DataFrame({"part": nodes, "core": core}) \
+        .sort_values(["core", "part"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+def copurchase_kcore(sf_dir: str):
+    """k-core decomposition of the pruned co-purchase graph — the
+    cohesion tier past components: core numbers separate tightly-knit
+    product clusters (high k) from tree-like fringe (k=1). Pair
+    pruning/aggregation run distributed as in ``copurchase_components``;
+    peeling runs over the output-shaped pruned edge list. Output:
+    (part, core), core desc."""
+    if _table_empty(sf_dir, "lineitem"):
+        return pd.DataFrame({"part": pd.Series(dtype="int64"),
+                             "core": pd.Series(dtype="int64")})
+    return kcore_labels(_copurchase_edges(sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Item-item cosine similarity from co-purchase counts
 # ---------------------------------------------------------------------------
 
@@ -1371,4 +1428,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
                                SIMILAR_BASKETS_SQL),
     "part_copurchase_cosine": (part_copurchase_cosine,
                                COPURCHASE_COSINE_SQL),
+    "copurchase_kcore": (copurchase_kcore, None),
 }

@@ -289,3 +289,53 @@ def test_sssp_prefers_cheap_two_hop(tmp_path):
     assert out[7] == 2 * (SSSP_COST_SCALE // 10) \
         + 4 * (SSSP_COST_SCALE // 2) if 7 in out.index else True
     assert 8 not in out.index        # 5 hops from 3 -> beyond the cap
+
+
+def test_kcore_planted_graph():
+    """Known decomposition: 4-clique (core 3), a triangle sharing one
+    node (core 2), and a pendant path (core 1)."""
+    # 4-clique on 1..4; triangle 4-5-6; path 6-7-8
+    edges = pd.DataFrame({
+        "doc_a": [1, 1, 1, 2, 2, 3, 4, 4, 5, 6, 7],
+        "doc_b": [2, 3, 4, 3, 4, 4, 5, 6, 6, 7, 8]}).astype("int64")
+    out = G.kcore_labels(edges).set_index("part")["core"]
+    assert {n: int(out[n]) for n in range(1, 9)} == {
+        1: 3, 2: 3, 3: 3, 4: 3, 5: 2, 6: 2, 7: 1, 8: 1}
+
+
+def test_kcore_empty_and_single_edge():
+    assert G.kcore_labels(pd.DataFrame({
+        "doc_a": pd.Series(dtype="int64"),
+        "doc_b": pd.Series(dtype="int64")})).empty
+    one = G.kcore_labels(pd.DataFrame({"doc_a": [1], "doc_b": [2]})
+                         .astype("int64"))
+    assert one["core"].tolist() == [1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcore_matches_networkx_free_reference(tmp_path):
+    """Differential check against an independent O(V^2) reference
+    implementation on the sf0.001 co-purchase graph."""
+    df = G._copurchase_edges(SF)
+    got = G.kcore_labels(df).set_index("part")["core"].to_dict()
+
+    # independent reference: brute-force peel per k
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in df.itertuples(index=False):
+        adj[a].add(b)
+        adj[b].add(a)
+    ref = {}
+    alive = set(adj)
+    k = 1
+    while alive:
+        changed = True
+        while changed:
+            changed = False
+            for n in list(alive):
+                if sum(1 for m in adj[n] if m in alive) < k:
+                    ref[n] = k - 1
+                    alive.discard(n)
+                    changed = True
+        k += 1
+    assert got == ref and len(got) > 0
