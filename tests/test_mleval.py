@@ -156,3 +156,62 @@ def test_brier_perfect_predictions_near_zero(tmp_path):
     _write_docs(d, [_HI] * 5 + [_LO] * 5, ["en"] * 5 + ["de"] * 5)
     out = M.model_eval_brier(d)
     assert 0.0 <= out.brier.iloc[0] < 0.25
+
+
+# ---------------------------------------------------------------------------
+# Average precision + lift deciles
+# ---------------------------------------------------------------------------
+
+def _brute_ap_units(scores, labels):
+    """Per-row reference under the pessimistic tie convention: order by
+    (score desc, pos asc), sum floor(cum_pos * 1e9 / rank) over
+    positives."""
+    rows = sorted(zip(scores, labels), key=lambda r: (-r[0], r[1]))
+    units = 0
+    cum = 0
+    for rn, (_, y) in enumerate(rows, start=1):
+        cum += y
+        if y:
+            units += cum * M.AP_UNIT // rn
+    return units, sum(labels)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ap_matches_brute_force(tmp_path):
+    d = str(tmp_path)
+    rng = np.random.default_rng(13)
+    vocab = ["the", "and", "is", "zz", "qq", "word", "alpha", "!!", ",,"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(5, 30))))
+             for _ in range(40)]
+    langs = ["en" if rng.random() < 0.4 else "de" for _ in range(40)]
+    _write_docs(d, texts, langs)
+    tbl = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                    "text": pa.array(texts), "lang": pa.array(langs)})
+    scores, labels = M._score_label_batch(tbl)
+    units, n_pos = _brute_ap_units(scores.tolist(), labels.tolist())
+    out = M.model_eval_ap(d)
+    assert out.ap.iloc[0] == float(units) / (float(n_pos) * M.AP_UNIT)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ap_perfect_separation_is_one(tmp_path):
+    d = str(tmp_path)
+    _write_docs(d, [_HI] * 3 + [_LO] * 5, ["en"] * 3 + ["de"] * 5)
+    assert M.model_eval_ap(d).ap.iloc[0] == 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lift_perfect_separation(tmp_path):
+    """16 docs, 4 positives all scoring highest: positives fill deciles
+    0-2 and part of 3 (16/10 rounding), every later decile has lift 0,
+    cumulative capture hits 1e6 by decile 3 and stays."""
+    d = str(tmp_path)
+    _write_docs(d, [_HI] * 4 + [_LO] * 12, ["en"] * 4 + ["de"] * 12)
+    out = M.model_eval_lift_deciles(d).set_index("decile")
+    assert int(out["n_rows"].sum()) == 16
+    assert int(out["n_pos"].sum()) == 4
+    # base rate 4/16: a pure-positive decile lifts 4x
+    assert out.loc[0, "lift_x1e6"] == 4_000_000
+    assert out.loc[9, "n_pos"] == 0 and out.loc[9, "lift_x1e6"] == 0
+    assert out["cum_capture_x1e6"].iloc[-1] == 1_000_000
+    assert out["cum_capture_x1e6"].is_monotonic_increasing

@@ -198,3 +198,94 @@ def test_stream_topk_tiebreak_and_window_split(tmp_path):
     odf = con.sql(STREAM_TOPK_SQL).df()
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), odf, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Symmetric interval join: planted boundaries + oracle on random logs
+# ---------------------------------------------------------------------------
+
+from pdf_extraction_ray.pipelines.streaming import (     # noqa: E402
+    IJOIN_WINDOW_MS, STREAM_IJOIN_SQL, events_stream_interval_join)
+
+W = pd.Timedelta(milliseconds=IJOIN_WINDOW_MS)
+
+
+def _ijoin_dir(tmp_path):
+    rows = [
+        # u1: click exactly W after the view -> inclusive match
+        (1, T0, 1, "view"),
+        (2, T0 + W, 1, "click"),
+        # u2: click W+1ms after -> no match
+        (3, T0, 2, "view"),
+        (4, T0 + W + MS, 2, "click"),
+        # u3: click BEFORE the view (future-side pair, dt negative)
+        (5, T0, 3, "click"),
+        (6, T0 + MS * 700, 3, "view"),
+        # u4: same-ts view/click -> dt 0, matched once
+        (7, T0, 4, "view"),
+        (8, T0, 4, "click"),
+        # u5: 2 views x 2 clicks all inside one window -> 4 pairs
+        (9, T0, 5, "view"),
+        (10, T0 + MS * 100, 5, "click"),
+        (11, T0 + MS * 200, 5, "view"),
+        (12, T0 + MS * 300, 5, "click"),
+        # u6: other event types never pair
+        (13, T0, 6, "purchase"),
+        (14, T0, 6, "view"),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    ev["event_id"] = ev["event_id"].astype(np.int64)
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    d = str(tmp_path / "ijoin")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_join_planted_boundaries(tmp_path):
+    d = _ijoin_dir(tmp_path)
+    got = events_stream_interval_join(d)
+    pairs = set(zip(got["view_id"], got["click_id"]))
+    assert (1, 2) in pairs                      # inclusive at +W
+    assert (3, 4) not in pairs                  # 1 ms past the window
+    assert (6, 5) in pairs                      # click before view
+    assert int(got.set_index(["view_id", "click_id"])
+               .loc[(6, 5), "dt_ms"]) == -700   # signed dt
+    assert (7, 8) in pairs                      # same-ts, once
+    u5 = {p for p in pairs if p[0] in (9, 11)}
+    assert u5 == {(9, 10), (9, 12), (11, 10), (11, 12)}
+    assert not any(v == 14 or c == 13 for v, c in pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [3, 17])
+def test_interval_join_matches_oracle_random(tmp_path, seed):
+    rng = np.random.default_rng(seed)
+    n = 300
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 6, size=n).astype(np.int64),
+        "ts": (pd.Timestamp("2023-03-01")
+               + pd.to_timedelta(rng.integers(0, 10 * IJOIN_WINDOW_MS,
+                                              size=n), unit="ms"))
+        .astype("datetime64[us]"),
+        "event_type": rng.choice(["view", "click", "error"], size=n),
+        "value": 1.0, "props": "{}"})
+    d = str(tmp_path / f"rij{seed}")
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+    got = events_stream_interval_join(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    want = con.sql(STREAM_IJOIN_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"view_id": "int64", "click_id": "int64",
+                     "user_id": "int64", "dt_ms": "int64"}),
+        check_dtype=False)
