@@ -656,7 +656,13 @@ def main():
                          "events_hourly_bollinger",
                          "orders_monthly_theilsen",
                          "events_type_kendall", "events_hourly_xcorr",
-                         "events_watermark_lateness"]
+                         "events_watermark_lateness",
+                         # session-7 operators
+                         "model_eval_ap", "model_eval_lift_deciles",
+                         "events_hourly_holt", "events_type_gini_daily",
+                         "part_copurchase_cosine", "copurchase_kcore",
+                         "events_pit_join", "orders_trailing_30d",
+                         "events_stream_interval_join"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
