@@ -662,7 +662,11 @@ def main():
                          "events_hourly_holt", "events_type_gini_daily",
                          "part_copurchase_cosine", "copurchase_kcore",
                          "events_pit_join", "orders_trailing_30d",
-                         "events_stream_interval_join"]
+                         "events_stream_interval_join",
+                         "knn_cosine_filtered", "lineitem_weighted_median",
+                         "events_type_trigrams",
+                         "events_conversion_latency",
+                         "events_markov_stationary"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

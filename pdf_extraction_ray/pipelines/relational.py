@@ -4577,6 +4577,113 @@ ORDER BY from_type, to_type
 """
 
 
+def events_type_trigrams(sf_dir: str):
+    """Second-order path mining: counts of consecutive event-type
+    TRIPLES within each user's (ts, event_id)-ordered stream — the
+    sequential-pattern table one step past the Markov transition
+    matrix. Same shape as ``events_type_transitions``: one user-keyed
+    exchange, vectorized double-shift per partition, a tiny three-key
+    groupby over the <= |types|^3 grid. Output: (t1, t2, t3, n)."""
+    empty = pd.DataFrame({"t1": pd.Series(dtype="object"),
+                          "t2": pd.Series(dtype="object"),
+                          "t3": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gb = g.groupby("user_id")["event_type"]
+        d = pd.DataFrame({"t1": gb.shift(2), "t2": gb.shift(1),
+                          "t3": g["event_type"]}).dropna(subset=["t1"])
+        return d.groupby(["t1", "t2", "t3"], as_index=False) \
+            .size().rename(columns={"size": "n"}).astype({"n": "int64"})
+
+    return (_coarse_partition_map(ds, "user_id", trigrams)
+            .groupby(["t1", "t2", "t3"])
+            .aggregate(Sum("n", alias_name="n"))
+            .sort(["t1", "t2", "t3"]))
+
+
+TYPE_TRIGRAMS_SQL = """
+WITH s AS (SELECT event_type AS t3,
+                  LAG(event_type, 1) OVER w AS t2,
+                  LAG(event_type, 2) OVER w AS t1
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, COUNT(*) AS n
+FROM s WHERE t1 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY t1, t2, t3
+"""
+
+
+def events_conversion_latency(sf_dir: str):
+    """Signup-to-purchase conversion latency: per user, the FIRST
+    signup event and the FIRST purchase at-or-after it — the
+    time-to-convert table funnels report on. One user-keyed coarse
+    exchange resolves both firsts vectorized per partition (no
+    cross-table join: both roles live in the event log). Only
+    converting users emit. Output: (user_id, signup_ms, purchase_ms,
+    latency_ms)."""
+    cols = ("user_id", "signup_ms", "purchase_ms", "latency_ms")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = (et == "signup") | (et == "purchase")
+        t = batch.filter(pa.array(keep))
+        ts_ms = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 1000
+        return pa.Table.from_arrays(
+            [t["user_id"], pa.array(ts_ms), t["event_type"]],
+            names=["user_id", "ts_ms", "event_type"])
+
+    def convert(g: pd.DataFrame) -> pd.DataFrame:
+        sg = g[g["event_type"] == "signup"] \
+            .groupby("user_id")["ts_ms"].min()
+        pu = g[g["event_type"] == "purchase"][["user_id", "ts_ms"]]
+        pu = pu[pu["user_id"].isin(sg.index)].copy()
+        if pu.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        pu["s_ms"] = sg.reindex(pu["user_id"]).to_numpy(np.int64)
+        pu = pu[pu["ts_ms"] >= pu["s_ms"]]
+        first = pu.groupby("user_id", as_index=False) \
+            .agg(signup_ms=("s_ms", "min"), purchase_ms=("ts_ms", "min"))
+        first["latency_ms"] = first["purchase_ms"] - first["signup_ms"]
+        return first[list(cols)].astype("int64")
+
+    return _coarse_partition_map(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        "user_id", convert).sort("user_id")
+
+
+CONVERSION_LATENCY_SQL = """
+WITH s AS (
+  SELECT user_id, CAST(epoch_ms(MIN(ts)) AS BIGINT) AS signup_ms
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (
+  SELECT e.user_id,
+         CAST(epoch_ms(MIN(e.ts)) AS BIGINT) AS purchase_ms
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_ms(e.ts) >= s.signup_ms
+  GROUP BY e.user_id)
+SELECT s.user_id, s.signup_ms, p.purchase_ms,
+       p.purchase_ms - s.signup_ms AS latency_ms
+FROM s JOIN p ON p.user_id = s.user_id
+ORDER BY s.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Arbitrary GROUPING SETS from one finest-level scan
 # ---------------------------------------------------------------------------
@@ -4989,6 +5096,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                    NEGATIVE_TYPES_SQL),
     "events_type_transitions": (events_type_transitions,
                                 TYPE_TRANSITIONS_SQL),
+    "events_type_trigrams": (events_type_trigrams, TYPE_TRIGRAMS_SQL),
+    "events_conversion_latency": (events_conversion_latency,
+                                  CONVERSION_LATENCY_SQL),
     "events_quality_checks": (events_quality_checks, QUALITY_CHECKS_SQL),
     "events_nation_skew_join": (events_nation_skew_join, SKEW_JOIN_SQL),
     "events_value_quantiles_approx": (events_value_quantiles_approx, None),

@@ -951,7 +951,72 @@ def knn_truncated_recall(sf_dir: str):
         "recall_x1e6": [int(hit * 1_000_000 / max(len(exact), 1))]})
 
 
+# ---------------------------------------------------------------------------
+# Filtered ANN: metadata predicate + top-k in one pass
+# ---------------------------------------------------------------------------
+
+KNN_FILTER_LABELS = (2, 5)
+
+
+def knn_cosine_filtered(sf_dir: str):
+    """Filtered vector search — the vector-DB pattern where a metadata
+    predicate (label IN {KNN_FILTER_LABELS}) restricts the candidate
+    set BEFORE scoring: the filter pushes into the same per-batch pass
+    as the dot products (pre-filtering, the exact-recall strategy;
+    post-filtering top-k would undershoot k), so non-matching vectors
+    are never normalized or scored. Same broadcast-query /
+    partial-top-k shape as ``knn_cosine``. Output: (vec_id, rank)."""
+    q = _query_vec(sf_dir, KNN_QUERY_VEC_ID)
+    qref = ray.put(q / max(np.linalg.norm(q), 1e-12))
+    lab = pa.array(np.array(KNN_FILTER_LABELS, dtype=np.int32))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = batch.filter(pc.is_in(batch["label"], value_set=lab))
+        if len(t) == 0:
+            return pa.Table.from_pydict(
+                {"vec_id": [], "cos": []},
+                schema=pa.schema([("vec_id", pa.int64()),
+                                  ("cos", pa.float64())]))
+        qv = ray.get(qref)
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pa.Table.from_arrays(
+            [t["vec_id"], pa.array(m @ qv)], names=["vec_id", "cos"])
+
+    top = (_emb(sf_dir)
+           .map_batches(score, batch_format="pyarrow", batch_size=None)
+           .sort(["cos", "vec_id"], descending=[True, False])
+           .limit(KNN_K))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["vec_id"],
+             pa.array(np.arange(1, len(batch) + 1, dtype=np.int64))],
+            names=["vec_id", "rank"])
+
+    return rd.from_arrow(rank(pa.Table.from_pandas(
+        top.to_pandas(), preserve_index=False)))
+
+
+KNN_FILTERED_SQL = f"""
+SELECT vec_id,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY list_cosine_similarity(
+                embedding,
+                (SELECT embedding FROM embeddings
+                 WHERE vec_id = {KNN_QUERY_VEC_ID})
+            ) DESC, vec_id) AS BIGINT) AS rank
+FROM embeddings
+WHERE label IN {KNN_FILTER_LABELS}
+ORDER BY rank
+LIMIT {KNN_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "knn_cosine_filtered": (knn_cosine_filtered, KNN_FILTERED_SQL),
     "embedding_dispersion": (embedding_dispersion, DISPERSION_SQL),
     "knn_cosine_truncated": (knn_cosine_truncated, KNN_TRUNC_SQL),
     "knn_truncated_recall": (knn_truncated_recall, None),

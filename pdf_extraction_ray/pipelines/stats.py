@@ -2098,6 +2098,122 @@ FROM rec ORDER BY hr
 
 
 # ---------------------------------------------------------------------------
+# Markov stationary distribution of the event-type chain
+# ---------------------------------------------------------------------------
+
+MARKOV_ITERS = 200
+
+
+def events_markov_stationary(sf_dir: str):
+    """Stationary distribution of the per-user event-type Markov chain:
+    row-normalize the distributed transition counts
+    (``events_type_transitions``) and power-iterate pi <- pi P from the
+    uniform start for a FIXED {MARKOV_ITERS} steps — deterministic
+    doubles at any parallelism (the matrix is |types| x |types|,
+    driver-side; all distributed work is the transition-count
+    exchange). Rows whose type never transitions out hold pi mass as an
+    absorbing state. No DuckDB oracle (a linear fixpoint is not
+    SQL-expressible); correctness rests on a numpy left-eigenvector
+    differential test. Output: (event_type, pi)."""
+    from .relational import events_type_transitions
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "pi": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    tr = events_type_transitions(sf_dir)
+    if not isinstance(tr, pd.DataFrame):
+        tr = tr.to_pandas()
+    if tr.empty:
+        return empty
+    types = sorted(set(tr["from_type"]) | set(tr["to_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    P = np.zeros((k, k))
+    for f, t, n in tr.itertuples(index=False):
+        P[idx[f], idx[t]] = float(n)
+    rs = P.sum(axis=1, keepdims=True)
+    # absorbing fallback: a type with no outgoing transitions self-loops
+    for i in range(k):
+        if rs[i, 0] == 0.0:
+            P[i, i] = 1.0
+            rs[i, 0] = 1.0
+    P /= rs
+    pi = np.full(k, 1.0 / k)
+    for _ in range(MARKOV_ITERS):
+        pi = pi @ P
+    return pd.DataFrame({"event_type": types, "pi": pi})
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (quantity-weighted discount per return flag)
+# ---------------------------------------------------------------------------
+
+def lineitem_weighted_median(sf_dir: str):
+    """Per-return-flag LOWER weighted median of the discount, weighted
+    by quantity: the smallest discount value v whose cumulative weight
+    reaches half the total (2*cumw >= total in exact ints — no /2
+    fraction ever materializes). Per-batch partial (flag, discount)
+    weight sums compact to the tiny flag x discount-domain histogram;
+    one groupby-sum exchange; the crossing scan runs driver-side over
+    that grid. Output: (flag, total_qty, wmedian_disc_x100)."""
+    empty = pd.DataFrame({"flag": pd.Series(dtype="object"),
+                          "total_qty": pd.Series(dtype="int64"),
+                          "wmedian_disc_x100": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_discount",
+                                  "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "flag": batch["l_returnflag"].to_numpy(zero_copy_only=False),
+            "disc_x100": _cents(batch["l_discount"]).to_numpy(),
+            "w": _cents(batch["l_quantity"], 1.0).to_numpy()})
+        return _from_pandas(
+            df.groupby(["flag", "disc_x100"], as_index=False)["w"].sum())
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(["flag", "disc_x100"])
+            .aggregate(Sum("w", alias_name="w"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hist = hist.sort_values(["flag", "disc_x100"])
+    hist["cw"] = hist.groupby("flag")["w"].cumsum()
+    tot = hist.groupby("flag")["w"].transform("sum")
+    cross = hist[2 * hist["cw"] >= tot]
+    out = cross.groupby("flag", as_index=False) \
+        .agg(wmedian_disc_x100=("disc_x100", "min"))
+    out["total_qty"] = hist.groupby("flag")["w"].sum() \
+        .reindex(out["flag"]).to_numpy(np.int64)
+    return out[["flag", "total_qty", "wmedian_disc_x100"]] \
+        .astype({"total_qty": "int64", "wmedian_disc_x100": "int64"}) \
+        .sort_values("flag").reset_index(drop=True)
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH h AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_discount * 100.0) AS BIGINT) AS disc_x100,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT flag, disc_x100, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY disc_x100
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM h)
+SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_qty,
+       CAST(MIN(disc_x100) AS BIGINT) AS wmedian_disc_x100
+FROM c WHERE 2 * cw >= tw
+GROUP BY flag ORDER BY flag
+"""
+
+
+# ---------------------------------------------------------------------------
 # Daily event-type Gini impurity (rational diversity index — no libm)
 # ---------------------------------------------------------------------------
 
@@ -2997,6 +3113,9 @@ STATS_QUERIES: dict[str, tuple] = {
     "events_hourly_ewma": (events_hourly_ewma, EWMA_SQL),
     "events_hourly_holt": (events_hourly_holt, HOLT_SQL),
     "events_type_gini_daily": (events_type_gini_daily, GINI_DAILY_SQL),
+    "lineitem_weighted_median": (lineitem_weighted_median,
+                                 WEIGHTED_MEDIAN_SQL),
+    "events_markov_stationary": (events_markov_stationary, None),
     "events_type_dow_chisq": (events_type_dow_chisq, CHISQ_SQL),
     "events_hourly_acf": (events_hourly_acf, _acf_sql()),
     "lineitem_cov_matrix": (lineitem_cov_matrix, _cov_matrix_sql()),

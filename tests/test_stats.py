@@ -280,6 +280,7 @@ def test_stats_oracles_on_random_tables(tmp_path, seed):
         "l_suppkey": rng.integers(0, 5, size=n_li).astype(np.int64),
         "l_shipdate": pd.to_datetime("1997-06-01")
         + pd.to_timedelta(rng.integers(0, 900, size=n_li), unit="D"),
+        "l_returnflag": rng.choice(["A", "N", "R"], size=n_li),
         "l_quantity": rng.integers(1, 100, size=n_li).astype(float),
         "l_extendedprice": rng.integers(0, 2_000_000, size=n_li) / 200.0,
         "l_discount": rng.integers(0, 21, size=n_li) / 200.0,
@@ -322,6 +323,8 @@ def test_stats_oracles_on_random_tables(tmp_path, seed):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{d}/{t}.parquet')")
     for name, (fn, sql) in S.STATS_QUERIES.items():
+        if sql is None:
+            continue
         res = fn(d)
         ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         duck_df = con.sql(sql).df()
@@ -551,3 +554,31 @@ def test_interp_gap_values(tmp_path):
     # up: 100 -> 400 over 3 h: 200, 300; down: 400 -> 100 over 2 h:
     # 400 + (-300 * 1) trunc// 2 = 400 - 150 = 250
     assert list(out.value_x100) == [100, 200, 300, 400, 250, 100]
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution: eigenvector differential
+# ---------------------------------------------------------------------------
+
+@pytest.mark.usefixtures("ray_session")
+def test_markov_stationary_matches_eigenvector():
+    """Power-iterated pi must match the left Perron eigenvector of the
+    row-normalized transition matrix built independently from the
+    oracled transition counts."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_type_transitions)
+    d = "/root/testdata/sf0.001"
+    out = S.events_markov_stationary(d).set_index("event_type")["pi"]
+    tr = events_type_transitions(d)
+    tr = tr if isinstance(tr, pd.DataFrame) else tr.to_pandas()
+    types = sorted(set(tr["from_type"]) | set(tr["to_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    P = np.zeros((len(types), len(types)))
+    for f, t, n in tr.itertuples(index=False):
+        P[idx[f], idx[t]] = float(n)
+    P /= P.sum(axis=1, keepdims=True)
+    w, v = np.linalg.eig(P.T)
+    pi = np.real(v[:, np.argmax(np.real(w))])
+    pi = pi / pi.sum()
+    assert np.allclose(out.reindex(types).to_numpy(), pi, atol=1e-10)
+    assert out.sum() == pytest.approx(1.0, abs=1e-12)
