@@ -666,7 +666,8 @@ def main():
                          "knn_cosine_filtered", "lineitem_weighted_median",
                          "events_type_trigrams",
                          "events_conversion_latency",
-                         "events_markov_stationary"]
+                         "events_markov_stationary",
+                         "events_hourly_holtwinters"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -2098,6 +2098,120 @@ FROM rec ORDER BY hr
 
 
 # ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (period 24)
+# ---------------------------------------------------------------------------
+
+HW_ALPHA = 0.5        # all exact binary fractions: every step is the
+HW_BETA = 0.25        # identical IEEE sequence on both engines
+HW_GAMMA = 0.25
+HW_PERIOD = 24
+
+
+def events_hourly_holtwinters(sf_dir: str):
+    """Holt-Winters ADDITIVE seasonal smoothing (period 24 h) over the
+    densified hourly count series — level + trend + seasonal:
+
+        l_t = alpha*(x_t - s_{t-24}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(x_t - l_t) + (1-gamma)*s_{t-24}
+
+    seeded l_0 = x_0, b_0 = 0, s_{<0} = 0. The oracle's RECURSIVE CTE
+    cannot reach 24 steps back (the working table holds only the
+    previous iteration), so each row CARRIES the trailing 24 seasonals
+    as a LIST column — seas[1] is s_{t-24}, each step appends s_t and
+    drops the head. Exact-binary alpha/beta/gamma keep every double
+    bit-identical to the numpy fold. Output: (hr, c, level, trend,
+    seasonal)."""
+    empty = pd.DataFrame({"hr": pd.Series(dtype="int64"),
+                          "c": pd.Series(dtype="int64"),
+                          "level": pd.Series(dtype="float64"),
+                          "trend": pd.Series(dtype="float64"),
+                          "seasonal": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"hr": hr}).groupby("hr", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    dense[hr - h0] = hist["c"].to_numpy(np.int64)
+    n = len(dense)
+    level = np.empty(n)
+    trend = np.empty(n)
+    seas = np.empty(n)
+    a, b, g = HW_ALPHA, HW_BETA, HW_GAMMA
+    lv = float(dense[0])
+    tr = 0.0
+    window = [0.0] * HW_PERIOD          # trailing 24 seasonals
+    # t = 0 seeds the state; its seasonal still updates via the rule
+    s0 = g * (float(dense[0]) - lv) + (1.0 - g) * window[0]
+    window = window[1:] + [s0]
+    level[0], trend[0], seas[0] = lv, tr, s0
+    for i in range(1, n):
+        x = float(dense[i])
+        sp = window[0]                  # s_{t-24}
+        nl = a * (x - sp) + (1.0 - a) * (lv + tr)
+        tr = b * (nl - lv) + (1.0 - b) * tr
+        lv = nl
+        st = g * (x - lv) + (1.0 - g) * sp
+        window = window[1:] + [st]
+        level[i], trend[i], seas[i] = lv, tr, st
+    return pd.DataFrame({"hr": np.arange(h0, h1 + 1, dtype=np.int64),
+                         "c": dense, "level": level, "trend": trend,
+                         "seasonal": seas})
+
+
+_HW_L = (f"{HW_ALPHA!r} * (CAST(d.c AS DOUBLE) - rec.seas[1]) "
+         f"+ {1.0 - HW_ALPHA!r} * (rec.level + rec.trend)")
+
+HOLTWINTERS_SQL = f"""
+WITH RECURSIVE h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, COALESCE(h.c, 0) AS c
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr),
+rec(hr, c, level, trend, seasonal, seas) AS (
+  -- t=0 seeds l=x_0, b=0; its seasonal update is gamma*(x_0-l_0)=0,
+  -- so the carried window is exactly 24 double zeros
+  SELECT hr, c, CAST(c AS DOUBLE), CAST(0.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE),
+         list_transform(generate_series(1, {HW_PERIOD}),
+                        x -> CAST(0.0 AS DOUBLE))
+  FROM dense WHERE hr = (SELECT h0 FROM b)
+  UNION ALL
+  SELECT d.hr, d.c,
+         {_HW_L},
+         {HW_BETA!r} * (({_HW_L}) - rec.level)
+             + {1.0 - HW_BETA!r} * rec.trend,
+         {HW_GAMMA!r} * (CAST(d.c AS DOUBLE) - ({_HW_L}))
+             + {1.0 - HW_GAMMA!r} * rec.seas[1],
+         list_append(rec.seas[2:],
+                     {HW_GAMMA!r} * (CAST(d.c AS DOUBLE) - ({_HW_L}))
+                     + {1.0 - HW_GAMMA!r} * rec.seas[1])
+  FROM rec JOIN dense d ON d.hr = rec.hr + 1)
+SELECT CAST(hr AS BIGINT) AS hr, CAST(c AS BIGINT) AS c,
+       level, trend, seasonal
+FROM rec ORDER BY hr
+"""
+
+
+# ---------------------------------------------------------------------------
 # Markov stationary distribution of the event-type chain
 # ---------------------------------------------------------------------------
 
@@ -3115,6 +3229,8 @@ STATS_QUERIES: dict[str, tuple] = {
     "events_type_gini_daily": (events_type_gini_daily, GINI_DAILY_SQL),
     "lineitem_weighted_median": (lineitem_weighted_median,
                                  WEIGHTED_MEDIAN_SQL),
+    "events_hourly_holtwinters": (events_hourly_holtwinters,
+                                  HOLTWINTERS_SQL),
     "events_markov_stationary": (events_markov_stationary, None),
     "events_type_dow_chisq": (events_type_dow_chisq, CHISQ_SQL),
     "events_hourly_acf": (events_hourly_acf, _acf_sql()),
