@@ -667,7 +667,8 @@ def main():
                          "events_type_trigrams",
                          "events_conversion_latency",
                          "events_markov_stationary",
-                         "events_hourly_holtwinters"]
+                         "events_hourly_holtwinters",
+                         "events_exactly_once_ingest"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

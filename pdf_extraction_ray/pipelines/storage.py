@@ -1255,8 +1255,85 @@ ORDER BY f.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Exactly-once ingestion: duplicated-delivery replay + idempotent dedupe
+# ---------------------------------------------------------------------------
+
+EO_DUP_MOD = 7      # every 7th event is delivered twice in the replay
+
+
+def events_exactly_once_ingest(sf_dir: str):
+    """At-least-once delivery made exactly-once: the event log is
+    replayed with deterministic duplicated deliveries (every event_id %
+    {EO_DUP_MOD} == 0 arrives twice — the redelivery a crashed producer
+    causes), and the ingest dedupes on the event key through one
+    key-hashed exchange, so the committed table equals the clean log
+    regardless of delivery count. Emits the reconciliation row an
+    idempotent sink reports: deliveries seen, unique rows committed,
+    duplicate rate, and an exact content checksum (id sum + value cents
+    sum) that must match the clean log's. Output: (n_delivered,
+    n_unique, dup_rate_x1e6, id_sum, value_x100_sum)."""
+    from .relational import _coarse_partition_map
+    cols = ("n_delivered", "n_unique", "dup_rate_x1e6", "id_sum",
+            "value_x100_sum")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "value"])
+    def _redelivered(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy()
+        return batch.filter(pa.array(e % EO_DUP_MOD == 0))
+
+    replay = ds.union(
+        ds.map_batches(_redelivered, batch_format="pyarrow"))
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates("event_id")
+        return pd.DataFrame({
+            "n_delivered": [len(g)], "n_unique": [len(u)],
+            "id_sum": [int(u["event_id"].sum())],
+            "value_x100_sum": [int(_cents(
+                pa.array(u["value"].to_numpy())).to_numpy().sum())]}) \
+            .astype("int64")
+
+    parts = _coarse_partition_map(replay, "event_id", dedupe).to_pandas()
+    n_del = int(parts["n_delivered"].sum())
+    n_uniq = int(parts["n_unique"].sum())
+    return pd.DataFrame({
+        "n_delivered": [n_del], "n_unique": [n_uniq],
+        "dup_rate_x1e6": [(n_del - n_uniq) * 1_000_000 // n_del],
+        "id_sum": [int(parts["id_sum"].sum())],
+        "value_x100_sum": [int(parts["value_x100_sum"].sum())]})
+
+
+EXACTLY_ONCE_SQL = f"""
+WITH replay AS (
+  SELECT event_id, value FROM events
+  UNION ALL
+  SELECT event_id, value FROM events WHERE event_id % {EO_DUP_MOD} = 0),
+u AS (
+  SELECT event_id, MIN(value) AS value FROM replay GROUP BY event_id),
+m AS (
+  SELECT (SELECT COUNT(*) FROM replay) AS n_delivered,
+         COUNT(*) AS n_unique,
+         CAST(SUM(event_id) AS BIGINT) AS id_sum,
+         CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+             AS value_x100_sum
+  FROM u)
+SELECT CAST(n_delivered AS BIGINT) AS n_delivered,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       CAST((n_delivered - n_unique) * 1000000 // n_delivered AS BIGINT)
+           AS dup_rate_x1e6,
+       id_sum, value_x100_sum
+FROM m
+"""
+
+
 STORAGE_QUERIES: dict[str, tuple] = {
     "events_pit_join": (events_pit_join, PIT_JOIN_SQL),
+    "events_exactly_once_ingest": (events_exactly_once_ingest,
+                                   EXACTLY_ONCE_SQL),
     "events_scd2_history": (events_scd2_history, SCD2_SQL),
     "events_multiformat_union": (events_multiformat_union,
                                  FORMAT_ROUNDTRIP_SQL),
