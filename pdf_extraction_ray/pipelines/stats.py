@@ -1303,14 +1303,18 @@ FROM orders
 
 def orders_priority_median_exact(sf_dir: str):
     """GROUPED exact median over an unbounded domain — the 3-pass
-    selection of orders_price_median_exact composed with grouping:
-    per-group (n, min, max), then a (group, bucket) count histogram
-    with PER-GROUP bucket widths, then one exact compaction pass over
-    each group's straddling range only. Group cardinality (order
-    priorities) is tiny, so the per-group range table broadcasts in the
-    task closure; every pass stays one vectorized pandas groupby per
-    batch and the exchanges move counts, never values.
-    Output: (o_orderpriority, n_orders, median_x100)."""
+    selection of orders_price_median_exact composed with grouping, with
+    every exchange a TREE REDUCTION instead of a key shuffle: group
+    cardinality (order priorities) is tiny and each group's bucket
+    histogram has fixed size, so passes 2 and 3 run as
+    `Dataset.aggregate(AggregateFn)` over a dense (group x bucket)
+    count vector — per-block np.bincount partials merged pairwise
+    (~2.6 MB per accumulator for 5 x 65536 int64) — and the driver only
+    ever receives the ONE reduced histogram. (The previous
+    groupby-shuffle form moved the same counts through two all-to-all
+    exchanges and measured 21 s at sf0.1; this form is bounded by the
+    three scans.) Output: (o_orderpriority, n_orders, median_x100)."""
+    from ray.data.aggregate import AggregateFn
     empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
                           "n_orders": pd.Series(dtype="int64"),
                           "median_x100": pd.Series(dtype="float64")})
@@ -1329,26 +1333,19 @@ def orders_priority_median_exact(sf_dir: str):
         return ds.map_batches(prep, batch_format="pyarrow",
                               batch_size=None)
 
-    # explicit Arrow schemas: empty object-dtype pandas blocks defeat
-    # Ray's block-size estimator (np.vectorize on size-0 inputs)
+    # pass 1: per-group n / min / max (<= |groups| partial rows/block)
     mm_schema = pa.schema([("grp", pa.string()), ("n", pa.int64()),
                            ("lo", pa.int64()), ("hi", pa.int64())])
-    hist_schema = pa.schema([("grp", pa.string()),
-                             ("bucket", pa.int64()),
-                             ("cnt", pa.int64())])
-    fine_schema = pa.schema([("grp", pa.string()),
-                             ("cents", pa.int64()),
-                             ("cnt", pa.int64())])
 
-    # pass 1: per-group n / min / max
-    def minmax(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
+    def minmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return mm_schema.empty_table()
-        g = df.groupby("grp")["cents"].agg(n="size", lo="min", hi="max")
+        g = batch.to_pandas().groupby("grp")["cents"] \
+            .agg(n="size", lo="min", hi="max")
         return pa.Table.from_pandas(g.reset_index(), schema=mm_schema,
                                     preserve_index=False)
 
-    mm = cents_ds().map_batches(minmax, batch_format="pandas",
+    mm = cents_ds().map_batches(minmax, batch_format="pyarrow",
                                 batch_size=None).to_pandas()
     if mm.empty:
         return empty
@@ -1356,77 +1353,101 @@ def orders_priority_median_exact(sf_dir: str):
                                 hi=("hi", "max"))
     dom["width"] = np.maximum(
         1, (dom["hi"] - dom["lo"] + SELECT_BUCKETS) // SELECT_BUCKETS)
-    glo = dom["lo"].to_dict()
-    gw = dom["width"].to_dict()
+    grps = list(dom.index)
+    ngrp = len(grps)
+    gset = pa.array(grps, type=pa.string())
+    glo_arr = dom["lo"].to_numpy(np.int64)
+    gw_arr = dom["width"].to_numpy(np.int64)
 
-    # pass 2: (group, bucket) count histogram, per-group widths
-    def bucketize(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
-            return hist_schema.empty_table()
-        lo = df["grp"].map(glo).to_numpy(np.int64)
-        w = df["grp"].map(gw).to_numpy(np.int64)
-        b = (df["cents"].to_numpy(np.int64) - lo) // w
-        out = pd.DataFrame({"grp": df["grp"], "bucket": b}) \
-            .groupby(["grp", "bucket"]).size().rename("cnt").reset_index()
-        return pa.Table.from_pandas(out, schema=hist_schema,
-                                    preserve_index=False)
+    def codes(block: pa.Table) -> np.ndarray:
+        idx = pc.index_in(block.column("grp"), value_set=gset)
+        return np.asarray(idx.combine_chunks()
+                          if isinstance(idx, pa.ChunkedArray) else idx,
+                          dtype=np.int64)
 
-    hist = (cents_ds().map_batches(bucketize, batch_format="pandas",
-                                   batch_size=None)
-            .groupby(["grp", "bucket"])
-            .aggregate(Sum("cnt", alias_name="cnt"))
-            .to_pandas())
+    def vals_of(block: pa.Table) -> np.ndarray:
+        return np.asarray(block.column("cents").combine_chunks(),
+                          dtype=np.int64) \
+            if isinstance(block.column("cents"), pa.ChunkedArray) \
+            else np.asarray(block.column("cents"), dtype=np.int64)
 
-    # straddling range per group (driver: groups x buckets is tiny)
-    ranges: dict[str, tuple[int, int, int]] = {}
-    marks: dict[str, tuple[float, int, int]] = {}
-    for grp, g in hist.groupby("grp"):
-        g = g.sort_values("bucket")
-        cum = g["cnt"].to_numpy(np.int64).cumsum()
-        bks = g["bucket"].to_numpy(np.int64)
-        n = int(dom.loc[grp, "n"])
+    # pass 2: dense (group x bucket) histogram as a tree-reduced vector
+    sb = SELECT_BUCKETS
+
+    def h_acc(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        if block.num_rows == 0:
+            return acc
+        c = codes(block)
+        v = vals_of(block)
+        b = (v - glo_arr[c]) // gw_arr[c]
+        return acc + np.bincount(c * sb + b, minlength=ngrp * sb)
+
+    hist_fn = AggregateFn(
+        init=lambda k: np.zeros(ngrp * sb, np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=h_acc, name="hist")
+    hist = cents_ds().aggregate(hist_fn)["hist"].reshape(ngrp, sb)
+
+    # straddling range per group (driver: the reduced matrix is tiny)
+    ranges = np.empty((ngrp, 2), np.int64)   # [start, end) in cents
+    below_arr = np.empty(ngrp, np.int64)
+    marks: list[tuple[float, int, int]] = []
+    for gi in range(ngrp):
+        cum = hist[gi].cumsum()
+        n = int(dom["n"].iloc[gi])
         rn = 0.5 * (n - 1)
         frn, crn = int(np.floor(rn)), int(np.ceil(rn))
-        i_lo = np.searchsorted(cum, frn, side="right")
-        i_hi = np.searchsorted(cum, crn, side="right")
-        below = int(cum[np.searchsorted(bks, bks[i_lo]) - 1]) \
-            if np.searchsorted(bks, bks[i_lo]) > 0 else 0
-        start = int(glo[grp]) + int(bks[i_lo]) * int(gw[grp])
-        end = int(glo[grp]) + (int(bks[i_hi]) + 1) * int(gw[grp])
-        ranges[grp] = (start, end, below)
-        marks[grp] = (rn, frn, crn)
+        b_lo = int(np.searchsorted(cum, frn, side="right"))
+        b_hi = int(np.searchsorted(cum, crn, side="right"))
+        below_arr[gi] = int(cum[b_lo - 1]) if b_lo > 0 else 0
+        ranges[gi, 0] = glo_arr[gi] + b_lo * gw_arr[gi]
+        ranges[gi, 1] = glo_arr[gi] + (b_hi + 1) * gw_arr[gi]
+        marks.append((rn, frn, crn))
+    rs = ranges[:, 0]
+    re_ = ranges[:, 1]
 
     # pass 3: exact (group, value) compaction of straddling ranges only
-    def in_range(df: pd.DataFrame) -> pa.Table:
-        if len(df) == 0:
-            return fine_schema.empty_table()
-        rs = df["grp"].map({k: v[0] for k, v in ranges.items()}) \
-            .to_numpy(np.int64)
-        re_ = df["grp"].map({k: v[1] for k, v in ranges.items()}) \
-            .to_numpy(np.int64)
-        v = df["cents"].to_numpy(np.int64)
-        keep = (v >= rs) & (v < re_)
-        out = df.loc[keep].groupby(["grp", "cents"]).size() \
-            .rename("cnt").reset_index()
-        return pa.Table.from_pandas(out, schema=fine_schema,
-                                    preserve_index=False)
+    # (expected n/65536 values per group -> a tiny dict accumulator)
+    def f_acc(acc: dict, block: pa.Table) -> dict:
+        if block.num_rows == 0:
+            return acc
+        c = codes(block)
+        v = vals_of(block)
+        keep = (v >= rs[c]) & (v < re_[c])
+        if not keep.any():
+            return acc
+        ck, vk = c[keep], v[keep]
+        for gi in range(ngrp):
+            m = ck == gi
+            if not m.any():
+                continue
+            u, cnt = np.unique(vk[m], return_counts=True)
+            for val, nn in zip(u.tolist(), cnt.tolist()):
+                key = (gi, val)
+                acc[key] = acc.get(key, 0) + nn
+        return acc
 
-    fine = (cents_ds().map_batches(in_range, batch_format="pandas",
-                                   batch_size=None)
-            .groupby(["grp", "cents"])
-            .aggregate(Sum("cnt", alias_name="cnt"))
-            .to_pandas())
+    def f_merge(a: dict, b: dict) -> dict:
+        for k, nn in b.items():
+            a[k] = a.get(k, 0) + nn
+        return a
+
+    fine_fn = AggregateFn(init=lambda k: {}, merge=f_merge,
+                          accumulate_block=f_acc, name="fine")
+    fdict = cents_ds().aggregate(fine_fn)["fine"]
 
     rows = []
-    for grp, g in fine.groupby("grp"):
-        g = g.sort_values("cents")
-        vals = g["cents"].to_numpy(np.float64)
-        cum = ranges[grp][2] + g["cnt"].to_numpy(np.int64).cumsum()
-        rn, frn, crn = marks[grp]
+    for gi, grp in enumerate(grps):
+        items = sorted((val, nn) for (g2, val), nn in fdict.items()
+                       if g2 == gi)
+        vals = np.array([v for v, _ in items], np.float64)
+        cum = below_arr[gi] + np.array([nn for _, nn in items],
+                                       np.int64).cumsum()
+        rn, frn, crn = marks[gi]
         lo_v = vals[np.searchsorted(cum, frn, side="right")]
         hi_v = vals[np.searchsorted(cum, crn, side="right")]
         med = lo_v if crn == frn else lo_v * (crn - rn) + hi_v * (rn - frn)
-        rows.append((grp, int(dom.loc[grp, "n"]), float(med)))
+        rows.append((grp, int(dom["n"].iloc[gi]), float(med)))
     return pd.DataFrame(rows, columns=["o_orderpriority", "n_orders",
                                        "median_x100"]) \
         .sort_values("o_orderpriority").reset_index(drop=True)
