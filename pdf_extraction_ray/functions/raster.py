@@ -77,16 +77,17 @@ def binarize(gray: np.ndarray) -> np.ndarray:
 def _moving_sum(mask: np.ndarray, k: int, axis: int) -> np.ndarray:
     """Centered moving-window sum of a boolean mask along ``axis``
     (cumsum trick; windows are truncated at the borders)."""
-    x = mask.astype(np.int32)
-    cs = np.cumsum(x, axis=axis)
+    cs = mask.cumsum(axis=axis, dtype=np.int32)  # cs[i] = sum(x[:i+1])
     n = mask.shape[axis]
     lo = np.arange(n) - k // 2          # inclusive window [lo, hi)
-    hi = lo + k
+    hi = np.clip(lo + k, 0, n)          # hi >= 1 for k >= 1
     lo = np.clip(lo, 0, n)
-    hi = np.clip(hi, 0, n)
-    cs0 = np.concatenate([np.zeros_like(np.take(cs, [0], axis=axis)), cs],
-                         axis=axis)
-    return np.take(cs0, hi, axis=axis) - np.take(cs0, lo, axis=axis)
+    hi_v = np.take(cs, hi - 1, axis=axis)
+    lo_v = np.take(cs, np.maximum(lo - 1, 0), axis=axis)
+    gate = (lo > 0).astype(np.int32)    # zero the lo term where lo == 0
+    if axis == 0 and mask.ndim == 2:
+        gate = gate[:, None]
+    return hi_v - lo_v * gate
 
 
 def erode_1d(mask: np.ndarray, k: int, axis: int) -> np.ndarray:
@@ -126,24 +127,22 @@ def _band_centers(profile: np.ndarray) -> list[float]:
 # V14: Sobel direction entropy + diagonal-edge fraction
 # ---------------------------------------------------------------------------
 
-_SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float64)
-_SOBEL_Y = _SOBEL_X.T
-
-
-def _conv3(gray: np.ndarray, kern: np.ndarray) -> np.ndarray:
-    g = gray.astype(np.float64)
-    p = np.pad(g, 1, mode="edge")
-    out = np.zeros_like(g)
-    for dy in range(3):
-        for dx in range(3):
-            out += kern[dy, dx] * p[dy:dy + g.shape[0], dx:dx + g.shape[1]]
-    return out
+def _sobel(gray: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Separable integer Sobel (kernels [-1,0,1]x[1,2,1] and its
+    transpose). gray is uint8, so every partial sum is an exact int32
+    (|g| <= 2040) — bit-identical to the dense float convolution at a
+    third of the work."""
+    p = np.pad(gray.astype(np.int32), 1, mode="edge")
+    sy = p[:-2, :] + 2 * p[1:-1, :] + p[2:, :]      # (h, w+2)
+    sx = p[:, :-2] + 2 * p[:, 1:-1] + p[:, 2:]      # (h+2, w)
+    gx = sy[:, 2:] - sy[:, :-2]
+    gy = sx[2:, :] - sx[:-2, :]
+    return gx, gy
 
 
 def _strong_edge_angles(gray: np.ndarray) -> np.ndarray:
-    gx = _conv3(gray, _SOBEL_X)
-    gy = _conv3(gray, _SOBEL_Y)
-    mag = np.sqrt(gx * gx + gy * gy)
+    gx, gy = _sobel(gray)
+    mag = np.sqrt((gx * gx + gy * gy).astype(np.float64))
     strong = mag > np.percentile(mag, STRONG_EDGE_PCT)
     if not strong.any():
         return np.empty(0)
