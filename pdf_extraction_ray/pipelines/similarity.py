@@ -604,14 +604,34 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    """(n, d) float64 matrix from the list<float> embedding column via
+    one offset-aware flatten + reshape (no per-row object boxing)."""
+    import pyarrow.compute as pc
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), -1).astype(np.float64)
+
+
+def _pq_assign(sub: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """Nearest-centroid labels via the BLAS form: argmin ||x-c||^2 =
+    argmax (x.c - |c|^2/2) — one (n x k) matmul instead of the (n, k,
+    ds) broadcast-subtract cube."""
+    return (sub @ book.T - 0.5 * (book * book).sum(axis=1)).argmax(axis=1)
+
+
 def _pq_codebooks(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
                   iters: int = PQ_ITERS):
     """Train M subspace codebooks with Lloyd's iterations over UNIT
-    vectors — all M subspaces learned in the SAME streaming pass (the
-    per-batch partial carries (subspace, cluster, count, sums) rows for
-    every subspace), so PQ training costs exactly as many corpus passes
-    as one k-means. Driver state is m x k x (d/m) floats — the codebook,
-    never the corpus. Deterministic init from the first k vec_ids."""
+    vectors — all M subspaces learned in the SAME streaming pass, and
+    each iteration is ONE tree-reduced `Dataset.aggregate` whose
+    accumulator is the dense (m, k, 1+ds) count+sum tensor (~16 KB):
+    no key shuffle anywhere, the driver only ever receives the reduced
+    tensor. Driver state is the codebook, never the corpus.
+    Deterministic init from the first k vec_ids."""
+    from ray.data.aggregate import AggregateFn
     init = (_emb(sf_dir).filter(expr=f"vec_id < {k}")
             .to_pandas().sort_values("vec_id"))
     if init.empty:
@@ -625,43 +645,27 @@ def _pq_codebooks(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
     for _ in range(iters):
         bref = ray.put(books)
 
-        def assign(batch: pa.Table) -> pa.Table:
+        def acc_block(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+            if block.num_rows == 0:
+                return acc
             bks = ray.get(bref)
-            x = _normalize_rows(
-                np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
-                .astype(np.float64))
-            frames = []
+            x = _normalize_rows(_emb_matrix(block))
             for j in range(m):
                 sub = x[:, j * ds_:(j + 1) * ds_]
-                d2 = ((sub[:, None, :] - bks[j][None, :, :]) ** 2).sum(2)
-                lab = d2.argmin(axis=1)
-                sums = np.zeros((k, ds_))
-                np.add.at(sums, lab, sub)
-                out = pd.DataFrame({
-                    "sub": np.full(k, j, dtype=np.int64),
-                    "cluster": np.arange(k, dtype=np.int64),
-                    "n": np.bincount(lab, minlength=k).astype(np.int64)})
-                for t in range(ds_):
-                    out[f"s{t}"] = sums[:, t]
-                frames.append(out)
-            return pa.Table.from_pandas(pd.concat(frames,
-                                                  ignore_index=True),
-                                        preserve_index=False) \
-                .replace_schema_metadata(None)
+                lab = _pq_assign(sub, bks[j])
+                acc[j, :, 0] += np.bincount(lab, minlength=k)
+                np.add.at(acc[j, :, 1:], lab, sub)
+            return acc
 
-        aggs = [Sum("n", alias_name="n")]
-        aggs += [Sum(f"s{t}", alias_name=f"s{t}") for t in range(ds_)]
-        stats = (_emb(sf_dir)
-                 .map_batches(assign, batch_format="pyarrow",
-                              batch_size=None)
-                 .groupby(["sub", "cluster"]).aggregate(*aggs)
-                 .to_pandas().sort_values(["sub", "cluster"]))
-        n = stats["n"].to_numpy(np.float64).reshape(m, k)
-        sums = stats[[f"s{t}" for t in range(ds_)]].to_numpy() \
-            .reshape(m, k, ds_)
-        nz = n > 0
-        books = np.where(nz[:, :, None],
-                         sums / np.maximum(n[:, :, None], 1.0), books)
+        fn = AggregateFn(
+            init=lambda _k: np.zeros((m, k, 1 + ds_)),
+            merge=lambda a, b: a + b,
+            accumulate_block=acc_block, name="pq")
+        st = _emb(sf_dir).aggregate(fn)["pq"]
+        n = st[:, :, 0]
+        books = np.where(n[:, :, None] > 0,
+                         st[:, :, 1:] / np.maximum(n[:, :, None], 1.0),
+                         books)
     return books
 
 
@@ -692,14 +696,11 @@ def knn_cosine_pq(sf_dir: str):
 
     def score(batch: pa.Table) -> pa.Table:
         bks, lt = ray.get(ref)
-        x = _normalize_rows(
-            np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
-            .astype(np.float64))
+        x = _normalize_rows(_emb_matrix(batch))
         approx = np.zeros(len(x))
         for j in range(bks.shape[0]):
             sub = x[:, j * ds_:(j + 1) * ds_]
-            d2 = ((sub[:, None, :] - bks[j][None, :, :]) ** 2).sum(2)
-            codes = d2.argmin(axis=1)            # the stored byte
+            codes = _pq_assign(sub, bks[j])      # the stored byte
             approx += lt[j][codes]               # ADC lookup
         return pa.Table.from_arrays(
             [batch["vec_id"], pa.array(approx)], names=["vec_id", "cos"])
