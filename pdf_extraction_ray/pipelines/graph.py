@@ -858,34 +858,50 @@ def orders_similar_baskets(sf_dir: str):
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for _, grp in g.groupby("token", sort=False):
-            if len(grp) < 2:
+            n = len(grp)
+            if n < 2:
                 continue
-            orders = grp["order_id"].to_numpy()
-            # python frozensets beat np.intersect1d ~10x on these tiny
-            # (<=13-element) baskets — the verify loop is the hot path
-            baskets = [frozenset(x.tolist()) for x in grp["basket"]]
-            sizes = [len(x) for x in baskets]
-            pos = grp["pos"].to_numpy()
-            for i in range(len(grp)):
-                bi, sa, oi, pi = baskets[i], sizes[i], orders[i], pos[i]
-                for j in range(i + 1, len(grp)):
-                    sb = sizes[j]
-                    if orders[j] == oi:
-                        continue
-                    if 2 * min(sa, sb) < max(sa, sb):   # size filter
-                        continue
-                    # PPJoin position filter: overlap is bounded by
-                    # 1 + what remains after this token in each basket;
-                    # J >= 1/2 needs overlap >= (sa+sb)/3. A true pair
-                    # always passes at its FIRST shared prefix token,
-                    # which is the occurrence that survives dedup.
-                    maxov = 1 + min(sa - pi - 1, sb - pos[j] - 1)
-                    if 3 * maxov < sa + sb:
-                        continue
-                    inter = len(bi & baskets[j])
-                    union = sa + sb - inter
-                    if 2 * inter >= union:              # J >= 0.5 exact
-                        a, b2 = sorted((int(oi), int(orders[j])))
+            orders = grp["order_id"].to_numpy(np.int64)
+            pos = grp["pos"].to_numpy(np.int64)
+            sizes = np.fromiter((len(x) for x in grp["basket"]),
+                                np.int64, n)
+            baskets = None                       # built lazily below
+            # the filters kill ~all pairs, so run them VECTORIZED over
+            # the pair block and only intersect the survivors; i-chunked
+            # so the pair block stays bounded for a hot token
+            for i0 in range(0, n - 1, 1024):
+                i1 = min(i0 + 1024, n - 1)
+                irange = np.arange(i0, i1)
+                counts = n - irange - 1          # j runs (i, n)
+                ii = np.repeat(irange, counts)
+                ends = np.cumsum(counts)
+                offs = np.arange(int(ends[-1])) - np.repeat(
+                    ends - counts, counts)
+                jj = ii + 1 + offs
+                keep = orders[ii] != orders[jj]
+                sa, sb = sizes[ii], sizes[jj]
+                keep &= 2 * np.minimum(sa, sb) >= np.maximum(sa, sb)
+                # PPJoin position filter: overlap is bounded by 1 + what
+                # remains after this token in each basket; J >= 1/2
+                # needs overlap >= (sa+sb)/3. A true pair always passes
+                # at its FIRST shared prefix token, which is the
+                # occurrence that survives dedup.
+                maxov = 1 + np.minimum(sa - pos[ii] - 1,
+                                       sb - pos[jj] - 1)
+                keep &= 3 * maxov >= sa + sb
+                if not keep.any():
+                    continue
+                if baskets is None:
+                    # frozensets beat np.intersect1d ~10x on these tiny
+                    # (<=13-element) baskets
+                    baskets = [frozenset(x.tolist())
+                               for x in grp["basket"]]
+                for i, j in zip(ii[keep].tolist(), jj[keep].tolist()):
+                    inter = len(baskets[i] & baskets[j])
+                    union = int(sizes[i] + sizes[j]) - inter
+                    if 2 * inter >= union:       # J >= 0.5 exact
+                        a, b2 = sorted((int(orders[i]),
+                                        int(orders[j])))
                         rows.append((a, b2, inter, union,
                                      float(inter) / float(union)))
         if not rows:
