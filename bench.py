@@ -668,7 +668,11 @@ def main():
                          "events_conversion_latency",
                          "events_markov_stationary",
                          "events_hourly_holtwinters",
-                         "events_exactly_once_ingest"]
+                         "events_exactly_once_ingest",
+                         "events_hourly_decompose",
+                         "part_hierarchy_rollup",
+                         "embedding_hard_negatives",
+                         "events_attribution_ushape"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

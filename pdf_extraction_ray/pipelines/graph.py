@@ -1427,6 +1427,76 @@ LIMIT {COSINE_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Recursive hierarchy rollup (bill-of-materials shape)
+# ---------------------------------------------------------------------------
+
+HIER_FANOUT = 4      # synthetic containment tree: parent(node) = node // 4
+
+
+def part_hierarchy_rollup(sf_dir: str):
+    """Subtree aggregation over a recursive containment hierarchy (the
+    bill-of-materials / org-chart rollup the oracle needs WITH
+    RECURSIVE for): every part sits in a deterministic synthetic tree
+    (parent = key // {HIER_FANOUT}), and each node's rollup is the
+    COUNT and retail-price cents SUM over every part in its subtree
+    (self included). Ray shape: no recursion at run time — each part
+    EXPLODES its ancestor chain in one vectorized map (chain length is
+    log_{HIER_FANOUT}(keyspace), <= ~16 even at 2^63 keys), and ONE
+    node-keyed exchange sums the partials; depth never serializes the
+    pipeline the way the SQL recursion does. Output: (node, n_desc,
+    subtree_x100)."""
+    from .relational import _cents
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("node", "n_desc", "subtree_x100")})
+    if _table_empty(sf_dir, "part"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_retailprice"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        node = batch["p_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        val = _cents(batch["p_retailprice"]).to_numpy(zero_copy_only=False)
+        nodes, vals = [node], [val]
+        while True:                     # ancestor chain, quartering up
+            m = node >= HIER_FANOUT
+            if not m.any():
+                break
+            node = node[m] // HIER_FANOUT
+            val = val[m]
+            nodes.append(node)
+            vals.append(val)
+        df = pd.DataFrame({"node": np.concatenate(nodes),
+                           "cents": np.concatenate(vals)})
+        part = df.groupby("node", as_index=False) \
+            .agg(n_desc=("cents", "size"), subtree_x100=("cents", "sum"))
+        return _from_pandas(part.astype("int64"))
+
+    def reduce_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False) \
+            .agg(n_desc=("n_desc", "sum"),
+                 subtree_x100=("subtree_x100", "sum")).astype("int64")
+
+    return _coarse_partition_map(
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=None),
+        "node", reduce_nodes).sort("node")
+
+
+HIER_ROLLUP_SQL = f"""
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS node,
+         CAST(round(p_retailprice * 100.0) AS BIGINT) AS cents
+  FROM part
+  UNION ALL
+  SELECT node // {HIER_FANOUT}, cents FROM anc WHERE node >= {HIER_FANOUT})
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_desc,
+       CAST(SUM(cents) AS BIGINT) AS subtree_x100
+FROM anc GROUP BY node ORDER BY node
+"""
+
+
 GRAPH_QUERIES: dict[str, tuple] = {
     "basket_association_rules": (basket_association_rules, RULES_SQL),
     "copurchase_link_prediction": (copurchase_link_prediction,
@@ -1445,4 +1515,5 @@ GRAPH_QUERIES: dict[str, tuple] = {
     "part_copurchase_cosine": (part_copurchase_cosine,
                                COPURCHASE_COSINE_SQL),
     "copurchase_kcore": (copurchase_kcore, None),
+    "part_hierarchy_rollup": (part_hierarchy_rollup, HIER_ROLLUP_SQL),
 }

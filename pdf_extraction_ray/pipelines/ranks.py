@@ -636,6 +636,112 @@ ORDER BY lag
 """
 
 
+# ---------------------------------------------------------------------------
+# Classic additive seasonal decomposition (STL-lite) of the hourly series
+# ---------------------------------------------------------------------------
+
+DECOMP_PERIOD = 24                   # hours per seasonal cycle
+DECOMP_W = DECOMP_PERIOD + 1         # centered moving-average window
+
+
+def events_hourly_decompose(sf_dir: str):
+    """Classic ADDITIVE decomposition of the densified hourly event
+    count series: trend = centered {DECOMP_W}-hour moving average
+    (full windows only), seasonal = per-hour-of-day mean of the
+    detrended values, residual = count - trend - seasonal. Exactness:
+    the window sum s and the per-hour-of-day sums (sum_c, sum_s) are
+    ALL exact int64, so each emitted float is one fixed expression
+    (trend = s/25; seasonal = (25*sum_c - sum_s)/(25*k); resid =
+    (c - s/25) - seasonal) evaluated in the same IEEE op order as the
+    oracle. The distributed piece is the hourly count histogram (one
+    bounded exchange); the dense series is calendar-bounded (~88k rows
+    per decade even at 100 TB) so the sliding sums run driver-side on
+    ints. Output: (hr, c, trend, seasonal, resid)."""
+    empty = pd.DataFrame({"hr": pd.Series(dtype="int64"),
+                          "c": pd.Series(dtype="int64"),
+                          "trend": pd.Series(dtype="float64"),
+                          "seasonal": pd.Series(dtype="float64"),
+                          "resid": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"hr": hr}).groupby("hr", as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    dense[hr - h0] = hist["c"].to_numpy(np.int64)
+    n = len(dense)
+    if n < DECOMP_W:
+        return empty
+    half = DECOMP_W // 2
+    cs = np.concatenate(([0], np.cumsum(dense)))
+    centers = np.arange(half, n - half)          # full windows only
+    s = cs[centers + half + 1] - cs[centers - half]
+    c = dense[centers]
+    hrs = h0 + centers
+    hod = hrs % DECOMP_PERIOD
+    k = np.bincount(hod, minlength=DECOMP_PERIOD)
+    sum_c = np.zeros(DECOMP_PERIOD, np.int64)    # exact int sums
+    sum_s = np.zeros(DECOMP_PERIOD, np.int64)
+    np.add.at(sum_c, hod, c)
+    np.add.at(sum_s, hod, s)
+    w = float(DECOMP_W)
+    seas = (w * sum_c - sum_s).astype(np.float64) / (w * k.clip(min=1))
+    trend = s.astype(np.float64) / w
+    resid = (c - trend) - seas[hod]
+    return pd.DataFrame({"hr": hrs.astype(np.int64),
+                         "c": c.astype(np.int64),
+                         "trend": trend,
+                         "seasonal": seas[hod],
+                         "resid": resid})
+
+
+DECOMPOSE_SQL = f"""
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, COALESCE(h.c, 0) AS c
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr),
+w AS (
+  SELECT hr, c,
+         SUM(c) OVER win AS s, COUNT(*) OVER win AS k
+  FROM dense
+  WINDOW win AS (ORDER BY hr
+                 ROWS BETWEEN {DECOMP_W // 2} PRECEDING
+                          AND {DECOMP_W // 2} FOLLOWING)),
+f AS (SELECT hr, c, s FROM w WHERE k = {DECOMP_W}),
+se AS (
+  SELECT hr % {DECOMP_PERIOD} AS hod, COUNT(*) AS kk,
+         SUM(c) AS sum_c, SUM(s) AS sum_s
+  FROM f GROUP BY hod)
+SELECT f.hr AS hr, CAST(f.c AS BIGINT) AS c,
+       CAST(f.s AS DOUBLE) / {float(DECOMP_W)} AS trend,
+       CAST({DECOMP_W} * se.sum_c - se.sum_s AS DOUBLE)
+           / ({float(DECOMP_W)} * se.kk) AS seasonal,
+       (f.c - CAST(f.s AS DOUBLE) / {float(DECOMP_W)})
+           - CAST({DECOMP_W} * se.sum_c - se.sum_s AS DOUBLE)
+               / ({float(DECOMP_W)} * se.kk) AS resid
+FROM f JOIN se ON f.hr % {DECOMP_PERIOD} = se.hod
+ORDER BY hr
+"""
+
+
 RANKS_QUERIES: dict[str, tuple] = {
     "lineitem_spearman_by_nation": (lineitem_spearman_by_nation,
                                     SPEARMAN_SQL),
@@ -644,4 +750,5 @@ RANKS_QUERIES: dict[str, tuple] = {
     "orders_monthly_theilsen": (orders_monthly_theilsen, THEILSEN_SQL),
     "events_type_kendall": (events_type_kendall, KENDALL_SQL),
     "events_hourly_xcorr": (events_hourly_xcorr, XCORR_SQL),
+    "events_hourly_decompose": (events_hourly_decompose, DECOMPOSE_SQL),
 }

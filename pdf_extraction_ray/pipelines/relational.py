@@ -1008,6 +1008,112 @@ ORDER BY purchase_id
 """
 
 
+# ---------------------------------------------------------------------------
+# U-shaped (position-based) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+USHAPE_FIRST_BP = 4000       # basis points to the first touch
+USHAPE_MID_BP = 2000         # pool the middle touches floor-divide
+
+
+def events_attribution_ushape(sf_dir: str):
+    """U-shaped (position-based) multi-touch attribution: each user's
+    FIRST purchase distributes 10000 basis points over every earlier
+    event (any non-purchase type, strictly before in (ts, event_id)
+    log order) — 40% to the first touch, 40% to the last, the middle
+    {USHAPE_MID_BP}bp pool floor-split evenly; a single touch takes
+    all 10000, exactly two split 5000/5000. Credit stays integer end
+    to end, summed per touch TYPE. One user-keyed exchange carries
+    both roles; per-user credit assignment is a vectorized position
+    rule, and partials pre-reduce per partition so the final exchange
+    is type-cardinality-bounded. Output: (event_type, n_touches,
+    credit_x10k)."""
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n_touches": pd.Series(dtype="int64"),
+                          "credit_x10k": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def credit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=g["ts"].astype("datetime64[us]")
+                     .astype(np.int64))
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          ignore_index=True)
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        uid = g["user_id"].to_numpy(np.int64)
+        # first purchase per user: first True inside each user run
+        pidx = np.flatnonzero(is_p)
+        if len(pidx) == 0:
+            return empty
+        first_p = pidx[np.unique(uid[pidx], return_index=True)[1]]
+        # touches = rows of the same user BEFORE its first purchase
+        fp_map = dict(zip(uid[first_p].tolist(), first_p.tolist()))
+        fp_row = np.array([fp_map.get(u, -1) for u in uid.tolist()],
+                          dtype=np.int64)
+        touch = (~is_p) & (fp_row >= 0) \
+            & (np.arange(len(g)) < fp_row)
+        if not touch.any():
+            return empty
+        t = g.loc[touch, ["user_id", "event_type"]].copy()
+        tu = t["user_id"].to_numpy(np.int64)
+        tstarts = np.unique(tu, return_index=True)[1]
+        counts = np.diff(np.append(tstarts, len(t)))
+        n = np.repeat(counts, counts)
+        rn = np.arange(len(t)) - np.repeat(tstarts, counts) + 1
+        cr = np.where(
+            n == 1, 10000,
+            np.where(n == 2, 5000,
+                     np.where((rn == 1) | (rn == n), USHAPE_FIRST_BP,
+                              USHAPE_MID_BP // np.maximum(n - 2, 1))))
+        t["credit"] = cr.astype(np.int64)
+        out = t.groupby("event_type", as_index=False) \
+            .agg(n_touches=("credit", "size"),
+                 credit_x10k=("credit", "sum"))
+        out["n_touches"] = out["n_touches"].astype("int64")
+        out["credit_x10k"] = out["credit_x10k"].astype("int64")
+        return out
+
+    parts = _coarse_partition_map(ds, "user_id", credit).to_pandas()
+    if parts.empty:
+        return empty
+    return parts.groupby("event_type", as_index=False) \
+        .agg(n_touches=("n_touches", "sum"),
+             credit_x10k=("credit_x10k", "sum")) \
+        .astype({"n_touches": "int64", "credit_x10k": "int64"}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+USHAPE_SQL = f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'purchase'),
+fp AS (SELECT user_id, ts, event_id FROM p WHERE rn = 1),
+t AS (
+  SELECT e.user_id, e.event_type,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY e.user_id) AS n
+  FROM events e JOIN fp ON e.user_id = fp.user_id
+  WHERE e.event_type <> 'purchase'
+    AND (e.ts < fp.ts OR (e.ts = fp.ts AND e.event_id < fp.event_id))),
+c AS (
+  SELECT event_type,
+         CASE WHEN n = 1 THEN 10000
+              WHEN n = 2 THEN 5000
+              WHEN rn = 1 OR rn = n THEN {USHAPE_FIRST_BP}
+              ELSE {USHAPE_MID_BP} // (n - 2) END AS credit
+  FROM t)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit) AS BIGINT) AS credit_x10k
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -5176,6 +5282,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                  SEASONALITY_SQL),
     "orders_key_islands": (orders_key_islands, KEY_ISLANDS_SQL),
     "customer_abc_classes": (customer_abc_classes, ABC_SQL),
+    "events_attribution_ushape": (events_attribution_ushape, USHAPE_SQL),
     "events_first_click_attribution": (events_first_click_attribution,
                                        FIRST_CLICK_SQL),
     "events_props_keys": (events_props_keys, PROPS_KEYS_SQL),

@@ -1016,7 +1016,93 @@ LIMIT {KNN_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+HARDNEG_NQ = 8       # anchor queries: the first NQ vec_ids
+
+
+def embedding_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for each of the
+    first {HARDNEG_NQ} anchor vectors, the single most-cosine-similar
+    vector with a DIFFERENT label — the 'looks like me but isn't my
+    class' example a triplet/InfoNCE loss wants. The anchor matrix
+    broadcasts once (bounded by NQ); every batch computes one
+    (n x NQ) matmul against it, masks same-label rows, and emits at
+    most NQ partial champions, so the reduce sees nbatches*NQ rows
+    regardless of corpus size. Ties break on vec_id ascending (same
+    rule as the oracle's ORDER BY). Output: (query_id, neg_id)."""
+    empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          "neg_id": pd.Series(dtype="int64")})
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"],
+                      filters=[("vec_id", "<", HARDNEG_NQ)])
+    if t.num_rows == 0:
+        return empty
+    qdf = t.to_pandas().sort_values("vec_id")
+    qm = _normalize_rows(np.stack(qdf["embedding"].to_numpy())
+                         .astype(np.float64))
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qlab = qdf["label"].to_numpy(np.int64)
+    ref = ray.put((qm, qids, qlab))
+
+    def champions(batch: pa.Table) -> pa.Table:
+        qm_, qids_, qlab_ = ray.get(ref)
+        x = _normalize_rows(_emb_matrix(batch))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        labs = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sims = x @ qm_.T                       # (n, NQ)
+        out_q, out_id, out_cos = [], [], []
+        for qi in range(len(qids_)):
+            m = labs != qlab_[qi]
+            if not m.any():
+                continue
+            s = sims[m][:, qi]
+            v = vids[m]
+            best = np.lexsort((v, -s))[0]      # max cos, then min id
+            out_q.append(qids_[qi])
+            out_id.append(int(v[best]))
+            out_cos.append(float(s[best]))
+        return pa.Table.from_pydict(
+            {"query_id": pa.array(out_q, type=pa.int64()),
+             "neg_id": pa.array(out_id, type=pa.int64()),
+             "cos": pa.array(out_cos, type=pa.float64())})
+
+    parts = (_emb(sf_dir)
+             .map_batches(champions, batch_format="pyarrow",
+                          batch_size=None).to_pandas())
+    if parts.empty:
+        return empty
+    win = parts.sort_values(["query_id", "cos", "neg_id"],
+                            ascending=[True, False, True]) \
+        .drop_duplicates("query_id", keep="first")
+    return win[["query_id", "neg_id"]].astype("int64") \
+        .sort_values("query_id").reset_index(drop=True)
+
+
+HARDNEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id < {HARDNEG_NQ}),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(
+                                e.embedding, q.qe) DESC,
+                            e.vec_id ASC) AS rn
+  FROM embeddings e JOIN q ON e.label <> q.ql)
+SELECT query_id, CAST(vec_id AS BIGINT) AS neg_id
+FROM s WHERE rn = 1 ORDER BY query_id
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "embedding_hard_negatives": (embedding_hard_negatives, HARDNEG_SQL),
     "knn_cosine_filtered": (knn_cosine_filtered, KNN_FILTERED_SQL),
     "embedding_dispersion": (embedding_dispersion, DISPERSION_SQL),
     "knn_cosine_truncated": (knn_cosine_truncated, KNN_TRUNC_SQL),

@@ -1,0 +1,84 @@
+"""U-shaped (position-based) multi-touch attribution: hand-computed
+credit splits per touch count, pre/post-purchase boundary behavior,
+and a randomized DuckDB oracle fuzz."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extraction_ray.pipelines.relational import (
+    USHAPE_SQL, events_attribution_ushape)
+
+
+def _write_events(d: str, rows):
+    """rows: (event_id, user_id, minutes, event_type)."""
+    base = pd.Timestamp("2024-05-01")
+    pd.DataFrame({
+        "event_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "user_id": np.array([r[1] for r in rows], dtype=np.int64),
+        "ts": [base + pd.Timedelta(minutes=r[2]) for r in rows],
+        "event_type": [r[3] for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+
+
+def _duck(d: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{os.path.join(d, 'events.parquet')}')")
+    return con.sql(USHAPE_SQL).df()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ushape_hand_computed_splits(tmp_path):
+    """n=1 -> 10000; n=2 -> 5000/5000; n=4 -> 4000/1000/1000/4000;
+    post-purchase events and later purchases earn nothing."""
+    d = str(tmp_path)
+    _write_events(d, [
+        # user 1: single view then purchase -> view gets 10000
+        (1, 1, 0, "view"), (2, 1, 5, "purchase"),
+        # user 2: click, view, purchase -> 5000 each
+        (3, 2, 0, "click"), (4, 2, 1, "view"), (5, 2, 9, "purchase"),
+        # user 3: view click view error purchase -> 4000/1000/1000/4000
+        (6, 3, 0, "view"), (7, 3, 1, "click"), (8, 3, 2, "view"),
+        (9, 3, 3, "error"), (10, 3, 8, "purchase"),
+        # post-first-purchase activity and a second purchase: ignored
+        (11, 3, 20, "click"), (12, 3, 30, "purchase"),
+        # user 4: no purchase at all -> nothing
+        (13, 4, 0, "view"), (14, 4, 1, "click")])
+    out = events_attribution_ushape(d).set_index("event_type")
+    # view: 10000 (u1) + 5000 (u2) + 4000 + 1000 (u3, first + middle)
+    assert out.loc["view", "credit_x10k"] == 20000
+    assert out.loc["view", "n_touches"] == 4
+    # click: 5000 (u2) + 1000 (u3 middle); u3's post-purchase click
+    # and u4's click earn nothing
+    assert out.loc["click", "credit_x10k"] == 6000
+    assert out.loc["click", "n_touches"] == 2
+    # error: the LAST pre-purchase touch of user 3
+    assert out.loc["error", "credit_x10k"] == 4000
+    assert "purchase" not in out.index
+    want = _duck(d)
+    pd.testing.assert_frame_equal(
+        out.reset_index(), want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ushape_fuzz_vs_duckdb(tmp_path, seed):
+    rng = np.random.default_rng(500 + seed)
+    d = str(tmp_path)
+    rows = []
+    eid = 0
+    for uid in range(int(rng.integers(5, 25))):
+        for _ in range(int(rng.integers(1, 12))):
+            rows.append((eid, uid, int(rng.integers(0, 300)),
+                         str(rng.choice(["view", "click", "signup",
+                                         "error", "purchase"]))))
+            eid += 1
+    _write_events(d, rows)
+    got = events_attribution_ushape(d)
+    want = _duck(d)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)

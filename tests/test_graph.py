@@ -339,3 +339,47 @@ def test_kcore_matches_networkx_free_reference(tmp_path):
                     changed = True
         k += 1
     assert got == ref and len(got) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hierarchy_rollup_hand_tree(tmp_path):
+    """Tiny hand tree: parts 1..20 at 1.00 each, parent = key // 4.
+    Node 5's subtree is {5, 20} (20//4 == 5, 21+ absent); the three
+    roots {1, 2, 3} together cover every part exactly once."""
+    import os
+    d = str(tmp_path)
+    pd.DataFrame({"p_partkey": np.arange(1, 21, dtype=np.int64),
+                  "p_retailprice": np.ones(20)}) \
+        .to_parquet(os.path.join(d, "part.parquet"))
+    from pdf_extraction_ray.pipelines.graph import part_hierarchy_rollup
+    out = part_hierarchy_rollup(d).to_pandas().set_index("node")
+    assert out.loc[5, "n_desc"] == 2          # {5, 20}
+    assert out.loc[5, "subtree_x100"] == 200
+    assert out.loc[4, "n_desc"] == 5          # {4, 16, 17, 18, 19}
+    roots = out.loc[[1, 2, 3]]
+    assert roots["n_desc"].sum() == 20
+    assert roots["subtree_x100"].sum() == 2000
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [0])
+def test_hierarchy_rollup_fuzz_vs_duckdb(tmp_path, seed):
+    import os
+    rng = np.random.default_rng(400 + seed)
+    d = str(tmp_path)
+    n = int(rng.integers(50, 300))
+    keys = rng.choice(np.arange(1, 5000), size=n, replace=False)
+    pd.DataFrame({"p_partkey": np.sort(keys).astype(np.int64),
+                  "p_retailprice": rng.integers(100, 99999, size=n)
+                  / 100.0}) \
+        .to_parquet(os.path.join(d, "part.parquet"))
+    from pdf_extraction_ray.pipelines.graph import (HIER_ROLLUP_SQL,
+                                                    part_hierarchy_rollup)
+    got = part_hierarchy_rollup(d).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{os.path.join(d, 'part.parquet')}')")
+    want = con.sql(HIER_ROLLUP_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)

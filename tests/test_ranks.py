@@ -231,3 +231,48 @@ def test_spearman_fuzz_vs_duckdb(tmp_path, seed):
     want = _canon(_duck(d, R.SPEARMAN_SQL))
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decompose_constant_series_is_flat(tmp_path):
+    """A constant hourly series decomposes exactly: trend == the
+    constant, seasonal == 0, residual == 0 (all integer-derived)."""
+    d = str(tmp_path)
+    base = pd.Timestamp("2024-01-01")
+    n_hours = 3 * 24 + 5
+    rows = []
+    for h in range(n_hours):
+        for k in range(3):                    # exactly 3 events/hour
+            rows.append((len(rows), base + pd.Timedelta(hours=h,
+                                                        minutes=k)))
+    pd.DataFrame({"event_id": [r[0] for r in rows],
+                  "ts": [r[1] for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = R.events_hourly_decompose(d)
+    assert len(out) == n_hours - R.DECOMP_W + 1
+    assert (out["trend"] == 3.0).all()
+    assert (out["seasonal"] == 0.0).all()
+    assert (out["resid"] == 0.0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [0, 1])
+def test_decompose_fuzz_vs_duckdb(tmp_path, seed):
+    """Random hourly batches (with gap hours) must decompose
+    bit-identically to the WITH-window oracle."""
+    rng = np.random.default_rng(300 + seed)
+    d = str(tmp_path)
+    base = pd.Timestamp("2024-03-01")
+    ts = []
+    for h in range(int(rng.integers(30, 80))):
+        if rng.random() < 0.2:
+            continue                          # gap hour -> dense zero
+        for _ in range(int(rng.integers(1, 6))):
+            ts.append(base + pd.Timedelta(hours=h,
+                                          seconds=int(rng.integers(3600))))
+    pd.DataFrame({"event_id": np.arange(len(ts), dtype=np.int64),
+                  "ts": ts}).to_parquet(os.path.join(d, "events.parquet"))
+    got = _canon(R.events_hourly_decompose(d))
+    want = _canon(_duck(d, R.DECOMPOSE_SQL))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)

@@ -298,3 +298,52 @@ def test_dispersion_collapsed_vs_orthogonal(tmp_path):
         .to_parquet(os.path.join(d2, "embeddings.parquet"))
     out2 = embedding_dispersion(d2)
     assert out2.mean_pairwise_dot.iloc[0] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hard_negatives_planted(tmp_path):
+    """A near-duplicate vector with a DIFFERENT label must win; the
+    even-nearer SAME-label duplicate must be skipped."""
+    import os
+    rng = np.random.default_rng(7)
+    d = str(tmp_path)
+    base = rng.normal(size=(40, 64)).astype(np.float32)
+    q = base[0]
+    base[10] = q + rng.normal(scale=1e-3, size=64)   # same label: skip
+    base[11] = q + rng.normal(scale=1e-2, size=64)   # diff label: win
+    labels = (np.arange(40) % 3).astype(np.int32)
+    labels[0] = 0
+    labels[10] = 0
+    labels[11] = 1
+    pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                  "embedding": [v for v in base],
+                  "label": labels}) \
+        .to_parquet(os.path.join(d, "embeddings.parquet"))
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_hard_negatives)
+    out = embedding_hard_negatives(d).set_index("query_id")
+    assert out.loc[0, "neg_id"] == 11
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hard_negatives_matches_duckdb(tmp_path):
+    import os
+    import duckdb
+    rng = np.random.default_rng(8)
+    d = str(tmp_path)
+    n = 120
+    pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                  "embedding": [v for v in
+                                rng.normal(size=(n, 64))
+                                .astype(np.float32)],
+                  "label": (np.arange(n) % 4).astype(np.int32)}) \
+        .to_parquet(os.path.join(d, "embeddings.parquet"))
+    from pdf_extraction_ray.pipelines.similarity import (
+        HARDNEG_SQL, embedding_hard_negatives)
+    got = embedding_hard_negatives(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{os.path.join(d, 'embeddings.parquet')}')")
+    want = con.sql(HARDNEG_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
