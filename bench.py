@@ -672,7 +672,9 @@ def main():
                          "events_hourly_decompose",
                          "part_hierarchy_rollup",
                          "embedding_hard_negatives",
-                         "events_attribution_ushape"]
+                         "events_attribution_ushape",
+                         "join_size_estimate_sampled",
+                         "customers_all_priorities"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

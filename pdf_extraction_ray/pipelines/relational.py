@@ -3872,6 +3872,156 @@ JOIN (SELECT l_orderkey AS key, COUNT(*) AS n_l
 """
 
 
+# Two-round multiplicative key-sample hash:
+#   h(k) = (((k * 48271) % M) * 69621) % M,  M = 2^31 - 1.
+# One round is NOT enough: 48271*k < M for k < 44485, so small
+# consecutive keys never wrap and the "sample" is a prefix. The second
+# round's effective multiplier (48271*69621 mod M ~ 1.21e9) wraps on
+# every increment, equidistributing consecutive keys (Weyl). Headroom:
+# round 1 is safe for keys < ~1.9e14, round 2's operand is < M — the
+# SAME int64 arithmetic runs in numpy and in the oracle SQL.
+SAMPLE_HASH_MUL = 48271
+SAMPLE_HASH_MUL2 = 69621
+SAMPLE_HASH_MOD = 2147483647
+SAMPLE_RATE_INV = 16         # keep keys with h(k) < MOD // 16
+
+
+def join_size_estimate_sampled(sf_dir: str):
+    """SAMPLING-based join cardinality estimate — the planner probe
+    that reads only 1/{SAMPLE_RATE_INV} of the key space: both sides
+    keep a key iff the DETERMINISTIC Lehmer hash of the join key falls
+    under MOD/{SAMPLE_RATE_INV} (correlated key sampling — both sides
+    keep the SAME keys, so the sampled join is a true join of the
+    sampled key universe), the exact join size of the sample computes
+    through one co-partitioned exchange, and the estimate scales by
+    {SAMPLE_RATE_INV}. Unlike Bernoulli row sampling, key sampling is
+    unbiased for foreign-key joins. The filter pushes into the scan
+    batches so unsampled keys never leave the read stage. Output:
+    (sampled_keys, sampled_pairs, est_join_size)."""
+    empty = pd.DataFrame({c: pd.Series([0], dtype="int64") for c in
+                          ("sampled_keys", "sampled_pairs",
+                           "est_join_size")})
+    if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "lineitem"):
+        return empty
+    thr = SAMPLE_HASH_MOD // SAMPLE_RATE_INV
+
+    def counts(table: str, key: str, side: int):
+        def partial(batch: pa.Table) -> pa.Table:
+            k = batch[key].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            h = ((k * SAMPLE_HASH_MUL) % SAMPLE_HASH_MOD
+                 * SAMPLE_HASH_MUL2) % SAMPLE_HASH_MOD
+            k = k[h < thr]
+            df = pd.DataFrame({"key": k}) \
+                .groupby("key", as_index=False).size() \
+                .rename(columns={"size": "n"})
+            df["side"] = np.int8(side)
+            return _from_pandas(df[["key", "side", "n"]]
+                                .astype({"key": "int64", "n": "int64"}))
+        return rd.read_parquet(_pq(sf_dir, table), columns=[key]) \
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def product_sum(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 1].groupby("key")["n"].sum()
+        l_ = g[g["side"] == 0].groupby("key")["n"].sum()
+        both = o.index.intersection(l_.index)
+        return pd.DataFrame({
+            "sampled_keys": [np.int64(len(both))],
+            "sampled_pairs": [np.int64(
+                (o.loc[both] * l_.loc[both]).sum())]})
+
+    parts = _coarse_grouped_map_union(
+        counts("lineitem", "l_orderkey", 0),
+        counts("orders", "o_orderkey", 1), product_sum).to_pandas()
+    if parts.empty or "sampled_pairs" not in parts.columns:
+        return empty
+    pairs = int(parts["sampled_pairs"].sum())
+    return pd.DataFrame({
+        "sampled_keys": pd.Series([int(parts["sampled_keys"].sum())],
+                                  dtype="int64"),
+        "sampled_pairs": pd.Series([pairs], dtype="int64"),
+        "est_join_size": pd.Series([pairs * SAMPLE_RATE_INV],
+                                   dtype="int64")})
+
+
+JOIN_SIZE_SAMPLED_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey AS key, COUNT(*) AS n_o FROM orders
+  WHERE ((o_orderkey * {SAMPLE_HASH_MUL}) % {SAMPLE_HASH_MOD}
+         * {SAMPLE_HASH_MUL2}) % {SAMPLE_HASH_MOD}
+        < {SAMPLE_HASH_MOD // SAMPLE_RATE_INV}
+  GROUP BY 1),
+l AS (
+  SELECT l_orderkey AS key, COUNT(*) AS n_l FROM lineitem
+  WHERE ((l_orderkey * {SAMPLE_HASH_MUL}) % {SAMPLE_HASH_MOD}
+         * {SAMPLE_HASH_MUL2}) % {SAMPLE_HASH_MOD}
+        < {SAMPLE_HASH_MOD // SAMPLE_RATE_INV}
+  GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS sampled_keys,
+       CAST(COALESCE(SUM(n_o * n_l), 0) AS BIGINT) AS sampled_pairs,
+       CAST(COALESCE(SUM(n_o * n_l), 0) * {SAMPLE_RATE_INV} AS BIGINT)
+           AS est_join_size
+FROM o JOIN l USING (key)
+"""
+
+
+def customers_all_priorities(sf_dir: str):
+    """RELATIONAL DIVISION (the FOR ALL join): customers whose order
+    history spans EVERY order priority present in the table —
+    orders / priorities. Shape: one distinct (custkey, priority)
+    exchange with per-batch pre-distinct, per-partition distinct-count,
+    then a filter against the GLOBAL priority count (a tiny broadcast
+    aggregate, never a join). Output: (o_custkey, n_orders) for
+    qualifying customers."""
+    empty = pd.DataFrame({"o_custkey": pd.Series(dtype="int64"),
+                          "n_orders": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderpriority"])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cust": batch["o_custkey"].to_numpy(zero_copy_only=False),
+            "prio": batch["o_orderpriority"].to_pandas()})
+        g = df.groupby(["cust", "prio"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return _from_pandas(g.astype({"cust": "int64", "n": "int64"}))
+
+    # global distinct priority count: tiny, from the same partials
+    pre_ds = ds.map_batches(pre, batch_format="pyarrow",
+                            batch_size=None)
+
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        u = pd.unique(batch["prio"].to_pandas())
+        return pa.Table.from_pydict({"prio": u})
+
+    n_prio = len(pre_ds.map_batches(prio_partial,
+                                    batch_format="pyarrow",
+                                    batch_size=None)
+                 .to_pandas()["prio"].unique())
+
+    def divide(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("cust").agg(k=("prio", "nunique"),
+                                    n_orders=("n", "sum"))
+        out = agg[agg["k"] == n_prio].reset_index()
+        return out[["cust", "n_orders"]] \
+            .rename(columns={"cust": "o_custkey"}).astype("int64")
+
+    return _coarse_partition_map(pre_ds, "cust", divide).sort("o_custkey")
+
+
+DIVISION_SQL = """
+WITH np AS (SELECT COUNT(DISTINCT o_orderpriority) AS k FROM orders)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(DISTINCT o_orderpriority) = (SELECT k FROM np)
+ORDER BY o_custkey
+"""
+
+
 def join_size_estimate_cms(sf_dir: str):
     """Sketch-based join-size estimate (fast-AGMS / Count-Sketch inner
     product, cf. the sketches-based join-estimation literature): each
@@ -5230,6 +5380,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                   JOIN_SIZE_SQL),
     "table_stats": (table_stats, TABLE_STATS_SQL),
     "join_size_estimate_cms": (join_size_estimate_cms, None),
+    "join_size_estimate_sampled": (join_size_estimate_sampled,
+                                   JOIN_SIZE_SAMPLED_SQL),
+    "customers_all_priorities": (customers_all_priorities, DIVISION_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":
