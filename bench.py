@@ -674,7 +674,9 @@ def main():
                          "embedding_hard_negatives",
                          "events_attribution_ushape",
                          "join_size_estimate_sampled",
-                         "customers_all_priorities"]
+                         "customers_all_priorities",
+                         "orders_daily_runs_test", "events_qq_drift",
+                         "embedding_triplet_mining"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

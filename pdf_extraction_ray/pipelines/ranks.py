@@ -742,6 +742,92 @@ ORDER BY hr
 """
 
 
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily revenue sequence
+# ---------------------------------------------------------------------------
+
+
+def orders_daily_runs_test(sf_dir: str):
+    """Wald-Wolfowitz RUNS TEST for randomness of the daily revenue
+    sequence: days are signed above/below the (discrete lower) median
+    daily revenue (median-equal days dropped, the classical rule), the
+    run count is 1 + the number of sign changes in date order, and the
+    normal-approximation z-score comes from the exact integer counts
+    through ONE fixed float expression mirrored in the oracle:
+    mu = 1 + 2*n1*n2/n, var = 2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)).
+    The distributed piece is the per-day cents aggregate (one bounded
+    exchange); the day series is calendar-bounded so the sign scan is
+    driver-side. Output: (n_days, n_above, n_below, runs, runs_z)."""
+    empty = pd.DataFrame({"n_days": pd.Series(dtype="int64"),
+                          "n_above": pd.Series(dtype="int64"),
+                          "n_below": pd.Series(dtype="int64"),
+                          "runs": pd.Series(dtype="int64"),
+                          "runs_z": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        rev = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"day": day, "rev": rev}) \
+            .groupby("day", as_index=False)["rev"].sum()
+        return _from_pandas(g.astype("int64"))
+
+    daily = (rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderdate", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+             .groupby("day").aggregate(Sum("rev", alias_name="rev"))
+             .to_pandas().sort_values("day"))
+    if daily.empty:
+        return empty
+    rev = daily["rev"].to_numpy(np.int64)
+    med = int(np.sort(rev)[int(np.ceil(0.5 * len(rev))) - 1])
+    sgn = rev[rev != med] > med
+    n1 = int(sgn.sum())
+    n2 = int(len(sgn) - n1)
+    nn = n1 + n2
+    if n1 == 0 or n2 == 0 or nn < 2:
+        return empty
+    runs = int(1 + (sgn[1:] != sgn[:-1]).sum())
+    mu = 1.0 + (2.0 * n1 * n2) / nn
+    var = ((2.0 * n1 * n2) * ((2.0 * n1 * n2) - nn)) \
+        / ((float(nn) * nn) * (nn - 1.0))
+    z = (runs - mu) / float(np.sqrt(var))
+    return pd.DataFrame({"n_days": [np.int64(nn)],
+                         "n_above": [np.int64(n1)],
+                         "n_below": [np.int64(n2)],
+                         "runs": [np.int64(runs)],
+                         "runs_z": [z]})
+
+
+RUNS_TEST_SQL = """
+WITH d AS (
+  SELECT o_orderdate AS day,
+         SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+m AS (SELECT quantile_disc(rev, 0.5) AS med FROM d),
+s AS (
+  SELECT day, CASE WHEN rev > med THEN 1 ELSE 0 END AS sgn
+  FROM d, m WHERE rev <> med),
+r AS (SELECT sgn, LAG(sgn) OVER (ORDER BY day) AS prev FROM s),
+c AS (
+  SELECT CAST(SUM(sgn) AS BIGINT) AS n1,
+         CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n2,
+         CAST(1 + COUNT(*) FILTER (WHERE prev IS NOT NULL
+                                     AND sgn <> prev)
+              AS BIGINT) AS runs
+  FROM r)
+SELECT (n1 + n2) AS n_days, n1 AS n_above, n2 AS n_below, runs,
+       (runs - (1.0 + (2.0 * n1 * n2) / (n1 + n2)))
+       / sqrt(((2.0 * n1 * n2) * ((2.0 * n1 * n2) - (n1 + n2)))
+              / ((CAST(n1 + n2 AS DOUBLE) * (n1 + n2))
+                 * ((n1 + n2) - 1.0))) AS runs_z
+FROM c WHERE n1 > 0 AND n2 > 0 AND (n1 + n2) >= 2
+"""
+
+
 RANKS_QUERIES: dict[str, tuple] = {
     "lineitem_spearman_by_nation": (lineitem_spearman_by_nation,
                                     SPEARMAN_SQL),
@@ -751,4 +837,5 @@ RANKS_QUERIES: dict[str, tuple] = {
     "events_type_kendall": (events_type_kendall, KENDALL_SQL),
     "events_hourly_xcorr": (events_hourly_xcorr, XCORR_SQL),
     "events_hourly_decompose": (events_hourly_decompose, DECOMPOSE_SQL),
+    "orders_daily_runs_test": (orders_daily_runs_test, RUNS_TEST_SQL),
 }

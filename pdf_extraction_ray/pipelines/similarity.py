@@ -1101,8 +1101,104 @@ FROM s WHERE rn = 1 ORDER BY query_id
 """
 
 
+def embedding_triplet_mining(sf_dir: str):
+    """Triplet mining for metric learning: for each anchor (the first
+    {HARDNEG_NQ} vec_ids), BOTH the hardest positive (most-similar
+    vector with the SAME label, self excluded) and the hardest negative
+    (most-similar with a DIFFERENT label) — the (a, p, n) triple a
+    triplet loss trains on. Same bounded-champions shape as
+    ``embedding_hard_negatives``: one broadcast anchor matrix, one
+    (n x NQ) matmul per batch, <= 2*NQ partial rows per batch. Ties
+    break on vec_id ascending. Output: (query_id, pos_id, neg_id)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("query_id", "pos_id", "neg_id")})
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"],
+                      filters=[("vec_id", "<", HARDNEG_NQ)])
+    if t.num_rows == 0:
+        return empty
+    qdf = t.to_pandas().sort_values("vec_id")
+    qm = _normalize_rows(np.stack(qdf["embedding"].to_numpy())
+                         .astype(np.float64))
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    qlab = qdf["label"].to_numpy(np.int64)
+    ref = ray.put((qm, qids, qlab))
+
+    def champions(batch: pa.Table) -> pa.Table:
+        qm_, qids_, qlab_ = ray.get(ref)
+        x = _normalize_rows(_emb_matrix(batch))
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        labs = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sims = x @ qm_.T
+        out = {"query_id": [], "role": [], "cand_id": [], "cos": []}
+        for qi in range(len(qids_)):
+            for role, m in ((0, (labs == qlab_[qi])
+                             & (vids != qids_[qi])),
+                            (1, labs != qlab_[qi])):
+                if not m.any():
+                    continue
+                s = sims[m][:, qi]
+                v = vids[m]
+                best = np.lexsort((v, -s))[0]
+                out["query_id"].append(int(qids_[qi]))
+                out["role"].append(role)
+                out["cand_id"].append(int(v[best]))
+                out["cos"].append(float(s[best]))
+        return pa.Table.from_pydict(
+            {"query_id": pa.array(out["query_id"], type=pa.int64()),
+             "role": pa.array(out["role"], type=pa.int8()),
+             "cand_id": pa.array(out["cand_id"], type=pa.int64()),
+             "cos": pa.array(out["cos"], type=pa.float64())})
+
+    parts = (_emb(sf_dir)
+             .map_batches(champions, batch_format="pyarrow",
+                          batch_size=None).to_pandas())
+    if parts.empty:
+        return empty
+    win = parts.sort_values(["query_id", "role", "cos", "cand_id"],
+                            ascending=[True, True, False, True]) \
+        .drop_duplicates(["query_id", "role"], keep="first")
+    pos = win[win["role"] == 0].set_index("query_id")["cand_id"]
+    neg = win[win["role"] == 1].set_index("query_id")["cand_id"]
+    both = pos.index.intersection(neg.index).sort_values()
+    return pd.DataFrame({"query_id": both.to_numpy(np.int64),
+                         "pos_id": pos.loc[both].to_numpy(np.int64),
+                         "neg_id": neg.loc[both].to_numpy(np.int64)})
+
+
+TRIPLET_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS ql
+  FROM embeddings WHERE vec_id < {HARDNEG_NQ}),
+p AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(
+                                e.embedding, q.qe) DESC,
+                            e.vec_id ASC) AS rn
+  FROM embeddings e JOIN q
+    ON e.label = q.ql AND e.vec_id <> q.query_id),
+n AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(
+                                e.embedding, q.qe) DESC,
+                            e.vec_id ASC) AS rn
+  FROM embeddings e JOIN q ON e.label <> q.ql)
+SELECT p.query_id, CAST(p.vec_id AS BIGINT) AS pos_id,
+       CAST(n.vec_id AS BIGINT) AS neg_id
+FROM p JOIN n ON p.query_id = n.query_id
+WHERE p.rn = 1 AND n.rn = 1
+ORDER BY p.query_id
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "embedding_hard_negatives": (embedding_hard_negatives, HARDNEG_SQL),
+    "embedding_triplet_mining": (embedding_triplet_mining, TRIPLET_SQL),
     "knn_cosine_filtered": (knn_cosine_filtered, KNN_FILTERED_SQL),
     "embedding_dispersion": (embedding_dispersion, DISPERSION_SQL),
     "knn_cosine_truncated": (knn_cosine_truncated, KNN_TRUNC_SQL),

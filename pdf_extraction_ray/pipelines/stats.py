@@ -3232,7 +3232,103 @@ ORDER BY hr
 """
 
 
+# ---------------------------------------------------------------------------
+# Quantile-quantile drift between the early and late time halves
+# ---------------------------------------------------------------------------
+
+QQ_DECILES = 9       # deciles 0.1 .. 0.9
+
+
+def events_qq_drift(sf_dir: str):
+    """Q-Q drift report between the value distributions of the early
+    and late time halves (same midpoint split as the KS monitor): the
+    nine DISCRETE deciles of each half side by side with their shift —
+    the 'where in the distribution did it move' complement to the KS
+    max-gap scalar. Everything is integer order statistics (DuckDB
+    quantile_disc = 1-based element ceil(q*n)) over the compacted
+    per-half cents histogram, so the report is bit-exact. One grouped
+    (value -> early,late counts) exchange; the decile lookup scans the
+    distinct-value domain. Output: (q_x10, v_early_x100, v_late_x100,
+    shift_x100)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("q_x10", "v_early_x100", "v_late_x100",
+                           "shift_x100")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "value"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.Table.from_pydict({"lo": [int(ts.min())],
+                                     "hi": [int(ts.max())]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    if mm.empty:
+        return empty
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    mid = lo + (hi - lo) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"v_x100": v,
+                           "early": (ts <= mid).astype(np.int64),
+                           "late": (ts > mid).astype(np.int64)})
+        return _from_pandas(df.groupby("v_x100", as_index=False).sum())
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("v_x100")
+            .aggregate(Sum("early", alias_name="early"),
+                       Sum("late", alias_name="late"))
+            .to_pandas().sort_values("v_x100"))
+    if hist.empty:
+        return empty
+    vals = hist["v_x100"].to_numpy(np.int64)
+    n_e = int(hist["early"].sum())
+    n_l = int(hist["late"].sum())
+    if n_e == 0 or n_l == 0:
+        return empty
+    ce = hist["early"].to_numpy(np.int64).cumsum()
+    cl = hist["late"].to_numpy(np.int64).cumsum()
+    rows = []
+    for qi in range(1, QQ_DECILES + 1):
+        ke = int(np.ceil(qi / 10.0 * n_e))      # 1-based rank
+        kl = int(np.ceil(qi / 10.0 * n_l))
+        ve = int(vals[np.searchsorted(ce, ke)])
+        vl = int(vals[np.searchsorted(cl, kl)])
+        rows.append((qi, ve, vl, vl - ve))
+    return pd.DataFrame(rows, columns=["q_x10", "v_early_x100",
+                                       "v_late_x100", "shift_x100"]) \
+        .astype("int64")
+
+
+QQ_DRIFT_SQL = """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events),
+e AS (
+  SELECT CAST(round(value * 100.0) AS BIGINT) AS v,
+         CASE WHEN epoch_us(ts) <= lo + (hi - lo) // 2
+              THEN 0 ELSE 1 END AS half
+  FROM events, b),
+qe AS (SELECT quantile_disc(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+           AS qs FROM e WHERE half = 0),
+ql AS (SELECT quantile_disc(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+           AS qs FROM e WHERE half = 1),
+i AS (SELECT unnest(generate_series(1, 9)) AS qi)
+SELECT CAST(qi AS BIGINT) AS q_x10,
+       CAST(qe.qs[qi] AS BIGINT) AS v_early_x100,
+       CAST(ql.qs[qi] AS BIGINT) AS v_late_x100,
+       CAST(ql.qs[qi] - qe.qs[qi] AS BIGINT) AS shift_x100
+FROM qe, ql, i ORDER BY q_x10
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "events_qq_drift": (events_qq_drift, QQ_DRIFT_SQL),
     "events_hourly_rolling_median": (events_hourly_rolling_median,
                                      ROLLING_MEDIAN_SQL),
     "events_hourly_interp": (events_hourly_interp, INTERP_SQL),

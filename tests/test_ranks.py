@@ -276,3 +276,50 @@ def test_decompose_fuzz_vs_duckdb(tmp_path, seed):
     want = _canon(_duck(d, R.DECOMPOSE_SQL))
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+def _mk_orders_daily(d: str, revs):
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame({
+        "o_orderkey": np.arange(len(revs), dtype=np.int64),
+        "o_orderdate": [(base + pd.Timedelta(days=i)).date()
+                        for i in range(len(revs))],
+        "o_totalprice": np.asarray(revs, dtype=np.float64)}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_runs_test_extremes(tmp_path):
+    """A perfectly alternating hi/lo sequence maximizes runs (= n);
+    a sorted ramp gives exactly 2 runs (below-block then above-block).
+    z sign: alternating -> positive, ramp -> negative."""
+    d = str(tmp_path)
+    # alternate around a single median day (50, dropped by the rule)
+    _mk_orders_daily(d, [10.0, 99.0] * 10 + [50.0])
+    out = R.orders_daily_runs_test(d)
+    assert int(out["n_days"].iloc[0]) == 20
+    assert int(out["runs"].iloc[0]) == 20
+    assert out["runs_z"].iloc[0] > 0
+
+    d2 = str(tmp_path / "ramp")
+    os.makedirs(d2)
+    _mk_orders_daily(d2, [float(10 + i) for i in range(21)])
+    out2 = R.orders_daily_runs_test(d2)
+    # 21 days, lower median day dropped -> 10 below + 10 above, 2 runs
+    assert int(out2["n_days"].iloc[0]) == 20
+    assert int(out2["runs"].iloc[0]) == 2
+    assert out2["runs_z"].iloc[0] < 0
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [0, 1])
+def test_runs_test_fuzz_vs_duckdb(tmp_path, seed):
+    rng = np.random.default_rng(600 + seed)
+    d = str(tmp_path)
+    # duplicated revenue values -> median ties get dropped
+    _mk_orders_daily(d, (rng.integers(1, 15, size=int(
+        rng.integers(10, 60))) * 7.5).tolist())
+    got = _canon(R.orders_daily_runs_test(d))
+    want = _canon(_duck(d, R.RUNS_TEST_SQL))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)

@@ -347,3 +347,29 @@ def test_hard_negatives_matches_duckdb(tmp_path):
     want = con.sql(HARDNEG_SQL).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triplet_mining_planted(tmp_path):
+    """The planted same-label near-dup is the hardest positive and the
+    planted cross-label near-dup the hardest negative."""
+    import os
+    rng = np.random.default_rng(9)
+    d = str(tmp_path)
+    base = rng.normal(size=(40, 64)).astype(np.float32)
+    q = base[0]
+    base[10] = q + rng.normal(scale=1e-3, size=64)   # same label: pos
+    base[11] = q + rng.normal(scale=1e-2, size=64)   # diff label: neg
+    labels = (np.arange(40) % 3).astype(np.int32)
+    labels[0] = 0
+    labels[10] = 0
+    labels[11] = 1
+    pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                  "embedding": [v for v in base],
+                  "label": labels}) \
+        .to_parquet(os.path.join(d, "embeddings.parquet"))
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_triplet_mining)
+    out = embedding_triplet_mining(d).set_index("query_id")
+    assert out.loc[0, "pos_id"] == 10
+    assert out.loc[0, "neg_id"] == 11

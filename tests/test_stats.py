@@ -582,3 +582,51 @@ def test_markov_stationary_matches_eigenvector():
     pi = pi / pi.sum()
     assert np.allclose(out.reindex(types).to_numpy(), pi, atol=1e-10)
     assert out.sum() == pytest.approx(1.0, abs=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_qq_drift_planted_shift(tmp_path):
+    """Second half = first half + 3.00 shifts EVERY decile by exactly
+    300 cents (same per-half counts, disjoint halves)."""
+    import os
+    d = str(tmp_path)
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    v1 = rng.integers(100, 5000, size=400) / 100.0
+    ts1 = [base + pd.Timedelta(minutes=int(m))
+           for m in rng.integers(0, 1000, size=400)]
+    ts2 = [base + pd.Timedelta(days=30, minutes=int(m))
+           for m in rng.integers(0, 1000, size=400)]
+    pd.DataFrame({"event_id": np.arange(800, dtype=np.int64),
+                  "ts": ts1 + ts2,
+                  "value": np.concatenate([v1, v1 + 3.0])}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    from pdf_extraction_ray.pipelines.stats import events_qq_drift
+    out = events_qq_drift(d)
+    assert len(out) == 9
+    assert (out["shift_x100"] == 300).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed", [0, 1])
+def test_qq_drift_fuzz_vs_duckdb(tmp_path, seed):
+    import os
+    import duckdb
+    rng = np.random.default_rng(700 + seed)
+    d = str(tmp_path)
+    n = int(rng.integers(40, 400))
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                  "ts": [base + pd.Timedelta(minutes=int(m))
+                         for m in rng.integers(0, 10000, size=n)],
+                  "value": rng.integers(0, 500, size=n) / 4.0}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    from pdf_extraction_ray.pipelines.stats import (QQ_DRIFT_SQL,
+                                                    events_qq_drift)
+    got = events_qq_drift(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{os.path.join(d, 'events.parquet')}')")
+    want = con.sql(QQ_DRIFT_SQL).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
