@@ -676,7 +676,9 @@ def main():
                          "join_size_estimate_sampled",
                          "customers_all_priorities",
                          "orders_daily_runs_test", "events_qq_drift",
-                         "embedding_triplet_mining"]
+                         "embedding_triplet_mining",
+                         "doc_dedup_containment", "region_revenue_hhi",
+                         "orders_cohort_ltv"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

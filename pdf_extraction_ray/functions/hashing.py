@@ -155,6 +155,16 @@ def jaccard(a_tokens: set, b_tokens: set) -> float:
     return len(a_tokens & b_tokens) / u if u else 0.0
 
 
+def containment(a_tokens: set, b_tokens: set) -> float:
+    """Asymmetric near-dup score |A ∩ B| / min(|A|, |B|) — 1.0 when the
+    smaller shingle set is fully inside the larger (quotation / subset
+    duplication, which Jaccard under-scores for unequal lengths)."""
+    if not a_tokens and not b_tokens:
+        return 1.0
+    m = min(len(a_tokens), len(b_tokens))
+    return len(a_tokens & b_tokens) / m if m else 0.0
+
+
 def word_ngrams(text: str, k: int = SHINGLE_K) -> set:
     toks = text.lower().split()
     if len(toks) < k:

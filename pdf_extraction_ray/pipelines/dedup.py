@@ -45,7 +45,9 @@ _EMPTY_VERIFIED = {"doc_a": pd.Series([], dtype="int64"),
 def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
                           n_coarse: int = 64,
                           max_broadcast_ids: int = 5_000_000,
-                          max_broadcast_bytes: int = 256 << 20) -> pd.DataFrame:
+                          max_broadcast_bytes: int = 256 << 20,
+                          score_fn=None,
+                          out_col: str = "jaccard_x1e6") -> pd.DataFrame:
     """Jaccard-verify candidate (doc_a, doc_b) pairs WITHOUT broadcasting
     corpus text: texts ship through the same coarse hash exchange as the
     pairs, in two stages — attach text_a keyed on doc_a, then attach
@@ -67,7 +69,13 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
        more than one partition.
 
     Returns the verified pair set (small by the near-dup-density
-    argument) as a sorted DataFrame (doc_a, doc_b, jaccard_x1e6)."""
+    argument) as a sorted DataFrame (doc_a, doc_b, <out_col>);
+    ``score_fn`` (default word-ngram Jaccard) swaps the pair metric —
+    ``H.containment`` gives the asymmetric subset-dedup variant."""
+    score = score_fn if score_fn is not None else H.jaccard
+    empty_v = {"doc_a": pd.Series([], dtype="int64"),
+               "doc_b": pd.Series([], dtype="int64"),
+               out_col: pd.Series([], dtype="int64")}
 
     def tag_pairs(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -128,7 +136,7 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
     def verify_b(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["side"] == 0]
         if p.empty:
-            return pd.DataFrame(_EMPTY_VERIFIED)
+            return pd.DataFrame(empty_v)
         t = g[g["side"] == 1]
         tmap = dict(zip(t["doc_b"], t["payload"]))
         ngrams: dict[int, set] = {}      # per-partition memo: a doc in m
@@ -151,10 +159,10 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
         for a, b, ta in zip(p["doc_a"], p["doc_b"], p["text_a"]):
             if b not in tmap:             # no doc_b row -> no evidence
                 continue
-            j = H.jaccard(ng_a(a, ta), ng_b(b))
+            j = score(ng_a(a, ta), ng_b(b))
             if j >= threshold:
                 out.append((int(a), int(b), int(j * 1e6)))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard_x1e6"]) \
+        return pd.DataFrame(out, columns=["doc_a", "doc_b", out_col]) \
             .astype("int64")
 
     # materialize once: candidates feed both the id-set extraction and
@@ -202,7 +210,7 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
 
         def verify_bc(batch: pd.DataFrame) -> pd.DataFrame:
             if len(batch) == 0:
-                return pd.DataFrame(_EMPTY_VERIFIED)
+                return pd.DataFrame(empty_v)
             tmap = ray.get(tref)
             ngrams: dict[int, set] = {}
             def ng(doc):
@@ -218,17 +226,17 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
                 # text still matches another empty text
                 if a not in tmap or b not in tmap:
                     continue
-                j = H.jaccard(ng(a), ng(b))
+                j = score(ng(a), ng(b))
                 if j >= threshold:
                     out.append((int(a), int(b), int(j * 1e6)))
             return pd.DataFrame(out,
-                                columns=["doc_a", "doc_b", "jaccard_x1e6"]) \
+                                columns=["doc_a", "doc_b", out_col]) \
                 .astype("int64")
 
         verified = cand.map_batches(verify_bc,
                                     batch_format="pandas").to_pandas()
         if len(verified) == 0:
-            return pd.DataFrame(_EMPTY_VERIFIED)
+            return pd.DataFrame(empty_v)
         # a pair can surface from several bands -> several partitions
         return (verified.drop_duplicates(["doc_a", "doc_b"])
                 .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
@@ -246,7 +254,7 @@ def _verify_pairs_jaccard(cand, sf_dir: str, threshold: float,
                                                batch_format="pandas")
                 .to_pandas())            # small verified pair set
     if len(verified) == 0:
-        return pd.DataFrame(_EMPTY_VERIFIED)
+        return pd.DataFrame(empty_v)
     return (verified.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
 
 
@@ -630,6 +638,59 @@ def dedup_fingerprint_jaccard(sf_dir: str):
     return _verify_pairs_jaccard(cand, sf_dir, NGRAM_JACCARD_THRESHOLD)
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def doc_dedup_containment(sf_dir: str):
+    """CONTAINMENT dedup (asymmetric subset duplication, the Lee et
+    al. deduplicating-training-data case Jaccard under-scores): doc
+    pairs whose smaller word-3-gram set is >= {CONTAINMENT_THRESHOLD}
+    inside the larger — quotations, excerpts, doc-inside-doc. Same
+    winnowing-fingerprint blocking and partitioned text re-join as
+    ``dedup_fingerprint_jaccard``; only the pair metric changes
+    (|A∩B| / min(|A|,|B|)). Output: (doc_a, doc_b,
+    containment_x1e6)."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        fp = H.rolling_fingerprint(text).view(np.int64)
+        return pa.Table.from_arrays([pa.array(fp), batch["doc_id"]],
+                                    names=["fingerprint", "doc_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        tri_cache: dict[int, tuple] = {}
+        for _, grp in g.groupby("fingerprint"):
+            ids = np.unique(grp["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
+            ai, bj = _bucket_pair_indices(len(ids), tri_cache)
+            out_a.append(ids[ai])
+            out_b.append(ids[bj])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"doc_a": pd.Series(np.concatenate(out_a), dtype="int64"),
+             "doc_b": pd.Series(np.concatenate(out_b), dtype="int64")})
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        c = (batch["fingerprint"].to_numpy(zero_copy_only=False)
+             .view(np.uint64) % np.uint64(64)).astype(np.int64)
+        return batch.append_column("coarse", pa.array(c))
+
+    cand = (_docs(sf_dir)
+            .map_batches(keyed, batch_format="pyarrow", batch_size=None)
+            .map_batches(coarse, batch_format="pyarrow", batch_size=None)
+            .groupby("coarse")
+            .map_groups(pairs, batch_format="pandas"))
+
+    return _verify_pairs_jaccard(cand, sf_dir, CONTAINMENT_THRESHOLD,
+                                 score_fn=H.containment,
+                                 out_col="containment_x1e6")
+
+
 def doc_dedup_ensemble(sf_dir: str):
     """Multi-signal (ensemble) dedup: embedding near-dup CANDIDATES
     (IVF-bucketed fixed-point cosine >= 0.95 — ``dedup_embedding_
@@ -839,6 +900,7 @@ DEDUP_QUERIES: dict[str, tuple] = {
     "embedding_cosine_pairs": (embedding_cosine_pairs,
                                _pairs_sql(PAIRS_COSINE_THRESHOLD_X1E6)),
     "dedup_fingerprint_jaccard": (dedup_fingerprint_jaccard, None),
+    "doc_dedup_containment": (doc_dedup_containment, None),
     "dedup_clusters": (dedup_clusters, None),
     "doc_dedup_ensemble": (doc_dedup_ensemble, None),
 }

@@ -1114,6 +1114,68 @@ FROM c GROUP BY event_type ORDER BY event_type
 """
 
 
+def orders_cohort_ltv(sf_dir: str):
+    """Cohort lifetime-value triangle: customers grouped by FIRST-order
+    month (the cohort), revenue and active-customer counts laid out by
+    months-since-first-order (the age) — the LTV matrix growth teams
+    read down the diagonal. ONE custkey-keyed exchange resolves each
+    customer's cohort AND its per-age partials together (no join back);
+    the second exchange is (cohort, age)-shaped, calendar-bounded.
+    Output: (cohort_mi, age_months, n_customers, revenue_x100)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("cohort_mi", "age_months", "n_customers",
+                           "revenue_x100")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["o_orderdate"].to_numpy().astype("datetime64[M]")
+        mi = d.astype(np.int64) + 1970 * 12 + 1    # year*12 + month
+        cents = _cents(pa.array(g["o_totalprice"].to_numpy())) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"cust": g["o_custkey"].to_numpy(np.int64),
+                           "mi": mi, "cents": cents})
+        cohort = df.groupby("cust")["mi"].transform("min")
+        df["cohort_mi"] = cohort
+        df["age_months"] = df["mi"] - cohort
+        out = df.groupby(["cohort_mi", "age_months"]).agg(
+            n_customers=("cust", "nunique"),
+            revenue_x100=("cents", "sum")).reset_index()
+        return out.astype("int64")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["cohort_mi", "age_months"], as_index=False) \
+            .agg(n_customers=("n_customers", "sum"),
+                 revenue_x100=("revenue_x100", "sum")).astype("int64")
+
+    parts = _coarse_partition_map(ds, "o_custkey", per_user)
+    out = _coarse_partition_map(parts, "cohort_mi", fold).to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["cohort_mi", "age_months"]) \
+        .reset_index(drop=True)[["cohort_mi", "age_months",
+                                 "n_customers", "revenue_x100"]]
+
+
+COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate)) AS mi,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders),
+c AS (SELECT o_custkey, MIN(mi) AS cohort_mi FROM o GROUP BY 1)
+SELECT CAST(c.cohort_mi AS BIGINT) AS cohort_mi,
+       CAST(o.mi - c.cohort_mi AS BIGINT) AS age_months,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(o.cents) AS BIGINT) AS revenue_x100
+FROM o JOIN c USING (o_custkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -5383,6 +5445,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "join_size_estimate_sampled": (join_size_estimate_sampled,
                                    JOIN_SIZE_SAMPLED_SQL),
     "customers_all_priorities": (customers_all_priorities, DIVISION_SQL),
+    "orders_cohort_ltv": (orders_cohort_ltv, COHORT_LTV_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

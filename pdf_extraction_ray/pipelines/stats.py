@@ -551,6 +551,96 @@ FROM g ORDER BY nation
 """
 
 
+def region_revenue_hhi(sf_dir: str):
+    """Herfindahl-Hirschman market-concentration index of supplier-
+    nation revenue within each region: HHI = sum(share_i^2) =
+    sum(rev_i^2) / (sum rev_i)^2 over the region's nations — the
+    'is this region's supply concentrated in one nation' monitor that
+    complements the Gini tier. Distributed piece: the per-nation cents
+    sums (pre-reduced grouped exchange, dims broadcast once); the
+    region fold is a 5-row driver reduction in exact Python ints
+    (rev^2 exceeds int64 at scale — arbitrary-precision here, HUGEINT
+    in the oracle), with ONE float expression per region.
+    Output: (region, n_nations, revenue_x100, hhi)."""
+    empty = pd.DataFrame({"region": pd.Series(dtype="object"),
+                          "n_nations": pd.Series(dtype="int64"),
+                          "revenue_x100": pd.Series(dtype="int64"),
+                          "hhi": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    sup = pd.read_parquet(_pq(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(_pq(sf_dir, "nation"),
+                          columns=["n_nationkey", "n_name",
+                                   "n_regionkey"])
+    reg = pd.read_parquet(_pq(sf_dir, "region"),
+                          columns=["r_regionkey", "r_name"])
+    nk = dict(zip(sup.s_suppkey, sup.s_nationkey))
+    nname = dict(zip(nat.n_nationkey, nat.n_name))
+    maps_ref = ray.put((nk, nname))
+    nregion = dict(zip(nat.n_name,
+                       nat.n_regionkey.map(
+                           dict(zip(reg.r_regionkey, reg.r_name)))))
+
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk, nname = ray.get(maps_ref)
+        y = _cents(pc.multiply(batch["l_extendedprice"],
+                               pc.subtract(pa.scalar(1.0),
+                                           batch["l_discount"]))) \
+            .to_numpy(zero_copy_only=False)
+        nations = pd.Series(batch["l_suppkey"]
+                            .to_numpy(zero_copy_only=False)) \
+            .map(nk).map(nname)
+        df = pd.DataFrame({"nation": nations.to_numpy(),
+                           "rev": y})
+        return _from_pandas(df.groupby("nation", as_index=False).sum())
+
+    g = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby("nation")
+         .aggregate(_Sum("rev", alias_name="rev"))
+         .to_pandas())
+    if g.empty:
+        return empty
+    g["region"] = g["nation"].map(nregion)
+    rows = []
+    for region, sub in g.groupby("region"):
+        revs = [int(v) for v in sub["rev"]]
+        tot = sum(revs)
+        if tot == 0:
+            continue
+        sq = sum(v * v for v in revs)           # exact big ints
+        rows.append((region, len(revs), tot,
+                     float(sq) / (float(tot) * float(tot))))
+    return pd.DataFrame(rows, columns=["region", "n_nations",
+                                       "revenue_x100", "hhi"]) \
+        .sort_values("region").reset_index(drop=True)
+
+
+HHI_SQL = """
+WITH g AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT)) AS rev
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2)
+SELECT region, CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(SUM(rev) AS BIGINT) AS revenue_x100,
+       CAST(SUM(rev * rev) AS DOUBLE)
+           / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)) AS hhi
+FROM g GROUP BY region HAVING SUM(rev) <> 0 ORDER BY region
+"""
+
+
 # ---------------------------------------------------------------------------
 # Entity clusters over the fuzzy name pairs (blocking -> verify -> resolve)
 # ---------------------------------------------------------------------------
@@ -3329,6 +3419,7 @@ FROM qe, ql, i ORDER BY q_x10
 
 STATS_QUERIES: dict[str, tuple] = {
     "events_qq_drift": (events_qq_drift, QQ_DRIFT_SQL),
+    "region_revenue_hhi": (region_revenue_hhi, HHI_SQL),
     "events_hourly_rolling_median": (events_hourly_rolling_median,
                                      ROLLING_MEDIAN_SQL),
     "events_hourly_interp": (events_hourly_interp, INTERP_SQL),

@@ -82,3 +82,27 @@ def test_ushape_fuzz_vs_duckdb(tmp_path, seed):
     want = _duck(d)
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cohort_ltv_hand_matrix(tmp_path):
+    """Two customers: one starts Jan (orders Jan+Mar), one starts Feb
+    (order Feb only) -> three cells with exact ages and cents."""
+    from pdf_extraction_ray.pipelines.relational import orders_cohort_ltv
+    d = str(tmp_path)
+    pd.DataFrame({
+        "o_orderkey": np.arange(3, dtype=np.int64),
+        "o_custkey": np.array([1, 1, 2], dtype=np.int64),
+        "o_orderdate": [pd.Timestamp("2024-01-15").date(),
+                        pd.Timestamp("2024-03-02").date(),
+                        pd.Timestamp("2024-02-20").date()],
+        "o_totalprice": [10.0, 20.0, 5.5]}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+    out = orders_cohort_ltv(d)
+    jan = 2024 * 12 + 1
+    want = pd.DataFrame({
+        "cohort_mi": np.array([jan, jan, jan + 1], dtype=np.int64),
+        "age_months": np.array([0, 2, 0], dtype=np.int64),
+        "n_customers": np.ones(3, dtype=np.int64),
+        "revenue_x100": np.array([1000, 2000, 550], dtype=np.int64)})
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)

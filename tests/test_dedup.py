@@ -356,3 +356,31 @@ def test_ensemble_drops_candidates_without_documents_rows(tmp_path):
         .to_parquet(os.path.join(d, "documents.parquet"))
     out = doc_dedup_ensemble(d)
     assert len(out) == 0, out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_containment_catches_subset_dup(tmp_path):
+    """A doc fully embedded in a longer doc scores containment 1.0 but
+    Jaccard well under the 0.5 dedup bar — the asymmetric metric is
+    what catches quotation/excerpt duplication."""
+    import os
+    d = str(tmp_path)
+    core = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    extra = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen "
+             "eighteen nineteen twenty " * 3)
+    pd.DataFrame({"doc_id": np.array([0, 1, 2], dtype=np.int64),
+                  "text": [core, core + " " + extra,
+                           "totally different words here entirely"]}) \
+        .to_parquet(os.path.join(d, "documents.parquet"))
+    from pdf_extraction_ray.functions.hashing import (containment,
+                                                      jaccard,
+                                                      word_ngrams)
+    a, b = word_ngrams(core), word_ngrams(core + " " + extra)
+    assert containment(a, b) >= 0.8 > jaccard(a, b)
+    from pdf_extraction_ray.pipelines.dedup import doc_dedup_containment
+    out = doc_dedup_containment(d)
+    got = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)

@@ -630,3 +630,30 @@ def test_qq_drift_fuzz_vs_duckdb(tmp_path, seed):
     want = con.sql(QQ_DRIFT_SQL).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hhi_extremes(tmp_path):
+    """Monopoly region (one nation) -> HHI exactly 1.0; two equal
+    nations -> exactly 0.5."""
+    import os
+    d = str(tmp_path)
+    pd.DataFrame({"r_regionkey": [0, 1],
+                  "r_name": ["MONO", "DUO"]}) \
+        .to_parquet(os.path.join(d, "region.parquet"))
+    pd.DataFrame({"n_nationkey": [0, 1, 2],
+                  "n_name": ["A", "B", "C"],
+                  "n_regionkey": [0, 1, 1]}) \
+        .to_parquet(os.path.join(d, "nation.parquet"))
+    pd.DataFrame({"s_suppkey": [1, 2, 3],
+                  "s_nationkey": [0, 1, 2]}) \
+        .to_parquet(os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({"l_suppkey": [1, 1, 2, 3],
+                  "l_extendedprice": [10.0, 30.0, 20.0, 20.0],
+                  "l_discount": [0.0] * 4}) \
+        .to_parquet(os.path.join(d, "lineitem.parquet"))
+    from pdf_extraction_ray.pipelines.stats import region_revenue_hhi
+    out = region_revenue_hhi(d).set_index("region")
+    assert out.loc["MONO", "hhi"] == 1.0
+    assert out.loc["DUO", "hhi"] == 0.5
+    assert out.loc["DUO", "n_nations"] == 2
