@@ -678,7 +678,10 @@ def main():
                          "orders_daily_runs_test", "events_qq_drift",
                          "embedding_triplet_mining",
                          "doc_dedup_containment", "region_revenue_hhi",
-                         "orders_cohort_ltv"]
+                         "orders_cohort_ltv",
+                         "orders_monthly_mannkendall",
+                         "events_hourly_spectral",
+                         "embedding_maxmin_diverse"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -828,6 +828,136 @@ FROM c WHERE n1 > 0 AND n2 > 0 AND (n1 + n2) >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test over monthly revenue
+# ---------------------------------------------------------------------------
+
+
+def orders_monthly_mannkendall(sf_dir: str):
+    """Mann-Kendall nonparametric trend test on the monthly revenue
+    series: S = sum of sign(rev_j - rev_i) over time-ordered pairs
+    i < j, tie-corrected variance 18*Var = n(n-1)(2n+5) -
+    sum_t t(t-1)(2t+5), and the continuity-corrected z — the
+    'is there ANY monotone trend' gate run before fitting Theil-Sen.
+    The distributed piece is the exact-cents monthly aggregate (reused
+    from ``orders_monthly``); the O(m^2) sign triangle runs on the
+    calendar-bounded months table. All counts are exact ints; z is ONE
+    fixed float expression mirrored in the oracle.
+    Output: (n_months, s_stat, var_x18, mk_z)."""
+    empty = pd.DataFrame({"n_months": pd.Series(dtype="int64"),
+                          "s_stat": pd.Series(dtype="int64"),
+                          "var_x18": pd.Series(dtype="int64"),
+                          "mk_z": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    m = orders_monthly(sf_dir).to_pandas()
+    if len(m) < 2:
+        return empty
+    ym = m["month"].str.split("-", expand=True).astype(np.int64)
+    mi = (ym[0] * 12 + ym[1]).to_numpy(np.int64)
+    rev = m["total_x100"].to_numpy(np.int64)
+    order = np.argsort(mi)
+    rev = rev[order]
+    n = len(rev)
+    iu, ju = np.triu_indices(n, k=1)
+    s = int(np.sign(rev[ju] - rev[iu]).astype(np.int64).sum())
+    _, tie_counts = np.unique(rev, return_counts=True)
+    ties = tie_counts[tie_counts > 1].astype(object)
+    var18 = n * (n - 1) * (2 * n + 5) \
+        - int(sum(t * (t - 1) * (2 * t + 5) for t in ties))
+    if var18 <= 0:
+        return empty
+    sd = float(np.sqrt(var18 / 18.0))
+    z = (s - 1) / sd if s > 0 else ((s + 1) / sd if s < 0 else 0.0)
+    return pd.DataFrame({"n_months": [np.int64(n)],
+                         "s_stat": [np.int64(s)],
+                         "var_x18": [np.int64(var18)],
+                         "mk_z": [z]})
+
+
+MANNKENDALL_SQL = """
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mi,
+         SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev
+  FROM orders GROUP BY mi),
+s AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN b.rev > a.rev THEN 1
+                                WHEN b.rev < a.rev THEN -1
+                                ELSE 0 END), 0) AS BIGINT) AS s_stat
+  FROM m a JOIN m b ON a.mi < b.mi),
+t AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+             AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM m GROUP BY rev HAVING COUNT(*) > 1)),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM m)
+SELECT n AS n_months, s_stat,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var_x18,
+       CASE WHEN s_stat > 0 THEN
+              (s_stat - 1) / sqrt(CAST(n*(n-1)*(2*n+5) - tie_term
+                                       AS DOUBLE) / 18.0)
+            WHEN s_stat < 0 THEN
+              (s_stat + 1) / sqrt(CAST(n*(n-1)*(2*n+5) - tie_term
+                                       AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS mk_z
+FROM c, s, t
+WHERE n >= 2 AND (n * (n - 1) * (2 * n + 5) - tie_term) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Periodogram peaks of the hourly series (distributed histogram + FFT)
+# ---------------------------------------------------------------------------
+
+SPECTRAL_TOPK = 3
+
+
+def events_hourly_spectral(sf_dir: str):
+    """Top-{SPECTRAL_TOPK} periodogram peaks of the mean-removed dense
+    hourly count series — the 'what cycles does this signal have'
+    probe (a daily-active series peaks at the 24 h line). Distributed
+    piece: the hourly count histogram (one bounded exchange, shared
+    shape with the Bollinger/decompose tier); the rFFT runs on the
+    calendar-bounded dense series driver-side. Not SQL-expressible
+    (transcendental basis) — rows-only checked, unit-tested against a
+    planted 24 h periodicity. Ties break toward the lower frequency
+    index. Output: (peak_rank, freq_idx, period_mhours, power_x1e3)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("peak_rank", "freq_idx", "period_mhours",
+                           "power_x1e3")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"hr": hr}).groupby("hr", as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.float64)
+    dense[hr - h0] = hist["c"].to_numpy(np.int64)
+    n = len(dense)
+    if n < 4:
+        return empty
+    power = np.abs(np.fft.rfft(dense - dense.mean())) ** 2 / n
+    power[0] = 0.0                     # mean already removed
+    k = min(SPECTRAL_TOPK, len(power) - 1)
+    idx = np.lexsort((np.arange(len(power)), -power))[:k]
+    return pd.DataFrame({
+        "peak_rank": np.arange(1, k + 1, dtype=np.int64),
+        "freq_idx": idx.astype(np.int64),
+        "period_mhours": (1000 * n / idx).astype(np.int64),
+        "power_x1e3": np.round(power[idx] * 1e3).astype(np.int64)})
+
+
 RANKS_QUERIES: dict[str, tuple] = {
     "lineitem_spearman_by_nation": (lineitem_spearman_by_nation,
                                     SPEARMAN_SQL),
@@ -838,4 +968,7 @@ RANKS_QUERIES: dict[str, tuple] = {
     "events_hourly_xcorr": (events_hourly_xcorr, XCORR_SQL),
     "events_hourly_decompose": (events_hourly_decompose, DECOMPOSE_SQL),
     "orders_daily_runs_test": (orders_daily_runs_test, RUNS_TEST_SQL),
+    "orders_monthly_mannkendall": (orders_monthly_mannkendall,
+                                   MANNKENDALL_SQL),
+    "events_hourly_spectral": (events_hourly_spectral, None),
 }

@@ -1196,9 +1196,82 @@ ORDER BY p.query_id
 """
 
 
+MAXMIN_K = 8
+
+
+def embedding_maxmin_diverse(sf_dir: str):
+    """Max-min (k-center greedy / farthest-point) DIVERSE subset
+    selection: starting from the anchor vec_id 0, repeatedly pick the
+    vector whose minimum cosine distance to everything selected so far
+    is LARGEST — the coverage-maximizing curation pass a training set
+    runs to avoid redundant examples (2-approximation to the k-center
+    optimum). Each round is one distributed argmax: the selected
+    matrix broadcasts (bounded by K), every batch emits its single
+    champion (max min-distance, ties to the smaller vec_id), and the
+    driver reduces nbatches rows. K rounds = K bounded scans; no
+    pairwise matrix ever materializes. Deterministic; rows-only
+    checked, unit-tested against the brute-force greedy.
+    Output: (sel_rank, vec_id, mindist_x1e6)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("sel_rank", "vec_id", "mindist_x1e6")})
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    if t.num_rows == 0:
+        return empty
+    v0 = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    v0 /= max(np.linalg.norm(v0), 1e-12)
+    selected = [(0, 0)]                     # (vec_id, mindist_x1e6)
+    sel_mat = v0[None, :]
+
+    for _ in range(MAXMIN_K - 1):
+        ref = ray.put((sel_mat, np.array([i for i, _ in selected],
+                                         dtype=np.int64)))
+
+        def champion(batch: pa.Table) -> pa.Table:
+            sm, sids = ray.get(ref)
+            x = _normalize_rows(_emb_matrix(batch))
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            keep = ~np.isin(vids, sids)
+            if not keep.any():
+                return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                                 "mind": pa.array([], type=pa.float64())})
+            x, vids = x[keep], vids[keep]
+            mind = 1.0 - (x @ sm.T).max(axis=1)
+            best = np.lexsort((vids, -mind))[0]
+            return pa.table({"vec_id": pa.array([int(vids[best])]),
+                             "mind": pa.array([float(mind[best])])})
+
+        parts = (_emb(sf_dir)
+                 .map_batches(champion, batch_format="pyarrow",
+                              batch_size=None).to_pandas())
+        if parts.empty:
+            break
+        win = parts.sort_values(["mind", "vec_id"],
+                                ascending=[False, True]).iloc[0]
+        wid = int(win["vec_id"])
+        selected.append((wid, int(round(win["mind"] * 1e6))))
+        import pyarrow.parquet as _pqm
+        wt = _pqm.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"],
+                             filters=[("vec_id", "=", wid)])
+        wv = np.asarray(wt["embedding"][0].as_py(), dtype=np.float64)
+        wv /= max(np.linalg.norm(wv), 1e-12)
+        sel_mat = np.vstack([sel_mat, wv[None, :]])
+
+    return pd.DataFrame({
+        "sel_rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+        "vec_id": np.array([i for i, _ in selected], dtype=np.int64),
+        "mindist_x1e6": np.array([d for _, d in selected],
+                                 dtype=np.int64)})
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
     "embedding_hard_negatives": (embedding_hard_negatives, HARDNEG_SQL),
     "embedding_triplet_mining": (embedding_triplet_mining, TRIPLET_SQL),
+    "embedding_maxmin_diverse": (embedding_maxmin_diverse, None),
     "knn_cosine_filtered": (knn_cosine_filtered, KNN_FILTERED_SQL),
     "embedding_dispersion": (embedding_dispersion, DISPERSION_SQL),
     "knn_cosine_truncated": (knn_cosine_truncated, KNN_TRUNC_SQL),

@@ -323,3 +323,47 @@ def test_runs_test_fuzz_vs_duckdb(tmp_path, seed):
     want = _canon(_duck(d, R.RUNS_TEST_SQL))
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spectral_planted_24h_cycle(tmp_path):
+    """A pure 24-hour sinusoid over 8 days peaks exactly at freq index
+    n/24 (8 cycles)."""
+    d = str(tmp_path)
+    base = pd.Timestamp("2024-01-01")
+    ts = []
+    for h in range(8 * 24):
+        count = 5 + int(round(4 * np.cos(2 * np.pi * h / 24)))
+        for k in range(count):
+            ts.append(base + pd.Timedelta(hours=h, minutes=k))
+    pd.DataFrame({"event_id": np.arange(len(ts), dtype=np.int64),
+                  "ts": ts}).to_parquet(os.path.join(d, "events.parquet"))
+    out = R.events_hourly_spectral(d)
+    assert int(out["freq_idx"].iloc[0]) == 8          # n/24 cycles
+    assert int(out["period_mhours"].iloc[0]) == 24000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mannkendall_extremes(tmp_path):
+    """Strictly increasing monthly revenue -> S = n(n-1)/2 and large
+    positive z; constant revenue is all-ties (empty, var = 0)."""
+    d = str(tmp_path)
+    dates, prices = [], []
+    for i in range(12):
+        dates.append(pd.Timestamp(f"2024-{i+1:02d}-10").date())
+        prices.append(100.0 + 10.0 * i)
+    pd.DataFrame({"o_orderkey": np.arange(12, dtype=np.int64),
+                  "o_orderdate": dates,
+                  "o_totalprice": prices}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+    out = R.orders_monthly_mannkendall(d)
+    assert int(out["s_stat"].iloc[0]) == 66           # 12*11/2
+    assert out["mk_z"].iloc[0] > 3.0
+
+    d2 = str(tmp_path / "const")
+    os.makedirs(d2)
+    pd.DataFrame({"o_orderkey": np.arange(12, dtype=np.int64),
+                  "o_orderdate": dates,
+                  "o_totalprice": [100.0] * 12}) \
+        .to_parquet(os.path.join(d2, "orders.parquet"))
+    assert R.orders_monthly_mannkendall(d2).empty     # var18 == 0

@@ -373,3 +373,33 @@ def test_triplet_mining_planted(tmp_path):
     out = embedding_triplet_mining(d).set_index("query_id")
     assert out.loc[0, "pos_id"] == 10
     assert out.loc[0, "neg_id"] == 11
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_maxmin_diverse_matches_bruteforce(tmp_path):
+    """The distributed greedy must equal the single-process farthest-
+    point traversal (same start, same tie rule)."""
+    import os
+    rng = np.random.default_rng(12)
+    d = str(tmp_path)
+    n = 60
+    vecs = rng.normal(size=(n, 64)).astype(np.float32)
+    pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                  "embedding": [v for v in vecs],
+                  "label": np.zeros(n, dtype=np.int32)}) \
+        .to_parquet(os.path.join(d, "embeddings.parquet"))
+    from pdf_extraction_ray.pipelines.similarity import (
+        MAXMIN_K, embedding_maxmin_diverse)
+    out = embedding_maxmin_diverse(d)
+    m = vecs.astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sel = [0]
+    for _ in range(MAXMIN_K - 1):
+        mind = 1.0 - (m @ m[sel].T).max(axis=1)
+        mind[sel] = -np.inf
+        cand = np.lexsort((np.arange(n), -mind))[0]
+        sel.append(int(cand))
+    assert out["vec_id"].tolist() == sel
+    # min-distances are non-increasing along the greedy order
+    md = out["mindist_x1e6"].to_numpy()[1:]
+    assert (np.diff(md) <= 0).all()
