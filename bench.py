@@ -681,7 +681,8 @@ def main():
                          "orders_cohort_ltv",
                          "orders_monthly_mannkendall",
                          "events_hourly_spectral",
-                         "embedding_maxmin_diverse"]
+                         "embedding_maxmin_diverse",
+                         "events_value_welch_ttest"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -3417,8 +3417,108 @@ FROM qe, ql, i ORDER BY q_x10
 """
 
 
+def events_value_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t-test between WEEKEND and WEEKDAY
+    event values — the A/B-significance primitive over a calendar
+    split. Exactness: per-side (n, sum, sum-of-squares) are integer
+    partials tree-reduced in one scan (n*ss - s^2 exceeds int64 at
+    extreme scale — Python big ints here, HUGEINT in the oracle), and
+    every emitted float is ONE fixed expression: a_i = (n*ss - s^2) /
+    (n^2 (n-1)) fuses v_i/n_i, t = (m_w - m_d)/sqrt(a_w + a_d), df by
+    Welch-Satterthwaite in the same op order as the SQL.
+    Output: (n_weekend, n_weekday, mean_we_x100, mean_wd_x100,
+    t_welch, df_welch)."""
+    cols = ("n_weekend", "n_weekday", "mean_we_x100", "mean_wd_x100",
+            "t_welch", "df_welch")
+    empty = pd.DataFrame({c: pd.Series(
+        dtype="int64" if c.startswith("n_") else "float64")
+        for c in cols})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        we = np.isin((days + 4) % 7, (0, 6))   # Sunday=0 .. Saturday=6
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        rows = []
+        for side, m in ((1, we), (0, ~we)):
+            if m.any():
+                vv = v[m]
+                rows.append((side, len(vv), int(vv.sum()),
+                             int((vv * vv).sum())))
+        return pa.Table.from_pydict(
+            {"side": pa.array([r[0] for r in rows], type=pa.int8()),
+             "n": pa.array([r[1] for r in rows], type=pa.int64()),
+             "s": pa.array([r[2] for r in rows], type=pa.int64()),
+             "ss": pa.array([r[3] for r in rows], type=pa.int64())})
+
+    parts = (rd.read_parquet(_pq(sf_dir, "events"),
+                             columns=["ts", "value"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas())
+    if parts.empty:
+        return empty
+    agg = parts.groupby("side").sum()
+
+    def mom(side):
+        if side not in agg.index:
+            return 0, 0, 0
+        r = agg.loc[side]
+        return int(r["n"]), int(r["s"]), int(r["ss"])
+
+    nw, sw, ssw = mom(1)
+    nd, sd_, ssd = mom(0)
+    if nw < 2 or nd < 2:
+        return empty
+    aw = float(nw * ssw - sw * sw) / ((float(nw) * nw) * (nw - 1.0))
+    ad = float(nd * ssd - sd_ * sd_) / ((float(nd) * nd) * (nd - 1.0))
+    mw = float(sw) / nw
+    md = float(sd_) / nd
+    t = (mw - md) / float(np.sqrt(aw + ad))
+    df = ((aw + ad) * (aw + ad)) \
+        / ((aw * aw) / (nw - 1.0) + (ad * ad) / (nd - 1.0))
+    return pd.DataFrame({"n_weekend": [np.int64(nw)],
+                         "n_weekday": [np.int64(nd)],
+                         "mean_we_x100": [mw], "mean_wd_x100": [md],
+                         "t_welch": [t], "df_welch": [df]})
+
+
+WELCH_SQL = """
+WITH e AS (
+  SELECT CAST(round(value * 100.0) AS BIGINT) AS v,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we
+  FROM events),
+m AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE we = 1) AS BIGINT) AS nw,
+         CAST(SUM(v) FILTER (WHERE we = 1) AS BIGINT) AS sw,
+         SUM(v * v) FILTER (WHERE we = 1) AS ssw,
+         CAST(COUNT(*) FILTER (WHERE we = 0) AS BIGINT) AS nd,
+         CAST(SUM(v) FILTER (WHERE we = 0) AS BIGINT) AS sd,
+         SUM(v * v) FILTER (WHERE we = 0) AS ssd
+  FROM e),
+x AS (
+  SELECT nw, nd,
+         CAST(nw * ssw - sw * sw AS DOUBLE)
+             / ((CAST(nw AS DOUBLE) * nw) * (nw - 1.0)) AS aw,
+         CAST(nd * ssd - sd * sd AS DOUBLE)
+             / ((CAST(nd AS DOUBLE) * nd) * (nd - 1.0)) AS ad,
+         CAST(sw AS DOUBLE) / nw AS mw,
+         CAST(sd AS DOUBLE) / nd AS md
+  FROM m WHERE nw >= 2 AND nd >= 2)
+SELECT nw AS n_weekend, nd AS n_weekday,
+       mw AS mean_we_x100, md AS mean_wd_x100,
+       (mw - md) / sqrt(aw + ad) AS t_welch,
+       ((aw + ad) * (aw + ad))
+           / ((aw * aw) / (nw - 1.0) + (ad * ad) / (nd - 1.0))
+           AS df_welch
+FROM x
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
     "events_qq_drift": (events_qq_drift, QQ_DRIFT_SQL),
+    "events_value_welch_ttest": (events_value_welch_ttest, WELCH_SQL),
     "region_revenue_hhi": (region_revenue_hhi, HHI_SQL),
     "events_hourly_rolling_median": (events_hourly_rolling_median,
                                      ROLLING_MEDIAN_SQL),

@@ -657,3 +657,28 @@ def test_hhi_extremes(tmp_path):
     assert out.loc["MONO", "hhi"] == 1.0
     assert out.loc["DUO", "hhi"] == 0.5
     assert out.loc["DUO", "n_nations"] == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_welch_identical_sides_t_zero(tmp_path):
+    """Identical weekend/weekday value multisets -> t exactly 0 and
+    df = 2*(n-1) (equal variances, equal n)."""
+    import os
+    d = str(tmp_path)
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    rows = []
+    # 2024-01-06 was a Saturday; 2024-01-08 a Monday
+    for i, v in enumerate(vals):
+        rows.append((pd.Timestamp("2024-01-06 10:00")
+                     + pd.Timedelta(minutes=i), v))
+        rows.append((pd.Timestamp("2024-01-08 10:00")
+                     + pd.Timedelta(minutes=i), v))
+    pd.DataFrame({"event_id": np.arange(len(rows), dtype=np.int64),
+                  "ts": [r[0] for r in rows],
+                  "value": [r[1] for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    from pdf_extraction_ray.pipelines.stats import events_value_welch_ttest
+    out = events_value_welch_ttest(d)
+    assert int(out["n_weekend"].iloc[0]) == 5
+    assert out["t_welch"].iloc[0] == 0.0
+    assert out["df_welch"].iloc[0] == 8.0
