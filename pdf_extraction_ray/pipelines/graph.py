@@ -1080,9 +1080,11 @@ def copurchase_link_prediction(sf_dir: str):
     things' recommender primitive. Scale shape mirrors triangles: wedge
     pairs generate at each shared node through one node exchange
     (pre-reduced per partition), common-neighbor counts aggregate on
-    the pair key, existing edges are removed by a side-tagged
-    co-partitioned exchange on the SAME pair key, and degrees attach
-    through two more side-tagged node-key exchanges — no adjacency,
+    the pair key WITH edge tombstones riding the same exchange (edge
+    removal costs no extra pass), both endpoint degrees attach through
+    ONE side-tagged node-key exchange (candidates explode into two
+    stubs, sym rows pre-reduce map-side), and a final pair-key exchange
+    re-merges the halves — four exchanges total, and no adjacency,
     degree vector, or candidate set ever converges on one process.
     Output: (part_a, part_b, cn, jaccard_x1e6)."""
     empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
@@ -1122,13 +1124,9 @@ def copurchase_link_prediction(sf_dir: str):
 
     wedge_ds = _coarse_partition_map(sym_ds, "s", wedges)
 
-    def cn_sum(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["pairkey", "u", "w"], as_index=False)["cn"].sum()
-        return out[out["cn"] >= LINKPRED_MIN_CN].astype("int64")
-
-    cn_ds = _coarse_partition_map(wedge_ds, "pairkey", cn_sum)
-
-    # drop pairs that are already edges: side-tagged pair-key exchange
+    # exchange 2 (pair-key): CN sums FUSED with existing-edge removal —
+    # wedge partials and edge tombstones ride the SAME exchange, so the
+    # old separate drop-edges pass disappears
     def tag_cn(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
             [batch["pairkey"],
@@ -1146,79 +1144,86 @@ def copurchase_link_prediction(sf_dir: str):
              pa.array(z), pa.array(z), pa.array(z)],
             names=["key", "side", "u", "w", "cn"])
 
-    def drop_edges(part: pd.DataFrame) -> pd.DataFrame:
+    def cn_and_drop(part: pd.DataFrame) -> pd.DataFrame:
         have = set(part.loc[part["side"] == 1, "key"].tolist())
-        cand = part[part["side"] == 0]
-        cand = cand[~cand["key"].isin(have)]
-        return cand[["u", "w", "cn"]].astype("int64")
+        wp = part[part["side"] == 0]
+        if wp.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ("key", "u", "w", "cn")})
+        g = wp.groupby(["key", "u", "w"], as_index=False)["cn"].sum()
+        g = g[(g["cn"] >= LINKPRED_MIN_CN) & ~g["key"].isin(have)]
+        return g[["key", "u", "w", "cn"]].astype("int64")
 
     cand_ds = _coarse_grouped_map_union(
-        cn_ds.map_batches(tag_cn, batch_format="pyarrow", batch_size=None),
+        wedge_ds.map_batches(tag_cn, batch_format="pyarrow",
+                             batch_size=None),
         edges_ds.map_batches(tag_edges, batch_format="pyarrow",
                              batch_size=None),
-        drop_edges, key="key")
+        cn_and_drop, key="key")
 
-    # distinct-neighbor degrees (node-shaped), attached through two
-    # side-tagged node-key exchanges (u first, then w)
-    def deg_count(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("s", as_index=False).size() \
-            .rename(columns={"s": "node", "size": "deg"}).astype("int64")
+    # exchange 3 (node-key): BOTH endpoint degrees attach in ONE
+    # side-tagged exchange — each candidate explodes into two (node,
+    # pairkey, pos) stubs, sym rows pre-reduce per batch into (node,
+    # count) partials, and the per-partition merge sums partial degrees
+    def explode_cand(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        pk = batch["key"].to_numpy(zero_copy_only=False)
+        cn = batch["cn"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        return pa.Table.from_pydict({
+            "key": np.concatenate([u, w]).astype(np.int64),
+            "side": np.zeros(2 * n, dtype=np.int8),
+            "pairkey": np.tile(pk, 2).astype(np.int64),
+            "pos": np.repeat(np.array([0, 1], dtype=np.int64), n),
+            "cn": np.tile(cn, 2).astype(np.int64)})
 
-    deg_ds = _coarse_partition_map(sym_ds, "s", deg_count)
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        g = pd.DataFrame({"key": batch["s"]
+                          .to_numpy(zero_copy_only=False)}) \
+            .groupby("key", as_index=False).size()
+        n = len(g)
+        return pa.Table.from_pydict({
+            "key": g["key"].to_numpy(np.int64),
+            "side": np.ones(n, dtype=np.int8),
+            "pairkey": np.full(n, -1, dtype=np.int64),
+            "pos": np.full(n, -1, dtype=np.int64),
+            "cn": g["size"].to_numpy(np.int64)})
 
-    def attach(node_col: str, out_col: str):
-        def tag_cand(batch: pa.Table) -> pa.Table:
-            cols = [batch[node_col].combine_chunks()
-                    if isinstance(batch[node_col], pa.ChunkedArray)
-                    else batch[node_col],
-                    pa.array(np.zeros(len(batch), dtype=np.int8))]
-            names = ["key", "side"]
-            for c in batch.schema.names:
-                cols.append(batch[c])
-                names.append(c)
-            return pa.Table.from_arrays(cols, names=names)
+    def attach_deg(part: pd.DataFrame) -> pd.DataFrame:
+        c = part[part["side"] == 0]
+        if c.empty:
+            return pd.DataFrame({k: pd.Series(dtype="int64") for k in
+                                 ("pairkey", "pos", "cn", "deg")})
+        deg = part[part["side"] == 1].groupby("key")["cn"].sum()
+        c = c.copy()
+        c["deg"] = c["key"].map(deg).astype("int64")
+        return c[["pairkey", "pos", "cn", "deg"]].astype("int64")
 
-        def tag_deg(batch: pa.Table, cand_names) -> pa.Table:
-            z = np.full(len(batch), -1, dtype=np.int64)
-            cols = [batch["node"],
-                    pa.array(np.ones(len(batch), dtype=np.int8))]
-            names = ["key", "side"]
-            for c in cand_names:
-                cols.append(batch["deg"] if c == out_col else pa.array(z))
-                names.append(c)
-            return pa.Table.from_arrays(cols, names=names)
-
-        def merge(part: pd.DataFrame) -> pd.DataFrame:
-            deg = part[part["side"] == 1].set_index("key")[out_col]
-            cand = part[part["side"] == 0].copy()
-            if cand.empty:
-                return cand.drop(columns=["key", "side"])
-            cand[out_col] = cand["key"].map(deg).astype("int64")
-            return cand.drop(columns=["key", "side"])
-
-        return tag_cand, tag_deg, merge
-
-    cur = cand_ds
-    for node_col, out_col in (("u", "deg_u"), ("w", "deg_w")):
-        cand_names = (["u", "w", "cn"]
-                      + (["deg_u"] if node_col == "w" else []) + [out_col])
-        tag_cand, tag_deg, merge = attach(node_col, out_col)
-
-        def tag_cand_full(batch: pa.Table, _tc=tag_cand, _oc=out_col
-                          ) -> pa.Table:
-            t = _tc(batch)
-            z = pa.array(np.full(len(t), -1, dtype=np.int64))
-            return t.append_column(_oc, z)
-
-        cur = _coarse_grouped_map_union(
-            cur.map_batches(tag_cand_full, batch_format="pyarrow",
+    deg_rows = _coarse_grouped_map_union(
+        cand_ds.map_batches(explode_cand, batch_format="pyarrow",
                             batch_size=None),
-            deg_ds.map_batches(lambda b, _td=tag_deg, _cn=cand_names:
-                               _td(b, _cn),
-                               batch_format="pyarrow", batch_size=None),
-            merge, key="key")
+        sym_ds.map_batches(deg_partial, batch_format="pyarrow",
+                           batch_size=None),
+        attach_deg, key="key")
 
-    out = cur.to_pandas()
+    # exchange 4 (pair-key): re-merge the two degree halves; endpoints
+    # recover from the pairkey (u*2^32 + w, partkeys < 2^32)
+    def merge_pair(part: pd.DataFrame) -> pd.DataFrame:
+        a = part[part["pos"] == 0]
+        b = part[part["pos"] == 1][["pairkey", "deg"]] \
+            .rename(columns={"deg": "deg_w"})
+        if a.empty or b.empty:
+            return pd.DataFrame({k: pd.Series(dtype="int64") for k in
+                                 ("u", "w", "cn", "deg_u", "deg_w")})
+        j = a.rename(columns={"deg": "deg_u"}).merge(b, on="pairkey")
+        pk = j["pairkey"].to_numpy(np.int64)
+        j["u"] = pk >> 32
+        j["w"] = pk & ((1 << 32) - 1)
+        return j[["u", "w", "cn", "deg_u", "deg_w"]].astype("int64")
+
+    out = _coarse_partition_map(deg_rows, "pairkey", merge_pair) \
+        .to_pandas()
     if out.empty:
         return empty
     out["jaccard_x1e6"] = (out["cn"] * 1_000_000
