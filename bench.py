@@ -682,7 +682,8 @@ def main():
                          "orders_monthly_mannkendall",
                          "events_hourly_spectral",
                          "embedding_maxmin_diverse",
-                         "events_value_welch_ttest"]
+                         "events_value_welch_ttest",
+                         "events_hourly_cusum"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

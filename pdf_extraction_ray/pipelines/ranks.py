@@ -905,6 +905,86 @@ WHERE n >= 2 AND (n * (n - 1) * (2 * n + 5) - tie_term) > 0
 
 
 # ---------------------------------------------------------------------------
+# CUSUM control chart over the hourly series
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_cusum(sf_dir: str):
+    """Two-sided CUSUM control chart over the densified hourly count
+    series, mean-centered without leaving integers (y_t = c_t * n -
+    total): the recursions S+_t = max(0, S+_{t-1} + y_t) and S-_t =
+    max(0, S-_{t-1} - y_t) UNROLL to prefix expressions — S+ = C_t -
+    min(0, min prefix C), S- = max(0, max prefix C) - C_t with C the
+    cumulative sum — so the chart is windowed integer arithmetic the
+    oracle replicates exactly (same trick as the watermark prefix-MAX
+    scan). One bounded histogram exchange; the prefix scan runs on the
+    calendar-bounded dense series. Output: (hr, c, cusum_pos,
+    cusum_neg), both CUSUMs in (count x n_hours) units."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("hr", "c", "cusum_pos", "cusum_neg")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"hr": hr}).groupby("hr", as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    dense[hr - h0] = hist["c"].to_numpy(np.int64)
+    n = len(dense)
+    tot = int(dense.sum())
+    y = dense * n - tot                      # mean-zero integers
+    cum = np.cumsum(y)
+    pmin = np.minimum.accumulate(cum)
+    pmax = np.maximum.accumulate(cum)
+    return pd.DataFrame({
+        "hr": (h0 + np.arange(n)).astype(np.int64),
+        "c": dense,
+        "cusum_pos": cum - np.minimum(0, pmin),
+        "cusum_neg": np.maximum(0, pmax) - cum})
+
+
+CUSUM_SQL = """
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, COALESCE(h.c, 0) AS c
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS tot FROM dense),
+w1 AS (
+  SELECT hr, c,
+         SUM(c * n - tot) OVER (ORDER BY hr
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dense, t),
+w2 AS (
+  SELECT hr, c, cum,
+         MIN(cum) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS pmin,
+         MAX(cum) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS pmax
+  FROM w1)
+SELECT hr, CAST(c AS BIGINT) AS c,
+       CAST(cum - LEAST(0, pmin) AS BIGINT) AS cusum_pos,
+       CAST(GREATEST(0, pmax) - cum AS BIGINT) AS cusum_neg
+FROM w2 ORDER BY hr
+"""
+
+
+# ---------------------------------------------------------------------------
 # Periodogram peaks of the hourly series (distributed histogram + FFT)
 # ---------------------------------------------------------------------------
 
@@ -971,4 +1051,5 @@ RANKS_QUERIES: dict[str, tuple] = {
     "orders_monthly_mannkendall": (orders_monthly_mannkendall,
                                    MANNKENDALL_SQL),
     "events_hourly_spectral": (events_hourly_spectral, None),
+    "events_hourly_cusum": (events_hourly_cusum, CUSUM_SQL),
 }

@@ -367,3 +367,31 @@ def test_mannkendall_extremes(tmp_path):
                   "o_totalprice": [100.0] * 12}) \
         .to_parquet(os.path.join(d2, "orders.parquet"))
     assert R.orders_monthly_mannkendall(d2).empty     # var18 == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cusum_recursion_identity(tmp_path):
+    """The prefix-min/max closed form must equal the literal CUSUM
+    recursion on a random series; a planted level shift drives
+    cusum_pos up only after the shift hour."""
+    d = str(tmp_path)
+    base = pd.Timestamp("2024-01-01")
+    rng = np.random.default_rng(13)
+    counts = np.concatenate([rng.integers(2, 5, size=30),
+                             rng.integers(8, 12, size=20)])  # level shift
+    ts = []
+    for h, c in enumerate(counts):
+        for k in range(int(c)):
+            ts.append(base + pd.Timedelta(hours=h, minutes=k))
+    pd.DataFrame({"event_id": np.arange(len(ts), dtype=np.int64),
+                  "ts": ts}).to_parquet(os.path.join(d, "events.parquet"))
+    out = R.events_hourly_cusum(d)
+    n = len(counts)
+    y = counts.astype(np.int64) * n - int(counts.sum())
+    sp = sn = 0
+    for i, yi in enumerate(y):
+        sp = max(0, sp + int(yi))
+        sn = max(0, sn - int(yi))
+        assert int(out["cusum_pos"].iloc[i]) == sp
+        assert int(out["cusum_neg"].iloc[i]) == sn
+    assert int(out["cusum_pos"].iloc[29]) < int(out["cusum_pos"].iloc[-1])
