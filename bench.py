@@ -683,7 +683,8 @@ def main():
                          "events_hourly_spectral",
                          "embedding_maxmin_diverse",
                          "events_value_welch_ttest",
-                         "events_hourly_cusum"]
+                         "events_hourly_cusum",
+                         "model_eval_roc_points"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

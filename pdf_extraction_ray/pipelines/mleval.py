@@ -523,7 +523,76 @@ ORDER BY decile
 """
 
 
+def model_eval_roc_points(sf_dir: str):
+    """The FULL ROC / precision-recall curve, one point per distinct
+    score threshold (pred = score >= thr): cumulative tp/fp down the
+    descending score axis plus tpr/fpr/precision as exact x1e6 floor
+    divisions — the curve behind the AUC scalar, integer end to end.
+    Same compacted (score -> pos,neg) histogram exchange as the AUC;
+    the cumulative scan is distinct-score-bounded.
+    Output: (thr, tp, fp, tpr_x1e6, fpr_x1e6, precision_x1e6)."""
+    cols = ("thr", "tp", "fp", "tpr_x1e6", "fpr_x1e6",
+            "precision_x1e6")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _table_empty(sf_dir, "documents"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        score, label = _score_label_batch(batch)
+        df = pd.DataFrame({"score": score, "pos": label,
+                           "neg": 1 - label})
+        return _from_pandas(df.groupby("score", as_index=False).sum())
+
+    hist = (_docs(sf_dir, columns=("doc_id", "text", "lang"))
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("score")
+            .aggregate(Sum("pos", alias_name="pos"),
+                       Sum("neg", alias_name="neg"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hist = hist.sort_values("score", ascending=False)
+    pos = hist["pos"].to_numpy(np.int64)
+    neg = hist["neg"].to_numpy(np.int64)
+    n_pos, n_neg = int(pos.sum()), int(neg.sum())
+    if n_pos == 0 or n_neg == 0:
+        return empty
+    tp = pos.cumsum()
+    fp = neg.cumsum()
+    return pd.DataFrame({
+        "thr": hist["score"].to_numpy(np.int64),
+        "tp": tp, "fp": fp,
+        "tpr_x1e6": tp * 1_000_000 // n_pos,
+        "fpr_x1e6": fp * 1_000_000 // n_neg,
+        "precision_x1e6": tp * 1_000_000 // (tp + fp)}) \
+        .astype("int64").reset_index(drop=True)
+
+
+ROC_SQL = _scored_cte() + """
+, h AS (
+  SELECT score, SUM(pos) AS pos, SUM(1 - pos) AS neg
+  FROM scored GROUP BY score),
+c AS (
+  SELECT score,
+         SUM(pos) OVER (ORDER BY score DESC
+                        ROWS UNBOUNDED PRECEDING) AS tp,
+         SUM(neg) OVER (ORDER BY score DESC
+                        ROWS UNBOUNDED PRECEDING) AS fp
+  FROM h),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS p,
+               CAST(SUM(neg) AS BIGINT) AS n FROM h)
+SELECT CAST(score AS BIGINT) AS thr,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(tp * 1000000 // p AS BIGINT) AS tpr_x1e6,
+       CAST(fp * 1000000 // n AS BIGINT) AS fpr_x1e6,
+       CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_x1e6
+FROM c, tot WHERE p > 0 AND n > 0
+ORDER BY thr DESC
+"""
+
+
 MLEVAL_QUERIES: dict[str, tuple] = {
+    "model_eval_roc_points": (model_eval_roc_points, ROC_SQL),
     "model_eval_auc": (model_eval_auc, AUC_SQL),
     "model_eval_confusion": (model_eval_confusion, CONFUSION_SQL),
     "model_eval_calibration": (model_eval_calibration, CALIBRATION_SQL),

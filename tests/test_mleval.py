@@ -215,3 +215,18 @@ def test_lift_perfect_separation(tmp_path):
     assert out.loc[9, "n_pos"] == 0 and out.loc[9, "lift_x1e6"] == 0
     assert out["cum_capture_x1e6"].iloc[-1] == 1_000_000
     assert out["cum_capture_x1e6"].is_monotonic_increasing
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_roc_points_monotone_and_endpoint(tmp_path):
+    """tp/fp cumulative down the threshold axis are monotone
+    non-decreasing and the last point is (P, N) -> tpr = fpr = 1e6."""
+    sf = "/root/testdata/sf0.001"
+    from pdf_extraction_ray.pipelines.mleval import model_eval_roc_points
+    out = model_eval_roc_points(sf)
+    assert len(out) >= 2
+    assert (np.diff(out["tp"]) >= 0).all()
+    assert (np.diff(out["fp"]) >= 0).all()
+    assert int(out["tpr_x1e6"].iloc[-1]) == 1_000_000
+    assert int(out["fpr_x1e6"].iloc[-1]) == 1_000_000
+    assert (np.diff(out["thr"]) < 0).all()
