@@ -226,8 +226,8 @@ def test_stats_family_on_empty_tables(tmp_path):
     import pyarrow.parquet as pq
     d = str(tmp_path / "empty")
     os.makedirs(d, exist_ok=True)
-    for t in ("lineitem", "part", "supplier", "nation", "events",
-              "orders", "customer"):
+    for t in ("lineitem", "part", "supplier", "nation", "region",
+              "events", "orders", "customer"):
         tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
         pq.write_table(tbl.slice(0, 0), os.path.join(d, f"{t}.parquet"))
     for name, (fn, _sql) in S.STATS_QUERIES.items():
@@ -291,8 +291,12 @@ def test_stats_oracles_on_random_tables(tmp_path, seed):
                                           dtype=np.int32)}) \
         .to_parquet(os.path.join(d, "supplier.parquet"))
     pd.DataFrame({"n_nationkey": np.arange(3, dtype=np.int32),
-                  "n_name": ["N_A", "N_B", "N_C"]}) \
+                  "n_name": ["N_A", "N_B", "N_C"],
+                  "n_regionkey": np.array([0, 0, 1], dtype=np.int32)}) \
         .to_parquet(os.path.join(d, "nation.parquet"))
+    pd.DataFrame({"r_regionkey": np.arange(2, dtype=np.int32),
+                  "r_name": ["R_EAST", "R_WEST"]}) \
+        .to_parquet(os.path.join(d, "region.parquet"))
     # customer keys 0..3: user 4 is an orphan the INNER join must drop,
     # balances on half-cent boundaries stress ROUND parity
     pd.DataFrame({"c_custkey": np.arange(4, dtype=np.int64),
@@ -319,7 +323,7 @@ def test_stats_oracles_on_random_tables(tmp_path, seed):
 
     con = duckdb.connect()
     for t in ("events", "part", "lineitem", "supplier", "nation",
-              "customer", "orders"):
+              "region", "customer", "orders"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{d}/{t}.parquet')")
     for name, (fn, sql) in S.STATS_QUERIES.items():
