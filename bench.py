@@ -684,7 +684,8 @@ def main():
                          "embedding_maxmin_diverse",
                          "events_value_welch_ttest",
                          "events_hourly_cusum",
-                         "model_eval_roc_points"]
+                         "model_eval_roc_points",
+                         "events_dow_hour_heatmap", "part_brand_top3"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

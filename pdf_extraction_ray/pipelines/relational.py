@@ -1176,6 +1176,110 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_dow_hour_heatmap(sf_dir: str):
+    """Activity heatmap: event counts by (day-of-week, hour-of-day) —
+    the 7x24 usage grid. Per-batch bincount over the fused dow*24+hour
+    key, one 168-key exchange. Output: (dow, hour, n) with dow 0 =
+    Sunday (DuckDB dayofweek convention)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("dow", "hour", "n")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        days = ts.astype("datetime64[D]").astype(np.int64)
+        hours = ts.astype("datetime64[h]").astype(np.int64) - days * 24
+        dow = (days + 4) % 7               # 1970-01-01 = Thursday
+        cnt = np.bincount(dow * 24 + hours, minlength=168)
+        nz = np.flatnonzero(cnt)
+        return pa.Table.from_pydict(
+            {"cell": nz.astype(np.int64),
+             "n": cnt[nz].astype(np.int64)})
+
+    g = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+         .map_batches(partial, batch_format="pyarrow", batch_size=None)
+         .groupby("cell").aggregate(Sum("n", alias_name="n"))
+         .to_pandas())
+    if g.empty:
+        return empty
+    cell = g["cell"].to_numpy(np.int64)
+    return pd.DataFrame({"dow": cell // 24, "hour": cell % 24,
+                         "n": g["n"].to_numpy(np.int64)}) \
+        .sort_values(["dow", "hour"]).reset_index(drop=True)
+
+
+DOW_HEATMAP_SQL = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY dow, hour
+"""
+
+
+PART_TOP_N = 3
+
+
+def part_brand_top3(sf_dir: str):
+    """Top-{PART_TOP_N} parts per brand by retail price with
+    DENSE_RANK tie semantics (equal prices share a rank and do not
+    consume ranks below). One brand-keyed exchange; per-group the
+    dense rank is a searchsorted against the group's distinct
+    descending prices. Output: (p_brand, p_partkey, price_x100,
+    price_rank)."""
+    empty = pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                          "p_partkey": pd.Series(dtype="int64"),
+                          "price_x100": pd.Series(dtype="int64"),
+                          "price_rank": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "part"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "part"),
+                         columns=["p_partkey", "p_brand",
+                                  "p_retailprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["p_brand"], batch["p_partkey"],
+             _cents(batch["p_retailprice"])],
+            names=["p_brand", "p_partkey", "price_x100"])
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for brand, sub in g.groupby("p_brand"):
+            prices = sub["price_x100"].to_numpy(np.int64)
+            distinct = np.unique(prices)[::-1]       # descending
+            rank = np.searchsorted(-distinct, -prices) + 1
+            keep = rank <= PART_TOP_N
+            o = sub.loc[keep].copy()
+            o["price_rank"] = rank[keep]
+            out.append(o)
+        if not out:
+            return empty
+        return pd.concat(out)[["p_brand", "p_partkey", "price_x100",
+                               "price_rank"]] \
+            .astype({"p_partkey": "int64", "price_x100": "int64",
+                     "price_rank": "int64"})
+
+    return _coarse_str_partition_map(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        "p_brand", topn).sort(["p_brand", "price_rank", "p_partkey"])
+
+
+PART_TOP3_SQL = f"""
+SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST(round(p_retailprice * 100.0) AS BIGINT) AS price_x100,
+       CAST(price_rank AS BIGINT) AS price_rank
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         DENSE_RANK() OVER (PARTITION BY p_brand
+                            ORDER BY round(p_retailprice * 100.0)
+                                DESC) AS price_rank
+  FROM part)
+WHERE price_rank <= {PART_TOP_N}
+ORDER BY p_brand, price_rank, p_partkey
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -5446,6 +5550,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                    JOIN_SIZE_SAMPLED_SQL),
     "customers_all_priorities": (customers_all_priorities, DIVISION_SQL),
     "orders_cohort_ltv": (orders_cohort_ltv, COHORT_LTV_SQL),
+    "events_dow_hour_heatmap": (events_dow_hour_heatmap,
+                                DOW_HEATMAP_SQL),
+    "part_brand_top3": (part_brand_top3, PART_TOP3_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

@@ -106,3 +106,18 @@ def test_cohort_ltv_hand_matrix(tmp_path):
         "n_customers": np.ones(3, dtype=np.int64),
         "revenue_x100": np.array([1000, 2000, 550], dtype=np.int64)})
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brand_top3_dense_rank_ties(tmp_path):
+    """Equal prices share a dense rank and do not consume ranks below:
+    prices [9, 9, 8, 7, 7, 6] -> ranks [1, 1, 2, 3, 3] kept, 6 cut."""
+    from pdf_extraction_ray.pipelines.relational import part_brand_top3
+    d = str(tmp_path)
+    pd.DataFrame({"p_partkey": np.arange(1, 7, dtype=np.int64),
+                  "p_brand": ["B1"] * 6,
+                  "p_retailprice": [9.0, 9.0, 8.0, 7.0, 7.0, 6.0]}) \
+        .to_parquet(os.path.join(d, "part.parquet"))
+    out = part_brand_top3(d).to_pandas()
+    assert out["p_partkey"].tolist() == [1, 2, 3, 4, 5]
+    assert out["price_rank"].tolist() == [1, 1, 2, 3, 3]
