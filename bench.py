@@ -685,7 +685,8 @@ def main():
                          "events_value_welch_ttest",
                          "events_hourly_cusum",
                          "model_eval_roc_points",
-                         "events_dow_hour_heatmap", "part_brand_top3"]
+                         "events_dow_hour_heatmap", "part_brand_top3",
+                         "corpus_dedup_survivorship"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

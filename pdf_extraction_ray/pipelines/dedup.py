@@ -892,7 +892,62 @@ def _pairs_sql(threshold: int) -> str:
     return pairs_sql(threshold)
 
 
+def corpus_dedup_survivorship(sf_dir: str):
+    """Survivorship policy over the resolved near-dup clusters: within
+    each cluster keep the member with the BEST quality-model score
+    (ties to the smaller doc_id) and drop the rest — the decision rule
+    production dedup applies after clustering (keep the best copy, not
+    the first seen). Cluster membership is output-sized; member scores
+    compute in one semi-joined streaming pass (the member id set
+    broadcasts as ints), so the corpus never converges anywhere.
+    Output: (cluster_rep, survivor, survivor_score, n_members,
+    n_dropped)."""
+    cols = ("cluster_rep", "survivor", "survivor_score", "n_members",
+            "n_dropped")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    cl = dedup_clusters(sf_dir)
+    if isinstance(cl, rd.Dataset):
+        cl = cl.to_pandas()
+    if cl.empty:
+        return empty
+    member_ids = np.unique(cl["doc_id"].to_numpy(np.int64))
+    ids_ref = ray.put(member_ids)
+
+    def member_scores(batch: pa.Table) -> pa.Table:
+        from ..functions import text as T
+        from .textops import QualityModel
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, ray.get(ids_ref))
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.int64())})
+        sub = batch.filter(pa.array(keep))
+        text = sub["text"].combine_chunks() \
+            if isinstance(sub["text"], pa.ChunkedArray) else sub["text"]
+        q = T.quality_scores(text)
+        score = np.zeros(sub.num_rows, dtype=np.int64)
+        for col, w in QualityModel.WEIGHTS.items():
+            score += w * q[col].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": sub["doc_id"],
+                         "score": pa.array(score)})
+
+    scores = (_docs(sf_dir)
+              .map_batches(member_scores, batch_format="pyarrow",
+                           batch_size=None).to_pandas())
+    m = cl.merge(scores, on="doc_id", how="left")
+    m["score"] = m["score"].fillna(np.iinfo(np.int64).min) \
+        .astype("int64")
+    m = m.sort_values(["cluster_rep", "score", "doc_id"],
+                      ascending=[True, False, True])
+    rows = []
+    for rep, g in m.groupby("cluster_rep", sort=True):
+        rows.append((int(rep), int(g["doc_id"].iloc[0]),
+                     int(g["score"].iloc[0]), len(g), len(g) - 1))
+    return pd.DataFrame(rows, columns=list(cols)).astype("int64")
+
+
 DEDUP_QUERIES: dict[str, tuple] = {
+    "corpus_dedup_survivorship": (corpus_dedup_survivorship, None),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding_cosine": (dedup_embedding_cosine,

@@ -384,3 +384,27 @@ def test_containment_catches_subset_dup(tmp_path):
     got = set(map(tuple, out[["doc_a", "doc_b"]].to_numpy()))
     assert (0, 1) in got
     assert all(2 not in p for p in got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_survivorship_keeps_best_quality(tmp_path):
+    """Two near-dup docs: the one with the better quality score
+    survives even when it has the LARGER doc_id (policy is
+    best-score, not first-seen)."""
+    import os
+    d = str(tmp_path)
+    # doc 1 = doc 0 plus punctuation noise (worse quality score);
+    # they are near-identical so minhash clusters them
+    core = ("the quick brown fox jumps over the lazy dog and then "
+            "the small red hen walks around the big green yard " * 6)
+    noisy = core.replace("the quick", "the ,,.;;: quick")
+    pd.DataFrame({"doc_id": np.array([0, 1], dtype=np.int64),
+                  "text": [noisy, core]}) \
+        .to_parquet(os.path.join(d, "documents.parquet"))
+    from pdf_extraction_ray.pipelines.dedup import (
+        corpus_dedup_survivorship)
+    out = corpus_dedup_survivorship(d)
+    assert len(out) == 1
+    assert int(out["survivor"].iloc[0]) == 1     # better score wins
+    assert int(out["n_members"].iloc[0]) == 2
+    assert int(out["n_dropped"].iloc[0]) == 1
