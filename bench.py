@@ -686,7 +686,8 @@ def main():
                          "events_hourly_cusum",
                          "model_eval_roc_points",
                          "events_dow_hour_heatmap", "part_brand_top3",
-                         "corpus_dedup_survivorship"]
+                         "corpus_dedup_survivorship",
+                         "events_rate_limited"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

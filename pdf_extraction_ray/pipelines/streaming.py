@@ -868,7 +868,89 @@ FROM w GROUP BY hr ORDER BY hr
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-bucket rate limiting (per-user quota enforcement)
+# ---------------------------------------------------------------------------
+
+RATE_COST_US = 10_000_000       # one event costs 10 s of refill budget
+RATE_CAP_US = 50_000_000        # bucket capacity: 5 events burst
+
+
+def events_rate_limited(sf_dir: str):
+    """Per-user TOKEN-BUCKET rate limiting over the event log — the
+    quota-enforcement primitive an ingestion edge applies (allow bursts
+    of {RATE_CAP_US // RATE_COST_US}, sustain 1 event / 10 s): the
+    bucket refills 1 unit/us up to the cap, each admitted event spends
+    {RATE_COST_US}; an event is throttled iff the refilled bucket
+    cannot cover the cost. Buckets start full; ties order by
+    (ts, event_id) — everything stays integer microseconds, and the
+    clamped recursion replays exactly in the oracle's recursive CTE.
+    One user-keyed exchange; per-user state is O(1).
+    Output: (user_id, n_events, n_allowed, n_throttled)."""
+    from .relational import (_coarse_partition_map, _pq, _table_empty)
+    cols = ("user_id", "n_events", "n_allowed", "n_throttled")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def bucket_replay(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(t=g["ts"].astype("datetime64[us]")
+                     .astype(np.int64))
+        g = g.sort_values(["user_id", "t", "event_id"])
+        rows = []
+        for uid, sub in g.groupby("user_id", sort=False):
+            ts = sub["t"].to_numpy(np.int64)
+            bucket = RATE_CAP_US
+            prev_t = None
+            allowed = 0
+            for t in ts.tolist():       # clamped recursion: inherently
+                if prev_t is not None:  # sequential per user, O(1) state
+                    bucket = min(RATE_CAP_US, bucket + (t - prev_t))
+                prev_t = t
+                if bucket >= RATE_COST_US:
+                    bucket -= RATE_COST_US
+                    allowed += 1
+            n = len(ts)
+            rows.append((int(uid), n, allowed, n - allowed))
+        return pd.DataFrame(rows, columns=list(cols)).astype("int64")
+
+    return _coarse_partition_map(ds, "user_id", bucket_replay) \
+        .sort("user_id")
+
+
+RATE_LIMIT_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+rec AS (
+  SELECT user_id, rn, t,
+         {RATE_CAP_US} - {RATE_COST_US} AS bucket, 1 AS allowed
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.t,
+         CASE WHEN LEAST({RATE_CAP_US}, r.bucket + (e.t - r.t))
+                   >= {RATE_COST_US}
+              THEN LEAST({RATE_CAP_US}, r.bucket + (e.t - r.t))
+                   - {RATE_COST_US}
+              ELSE LEAST({RATE_CAP_US}, r.bucket + (e.t - r.t)) END,
+         CASE WHEN LEAST({RATE_CAP_US}, r.bucket + (e.t - r.t))
+                   >= {RATE_COST_US} THEN 1 ELSE 0 END
+  FROM ev e JOIN rec r
+    ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(allowed) AS BIGINT) AS n_allowed,
+       CAST(COUNT(*) - SUM(allowed) AS BIGINT) AS n_throttled
+FROM rec GROUP BY user_id ORDER BY user_id
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
+    "events_rate_limited": (events_rate_limited, RATE_LIMIT_SQL),
     "events_watermark_lateness": (events_watermark_lateness,
                                   WATERMARK_SQL),
     "events_stream_topk": (events_stream_topk, STREAM_TOPK_SQL),

@@ -121,3 +121,29 @@ def test_brand_top3_dense_rank_ties(tmp_path):
     out = part_brand_top3(d).to_pandas()
     assert out["p_partkey"].tolist() == [1, 2, 3, 4, 5]
     assert out["price_rank"].tolist() == [1, 1, 2, 3, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rate_limit_burst_and_refill(tmp_path):
+    """Burst of 7 instant events: 5 admitted (full bucket), 2
+    throttled; an event 10 s later is admitted again (refill); a
+    slow user (1/min) is never throttled."""
+    from pdf_extraction_ray.pipelines.streaming import events_rate_limited
+    d = str(tmp_path)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(7):                     # user 1: instant burst
+        rows.append((i, 1, t0))
+    rows.append((7, 1, t0 + pd.Timedelta(seconds=10)))   # refilled
+    for i in range(5):                     # user 2: slow, never limited
+        rows.append((10 + i, 2, t0 + pd.Timedelta(minutes=i)))
+    pd.DataFrame({"event_id": np.array([r[0] for r in rows],
+                                       dtype=np.int64),
+                  "user_id": np.array([r[1] for r in rows],
+                                      dtype=np.int64),
+                  "ts": [r[2] for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = events_rate_limited(d).to_pandas().set_index("user_id")
+    assert int(out.loc[1, "n_allowed"]) == 6     # 5 burst + 1 refilled
+    assert int(out.loc[1, "n_throttled"]) == 2
+    assert int(out.loc[2, "n_throttled"]) == 0
