@@ -687,7 +687,8 @@ def main():
                          "model_eval_roc_points",
                          "events_dow_hour_heatmap", "part_brand_top3",
                          "corpus_dedup_survivorship",
-                         "events_rate_limited"]
+                         "events_rate_limited",
+                         "orders_ship_leadtime_hist"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -1280,6 +1280,90 @@ ORDER BY p_brand, price_rank, p_partkey
 """
 
 
+def orders_ship_leadtime_hist(sf_dir: str):
+    """Fulfilment lead-time distribution: days from order date to each
+    line's ship date, bucketed into weeks, counted per order priority —
+    the ops-health histogram behind 'are urgent orders shipping
+    faster'. Both tables co-partition on the orderkey through one
+    side-tagged exchange (orders is NOT broadcastable at scale);
+    per-partition merge emits (priority, week) count partials and the
+    final exchange is priority x week shaped.
+    Output: (o_orderpriority, week_bucket, n_lines)."""
+    empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
+                          "week_bucket": pd.Series(dtype="int64"),
+                          "n_lines": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "lineitem"):
+        return empty
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.Table.from_pydict({
+            "key": batch["o_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "side": np.ones(len(batch), dtype=np.int8),
+            "day": d,
+            "prio": batch["o_orderpriority"].to_pandas().to_numpy()})
+
+    def tag_lines(batch: pa.Table) -> pa.Table:
+        d = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        n = len(batch)
+        return pa.Table.from_pydict({
+            "key": batch["l_orderkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "side": np.zeros(n, dtype=np.int8),
+            "day": d,
+            "prio": np.array([""] * n, dtype=object)})
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        o = part[part["side"] == 1]
+        li = part[part["side"] == 0]
+        if o.empty or li.empty:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series(dtype="object"),
+                "week_bucket": pd.Series(dtype="int64"),
+                "n_lines": pd.Series(dtype="int64")})
+        j = li[["key", "day"]].rename(columns={"day": "day_ship"}) \
+            .merge(o[["key", "day", "prio"]]
+                   .rename(columns={"day": "day_ord"}), on="key")
+        j["week_bucket"] = (j["day_ship"] - j["day_ord"]) // 7
+        g = j.groupby(["prio", "week_bucket"], as_index=False).size() \
+            .rename(columns={"prio": "o_orderpriority",
+                             "size": "n_lines"})
+        return g.astype({"week_bucket": "int64", "n_lines": "int64"})
+
+    oside = rd.read_parquet(_pq(sf_dir, "orders"),
+                            columns=["o_orderkey", "o_orderdate",
+                                     "o_orderpriority"]) \
+        .map_batches(tag_orders, batch_format="pyarrow", batch_size=None)
+    lside = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                            columns=["l_orderkey", "l_shipdate"]) \
+        .map_batches(tag_lines, batch_format="pyarrow", batch_size=None)
+    parts = _coarse_grouped_map_union(lside, oside, merge,
+                                      key="key").to_pandas()
+    if parts.empty:
+        return empty
+    return parts.groupby(["o_orderpriority", "week_bucket"],
+                         as_index=False)["n_lines"].sum() \
+        .astype({"week_bucket": "int64", "n_lines": "int64"}) \
+        .sort_values(["o_orderpriority", "week_bucket"]) \
+        .reset_index(drop=True)
+
+
+LEADTIME_SQL = """
+SELECT o.o_orderpriority,
+       -- floor division (Python semantics): integer // in DuckDB
+       -- truncates toward zero, which disagrees on negative lead times
+       CAST(floor(CAST(CAST(l.l_shipdate AS DATE)
+                       - CAST(o.o_orderdate AS DATE) AS DOUBLE) / 7.0)
+            AS BIGINT) AS week_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2 ORDER BY o_orderpriority, week_bucket
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -5553,6 +5637,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_dow_hour_heatmap": (events_dow_hour_heatmap,
                                 DOW_HEATMAP_SQL),
     "part_brand_top3": (part_brand_top3, PART_TOP3_SQL),
+    "orders_ship_leadtime_hist": (orders_ship_leadtime_hist,
+                                  LEADTIME_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":
