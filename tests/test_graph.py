@@ -154,8 +154,9 @@ def test_graph_family_on_empty_tables(tmp_path):
     import pyarrow.parquet as pq
     d = str(tmp_path / "empty")
     os.makedirs(d, exist_ok=True)
-    tbl = pq.read_table(f"{SF}/lineitem.parquet")
-    pq.write_table(tbl.slice(0, 0), os.path.join(d, "lineitem.parquet"))
+    for t in ("lineitem", "part"):
+        tbl = pq.read_table(f"{SF}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), os.path.join(d, f"{t}.parquet"))
     for name, (fn, _sql) in G.GRAPH_QUERIES.items():
         res = fn(d)
         df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
@@ -175,10 +176,15 @@ def test_graph_oracles_on_random_tables(tmp_path, seed):
         "l_orderkey": rng.integers(0, 80, size=n_li).astype(np.int64),
         "l_partkey": rng.integers(0, 25, size=n_li).astype(np.int64),
     }).to_parquet(os.path.join(d, "lineitem.parquet"))
+    pd.DataFrame({
+        "p_partkey": np.arange(1, 26, dtype=np.int64),
+        "p_retailprice": rng.integers(100, 9999, size=25) / 100.0,
+    }).to_parquet(os.path.join(d, "part.parquet"))
 
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
-                f"read_parquet('{d}/lineitem.parquet')")
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
     for name, (fn, sql) in G.GRAPH_QUERIES.items():
         if sql is None:
             continue
