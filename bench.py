@@ -688,7 +688,8 @@ def main():
                          "events_dow_hour_heatmap", "part_brand_top3",
                          "corpus_dedup_survivorship",
                          "events_rate_limited",
-                         "orders_ship_leadtime_hist"]
+                         "orders_ship_leadtime_hist",
+                         "orders_next_higher_revenue"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

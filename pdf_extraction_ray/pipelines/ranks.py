@@ -905,6 +905,68 @@ WHERE n >= 2 AND (n * (n - 1) * (2 * n + 5) - tie_term) > 0
 
 
 # ---------------------------------------------------------------------------
+# Next-higher-revenue day (monotonic-stack shape)
+# ---------------------------------------------------------------------------
+
+
+def orders_next_higher_revenue(sf_dir: str):
+    """For every trading day, how many days until revenue next STRICTLY
+    exceeds it (the 'stock span' / next-greater-element problem; -1
+    when it never does) — the drawdown-duration primitive. Distributed
+    piece: the exact-cents daily aggregate; the scan is a single-pass
+    MONOTONIC STACK over the calendar-bounded day series (each day
+    pushes/pops once — O(n) vs the oracle's quadratic future-min
+    self-join, which is the SQL-expressible formulation).
+    Output: (day_epoch, rev_x100, days_to_higher)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("day_epoch", "rev_x100", "days_to_higher")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        rev = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({"day": day, "rev": rev}) \
+            .groupby("day", as_index=False)["rev"].sum()
+        return _from_pandas(g.astype("int64"))
+
+    daily = (rd.read_parquet(_pq(sf_dir, "orders"),
+                             columns=["o_orderdate", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+             .groupby("day").aggregate(Sum("rev", alias_name="rev"))
+             .to_pandas().sort_values("day"))
+    if daily.empty:
+        return empty
+    day = daily["day"].to_numpy(np.int64)
+    rev = daily["rev"].to_numpy(np.int64)
+    out = np.full(len(rev), -1, dtype=np.int64)
+    stack: list[int] = []                  # indices with unresolved next
+    for i in range(len(rev)):
+        while stack and rev[stack[-1]] < rev[i]:
+            j = stack.pop()
+            out[j] = day[i] - day[j]
+        stack.append(i)
+    return pd.DataFrame({"day_epoch": day, "rev_x100": rev,
+                         "days_to_higher": out})
+
+
+NEXT_HIGHER_SQL = """
+WITH d AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             AS day,
+         SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1)
+SELECT a.day AS day_epoch, CAST(a.rev AS BIGINT) AS rev_x100,
+       CAST(COALESCE(MIN(b.day) - a.day, -1) AS BIGINT)
+           AS days_to_higher
+FROM d a LEFT JOIN d b ON b.day > a.day AND b.rev > a.rev
+GROUP BY a.day, a.rev ORDER BY a.day
+"""
+
+
+# ---------------------------------------------------------------------------
 # CUSUM control chart over the hourly series
 # ---------------------------------------------------------------------------
 
@@ -1052,4 +1114,6 @@ RANKS_QUERIES: dict[str, tuple] = {
                                    MANNKENDALL_SQL),
     "events_hourly_spectral": (events_hourly_spectral, None),
     "events_hourly_cusum": (events_hourly_cusum, CUSUM_SQL),
+    "orders_next_higher_revenue": (orders_next_higher_revenue,
+                                   NEXT_HIGHER_SQL),
 }

@@ -395,3 +395,17 @@ def test_cusum_recursion_identity(tmp_path):
         assert int(out["cusum_pos"].iloc[i]) == sp
         assert int(out["cusum_neg"].iloc[i]) == sn
     assert int(out["cusum_pos"].iloc[29]) < int(out["cusum_pos"].iloc[-1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_next_higher_revenue_stack_semantics(tmp_path):
+    """Revenues [5, 3, 4, 6, 2] by consecutive day: next strictly
+    higher at +3, +1, +1, never, never."""
+    d = str(tmp_path)
+    _mk_orders_daily(d, [5.0, 3.0, 4.0, 6.0, 2.0])
+    out = R.orders_next_higher_revenue(d)
+    assert out["days_to_higher"].tolist() == [3, 1, 1, -1, -1]
+    got = _canon(out)
+    want = _canon(_duck(d, R.NEXT_HIGHER_SQL))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
