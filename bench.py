@@ -689,7 +689,8 @@ def main():
                          "corpus_dedup_survivorship",
                          "events_rate_limited",
                          "orders_ship_leadtime_hist",
-                         "orders_next_higher_revenue"]
+                         "orders_next_higher_revenue",
+                         "customer_lorenz_points"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -551,6 +551,97 @@ FROM g ORDER BY nation
 """
 
 
+LORENZ_DECILES = 10
+
+
+def customer_lorenz_points(sf_dir: str):
+    """Lorenz curve of customer revenue concentration: customers sorted
+    by revenue ascending, one point per population decile with the
+    cumulative revenue share — the curve behind the Gini/ABC scalars.
+    Per-customer sums are one keyed exchange; the curve computes from
+    the COMPACTED per-revenue-value histogram (value-domain-bounded,
+    same trick as the ABC classes), so no global sort of customers is
+    needed: decile cut = the k-th order statistic read off cumulative
+    counts, tie-inclusive cents from cumulative value sums. Everything
+    integer; the share is one floor division x1e6.
+    Output: (decile, cum_customers, cum_rev_x100, rev_share_x1e6)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("decile", "cum_customers", "cum_rev_x100",
+                           "rev_share_x1e6")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("cust", as_index=False)["cents"].sum()
+        # compact to the (revenue value -> n customers) histogram
+        h = out.groupby("cents", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return h.astype("int64")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["o_custkey"], _cents(batch["o_totalprice"])],
+            names=["cust", "cents"])
+
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    hist = _coarse_partition_map(ds, "cust", per_cust).to_pandas()
+    if hist.empty:
+        return empty
+    # partitions emit per-value counts for DISJOINT customer sets, so
+    # one more value-keyed fold gives the global histogram
+    hist = hist.groupby("cents", as_index=False)["n"].sum() \
+        .sort_values("cents")
+    vals = hist["cents"].to_numpy(np.int64)
+    cnt = hist["n"].to_numpy(np.int64)
+    ccnt = cnt.cumsum()
+    crev = (vals * cnt).cumsum()
+    n_cust = int(ccnt[-1])
+    tot = int(crev[-1])
+    rows = []
+    for d in range(1, LORENZ_DECILES + 1):
+        k = d * n_cust // LORENZ_DECILES        # customers in decile
+        i = int(np.searchsorted(ccnt, k))       # value bucket of the cut
+        # revenue of the k poorest: full buckets below + partial bucket
+        below = int(crev[i - 1]) if i > 0 else 0
+        nbelow = int(ccnt[i - 1]) if i > 0 else 0
+        rev = below + (k - nbelow) * int(vals[i]) if k > nbelow else below
+        rows.append((d, k, rev,
+                     rev * 1_000_000 // tot if tot else 0))
+    return pd.DataFrame(rows, columns=["decile", "cum_customers",
+                                       "cum_rev_x100",
+                                       "rev_share_x1e6"]) \
+        .astype("int64")
+
+
+LORENZ_SQL = f"""
+WITH c AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT rev,
+         ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rn,
+         SUM(rev) OVER (ORDER BY rev, o_custkey
+                        ROWS UNBOUNDED PRECEDING) AS crev
+  FROM c),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS BIGINT) AS tot FROM c),
+d AS (SELECT unnest(generate_series(1, {LORENZ_DECILES})) AS decile)
+SELECT CAST(d.decile AS BIGINT) AS decile,
+       CAST(d.decile * t.n // {LORENZ_DECILES} AS BIGINT)
+           AS cum_customers,
+       CAST(COALESCE((SELECT crev FROM r
+                      WHERE rn = d.decile * t.n // {LORENZ_DECILES}),
+                     0) AS BIGINT) AS cum_rev_x100,
+       CAST(COALESCE((SELECT crev FROM r
+                      WHERE rn = d.decile * t.n // {LORENZ_DECILES}),
+                     0) * 1000000 // t.tot AS BIGINT) AS rev_share_x1e6
+FROM d, t ORDER BY decile
+"""
+
+
 def region_revenue_hhi(sf_dir: str):
     """Herfindahl-Hirschman market-concentration index of supplier-
     nation revenue within each region: HHI = sum(share_i^2) =
@@ -3520,6 +3611,7 @@ STATS_QUERIES: dict[str, tuple] = {
     "events_qq_drift": (events_qq_drift, QQ_DRIFT_SQL),
     "events_value_welch_ttest": (events_value_welch_ttest, WELCH_SQL),
     "region_revenue_hhi": (region_revenue_hhi, HHI_SQL),
+    "customer_lorenz_points": (customer_lorenz_points, LORENZ_SQL),
     "events_hourly_rolling_median": (events_hourly_rolling_median,
                                      ROLLING_MEDIAN_SQL),
     "events_hourly_interp": (events_hourly_interp, INTERP_SQL),

@@ -686,3 +686,31 @@ def test_welch_identical_sides_t_zero(tmp_path):
     assert int(out["n_weekend"].iloc[0]) == 5
     assert out["t_welch"].iloc[0] == 0.0
     assert out["df_welch"].iloc[0] == 8.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lorenz_extremes(tmp_path):
+    """Perfect equality -> share == decile/10 exactly; a single whale
+    holding ~all revenue -> decile 9 share near zero."""
+    import os
+    d = str(tmp_path)
+    # 10 customers, one order each, all equal revenue
+    pd.DataFrame({"o_orderkey": np.arange(10, dtype=np.int64),
+                  "o_custkey": np.arange(10, dtype=np.int64),
+                  "o_totalprice": [100.0] * 10}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+    from pdf_extraction_ray.pipelines.stats import customer_lorenz_points
+    out = customer_lorenz_points(d)
+    assert out["rev_share_x1e6"].tolist() == \
+        [d_ * 100_000 for d_ in range(1, 11)]
+
+    d2 = str(tmp_path / "whale")
+    os.makedirs(d2)
+    pd.DataFrame({"o_orderkey": np.arange(10, dtype=np.int64),
+                  "o_custkey": np.arange(10, dtype=np.int64),
+                  "o_totalprice": [1.0] * 9 + [991.0]}) \
+        .to_parquet(os.path.join(d2, "orders.parquet"))
+    out2 = customer_lorenz_points(d2)
+    assert int(out2.set_index("decile").loc[9, "rev_share_x1e6"]) == 9000
+    assert int(out2.set_index("decile").loc[10, "rev_share_x1e6"]) \
+        == 1_000_000
