@@ -690,7 +690,8 @@ def main():
                          "events_rate_limited",
                          "orders_ship_leadtime_hist",
                          "orders_next_higher_revenue",
-                         "customer_lorenz_points"]
+                         "customer_lorenz_points",
+                         "corpus_word_embeddings"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -1541,7 +1541,93 @@ LIMIT {PHRASE_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-based word embeddings (co-occurrence -> PPMI -> eigenvectors)
+# ---------------------------------------------------------------------------
+
+EMB_VOCAB = 64        # top-V terms get vectors
+EMB_WINDOW = 2        # symmetric co-occurrence window
+EMB_DIMS = 2          # leading eigenvector components emitted
+
+
+def corpus_word_embeddings(sf_dir: str):
+    """Train count-based word embeddings FROM SCRATCH, distributed:
+    (1) top-{EMB_VOCAB} vocabulary by frequency (exact, one token-count
+    exchange); (2) symmetric window-{EMB_WINDOW} co-occurrence counts
+    accumulated as a dense V x V int64 matrix through ONE tree-reduced
+    `Dataset.aggregate` (the 32 KB accumulator replaces a pair-key
+    shuffle); (3) PPMI transform + top-{EMB_DIMS} eigenvectors of the
+    symmetric matrix driver-side (V-bounded) — the classic
+    counts->PPMI->SVD embedding pipeline (Levy & Goldberg 2014) in
+    miniature. Sign convention: each component's largest-|x| entry is
+    positive. Deterministic; rows-only checked (PPMI's log is not
+    oracle-exact), unit-tested on planted co-occurrence structure.
+    Output: (term, dim0_x1e6, dim1_x1e6) as scaled ints."""
+    import ray
+    from ray.data.aggregate import AggregateFn
+    empty = pd.DataFrame({"term": pd.Series(dtype="object"),
+                          "dim0_x1e6": pd.Series(dtype="int64"),
+                          "dim1_x1e6": pd.Series(dtype="int64")})
+    # exact top-V vocabulary via the token-count exchange
+    vocab_df = (_token_counts(sf_dir)
+                .sort(["n", "token"], descending=[True, False])
+                .limit(EMB_VOCAB).to_pandas())
+    if vocab_df.empty:
+        return empty
+    terms = vocab_df["token"].tolist()
+    index = {t: i for i, t in enumerate(terms)}
+    v = len(terms)
+    idx_ref = ray.put(index)
+
+    def acc_block(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        if block.num_rows == 0:
+            return acc
+        ix = ray.get(idx_ref)
+        # one flat token stream with an out-of-vocab separator between
+        # docs (maps to -1), so windows never straddle a doc boundary
+        # and the whole block vectorizes through one Series.map
+        texts = block["text"].to_pylist()
+        words = " \x00 ".join(t.lower() for t in texts).split()
+        ids = pd.Series(words).map(ix).fillna(-1) \
+            .to_numpy(np.int64)
+        for off in range(1, EMB_WINDOW + 1):
+            a, b = ids[:-off], ids[off:]
+            m = (a >= 0) & (b >= 0)
+            if not m.any():
+                continue
+            acc += np.bincount(a[m] * v + b[m], minlength=v * v)
+            acc += np.bincount(b[m] * v + a[m], minlength=v * v)
+        return acc
+
+    fn = AggregateFn(init=lambda _k: np.zeros(v * v, np.int64),
+                     merge=lambda x, y: x + y,
+                     accumulate_block=acc_block, name="cooc")
+    cooc = _docs(sf_dir).aggregate(fn)["cooc"].reshape(v, v) \
+        .astype(np.float64)
+    total = cooc.sum()
+    if total == 0:
+        return empty
+    r = cooc.sum(axis=1, keepdims=True)
+    c = cooc.sum(axis=0, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pmi = np.log(cooc * total / np.maximum(r * c, 1.0))
+    ppmi = np.where((cooc > 0) & (pmi > 0), pmi, 0.0)
+    w_, vec = np.linalg.eigh(ppmi)          # ascending eigenvalues
+    comps = vec[:, ::-1][:, :EMB_DIMS] * np.sqrt(
+        np.maximum(w_[::-1][:EMB_DIMS], 0.0))
+    for j in range(comps.shape[1]):         # deterministic sign
+        k = int(np.argmax(np.abs(comps[:, j])))
+        if comps[k, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return pd.DataFrame({
+        "term": terms,
+        "dim0_x1e6": np.round(comps[:, 0] * 1e6).astype(np.int64),
+        "dim1_x1e6": np.round(comps[:, 1] * 1e6).astype(np.int64)}) \
+        .sort_values("term").reset_index(drop=True)
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "corpus_word_embeddings": (corpus_word_embeddings, None),
     "corpus_phrase_search": (corpus_phrase_search, PHRASE_SQL),
     "corpus_textrank_keywords": (corpus_textrank_keywords, None),
     "corpus_bigram_pmi": (corpus_bigram_pmi, BIGRAM_PMI_SQL),

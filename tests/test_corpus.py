@@ -328,3 +328,37 @@ def test_token_allocation_sums_to_budget(tmp_path):
     for r in out.itertuples(index=False):
         fl = int(r.n_tokens) * ALLOC_BUDGET // int(total)
         assert fl <= r.quota <= fl + 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_word_embeddings_planted_structure(tmp_path):
+    """Words that always co-occur ('alpha beta') end up closer in the
+    PPMI-eigenvector space than words that never do."""
+    import os
+    d = str(tmp_path)
+    rng = np.random.default_rng(21)
+    docs = []
+    fills = (["red", "green", "pink"], ["blue", "cyan", "gray"])
+    for i in range(60):
+        # omega lives in red/green/pink contexts, sigma in
+        # blue/cyan/gray — disjoint neighborhoods; alpha-beta share
+        # every context and are always adjacent
+        words = list(rng.choice(fills[i % 2], size=12))
+        pos = int(rng.integers(0, 10))
+        words[pos:pos] = ["alpha", "beta"]
+        words.insert(int(rng.integers(0, 5)),
+                     "sigma" if i % 2 else "omega")
+        docs.append(" ".join(words))
+    pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                  "text": docs}) \
+        .to_parquet(os.path.join(d, "documents.parquet"))
+    from pdf_extraction_ray.pipelines.corpus import corpus_word_embeddings
+    out = corpus_word_embeddings(d).set_index("term")
+    e = {t: out.loc[t, ["dim0_x1e6", "dim1_x1e6"]]
+         .to_numpy(np.float64) for t in out.index}
+    close = float(np.linalg.norm(e["alpha"] - e["beta"]))
+    far = float(np.linalg.norm(e["omega"] - e["sigma"]))
+    assert close < far
+    # determinism: a second run is bit-identical
+    out2 = corpus_word_embeddings(d).set_index("term")
+    assert out.equals(out2)
