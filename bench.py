@@ -691,7 +691,8 @@ def main():
                          "orders_ship_leadtime_hist",
                          "orders_next_higher_revenue",
                          "customer_lorenz_points",
-                         "corpus_word_embeddings"]
+                         "corpus_word_embeddings",
+                         "events_slo_burn_alerts"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

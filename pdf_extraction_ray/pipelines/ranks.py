@@ -905,6 +905,99 @@ WHERE n >= 2 AND (n * (n - 1) * (2 * n + 5) - tie_term) > 0
 
 
 # ---------------------------------------------------------------------------
+# SLO burn-rate alerting (multi-window, SRE-workbook shape)
+# ---------------------------------------------------------------------------
+
+SLO_ERR_BP = 100          # SLO: error ratio <= 1% (basis points)
+SLO_BURN = 6              # alert when burning >= 6x the error budget
+SLO_LONG_H = 6            # long confirmation window (hours)
+
+
+def events_slo_burn_alerts(sf_dir: str):
+    """Multi-window SLO burn-rate alerting (the SRE-workbook rule): per
+    hour, the error ratio over the short (1 h) and long ({SLO_LONG_H} h
+    trailing) windows; an ALERT fires only when BOTH windows burn
+    >= {SLO_BURN}x the {SLO_ERR_BP}bp error budget — the short window
+    gives speed, the long one de-flaps. All comparisons are integer
+    cross-multiplications (err * 10000 >= burn * bp * total); the
+    distributed piece is the (hour, errors, total) histogram.
+    Output: (hr, err_1h, tot_1h, err_6h, tot_6h, alert)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("hr", "err_1h", "tot_1h", "err_6h",
+                           "tot_6h", "alert")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"hr": hr,
+                           "err": (et == "error").astype(np.int64),
+                           "tot": np.ones(len(hr), dtype=np.int64)})
+        return _from_pandas(df.groupby("hr", as_index=False).sum())
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"),
+                            columns=["ts", "event_type"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr")
+            .aggregate(Sum("err", alias_name="err"),
+                       Sum("tot", alias_name="tot"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    n = h1 - h0 + 1
+    err = np.zeros(n, dtype=np.int64)
+    tot = np.zeros(n, dtype=np.int64)
+    err[hr - h0] = hist["err"].to_numpy(np.int64)
+    tot[hr - h0] = hist["tot"].to_numpy(np.int64)
+    ce = np.concatenate(([0], err.cumsum()))
+    ct = np.concatenate(([0], tot.cumsum()))
+    i = np.arange(n)
+    lo = np.maximum(0, i - SLO_LONG_H + 1)
+    err6 = ce[i + 1] - ce[lo]
+    tot6 = ct[i + 1] - ct[lo]
+    burn = SLO_BURN * SLO_ERR_BP
+    alert = ((err * 10_000 >= burn * tot) & (tot > 0)
+             & (err6 * 10_000 >= burn * tot6) & (tot6 > 0)) \
+        .astype(np.int64)
+    return pd.DataFrame({"hr": h0 + i, "err_1h": err, "tot_1h": tot,
+                         "err_6h": err6, "tot_6h": tot6,
+                         "alert": alert})
+
+
+SLO_BURN_SQL = f"""
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+         COUNT(*) AS tot
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, COALESCE(h.err, 0) AS err, COALESCE(h.tot, 0) AS tot
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr),
+w AS (
+  SELECT hr, err AS err_1h, tot AS tot_1h,
+         SUM(err) OVER win AS err_6h, SUM(tot) OVER win AS tot_6h
+  FROM dense
+  WINDOW win AS (ORDER BY hr ROWS {SLO_LONG_H - 1} PRECEDING))
+SELECT hr, CAST(err_1h AS BIGINT) AS err_1h,
+       CAST(tot_1h AS BIGINT) AS tot_1h,
+       CAST(err_6h AS BIGINT) AS err_6h,
+       CAST(tot_6h AS BIGINT) AS tot_6h,
+       CAST(CASE WHEN err_1h * 10000 >= {SLO_BURN * SLO_ERR_BP} * tot_1h
+                  AND tot_1h > 0
+                  AND err_6h * 10000 >= {SLO_BURN * SLO_ERR_BP} * tot_6h
+                  AND tot_6h > 0
+             THEN 1 ELSE 0 END AS BIGINT) AS alert
+FROM w ORDER BY hr
+"""
+
+
+# ---------------------------------------------------------------------------
 # Next-higher-revenue day (monotonic-stack shape)
 # ---------------------------------------------------------------------------
 
@@ -1116,4 +1209,5 @@ RANKS_QUERIES: dict[str, tuple] = {
     "events_hourly_cusum": (events_hourly_cusum, CUSUM_SQL),
     "orders_next_higher_revenue": (orders_next_higher_revenue,
                                    NEXT_HIGHER_SQL),
+    "events_slo_burn_alerts": (events_slo_burn_alerts, SLO_BURN_SQL),
 }

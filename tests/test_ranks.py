@@ -409,3 +409,45 @@ def test_next_higher_revenue_stack_semantics(tmp_path):
     want = _canon(_duck(d, R.NEXT_HIGHER_SQL))
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_slo_burn_needs_both_windows(tmp_path):
+    """A single-hour error spike does NOT alert (the 6 h window
+    dilutes it on a long healthy history); a sustained burn alerts."""
+    d = str(tmp_path)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    # 24 healthy hours: 100 views/hour, zero errors
+    for h in range(24):
+        for k in range(100):
+            rows.append((eid, "view", base + pd.Timedelta(
+                hours=h, seconds=k))); eid += 1
+    # hour 24: a 30% error spike (one hour only)
+    for k in range(70):
+        rows.append((eid, "view", base + pd.Timedelta(
+            hours=24, seconds=k))); eid += 1
+    for k in range(30):
+        rows.append((eid, "error", base + pd.Timedelta(
+            hours=24, seconds=100 + k))); eid += 1
+    # hours 25-30: sustained 30% errors
+    for h in range(25, 31):
+        for k in range(70):
+            rows.append((eid, "view", base + pd.Timedelta(
+                hours=h, seconds=k))); eid += 1
+        for k in range(30):
+            rows.append((eid, "error", base + pd.Timedelta(
+                hours=h, seconds=100 + k))); eid += 1
+    pd.DataFrame({"event_id": np.array([r[0] for r in rows],
+                                       dtype=np.int64),
+                  "event_type": [r[1] for r in rows],
+                  "ts": [r[2] for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = R.events_slo_burn_alerts(d).set_index("hr")
+    h0 = int(out.index.min())
+    # hour 24 short window burns but the 6h window is still diluted:
+    # 30 errors / 600 total = 5% < 6% -> NO alert
+    assert int(out.loc[h0 + 24, "alert"]) == 0
+    # by hour 29 the 6h window is all burning -> alert
+    assert int(out.loc[h0 + 29, "alert"]) == 1
