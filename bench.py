@@ -692,7 +692,8 @@ def main():
                          "orders_next_higher_revenue",
                          "customer_lorenz_points",
                          "corpus_word_embeddings",
-                         "events_slo_burn_alerts"]
+                         "events_slo_burn_alerts",
+                         "events_forecast_backtest"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -905,6 +905,86 @@ WHERE n >= 2 AND (n * (n - 1) * (2 * n + 5) - tie_term) > 0
 
 
 # ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest (seasonal-naive vs naive, MASE)
+# ---------------------------------------------------------------------------
+
+BACKTEST_PERIOD = 24      # seasonal-naive lag (hours)
+
+
+def events_forecast_backtest(sf_dir: str):
+    """Rolling-origin BACKTEST of the seasonal-naive forecaster
+    (predict this hour = same hour yesterday) against the plain naive
+    (= previous hour) over the dense hourly series: total absolute
+    errors of both and their ratio — MASE < 1e6 (x1e6) means the
+    seasonal structure is real and worth exploiting. Absolute errors
+    are exact ints; the ratio is one x1e6 floor division. One bounded
+    histogram exchange; the lag comparison runs on the
+    calendar-bounded dense series. Output: (n_eval, abs_err_seasonal,
+    abs_err_naive, mase_x1e6)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("n_eval", "abs_err_seasonal",
+                           "abs_err_naive", "mase_x1e6")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hr = ts.astype("datetime64[h]").astype(np.int64)
+        g = pd.DataFrame({"hr": hr}).groupby("hr", as_index=False) \
+            .size().rename(columns={"size": "c"})
+        return _from_pandas(g)
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"), columns=["ts"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("hr").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hr = hist["hr"].to_numpy(np.int64)
+    h0, h1 = int(hr.min()), int(hr.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    dense[hr - h0] = hist["c"].to_numpy(np.int64)
+    n = len(dense)
+    if n <= BACKTEST_PERIOD:
+        return empty
+    t = np.arange(BACKTEST_PERIOD, n)
+    es = int(np.abs(dense[t] - dense[t - BACKTEST_PERIOD]).sum())
+    en = int(np.abs(dense[t] - dense[t - 1]).sum())
+    return pd.DataFrame({
+        "n_eval": [np.int64(len(t))],
+        "abs_err_seasonal": [np.int64(es)],
+        "abs_err_naive": [np.int64(en)],
+        "mase_x1e6": [np.int64(es * 1_000_000 // en) if en
+                      else np.int64(-1)]})
+
+
+BACKTEST_SQL = f"""
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY hr),
+b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM h),
+dense AS (
+  SELECT g.hr, COALESCE(h.c, 0) AS c
+  FROM (SELECT unnest(generate_series(h0, h1)) AS hr FROM b) g
+  LEFT JOIN h ON h.hr = g.hr),
+w AS (
+  SELECT c, LAG(c, {BACKTEST_PERIOD}) OVER (ORDER BY hr) AS c24,
+         LAG(c, 1) OVER (ORDER BY hr) AS c1
+  FROM dense),
+e AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+         CAST(SUM(abs(c - c24)) AS BIGINT) AS es,
+         CAST(SUM(abs(c - c1)) AS BIGINT) AS en
+  FROM w WHERE c24 IS NOT NULL)
+SELECT n_eval, es AS abs_err_seasonal, en AS abs_err_naive,
+       CAST(CASE WHEN en > 0 THEN es * 1000000 // en
+                 ELSE -1 END AS BIGINT) AS mase_x1e6
+FROM e WHERE n_eval > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # SLO burn-rate alerting (multi-window, SRE-workbook shape)
 # ---------------------------------------------------------------------------
 
@@ -1210,4 +1290,6 @@ RANKS_QUERIES: dict[str, tuple] = {
     "orders_next_higher_revenue": (orders_next_higher_revenue,
                                    NEXT_HIGHER_SQL),
     "events_slo_burn_alerts": (events_slo_burn_alerts, SLO_BURN_SQL),
+    "events_forecast_backtest": (events_forecast_backtest,
+                                 BACKTEST_SQL),
 }

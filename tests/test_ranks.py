@@ -451,3 +451,22 @@ def test_slo_burn_needs_both_windows(tmp_path):
     assert int(out.loc[h0 + 24, "alert"]) == 0
     # by hour 29 the 6h window is all burning -> alert
     assert int(out.loc[h0 + 29, "alert"]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_backtest_pure_seasonal_beats_naive(tmp_path):
+    """A perfectly 24-periodic series has ZERO seasonal-naive error
+    (MASE 0) while the plain naive errs at every level change."""
+    d = str(tmp_path)
+    base = pd.Timestamp("2024-01-01")
+    ts = []
+    for h in range(4 * 24):
+        count = 2 + (3 if (h % 24) < 12 else 0)   # day/night square wave
+        for k in range(count):
+            ts.append(base + pd.Timedelta(hours=h, minutes=k))
+    pd.DataFrame({"event_id": np.arange(len(ts), dtype=np.int64),
+                  "ts": ts}).to_parquet(os.path.join(d, "events.parquet"))
+    out = R.events_forecast_backtest(d)
+    assert int(out["abs_err_seasonal"].iloc[0]) == 0
+    assert int(out["abs_err_naive"].iloc[0]) > 0
+    assert int(out["mase_x1e6"].iloc[0]) == 0
