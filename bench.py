@@ -693,7 +693,8 @@ def main():
                          "customer_lorenz_points",
                          "corpus_word_embeddings",
                          "events_slo_burn_alerts",
-                         "events_forecast_backtest"]
+                         "events_forecast_backtest",
+                         "events_type_user_lift", "corpus_zipf_fit"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -1626,8 +1626,49 @@ def corpus_word_embeddings(sf_dir: str):
         .sort_values("term").reset_index(drop=True)
 
 
+ZIPF_TOP = 200        # fit over the top-K tokens
+
+
+def corpus_zipf_fit(sf_dir: str):
+    """Zipf power-law fit of the token frequency distribution: OLS of
+    log(freq) on log(rank) over the top-{ZIPF_TOP} tokens — slope near
+    -1 is the natural-language signature, a flat slope exposes
+    synthetic/templated text (a corpus-forensics gate). The
+    distributed piece is the exact token-count exchange; the log-log
+    regression runs on the K-bounded head. Rows-only (logs are not
+    oracle-exact); deterministic tie-break by token.
+    Output: (n_tokens_fit, slope_x1e6, intercept_x1e6, r2_x1e6)."""
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("n_tokens_fit", "slope_x1e6",
+                           "intercept_x1e6", "r2_x1e6")})
+    head = (_token_counts(sf_dir)
+            .sort(["n", "token"], descending=[True, False])
+            .limit(ZIPF_TOP).to_pandas())
+    if len(head) < 3:
+        return empty
+    f = head["n"].to_numpy(np.float64)
+    x = np.log(np.arange(1, len(f) + 1, dtype=np.float64))
+    y = np.log(f)
+    n = len(f)
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+    dx = n * sxx - sx * sx
+    if dx == 0:
+        return empty
+    slope = (n * sxy - sx * sy) / dx
+    intercept = (sy - slope * sx) / n
+    dy = n * syy - sy * sy
+    r2 = ((n * sxy - sx * sy) ** 2) / (dx * dy) if dy else 0.0
+    return pd.DataFrame({
+        "n_tokens_fit": [np.int64(n)],
+        "slope_x1e6": [np.int64(round(slope * 1e6))],
+        "intercept_x1e6": [np.int64(round(intercept * 1e6))],
+        "r2_x1e6": [np.int64(round(r2 * 1e6))]})
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "corpus_word_embeddings": (corpus_word_embeddings, None),
+    "corpus_zipf_fit": (corpus_zipf_fit, None),
     "corpus_phrase_search": (corpus_phrase_search, PHRASE_SQL),
     "corpus_textrank_keywords": (corpus_textrank_keywords, None),
     "corpus_bigram_pmi": (corpus_bigram_pmi, BIGRAM_PMI_SQL),

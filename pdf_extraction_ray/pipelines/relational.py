@@ -1364,6 +1364,80 @@ GROUP BY 1, 2 ORDER BY o_orderpriority, week_bucket
 """
 
 
+def events_type_user_lift(sf_dir: str):
+    """User-level co-occurrence LIFT between event types: for each
+    unordered type pair, how much more often a single user's history
+    contains BOTH types than independence predicts — lift =
+    n_both * n_users / (n_a * n_b), the cross-sell / feature-affinity
+    score. One user-keyed exchange: each partition reduces its
+    (disjoint) users to per-pair / per-type / user-count partial rows
+    (type cardinality is tiny, so a user contributes <= C(T,2)+T), and
+    the driver folds the pair-shaped partials. Lift is one exact
+    integer cross-division (big ints; HUGEINT in the oracle).
+    Output: (type_a, type_b, n_both, n_a, n_b, lift_x1e6)."""
+    cols = ("type_a", "type_b", "n_both", "n_a", "n_b", "lift_x1e6")
+    empty = pd.DataFrame({c: pd.Series(
+        dtype="object" if c.startswith("type") else "int64")
+        for c in cols})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        import itertools
+        u = g.drop_duplicates(["user_id", "event_type"])
+        singles = u.groupby("event_type").size()
+        pair_count: dict[tuple, int] = {}
+        for _, types in u.groupby("user_id")["event_type"]:
+            for a, b in itertools.combinations(sorted(types), 2):
+                pair_count[(a, b)] = pair_count.get((a, b), 0) + 1
+        rows = [(a, b, n) for (a, b), n in pair_count.items()]
+        rows += [(t, "", int(n)) for t, n in singles.items()]
+        rows.append(("\x00users", "", int(u["user_id"].nunique())))
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "n"]) \
+            .astype({"n": "int64"})
+
+    parts = _coarse_partition_map(ds, "user_id", per_user).to_pandas()
+    if parts.empty:
+        return empty
+    agg = parts.groupby(["type_a", "type_b"])["n"].sum()
+    n_users = int(agg.get(("\x00users", ""), 0))
+    if n_users == 0:
+        return empty
+    rows = []
+    for (a, b), n_both in agg.items():
+        if b == "":
+            continue
+        n_a = int(agg.get((a, "")))
+        n_b = int(agg.get((b, "")))
+        rows.append((a, b, int(n_both), n_a, n_b,
+                     int(n_both) * n_users * 1_000_000 // (n_a * n_b)))
+    return pd.DataFrame(rows, columns=list(cols)) \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+TYPE_LIFT_SQL = """
+WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       FROM events),
+s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u GROUP BY 1),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, p.n_both, sa.n AS n_a, sb.n AS n_b,
+       CAST(CAST(p.n_both AS HUGEINT) * nu.n_users * 1000000
+            // (sa.n * sb.n) AS BIGINT) AS lift_x1e6
+FROM p
+JOIN s sa ON sa.event_type = p.type_a
+JOIN s sb ON sb.event_type = p.type_b, nu
+ORDER BY type_a, type_b
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -5639,6 +5713,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "part_brand_top3": (part_brand_top3, PART_TOP3_SQL),
     "orders_ship_leadtime_hist": (orders_ship_leadtime_hist,
                                   LEADTIME_SQL),
+    "events_type_user_lift": (events_type_user_lift, TYPE_LIFT_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

@@ -147,3 +147,29 @@ def test_rate_limit_burst_and_refill(tmp_path):
     assert int(out.loc[1, "n_allowed"]) == 6     # 5 burst + 1 refilled
     assert int(out.loc[1, "n_throttled"]) == 2
     assert int(out.loc[2, "n_throttled"]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_type_user_lift_hand_case(tmp_path):
+    """3 users: u1 {a,b}, u2 {a,b}, u3 {a}. lift(a,b) =
+    2*3/(3*2) = 1.0 exactly; a type pair never co-occurring is
+    absent."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_type_user_lift)
+    d = str(tmp_path)
+    rows = [(0, 1, "a"), (1, 1, "b"), (2, 2, "a"), (3, 2, "b"),
+            (4, 3, "a"), (5, 3, "a")]
+    base = pd.Timestamp("2024-01-01")
+    pd.DataFrame({"event_id": np.array([r[0] for r in rows],
+                                       dtype=np.int64),
+                  "user_id": np.array([r[1] for r in rows],
+                                      dtype=np.int64),
+                  "event_type": [r[2] for r in rows],
+                  "ts": [base + pd.Timedelta(minutes=r[0])
+                         for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = events_type_user_lift(d)
+    assert len(out) == 1
+    assert out.iloc[0]["type_a"] == "a" and out.iloc[0]["type_b"] == "b"
+    assert int(out.iloc[0]["n_both"]) == 2
+    assert int(out.iloc[0]["lift_x1e6"]) == 1_000_000

@@ -362,3 +362,23 @@ def test_word_embeddings_planted_structure(tmp_path):
     # determinism: a second run is bit-identical
     out2 = corpus_word_embeddings(d).set_index("term")
     assert out.equals(out2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_zipf_fit_on_planted_power_law(tmp_path):
+    """Tokens drawn with frequency proportional to 1/rank fit slope
+    ~ -1 with high R^2."""
+    import os
+    d = str(tmp_path)
+    words = [f"w{i}" for i in range(1, 40)]
+    doc = []
+    for r, w in enumerate(words, start=1):
+        doc += [w] * max(1, 4000 // r)         # freq ~ 1/rank
+    pd.DataFrame({"doc_id": np.array([0], dtype=np.int64),
+                  "text": [" ".join(doc)]}) \
+        .to_parquet(os.path.join(d, "documents.parquet"))
+    from pdf_extraction_ray.pipelines.corpus import corpus_zipf_fit
+    out = corpus_zipf_fit(d)
+    slope = out["slope_x1e6"].iloc[0] / 1e6
+    assert -1.1 < slope < -0.9
+    assert out["r2_x1e6"].iloc[0] > 980_000
