@@ -1438,6 +1438,101 @@ ORDER BY type_a, type_b
 """
 
 
+def orders_fanout_hist(sf_dir: str):
+    """Join fan-out profile: the distribution of lineitem multiplicity
+    per order — the statistic a planner needs to size a key join's
+    output (join_size = sum over this histogram of key_count * fanout).
+    One orderkey exchange compacts to per-order counts, the second is
+    fanout-value-shaped. Output: (fanout, n_orders)."""
+    empty = pd.DataFrame({"fanout": pd.Series(dtype="int64"),
+                          "n_orders": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "lineitem"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "lineitem"),
+                         columns=["l_orderkey"])
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("l_orderkey").size()
+        h = c.groupby(c).size().rename("n_orders").reset_index() \
+            .rename(columns={"index": "fanout"})
+        h.columns = ["fanout", "n_orders"]
+        return h.astype("int64")
+
+    parts = _coarse_partition_map(ds, "l_orderkey", per_order) \
+        .to_pandas()
+    if parts.empty:
+        return empty
+    return parts.groupby("fanout", as_index=False)["n_orders"].sum() \
+        .astype("int64").sort_values("fanout").reset_index(drop=True)
+
+
+FANOUT_SQL = """
+WITH c AS (SELECT l_orderkey, COUNT(*) AS fanout
+           FROM lineitem GROUP BY 1)
+SELECT CAST(fanout AS BIGINT) AS fanout,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM c GROUP BY fanout ORDER BY fanout
+"""
+
+
+BOT_WINDOW_US = 60_000_000     # 1-minute burst window
+BOT_THRESHOLD = 20             # > this many events/minute flags a bot
+
+
+def events_bot_detection(sf_dir: str):
+    """Burst-rate bot flagging: per user, the MAXIMUM number of events
+    inside any sliding {BOT_WINDOW_US // 1_000_000}-second window
+    (windows anchored at an event — sufficient, since the max window
+    starts at some event), flagged when it exceeds {BOT_THRESHOLD} —
+    the super-human-rate abuse gate an ingestion edge runs. One
+    user-keyed exchange; per user the sliding count is an O(n)
+    TWO-POINTER sweep over its sorted timestamps (the oracle states
+    the same thing as a quadratic windowed self-count).
+    Output: (user_id, n_events, max_per_minute, is_bot)."""
+    cols = ("user_id", "n_events", "max_per_minute", "is_bot")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(t=g["ts"].astype("datetime64[us]")
+                     .astype(np.int64))
+        g = g.sort_values(["user_id", "t"])
+        rows = []
+        for uid, sub in g.groupby("user_id", sort=False):
+            t = sub["t"].to_numpy(np.int64)
+            # two-pointer: for each window start i, count events in
+            # [t_i, t_i + W); vectorized via searchsorted
+            hi = np.searchsorted(t, t + BOT_WINDOW_US, side="left")
+            mx = int((hi - np.arange(len(t))).max())
+            rows.append((int(uid), len(t), mx,
+                         int(mx > BOT_THRESHOLD)))
+        return pd.DataFrame(rows, columns=list(cols)).astype("int64")
+
+    return _coarse_partition_map(ds, "user_id", per_user) \
+        .sort("user_id")
+
+
+BOT_SQL = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+w AS (
+  SELECT a.user_id, a.event_id,
+         COUNT(*) AS in_window
+  FROM e a JOIN e b
+    ON a.user_id = b.user_id
+   AND b.t >= a.t AND b.t < a.t + {BOT_WINDOW_US}
+  GROUP BY a.user_id, a.event_id)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(in_window) AS BIGINT) AS max_per_minute,
+       CAST(CASE WHEN MAX(in_window) > {BOT_THRESHOLD}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -5714,6 +5809,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "orders_ship_leadtime_hist": (orders_ship_leadtime_hist,
                                   LEADTIME_SQL),
     "events_type_user_lift": (events_type_user_lift, TYPE_LIFT_SQL),
+    "orders_fanout_hist": (orders_fanout_hist, FANOUT_SQL),
+    "events_bot_detection": (events_bot_detection, BOT_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

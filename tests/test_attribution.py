@@ -173,3 +173,30 @@ def test_type_user_lift_hand_case(tmp_path):
     assert out.iloc[0]["type_a"] == "a" and out.iloc[0]["type_b"] == "b"
     assert int(out.iloc[0]["n_both"]) == 2
     assert int(out.iloc[0]["lift_x1e6"]) == 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bot_detection_window_boundary(tmp_path):
+    """21 events inside one minute flags a bot; an event exactly 60 s
+    after the anchor is OUTSIDE its window ([t, t+60s)); same-ts ties
+    count fully."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_bot_detection)
+    d = str(tmp_path)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(21):                    # user 1: 21 in one second
+        rows.append((i, 1, t0))
+    rows.append((21, 2, t0))               # user 2: 2 events 60s apart
+    rows.append((22, 2, t0 + pd.Timedelta(seconds=60)))
+    pd.DataFrame({"event_id": np.array([r[0] for r in rows],
+                                       dtype=np.int64),
+                  "user_id": np.array([r[1] for r in rows],
+                                      dtype=np.int64),
+                  "ts": [r[2] for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = events_bot_detection(d).to_pandas().set_index("user_id")
+    assert int(out.loc[1, "max_per_minute"]) == 21
+    assert int(out.loc[1, "is_bot"]) == 1
+    assert int(out.loc[2, "max_per_minute"]) == 1   # 60s is exclusive
+    assert int(out.loc[2, "is_bot"]) == 0
