@@ -551,6 +551,96 @@ FROM g ORDER BY nation
 """
 
 
+KEYNESS_TOP = 3
+
+
+def part_brand_keyness(sf_dir: str):
+    """Distinctive name tokens per brand by integer LIFT keyness —
+    lift = tf_brand * total_tokens / (tf_global * brand_tokens), the
+    log-free class-keyness ranking (which words does THIS brand use
+    more than the catalog does). One (brand, token) count exchange;
+    the token-marginal totals are vocabulary-bounded and fold
+    driver-side; top-{KEYNESS_TOP} per brand by (lift desc, token).
+    Exact x1e6 big-int cross-division (HUGEINT in the oracle).
+    Output: (p_brand, token, n_bt, keyness_x1e6, kw_rank)."""
+    cols = ("p_brand", "token", "n_bt", "keyness_x1e6", "kw_rank")
+    empty = pd.DataFrame({
+        "p_brand": pd.Series(dtype="object"),
+        "token": pd.Series(dtype="object"),
+        "n_bt": pd.Series(dtype="int64"),
+        "keyness_x1e6": pd.Series(dtype="int64"),
+        "kw_rank": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "part"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "part"),
+                         columns=["p_brand", "p_name"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        brands = batch["p_brand"].to_pandas()
+        names = batch["p_name"].to_pandas()
+        b = brands.repeat(names.str.split().str.len())
+        t = names.str.split().explode()
+        g = pd.DataFrame({"p_brand": b.to_numpy(),
+                          "token": t.to_numpy()}) \
+            .groupby(["p_brand", "token"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return _from_pandas(g.astype({"n": "int64"}))
+
+    bt = (ds.map_batches(explode, batch_format="pyarrow",
+                         batch_size=None)
+          .groupby(["p_brand", "token"])
+          .aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    if bt.empty:
+        return empty
+    tok_tot = bt.groupby("token")["n"].sum()
+    brand_tot = bt.groupby("p_brand")["n"].sum()
+    total = int(bt["n"].sum())
+    rows = []
+    for r in bt.itertuples(index=False):
+        n_bt = int(r.n)
+        rows.append((r.p_brand, r.token, n_bt,
+                     n_bt * total * 1_000_000
+                     // (int(tok_tot[r.token])
+                         * int(brand_tot[r.p_brand]))))
+    df = pd.DataFrame(rows, columns=["p_brand", "token", "n_bt",
+                                     "keyness_x1e6"])
+    df = df.sort_values(["p_brand", "keyness_x1e6", "token"],
+                        ascending=[True, False, True])
+    df["kw_rank"] = df.groupby("p_brand").cumcount() + 1
+    out = df[df["kw_rank"] <= KEYNESS_TOP].reset_index(drop=True)
+    return out.astype({"n_bt": "int64", "keyness_x1e6": "int64",
+                       "kw_rank": "int64"})
+
+
+KEYNESS_SQL = rf"""
+WITH tok AS (
+  SELECT p_brand,
+         unnest(regexp_split_to_array(trim(p_name), '\s+')) AS token
+  FROM part),
+bt AS (SELECT p_brand, token, CAST(COUNT(*) AS BIGINT) AS n_bt
+       FROM tok GROUP BY 1, 2),
+tt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n_t
+       FROM tok GROUP BY 1),
+bb AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_b
+       FROM tok GROUP BY 1),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok),
+k AS (
+  SELECT bt.p_brand, bt.token, bt.n_bt,
+         CAST(CAST(bt.n_bt AS HUGEINT) * g.total * 1000000
+              // (tt.n_t * bb.n_b) AS BIGINT) AS keyness_x1e6
+  FROM bt JOIN tt USING (token) JOIN bb USING (p_brand), g),
+r AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY p_brand
+      ORDER BY keyness_x1e6 DESC, token) AS BIGINT) AS kw_rank
+  FROM k)
+SELECT p_brand, token, n_bt, keyness_x1e6, kw_rank
+FROM r WHERE kw_rank <= {KEYNESS_TOP}
+ORDER BY p_brand, kw_rank
+"""
+
+
 LORENZ_DECILES = 10
 
 
@@ -3612,6 +3702,7 @@ STATS_QUERIES: dict[str, tuple] = {
     "events_value_welch_ttest": (events_value_welch_ttest, WELCH_SQL),
     "region_revenue_hhi": (region_revenue_hhi, HHI_SQL),
     "customer_lorenz_points": (customer_lorenz_points, LORENZ_SQL),
+    "part_brand_keyness": (part_brand_keyness, KEYNESS_SQL),
     "events_hourly_rolling_median": (events_hourly_rolling_median,
                                      ROLLING_MEDIAN_SQL),
     "events_hourly_interp": (events_hourly_interp, INTERP_SQL),

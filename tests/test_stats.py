@@ -271,6 +271,7 @@ def test_stats_oracles_on_random_tables(tmp_path, seed):
     pd.DataFrame({
         "p_partkey": np.arange(n_part, dtype=np.int64),
         "p_name": rng.choice(base, size=n_part),
+        "p_brand": rng.choice(["B#1", "B#2", "B#3"], size=n_part),
         "p_size": rng.integers(1, 8, size=n_part).astype(np.int32),
         "p_retailprice": rng.integers(5, 15, size=n_part) / 1.0}) \
         .to_parquet(os.path.join(d, "part.parquet"))
