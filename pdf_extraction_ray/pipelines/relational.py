@@ -1533,6 +1533,87 @@ FROM w GROUP BY user_id ORDER BY user_id
 """
 
 
+DUP_BAND_X100 = 10_000       # $100 amount band
+
+
+def orders_duplicate_billing(sf_dir: str):
+    """Duplicate-billing audit: a customer charged MORE THAN ONCE in
+    the same ${DUP_BAND_X100 // 100} amount band — the double-charge
+    candidate list a billing-forensics pass reviews first (exact-cents
+    equality never fires on continuous totals; banding is the
+    practical rule). One custkey-keyed exchange (the band check rides
+    the same partition); emits the group size and the smallest two
+    orderkeys as evidence columns. Output: (o_custkey, price_band,
+    n_orders, first_order, second_order)."""
+    cols = ("o_custkey", "price_band", "n_orders", "first_order",
+            "second_order")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_custkey",
+                                  "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        band = pc.divide(_cents(batch["o_totalprice"]),
+                         pa.scalar(DUP_BAND_X100, type=pa.int64()))
+        return pa.Table.from_arrays(
+            [batch["o_custkey"], band, batch["o_orderkey"]],
+            names=["cust", "band", "okey"])
+
+    def dupes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cust", "band", "okey"])
+        grp = g.groupby(["cust", "band"])
+        agg = grp.agg(n_orders=("okey", "size"),
+                      first_order=("okey", lambda s: s.iloc[0]),
+                      second_order=("okey", lambda s: s.iloc[1]
+                                    if len(s) > 1 else -1)) \
+            .reset_index()
+        agg = agg[agg["n_orders"] >= 2]
+        out = agg.rename(columns={"cust": "o_custkey",
+                                  "band": "price_band"}) \
+            .astype("int64")
+        if out.empty:                  # keep the schema on empty parts
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in cols})
+        return out[list(cols)]
+
+    out = _coarse_partition_map(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        "cust", dupes).to_pandas()
+    if out.empty or "o_custkey" not in out.columns:
+        return empty                  # all-empty partitions lose schema
+    return out.sort_values(["o_custkey", "price_band"]) \
+        .reset_index(drop=True)
+
+
+DUP_BILLING_SQL = f"""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100.0) AS BIGINT)
+             // {DUP_BAND_X100} AS price_band,
+         o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT)
+                 // {DUP_BAND_X100}
+                            ORDER BY o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_custkey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT)
+                 // {DUP_BAND_X100}) AS n
+  FROM orders)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(price_band AS BIGINT) AS price_band,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(MAX(CASE WHEN rn = 1 THEN o_orderkey END) AS BIGINT)
+           AS first_order,
+       CAST(MAX(CASE WHEN rn = 2 THEN o_orderkey END) AS BIGINT)
+           AS second_order
+FROM c WHERE n >= 2
+GROUP BY o_custkey, price_band, n
+ORDER BY o_custkey, price_band
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -5811,6 +5892,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_type_user_lift": (events_type_user_lift, TYPE_LIFT_SQL),
     "orders_fanout_hist": (orders_fanout_hist, FANOUT_SQL),
     "events_bot_detection": (events_bot_detection, BOT_SQL),
+    "orders_duplicate_billing": (orders_duplicate_billing,
+                                 DUP_BILLING_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

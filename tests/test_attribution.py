@@ -200,3 +200,24 @@ def test_bot_detection_window_boundary(tmp_path):
     assert int(out.loc[1, "is_bot"]) == 1
     assert int(out.loc[2, "max_per_minute"]) == 1   # 60s is exclusive
     assert int(out.loc[2, "is_bot"]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_billing_band_semantics(tmp_path):
+    """Two same-band charges flag with the two smallest orderkeys as
+    evidence; a $100-band boundary crossing does NOT flag."""
+    from pdf_extraction_ray.pipelines.relational import (
+        orders_duplicate_billing)
+    d = str(tmp_path)
+    pd.DataFrame({
+        "o_orderkey": np.array([10, 20, 30, 40, 50], dtype=np.int64),
+        "o_custkey": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+        # cust 1: 150.00 and 155.00 share band 1; 99.99 is band 0
+        # cust 2: 199.99 (band 1) vs 200.01 (band 2): no flag
+        "o_totalprice": [150.00, 155.00, 99.99, 199.99, 200.01]}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+    out = orders_duplicate_billing(d)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["o_custkey"]) == 1 and int(r["price_band"]) == 1
+    assert int(r["first_order"]) == 10 and int(r["second_order"]) == 20
