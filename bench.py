@@ -697,7 +697,8 @@ def main():
                          "events_type_user_lift", "corpus_zipf_fit",
                          "orders_fanout_hist", "events_bot_detection",
                          "part_brand_keyness",
-                         "orders_duplicate_billing"]
+                         "orders_duplicate_billing",
+                         "events_growth_accounting"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -1614,6 +1614,93 @@ ORDER BY o_custkey, price_band
 """
 
 
+def events_growth_accounting(sf_dir: str):
+    """Weekly GROWTH ACCOUNTING (the new / retained / resurrected /
+    churned user ledger a growth team reads): per epoch-week, users
+    seen for the first time (new), seen this week and last (retained),
+    seen this week after a gap (resurrected), and seen last week but
+    not this (churned, bounded by the global last week). One cheap
+    global week-range probe, then ONE user-keyed exchange classifies
+    each user's whole week set vectorized; the final exchange is
+    (week, class)-shaped. Output: (wk, cls, n_users)."""
+    empty = pd.DataFrame({"wk": pd.Series(dtype="int64"),
+                          "cls": pd.Series(dtype="object"),
+                          "n_users": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts"])
+
+    def wk_minmax(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        wk = ts.astype("datetime64[D]").astype(np.int64) // 7
+        return pa.Table.from_pydict({"lo": [int(wk.min())],
+                                     "hi": [int(wk.max())]})
+
+    mm = ds.map_batches(wk_minmax, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    if mm.empty:
+        return empty
+    w1 = int(mm["hi"].max())
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        days = g["ts"].astype("datetime64[us]").astype(np.int64) \
+            // 86_400_000_000
+        g = pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64),
+                          "wk": (days // 7).to_numpy(np.int64)}) \
+            .drop_duplicates()
+        rows = []
+        for uid, sub in g.groupby("user_id", sort=False):
+            wks = np.sort(sub["wk"].to_numpy(np.int64))
+            present = set(wks.tolist())
+            rows.append((int(wks[0]), "new"))
+            for w in wks[1:].tolist():
+                rows.append((w, "retained" if (w - 1) in present
+                             else "resurrected"))
+            for w in wks.tolist():
+                if w + 1 <= w1 and (w + 1) not in present:
+                    rows.append((w + 1, "churned"))
+        out = pd.DataFrame(rows, columns=["wk", "cls"])
+        return out.groupby(["wk", "cls"], as_index=False).size() \
+            .rename(columns={"size": "n_users"}) \
+            .astype({"wk": "int64", "n_users": "int64"})
+
+    parts = _coarse_partition_map(ds, "user_id", classify).to_pandas()
+    if parts.empty:
+        return empty
+    return parts.groupby(["wk", "cls"], as_index=False)["n_users"] \
+        .sum().astype({"wk": "int64", "n_users": "int64"}) \
+        .sort_values(["wk", "cls"]).reset_index(drop=True)
+
+
+GROWTH_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(ts) AS BIGINT) // 604800 AS wk
+  FROM events),
+b AS (SELECT MAX(wk) AS w1 FROM uw),
+f AS (SELECT user_id, MIN(wk) AS first_wk FROM uw GROUP BY 1),
+cls AS (
+  SELECT u.wk,
+         CASE WHEN u.wk = f.first_wk THEN 'new'
+              WHEN EXISTS (SELECT 1 FROM uw p
+                           WHERE p.user_id = u.user_id
+                             AND p.wk = u.wk - 1) THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM uw u JOIN f USING (user_id)),
+churn AS (
+  SELECT u.wk + 1 AS wk, 'churned' AS cls
+  FROM uw u, b
+  WHERE u.wk + 1 <= b.w1
+    AND NOT EXISTS (SELECT 1 FROM uw n
+                    WHERE n.user_id = u.user_id
+                      AND n.wk = u.wk + 1))
+SELECT wk, cls, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM (SELECT wk, cls FROM cls UNION ALL SELECT wk, cls FROM churn)
+GROUP BY wk, cls ORDER BY wk, cls
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -5894,6 +5981,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_bot_detection": (events_bot_detection, BOT_SQL),
     "orders_duplicate_billing": (orders_duplicate_billing,
                                  DUP_BILLING_SQL),
+    "events_growth_accounting": (events_growth_accounting,
+                                 GROWTH_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

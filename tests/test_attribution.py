@@ -221,3 +221,27 @@ def test_duplicate_billing_band_semantics(tmp_path):
     r = out.iloc[0]
     assert int(r["o_custkey"]) == 1 and int(r["price_band"]) == 1
     assert int(r["first_order"]) == 10 and int(r["second_order"]) == 20
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_growth_accounting_lifecycle(tmp_path):
+    """One user active weeks {0, 1, 3}: new@0, retained@1, churned@2,
+    resurrected@3; a week-3-only user is new@3; churn past the global
+    last week is NOT emitted."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_growth_accounting)
+    d = str(tmp_path)
+    base = pd.Timestamp("1970-01-01")      # epoch-week aligned
+    rows = [(1, 0), (1, 1), (1, 3), (2, 3)]
+    pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "ts": [base + pd.Timedelta(weeks=r[1], hours=5)
+               for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = events_growth_accounting(d)
+    got = {(int(r.wk), r.cls): int(r.n_users)
+           for r in out.itertuples(index=False)}
+    assert got == {(0, "new"): 1, (1, "retained"): 1,
+                   (2, "churned"): 1, (3, "resurrected"): 1,
+                   (3, "new"): 1}
