@@ -698,7 +698,8 @@ def main():
                          "orders_fanout_hist", "events_bot_detection",
                          "part_brand_keyness",
                          "orders_duplicate_billing",
-                         "events_growth_accounting"]
+                         "events_growth_accounting",
+                         "events_type_weekly_movers"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -1701,6 +1701,78 @@ GROUP BY wk, cls ORDER BY wk, cls
 """
 
 
+def events_type_weekly_movers(sf_dir: str):
+    """Week-over-week movers per event type: weekly counts with the
+    delta to the PREVIOUS CALENDAR week (gap weeks count as zero — a
+    type that vanishes shows the crash, not a missing row) — the
+    'what changed this week' report. One (type, week) exchange;
+    densification is calendar-bounded per type.
+    Output: (event_type, wk, n, prev_n, delta)."""
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "wk": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "prev_n": pd.Series(dtype="int64"),
+                          "delta": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        wk = ts.astype("datetime64[D]").astype(np.int64) // 7
+        g = pd.DataFrame({"event_type": batch["event_type"]
+                          .to_pandas(), "wk": wk}) \
+            .groupby(["event_type", "wk"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return _from_pandas(g.astype({"wk": "int64", "n": "int64"}))
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(["event_type", "wk"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    w0, w1 = int(hist["wk"].min()), int(hist["wk"].max())
+    rows = []
+    for et, sub in hist.groupby("event_type"):
+        dense = np.zeros(w1 - w0 + 1, dtype=np.int64)
+        dense[sub["wk"].to_numpy(np.int64) - w0] = \
+            sub["n"].to_numpy(np.int64)
+        for i in range(1, len(dense)):
+            rows.append((et, w0 + i, int(dense[i]), int(dense[i - 1]),
+                         int(dense[i] - dense[i - 1])))
+    return pd.DataFrame(rows, columns=["event_type", "wk", "n",
+                                       "prev_n", "delta"]) \
+        .sort_values(["event_type", "wk"]).reset_index(drop=True)
+
+
+WEEKLY_MOVERS_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(epoch(ts) AS BIGINT) // 604800 AS wk,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(wk) AS w0, MAX(wk) AS w1 FROM h),
+grid AS (
+  SELECT t.event_type, g.wk
+  FROM (SELECT DISTINCT event_type FROM h) t,
+       (SELECT unnest(generate_series(w0, w1)) AS wk FROM b) g),
+dense AS (
+  SELECT grid.event_type, grid.wk, COALESCE(h.n, 0) AS n
+  FROM grid LEFT JOIN h USING (event_type, wk)),
+w AS (
+  SELECT event_type, wk, n,
+         LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+  FROM dense)
+SELECT event_type, wk, CAST(n AS BIGINT) AS n,
+       CAST(prev_n AS BIGINT) AS prev_n,
+       CAST(n - prev_n AS BIGINT) AS delta
+FROM w WHERE prev_n IS NOT NULL
+ORDER BY event_type, wk
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -5983,6 +6055,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                  DUP_BILLING_SQL),
     "events_growth_accounting": (events_growth_accounting,
                                  GROWTH_SQL),
+    "events_type_weekly_movers": (events_type_weekly_movers,
+                                  WEEKLY_MOVERS_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":
