@@ -699,7 +699,8 @@ def main():
                          "part_brand_keyness",
                          "orders_duplicate_billing",
                          "events_growth_accounting",
-                         "events_type_weekly_movers"]
+                         "events_type_weekly_movers",
+                         "customer_tier_transitions"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -1773,6 +1773,141 @@ ORDER BY event_type, wk
 """
 
 
+def customer_tier_transitions(sf_dir: str):
+    """Customer value-tier TRANSITION MATRIX between the early and
+    late halves of the order history (same midpoint split as the drift
+    monitors): per half, customers tier 1/2/3 by tie-inclusive
+    discrete revenue-tercile cutoffs (a pure function of the revenue
+    VALUE, so it computes from the compacted per-revenue histogram —
+    no global customer sort); tier 0 = absent that half. The matrix is
+    the upgrade/downgrade/churn movement report. One custkey exchange
+    pivots both halves per customer; cutoffs broadcast; the final
+    exchange is 4x4-shaped. Output: (tier_from, tier_to,
+    n_customers)."""
+    import ray as _ray
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("tier_from", "tier_to", "n_customers")})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def day_minmax(batch: pa.Table) -> pa.Table:
+        d = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.Table.from_pydict({"lo": [int(d.min())],
+                                     "hi": [int(d.max())]})
+
+    mm = ds.map_batches(day_minmax, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    mid = lo + (hi - lo) // 2
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["o_orderdate"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        cents = _cents(pa.array(g["o_totalprice"].to_numpy())) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"cust": g["o_custkey"].to_numpy(np.int64),
+                           "half": (d > mid).astype(np.int64),
+                           "rev": cents})
+        p = df.groupby(["cust", "half"])["rev"].sum().unstack(
+            fill_value=-1).reindex(columns=[0, 1], fill_value=-1)
+        p.columns = ["rev0", "rev1"]
+        return p.reset_index().astype("int64")
+
+    cust = _coarse_partition_map(ds, "o_custkey", per_cust) \
+        .materialize()
+
+    def rev_hist(batch: pa.Table) -> pa.Table:
+        frames = []
+        for half, col in ((0, "rev0"), (1, "rev1")):
+            v = batch[col].to_numpy(zero_copy_only=False)
+            v = v[v >= 0]
+            u, c = np.unique(v, return_counts=True)
+            frames.append(pd.DataFrame({
+                "half": np.full(len(u), half, dtype=np.int64),
+                "rev": u.astype(np.int64),
+                "n": c.astype(np.int64)}))
+        return _from_pandas(pd.concat(frames, ignore_index=True))
+
+    hist = (cust.map_batches(rev_hist, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+            .groupby(["half", "rev"], as_index=False)["n"].sum())
+    if hist.empty:
+        return empty
+    cuts = {}
+    for half, sub in hist.groupby("half"):
+        sub = sub.sort_values("rev")
+        cc = sub["n"].to_numpy(np.int64).cumsum()
+        n = int(cc[-1])
+        vals = sub["rev"].to_numpy(np.int64)
+        q33 = int(vals[np.searchsorted(
+            cc, int(np.ceil(1.0 / 3 * n)))])
+        q66 = int(vals[np.searchsorted(
+            cc, int(np.ceil(2.0 / 3 * n)))])
+        cuts[int(half)] = (q33, q66)
+    cuts_ref = _ray.put(cuts)
+
+    def to_tiers(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cuts_ref)
+        out = {}
+        for half, col in ((0, "rev0"), (1, "rev1")):
+            v = batch[col].to_numpy(zero_copy_only=False)
+            q33, q66 = c.get(half, (0, 0))
+            tier = np.where(v < 0, 0,
+                            1 + (v > q33).astype(np.int64)
+                            + (v > q66).astype(np.int64))
+            out[f"t{half}"] = tier.astype(np.int64)
+        g = pd.DataFrame(out).groupby(["t0", "t1"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        return _from_pandas(g.astype("int64"))
+
+    parts = (cust.map_batches(to_tiers, batch_format="pyarrow",
+                              batch_size=None).to_pandas())
+    return parts.groupby(["t0", "t1"], as_index=False)["n"].sum() \
+        .rename(columns={"t0": "tier_from", "t1": "tier_to",
+                         "n": "n_customers"}) \
+        .astype("int64").sort_values(["tier_from", "tier_to"]) \
+        .reset_index(drop=True)
+
+
+TIER_TRANSITIONS_SQL = """
+WITH b AS (
+  SELECT MIN(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+             AS BIGINT)) AS lo,
+         MAX(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+             AS BIGINT)) AS hi
+  FROM orders),
+o AS (
+  SELECT o_custkey,
+         CASE WHEN CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                   AS BIGINT) > lo + (hi - lo) // 2
+              THEN 1 ELSE 0 END AS half,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders, b),
+c AS (SELECT o_custkey, half, SUM(cents) AS rev
+      FROM o GROUP BY 1, 2),
+q AS (SELECT half, quantile_disc(rev, 1.0/3) AS q33,
+             quantile_disc(rev, 2.0/3) AS q66
+      FROM c GROUP BY half),
+t AS (
+  SELECT c.o_custkey, c.half,
+         1 + CAST(c.rev > q.q33 AS INT) + CAST(c.rev > q.q66 AS INT)
+             AS tier
+  FROM c JOIN q USING (half)),
+f AS (
+  SELECT o_custkey,
+         COALESCE(MAX(CASE WHEN half = 0 THEN tier END), 0) AS t0,
+         COALESCE(MAX(CASE WHEN half = 1 THEN tier END), 0) AS t1
+  FROM t GROUP BY 1)
+SELECT CAST(t0 AS BIGINT) AS tier_from, CAST(t1 AS BIGINT) AS tier_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM f GROUP BY 1, 2 ORDER BY tier_from, tier_to
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -6057,6 +6192,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                  GROWTH_SQL),
     "events_type_weekly_movers": (events_type_weekly_movers,
                                   WEEKLY_MOVERS_SQL),
+    "customer_tier_transitions": (customer_tier_transitions,
+                                  TIER_TRANSITIONS_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

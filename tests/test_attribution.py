@@ -245,3 +245,33 @@ def test_growth_accounting_lifecycle(tmp_path):
     assert got == {(0, "new"): 1, (1, "retained"): 1,
                    (2, "churned"): 1, (3, "resurrected"): 1,
                    (3, "new"): 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tier_transitions_totals_and_absents(tmp_path):
+    """Matrix totals: sum over the matrix equals distinct customers;
+    a first-half-only customer lands in (tier, 0), a second-half-only
+    one in (0, tier)."""
+    from pdf_extraction_ray.pipelines.relational import (
+        customer_tier_transitions)
+    d = str(tmp_path)
+    rng = np.random.default_rng(31)
+    rows = []
+    okey = 0
+    early = pd.Timestamp("2024-01-10")
+    late = pd.Timestamp("2024-12-10")
+    for cust in range(1, 31):
+        halves = {1: [early], 2: [late], 0: [early, late]}[cust % 3]
+        for ts in halves:
+            rows.append((okey, cust, ts.date(),
+                         float(rng.integers(100, 9999)) / 1.0))
+            okey += 1
+    pd.DataFrame(rows, columns=["o_orderkey", "o_custkey",
+                                "o_orderdate", "o_totalprice"]) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+    out = customer_tier_transitions(d)
+    assert int(out["n_customers"].sum()) == 30
+    from_only = out[(out["tier_to"] == 0) & (out["tier_from"] > 0)]
+    to_only = out[(out["tier_from"] == 0) & (out["tier_to"] > 0)]
+    assert int(from_only["n_customers"].sum()) == 10   # cust % 3 == 1
+    assert int(to_only["n_customers"].sum()) == 10     # cust % 3 == 2
