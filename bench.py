@@ -700,7 +700,8 @@ def main():
                          "orders_duplicate_billing",
                          "events_growth_accounting",
                          "events_type_weekly_movers",
-                         "customer_tier_transitions"]
+                         "customer_tier_transitions",
+                         "events_error_incidents"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -1676,7 +1676,7 @@ def events_growth_accounting(sf_dir: str):
 GROWTH_SQL = """
 WITH uw AS (
   SELECT DISTINCT user_id,
-         CAST(epoch(ts) AS BIGINT) // 604800 AS wk
+         epoch_us(ts) // 604800000000 AS wk
   FROM events),
 b AS (SELECT MAX(wk) AS w1 FROM uw),
 f AS (SELECT user_id, MIN(wk) AS first_wk FROM uw GROUP BY 1),
@@ -1750,7 +1750,7 @@ def events_type_weekly_movers(sf_dir: str):
 
 WEEKLY_MOVERS_SQL = """
 WITH h AS (
-  SELECT event_type, CAST(epoch(ts) AS BIGINT) // 604800 AS wk,
+  SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
          COUNT(*) AS n
   FROM events GROUP BY 1, 2),
 b AS (SELECT MIN(wk) AS w0, MAX(wk) AS w1 FROM h),
@@ -1905,6 +1905,79 @@ f AS (
 SELECT CAST(t0 AS BIGINT) AS tier_from, CAST(t1 AS BIGINT) AS tier_to,
        CAST(COUNT(*) AS BIGINT) AS n_customers
 FROM f GROUP BY 1, 2 ORDER BY tier_from, tier_to
+"""
+
+
+INCIDENT_MIN_ERRORS = 2      # errors/minute that flag a minute
+
+
+def events_error_incidents(sf_dir: str):
+    """Incident detection: minutes with >= {INCIDENT_MIN_ERRORS}
+    errors are 'burning', and CONSECUTIVE burning minutes merge into
+    one incident (gaps-and-islands over the flagged minute set) with
+    its span and total error count — the error-cascade grouping an
+    on-call pages on. One bounded (minute -> errors) exchange; the
+    island grouping is a vectorized diff over the flagged minutes.
+    Output: (incident_start_min, incident_end_min, duration_min,
+    n_errors)."""
+    cols = ("incident_start_min", "incident_end_min", "duration_min",
+            "n_errors")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        m = et == "error"
+        if not m.any():
+            return pa.Table.from_pydict(
+                {"minute": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())})
+        mins = ts[m].astype("datetime64[m]").astype(np.int64)
+        g = pd.DataFrame({"minute": mins}) \
+            .groupby("minute", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return _from_pandas(g.astype("int64"))
+
+    hist = (rd.read_parquet(_pq(sf_dir, "events"),
+                            columns=["ts", "event_type"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("minute").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+    hist = hist[hist["n"] >= INCIDENT_MIN_ERRORS].sort_values("minute")
+    if hist.empty:
+        return empty
+    mins = hist["minute"].to_numpy(np.int64)
+    n = hist["n"].to_numpy(np.int64)
+    island = np.concatenate(([0], (np.diff(mins) > 1).cumsum()))
+    df = pd.DataFrame({"island": island, "minute": mins, "n": n})
+    out = df.groupby("island").agg(
+        incident_start_min=("minute", "min"),
+        incident_end_min=("minute", "max"),
+        n_errors=("n", "sum")).reset_index(drop=True)
+    out["duration_min"] = out["incident_end_min"] \
+        - out["incident_start_min"] + 1
+    return out[list(cols)].astype("int64") \
+        .sort_values("incident_start_min").reset_index(drop=True)
+
+
+INCIDENTS_SQL = f"""
+WITH m AS (
+  SELECT epoch_us(ts) // 60000000 AS minute, COUNT(*) AS n
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING COUNT(*) >= {INCIDENT_MIN_ERRORS}),
+i AS (
+  SELECT minute, n,
+         minute - ROW_NUMBER() OVER (ORDER BY minute) AS island
+  FROM m)
+SELECT CAST(MIN(minute) AS BIGINT) AS incident_start_min,
+       CAST(MAX(minute) AS BIGINT) AS incident_end_min,
+       CAST(MAX(minute) - MIN(minute) + 1 AS BIGINT) AS duration_min,
+       CAST(SUM(n) AS BIGINT) AS n_errors
+FROM i GROUP BY island ORDER BY incident_start_min
 """
 
 
@@ -6194,6 +6267,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                   WEEKLY_MOVERS_SQL),
     "customer_tier_transitions": (customer_tier_transitions,
                                   TIER_TRANSITIONS_SQL),
+    "events_error_incidents": (events_error_incidents,
+                               INCIDENTS_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

@@ -275,3 +275,30 @@ def test_tier_transitions_totals_and_absents(tmp_path):
     to_only = out[(out["tier_from"] == 0) & (out["tier_to"] > 0)]
     assert int(from_only["n_customers"].sum()) == 10   # cust % 3 == 1
     assert int(to_only["n_customers"].sum()) == 10     # cust % 3 == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_error_incidents_islands(tmp_path):
+    """Burning minutes {0, 1, 2} and {5} form two incidents with exact
+    spans and error totals; a 1-error minute never flags."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_error_incidents)
+    d = str(tmp_path)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for minute, n_err in ((0, 2), (1, 3), (2, 2), (3, 1), (5, 2)):
+        for k in range(n_err):
+            rows.append((eid, "error",
+                         t0 + pd.Timedelta(minutes=minute, seconds=k)))
+            eid += 1
+    rows.append((eid, "view", t0))
+    pd.DataFrame({"event_id": np.array([r[0] for r in rows],
+                                       dtype=np.int64),
+                  "event_type": [r[1] for r in rows],
+                  "ts": [r[2] for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = events_error_incidents(d)
+    assert len(out) == 2
+    assert out["duration_min"].tolist() == [3, 1]
+    assert out["n_errors"].tolist() == [7, 2]
