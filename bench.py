@@ -701,7 +701,8 @@ def main():
                          "events_growth_accounting",
                          "events_type_weekly_movers",
                          "customer_tier_transitions",
-                         "events_error_incidents"]
+                         "events_error_incidents",
+                         "orders_repeat_conversion"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

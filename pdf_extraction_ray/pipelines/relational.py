@@ -1981,6 +1981,99 @@ FROM i GROUP BY island ORDER BY incident_start_min
 """
 
 
+def orders_repeat_conversion(sf_dir: str):
+    """First-to-second purchase conversion: how many customers ever
+    came back, the repeat rate, and the exact DOUBLED median days
+    between first and second order (med2 = the two middle order
+    statistics summed — stays int64, house rule) — the retention
+    number subscription teams watch. One custkey exchange emits
+    per-partition counts plus a (gap-days -> n) histogram partial
+    (calendar-bounded), so the driver folds histograms, never rows.
+    Output: (n_customers, n_repeat, repeat_rate_x1e6, gap_days_med2)."""
+    cols = ("n_customers", "n_repeat", "repeat_rate_x1e6",
+            "gap_days_med2")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate"])
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["o_orderdate"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        df = pd.DataFrame({"cust": g["o_custkey"].to_numpy(np.int64),
+                           "day": d}).sort_values(["cust", "day"])
+        sizes = df.groupby("cust").size()
+        firsts = df.groupby("cust")["day"].min()
+        df["rk"] = df.groupby("cust").cumcount()
+        sec = df[df["rk"] == 1].set_index("cust")["day"]
+        gaps = (sec - firsts.loc[sec.index]).to_numpy(np.int64)
+        u, c = np.unique(gaps, return_counts=True)
+        h = pd.DataFrame({"gap": u.astype(np.int64),
+                          "n": c.astype(np.int64)})
+        h["n_customers"] = 0
+        h["n_repeat"] = 0
+        meta = pd.DataFrame({"gap": [-1], "n": [0],
+                             "n_customers": [int(len(sizes))],
+                             "n_repeat": [int((sizes >= 2).sum())]})
+        return pd.concat([h, meta], ignore_index=True).astype("int64")
+
+    parts = _coarse_partition_map(ds, "o_custkey", per_cust).to_pandas()
+    if parts.empty:
+        return empty
+    n_cust = int(parts["n_customers"].sum())
+    n_rep = int(parts["n_repeat"].sum())
+    if n_cust == 0 or n_rep == 0:
+        return empty
+    hist = parts[parts["gap"] >= 0].groupby("gap", as_index=False) \
+        ["n"].sum().sort_values("gap")
+    gaps = hist["gap"].to_numpy(np.int64)
+    cc = hist["n"].to_numpy(np.int64).cumsum()
+    k = int(cc[-1])
+    lo = int(gaps[np.searchsorted(cc, (k + 1) // 2)])
+    hi = int(gaps[np.searchsorted(cc, k // 2 + 1)])
+    return pd.DataFrame({
+        "n_customers": [np.int64(n_cust)],
+        "n_repeat": [np.int64(n_rep)],
+        "repeat_rate_x1e6": [np.int64(n_rep * 1_000_000 // n_cust)],
+        "gap_days_med2": [np.int64(lo + hi)]})
+
+
+REPEAT_CONV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             AS day,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders),
+f AS (SELECT o_custkey, day FROM o WHERE rn = 1),
+s AS (SELECT o_custkey, day FROM o WHERE rn = 2),
+gaps AS (
+  SELECT s.day - f.day AS gap
+  FROM s JOIN f USING (o_custkey)),
+sel AS (
+  SELECT gap, ROW_NUMBER() OVER (ORDER BY gap) AS rn,
+         COUNT(*) OVER () AS k
+  FROM gaps),
+med AS (
+  SELECT CAST(SUM(CASE WHEN rn = (k + 1) // 2 THEN gap ELSE 0 END)
+              + SUM(CASE WHEN rn = k // 2 + 1 THEN gap ELSE 0 END)
+              AS BIGINT) AS med2
+  FROM sel),
+c AS (
+  SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM orders),
+r AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat FROM s)
+SELECT c.n_customers, r.n_repeat,
+       CAST(r.n_repeat * 1000000 // c.n_customers AS BIGINT)
+           AS repeat_rate_x1e6,
+       med.med2 AS gap_days_med2
+FROM c, r, med
+WHERE r.n_repeat > 0
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -6269,6 +6362,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                   TIER_TRANSITIONS_SQL),
     "events_error_incidents": (events_error_incidents,
                                INCIDENTS_SQL),
+    "orders_repeat_conversion": (orders_repeat_conversion,
+                                 REPEAT_CONV_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

@@ -302,3 +302,28 @@ def test_error_incidents_islands(tmp_path):
     assert len(out) == 2
     assert out["duration_min"].tolist() == [3, 1]
     assert out["n_errors"].tolist() == [7, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_repeat_conversion_hand_case(tmp_path):
+    """3 customers: gaps {10, 30} days and one one-timer -> repeat
+    rate 2/3, med2 = 10 + 30 = 40."""
+    from pdf_extraction_ray.pipelines.relational import (
+        orders_repeat_conversion)
+    d = str(tmp_path)
+    base = pd.Timestamp("2024-01-01")
+    rows = [(1, 1, 0), (2, 1, 10),
+            (3, 2, 0), (4, 2, 30), (5, 2, 60),
+            (6, 3, 5)]
+    pd.DataFrame({
+        "o_orderkey": np.array([r[0] for r in rows], dtype=np.int64),
+        "o_custkey": np.array([r[1] for r in rows], dtype=np.int64),
+        "o_orderdate": [(base + pd.Timedelta(days=r[2])).date()
+                        for r in rows],
+        "o_totalprice": [10.0] * 6}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+    out = orders_repeat_conversion(d)
+    assert int(out["n_customers"].iloc[0]) == 3
+    assert int(out["n_repeat"].iloc[0]) == 2
+    assert int(out["repeat_rate_x1e6"].iloc[0]) == 666_666
+    assert int(out["gap_days_med2"].iloc[0]) == 40
