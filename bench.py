@@ -702,7 +702,8 @@ def main():
                          "events_type_weekly_movers",
                          "customer_tier_transitions",
                          "events_error_incidents",
-                         "orders_repeat_conversion"]
+                         "orders_repeat_conversion",
+                         "orders_revenue_waterfall"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

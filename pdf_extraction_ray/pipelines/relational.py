@@ -2074,6 +2074,82 @@ WHERE r.n_repeat > 0
 """
 
 
+def orders_revenue_waterfall(sf_dir: str):
+    """Monthly revenue waterfall: each month's cents split into NEW
+    customer revenue (customers whose FIRST order month this is) vs
+    RETURNING revenue, with the matching customer counts — the
+    new-vs-existing decomposition under every growth chart. One
+    custkey exchange resolves first months and per-month partials
+    together; the fold is month-shaped.
+    Output: (mi, new_rev_x100, ret_rev_x100, n_new, n_returning)."""
+    cols = ("mi", "new_rev_x100", "ret_rev_x100", "n_new",
+            "n_returning")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _table_empty(sf_dir, "orders"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        m = g["o_orderdate"].to_numpy().astype("datetime64[M]") \
+            .astype(np.int64) + 1970 * 12 + 1
+        cents = _cents(pa.array(g["o_totalprice"].to_numpy())) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"cust": g["o_custkey"].to_numpy(np.int64),
+                           "mi": m, "cents": cents})
+        first = df.groupby("cust")["mi"].transform("min")
+        df["is_new"] = (df["mi"] == first).astype(np.int64)
+        rev = df.groupby(["mi", "is_new"], as_index=False)["cents"] \
+            .sum()
+        ncust = df.drop_duplicates(["cust", "mi"]) \
+            .groupby(["mi", "is_new"], as_index=False).size() \
+            .rename(columns={"size": "nc"})
+        out = rev.merge(ncust, on=["mi", "is_new"])
+        return out.astype("int64")
+
+    parts = _coarse_partition_map(ds, "o_custkey", per_cust).to_pandas()
+    if parts.empty:
+        return empty
+    agg = parts.groupby(["mi", "is_new"], as_index=False) \
+        [["cents", "nc"]].sum()
+    piv_r = agg.pivot(index="mi", columns="is_new", values="cents") \
+        .reindex(columns=[1, 0], fill_value=0).fillna(0)
+    piv_n = agg.pivot(index="mi", columns="is_new", values="nc") \
+        .reindex(columns=[1, 0], fill_value=0).fillna(0)
+    return pd.DataFrame({
+        "mi": piv_r.index.to_numpy(np.int64),
+        "new_rev_x100": piv_r[1].to_numpy(np.int64),
+        "ret_rev_x100": piv_r[0].to_numpy(np.int64),
+        "n_new": piv_n[1].to_numpy(np.int64),
+        "n_returning": piv_n[0].to_numpy(np.int64)}) \
+        .sort_values("mi").reset_index(drop=True)
+
+
+WATERFALL_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 12 + month(o_orderdate)) AS mi,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders),
+f AS (SELECT o_custkey, MIN(mi) AS first_mi FROM o GROUP BY 1),
+t AS (
+  SELECT o.mi, o.cents, o.o_custkey,
+         CASE WHEN o.mi = f.first_mi THEN 1 ELSE 0 END AS is_new
+  FROM o JOIN f USING (o_custkey))
+SELECT CAST(mi AS BIGINT) AS mi,
+       CAST(COALESCE(SUM(cents) FILTER (WHERE is_new = 1), 0)
+            AS BIGINT) AS new_rev_x100,
+       CAST(COALESCE(SUM(cents) FILTER (WHERE is_new = 0), 0)
+            AS BIGINT) AS ret_rev_x100,
+       CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE is_new = 1)
+            AS BIGINT) AS n_new,
+       CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE is_new = 0)
+            AS BIGINT) AS n_returning
+FROM t GROUP BY mi ORDER BY mi
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -6364,6 +6440,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                INCIDENTS_SQL),
     "orders_repeat_conversion": (orders_repeat_conversion,
                                  REPEAT_CONV_SQL),
+    "orders_revenue_waterfall": (orders_revenue_waterfall,
+                                 WATERFALL_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

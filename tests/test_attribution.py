@@ -327,3 +327,28 @@ def test_repeat_conversion_hand_case(tmp_path):
     assert int(out["n_repeat"].iloc[0]) == 2
     assert int(out["repeat_rate_x1e6"].iloc[0]) == 666_666
     assert int(out["gap_days_med2"].iloc[0]) == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_revenue_waterfall_new_vs_returning(tmp_path):
+    """A customer is 'new' only in its first month — even with several
+    first-month orders — and 'returning' afterwards."""
+    from pdf_extraction_ray.pipelines.relational import (
+        orders_revenue_waterfall)
+    d = str(tmp_path)
+    rows = [(1, 1, "2024-01-05", 10.0), (2, 1, "2024-01-20", 20.0),
+            (3, 1, "2024-02-10", 40.0),
+            (4, 2, "2024-02-15", 5.0)]
+    pd.DataFrame({
+        "o_orderkey": np.array([r[0] for r in rows], dtype=np.int64),
+        "o_custkey": np.array([r[1] for r in rows], dtype=np.int64),
+        "o_orderdate": [pd.Timestamp(r[2]).date() for r in rows],
+        "o_totalprice": [r[3] for r in rows]}) \
+        .to_parquet(os.path.join(d, "orders.parquet"))
+    out = orders_revenue_waterfall(d).set_index("mi")
+    jan, feb = 2024 * 12 + 1, 2024 * 12 + 2
+    assert int(out.loc[jan, "new_rev_x100"]) == 3000   # both Jan orders
+    assert int(out.loc[jan, "n_new"]) == 1
+    assert int(out.loc[feb, "new_rev_x100"]) == 500    # cust 2 only
+    assert int(out.loc[feb, "ret_rev_x100"]) == 4000   # cust 1 returns
+    assert int(out.loc[feb, "n_returning"]) == 1
