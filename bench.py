@@ -703,7 +703,8 @@ def main():
                          "customer_tier_transitions",
                          "events_error_incidents",
                          "orders_repeat_conversion",
-                         "orders_revenue_waterfall"]
+                         "orders_revenue_waterfall",
+                         "events_anomalous_users_iqr"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

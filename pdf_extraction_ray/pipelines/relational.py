@@ -2150,6 +2150,82 @@ FROM t GROUP BY mi ORDER BY mi
 """
 
 
+def events_anomalous_users_iqr(sf_dir: str):
+    """Users whose event COUNT is an IQR outlier (count > Q3 +
+    1.5*IQR, Tukey's fence on the discrete quartiles) — the
+    heavy-account screen that complements the per-minute bot gate.
+    Per-user counts come from one keyed exchange compacted to a
+    (count -> n_users) histogram, so the fence computes from the
+    value domain without sorting users; the integer fence comparison
+    is cross-multiplied by 2 (1.5*IQR stays integral).
+    Output: (user_id, n_events, q3, iqr_x2)."""
+    cols = ("user_id", "n_events", "q3", "iqr_x2")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("user_id", as_index=False).size() \
+            .rename(columns={"size": "n_events"}).astype("int64")
+
+    cnt = _coarse_partition_map(ds, "user_id", per_user).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch["n_events"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.Table.from_pydict({"cnt": u.astype(np.int64),
+                                     "n": c.astype(np.int64)})
+
+    hist = (cnt.map_batches(hist_partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+            .groupby("cnt", as_index=False)["n"].sum()
+            .sort_values("cnt"))
+    if hist.empty:
+        return empty
+    vals = hist["cnt"].to_numpy(np.int64)
+    cc = hist["n"].to_numpy(np.int64).cumsum()
+    n = int(cc[-1])
+    q1 = int(vals[np.searchsorted(cc, int(np.ceil(0.25 * n)))])
+    q3 = int(vals[np.searchsorted(cc, int(np.ceil(0.75 * n)))])
+    iqr2 = 2 * (q3 - q1)
+    import ray as _ray
+    fence_ref = _ray.put((q3, iqr2))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        q3_, iqr2_ = _ray.get(fence_ref)
+        v = batch["n_events"].to_numpy(zero_copy_only=False)
+        # count > q3 + 1.5*iqr  <=>  2*count > 2*q3 + 3*(q3-q1)
+        keep = 2 * v > 2 * q3_ + 3 * (iqr2_ // 2)
+        sub = batch.filter(pa.array(keep))
+        nrow = sub.num_rows
+        return pa.Table.from_pydict({
+            "user_id": sub["user_id"],
+            "n_events": sub["n_events"],
+            "q3": pa.array(np.full(nrow, q3_, dtype=np.int64)),
+            "iqr_x2": pa.array(np.full(nrow, iqr2_, dtype=np.int64))})
+
+    out = cnt.map_batches(flag, batch_format="pyarrow",
+                          batch_size=None).to_pandas()
+    if out.empty or "user_id" not in out.columns:
+        return empty
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+ANOM_IQR_SQL = """
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1),
+q AS (SELECT quantile_disc(n_events, 0.25) AS q1,
+             quantile_disc(n_events, 0.75) AS q3 FROM c)
+SELECT CAST(c.user_id AS BIGINT) AS user_id, c.n_events,
+       CAST(q.q3 AS BIGINT) AS q3,
+       CAST(2 * (q.q3 - q.q1) AS BIGINT) AS iqr_x2
+FROM c, q
+WHERE 2 * c.n_events > 2 * q.q3 + 3 * (q.q3 - q.q1)
+ORDER BY user_id
+"""
+
+
 ABC_BOUNDS = (70, 90)        # cumulative-share percent cut points
 
 
@@ -6442,6 +6518,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                  REPEAT_CONV_SQL),
     "orders_revenue_waterfall": (orders_revenue_waterfall,
                                  WATERFALL_SQL),
+    "events_anomalous_users_iqr": (events_anomalous_users_iqr,
+                                   ANOM_IQR_SQL),
     "segment_top_orders": (segment_top_orders, SEG_TOPK_SQL),
     "events_funnel": (events_funnel, FUNNEL_SQL),
     "customers_orders_full_outer":

@@ -352,3 +352,31 @@ def test_revenue_waterfall_new_vs_returning(tmp_path):
     assert int(out.loc[feb, "new_rev_x100"]) == 500    # cust 2 only
     assert int(out.loc[feb, "ret_rev_x100"]) == 4000   # cust 1 returns
     assert int(out.loc[feb, "n_returning"]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anomalous_users_iqr_fence(tmp_path):
+    """20 users at ~5 events, one whale at 60: only the whale crosses
+    Tukey's upper fence."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_anomalous_users_iqr)
+    d = str(tmp_path)
+    rng = np.random.default_rng(41)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-01-01")
+    for uid in range(1, 21):
+        for _ in range(int(rng.integers(4, 7))):
+            rows.append((eid, uid)); eid += 1
+    for _ in range(60):
+        rows.append((eid, 99)); eid += 1
+    pd.DataFrame({"event_id": np.array([r[0] for r in rows],
+                                       dtype=np.int64),
+                  "user_id": np.array([r[1] for r in rows],
+                                      dtype=np.int64),
+                  "ts": [base + pd.Timedelta(seconds=r[0])
+                         for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = events_anomalous_users_iqr(d)
+    assert out["user_id"].tolist() == [99]
+    assert int(out["n_events"].iloc[0]) == 60
