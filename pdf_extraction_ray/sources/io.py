@@ -29,9 +29,15 @@ def read_docs(path: str, **kwargs) -> "ray.data.Dataset":
         if hasattr(ray.data, "read_lance"):
             return ray.data.read_lance(path, **kwargs)
         raise RuntimeError("lance reader unavailable; use parquet shards")
+    if path.endswith(".pdf"):
+        from .pdf import read_pdf_docs
+        return read_pdf_docs(path, **kwargs)
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not files:
+            if glob.glob(os.path.join(path, "*.pdf")):
+                from .pdf import read_pdf_docs
+                return read_pdf_docs(path, **kwargs)
             raise FileNotFoundError(
                 f"no parquet shards in {path!r} (generation incomplete or "
                 "wrong path?)")

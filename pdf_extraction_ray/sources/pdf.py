@@ -1,0 +1,744 @@
+"""Raw-PDF ingestion: the reference's actual entry point, rebuilt for Ray.
+
+The reference consumes PDF *files* (``advanced_layout_extractor.py:203,
+282-341`` opens a path with PyMuPDF; ``pdf_vector_utils.py:18-36`` pulls
+vector line drawings per page). This module closes that contract without
+any PDF library (none exists in this sandbox): a pure-stdlib PDF 1.7
+**writer** (`synthesize_pdf`) and a real, small PDF **reader**
+(`parse_pdf`) — classic xref table, object parser, FlateDecode streams,
+literal/hex strings, and a content-stream interpreter for the operator
+subset a layout extractor needs (``BT/Tf/Td/Tj/ET``, path ``m/l/S``,
+``cm/Do`` image placement, marked content ``BDC/EMC``).
+
+Serialization conventions (all legal PDF; documented because the parser
+is the other half of the contract):
+
+- MediaBox is ``[0 0 512 1024]`` — powers of two, so normalized [0,1]
+  coordinates round-trip *bit-exactly* through page points
+  (multiply/divide by 2^k is exact in float64; the y-flip
+  ``y_pt = 1024 - 1024*y`` is exact for float32-origin values because
+  both operands fit well inside a 53-bit mantissa).
+- Every span is a marked-content sequence. Tag encodes the span kind the
+  way real tagged PDFs do: ``/P`` body text, ``/Artifact`` pagination
+  boilerplate (the PDF-standard way headers/footers are marked), and
+  ``/Figure`` for images and vector-drawing clusters. The property dict
+  carries ``/MCID`` (the logical reading-order id — our span ``offset``)
+  and ``/BBox`` (layout attributes, as OCR generators emit).
+- Text spans draw real text: ``BT /F1 <size> Tf <x> <y> Td <string> Tj
+  ET``; the parser takes the font size from ``Tf``. ASCII text uses
+  literal strings with escapes; anything else (Korean fixtures) uses
+  UTF-16BE hex strings — both standard.
+- Vector regions draw their line set as ``x0 y0 m x1 y1 l S`` strokes
+  inside a ``/Figure`` scope; the parser rebuilds ``REGION_STRUCT``
+  (page, offset, bbox, lines) from them.
+- Images place a 1x1 XObject via ``q cm /ImN Do Q``; the XObject dict
+  carries the asset reference under ``/MediaRef`` (the sidecar-URL
+  convention; real pipelines use XMP for the same purpose).
+- Link density is encoded the way a DOM extractor would *observe* it: a
+  ``/Link`` annotation covering ``link_density`` of the span's width,
+  tied to the span by ``/StructParent`` = MCID. The parser recovers
+  ``L = rect_width / span_width`` (exact after the float32 cast for all
+  practical values; a zero-width span cannot encode a density and
+  parses as 0).
+
+Canonicalization: the PDF page model stores spans grouped by page in
+stream order, so a row whose span LIST order was permuted parses back
+page-grouped. Extraction output is invariant (reassembly orders by
+``offset`` — O1; see ``test_permutation_invariance``), and the
+round-trip tests compare after an offset sort. An empty document
+(``n_pages == 0``) still needs one PDF page, so it parses back with
+``n_pages == 1`` — the only field the round trip widens.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+
+from ..schema import DOCS_SCHEMA
+
+PAGE_W = 512.0          # powers of two: exact normalized <-> point coords
+PAGE_H = 1024.0
+
+# ---------------------------------------------------------------------------
+# primitive serializers
+# ---------------------------------------------------------------------------
+
+
+def _num(v) -> str:
+    """Exact, PDF-legal number: PDF reals admit no exponent, so shortest
+    round-trip decimals that repr() prints in e-notation are expanded via
+    Decimal (same value, plain form)."""
+    f = float(v)
+    if f == int(f) and abs(f) < 2**53:
+        return str(int(f))
+    s = repr(f)
+    if "e" in s or "E" in s:
+        s = format(Decimal(s), "f")
+    return s
+
+
+def _pdf_string(s: str) -> str:
+    """Literal string for clean ASCII, UTF-16BE hex string otherwise."""
+    if s.isascii() and all(0x20 <= ord(c) < 0x7F for c in s):
+        esc = s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        return f"({esc})"
+    return "<FEFF" + s.encode("utf-16-be").hex().upper() + ">"
+
+
+def _x_pt(x: float) -> float:
+    return float(x) * PAGE_W
+
+
+def _y_pt(y: float) -> float:
+    return PAGE_H - PAGE_H * float(y)      # exact for float32-origin y
+
+
+def _rect_pts(bbox) -> tuple[float, float, float, float]:
+    """Normalized y-down (x0,y0,x1,y1) -> PDF lower-left/upper-right."""
+    x0, y0, x1, y1 = (float(v) for v in bbox)
+    return (_x_pt(x0), _y_pt(y1), _x_pt(x1), _y_pt(y0))
+
+
+def _norm_rect(r) -> list[float]:
+    r0, r1, r2, r3 = (float(v) for v in r)
+    return [r0 / PAGE_W, (PAGE_H - r3) / PAGE_H,
+            r2 / PAGE_W, (PAGE_H - r1) / PAGE_H]
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _span_content(span, font, bbox, link_ops) -> str:
+    """Marked-content sequence for one text/boilerplate/image span."""
+    rect = _rect_pts(bbox)
+    rect_s = " ".join(_num(v) for v in rect)
+    mcid = int(span["offset"])
+    kind = span["kind"]
+    if kind == "image":
+        props = f"<</MCID {mcid} /BBox [{rect_s}] /FSize {_num(font)}>>"
+        w, h = rect[2] - rect[0], rect[3] - rect[1]
+        return (f"/Figure {props} BDC\n"
+                f"q {_num(w)} 0 0 {_num(h)} {_num(rect[0])} {_num(rect[1])} cm "
+                f"{link_ops} Do Q\nEMC\n")      # link_ops = /ImN here
+    tag = "/Artifact" if kind == "boilerplate" else "/P"
+    props = f"<</MCID {mcid} /BBox [{rect_s}]>>"
+    extra = " /Type /Pagination" if kind == "boilerplate" else ""
+    props = props[:-2] + extra + ">>"
+    return (f"{tag} {props} BDC\n"
+            f"BT /F1 {_num(font)} Tf {_num(rect[0])} {_num(rect[1])} Td "
+            f"{_pdf_string(span['text'])} Tj ET\nEMC\n")
+
+
+def _region_content(region) -> str:
+    rect_s = " ".join(_num(v) for v in _rect_pts(region["bbox"]))
+    ops = [f"/Figure <</MCID {int(region['offset'])} /BBox [{rect_s}]>> BDC"]
+    for ln in region["lines"]:
+        ops.append(f"{_num(_x_pt(ln['x0']))} {_num(_y_pt(ln['y0']))} m "
+                   f"{_num(_x_pt(ln['x1']))} {_num(_y_pt(ln['y1']))} l S")
+    ops.append("EMC\n")
+    return "\n".join(ops)
+
+
+def synthesize_pdf(row: dict, compress: bool = True) -> bytes:
+    """One DOCS_SCHEMA row -> a complete single-file PDF (bytes).
+
+    ``row`` must be schema-typed (``Table.from_pylist(schema=DOCS_SCHEMA)
+    .to_pylist()`` shape) so floats are already float32-quantized — the
+    writer serializes them exactly and the reader recovers them bit-for-bit.
+    """
+    spans = row["spans"] or []
+    n_pages = max(int(row["n_pages"] or 0), 1)
+    pages_present = sorted({int(p) for p in (row["page"] or [])}
+                           | {int(r["page"]) for r in (row["regions"] or [])}
+                           | set(range(1, n_pages + 1)))
+
+    objs: dict[int, bytes] = {}
+    next_id = 5                      # 1 catalog, 2 pages, 3 info, 4 font
+    page_ids = []
+    for page_no in pages_present:
+        # spans on this page, stream order = row order
+        idxs = [i for i, p in enumerate(row["page"] or []) if int(p) == page_no]
+        content_parts, xobjects, annots = [], {}, []
+        for i in idxs:
+            span = spans[i]
+            font = row["font_size"][i]
+            bbox = row["bbox"][i]
+            if span["kind"] == "image":
+                name = f"Im{len(xobjects)}"
+                img_id = next_id
+                next_id += 1
+                ref = span["media_ref"] or ""
+                stream = b"\x80"
+                objs[img_id] = (
+                    f"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                    f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    f"/MediaRef {_pdf_string(ref)} "
+                    f"/Length {len(stream)} >>\nstream\n".encode("latin-1")
+                    + stream + b"\nendstream")
+                xobjects[name] = img_id
+                content_parts.append(_span_content(span, font, bbox, f"/{name}"))
+            else:
+                content_parts.append(_span_content(span, font, bbox, ""))
+                link = float(row["link_density"][i])
+                if link > 0.0:
+                    r = _rect_pts(bbox)
+                    w = r[2] - r[0]
+                    if w > 0.0:
+                        rx0 = r[2] - link * w
+                        annots.append(
+                            f"<< /Type /Annot /Subtype /Link /Border [0 0 0] "
+                            f"/Rect [{_num(rx0)} {_num(r[1])} {_num(r[2])} "
+                            f"{_num(r[3])}] /StructParent {int(span['offset'])} "
+                            f"/A << /S /URI /URI (about:blank) >> >>")
+        for region in (row["regions"] or []):
+            if int(region["page"]) == page_no:
+                content_parts.append(_region_content(region))
+
+        data = "".join(content_parts).encode("latin-1", "strict")
+        filt = ""
+        if compress:
+            data = zlib.compress(data)
+            filt = " /Filter /FlateDecode"
+        content_id = next_id
+        next_id += 1
+        objs[content_id] = (f"<< /Length {len(data)}{filt} >>\nstream\n"
+                            .encode("latin-1") + data + b"\nendstream")
+
+        res = "/Font << /F1 4 0 R >>"
+        if xobjects:
+            res += (" /XObject << "
+                    + " ".join(f"/{n} {i} 0 R" for n, i in xobjects.items())
+                    + " >>")
+        page = (f"<< /Type /Page /Parent 2 0 R "
+                f"/MediaBox [0 0 {_num(PAGE_W)} {_num(PAGE_H)}] "
+                f"/Resources << {res} >> /Contents {content_id} 0 R")
+        if annots:
+            page += " /Annots [ " + " ".join(annots) + " ]"
+        page += " >>"
+        page_id = next_id
+        next_id += 1
+        objs[page_id] = page.encode("latin-1")
+        page_ids.append(page_id)
+
+    objs[1] = (b"<< /Type /Catalog /Pages 2 0 R "
+               b"/MarkInfo << /Marked true >> >>")
+    kids = " ".join(f"{i} 0 R" for i in page_ids)
+    objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ids)} >>"
+               .encode("latin-1"))
+    objs[3] = (f"<< /Title {_pdf_string(row['doc_id'])} "
+               f"/Producer (pdf_extraction_ray) >>").encode("latin-1")
+    objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for oid in sorted(objs):
+        offsets[oid] = len(out)
+        out += f"{oid} 0 obj\n".encode("latin-1")
+        out += objs[oid]
+        out += b"\nendobj\n"
+    xref_at = len(out)
+    size = max(objs) + 1
+    out += f"xref\n0 {size}\n".encode("latin-1")
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, size):
+        out += f"{offsets[oid]:010d} 00000 n \n".encode("latin-1")
+    out += (f"trailer\n<< /Size {size} /Root 1 0 R /Info 3 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode("latin-1")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# reader: tokenizer + object parser
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class PdfSyntaxError(ValueError):
+    pass
+
+
+class _Name(str):
+    """PDF name (distinct from strings so dict keys/operands disambiguate)."""
+
+
+class _Ref(int):
+    """Indirect object reference (generation pinned to 0 by the writer)."""
+
+
+class _Op(str):
+    """Content-stream operator token."""
+
+
+class _Lexer:
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.n = len(data)
+
+    def _skip_ws(self):
+        d, n = self.data, self.n
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:                      # % comment
+                while self.pos < n and d[self.pos] not in (0x0A, 0x0D):
+                    self.pos += 1
+            else:
+                return
+
+    def _literal_string(self) -> str:
+        d = self.data
+        self.pos += 1                            # past '('
+        depth = 1
+        out = bytearray()
+        while self.pos < self.n:
+            c = d[self.pos]
+            if c == 0x5C:                        # backslash
+                self.pos += 1
+                e = d[self.pos]
+                self.pos += 1
+                mapped = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+                          0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+                if e in mapped:
+                    out.append(mapped[e])
+                elif 0x30 <= e <= 0x37:          # octal \ddd
+                    oct_s = chr(e)
+                    for _ in range(2):
+                        if self.pos < self.n and 0x30 <= d[self.pos] <= 0x37:
+                            oct_s += chr(d[self.pos])
+                            self.pos += 1
+                    out.append(int(oct_s, 8) & 0xFF)
+                elif e in (0x0A, 0x0D):          # line continuation
+                    if e == 0x0D and self.pos < self.n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos += 1
+                    return out.decode("latin-1")
+                out.append(c)
+                self.pos += 1
+            else:
+                out.append(c)
+                self.pos += 1
+        raise PdfSyntaxError("unterminated literal string")
+
+    def _hex_string(self) -> str:
+        end = self.data.index(b">", self.pos)
+        hx = bytes(c for c in self.data[self.pos + 1:end] if c not in _WS)
+        self.pos = end + 1
+        if len(hx) % 2:
+            hx += b"0"
+        raw = bytes.fromhex(hx.decode("ascii"))
+        if raw[:2] == b"\xfe\xff":
+            return raw[2:].decode("utf-16-be")
+        return raw.decode("latin-1")
+
+    def _name(self) -> _Name:
+        d = self.data
+        self.pos += 1
+        start = self.pos
+        out = bytearray()
+        while self.pos < self.n:
+            c = d[self.pos]
+            if c in _WS or c in _DELIM:
+                break
+            if c == 0x23 and self.pos + 2 < self.n:      # #xx escape
+                out += d[start:self.pos]
+                out.append(int(d[self.pos + 1:self.pos + 3], 16))
+                self.pos += 3
+                start = self.pos
+            else:
+                self.pos += 1
+        out += d[start:self.pos]
+        return _Name(out.decode("latin-1"))
+
+    def next_token(self):
+        """One lexical token: value start markers, numbers, names,
+        strings, or bare keywords/operators (as _Op)."""
+        self._skip_ws()
+        if self.pos >= self.n:
+            return None
+        d = self.data
+        c = d[self.pos]
+        if c == 0x28:
+            return self._literal_string()
+        if c == 0x3C:                                    # < or <<
+            if self.pos + 1 < self.n and d[self.pos + 1] == 0x3C:
+                self.pos += 2
+                return _Op("<<")
+            return self._hex_string()
+        if c == 0x3E:                                    # >>
+            if self.pos + 1 < self.n and d[self.pos + 1] == 0x3E:
+                self.pos += 2
+                return _Op(">>")
+            raise PdfSyntaxError("stray '>'")
+        if c == 0x2F:
+            return self._name()
+        if c in b"[]":
+            self.pos += 1
+            return _Op(chr(c))
+        if c in b"+-." or 0x30 <= c <= 0x39:
+            start = self.pos
+            self.pos += 1
+            while self.pos < self.n and (0x30 <= d[self.pos] <= 0x39
+                                         or d[self.pos] in b"+-.eE"):
+                self.pos += 1
+            s = d[start:self.pos].decode("ascii")
+            try:
+                return int(s)
+            except ValueError:
+                return float(s)
+        start = self.pos
+        while self.pos < self.n and d[self.pos] not in _WS \
+                and d[self.pos] not in _DELIM:
+            self.pos += 1
+        if self.pos == start:
+            raise PdfSyntaxError(f"bad byte {c!r} at {start}")
+        return _Op(d[start:self.pos].decode("latin-1"))
+
+
+def _parse_value(lex: _Lexer, tok=None):
+    """Recursive-descent PDF object: dict/array/name/number/string/bool/
+    null, with ``N 0 R`` reference folding."""
+    if tok is None:
+        tok = lex.next_token()
+    if isinstance(tok, _Op):
+        if tok == "<<":
+            out = {}
+            while True:
+                k = lex.next_token()
+                if isinstance(k, _Op) and k == ">>":
+                    return out
+                if not isinstance(k, _Name):
+                    raise PdfSyntaxError(f"dict key {k!r}")
+                out[str(k)] = _parse_value(lex)
+        if tok == "[":
+            out = []
+            while True:
+                t = lex.next_token()
+                if isinstance(t, _Op) and t == "]":
+                    return out
+                out.append(_parse_value(lex, t))
+        if tok == "true":
+            return True
+        if tok == "false":
+            return False
+        if tok == "null":
+            return None
+        raise PdfSyntaxError(f"unexpected token {tok!r}")
+    if isinstance(tok, int) and not isinstance(tok, bool):
+        # lookahead for "gen R"
+        save = lex.pos
+        t2 = lex.next_token()
+        if isinstance(t2, int):
+            t3 = lex.next_token()
+            if isinstance(t3, _Op) and t3 == "R":
+                return _Ref(tok)
+        lex.pos = save
+        return tok
+    return tok
+
+
+class _PdfReader:
+    """Classic-xref PDF file reader with on-demand object resolution."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        tail = data[-256:]
+        at = tail.rfind(b"startxref")
+        if at < 0:
+            raise PdfSyntaxError("no startxref")
+        lex = _Lexer(tail, at + len(b"startxref"))
+        xref_at = lex.next_token()
+        self.offsets: dict[int, int] = {}
+        self.trailer = self._read_xref(int(xref_at))
+        self._cache: dict[int, object] = {}
+
+    def _read_xref(self, at: int) -> dict:
+        lex = _Lexer(self.data, at)
+        tok = lex.next_token()
+        if not (isinstance(tok, _Op) and tok == "xref"):
+            raise PdfSyntaxError("xref table expected (stream xref unsupported)")
+        while True:
+            save = lex.pos
+            tok = lex.next_token()
+            if isinstance(tok, _Op) and tok == "trailer":
+                return _parse_value(lex)
+            if not isinstance(tok, int):
+                lex.pos = save
+                raise PdfSyntaxError("bad xref subsection")
+            start, count = tok, lex.next_token()
+            lex._skip_ws()
+            for k in range(int(count)):
+                entry = self.data[lex.pos:lex.pos + 20]
+                if entry[17:18] == b"n":
+                    self.offsets.setdefault(start + k, int(entry[:10]))
+                lex.pos += 20
+
+    def resolve(self, v):
+        if isinstance(v, _Ref):
+            return self.obj(int(v))
+        return v
+
+    def obj(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        lex = _Lexer(self.data, self.offsets[num])
+        onum = lex.next_token()
+        gen = lex.next_token()
+        kw = lex.next_token()
+        if int(onum) != num or not (isinstance(kw, _Op) and kw == "obj"):
+            raise PdfSyntaxError(f"object {num} not at xref offset")
+        del gen
+        val = _parse_value(lex)
+        lex._skip_ws()
+        save = lex.pos
+        tok = lex.next_token()
+        if isinstance(tok, _Op) and tok == "stream":
+            # EOL after 'stream' keyword: CRLF or LF
+            p = lex.pos
+            if self.data[p:p + 2] == b"\r\n":
+                p += 2
+            elif self.data[p:p + 1] == b"\n":
+                p += 1
+            length = int(self.resolve(val["Length"]))
+            raw = self.data[p:p + length]
+            if val.get("Filter") == "FlateDecode":
+                raw = zlib.decompress(raw)
+            val = _Stream(val, raw)
+        else:
+            lex.pos = save
+        self._cache[num] = val
+        return val
+
+
+class _Stream:
+    __slots__ = ("dict", "data")
+
+    def __init__(self, d: dict, data: bytes):
+        self.dict = d
+        self.data = data
+
+
+# ---------------------------------------------------------------------------
+# content-stream interpreter -> DOCS_SCHEMA row
+# ---------------------------------------------------------------------------
+
+
+def _interp_page(content: bytes, page_no: int, xobjects: dict,
+                 spans, fonts, pages, links, bboxes, regions,
+                 mcid_to_span: dict):
+    lex = _Lexer(content)
+    stack: list = []
+    scope_tag = scope_props = None
+    cur_font = 0.0
+    text_parts: list[str] = []
+    segs: list[tuple] = []
+    cur_pt = (0.0, 0.0)
+    img_name = None
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        if not isinstance(tok, _Op) or tok in ("<<", "["):
+            stack.append(_parse_value(lex, tok))
+            continue
+        op = str(tok)
+        if op == "BDC":
+            scope_props = stack.pop()
+            scope_tag = stack.pop()
+            text_parts, segs, img_name = [], [], None
+        elif op == "EMC":
+            props = scope_props or {}
+            mcid = int(props.get("MCID", -1))
+            bbox = _norm_rect(props.get("BBox", [0, 0, 0, 0]))
+            if img_name is not None:
+                xobj = xobjects.get(str(img_name))
+                ref = str(xobj.dict.get("MediaRef", "")) if xobj else ""
+                spans.append({"kind": "image", "text": "", "media_ref": ref,
+                              "offset": mcid})
+                fonts.append(float(props.get("FSize", 0.0)))
+                pages.append(page_no)
+                links.append(0.0)
+                bboxes.append(bbox)
+                mcid_to_span[(page_no, mcid)] = len(spans) - 1
+            elif segs:
+                regions.append({
+                    "page": page_no, "offset": mcid, "bbox": bbox,
+                    "lines": [{"x0": a[0] / PAGE_W,
+                               "y0": (PAGE_H - a[1]) / PAGE_H,
+                               "x1": b[0] / PAGE_W,
+                               "y1": (PAGE_H - b[1]) / PAGE_H}
+                              for a, b in segs]})
+            else:
+                kind = "boilerplate" if str(scope_tag) == "Artifact" else "text"
+                spans.append({"kind": kind, "text": "".join(text_parts),
+                              "media_ref": "", "offset": mcid})
+                fonts.append(cur_font)
+                pages.append(page_no)
+                links.append(0.0)
+                bboxes.append(bbox)
+                mcid_to_span[(page_no, mcid)] = len(spans) - 1
+            scope_tag = scope_props = None
+            stack.clear()
+        elif op == "Tf":
+            cur_font = float(stack.pop())
+            stack.pop()                      # font resource name
+        elif op == "Tj":
+            text_parts.append(str(stack.pop()))
+        elif op == "m":
+            y = float(stack.pop())
+            x = float(stack.pop())
+            cur_pt = (x, y)
+        elif op == "l":
+            y = float(stack.pop())
+            x = float(stack.pop())
+            segs.append((cur_pt, (x, y)))
+            cur_pt = (x, y)
+        elif op == "Do":
+            img_name = stack.pop()
+        elif op in ("BT", "ET", "S", "s", "q", "Q", "W", "n", "f", "h"):
+            stack.clear() if op in ("S", "s") else None
+        else:
+            # Td, Tm, cm, re, w, gs...: positional state the BBox props
+            # already carry — consume operands
+            stack.clear()
+
+
+def parse_pdf(data: bytes) -> dict:
+    """Parse one PDF (bytes) into a DOCS_SCHEMA row dict."""
+    r = _PdfReader(bytes(data))
+    root = r.resolve(r.trailer["Root"])
+    info = r.resolve(r.trailer.get("Info", {})) or {}
+    doc_id = str(info.get("Title", ""))
+    pages_node = r.resolve(root["Pages"])
+    kids = [r.resolve(k) for k in pages_node["Kids"]]
+
+    spans: list[dict] = []
+    fonts: list[float] = []
+    pages: list[int] = []
+    links: list[float] = []
+    bboxes: list[list[float]] = []
+    regions: list[dict] = []
+    mcid_to_span: dict[tuple, int] = {}
+    annots_todo: list[tuple[int, dict]] = []
+
+    for page_no, page in enumerate(kids, start=1):
+        res = r.resolve(page.get("Resources", {})) or {}
+        xdict = r.resolve(res.get("XObject", {})) or {}
+        xobjects = {name: r.resolve(ref) for name, ref in xdict.items()}
+        content = r.resolve(page["Contents"])
+        _interp_page(content.data, page_no, xobjects,
+                     spans, fonts, pages, links, bboxes, regions,
+                     mcid_to_span)
+        for a in (r.resolve(page.get("Annots", [])) or []):
+            annots_todo.append((page_no, r.resolve(a)))
+
+    for page_no, annot in annots_todo:
+        if annot.get("Subtype") != "Link" or "StructParent" not in annot:
+            continue
+        idx = mcid_to_span.get((page_no, int(annot["StructParent"])))
+        if idx is None:
+            continue
+        rect = [float(v) for v in annot["Rect"]]
+        bx0, _, bx1, _ = bboxes[idx]
+        w_pt = (bx1 - bx0) * PAGE_W
+        if w_pt > 0.0:
+            links[idx] = (rect[2] - rect[0]) / w_pt
+
+    # empty page content still counts as a page (PDF requires >= 1)
+    return {"doc_id": doc_id, "spans": spans, "font_size": fonts,
+            "page": pages, "link_density": links, "bbox": bboxes,
+            "regions": regions, "n_pages": len(kids)}
+
+
+# ---------------------------------------------------------------------------
+# Ray integration
+# ---------------------------------------------------------------------------
+
+
+def parse_pdf_batch(batch: pa.Table) -> pa.Table:
+    """``read_binary_files`` batch -> DOCS_SCHEMA batch. Per-document
+    python is inherent to binary-format parsing (the reference is also a
+    per-file python loop); throughput comes from file-level parallelism
+    (one task per group of files) + the stdlib zlib/bytes kernels doing
+    the byte work."""
+    rows = [parse_pdf(b) for b in batch.column("bytes").to_pylist()]
+    return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+
+
+def read_pdf_docs(path: str, *, batch_size: int = 64,
+                  **kwargs) -> "ray.data.Dataset":
+    """Directory (or list) of ``.pdf`` files -> interleaved-docs Dataset.
+
+    ``read_binary_files`` shards at the file level, so a 10^12-document
+    corpus parallelizes by its natural unit; the parse stage is an
+    elastic task pool (stateless — the parser has no model to load)."""
+    import ray.data
+
+    ds = ray.data.read_binary_files(path, file_extensions=["pdf"], **kwargs)
+    return ds.map_batches(parse_pdf_batch, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+def write_pdf_corpus(table: pa.Table, out_dir: str,
+                     compress: bool = True) -> int:
+    """DOCS_SCHEMA table -> one ``.pdf`` file per document. Returns count."""
+    os.makedirs(out_dir, exist_ok=True)
+    rows = table.to_pylist()
+    for row in rows:
+        p = os.path.join(out_dir, f"{row['doc_id']}.pdf")
+        tmp = p + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(synthesize_pdf(row, compress=compress))
+        os.replace(tmp, p)
+    return len(rows)
+
+
+PDFGEN_VERSION = 1
+
+
+def ensure_pdf_corpus(name: str, seed: int, n_docs: int,
+                      pathological_frac: float = 0.01,
+                      root: str = "/tmp/pdfxr_fixtures",
+                      compress: bool = True) -> str:
+    """Cached PDF mirror of ``fixtures.ensure_corpus`` (same generator,
+    same (seed, index) determinism): a directory of ``doc-*.pdf`` files."""
+    from ..fixtures.generator import generate_docs_table
+
+    path = os.path.join(
+        root, f"{name}-pdf-v{PDFGEN_VERSION}-s{seed}-n{n_docs}"
+              f"-p{pathological_frac}-c{int(compress)}")
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    for start in range(0, n_docs, 1000):
+        tbl = generate_docs_table(seed, start, min(1000, n_docs - start),
+                                  pathological_frac)
+        write_pdf_corpus(tbl, path, compress=compress)
+    with open(done, "w") as f:
+        f.write(f"{seed} {n_docs} {pathological_frac}\n")
+    return path
+
+
+_ = np  # numpy reserved for future vectorized variants (kept for parity)
