@@ -69,13 +69,17 @@ def _doc_terms(batch: pa.Table):
     return doc_ids, flat
 
 
-def _coarse_str_group(ds, key: str, per_group_fn, n_coarse: int = 64):
+def _coarse_str_group(ds, key: str, per_group_fn,
+                      n_coarse: int | None = None):
     """Grouped map keyed by a STRING column via a coarse hash shuffle
     (cf. relational._coarse_grouped_map, which keys on ints). Blocks
     entering the exchange are bounded to ~cores/2 first (see
     relational._pre_coalesce — sort cost carries a per-block
-    constant)."""
+    constant). ``n_coarse`` defaults cluster-scaled."""
     from .relational import _pre_coalesce
+    if n_coarse is None:
+        from ..functions.cluster import default_n_coarse
+        n_coarse = default_n_coarse()
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
@@ -719,7 +723,7 @@ ORDER BY doc_id
 # Exact-substring dedup REWRITE (block-level, keep-first)
 # ---------------------------------------------------------------------------
 
-def doc_dedup_blocks(sf_dir: str, n_coarse: int = 64):
+def doc_dedup_blocks(sf_dir: str, n_coarse: int | None = None):
     """Block-level exact-substring dedup rewrite: every 20-token block
     that appears verbatim elsewhere in the corpus is DROPPED unless this
     occurrence is the corpus-wide first (minimal ``(doc_id, blk_ord)``)
@@ -733,6 +737,9 @@ def doc_dedup_blocks(sf_dir: str, n_coarse: int = 64):
     DROPPED markers (a tiny fraction) re-join the documents through an
     int-keyed coarse exchange; the rebuild re-tokenizes each doc locally
     (a second read pass, same trade as ``doc_tfidf_top_terms``)."""
+    if n_coarse is None:
+        from ..functions.cluster import default_n_coarse
+        n_coarse = default_n_coarse()
     pairs = _docs(sf_dir).map_batches(_block_rows, batch_format="pyarrow", batch_size=None)
 
     def drop_markers(g: pd.DataFrame) -> pd.DataFrame:

@@ -177,7 +177,8 @@ def phash_pairs_from_media(media: Dataset):
     tiny second exchange keyed on the pair."""
     from ..functions import phash as P
 
-    N_COARSE = 64
+    from ..functions.cluster import default_n_coarse
+    N_COARSE = default_n_coarse()
 
     def bands(batch: pa.Table) -> pa.Table:
         imgs = P.payload_gray32(batch["payload"].to_pylist())

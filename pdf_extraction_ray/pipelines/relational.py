@@ -72,13 +72,18 @@ def _pre_coalesce(ds, spec):
     return ds.repartition(spec) if spec else ds
 
 
-def _coarse_grouped_map(ds, key: str, per_group_fn, n_coarse: int = 64,
+def _coarse_grouped_map(ds, key: str, per_group_fn, n_coarse: int | None = None,
                         pre_coalesce="auto"):
     """Per-key grouped map with a COARSE shuffle key: the exchange
     partitions on ``key % n_coarse`` (constant group count at any scale);
     the exact per-key grouping runs as a pandas groupby inside each
     partition. One tiny Ray group per key is pure scheduler overhead —
-    same pattern as the LSH band grouping in pipelines/dedup.py."""
+    same pattern as the LSH band grouping in pipelines/dedup.py.
+    ``n_coarse`` defaults to ``default_n_coarse()`` (cluster-scaled)."""
+    if n_coarse is None:
+        from ..functions.cluster import default_n_coarse
+        n_coarse = default_n_coarse()
+
     def add_coarse(batch: pa.Table) -> pa.Table:
         c = batch[key].to_numpy(zero_copy_only=False) % n_coarse
         return batch.append_column("_coarse", pa.array(c.astype(np.int64))) \
@@ -94,13 +99,17 @@ def _coarse_grouped_map(ds, key: str, per_group_fn, n_coarse: int = 64,
         .groupby("_coarse").map_groups(run, batch_format="pandas")
 
 
-def _coarse_partition_map(ds, key: str, partition_fn, n_coarse: int = 64,
+def _coarse_partition_map(ds, key: str, partition_fn, n_coarse: int | None = None,
                           pre_coalesce="auto"):
     """Like ``_coarse_grouped_map`` but hands the WHOLE coarse partition
     (all keys that hashed to it) to ``partition_fn`` in one DataFrame.
     Use with pandas-groupby-vectorized window logic: a per-key callback
     costs one DataFrame construction per key (~130 us), which dominates
     wall time once a table has >10k keys."""
+    if n_coarse is None:
+        from ..functions.cluster import default_n_coarse
+        n_coarse = default_n_coarse()
+
     def add_coarse(batch: pa.Table) -> pa.Table:
         c = batch[key].to_numpy(zero_copy_only=False) % n_coarse
         return batch.append_column("_coarse", pa.array(c.astype(np.int64))) \
@@ -114,13 +123,17 @@ def _coarse_partition_map(ds, key: str, partition_fn, n_coarse: int = 64,
 
 
 def _coarse_grouped_map_union(left, right, partition_fn, key: str = "key",
-                              n_coarse: int = 64, pre_coalesce="auto"):
+                              n_coarse: int | None = None, pre_coalesce="auto"):
     """Co-partitioned merge of two SIDE-TAGGED datasets sharing one
     schema: union them, hash both through one coarse exchange on the
     int ``key`` column, and hand each whole partition to
     ``partition_fn``. The pool-free alternative to a second native hash
     join — two concurrent join actor pools starve each other on small
     CPU budgets, while this shape is plain tasks + one sort exchange."""
+    if n_coarse is None:
+        from ..functions.cluster import default_n_coarse
+        n_coarse = default_n_coarse()
+
     def add_coarse(batch: pa.Table) -> pa.Table:
         c = batch[key].to_numpy(zero_copy_only=False) % n_coarse
         return batch.append_column("_coarse", pa.array(c.astype(np.int64))) \

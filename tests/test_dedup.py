@@ -240,7 +240,7 @@ def test_distributed_clusters_matches_driver_path():
     # n_coarse=4 keeps the per-round sort exchanges cheap in the 4-CPU
     # test session; production default (64) only runs past the >100k-pair
     # threshold where exchange overhead amortizes
-    out = _clusters_distributed(pairs, n_coarse=4)
+    out = _clusters_distributed(pairs, n_coarse=4).to_pandas()
     reps = dict(zip(out.doc_id, out.cluster_rep))
     assert reps == {5: 5, 7: 5, 9: 5, 11: 5, 2: 2, 4: 2, 100: 100, 200: 100}
 
@@ -408,3 +408,53 @@ def test_survivorship_keeps_best_quality(tmp_path):
     assert int(out["survivor"].iloc[0]) == 1     # better score wins
     assert int(out["n_members"].iloc[0]) == 2
     assert int(out["n_dropped"].iloc[0]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_survivorship_distributed_paths_match(tmp_path, monkeypatch):
+    """Round-3 rewrite: survivorship through the fully-distributed shape
+    (membership as a Dataset via a forced _clusters_distributed, scoring
+    pass unfiltered via max_broadcast_ids=0) must equal the broadcast
+    fast path on the same planted clusters."""
+    import os
+    from pdf_extraction_ray.pipelines import dedup as D
+
+    d = str(tmp_path)
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the small red hen walks around the big green yard " * 6)
+    texts, ids = [], []
+    for c in range(3):                         # 3 clusters of 3 near-dups
+        # per-cluster vocabulary shift -> clusters share no shingles
+        core = " ".join(w + str(c) for w in base.split())
+        for k, t in enumerate([
+                core.replace(f"the{c} quick{c}", f"the{c} ,,.;; quick{c}"),
+                core,
+                core.replace(f"dog{c} and{c}", f"dog{c} ;;: and{c}")]):
+            ids.append(c * 10 + k)
+            texts.append(t)
+    pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                  "text": texts}).to_parquet(
+        os.path.join(d, "documents.parquet"))
+
+    fast = D.corpus_dedup_survivorship(d)
+    assert len(fast) == 3 and (fast["n_members"] == 3).all()
+    # clean copy (no punctuation noise) wins in every cluster
+    assert list(fast["survivor"]) == [1, 11, 21]
+
+    monkeypatch.setattr(D, "DISTRIBUTED_CLUSTER_THRESHOLD", 0)
+    slow = D.corpus_dedup_survivorship(d, max_broadcast_ids=0)
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_n_coarse_invariance():
+    """Coarse-partition count is a pure performance knob: an oracled
+    exchange op must emit identical rows at 16 and 128 partitions
+    (VERDICT r2 item 8 — no 64-partition ceiling baked into results)."""
+    from pdf_extraction_ray.pipelines.corpus import doc_dedup_blocks
+    sf = "/root/testdata/sf0.001"
+    a = doc_dedup_blocks(sf, n_coarse=16).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = doc_dedup_blocks(sf, n_coarse=128).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
