@@ -88,13 +88,16 @@ def golden_extract_doc(doc: dict) -> list[dict]:
                     if kind == spec.KIND_TEXT and sp == _page
                     and spec.caption_near(bb, part_bbox)]
 
+        def caption_for(part_bbox):
+            return spec.caption_evidence(near_texts(part_bbox))
+
         for ridx in kept_idx:       # ridx = per-page pre-dedup candidate index
             r = cands[ridx]
             for part in spec.emit_region_spans(
                     doc_id, page, ridx, r["bbox"],
                     [(ln["x0"], ln["y0"], ln["x1"], ln["y1"])
                      for ln in r["lines"]],
-                    r["offset"], near_texts):
+                    r["offset"], caption_for):
                 out_regions.append((part["kind"], part["text"],
                                     part["media_ref"], part["offset"]))
                 kept_region_bboxes.setdefault(page, []).append(part["bbox"])

@@ -25,6 +25,8 @@ def media_table_from_docs(ds: Dataset) -> Dataset:
     """Explode image spans into one media row per media_ref, synthesizing
     deterministic payloads (media_type cycles by ref hash)."""
 
+    TYPES = np.array(["image", "audio", "video"])
+
     def explode(batch: pa.Table) -> pa.Table:
         spans = batch.column("spans")
         if isinstance(spans, pa.ChunkedArray):
@@ -33,22 +35,32 @@ def media_table_from_docs(ds: Dataset) -> Dataset:
         parent = as_array(pc.list_parent_indices(spans))
         kind = pc.struct_field(flat, "kind")
         mask = pc.equal(kind, "image")
-        refs = pc.filter(pc.fill_null(pc.struct_field(flat, "media_ref"), ""),
-                         mask).to_pylist()
-        docs = pc.take(batch.column("doc_id"),
-                       pc.filter(parent, mask)).to_pylist()
-        rows = []
-        for doc, ref in zip(docs, refs):
-            # Type by a hash of the FULL ref: generator refs end only in
-            # -0/-1, so any suffix-derived typing silently never yields
-            # "video" (round-1 bug: media_frames was always empty).
-            mt = ["image", "audio", "video"][
-                hashlib.sha1(ref.encode()).digest()[0] % 3]
-            rows.append({
-                "doc_id": doc, "media_ref": ref, "media_type": mt,
-                "payload": synth_payload_variant(ref, mt),
-                "meta": {"declared_w": 0, "declared_h": 0, "duration_ms": 0}})
-        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+        ref_arr = as_array(pc.filter(
+            pc.fill_null(pc.struct_field(flat, "media_ref"), ""), mask))
+        doc_arr = as_array(pc.take(batch.column("doc_id"),
+                                   pc.filter(parent, mask)))
+        n = len(ref_arr)
+        refs = ref_arr.to_pylist()
+        # Type by a hash of the FULL ref: generator refs end only in
+        # -0/-1, so any suffix-derived typing silently never yields
+        # "video" (round-1 bug: media_frames was always empty). One sha1
+        # per ref (sha1 of a short string is the irreducible per-row
+        # work); typing and column assembly are numpy/Arrow — no row
+        # dicts, no from_pylist (r2 verdict item 5).
+        first = np.frombuffer(
+            b"".join(hashlib.sha1(r.encode()).digest()[:1] for r in refs),
+            dtype=np.uint8) if n else np.zeros(0, dtype=np.uint8)
+        mts = TYPES[first % 3]
+        payloads = [synth_payload_variant(r, m)       # stub-only synthesis
+                    for r, m in zip(refs, mts)]
+        zeros = pa.array(np.zeros(n, dtype=np.int32))
+        meta = pa.StructArray.from_arrays(
+            [zeros, zeros, zeros],
+            names=["declared_w", "declared_h", "duration_ms"])
+        return pa.Table.from_arrays(
+            [doc_arr, ref_arr, pa.array(mts, type=pa.string()),
+             pa.array(payloads, type=pa.binary()), meta],
+            schema=MEDIA_SCHEMA)
 
     return ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
 

@@ -381,13 +381,15 @@ def region_ocr_text(media_ref: str) -> str:
 def emit_region_spans(doc_id: str, page: int, ridx: int,
                       bbox: Sequence[float],
                       lines: Sequence[tuple[float, float, float, float]],
-                      offset: int, near_texts) -> list[dict]:
+                      offset: int, caption_for) -> list[dict]:
     """Shared region kernel (golden extractor AND pipeline call this):
     split-aware emission of classified table/figure spans for ONE kept
-    candidate region. ``near_texts(part_bbox) -> list[str]`` supplies the
-    caption-proximate span texts for each (possibly split) part. Each
-    returned dict carries its part bbox under "bbox" (caller strips it
-    before output)."""
+    candidate region. ``caption_for(part_bbox) -> float`` supplies the
+    caption-evidence score (``caption_evidence`` over the proximate span
+    texts — the pipeline computes it from precomputed per-span regex
+    flags, the golden extractor from the texts directly). Each returned
+    dict carries its part bbox under "bbox" (caller strips it before
+    output)."""
     split = maybe_split_region(bbox, lines)
     base_ref = region_media_ref(doc_id, page, ridx)
     if split is None:
@@ -401,7 +403,7 @@ def emit_region_spans(doc_id: str, page: int, ridx: int,
     out = []
     for (bb, ls, ref, off) in parts:
         grid = analyze_grid(ls)
-        cap_ev = caption_evidence(near_texts(bb))
+        cap_ev = caption_for(bb)
         kind, score = classify_region(grid, cap_ev)
         if kind == OUT_TABLE and not meaningful_text_gate(region_ocr_text(ref)):
             kind = OUT_FIGURE               # V16 gate: text-free "tables"

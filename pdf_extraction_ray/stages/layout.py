@@ -82,9 +82,14 @@ class LayoutParser:
             raise ValueError(f"bbox column misaligned with spans: "
                              f"{len(bbox_flat)} != {len(flat)}")
 
-        regions_py = batch.column("regions").to_pylist()
+        # ---- flat Arrow extraction of the regions column (no to_pylist:
+        # the r2 verdict measured the per-doc dict scaffolding as the
+        # layout stage's dominant cost) ----
+        regs_col = as_array(batch.column("regions"))
+        roff_doc = list_offsets(regs_col)
+        n_regions = int(roff_doc[-1])
         img_mask = is_image.to_numpy(zero_copy_only=False)
-        has_work = bool(img_mask.any()) or any(regions_py)
+        has_work = bool(img_mask.any()) or n_regions > 0
 
         # one C-level conversion to a python list (indexed access after is
         # cheap; object-array / per-element arrow access both lose to it)
@@ -99,26 +104,68 @@ class LayoutParser:
                            pa.array(img_idx)).to_pylist()
             for j, r in zip(img_idx, refs):
                 text_list[j] = self.ocr(r)
+
+        if n_regions:
+            flat_regs = as_array(pc.list_flatten(regs_col))
+            rbb_arr = as_array(pc.struct_field(flat_regs, "bbox"))
+            rlines_col = as_array(pc.struct_field(flat_regs, "lines"))
+            flat_lines = as_array(pc.list_flatten(rlines_col))
+            # loud on malformed geometry (null region fields would silently
+            # misalign the flat value buffers); safe mode converts the
+            # raise into an error row, same policy as the meta columns
+            if (flat_regs.null_count or rbb_arr.null_count
+                    or rlines_col.null_count or flat_lines.null_count):
+                raise ValueError("null region geometry")
+            rpage_np = pc.struct_field(flat_regs, "page") \
+                .to_numpy(zero_copy_only=False)
+            roffv_np = pc.struct_field(flat_regs, "offset") \
+                .to_numpy(zero_copy_only=False)
+            rbb = rbb_arr.values.to_numpy(zero_copy_only=False) \
+                .astype(np.float64).reshape(-1, 4)
+            loff = list_offsets(rlines_col)
+            lines_mat = np.column_stack([
+                pc.struct_field(flat_lines, f).to_numpy(zero_copy_only=False)
+                .astype(np.float64) for f in ("x0", "y0", "x1", "y1")]) \
+                if len(flat_lines) else np.zeros((0, 4))
         doc_ids = batch.column("doc_id").to_pylist()
         region_counts = np.zeros(n_docs, dtype=np.int64)
-        region_rows: list[dict] = []
-        prov_rows: list[str] = []            # parallel to region_rows
+        # parallel output columns (struct build at the end — one dict per
+        # region span was measurably slower)
+        rr_kind: list[str] = []
+        rr_text: list[str] = []
+        rr_ref: list[str] = []
+        rr_off: list[int] = []
+        prov_rows: list[str] = []            # parallel to region spans
         caption_idx: list[int] = []          # global span indices -> caption
+        # per-span caption regex flags, computed lazily ONCE per span (the
+        # old per-(part, near-span) re.search calls were ~25% of stage
+        # time); plain python re — exact spec semantics, no RE2 twin
+        flag_memo: dict[int, tuple[bool, bool]] = {}
+        tbl_re, fig_re = spec.TABLE_CAPTION_RE, spec.FIGURE_CAPTION_RE
 
-        for d in range(n_docs):
-            regs = regions_py[d]
-            if not regs:
-                continue
+        def caption_flags(j: int) -> tuple[bool, bool]:
+            v = flag_memo.get(j)
+            if v is None:
+                t = text_list[j]
+                v = flag_memo[j] = (tbl_re.search(t) is not None,
+                                    fig_re.search(t) is not None)
+            return v
+
+        for d in (np.nonzero(roff_doc[1:] > roff_doc[:-1])[0]
+                  if n_regions else ()):
             lo, hi = offsets[d], offsets[d + 1]
             kept_text = kept_text_np[lo:hi]
             pg = page_np[lo:hi]
 
-            by_page: dict[int, list[dict]] = {}
-            for r in regs:
-                by_page.setdefault(r["page"], []).append(r)
+            g0 = int(roff_doc[d])
+            bb_doc = rbb[g0:roff_doc[d + 1]].tolist()
+            by_page: dict[int, list[int]] = {}       # page -> region rows
+            for gi in range(g0, int(roff_doc[d + 1])):
+                by_page.setdefault(int(rpage_np[gi]), []).append(gi)
 
             for page, cands in by_page.items():
-                kept_idx = spec.dedup_boxes_iou([r["bbox"] for r in cands])
+                kept_idx = spec.dedup_boxes_iou(
+                    [bb_doc[gi - g0] for gi in cands])
                 pidx = np.nonzero(kept_text & (pg == page))[0]
                 pbb = bbox_flat[lo + pidx] if len(pidx) else np.zeros((0, 4))
                 near_any = np.zeros(len(pidx), dtype=bool)
@@ -140,30 +187,45 @@ class LayoutParser:
                            & ((pbb[:, 1] - ry1) <= spec.CAPTION_MARGIN))
                         | (~above & ~below))
 
-                def near_texts(part_bbox):
+                def caption_for(part_bbox):
+                    # caption_evidence over the proximate spans, computed
+                    # from the memoized flags (TABLE/FIGURE imply ANY, so
+                    # two flags carry the full evidence state)
                     nonlocal near_any
                     near = near_mask(part_bbox)
                     near_any = near_any | near
-                    return [text_list[j] for j in lo + pidx[near]] \
-                        if near.any() else []
+                    if not near.any():
+                        return 0.5
+                    t_hits = f_hits = 0
+                    for j in lo + pidx[near]:
+                        t, f = caption_flags(int(j))
+                        t_hits += t
+                        f_hits += f
+                    if t_hits > f_hits:
+                        return 1.0
+                    if f_hits > t_hits:
+                        return 0.0
+                    return 0.5
 
                 for ridx in kept_idx:
-                    r = cands[ridx]
+                    gi = cands[ridx]
+                    # one C-level .tolist() per region: spec kernels run
+                    # ~5x faster on python floats than np.float64 scalars
                     parts = spec.emit_region_spans(
-                        doc_ids[d], page, ridx, r["bbox"],
-                        [(ln["x0"], ln["y0"], ln["x1"], ln["y1"])
-                         for ln in r["lines"]],
-                        r["offset"], near_texts)
+                        doc_ids[d], page, ridx, bb_doc[gi - g0],
+                        lines_mat[loff[gi]:loff[gi + 1]].tolist(),
+                        int(roffv_np[gi]), caption_for)
                     for part in parts:
-                        region_rows.append({
-                            "kind": part["kind"], "text": part["text"],
-                            "media_ref": part["media_ref"],
-                            "offset": part["offset"]})
+                        rr_kind.append(part["kind"])
+                        rr_text.append(part["text"])
+                        rr_ref.append(part["media_ref"])
+                        rr_off.append(int(part["offset"]))
                         if self.emit_provenance:
                             prov_rows.append(part["source"])
                     region_counts[d] += len(parts)
                 for j in lo + pidx[near_any]:
-                    if self.caption_any.search(text_list[j]):
+                    t, f = caption_flags(int(j))
+                    if t or f:                 # == CAPTION_ANY_RE.search
                         caption_idx.append(int(j))
 
         if caption_idx:
@@ -178,7 +240,12 @@ class LayoutParser:
         np.cumsum(region_counts, out=roff[1:])
         region_col = pa.ListArray.from_arrays(
             pa.array(roff, type=pa.int32()),
-            pa.array(region_rows, type=SPAN_STRUCT))
+            pa.StructArray.from_arrays(
+                [pa.array(rr_kind, type=pa.string()),
+                 pa.array(rr_text, type=pa.string()),
+                 pa.array(rr_ref, type=pa.string()),
+                 pa.array(rr_off, type=pa.int32())],
+                fields=list(SPAN_STRUCT)))
 
         out_text = pa.array(text_list, type=pa.string()) \
             if text_list is not None else text_arr

@@ -192,7 +192,7 @@ class TestRegionSplitter:
         bbox = (0.1, 0.5, 0.9, 0.85)
         lines = self._lines(bbox, 4, 4)
         parts = spec.emit_region_spans("d", 1, 0, bbox, lines, 900,
-                                       lambda bb: [])
+                                       lambda bb: 0.5)
         assert len(parts) == 2
         assert parts[0]["offset"] == 900
         assert parts[1]["offset"] == 900 + spec.SPLIT_RIGHT_OFFSET_DELTA
