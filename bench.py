@@ -503,6 +503,35 @@ def _stats():
     ray.shutdown()
 
 
+def _parse_stage_stats(stats_text: str) -> dict:
+    """Compact per-operator summary from ``Dataset.stats()``: operator
+    name -> {wall_s, cpu_s, rows}. Ray fuses the four extract stages
+    into one MapBatches operator, so the profile shows read vs fused
+    compute vs sink — the level at which scheduling cost shifts show."""
+    import re
+    scale = {"us": 1e-6, "ms": 1e-3, "s": 1.0}
+    out: dict[str, dict] = {}
+    cur = None
+    for line in stats_text.splitlines():
+        m = re.match(r"Operator \d+ (.+?): .* in ([\d.]+)s\s*$", line)
+        if m:
+            cur = m.group(1)[:120]
+            out[cur] = {"wall_s": float(m.group(2))}
+            continue
+        if cur is None:
+            continue
+        for key, label in (("cpu_s", "Remote cpu time"),
+                           ("udf_s", "UDF time")):
+            m = re.search(label + r": .* ([\d.]+)(us|ms|s) total", line)
+            if m:
+                out[cur][key] = round(float(m.group(1))
+                                      * scale[m.group(2)], 3)
+        m = re.search(r"Output num rows per block: .* (\d+) total", line)
+        if m:
+            out[cur]["rows"] = int(m.group(1))
+    return out
+
+
 def main():
     if "--scaling" in sys.argv:
         _scaling()
@@ -557,10 +586,11 @@ def main():
     out_dir = f"/tmp/pdfxr_bench_out/{ncpu}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    extract_pipeline(read_docs(corpus), batch_size=BENCH_BATCH) \
-        .write_parquet(out_dir)
+    headline_ds = extract_pipeline(read_docs(corpus), batch_size=BENCH_BATCH)
+    headline_ds.write_parquet(out_dir)
     headline = time.perf_counter() - t0
     timings["extract_flagship"] = round(headline, 3)
+    headline_stages = _parse_stage_stats(headline_ds.stats())
 
     if not headline_only:
         # generate the sf-derived query-tier corpus OUTSIDE the timed
@@ -722,6 +752,9 @@ def main():
         "n_docs": BENCH_DOCS,
         "docs_per_sec": round(BENCH_DOCS / headline, 1),
         "cpu_calib_miters": cpu_calib,
+        # per-operator profile of the headline run (ds.stats()), so
+        # BENCH_r{N}.json records stage-level cost shifts, not just wall
+        "headline_stages": headline_stages,
     }))
     ray.shutdown()
 

@@ -92,8 +92,14 @@ def _diag_lines(rng: np.random.Generator, bbox, n: int) -> list[dict]:
     return lines
 
 
-def generate_doc(seed: int, i: int, pathological_frac: float = 0.01) -> dict:
-    """One synthetic document row (plain-python dict, DOCS_SCHEMA shape)."""
+def generate_doc(seed: int, i: int, pathological_frac: float = 0.01,
+                 giant_frac: float = 0.0) -> dict:
+    """One synthetic document row (plain-python dict, DOCS_SCHEMA shape).
+
+    ``giant_frac`` > 0 plants truly pathological 400-1200-page documents
+    (~200-600x the median span count) — the one-giant-row skew tier
+    (SURVEY.md §4) the skew bench drives. The draw happens only when the
+    knob is on, so giant_frac=0 corpora are bit-identical to before."""
     rng = np.random.default_rng([seed, i])
     doc_id = f"doc-{i:08d}"
 
@@ -101,7 +107,9 @@ def generate_doc(seed: int, i: int, pathological_frac: float = 0.01) -> dict:
         return {"doc_id": doc_id, "spans": [], "font_size": [], "page": [],
                 "link_density": [], "bbox": [], "regions": [], "n_pages": 0}
 
-    if rng.random() < pathological_frac:
+    if giant_frac > 0.0 and rng.random() < giant_frac:
+        n_pages = int(rng.integers(400, 1201))
+    elif rng.random() < pathological_frac:
         n_pages = int(rng.integers(50, 121))
     elif i % 89 == 0 and i > 0:         # single-span doc
         n_pages = 1

@@ -176,7 +176,18 @@ def raster_vector_agreement(sf_dir: str):
     one row per region with both verdicts. The raster path is the
     reference's primary detector shape (advanced_layout_extractor.py:
     594-691) — this query is where the two implementations are held to
-    agree on real corpus regions."""
+    agree on real corpus regions.
+
+    ADJUDICATION (r2 verdict asked which detector wins the ~2%
+    disagreement): the VECTOR detector is authoritative wherever vector
+    geometry exists — it sees exact line coordinates, while
+    rasterization quantizes sub-pixel grid jitter to the 128px pitch,
+    so every observed disagreement is a jittered grid straddling the
+    regularity threshold after quantization. The extraction pipeline
+    therefore classifies from vector lines (spec.analyze_grid); the
+    raster detector is the fallback for scanned pages with NO vector
+    layer. On jitter-free grids the two agree 100%
+    (tests/test_raster.py::test_clean_grid_agreement_is_total)."""
     from .. import spec
     from ..functions import raster as R
 

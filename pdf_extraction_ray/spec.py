@@ -98,13 +98,27 @@ PROV_DETECTED = "layout_detected"
 # Scalar kernels
 # ---------------------------------------------------------------------------
 
+# what the stub OCR returns for an "unreadable" asset: 3 ascii
+# non-alphanumeric chars, so meaningful_text_gate rejects it (V16)
+UNREADABLE_OCR_TEXT = ".,."
+UNREADABLE_OCR_RATE = 16        # 1 in 16 refs hash to unreadable
+
+
 def stub_ocr(media_ref: str) -> str:
     """Deterministic stand-in for the Tesseract OCR engine (M6/T2 in
     SURVEY.md §2): pure function of the media reference so golden fixtures
     are reproducible without any model. Real deployments swap this for an
-    OCR actor with identical signature."""
-    digest = hashlib.sha1(media_ref.encode("utf-8")).hexdigest()[:8]
-    return f"ocr[{digest}]"
+    OCR actor with identical signature.
+
+    ~1/16 of refs deterministically come back UNREADABLE (punctuation
+    only) — the real-engine failure mode on degraded scans
+    (table_figure_classifier.py:253-309's reason to gate) — so the V16
+    ``meaningful_text_gate`` actually bites in the golden corpus instead
+    of being structurally open (r2 verdict item 6)."""
+    digest = hashlib.sha1(media_ref.encode("utf-8")).hexdigest()
+    if int(digest[8], 16) % UNREADABLE_OCR_RATE == 0:
+        return UNREADABLE_OCR_TEXT
+    return f"ocr[{digest[:8]}]"
 
 
 def iou(a: Sequence[float], b: Sequence[float]) -> float:
@@ -363,9 +377,9 @@ def meaningful_text_gate(ocr_text: str) -> bool:
     """V16 meaningful-text gate (table_figure_classifier.py:253-309):
     a region whose OCR text has fewer than 3 characters or no
     alphanumeric/non-ASCII content cannot be a table — force 'figure'.
-    (The stub OCR always emits >= 3 alnum chars, so with stub OCR the
-    gate is structurally open; it bites once a real OCR engine returns
-    empty/garbage text.)"""
+    Bites on the ~1/16 of refs the stub OCR marks unreadable
+    (``UNREADABLE_OCR_TEXT``) and on any real engine's empty/garbage
+    output."""
     t = ocr_text.strip()
     if len(t) < MEANINGFUL_TEXT_MIN_CHARS:
         return False
