@@ -390,9 +390,23 @@ def _simhash_big_bucket_pairs(sig: np.ndarray, doc: np.ndarray,
     return frames
 
 
+SIMHASH_N_BANDS = 4                 # 64 bits / 4 bands = 16-bit band keys
+
+
 def dedup_simhash(sf_dir: str):
-    """SimHash near-dup: 64-bit signatures, bucketed by the top 16 bits,
-    pairwise Hamming <= 3 within buckets. Output: (doc_a, doc_b, hamming)."""
+    """SimHash near-dup: 64-bit signatures, multi-band pigeonhole
+    blocking, pairwise Hamming <= SIMHASH_MAX_HAMMING within buckets.
+
+    Each doc lands in SIMHASH_N_BANDS buckets (one per 16-bit band of
+    its signature). Pigeonhole guarantee: a pair at Hamming <= 3 differs
+    in at most 3 of the 4 bands, so AT LEAST ONE band key matches
+    exactly -> candidate recall vs brute-force Hamming is exactly 1.0
+    (asserted against the exact all-pairs set in
+    ``tests/test_dedup_recall.py``; the earlier top-16-bits-only
+    blocking measured 0.63 recall at sf0.01). The cost is 4x shuffle
+    rows — still only (key, simhash, doc_id) ints, never text — plus
+    one small pair-keyed exchange to drop the same pair surfacing from
+    several bands. Output: (doc_a, doc_b, hamming)."""
     from ..functions.cluster import default_n_coarse
     N_COARSE = default_n_coarse()   # same coarse-shuffle trick as MinHash-LSH
 
@@ -400,9 +414,20 @@ def dedup_simhash(sf_dir: str):
         text = batch["text"].combine_chunks() \
             if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
         s = H.simhash(text)
-        bucket = (s >> np.uint64(48)).astype(np.int64)
+        n = len(batch)
+        # band key = (band_id << 16) | 16-bit band value: band values are
+        # < 2^16 so distinct bands can never collide into one bucket
+        shifts = (np.arange(SIMHASH_N_BANDS, dtype=np.uint64) * np.uint64(16))
+        bands = ((s[:, None] >> shifts[None, :]) & np.uint64(0xFFFF))
+        bucket = (bands | (np.arange(SIMHASH_N_BANDS, dtype=np.uint64)
+                           << np.uint64(16))[None, :]).reshape(-1) \
+            .astype(np.int64)
         return pa.Table.from_arrays(
-            [batch["doc_id"], pa.array(s.view(np.int64)), pa.array(bucket),
+            [pa.array(np.repeat(
+                batch["doc_id"].to_numpy(zero_copy_only=False),
+                SIMHASH_N_BANDS)),
+             pa.array(np.repeat(s.view(np.int64), SIMHASH_N_BANDS)),
+             pa.array(bucket),
              pa.array(bucket % N_COARSE)],
             names=["doc_id", "simhash", "bucket", "coarse"])
 
@@ -454,12 +479,36 @@ def dedup_simhash(sf_dir: str):
         if not frames:
             return empty
         out = pd.concat(frames, ignore_index=True)
+        # within-partition dedup (several bands of one pair can land in
+        # the same coarse group); cross-partition dupes fall to the
+        # pair-keyed exchange below
+        out = out.drop_duplicates(["doc_a", "doc_b"])
         return out.astype({"doc_a": "int64", "doc_b": "int64",
                            "hamming": "int64"})
 
-    return (_docs(sf_dir).map_batches(sigs, batch_format="pyarrow", batch_size=None)
+    cand = (_docs(sf_dir)
+            .map_batches(sigs, batch_format="pyarrow", batch_size=None)
             .groupby("coarse")
-            .map_groups(pairs, batch_format="pandas")
+            .map_groups(pairs, batch_format="pandas"))
+
+    # cross-band dedup: a pair surfacing from two bands in DIFFERENT
+    # coarse partitions duplicates; doc_a-keyed exchange co-locates every
+    # copy of a pair (duplicate rows are exact — hamming is a property of
+    # the signatures, not the band), so per-group drop_duplicates is
+    # globally correct. The pair set is small (near-dup density), so
+    # this exchange is cheap.
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_pc", pa.array((a % N_COARSE).astype(np.int64)))
+
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"]).drop(columns="_pc")
+
+    return (cand.map_batches(tag_pair, batch_format="pyarrow",
+                             batch_size=None)
+            .groupby("_pc")
+            .map_groups(drop_dups, batch_format="pandas")
             .sort(["doc_a", "doc_b"]))
 
 
