@@ -481,6 +481,88 @@ def _knn_stress():
     ray.shutdown()
 
 
+def _skew():
+    """Giant-doc skew tier (SURVEY.md §4 one-giant-row skew): ~1% of the
+    corpus is 400-1200-page documents (~200-600x the median span count),
+    planted either iid or CLUSTERED (all giants consecutive — the "book
+    dump" shape where one input shard is all giants).
+
+    For each shape, measures the extraction wall with the spread
+    re-order off/on, under the real (light, vectorized) kernels AND
+    with a simulated heavy per-page model stage (busy-spin of
+    $GRAFT_SKEW_COST_US us/page, default 1000 — the real-OCR cost
+    regime the auto policy exists for), plus the auto decision at both
+    cost points. One JSON line with the full 2x2x2 grid."""
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow as pa
+    from pdf_extraction_ray.fixtures import ensure_corpus
+    from pdf_extraction_ray.pipelines import extract_pipeline
+    from pdf_extraction_ray.pipelines.extract import (
+        decide_skew_bucketing, skew_profile, spread_skew)
+    from pdf_extraction_ray.sources import read_docs
+
+    n = int(os.environ.get("GRAFT_SKEW_DOCS", "50000"))
+    gf = float(os.environ.get("GRAFT_SKEW_GIANT_FRAC", "0.01"))
+    cost_us = float(os.environ.get("GRAFT_SKEW_COST_US", "1000"))
+    sec_per_page = cost_us * 1e-6
+
+    def burn(batch: pa.Table) -> pa.Table:
+        # stand-in for a heavy per-page model stage (OCR/VLM): CPU-bound
+        # busy spin proportional to the batch's page mass, fused into
+        # the task chain like a real stage would be
+        import pyarrow.compute as pc
+        target = float(pc.sum(batch["n_pages"]).as_py() or 0) * sec_per_page
+        t_end = time.perf_counter() + target
+        while time.perf_counter() < t_end:
+            pass
+        return batch
+
+    def run(corpus: str, spread: bool, heavy: bool) -> float:
+        out_dir = "/tmp/pdfxr_skew_out"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ds = read_docs(corpus)
+        if spread:      # spread FIRST so the heavy stage sees even blocks
+            ds = spread_skew(ds)
+        if heavy:
+            ds = ds.map_batches(burn, batch_format="pyarrow",
+                                batch_size=256)
+        extract_pipeline(ds, batch_size=256).write_parquet(out_dir)
+        return round(time.perf_counter() - t0, 2)
+
+    out = {"metric": "skew_extract_wall_sec", "unit": "sec",
+           "n_docs": n, "giant_frac": gf, "num_cpus": 32,
+           "heavy_cost_us_per_page": cost_us,
+           "cpu_calib_miters": _cpu_calib_miters()}
+    for shape, clustered in (("iid", False), ("clustered", True)):
+        corpus = ensure_corpus("skew", BENCH_SEED, n, shard_rows=1000,
+                               use_ray=True, giant_frac=gf,
+                               giant_clustered=clustered)
+        read_docs(corpus).count()      # warm the page cache
+        from pdf_extraction_ray.pipelines.extract import DEFAULT_SEC_PER_PAGE
+        res = {"profile": skew_profile(corpus),
+               "auto_light": decide_skew_bucketing(corpus),
+               "auto_heavy": decide_skew_bucketing(
+                   corpus,
+                   sec_per_page=DEFAULT_SEC_PER_PAGE + sec_per_page)}
+        # light: min of 2 (VM noise); heavy: single runs (minutes-long)
+        res["light_off"] = min(run(corpus, False, False) for _ in range(2))
+        res["light_on"] = min(run(corpus, True, False) for _ in range(2))
+        res["heavy_off"] = run(corpus, False, True)
+        res["heavy_on"] = run(corpus, True, True)
+        res["light_spread_speedup"] = round(res["light_off"]
+                                            / res["light_on"], 3)
+        res["heavy_spread_speedup"] = round(res["heavy_off"]
+                                            / res["heavy_on"], 3)
+        out[shape] = res
+    print(json.dumps(out))
+    ray.shutdown()
+
+
 def _stats():
     """Print the flagship pipeline's per-stage Ray Data stats (wall
     time, CPU, memory per operator) over the bench corpus — the
@@ -556,6 +638,9 @@ def main():
         return
     if "--knn" in sys.argv:
         _knn_stress()
+        return
+    if "--skew" in sys.argv:
+        _skew()
         return
     headline_only = "--headline-only" in sys.argv
     cpu_calib = _cpu_calib_miters()   # before ray.init: idle-host anchor

@@ -92,14 +92,23 @@ def _diag_lines(rng: np.random.Generator, bbox, n: int) -> list[dict]:
     return lines
 
 
+GIANT_STRIPE = 50_000   # clustered mode: giants fill the head of each stripe
+
+
 def generate_doc(seed: int, i: int, pathological_frac: float = 0.01,
-                 giant_frac: float = 0.0) -> dict:
+                 giant_frac: float = 0.0,
+                 giant_clustered: bool = False) -> dict:
     """One synthetic document row (plain-python dict, DOCS_SCHEMA shape).
 
     ``giant_frac`` > 0 plants truly pathological 400-1200-page documents
     (~200-600x the median span count) — the one-giant-row skew tier
     (SURVEY.md §4) the skew bench drives. The draw happens only when the
-    knob is on, so giant_frac=0 corpora are bit-identical to before."""
+    knob is on, so giant_frac=0 corpora are bit-identical to before.
+
+    ``giant_clustered`` packs the giants CONSECUTIVELY at the head of
+    each GIANT_STRIPE-doc index stripe (instead of iid draws) — the
+    "book dump" corpus shape where whole input shards are giants, which
+    is what the spread re-order skew control exists for."""
     rng = np.random.default_rng([seed, i])
     doc_id = f"doc-{i:08d}"
 
@@ -107,7 +116,9 @@ def generate_doc(seed: int, i: int, pathological_frac: float = 0.01,
         return {"doc_id": doc_id, "spans": [], "font_size": [], "page": [],
                 "link_density": [], "bbox": [], "regions": [], "n_pages": 0}
 
-    if giant_frac > 0.0 and rng.random() < giant_frac:
+    if giant_frac > 0.0 and (
+            (i % GIANT_STRIPE) < giant_frac * GIANT_STRIPE
+            if giant_clustered else rng.random() < giant_frac):
         n_pages = int(rng.integers(400, 1201))
     elif rng.random() < pathological_frac:
         n_pages = int(rng.integers(50, 121))
@@ -239,9 +250,13 @@ def generate_doc(seed: int, i: int, pathological_frac: float = 0.01,
 
 
 def generate_docs_table(seed: int, start: int, count: int,
-                        pathological_frac: float = 0.01) -> pa.Table:
+                        pathological_frac: float = 0.01,
+                        giant_frac: float = 0.0,
+                        giant_clustered: bool = False) -> pa.Table:
     """Docs ``start .. start+count`` as one Arrow table (DOCS_SCHEMA)."""
-    rows = [generate_doc(seed, i, pathological_frac) for i in range(start, start + count)]
+    rows = [generate_doc(seed, i, pathological_frac, giant_frac,
+                         giant_clustered)
+            for i in range(start, start + count)]
     return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
 
 
@@ -252,18 +267,25 @@ GENERATOR_VERSION = 2
 
 def corpus_path(name: str, seed: int, n_docs: int,
                 root: str = "/tmp/pdfxr_fixtures",
-                pathological_frac: float = 0.01) -> str:
+                pathological_frac: float = 0.01,
+                giant_frac: float = 0.0) -> str:
     # every generation parameter is part of the cache key — a stale corpus
     # generated with different knobs must never be silently reused
+    # (giant_frac=0 keeps the pre-existing path spelling so caches from
+    # before the skew tier stay valid)
+    g = f"-g{giant_frac}" if giant_frac > 0.0 else ""
     return os.path.join(
-        root, f"{name}-v{GENERATOR_VERSION}-s{seed}-n{n_docs}-p{pathological_frac}")
+        root,
+        f"{name}-v{GENERATOR_VERSION}-s{seed}-n{n_docs}-p{pathological_frac}{g}")
 
 
 def _write_shard(path: str, seed: int, start: int, count: int,
-                 pathological_frac: float) -> str:
+                 pathological_frac: float, giant_frac: float = 0.0,
+                 giant_clustered: bool = False) -> str:
     shard = os.path.join(path, f"part-{start:08d}.parquet")
     if not os.path.exists(shard):
-        tbl = generate_docs_table(seed, start, count, pathological_frac)
+        tbl = generate_docs_table(seed, start, count, pathological_frac,
+                                  giant_frac, giant_clustered)
         pq.write_table(tbl, shard + f".tmp{os.getpid()}")
         os.replace(shard + f".tmp{os.getpid()}", shard)
     return shard
@@ -273,7 +295,9 @@ def ensure_corpus(name: str, seed: int, n_docs: int,
                   pathological_frac: float = 0.01,
                   shard_rows: int = 1000,
                   root: str = "/tmp/pdfxr_fixtures",
-                  use_ray: bool = False) -> str:
+                  use_ray: bool = False,
+                  giant_frac: float = 0.0,
+                  giant_clustered: bool = False) -> str:
     """Generate (once, cached) a corpus as a directory of parquet shards.
 
     Sharded so readers parallelize; content depends only on (seed, index),
@@ -281,7 +305,10 @@ def ensure_corpus(name: str, seed: int, n_docs: int,
     shards generate as parallel Ray tasks — content is identical either
     way. Returns the directory path.
     """
-    path = corpus_path(name, seed, n_docs, root, pathological_frac)
+    path = corpus_path(name, seed, n_docs, root, pathological_frac,
+                       giant_frac)
+    if giant_clustered:
+        path += "-clustered"
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
@@ -292,13 +319,16 @@ def ensure_corpus(name: str, seed: int, n_docs: int,
         if ray.is_initialized():
             task = ray.remote(num_cpus=1)(_write_shard)
             ray.get([task.remote(path, seed, s, min(shard_rows, n_docs - s),
-                                 pathological_frac) for s in starts])
+                                 pathological_frac, giant_frac,
+                                 giant_clustered)
+                     for s in starts])
         else:
             use_ray = False
     if not use_ray:
         for s in starts:
             _write_shard(path, seed, s, min(shard_rows, n_docs - s),
-                         pathological_frac)
+                         pathological_frac, giant_frac, giant_clustered)
     with open(done, "w") as f:
-        f.write(f"{seed} {n_docs} {pathological_frac}\n")
+        f.write(f"{seed} {n_docs} {pathological_frac} {giant_frac} "
+                f"{giant_clustered}\n")
     return path

@@ -24,25 +24,141 @@ from ..stages.layout import LayoutParser, layout_parse
 from ..stages.reassemble import reassemble_spans
 
 
-def bucket_by_size(ds: Dataset, boundaries=(50, 200, 1000)) -> Dataset:
-    """Skew control (SURVEY.md §4): bucket docs by span count and sort
-    descending so pathological multi-hundred-page docs are scheduled
-    FIRST and spread across workers instead of straggling at the tail.
-    This is a full shuffle — apply it only when the corpus has a heavy
-    tail worth paying the exchange for (the resumable runner gets the
-    same effect for free from largest-shard-first dispatch)."""
+def spread_skew(ds: Dataset) -> Dataset:
+    """Skew control (SURVEY.md §4): de-cluster pathological
+    multi-hundred-page docs by re-ordering the corpus on a uniform
+    doc-id hash, so every downstream block carries a fair share of the
+    giant tail instead of whole blocks of giants serializing on a few
+    workers (the "book dump" shape: one input shard holding all the
+    giants).
+
+    Design note, from measurement (bench.py --skew): the textbook
+    giants-FIRST sort is an anti-pattern under Ray Data's block
+    scheduling — ordering by size CLUSTERS the giants into a handful of
+    consecutive blocks, concentrating ~80% of the page mass on 2-3
+    tasks; it measured 17x slower than no bucketing on a 50k-doc/1%
+    -giant corpus. Under streaming execution with backpressure, workers
+    stay fed until the input exhausts, so scheduling giants early buys
+    nothing; what matters is that no single block is giant-heavy, which
+    the uniform-hash re-order guarantees (~Poisson giants per block).
+
+    This is a full payload shuffle — apply it only when the input is
+    actually clustered AND per-doc compute is heavy enough that the
+    straggler outweighs one exchange (``decide_skew_bucketing`` models
+    exactly that; the resumable runner gets a similar effect for free
+    from largest-shard-first dispatch)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def add_spread(batch: pa.Table) -> pa.Table:
+        spread = pd.util.hash_array(
+            batch["doc_id"].to_numpy(zero_copy_only=False)
+            .astype(object)).view(np.int64)
+        return batch.append_column("_spread", pa.array(spread))
+
+    return ds.map_batches(add_spread, batch_format="pyarrow") \
+             .sort("_spread") \
+             .drop_columns(["_spread"])
+
+
+# kept for callers of the old name; semantics are the spread re-order
+bucket_by_size = spread_skew
+
+
+def skew_profile(input_path: str) -> dict:
+    """Cheap distributed pre-pass for the auto-bucketing decision: reads
+    ONLY the ``n_pages`` int32 column (column-pruned at the parquet
+    reader), reduces per-block partials (docs, pages, giant docs/pages,
+    max) to one tiny row each, and sums them on the driver — the driver
+    never sees per-doc data, so this holds at 10^12 docs."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
+    import ray.data as rd
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        n = pc.list_value_length(batch["spans"]).to_numpy(zero_copy_only=False)
-        bucket = np.digitize(n, np.asarray(boundaries))
-        return batch.append_column("size_bucket",
-                                   pa.array(bucket, type=pa.int8()))
+    def partial(batch: pa.Table) -> pa.Table:
+        # one partial row per input FILE (not per block: the tiny
+        # one-column read coalesces files differently than the real
+        # payload read does; the file is the stable clustering unit)
+        n = batch["n_pages"].to_numpy(zero_copy_only=False).astype(np.int64)
+        paths = batch["path"].to_numpy(zero_copy_only=False)
+        rows = []
+        for p in np.unique(paths):
+            m = n[paths == p]
+            giant = m >= GIANT_PAGES
+            rows.append({"docs": len(m), "pages": int(m.sum()),
+                         "giant_docs": int(giant.sum()),
+                         "giant_pages": int(m[giant].sum()),
+                         "max_pages": int(m.max()) if len(m) else 0,
+                         "path": str(p)})
+        return pa.Table.from_pylist(rows)
 
-    return ds.map_batches(add_bucket, batch_format="pyarrow") \
-             .sort("size_bucket", descending=True)
+    parts = (rd.read_parquet(input_path, columns=["n_pages"],
+                             include_paths=True)
+             .map_batches(partial, batch_format="pyarrow", batch_size=None)
+             .to_pandas())
+    if parts.empty:
+        return {"docs": 0, "pages": 0, "giant_docs": 0, "giant_pages": 0,
+                "max_pages": 0, "max_file_pages": 0, "n_files": 0}
+    # a file can straddle blocks: re-sum per path before the max
+    per_file = parts.groupby("path")["pages"].sum()
+    out = {c: int(parts[c].sum()) for c in
+           ("docs", "pages", "giant_docs", "giant_pages")}
+    out["max_pages"] = int(parts["max_pages"].max())
+    # per-file page mass exposes CLUSTERING (one input shard holding
+    # all the giants), which is what the spread re-order actually fixes
+    out["max_file_pages"] = int(per_file.max())
+    out["n_files"] = int(len(per_file))
+    return out
+
+
+GIANT_PAGES = 200        # a doc this long counts toward the heavy tail
+GIANT_TAIL_SHARE = 0.05  # giants holding >=5% of page mass have a real tail
+# measured exchange throughput of the spread re-order on this engine
+# (50k-doc/1% giant corpus, 32 CPUs: ~570k pages re-ordered in ~9 s)
+SORT_PAGES_PER_SEC_PER_CPU = 2_000.0
+# measured per-page cost of the full light chain (read -> classify ->
+# layout -> reassemble -> write) at 32 CPUs: 4.7 s x 32 / 572k pages.
+# Callers with heavy model stages (real OCR/VLM) pass their measured
+# per-page seconds instead.
+DEFAULT_SEC_PER_PAGE = 250e-6
+
+
+def decide_skew_bucketing(input_path: str, *,
+                          sec_per_page: float = DEFAULT_SEC_PER_PAGE,
+                          cluster_cpus: int | None = None) -> bool:
+    """Auto skew policy (SURVEY.md §4), a measured cost model — NOT
+    "spread whenever a tail exists": the spread re-order is a full
+    payload exchange, so it pays only when the serialized hot-file
+    work it breaks up exceeds the exchange's own cost. Validated
+    against the bench.py --skew 2x2 grid (BASELINE.md): iid giants
+    light/heavy -> False/False (spread measured 0.35x/0.70x — a pure
+    loss), clustered giants light/heavy -> True/True (spread measured
+    2.5x/7.2x wins). It enables when BOTH hold:
+
+    (a) the giant tail is real (giants >= GIANT_PAGES pages hold >=
+        GIANT_TAIL_SHARE of page mass) and CLUSTERED — one input
+        file's page mass far exceeds the even share, the "book dump"
+        shape ``skew_profile``'s per-file partials expose. An iid
+        giant corpus needs no spread: every block already carries
+        ~Poisson(giant_frac x rows) giants.
+    (b) the serialized hot-file work (max_file_pages x sec_per_page)
+        exceeds the ideal parallel share plus the exchange's estimated
+        cost. ``sec_per_page`` defaults to the measured light-chain
+        cost; real OCR/VLM model stages (~0.1-1 s/page) pass their
+        measured value and flip the decision at far milder
+        clustering."""
+    p = skew_profile(input_path)
+    if p["pages"] == 0 or p["giant_pages"] / p["pages"] < GIANT_TAIL_SHARE:
+        return False
+    if cluster_cpus is None:
+        from ..functions.cluster import cluster_cpus as _cc
+        cluster_cpus = _cc()
+    ncpu = max(cluster_cpus, 1)
+    exchange_sec = p["pages"] / (SORT_PAGES_PER_SEC_PER_CPU * ncpu)
+    straggler_sec = p["max_file_pages"] * sec_per_page
+    ideal_sec = p["pages"] * sec_per_page / ncpu
+    return straggler_sec - ideal_sec > exchange_sec
 
 
 def extract_pipeline(ds: Dataset, *, batch_size: int = 256,
@@ -69,7 +185,7 @@ def extract_pipeline(ds: Dataset, *, batch_size: int = 256,
       sub-millisecond-per-doc work, so not the default here.
     """
     if skew_bucketing:
-        ds = bucket_by_size(ds)
+        ds = spread_skew(ds)
     ds = ds.map_batches(classify_spans, batch_format="pyarrow",
                         batch_size=batch_size)
     if layout_mode == "tasks":
@@ -91,6 +207,8 @@ def extract_pipeline(ds: Dataset, *, batch_size: int = 256,
 
 def run_extract(input_path: str, output_path: str | None = None,
                 **kwargs) -> Dataset:
+    if kwargs.get("skew_bucketing") == "auto":
+        kwargs["skew_bucketing"] = decide_skew_bucketing(input_path)
     out = extract_pipeline(read_docs(input_path), **kwargs)
     if output_path is not None:
         out.write_parquet(output_path)

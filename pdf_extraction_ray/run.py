@@ -3,7 +3,7 @@ argparse mains)::
 
     python -m pdf_extraction_ray.run --input <docs dir> --output <dir> \
         [--pipeline extract|resumable|analysis] [--limit N] \
-        [--run-id RUN] [--num-cpus N] [--skew-bucketing]
+        [--run-id RUN] [--num-cpus N] [--skew-bucketing [on|off|auto]]
 
     # run any registered query over an sf-style table dir -> parquet
     python -m pdf_extraction_ray.run --query <name> --input <sf dir> \
@@ -42,7 +42,13 @@ def main(argv=None) -> int:
     p.add_argument("--run-id", default="run0")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=256)
-    p.add_argument("--skew-bucketing", action="store_true")
+    p.add_argument("--skew-bucketing", nargs="?", const="on", default="off",
+                   choices=["on", "off", "auto"],
+                   help="spread re-order for clustered giant-doc skew; "
+                        "'auto' runs the cheap n_pages pre-pass cost "
+                        "model (--sec-per-page declares per-page stage "
+                        "cost; default = measured light-chain cost)")
+    p.add_argument("--sec-per-page", type=float, default=None)
     p.add_argument("--compact", action="store_true",
                    help="compact --input's small parquet shards into "
                         "~--target-rows files at --output")
@@ -107,16 +113,25 @@ def main(argv=None) -> int:
         return 0
     if args.pipeline == "resumable":
         for flag, val in (("--limit", args.limit),
-                          ("--skew-bucketing", args.skew_bucketing or None)):
+                          ("--skew-bucketing",
+                           None if args.skew_bucketing == "off"
+                           else args.skew_bucketing)):
             if val is not None:
                 print(f"warning: {flag} is ignored by --pipeline resumable",
                       file=sys.stderr)
         stats = run_extract_resumable(args.input, args.output,
                                       run_id=args.run_id)
     else:
-        if args.pipeline == "analysis" and args.skew_bucketing:
+        if args.pipeline == "analysis" and args.skew_bucketing != "off":
             print("warning: --skew-bucketing is ignored by --pipeline "
                   "analysis", file=sys.stderr)
+        bucketing = args.skew_bucketing == "on"
+        if args.skew_bucketing == "auto":
+            from .pipelines.extract import decide_skew_bucketing
+            kw = {} if args.sec_per_page is None else \
+                {"sec_per_page": args.sec_per_page}
+            bucketing = decide_skew_bucketing(args.input, **kw)
+            print(f"auto skew bucketing: {bucketing}", file=sys.stderr)
         ds = read_docs(args.input)
         if args.limit is not None:
             ds = ds.limit(args.limit)
@@ -125,7 +140,7 @@ def main(argv=None) -> int:
             out = analysis_pipeline(ds, batch_size=args.batch_size)
         else:
             out = extract_pipeline(ds, batch_size=args.batch_size,
-                                   skew_bucketing=args.skew_bucketing)
+                                   skew_bucketing=bucketing)
         out.write_parquet(args.output)
         stats = {"rows": "written"}
     print(json.dumps({"pipeline": args.pipeline, "output": args.output,
