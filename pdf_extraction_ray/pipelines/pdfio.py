@@ -109,11 +109,10 @@ def ensure_pdf_render(sf_dir: str, root: str = "/tmp/pdfxr_fixtures") -> str:
     return path
 
 
-def pdf_ingest_extract(sf_dir: str) -> pd.DataFrame:
-    """documents -> PDFs -> parse -> extract -> per-doc class counts."""
-    pdf_dir = ensure_pdf_render(sf_dir)
-    out = extract_pipeline(read_pdf_docs(pdf_dir))
-
+def _ingest_counts(out) -> pd.DataFrame:
+    """Extraction output Dataset -> per-doc span/class/char counts (the
+    shared verification surface of every binary-ingestion slice: PDF and
+    HTML must land on the SAME counts from the same rendered text)."""
     def agg(batch: pa.Table) -> pa.Table:
         spans = batch.column("spans").combine_chunks()
         flat = spans.flatten()
@@ -146,6 +145,12 @@ def pdf_ingest_extract(sf_dir: str) -> pd.DataFrame:
 
     df = out.map_batches(agg, batch_format="pyarrow").to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def pdf_ingest_extract(sf_dir: str) -> pd.DataFrame:
+    """documents -> PDFs -> parse -> extract -> per-doc class counts."""
+    pdf_dir = ensure_pdf_render(sf_dir)
+    return _ingest_counts(extract_pipeline(read_pdf_docs(pdf_dir)))
 
 
 _WS_SET = "' ' || chr(9) || chr(13) || chr(10) || chr(12) || chr(11)"

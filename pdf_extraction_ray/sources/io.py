@@ -32,12 +32,18 @@ def read_docs(path: str, **kwargs) -> "ray.data.Dataset":
     if path.endswith(".pdf"):
         from .pdf import read_pdf_docs
         return read_pdf_docs(path, **kwargs)
+    if path.endswith((".html", ".htm")):
+        from .html import read_html_docs
+        return read_html_docs(path, **kwargs)
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not files:
             if glob.glob(os.path.join(path, "*.pdf")):
                 from .pdf import read_pdf_docs
                 return read_pdf_docs(path, **kwargs)
+            if glob.glob(os.path.join(path, "*.html")):
+                from .html import read_html_docs
+                return read_html_docs(path, **kwargs)
             raise FileNotFoundError(
                 f"no parquet shards in {path!r} (generation incomplete or "
                 "wrong path?)")
