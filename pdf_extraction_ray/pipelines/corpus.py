@@ -1673,7 +1673,172 @@ def corpus_zipf_fit(sf_dir: str):
         "r2_x1e6": [np.int64(round(r2 * 1e6))]})
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (hashed-feature domain matching)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256      # md5-prefix hashed feature space. DSIR (Xie et
+                        # al. 2023) uses ~10k hashed n-gram buckets; 256
+                        # two-hex-char buckets keep the DuckDB oracle
+                        # bit-exact and the lift table broadcast-trivial.
+DSIR_TARGET_LANG = "en"
+DSIR_TOP_K = 50
+
+
+def _dsir_buckets(batch: pa.Table):
+    """Flat (bucket_idx int array, parent doc idx) for one batch — the
+    oracle's tokenization (lower/trim/``\\s+``, empty tokens dropped),
+    bucketed by the first two hex chars of each token's md5 (the md5
+    runs once per UNIQUE token per batch: vocabulary-bounded python)."""
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = as_array(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(
+            pc.fill_null(text, ""))), T.TOKEN_SPLIT_RE))
+    flat = as_array(pc.list_flatten(toks))
+    parent = as_array(pc.list_parent_indices(toks)) \
+        .to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat_np = flat.to_numpy(zero_copy_only=False)[nonempty]
+    parent = parent[nonempty]
+    if len(flat_np) == 0:
+        return np.zeros(0, dtype=np.int64), parent
+    uniq, inv = np.unique(flat_np, return_inverse=True)
+    bk = np.fromiter(
+        (int(hashlib.md5(str(t).encode("utf-8")).hexdigest()[:2], 16)
+         for t in uniq), dtype=np.int64, count=len(uniq))
+    return bk[inv], parent
+
+
+def corpus_dsir_selection(sf_dir: str):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every candidate
+    document in the raw pool (lang != DSIR_TARGET_LANG) by how much its
+    hashed token-feature distribution resembles the TARGET domain
+    (lang == DSIR_TARGET_LANG), and keep the top-DSIR_TOP_K.
+
+    Log-free integer-exact formulation (this engine's keyness idiom, so
+    the oracle hashes bit-exact): per bucket b,
+    ``lift_x1e6 = (ct+1)(Nr+B) * 1e6 // ((cr+1)(Nt+B))`` — the
+    add-one-smoothed target/raw frequency ratio in fixed point (DSIR's
+    per-feature log-ratio as a monotone ratio instead of a log); doc
+    weight = floor-mean lift over the doc's token occurrences.
+
+    Scale shape: pass 1 pre-aggregates (bucket, ct, cr) per batch and
+    exchanges B-bounded partials (the driver only ever holds 256 rows);
+    the lift table broadcasts via ``ray.put``; pass 2 is one
+    embarrassingly-parallel scoring pass plus a distributed
+    (weight desc, doc_id) sort-limit. No token instance ever shuffles.
+    Output: (doc_id, n_tokens, weight_x1e6, sel_rank)."""
+    import ray
+
+    B = DSIR_BUCKETS
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("doc_id", "n_tokens", "weight_x1e6",
+                           "sel_rank")})
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        bk, parent = _dsir_buckets(batch)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        tl = lang[parent] if len(parent) else lang[:0]
+        is_t = tl == DSIR_TARGET_LANG
+        is_r = (tl != DSIR_TARGET_LANG) & pd.notna(tl)
+        ct = np.bincount(bk[is_t], minlength=B)
+        cr = np.bincount(bk[is_r], minlength=B)
+        nz = np.nonzero(ct | cr)[0]
+        return pa.Table.from_pydict({
+            "bucket": nz.astype(np.int64),
+            "ct": ct[nz].astype(np.int64),
+            "cr": cr[nz].astype(np.int64)})
+
+    counts = (ds.map_batches(part, batch_format="pyarrow",
+                             batch_size=None)
+              .groupby("bucket")
+              .aggregate(Sum("ct", alias_name="ct"),
+                         Sum("cr", alias_name="cr"))
+              .to_pandas())               # <= 256 rows by construction
+    if counts.empty or int(counts["cr"].sum()) == 0:
+        return empty
+    nt, nr = int(counts["ct"].sum()), int(counts["cr"].sum())
+    lift = np.zeros(B, dtype=np.int64)
+    for b, ct, cr in counts[["bucket", "ct", "cr"]].itertuples(index=False):
+        # python ints: (ct+1)(Nr+B)*1e6 overflows int64 at web scale
+        lift[int(b)] = (int(ct) + 1) * (nr + B) * 1_000_000 \
+            // ((int(cr) + 1) * (nt + B))
+    lift_ref = ray.put(lift)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lf = ray.get(lift_ref)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)
+        raw = pa.array((lang != DSIR_TARGET_LANG) & pd.notna(lang))
+        batch = batch.filter(raw)
+        bk, parent = _dsir_buckets(batch)
+        n_tok = np.bincount(parent, minlength=len(batch)).astype(np.int64)
+        # lift*count sums stay < 2^53, so float64 bincount is exact
+        tot = np.bincount(parent, weights=lf[bk].astype(np.float64),
+                          minlength=len(batch)).astype(np.int64) \
+            if len(parent) else np.zeros(len(batch), dtype=np.int64)
+        keep = n_tok > 0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": ids[keep].astype(np.int64),
+            "n_tokens": n_tok[keep],
+            "weight_x1e6": tot[keep] // n_tok[keep]})
+
+    out = (ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+           .sort(["weight_x1e6", "doc_id"], descending=[True, False])
+           .limit(DSIR_TOP_K)
+           .to_pandas())
+    if out.empty:
+        return empty
+    out["sel_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.astype({c: "int64" for c in
+                       ("doc_id", "n_tokens", "weight_x1e6", "sel_rank")})
+
+
+DSIR_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, t AS token
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_split_to_array(
+                   trim(lower(coalesce(text, ''))), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+b AS (SELECT doc_id, lang, substr(md5(token), 1, 2) AS bucket FROM tok),
+cnt AS (SELECT bucket,
+          CAST(COUNT(*) FILTER (lang = '{DSIR_TARGET_LANG}')
+               AS BIGINT) AS ct,
+          CAST(COUNT(*) FILTER (lang <> '{DSIR_TARGET_LANG}')
+               AS BIGINT) AS cr
+        FROM b GROUP BY 1),
+tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM cnt),
+lift AS (SELECT bucket,
+           CAST(CAST(ct + 1 AS HUGEINT) * (nr + {DSIR_BUCKETS}) * 1000000
+                // (CAST(cr + 1 AS HUGEINT) * (nt + {DSIR_BUCKETS}))
+                AS BIGINT) AS lift_x1e6
+         FROM cnt, tot),
+doc AS (SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CAST(l.lift_x1e6 AS HUGEINT)) // COUNT(*)
+                    AS BIGINT) AS weight_x1e6
+        FROM b JOIN lift l USING (bucket)
+        WHERE b.lang <> '{DSIR_TARGET_LANG}'
+        GROUP BY 1)
+SELECT doc_id, n_tokens, weight_x1e6,
+       CAST(ROW_NUMBER() OVER (ORDER BY weight_x1e6 DESC, doc_id)
+            AS BIGINT) AS sel_rank
+FROM doc
+ORDER BY weight_x1e6 DESC, doc_id
+LIMIT {DSIR_TOP_K}
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "corpus_dsir_selection": (corpus_dsir_selection, DSIR_SQL),
     "corpus_word_embeddings": (corpus_word_embeddings, None),
     "corpus_zipf_fit": (corpus_zipf_fit, None),
     "corpus_phrase_search": (corpus_phrase_search, PHRASE_SQL),

@@ -382,3 +382,28 @@ def test_zipf_fit_on_planted_power_law(tmp_path):
     slope = out["slope_x1e6"].iloc[0] / 1e6
     assert -1.1 < slope < -0.9
     assert out["r2_x1e6"].iloc[0] > 980_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_ranks_targetlike_doc_first(tmp_path):
+    """DSIR semantics: a raw-pool doc WRITTEN IN the target domain's
+    vocabulary must outrank raw-pool docs written in non-target
+    vocabulary (the whole point of importance resampling)."""
+    from pdf_extraction_ray.pipelines.corpus import corpus_dsir_selection
+    target_vocab = "stream batch shuffle arrow block " * 6
+    other_vocab = "bonjour monde fleuve papier hiver " * 6
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [target_vocab, target_vocab,          # the target domain
+                 target_vocab,                        # raw doc, target-like
+                 other_vocab, other_vocab, other_vocab],
+        "lang": ["en", "en", "fr", "fr", "de", "zh"],
+        "source": ["s0"] * 6})
+    d = tmp_path / "dsir"
+    d.mkdir()
+    df.to_parquet(str(d / "documents.parquet"))
+    out = corpus_dsir_selection(str(d))
+    assert list(out["doc_id"]) [0] == 2          # target-like raw doc wins
+    assert int(out.loc[0, "sel_rank"]) == 1
+    assert out["weight_x1e6"].iloc[0] > out["weight_x1e6"].iloc[1]
+    assert set(out["doc_id"]) == {2, 3, 4, 5}    # target docs never selected
