@@ -33,7 +33,42 @@ from ..state.manifest import (PartitionManifest, data_path,
                               write_manifest)
 
 
-def _process_shard(shard: str, out_dir: str, run_id: str,
+def _read_partition(shard) -> "pa.Table":
+    """One partition's DOCS_SCHEMA table: a parquet shard path, or a
+    tuple ("pdf"|"html", [files...]) for binary-document corpora."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if isinstance(shard, str):
+        return pq.read_table(shard)
+    kind, files = shard
+    if kind == "pdf":
+        from ..sources.pdf import parse_pdf as parse
+    else:
+        from ..sources.html import parse_html as parse
+    from ..schema import DOCS_SCHEMA
+    rows = []
+    for f in files:
+        with open(f, "rb") as fh:
+            rows.append(parse(fh.read()))
+    return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+
+
+def _shard_fingerprint(shard) -> str:
+    """Size:mtime for a parquet shard; a combined digest of every
+    member file's (name, size, mtime) for a binary file group — any
+    member changing, appearing, or vanishing changes the fingerprint."""
+    if isinstance(shard, str):
+        return input_fingerprint(shard)
+    import hashlib
+    h = hashlib.md5()
+    for f in shard[1]:
+        h.update(os.path.basename(f).encode())
+        h.update(input_fingerprint(f).encode())
+    return f"group:{len(shard[1])}:{h.hexdigest()[:16]}"
+
+
+def _process_shard(shard, out_dir: str, run_id: str,
                    partition_id: str) -> dict:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -44,9 +79,11 @@ def _process_shard(shard: str, out_dir: str, run_id: str,
 
     t0 = time.perf_counter()
     fp = "unavailable"
+    src = shard if isinstance(shard, str) else \
+        f"{shard[0]}-group[{len(shard[1])}]:{shard[1][0]}"
     try:
-        fp = input_fingerprint(shard)       # inside try: a vanished shard
-        table = pq.read_table(shard)        # is error-as-data, not job death
+        fp = _shard_fingerprint(shard)      # inside try: a vanished shard
+        table = _read_partition(shard)      # is error-as-data, not job death
         out = reassemble_spans(layout_parse(classify_spans(table)))
         dst = data_path(out_dir, partition_id)
         tmp = dst + f".tmp{os.getpid()}"
@@ -55,51 +92,81 @@ def _process_shard(shard: str, out_dir: str, run_id: str,
         fsync_file(tmp)      # data durable BEFORE its ok-manifest exists
         os.replace(tmp, dst)
         n_spans = int(pc.sum(pc.list_value_length(out["spans"])).as_py() or 0)
-        m = PartitionManifest(partition_id, run_id, shard, fp, "ok",
+        m = PartitionManifest(partition_id, run_id, src, fp, "ok",
                               out.num_rows, n_spans,
                               round(time.perf_counter() - t0, 3))
     except Exception as e:                      # error-as-data, not job death
-        m = PartitionManifest(partition_id, run_id, shard, fp, "error",
+        m = PartitionManifest(partition_id, run_id, src, fp, "error",
                               0, 0, round(time.perf_counter() - t0, 3),
                               error=repr(e)[:500])
     write_manifest(out_dir, m)
     return {"partition_id": partition_id, "status": m.status}
 
 
+BINARY_GROUP_FILES = 256    # binary-doc corpora: files per partition
+
+
+def _list_partitions(input_dir: str) -> list[tuple]:
+    """(shard, partition_id) pairs for a corpus directory.
+
+    Parquet shards partition 1:1 (the original contract). Binary-doc
+    corpora (.pdf/.html files, incl. one subdirectory level — the
+    ``shard=NN`` layout the ingest renders use) partition as
+    deterministic lexicographic groups of BINARY_GROUP_FILES files:
+    at 10^12 documents, one manifest per FILE would itself be a
+    metadata explosion, while a group is the same unit of re-work a
+    parquet shard is."""
+    shards = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if shards:
+        return [(s, os.path.splitext(os.path.basename(s))[0])
+                for s in shards]
+    for kind in ("pdf", "html"):
+        files = sorted(glob.glob(os.path.join(input_dir, f"*.{kind}"))
+                       + glob.glob(os.path.join(input_dir, "*",
+                                                f"*.{kind}")))
+        if files:
+            return [((kind, files[i:i + BINARY_GROUP_FILES]),
+                     f"{kind}-{i:010d}")
+                    for i in range(0, len(files), BINARY_GROUP_FILES)]
+    return []
+
+
 def run_extract_resumable(input_dir: str, out_dir: str, run_id: str = "run0",
                           max_partitions: int | None = None) -> dict:
-    """Process every input shard not yet completed for this output dir.
+    """Process every input partition not yet completed for this output
+    dir — parquet shards or raw PDF/HTML document corpora.
 
     ``max_partitions`` limits this invocation (used by tests to simulate a
     killed run). Returns {"processed": n, "skipped": n, "errors": n}.
     """
     os.makedirs(out_dir, exist_ok=True)
-    shards = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    parts = _list_partitions(input_dir)
     # one manifest snapshot: deriving 'done' from a second listing would
     # race against concurrent manifest changes
     manifests = read_manifests(out_dir)
     done = {pid for pid, m in manifests.items()
             if m.status == "ok" and os.path.exists(data_path(out_dir, pid))}
 
-    def _safe_stat(p: str) -> int:
+    def _safe_stat(shard) -> int:
         try:                 # a shard vanishing mid-listing is error-as-data
-            return os.stat(p).st_size
+            if isinstance(shard, str):
+                return os.stat(shard).st_size
+            return sum(os.stat(f).st_size for f in shard[1])
         except OSError:
             return 0
 
-    def _safe_fp(p: str) -> str:
+    def _safe_fp(shard) -> str:
         try:
-            return input_fingerprint(p)
+            return _shard_fingerprint(shard)
         except OSError:
             return "vanished"
 
     todo = []
-    for shard in shards:
-        pid = os.path.splitext(os.path.basename(shard))[0]
+    for shard, pid in parts:
         if pid in done and manifests[pid].input_fingerprint == _safe_fp(shard):
             continue                             # completed + input unchanged
         todo.append((shard, pid))
-    skipped = len(shards) - len(todo)
+    skipped = len(parts) - len(todo)
     if max_partitions is not None:
         todo = todo[:max_partitions]
 

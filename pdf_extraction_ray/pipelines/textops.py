@@ -1548,7 +1548,44 @@ FROM q ORDER BY source
 """
 
 
+COMPRESSION_GATE_X1E6 = 300_000   # ratio below 0.30 => degenerate doc
+
+
+def doc_compression_ratio(sf_dir: str):
+    """Compression-ratio quality signal (the MassiveText/RefinedWeb
+    -lineage repetition detector): ``ratio_x1e6 = len(zlib(text)) * 1e6
+    // len(utf8(text))``. Highly repetitive or templated text
+    compresses far below natural prose (~0.4-0.7 for English); a
+    near-zero ratio flags degenerate machine-generated pages that
+    token-level Gopher rules can miss (long-range repetition). Adds a
+    ``degenerate`` flag at ratio < 0.30. Not SQL-expressible (no zlib
+    in DuckDB) — differential-tested against direct zlib plus planted
+    repetitive docs. Embarrassingly parallel; zlib releases the GIL, so
+    the per-row loop is C-bound.
+    Output: (doc_id, n_bytes, ratio_x1e6, degenerate)."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        nb, ratio = [], []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            nb.append(len(raw))
+            ratio.append(len(zlib.compress(raw, 6)) * 1_000_000
+                         // len(raw) if raw else 0)
+        nb_a = pa.array(nb, type=pa.int64())
+        r_a = pa.array(ratio, type=pa.int64())
+        return pa.Table.from_arrays(
+            [batch["doc_id"], nb_a, r_a,
+             pa.array([0 < r < COMPRESSION_GATE_X1E6 for r in ratio])],
+            names=["doc_id", "n_bytes", "ratio_x1e6", "degenerate"])
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow",
+                                     batch_size=None)
+
+
 TEXT_QUERIES: dict[str, tuple] = {
+    "doc_compression_ratio": (doc_compression_ratio, None),
     "docs_dup_rate_by_source": (docs_dup_rate_by_source, DUP_RATE_SQL),
     "source_token_allocation": (source_token_allocation, ALLOC_SQL),
     "docs_sft_render": (docs_sft_render, SFT_RENDER_SQL),

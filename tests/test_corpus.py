@@ -407,3 +407,37 @@ def test_dsir_ranks_targetlike_doc_first(tmp_path):
     assert int(out.loc[0, "sel_rank"]) == 1
     assert out["weight_x1e6"].iloc[0] > out["weight_x1e6"].iloc[1]
     assert set(out["doc_id"]) == {2, 3, 4, 5}    # target docs never selected
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compression_ratio_differential_and_planted(tmp_path):
+    """doc_compression_ratio matches direct zlib exactly, and a
+    degenerate repetitive doc gates while natural-ish prose passes."""
+    import zlib
+    from pdf_extraction_ray.pipelines.textops import (
+        COMPRESSION_GATE_X1E6, doc_compression_ratio)
+    rng = np.random.default_rng(9)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    natural = " ".join(
+        "".join(rng.choice(alpha, size=int(rng.integers(4, 9))))
+        for _ in range(400))        # high-entropy prose stand-in
+    degenerate = "spam " * 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [natural, degenerate, "", "tiny"],
+        "lang": ["en"] * 4, "source": ["s0"] * 4})
+    d = tmp_path / "cr"
+    d.mkdir()
+    df.to_parquet(str(d / "documents.parquet"))
+    out = doc_compression_ratio(str(d)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, t in enumerate(df["text"]):
+        raw = t.encode()
+        want = len(zlib.compress(raw, 6)) * 1_000_000 // len(raw) \
+            if raw else 0
+        assert int(out.loc[i, "ratio_x1e6"]) == want
+        assert int(out.loc[i, "n_bytes"]) == len(raw)
+    assert bool(out.loc[1, "degenerate"])           # "spam spam spam..."
+    assert not bool(out.loc[0, "degenerate"])       # natural-ish prose
+    assert not bool(out.loc[2, "degenerate"])       # empty: no signal
+    assert int(out.loc[1, "ratio_x1e6"]) < COMPRESSION_GATE_X1E6

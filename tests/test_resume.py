@@ -91,3 +91,65 @@ def test_matches_streaming_pipeline(tmp_path):
                                for s in r["spans"]]
                  for r in extract_pipeline(read_docs(corpus)).take_all()}
     assert _spans_by_doc(out) == streaming
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_over_binary_html_corpus(tmp_path, monkeypatch):
+    """The checkpoint path over a raw-document corpus (north rule:
+    documents-in, resumable): .html files partition into deterministic
+    file groups, kill+resume matches uninterrupted, and the output is
+    span-identical to the streaming pipeline over the same corpus."""
+    import pdf_extraction_ray.pipelines.resumable as R
+    from pdf_extraction_ray.pipelines import extract_pipeline
+    from pdf_extraction_ray.sources import read_docs
+    from pdf_extraction_ray.sources.html import ensure_html_corpus
+
+    monkeypatch.setattr(R, "BINARY_GROUP_FILES", 40)   # 120 files -> 3 parts
+    corpus = ensure_html_corpus("t-resume-html", seed=13, n_docs=120)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    r = R.run_extract_resumable(corpus, a)
+    assert r["processed"] == 3 and r["errors"] == 0
+
+    r1 = R.run_extract_resumable(corpus, b, max_partitions=1)
+    assert r1["processed"] == 1
+    r2 = R.run_extract_resumable(corpus, b)
+    assert r2["skipped"] == 1 and r2["processed"] == 2
+    assert _spans_by_doc(a) == _spans_by_doc(b)
+
+    # idempotent third run: everything skips
+    r3 = R.run_extract_resumable(corpus, b)
+    assert r3["processed"] == 0 and r3["skipped"] == 3
+
+    # lineage: manifests carry the group source + fingerprint
+    ms = read_manifests(b)
+    assert len(ms) == 3
+    assert all(m.input_fingerprint.startswith("group:40:")
+               for m in ms.values())
+
+    # streaming-path equality
+    stream = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"],
+                             s["offset"]) for s in r["spans"]]
+              for r in extract_pipeline(read_docs(corpus)).take_all()}
+    assert _spans_by_doc(a) == stream
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_binary_group_fingerprint_invalidates_on_change(tmp_path):
+    """Touching ONE file inside a completed group re-runs exactly that
+    group (the per-partition lineage contract)."""
+    import pdf_extraction_ray.pipelines.resumable as R
+    from pdf_extraction_ray.sources.html import write_html_corpus
+    from pdf_extraction_ray.fixtures.generator import generate_docs_table
+
+    src = tmp_path / "src"
+    src.mkdir()
+    write_html_corpus(generate_docs_table(3, 0, 10), str(src))
+    out = str(tmp_path / "out")
+    r = R.run_extract_resumable(str(src), out)
+    assert r["processed"] == 1
+
+    f = sorted(glob.glob(str(src / "*.html")))[0]
+    os.utime(f, (1, 1))                      # mtime change = new fingerprint
+    r2 = R.run_extract_resumable(str(src), out)
+    assert r2["processed"] == 1 and r2["skipped"] == 0
