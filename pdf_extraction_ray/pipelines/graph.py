@@ -833,27 +833,39 @@ def orders_similar_baskets(sf_dir: str):
 
     def emit_prefixes(g: pd.DataFrame) -> pd.DataFrame:
         freq = ray.get(freq_ref)
+        ept = pd.DataFrame({"token": pd.Series(dtype="int64"),
+                            "order_id": pd.Series(dtype="int64"),
+                            "basket": pd.Series(dtype="object"),
+                            "pos": pd.Series(dtype="int64")})
         b = g.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
+        if b.empty:
+            return ept
         b["f"] = b["l_partkey"].map(freq)
         b = b.sort_values(["l_orderkey", "f", "l_partkey"])
-        tokens, orders, baskets, poss = [], [], [], []
-        for o, grp in b.groupby("l_orderkey", sort=False):
-            parts = grp["l_partkey"].to_numpy()
-            s = len(parts)
-            plen = s - (s + 1) // 2 + 1        # s - ceil(t*s) + 1, t=0.5
-            basket = np.sort(parts)
-            for pos, tok in enumerate(parts[:plen]):
-                tokens.append(int(tok))
-                orders.append(int(o))
-                baskets.append(basket)
-                poss.append(pos)               # canonical-order position
-        if not tokens:
-            return pd.DataFrame({"token": pd.Series(dtype="int64"),
-                                 "order_id": pd.Series(dtype="int64"),
-                                 "basket": pd.Series(dtype="object"),
-                                 "pos": pd.Series(dtype="int64")})
-        return pd.DataFrame({"token": tokens, "order_id": orders,
-                             "basket": baskets, "pos": poss})
+        # fully vectorized prefix emission (the old per-order python
+        # loop with per-token appends was the partition's hot spot):
+        # run-length boundaries give per-order position/size, the
+        # prefix mask is pos < |X| - ceil(t*|X|) + 1 (t = 0.5), and the
+        # basket an emitted row carries is its order's row-slice
+        # (verify() uses it as an UNORDERED set)
+        keys = b["l_orderkey"].to_numpy()
+        parts = b["l_partkey"].to_numpy()
+        new = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(keys)]
+        size = np.repeat(ends - starts, ends - starts)
+        pos = np.arange(len(keys)) - np.repeat(starts, ends - starts)
+        plen = size - (size + 1) // 2 + 1      # s - ceil(t*s) + 1, t=0.5
+        order_idx = np.cumsum(new) - 1         # 0-based order per row
+        baskets = [parts[s:e] for s, e in zip(starts, ends)]
+        mask = pos < plen
+        if not mask.any():
+            return ept
+        return pd.DataFrame({
+            "token": parts[mask].astype(np.int64),
+            "order_id": keys[mask].astype(np.int64),
+            "basket": [baskets[i] for i in order_idx[mask]],
+            "pos": pos[mask].astype(np.int64)})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
