@@ -310,7 +310,143 @@ def rag_mmr_contexts(sf_dir: str, context_k: int = CONTEXT_K):
             .sort("query_id"))
 
 
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (the sparse baseline every RAG stack pairs with
+# the dense path above)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = "merge sort join stream"   # fixed eval query, corpus-domain
+BM25_TOP_K = 20
+
+
+def bm25_reference(texts: list, query: str,
+                   k1: float = BM25_K1, b: float = BM25_B) -> list:
+    """Pure-python BM25 (Lucene idf: ln(1 + (N-df+0.5)/(df+0.5))) — the
+    differential oracle for ``bm25_topk``. Returns [(idx, score), ...]
+    for docs with score > 0, sorted (score desc, idx). Token = the
+    engine's lower/split contract."""
+    import math
+    toks = [t.lower().split() for t in texts]
+    q = query.lower().split()
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n if n else 0.0
+    idf = {}
+    for w in set(q):
+        df = sum(1 for t in toks if w in t)
+        idf[w] = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    out = []
+    for i, t in enumerate(toks):
+        dl = len(t)
+        s = 0.0
+        for w in q:
+            tf = t.count(w)
+            if tf:
+                s += idf[w] * tf * (k1 + 1.0) \
+                    / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        if s > 0.0:
+            out.append((i, s))
+    out.sort(key=lambda p: (-p[1], p[0]))
+    return out
+
+
+def bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """Distributed BM25 over ``documents.text`` for the fixed eval
+    query. Two passes, neither shuffles a token: pass 1 folds
+    (per-query-term df, N, total token count) partials — |Q|+2 ints
+    per block — on the driver; pass 2 scores each doc against the
+    broadcast idf table (vectorized token-mask bincounts) and keeps a
+    distributed (score desc, doc_id) top-K. Differential-tested
+    bit-exact against ``bm25_reference`` (same float ops in the same
+    order); rows-only for the driver (ln() fixed-point is not
+    SQL-hash-stable). Output: (doc_id, score_x1e6, bm_rank)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    q_terms = BM25_QUERY.lower().split()
+    uniq_q = sorted(set(q_terms))
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                          ("doc_id", "score_x1e6", "bm_rank")})
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _tok(batch: pa.Table):
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = pc.split_pattern(pc.utf8_lower(
+            pc.fill_null(text, "")), " ")
+        # python str.split() drops empty tokens; split_pattern keeps
+        # them — mask them out so dl matches the reference exactly
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat_np = flat.to_numpy(zero_copy_only=False)[keep]
+        return flat_np, parent[keep]
+
+    def part(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok(batch)
+        n = len(batch)
+        dl = np.bincount(parent, minlength=n)
+        dfs = []
+        for w in uniq_q:
+            hit = np.bincount(parent[flat == w], minlength=n) > 0
+            dfs.append(int(hit.sum()))
+        return pa.Table.from_pydict({
+            "df": [np.asarray(dfs, dtype=np.int64).tobytes()],
+            "n": [n], "len": [int(dl.sum())]})
+
+    dfv = np.zeros(len(uniq_q), dtype=np.int64)
+    n_docs = 0
+    total_len = 0
+    for b in ds.map_batches(part, batch_format="pyarrow",
+                            batch_size=None) \
+            .iter_batches(batch_format="pyarrow", batch_size=None):
+        for part_b in b["df"].to_pylist():
+            dfv += np.frombuffer(part_b, dtype=np.int64)
+        n_docs += int(pc.sum(b["n"]).as_py() or 0)
+        total_len += int(pc.sum(b["len"]).as_py() or 0)
+    if n_docs == 0:
+        return empty
+    avgdl = total_len / n_docs
+    # python-math ln, same as the reference (term-at-a-time float order)
+    idf = {w: math.log(1.0 + (n_docs - int(df) + 0.5) / (int(df) + 0.5))
+           for w, df in zip(uniq_q, dfv)}
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok(batch)
+        n = len(batch)
+        dl = np.bincount(parent, minlength=n).astype(np.float64)
+        denom_base = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        s = np.zeros(n, dtype=np.float64)
+        for w in q_terms:           # reference iterates q, not set(q)
+            tf = np.bincount(parent[flat == w],
+                             minlength=n).astype(np.float64)
+            hit = tf > 0
+            s[hit] += idf[w] * tf[hit] * (BM25_K1 + 1.0) \
+                / (tf[hit] + denom_base[hit])
+        keep = s > 0.0
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": ids[keep].astype(np.int64),
+            "score_x1e6": np.floor(s[keep] * 1e6).astype(np.int64)})
+
+    out = (ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+           .sort(["score_x1e6", "doc_id"], descending=[True, False])
+           .limit(BM25_TOP_K)
+           .to_pandas())
+    if out.empty:
+        return empty
+    out["bm_rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.astype({c: "int64" for c in
+                       ("doc_id", "score_x1e6", "bm_rank")})
+
+
 RETRIEVAL_QUERIES: dict[str, tuple] = {
+    "bm25_topk": (bm25_topk, None),
     "rag_mmr_contexts": (rag_mmr_contexts, None),
     "chunk_stats": (chunk_stats, None),
     "rag_topk_contexts": (rag_topk_contexts, None),

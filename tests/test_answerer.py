@@ -143,3 +143,50 @@ def test_mmr_contexts_diversify():
 
     plain = rag_topk_contexts(SF).to_pandas()
     assert (mmr.context.values != plain.context.values).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_topk_matches_pure_reference():
+    """Distributed BM25 is bit-exact against the pure-python reference
+    (same float ops in the same order), after applying the same x1e6
+    quantized (score desc, doc_id) tie-break to both."""
+    import numpy as np
+    import pandas as pd
+    from pdf_extraction_ray.pipelines.retrieval import (
+        BM25_QUERY, BM25_TOP_K, bm25_reference, bm25_topk)
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ref = bm25_reference(docs["text"].tolist(), BM25_QUERY)
+    exp = pd.DataFrame({
+        "doc_id": [int(docs["doc_id"].iloc[i]) for i, _ in ref],
+        "score_x1e6": [int(np.floor(s * 1e6)) for _, s in ref]})
+    exp = exp.sort_values(["score_x1e6", "doc_id"],
+                          ascending=[False, True]).head(BM25_TOP_K) \
+        .reset_index(drop=True)
+    exp["bm_rank"] = np.arange(1, len(exp) + 1, dtype=np.int64)
+
+    got = bm25_topk(sf).reset_index(drop=True)
+    assert len(got) == BM25_TOP_K          # query terms exist in corpus
+    pd.testing.assert_frame_equal(got, exp.astype(got.dtypes.to_dict()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_planted_relevant_doc_ranks_first(tmp_path):
+    import numpy as np
+    import pandas as pd
+    from pdf_extraction_ray.pipelines.retrieval import (
+        BM25_QUERY, bm25_topk)
+    filler = "alpha beta gamma delta epsilon " * 20
+    relevant = (BM25_QUERY + " ") * 5 + filler
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": [filler] * 9 + [relevant],
+        "lang": ["en"] * 10, "source": ["s0"] * 10})
+    d = tmp_path / "bm25"
+    d.mkdir()
+    df.to_parquet(str(d / "documents.parquet"))
+    out = bm25_topk(str(d))
+    assert int(out.loc[0, "doc_id"]) == 9
+    assert len(out) == 1                   # filler docs score exactly 0
