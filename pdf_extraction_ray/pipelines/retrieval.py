@@ -445,8 +445,77 @@ def bm25_topk(sf_dir: str) -> pd.DataFrame:
                        ("doc_id", "score_x1e6", "bm_rank")})
 
 
+RRF_C = 60                  # the standard reciprocal-rank-fusion constant
+RRF_SCALE = 1_000_000_000   # integer RRF: SCALE // (C + rank), exact
+
+
+def hybrid_rrf_topk(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the sparse (BM25)
+    and dense (embedding-cosine) document rankings for the fixed eval
+    query — the standard production pairing. RRF in exact integers:
+    ``rrf = sum over lists of RRF_SCALE // (RRF_C + rank)`` (a doc
+    missing from a list contributes 0), so distributed summation order
+    cannot perturb results.
+
+    Scale shape: both input rankings are top-K-bounded (the dense side
+    is one embed-and-score pass with per-batch partial top-K — no
+    shuffle), so the fusion itself touches only <= 2K rows on the
+    driver. Output: (doc_id, rrf_x1e9, in_sparse, in_dense, rank)."""
+    cols = ("doc_id", "rrf_x1e9", "in_sparse", "in_dense", "rank")
+    sparse = bm25_topk(sf_dir)
+
+    # dense leg: doc-level embeddings vs the embedded query, per-batch
+    # partial top-K then one tiny global merge
+    embedder = HashEmbedder(text_col="text")
+    qv = embedder.embed(pa.array([BM25_QUERY]))[0]
+    qref = ray.put(qv)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        emb = HashEmbedder(text_col="text")
+        m = emb.embed(batch["text"].combine_chunks()
+                      if isinstance(batch["text"], pa.ChunkedArray)
+                      else batch["text"])
+        s = m @ q
+        k = min(BM25_TOP_K, len(s))
+        top = np.argpartition(-s, k - 1)[:k] if k else np.array([], int)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "doc_id": ids[top].astype(np.int64),
+            "score_x1e6": np.floor(s[top] * 1e6).astype(np.int64)})
+
+    dense = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+             .map_batches(score, batch_format="pyarrow", batch_size=None)
+             .sort(["score_x1e6", "doc_id"], descending=[True, False])
+             .limit(BM25_TOP_K)
+             .to_pandas())
+    if sparse.empty and dense.empty:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    dense["d_rank"] = np.arange(1, len(dense) + 1, dtype=np.int64)
+
+    fused: dict[int, dict] = {}
+    for _, r in sparse.iterrows():
+        fused[int(r["doc_id"])] = {
+            "rrf": RRF_SCALE // (RRF_C + int(r["bm_rank"])),
+            "s": 1, "d": 0}
+    for _, r in dense.iterrows():
+        e = fused.setdefault(int(r["doc_id"]), {"rrf": 0, "s": 0, "d": 0})
+        e["rrf"] += RRF_SCALE // (RRF_C + int(r["d_rank"]))
+        e["d"] = 1
+    out = pd.DataFrame(
+        [(k, v["rrf"], v["s"], v["d"]) for k, v in fused.items()],
+        columns=["doc_id", "rrf_x1e9", "in_sparse", "in_dense"])
+    out = out.sort_values(["rrf_x1e9", "doc_id"],
+                          ascending=[False, True]).head(BM25_TOP_K) \
+        .reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.astype({c: "int64" for c in cols})
+
+
 RETRIEVAL_QUERIES: dict[str, tuple] = {
     "bm25_topk": (bm25_topk, None),
+    "hybrid_rrf_topk": (hybrid_rrf_topk, None),
     "rag_mmr_contexts": (rag_mmr_contexts, None),
     "chunk_stats": (chunk_stats, None),
     "rag_topk_contexts": (rag_topk_contexts, None),

@@ -190,3 +190,28 @@ def test_bm25_planted_relevant_doc_ranks_first(tmp_path):
     out = bm25_topk(str(d))
     assert int(out.loc[0, "doc_id"]) == 9
     assert len(out) == 1                   # filler docs score exactly 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hybrid_rrf_fusion_semantics(tmp_path):
+    """RRF: a doc ranked #1 by BOTH legs must fuse above a doc ranked
+    #1 by only one; integer RRF contributions are exact."""
+    from pdf_extraction_ray.pipelines.retrieval import (
+        BM25_QUERY, RRF_C, RRF_SCALE, hybrid_rrf_topk)
+    filler = "alpha beta gamma delta epsilon " * 20
+    both = (BM25_QUERY + " ") * 10                 # lexical AND dense hit
+    sparse_only = (BM25_QUERY + " ") + filler * 3  # diluted dense cosine
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [filler] * 6 + [sparse_only, both],
+        "lang": ["en"] * 8, "source": ["s0"] * 8})
+    d = tmp_path / "rrf"
+    d.mkdir()
+    df.to_parquet(str(d / "documents.parquet"))
+    out = hybrid_rrf_topk(str(d))
+    top = out.iloc[0]
+    assert int(top["doc_id"]) == 7
+    assert int(top["in_sparse"]) == 1 and int(top["in_dense"]) == 1
+    # doc 7 leads both legs -> exact double first-rank contribution
+    assert int(top["rrf_x1e9"]) == 2 * (RRF_SCALE // (RRF_C + 1))
+    assert set(out["doc_id"]).issuperset({6, 7})
