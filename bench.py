@@ -819,7 +819,13 @@ def main():
                          "events_error_incidents",
                          "orders_repeat_conversion",
                          "orders_revenue_waterfall",
-                         "events_anomalous_users_iqr"]
+                         "events_anomalous_users_iqr",
+                         # round-3 operators
+                         "pdf_ingest_extract", "html_ingest_extract",
+                         "web_curation_funnel", "corpus_dsir_selection",
+                         "doc_compression_ratio", "bm25_topk",
+                         "hybrid_rrf_topk",
+                         "dedup_fingerprint_jaccard"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
