@@ -822,6 +822,7 @@ def main():
                          "events_anomalous_users_iqr",
                          # round-3 operators
                          "pdf_ingest_extract", "html_ingest_extract",
+                         "warc_ingest_extract",
                          "web_curation_funnel", "corpus_dsir_selection",
                          "doc_compression_ratio", "bm25_topk",
                          "hybrid_rrf_topk",

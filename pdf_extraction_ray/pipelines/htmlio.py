@@ -82,6 +82,73 @@ def html_ingest_extract(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WARC containers: the crawl-scale packaging of the same web entry point
+# ---------------------------------------------------------------------------
+
+_WARC_DOCS_PER_FILE = 128
+_WARC_RENDER_VERSION = 1
+
+WARC_INGEST_SQL = PDF_INGEST_SQL
+
+
+def ensure_warc_render(sf_dir: str,
+                       root: str = "/tmp/pdfxr_fixtures") -> str:
+    """Render (once, cached) ``{sf_dir}/documents.parquet`` into
+    multi-document ``.warc.gz`` containers (the CommonCrawl packaging:
+    gzip member per record, 128 docs per container). A container must
+    be written WHOLE by one task (read batches don't align to doc-id
+    ranges), so the render is one container-keyed groupby exchange —
+    each group writes exactly its own ``part-N.warc.gz`` (atomic
+    tmp+rename), making the layout deterministic, parallel and
+    resumable."""
+    from ..sources.warc import write_warc_file
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(root, f"warcingest-v{_WARC_RENDER_VERSION}-{key}")
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+
+    def tag_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        part = pc.divide(pc.cast(batch.column("doc_id"), pa.int64()),
+                         _WARC_DOCS_PER_FILE)
+        return batch.append_column("_part", pc.cast(part, pa.int64()))
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", key=lambda s: s.astype("int64"))
+        part = int(g["_part"].iloc[0])
+        rows = _render_rows(pa.Table.from_pandas(
+            g.drop(columns="_part"), preserve_index=False))
+        n = write_warc_file(
+            rows, os.path.join(path, f"part-{part:06d}.warc.gz"))
+        return pd.DataFrame({"n": [n]})
+
+    (ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+     .map_batches(tag_part, batch_format="pyarrow")
+     .groupby("_part")
+     .map_groups(write_group, batch_format="pandas")
+     .sum("n"))
+    with open(done, "w") as f:
+        f.write(sf_dir + "\n")
+    return path
+
+
+def warc_ingest_extract(sf_dir: str) -> pd.DataFrame:
+    """documents -> WARC containers -> record scan -> DOM parse ->
+    extract -> class counts. Same oracle as the PDF/HTML slices, so the
+    driver's rows+schema+hash gate covers WARC framing, per-record gzip
+    members, HTTP status/content-type filtering, and the markup round
+    trip in one check."""
+    from ..sources.warc import read_warc_docs
+    from .pdfio import _ingest_counts
+    warc_dir = ensure_warc_render(sf_dir)
+    return _ingest_counts(extract_pipeline(read_warc_docs(warc_dir)))
+
+
+# ---------------------------------------------------------------------------
 # End-to-end web curation funnel: raw markup files in, training docs out
 # ---------------------------------------------------------------------------
 
@@ -269,5 +336,6 @@ ORDER BY doc_id
 
 HTMLIO_QUERIES: dict[str, tuple] = {
     "html_ingest_extract": (html_ingest_extract, HTML_INGEST_SQL),
+    "warc_ingest_extract": (warc_ingest_extract, WARC_INGEST_SQL),
     "web_curation_funnel": (web_curation_funnel, WEB_FUNNEL_SQL),
 }

@@ -35,6 +35,9 @@ def read_docs(path: str, **kwargs) -> "ray.data.Dataset":
     if path.endswith((".html", ".htm")):
         from .html import read_html_docs
         return read_html_docs(path, **kwargs)
+    if path.endswith((".warc", ".warc.gz")):
+        from .warc import read_warc_docs
+        return read_warc_docs(path, **kwargs)
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not files:
@@ -44,6 +47,10 @@ def read_docs(path: str, **kwargs) -> "ray.data.Dataset":
             if glob.glob(os.path.join(path, "*.html")):
                 from .html import read_html_docs
                 return read_html_docs(path, **kwargs)
+            if glob.glob(os.path.join(path, "*.warc")) \
+                    or glob.glob(os.path.join(path, "*.warc.gz")):
+                from .warc import read_warc_docs
+                return read_warc_docs(path, **kwargs)
             raise FileNotFoundError(
                 f"no parquet shards in {path!r} (generation incomplete or "
                 "wrong path?)")
