@@ -826,7 +826,8 @@ def main():
                          "web_curation_funnel", "corpus_dsir_selection",
                          "doc_compression_ratio", "bm25_topk",
                          "hybrid_rrf_topk",
-                         "dedup_fingerprint_jaccard"]
+                         "dedup_fingerprint_jaccard",
+                         "docs_url_dedup", "docs_domain_stats"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -26,6 +26,7 @@ def all_queries() -> dict[str, tuple]:
     from .pipelines.mleval import MLEVAL_QUERIES
     from .pipelines.pdfio import PDFIO_QUERIES
     from .pipelines.htmlio import HTMLIO_QUERIES
+    from .pipelines.weburl import WEBURL_QUERIES
 
     out: dict[str, tuple] = {}
     for reg in (RELATIONAL_QUERIES, TPCH_QUERIES, TEXT_QUERIES,
@@ -34,6 +35,7 @@ def all_queries() -> dict[str, tuple]:
                 RETRIEVAL_QUERIES, MEDIA_QUERIES, COMPARE_QUERIES,
                 STREAMING_QUERIES, PACKING_QUERIES, STORAGE_QUERIES,
                 GRAPH_QUERIES, STATS_QUERIES, RANKS_QUERIES,
-                MLEVAL_QUERIES, PDFIO_QUERIES, HTMLIO_QUERIES):
+                MLEVAL_QUERIES, PDFIO_QUERIES, HTMLIO_QUERIES,
+                WEBURL_QUERIES):
         out.update(reg)
     return out
