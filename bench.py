@@ -827,7 +827,8 @@ def main():
                          "doc_compression_ratio", "bm25_topk",
                          "hybrid_rrf_topk",
                          "dedup_fingerprint_jaccard",
-                         "docs_url_dedup", "docs_domain_stats"]
+                         "docs_url_dedup", "docs_domain_stats",
+                         "docs_repetition_signals"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
