@@ -828,7 +828,9 @@ def main():
                          "hybrid_rrf_topk",
                          "dedup_fingerprint_jaccard",
                          "docs_url_dedup", "docs_domain_stats",
-                         "docs_repetition_signals"]
+                         "docs_repetition_signals",
+                         "docs_c4_line_clean",
+                         "docs_domain_reputation_filter"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

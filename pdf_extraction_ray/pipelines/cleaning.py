@@ -1,0 +1,278 @@
+"""C4-style line-level cleaning tier (Raffel et al. 2020, §2.2 "C4").
+
+The public C4 pipeline cleans Common Crawl with LINE-granular rules:
+keep only lines that end in a terminal punctuation mark and contain at
+least five words; drop any page that contains "lorem ipsum" or a curly
+brace (JavaScript leak), or that retains fewer than three lines.
+
+The driver's ``documents`` table is single-line word soup, so — exactly
+like the PDF/HTML ingestion slices (`pipelines/pdfio.py`) — each query
+first derives a deterministic *page render* from ``(doc_id, text)``
+with the SAME expression in Ray and in the DuckDB oracle: fixed
+40-char line chunks, plus a per-line decoration drawn from a pure
+integer mix of ``(doc_id, line_no)`` that plants terminal punctuation
+(~2/3 of lines), rare "lorem ipsum" markers and rare "{" leaks. The
+rules then have real work to do, and the rows+schema+hash gate covers
+render + rule kernel + rollup end to end.
+
+Scale shape: the whole operator is ONE ``map_batches`` pass — the line
+explosion, rule predicates and per-document rollup all happen inside
+the batch (numpy ``bincount`` over list-parent indices), so no line
+ever crosses the exchange and output is one short row per surviving
+document. The per-batch loop runs once per line INDEX (bounded by the
+longest document in the batch), each iteration a vectorized Arrow
+kernel over every document that still has that line — total work is
+O(total lines), not O(rows × max lines).
+
+Reference analog: the reference engine has no corpus-cleaning stage;
+this tier exists for the 100-TB training-data use the north rule
+targets (C4/RefinedWeb/FineWeb-style curation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+_LINE = 40                  # chars per rendered line
+_MIN_WORDS = 5              # C4: ">= 5 words per retained line"
+_MIN_KEPT = 3               # C4: ">= 3 sentences per retained page"
+_MIX_A = 1000003            # line-decoration mix (doc term)
+_MIX_B = 7919               # line-decoration mix (line term)
+_MOD = 1000
+_LOREM_R = 421              # r == 421 -> line carries " lorem ipsum."
+_BRACE_R = 737              # r == 737 -> line carries " {"
+
+
+def _line_features(batch: pa.Table):
+    """Render lines for one batch and evaluate the C4 predicates.
+
+    Returns per-doc int64 aggregates (n_lines, n_kept, kept_chars,
+    kept_words) plus a per-doc "contains lorem-ipsum / brace" flag.
+    """
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    txt = batch.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n = len(ids)
+    n_chunks = (lens + _LINE - 1) // _LINE
+
+    n_lines = n_chunks.copy()
+    n_kept = np.zeros(n, dtype=np.int64)
+    kept_chars = np.zeros(n, dtype=np.int64)
+    kept_words = np.zeros(n, dtype=np.int64)
+    bad = np.zeros(n, dtype=bool)
+
+    max_g = int(n_chunks.max()) if n else 0
+    for g in range(max_g):
+        sel = n_chunks > g
+        idx = np.flatnonzero(sel)
+        sl = pc.utf8_slice_codeunits(txt.filter(pa.array(sel)),
+                                     _LINE * g, _LINE * (g + 1))
+        r = (ids[idx] * _MIX_A + g * _MIX_B) % _MOD
+        suffix = np.select([r == _LOREM_R, r == _BRACE_R, r % 3 != 0],
+                           [" lorem ipsum.", " {", "."], default="")
+        dec = pc.binary_join_element_wise(sl, pa.array(suffix), "")
+        ends = pc.ends_with(dec, pattern=".").to_numpy(
+            zero_copy_only=False)
+        words = pc.count_substring(dec, " ").to_numpy(
+            zero_copy_only=False).astype(np.int64) + 1
+        chars = pc.utf8_length(dec).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        has_bad = pc.or_(pc.match_substring(dec, "lorem ipsum"),
+                         pc.match_substring(dec, "{")) \
+            .to_numpy(zero_copy_only=False)
+        kept = ends & (words >= _MIN_WORDS)
+        n_kept[idx] += kept
+        kept_chars[idx] += np.where(kept, chars, 0)
+        kept_words[idx] += np.where(kept, words, 0)
+        bad[idx] |= has_bad
+    return ids, n_lines, n_kept, kept_chars, kept_words, bad
+
+
+def docs_c4_line_clean(sf_dir: str):
+    """C4 line-level cleaning: render 40-char lines, keep lines ending
+    in terminal punctuation with >= 5 words, drop pages containing
+    "lorem ipsum" / "{" or retaining < 3 lines. One short row per
+    surviving document; zero exchange."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, n_lines, n_kept, kept_chars, kept_words, bad = \
+            _line_features(batch)
+        keep = (~bad) & (n_kept >= _MIN_KEPT)
+        return pa.Table.from_pydict({
+            "doc_id": ids[keep], "n_lines": n_lines[keep],
+            "n_kept": n_kept[keep], "kept_chars": kept_chars[keep],
+            "kept_words": kept_words[keep]})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=None).sort("doc_id")
+
+
+_R_EXPR = f"(CAST(doc_id AS BIGINT) * {_MIX_A} + g * {_MIX_B}) % {_MOD}"
+
+C4_LINE_CLEAN_SQL = f"""
+WITH gs AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+         unnest(range(0, CAST(ceil(length(coalesce(text, ''))
+                                   / {_LINE}.0) AS BIGINT))) AS g
+  FROM documents),
+lines AS (
+  SELECT doc_id,
+         substring(txt, 1 + {_LINE} * CAST(g AS INT), {_LINE})
+         || CASE WHEN {_R_EXPR} = {_LOREM_R} THEN ' lorem ipsum.'
+                 WHEN {_R_EXPR} = {_BRACE_R} THEN ' {{'
+                 WHEN {_R_EXPR} % 3 <> 0 THEN '.'
+                 ELSE '' END AS t
+  FROM gs),
+feat AS (
+  SELECT doc_id,
+         (t LIKE '%.') AND
+           (length(t) - length(replace(t, ' ', '')) + 1)
+             >= {_MIN_WORDS} AS kept,
+         contains(t, 'lorem ipsum') OR contains(t, '{{') AS bad,
+         CAST(length(t) AS BIGINT) AS chars,
+         CAST(length(t) - length(replace(t, ' ', '')) + 1
+              AS BIGINT) AS words
+  FROM lines)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (kept) AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(chars) FILTER (kept), 0) AS BIGINT)
+         AS kept_chars,
+       CAST(coalesce(sum(words) FILTER (kept), 0) AS BIGINT)
+         AS kept_words
+FROM feat
+GROUP BY doc_id
+HAVING NOT bool_or(bad) AND count(*) FILTER (kept) >= {_MIN_KEPT}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-reputation filter (RefinedWeb-style whole-domain drop, but with
+# the threshold LEARNED from the corpus instead of a fixed constant)
+# ---------------------------------------------------------------------------
+
+_N_SUB = 64                 # subdomains per source -> domain cardinality
+
+
+def _domains(ids: np.ndarray, source) -> np.ndarray:
+    """Deterministic subdomain per document (twin of `_DOMAIN_SQL`):
+    64 subdomains per source, so the domain side has real cardinality
+    instead of one row per source."""
+    i = np.asarray(ids, dtype=np.int64)
+    src = pd.Series(np.asarray(source, dtype=object)).fillna("")
+    return ("w" + pd.Series(i % _N_SUB).astype(str) + "." + src
+            + ".example.com").to_numpy()
+
+
+_DOMAIN_SQL = f"""
+  SELECT doc_id, source, n_chars,
+         'w' || CAST(doc_id % {_N_SUB} AS VARCHAR) || '.' || source
+             || '.example.com' AS domain
+  FROM documents
+"""
+
+
+def docs_domain_reputation_filter(sf_dir: str):
+    """Two-pass domain-reputation gate with a corpus-learned threshold:
+    pass 1 pre-reduces (domain, sum(n_chars), count) partials into one
+    vocabulary-sized exchange; the global mean chars/doc (integer,
+    floor) comes from the SAME partials at no extra pass; domains whose
+    integer mean >= the global mean pass, and the passing-domain set
+    broadcasts back as a semi-join filter (domain vocabulary is
+    crawl-host-sized — at true web scale swap the broadcast for the
+    byte-capped semi-join exchange the dedup tier uses). Output: per
+    source, surviving doc count + chars."""
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dom = _domains(ids, batch.column("source")
+                       .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "domain": dom,
+            "c": batch.column("n_chars").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n": np.ones(len(batch), dtype=np.int64)})
+        return pa.Table.from_pandas(
+            df.groupby("domain", as_index=False).sum(),
+            preserve_index=False).replace_schema_metadata(None)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("domain")
+           .aggregate(_Sum("c", alias_name="c"),
+                      _Sum("n", alias_name="n"))
+           .to_pandas())
+    if agg.empty:
+        return pd.DataFrame({"source": pd.Series(dtype="object"),
+                             "n_docs_kept": pd.Series(dtype="int64"),
+                             "n_chars_kept": pd.Series(dtype="int64")})
+    thr = int(agg["c"].sum()) // int(agg["n"].sum())
+    # integer cross-multiplied mean test: c // n >= thr
+    passing = set(agg.loc[agg["c"] // agg["n"] >= thr, "domain"])
+    pass_ref = ray.put(passing)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ok = ray.get(pass_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dom = _domains(ids, batch.column("source")
+                       .to_numpy(zero_copy_only=False))
+        mask = np.array([d in ok for d in dom], dtype=bool) \
+            if len(ids) else np.zeros(0, dtype=bool)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        chars = batch.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        df = pd.DataFrame({"source": src[mask], "c": chars[mask],
+                           "n": np.ones(int(mask.sum()),
+                                        dtype=np.int64)})
+        g = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    out = (ds.map_batches(gate, batch_format="pyarrow", batch_size=None)
+           .groupby("source")
+           .aggregate(_Sum("c", alias_name="n_chars_kept"),
+                      _Sum("n", alias_name="n_docs_kept"))
+           .to_pandas())
+    out = out.astype({"n_chars_kept": "int64", "n_docs_kept": "int64"})
+    return out[["source", "n_docs_kept", "n_chars_kept"]] \
+        .sort_values("source").reset_index(drop=True)
+
+
+DOMAIN_REPUTATION_SQL = f"""
+WITH d AS ({_DOMAIN_SQL}),
+g AS (SELECT domain, CAST(sum(n_chars) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY domain),
+thr AS (SELECT CAST(sum(c) // sum(n) AS BIGINT) AS t FROM g),
+keep AS (SELECT domain FROM g, thr WHERE c // n >= t)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS n_chars_kept
+FROM d JOIN keep USING (domain)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+CLEANING_QUERIES: dict[str, tuple] = {
+    "docs_c4_line_clean": (docs_c4_line_clean, C4_LINE_CLEAN_SQL),
+    "docs_domain_reputation_filter": (docs_domain_reputation_filter,
+                                      DOMAIN_REPUTATION_SQL),
+}

@@ -1,0 +1,130 @@
+"""C4 line-level cleaning tier: planted-document rule checks plus a
+bit-exact DuckDB differential over the planted table (the sf-table
+parity runs in test_oracle_parity.py; this file proves the RULES bite
+on documents constructed to hit each drop path)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_extraction_ray.pipelines.cleaning import (
+    CLEANING_QUERIES, _LINE, _MIX_A, _MIX_B, _MOD, _LOREM_R, _BRACE_R,
+    docs_c4_line_clean, docs_domain_reputation_filter)
+
+# doc_id solving (doc_id * _MIX_A) % _MOD == r for line 0
+# (_MIX_A % 1000 == 3; inverse of 3 mod 1000 is 667)
+_LOREM_DOC = (_LOREM_R * 667) % _MOD          # 807
+_BRACE_DOC = (_BRACE_R * 667) % _MOD          # 579
+assert (_LOREM_DOC * _MIX_A) % _MOD == _LOREM_R
+assert (_BRACE_DOC * _MIX_A) % _MOD == _BRACE_R
+
+
+def _plant(tmp_path):
+    """Planted corpus: one lorem doc, one brace doc, one too-short doc,
+    plus a spread of clean docs long enough to survive."""
+    long_text = ("alpha beta gamma delta epsilon zeta " * 8).strip()
+    rows = [
+        {"doc_id": _LOREM_DOC, "text": long_text, "lang": "en",
+         "source": "s0", "n_chars": len(long_text)},
+        {"doc_id": _BRACE_DOC, "text": long_text, "lang": "en",
+         "source": "s0", "n_chars": len(long_text)},
+        {"doc_id": 5, "text": "tiny doc", "lang": "en",
+         "source": "s0", "n_chars": 8},
+    ]
+    for i in range(20):
+        did = 1000 + i
+        rows.append({"doc_id": did, "text": long_text, "lang": "en",
+                     "source": f"s{i % 3}", "n_chars": len(long_text)})
+    df = pd.DataFrame(rows)
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    d = os.path.join(str(tmp_path), "sf")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(d, "documents.parquet"))
+    return d, df
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    return con.sql(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestC4LineClean:
+    def test_planted_rules_and_differential(self, tmp_path):
+        sf, df = _plant(tmp_path)
+        out = docs_c4_line_clean(sf).to_pandas()
+        ids = set(out["doc_id"])
+        # lorem-ipsum page dropped whole (C4 rule)
+        assert _LOREM_DOC not in ids
+        # curly-brace (javascript) page dropped whole
+        assert _BRACE_DOC not in ids
+        # too-short page (< 3 retained lines) dropped
+        assert 5 not in ids
+        # clean long docs survive (unless a planted decoration hits
+        # them — verify the exact set against the oracle)
+        ora = _oracle(sf, CLEANING_QUERIES["docs_c4_line_clean"][1])
+        pd.testing.assert_frame_equal(_canon(out), _canon(ora),
+                                      check_dtype=False)
+        assert len(out) >= 15  # the rules keep most clean long docs
+
+    def test_kept_lines_counted_not_all(self, tmp_path):
+        # non-terminal lines (r % 3 == 0) must be excluded from n_kept
+        sf, _ = _plant(tmp_path)
+        out = docs_c4_line_clean(sf).to_pandas()
+        assert (out["n_kept"] <= out["n_lines"]).all()
+        assert (out["n_kept"] < out["n_lines"]).any()
+        # kept_chars counts only retained lines: bounded by the
+        # decorated render, not the raw text
+        assert (out["kept_chars"] <= out["n_kept"] * (_LINE + 13)).all()
+
+    def test_empty_table(self, tmp_path):
+        d = os.path.join(str(tmp_path), "empty")
+        os.makedirs(d, exist_ok=True)
+        schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                            ("lang", pa.string()), ("source", pa.string()),
+                            ("n_chars", pa.int64())])
+        pq.write_table(schema.empty_table(),
+                       os.path.join(d, "documents.parquet"))
+        out = docs_c4_line_clean(d).to_pandas()
+        assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDomainReputation:
+    def test_low_reputation_domain_dropped(self, tmp_path):
+        # doc_id % 64 buckets: put tiny docs on one subdomain, large
+        # docs elsewhere -> that domain's mean falls below global mean
+        rows = []
+        for i in range(40):
+            did = i * 64 + (0 if i % 2 == 0 else 1)  # subdomains w0/w1
+            n = 10 if did % 64 == 0 else 1000
+            rows.append({"doc_id": did, "text": "x", "lang": "en",
+                         "source": "s0", "n_chars": n})
+        df = pd.DataFrame(rows).astype({"doc_id": "int64",
+                                        "n_chars": "int64"})
+        d = os.path.join(str(tmp_path), "sf2")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(d, "documents.parquet"))
+        out = docs_domain_reputation_filter(d)
+        # only the 1000-char docs (w1 domain) survive
+        assert out["n_docs_kept"].sum() == 20
+        assert out["n_chars_kept"].sum() == 20 * 1000
+        ora = _oracle(d, CLEANING_QUERIES
+                      ["docs_domain_reputation_filter"][1])
+        pd.testing.assert_frame_equal(_canon(out), _canon(ora),
+                                      check_dtype=False)
