@@ -830,7 +830,8 @@ def main():
                          "docs_url_dedup", "docs_domain_stats",
                          "docs_repetition_signals",
                          "docs_c4_line_clean",
-                         "docs_domain_reputation_filter"]
+                         "docs_domain_reputation_filter",
+                         "corpus_ccnet_buckets"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -633,25 +633,13 @@ ORDER BY doc_id
 LM_VOCAB_K = 65_536
 
 
-def doc_trigram_lm(sf_dir: str):
-    """Two-stage trained-model scoring, the CCNet/KenLM quality-filter
-    shape: (1) TRAIN — per-batch byte-trigram count partials (numpy
-    unique over one shared buffer, no per-row Python) flow through one
-    groupby-sum whose key space is bounded by the charset (<=2^24,
-    practically ~50k), top-K capped so the broadcast model has a fixed
-    ceiling regardless of corpus size; (2) SCORE — the model ships once
-    via ``ray.put`` and every batch computes per-doc mean -log2 p by
-    vectorized lookup + one grouped sum. Returns
-    (doc_id, n_trigrams, nll_x1e3); higher nll = less like the corpus.
-    Not SQL-expressible (trained model) — verified by a pure-python
-    differential test and planted-gibberish ordering tests."""
+def _lm_train(sf_dir: str):
+    """Shared TRAIN pass of the corpus byte-trigram LM (see
+    ``doc_trigram_lm``): per-batch count partials -> one bounded
+    groupby-sum -> top-K capped vocabulary, shipped once via
+    ``ray.put``. Returns the object ref of (vocab, counts, total,
+    v_size)."""
     from ..functions import lm as L
-
-    import pyarrow.dataset as pads
-    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             "n_trigrams": pd.Series(dtype="int64"),
-                             "nll_x1e3": pd.Series(dtype="int64")})
 
     def count_partial(batch: pa.Table) -> pa.Table:
         text = batch["text"].combine_chunks() \
@@ -675,7 +663,32 @@ def doc_trigram_lm(sf_dir: str):
     total = int(counts.sum())
     v_size = len(vocab) + 1
     import ray as _ray
-    model_ref = _ray.put((vocab, counts, total, v_size))
+    return _ray.put((vocab, counts, total, v_size))
+
+
+def doc_trigram_lm(sf_dir: str):
+    """Two-stage trained-model scoring, the CCNet/KenLM quality-filter
+    shape: (1) TRAIN — per-batch byte-trigram count partials (numpy
+    unique over one shared buffer, no per-row Python) flow through one
+    groupby-sum whose key space is bounded by the charset (<=2^24,
+    practically ~50k), top-K capped so the broadcast model has a fixed
+    ceiling regardless of corpus size; (2) SCORE — the model ships once
+    via ``ray.put`` and every batch computes per-doc mean -log2 p by
+    vectorized lookup + one grouped sum. Returns
+    (doc_id, n_trigrams, nll_x1e3); higher nll = less like the corpus.
+    Not SQL-expressible (trained model) — verified by a pure-python
+    differential test and planted-gibberish ordering tests."""
+    import ray as _ray
+
+    from ..functions import lm as L
+
+    import pyarrow.dataset as pads
+    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_trigrams": pd.Series(dtype="int64"),
+                             "nll_x1e3": pd.Series(dtype="int64")})
+
+    model_ref = _lm_train(sf_dir)
 
     def score(batch: pa.Table) -> pa.Table:
         vo, co, tot, vs = _ray.get(model_ref)
@@ -693,6 +706,92 @@ def doc_trigram_lm(sf_dir: str):
             "nll_x1e3": round_half_away(mean * 1000.0)})
 
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def corpus_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document against the corpus byte-trigram LM, split each
+    LANGUAGE's score distribution at its discrete terciles, and report
+    per (lang, bucket) document/token counts — ``head`` is the
+    most-corpus-like third, ``tail`` the least. This is the exact
+    composition CCNet runs to stage Common Crawl for LM training.
+
+    Scale shape: one shared TRAIN pass (``_lm_train``), then ONE
+    scoring scan whose batches emit (lang, nll_x1e3) histogram
+    partials — terciles AND the bucket rollup are both computed from
+    that one histogram, so no per-document row ever reaches the driver
+    and the corpus is never rescanned per threshold. The histogram is
+    bounded by distinct (lang, millibit-score) pairs, the same
+    value-histogram trade the exact-percentile ops document.
+
+    Not SQL-expressible (trained model) — verified by a pure-python
+    end-to-end differential in tests/test_ccnet_buckets.py.
+    Output: (lang, bucket, n_docs, n_tokens)."""
+    import ray as _ray
+
+    from ..functions import lm as L
+    from ..functions.arrow_utils import round_half_away
+
+    empty = pd.DataFrame({"lang": pd.Series(dtype="object"),
+                          "bucket": pd.Series(dtype="object"),
+                          "n_docs": pd.Series(dtype="int64"),
+                          "n_tokens": pd.Series(dtype="int64")})
+    import pyarrow.dataset as pads
+    if pads.dataset(f"{sf_dir}/documents.parquet").count_rows() == 0:
+        return empty
+
+    model_ref = _lm_train(sf_dir)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        vo, co, tot, vs = _ray.get(model_ref)
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        codes, doc_idx = L.trigram_codes(text)
+        sums, ns = L.nll_partials(codes, doc_idx, len(batch),
+                                  vo, co, tot, vs)
+        mean = np.divide(sums, ns, out=np.zeros(len(ns)), where=ns > 0)
+        nll = round_half_away(mean * 1000.0)
+        lang = T.langid(text).to_numpy(zero_copy_only=False)
+        n_tok = T.token_stats(text)["n_tokens"] \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"lang": lang, "nll_x1e3": nll,
+                           "n_docs": np.ones(len(batch), dtype=np.int64),
+                           "n_tokens": n_tok})
+        return pa.Table.from_pandas(
+            df.groupby(["lang", "nll_x1e3"], as_index=False).sum(),
+            preserve_index=False).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+    hist = (_docs(sf_dir)
+            .map_batches(hist_partial, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby(["lang", "nll_x1e3"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"))
+            .to_pandas())
+    if hist.empty:
+        return empty
+
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("nll_x1e3").reset_index(drop=True)
+        cum = g["n_docs"].cumsum().to_numpy()
+        n = int(cum[-1])
+        # discrete quantile: smallest value with cum >= ceil(q * n)
+        t1 = g["nll_x1e3"].to_numpy()[
+            np.searchsorted(cum, -(-n // 3))]          # ceil(n/3)
+        t2 = g["nll_x1e3"].to_numpy()[
+            np.searchsorted(cum, -(-2 * n // 3))]      # ceil(2n/3)
+        v = g["nll_x1e3"].to_numpy()
+        bucket = np.where(v <= t1, "head",
+                          np.where(v <= t2, "middle", "tail"))
+        bg = g.assign(bucket=bucket).groupby("bucket", as_index=False) \
+            .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        bg.insert(0, "lang", lang)
+        rows.append(bg)
+    out = pd.concat(rows, ignore_index=True)
+    return out.astype({"n_docs": "int64", "n_tokens": "int64"}) \
+        .sort_values(["lang", "bucket"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1714,6 +1813,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_text_normalized": (doc_text_normalized, NORMALIZED_SQL),
     "doc_quality_rank": (doc_quality_rank, QUALITY_RANK_SQL),
     "doc_trigram_lm": (doc_trigram_lm, None),
+    "corpus_ccnet_buckets": (corpus_ccnet_buckets, None),
     "doc_model_scores": (doc_model_scores, MODEL_SCORES_SQL),
     "doc_pii_masked": (doc_pii_masked, PII_MASK_SQL),
     "doc_pattern_counts": (doc_pattern_counts, PATTERN_COUNTS_SQL),
