@@ -831,7 +831,8 @@ def main():
                          "docs_repetition_signals",
                          "docs_c4_line_clean",
                          "docs_domain_reputation_filter",
-                         "corpus_ccnet_buckets"]
+                         "corpus_ccnet_buckets",
+                         "corpus_tokenizer_fertility"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

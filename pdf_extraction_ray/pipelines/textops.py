@@ -708,6 +708,63 @@ def doc_trigram_lm(sf_dir: str):
     return _docs(sf_dir).map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+def corpus_tokenizer_fertility(sf_dir: str):
+    """Per-language tokenizer fertility — BPE-ish tokens per whitespace
+    word (x1e6, integer floor), the standard metric for how much a
+    tokenizer over-fragments each language. One partial-aggregated
+    exchange over the language key; the fertility ratio is computed
+    from the summed integer partials, never per doc, so both engines
+    agree bit-exactly. Output: (lang, n_docs, n_words, n_bpe_tokens,
+    fertility_x1e6)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+        stats = T.token_stats(text)
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False),
+            "n_docs": np.ones(len(batch), dtype=np.int64),
+            "n_words": stats["n_tokens"].to_numpy(zero_copy_only=False),
+            "n_bpe_tokens": stats["n_tokens_bpe"]
+            .to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False).sum(),
+            preserve_index=False).replace_schema_metadata(None)
+
+    out = (_docs(sf_dir, columns=["doc_id", "text", "lang"])
+           .map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_words", alias_name="n_words"),
+                      Sum("n_bpe_tokens", alias_name="n_bpe_tokens"))
+           .to_pandas())
+    if out.empty or "lang" not in out.columns:
+        return pd.DataFrame({
+            "lang": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_words": pd.Series(dtype="int64"),
+            "n_bpe_tokens": pd.Series(dtype="int64"),
+            "fertility_x1e6": pd.Series(dtype="int64")})
+    out = out.astype({"n_docs": "int64", "n_words": "int64",
+                      "n_bpe_tokens": "int64"})
+    out["fertility_x1e6"] = (out["n_bpe_tokens"] * 1_000_000) \
+        // out["n_words"]
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+FERTILITY_SQL = ("WITH t AS (" + TOKEN_STATS_SQL + """)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t.n_tokens) AS BIGINT) AS n_words,
+       CAST(sum(t.n_tokens_bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST((sum(t.n_tokens_bpe) * 1000000) // sum(t.n_tokens)
+            AS BIGINT) AS fertility_x1e6
+FROM t JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+""")
+
+
 def corpus_ccnet_buckets(sf_dir: str):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
     every document against the corpus byte-trigram LM, split each
@@ -1814,6 +1871,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_quality_rank": (doc_quality_rank, QUALITY_RANK_SQL),
     "doc_trigram_lm": (doc_trigram_lm, None),
     "corpus_ccnet_buckets": (corpus_ccnet_buckets, None),
+    "corpus_tokenizer_fertility": (corpus_tokenizer_fertility,
+                                   FERTILITY_SQL),
     "doc_model_scores": (doc_model_scores, MODEL_SCORES_SQL),
     "doc_pii_masked": (doc_pii_masked, PII_MASK_SQL),
     "doc_pattern_counts": (doc_pattern_counts, PATTERN_COUNTS_SQL),
