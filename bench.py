@@ -832,7 +832,8 @@ def main():
                          "docs_c4_line_clean",
                          "docs_domain_reputation_filter",
                          "corpus_ccnet_buckets",
-                         "corpus_tokenizer_fertility"]
+                         "corpus_tokenizer_fertility",
+                         "extract_output_audit"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

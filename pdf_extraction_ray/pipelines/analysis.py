@@ -201,7 +201,78 @@ def xycut_reading_order(sf_dir: str):
         .map_batches(ranks, batch_format="pyarrow", batch_size=None)
 
 
+_AUDIT_KINDS = ("title", "paragraph", "list", "table", "figure",
+                "caption")
+_AUDIT_COLS = ("n_docs", "n_spans", "bad_kind_spans", "bad_order_docs",
+               "blank_text_spans", "null_field_spans")
+
+
+def audit_extract_batch(batch: pa.Table) -> pa.Table:
+    """Output-contract audit partials for one OUT_SCHEMA batch (the
+    north rule's per-partition metrics surface): every counter is a
+    violation of an invariant the spec guarantees, so a healthy corpus
+    sums to all-zero. Vectorized — flatten once, numpy masks, no
+    per-span python."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    batch = batch.combine_chunks()
+    spans = batch.column("spans")
+    flat = pc.list_flatten(spans)
+    parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+    kind = pc.struct_field(flat, "kind")
+    text = pc.struct_field(flat, "text")
+    off = pc.struct_field(flat, "offset")
+    nulls = (pc.is_null(kind).to_numpy(zero_copy_only=False)
+             | pc.is_null(text).to_numpy(zero_copy_only=False)
+             | pc.is_null(off).to_numpy(zero_copy_only=False))
+    bad_kind = ~pc.is_in(pc.fill_null(kind, ""),
+                         value_set=pa.array(_AUDIT_KINDS)) \
+        .to_numpy(zero_copy_only=False)
+    # whitespace-only text is stripped for textual kinds by the spec
+    textual = pc.is_in(pc.fill_null(kind, ""),
+                       value_set=pa.array(
+                           ["title", "paragraph", "list", "caption"])) \
+        .to_numpy(zero_copy_only=False)
+    blank = textual & (pc.utf8_length(
+        pc.utf8_trim_whitespace(pc.fill_null(text, "")))
+        .to_numpy(zero_copy_only=False) == 0)
+    # reassembly emits spans sorted by offset within each doc
+    offv = pc.fill_null(off, 0).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if len(offv) > 1:
+        same_doc = parent[1:] == parent[:-1]
+        desc = same_doc & (offv[1:] < offv[:-1])
+        bad_docs = np.unique(parent[1:][desc]).size
+    else:
+        bad_docs = 0
+    return pa.Table.from_pydict({
+        "n_docs": [np.int64(len(batch))],
+        "n_spans": [np.int64(len(parent))],
+        "bad_kind_spans": [np.int64(int(bad_kind.sum()))],
+        "bad_order_docs": [np.int64(int(bad_docs))],
+        "blank_text_spans": [np.int64(int(blank.sum()))],
+        "null_field_spans": [np.int64(int(nulls.sum()))]})
+
+
+def extract_output_audit(sf_dir: str):
+    """Run the flagship extraction over the deterministic synthetic
+    corpus and audit every output batch against the span contract
+    (kind vocabulary, offset ordering, no blank textual spans, no
+    nulls). One totals row; all violation counters MUST be zero — this
+    is the cheap always-on data-quality gate a 10^12-doc run tails per
+    partition before marking a manifest complete."""
+    out = extract_pipeline(read_docs(_corpus_for(sf_dir)))
+    totals = (out.map_batches(audit_extract_batch,
+                              batch_format="pyarrow", batch_size=None)
+              .sum(list(_AUDIT_COLS)))
+    import pandas as pd
+    return pd.DataFrame([{c: int(totals[f"sum({c})"])
+                          for c in _AUDIT_COLS}])
+
+
 ANALYSIS_QUERIES: dict[str, tuple] = {
+    "extract_output_audit": (extract_output_audit, None),
     "vlm_content_counts": (vlm_content_counts, None),
     "vlm_content_totals": (vlm_content_totals, None),
     "spatial_relations": (spatial_relations, None),
