@@ -833,7 +833,8 @@ def main():
                          "docs_domain_reputation_filter",
                          "corpus_ccnet_buckets",
                          "corpus_tokenizer_fertility",
-                         "extract_output_audit"]
+                         "extract_output_audit",
+                         "dedup_minhash_incremental"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

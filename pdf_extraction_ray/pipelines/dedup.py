@@ -285,6 +285,28 @@ def _bucket_pair_indices(count: int, triu_cache: dict):
     return np.zeros(count - 1, dtype=np.int64), idx
 
 
+def _minhash_band_rows(batch: pa.Table, n_coarse: int) -> pa.Table:
+    """MinHash(128) -> 16x8 LSH band rows for one batch: ONE combined
+    int64 key per (band_id, band_hash) — halves the shuffle payload vs
+    two key columns; a band-specific xor constant keeps
+    same-hash-different-band rows in distinct groups."""
+    text = batch["text"].combine_chunks() \
+        if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
+    sig = H.minhash_signatures(text)
+    bh = H.lsh_band_hashes(sig)                      # (n, N_BANDS)
+    n = len(batch)
+    doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False),
+                    H.N_BANDS)
+    band_salt = (np.arange(H.N_BANDS, dtype=np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15))
+    key = bh.reshape(-1) ^ np.tile(band_salt, n)
+    return pa.Table.from_arrays(
+        [pa.array(key.view(np.int64)),
+         pa.array((key % np.uint64(n_coarse)).astype(np.int64)),
+         pa.array(doc)],
+        names=["key", "coarse", "doc_id"])
+
+
 def dedup_minhash_lsh(sf_dir: str):
     """MinHash(128) + LSH(16 bands x 8 rows) candidate pairs, verified by
     word-3-gram Jaccard >= 0.7 through the partitioned text re-join
@@ -299,24 +321,7 @@ def dedup_minhash_lsh(sf_dir: str):
                         # Ray groups are pure scheduler overhead otherwise
 
     def bands(batch: pa.Table) -> pa.Table:
-        text = batch["text"].combine_chunks() \
-            if isinstance(batch["text"], pa.ChunkedArray) else batch["text"]
-        sig = H.minhash_signatures(text)
-        bh = H.lsh_band_hashes(sig)                      # (n, N_BANDS)
-        n = len(batch)
-        doc = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False),
-                        H.N_BANDS)
-        # ONE combined int64 key per (band_id, band_hash): halves the
-        # shuffle payload vs two key columns; band-specific xor constant
-        # keeps same-hash-different-band rows in distinct groups
-        band_salt = (np.arange(H.N_BANDS, dtype=np.uint64)
-                     * np.uint64(0x9E3779B97F4A7C15))
-        key = bh.reshape(-1) ^ np.tile(band_salt, n)
-        return pa.Table.from_arrays(
-            [pa.array(key.view(np.int64)),
-             pa.array((key % np.uint64(N_COARSE)).astype(np.int64)),
-             pa.array(doc)],
-            names=["key", "coarse", "doc_id"])
+        return _minhash_band_rows(batch, N_COARSE)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         # vectorized group-boundary scan: nearly every band bucket is a
@@ -355,6 +360,126 @@ def dedup_minhash_lsh(sf_dir: str):
             .map_groups(pairs, batch_format="pandas"))
 
     return _verify_pairs_jaccard(cand, sf_dir, MINHASH_JACCARD_THRESHOLD)
+
+
+_LSH_INDEX_VERSION = 1
+
+
+def ensure_lsh_index(sf_dir: str, root: str = "/tmp/pdfxr_fixtures") -> str:
+    """Build (once, cached) the PERSISTED LSH band index of the prior
+    snapshot — documents with even doc_id, the same snapshot convention
+    as ``doc_dedup_incremental``. The index is (band_key, doc_id)
+    parquet shards: no text, no signatures, ~16 int64 rows per doc.
+    At production scale this artifact is written by yesterday's dedup
+    run and only READ today; the coarse partition id is derived from
+    the key at read time so the index is valid at any cluster size."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(root, f"lshindex-v{_LSH_INDEX_VERSION}-{key}")
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+
+    def even_bands(batch: pa.Table) -> pa.Table:
+        mask = pa.array(batch["doc_id"]
+                        .to_numpy(zero_copy_only=False) % 2 == 0)
+        return _minhash_band_rows(batch.filter(mask), 1) \
+            .select(["key", "doc_id"])
+
+    _docs(sf_dir).map_batches(even_bands, batch_format="pyarrow",
+                              batch_size=None).write_parquet(path)
+    with open(done, "w") as f:
+        f.write(sf_dir + "\n")
+    return path
+
+
+def dedup_minhash_incremental(sf_dir: str):
+    """Incremental near-dedup of a NEW crawl snapshot against the
+    STORED prior index — the month-over-month shape where yesterday's
+    corpus must not be re-signatured: odd-doc_id documents (the new
+    batch) get MinHash bands from their own scan only; the prior
+    side's bands are READ from the persisted ``ensure_lsh_index``
+    parquet (id-sized rows, no text); the two meet side-tagged in one
+    coarse key exchange and only CROSS-SIDE bucket pairs become
+    candidates (new-vs-new is the ordinary in-snapshot op). Candidates
+    verify by word-3-gram Jaccard >= 0.7 through the partitioned text
+    re-join. Output: (doc_new, doc_old, jaccard_x1e6)."""
+    from ..functions.cluster import default_n_coarse
+    N_COARSE = max(256, default_n_coarse())
+    idx_dir = ensure_lsh_index(sf_dir)
+
+    def tag_index(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False) \
+            .view(np.uint64)
+        return pa.Table.from_arrays(
+            [batch["key"],
+             pa.array((key % np.uint64(N_COARSE)).astype(np.int64)),
+             batch["doc_id"],
+             pa.array(np.zeros(len(batch), dtype=np.int8))],
+            names=["key", "coarse", "doc_id", "side"])
+
+    def delta_bands(batch: pa.Table) -> pa.Table:
+        mask = pa.array(batch["doc_id"]
+                        .to_numpy(zero_copy_only=False) % 2 == 1)
+        t = _minhash_band_rows(batch.filter(mask), N_COARSE)
+        return t.append_column(
+            "side", pa.array(np.ones(len(t), dtype=np.int8)))
+
+    base = rd.read_parquet(idx_dir) \
+        .map_batches(tag_index, batch_format="pyarrow", batch_size=None)
+    delta = _docs(sf_dir) \
+        .map_batches(delta_bands, batch_format="pyarrow",
+                     batch_size=None)
+
+    def cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        side = g["side"].to_numpy()
+        order = np.lexsort((doc, key))
+        key, doc, side = key[order], doc[order], side[order]
+        out_a, out_b = [], []
+        if len(key):
+            new = np.empty(len(key), dtype=bool)
+            new[0] = True
+            np.not_equal(key[1:], key[:-1], out=new[1:])
+            starts = np.nonzero(new)[0]
+            counts = np.diff(np.append(starts, len(key)))
+            for s, c in zip(starts[counts >= 2], counts[counts >= 2]):
+                sl = slice(s, s + c)
+                nw = np.unique(doc[sl][side[sl] == 1])
+                od = np.unique(doc[sl][side[sl] == 0])
+                if len(nw) and len(od):
+                    out_a.append(np.repeat(nw, len(od)))
+                    out_b.append(np.tile(od, len(nw)))
+        if out_a:
+            return pd.DataFrame({
+                "doc_a": pd.Series(np.concatenate(out_a), dtype="int64"),
+                "doc_b": pd.Series(np.concatenate(out_b),
+                                   dtype="int64")})
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+
+    cand = base.union(delta).groupby("coarse") \
+        .map_groups(cross_pairs, batch_format="pandas")
+    v = _verify_pairs_jaccard(cand, sf_dir, MINHASH_JACCARD_THRESHOLD)
+    if v.empty:
+        return pd.DataFrame({"doc_new": pd.Series(dtype="int64"),
+                             "doc_old": pd.Series(dtype="int64"),
+                             "jaccard_x1e6": pd.Series(dtype="int64")})
+    # orientation by the snapshot parity convention, robust to any
+    # canonicalization inside the verifier
+    a = v["doc_a"].to_numpy()
+    b = v["doc_b"].to_numpy()
+    new = np.where(a % 2 == 1, a, b)
+    old = np.where(a % 2 == 1, b, a)
+    return pd.DataFrame({"doc_new": new, "doc_old": old,
+                         "jaccard_x1e6": v["jaccard_x1e6"].to_numpy()}) \
+        .sort_values(["doc_new", "doc_old"]).reset_index(drop=True) \
+        .astype({"doc_new": "int64", "doc_old": "int64",
+                 "jaccard_x1e6": "int64"})
 
 
 def _simhash_big_bucket_pairs(sig: np.ndarray, doc: np.ndarray,
@@ -1112,6 +1237,7 @@ def corpus_dedup_survivorship(sf_dir: str, n_coarse: int | None = None,
 DEDUP_QUERIES: dict[str, tuple] = {
     "corpus_dedup_survivorship": (corpus_dedup_survivorship, None),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_minhash_incremental": (dedup_minhash_incremental, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding_cosine": (dedup_embedding_cosine,
                                _pairs_sql(EMBED_COSINE_THRESHOLD_X1E6)),
