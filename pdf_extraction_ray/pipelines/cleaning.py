@@ -226,7 +226,8 @@ def docs_domain_reputation_filter(sf_dir: str):
                              "n_chars_kept": pd.Series(dtype="int64")})
     thr = int(agg["c"].sum()) // int(agg["n"].sum())
     # integer cross-multiplied mean test: c // n >= thr
-    passing = set(agg.loc[agg["c"] // agg["n"] >= thr, "domain"])
+    passing = np.sort(agg.loc[agg["c"] // agg["n"] >= thr, "domain"]
+                      .to_numpy())
     pass_ref = ray.put(passing)
 
     def gate(batch: pa.Table) -> pa.Table:
@@ -234,8 +235,7 @@ def docs_domain_reputation_filter(sf_dir: str):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         dom = _domains(ids, batch.column("source")
                        .to_numpy(zero_copy_only=False))
-        mask = np.array([d in ok for d in dom], dtype=bool) \
-            if len(ids) else np.zeros(0, dtype=bool)
+        mask = np.isin(dom, ok)          # vectorized membership
         src = batch.column("source").to_numpy(zero_copy_only=False)
         chars = batch.column("n_chars").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
