@@ -834,7 +834,8 @@ def main():
                          "corpus_ccnet_buckets",
                          "corpus_tokenizer_fertility",
                          "extract_output_audit",
-                         "dedup_minhash_incremental"]
+                         "dedup_minhash_incremental",
+                         "docs_c4_clean_rewrite"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -159,6 +159,107 @@ ORDER BY doc_id
 """
 
 
+def docs_c4_clean_rewrite(sf_dir: str):
+    """The REWRITE form of the C4 cleaner: surviving documents carry
+    their retained lines re-joined with newlines (the text a training
+    run would actually consume), not just counters. Same single
+    zero-exchange pass; the per-doc join runs over already-filtered
+    kept lines only. Output: (doc_id, clean_text)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(ids)
+        n_chunks = (lens + _LINE - 1) // _LINE
+        n_kept = np.zeros(n, dtype=np.int64)
+        bad = np.zeros(n, dtype=bool)
+        kept_parent, kept_g, kept_txt = [], [], []
+        for g in range(int(n_chunks.max()) if n else 0):
+            sel = n_chunks > g
+            idx = np.flatnonzero(sel)
+            sl = pc.utf8_slice_codeunits(txt.filter(pa.array(sel)),
+                                         _LINE * g, _LINE * (g + 1))
+            r = (ids[idx] * _MIX_A + g * _MIX_B) % _MOD
+            suffix = np.select(
+                [r == _LOREM_R, r == _BRACE_R, r % 3 != 0],
+                [" lorem ipsum.", " {", "."], default="")
+            dec = pc.binary_join_element_wise(sl, pa.array(suffix), "")
+            ends = pc.ends_with(dec, pattern=".") \
+                .to_numpy(zero_copy_only=False)
+            words = pc.count_substring(dec, " ") \
+                .to_numpy(zero_copy_only=False).astype(np.int64) + 1
+            has_bad = pc.or_(pc.match_substring(dec, "lorem ipsum"),
+                             pc.match_substring(dec, "{")) \
+                .to_numpy(zero_copy_only=False)
+            kept = ends & (words >= _MIN_WORDS)
+            n_kept[idx] += kept
+            bad[idx] |= has_bad
+            if kept.any():
+                kidx = np.flatnonzero(kept)
+                kept_parent.append(idx[kidx])
+                kept_g.append(np.full(len(kidx), g, dtype=np.int64))
+                kept_txt.append(
+                    dec.take(pa.array(kidx)).to_numpy(
+                        zero_copy_only=False))
+        keep_doc = (~bad) & (n_kept >= _MIN_KEPT)
+        if not kept_parent or not keep_doc.any():
+            return pa.Table.from_pydict(
+                {"doc_id": np.zeros(0, dtype=np.int64),
+                 "clean_text": pa.array([], type=pa.string())})
+        par = np.concatenate(kept_parent)
+        gs = np.concatenate(kept_g)
+        ts = np.concatenate(kept_txt)
+        live = keep_doc[par]
+        par, gs, ts = par[live], gs[live], ts[live]
+        order = np.lexsort((gs, par))
+        par, ts = par[order], ts[order]
+        joined = pd.Series(ts).groupby(par).agg("\n".join)
+        return pa.Table.from_pydict({
+            "doc_id": ids[joined.index.to_numpy()],
+            "clean_text": joined.to_numpy()})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=None).sort("doc_id")
+
+
+C4_CLEAN_REWRITE_SQL = f"""
+WITH gs AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+         unnest(range(0, CAST(ceil(length(coalesce(text, ''))
+                                   / {_LINE}.0) AS BIGINT))) AS g
+  FROM documents),
+lines AS (
+  SELECT doc_id, g,
+         substring(txt, 1 + {_LINE} * CAST(g AS INT), {_LINE})
+         || CASE WHEN {_R_EXPR} = {_LOREM_R} THEN ' lorem ipsum.'
+                 WHEN {_R_EXPR} = {_BRACE_R} THEN ' {{'
+                 WHEN {_R_EXPR} % 3 <> 0 THEN '.'
+                 ELSE '' END AS t
+  FROM gs),
+feat AS (
+  SELECT doc_id, g, t,
+         (t LIKE '%.') AND
+           (length(t) - length(replace(t, ' ', '')) + 1)
+             >= {_MIN_WORDS} AS kept,
+         contains(t, 'lorem ipsum') OR contains(t, '{{') AS bad
+  FROM lines)
+SELECT doc_id,
+       string_agg(t, chr(10) ORDER BY g) FILTER (kept) AS clean_text
+FROM feat
+GROUP BY doc_id
+HAVING NOT bool_or(bad) AND count(*) FILTER (kept) >= {_MIN_KEPT}
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Domain-reputation filter (RefinedWeb-style whole-domain drop, but with
 # the threshold LEARNED from the corpus instead of a fixed constant)
@@ -273,6 +374,8 @@ GROUP BY d.source ORDER BY d.source
 
 CLEANING_QUERIES: dict[str, tuple] = {
     "docs_c4_line_clean": (docs_c4_line_clean, C4_LINE_CLEAN_SQL),
+    "docs_c4_clean_rewrite": (docs_c4_clean_rewrite,
+                              C4_CLEAN_REWRITE_SQL),
     "docs_domain_reputation_filter": (docs_domain_reputation_filter,
                                       DOMAIN_REPUTATION_SQL),
 }

@@ -91,6 +91,24 @@ class TestC4LineClean:
         # decorated render, not the raw text
         assert (out["kept_chars"] <= out["n_kept"] * (_LINE + 13)).all()
 
+    def test_rewrite_consistent_with_counts(self, tmp_path):
+        from pdf_extraction_ray.pipelines.cleaning import (
+            docs_c4_clean_rewrite)
+        sf, _ = _plant(tmp_path)
+        counts = docs_c4_line_clean(sf).to_pandas() \
+            .set_index("doc_id")
+        rw = docs_c4_clean_rewrite(sf).to_pandas().set_index("doc_id")
+        # same surviving doc set, and the joined text's length equals
+        # kept_chars + (n_kept - 1) newline separators
+        assert set(rw.index) == set(counts.index)
+        joined = rw["clean_text"].str.len()
+        want = counts["kept_chars"] + counts["n_kept"] - 1
+        assert (joined == want.loc[joined.index]).all()
+        # oracle parity on the planted table too
+        ora = _oracle(sf, CLEANING_QUERIES["docs_c4_clean_rewrite"][1])
+        pd.testing.assert_frame_equal(
+            _canon(rw.reset_index()), _canon(ora), check_dtype=False)
+
     def test_empty_table(self, tmp_path):
         d = os.path.join(str(tmp_path), "empty")
         os.makedirs(d, exist_ok=True)
