@@ -835,7 +835,8 @@ def main():
                          "corpus_tokenizer_fertility",
                          "extract_output_audit",
                          "dedup_minhash_incremental",
-                         "docs_c4_clean_rewrite"]
+                         "docs_c4_clean_rewrite",
+                         "span_media_context", "span_section_stats"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

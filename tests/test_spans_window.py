@@ -1,0 +1,98 @@
+"""Span-window queries over the interleaved payload: kernel edge cases
+(media before any title, doc without titles, cross-doc carry-over
+guard) plus DuckDB parity at sf0.001 (also covered by the global
+parity harness; repeated here so the window tier fails loudly on its
+own)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf_extraction_ray.pipelines import spans as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mk_batch(docs):
+    """docs: list of (doc_id, [(kind, text, ref, off), ...])."""
+    rows = [{"doc_id": d,
+             "spans": [{"kind": k, "text": t, "media_ref": r, "offset": o}
+                       for (k, t, r, o) in sp]}
+            for d, sp in docs]
+    return pa.Table.from_pylist(rows, schema=S.INTERLEAVED_SCHEMA)
+
+
+class TestLastTitleKernel:
+    def test_no_carry_across_docs(self):
+        # doc 1 ends with a title; doc 2's media must NOT inherit it
+        kind = np.array(["title", "image", "text", "image"])
+        doc_start = np.array([0, 0, 2, 2])
+        last = S._last_title(kind, doc_start)
+        assert last.tolist() == [0, 0, -1, -1]
+
+    def test_media_before_first_title(self):
+        kind = np.array(["image", "title", "image"])
+        last = S._last_title(kind, np.zeros(3, dtype=np.int64))
+        assert last.tolist() == [-1, 1, 1]
+
+    def test_all_text(self):
+        kind = np.array(["text", "text"])
+        assert S._last_title(kind, np.zeros(2, dtype=np.int64)).tolist() \
+            == [-1, -1]
+
+
+class TestMediaContextBatchKernel:
+    def test_planted(self):
+        batch = _mk_batch([
+            (1, [("image", "", "m0", 0), ("title", "Intro", "", 2),
+                 ("text", "body", "", 4), ("image", "", "m1", 5),
+                 ("title", "Methods", "", 6), ("image", "", "m2", 7)]),
+            (2, [("image", "", "m3", 0)]),
+        ])
+        doc_ids, parent, doc_start, kind, text, ref, off = \
+            S._flat_spans(batch)
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        last = S._last_title(kind_np, doc_start)
+        sel = np.flatnonzero(kind_np == "image")
+        ctx = [text[i].as_py() if i >= 0 else "" for i in last[sel]]
+        assert ctx == ["", "Intro", "Methods", ""]
+        assert doc_ids[parent[sel]].tolist() == [1, 1, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestParity:
+    def _duck(self, sql):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        return con.sql(sql).df()
+
+    @staticmethod
+    def _canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    def test_media_context_parity(self):
+        ray_df = self._canon(S.span_media_context(SF).to_pandas())
+        duck_df = self._canon(self._duck(S.SPAN_MEDIA_CONTEXT_SQL))
+        assert len(ray_df) == len(duck_df) and len(ray_df) > 0
+        pd.testing.assert_frame_equal(ray_df, duck_df, check_dtype=False)
+
+    def test_section_stats_parity(self):
+        ray_df = self._canon(S.span_section_stats(SF).to_pandas())
+        duck_df = self._canon(self._duck(S.SPAN_SECTION_STATS_SQL))
+        assert len(ray_df) == len(duck_df) and len(ray_df) > 0
+        pd.testing.assert_frame_equal(ray_df, duck_df, check_dtype=False)
+
+    def test_sections_cover_all_spans(self):
+        df = S.span_section_stats(SF).to_pandas()
+        med = S.span_media_context(SF).to_pandas()
+        assert df["n_media"].sum() == len(med)
+        assert (df.groupby("doc_id")["section_off"].min() <= 0).all()
