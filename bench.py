@@ -836,7 +836,8 @@ def main():
                          "extract_output_audit",
                          "dedup_minhash_incremental",
                          "docs_c4_clean_rewrite",
-                         "span_media_context", "span_section_stats"]
+                         "span_media_context", "span_section_stats",
+                         "docs_badword_filter"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

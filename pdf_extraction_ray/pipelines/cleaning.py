@@ -261,6 +261,69 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Badword blocklist gate (the C4 "List of Dirty, Naughty, Obscene ..."
+# page drop: any page containing a blocklisted token is removed)
+# ---------------------------------------------------------------------------
+
+BADWORDS = ("dup", "lorem")     # corpus stand-in for the C4 blocklist
+
+
+def docs_badword_filter(sf_dir: str):
+    """C4 blocklist page gate: drop any document whose whitespace token
+    set intersects the blocklist; emit (doc_id, n_tokens) for survivors.
+
+    Scale shape: one map_batches pass — tokenization is the zero-copy
+    Arrow kernel shared with the corpus tier, membership is an Arrow
+    ``is_in`` against the (tiny, task-constant) blocklist, the per-doc
+    any-hit reduce is a ``bincount`` over list-parent indices. No token
+    ever leaves its batch; output is one short row per kept doc."""
+    from ..functions import text as T
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    bw = pa.array(list(BADWORDS))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(txt, ""))),
+            T.TOKEN_SPLIT_RE)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks) \
+            .to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=bw).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        bad = np.bincount(parent[hit], minlength=n) > 0 \
+            if len(parent) else np.zeros(n, dtype=bool)
+        n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = ~bad
+        return pa.Table.from_pydict({"doc_id": ids[keep],
+                                     "n_tokens": n_tok[keep]})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=None).sort("doc_id")
+
+
+BADWORD_FILTER_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                      '\\s+')) AS BIGINT) AS n_tokens
+FROM documents
+WHERE NOT list_has_any(
+        regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+'),
+        {list(BADWORDS)})
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Domain-reputation filter (RefinedWeb-style whole-domain drop, but with
 # the threshold LEARNED from the corpus instead of a fixed constant)
 # ---------------------------------------------------------------------------
@@ -378,4 +441,5 @@ CLEANING_QUERIES: dict[str, tuple] = {
                               C4_CLEAN_REWRITE_SQL),
     "docs_domain_reputation_filter": (docs_domain_reputation_filter,
                                       DOMAIN_REPUTATION_SQL),
+    "docs_badword_filter": (docs_badword_filter, BADWORD_FILTER_SQL),
 }

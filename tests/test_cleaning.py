@@ -146,3 +146,40 @@ class TestDomainReputation:
                       ["docs_domain_reputation_filter"][1])
         pd.testing.assert_frame_equal(_canon(out), _canon(ora),
                                       check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBadwordFilter:
+    def test_blocked_docs_dropped_differential(self, tmp_path):
+        from pdf_extraction_ray.pipelines.cleaning import (
+            BADWORDS, docs_badword_filter)
+        rows = [
+            {"doc_id": 1, "text": "clean words only here", "lang": "en",
+             "source": "s0", "n_chars": 21},
+            {"doc_id": 2, "text": f"prefix {BADWORDS[0]} suffix",
+             "lang": "en", "source": "s0", "n_chars": 17},
+            {"doc_id": 3, "text": f"  {BADWORDS[1]} leading-space ",
+             "lang": "en", "source": "s0", "n_chars": 20},
+            # blocked token as SUBSTRING of a clean token must NOT match
+            {"doc_id": 4, "text": f"x{BADWORDS[0]}y other words",
+             "lang": "en", "source": "s0", "n_chars": 20},
+            {"doc_id": 5, "text": "", "lang": "en", "source": "s0",
+             "n_chars": 0},
+        ]
+        df = pd.DataFrame(rows).astype({"doc_id": "int64",
+                                        "n_chars": "int64"})
+        d = os.path.join(str(tmp_path), "bw")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(d, "documents.parquet"))
+        out = docs_badword_filter(d).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 4, 5]
+        ora = _oracle(d, CLEANING_QUERIES["docs_badword_filter"][1])
+        pd.testing.assert_frame_equal(_canon(out), _canon(ora),
+                                      check_dtype=False)
+
+    def test_gate_bites_on_corpus(self):
+        from pdf_extraction_ray.pipelines.cleaning import (
+            docs_badword_filter)
+        out = docs_badword_filter("/root/testdata/sf0.001").to_pandas()
+        assert 0 < len(out) < 500      # drops some docs, not all
