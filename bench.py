@@ -837,7 +837,9 @@ def main():
                          "dedup_minhash_incremental",
                          "docs_c4_clean_rewrite",
                          "span_media_context", "span_section_stats",
-                         "docs_badword_filter"]
+                         "docs_badword_filter",
+                         "events_type_overlap_exact",
+                         "events_type_overlap_kmv"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

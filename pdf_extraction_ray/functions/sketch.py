@@ -247,3 +247,45 @@ def dds_quantile(sk: np.ndarray, q: float) -> float:
         return 0.0
     # geometric midpoint of (gamma^(b-1), gamma^b] * DDS_MIN
     return float(DDS_MIN * DDS_GAMMA ** (b - 0.5))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values / bottom-k theta) sketch — mergeable distinct
+# counting that, unlike HLL, also supports SET OPERATIONS: keeping the k
+# smallest unique hash values of a set preserves a uniform sample of the
+# union when two sketches merge, so Jaccard (shared fraction among the
+# union's k minima) and intersection size fall out of the same k values.
+# Standard error of the distinct estimate ~ 1/sqrt(k-2) (~3% at k=1024).
+# ---------------------------------------------------------------------------
+
+KMV_K = 1024
+
+
+def kmv_from_hashes(h: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    """uint64 hashes -> sorted unique k minima (shorter if fewer seen)."""
+    return np.unique(np.asarray(h, dtype=np.uint64))[:k]
+
+
+def kmv_merge(a: np.ndarray, b: np.ndarray, k: int = KMV_K) -> np.ndarray:
+    return np.unique(np.concatenate([np.asarray(a, dtype=np.uint64),
+                                     np.asarray(b, dtype=np.uint64)]))[:k]
+
+
+def kmv_distinct(sk: np.ndarray, k: int = KMV_K) -> int:
+    """Exact below k; else (k-1) / normalized kth minimum."""
+    if len(sk) < k:
+        return int(len(sk))
+    return int((k - 1) / (float(sk[k - 1]) / 2.0 ** 64))
+
+
+def kmv_intersection(a: np.ndarray, b: np.ndarray,
+                     k: int = KMV_K) -> int:
+    """|A ∩ B| estimate: jaccard over the union's k minima (a uniform
+    hash-sample of A ∪ B) times the union's distinct estimate."""
+    u = kmv_merge(a, b, k)
+    if len(u) == 0:
+        return 0
+    both = np.isin(u, a, assume_unique=True) \
+        & np.isin(u, b, assume_unique=True)
+    jac = both.sum() / len(u)
+    return int(round(jac * kmv_distinct(u, k)))

@@ -3240,6 +3240,110 @@ def events_type_approx_distinct(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Audience overlap: distinct users doing BOTH of two event types —
+# exact (INTERSECT, oracled) and KMV bottom-k sketch (set-operation
+# sketch; HLL can union but cannot intersect)
+# ---------------------------------------------------------------------------
+
+OVERLAP_TYPES = ("click", "purchase")
+
+
+def events_type_overlap_exact(sf_dir: str):
+    """|users(click) ∩ users(purchase)| exactly: per-batch dedup of
+    (type, user) pairs for the two types only, one user-keyed exchange
+    of the surviving pairs, per-group both-types test."""
+    if _table_empty(sf_dir, "events"):
+        return pd.DataFrame({"n_common_users": [np.int64(0)]})
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        m = np.isin(types, OVERLAP_TYPES)
+        df = pd.DataFrame({
+            "user_id": ids[m],
+            "has_a": (types[m] == OVERLAP_TYPES[0]).astype(np.int64),
+            "has_b": (types[m] == OVERLAP_TYPES[1]).astype(np.int64)})
+        return _from_pandas(df.groupby("user_id", as_index=False).max())
+
+    from ray.data.aggregate import Max
+    both = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("user_id")
+            .aggregate(Max("has_a", alias_name="has_a"),
+                       Max("has_b", alias_name="has_b")))
+
+    def count_both(batch: pa.Table) -> pa.Table:
+        ha = batch["has_a"].to_numpy(zero_copy_only=False)
+        hb = batch["has_b"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"n_common_users": [np.int64(((ha > 0) & (hb > 0)).sum())]})
+
+    agg = both.map_batches(count_both, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"n_common_users": [np.int64(0)]})
+    return pd.DataFrame(
+        {"n_common_users": [np.int64(agg["n_common_users"].sum())]})
+
+
+TYPE_OVERLAP_EXACT_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_common_users FROM (
+  SELECT user_id FROM events WHERE event_type = '{OVERLAP_TYPES[0]}'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = '{OVERLAP_TYPES[1]}')
+"""
+
+
+def events_type_overlap_kmv(sf_dir: str):
+    """KMV bottom-k estimate of the same overlap: one k-minima sketch
+    per (type, batch) row through a 2-group merge — no (type, user)
+    pair ever crosses the exchange (the 100-TB shape; HLL cannot
+    intersect, bottom-k can). Rows-only; tests bound the error vs the
+    exact query."""
+    from ..functions import sketch as S
+
+    if _table_empty(sf_dir, "events"):
+        return pd.DataFrame({"approx_common_users": [np.int64(0)]})
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        ids = batch["user_id"].to_numpy(zero_copy_only=False)
+        out_t, out_s = [], []
+        for t in OVERLAP_TYPES:
+            m = types == t
+            if m.any():
+                sk = S.kmv_from_hashes(pd.util.hash_array(ids[m]))
+                out_t.append(t)
+                out_s.append(sk.tobytes())
+        return pa.Table.from_arrays(
+            [pa.array(out_t, pa.string()), pa.array(out_s, pa.binary())],
+            names=["event_type", "sketch"])
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import sketch as S2
+        sk = np.empty(0, dtype=np.uint64)
+        for b in g["sketch"]:
+            sk = S2.kmv_merge(sk, np.frombuffer(b, dtype=np.uint64))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "sketch": [sk.tobytes()]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("event_type")
+           .map_groups(merge_group, batch_format="pandas").to_pandas())
+    sks = {r["event_type"]: np.frombuffer(r["sketch"], dtype=np.uint64)
+           for _, r in out.iterrows()}
+    a = sks.get(OVERLAP_TYPES[0], np.empty(0, dtype=np.uint64))
+    b = sks.get(OVERLAP_TYPES[1], np.empty(0, dtype=np.uint64))
+    return pd.DataFrame(
+        {"approx_common_users": [np.int64(S.kmv_intersection(a, b))]})
+
+
+# ---------------------------------------------------------------------------
 # LAG window: per-user gap to the previous event
 # ---------------------------------------------------------------------------
 
@@ -6498,6 +6602,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_type_distinct_users": (events_type_distinct_users,
                                    TYPE_DISTINCT_SQL),
     "events_type_approx_distinct": (events_type_approx_distinct, None),
+    "events_type_overlap_exact": (events_type_overlap_exact,
+                                  TYPE_OVERLAP_EXACT_SQL),
+    "events_type_overlap_kmv": (events_type_overlap_kmv, None),
     "events_type_robust_outliers": (events_type_robust_outliers,
                                     ROBUST_OUTLIERS_SQL),
     "q10_partitioned": (q10_partitioned, Q10_SQL),

@@ -277,3 +277,47 @@ def test_cumulative_hll_tracks_exact_curve():
     for day in approx.index:
         n, est = int(exact_ff.loc[day]), int(approx.loc[day])
         assert abs(est - n) / max(n, 1) < 0.02, (day, n, est)
+
+
+def test_kmv_exact_below_k_and_merge():
+    from pdf_extraction_ray.functions.sketch import (
+        KMV_K, kmv_distinct, kmv_from_hashes, kmv_merge)
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**63, size=500, dtype=np.int64).astype(np.uint64)
+    sk = kmv_from_hashes(h)
+    assert kmv_distinct(sk) == len(np.unique(h))       # exact below k
+    # merge == sketch of the union, regardless of split point
+    a, b = h[:200], h[150:]                            # overlapping halves
+    assert np.array_equal(kmv_merge(kmv_from_hashes(a),
+                                    kmv_from_hashes(b)),
+                          kmv_from_hashes(h))
+    assert KMV_K >= 1024
+
+
+def test_kmv_distinct_and_intersection_accuracy():
+    from pdf_extraction_ray.functions.sketch import (
+        kmv_distinct, kmv_from_hashes, kmv_intersection)
+    import pandas as pd
+    n, common = 50_000, 10_000
+    ids_a = np.arange(n, dtype=np.int64)
+    ids_b = np.arange(n - common, 2 * n - common, dtype=np.int64)
+    ha = pd.util.hash_array(ids_a)
+    hb = pd.util.hash_array(ids_b)
+    sa, sb = kmv_from_hashes(ha), kmv_from_hashes(hb)
+    assert abs(kmv_distinct(sa) - n) / n < 0.10        # ~3% se, 3-sigma
+    est = kmv_intersection(sa, sb)
+    assert abs(est - common) / common < 0.25, est      # jaccard noise
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_overlap_tracks_exact():
+    from pdf_extraction_ray.pipelines.relational import (
+        events_type_overlap_exact, events_type_overlap_kmv)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = int(events_type_overlap_exact(sf)
+                    ["n_common_users"].iloc[0])
+        est = int(events_type_overlap_kmv(sf)
+                  ["approx_common_users"].iloc[0])
+        # 150 distinct users at these SFs -> both sketches are exact
+        # (below k), so the estimate must be exact too
+        assert exact > 0 and est == exact, (sf, exact, est)
