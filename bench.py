@@ -839,7 +839,8 @@ def main():
                          "span_media_context", "span_section_stats",
                          "docs_badword_filter",
                          "events_type_overlap_exact",
-                         "events_type_overlap_kmv"]
+                         "events_type_overlap_kmv",
+                         "corpus_top_tokens_by_lang"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -135,6 +135,63 @@ LIMIT {HEAVY_HITTERS_K}
 """
 
 
+TOP_BY_LANG_K = 5
+
+
+def corpus_top_tokens_by_lang(sf_dir: str):
+    """GROUPED heavy hitters: top-{TOP_BY_LANG_K} tokens per language
+    stratum (the per-language vocabulary profile a multilingual mixture
+    needs before setting sampling weights). Same partial-count shape as
+    the global version — one row per (lang, token) per batch enters the
+    exchange, never token instances — then per-lang top-k inside a
+    coarse lang-keyed grouped map. Ties break on token so the result is
+    deterministic at any parallelism."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = as_array(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                as_array(batch["text"]))), T.TOKEN_SPLIT_RE))
+        flat = as_array(pc.list_flatten(toks))
+        parent = as_array(pc.list_parent_indices(toks)) \
+            .to_numpy(zero_copy_only=False)
+        lang = batch["lang"].to_numpy(zero_copy_only=False)[parent]
+        df = pd.DataFrame({"lang": lang,
+                           "token": flat.to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "token"], as_index=False).size() \
+            .rename(columns={"size": "n"}).astype({"n": "int64"})
+        return _from_pandas(g)
+
+    tc = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+          .groupby(["lang", "token"]).aggregate(Sum("n", alias_name="n")))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "n", "token"],
+                          ascending=[True, False, True])
+        g["rk"] = g.groupby("lang").cumcount().astype("int64") + 1
+        return g[g["rk"] <= TOP_BY_LANG_K]
+
+    return _coarse_str_group(tc, "lang", topk) \
+        .sort(["lang", "rk"])
+
+
+TOP_BY_LANG_SQL = rf"""
+WITH tc AS (
+  SELECT lang, tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT lang,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 AS tok
+        FROM documents)
+  GROUP BY lang, tok),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY lang ORDER BY n DESC, token) AS rk FROM tc)
+SELECT lang, token, n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {TOP_BY_LANG_K}
+ORDER BY lang, rk
+"""
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary stats (single-row corpus summary)
 # ---------------------------------------------------------------------------
@@ -1858,6 +1915,8 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "docs_train_split": (docs_train_split, TRAIN_SPLIT_SQL),
     "docs_kfold_assign": (docs_kfold_assign, KFOLD_SQL),
     "corpus_heavy_hitters": (corpus_heavy_hitters, HEAVY_HITTERS_SQL),
+    "corpus_top_tokens_by_lang": (corpus_top_tokens_by_lang,
+                                  TOP_BY_LANG_SQL),
     "corpus_vocab_stats": (corpus_vocab_stats, VOCAB_STATS_SQL),
     "doc_tfidf_top_terms": (doc_tfidf_top_terms, TFIDF_SQL),
     "doc_repetition": (doc_repetition, REPETITION_SQL),
