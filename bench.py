@@ -840,7 +840,8 @@ def main():
                          "docs_badword_filter",
                          "events_type_overlap_exact",
                          "events_type_overlap_kmv",
-                         "corpus_top_tokens_by_lang"]
+                         "corpus_top_tokens_by_lang",
+                         "doc_dedup_substrings"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -29,6 +29,7 @@ def all_queries() -> dict[str, tuple]:
     from .pipelines.weburl import WEBURL_QUERIES
     from .pipelines.cleaning import CLEANING_QUERIES
     from .pipelines.spans import SPANS_QUERIES
+    from .pipelines.substr import SUBSTR_QUERIES
 
     out: dict[str, tuple] = {}
     for reg in (RELATIONAL_QUERIES, TPCH_QUERIES, TEXT_QUERIES,
@@ -38,6 +39,7 @@ def all_queries() -> dict[str, tuple]:
                 STREAMING_QUERIES, PACKING_QUERIES, STORAGE_QUERIES,
                 GRAPH_QUERIES, STATS_QUERIES, RANKS_QUERIES,
                 MLEVAL_QUERIES, PDFIO_QUERIES, HTMLIO_QUERIES,
-                WEBURL_QUERIES, CLEANING_QUERIES, SPANS_QUERIES):
+                WEBURL_QUERIES, CLEANING_QUERIES, SPANS_QUERIES,
+                SUBSTR_QUERIES):
         out.update(reg)
     return out
