@@ -841,7 +841,8 @@ def main():
                          "events_type_overlap_exact",
                          "events_type_overlap_kmv",
                          "corpus_top_tokens_by_lang",
-                         "doc_dedup_substrings"]
+                         "doc_dedup_substrings",
+                         "doc_quality_threshold_sweep"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -101,6 +101,82 @@ FROM t
 """
 
 
+_SWEEP_STEP = 100_000            # stop-ratio threshold grid (x1e6 units)
+_SWEEP_BINS = 10
+
+
+def doc_quality_threshold_sweep(sf_dir: str):
+    """Threshold-selection curve for the stopword-ratio quality gate
+    (the FineWeb-style sweep run before fixing a filter threshold):
+    for each threshold t in {0, 0.1, ..., 0.9} (x1e6 integer units),
+    how many documents and tokens survive ``stop_ratio >= t``.
+
+    Scale shape: one pass bins each doc's ratio into its threshold
+    decile and pre-reduces (bin -> n_docs, n_tokens) per batch; the
+    exchange moves <= 10 rows per batch, and the suffix-sum that turns
+    the histogram into the kept-at-threshold curve runs on the 10-row
+    result. The sweep is corpus-size-free after the single scan."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) \
+            else batch["text"]
+        q = T.quality_scores(text)
+        ratio = q["stop_ratio_x1e6"].to_numpy(zero_copy_only=False)
+        ntok = q["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = np.clip(ratio // _SWEEP_STEP, 0, _SWEEP_BINS - 1) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "bin": np.arange(_SWEEP_BINS, dtype=np.int64),
+            "n_docs": np.bincount(b, minlength=_SWEEP_BINS)
+            .astype(np.int64),
+            "n_tokens": np.bincount(b, weights=ntok,
+                                    minlength=_SWEEP_BINS)
+            .astype(np.int64)})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby("bin")
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"))
+            .to_pandas())
+    nd = np.zeros(_SWEEP_BINS, dtype=np.int64)
+    nt = np.zeros(_SWEEP_BINS, dtype=np.int64)
+    if not hist.empty:
+        nd[hist["bin"].to_numpy()] = hist["n_docs"].to_numpy()
+        nt[hist["bin"].to_numpy()] = hist["n_tokens"].to_numpy()
+    return pd.DataFrame({
+        "thr": np.arange(_SWEEP_BINS, dtype=np.int64) * _SWEEP_STEP,
+        "n_docs_kept": nd[::-1].cumsum()[::-1].astype(np.int64),
+        "n_tokens_kept": nt[::-1].cumsum()[::-1].astype(np.int64)})
+
+
+QUALITY_SWEEP_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           (CAST(len(list_filter(ltoks, x -> x IN ({{EN}}))) AS BIGINT)
+            * 1000000) // len(toks)
+         ELSE 0 END AS stop_ratio
+  FROM t),
+thr AS (SELECT unnest(range(0, {_SWEEP_BINS})) * {_SWEEP_STEP} AS thr)
+SELECT thr.thr AS thr,
+       CAST(count(s.doc_id) AS BIGINT) AS n_docs_kept,
+       CAST(coalesce(sum(s.n_tokens), 0) AS BIGINT) AS n_tokens_kept
+FROM thr LEFT JOIN s ON s.stop_ratio >= thr.thr
+GROUP BY thr.thr ORDER BY thr.thr
+""".replace("{EN}", _EN)
+
+
 # ---------------------------------------------------------------------------
 # Language ID (stopword-profile heuristic)
 # ---------------------------------------------------------------------------
@@ -1878,6 +1954,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_pattern_counts": (doc_pattern_counts, PATTERN_COUNTS_SQL),
     "doc_token_stats": (doc_token_stats, TOKEN_STATS_SQL),
     "doc_quality": (doc_quality, QUALITY_SQL),
+    "doc_quality_threshold_sweep": (doc_quality_threshold_sweep,
+                                    QUALITY_SWEEP_SQL),
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_dedup_exact": (doc_dedup_exact, DEDUP_EXACT_SQL),
     "doc_dedup_incremental": (doc_dedup_incremental, DEDUP_INCREMENTAL_SQL),

@@ -160,6 +160,10 @@ def test_corpus_family_on_empty_table(empty_dir):
         assert df is not None, name
         if name in ("corpus_vocab_stats", "packing_stats"):
             assert len(df) == 1, name          # one-row aggregates
+        elif name == "doc_quality_threshold_sweep":
+            # fixed threshold grid: the oracle's LEFT JOIN keeps all 10
+            # thresholds (zero counts) even over an empty corpus
+            assert len(df) == 10 and df["n_docs_kept"].sum() == 0, name
         else:
             assert len(df) == 0, name
 
