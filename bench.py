@@ -842,7 +842,9 @@ def main():
                          "events_type_overlap_kmv",
                          "corpus_top_tokens_by_lang",
                          "doc_dedup_substrings",
-                         "doc_quality_threshold_sweep"]
+                         "doc_quality_threshold_sweep",
+                         "docs_template_lines",
+                         "docs_template_strip_rewrite"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -435,6 +435,233 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+# ---------------------------------------------------------------------------
+# Site-template boilerplate (RefinedWeb-style): lines repeating across
+# a large fraction of one site's pages are navigation/header/footer
+# boilerplate, not content — detect them per source and strip them.
+# The deterministic page render plants a real header and footer line
+# per source (every page of a site shares them), so the detector has
+# genuine cross-document structure to find, and the whole derivation
+# stays SQL-replicable for the oracle.
+# ---------------------------------------------------------------------------
+
+_TPL_MIN_DOCS = 2               # line must appear in >= 2 docs ...
+_TPL_FRAC_NUM, _TPL_FRAC_DEN = 3, 10    # ... and >= 30% of site docs
+
+
+def _render_site_lines(batch: pa.Table):
+    """(doc_id, source, text) -> flat (doc_id, source, ln, t) line rows:
+    a per-site header (ln = -1), the 40-char content chunks (ln = g),
+    and a per-site footer (ln = 10^9). Chunk slicing is one vectorized
+    Arrow kernel per line INDEX (cf. `_line_features`)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    src = batch.column("source").to_numpy(zero_copy_only=False)
+    txt = batch.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_chunks = (lens + _LINE - 1) // _LINE
+
+    out_id = [ids, ids]
+    out_src = [src, src]
+    out_ln = [np.full(len(ids), -1, dtype=np.int64),
+              np.full(len(ids), 1_000_000_000, dtype=np.int64)]
+    out_t = [np.char.add(np.char.add("== ", src.astype(str)),
+                         " header =="),
+             np.char.add(np.char.add("-- ", src.astype(str)),
+                         " footer --")]
+    for g in range(int(n_chunks.max()) if len(ids) else 0):
+        sel = n_chunks > g
+        idx = np.flatnonzero(sel)
+        sl = pc.utf8_slice_codeunits(txt.filter(pa.array(sel)),
+                                     _LINE * g, _LINE * (g + 1))
+        out_id.append(ids[idx])
+        out_src.append(src[idx])
+        out_ln.append(np.full(len(idx), g, dtype=np.int64))
+        out_t.append(sl.to_numpy(zero_copy_only=False))
+    return (np.concatenate(out_id), np.concatenate(out_src),
+            np.concatenate(out_ln),
+            np.concatenate([np.asarray(t, dtype=object)
+                            for t in out_t]))
+
+
+def _template_counts(sf_dir: str):
+    """(source, t, nd) dataset: per-(site, line) distinct-document
+    counts. A document's lines are batch-local, so the per-(doc, line)
+    dedup completes inside the batch and the exchange moves one partial
+    row per (source, line, batch) — never line instances."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, src, _ln, t = _render_site_lines(batch)
+        df = pd.DataFrame({"doc_id": ids, "source": src, "t": t}) \
+            .drop_duplicates()
+        g = df.groupby(["source", "t"], as_index=False).size() \
+            .rename(columns={"size": "nd"}).astype({"nd": "int64"})
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum as _Sum
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+            .groupby(["source", "t"]).aggregate(_Sum("nd",
+                                                     alias_name="nd")))
+
+
+def _source_totals(sf_dir: str) -> dict:
+    import duckdb
+    con = duckdb.connect()
+    q = con.sql(f"SELECT source, CAST(count(*) AS BIGINT) n FROM "
+                f"read_parquet('{sf_dir}/documents.parquet') "
+                f"GROUP BY source")
+    return dict(q.fetchall())
+
+
+def docs_template_lines(sf_dir: str):
+    """Per-site template profile: (source, n_docs, n_template_lines) —
+    lines shared by >= {_TPL_MIN_DOCS} docs and >= 30% of the site's
+    pages. Site doc totals (one row per site) broadcast into the flag
+    stage; the (source, line) counts never leave the exchange
+    unaggregated."""
+    import ray
+    from ray.data.aggregate import Sum as _Sum
+
+    totals = _source_totals(sf_dir)
+    if not totals:
+        return pd.DataFrame({
+            "source": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_template_lines": pd.Series(dtype="int64")})
+    tot_ref = ray.put(totals)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        tot = ray.get(tot_ref)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        nd = batch["nd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = np.array([tot.get(s, 0) for s in src], dtype=np.int64)
+        is_tpl = (nd >= _TPL_MIN_DOCS) \
+            & (nd * _TPL_FRAC_DEN >= n_docs * _TPL_FRAC_NUM)
+        return pa.Table.from_pydict({
+            "source": src, "n_template_lines": is_tpl.astype(np.int64)})
+
+    agg = (_template_counts(sf_dir)
+           .map_batches(flag, batch_format="pyarrow", batch_size=None)
+           .groupby("source")
+           .aggregate(_Sum("n_template_lines",
+                           alias_name="n_template_lines"))
+           .to_pandas())
+    out = pd.DataFrame({"source": sorted(totals)})
+    out["n_docs"] = out["source"].map(totals).astype("int64")
+    agg_m = dict(zip(agg.get("source", []),
+                     agg.get("n_template_lines", [])))
+    out["n_template_lines"] = out["source"].map(agg_m).fillna(0) \
+        .astype("int64")
+    return out
+
+
+_SITE_LINES_SQL = f"""
+gs AS (
+  SELECT doc_id, source, coalesce(text, '') AS txt,
+         unnest(range(0, CAST(ceil(length(coalesce(text, ''))
+                                   / {_LINE}.0) AS BIGINT))) AS g
+  FROM documents),
+lines AS (
+  SELECT doc_id, source, CAST(-1 AS BIGINT) AS ln,
+         '== ' || source || ' header ==' AS t FROM documents
+  UNION ALL
+  SELECT doc_id, source, g,
+         substring(txt, 1 + {_LINE} * CAST(g AS INT), {_LINE}) FROM gs
+  UNION ALL
+  SELECT doc_id, source, CAST(1000000000 AS BIGINT),
+         '-- ' || source || ' footer --' FROM documents),
+cnt AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS nd
+  FROM (SELECT DISTINCT doc_id, source, t FROM lines)
+  GROUP BY source, t),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source),
+tpl AS (SELECT c.source, c.t FROM cnt c JOIN tot USING (source)
+        WHERE c.nd >= {_TPL_MIN_DOCS}
+          AND c.nd * {_TPL_FRAC_DEN} >= tot.n_docs * {_TPL_FRAC_NUM})
+"""
+
+TEMPLATE_LINES_SQL = f"""
+WITH {_SITE_LINES_SQL}
+SELECT tot.source, tot.n_docs,
+       CAST(count(tpl.t) AS BIGINT) AS n_template_lines
+FROM tot LEFT JOIN tpl ON tpl.source = tot.source
+GROUP BY tot.source, tot.n_docs ORDER BY tot.source
+"""
+
+
+def docs_template_strip_rewrite(sf_dir: str):
+    """The REWRITE form: every document with its site's template lines
+    removed, content order preserved — (doc_id, text_kept). The
+    template vocabulary (a handful of lines per site) collects once
+    and broadcasts via ``ray.put``; at true crawl scale swap the
+    broadcast for the byte-capped semi-join exchange the dedup tier
+    uses (same fallback noted on the domain gate)."""
+    import ray
+
+    totals = _source_totals(sf_dir)
+    if not totals:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "text_kept": pd.Series(dtype="object")})
+
+    cnt = _template_counts(sf_dir).to_pandas()
+    nd = cnt["nd"].astype(np.int64)
+    n_docs = cnt["source"].map(totals).astype(np.int64)
+    tpl = cnt[(nd >= _TPL_MIN_DOCS)
+              & (nd * _TPL_FRAC_DEN >= n_docs * _TPL_FRAC_NUM)]
+    tpl_keys = np.sort((tpl["source"].astype(str) + "\x00"
+                        + tpl["t"].astype(str)).to_numpy())
+    tpl_ref = ray.put(tpl_keys)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    def strip(batch: pa.Table) -> pa.Table:
+        keys = ray.get(tpl_ref)
+        ids, src, ln, t = _render_site_lines(batch)
+        k = np.char.add(np.char.add(src.astype(str), "\x00"),
+                        t.astype(str))
+        keep = ~np.isin(k, keys)
+        ids_k, ln_k, t_k = ids[keep], ln[keep], t[keep]
+        order = np.lexsort((ln_k, ids_k))
+        ids_k, t_k = ids_k[order], t_k[order]
+        if len(ids_k):
+            joined = pd.Series(t_k).groupby(ids_k).agg("\n".join)
+        else:
+            joined = pd.Series(dtype="object")
+        all_ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        txt = joined.reindex(all_ids).fillna("").to_numpy()
+        return pa.Table.from_pydict({"doc_id": all_ids,
+                                     "text_kept": txt})
+
+    return ds.map_batches(strip, batch_format="pyarrow",
+                          batch_size=None).sort("doc_id")
+
+
+TEMPLATE_STRIP_SQL = f"""
+WITH {_SITE_LINES_SQL},
+keep AS (
+  SELECT l.doc_id, l.ln, l.t FROM lines l
+  LEFT JOIN tpl ON tpl.source = l.source AND tpl.t = l.t
+  WHERE tpl.t IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(t, chr(10) ORDER BY ln) AS text_kept
+  FROM keep GROUP BY doc_id)
+SELECT d.doc_id, coalesce(agg.text_kept, '') AS text_kept
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 CLEANING_QUERIES: dict[str, tuple] = {
     "docs_c4_line_clean": (docs_c4_line_clean, C4_LINE_CLEAN_SQL),
     "docs_c4_clean_rewrite": (docs_c4_clean_rewrite,
@@ -442,4 +669,7 @@ CLEANING_QUERIES: dict[str, tuple] = {
     "docs_domain_reputation_filter": (docs_domain_reputation_filter,
                                       DOMAIN_REPUTATION_SQL),
     "docs_badword_filter": (docs_badword_filter, BADWORD_FILTER_SQL),
+    "docs_template_lines": (docs_template_lines, TEMPLATE_LINES_SQL),
+    "docs_template_strip_rewrite": (docs_template_strip_rewrite,
+                                    TEMPLATE_STRIP_SQL),
 }

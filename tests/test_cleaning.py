@@ -183,3 +183,67 @@ class TestBadwordFilter:
             docs_badword_filter)
         out = docs_badword_filter("/root/testdata/sf0.001").to_pandas()
         assert 0 < len(out) < 500      # drops some docs, not all
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSiteTemplates:
+    def _write(self, tmp_path, rows, name="tpl"):
+        df = pd.DataFrame(rows).astype({"doc_id": "int64",
+                                        "n_chars": "int64"})
+        d = os.path.join(str(tmp_path), name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(d, "documents.parquet"))
+        return d
+
+    def test_planted_nav_line_detected_and_stripped(self, tmp_path):
+        from pdf_extraction_ray.pipelines.cleaning import (
+            docs_template_lines, docs_template_strip_rewrite)
+        # one site: 10 docs, 4 share an identical 40-char "nav" chunk
+        # as their first line; unique tails pad every doc
+        nav = ("home about contact login search " + "x" * 40)[:40]
+        rows = []
+        for i in range(10):
+            body = nav if i < 4 else f"unique{i:02d} " * 4
+            text = (body + f" tail{i:02d} word soup filler")
+            rows.append({"doc_id": i, "text": text, "lang": "en",
+                         "source": "siteA", "n_chars": len(text)})
+        d = self._write(tmp_path, rows)
+        prof = docs_template_lines(d).set_index("source")
+        # header + footer (10/10 docs) + the nav chunk (4/10 >= 30%)
+        assert prof.loc["siteA", "n_template_lines"] == 3
+        out = docs_template_strip_rewrite(d).to_pandas() \
+            .set_index("doc_id")
+        for i in range(4):
+            assert nav not in out.loc[i, "text_kept"]
+            assert "header" not in out.loc[i, "text_kept"]
+        for i in range(4, 10):
+            assert f"unique{i:02d}" in out.loc[i, "text_kept"]
+
+    def test_below_fraction_not_template(self, tmp_path):
+        from pdf_extraction_ray.pipelines.cleaning import (
+            docs_template_lines)
+        # 2 of 10 docs share a line: >= MIN_DOCS but < 30% -> content
+        shared = ("repeated content line padded to forty ch")[:40]
+        rows = []
+        for i in range(10):
+            body = shared if i < 2 else f"only{i:02d} " * 5
+            rows.append({"doc_id": i, "text": body, "lang": "en",
+                         "source": "siteB", "n_chars": len(body)})
+        d = self._write(tmp_path, rows)
+        prof = docs_template_lines(d).set_index("source")
+        assert prof.loc["siteB", "n_template_lines"] == 2   # header+footer
+
+    def test_empty_table(self, tmp_path):
+        from pdf_extraction_ray.pipelines.cleaning import (
+            docs_template_lines, docs_template_strip_rewrite)
+        d = self._write(tmp_path, [
+            {"doc_id": 0, "text": "x", "lang": "en", "source": "s",
+             "n_chars": 1}])
+        e = os.path.join(str(tmp_path), "empty2")
+        os.makedirs(e, exist_ok=True)
+        t = pq.read_table(os.path.join(d, "documents.parquet"))
+        pq.write_table(t.slice(0, 0),
+                       os.path.join(e, "documents.parquet"))
+        assert len(docs_template_lines(e)) == 0
+        assert len(docs_template_strip_rewrite(e)) == 0
