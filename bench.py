@@ -844,7 +844,9 @@ def main():
                          "doc_dedup_substrings",
                          "doc_quality_threshold_sweep",
                          "docs_template_lines",
-                         "docs_template_strip_rewrite"]
+                         "docs_template_strip_rewrite",
+                         "events_sliding_distinct",
+                         "events_sliding_distinct_kmv"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -4437,6 +4437,126 @@ ORDER BY window_start
 """
 
 
+def events_sliding_distinct(sf_dir: str):
+    """Sliding-window COUNT DISTINCT users (60-min window, 15-min
+    slide): events fan out to member windows and dedup to (window,
+    user) inside the batch; the exchange moves only deduped pairs and
+    the exact per-window nunique runs in a coarse win-keyed grouped
+    map. The honest exact cost — the KMV twin below replaces the pair
+    exchange with k-minima sketches."""
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["ts", "user_id"])
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        base = (us // SLIDE_STEP_US) * SLIDE_STEP_US
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        starts = (base[:, None]
+                  - np.arange(_SLIDE_FANOUT, dtype=np.int64)[None, :]
+                  * SLIDE_STEP_US).reshape(-1)
+        df = pd.DataFrame({"win_us": starts,
+                           "user_id": np.repeat(uid, _SLIDE_FANOUT)}) \
+            .drop_duplicates()
+        return _from_pandas(df)
+
+    pairs = ds.map_batches(fanout, batch_format="pyarrow",
+                           batch_size=None)
+
+    def nuniq(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "win_us": [np.int64(g["win_us"].iloc[0])],
+            "n_users": [np.int64(g["user_id"].nunique())]})
+
+    agg = _coarse_grouped_map(pairs, "win_us", nuniq)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        ts = pa.array(batch["win_us"].to_numpy(zero_copy_only=False)
+                      .astype("datetime64[us]"))
+        return pa.Table.from_arrays(
+            [pc.strftime(ts, format="%Y-%m-%d %H:%M"),
+             batch["n_users"]],
+            names=["window_start", "n_users"])
+
+    return agg.map_batches(fmt, batch_format="pyarrow",
+                           batch_size=None).sort("window_start")
+
+
+SLIDING_DISTINCT_SQL = f"""
+WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+w AS (SELECT (us // {SLIDE_STEP_US}) * {SLIDE_STEP_US}
+             - unnest(range({_SLIDE_FANOUT})) * {SLIDE_STEP_US} AS win_us,
+             user_id
+      FROM e)
+SELECT strftime(make_timestamp(win_us), '%Y-%m-%d %H:%M')
+           AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+def events_sliding_distinct_kmv(sf_dir: str):
+    """The mergeable-sketch form of the sliding distinct count: one
+    KMV bottom-k sketch per (window, batch) row through a win-keyed
+    merge — no (window, user) pair ever crosses the exchange (the
+    100-TB shape for windowed cardinality; sketches also merge across
+    adjacent window PARTIALS, which is how a streaming deployment
+    would maintain them). Rows-only; tests bound vs the exact twin."""
+    from ..functions import sketch as S
+
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        base = (us // SLIDE_STEP_US) * SLIDE_STEP_US
+        wins = (base[:, None]
+                - np.arange(_SLIDE_FANOUT, dtype=np.int64)[None, :]
+                * SLIDE_STEP_US).reshape(-1)
+        h = np.repeat(pd.util.hash_array(uid), _SLIDE_FANOUT)
+        order = np.argsort(wins, kind="stable")
+        w_s, h_s = wins[order], h[order]
+        bounds = np.flatnonzero(np.r_[True, w_s[1:] != w_s[:-1], True])
+        out_w, out_s = [], []
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            out_w.append(w_s[a])
+            out_s.append(S.kmv_from_hashes(h_s[a:b]).tobytes())
+        return pa.Table.from_arrays(
+            [pa.array(np.array(out_w, dtype=np.int64)),
+             pa.array(out_s, pa.binary())],
+            names=["win_us", "sketch"])
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import sketch as S2
+        sk = np.empty(0, dtype=np.uint64)
+        for b in g["sketch"]:
+            sk = S2.kmv_merge(sk, np.frombuffer(b, dtype=np.uint64))
+        return pd.DataFrame({
+            "win_us": [np.int64(g["win_us"].iloc[0])],
+            "approx_users": [np.int64(S2.kmv_distinct(sk))]})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+           .groupby("win_us")
+           .map_groups(merge_group, batch_format="pandas"))
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        ts = pa.array(batch["win_us"].to_numpy(zero_copy_only=False)
+                      .astype("datetime64[us]"))
+        return pa.Table.from_arrays(
+            [pc.strftime(ts, format="%Y-%m-%d %H:%M"),
+             batch["approx_users"]],
+            names=["window_start", "approx_users"])
+
+    return agg.map_batches(fmt, batch_format="pyarrow",
+                           batch_size=None).sort("window_start")
+
+
 # ---------------------------------------------------------------------------
 # Range (interval) join: events within 7 days after the same user's order
 # ---------------------------------------------------------------------------
@@ -6646,6 +6766,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
         (customers_orders_full_outer, FULL_OUTER_SQL),
     "orders_events_range_join": (orders_events_range_join, RANGE_JOIN_SQL),
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
+    "events_sliding_distinct": (events_sliding_distinct,
+                                SLIDING_DISTINCT_SQL),
+    "events_sliding_distinct_kmv": (events_sliding_distinct_kmv, None),
     "q3_partitioned_join": (q3_partitioned_join, Q3_SQL),
     "q3_auto": (q3_auto, Q3_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

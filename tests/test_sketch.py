@@ -321,3 +321,22 @@ def test_kmv_overlap_tracks_exact():
         # 150 distinct users at these SFs -> both sketches are exact
         # (below k), so the estimate must be exact too
         assert exact > 0 and est == exact, (sf, exact, est)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_sliding_distinct_tracks_exact():
+    """Windowed KMV merge vs the exact sliding distinct count: at these
+    SFs every window holds < k users, so the sketch must be EXACT on
+    every window (the estimation regime is covered by the planted
+    50k-user test above)."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_sliding_distinct, events_sliding_distinct_kmv)
+    sf = "/root/testdata/sf0.001"
+    exact = events_sliding_distinct(sf).to_pandas() \
+        .set_index("window_start")["n_users"]
+    approx = events_sliding_distinct_kmv(sf).to_pandas() \
+        .set_index("window_start")["approx_users"]
+    assert len(exact) == len(approx) and len(exact) > 0
+    pd_testing = exact.sort_index().to_numpy() \
+        == approx.sort_index().to_numpy()
+    assert pd_testing.all()
