@@ -846,7 +846,8 @@ def main():
                          "docs_template_lines",
                          "docs_template_strip_rewrite",
                          "events_sliding_distinct",
-                         "events_sliding_distinct_kmv"]
+                         "events_sliding_distinct_kmv",
+                         "span_caption_pairs"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -227,7 +227,98 @@ FROM w GROUP BY doc_id, sec ORDER BY doc_id, sec
 """
 
 
+_PAIR_MIN_CHARS = 150            # section must carry real text
+
+
+def span_caption_pairs(sf_dir: str):
+    """Composed multimodal pair mining over the interleaved payload:
+    (media span, governing-section title) pairs kept only when the
+    section is substantive — the media sits under a title (sec >= 0)
+    and its section carries >= {_PAIR_MIN_CHARS} chars of span text.
+    The image-text pair table a multimodal training run consumes.
+
+    Still ONE zero-exchange pass: section membership, per-section char
+    sums and the media selection are all batch-local (a doc never
+    splits across rows); output is (doc_id, media_ref, context,
+    section_chars)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, parent, doc_start, kind, text, ref, off = \
+            _flat_spans(batch)
+        if len(parent) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "media_ref": pa.array([], pa.string()),
+                 "context": pa.array([], pa.string()),
+                 "section_chars": pa.array([], pa.int64())})
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        off_np = off.to_numpy(zero_copy_only=False).astype(np.int64)
+        last = _last_title(kind_np, doc_start)
+        sec_anchor = np.maximum(last, 0)          # flat idx of the title
+        has_sec = last >= 0
+        # per-(doc, section) char totals, batch-local (cf. section stats)
+        key = parent.astype(np.int64) * (off_np.max() + 2) \
+            + np.where(has_sec, off_np[sec_anchor], -1) + 1
+        uniq, inv = np.unique(key, return_inverse=True)
+        chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sec_chars = np.bincount(inv, weights=chars,
+                                minlength=len(uniq)).astype(np.int64)
+        per_span_sec_chars = sec_chars[inv]
+        sel = np.flatnonzero((kind_np == "image") & has_sec
+                             & (per_span_sec_chars >= _PAIR_MIN_CHARS))
+        ctx = pc.take(text, pa.array(sec_anchor[sel]))
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids[parent[sel]], pa.int64()),
+             pc.take(ref, pa.array(sel)), ctx,
+             pa.array(per_span_sec_chars[sel])],
+            names=["doc_id", "media_ref", "context", "section_chars"])
+
+    return interleaved_docs(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=None)
+
+
+SPAN_CAPTION_PAIRS_SQL = f"""
+WITH gs AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+         unnest(range(0, CAST(ceil(length(coalesce(text, ''))
+                                   / {_SCHUNK}.0) AS BIGINT))) AS g
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 2 * g AS off,
+         CASE WHEN g % {_TITLE_MOD} = {_TITLE_AT} THEN 'title'
+              ELSE 'text' END AS kind,
+         substring(txt, 1 + {_SCHUNK} * CAST(g AS INT), {_SCHUNK}) AS t,
+         '' AS media_ref
+  FROM gs
+  UNION ALL
+  SELECT doc_id, 2 * g + 1, 'image', '',
+         'img_' || CAST(doc_id AS VARCHAR) || '_' || CAST(g AS VARCHAR)
+  FROM gs WHERE g % {_MEDIA_MOD} = {_MEDIA_AT}
+),
+w AS (
+  SELECT *, max(CASE WHEN kind = 'title' THEN off END) OVER
+           (PARTITION BY doc_id ORDER BY off
+            ROWS UNBOUNDED PRECEDING) AS sec
+  FROM spans
+),
+secagg AS (
+  SELECT doc_id, sec, CAST(sum(length(t)) AS BIGINT) AS section_chars
+  FROM w WHERE sec IS NOT NULL GROUP BY doc_id, sec
+),
+titles AS (SELECT doc_id, off, t FROM spans WHERE kind = 'title')
+SELECT w.doc_id, w.media_ref, titles.t AS context,
+       secagg.section_chars
+FROM w
+JOIN secagg ON secagg.doc_id = w.doc_id AND secagg.sec = w.sec
+JOIN titles ON titles.doc_id = w.doc_id AND titles.off = w.sec
+WHERE w.kind = 'image' AND secagg.section_chars >= {_PAIR_MIN_CHARS}
+ORDER BY w.doc_id, w.off
+"""
+
+
 SPANS_QUERIES = {
     "span_media_context": (span_media_context, SPAN_MEDIA_CONTEXT_SQL),
     "span_section_stats": (span_section_stats, SPAN_SECTION_STATS_SQL),
+    "span_caption_pairs": (span_caption_pairs, SPAN_CAPTION_PAIRS_SQL),
 }

@@ -96,3 +96,19 @@ class TestParity:
         med = S.span_media_context(SF).to_pandas()
         assert df["n_media"].sum() == len(med)
         assert (df.groupby("doc_id")["section_off"].min() <= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCaptionPairs:
+    def test_pairs_subset_of_context_and_gated(self):
+        from pdf_extraction_ray.pipelines.spans import (
+            _PAIR_MIN_CHARS, span_caption_pairs, span_media_context)
+        pairs = span_caption_pairs(SF).to_pandas()
+        ctx = span_media_context(SF).to_pandas()
+        assert 0 < len(pairs) < len(ctx)          # the gate bites
+        assert (pairs["section_chars"] >= _PAIR_MIN_CHARS).all()
+        assert (pairs["context"] != "").all()
+        # every pair's (doc, media_ref) exists in the full context table
+        k = set(zip(ctx["doc_id"], ctx["media_ref"]))
+        assert all((d, m) in k
+                   for d, m in zip(pairs["doc_id"], pairs["media_ref"]))
