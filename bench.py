@@ -847,7 +847,8 @@ def main():
                          "docs_template_strip_rewrite",
                          "events_sliding_distinct",
                          "events_sliding_distinct_kmv",
-                         "span_caption_pairs"]
+                         "span_caption_pairs",
+                         "events_type_overlap_matrix"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -3296,6 +3296,61 @@ SELECT CAST(count(*) AS BIGINT) AS n_common_users FROM (
 """
 
 
+def events_type_overlap_matrix(sf_dir: str):
+    """Full pairwise audience-overlap matrix: distinct common users for
+    every unordered event-type pair. Per-batch (type, user) dedup, one
+    user-keyed exchange, then each user's type set expands to its
+    C(T,2) pairs map-side (T = |types|, tiny) and pre-reduced pair
+    counts Sum up — the exchange never carries a (type_a, type_b, user)
+    triple."""
+    empty = pd.DataFrame({"type_a": pd.Series(dtype="object"),
+                          "type_b": pd.Series(dtype="object"),
+                          "n_common": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"]
+            .to_numpy(zero_copy_only=False)}).drop_duplicates()
+        return _from_pandas(df)
+
+    def pairs_per_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()        # cross-batch (type, user) dups
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        out = m.groupby(["event_type_x", "event_type_y"],
+                        as_index=False).size()
+        return out.rename(columns={"event_type_x": "type_a",
+                                   "event_type_y": "type_b",
+                                   "size": "n_common"}) \
+            .astype({"n_common": "int64"})
+
+    per_part = _coarse_partition_map(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "user_id", pairs_per_part)
+    out = (per_part.groupby(["type_a", "type_b"])
+           .aggregate(Sum("n_common", alias_name="n_common"))
+           .to_pandas())
+    if out.empty:
+        return empty
+    return out.sort_values(["type_a", "type_b"]) \
+        .reset_index(drop=True).astype({"n_common": "int64"})
+
+
+TYPE_OVERLAP_MATRIX_SQL = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM du a JOIN du b
+  ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def events_type_overlap_kmv(sf_dir: str):
     """KMV bottom-k estimate of the same overlap: one k-minima sketch
     per (type, batch) row through a 2-group merge — no (type, user)
@@ -6725,6 +6780,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_type_overlap_exact": (events_type_overlap_exact,
                                   TYPE_OVERLAP_EXACT_SQL),
     "events_type_overlap_kmv": (events_type_overlap_kmv, None),
+    "events_type_overlap_matrix": (events_type_overlap_matrix,
+                                   TYPE_OVERLAP_MATRIX_SQL),
     "events_type_robust_outliers": (events_type_robust_outliers,
                                     ROBUST_OUTLIERS_SQL),
     "q10_partitioned": (q10_partitioned, Q10_SQL),

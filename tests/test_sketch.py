@@ -340,3 +340,17 @@ def test_kmv_sliding_distinct_tracks_exact():
     pd_testing = exact.sort_index().to_numpy() \
         == approx.sort_index().to_numpy()
     assert pd_testing.all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_overlap_matrix_consistent_with_pair():
+    from pdf_extraction_ray.pipelines.relational import (
+        OVERLAP_TYPES, events_type_overlap_exact,
+        events_type_overlap_matrix)
+    sf = "/root/testdata/sf0.001"
+    m = events_type_overlap_matrix(sf)
+    a, b = sorted(OVERLAP_TYPES)
+    cell = m[(m["type_a"] == a) & (m["type_b"] == b)]
+    exact = int(events_type_overlap_exact(sf)["n_common_users"].iloc[0])
+    assert int(cell["n_common"].iloc[0]) == exact
+    assert (m["type_a"] < m["type_b"]).all()      # unordered, no diag
