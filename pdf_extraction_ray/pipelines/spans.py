@@ -30,6 +30,7 @@ window operators over the interleaved span payload.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -317,8 +318,301 @@ ORDER BY w.doc_id, w.off
 """
 
 
+# ---------------------------------------------------------------------------
+# Shared oracle CTE: re-derive the interleaved spans from documents.text
+# ---------------------------------------------------------------------------
+
+_DERIVE_CTE = f"""
+WITH gs AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+         unnest(range(0, CAST(ceil(length(coalesce(text, ''))
+                                   / {_SCHUNK}.0) AS BIGINT))) AS g
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 2 * g AS off,
+         CASE WHEN g % {_TITLE_MOD} = {_TITLE_AT} THEN 'title'
+              ELSE 'text' END AS kind,
+         substring(txt, 1 + {_SCHUNK} * CAST(g AS INT), {_SCHUNK}) AS t,
+         '' AS media_ref
+  FROM gs
+  UNION ALL
+  SELECT doc_id, 2 * g + 1, 'image', '',
+         'img_' || CAST(doc_id AS VARCHAR) || '_' || CAST(g AS VARCHAR)
+  FROM gs WHERE g % {_MEDIA_MOD} = {_MEDIA_AT}
+)"""
+
+
+def span_media_gaps(sf_dir: str):
+    """OBELICS/MMC4-style interleaving statistic: for every media span,
+    the count of span-text characters between it and the PREVIOUS media
+    span in the same document (from the document start for the first
+    one). The signal an interleaved image-text training pipeline uses
+    to drop image-dense or text-desert documents and to budget
+    tokens-per-image when packing sequences.
+
+    One vectorized pass per batch (global char cumsum + a
+    maximum.accumulate previous-media index, doc_start-guarded like
+    ``_last_title``); a doc never splits across rows, so the operator
+    is shuffle-free at any corpus size."""
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, parent, doc_start, kind, text, ref, off = _flat_spans(batch)
+        if len(parent) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "media_ref": pa.array([], pa.string()),
+                 "offset": pa.array([], pa.int32()),
+                 "gap_chars": pa.array([], pa.int64())})
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cum_excl = np.cumsum(chars) - chars      # chars before each span
+        idx = np.arange(len(kind_np), dtype=np.int64)
+        lastm = np.maximum.accumulate(np.where(kind_np == "image", idx, -1))
+        prev = np.concatenate([[-1], lastm[:-1]])      # strictly-before
+        prev = np.where(prev >= doc_start, prev, -1)
+        sel = np.flatnonzero(kind_np == "image")
+        base = np.where(prev[sel] >= 0,
+                        cum_excl[np.maximum(prev[sel], 0)],
+                        cum_excl[doc_start[sel]])
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids[parent[sel]], pa.int64()),
+             pc.take(ref, pa.array(sel)), pc.take(off, pa.array(sel)),
+             pa.array(cum_excl[sel] - base)],
+            names=["doc_id", "media_ref", "offset", "gap_chars"])
+
+    return interleaved_docs(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=None)
+
+
+SPAN_MEDIA_GAPS_SQL = _DERIVE_CTE + """,
+w AS (
+  SELECT *, coalesce(sum(length(t)) OVER
+           (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM spans
+),
+m AS (
+  SELECT doc_id, media_ref, off, cum,
+         coalesce(lag(cum) OVER (PARTITION BY doc_id ORDER BY off), 0)
+             AS pcum
+  FROM w WHERE kind = 'image'
+)
+SELECT doc_id, media_ref, CAST(off AS INT) AS "offset",
+       CAST(cum - pcum AS BIGINT) AS gap_chars
+FROM m ORDER BY doc_id, off
+"""
+
+
+_DENSITY_MAX = 200       # max span-text chars per media span to keep
+
+
+def docs_interleaved_filter(sf_dir: str):
+    """Doc-level multimodal curation gate over the interleaved payload
+    (OBELICS-style): keep a document iff it contains at least one media
+    span AND its text density stays under ``_DENSITY_MAX`` chars per
+    media span (text deserts make poor interleaved training docs).
+    Emits every document WITH its keep flag so the rejected set is
+    auditable. Batch-local and complete — zero exchange."""
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, parent, _ds, kind, text, _ref, _off = _flat_spans(batch)
+        if len(parent) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_media": pa.array([], pa.int64()),
+                 "n_chars": pa.array([], pa.int64()),
+                 "keep": pa.array([], pa.int64())})
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(batch)
+        n_spans = np.bincount(parent, minlength=n)
+        n_media = np.bincount(parent, weights=(kind_np == "image"),
+                              minlength=n).astype(np.int64)
+        n_chars = np.bincount(parent, weights=chars,
+                              minlength=n).astype(np.int64)
+        keep = ((n_media >= 1)
+                & (n_chars <= _DENSITY_MAX * n_media)).astype(np.int64)
+        has = n_spans > 0            # docs with no spans match no oracle row
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids[has], pa.int64()),
+             "n_media": n_media[has], "n_chars": n_chars[has],
+             "keep": keep[has]})
+
+    return interleaved_docs(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=None)
+
+
+DOCS_INTERLEAVED_FILTER_SQL = _DERIVE_CTE + f"""
+SELECT doc_id,
+       CAST(count(*) FILTER (kind = 'image') AS BIGINT) AS n_media,
+       CAST(sum(length(t)) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN count(*) FILTER (kind = 'image') >= 1
+                  AND sum(length(t)) <=
+                      {_DENSITY_MAX} * count(*) FILTER (kind = 'image')
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _line_doc_rows(batch: pa.Table) -> pa.Table:
+    """Interleaved batch -> one row per (line text, doc): (t, doc_id,
+    cnt, min_off). Lines are the non-media spans; a doc never splits
+    across rows, so (t, doc) pairs are globally distinct after this
+    batch-local reduction."""
+    doc_ids, parent, _ds, kind, text, _ref, off = _flat_spans(batch)
+    kind_np = kind.to_numpy(zero_copy_only=False)
+    sel = np.flatnonzero(kind_np != "image")
+    if len(sel) == 0:
+        return pa.Table.from_pydict(
+            {"t": pa.array([], pa.string()),
+             "doc_id": pa.array([], pa.int64()),
+             "cnt": pa.array([], pa.int64()),
+             "min_off": pa.array([], pa.int64())})
+    df = pd.DataFrame({
+        "t": text.take(pa.array(sel)).to_pandas(),
+        "doc_id": doc_ids[parent[sel]],
+        "off": off.to_numpy(zero_copy_only=False)[sel].astype(np.int64)})
+    g = df.groupby(["t", "doc_id"], as_index=False, sort=False).agg(
+        cnt=("off", "size"), min_off=("off", "min"))
+    return pa.Table.from_pandas(g.astype({"cnt": "int64",
+                                          "min_off": "int64"}),
+                                preserve_index=False)
+
+
+def span_dup_texts(sf_dir: str):
+    """Corpus-global duplicate-line profile over the interleaved
+    payload (the CCNet/RefinedWeb 'duplicated lines across documents'
+    signal, computed on spans instead of raw text lines): every line
+    text that occurs in >= 2 distinct documents, with its total
+    occurrence count and distinct-doc count.
+
+    Scale shape: the only exchange is keyed by the line text and moves
+    per-(line, doc) pre-reduced rows — never per-occurrence rows; at
+    web scale you would ship a 128-bit line hash instead of the 40-char
+    text, an identical plan."""
+    pairs = interleaved_docs(sf_dir).map_batches(
+        _line_doc_rows, batch_format="pyarrow", batch_size=None)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("t", as_index=False).agg(
+            n=("cnt", "sum"), n_docs=("doc_id", "nunique"))
+        a = a[a["n_docs"] >= 2]
+        return a[["t", "n", "n_docs"]].astype({"n": "int64",
+                                               "n_docs": "int64"})
+
+    from .corpus import _coarse_str_group
+    return _coarse_str_group(pairs, "t", per_group).sort("t")
+
+
+SPAN_DUP_TEXTS_SQL = _DERIVE_CTE + """
+SELECT t, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM spans WHERE kind <> 'image'
+GROUP BY t HAVING count(DISTINCT doc_id) >= 2
+ORDER BY t
+"""
+
+
+def span_line_dedup(sf_dir: str):
+    """Global keep-first line dedup over the interleaved payload
+    (CCNet's cross-document line dedup, downstream of
+    ``span_dup_texts``): every line text keeps only its corpus-wide
+    first occurrence (minimal ``(doc_id, offset)``); per-doc stats of
+    the rewrite are emitted as (doc_id, n_lines, n_removed,
+    kept_chars).
+
+    Scale shape (cf. ``corpus.doc_dedup_blocks``): the wide exchange is
+    keyed by line text and moves only per-(line, doc) marker rows
+    (count + min offset — never one row per occurrence); removed-side
+    partials then meet the map-side per-doc totals in one int-keyed
+    doc aggregate. No second pass over the corpus is needed because the
+    output is the rewrite's accounting, not the rewritten text."""
+    base = interleaved_docs(sf_dir)
+    pairs = base.map_batches(_line_doc_rows, batch_format="pyarrow",
+                             batch_size=None)
+
+    def removed_partials(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of one line text land in one coarse group; the
+        # global winner is the lexicographic (doc_id, min_off) first.
+        g = g.sort_values(["t", "doc_id", "min_off"])
+        chars = g["t"].str.len().astype("int64")
+        first = ~g.duplicated("t")          # winner row per line text
+        # a winner row still removes its own within-doc repeats
+        rem = (g["cnt"] - first.astype("int64")).astype("int64")
+        out = pd.DataFrame({"doc_id": g["doc_id"],
+                            "n_removed": rem,
+                            "removed_chars": rem * chars})
+        out = out[out["n_removed"] > 0]
+        return out.groupby("doc_id", as_index=False).sum().astype("int64")
+
+    from .corpus import _coarse_str_group
+    removed = _coarse_str_group(pairs, "t", removed_partials)
+
+    def doc_totals(batch: pa.Table) -> pa.Table:
+        doc_ids, parent, _ds, kind, text, _ref, _off = _flat_spans(batch)
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        line = kind_np != "image"
+        n = len(batch)
+        n_lines = np.bincount(parent, weights=line,
+                              minlength=n).astype(np.int64)
+        tot = np.bincount(parent, weights=chars * line,
+                          minlength=n).astype(np.int64)
+        has = n_lines > 0
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        # totals side of the union: (n_lines, 0, +total_chars) — the
+        # removed side contributes (0, n_removed, -removed_chars), so
+        # the doc-keyed Sum of the third column IS kept_chars.
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids[has], pa.int64()),
+             "n_lines": n_lines[has],
+             "n_removed": np.zeros(int(has.sum()), dtype=np.int64),
+             "removed_chars": tot[has]})
+
+    def tag_removed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"],
+             "n_lines": np.zeros(len(batch), dtype=np.int64),
+             "n_removed": batch["n_removed"],
+             "removed_chars": pc.multiply(
+                 batch["removed_chars"], pa.scalar(-1, pa.int64()))})
+
+    from ray.data.aggregate import Sum
+    totals = base.map_batches(doc_totals, batch_format="pyarrow",
+                              batch_size=None)
+    unioned = totals.union(removed.map_batches(
+        tag_removed, batch_format="pyarrow", batch_size=None))
+    agg = unioned.groupby("doc_id").aggregate(
+        Sum("n_lines", alias_name="n_lines"),
+        Sum("n_removed", alias_name="n_removed"),
+        Sum("removed_chars", alias_name="kept_chars"))
+    return agg.sort("doc_id")
+
+
+SPAN_LINE_DEDUP_SQL = _DERIVE_CTE + """,
+lines AS (SELECT doc_id, off, t FROM spans WHERE kind <> 'image'),
+r AS (SELECT doc_id, t,
+             row_number() OVER (PARTITION BY t
+                                ORDER BY doc_id, off) AS rn
+      FROM lines)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_removed,
+       CAST(coalesce(sum(length(t)) FILTER (rn = 1), 0) AS BIGINT)
+           AS kept_chars
+FROM r GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 SPANS_QUERIES = {
     "span_media_context": (span_media_context, SPAN_MEDIA_CONTEXT_SQL),
     "span_section_stats": (span_section_stats, SPAN_SECTION_STATS_SQL),
     "span_caption_pairs": (span_caption_pairs, SPAN_CAPTION_PAIRS_SQL),
+    "span_media_gaps": (span_media_gaps, SPAN_MEDIA_GAPS_SQL),
+    "docs_interleaved_filter": (docs_interleaved_filter,
+                                DOCS_INTERLEAVED_FILTER_SQL),
+    "span_dup_texts": (span_dup_texts, SPAN_DUP_TEXTS_SQL),
+    "span_line_dedup": (span_line_dedup, SPAN_LINE_DEDUP_SQL),
 }

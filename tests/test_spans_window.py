@@ -98,6 +98,80 @@ class TestParity:
         assert (df.groupby("doc_id")["section_off"].min() <= 0).all()
 
 
+class TestMediaGapsKernel:
+    def test_planted(self):
+        # doc 1: 4 chars, media, 9 chars (title+text), media; doc 2:
+        # media first (gap 0 — no carry from doc 1's trailing text)
+        batch = _mk_batch([
+            (1, [("text", "abcd", "", 0), ("image", "", "m0", 1),
+                 ("title", "Intro", "", 2), ("text", "body", "", 3),
+                 ("image", "", "m1", 4), ("text", "tail", "", 5)]),
+            (2, [("image", "", "m2", 0), ("text", "x", "", 1)]),
+        ])
+        doc_ids, parent, doc_start, kind, text, ref, off = \
+            S._flat_spans(batch)
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        chars = np.array([len(t) for t in
+                          text.to_pylist()], dtype=np.int64)
+        cum_excl = np.cumsum(chars) - chars
+        idx = np.arange(len(kind_np), dtype=np.int64)
+        lastm = np.maximum.accumulate(
+            np.where(kind_np == "image", idx, -1))
+        prev = np.concatenate([[-1], lastm[:-1]])
+        prev = np.where(prev >= doc_start, prev, -1)
+        sel = np.flatnonzero(kind_np == "image")
+        base = np.where(prev[sel] >= 0,
+                        cum_excl[np.maximum(prev[sel], 0)],
+                        cum_excl[doc_start[sel]])
+        assert (cum_excl[sel] - base).tolist() == [4, 9, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInterleavedCuration:
+    def _duck(self, sql):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        return con.sql(sql).df()
+
+    def test_media_gaps_parity(self):
+        ray_df = TestParity._canon(S.span_media_gaps(SF).to_pandas())
+        duck_df = TestParity._canon(self._duck(S.SPAN_MEDIA_GAPS_SQL))
+        assert len(ray_df) == len(duck_df) and len(ray_df) > 0
+        pd.testing.assert_frame_equal(ray_df, duck_df, check_dtype=False)
+
+    def test_filter_gate_bites_both_ways(self):
+        df = S.docs_interleaved_filter(SF).to_pandas()
+        assert df["keep"].isin([0, 1]).all()
+        assert 0 < df["keep"].sum() < len(df)
+        # every no-media doc is rejected
+        assert (df.loc[df["n_media"] == 0, "keep"] == 0).all()
+        # every kept doc satisfies the density bound
+        kept = df[df["keep"] == 1]
+        assert (kept["n_chars"]
+                <= S._DENSITY_MAX * kept["n_media"]).all()
+
+    def test_dup_texts_all_cross_doc(self):
+        df = S.span_dup_texts(SF).to_pandas()
+        assert len(df) > 0
+        assert (df["n_docs"] >= 2).all()
+        assert (df["n"] >= df["n_docs"]).all()
+
+    def test_line_dedup_consistent_with_filter_chars(self):
+        # media spans carry no chars, so the filter's n_chars equals the
+        # dedup's total line chars: kept_chars == n_chars iff no removal
+        ded = S.span_line_dedup(SF).to_pandas().set_index("doc_id")
+        fil = S.docs_interleaved_filter(SF).to_pandas() \
+            .set_index("doc_id")
+        j = ded.join(fil, how="inner")
+        assert len(j) == len(ded)
+        assert ded["n_removed"].sum() > 0              # dups exist
+        clean = j[j["n_removed"] == 0]
+        assert (clean["kept_chars"] == clean["n_chars"]).all()
+        dirty = j[j["n_removed"] > 0]
+        assert (dirty["kept_chars"] < dirty["n_chars"]).all()
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestCaptionPairs:
     def test_pairs_subset_of_context_and_gated(self):
