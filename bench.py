@@ -848,7 +848,11 @@ def main():
                          "events_sliding_distinct",
                          "events_sliding_distinct_kmv",
                          "span_caption_pairs",
-                         "events_type_overlap_matrix"]
+                         "events_type_overlap_matrix",
+                         "docs_render_interleaved",
+                         "packed_interleaved",
+                         "span_order_audit",
+                         "template_detector_eval"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -662,6 +662,101 @@ ORDER BY d.doc_id
 """
 
 
+def template_detector_eval(sf_dir: str):
+    """Detector-quality eval: precision/recall of the site-template
+    line detector against the PLANTED ground truth (the render plants
+    exactly one header and one footer line per site, so truth is known
+    bit-exactly). Per site: predicted template lines, true planted
+    lines (always 2), TP/FP/FN and precision/recall — the eval table a
+    curation team reads before trusting a boilerplate stripper on a
+    new crawl. A 1-doc site legitimately scores recall 0 (the >= 2-doc
+    evidence rule cannot fire), which the oracle reproduces.
+
+    Scale shape: identical to ``docs_template_lines`` — the exchange
+    moves per-(site, line) pre-reduced counts only; truth membership
+    is a string comparison against the site's two known planted lines,
+    computed map-side."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    totals = _source_totals(sf_dir)
+    if not totals:
+        return pd.DataFrame({
+            "source": pd.Series(dtype="object"),
+            "n_pred": pd.Series(dtype="int64"),
+            "n_true": pd.Series(dtype="int64"),
+            "tp": pd.Series(dtype="int64"),
+            "fp": pd.Series(dtype="int64"),
+            "fn": pd.Series(dtype="int64"),
+            "precision": pd.Series(dtype="float64"),
+            "recall": pd.Series(dtype="float64")})
+    tot_ref = ray.put(totals)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        tot = ray.get(tot_ref)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        t = batch["t"].to_numpy(zero_copy_only=False)
+        nd = batch["nd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = np.array([tot.get(s, 0) for s in src], dtype=np.int64)
+        is_tpl = (nd >= _TPL_MIN_DOCS) \
+            & (nd * _TPL_FRAC_DEN >= n_docs * _TPL_FRAC_NUM)
+        s = src.astype(str)
+        is_true = (t == np.char.add(np.char.add("== ", s), " header ==")) \
+            | (t == np.char.add(np.char.add("-- ", s), " footer --"))
+        return pa.Table.from_pydict({
+            "source": src,
+            "n_pred": is_tpl.astype(np.int64),
+            "tp": (is_tpl & is_true).astype(np.int64)})
+
+    agg = (_template_counts(sf_dir)
+           .map_batches(flag, batch_format="pyarrow", batch_size=None)
+           .groupby("source")
+           .aggregate(Sum("n_pred", alias_name="n_pred"),
+                      Sum("tp", alias_name="tp"))
+           .to_pandas())
+    out = pd.DataFrame({"source": sorted(totals)})
+    for c in ("n_pred", "tp"):
+        m = dict(zip(agg.get("source", []), agg.get(c, [])))
+        out[c] = out["source"].map(m).fillna(0).astype("int64")
+    out["n_true"] = np.int64(2)
+    out["fp"] = (out["n_pred"] - out["tp"]).astype("int64")
+    out["fn"] = (out["n_true"] - out["tp"]).astype("int64")
+    out["precision"] = np.where(out["n_pred"] > 0,
+                                out["tp"] / out["n_pred"].replace(0, 1),
+                                0.0)
+    out["recall"] = out["tp"] / 2.0
+    return out[["source", "n_pred", "n_true", "tp", "fp", "fn",
+                "precision", "recall"]]
+
+
+TEMPLATE_DETECTOR_EVAL_SQL = f"""
+WITH {_SITE_LINES_SQL},
+ev AS (
+  SELECT tpl.source,
+         CASE WHEN tpl.t = '== ' || tpl.source || ' header =='
+                OR tpl.t = '-- ' || tpl.source || ' footer --'
+              THEN 1 ELSE 0 END AS is_true
+  FROM tpl),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_pred,
+         CAST(sum(is_true) AS BIGINT) AS tp
+  FROM ev GROUP BY source)
+SELECT tot.source,
+       CAST(coalesce(agg.n_pred, 0) AS BIGINT) AS n_pred,
+       CAST(2 AS BIGINT) AS n_true,
+       CAST(coalesce(agg.tp, 0) AS BIGINT) AS tp,
+       CAST(coalesce(agg.n_pred, 0) - coalesce(agg.tp, 0) AS BIGINT)
+           AS fp,
+       CAST(2 - coalesce(agg.tp, 0) AS BIGINT) AS fn,
+       CASE WHEN coalesce(agg.n_pred, 0) > 0
+            THEN CAST(agg.tp AS DOUBLE) / agg.n_pred
+            ELSE 0.0 END AS precision,
+       CAST(coalesce(agg.tp, 0) AS DOUBLE) / 2 AS recall
+FROM tot LEFT JOIN agg USING (source)
+ORDER BY tot.source
+"""
+
+
 CLEANING_QUERIES: dict[str, tuple] = {
     "docs_c4_line_clean": (docs_c4_line_clean, C4_LINE_CLEAN_SQL),
     "docs_c4_clean_rewrite": (docs_c4_clean_rewrite,
@@ -672,4 +767,6 @@ CLEANING_QUERIES: dict[str, tuple] = {
     "docs_template_lines": (docs_template_lines, TEMPLATE_LINES_SQL),
     "docs_template_strip_rewrite": (docs_template_strip_rewrite,
                                     TEMPLATE_STRIP_SQL),
+    "template_detector_eval": (template_detector_eval,
+                               TEMPLATE_DETECTOR_EVAL_SQL),
 }

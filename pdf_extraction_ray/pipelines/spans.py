@@ -606,6 +606,306 @@ FROM r GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Interleaved -> training-sample serialization, media-atomic sequence
+# packing, and a reading-order audit over a perturbed corpus.
+# ---------------------------------------------------------------------------
+
+
+def docs_render_interleaved(sf_dir: str):
+    """Serialize each interleaved document into ONE training-sample
+    string: spans in offset order, titles prefixed ``# ``, media spans
+    replaced by an ``<image:ref>`` placeholder token, joined by
+    newlines — the flattening step an interleaved multimodal trainer
+    (MMC4/OBELICS-style) runs right before tokenization.
+
+    Fully vectorized: the per-span projection is three Arrow kernels
+    and the per-doc join is ONE ``pc.binary_join`` over the original
+    list offsets — no python loop, no exchange (a doc never splits
+    across rows). Output: (doc_id, n_media, rendered)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        kind = pc.struct_field(flat, "kind")
+        text = pc.struct_field(flat, "text")
+        ref = pc.struct_field(flat, "media_ref")
+        is_img = pc.equal(kind, "image")
+        rendered = pc.if_else(
+            is_img,
+            pc.binary_join_element_wise("<image:", ref, ">", ""),
+            pc.if_else(pc.equal(kind, "title"),
+                       pc.binary_join_element_wise("# ", text, ""),
+                       text))
+        relist = pa.ListArray.from_arrays(spans.offsets, rendered)
+        joined = pc.binary_join(relist, "\n")
+        n_media = np.zeros(len(batch), dtype=np.int64)
+        parent = pc.list_parent_indices(spans) \
+            .to_numpy(zero_copy_only=False)
+        np.add.at(n_media, parent,
+                  is_img.to_numpy(zero_copy_only=False))
+        has = pc.list_value_length(spans).to_numpy(
+            zero_copy_only=False) > 0
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id").filter(pa.array(has)),
+             "n_media": pa.array(n_media[has]),
+             "rendered": joined.filter(pa.array(has))})
+
+    return interleaved_docs(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=None)
+
+
+DOCS_RENDER_INTERLEAVED_SQL = _DERIVE_CTE + """
+SELECT doc_id,
+       CAST(count(*) FILTER (kind = 'image') AS BIGINT) AS n_media,
+       string_agg(CASE WHEN kind = 'image'
+                         THEN '<image:' || media_ref || '>'
+                       WHEN kind = 'title' THEN '# ' || t
+                       ELSE t END, chr(10) ORDER BY off) AS rendered
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_PACK_BUDGET = 64        # tokens per packed sequence
+_PACK_MEDIA_COST = 16    # fixed token cost of one media span
+
+
+def _span_costs(kind_np: np.ndarray, text) -> np.ndarray:
+    """Per-span token cost: media is a fixed {_PACK_MEDIA_COST}-token
+    patch budget; text/title cost ceil(chars / 4) (a chars-per-token
+    proxy the oracle can replay exactly in integer SQL)."""
+    chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    return np.where(kind_np == "image", _PACK_MEDIA_COST,
+                    (chars + 3) // 4)
+
+
+def packed_interleaved(sf_dir: str):
+    """Media-atomic greedy sequence packing over the interleaved
+    payload: walk each document's spans in offset order and start a new
+    sequence whenever adding the next span would push the running token
+    count past ``_PACK_BUDGET``; media spans are never split and never
+    separated from their token cost. Output one row per (doc, seq):
+    (doc_id, seq_id, n_spans, n_media, n_tokens) — the shape a trainer
+    feeds its dataloader manifest.
+
+    The greedy reset scan is vectorized ACROSS documents: each round
+    advances every still-open document by one full sequence via one
+    ``np.searchsorted`` on the global cost prefix-sum (cut = first span
+    whose doc-local cumulative cost exceeds the budget), so rounds =
+    max sequences per doc, not spans — a giant 10^6-token doc costs
+    ~15k O(log n) probes, not 10^6 python steps. Batch-local, zero
+    exchange (a doc never splits across rows)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, parent, _dsf, kind, text, _ref, _off = _flat_spans(batch)
+        empty = pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()),
+             "seq_id": pa.array([], pa.int64()),
+             "n_spans": pa.array([], pa.int64()),
+             "n_media": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64())})
+        if len(parent) == 0:
+            return empty
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        costs = _span_costs(kind_np, text)
+        prefix = np.cumsum(costs)
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        starts = np.asarray(spans_col.offsets, dtype=np.int64)
+        s, e = starts[:-1], starts[1:]
+        ne = s < e
+        cur, end = s[ne].copy(), e[ne]
+        if len(cur) == 0:
+            return empty
+        base = np.where(cur > 0, prefix[np.maximum(cur, 1) - 1], 0)
+        bounds = [cur.copy()]
+        while True:
+            cut = np.searchsorted(prefix, base + _PACK_BUDGET,
+                                  side="right")
+            cut = np.minimum(np.maximum(cut, cur + 1), end)
+            alive = cut < end
+            if not alive.any():
+                break
+            cur = cut[alive]
+            base = prefix[cur - 1]
+            end = end[alive]
+            bounds.append(cur.copy())
+        b = np.sort(np.concatenate(bounds))
+        n_spans = np.diff(np.append(b, len(costs)))
+        n_tokens = np.add.reduceat(costs, b)
+        n_media = np.add.reduceat(
+            (kind_np == "image").astype(np.int64), b)
+        doc_of = parent[b]
+        change = np.concatenate(
+            [[True], doc_of[1:] != doc_of[:-1]]) if len(b) else \
+            np.array([], dtype=bool)
+        grp = np.maximum.accumulate(
+            np.where(change, np.arange(len(b)), 0))
+        seq_id = np.arange(len(b)) - grp
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(doc_ids[doc_of], pa.int64()),
+             "seq_id": seq_id.astype(np.int64),
+             "n_spans": n_spans.astype(np.int64),
+             "n_media": n_media, "n_tokens": n_tokens})
+
+    return interleaved_docs(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=None)
+
+
+PACKED_INTERLEAVED_SQL = f"""
+WITH RECURSIVE gs AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+         unnest(range(0, CAST(ceil(length(coalesce(text, ''))
+                                   / {_SCHUNK}.0) AS BIGINT))) AS g
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 2 * g AS off,
+         CASE WHEN g % {_TITLE_MOD} = {_TITLE_AT} THEN 'title'
+              ELSE 'text' END AS kind,
+         substring(txt, 1 + {_SCHUNK} * CAST(g AS INT), {_SCHUNK}) AS t
+  FROM gs
+  UNION ALL
+  SELECT doc_id, 2 * g + 1, 'image', ''
+  FROM gs WHERE g % {_MEDIA_MOD} = {_MEDIA_AT}
+),
+sp AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'image' THEN {_PACK_MEDIA_COST}
+              ELSE (length(t) + 3) // 4 END AS cost,
+         row_number() OVER (PARTITION BY doc_id ORDER BY off) AS rn
+  FROM spans
+),
+r AS (
+  SELECT doc_id, rn, kind, cost, cost AS cum,
+         CAST(0 AS BIGINT) AS seq
+  FROM sp WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.rn, s.kind, s.cost,
+         CASE WHEN r.cum + s.cost > {_PACK_BUDGET} THEN s.cost
+              ELSE r.cum + s.cost END,
+         CASE WHEN r.cum + s.cost > {_PACK_BUDGET} THEN r.seq + 1
+              ELSE r.seq END
+  FROM r JOIN sp s ON s.doc_id = r.doc_id AND s.rn = r.rn + 1
+)
+SELECT doc_id, seq AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (kind = 'image') AS BIGINT) AS n_media,
+       CAST(sum(cost) AS BIGINT) AS n_tokens
+FROM r GROUP BY doc_id, seq ORDER BY doc_id, seq
+"""
+
+
+_AUD_SWAP_MOD, _AUD_SWAP_AT = 13, 3     # swap spans 1<->2 of these docs
+_AUD_DUP_MOD, _AUD_DUP_AT = 17, 5       # duplicate span 1's offset
+
+
+def span_order_audit(sf_dir: str):
+    """Reading-order integrity gate with PLANTED violations: the
+    interleaved corpus is deterministically perturbed (docs with
+    ``doc_id % {_AUD_SWAP_MOD} == {_AUD_SWAP_AT}`` get their first two
+    span offsets swapped — an inversion; docs with ``doc_id %
+    {_AUD_DUP_MOD} == {_AUD_DUP_AT}`` not already swapped get span 2's
+    offset copied from span 1 — a duplicate), then audited: adjacent
+    offset inversions and duplicates are counted corpus-wide. The gate
+    a span-reassembly stage (O1, `stages/reassemble.py`) runs before
+    trusting `sort(offset)` to reproduce reading order. One row:
+    (n_docs, n_inversions, n_dup_offsets, docs_inverted, docs_dup).
+
+    Per-batch partial counts -> one 5-column Sum; docs are batch-local
+    so distinct-doc partials add exactly. Zero exchange beyond the
+    final 5-int reduce."""
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_ids, parent, doc_start, kind, text, _ref, off = \
+            _flat_spans(batch)
+        zero = pa.Table.from_pydict(
+            {k: pa.array([0], pa.int64())
+             for k in ("n_docs", "n_inversions", "n_dup_offsets",
+                       "docs_inverted", "docs_dup")})
+        if len(parent) == 0:
+            return zero
+        off2 = off.to_numpy(zero_copy_only=False).astype(np.int64).copy()
+        orig = off2.copy()
+        idx = np.arange(len(parent), dtype=np.int64)
+        pos0 = idx == doc_start                  # first span of its doc
+        doc = doc_ids[parent]
+        nsp = np.bincount(parent, minlength=len(batch))
+        big = nsp[parent] >= 2
+        sel_a = np.flatnonzero(pos0 & big
+                               & (doc % _AUD_SWAP_MOD == _AUD_SWAP_AT))
+        off2[sel_a] = orig[sel_a + 1]
+        off2[sel_a + 1] = orig[sel_a]
+        sel_b = np.flatnonzero(pos0 & big
+                               & (doc % _AUD_DUP_MOD == _AUD_DUP_AT)
+                               & (doc % _AUD_SWAP_MOD != _AUD_SWAP_AT))
+        off2[sel_b + 1] = orig[sel_b]
+        same = parent[1:] == parent[:-1]
+        inv = same & (off2[1:] < off2[:-1])
+        dup = same & (off2[1:] == off2[:-1])
+        n_docs = int((nsp > 0).sum())
+        return pa.Table.from_pydict({
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_inversions": pa.array([int(inv.sum())], pa.int64()),
+            "n_dup_offsets": pa.array([int(dup.sum())], pa.int64()),
+            "docs_inverted": pa.array(
+                [int(len(np.unique(parent[1:][inv])))], pa.int64()),
+            "docs_dup": pa.array(
+                [int(len(np.unique(parent[1:][dup])))], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (interleaved_docs(sf_dir)
+           .map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_inversions", alias_name="n_inversions"),
+                      Sum("n_dup_offsets", alias_name="n_dup_offsets"),
+                      Sum("docs_inverted", alias_name="docs_inverted"),
+                      Sum("docs_dup", alias_name="docs_dup")))
+    return pd.DataFrame([{k: np.int64(agg.get(k, 0) or 0)
+                          for k in ("n_docs", "n_inversions",
+                                    "n_dup_offsets", "docs_inverted",
+                                    "docs_dup")}])
+
+
+SPAN_ORDER_AUDIT_SQL = _DERIVE_CTE + f""",
+w AS (
+  SELECT doc_id, off,
+         row_number() OVER (PARTITION BY doc_id ORDER BY off) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS n,
+         lead(off) OVER (PARTITION BY doc_id ORDER BY off) AS nxt,
+         lag(off) OVER (PARTITION BY doc_id ORDER BY off) AS prv
+  FROM spans
+),
+p AS (
+  SELECT doc_id, rn,
+         CASE WHEN doc_id % {_AUD_SWAP_MOD} = {_AUD_SWAP_AT}
+                   AND n >= 2 AND rn = 1 THEN nxt
+              WHEN doc_id % {_AUD_SWAP_MOD} = {_AUD_SWAP_AT}
+                   AND n >= 2 AND rn = 2 THEN prv
+              WHEN doc_id % {_AUD_DUP_MOD} = {_AUD_DUP_AT}
+                   AND doc_id % {_AUD_SWAP_MOD} <> {_AUD_SWAP_AT}
+                   AND n >= 2 AND rn = 2 THEN prv
+              ELSE off END AS off2
+  FROM w
+),
+a AS (
+  SELECT doc_id, off2,
+         lag(off2) OVER (PARTITION BY doc_id ORDER BY rn) AS p2
+  FROM p
+)
+SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM spans)
+           AS n_docs,
+       CAST(count(*) FILTER (off2 < p2) AS BIGINT) AS n_inversions,
+       CAST(count(*) FILTER (off2 = p2) AS BIGINT) AS n_dup_offsets,
+       CAST(count(DISTINCT doc_id) FILTER (off2 < p2) AS BIGINT)
+           AS docs_inverted,
+       CAST(count(DISTINCT doc_id) FILTER (off2 = p2) AS BIGINT)
+           AS docs_dup
+FROM a
+"""
+
+
 SPANS_QUERIES = {
     "span_media_context": (span_media_context, SPAN_MEDIA_CONTEXT_SQL),
     "span_section_stats": (span_section_stats, SPAN_SECTION_STATS_SQL),
@@ -615,4 +915,8 @@ SPANS_QUERIES = {
                                 DOCS_INTERLEAVED_FILTER_SQL),
     "span_dup_texts": (span_dup_texts, SPAN_DUP_TEXTS_SQL),
     "span_line_dedup": (span_line_dedup, SPAN_LINE_DEDUP_SQL),
+    "docs_render_interleaved": (docs_render_interleaved,
+                                DOCS_RENDER_INTERLEAVED_SQL),
+    "packed_interleaved": (packed_interleaved, PACKED_INTERLEAVED_SQL),
+    "span_order_audit": (span_order_audit, SPAN_ORDER_AUDIT_SQL),
 }

@@ -1,0 +1,160 @@
+"""Interleaved training-prep operators: render serialization,
+media-atomic greedy packing, the reading-order audit and the template
+detector eval. DuckDB parity is covered by the global harness; these
+tests pin the INVARIANTS the oracle can't see (budget bound, media
+atomicity, token conservation, planted-violation detection, perfect
+recall where the evidence rule can fire)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdf_extraction_ray.pipelines import spans as S
+from pdf_extraction_ray.pipelines.cleaning import template_detector_eval
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def packed(ray_session):
+    return S.packed_interleaved(SF).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def rendered(ray_session):
+    return S.docs_render_interleaved(SF).to_pandas()
+
+
+class TestPackedInterleaved:
+    def test_budget_bound(self, packed):
+        # a sequence only exceeds the budget when it is a single span
+        over = packed[packed["n_tokens"] > S._PACK_BUDGET]
+        assert (over["n_spans"] == 1).all()
+        assert (packed["n_spans"] >= 1).all()
+
+    def test_seq_ids_contiguous(self, packed):
+        g = packed.sort_values(["doc_id", "seq_id"]).groupby("doc_id")
+        assert (g["seq_id"].min() == 0).all()
+        assert (g["seq_id"].max() + 1 == g["seq_id"].size()).all()
+
+    def test_token_conservation(self, packed):
+        # per-doc packed token totals == per-doc span cost totals,
+        # recomputed independently from documents.text in SQL
+        con = duckdb.connect()
+        ref = con.sql(f"""
+            WITH gs AS (
+              SELECT doc_id, coalesce(text, '') AS txt,
+                     unnest(range(0, CAST(ceil(length(coalesce(text,
+                         '')) / {S._SCHUNK}.0) AS BIGINT))) AS g
+              FROM read_parquet('{SF}/documents.parquet'))
+            SELECT doc_id,
+                   CAST(sum((length(substring(txt,
+                            1 + {S._SCHUNK} * CAST(g AS INT),
+                            {S._SCHUNK})) + 3) // 4
+                        + CASE WHEN g % {S._MEDIA_MOD} = {S._MEDIA_AT}
+                               THEN {S._PACK_MEDIA_COST} ELSE 0 END)
+                        AS BIGINT) AS n_tokens
+            FROM gs GROUP BY doc_id ORDER BY doc_id""").df()
+        got = packed.groupby("doc_id", as_index=False)["n_tokens"] \
+            .sum().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+    def test_span_costs_and_cut_math(self):
+        # text(8 tok) image(16) text(10): at budget 25 the greedy cut
+        # lands BEFORE the trailing text span — the image's 16-token
+        # cost stays whole inside sequence 0 (media atomicity)
+        kind = np.array(["text", "image", "text"])
+        text = pa.array(["x" * 32, "", "y" * 40])
+        costs = S._span_costs(kind, text)
+        assert costs.tolist() == [8, S._PACK_MEDIA_COST, 10]
+        prefix = np.cumsum(costs)
+        cut = np.searchsorted(prefix, 0 + 25, side="right")
+        assert cut == 2              # spans 0,1 fit; span 2 starts new
+
+    def test_media_never_split(self, packed):
+        # every packed media span contributes exactly its fixed cost:
+        # token totals minus text costs are a multiple of the media cost
+        assert ((packed["n_tokens"]
+                 - (packed["n_spans"] - packed["n_media"])) >= 0).all()
+        assert (packed["n_media"] * S._PACK_MEDIA_COST
+                <= packed["n_tokens"]).all()
+
+    def test_rows_cover_all_docs(self, packed):
+        n_docs = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet"
+            f"('{SF}/documents.parquet') WHERE length(coalesce(text,"
+            f" '')) > 0").fetchone()[0]
+        assert packed["doc_id"].nunique() == n_docs
+
+
+class TestRenderInterleaved:
+    def test_placeholder_count_matches_media(self, rendered):
+        n_ph = rendered["rendered"].str.count("<image:")
+        assert (n_ph == rendered["n_media"]).all()
+
+    def test_linecount_is_span_count(self, ray_session, rendered):
+        stats = S.span_section_stats(SF).to_pandas() \
+            .groupby("doc_id")["n_spans"].sum()
+        lines = rendered.set_index("doc_id")["rendered"] \
+            .str.count("\n") + 1
+        got = lines.reindex(stats.index)
+        assert (got == stats).all()
+
+
+class TestSpanOrderAudit:
+    def test_planted_counts_exact(self, ray_session):
+        got = S.span_order_audit(SF).iloc[0]
+        # brute-force replay in pandas over the same derivation
+        docs = duckdb.sql(
+            f"SELECT doc_id, coalesce(text, '') AS text FROM "
+            f"read_parquet('{SF}/documents.parquet')").df()
+        inv = dup = docs_i = docs_d = n_docs = 0
+        for _, row in docs.iterrows():
+            d, text = int(row["doc_id"]), row["text"]
+            offs = []
+            for g in range(-(-len(text) // S._SCHUNK)):
+                offs.append(2 * g)
+                if g % S._MEDIA_MOD == S._MEDIA_AT:
+                    offs.append(2 * g + 1)
+            if not offs:
+                continue
+            n_docs += 1
+            if len(offs) >= 2 and d % S._AUD_SWAP_MOD == S._AUD_SWAP_AT:
+                offs[0], offs[1] = offs[1], offs[0]
+            elif len(offs) >= 2 and d % S._AUD_DUP_MOD == S._AUD_DUP_AT:
+                offs[1] = offs[0]
+            di = sum(b < a for a, b in zip(offs, offs[1:]))
+            dd = sum(b == a for a, b in zip(offs, offs[1:]))
+            inv += di
+            dup += dd
+            docs_i += di > 0
+            docs_d += dd > 0
+        assert got["n_docs"] == n_docs
+        assert got["n_inversions"] == inv and inv > 0
+        assert got["n_dup_offsets"] == dup and dup > 0
+        assert got["docs_inverted"] == docs_i
+        assert got["docs_dup"] == docs_d
+
+
+class TestTemplateDetectorEval:
+    def test_recall_perfect_where_rule_can_fire(self, ray_session):
+        out = template_detector_eval(SF)
+        tot = duckdb.sql(
+            f"SELECT source, count(*) n FROM read_parquet"
+            f"('{SF}/documents.parquet') GROUP BY source").df()
+        nd = dict(zip(tot["source"], tot["n"]))
+        multi = out[out["source"].map(nd) >= 2]
+        single = out[out["source"].map(nd) < 2]
+        # planted header+footer appear in EVERY doc of a site: any site
+        # with >= 2 docs trivially passes the (>=2 docs, >=30%) rule
+        assert (multi["recall"] == 1.0).all() and len(multi) > 0
+        assert (single["tp"] == 0).all()
+        assert (out["fp"] == out["n_pred"] - out["tp"]).all()
+        assert (out["fn"] == 2 - out["tp"]).all()
