@@ -32,6 +32,29 @@ def rendered(ray_session):
     return S.docs_render_interleaved(SF).to_pandas()
 
 
+class TestInterleaveDerivation:
+    def test_vectorized_matches_reference(self):
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{SF}/documents.parquet')").arrow()
+        docs = pa.table({"doc_id": docs["doc_id"],
+                         "text": docs["text"]})
+        assert S._interleave_rows(docs).equals(
+            S._interleave_rows_ref(docs))
+
+    def test_vectorized_edge_cases(self):
+        edge = pa.Table.from_pydict(
+            {"doc_id": pa.array([7, 8, 9], pa.int64()),
+             "text": pa.array([None, "", "x" * 95])})
+        assert S._interleave_rows(edge).equals(
+            S._interleave_rows_ref(edge))
+        empty = pa.Table.from_pydict(
+            {"doc_id": pa.array([], pa.int64()),
+             "text": pa.array([], pa.string())})
+        assert S._interleave_rows(empty).equals(
+            S._interleave_rows_ref(empty))
+
+
 class TestPackedInterleaved:
     def test_budget_bound(self, packed):
         # a sequence only exceeds the budget when it is a single span
