@@ -852,7 +852,9 @@ def main():
                          "docs_render_interleaved",
                          "packed_interleaved",
                          "span_order_audit",
-                         "template_detector_eval"]
+                         "template_detector_eval",
+                         "corpus_snapshot_diff",
+                         "span_lang_mixing"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

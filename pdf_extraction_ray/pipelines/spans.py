@@ -982,6 +982,93 @@ FROM a
 """
 
 
+def span_lang_mixing(sf_dir: str):
+    """Per-document language-mixing profile over the interleaved
+    payload (code-switch detection — the gate a multilingual curation
+    run uses to route mixed-language pages away from monolingual
+    training mixes): every non-media span gets the stopword-profile
+    langid (`functions/text.langid`, same kernel as the doc-level
+    tier), then per doc: span count, identified-span count, distinct
+    identified languages, and the majority language (highest span
+    count, ties broken alphabetically; 'und' when nothing
+    identifies). Batch-local and complete — zero exchange."""
+    from ..functions import text as T
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, parent, _ds, kind, text, _ref, _off = _flat_spans(batch)
+        if len(parent) == 0:
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_spans": pa.array([], pa.int64()),
+                 "n_lang_spans": pa.array([], pa.int64()),
+                 "n_langs": pa.array([], pa.int64()),
+                 "major_lang": pa.array([], pa.string())})
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(kind_np != "image")
+        pred = T.langid(text.take(pa.array(sel))) \
+            .to_numpy(zero_copy_only=False)
+        pid = parent[sel]
+        df = pd.DataFrame({"pid": pid, "pred": pred})
+        per = df.groupby("pid").agg(
+            n_spans=("pred", "size"),
+            n_lang_spans=("pred", lambda s: int((s != "und").sum())))
+        known = df[df["pred"] != "und"]
+        cnt = known.groupby(["pid", "pred"], as_index=False).size()
+        cnt = cnt.sort_values(["pid", "size", "pred"],
+                              ascending=[True, False, True])
+        major = cnt.drop_duplicates("pid").set_index("pid")["pred"]
+        n_langs = known.groupby("pid")["pred"].nunique()
+        per["n_langs"] = n_langs.reindex(per.index).fillna(0)
+        per["major_lang"] = major.reindex(per.index).fillna("und")
+        ids = doc_ids[per.index.to_numpy()]
+        return pa.Table.from_pydict(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_spans": per["n_spans"].to_numpy().astype(np.int64),
+             "n_lang_spans": per["n_lang_spans"].to_numpy()
+             .astype(np.int64),
+             "n_langs": per["n_langs"].to_numpy().astype(np.int64),
+             "major_lang": pa.array(per["major_lang"].to_numpy(),
+                                    pa.string())})
+
+    return interleaved_docs(sf_dir).map_batches(
+        fn, batch_format="pyarrow", batch_size=None)
+
+
+def _span_lang_mixing_sql() -> str:
+    from .textops import _langid_pieces
+    sels, case = _langid_pieces()
+    return _DERIVE_CTE + rf""",
+tok AS (
+  SELECT doc_id, off,
+         regexp_split_to_array(lower(trim(t)), '\s+') AS ltoks
+  FROM spans WHERE kind <> 'image'),
+s AS (SELECT doc_id, off, {sels} FROM tok),
+p AS (SELECT doc_id, off, {case} AS pred FROM s),
+cnt AS (SELECT doc_id, pred, count(*) AS c FROM p
+        WHERE pred <> 'und' GROUP BY doc_id, pred),
+maj AS (SELECT doc_id, pred,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, pred) AS rn
+        FROM cnt),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(count(*) FILTER (pred <> 'und') AS BIGINT)
+                   AS n_lang_spans
+        FROM p GROUP BY doc_id),
+nl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_langs
+       FROM cnt GROUP BY doc_id)
+SELECT agg.doc_id, agg.n_spans, agg.n_lang_spans,
+       CAST(coalesce(nl.n_langs, 0) AS BIGINT) AS n_langs,
+       coalesce(m.pred, 'und') AS major_lang
+FROM agg
+LEFT JOIN nl USING (doc_id)
+LEFT JOIN (SELECT doc_id, pred FROM maj WHERE rn = 1) m USING (doc_id)
+ORDER BY agg.doc_id
+"""
+
+
+SPAN_LANG_MIXING_SQL = _span_lang_mixing_sql()
+
+
 SPANS_QUERIES = {
     "span_media_context": (span_media_context, SPAN_MEDIA_CONTEXT_SQL),
     "span_section_stats": (span_section_stats, SPAN_SECTION_STATS_SQL),
@@ -995,4 +1082,5 @@ SPANS_QUERIES = {
                                 DOCS_RENDER_INTERLEAVED_SQL),
     "packed_interleaved": (packed_interleaved, PACKED_INTERLEAVED_SQL),
     "span_order_audit": (span_order_audit, SPAN_ORDER_AUDIT_SQL),
+    "span_lang_mixing": (span_lang_mixing, SPAN_LANG_MIXING_SQL),
 }

@@ -331,6 +331,120 @@ ORDER BY n.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Snapshot diff (CDC): added / removed / changed between two crawls
+# ---------------------------------------------------------------------------
+
+_DIFF_NEW_BASE = 1_000_000       # id offset of docs "added" in snapshot B
+
+
+def corpus_snapshot_diff(sf_dir: str):
+    """Change-data-capture between two corpus snapshots — the
+    month-over-month reconciliation a crawl pipeline runs before
+    reprocessing only what moved. Snapshot A is the corpus as stored;
+    snapshot B is the deterministic next crawl: docs with
+    ``doc_id % 10 == 3`` vanished, docs with ``% 10 == 7`` changed
+    (text gained a revision suffix), docs with ``% 10 == 1`` also
+    appear duplicated under a new id (+{_DIFF_NEW_BASE}). Output: every
+    doc whose status is not 'unchanged', as (doc_id, status in
+    {{added, removed, changed}}).
+
+    Scale shape: each side reduces to (doc_id, content-md5) inside its
+    scan — text never crosses the exchange; the two sides meet in ONE
+    int-keyed groupby and classification is a per-group 3-way flag. At
+    real scale side A is the stored manifest of the prior run (read,
+    not recomputed), which is exactly the (doc_id, md5) shape shipped
+    here."""
+    from ray.data.aggregate import Max as _Max, Min as _Min
+
+    def sides(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) \
+            else batch["text"]
+        raw = pc.fill_null(text, "").to_pylist()
+        h_a = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                            "big", signed=False) >> 1 for s in raw),
+            dtype=np.int64, count=len(raw))
+        out_id = [ids]
+        out_h = [h_a]
+        out_side = [np.zeros(len(ids), np.int64)]         # side A
+        keep = ids % 10 != 3
+        changed = ids % 10 == 7
+        h_b = np.where(
+            changed,
+            np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5((s + " v2").encode()).digest()[:8],
+                    "big", signed=False) >> 1 for s in raw),
+                dtype=np.int64, count=len(raw)),
+            h_a)
+        out_id.append(ids[keep])
+        out_h.append(h_b[keep])
+        out_side.append(np.ones(int(keep.sum()), np.int64))
+        new = ids % 10 == 1
+        out_id.append(ids[new] + _DIFF_NEW_BASE)
+        out_h.append(h_a[new])
+        out_side.append(np.ones(int(new.sum()), np.int64))
+        return pa.Table.from_pydict({
+            "doc_id": np.concatenate(out_id),
+            "h": np.concatenate(out_h),
+            "side": np.concatenate(out_side)})
+
+    # per-doc: which sides exist and whether the two hashes differ.
+    # side in {0, 1} and each side emits one row per doc, so MIN/MAX of
+    # side give presence and MIN/MAX of h give equality — one exchange,
+    # no group UDF.
+    agg = (_docs(sf_dir)
+           .map_batches(sides, batch_format="pyarrow", batch_size=None)
+           .groupby("doc_id")
+           .aggregate(_Min("side", alias_name="s_min"),
+                      _Max("side", alias_name="s_max"),
+                      _Min("h", alias_name="h_min"),
+                      _Max("h", alias_name="h_max")))
+
+    def classify(batch: pa.Table) -> pa.Table:
+        s_min = batch["s_min"].to_numpy(zero_copy_only=False)
+        s_max = batch["s_max"].to_numpy(zero_copy_only=False)
+        h_min = batch["h_min"].to_numpy(zero_copy_only=False)
+        h_max = batch["h_max"].to_numpy(zero_copy_only=False)
+        status = np.where(
+            s_min == 1, "added",
+            np.where(s_max == 0, "removed",
+                     np.where(h_min != h_max, "changed", "unchanged")))
+        keep = status != "unchanged"
+        return pa.Table.from_pydict(
+            {"doc_id": batch["doc_id"].filter(pa.array(keep)),
+             "status": pa.array(status[keep], pa.string())})
+
+    return agg.map_batches(classify, batch_format="pyarrow",
+                           batch_size=None).sort("doc_id")
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH a AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 10 = 7
+                  THEN coalesce(text, '') || ' v2'
+                  ELSE coalesce(text, '') END) AS h
+  FROM documents WHERE doc_id % 10 <> 3
+  UNION ALL
+  SELECT doc_id + {_DIFF_NEW_BASE}, md5(coalesce(text, ''))
+  FROM documents WHERE doc_id % 10 = 1)
+SELECT CAST(coalesce(a.doc_id, b.doc_id) AS BIGINT) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Chunker (flat_map: 1 doc -> N chunks) — not SQL-expressible
 # ---------------------------------------------------------------------------
 
@@ -1959,6 +2073,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_langid": (doc_langid, LANGID_SQL),
     "doc_dedup_exact": (doc_dedup_exact, DEDUP_EXACT_SQL),
     "doc_dedup_incremental": (doc_dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "doc_chunks": (doc_chunks, None),
     "doc_cdc_chunks": (doc_cdc_chunks, None),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),

@@ -166,6 +166,44 @@ class TestSpanOrderAudit:
         assert got["docs_dup"] == docs_d
 
 
+class TestSnapshotDiff:
+    def test_status_matches_mod_rules(self, ray_session):
+        from pdf_extraction_ray.pipelines.textops import (
+            corpus_snapshot_diff, _DIFF_NEW_BASE)
+        df = corpus_snapshot_diff(SF).to_pandas()
+        assert not df.duplicated("doc_id").any()
+        ids = duckdb.sql(
+            f"SELECT doc_id FROM read_parquet"
+            f"('{SF}/documents.parquet')").df()["doc_id"].to_numpy()
+        by = df.set_index("doc_id")["status"]
+        for d in ids:
+            d = int(d)
+            if d % 10 == 3:
+                assert by.get(d) == "removed"
+            elif d % 10 == 7:
+                assert by.get(d) == "changed"
+            else:
+                assert d not in by.index
+            if d % 10 == 1:
+                assert by.get(d + _DIFF_NEW_BASE) == "added"
+        # every diff row traces back to a rule
+        n_rules = sum(1 for d in ids if int(d) % 10 in (3, 7)) \
+            + sum(1 for d in ids if int(d) % 10 == 1)
+        assert len(df) == n_rules
+
+
+class TestSpanLangMixing:
+    def test_profile_invariants(self, ray_session):
+        df = S.span_lang_mixing(SF).to_pandas()
+        assert (df["n_lang_spans"] <= df["n_spans"]).all()
+        assert (df["n_langs"] <= df["n_lang_spans"]).all()
+        und = df[df["n_langs"] == 0]
+        assert (und["major_lang"] == "und").all()
+        assert (df[df["n_langs"] > 0]["major_lang"] != "und").all()
+        assert df["major_lang"].isin(
+            ["und", "en", "fr", "es", "de"]).all()
+
+
 class TestTemplateDetectorEval:
     def test_recall_perfect_where_rule_can_fire(self, ray_session):
         out = template_detector_eval(SF)
