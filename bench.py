@@ -854,7 +854,10 @@ def main():
                          "span_order_audit",
                          "template_detector_eval",
                          "corpus_snapshot_diff",
-                         "span_lang_mixing"]
+                         "span_lang_mixing",
+                         "dpo_pairs_by_source",
+                         "dedup_weighted_sampling",
+                         "quality_weak_labels"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

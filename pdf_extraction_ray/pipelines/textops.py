@@ -331,6 +331,241 @@ ORDER BY n.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Preference pairs, dedup-weighted budgets, weak-supervision labels
+# ---------------------------------------------------------------------------
+
+_ENC_SHIFT = np.int64(1) << 34   # order-preserving (ratio, doc) encoding
+
+
+def dpo_pairs_by_source(sf_dir: str):
+    """Preference-pair mining (DPO/RLHF data prep): per source, pair
+    the highest-quality document (stopword-ratio proxy) as `chosen`
+    against the lowest as `rejected`, with the score margin. Sources
+    with a single document cannot form a pair and are dropped.
+
+    Scale shape: argmax/argmin travel the exchange as ONE
+    order-preserving int64 each — ``ratio * 2^34 + (2^34-1 - doc_id)``
+    makes Max() pick the best ratio with ties to the SMALLEST doc, and
+    ``ratio * 2^34 + doc_id`` makes Min() pick the worst ratio with the
+    same tie rule — so the groupby ships three ints per (source, batch)
+    and no row-level data. Decode happens on the source-sized result."""
+    from ray.data.aggregate import Count as _Count, Max as _Max, \
+        Min as _Min
+
+    def enc(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) \
+            else batch["text"]
+        ratio = T.quality_scores(text)["stop_ratio_x1e6"] \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "source": batch["source"],
+            "enc_max": ratio * _ENC_SHIFT + (_ENC_SHIFT - 1 - ids),
+            "enc_min": ratio * _ENC_SHIFT + ids})
+
+    agg = (_docs(sf_dir, columns=("doc_id", "source", "text"))
+           .map_batches(enc, batch_format="pyarrow", batch_size=None)
+           .groupby("source")
+           .aggregate(_Max("enc_max", alias_name="enc_max"),
+                      _Min("enc_min", alias_name="enc_min"),
+                      _Count(alias_name="n"))
+           .to_pandas())
+    agg = agg[agg["n"] >= 2].sort_values("source")
+    e_hi = agg["enc_max"].to_numpy().astype(np.int64)
+    e_lo = agg["enc_min"].to_numpy().astype(np.int64)
+    return pd.DataFrame({
+        "source": agg["source"].to_numpy(),
+        "chosen_doc": (_ENC_SHIFT - 1 - e_hi % _ENC_SHIFT)
+        .astype("int64"),
+        "rejected_doc": (e_lo % _ENC_SHIFT).astype("int64"),
+        "margin_x1e6": (e_hi // _ENC_SHIFT - e_lo // _ENC_SHIFT)
+        .astype("int64")}).reset_index(drop=True)
+
+
+DPO_PAIRS_SQL = rf"""
+WITH q AS (
+  SELECT doc_id, source,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+              THEN (CAST(len(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> x IN ({{EN}}))) AS BIGINT) * 1000000)
+                   // len(regexp_split_to_array(trim(text), '\s+'))
+              ELSE 0 END AS r
+  FROM documents),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY r DESC, doc_id) AS rn_hi,
+            row_number() OVER (PARTITION BY source
+                               ORDER BY r ASC, doc_id) AS rn_lo,
+            count(*) OVER (PARTITION BY source) AS n
+  FROM q)
+SELECT hi.source, hi.doc_id AS chosen_doc, lo.doc_id AS rejected_doc,
+       CAST(hi.r - lo.r AS BIGINT) AS margin_x1e6
+FROM (SELECT * FROM w WHERE rn_hi = 1 AND n >= 2) hi
+JOIN (SELECT * FROM w WHERE rn_lo = 1) lo USING (source)
+ORDER BY hi.source
+""".replace("{EN}", _EN)
+
+
+def dedup_weighted_sampling(sf_dir: str):
+    """Multi-epoch dedup budget: every document weighs 1/n_dups of its
+    exact-dedup group (integer ``1e6 // n`` units, SQL-replayable), so
+    a source's `effective_x1e6` is the deduplicated token-budget mass
+    it really contributes — the number a mixture-weight solver consumes
+    instead of raw doc counts.
+
+    Scale shape: docs reduce to (md5, source, cnt) partials inside the
+    scan; the md5-keyed coarse exchange computes each group's total and
+    emits per-(source) weighted partials; a second source-keyed Sum
+    (dimension-sized) finishes. Text never crosses either exchange."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .relational import _coarse_str_partition_map
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        norm = T.normalize_for_dedup(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else batch["text"])
+        md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in norm.to_pylist()], type=pa.string())
+        df = pd.DataFrame({"h": md5.to_pylist(),
+                           "source": batch["source"].to_pylist()})
+        g = df.groupby(["h", "source"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(g.astype({"cnt": "int64"}),
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("h")["cnt"].transform("sum")
+        w = (g["cnt"] * (1_000_000 // tot)).astype("int64")
+        out = pd.DataFrame({"source": g["source"], "n_docs": g["cnt"],
+                            "effective_x1e6": w})
+        return out.groupby("source", as_index=False).sum() \
+            .astype({"n_docs": "int64", "effective_x1e6": "int64"})
+
+    partials = _docs(sf_dir, columns=("doc_id", "source", "text")) \
+        .map_batches(keyed, batch_format="pyarrow", batch_size=None)
+    return (_coarse_str_partition_map(partials, "h", per_group)
+            .groupby("source")
+            .aggregate(_Sum("n_docs", alias_name="n_docs"),
+                       _Sum("effective_x1e6",
+                            alias_name="effective_x1e6"))
+            .sort("source"))
+
+
+DEDUP_WEIGHTED_SQL = """
+WITH d AS (
+  SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents),
+n AS (SELECT h, count(*) AS tot FROM d GROUP BY h)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(1000000 // tot) AS BIGINT) AS effective_x1e6
+FROM d JOIN n USING (h) GROUP BY source ORDER BY source
+"""
+
+
+_WL_STOP_MIN = 150_000      # stopword ratio >= 0.15 (english prose)
+_WL_PUNCT_MAX = 100_000     # punct ratio <= 0.10 (not symbol soup)
+_WL_TLEN_LO = 3_000_000     # mean token length in [3, 9] chars
+_WL_TLEN_HI = 9_000_000
+_WL_MIN_TOKENS = 20         # enough signal to label at all
+
+
+def quality_weak_labels(sf_dir: str):
+    """Weak supervision for a quality classifier (the label-model step
+    of an Snorkel-style pipeline): four independent heuristic voters
+    (stopword ratio, punctuation ratio, mean token length, minimum
+    length) each cast a binary vote; docs with >= 3 votes are labeled
+    'high', <= 1 'low', otherwise 'abstain'. Output: per-label doc and
+    token totals — the coverage/overlap sheet read before training the
+    student model.
+
+    One pass, batch-local voting, 3-row output; the exchange moves a
+    3-int partial per batch."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def vote(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) \
+            else batch["text"]
+        q = T.quality_scores(text)
+        stop = q["stop_ratio_x1e6"].to_numpy(zero_copy_only=False)
+        punct = q["punct_ratio_x1e6"].to_numpy(zero_copy_only=False)
+        tlen = q["mean_token_len_x1e6"].to_numpy(zero_copy_only=False)
+        ntok = q["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        votes = ((stop >= _WL_STOP_MIN).astype(np.int64)
+                 + (punct <= _WL_PUNCT_MAX)
+                 + ((tlen >= _WL_TLEN_LO) & (tlen <= _WL_TLEN_HI))
+                 + (ntok >= _WL_MIN_TOKENS))
+        lab = np.where(votes >= 3, 0, np.where(votes <= 1, 1, 2))
+        return pa.Table.from_pydict({
+            "label": pa.array(["high", "low", "abstain"]),
+            "n_docs": np.bincount(lab, minlength=3).astype(np.int64),
+            "n_tokens": np.bincount(lab, weights=ntok, minlength=3)
+            .astype(np.int64)})
+
+    agg = (_docs(sf_dir)
+           .map_batches(vote, batch_format="pyarrow", batch_size=None)
+           .groupby("label")
+           .aggregate(_Sum("n_docs", alias_name="n_docs"),
+                      _Sum("n_tokens", alias_name="n_tokens"))
+           .to_pandas())
+    out = pd.DataFrame({"label": ["abstain", "high", "low"]})
+    for c in ("n_docs", "n_tokens"):
+        m = dict(zip(agg.get("label", []), agg.get(c, [])))
+        out[c] = out["label"].map(m).fillna(0).astype("int64")
+    return out
+
+
+WEAK_LABELS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+              AS BIGINT) AS punct_cnt,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ltoks
+  FROM documents),
+q AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN
+           (CAST(len(list_filter(ltoks, x -> x IN ({{EN}})))
+                 AS BIGINT) * 1000000) // len(toks) ELSE 0 END AS stop,
+         CASE WHEN n_chars > 0
+              THEN (punct_cnt * 1000000) // n_chars ELSE 0 END AS punct,
+         CASE WHEN len(toks) > 0 THEN
+           (CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                                'sum') AS BIGINT) * 1000000)
+           // len(toks) ELSE 0 END AS tlen
+  FROM t),
+v AS (
+  SELECT n_tokens,
+         (CASE WHEN stop >= {_WL_STOP_MIN} THEN 1 ELSE 0 END
+          + CASE WHEN punct <= {_WL_PUNCT_MAX} THEN 1 ELSE 0 END
+          + CASE WHEN tlen BETWEEN {_WL_TLEN_LO} AND {_WL_TLEN_HI}
+                 THEN 1 ELSE 0 END
+          + CASE WHEN n_tokens >= {_WL_MIN_TOKENS} THEN 1 ELSE 0 END)
+             AS votes
+  FROM q),
+lab AS (
+  SELECT CASE WHEN votes >= 3 THEN 'high'
+              WHEN votes <= 1 THEN 'low'
+              ELSE 'abstain' END AS label, n_tokens
+  FROM v),
+names AS (SELECT unnest(['abstain', 'high', 'low']) AS label)
+SELECT names.label,
+       CAST(count(lab.label) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(lab.n_tokens), 0) AS BIGINT) AS n_tokens
+FROM names LEFT JOIN lab USING (label)
+GROUP BY names.label ORDER BY names.label
+""".replace("{EN}", _EN)
+
+
+# ---------------------------------------------------------------------------
 # Snapshot diff (CDC): added / removed / changed between two crawls
 # ---------------------------------------------------------------------------
 
@@ -2074,6 +2309,10 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_dedup_exact": (doc_dedup_exact, DEDUP_EXACT_SQL),
     "doc_dedup_incremental": (doc_dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
+    "dpo_pairs_by_source": (dpo_pairs_by_source, DPO_PAIRS_SQL),
+    "dedup_weighted_sampling": (dedup_weighted_sampling,
+                                DEDUP_WEIGHTED_SQL),
+    "quality_weak_labels": (quality_weak_labels, WEAK_LABELS_SQL),
     "doc_chunks": (doc_chunks, None),
     "doc_cdc_chunks": (doc_cdc_chunks, None),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),

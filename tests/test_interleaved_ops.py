@@ -204,6 +204,42 @@ class TestSpanLangMixing:
             ["und", "en", "fr", "es", "de"]).all()
 
 
+class TestPreferenceAndBudgets:
+    def test_dpo_pairs_extremes(self, ray_session):
+        from pdf_extraction_ray.pipelines.textops import \
+            dpo_pairs_by_source
+        df = dpo_pairs_by_source(SF)
+        assert (df["margin_x1e6"] >= 0).all()
+        # chosen and rejected must differ whenever the margin is
+        # positive; equal-ratio sources may tie on the same best doc id
+        pos = df[df["margin_x1e6"] > 0]
+        assert (pos["chosen_doc"] != pos["rejected_doc"]).all()
+        assert len(df) > 0
+
+    def test_dedup_weights_bounded(self, ray_session):
+        from pdf_extraction_ray.pipelines.textops import \
+            dedup_weighted_sampling
+        df = dedup_weighted_sampling(SF).to_pandas()
+        assert (df["effective_x1e6"] <= df["n_docs"] * 1_000_000).all()
+        assert (df["effective_x1e6"] > 0).all()
+        total = duckdb.sql(f"""
+            WITH d AS (SELECT md5(lower(trim(text))) h
+                       FROM read_parquet('{SF}/documents.parquet')),
+            n AS (SELECT h, count(*) c FROM d GROUP BY h)
+            SELECT CAST(sum(c * (1000000 // c)) AS BIGINT) FROM n
+            """).fetchone()[0]
+        assert int(df["effective_x1e6"].sum()) == int(total)
+
+    def test_weak_labels_partition_corpus(self, ray_session):
+        from pdf_extraction_ray.pipelines.textops import \
+            quality_weak_labels
+        df = quality_weak_labels(SF)
+        n = duckdb.sql(f"SELECT count(*) FROM read_parquet"
+                       f"('{SF}/documents.parquet')").fetchone()[0]
+        assert int(df["n_docs"].sum()) == int(n)
+        assert set(df["label"]) == {"high", "low", "abstain"}
+
+
 class TestTemplateDetectorEval:
     def test_recall_perfect_where_rule_can_fire(self, ray_session):
         out = template_detector_eval(SF)
