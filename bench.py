@@ -857,7 +857,8 @@ def main():
                          "span_lang_mixing",
                          "dpo_pairs_by_source",
                          "dedup_weighted_sampling",
-                         "quality_weak_labels"]
+                         "quality_weak_labels",
+                         "interleaved_curation_funnel"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

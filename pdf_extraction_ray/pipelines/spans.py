@@ -757,6 +757,34 @@ def _span_costs(kind_np: np.ndarray, text) -> np.ndarray:
                     (chars + 3) // 4)
 
 
+def _greedy_bounds(costs: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Greedy budget-reset cut points for ALL documents at once:
+    ``starts`` is the flat-span offset array (one entry per doc + final
+    end). Returns the sorted flat indices where sequences begin. Each
+    round advances every still-open doc by one full sequence via one
+    ``np.searchsorted`` on the global cost prefix-sum, so rounds = max
+    sequences per doc, not spans."""
+    prefix = np.cumsum(costs)
+    s, e = starts[:-1], starts[1:]
+    ne = s < e
+    cur, end = s[ne].copy(), e[ne]
+    if len(cur) == 0:
+        return np.array([], dtype=np.int64)
+    base = np.where(cur > 0, prefix[np.maximum(cur, 1) - 1], 0)
+    bounds = [cur.copy()]
+    while True:
+        cut = np.searchsorted(prefix, base + _PACK_BUDGET, side="right")
+        cut = np.minimum(np.maximum(cut, cur + 1), end)
+        alive = cut < end
+        if not alive.any():
+            break
+        cur = cut[alive]
+        base = prefix[cur - 1]
+        end = end[alive]
+        bounds.append(cur.copy())
+    return np.sort(np.concatenate(bounds))
+
+
 def packed_interleaved(sf_dir: str):
     """Media-atomic greedy sequence packing over the interleaved
     payload: walk each document's spans in offset order and start a new
@@ -785,30 +813,13 @@ def packed_interleaved(sf_dir: str):
             return empty
         kind_np = kind.to_numpy(zero_copy_only=False)
         costs = _span_costs(kind_np, text)
-        prefix = np.cumsum(costs)
         spans_col = batch.column("spans")
         if isinstance(spans_col, pa.ChunkedArray):
             spans_col = spans_col.combine_chunks()
         starts = np.asarray(spans_col.offsets, dtype=np.int64)
-        s, e = starts[:-1], starts[1:]
-        ne = s < e
-        cur, end = s[ne].copy(), e[ne]
-        if len(cur) == 0:
+        b = _greedy_bounds(costs, starts)
+        if len(b) == 0:
             return empty
-        base = np.where(cur > 0, prefix[np.maximum(cur, 1) - 1], 0)
-        bounds = [cur.copy()]
-        while True:
-            cut = np.searchsorted(prefix, base + _PACK_BUDGET,
-                                  side="right")
-            cut = np.minimum(np.maximum(cut, cur + 1), end)
-            alive = cut < end
-            if not alive.any():
-                break
-            cur = cut[alive]
-            base = prefix[cur - 1]
-            end = end[alive]
-            bounds.append(cur.copy())
-        b = np.sort(np.concatenate(bounds))
         n_spans = np.diff(np.append(b, len(costs)))
         n_tokens = np.add.reduceat(costs, b)
         n_media = np.add.reduceat(
@@ -982,6 +993,189 @@ FROM a
 """
 
 
+def _density_keep_mask(batch: pa.Table) -> np.ndarray:
+    """Per-row boolean: does this interleaved doc pass the OBELICS
+    density gate (>= 1 media span, text chars <= _DENSITY_MAX per
+    media)? Same rule as ``docs_interleaved_filter``."""
+    _ids, parent, _ds, kind, text, _ref, _off = _flat_spans(batch)
+    n = len(batch)
+    if len(parent) == 0:
+        return np.zeros(n, dtype=bool)
+    kind_np = kind.to_numpy(zero_copy_only=False)
+    chars = pc.utf8_length(text).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_media = np.bincount(parent, weights=(kind_np == "image"),
+                          minlength=n).astype(np.int64)
+    n_chars = np.bincount(parent, weights=chars,
+                          minlength=n).astype(np.int64)
+    return (n_media >= 1) & (n_chars <= _DENSITY_MAX * n_media)
+
+
+def interleaved_curation_funnel(sf_dir: str):
+    """END-TO-END interleaved curation: density gate -> corpus-global
+    line ownership (a line text belongs to the doc of its first global
+    occurrence; every other doc loses it) -> media-atomic greedy
+    packing of the surviving spans. One summary row: (n_docs_in,
+    n_docs_kept, n_spans_removed, n_sequences, n_tokens_packed) — the
+    end-to-end number a curation run reports per snapshot, oracled as
+    ONE SQL chain (gate CTE + ownership window + recursive packing
+    replay), so the whole composition is hash-gated, not just the
+    pieces.
+
+    Scale shape: the only wide exchange is the line-text-keyed marker
+    pass over pre-reduced (t, doc, min_off) rows; the resulting
+    (doc, t) drop set ships back via ``ray.put`` (bounded by the
+    cross-doc duplicate-line mass; at crawl scale swap for the
+    byte-capped semi-join re-join the jaccard verifier uses). The gate
+    and packing stages are batch-local."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    base = interleaved_docs(sf_dir)
+
+    def gated_lines(batch: pa.Table) -> pa.Table:
+        keep = _density_keep_mask(batch)
+        return _line_doc_rows(batch.filter(pa.array(keep)))
+
+    def drops_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "doc_id", "min_off"])
+        first = ~g.duplicated("t")
+        return g.loc[~first, ["doc_id", "t"]]
+
+    from .corpus import _coarse_str_group
+    drops = _coarse_str_group(
+        base.map_batches(gated_lines, batch_format="pyarrow",
+                         batch_size=None), "t", drops_fn).to_pandas()
+    if drops.empty:
+        drops = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "t": pd.Series(dtype="object")})
+    drops = drops.drop_duplicates()
+    drop_ref = ray.put(drops)
+
+    def final(batch: pa.Table) -> pa.Table:
+        dr = ray.get(drop_ref)
+        doc_ids, parent, _ds, kind, text, _ref, _off = \
+            _flat_spans(batch)
+        n = len(batch)
+        zero = pa.Table.from_pydict(
+            {k: pa.array([0], pa.int64())
+             for k in ("n_docs_in", "n_docs_kept", "n_spans_removed",
+                       "n_sequences", "n_tokens_packed")})
+        if len(parent) == 0:
+            return zero
+        keep_doc = _density_keep_mask(batch)
+        nsp = np.bincount(parent, minlength=n)
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        sel = keep_doc[parent]
+        df = pd.DataFrame({
+            "doc_id": doc_ids[parent[sel]],
+            "t": text.take(pa.array(np.flatnonzero(sel))).to_pandas(),
+            "is_img": (kind_np[sel] == "image"),
+            "pid": parent[sel],
+            "cost": _span_costs(
+                kind_np[sel],
+                text.take(pa.array(np.flatnonzero(sel))))})
+        m = dr.assign(_hit=1).merge(
+            df.reset_index(), on=["doc_id", "t"], how="right") \
+            .sort_values("index")
+        dropped = (~m["is_img"].to_numpy()) \
+            & (m["_hit"].to_numpy() == 1)
+        kept = ~dropped
+        pid_k = m["pid"].to_numpy()[kept]
+        costs_k = m["cost"].to_numpy()[kept].astype(np.int64)
+        starts = np.concatenate(
+            [[0], np.cumsum(np.bincount(pid_k, minlength=n))]) \
+            .astype(np.int64)
+        b = _greedy_bounds(costs_k, starts)
+        return pa.Table.from_pydict({
+            "n_docs_in": pa.array([int((nsp > 0).sum())], pa.int64()),
+            "n_docs_kept": pa.array([int(keep_doc.sum())], pa.int64()),
+            "n_spans_removed": pa.array([int(dropped.sum())],
+                                        pa.int64()),
+            "n_sequences": pa.array([len(b)], pa.int64()),
+            "n_tokens_packed": pa.array([int(costs_k.sum())],
+                                        pa.int64())})
+
+    agg = (base.map_batches(final, batch_format="pyarrow",
+                            batch_size=None)
+           .aggregate(*[Sum(k, alias_name=k)
+                        for k in ("n_docs_in", "n_docs_kept",
+                                  "n_spans_removed", "n_sequences",
+                                  "n_tokens_packed")]))
+    return pd.DataFrame([{k: np.int64(agg.get(k, 0) or 0)
+                          for k in ("n_docs_in", "n_docs_kept",
+                                    "n_spans_removed", "n_sequences",
+                                    "n_tokens_packed")}])
+
+
+INTERLEAVED_FUNNEL_SQL = f"""
+WITH RECURSIVE gs AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+         unnest(range(0, CAST(ceil(length(coalesce(text, ''))
+                                   / {_SCHUNK}.0) AS BIGINT))) AS g
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, 2 * g AS off,
+         CASE WHEN g % {_TITLE_MOD} = {_TITLE_AT} THEN 'title'
+              ELSE 'text' END AS kind,
+         substring(txt, 1 + {_SCHUNK} * CAST(g AS INT), {_SCHUNK}) AS t
+  FROM gs
+  UNION ALL
+  SELECT doc_id, 2 * g + 1, 'image', ''
+  FROM gs WHERE g % {_MEDIA_MOD} = {_MEDIA_AT}
+),
+gate AS (
+  SELECT doc_id FROM spans GROUP BY doc_id
+  HAVING count(*) FILTER (kind = 'image') >= 1
+     AND sum(length(t)) <= {_DENSITY_MAX}
+                           * count(*) FILTER (kind = 'image')
+),
+k AS (SELECT s.* FROM spans s JOIN gate USING (doc_id)),
+own AS (
+  SELECT t, doc_id AS owner FROM (
+    SELECT t, doc_id,
+           row_number() OVER (PARTITION BY t
+                              ORDER BY doc_id, off) AS rn
+    FROM k WHERE kind <> 'image') WHERE rn = 1
+),
+kept AS (
+  SELECT k.* FROM k
+  LEFT JOIN own ON own.t = k.t AND k.kind <> 'image'
+  WHERE k.kind = 'image' OR own.owner = k.doc_id
+),
+sp AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'image' THEN {_PACK_MEDIA_COST}
+              ELSE (length(t) + 3) // 4 END AS cost,
+         row_number() OVER (PARTITION BY doc_id ORDER BY off) AS rn
+  FROM kept
+),
+r AS (
+  SELECT doc_id, rn, cost, cost AS cum, CAST(0 AS BIGINT) AS seq
+  FROM sp WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.rn, s.cost,
+         CASE WHEN r.cum + s.cost > {_PACK_BUDGET} THEN s.cost
+              ELSE r.cum + s.cost END,
+         CASE WHEN r.cum + s.cost > {_PACK_BUDGET} THEN r.seq + 1
+              ELSE r.seq END
+  FROM r JOIN sp s ON s.doc_id = r.doc_id AND s.rn = r.rn + 1
+),
+seqs AS (SELECT doc_id, seq, CAST(sum(cost) AS BIGINT) AS toks
+         FROM r GROUP BY doc_id, seq)
+SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM spans)
+           AS n_docs_in,
+       (SELECT CAST(count(*) AS BIGINT) FROM gate) AS n_docs_kept,
+       (SELECT CAST(count(*) AS BIGINT) FROM k WHERE kind <> 'image')
+       - (SELECT CAST(count(*) AS BIGINT) FROM kept
+          WHERE kind <> 'image') AS n_spans_removed,
+       (SELECT CAST(count(*) AS BIGINT) FROM seqs) AS n_sequences,
+       (SELECT CAST(coalesce(sum(toks), 0) AS BIGINT) FROM seqs)
+           AS n_tokens_packed
+"""
+
+
 def span_lang_mixing(sf_dir: str):
     """Per-document language-mixing profile over the interleaved
     payload (code-switch detection — the gate a multilingual curation
@@ -1083,4 +1277,6 @@ SPANS_QUERIES = {
     "packed_interleaved": (packed_interleaved, PACKED_INTERLEAVED_SQL),
     "span_order_audit": (span_order_audit, SPAN_ORDER_AUDIT_SQL),
     "span_lang_mixing": (span_lang_mixing, SPAN_LANG_MIXING_SQL),
+    "interleaved_curation_funnel": (interleaved_curation_funnel,
+                                    INTERLEAVED_FUNNEL_SQL),
 }

@@ -117,6 +117,50 @@ class TestPackedInterleaved:
         assert packed["doc_id"].nunique() == n_docs
 
 
+class TestGreedyBoundsKernel:
+    def test_matches_python_greedy_with_giant_doc(self):
+        # one 50k-cost giant + short docs around it; the vectorized
+        # multi-doc kernel must equal the obvious per-doc greedy scan
+        rng = np.random.default_rng(7)
+        doc_lens = [3, 6000, 1, 17, 0, 42]       # spans per doc
+        costs = rng.integers(1, S._PACK_BUDGET + 1,
+                             size=sum(doc_lens)).astype(np.int64)
+        starts = np.concatenate(
+            [[0], np.cumsum(doc_lens)]).astype(np.int64)
+        got = S._greedy_bounds(costs, starts)
+        exp = []
+        for d in range(len(doc_lens)):
+            s, e = starts[d], starts[d + 1]
+            cum = None
+            for i in range(s, e):
+                if cum is None or cum + costs[i] > S._PACK_BUDGET:
+                    exp.append(i)
+                    cum = costs[i]
+                else:
+                    cum += costs[i]
+        assert got.tolist() == exp
+
+    def test_round_count_bounded_by_max_sequences(self):
+        # a 1M-cost doc packs in ~cost/budget rounds, not per-span work
+        costs = np.full(20000, 50, dtype=np.int64)   # 1 seq per span
+        starts = np.array([0, len(costs)], dtype=np.int64)
+        b = S._greedy_bounds(costs, starts)
+        assert len(b) == 20000       # 50+50 > 64 -> every span its own
+
+
+class TestCurationFunnel:
+    def test_funnel_monotone(self, ray_session):
+        df = S.interleaved_curation_funnel(SF)
+        r = df.iloc[0]
+        assert 0 < r["n_docs_kept"] <= r["n_docs_in"]
+        assert r["n_spans_removed"] > 0       # planted cross-doc dups
+        assert r["n_sequences"] > 0
+        assert r["n_tokens_packed"] > 0
+        # packing the deduped corpus can't exceed the raw token mass
+        packed = S.packed_interleaved(SF).to_pandas()
+        assert r["n_tokens_packed"] <= packed["n_tokens"].sum()
+
+
 class TestRenderInterleaved:
     def test_placeholder_count_matches_media(self, rendered):
         n_ph = rendered["rendered"].str.count("<image:")
