@@ -858,7 +858,9 @@ def main():
                          "dpo_pairs_by_source",
                          "dedup_weighted_sampling",
                          "quality_weak_labels",
-                         "interleaved_curation_funnel"]
+                         "interleaved_curation_funnel",
+                         "split_leakage_safe",
+                         "split_naive_leakage"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -336,6 +336,14 @@ ORDER BY n.doc_id
 
 _ENC_SHIFT = np.int64(1) << 34   # order-preserving (ratio, doc) encoding
 
+# planted re-crawl copy layer (shared by the dedup-weight and split
+# tiers): docs with doc_id % 7 == 2 reappear under doc_id + 500001, so
+# exact-dup groups of size > 1 exist at driver SFs and the +1 id shift
+# makes the naive mod-10 split labels of a dup pair differ for 3 of 10
+# residues — real structure for the leakage audit.
+_RECRAWL_BASE = 500_001
+_RECRAWL_MOD, _RECRAWL_AT = 7, 2
+
 
 def dpo_pairs_by_source(sf_dir: str):
     """Preference-pair mining (DPO/RLHF data prep): per source, pair
@@ -419,7 +427,10 @@ def dedup_weighted_sampling(sf_dir: str):
     Scale shape: docs reduce to (md5, source, cnt) partials inside the
     scan; the md5-keyed coarse exchange computes each group's total and
     emits per-(source) weighted partials; a second source-keyed Sum
-    (dimension-sized) finishes. Text never crosses either exchange."""
+    (dimension-sized) finishes. Text never crosses either exchange.
+    Operates on the UNION snapshot with planted re-crawl copies
+    (``_group_split_partials``'s derivation) so groups of size > 1
+    actually exist at driver SFs and the weights do real work."""
     from ray.data.aggregate import Sum as _Sum
 
     from .relational import _coarse_str_partition_map
@@ -431,8 +442,17 @@ def dedup_weighted_sampling(sf_dir: str):
             else batch["text"])
         md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
                         for s in norm.to_pylist()], type=pa.string())
-        df = pd.DataFrame({"h": md5.to_pylist(),
-                           "source": batch["source"].to_pylist()})
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        again = np.flatnonzero(ids % _RECRAWL_MOD == _RECRAWL_AT)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        df = pd.DataFrame({
+            "h": pa.concat_arrays(
+                [md5, md5.take(pa.array(again))]).to_pylist(),
+            "source": pa.concat_arrays(
+                [src, src.take(pa.array(again))]).to_pylist()})
         g = df.groupby(["h", "source"], as_index=False).size() \
             .rename(columns={"size": "cnt"})
         return pa.Table.from_pandas(g.astype({"cnt": "int64"}),
@@ -457,9 +477,12 @@ def dedup_weighted_sampling(sf_dir: str):
             .sort("source"))
 
 
-DEDUP_WEIGHTED_SQL = """
+DEDUP_WEIGHTED_SQL = f"""
 WITH d AS (
-  SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents),
+  SELECT doc_id, source, md5(lower(trim(text))) AS h FROM documents
+  UNION ALL
+  SELECT doc_id + {_RECRAWL_BASE}, source, md5(lower(trim(text)))
+  FROM documents WHERE doc_id % {_RECRAWL_MOD} = {_RECRAWL_AT}),
 n AS (SELECT h, count(*) AS tot FROM d GROUP BY h)
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(1000000 // tot) AS BIGINT) AS effective_x1e6
@@ -563,6 +586,162 @@ SELECT names.label,
 FROM names LEFT JOIN lab USING (label)
 GROUP BY names.label ORDER BY names.label
 """.replace("{EN}", _EN)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe splits: assign DEDUP GROUPS, not documents, to splits
+# ---------------------------------------------------------------------------
+
+def _group_split_partials(sf_dir: str):
+    """(rep, n_docs, n_naive) per exact-dedup group, through ONE
+    md5-keyed coarse exchange: rep = min doc_id, n_naive = distinct
+    naive doc-level split labels inside the group (how many splits the
+    group would straddle under ``doc_id % 10`` assignment).
+
+    The corpus rows are unique at driver SFs, so the split tier
+    operates on the UNION snapshot: docs with ``doc_id %
+    {_RECRAWL_MOD} == {_RECRAWL_AT}`` were re-crawled under
+    ``doc_id + {_RECRAWL_BASE}`` (same text -> same group). The +1 id
+    shift guarantees real straddles under the naive rule (a dup pair
+    lands in different splits whenever its ids' mod-10 labels differ),
+    giving the audit genuine structure — and the derivation stays
+    map-side and SQL-replayable."""
+    from .relational import _coarse_str_partition_map
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        norm = T.normalize_for_dedup(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else batch["text"])
+        md5 = pa.array([hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in norm.to_pylist()], type=pa.string())
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        again = np.flatnonzero(ids % _RECRAWL_MOD == _RECRAWL_AT)
+        return pa.Table.from_pydict({
+            "h": pa.concat_arrays(
+                [md5, md5.take(pa.array(again))]),
+            "doc_id": np.concatenate(
+                [ids, ids[again] + _RECRAWL_BASE])})
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].astype("int64")
+        naive = np.where(d % 10 <= 7, 0, np.where(d % 10 == 8, 1, 2))
+        out = g.assign(naive=naive).groupby("h").agg(
+            rep=("doc_id", "min"), n_docs=("doc_id", "size"),
+            n_naive=("naive", "nunique")).reset_index(drop=True)
+        return out.astype({"rep": "int64", "n_docs": "int64",
+                           "n_naive": "int64"})
+
+    docs = _docs(sf_dir).map_batches(keyed, batch_format="pyarrow",
+                                     batch_size=None)
+    return _coarse_str_partition_map(docs, "h", per_group)
+
+
+def split_leakage_safe(sf_dir: str):
+    """Leakage-safe train/val/test split: every exact-dedup GROUP is
+    assigned whole to one split by its representative id (rep % 10:
+    0-7 train, 8 val, 9 test), so no near-identical text can sit on
+    both sides of an eval boundary. Output per split: document and
+    group counts — the manifest a training run consumes.
+
+    Scale shape: one md5-keyed exchange reduces docs to per-group
+    (rep, n_docs) rows; the split rollup is a 3-row aggregate. Text
+    never ships past the key stage."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    def assign(batch: pa.Table) -> pa.Table:
+        rep = batch["rep"].to_numpy(zero_copy_only=False)
+        m = rep % 10
+        split = np.where(m <= 7, "train",
+                         np.where(m == 8, "val", "test"))
+        return pa.Table.from_pydict(
+            {"split": pa.array(split, pa.string()),
+             "n_docs": batch["n_docs"]})
+
+    agg = (_group_split_partials(sf_dir)
+           .map_batches(assign, batch_format="pyarrow", batch_size=None)
+           .groupby("split")
+           .aggregate(_Sum("n_docs", alias_name="n_docs"),
+                      _Count(alias_name="n_groups"))
+           .to_pandas())
+    out = pd.DataFrame({"split": ["test", "train", "val"]})
+    for c in ("n_docs", "n_groups"):
+        m = dict(zip(agg.get("split", []), agg.get(c, [])))
+        out[c] = out["split"].map(m).fillna(0).astype("int64")
+    return out
+
+
+SPLIT_LEAKAGE_SAFE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+  UNION ALL
+  SELECT doc_id + {_RECRAWL_BASE}, md5(lower(trim(text)))
+  FROM documents WHERE doc_id % {_RECRAWL_MOD} = {_RECRAWL_AT}),
+g AS (SELECT h, MIN(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY h),
+s AS (SELECT CASE WHEN rep % 10 <= 7 THEN 'train'
+                  WHEN rep % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split, n_docs FROM g),
+names AS (SELECT unnest(['test', 'train', 'val']) AS split)
+SELECT names.split,
+       CAST(coalesce(sum(s.n_docs), 0) AS BIGINT) AS n_docs,
+       CAST(count(s.split) AS BIGINT) AS n_groups
+FROM names LEFT JOIN s USING (split)
+GROUP BY names.split ORDER BY names.split
+"""
+
+
+def split_naive_leakage(sf_dir: str):
+    """The leakage audit justifying group-level splitting: under the
+    naive doc-level split (``doc_id % 10``), how many exact-dup groups
+    would straddle two or more splits — i.e. have a copy of the same
+    text in train AND eval. One row: (n_groups, n_straddled,
+    n_docs_straddled). Same single-exchange shape as
+    ``split_leakage_safe``."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_naive = batch["n_naive"].to_numpy(zero_copy_only=False)
+        n_docs = batch["n_docs"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bad = n_naive > 1
+        return pa.Table.from_pydict({
+            "n_groups": pa.array([len(n_naive)], pa.int64()),
+            "n_straddled": pa.array([int(bad.sum())], pa.int64()),
+            "n_docs_straddled": pa.array([int(n_docs[bad].sum())],
+                                         pa.int64())})
+
+    agg = (_group_split_partials(sf_dir)
+           .map_batches(partial, batch_format="pyarrow",
+                        batch_size=None)
+           .aggregate(_Sum("n_groups", alias_name="n_groups"),
+                      _Sum("n_straddled", alias_name="n_straddled"),
+                      _Sum("n_docs_straddled",
+                           alias_name="n_docs_straddled")))
+    return pd.DataFrame([{k: np.int64(agg.get(k, 0) or 0)
+                          for k in ("n_groups", "n_straddled",
+                                    "n_docs_straddled")}])
+
+
+SPLIT_NAIVE_LEAKAGE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+  UNION ALL
+  SELECT doc_id + {_RECRAWL_BASE}, md5(lower(trim(text)))
+  FROM documents WHERE doc_id % {_RECRAWL_MOD} = {_RECRAWL_AT}),
+g AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n_docs,
+         count(DISTINCT CASE WHEN doc_id % 10 <= 7 THEN 'train'
+                             WHEN doc_id % 10 = 8 THEN 'val'
+                             ELSE 'test' END) AS n_naive
+  FROM d GROUP BY h)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (n_naive > 1) AS BIGINT) AS n_straddled,
+       CAST(coalesce(sum(n_docs) FILTER (n_naive > 1), 0) AS BIGINT)
+           AS n_docs_straddled
+FROM g
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2313,6 +2492,9 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_weighted_sampling": (dedup_weighted_sampling,
                                 DEDUP_WEIGHTED_SQL),
     "quality_weak_labels": (quality_weak_labels, WEAK_LABELS_SQL),
+    "split_leakage_safe": (split_leakage_safe, SPLIT_LEAKAGE_SAFE_SQL),
+    "split_naive_leakage": (split_naive_leakage,
+                            SPLIT_NAIVE_LEAKAGE_SQL),
     "doc_chunks": (doc_chunks, None),
     "doc_cdc_chunks": (doc_cdc_chunks, None),
     "doc_fingerprint": (doc_fingerprint, FINGERPRINT_SQL),

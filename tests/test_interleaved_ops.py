@@ -266,13 +266,33 @@ class TestPreferenceAndBudgets:
         df = dedup_weighted_sampling(SF).to_pandas()
         assert (df["effective_x1e6"] <= df["n_docs"] * 1_000_000).all()
         assert (df["effective_x1e6"] > 0).all()
+        # planted re-crawl copies mean real groups of size > 1: the
+        # effective mass must be strictly below the raw doc mass
+        assert int(df["effective_x1e6"].sum()) \
+            < int(df["n_docs"].sum()) * 1_000_000
         total = duckdb.sql(f"""
-            WITH d AS (SELECT md5(lower(trim(text))) h
-                       FROM read_parquet('{SF}/documents.parquet')),
+            WITH d AS (
+              SELECT doc_id, md5(lower(trim(text))) h
+              FROM read_parquet('{SF}/documents.parquet')
+              UNION ALL
+              SELECT doc_id + 500001, md5(lower(trim(text)))
+              FROM read_parquet('{SF}/documents.parquet')
+              WHERE doc_id % 7 = 2),
             n AS (SELECT h, count(*) c FROM d GROUP BY h)
             SELECT CAST(sum(c * (1000000 // c)) AS BIGINT) FROM n
             """).fetchone()[0]
         assert int(df["effective_x1e6"].sum()) == int(total)
+
+    def test_leakage_audit_finds_planted_straddles(self, ray_session):
+        from pdf_extraction_ray.pipelines.textops import (
+            split_leakage_safe, split_naive_leakage)
+        audit = split_naive_leakage(SF).iloc[0]
+        assert audit["n_straddled"] > 0          # planted structure
+        assert audit["n_docs_straddled"] >= 2 * audit["n_straddled"]
+        safe = split_leakage_safe(SF)
+        assert int(safe["n_groups"].sum()) == int(audit["n_groups"])
+        assert set(safe["split"]) == {"train", "val", "test"}
+        assert (safe["n_docs"] >= safe["n_groups"]).all()
 
     def test_weak_labels_partition_corpus(self, ray_session):
         from pdf_extraction_ray.pipelines.textops import \
