@@ -380,6 +380,12 @@ def dpo_pairs_by_source(sf_dir: str):
                       _Min("enc_min", alias_name="enc_min"),
                       _Count(alias_name="n"))
            .to_pandas())
+    if agg.empty or "n" not in agg.columns:     # empty corpus
+        return pd.DataFrame({
+            "source": pd.Series(dtype="object"),
+            "chosen_doc": pd.Series(dtype="int64"),
+            "rejected_doc": pd.Series(dtype="int64"),
+            "margin_x1e6": pd.Series(dtype="int64")})
     agg = agg[agg["n"] >= 2].sort_values("source")
     e_hi = agg["enc_max"].to_numpy().astype(np.int64)
     e_lo = agg["enc_min"].to_numpy().astype(np.int64)

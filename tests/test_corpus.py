@@ -164,6 +164,11 @@ def test_corpus_family_on_empty_table(empty_dir):
             # fixed threshold grid: the oracle's LEFT JOIN keeps all 10
             # thresholds (zero counts) even over an empty corpus
             assert len(df) == 10 and df["n_docs_kept"].sum() == 0, name
+        elif name in ("quality_weak_labels", "split_leakage_safe"):
+            # fixed label/split grids (oracle: names LEFT JOIN), zeroed
+            assert len(df) == 3 and df["n_docs"].sum() == 0, name
+        elif name == "split_naive_leakage":
+            assert len(df) == 1 and df["n_groups"].iloc[0] == 0, name
         else:
             assert len(df) == 0, name
 
