@@ -13,8 +13,10 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pdf_extraction_ray.pipelines.cleaning import CLEANING_QUERIES
 from pdf_extraction_ray.pipelines.corpus import CORPUS_QUERIES
 from pdf_extraction_ray.pipelines.mleval import MLEVAL_QUERIES
+from pdf_extraction_ray.pipelines.spans import SPANS_QUERIES
 from pdf_extraction_ray.pipelines.textops import TEXT_QUERIES
 
 VOCAB = ("the and of to a in is it le la les de et un une el los y que "
@@ -41,12 +43,14 @@ def _random_docs(seed: int, n: int = 40) -> pd.DataFrame:
         "doc_id": np.arange(n, dtype=np.int64),
         "text": texts,
         "lang": rng.choice(["en", "fr", "es", "de", "zh"], size=n),
-        "source": rng.choice(["src0", "src1", "src2"], size=n)})
+        "source": rng.choice(["src0", "src1", "src2"], size=n),
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)})
 
 
 ORACLED = sorted(
     [(n, fn, sql) for n, (fn, sql) in
-     {**CORPUS_QUERIES, **TEXT_QUERIES, **MLEVAL_QUERIES}.items()
+     {**CORPUS_QUERIES, **TEXT_QUERIES, **MLEVAL_QUERIES,
+      **SPANS_QUERIES, **CLEANING_QUERIES}.items()
      if sql is not None])
 
 
@@ -65,6 +69,10 @@ def test_oracled_docs_ops_on_random_tables(tmp_path, seed):
         res = fn(str(d))
         ray_df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
         duck_df = con.sql(sql).df()
+        if len(ray_df) == 0 and len(duck_df) == 0:
+            # a fully-empty Dataset legitimately loses its schema
+            # through to_pandas (same convention as the family gates)
+            continue
         rc = ray_df[sorted(ray_df.columns)] \
             .sort_values(by=sorted(ray_df.columns)).reset_index(drop=True)
         oc = duck_df[sorted(duck_df.columns)] \
