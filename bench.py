@@ -860,7 +860,8 @@ def main():
                          "quality_weak_labels",
                          "interleaved_curation_funnel",
                          "split_leakage_safe",
-                         "split_naive_leakage"]
+                         "split_naive_leakage",
+                         "media_fetch_audit"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -1263,6 +1263,111 @@ ORDER BY agg.doc_id
 SPAN_LANG_MIXING_SQL = _span_lang_mixing_sql()
 
 
+_FETCH_MOD, _FETCH_AT = 11, 4   # (doc*31 + g) % 11 == 4 -> fetch failed
+
+
+def media_fetch_audit(sf_dir: str):
+    """Referential-integrity audit between the interleaved spans' media
+    references and the payload STORE manifest (the object-store bucket
+    a fetcher fills): the store derivation plants fetch failures (a ref
+    is absent when ``(doc*31 + g) % {_FETCH_MOD} == {_FETCH_AT}``), and
+    the audit reports how many span references dangle and how many
+    documents they touch — the gate run before a multimodal training
+    job trusts its media joins. One row: (n_refs, n_missing,
+    n_docs_affected).
+
+    Scale shape: both sides reduce to (ref, doc, side) key rows
+    map-side and meet in ONE ref-keyed coarse exchange; per-group work
+    is a presence flag over <= 2 rows. Payloads never move."""
+    from ray.data.aggregate import Sum
+
+    base = interleaved_docs(sf_dir)
+
+    def span_side(batch: pa.Table) -> pa.Table:
+        doc_ids, parent, _ds, kind, _t, ref, _off = _flat_spans(batch)
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(kind_np == "image")
+        return pa.Table.from_pydict({
+            "ref": pc.take(ref, pa.array(sel)),
+            "doc_id": pa.array(doc_ids[parent[sel]], pa.int64()),
+            "side": np.zeros(len(sel), dtype=np.int64)})
+
+    def store_side(batch: pa.Table) -> pa.Table:
+        # the fetcher's manifest: same ref grid, minus planted failures
+        doc_ids, parent, _ds, kind, _t, ref, off = _flat_spans(batch)
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(kind_np == "image")
+        doc = doc_ids[parent[sel]]
+        g = (off.to_numpy(zero_copy_only=False).astype(np.int64)[sel]
+             - 1) // 2
+        ok = (doc * 31 + g) % _FETCH_MOD != _FETCH_AT
+        keep = sel[ok]
+        return pa.Table.from_pydict({
+            "ref": pc.take(ref, pa.array(keep)),
+            "doc_id": pa.array(doc[ok], pa.int64()),
+            "side": np.ones(len(keep), dtype=np.int64)})
+
+    refs = base.map_batches(span_side, batch_format="pyarrow",
+                            batch_size=None) \
+        .union(base.map_batches(store_side, batch_format="pyarrow",
+                                batch_size=None))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        # (doc_id, n_refs, n_missing) partials — a doc's refs can hash
+        # into many coarse groups, so distinct-doc counting waits for
+        # the doc-keyed reduce below
+        p = g.pivot_table(index=["ref", "doc_id"], columns="side",
+                          aggfunc="size", fill_value=0)
+        has_span = p.get(0, pd.Series(0, index=p.index)) > 0
+        has_store = p.get(1, pd.Series(0, index=p.index)) > 0
+        missing = has_span & ~has_store
+        out = pd.DataFrame({
+            "doc_id": p.index.get_level_values("doc_id").to_numpy(),
+            "n_refs": has_span.to_numpy().astype("int64"),
+            "n_missing": missing.to_numpy().astype("int64")})
+        return out.groupby("doc_id", as_index=False).sum() \
+            .astype("int64")
+
+    def roll(batch: pa.Table) -> pa.Table:
+        miss = batch["n_missing"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict({
+            "n_refs": pa.array([int(batch["n_refs"].to_numpy(
+                zero_copy_only=False).sum())], pa.int64()),
+            "n_missing": pa.array([int(miss.sum())], pa.int64()),
+            "n_docs_affected": pa.array([int((miss > 0).sum())],
+                                        pa.int64())})
+
+    from .corpus import _coarse_str_group
+    agg = (_coarse_str_group(refs, "ref", per_group)
+           .groupby("doc_id")
+           .aggregate(Sum("n_refs", alias_name="n_refs"),
+                      Sum("n_missing", alias_name="n_missing"))
+           .map_batches(roll, batch_format="pyarrow", batch_size=None)
+           .aggregate(Sum("n_refs", alias_name="n_refs"),
+                      Sum("n_missing", alias_name="n_missing"),
+                      Sum("n_docs_affected",
+                          alias_name="n_docs_affected")))
+    return pd.DataFrame([{k: np.int64(agg.get(k, 0) or 0)
+                          for k in ("n_refs", "n_missing",
+                                    "n_docs_affected")}])
+
+
+MEDIA_FETCH_AUDIT_SQL = _DERIVE_CTE + f""",
+m AS (
+  SELECT doc_id, media_ref, (off - 1) // 2 AS g
+  FROM spans WHERE kind = 'image'
+),
+miss AS (
+  SELECT doc_id, media_ref FROM m
+  WHERE (doc_id * 31 + g) % {_FETCH_MOD} = {_FETCH_AT}
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_refs,
+       CAST(count(*) AS BIGINT) AS n_missing,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_affected
+FROM miss
+"""
+
+
 SPANS_QUERIES = {
     "span_media_context": (span_media_context, SPAN_MEDIA_CONTEXT_SQL),
     "span_section_stats": (span_section_stats, SPAN_SECTION_STATS_SQL),
@@ -1279,4 +1384,5 @@ SPANS_QUERIES = {
     "span_lang_mixing": (span_lang_mixing, SPAN_LANG_MIXING_SQL),
     "interleaved_curation_funnel": (interleaved_curation_funnel,
                                     INTERLEAVED_FUNNEL_SQL),
+    "media_fetch_audit": (media_fetch_audit, MEDIA_FETCH_AUDIT_SQL),
 }

@@ -161,6 +161,29 @@ class TestCurationFunnel:
         assert r["n_tokens_packed"] <= packed["n_tokens"].sum()
 
 
+class TestMediaFetchAudit:
+    def test_planted_failures_found(self, ray_session):
+        got = S.media_fetch_audit(SF).iloc[0]
+        # replay the plant: every media span's (doc*31+g) % 11 == 4
+        docs = duckdb.sql(
+            f"SELECT doc_id, coalesce(text,'') AS text FROM "
+            f"read_parquet('{SF}/documents.parquet')").df()
+        n_refs = n_miss = n_docs = 0
+        for _, row in docs.iterrows():
+            d, text = int(row["doc_id"]), row["text"]
+            miss_here = 0
+            for g in range(-(-len(text) // S._SCHUNK)):
+                if g % S._MEDIA_MOD == S._MEDIA_AT:
+                    n_refs += 1
+                    if (d * 31 + g) % S._FETCH_MOD == S._FETCH_AT:
+                        miss_here += 1
+            n_miss += miss_here
+            n_docs += miss_here > 0
+        assert (got["n_refs"], got["n_missing"],
+                got["n_docs_affected"]) == (n_refs, n_miss, n_docs)
+        assert n_miss > 0
+
+
 class TestRenderInterleaved:
     def test_placeholder_count_matches_media(self, rendered):
         n_ph = rendered["rendered"].str.count("<image:")
