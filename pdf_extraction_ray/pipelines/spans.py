@@ -1277,23 +1277,20 @@ def media_fetch_audit(sf_dir: str):
     n_docs_affected).
 
     Scale shape: both sides reduce to (ref, doc, side) key rows
-    map-side and meet in ONE ref-keyed coarse exchange; per-group work
-    is a presence flag over <= 2 rows. Payloads never move."""
+    map-side and meet in ONE doc-keyed coarse exchange — the store
+    manifest records the owning doc, and a ref's span and store rows
+    share it, so partitioning by doc co-locates refs AND makes
+    distinct-affected-doc counting group-local (one partitioning key,
+    reused; no second shuffle). Per-group work is a vectorized isin
+    over <= 2 rows per ref. Payloads never move."""
     from ray.data.aggregate import Sum
 
-    base = interleaved_docs(sf_dir)
-
-    def span_side(batch: pa.Table) -> pa.Table:
-        doc_ids, parent, _ds, kind, _t, ref, _off = _flat_spans(batch)
-        kind_np = kind.to_numpy(zero_copy_only=False)
-        sel = np.flatnonzero(kind_np == "image")
-        return pa.Table.from_pydict({
-            "ref": pc.take(ref, pa.array(sel)),
-            "doc_id": pa.array(doc_ids[parent[sel]], pa.int64()),
-            "side": np.zeros(len(sel), dtype=np.int64)})
-
-    def store_side(batch: pa.Table) -> pa.Table:
-        # the fetcher's manifest: same ref grid, minus planted failures
+    def both_sides(batch: pa.Table) -> pa.Table:
+        # ONE derivation pass emits both key streams: the span side
+        # (side=0, every image ref) and the fetcher's store manifest
+        # (side=1, same grid minus planted failures). At real scale the
+        # store side is an independent table scan; the exchange below
+        # is the same either way.
         doc_ids, parent, _ds, kind, _t, ref, off = _flat_spans(batch)
         kind_np = kind.to_numpy(zero_copy_only=False)
         sel = np.flatnonzero(kind_np == "image")
@@ -1301,48 +1298,36 @@ def media_fetch_audit(sf_dir: str):
         g = (off.to_numpy(zero_copy_only=False).astype(np.int64)[sel]
              - 1) // 2
         ok = (doc * 31 + g) % _FETCH_MOD != _FETCH_AT
-        keep = sel[ok]
+        refs_span = pc.take(ref, pa.array(sel))
         return pa.Table.from_pydict({
-            "ref": pc.take(ref, pa.array(keep)),
-            "doc_id": pa.array(doc[ok], pa.int64()),
-            "side": np.ones(len(keep), dtype=np.int64)})
+            "ref": pa.concat_arrays(
+                [refs_span.combine_chunks()
+                 if isinstance(refs_span, pa.ChunkedArray)
+                 else refs_span,
+                 pc.take(ref, pa.array(sel[ok]))]),
+            "doc_id": np.concatenate([doc, doc[ok]]),
+            "side": np.concatenate(
+                [np.zeros(len(sel), dtype=np.int64),
+                 np.ones(int(ok.sum()), dtype=np.int64)])})
 
-    refs = base.map_batches(span_side, batch_format="pyarrow",
-                            batch_size=None) \
-        .union(base.map_batches(store_side, batch_format="pyarrow",
-                                batch_size=None))
+    refs = interleaved_docs(sf_dir).map_batches(
+        both_sides, batch_format="pyarrow", batch_size=None)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        # (doc_id, n_refs, n_missing) partials — a doc's refs can hash
-        # into many coarse groups, so distinct-doc counting waits for
-        # the doc-keyed reduce below
-        p = g.pivot_table(index=["ref", "doc_id"], columns="side",
-                          aggfunc="size", fill_value=0)
-        has_span = p.get(0, pd.Series(0, index=p.index)) > 0
-        has_store = p.get(1, pd.Series(0, index=p.index)) > 0
-        missing = has_span & ~has_store
-        out = pd.DataFrame({
-            "doc_id": p.index.get_level_values("doc_id").to_numpy(),
-            "n_refs": has_span.to_numpy().astype("int64"),
-            "n_missing": missing.to_numpy().astype("int64")})
-        return out.groupby("doc_id", as_index=False).sum() \
-            .astype("int64")
+        # all rows of a doc (hence of each of its refs) land in one
+        # coarse partition, so the whole audit finishes group-locally:
+        # one 3-int partial per partition
+        span_rows = g[g["side"] == 0]
+        has_store = span_rows["ref"].isin(g.loc[g["side"] == 1, "ref"])
+        miss = ~has_store.to_numpy()
+        docs = span_rows["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "n_refs": [int(len(span_rows))],
+            "n_missing": [int(miss.sum())],
+            "n_docs_affected": [int(pd.unique(docs[miss]).size)]})
 
-    def roll(batch: pa.Table) -> pa.Table:
-        miss = batch["n_missing"].to_numpy(zero_copy_only=False)
-        return pa.Table.from_pydict({
-            "n_refs": pa.array([int(batch["n_refs"].to_numpy(
-                zero_copy_only=False).sum())], pa.int64()),
-            "n_missing": pa.array([int(miss.sum())], pa.int64()),
-            "n_docs_affected": pa.array([int((miss > 0).sum())],
-                                        pa.int64())})
-
-    from .corpus import _coarse_str_group
-    agg = (_coarse_str_group(refs, "ref", per_group)
-           .groupby("doc_id")
-           .aggregate(Sum("n_refs", alias_name="n_refs"),
-                      Sum("n_missing", alias_name="n_missing"))
-           .map_batches(roll, batch_format="pyarrow", batch_size=None)
+    from .relational import _coarse_partition_map
+    agg = (_coarse_partition_map(refs, "doc_id", per_group)
            .aggregate(Sum("n_refs", alias_name="n_refs"),
                       Sum("n_missing", alias_name="n_missing"),
                       Sum("n_docs_affected",
