@@ -861,7 +861,8 @@ def main():
                          "interleaved_curation_funnel",
                          "split_leakage_safe",
                          "split_naive_leakage",
-                         "media_fetch_audit"]
+                         "media_fetch_audit",
+                         "docs_weighted_sample_k"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -594,6 +594,65 @@ GROUP BY names.label ORDER BY names.label
 """.replace("{EN}", _EN)
 
 
+_WRS_K = 50                      # sample size
+_WRS_MIX = 2654435761            # Knuth multiplicative hash constant
+_WRS_MOD = np.int64(1) << 32
+
+
+def docs_weighted_sample_k(sf_dir: str):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis priority form, integer-exact): every doc gets
+    priority ``hash(doc_id) * 1e6 // weight`` (weight = token count;
+    heavier docs draw smaller priorities more often) and the corpus-
+    wide {_WRS_K} smallest (priority, doc_id) win — the one-pass
+    distributed "pick k docs proportional-to-size" a mixture builder
+    runs per source bucket. Integer priorities make the selection
+    bit-exact for the oracle (a float -ln(u)/w key would be subject to
+    libm last-ulp divergence between engines).
+
+    Scale shape: per-batch partial top-k (sort inside the batch, keep
+    {_WRS_K}) then one tiny global top-k — the same partial/final
+    shape as every top-k in the engine; no full sort, no full
+    exchange."""
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) \
+            else batch["text"]
+        w = T.token_stats(text)["n_tokens"] \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(w, 1)
+        h = (ids * _WRS_MIX) % _WRS_MOD
+        pri = h * 1_000_000 // w
+        order = np.lexsort((ids, pri))[:_WRS_K]
+        return pa.Table.from_pydict({
+            "doc_id": ids[order], "priority": pri[order],
+            "weight": w[order]})
+
+    ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None)
+    df = ds.sort(["priority", "doc_id"]).limit(_WRS_K).to_pandas()
+    return df.astype({"doc_id": "int64", "priority": "int64",
+                      "weight": "int64"})
+
+
+WEIGHTED_SAMPLE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+             AS w
+  FROM documents),
+p AS (
+  SELECT doc_id, CAST(w AS BIGINT) AS weight,
+         ((doc_id * {_WRS_MIX}) % {int(_WRS_MOD)}) * 1000000 // w
+             AS priority
+  FROM t)
+SELECT doc_id, CAST(priority AS BIGINT) AS priority, weight
+FROM p ORDER BY priority, doc_id LIMIT {_WRS_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Leakage-safe splits: assign DEDUP GROUPS, not documents, to splits
 # ---------------------------------------------------------------------------
@@ -2498,6 +2557,8 @@ TEXT_QUERIES: dict[str, tuple] = {
     "dedup_weighted_sampling": (dedup_weighted_sampling,
                                 DEDUP_WEIGHTED_SQL),
     "quality_weak_labels": (quality_weak_labels, WEAK_LABELS_SQL),
+    "docs_weighted_sample_k": (docs_weighted_sample_k,
+                               WEIGHTED_SAMPLE_SQL),
     "split_leakage_safe": (split_leakage_safe, SPLIT_LEAKAGE_SAFE_SQL),
     "split_naive_leakage": (split_naive_leakage,
                             SPLIT_NAIVE_LEAKAGE_SQL),

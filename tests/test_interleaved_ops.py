@@ -161,6 +161,48 @@ class TestCurationFunnel:
         assert r["n_tokens_packed"] <= packed["n_tokens"].sum()
 
 
+class TestWeightedSample:
+    def test_heavier_docs_overrepresented(self, ray_session):
+        from pdf_extraction_ray.pipelines.textops import (
+            docs_weighted_sample_k, _WRS_K)
+        df = docs_weighted_sample_k(SF)
+        assert len(df) == _WRS_K
+        assert not df["doc_id"].duplicated().any()
+        corpus_mean = duckdb.sql(
+            f"SELECT avg(greatest(len(regexp_split_to_array("
+            f"trim(text), '\\s+')), 1)) FROM read_parquet"
+            f"('{SF}/documents.parquet')").fetchone()[0]
+        # P(selected) ~ weight: the sample's mean weight must exceed
+        # the corpus mean (deterministic given the fixed hash mix)
+        assert df["weight"].mean() > corpus_mean
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestGreedyBoundsProperty:
+    @given(st.lists(st.lists(st.integers(1, 80), max_size=30),
+                    max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def test_matches_python_greedy(self, docs):
+        costs = np.array([c for d in docs for c in d], dtype=np.int64)
+        starts = np.concatenate(
+            [[0], np.cumsum([len(d) for d in docs])]).astype(np.int64)
+        got = S._greedy_bounds(costs, starts).tolist()
+        exp = []
+        for d in range(len(docs)):
+            s, e = starts[d], starts[d + 1]
+            cum = None
+            for i in range(s, e):
+                if cum is None or cum + costs[i] > S._PACK_BUDGET:
+                    exp.append(i)
+                    cum = costs[i]
+                else:
+                    cum += costs[i]
+        assert got == exp
+
+
 class TestMediaFetchAudit:
     def test_planted_failures_found(self, ray_session):
         got = S.media_fetch_audit(SF).iloc[0]
