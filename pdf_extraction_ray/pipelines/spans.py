@@ -179,7 +179,7 @@ def _last_title(kind_np: np.ndarray, doc_start: np.ndarray) -> np.ndarray:
     return np.where(last >= doc_start, last, -1)
 
 
-def span_media_context(sf_dir: str):
+def span_media_context(sf_dir: str, ds=None):
     """(doc_id, media_ref, offset, context): nearest preceding title
     text per media span ('' when the media precedes every title)."""
     def fn(batch: pa.Table) -> pa.Table:
@@ -192,12 +192,13 @@ def span_media_context(sf_dir: str):
                          pc.take(text, pa.array(np.maximum(lt, 0))),
                          pa.scalar("", pa.string()))
         return pa.Table.from_arrays(
-            [pa.array(doc_ids[parent[sel]], pa.int64()),
+            [pa.array(doc_ids[parent[sel]]),
              pc.take(ref, pa.array(sel)), pc.take(off, pa.array(sel)), ctx],
             names=["doc_id", "media_ref", "offset", "context"])
 
-    return interleaved_docs(sf_dir).map_batches(
-        fn, batch_format="pyarrow", batch_size=None)
+    src = ds if ds is not None else interleaved_docs(sf_dir)
+    return src.map_batches(fn, batch_format="pyarrow",
+                           batch_size=None)
 
 
 SPAN_MEDIA_CONTEXT_SQL = f"""
@@ -235,7 +236,7 @@ ORDER BY w.doc_id, w.off
 """
 
 
-def span_section_stats(sf_dir: str):
+def span_section_stats(sf_dir: str, ds=None):
     """Windowed aggregate: per-(doc, section) span/media/char counts,
     section = offset of the governing title (-1 = preamble). Batch-local
     and complete — zero exchange."""
@@ -243,7 +244,7 @@ def span_section_stats(sf_dir: str):
         doc_ids, parent, doc_start, kind, text, _ref, off = _flat_spans(batch)
         if len(parent) == 0:
             return pa.Table.from_pydict(
-                {"doc_id": pa.array([], pa.int64()),
+                {"doc_id": pa.array([], batch.column("doc_id").type),
                  "section_off": pa.array([], pa.int32()),
                  "n_spans": pa.array([], pa.int64()),
                  "n_media": pa.array([], pa.int64()),
@@ -265,12 +266,13 @@ def span_section_stats(sf_dir: str):
         first = np.full(n, -1, dtype=np.int64)
         first[inv[::-1]] = np.arange(len(inv) - 1, -1, -1)
         return pa.Table.from_pydict({
-            "doc_id": pa.array(doc_ids[parent[first]], pa.int64()),
+            "doc_id": pa.array(doc_ids[parent[first]]),
             "section_off": pa.array(sec[first].astype(np.int32)),
             "n_spans": n_spans, "n_media": n_media, "n_chars": n_chars})
 
-    return interleaved_docs(sf_dir).map_batches(
-        fn, batch_format="pyarrow", batch_size=None)
+    src = ds if ds is not None else interleaved_docs(sf_dir)
+    return src.map_batches(fn, batch_format="pyarrow",
+                           batch_size=None)
 
 
 SPAN_SECTION_STATS_SQL = f"""
@@ -307,7 +309,7 @@ FROM w GROUP BY doc_id, sec ORDER BY doc_id, sec
 _PAIR_MIN_CHARS = 150            # section must carry real text
 
 
-def span_caption_pairs(sf_dir: str):
+def span_caption_pairs(sf_dir: str, ds=None):
     """Composed multimodal pair mining over the interleaved payload:
     (media span, governing-section title) pairs kept only when the
     section is substantive — the media sits under a title (sec >= 0)
@@ -323,7 +325,7 @@ def span_caption_pairs(sf_dir: str):
             _flat_spans(batch)
         if len(parent) == 0:
             return pa.Table.from_pydict(
-                {"doc_id": pa.array([], pa.int64()),
+                {"doc_id": pa.array([], batch.column("doc_id").type),
                  "media_ref": pa.array([], pa.string()),
                  "context": pa.array([], pa.string()),
                  "section_chars": pa.array([], pa.int64())})
@@ -345,13 +347,14 @@ def span_caption_pairs(sf_dir: str):
                              & (per_span_sec_chars >= _PAIR_MIN_CHARS))
         ctx = pc.take(text, pa.array(sec_anchor[sel]))
         return pa.Table.from_arrays(
-            [pa.array(doc_ids[parent[sel]], pa.int64()),
+            [pa.array(doc_ids[parent[sel]]),
              pc.take(ref, pa.array(sel)), ctx,
              pa.array(per_span_sec_chars[sel])],
             names=["doc_id", "media_ref", "context", "section_chars"])
 
-    return interleaved_docs(sf_dir).map_batches(
-        fn, batch_format="pyarrow", batch_size=None)
+    src = ds if ds is not None else interleaved_docs(sf_dir)
+    return src.map_batches(fn, batch_format="pyarrow",
+                           batch_size=None)
 
 
 SPAN_CAPTION_PAIRS_SQL = f"""
@@ -419,7 +422,7 @@ spans AS (
 )"""
 
 
-def span_media_gaps(sf_dir: str):
+def span_media_gaps(sf_dir: str, ds=None):
     """OBELICS/MMC4-style interleaving statistic: for every media span,
     the count of span-text characters between it and the PREVIOUS media
     span in the same document (from the document start for the first
@@ -435,7 +438,7 @@ def span_media_gaps(sf_dir: str):
         doc_ids, parent, doc_start, kind, text, ref, off = _flat_spans(batch)
         if len(parent) == 0:
             return pa.Table.from_pydict(
-                {"doc_id": pa.array([], pa.int64()),
+                {"doc_id": pa.array([], batch.column("doc_id").type),
                  "media_ref": pa.array([], pa.string()),
                  "offset": pa.array([], pa.int32()),
                  "gap_chars": pa.array([], pa.int64())})
@@ -452,13 +455,14 @@ def span_media_gaps(sf_dir: str):
                         cum_excl[np.maximum(prev[sel], 0)],
                         cum_excl[doc_start[sel]])
         return pa.Table.from_arrays(
-            [pa.array(doc_ids[parent[sel]], pa.int64()),
+            [pa.array(doc_ids[parent[sel]]),
              pc.take(ref, pa.array(sel)), pc.take(off, pa.array(sel)),
              pa.array(cum_excl[sel] - base)],
             names=["doc_id", "media_ref", "offset", "gap_chars"])
 
-    return interleaved_docs(sf_dir).map_batches(
-        fn, batch_format="pyarrow", batch_size=None)
+    src = ds if ds is not None else interleaved_docs(sf_dir)
+    return src.map_batches(fn, batch_format="pyarrow",
+                           batch_size=None)
 
 
 SPAN_MEDIA_GAPS_SQL = _DERIVE_CTE + """,
@@ -483,7 +487,7 @@ FROM m ORDER BY doc_id, off
 _DENSITY_MAX = 200       # max span-text chars per media span to keep
 
 
-def docs_interleaved_filter(sf_dir: str):
+def docs_interleaved_filter(sf_dir: str, ds=None):
     """Doc-level multimodal curation gate over the interleaved payload
     (OBELICS-style): keep a document iff it contains at least one media
     span AND its text density stays under ``_DENSITY_MAX`` chars per
@@ -494,7 +498,7 @@ def docs_interleaved_filter(sf_dir: str):
         doc_ids, parent, _ds, kind, text, _ref, _off = _flat_spans(batch)
         if len(parent) == 0:
             return pa.Table.from_pydict(
-                {"doc_id": pa.array([], pa.int64()),
+                {"doc_id": pa.array([], batch.column("doc_id").type),
                  "n_media": pa.array([], pa.int64()),
                  "n_chars": pa.array([], pa.int64()),
                  "keep": pa.array([], pa.int64())})
@@ -512,12 +516,13 @@ def docs_interleaved_filter(sf_dir: str):
         has = n_spans > 0            # docs with no spans match no oracle row
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.Table.from_pydict(
-            {"doc_id": pa.array(ids[has], pa.int64()),
+            {"doc_id": pa.array(ids[has]),
              "n_media": n_media[has], "n_chars": n_chars[has],
              "keep": keep[has]})
 
-    return interleaved_docs(sf_dir).map_batches(
-        fn, batch_format="pyarrow", batch_size=None)
+    src = ds if ds is not None else interleaved_docs(sf_dir)
+    return src.map_batches(fn, batch_format="pyarrow",
+                           batch_size=None)
 
 
 DOCS_INTERLEAVED_FILTER_SQL = _DERIVE_CTE + f"""
@@ -688,7 +693,7 @@ FROM r GROUP BY doc_id ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
-def docs_render_interleaved(sf_dir: str):
+def docs_render_interleaved(sf_dir: str, ds=None):
     """Serialize each interleaved document into ONE training-sample
     string: spans in offset order, titles prefixed ``# ``, media spans
     replaced by an ``<image:ref>`` placeholder token, joined by
@@ -728,8 +733,9 @@ def docs_render_interleaved(sf_dir: str):
              "n_media": pa.array(n_media[has]),
              "rendered": joined.filter(pa.array(has))})
 
-    return interleaved_docs(sf_dir).map_batches(
-        fn, batch_format="pyarrow", batch_size=None)
+    src = ds if ds is not None else interleaved_docs(sf_dir)
+    return src.map_batches(fn, batch_format="pyarrow",
+                           batch_size=None)
 
 
 DOCS_RENDER_INTERLEAVED_SQL = _DERIVE_CTE + """
@@ -785,7 +791,7 @@ def _greedy_bounds(costs: np.ndarray, starts: np.ndarray) -> np.ndarray:
     return np.sort(np.concatenate(bounds))
 
 
-def packed_interleaved(sf_dir: str):
+def packed_interleaved(sf_dir: str, ds=None):
     """Media-atomic greedy sequence packing over the interleaved
     payload: walk each document's spans in offset order and start a new
     sequence whenever adding the next span would push the running token
@@ -804,7 +810,7 @@ def packed_interleaved(sf_dir: str):
     def fn(batch: pa.Table) -> pa.Table:
         doc_ids, parent, _dsf, kind, text, _ref, _off = _flat_spans(batch)
         empty = pa.Table.from_pydict(
-            {"doc_id": pa.array([], pa.int64()),
+            {"doc_id": pa.array([], batch.column("doc_id").type),
              "seq_id": pa.array([], pa.int64()),
              "n_spans": pa.array([], pa.int64()),
              "n_media": pa.array([], pa.int64()),
@@ -832,13 +838,14 @@ def packed_interleaved(sf_dir: str):
             np.where(change, np.arange(len(b)), 0))
         seq_id = np.arange(len(b)) - grp
         return pa.Table.from_pydict(
-            {"doc_id": pa.array(doc_ids[doc_of], pa.int64()),
+            {"doc_id": pa.array(doc_ids[doc_of]),
              "seq_id": seq_id.astype(np.int64),
              "n_spans": n_spans.astype(np.int64),
              "n_media": n_media, "n_tokens": n_tokens})
 
-    return interleaved_docs(sf_dir).map_batches(
-        fn, batch_format="pyarrow", batch_size=None)
+    src = ds if ds is not None else interleaved_docs(sf_dir)
+    return src.map_batches(fn, batch_format="pyarrow",
+                           batch_size=None)
 
 
 PACKED_INTERLEAVED_SQL = f"""
@@ -1176,7 +1183,7 @@ SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM spans)
 """
 
 
-def span_lang_mixing(sf_dir: str):
+def span_lang_mixing(sf_dir: str, ds=None):
     """Per-document language-mixing profile over the interleaved
     payload (code-switch detection — the gate a multilingual curation
     run uses to route mixed-language pages away from monolingual
@@ -1192,7 +1199,7 @@ def span_lang_mixing(sf_dir: str):
         doc_ids, parent, _ds, kind, text, _ref, _off = _flat_spans(batch)
         if len(parent) == 0:
             return pa.Table.from_pydict(
-                {"doc_id": pa.array([], pa.int64()),
+                {"doc_id": pa.array([], batch.column("doc_id").type),
                  "n_spans": pa.array([], pa.int64()),
                  "n_lang_spans": pa.array([], pa.int64()),
                  "n_langs": pa.array([], pa.int64()),
@@ -1216,7 +1223,7 @@ def span_lang_mixing(sf_dir: str):
         per["major_lang"] = major.reindex(per.index).fillna("und")
         ids = doc_ids[per.index.to_numpy()]
         return pa.Table.from_pydict(
-            {"doc_id": pa.array(ids, pa.int64()),
+            {"doc_id": pa.array(ids),
              "n_spans": per["n_spans"].to_numpy().astype(np.int64),
              "n_lang_spans": per["n_lang_spans"].to_numpy()
              .astype(np.int64),
@@ -1224,8 +1231,9 @@ def span_lang_mixing(sf_dir: str):
              "major_lang": pa.array(per["major_lang"].to_numpy(),
                                     pa.string())})
 
-    return interleaved_docs(sf_dir).map_batches(
-        fn, batch_format="pyarrow", batch_size=None)
+    src = ds if ds is not None else interleaved_docs(sf_dir)
+    return src.map_batches(fn, batch_format="pyarrow",
+                           batch_size=None)
 
 
 def _span_lang_mixing_sql() -> str:

@@ -161,6 +161,46 @@ class TestCurationFunnel:
         assert r["n_tokens_packed"] <= packed["n_tokens"].sum()
 
 
+class TestRealTableInterop:
+    """The 8 batch-local span ops accept a REAL (doc_id, spans) table
+    via ``ds=`` — the driver input_hint's storage shape — and must
+    produce byte-identical results to the derived-corpus query path."""
+
+    OPS = ["span_media_context", "span_section_stats",
+           "span_caption_pairs", "span_media_gaps",
+           "docs_interleaved_filter", "docs_render_interleaved",
+           "packed_interleaved", "span_lang_mixing"]
+
+    def test_written_table_matches_query_path(self, ray_session,
+                                              tmp_path):
+        import ray.data as rd
+        out = str(tmp_path / "interleaved")
+        S.interleaved_docs(SF).write_parquet(out)
+        from pdf_extraction_ray.sources.io import read_docs
+        real = read_docs(out)
+        for op in self.OPS:
+            fn = getattr(S, op)
+            a = fn(SF).to_pandas()
+            b = fn(None, ds=real).to_pandas()
+            a = a[sorted(a.columns)].sort_values(
+                by=sorted(a.columns)).reset_index(drop=True)
+            b = b[sorted(b.columns)].sort_values(
+                by=sorted(b.columns)).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b, obj=op)
+
+    def test_extraction_corpus_spans_flow_through(self, ray_session,
+                                                  t2_corpus):
+        # the flagship fixtures' span tables (DOCS_SCHEMA) use the same
+        # struct — prove the analytics run over them directly
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        path, docs = t2_corpus
+        ds = rd.from_arrow(docs.select(["doc_id", "spans"]))
+        packed = S.packed_interleaved(None, ds=ds).to_pandas()
+        assert packed["doc_id"].nunique() > 0
+        assert (packed["n_tokens"] > 0).all()
+
+
 class TestWeightedSample:
     def test_heavier_docs_overrepresented(self, ray_session):
         from pdf_extraction_ray.pipelines.textops import (
