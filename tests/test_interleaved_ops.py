@@ -271,6 +271,28 @@ class TestRenderInterleaved:
         n_ph = rendered["rendered"].str.count("<image:")
         assert (n_ph == rendered["n_media"]).all()
 
+    def test_roundtrip_lossless(self, ray_session, rendered):
+        # the serialization is invertible whenever no text chunk
+        # starts with a marker ('# ', '<image:') or contains a newline
+        # — true of the word-soup corpora by construction (asserted);
+        # a production renderer would escape markers
+        docs = S.interleaved_docs(SF).take_all()
+        by_id = {r["doc_id"]: r["spans"] for r in docs}
+        for _, row in rendered.iterrows():
+            spans = by_id[row["doc_id"]]
+            got = []
+            for line in row["rendered"].split("\n"):
+                if line.startswith("<image:"):
+                    got.append(("image", "", line[7:-1]))
+                elif line.startswith("# "):
+                    got.append(("title", line[2:], ""))
+                else:
+                    assert "\n" not in line
+                    got.append(("text", line, ""))
+            exp = [(s["kind"], s["text"], s["media_ref"])
+                   for s in spans]
+            assert got == exp, row["doc_id"]
+
     def test_linecount_is_span_count(self, ray_session, rendered):
         stats = S.span_section_stats(SF).to_pandas() \
             .groupby("doc_id")["n_spans"].sum()
