@@ -1018,7 +1018,12 @@ def _density_keep_mask(batch: pa.Table) -> np.ndarray:
     return (n_media >= 1) & (n_chars <= _DENSITY_MAX * n_media)
 
 
-def interleaved_curation_funnel(sf_dir: str):
+_FUNNEL_COLS = ("n_docs_in", "n_docs_kept", "n_spans_removed",
+                "n_sequences", "n_tokens_packed")
+
+
+def interleaved_curation_funnel(sf_dir: str,
+                                max_broadcast_bytes: int = 64 << 20):
     """END-TO-END interleaved curation: density gate -> corpus-global
     line ownership (a line text belongs to the doc of its first global
     occurrence; every other doc loses it) -> media-atomic greedy
@@ -1029,12 +1034,18 @@ def interleaved_curation_funnel(sf_dir: str):
     replay), so the whole composition is hash-gated, not just the
     pieces.
 
-    Scale shape: the only wide exchange is the line-text-keyed marker
-    pass over pre-reduced (t, doc, min_off) rows; the resulting
-    (doc, t) drop set ships back via ``ray.put`` (bounded by the
-    cross-doc duplicate-line mass; at crawl scale swap for the
-    byte-capped semi-join re-join the jaccard verifier uses). The gate
-    and packing stages are batch-local."""
+    Scale shape, adaptive by MEASURED size (the dedup-tier convention,
+    `dedup._verify_pairs_jaccard`): the line-text-keyed marker exchange
+    reduces the corpus to a (doc, t) drop set. When that set is small
+    (``max_broadcast_bytes``) it broadcasts via ``ray.put`` and the
+    gate/anti-join/packing pass is batch-local with zero further
+    movement. On a duplicate-heavy crawl the drop set is a corpus-scale
+    fraction — the exact class of driver materialization the r2 review
+    flagged on survivorship — so past the cap the funnel switches to a
+    doc-keyed exchange: markers and flat span rows co-partition by doc,
+    the anti-join + gate + packing finish per partition, and no process
+    (driver included) ever holds more than one hash partition of the
+    drop set."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1050,69 +1061,153 @@ def interleaved_curation_funnel(sf_dir: str):
         return g.loc[~first, ["doc_id", "t"]]
 
     from .corpus import _coarse_str_group
-    drops = _coarse_str_group(
+    drops_ds = _coarse_str_group(
         base.map_batches(gated_lines, batch_format="pyarrow",
-                         batch_size=None), "t", drops_fn).to_pandas()
-    if drops.empty:
-        drops = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                              "t": pd.Series(dtype="object")})
-    drops = drops.drop_duplicates()
-    drop_ref = ray.put(drops)
+                         batch_size=None), "t", drops_fn).materialize()
 
-    def final(batch: pa.Table) -> pa.Table:
-        dr = ray.get(drop_ref)
-        doc_ids, parent, _ds, kind, text, _ref, _off = \
+    def _result(agg) -> pd.DataFrame:
+        return pd.DataFrame([{k: np.int64(agg.get(k, 0) or 0)
+                              for k in _FUNNEL_COLS}])
+
+    zero = pa.Table.from_pydict(
+        {k: pa.array([0], pa.int64()) for k in _FUNNEL_COLS})
+
+    if (drops_ds.size_bytes() or 0) <= max_broadcast_bytes:
+        # fast path: bounded drop set -> broadcast, batch-local finish
+        drops = drops_ds.to_pandas()
+        if drops.empty:
+            drops = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                  "t": pd.Series(dtype="object")})
+        drops = drops.drop_duplicates()
+        drop_ref = ray.put(drops)
+
+        def final(batch: pa.Table) -> pa.Table:
+            dr = ray.get(drop_ref)
+            doc_ids, parent, _ds, kind, text, _ref, _off = \
+                _flat_spans(batch)
+            n = len(batch)
+            if len(parent) == 0:
+                return zero
+            keep_doc = _density_keep_mask(batch)
+            nsp = np.bincount(parent, minlength=n)
+            kind_np = kind.to_numpy(zero_copy_only=False)
+            sel = keep_doc[parent]
+            df = pd.DataFrame({
+                "doc_id": doc_ids[parent[sel]],
+                "t": text.take(
+                    pa.array(np.flatnonzero(sel))).to_pandas(),
+                "is_img": (kind_np[sel] == "image"),
+                "pid": parent[sel],
+                "cost": _span_costs(
+                    kind_np[sel],
+                    text.take(pa.array(np.flatnonzero(sel))))})
+            m = dr.assign(_hit=1).merge(
+                df.reset_index(), on=["doc_id", "t"], how="right") \
+                .sort_values("index")
+            dropped = (~m["is_img"].to_numpy()) \
+                & (m["_hit"].to_numpy() == 1)
+            kept = ~dropped
+            pid_k = m["pid"].to_numpy()[kept]
+            costs_k = m["cost"].to_numpy()[kept].astype(np.int64)
+            starts = np.concatenate(
+                [[0], np.cumsum(np.bincount(pid_k, minlength=n))]) \
+                .astype(np.int64)
+            b = _greedy_bounds(costs_k, starts)
+            return pa.Table.from_pydict({
+                "n_docs_in": pa.array([int((nsp > 0).sum())],
+                                      pa.int64()),
+                "n_docs_kept": pa.array([int(keep_doc.sum())],
+                                        pa.int64()),
+                "n_spans_removed": pa.array([int(dropped.sum())],
+                                            pa.int64()),
+                "n_sequences": pa.array([len(b)], pa.int64()),
+                "n_tokens_packed": pa.array([int(costs_k.sum())],
+                                            pa.int64())})
+
+        agg = (base.map_batches(final, batch_format="pyarrow",
+                                batch_size=None)
+               .aggregate(*[Sum(k, alias_name=k)
+                            for k in _FUNNEL_COLS]))
+        return _result(agg)
+
+    # scale path: co-partition markers and flat span rows by doc;
+    # anti-join + gate + packing finish inside each partition
+    def flat_rows(batch: pa.Table) -> pa.Table:
+        doc_ids, parent, _ds, kind, text, _ref, off = \
             _flat_spans(batch)
-        n = len(batch)
-        zero = pa.Table.from_pydict(
-            {k: pa.array([0], pa.int64())
-             for k in ("n_docs_in", "n_docs_kept", "n_spans_removed",
-                       "n_sequences", "n_tokens_packed")})
         if len(parent) == 0:
-            return zero
-        keep_doc = _density_keep_mask(batch)
-        nsp = np.bincount(parent, minlength=n)
-        kind_np = kind.to_numpy(zero_copy_only=False)
-        sel = keep_doc[parent]
-        df = pd.DataFrame({
-            "doc_id": doc_ids[parent[sel]],
-            "t": text.take(pa.array(np.flatnonzero(sel))).to_pandas(),
-            "is_img": (kind_np[sel] == "image"),
-            "pid": parent[sel],
-            "cost": _span_costs(
-                kind_np[sel],
-                text.take(pa.array(np.flatnonzero(sel))))})
-        m = dr.assign(_hit=1).merge(
-            df.reset_index(), on=["doc_id", "t"], how="right") \
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "off": pa.array([], pa.int64()),
+                 "kind": pa.array([], pa.string()),
+                 "t": pa.array([], pa.string()),
+                 "mark": pa.array([], pa.int64())})
+        return pa.Table.from_pydict({
+            "doc_id": doc_ids[parent].astype(np.int64),
+            "off": off.to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "kind": kind, "t": text,
+            "mark": np.zeros(len(parent), dtype=np.int64)})
+
+    def mark_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"],
+            "off": np.full(n, -1, dtype=np.int64),
+            "kind": pa.nulls(n, pa.string()).fill_null(""),
+            "t": batch["t"],
+            "mark": np.ones(n, dtype=np.int64)})
+
+    unioned = base.map_batches(flat_rows, batch_format="pyarrow",
+                               batch_size=None) \
+        .union(drops_ds.map_batches(mark_rows, batch_format="pyarrow",
+                                    batch_size=None))
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        spans = g[g["mark"] == 0].sort_values(["doc_id", "off"])
+        marks = g.loc[g["mark"] == 1, ["doc_id", "t"]] \
+            .drop_duplicates()
+        if spans.empty:
+            return pd.DataFrame({k: pd.Series([0], dtype="int64")
+                                 for k in _FUNNEL_COLS})
+        doc = spans["doc_id"].to_numpy()
+        kind_np = spans["kind"].to_numpy()
+        chars = spans["t"].str.len().to_numpy().astype(np.int64)
+        codes = np.unique(doc)
+        pid = np.searchsorted(codes, doc)
+        n = len(codes)
+        n_media = np.bincount(pid, weights=(kind_np == "image"),
+                              minlength=n).astype(np.int64)
+        n_chars = np.bincount(pid, weights=chars,
+                              minlength=n).astype(np.int64)
+        keep_doc = (n_media >= 1) & (n_chars <= _DENSITY_MAX * n_media)
+        sel = keep_doc[pid]
+        sub = spans.loc[sel].reset_index(drop=True)
+        m = marks.assign(_hit=1).merge(
+            sub.reset_index(), on=["doc_id", "t"], how="right") \
             .sort_values("index")
-        dropped = (~m["is_img"].to_numpy()) \
-            & (m["_hit"].to_numpy() == 1)
+        is_img = m["kind"].to_numpy() == "image"
+        dropped = (~is_img) & (m["_hit"].to_numpy() == 1)
         kept = ~dropped
-        pid_k = m["pid"].to_numpy()[kept]
-        costs_k = m["cost"].to_numpy()[kept].astype(np.int64)
+        pid_k = pid[sel][kept]
+        text_k = pa.array(m["t"].to_numpy()[kept].astype(object),
+                          pa.string())
+        costs_k = _span_costs(m["kind"].to_numpy()[kept], text_k)
         starts = np.concatenate(
             [[0], np.cumsum(np.bincount(pid_k, minlength=n))]) \
             .astype(np.int64)
         b = _greedy_bounds(costs_k, starts)
-        return pa.Table.from_pydict({
-            "n_docs_in": pa.array([int((nsp > 0).sum())], pa.int64()),
-            "n_docs_kept": pa.array([int(keep_doc.sum())], pa.int64()),
-            "n_spans_removed": pa.array([int(dropped.sum())],
-                                        pa.int64()),
-            "n_sequences": pa.array([len(b)], pa.int64()),
-            "n_tokens_packed": pa.array([int(costs_k.sum())],
-                                        pa.int64())})
+        return pd.DataFrame({
+            "n_docs_in": [int(n)],
+            "n_docs_kept": [int(keep_doc.sum())],
+            "n_spans_removed": [int(dropped.sum())],
+            "n_sequences": [len(b)],
+            "n_tokens_packed": [int(costs_k.sum())]}).astype("int64")
 
-    agg = (base.map_batches(final, batch_format="pyarrow",
-                            batch_size=None)
-           .aggregate(*[Sum(k, alias_name=k)
-                        for k in ("n_docs_in", "n_docs_kept",
-                                  "n_spans_removed", "n_sequences",
-                                  "n_tokens_packed")]))
-    return pd.DataFrame([{k: np.int64(agg.get(k, 0) or 0)
-                          for k in ("n_docs_in", "n_docs_kept",
-                                    "n_spans_removed", "n_sequences",
-                                    "n_tokens_packed")}])
+    from .relational import _coarse_partition_map
+    agg = (_coarse_partition_map(unioned, "doc_id", part_fn)
+           .aggregate(*[Sum(k, alias_name=k) for k in _FUNNEL_COLS]))
+    return _result(agg)
 
 
 INTERLEAVED_FUNNEL_SQL = f"""

@@ -149,6 +149,13 @@ class TestGreedyBoundsKernel:
 
 
 class TestCurationFunnel:
+    def test_exchange_path_matches_broadcast(self, ray_session):
+        # force the doc-keyed exchange (cap 0) — the scale path must
+        # reproduce the broadcast fast path exactly
+        fast = S.interleaved_curation_funnel(SF)
+        slow = S.interleaved_curation_funnel(SF, max_broadcast_bytes=0)
+        pd.testing.assert_frame_equal(fast, slow)
+
     def test_funnel_monotone(self, ray_session):
         df = S.interleaved_curation_funnel(SF)
         r = df.iloc[0]
