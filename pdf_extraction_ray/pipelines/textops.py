@@ -633,6 +633,10 @@ def docs_weighted_sample_k(sf_dir: str):
     ds = _docs(sf_dir).map_batches(partial, batch_format="pyarrow",
                                    batch_size=None)
     df = ds.sort(["priority", "doc_id"]).limit(_WRS_K).to_pandas()
+    if df.empty or "doc_id" not in df.columns:      # empty corpus
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "priority": pd.Series(dtype="int64"),
+                             "weight": pd.Series(dtype="int64")})
     return df.astype({"doc_id": "int64", "priority": "int64",
                       "weight": "int64"})
 

@@ -25,6 +25,7 @@ PLANTED = pd.DataFrame({
     "lang": ["en", "en", "fr", "fr", "de", "de"],
     "source": ["src0", "src1", "src2", "src0", "src1", "src2"],
 })
+PLANTED["n_chars"] = PLANTED["text"].str.len().astype("int64")
 
 
 @pytest.fixture(scope="module")
@@ -169,6 +170,26 @@ def test_corpus_family_on_empty_table(empty_dir):
             assert len(df) == 3 and df["n_docs"].sum() == 0, name
         elif name == "split_naive_leakage":
             assert len(df) == 1 and df["n_groups"].iloc[0] == 0, name
+        else:
+            assert len(df) == 0, name
+
+
+def test_spans_cleaning_families_on_empty_table(empty_dir):
+    """The interleaved-span and cleaning tiers on an EMPTY documents
+    table: summary ops return their one all-zero row (matching their
+    oracles' scalar aggregates), everything else returns no rows."""
+    from pdf_extraction_ray.pipelines.cleaning import CLEANING_QUERIES
+    from pdf_extraction_ray.pipelines.spans import SPANS_QUERIES
+
+    one_zero_row = {"span_order_audit", "media_fetch_audit",
+                    "interleaved_curation_funnel"}
+    for name, (fn, _sql) in {**SPANS_QUERIES,
+                             **CLEANING_QUERIES}.items():
+        res = fn(empty_dir)
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if name in one_zero_row:
+            assert len(df) == 1, name
+            assert (df.iloc[0] == 0).all(), name
         else:
             assert len(df) == 0, name
 
