@@ -56,6 +56,11 @@ def main(argv=None) -> int:
     p.add_argument("--stats", action="store_true",
                    help="with --query: print the executed Dataset's "
                         "per-stage ds.stats() profile to stderr")
+    p.add_argument("--span-op", default=None,
+                   help="run a batch-local span analytics op directly "
+                        "over --input as a REAL (doc_id, spans) table "
+                        "(parquet shards or .lance), bypassing the "
+                        "sf-table derivation; see pipelines.spans")
     args = p.parse_args(argv)
 
     if args.list_queries:
@@ -81,6 +86,27 @@ def main(argv=None) -> int:
         n_files = compact_shards(args.input, args.output,
                                  target_rows=args.target_rows)
         print(json.dumps({"compacted_to_files": n_files,
+                          "output": args.output,
+                          "sec": round(time.perf_counter() - t0, 2)}))
+        ray.shutdown()
+        return 0
+    if args.span_op is not None:
+        from .pipelines import spans as _spans
+        ops = {n: getattr(_spans, n) for n in
+               ("span_media_context", "span_section_stats",
+                "span_caption_pairs", "span_media_gaps",
+                "docs_interleaved_filter", "docs_render_interleaved",
+                "packed_interleaved", "span_lang_mixing")}
+        if args.span_op not in ops:
+            print(f"unknown span op {args.span_op!r} "
+                  f"(one of {sorted(ops)})", file=sys.stderr)
+            ray.shutdown()
+            return 2
+        res = ops[args.span_op](None, ds=read_docs(args.input))
+        res.write_parquet(args.output)
+        if args.stats:
+            print(res.stats(), file=sys.stderr)
+        print(json.dumps({"span_op": args.span_op,
                           "output": args.output,
                           "sec": round(time.perf_counter() - t0, 2)}))
         ray.shutdown()

@@ -87,3 +87,16 @@ def test_cli_compact(tmp_path):
     n = sum(pq.read_metadata(f).num_rows
             for f in glob.glob(str(tmp_path / "c") + "/*.parquet"))
     assert n == 30
+
+
+def test_cli_span_op_over_real_table(tmp_path):
+    # run a span analytics op directly over a real (doc_id, spans)
+    # table — the flagship fixtures corpus — via --span-op
+    corpus = ensure_corpus("cli", 5, 120, shard_rows=40)
+    out = _run(["--span-op", "packed_interleaved",
+                "--input", corpus,
+                "--output", str(tmp_path / "s"), "--num-cpus", "4"])
+    assert out["span_op"] == "packed_interleaved"
+    n = sum(pq.read_metadata(f).num_rows
+            for f in glob.glob(str(tmp_path / "s") + "/*.parquet"))
+    assert n >= 120          # at least one sequence per document
