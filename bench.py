@@ -158,6 +158,37 @@ def _stress():
     ray.shutdown()
 
 
+def _interleaved_stress():
+    """Span-analytics stress tier: the batch-local interleaved
+    operators (packing, rendering, section stats, language mixing)
+    over the REAL 1M-doc fixtures corpus via the ``ds=`` interop path
+    (string doc ids, genuine span tables — not the sf derivation), so
+    the numbers measure the production shape at 200x driver scale."""
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from pdf_extraction_ray.fixtures import ensure_corpus
+    from pdf_extraction_ray.sources import read_docs
+    from pdf_extraction_ray.pipelines import spans as S
+    n = 1_000_000
+    corpus = ensure_corpus("stress", BENCH_SEED, n, shard_rows=5000,
+                           use_ray=True)
+    read_docs(corpus).count()          # warm page cache
+    out = {}
+    for op in ("packed_interleaved", "docs_render_interleaved",
+               "span_section_stats", "span_lang_mixing"):
+        ds = read_docs(corpus).select_columns(["doc_id", "spans"])
+        t0 = time.perf_counter()
+        rows = getattr(S, op)(None, ds=ds).count()
+        out[op] = {"sec": round(time.perf_counter() - t0, 2),
+                   "rows": int(rows)}
+    print(json.dumps({"metric": "interleaved_stress", "n_docs": n,
+                      "num_cpus": 32, "ops": out}))
+    ray.shutdown()
+
+
 def _spill():
     """Constrained-object-store tier: the headline pipeline with the
     object store capped far below the working set. This is the 100-TB
@@ -641,6 +672,9 @@ def main():
         return
     if "--skew" in sys.argv:
         _skew()
+        return
+    if "--interleaved" in sys.argv:
+        _interleaved_stress()
         return
     headline_only = "--headline-only" in sys.argv
     cpu_calib = _cpu_calib_miters()   # before ray.init: idle-host anchor
