@@ -76,12 +76,34 @@ def _stop_hits(toks_lower_flat: pa.Array, parent: np.ndarray, n: int,
 
 
 def lang_profile(text: pa.Array) -> dict[str, np.ndarray]:
-    """Per-language stopword hit counts (int64 per row)."""
+    """Per-language stopword hit counts (int64 per row).
+
+    Dictionary-encoded path: membership tests run once per UNIQUE
+    token (the dictionary, typically 100-1000x smaller than the flat
+    token stream) and per-row totals come from one filtered
+    ``np.bincount`` per language — identical counts to the naive
+    per-token ``is_in`` (differential-tested; the langid accuracy
+    oracle also pins it). The membership+count stage measures ~6x
+    faster; end-to-end the shared whitespace tokenizer dominates, so
+    treat this as a scalability guard for larger vocabularies, not a
+    headline win."""
     toks = _tokens(pc.utf8_lower(text))
     flat = as_array(pc.list_flatten(toks))
     parent = as_array(pc.list_parent_indices(toks)).to_numpy(zero_copy_only=False)
-    return {lang: _stop_hits(flat, parent, len(text), words)
-            for lang, words in LANG_STOPWORDS.items()}
+    n = len(text)
+    if len(flat) == 0:
+        return {lang: np.zeros(n, dtype=np.int64)
+                for lang in LANG_STOPWORDS}
+    enc = pc.dictionary_encode(flat)
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    dictionary = enc.dictionary
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        dmask = pc.is_in(dictionary, value_set=pa.array(words)) \
+            .to_numpy(zero_copy_only=False)
+        out[lang] = np.bincount(parent[dmask[idx]],
+                                minlength=n).astype(np.int64)
+    return out
 
 
 def langid(text: pa.Array) -> pa.Array:
