@@ -156,6 +156,31 @@ class TestCurationFunnel:
         slow = S.interleaved_curation_funnel(SF, max_broadcast_bytes=0)
         pd.testing.assert_frame_equal(fast, slow)
 
+    def test_exchange_path_on_dup_heavy_corpus(self, ray_session,
+                                               tmp_path):
+        # duplicate-heavy random corpus (the shape that forces the
+        # scale path in production): both paths must agree with each
+        # other AND with the DuckDB oracle
+        rng = np.random.default_rng(3)
+        base = [" ".join(rng.choice(["aa", "bb", "cc", "dd", "ee"],
+                                    size=30)) for _ in range(6)]
+        texts = [base[i % 6] for i in range(48)]      # heavy dup lines
+        d = tmp_path / "dup"
+        d.mkdir()
+        pd.DataFrame({"doc_id": np.arange(48, dtype=np.int64),
+                      "text": texts}).to_parquet(d / "documents.parquet")
+        fast = S.interleaved_curation_funnel(str(d))
+        slow = S.interleaved_curation_funnel(str(d),
+                                             max_broadcast_bytes=0)
+        pd.testing.assert_frame_equal(fast, slow)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        ora = con.sql(S.INTERLEAVED_FUNNEL_SQL).df()
+        pd.testing.assert_frame_equal(
+            fast.astype("int64"), ora.astype("int64"))
+        assert fast["n_spans_removed"].iloc[0] > 0
+
     def test_funnel_monotone(self, ray_session):
         df = S.interleaved_curation_funnel(SF)
         r = df.iloc[0]
