@@ -9,6 +9,8 @@ import os
 import sys
 
 import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -41,6 +43,16 @@ class TestInterleaveDerivation:
                          "text": docs["text"]})
         assert S._interleave_rows(docs).equals(
             S._interleave_rows_ref(docs))
+
+    @given(st.lists(st.one_of(
+        st.none(),
+        st.text(alphabet="ab c.é#\n<", max_size=130)), max_size=12))
+    @settings(max_examples=40, deadline=None)
+    def test_vectorized_matches_ref_fuzz(self, texts):
+        t = pa.Table.from_pydict(
+            {"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+             "text": pa.array(texts, pa.string())})
+        assert S._interleave_rows(t).equals(S._interleave_rows_ref(t))
 
     def test_vectorized_edge_cases(self):
         edge = pa.Table.from_pydict(
@@ -247,10 +259,6 @@ class TestWeightedSample:
         # P(selected) ~ weight: the sample's mean weight must exceed
         # the corpus mean (deterministic given the fixed hash mix)
         assert df["weight"].mean() > corpus_mean
-
-
-from hypothesis import given, settings
-from hypothesis import strategies as st
 
 
 class TestGreedyBoundsProperty:
