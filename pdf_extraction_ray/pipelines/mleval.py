@@ -591,6 +591,174 @@ ORDER BY thr DESC
 """
 
 
+# --- ranking-metrics eval (MRR / MAP / hits@K over planted qrels) ------
+#
+# The retrieval-eval counterpart of the classifier metrics above: given a
+# query workload (the RANKING_QUERY_N smallest vec_ids) and graded
+# relevance (a candidate is relevant iff it shares the query's ``label``,
+# self excluded), rank the corpus by the FIXED-POINT cosine kernel
+# (functions/vectors.py — the bit-exact dedup/oracle kernel) and emit
+# per-query integer ranking metrics. Reference analog: the RAG
+# evaluation's per-query provenance/accuracy loop
+# (complete_multimodal_rag_evaluation.py:222-301) — generalized to
+# standard IR metrics.
+#
+# Exactness: every metric is an INTEGER. Reciprocal ranks use the
+# lcm(1..10) = 2520 trick — 2520/r is exact for every rank r <= K — so
+# MRR and the un-normalized MAP numerator (sum of precision@hit-ranks,
+# each hits_so_far * 2520/r) never touch floats. Scale shape: one
+# streaming corpus pass with the (Q x d) quantized query matrix
+# broadcast once via ray.put; each batch emits only per-query partial
+# top-4K candidates plus a per-query relevant-count partial (bounded:
+# batches x Q rows), so the exact final rank runs over a tiny set.
+
+RANKING_QUERY_N = 8
+RANKING_K = 10
+_RANK_LCM = 2520          # lcm(1..10): 2520 // r exact for r in 1..K
+
+_RANKING_COLS = ("query_vec_id", "rel_total", "hits_k", "first_hit_rank",
+                 "mrr_x2520", "sum_prec_x2520")
+
+
+def retrieval_eval_ranking(sf_dir: str):
+    """Per-query ranking metrics (hits@K, first-hit rank, MRR_x2520,
+    MAP-numerator sum_prec_x2520, corpus relevant count) for the
+    RANKING_QUERY_N smallest vec_ids over the fixed-point-cosine ranking,
+    relevance = shared ``label``. All-integer output; oracled."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from ..functions import vectors as V
+
+    empty = pd.DataFrame({c: pd.Series(dtype="int64")
+                          for c in _RANKING_COLS})
+    vid_col = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id"])
+    if vid_col.num_rows == 0:
+        return empty
+    qid_list = np.sort(vid_col["vec_id"].to_numpy())[:RANKING_QUERY_N]
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+        filters=[("vec_id", "in", qid_list.tolist())]).to_pandas() \
+        .sort_values("vec_id")
+    qids = qt["vec_id"].to_numpy(np.int64)
+    qlab = qt["label"].to_numpy(np.int64)
+    qm = V.quantize(np.stack(qt["embedding"].to_numpy()))
+    qref = ray.put((qids, qlab, qm))
+    keep = 4 * RANKING_K
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qlab, qm = ray.get(qref)
+        q = V.quantize_batch(batch)
+        cos = V.cosine_x1e6(q, qm)                    # (n, Q) int64
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        labs = batch["label"].to_numpy(zero_copy_only=False)
+        rel_m = labs[:, None] == qlab[None, :]        # (n, Q)
+        not_self = vids[:, None] != qids[None, :]
+        out_q, out_v, out_c, out_r, out_k = [], [], [], [], []
+        for j, qid in enumerate(qids):
+            m = not_self[:, j]
+            order = np.lexsort((vids[m], -cos[m, j]))[:keep]
+            vv, cc = vids[m][order], cos[m, j][order]
+            out_q.append(np.full(len(vv) + 1, qid, dtype=np.int64))
+            out_v.append(np.concatenate([vv, [-1]]))
+            out_c.append(np.concatenate([cc, [0]]))
+            out_r.append(np.concatenate(
+                [rel_m[m, j][order].astype(np.int64),
+                 [int((rel_m[:, j] & m).sum())]]))
+            out_k.append(np.concatenate(
+                [np.zeros(len(vv), dtype=np.int64), [1]]))
+        return pa.Table.from_pydict({
+            "qid": np.concatenate(out_q), "vid": np.concatenate(out_v),
+            "cos": np.concatenate(out_c), "rel": np.concatenate(out_r),
+            "is_cnt": np.concatenate(out_k)})
+
+    rows = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .to_pandas())         # bounded: batches x Q x (4K + 1) rows
+    cnts = rows[rows["is_cnt"] == 1].groupby("qid")["rel"].sum()
+    cand = rows[rows["is_cnt"] == 0]
+    top = (cand.sort_values(["qid", "cos", "vid"],
+                            ascending=[True, False, True])
+           .groupby("qid").head(RANKING_K).copy())
+    top["rnk"] = top.groupby("qid").cumcount() + 1
+    top["hsf"] = top.groupby("qid")["rel"].cumsum()
+    out = []
+    for qid in qids:
+        g = top[top["qid"] == qid]
+        hit_rnk = g.loc[g["rel"] == 1, "rnk"]
+        first = int(hit_rnk.min()) if len(hit_rnk) else 0
+        out.append((int(qid), int(cnts.get(qid, 0)),
+                    int(g["rel"].sum()), first,
+                    _RANK_LCM // first if first else 0,
+                    int((g["rel"] * g["hsf"]
+                         * (_RANK_LCM // g["rnk"])).sum())))
+    return pd.DataFrame(out, columns=list(_RANKING_COLS)) \
+        .astype("int64").sort_values("query_vec_id") \
+        .reset_index(drop=True)
+
+
+RANKING_SQL = f"""
+WITH qsel AS (
+  SELECT vec_id AS qid, label AS qlabel
+  FROM embeddings ORDER BY vec_id LIMIT {RANKING_QUERY_N}),
+ev AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM embeddings, range(1, 65) t(i)),
+nrm AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2
+        FROM ev GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM ev a JOIN ev b ON a.i = b.i
+  WHERE a.vec_id IN (SELECT qid FROM qsel) AND b.vec_id <> a.vec_id
+  GROUP BY a.vec_id, b.vec_id),
+cos AS (
+  SELECT d.qid, d.vid,
+         CAST(FLOOR(d.dot / (sqrt(na.n2) * sqrt(nb.n2)) * 1000000.0)
+              AS BIGINT) AS c
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.qid
+  JOIN nrm nb ON nb.vec_id = d.vid),
+ranked AS (
+  SELECT qid, vid, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY c DESC, vid ASC) AS BIGINT) AS rnk
+  FROM cos),
+win AS (
+  SELECT r.qid, r.rnk,
+         CASE WHEN e.label = qs.qlabel THEN 1 ELSE 0 END AS rel,
+         SUM(CASE WHEN e.label = qs.qlabel THEN 1 ELSE 0 END)
+             OVER (PARTITION BY r.qid ORDER BY r.rnk) AS hsf
+  FROM ranked r
+  JOIN embeddings e ON e.vec_id = r.vid
+  JOIN qsel qs ON qs.qid = r.qid
+  WHERE r.rnk <= {RANKING_K}),
+relt AS (
+  SELECT qs.qid, CAST(COUNT(*) AS BIGINT) AS rel_total
+  FROM qsel qs JOIN embeddings e
+    ON e.label = qs.qlabel AND e.vec_id <> qs.qid
+  GROUP BY qs.qid)
+SELECT w.qid AS query_vec_id,
+       CAST(COALESCE(MAX(rt.rel_total), 0) AS BIGINT) AS rel_total,
+       CAST(SUM(w.rel) AS BIGINT) AS hits_k,
+       CAST(COALESCE(MIN(CASE WHEN w.rel = 1 THEN w.rnk END), 0)
+            AS BIGINT) AS first_hit_rank,
+       CAST(COALESCE({_RANK_LCM} // MIN(CASE WHEN w.rel = 1 THEN w.rnk END),
+                     0) AS BIGINT) AS mrr_x2520,
+       CAST(SUM(CASE WHEN w.rel = 1
+                     THEN w.hsf * ({_RANK_LCM} // w.rnk) ELSE 0 END)
+            AS BIGINT) AS sum_prec_x2520
+FROM win w LEFT JOIN relt rt ON rt.qid = w.qid
+GROUP BY w.qid
+ORDER BY query_vec_id
+"""
+
+
 MLEVAL_QUERIES: dict[str, tuple] = {
     "model_eval_roc_points": (model_eval_roc_points, ROC_SQL),
     "model_eval_auc": (model_eval_auc, AUC_SQL),
@@ -599,4 +767,5 @@ MLEVAL_QUERIES: dict[str, tuple] = {
     "model_eval_brier": (model_eval_brier, BRIER_SQL),
     "model_eval_ap": (model_eval_ap, AP_SQL),
     "model_eval_lift_deciles": (model_eval_lift_deciles, LIFT_SQL),
+    "retrieval_eval_ranking": (retrieval_eval_ranking, RANKING_SQL),
 }

@@ -230,3 +230,52 @@ def test_roc_points_monotone_and_endpoint(tmp_path):
     assert int(out["tpr_x1e6"].iloc[-1]) == 1_000_000
     assert int(out["fpr_x1e6"].iloc[-1]) == 1_000_000
     assert (np.diff(out["thr"]) < 0).all()
+
+
+def _write_emb(d: str, mat, labels):
+    n = len(labels)
+    pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [np.asarray(v, dtype=np.float32) for v in mat],
+        "label": np.asarray(labels, dtype=np.int32)}) \
+        .to_parquet(os.path.join(d, "embeddings.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ranking_planted_perfect_and_miss(tmp_path):
+    """A query whose label-mates are exact copies of it ranks them all
+    at the top (first_hit_rank 1, MRR 2520, AP numerator = full prefix
+    sums); a query with no label-mates in the corpus scores all zeros."""
+    rng = np.random.default_rng(7)
+    d = 8
+    q0 = rng.normal(size=d)
+    # vec 0 = query; vecs 1..3 identical to it, same label 0
+    mat = [q0, q0, q0, q0] + [rng.normal(size=d) for _ in range(8)]
+    labels = [0, 0, 0, 0] + [1] * 4 + [2] * 4
+    # second query (vec 1) shares label 0 -> also perfect; make an
+    # isolated-label query by relabeling vec 4 to a unique label 9
+    labels[4] = 9
+    _write_emb(str(tmp_path), mat, labels)
+    out = M.retrieval_eval_ranking(str(tmp_path))
+    out = out.set_index("query_vec_id")
+    # query 0: three identical same-label vectors at ranks 1-3
+    assert out.loc[0, "first_hit_rank"] == 1
+    assert out.loc[0, "mrr_x2520"] == 2520
+    assert out.loc[0, "hits_k"] == 3
+    # prefix precisions 1/1, 2/2, 3/3 -> 3 * 2520
+    assert out.loc[0, "sum_prec_x2520"] == 3 * 2520
+    assert out.loc[0, "rel_total"] == 3
+    # query 4 (label 9, unique): nothing relevant anywhere
+    assert out.loc[4, "rel_total"] == 0
+    assert out.loc[4, "hits_k"] == 0
+    assert out.loc[4, "first_hit_rank"] == 0
+    assert out.loc[4, "mrr_x2520"] == 0
+    assert out.loc[4, "sum_prec_x2520"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ranking_empty_embeddings(tmp_path):
+    _write_emb(str(tmp_path), [], [])
+    out = M.retrieval_eval_ranking(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == list(M._RANKING_COLS)
