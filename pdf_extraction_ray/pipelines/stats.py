@@ -3697,9 +3697,100 @@ FROM x
 """
 
 
+def events_value_anova(sf_dir: str):
+    """One-way ANOVA of event value (cents) across event types — the
+    k-group generalization of the Welch A/B test above. Exactness: the
+    only inputs are per-group integer moments (n, sum, sum-of-squares;
+    Python big ints mirror the oracle's HUGEINT), and every float is one
+    fixed IEEE expression; the single cross-group float sum
+    T = sum_i (s_i^2 / n_i) accumulates LEFT-TO-RIGHT over types sorted
+    ascending, matching DuckDB's ``list_aggregate(list(... ORDER BY
+    event_type), 'sum')`` (verified sequential). Scale shape: one
+    streaming pass emits per-batch (type, n, s, ss) partials; the driver
+    reduces a <= k x batches table.
+    Output: (k, n, ssb, ssw, f_stat, eta_sq)."""
+    cols = ("k", "n", "ssb", "ssw", "f_stat", "eta_sq")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64" if c in ("k", "n")
+                                       else "float64") for c in cols})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(types, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        ss = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, v)
+        np.add.at(ss, inv, v * v)      # v ~ 1e5 cents: v*v < 1e10, safe
+        return pa.Table.from_pydict({
+            "event_type": pa.array(uniq),
+            "n": pa.array(n, type=pa.int64()),
+            "s": pa.array(s, type=pa.int64()),
+            "ss": pa.array(ss, type=pa.int64())})
+
+    parts = (rd.read_parquet(_pq(sf_dir, "events"),
+                             columns=["event_type", "value"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas())
+    if parts.empty:
+        return empty
+    # python-int reduce: per-group sums never overflow at any corpus size
+    g = parts.groupby("event_type", sort=True)[["n", "s", "ss"]] \
+        .agg(lambda col: sum(int(x) for x in col))
+    k, nt = len(g), int(g["n"].sum())
+    if k < 2 or nt <= k:
+        return empty
+    st = int(g["s"].sum())
+    u = float(sum(int(x) for x in g["ss"]))
+    tt = 0.0
+    for _, r in g.iterrows():                  # sorted by type: l-t-r sum
+        tt += float(int(r["s"]) * int(r["s"])) / int(r["n"])
+    ssb = tt - float(st * st) / nt
+    ssw = u - tt
+
+    def div(a: float, b: float) -> float:
+        return a / b if b != 0.0 else float("nan")   # DuckDB: x/0.0 = NaN
+
+    f = div(ssb / (k - 1.0), ssw / (nt - k * 1.0))
+    return pd.DataFrame({"k": [np.int64(k)], "n": [np.int64(nt)],
+                         "ssb": [ssb], "ssw": [ssw], "f_stat": [f],
+                         "eta_sq": [div(ssb, ssb + ssw)]})
+
+
+ANOVA_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS v
+  FROM events),
+g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s,
+         SUM(CAST(v AS HUGEINT) * v) AS ss
+  FROM e GROUP BY event_type),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(s) AS BIGINT) AS st,
+         CAST(SUM(ss) AS DOUBLE) AS u,
+         list_aggregate(list(CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / n
+                             ORDER BY event_type), 'sum') AS tt
+  FROM g),
+x AS (
+  SELECT k, nt,
+         tt - CAST(CAST(st AS HUGEINT) * st AS DOUBLE) / nt AS ssb,
+         u - tt AS ssw
+  FROM t WHERE k >= 2 AND nt > k)
+SELECT k, nt AS n, ssb, ssw,
+       (ssb / (k - 1.0)) / (ssw / (nt - k * 1.0)) AS f_stat,
+       ssb / (ssb + ssw) AS eta_sq
+FROM x
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
     "events_qq_drift": (events_qq_drift, QQ_DRIFT_SQL),
     "events_value_welch_ttest": (events_value_welch_ttest, WELCH_SQL),
+    "events_value_anova": (events_value_anova, ANOVA_SQL),
     "region_revenue_hhi": (region_revenue_hhi, HHI_SQL),
     "customer_lorenz_points": (customer_lorenz_points, LORENZ_SQL),
     "part_brand_keyness": (part_brand_keyness, KEYNESS_SQL),

@@ -715,3 +715,39 @@ def test_lorenz_extremes(tmp_path):
     assert int(out2.set_index("decile").loc[9, "rev_share_x1e6"]) == 9000
     assert int(out2.set_index("decile").loc[10, "rev_share_x1e6"]) \
         == 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anova_planted_groups(tmp_path):
+    """Three groups with equal within-group shape but shifted means:
+    hand-computed SSB/SSW; identical groups -> ssb exactly 0."""
+    import os
+    d = str(tmp_path)
+    # groups a: {1,2,3}, b: {11,12,13}, c: {21,22,23} (dollars)
+    vals = [1, 2, 3, 11, 12, 13, 21, 22, 23]
+    types = ["a"] * 3 + ["b"] * 3 + ["c"] * 3
+    pd.DataFrame({"event_id": np.arange(9, dtype=np.int64),
+                  "event_type": types,
+                  "value": [float(v) for v in vals]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_value_anova(d)
+    assert int(out["k"].iloc[0]) == 3 and int(out["n"].iloc[0]) == 9
+    # cents: means 200, 1200, 2200; grand 1200 -> SSB = 3*(1000^2)*2
+    assert out["ssb"].iloc[0] == 6_000_000.0
+    # within each group: (-100)^2 + 0 + 100^2 = 20000, x3 groups
+    assert out["ssw"].iloc[0] == 60_000.0
+    # F = (SSB/2) / (SSW/6) = 3_000_000 / 10_000
+    assert out["f_stat"].iloc[0] == 300.0
+
+    d2 = str(tmp_path / "flat")
+    os.makedirs(d2, exist_ok=True)
+    pd.DataFrame({"event_id": np.arange(6, dtype=np.int64),
+                  "event_type": ["a", "b", "c"] * 2,
+                  "value": [5.0] * 6}) \
+        .to_parquet(os.path.join(d2, "events.parquet"))
+    out2 = S.events_value_anova(d2)
+    # zero variance everywhere: ssw = ssb = 0 -> F and eta are NaN,
+    # mirroring DuckDB's x/0.0 semantics
+    assert out2["ssb"].iloc[0] == 0.0 and out2["ssw"].iloc[0] == 0.0
+    assert np.isnan(out2["f_stat"].iloc[0])
+    assert np.isnan(out2["eta_sq"].iloc[0])
