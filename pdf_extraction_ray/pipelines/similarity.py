@@ -1268,7 +1268,175 @@ def embedding_maxmin_diverse(sf_dir: str):
                                  dtype=np.int64)})
 
 
+# --- margin-based bitext mining (Artetxe & Schwenk 2019 / CCMatrix) ----
+
+BITEXT_K = 4            # neighborhood size for the margin denominator
+BITEXT_TOP = 20         # mined pairs reported (ranked by margin)
+_BITEXT_COLS = ("vec_a", "vec_b", "cosine_x1e6", "margin_x1e6")
+
+
+def embedding_bitext_margin(sf_dir: str, wave_rows: int = 4096):
+    """Margin-based parallel-pair mining between the even-id side (A)
+    and the odd-id side (B) of the embeddings table — the CCMatrix /
+    LASER alignment primitive. A pair is mined iff it is the MUTUAL
+    best match (forward and backward argmax under fixed-point cosine,
+    ties to the smaller vec_id) with positive cosine and positive
+    neighborhood mass; its ratio margin is the all-integer
+
+        margin_x1e6 = cos_x1e6 * 2K * 1e6 // (sumTopK_fwd + sumTopK_bwd)
+
+    (Artetxe & Schwenk 2019's ratio margin with the mean-of-top-K
+    denominator cleared of divisions). Top BITEXT_TOP pairs by
+    (margin desc, vec_a asc). Exact and oracled: the fixed-point
+    cosine kernel (functions/vectors.py) makes every value an integer.
+
+    Scale shape: queries stream out in waves of ``wave_rows`` (each
+    wave = one broadcast of <= wave_rows quantized int16-scale rows +
+    one corpus pass; W waves cover any mined-side size with bounded
+    memory), per-batch partials are top-K only, and the exact per-query
+    merge is a qid-keyed groupby exchange — the driver only ever holds
+    per-query STATS (best + sum), then the tiny mutual-join result."""
+    import pyarrow.parquet as pq
+
+    from ..functions import vectors as V
+
+    empty = pd.DataFrame({c: pd.Series(dtype="int64")
+                          for c in _BITEXT_COLS})
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id"])
+    ids = np.sort(tbl["vec_id"].to_numpy())
+    if (ids % 2 == 0).sum() == 0 or (ids % 2 == 1).sum() == 0:
+        return empty
+
+    def side_stats(parity: int) -> pd.DataFrame:
+        """(qid, best_vid, best_cos, s_topk) for every parity-side
+        vector vs the opposite side."""
+        qids_all = ids[ids % 2 == parity]
+        stats_frames = []
+        for w0 in range(0, len(qids_all), wave_rows):
+            wave = qids_all[w0:w0 + wave_rows]
+            qt = pq.read_table(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+                filters=[("vec_id", "in", wave.tolist())]).to_pandas() \
+                .sort_values("vec_id")
+            qids = qt["vec_id"].to_numpy(np.int64)
+            qm = V.quantize(np.stack(qt["embedding"].to_numpy()))
+            qref = ray.put((qids, qm))
+
+            def partial(batch: pa.Table) -> pa.Table:
+                qids, qm = ray.get(qref)
+                vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+                m = vids % 2 != parity          # opposite side only
+                vids = vids[m]
+                if len(vids) == 0:
+                    return pa.Table.from_pydict(
+                        {"qid": pa.array([], pa.int64()),
+                         "vid": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.int64())})
+                q = V.quantize_batch(batch)[m]
+                cos = V.cosine_x1e6(q, qm)      # (n, Q)
+                k = min(BITEXT_K, len(vids))
+                out_q, out_v, out_c = [], [], []
+                for j, qid in enumerate(qids):
+                    order = np.lexsort((vids, -cos[:, j]))[:k]
+                    out_q.append(np.full(k, qid, dtype=np.int64))
+                    out_v.append(vids[order])
+                    out_c.append(cos[order, j])
+                return pa.Table.from_pydict({
+                    "qid": np.concatenate(out_q),
+                    "vid": np.concatenate(out_v),
+                    "cos": np.concatenate(out_c)})
+
+            def merge(g: pd.DataFrame) -> pd.DataFrame:
+                g = g.sort_values(["cos", "vid"],
+                                  ascending=[False, True]).head(BITEXT_K)
+                return pd.DataFrame({
+                    "qid": [int(g["qid"].iloc[0])],
+                    "best_vid": [int(g["vid"].iloc[0])],
+                    "best_cos": [int(g["cos"].iloc[0])],
+                    "s_topk": [int(g["cos"].sum())]})
+
+            stats = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+                     .map_batches(partial, batch_format="pyarrow",
+                                  batch_size=None)
+                     .groupby("qid").map_groups(merge,
+                                                batch_format="pandas")
+                     .to_pandas())   # per-QUERY stats only: 4 ints/query
+            stats_frames.append(stats)
+        return pd.concat(stats_frames, ignore_index=True)
+
+    fwd = side_stats(0)          # A (even) -> best in B
+    bwd = side_stats(1)          # B (odd)  -> best in A
+    m = fwd.merge(bwd, left_on="best_vid", right_on="qid",
+                  suffixes=("_f", "_b"))
+    m = m[(m["best_vid_b"] == m["qid_f"]) & (m["best_cos_f"] > 0)
+          & (m["s_topk_f"] + m["s_topk_b"] > 0)]
+    if m.empty:
+        return empty
+    denom = (m["s_topk_f"] + m["s_topk_b"]).astype(object)
+    margin = (m["best_cos_f"].astype(object) * (2 * BITEXT_K)
+              * 1_000_000 // denom).astype("int64")
+    out = pd.DataFrame({"vec_a": m["qid_f"].to_numpy(np.int64),
+                        "vec_b": m["best_vid_f"].to_numpy(np.int64),
+                        "cosine_x1e6": m["best_cos_f"].to_numpy(np.int64),
+                        "margin_x1e6": margin.to_numpy()})
+    return out.sort_values(["margin_x1e6", "vec_a"],
+                           ascending=[False, True]) \
+        .head(BITEXT_TOP).reset_index(drop=True)
+
+
+BITEXT_SQL = f"""
+WITH ev AS (
+  SELECT vec_id, i,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000.0) AS BIGINT) AS q
+  FROM embeddings, range(1, 65) t(i)),
+nrm AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS n2
+        FROM ev GROUP BY vec_id),
+cosab AS (
+  SELECT a.vec_id AS xa, b.vec_id AS xb,
+         CAST(FLOOR(CAST(SUM(a.q * b.q) AS BIGINT)
+                    / (sqrt(MAX(na.n2)) * sqrt(MAX(nb.n2)))
+                    * 1000000.0) AS BIGINT) AS c
+  FROM ev a
+  JOIN ev b ON a.i = b.i
+  JOIN nrm na ON na.vec_id = a.vec_id
+  JOIN nrm nb ON nb.vec_id = b.vec_id
+  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+  GROUP BY a.vec_id, b.vec_id),
+fr AS (
+  SELECT xa, xb, c,
+         ROW_NUMBER() OVER (PARTITION BY xa
+                            ORDER BY c DESC, xb ASC) AS r
+  FROM cosab),
+fwd AS (
+  SELECT xa, MAX(CASE WHEN r = 1 THEN xb END) AS besty,
+         MAX(CASE WHEN r = 1 THEN c END) AS bestc,
+         SUM(CASE WHEN r <= {BITEXT_K} THEN c ELSE 0 END) AS sx
+  FROM fr GROUP BY xa),
+br AS (
+  SELECT xa, xb, c,
+         ROW_NUMBER() OVER (PARTITION BY xb
+                            ORDER BY c DESC, xa ASC) AS r
+  FROM cosab),
+bwd AS (
+  SELECT xb, MAX(CASE WHEN r = 1 THEN xa END) AS bestx,
+         SUM(CASE WHEN r <= {BITEXT_K} THEN c ELSE 0 END) AS sy
+  FROM br GROUP BY xb)
+SELECT f.xa AS vec_a, f.besty AS vec_b,
+       CAST(f.bestc AS BIGINT) AS cosine_x1e6,
+       CAST(f.bestc * {2 * BITEXT_K} * 1000000
+            // (f.sx + b.sy) AS BIGINT) AS margin_x1e6
+FROM fwd f JOIN bwd b ON b.xb = f.besty AND b.bestx = f.xa
+WHERE f.bestc > 0 AND f.sx + b.sy > 0
+ORDER BY margin_x1e6 DESC, vec_a ASC
+LIMIT {BITEXT_TOP}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "embedding_bitext_margin": (embedding_bitext_margin, BITEXT_SQL),
     "embedding_hard_negatives": (embedding_hard_negatives, HARDNEG_SQL),
     "embedding_triplet_mining": (embedding_triplet_mining, TRIPLET_SQL),
     "embedding_maxmin_diverse": (embedding_maxmin_diverse, None),

@@ -403,3 +403,55 @@ def test_maxmin_diverse_matches_bruteforce(tmp_path):
     # min-distances are non-increasing along the greedy order
     md = out["mindist_x1e6"].to_numpy()[1:]
     assert (np.diff(md) <= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bitext_planted_mutual_pairs(tmp_path):
+    """Cross-side identical vectors are mutual best matches with the
+    top margins; wave-chunked execution (wave_rows=2) is identical to
+    the single-wave run."""
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_bitext_margin)
+    rng = np.random.default_rng(5)
+    d = 64
+    n_noise = 20
+    vecs = []
+    # planted translations: vec 2i (side A) == vec 2i+1 (side B)
+    for i in range(3):
+        v = rng.normal(size=d)
+        vecs.append(v)          # even id
+        vecs.append(v)          # odd id
+    vecs.extend(rng.normal(size=d) for _ in range(n_noise))
+    pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+        "label": np.zeros(len(vecs), dtype=np.int32)}) \
+        .to_parquet(tmp_path / "embeddings.parquet")
+    out = embedding_bitext_margin(str(tmp_path))
+    top3 = set(zip(out["vec_a"].head(3), out["vec_b"].head(3)))
+    assert top3 == {(0, 1), (2, 3), (4, 5)}
+    # identical quantized vectors: cosine at the 1e6 fixed-point cap
+    assert (out["cosine_x1e6"].head(3) >= 999_998).all()
+    assert (out["margin_x1e6"].head(3) > 1_000_000).all()
+    waved = embedding_bitext_margin(str(tmp_path), wave_rows=2)
+    pd.testing.assert_frame_equal(out, waved)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bitext_empty_and_single_side(tmp_path):
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_bitext_margin, _BITEXT_COLS)
+    d0 = tmp_path / "empty"; d0.mkdir()
+    pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                  "embedding": pd.Series(dtype="object"),
+                  "label": pd.Series(dtype="int32")}) \
+        .to_parquet(d0 / "embeddings.parquet")
+    out = embedding_bitext_margin(str(d0))
+    assert len(out) == 0 and list(out.columns) == list(_BITEXT_COLS)
+    # only even ids: no B side -> empty
+    d1 = tmp_path / "oneside"; d1.mkdir()
+    pd.DataFrame({"vec_id": np.array([0, 2, 4], dtype=np.int64),
+                  "embedding": [np.ones(64, dtype=np.float32)] * 3,
+                  "label": np.zeros(3, dtype=np.int32)}) \
+        .to_parquet(d1 / "embeddings.parquet")
+    assert len(embedding_bitext_margin(str(d1))) == 0
