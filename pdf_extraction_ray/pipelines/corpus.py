@@ -1894,7 +1894,131 @@ LIMIT {DSIR_TOP_K}
 """
 
 
+# --- UniMax language-budget allocation (Chung et al. 2023) -------------
+
+UNIMAX_EPOCH_CAP = 3           # max epochs any language may repeat
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 1, 2   # budget = total_tokens // 2
+
+_UNIMAX_COLS = ("lang", "n_docs", "tokens", "alloc_tokens",
+                "epochs_x1e6")
+
+
+def docs_unimax_alloc(sf_dir: str):
+    """UniMax temperature-free language-budget waterfilling: given the
+    per-language whitespace-token totals c_l, a total budget
+    B = total_tokens // 2 and an epoch cap E = 3, languages (ascending
+    by c_l, ties by name) take min(E * c_l, fair share of the remaining
+    budget). Once a language is uncapped every later one takes the SAME
+    integer share floor((B - E * P_m) // (L - m)) (the greedy's equal-
+    share fixed point; capped languages provably form a prefix of the
+    sorted order, so the closed form the oracle replays is exact).
+    Output per language: docs, tokens, allocated tokens, and the
+    resulting epoch multiplier floor(alloc * 1e6 // tokens).
+
+    Scale shape: one streaming pass emits per-batch (lang, n_docs,
+    tokens) partials; everything after runs over the <= L-row language
+    table on the driver."""
+    empty = pd.DataFrame({
+        "lang": pd.Series(dtype="object"),
+        **{c: pd.Series(dtype="int64") for c in _UNIMAX_COLS[1:]}})
+    import pyarrow.parquet as pq
+    if pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows == 0:
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        stats = T.token_stats(batch["text"].combine_chunks()
+                              if isinstance(batch["text"], pa.ChunkedArray)
+                              else batch["text"])
+        nt = stats["n_tokens"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(langs, return_inverse=True)
+        c = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(c, inv, nt)
+        return pa.Table.from_pydict({
+            "lang": pa.array(uniq),
+            "n_docs": pa.array(np.bincount(inv), type=pa.int64()),
+            "tokens": pa.array(c, type=pa.int64())})
+
+    parts = (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["text", "lang"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas())
+    if parts.empty:
+        return empty
+    g = parts.groupby("lang", sort=True)[["n_docs", "tokens"]] \
+        .agg(lambda col: sum(int(x) for x in col)) \
+        .sort_values(["tokens", "lang"]).reset_index()
+    E = UNIMAX_EPOCH_CAP
+    total = int(g["tokens"].sum())
+    budget = total * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    L = len(g)
+    c = [int(x) for x in g["tokens"]]
+    # prefix waterfill: capped languages are exactly the sorted prefix
+    alloc, remaining, m = [], budget, 0
+    for i in range(L):
+        if E * c[i] * (L - i) <= remaining:      # capped: takes E*c_i
+            alloc.append(E * c[i])
+            remaining -= E * c[i]
+            m += 1
+        else:
+            break
+    share = remaining // (L - m) if m < L else 0
+    alloc.extend([share] * (L - m))
+    out = pd.DataFrame({
+        "lang": g["lang"],
+        "n_docs": g["n_docs"].astype("int64"),
+        "tokens": g["tokens"].astype("int64"),
+        "alloc_tokens": pd.Series(alloc, dtype="int64"),
+        "epochs_x1e6": pd.Series(
+            [a * 1_000_000 // t if t > 0 else 0
+             for a, t in zip(alloc, c)], dtype="int64")})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+UNIMAX_SQL = rf"""
+WITH tok AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS c
+  FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) * {UNIMAX_BUDGET_NUM}
+               // {UNIMAX_BUDGET_DEN} AS b,
+               CAST(COUNT(*) AS BIGINT) AS l FROM tok),
+ord AS (
+  SELECT lang, n_docs, c,
+         ROW_NUMBER() OVER (ORDER BY c, lang) AS i,
+         COALESCE(SUM(c) OVER (ORDER BY c, lang
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS p
+  FROM tok),
+flag AS (
+  SELECT o.*, t.b, t.l,
+         CASE WHEN {UNIMAX_EPOCH_CAP} * o.c * (t.l - o.i + 1)
+                   <= t.b - {UNIMAX_EPOCH_CAP} * o.p
+              THEN 1 ELSE 0 END AS capped
+  FROM ord o, tot t),
+mm AS (
+  SELECT CAST(COALESCE(SUM(capped), 0) AS BIGINT) AS m,
+         CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN c END), 0)
+              AS BIGINT) AS pc
+  FROM flag),
+alloc AS (
+  SELECT f.lang, f.n_docs, f.c,
+         CASE WHEN f.capped = 1 THEN {UNIMAX_EPOCH_CAP} * f.c
+              WHEN f.l > mm.m
+                THEN (f.b - {UNIMAX_EPOCH_CAP} * mm.pc) // (f.l - mm.m)
+              ELSE 0 END AS a
+  FROM flag f, mm)
+SELECT lang, n_docs, c AS tokens, CAST(a AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN c > 0 THEN a * 1000000 // c ELSE 0 END
+            AS BIGINT) AS epochs_x1e6
+FROM alloc
+ORDER BY lang
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "docs_unimax_alloc": (docs_unimax_alloc, UNIMAX_SQL),
     "corpus_dsir_selection": (corpus_dsir_selection, DSIR_SQL),
     "corpus_word_embeddings": (corpus_word_embeddings, None),
     "corpus_zipf_fit": (corpus_zipf_fit, None),

@@ -471,3 +471,35 @@ def test_compression_ratio_differential_and_planted(tmp_path):
     assert not bool(out.loc[0, "degenerate"])       # natural-ish prose
     assert not bool(out.loc[2, "degenerate"])       # empty: no signal
     assert int(out.loc[1, "ratio_x1e6"]) < COMPRESSION_GATE_X1E6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unimax_capped_prefix_hand_computed(tmp_path):
+    """Skewed language sizes exercise the capped branch: the tiny
+    language hits the 3-epoch cap; the rest split the remaining budget
+    equally (hand-computed waterfill)."""
+    from pdf_extraction_ray.pipelines.corpus import docs_unimax_alloc
+    d = str(tmp_path)
+
+    def doc(n):           # exactly n whitespace tokens
+        return " ".join(["w"] * n)
+
+    rows = [("aa", doc(10)), ("bb", doc(60)), ("bb", doc(40)),
+            ("cc", doc(500)), ("cc", doc(500))]
+    pd.DataFrame({
+        "doc_id": np.arange(len(rows), dtype=np.int64),
+        "text": [t for _, t in rows],
+        "lang": [l for l, _ in rows],
+        "source": ["s"] * len(rows),
+        "n_chars": [len(t) for _, t in rows]}) \
+        .to_parquet(os.path.join(d, "documents.parquet"))
+    out = docs_unimax_alloc(d).set_index("lang")
+    # totals 10/100/1000, budget 555: aa capped at 30 (3 epochs),
+    # bb and cc share (555-30)//2 = 262 each
+    assert out.loc["aa", "alloc_tokens"] == 30
+    assert out.loc["aa", "epochs_x1e6"] == 3_000_000
+    assert out.loc["bb", "alloc_tokens"] == 262
+    assert out.loc["bb", "epochs_x1e6"] == 2_620_000
+    assert out.loc["cc", "alloc_tokens"] == 262
+    assert out.loc["cc", "epochs_x1e6"] == 262_000
+    assert int(out["alloc_tokens"].sum()) <= 555
