@@ -896,7 +896,12 @@ def main():
                          "split_leakage_safe",
                          "split_naive_leakage",
                          "media_fetch_audit",
-                         "docs_weighted_sample_k"]
+                         "docs_weighted_sample_k",
+                         # session-4 operators
+                         "retrieval_eval_ranking",
+                         "events_value_anova",
+                         "embedding_bitext_margin",
+                         "docs_unimax_alloc"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

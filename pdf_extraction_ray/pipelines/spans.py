@@ -1462,7 +1462,111 @@ FROM miss
 """
 
 
+# --- MMC4-style image<->text assignment over the interleaved payload ---
+
+_ALIGN_MOD = 1_000_003      # similarity modulus (prime)
+_ALIGN_MUL = 31
+
+
+def _span_h64(strs: list) -> np.ndarray:
+    """First 8 md5 hex digits as int64 per string — the deterministic
+    pseudo-embedding both engines share (same stand-in family as the
+    mixture sampler / block-dedup md5 keys; a real CLIP encoder slots
+    in behind the same per-span shape)."""
+    import hashlib
+    return np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in strs),
+        dtype=np.int64, count=len(strs))
+
+
+def span_media_alignment(sf_dir: str, ds=None):
+    """Assign every media span to its best-matching TEXT span within
+    the same document — the MMC4 image-to-sentence assignment step
+    (Zhu et al. 2023), with similarity sim(i, j) = (h(ref_i) * 31 +
+    h(text_j)) mod P over per-span md5 pseudo-embeddings (CLIP absent
+    from the sandbox; the per-image argmax with smallest-offset
+    tie-break is the real operator shape). Batch-local and complete —
+    a doc's spans live in one row, so zero exchange at any scale; the
+    per-doc argmax runs as ONE padded (docs x media x text) broadcast,
+    no python loop over pairs.
+    Output: (doc_id, media_ref, offset, best_text_off, sim)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        doc_ids, parent, _ds, kind, text, ref, off = _flat_spans(batch)
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        off_np = off.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(batch)
+        is_txt = kind_np != "image"
+        is_med = ~is_txt
+        if not is_med.any():
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], batch.column("doc_id").type),
+                 "media_ref": pa.array([], pa.string()),
+                 "offset": pa.array([], pa.int64()),
+                 "best_text_off": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.int64())})
+        h_txt = _span_h64(pc.take(text, pa.array(np.flatnonzero(is_txt)))
+                          .to_pylist())
+        h_med = _span_h64(pc.take(ref, pa.array(np.flatnonzero(is_med)))
+                          .to_pylist())
+        # pad per-doc text hashes / offsets into (n_docs, Tmax)
+        tdoc = parent[is_txt]
+        tcnt = np.bincount(tdoc, minlength=n_docs)
+        tmax = int(tcnt.max()) if len(tcnt) else 0
+        tpos = np.arange(len(tdoc)) - np.repeat(
+            np.concatenate([[0], np.cumsum(tcnt)[:-1]]), tcnt)
+        ht_pad = np.full((n_docs, max(tmax, 1)), -1, dtype=np.int64)
+        to_pad = np.full((n_docs, max(tmax, 1)), -1, dtype=np.int64)
+        ht_pad[tdoc, tpos] = h_txt
+        to_pad[tdoc, tpos] = off_np[is_txt]
+        # (n_media, Tmax) similarity vs own doc's padded text row
+        mdoc = parent[is_med]
+        sim = (h_med[:, None] * _ALIGN_MUL + ht_pad[mdoc]) % _ALIGN_MOD
+        sim[ht_pad[mdoc] < 0] = -1              # padding never wins
+        best = sim.argmax(axis=1)               # first max = smallest off
+        rows = np.arange(len(mdoc))
+        best_sim = sim[rows, best]
+        keep = best_sim >= 0        # media in text-less docs: no pair
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(doc_ids[mdoc][keep],
+                               batch.column("doc_id").type),
+            "media_ref": pc.take(ref, pa.array(
+                np.flatnonzero(is_med)[keep])),
+            "offset": pa.array(off_np[is_med][keep], pa.int64()),
+            "best_text_off": pa.array(to_pad[mdoc, best][keep],
+                                      pa.int64()),
+            "sim": pa.array(best_sim[keep], pa.int64())})
+
+    src = ds if ds is not None else interleaved_docs(sf_dir)
+    return src.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+SPAN_MEDIA_ALIGNMENT_SQL = _DERIVE_CTE + f""",
+h AS (
+  SELECT doc_id, off, kind, media_ref,
+         CAST(('0x' || substr(md5(CASE WHEN kind = 'image'
+                                       THEN media_ref ELSE t END),
+                              1, 8)) AS BIGINT) AS hv
+  FROM spans),
+pairs AS (
+  SELECT m.doc_id, m.media_ref, m.off AS m_off, x.off AS t_off,
+         (m.hv * {_ALIGN_MUL} + x.hv) % {_ALIGN_MOD} AS sim,
+         ROW_NUMBER() OVER (
+             PARTITION BY m.doc_id, m.off
+             ORDER BY (m.hv * {_ALIGN_MUL} + x.hv) % {_ALIGN_MOD} DESC,
+                      x.off ASC) AS r
+  FROM h m JOIN h x
+    ON x.doc_id = m.doc_id AND x.kind <> 'image'
+  WHERE m.kind = 'image')
+SELECT doc_id, media_ref, CAST(m_off AS BIGINT) AS "offset",
+       CAST(t_off AS BIGINT) AS best_text_off, CAST(sim AS BIGINT) AS sim
+FROM pairs WHERE r = 1
+ORDER BY doc_id, m_off
+"""
+
+
 SPANS_QUERIES = {
+    "span_media_alignment": (span_media_alignment,
+                             SPAN_MEDIA_ALIGNMENT_SQL),
     "span_media_context": (span_media_context, SPAN_MEDIA_CONTEXT_SQL),
     "span_section_stats": (span_section_stats, SPAN_SECTION_STATS_SQL),
     "span_caption_pairs": (span_caption_pairs, SPAN_CAPTION_PAIRS_SQL),

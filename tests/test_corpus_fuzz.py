@@ -60,10 +60,22 @@ def test_oracled_docs_ops_on_random_tables(tmp_path, seed):
     d = tmp_path / f"rand{seed}"
     os.makedirs(d, exist_ok=True)
     _random_docs(seed).to_parquet(d / "documents.parquet")
+    # random embeddings (64-dim, non-degenerate) with duplicate vectors
+    # planted so cosine ties stress the rank tie-breaks
+    rng = np.random.default_rng(seed + 1000)
+    vecs = rng.normal(size=(40, 64)).astype(np.float32)
+    vecs[7] = vecs[3]
+    vecs[21] = vecs[20]
+    pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                  "embedding": list(vecs),
+                  "label": rng.integers(0, 4, size=40).astype(np.int32)}) \
+        .to_parquet(d / "embeddings.parquet")
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{d}/documents.parquet')")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet')")
 
     for name, fn, sql in ORACLED:
         res = fn(str(d))

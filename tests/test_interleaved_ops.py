@@ -213,7 +213,8 @@ class TestRealTableInterop:
     OPS = ["span_media_context", "span_section_stats",
            "span_caption_pairs", "span_media_gaps",
            "docs_interleaved_filter", "docs_render_interleaved",
-           "packed_interleaved", "span_lang_mixing"]
+           "packed_interleaved", "span_lang_mixing",
+           "span_media_alignment"]
 
     def test_written_table_matches_query_path(self, ray_session,
                                               tmp_path):
@@ -486,3 +487,49 @@ class TestTemplateDetectorEval:
         assert (single["tp"] == 0).all()
         assert (out["fp"] == out["n_pred"] - out["tp"]).all()
         assert (out["fn"] == 2 - out["tp"]).all()
+
+
+class TestMediaAlignment:
+    def test_argmax_and_tiebreak_planted(self, ray_session):
+        """Hand-built spans table through ds=: best_text_off is the
+        argmax of the shared md5-based similarity; a media span in a
+        text-less doc emits nothing (matches the oracle's inner join)."""
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        spans0 = [
+            {"kind": "text", "text": "alpha", "media_ref": "", "offset": 0},
+            {"kind": "image", "text": "", "media_ref": "imgA", "offset": 1},
+            {"kind": "text", "text": "beta", "media_ref": "", "offset": 2},
+            {"kind": "title", "text": "gamma", "media_ref": "",
+             "offset": 4},
+        ]
+        spans1 = [  # media-only doc: dropped
+            {"kind": "image", "text": "", "media_ref": "imgB", "offset": 0},
+        ]
+        tbl = pa.Table.from_pylist(
+            [{"doc_id": 10, "spans": spans0},
+             {"doc_id": 11, "spans": spans1}],
+            schema=S.INTERLEAVED_SCHEMA)
+        out = S.span_media_alignment(None, ds=rd.from_arrow(tbl)) \
+            .to_pandas()
+        assert list(out["doc_id"]) == [10]
+        P, M = 1_000_003, 31
+        sims = {o: (h("imgA") * M + h(t)) % P
+                for o, t in [(0, "alpha"), (2, "beta"), (4, "gamma")]}
+        best_off = min(sorted(sims), key=lambda o: (-sims[o], o))
+        assert out["best_text_off"].iloc[0] == best_off
+        assert out["sim"].iloc[0] == sims[best_off]
+
+    def test_every_media_span_aligned(self, ray_session):
+        out = S.span_media_alignment(SF).to_pandas()
+        ctx = S.span_media_context(SF).to_pandas()
+        # one row per media span, same universe as span_media_context
+        assert len(out) == len(ctx)
+        assert (out["best_text_off"] >= 0).all()
+        assert (out["sim"] >= 0).all()
