@@ -901,7 +901,8 @@ def main():
                          "retrieval_eval_ranking",
                          "events_value_anova",
                          "embedding_bitext_margin",
-                         "docs_unimax_alloc"]
+                         "docs_unimax_alloc",
+                         "span_media_alignment"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

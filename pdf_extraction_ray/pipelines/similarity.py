@@ -1275,7 +1275,8 @@ BITEXT_TOP = 20         # mined pairs reported (ranked by margin)
 _BITEXT_COLS = ("vec_a", "vec_b", "cosine_x1e6", "margin_x1e6")
 
 
-def embedding_bitext_margin(sf_dir: str, wave_rows: int = 4096):
+def embedding_bitext_margin(sf_dir: str, wave_rows: int = 4096,
+                            merge_driver_max: int = 4096):
     """Margin-based parallel-pair mining between the even-id side (A)
     and the odd-id side (B) of the embeddings table — the CCMatrix /
     LASER alignment primitive. A pair is mined iff it is the MUTUAL
@@ -1357,13 +1358,39 @@ def embedding_bitext_margin(sf_dir: str, wave_rows: int = 4096):
                     "best_cos": [int(g["cos"].iloc[0])],
                     "s_topk": [int(g["cos"].sum())]})
 
-            stats = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                     columns=["vec_id", "embedding"])
-                     .map_batches(partial, batch_format="pyarrow",
-                                  batch_size=None)
-                     .groupby("qid").map_groups(merge,
-                                                batch_format="pandas")
-                     .to_pandas())   # per-QUERY stats only: 4 ints/query
+            part_ds = rd.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"]) \
+                .map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+            if len(qids_all) <= merge_driver_max:
+                # small query side: the partials are batches x Q x K
+                # bounded rows — merge them in ONE lexsort pass instead
+                # of paying a qid-keyed exchange (identical semantics,
+                # equality pinned by test)
+                pr = part_ds.to_pandas()
+                q = pr["qid"].to_numpy(np.int64)
+                v = pr["vid"].to_numpy(np.int64)
+                c = pr["cos"].to_numpy(np.int64)
+                order = np.lexsort((v, -c, q))
+                q, v, c = q[order], v[order], c[order]
+                starts = np.flatnonzero(np.concatenate(
+                    [[True], q[1:] != q[:-1]]))
+                rank = np.arange(len(q)) - np.repeat(
+                    starts, np.diff(np.concatenate([starts, [len(q)]])))
+                topk = rank < BITEXT_K
+                s = np.zeros(len(starts), dtype=np.int64)
+                np.add.at(s, np.searchsorted(q[starts], q[topk]), c[topk])
+                stats = pd.DataFrame({
+                    "qid": q[starts], "best_vid": v[starts],
+                    "best_cos": c[starts], "s_topk": s})
+            else:
+                # scale path: per-query exact merge as a qid-keyed
+                # groupby exchange — the driver never holds the
+                # per-candidate partials of a corpus-sized query side
+                stats = part_ds.groupby("qid") \
+                    .map_groups(merge, batch_format="pandas") \
+                    .to_pandas()     # per-QUERY stats only: 4 ints/query
             stats_frames.append(stats)
         return pd.concat(stats_frames, ignore_index=True)
 

@@ -455,3 +455,15 @@ def test_bitext_empty_and_single_side(tmp_path):
                   "label": np.zeros(3, dtype=np.int32)}) \
         .to_parquet(d1 / "embeddings.parquet")
     assert len(embedding_bitext_margin(str(d1))) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bitext_exchange_path_matches_driver_merge(emb_dir):
+    """Forcing the qid-keyed exchange merge (merge_driver_max=0) must
+    reproduce the driver-merge fast path exactly."""
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_bitext_margin)
+    d, _ = emb_dir
+    fast = embedding_bitext_margin(d)
+    slow = embedding_bitext_margin(d, merge_driver_max=0)
+    pd.testing.assert_frame_equal(fast, slow)
