@@ -3787,10 +3787,114 @@ FROM x
 """
 
 
+_HOUR_US = 3_600_000_000
+_SURV_SENTINEL = np.iinfo(np.int64).max
+
+
+def events_user_survival(sf_dir: str):
+    """Kaplan-Meier time-to-first-purchase: per user, the event is the
+    first 'purchase' at t = hours since their first event of any type;
+    users who never purchase are right-censored at their last observed
+    event. One step row per hour with >= 1 purchase: (t_hours, n_risk,
+    n_events, surv), surv = KM product over steps <= t. Exactness:
+    counts are integer; each factor is ONE double expression
+    1.0 - d/n and the running product multiplies ascending-hour
+    left-to-right — numpy ``cumprod`` and the oracle's ordered
+    ``list_aggregate(..., 'product')`` prefix perform the identical
+    multiplication sequence.
+
+    Scale shape: one user-keyed aggregate (block-level partial
+    min/max/min-purchase) builds the per-user duration table; the
+    curve is computed from hour-histogram partials (<= batches x hours
+    rows) — the driver never holds per-user rows."""
+    empty = pd.DataFrame({
+        "t_hours": pd.Series(dtype="int64"),
+        "n_risk": pd.Series(dtype="int64"),
+        "n_events": pd.Series(dtype="int64"),
+        "surv": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    from ray.data.aggregate import Max, Min
+
+    def proj(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64())
+        is_p = pc.equal(b["event_type"], "purchase")
+        return pa.Table.from_pydict({
+            "user_id": b["user_id"], "us": us,
+            "pus": pc.if_else(is_p, us,
+                              pa.scalar(_SURV_SENTINEL, pa.int64()))})
+
+    users = (rd.read_parquet(_pq(sf_dir, "events"),
+                             columns=["user_id", "ts", "event_type"])
+             .map_batches(proj, batch_format="pyarrow", batch_size=None)
+             .groupby("user_id")
+             .aggregate(Min("us"), Max("us"), Min("pus")))
+
+    def hour_partials(batch: pa.Table) -> pa.Table:
+        fi = batch["min(us)"].to_numpy(zero_copy_only=False)
+        la = batch["max(us)"].to_numpy(zero_copy_only=False)
+        pu = batch["min(pus)"].to_numpy(zero_copy_only=False)
+        dead = pu != _SURV_SENTINEL
+        t = np.where(dead, (np.minimum(pu, la) - fi), la - fi) // _HOUR_US
+        uniq, inv = np.unique(t, return_inverse=True)
+        return pa.Table.from_pydict({
+            "t": pa.array(uniq, pa.int64()),
+            "n_all": pa.array(np.bincount(inv), pa.int64()),
+            "n_dead": pa.array(
+                np.bincount(inv, weights=dead).astype(np.int64),
+                pa.int64())})
+
+    hist = (users.map_batches(hour_partials, batch_format="pyarrow",
+                              batch_size=None)
+            .to_pandas().groupby("t", sort=True).sum())
+    if hist.empty:
+        return empty
+    t = hist.index.to_numpy(np.int64)
+    n_all = hist["n_all"].to_numpy(np.int64)
+    d = hist["n_dead"].to_numpy(np.int64)
+    # at-risk at t = users whose duration >= t (suffix sum, all users)
+    n_risk = np.cumsum(n_all[::-1])[::-1]
+    steps = d > 0
+    factors = 1.0 - d[steps].astype(np.float64) / n_risk[steps]
+    return pd.DataFrame({
+        "t_hours": t[steps], "n_risk": n_risk[steps],
+        "n_events": d[steps], "surv": np.cumprod(factors)})
+
+
+SURVIVAL_SQL = f"""
+WITH u AS (
+  SELECT user_id, epoch_us(MIN(ts)) AS fi, epoch_us(MAX(ts)) AS la,
+         epoch_us(MIN(ts) FILTER (WHERE event_type = 'purchase')) AS pu
+  FROM events GROUP BY user_id),
+lt AS (
+  SELECT CASE WHEN pu IS NOT NULL
+              THEN (LEAST(pu, la) - fi) // {_HOUR_US}
+              ELSE (la - fi) // {_HOUR_US} END AS t,
+         CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END AS dead
+  FROM u),
+steps AS (
+  SELECT t, CAST(COUNT(*) FILTER (WHERE dead = 1) AS BIGINT) AS d_t
+  FROM lt GROUP BY t),
+sel AS (
+  SELECT s.t, s.d_t,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lt WHERE lt.t >= s.t)
+             AS n_t
+  FROM steps s WHERE s.d_t > 0)
+SELECT s1.t AS t_hours, s1.n_t AS n_risk, s1.d_t AS n_events,
+       (SELECT list_aggregate(
+                   list(1.0 - CAST(s2.d_t AS DOUBLE) / s2.n_t
+                        ORDER BY s2.t), 'product')
+        FROM sel s2 WHERE s2.t <= s1.t) AS surv
+FROM sel s1
+ORDER BY t_hours
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
     "events_qq_drift": (events_qq_drift, QQ_DRIFT_SQL),
     "events_value_welch_ttest": (events_value_welch_ttest, WELCH_SQL),
     "events_value_anova": (events_value_anova, ANOVA_SQL),
+    "events_user_survival": (events_user_survival, SURVIVAL_SQL),
     "region_revenue_hhi": (region_revenue_hhi, HHI_SQL),
     "customer_lorenz_points": (customer_lorenz_points, LORENZ_SQL),
     "part_brand_keyness": (part_brand_keyness, KEYNESS_SQL),

@@ -751,3 +751,33 @@ def test_anova_planted_groups(tmp_path):
     assert out2["ssb"].iloc[0] == 0.0 and out2["ssw"].iloc[0] == 0.0
     assert np.isnan(out2["f_stat"].iloc[0])
     assert np.isnan(out2["eta_sq"].iloc[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_survival_hand_computed_km(tmp_path):
+    """4 users: C converts at +0h, A and D at +2h, B never (censored at
+    +5h) -> KM steps (0: 1-1/4) and (2: x(1-2/3)); censoring consumes
+    no step."""
+    import os
+    d = str(tmp_path)
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [
+        ("A", base, "view"), ("A", base + pd.Timedelta(hours=2), "purchase"),
+        ("B", base, "view"), ("B", base + pd.Timedelta(hours=5), "click"),
+        ("C", base, "purchase"),
+        ("D", base, "click"), ("D", base + pd.Timedelta(hours=2), "purchase"),
+        ("D", base + pd.Timedelta(hours=9), "view"),   # after-death noise
+    ]
+    pd.DataFrame({"event_id": np.arange(len(rows), dtype=np.int64),
+                  "user_id": pd.factorize([r[0] for r in rows])[0]
+                  .astype(np.int64),
+                  "ts": [r[1] for r in rows],
+                  "event_type": [r[2] for r in rows],
+                  "value": [1.0] * len(rows)}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_user_survival(d).reset_index(drop=True)
+    assert list(out["t_hours"]) == [0, 2]
+    assert list(out["n_risk"]) == [4, 3]
+    assert list(out["n_events"]) == [1, 2]
+    assert out["surv"].iloc[0] == 0.75
+    assert out["surv"].iloc[1] == 0.75 * (1.0 - 2.0 / 3.0)
