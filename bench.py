@@ -902,7 +902,10 @@ def main():
                          "events_value_anova",
                          "embedding_bitext_margin",
                          "docs_unimax_alloc",
-                         "span_media_alignment"]
+                         "span_media_alignment",
+                         "events_user_survival",
+                         "customer_k_anonymity",
+                         "corpus_topics"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -2017,8 +2017,208 @@ ORDER BY lang
 """
 
 
+# --- topic clustering over hashed term-frequency vectors ---------------
+
+TOPICS_K = 5
+TOPICS_DIMS = 64
+TOPICS_ITERS = 4
+TOPICS_TOP_TERMS = 10
+
+
+def _tf_parts(batch: pa.Table):
+    """(doc_ids, parent, flat_tokens, L2-normalized (n, TOPICS_DIMS)
+    hashed-TF matrix) for one batch. Feature hashing runs once per
+    UNIQUE token (dictionary encode, md5 -> bucket); counts accumulate
+    via one scatter-add."""
+    import hashlib
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = as_array(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(text)), T.TOKEN_SPLIT_RE))
+    flat = as_array(pc.list_flatten(toks))
+    parent = as_array(pc.list_parent_indices(toks)) \
+        .to_numpy(zero_copy_only=False)
+    n = len(batch)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    m = np.zeros((n, TOPICS_DIMS), dtype=np.float64)
+    if len(flat):
+        enc = pc.dictionary_encode(flat)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        buckets = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+             % TOPICS_DIMS for t in enc.dictionary.to_pylist()),
+            dtype=np.int64, count=len(enc.dictionary))
+        np.add.at(m, (parent, buckets[idx]), 1.0)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    return doc_ids, parent, flat, m
+
+
+def corpus_topics(sf_dir: str):
+    """Document TOPIC clustering without embeddings: L2-normalized
+    64-bucket hashed term-frequency vectors, distributed Lloyd's
+    k-means (TOPICS_ITERS streaming passes, deterministic init from the
+    TOPICS_K smallest doc_ids), then per-topic top terms. Iterative and
+    hash-based — not SQL-expressible, so rows-only for the driver;
+    tests pin planted-vocabulary recovery and partition invariants.
+
+    Scale shape: every k-means pass broadcasts k x D floats and emits
+    per-cluster (sum, count) partials; the term profile pass
+    pre-aggregates (topic, term, cnt) per batch and keeps per-topic
+    top candidates per coarse hash group, so the exchange moves
+    partial counts, never token instances.
+    Output: (topic_id, n_docs, rank, term, cnt)."""
+    cols = ("topic_id", "n_docs", "rank", "term", "cnt")
+    empty = pd.DataFrame({
+        **{c: pd.Series(dtype="int64") for c in
+           ("topic_id", "n_docs", "rank", "cnt")},
+        "term": pd.Series(dtype="object")})[list(cols)]
+    import pyarrow.parquet as pq
+    import ray
+
+    if pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows == 0:
+        return empty
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        return np.argmin(((m[:, None, :] - c[None, :, :]) ** 2)
+                         .sum(axis=2), axis=1)
+
+    # deterministic farthest-point init (greedy k-center, cf.
+    # embedding_maxmin_diverse): seed with the smallest doc_id, then
+    # K-1 streaming passes each pick the doc maximizing its distance
+    # to the chosen centroids (ties -> smallest doc_id). Seeding with
+    # the K smallest ids collapses whole topics when the id order
+    # correlates with content — the planted-vocabulary test pins this.
+    ids_all = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_numpy()
+    if len(ids_all) == 0:
+        return empty
+    seed_id = int(ids_all.min())
+    seed = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "in", [seed_id])]).to_pandas()
+    _, _, _, cents = _tf_parts(pa.Table.from_pandas(
+        seed, preserve_index=False))
+    k_target = min(TOPICS_K, len(ids_all))
+
+    # tokenize + hash ONCE: the iterative passes run over the
+    # materialized (doc_id, vec) table in the object store, not over
+    # re-tokenized text (measured 2x end-to-end at sf0.1)
+    def to_vecs(batch: pa.Table) -> pa.Table:
+        doc_ids_b, _, _, m = _tf_parts(batch)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(doc_ids_b, pa.int64()),
+            "vec": list(m)})
+
+    vecs = docs.map_batches(to_vecs, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    def _vec_batch(batch: pa.Table):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        m = np.stack(batch["vec"].to_numpy(zero_copy_only=False))
+        return ids, m
+
+    while len(cents) < k_target:
+        cref0 = ray.put(cents)
+
+        def far_partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref0)
+            doc_ids_b, m = _vec_batch(batch)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2) \
+                .min(axis=1)
+            j = np.lexsort((doc_ids_b, -d2))[0]
+            return pa.Table.from_pydict({
+                "doc_id": pa.array([int(doc_ids_b[j])], pa.int64()),
+                "d2": pa.array([float(d2[j])], pa.float64()),
+                "vec": [m[j]]})
+
+        cand = vecs.map_batches(far_partial, batch_format="pyarrow",
+                                batch_size=None).to_pandas() \
+            .sort_values(["d2", "doc_id"],
+                         ascending=[False, True])
+        cents = np.vstack([cents,
+                           np.asarray(cand["vec"].iloc[0],
+                                      dtype=np.float64)])
+    k = len(cents)
+
+    for _ in range(TOPICS_ITERS):
+        cref = ray.put(cents)
+
+        def assign_partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            _, m = _vec_batch(batch)
+            a = _assign(m, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            return pa.Table.from_pydict({
+                "cl": np.arange(len(c), dtype=np.int64),
+                "cnt": np.bincount(a, minlength=len(c))
+                .astype(np.int64),
+                "sum": list(sums)})
+
+        parts = vecs.map_batches(assign_partial, batch_format="pyarrow",
+                                 batch_size=None).to_pandas()
+        new = cents.copy()
+        for cl, grp in parts.groupby("cl"):
+            c_n = int(grp["cnt"].sum())
+            if c_n > 0:           # empty cluster keeps its centroid
+                new[cl] = np.sum(np.stack(grp["sum"].to_numpy()),
+                                 axis=0) / c_n
+        cents = new
+
+    cref = ray.put(cents)
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        _, parent, flat, m = _tf_parts(batch)
+        a = _assign(m, c)
+        df = pd.DataFrame({"cl": a[parent],
+                           "term": flat.to_numpy(zero_copy_only=False)})
+        g = df.groupby(["cl", "term"], sort=False).size() \
+            .reset_index(name="cnt")
+        g["is_size"] = 0
+        szs = pd.DataFrame({"cl": np.arange(len(c), dtype=np.int64),
+                            "term": "",
+                            "cnt": np.bincount(a, minlength=len(c))
+                            .astype(np.int64),
+                            "is_size": 1})
+        return pa.Table.from_pandas(pd.concat([g, szs]),
+                                    preserve_index=False)
+
+    def per_group_top(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g[g["is_size"] == 1]
+        terms = g[g["is_size"] == 0] \
+            .groupby(["cl", "term"], as_index=False)[["cnt"]].sum()
+        terms["is_size"] = 0
+        terms = terms.sort_values(["cl", "cnt", "term"],
+                                  ascending=[True, False, True]) \
+            .groupby("cl").head(TOPICS_TOP_TERMS)
+        return pd.concat([terms, sizes], ignore_index=True) \
+            [["cl", "term", "cnt", "is_size"]]
+
+    cand = _coarse_str_group(
+        docs.map_batches(term_partial, batch_format="pyarrow",
+                         batch_size=None),
+        "term", per_group_top).to_pandas()
+    sizes = cand[cand["is_size"] == 1].groupby("cl")["cnt"].sum()
+    top = (cand[cand["is_size"] == 0]
+           .groupby(["cl", "term"], as_index=False)["cnt"].sum()
+           .sort_values(["cl", "cnt", "term"],
+                        ascending=[True, False, True])
+           .groupby("cl").head(TOPICS_TOP_TERMS).reset_index(drop=True))
+    top["rank"] = top.groupby("cl").cumcount() + 1
+    top["n_docs"] = top["cl"].map(lambda c: int(sizes.get(c, 0)))
+    out = top.rename(columns={"cl": "topic_id"})[list(cols)]
+    return out.astype({"topic_id": "int64", "n_docs": "int64",
+                       "rank": "int64", "cnt": "int64"}) \
+        .sort_values(["topic_id", "rank"]).reset_index(drop=True)
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
     "docs_unimax_alloc": (docs_unimax_alloc, UNIMAX_SQL),
+    "corpus_topics": (corpus_topics, None),
     "corpus_dsir_selection": (corpus_dsir_selection, DSIR_SQL),
     "corpus_word_embeddings": (corpus_word_embeddings, None),
     "corpus_zipf_fit": (corpus_zipf_fit, None),

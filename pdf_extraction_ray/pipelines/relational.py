@@ -6746,7 +6746,75 @@ FROM v m GROUP BY m.minute_ts ORDER BY m.minute_ts
 """
 
 
+# --- k-anonymity audit (privacy tier, cf. PII masking in textops) ------
+
+K_ANON = 8
+_KANON_BAL_HI = 5000.0
+
+
+def customer_k_anonymity(sf_dir: str):
+    """Privacy audit before a data release: group customers by the
+    quasi-identifier (nation, market segment, coarse balance band
+    <0 / [0,5000) / >=5000) and report every equivalence class smaller
+    than K_ANON = 8 — the classes a k-anonymity release would have to
+    generalize or suppress. Output: (c_nationkey, c_mktsegment,
+    bal_band, n) ascending by group.
+
+    Scale shape: per-batch partial counts on the bounded quasi-id
+    domain (|nations| x |segments| x 3), one driver reduce — no
+    row-level exchange at any scale."""
+    cols = ("c_nationkey", "c_mktsegment", "bal_band", "n")
+    empty = pd.DataFrame({
+        "c_nationkey": pd.Series(dtype="int64"),
+        "c_mktsegment": pd.Series(dtype="object"),
+        "bal_band": pd.Series(dtype="int64"),
+        "n": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "customer"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        band = np.where(bal < 0.0, 0,
+                        np.where(bal < _KANON_BAL_HI, 1, 2)) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "c_nationkey": batch["c_nationkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "c_mktsegment": batch["c_mktsegment"].to_numpy(
+                zero_copy_only=False),
+            "bal_band": band})
+        g = df.groupby(["c_nationkey", "c_mktsegment", "bal_band"],
+                       sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = (rd.read_parquet(_pq(sf_dir, "customer"),
+                             columns=["c_nationkey", "c_mktsegment",
+                                      "c_acctbal"])
+             .map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).to_pandas())
+    g = parts.groupby(["c_nationkey", "c_mktsegment", "bal_band"],
+                      as_index=False)["n"].sum()
+    out = g[g["n"] < K_ANON].sort_values(list(cols[:3])) \
+        .reset_index(drop=True)
+    return out.astype({"c_nationkey": "int64", "bal_band": "int64",
+                       "n": "int64"})
+
+
+KANON_SQL = f"""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       CAST(CASE WHEN c_acctbal < 0.0 THEN 0
+                 WHEN c_acctbal < {_KANON_BAL_HI} THEN 1
+                 ELSE 2 END AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY c_nationkey, c_mktsegment, bal_band
+HAVING COUNT(*) < {K_ANON}
+ORDER BY c_nationkey, c_mktsegment, bal_band
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple] = {
+    "customer_k_anonymity": (customer_k_anonymity, KANON_SQL),
     "sessions_peak_concurrency": (sessions_peak_concurrency,
                                   PEAK_CONCURRENCY_SQL),
     "events_minute_ohlc": (events_minute_ohlc, MINUTE_OHLC_SQL),

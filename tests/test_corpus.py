@@ -503,3 +503,45 @@ def test_unimax_capped_prefix_hand_computed(tmp_path):
     assert out.loc["cc", "alloc_tokens"] == 262
     assert out.loc["cc", "epochs_x1e6"] == 262_000
     assert int(out["alloc_tokens"].sum()) <= 555
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topics_planted_vocabulary_recovery(tmp_path):
+    """Three disjoint-vocabulary doc groups: no topic may mix
+    vocabularies, every vocabulary surfaces as some topic's top terms,
+    and sizes cover the corpus."""
+    from pdf_extraction_ray.pipelines.corpus import corpus_topics
+    d = str(tmp_path)
+    vocabs = [["aurora", "breeze", "canyon", "dune"],
+              ["ember", "fjord", "glade", "harbor"],
+              ["island", "jungle", "krill", "lagoon"]]
+    rng = np.random.default_rng(11)
+    texts, n_per = [], 12
+    for v in vocabs:
+        for _ in range(n_per):
+            texts.append(" ".join(rng.choice(v, size=30)))
+    pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["s"] * len(texts),
+        "n_chars": [len(t) for t in texts]}) \
+        .to_parquet(os.path.join(d, "documents.parquet"))
+    out = corpus_topics(d)
+    flat_vocab = {w: i for i, v in enumerate(vocabs) for w in v}
+    seen_vocabs = set()
+    for tid, g in out.groupby("topic_id"):
+        owners = {flat_vocab[t] for t in g["term"]}
+        assert len(owners) == 1, f"topic {tid} mixes vocabularies"
+        seen_vocabs |= owners
+    assert seen_vocabs == {0, 1, 2}
+    assert out.groupby("topic_id")["n_docs"].first().sum() == len(texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topics_empty_corpus(empty_tables_dir):
+    from pdf_extraction_ray.pipelines.corpus import corpus_topics
+    out = corpus_topics(empty_tables_dir)
+    assert len(out) == 0
+    assert list(out.columns) == ["topic_id", "n_docs", "rank", "term",
+                                 "cnt"]
