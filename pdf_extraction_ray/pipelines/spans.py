@@ -1564,7 +1564,153 @@ ORDER BY doc_id, m_off
 """
 
 
+# --- text-dup / media-conflict audit over the re-crawl union ----------
+
+
+def _union_interleaved(sf_dir: str):
+    """Interleaved derivation over the UNION snapshot (originals plus
+    the planted re-crawl copies of the split tier: ``doc_id % 7 == 2``
+    reappears under ``doc_id + 500001`` with identical text — see
+    textops._RECRAWL_*). Re-crawled media refs embed the NEW doc_id, so
+    text-identical docs carry conflicting media — the exact shape an
+    interleaved near-dup resolver must adjudicate."""
+    from .textops import _RECRAWL_AT, _RECRAWL_BASE, _RECRAWL_MOD
+
+    def with_recrawls(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        again = np.flatnonzero(ids % _RECRAWL_MOD == _RECRAWL_AT)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        aug = pa.Table.from_pydict({
+            "doc_id": pa.array(np.concatenate(
+                [ids, ids[again] + _RECRAWL_BASE]), pa.int64()),
+            "text": pa.concat_arrays([text, text.take(pa.array(again))])})
+        return _interleave_rows(aug)
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text"])
+            .map_batches(with_recrawls, batch_format="pyarrow"))
+
+
+def span_dup_media_conflicts(sf_dir: str):
+    """Cross-document conflict audit for interleaved dedup: groups of
+    >= 2 docs whose TEXT span content (offset-ordered concatenation) is
+    identical but whose media refs differ — same page re-crawled with
+    re-hosted assets. Per group: member count, per-doc media count
+    (min), distinct media refs across the group (> per-doc count
+    proves the conflict), and the doc the keep rule selects (most
+    media, ties to the smallest doc_id). Runs over the union snapshot
+    with the split tier's planted re-crawl layer so the audit has real
+    work at every scale.
+
+    Scale shape: per-doc (text-md5 key, media stats, ref hashes) are
+    batch-local; the only exchange is the coarse text-key groupby
+    moving one bounded row per doc.
+    Output: (text_md5, n_docs, n_media_per_doc, n_distinct_refs,
+    keep_doc_id)."""
+    import hashlib
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        doc_ids, parent, _dsb, kind, text, ref, _off = _flat_spans(batch)
+        kind_np = kind.to_numpy(zero_copy_only=False)
+        n = len(batch)
+        # offset-ordered text concat per doc == the original text: one
+        # Arrow binary_join over a rebuilt (doc -> text spans) list
+        is_txt = kind_np != "image"
+        tdoc = parent[is_txt]
+        tcnt = np.bincount(tdoc, minlength=n)
+        toffs = np.concatenate([[0], np.cumsum(tcnt)]).astype(np.int32)
+        tlist = pa.ListArray.from_arrays(
+            pa.array(toffs), pc.take(text, pa.array(
+                np.flatnonzero(is_txt))))
+        joined = pc.binary_join(tlist, "").to_pylist()
+        keys = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in joined]
+        n_media = np.bincount(parent[~is_txt], minlength=n) \
+            .astype(np.int64)
+        refs = ref.to_numpy(zero_copy_only=False)[~is_txt]
+        rh = np.fromiter(
+            (int(hashlib.md5(r.encode()).hexdigest()[:15], 16)
+             for r in refs), dtype=np.int64, count=len(refs))
+        ref_lists = np.split(rh, np.cumsum(n_media)[:-1]) \
+            if n else []
+        return pa.Table.from_pydict({
+            "h": pa.array(keys, pa.string()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_media": pa.array(n_media, pa.int64()),
+            "ref_h": [list(map(int, r)) for r in ref_lists]})
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for h, grp in g.groupby("h"):
+            if len(grp) < 2:
+                continue
+            grp = grp.sort_values(["n_media", "doc_id"],
+                                  ascending=[False, True])
+            all_refs = np.concatenate(
+                [np.asarray(r, dtype=np.int64)
+                 for r in grp["ref_h"]]) if len(grp) else []
+            out.append((h, len(grp), int(grp["n_media"].min()),
+                        int(len(np.unique(all_refs))),
+                        int(grp["doc_id"].iloc[0])))
+        return pd.DataFrame(out, columns=[
+            "text_md5", "n_docs", "n_media_per_doc", "n_distinct_refs",
+            "keep_doc_id"])
+
+    from .corpus import _coarse_str_group
+    rows = _union_interleaved(sf_dir) \
+        .map_batches(per_doc, batch_format="pyarrow", batch_size=None)
+    return _coarse_str_group(rows, "h", per_group).sort("text_md5")
+
+
+SPAN_DUP_CONFLICTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS txt FROM documents
+  UNION ALL
+  SELECT doc_id + 500001, coalesce(text, '') FROM documents
+  WHERE doc_id % 7 = 2),
+gs AS (
+  SELECT doc_id, txt,
+         unnest(range(0, CAST(ceil(length(txt) / {_SCHUNK}.0)
+                               AS BIGINT))) AS g
+  FROM d),
+med AS (
+  SELECT doc_id,
+         'img_' || CAST(doc_id AS VARCHAR) || '_' || CAST(g AS VARCHAR)
+             AS ref
+  FROM gs WHERE g % {_MEDIA_MOD} = {_MEDIA_AT}),
+per_doc AS (
+  SELECT d.doc_id, md5(d.txt) AS h,
+         CAST(COALESCE(m.cnt, 0) AS BIGINT) AS n_media
+  FROM d LEFT JOIN (SELECT doc_id, COUNT(*) AS cnt FROM med
+                    GROUP BY doc_id) m USING (doc_id)),
+grp AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(MIN(n_media) AS BIGINT) AS n_media_per_doc
+  FROM per_doc GROUP BY h HAVING COUNT(*) >= 2),
+refs AS (
+  SELECT p.h, CAST(COUNT(DISTINCT m.ref) AS BIGINT) AS nrefs
+  FROM per_doc p JOIN med m USING (doc_id) GROUP BY p.h),
+keep AS (
+  SELECT h, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY h
+                            ORDER BY n_media DESC, doc_id ASC) AS r
+  FROM per_doc)
+SELECT g.h AS text_md5, g.n_docs, g.n_media_per_doc,
+       CAST(COALESCE(r.nrefs, 0) AS BIGINT) AS n_distinct_refs,
+       k.doc_id AS keep_doc_id
+FROM grp g
+LEFT JOIN refs r ON r.h = g.h
+JOIN keep k ON k.h = g.h AND k.r = 1
+ORDER BY text_md5
+"""
+
+
 SPANS_QUERIES = {
+    "span_dup_media_conflicts": (span_dup_media_conflicts,
+                                 SPAN_DUP_CONFLICTS_SQL),
     "span_media_alignment": (span_media_alignment,
                              SPAN_MEDIA_ALIGNMENT_SQL),
     "span_media_context": (span_media_context, SPAN_MEDIA_CONTEXT_SQL),

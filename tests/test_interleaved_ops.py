@@ -533,3 +533,36 @@ class TestMediaAlignment:
         assert len(out) == len(ctx)
         assert (out["best_text_off"] >= 0).all()
         assert (out["sim"] >= 0).all()
+
+
+class TestDupMediaConflicts:
+    def test_recrawl_groups_planted(self, ray_session, tmp_path):
+        """doc_id % 7 == 2 re-crawls under +500001: every such doc with
+        media must surface as a 2-doc conflict group whose distinct
+        refs double the per-doc media count, keeping the original id."""
+        import os
+
+        from pdf_extraction_ray.pipelines.spans import (
+            span_dup_media_conflicts)
+        d = str(tmp_path)
+        texts = {0: "x" * 200,       # 5 chunks, media after g=2 -> 1+
+                 2: "y" * 200,       # recrawled (2 % 7 == 2)
+                 9: "z" * 390,       # recrawled (9 % 7 == 2)
+                 3: "w" * 30}        # 1 chunk, no media, not recrawled
+        ids = sorted(texts)
+        pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64),
+            "text": [texts[i] for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": [len(texts[i]) for i in ids]}) \
+            .to_parquet(os.path.join(d, "documents.parquet"))
+        out = span_dup_media_conflicts(d).to_pandas() \
+            .sort_values("keep_doc_id").reset_index(drop=True)
+        # docs 2 and 9 each form a group with their re-crawl copy
+        assert list(out["keep_doc_id"]) == [2, 9]
+        assert list(out["n_docs"]) == [2, 2]
+        # 200 chars -> 5 chunks -> media at g=2; 390 -> 10 chunks ->
+        # media at g in {2, 6} -> 2 per doc
+        assert list(out["n_media_per_doc"]) == [1, 2]
+        assert list(out["n_distinct_refs"]) == [2, 4]
