@@ -857,7 +857,11 @@ def orders_similar_baskets(sf_dir: str):
         pos = np.arange(len(keys)) - np.repeat(starts, ends - starts)
         plen = size - (size + 1) // 2 + 1      # s - ceil(t*s) + 1, t=0.5
         order_idx = np.cumsum(new) - 1         # 0-based order per row
-        baskets = [parts[s:e] for s, e in zip(starts, ends)]
+        # baskets ride the token exchange as PACKED int64 bytes (one
+        # binary cell), not python lists — object-list serialization
+        # through the sort exchange was the operator's dominant cost
+        pbytes = parts.astype(np.int64).tobytes()
+        baskets = [pbytes[8 * s:8 * e] for s, e in zip(starts, ends)]
         mask = pos < plen
         if not mask.any():
             return ept
@@ -875,7 +879,7 @@ def orders_similar_baskets(sf_dir: str):
                 continue
             orders = grp["order_id"].to_numpy(np.int64)
             pos = grp["pos"].to_numpy(np.int64)
-            sizes = np.fromiter((len(x) for x in grp["basket"]),
+            sizes = np.fromiter((len(x) // 8 for x in grp["basket"]),
                                 np.int64, n)
             baskets = None                       # built lazily below
             # the filters kill ~all pairs, so run them VECTORIZED over
@@ -906,7 +910,8 @@ def orders_similar_baskets(sf_dir: str):
                 if baskets is None:
                     # frozensets beat np.intersect1d ~10x on these tiny
                     # (<=13-element) baskets
-                    baskets = [frozenset(x.tolist())
+                    baskets = [frozenset(np.frombuffer(x, np.int64)
+                                         .tolist())
                                for x in grp["basket"]]
                 for i, j in zip(ii[keep].tolist(), jj[keep].tolist()):
                     inter = len(baskets[i] & baskets[j])
