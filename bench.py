@@ -905,7 +905,8 @@ def main():
                          "span_media_alignment",
                          "events_user_survival",
                          "customer_k_anonymity",
-                         "corpus_topics"]
+                         "corpus_topics",
+                         "span_dup_media_conflicts"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -1309,9 +1309,11 @@ def embedding_bitext_margin(sf_dir: str, wave_rows: int = 4096,
     if (ids % 2 == 0).sum() == 0 or (ids % 2 == 1).sum() == 0:
         return empty
 
-    def side_stats(parity: int) -> pd.DataFrame:
+    def side_stats(parity: int, as_dataset: bool = False):
         """(qid, best_vid, best_cos, s_topk) for every parity-side
-        vector vs the opposite side."""
+        vector vs the opposite side — a DataFrame on the driver fast
+        path, a Dataset (groupby-exchange merge, never collected) when
+        ``as_dataset`` (the scale path)."""
         qids_all = ids[ids % 2 == parity]
         stats_frames = []
         for w0 in range(0, len(qids_all), wave_rows):
@@ -1363,6 +1365,11 @@ def embedding_bitext_margin(sf_dir: str, wave_rows: int = 4096,
                 columns=["vec_id", "embedding"]) \
                 .map_batches(partial, batch_format="pyarrow",
                              batch_size=None)
+            if as_dataset:
+                stats_frames.append(
+                    part_ds.groupby("qid")
+                    .map_groups(merge, batch_format="pandas"))
+                continue
             if len(qids_all) <= merge_driver_max:
                 # small query side: the partials are batches x Q x K
                 # bounded rows — merge them in ONE lexsort pass instead
@@ -1392,25 +1399,78 @@ def embedding_bitext_margin(sf_dir: str, wave_rows: int = 4096,
                     .map_groups(merge, batch_format="pandas") \
                     .to_pandas()     # per-QUERY stats only: 4 ints/query
             stats_frames.append(stats)
+        if as_dataset:
+            out_ds = stats_frames[0]
+            for extra in stats_frames[1:]:
+                out_ds = out_ds.union(extra)
+            return out_ds
         return pd.concat(stats_frames, ignore_index=True)
 
-    fwd = side_stats(0)          # A (even) -> best in B
-    bwd = side_stats(1)          # B (odd)  -> best in A
-    m = fwd.merge(bwd, left_on="best_vid", right_on="qid",
-                  suffixes=("_f", "_b"))
-    m = m[(m["best_vid_b"] == m["qid_f"]) & (m["best_cos_f"] > 0)
-          & (m["s_topk_f"] + m["s_topk_b"] > 0)]
-    if m.empty:
-        return empty
-    denom = (m["s_topk_f"] + m["s_topk_b"]).astype(object)
-    margin = (m["best_cos_f"].astype(object) * (2 * BITEXT_K)
-              * 1_000_000 // denom).astype("int64")
-    out = pd.DataFrame({"vec_a": m["qid_f"].to_numpy(np.int64),
-                        "vec_b": m["best_vid_f"].to_numpy(np.int64),
-                        "cosine_x1e6": m["best_cos_f"].to_numpy(np.int64),
-                        "margin_x1e6": margin.to_numpy()})
-    return out.sort_values(["margin_x1e6", "vec_a"],
-                           ascending=[False, True]) \
+    def _margin_rows(m: pd.DataFrame) -> pd.DataFrame:
+        m = m[(m["best_vid_b"] == m["qid_f"]) & (m["best_cos_f"] > 0)
+              & (m["s_topk_f"] + m["s_topk_b"] > 0)]
+        if m.empty:
+            return empty
+        denom = (m["s_topk_f"] + m["s_topk_b"]).astype(object)
+        margin = (m["best_cos_f"].astype(object) * (2 * BITEXT_K)
+                  * 1_000_000 // denom).astype("int64")
+        return pd.DataFrame(
+            {"vec_a": m["qid_f"].to_numpy(np.int64),
+             "vec_b": m["best_vid_f"].to_numpy(np.int64),
+             "cosine_x1e6": m["best_cos_f"].to_numpy(np.int64),
+             "margin_x1e6": margin.to_numpy()})
+
+    n_side = max(int((ids % 2 == 0).sum()), int((ids % 2 == 1).sum()))
+    if n_side <= merge_driver_max:
+        # fast path: per-query stat tables are small — mutual-best
+        # join on the driver
+        fwd = side_stats(0)          # A (even) -> best in B
+        bwd = side_stats(1)          # B (odd)  -> best in A
+        m = fwd.merge(bwd, left_on="best_vid", right_on="qid",
+                      suffixes=("_f", "_b"))
+        out = _margin_rows(m)
+        return out.sort_values(["margin_x1e6", "vec_a"],
+                               ascending=[False, True]) \
+            .head(BITEXT_TOP).reset_index(drop=True)
+
+    # scale path: the stat tables are CORPUS-sized — the mutual-best
+    # join runs as one pair-keyed coarse exchange (fwd rows keyed by
+    # their own qid, bwd rows re-keyed by their best match, so both
+    # halves of a candidate pair land in the same partition), each
+    # partition emits only its margin top-K partial, and the driver
+    # merges <= partitions x BITEXT_TOP rows.
+    from .relational import _coarse_partition_map
+
+    fwd_ds = side_stats(0, as_dataset=True)
+    bwd_ds = side_stats(1, as_dataset=True)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.append_column(
+                "side", pa.array(np.full(len(batch), side, np.int64)))
+            key = batch["qid"] if side == 0 else batch["best_vid"]
+            return t.append_column("pair_a", key)
+        return fn
+
+    both = fwd_ds.map_batches(tag(0), batch_format="pyarrow",
+                              batch_size=None) \
+        .union(bwd_ds.map_batches(tag(1), batch_format="pyarrow",
+                                  batch_size=None))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        m = f.merge(b, left_on=["qid", "best_vid"],
+                    right_on=["best_vid", "qid"],
+                    suffixes=("_f", "_b"))
+        out = _margin_rows(m)
+        return out.sort_values(["margin_x1e6", "vec_a"],
+                               ascending=[False, True]) \
+            .head(BITEXT_TOP)
+
+    cand = _coarse_partition_map(both, "pair_a", per_part).to_pandas()
+    return cand.sort_values(["margin_x1e6", "vec_a"],
+                            ascending=[False, True]) \
         .head(BITEXT_TOP).reset_index(drop=True)
 
 
