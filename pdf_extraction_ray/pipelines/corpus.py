@@ -1329,10 +1329,19 @@ def corpus_bigram_pmi(sf_dir: str):
             [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())],
             names=["term", "cnt"]).replace_schema_metadata(None)
 
-    uni = (docs.map_batches(uni_partial, batch_format="pyarrow",
-                            batch_size=None)
-           .groupby("term").aggregate(Sum("cnt", alias_name="cnt"))
-           .materialize())
+    from .relational import _coarse_str_partition_map
+
+    def uni_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("term", as_index=False)["cnt"].sum() \
+            .astype({"cnt": "int64"})
+
+    # coarse exchanges, not per-key Ray aggregates: one reduce group
+    # per term/bigram is pure scheduler overhead at vocab cardinality
+    # (same fix as the basket join's freq stage)
+    uni = _coarse_str_partition_map(
+        docs.map_batches(uni_partial, batch_format="pyarrow",
+                         batch_size=None),
+        "term", uni_sum).materialize()
     n_tokens = int(uni.sum("cnt") or 0)
     if n_tokens == 0:
         return empty
@@ -1352,15 +1361,16 @@ def corpus_bigram_pmi(sf_dir: str):
             .rename(columns={"size": "n_xy"})
         return _from_pandas(g.astype({"n_xy": "int64"}))
 
-    def thresh(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch["n_xy"],
-                                             pa.scalar(PMI_MIN_COUNT)))
+    def bg_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["w1", "w2"], as_index=False)["n_xy"].sum()
+        # w1-keyed partitions hold every instance of a (w1, w2) pair,
+        # so the >= PMI_MIN_COUNT threshold is exact here
+        return s[s["n_xy"] >= PMI_MIN_COUNT].astype({"n_xy": "int64"})
 
-    bg = (docs.map_batches(bg_partial, batch_format="pyarrow",
-                           batch_size=None)
-          .groupby(["w1", "w2"]).aggregate(Sum("n_xy", alias_name="n_xy"))
-          .map_batches(thresh, batch_format="pyarrow", batch_size=None)
-          .materialize())
+    bg = _coarse_str_partition_map(
+        docs.map_batches(bg_partial, batch_format="pyarrow",
+                         batch_size=None),
+        "w1", bg_sum).materialize()
 
     def attach(endpoint: str, count_col: str):
         """Per-partition join resolve: unigram rows (side 0) + bigram
