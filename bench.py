@@ -906,7 +906,8 @@ def main():
                          "events_user_survival",
                          "customer_k_anonymity",
                          "corpus_topics",
-                         "span_dup_media_conflicts"]
+                         "span_dup_media_conflicts",
+                         "docs_webdataset_shards"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

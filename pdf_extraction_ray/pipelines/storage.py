@@ -1330,7 +1330,55 @@ FROM m
 """
 
 
+# --- WebDataset tar shard export (interleaved interchange) -------------
+
+
+def docs_webdataset_shards(sf_dir: str):
+    """Export the interleaved corpus as WebDataset-style tar shards
+    (sources/wds.py: canonical per-doc JSON member + one payload member
+    per media span, content-addressed shard = md5(doc_id) % 8,
+    deterministic bytes) and report the per-shard manifest stats. The
+    tar write/read round-trip and byte-level determinism are pinned by
+    tests/test_wds.py; the shard/doc/media accounting is oracled here
+    by replaying the shard hash and the media derivation in SQL.
+    Output: (shard_id, n_docs, n_media)."""
+    from ..sources.wds import write_webdataset
+    from .spans import interleaved_docs
+
+    out_dir = tempfile.mkdtemp(prefix="pdfxr_wds_",
+                               dir="/tmp")
+    try:
+        manifest = write_webdataset(interleaved_docs(sf_dir), out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return manifest[["shard_id", "n_docs", "n_media"]]
+
+
+WDS_SHARDS_SQL = """
+WITH gs AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+         unnest(range(0, CAST(ceil(length(coalesce(text, '')) / 40.0)
+                               AS BIGINT))) AS g
+  FROM documents),
+per_doc AS (
+  SELECT d.doc_id,
+         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS shard_id,
+         COALESCE(m.n_media, 0) AS n_media
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_media
+             FROM gs WHERE g % 4 = 2 GROUP BY doc_id) m
+    USING (doc_id))
+SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_media) AS BIGINT) AS n_media
+FROM per_doc
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
 STORAGE_QUERIES: dict[str, tuple] = {
+    "docs_webdataset_shards": (docs_webdataset_shards, WDS_SHARDS_SQL),
     "events_pit_join": (events_pit_join, PIT_JOIN_SQL),
     "events_exactly_once_ingest": (events_exactly_once_ingest,
                                    EXACTLY_ONCE_SQL),
