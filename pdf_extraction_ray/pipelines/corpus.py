@@ -2195,7 +2195,8 @@ def corpus_topics(sf_dir: str):
                             .astype(np.int64),
                             "is_size": 1})
         return pa.Table.from_pandas(pd.concat([g, szs]),
-                                    preserve_index=False)
+                                    preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def per_group_top(g: pd.DataFrame) -> pd.DataFrame:
         sizes = g[g["is_size"] == 1]

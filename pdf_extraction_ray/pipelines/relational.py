@@ -6785,7 +6785,8 @@ def customer_k_anonymity(sf_dir: str):
             "bal_band": band})
         g = df.groupby(["c_nationkey", "c_mktsegment", "bal_band"],
                        sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     parts = (rd.read_parquet(_pq(sf_dir, "customer"),
                              columns=["c_nationkey", "c_mktsegment",
