@@ -101,10 +101,18 @@ def _write_shard_tar(path: str, docs: list[tuple]) -> tuple[int, str]:
     return n_media, hashlib.sha256(raw).hexdigest()
 
 
-def write_webdataset(ds, out_dir: str) -> pd.DataFrame:
+def write_webdataset(ds, out_dir: str,
+                     resume: bool = False) -> pd.DataFrame:
     """Write an interleaved (doc_id, spans) Dataset into WDS_N_SHARDS
     deterministic tar shards under ``out_dir``; returns the manifest
-    (shard_id, path, n_docs, n_media, sha256) sorted by shard_id."""
+    (shard_id, path, n_docs, n_media, sha256) sorted by shard_id.
+
+    ``resume=True`` skips shards whose tar file already exists — sound
+    because shard bytes are a pure deterministic function of the input
+    (content-addressed membership + zeroed tar metadata), so a partial
+    earlier run's surviving shards are exactly what a rewrite would
+    produce (the resumable-output contract; equality pinned by
+    tests/test_wds.py)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def add_shard(batch: pa.Table) -> pa.Table:
@@ -118,7 +126,14 @@ def write_webdataset(ds, out_dir: str) -> pd.DataFrame:
         docs = sorted(zip(g["doc_id"], g["spans"]),
                       key=lambda t: _doc_key(t[0]))
         path = os.path.join(out_dir, f"shard-{sid:05d}.tar")
-        n_media, digest = _write_shard_tar(path, docs)
+        if resume and os.path.exists(path):
+            with open(path, "rb") as f:
+                raw = f.read()
+            n_media = sum(1 for _d, spans in docs for s in spans
+                          if s["kind"] == "image" and s["media_ref"])
+            digest = hashlib.sha256(raw).hexdigest()
+        else:
+            n_media, digest = _write_shard_tar(path, docs)
         return pd.DataFrame({"shard_id": [sid], "path": [path],
                              "n_docs": [len(docs)],
                              "n_media": [n_media],

@@ -97,3 +97,20 @@ def test_string_doc_ids_roundtrip(tmp_path):
         .sort_values("doc_id").reset_index(drop=True)
     assert list(back["doc_id"]) == ["doc/alpha", "doc/beta"]
     assert back["spans"].iloc[0][1]["media_ref"] == "asset-1"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_skips_existing_shards(tmp_path):
+    """Delete one shard from a finished write; resume=True rewrites
+    ONLY the missing shard (mtimes of survivors untouched) and the
+    manifest — including sha256 — equals a full rewrite's."""
+    out = str(tmp_path / "out")
+    m1 = W.write_webdataset(S.interleaved_docs(SF), out)
+    victim = m1["path"].iloc[3]
+    os.remove(victim)
+    mtimes = {p: os.path.getmtime(p) for p in m1["path"] if p != victim}
+    m2 = W.write_webdataset(S.interleaved_docs(SF), out, resume=True)
+    pd.testing.assert_frame_equal(m1, m2)
+    for p, t in mtimes.items():
+        assert os.path.getmtime(p) == t, f"{p} was rewritten"
+    assert os.path.exists(victim)
