@@ -178,7 +178,8 @@ def _interleaved_stress():
     read_docs(corpus).count()          # warm page cache
     out = {}
     for op in ("packed_interleaved", "docs_render_interleaved",
-               "span_section_stats", "span_lang_mixing"):
+               "span_section_stats", "span_lang_mixing",
+               "span_media_alignment"):
         ds = read_docs(corpus).select_columns(["doc_id", "spans"])
         t0 = time.perf_counter()
         rows = getattr(S, op)(None, ds=ds).count()

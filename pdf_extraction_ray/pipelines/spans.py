@@ -1487,8 +1487,10 @@ def span_media_alignment(sf_dir: str, ds=None):
     from the sandbox; the per-image argmax with smallest-offset
     tie-break is the real operator shape). Batch-local and complete —
     a doc's spans live in one row, so zero exchange at any scale; the
-    per-doc argmax runs as ONE padded (docs x media x text) broadcast,
-    no python loop over pairs.
+    per-doc argmax runs as one FLAT (media, text) pair expansion plus
+    a single segment argmax — sized by actual pairs, never a padded
+    (docs x Tmax) rectangle (one giant doc per block otherwise
+    inflates every row; measured 43s -> seconds at the 1M-doc tier).
     Output: (doc_id, media_ref, offset, best_text_off, sim)."""
     def fn(batch: pa.Table) -> pa.Table:
         doc_ids, parent, _ds, kind, text, ref, off = _flat_spans(batch)
@@ -1497,44 +1499,53 @@ def span_media_alignment(sf_dir: str, ds=None):
         n_docs = len(batch)
         is_txt = kind_np != "image"
         is_med = ~is_txt
+        empty = pa.Table.from_pydict(
+            {"doc_id": pa.array([], batch.column("doc_id").type),
+             "media_ref": pa.array([], pa.string()),
+             "offset": pa.array([], pa.int64()),
+             "best_text_off": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.int64())})
         if not is_med.any():
-            return pa.Table.from_pydict(
-                {"doc_id": pa.array([], batch.column("doc_id").type),
-                 "media_ref": pa.array([], pa.string()),
-                 "offset": pa.array([], pa.int64()),
-                 "best_text_off": pa.array([], pa.int64()),
-                 "sim": pa.array([], pa.int64())})
-        h_txt = _span_h64(pc.take(text, pa.array(np.flatnonzero(is_txt)))
-                          .to_pylist())
+            return empty
+        # hash once per UNIQUE text (dictionary encode): repeated span
+        # texts are the common case and the python md5 + string boxing
+        # is the batch's dominant cost otherwise
+        t_enc = pc.dictionary_encode(
+            pc.take(text, pa.array(np.flatnonzero(is_txt))))
+        h_txt = _span_h64(t_enc.dictionary.to_pylist())[
+            t_enc.indices.to_numpy(zero_copy_only=False)]
         h_med = _span_h64(pc.take(ref, pa.array(np.flatnonzero(is_med)))
                           .to_pylist())
-        # pad per-doc text hashes / offsets into (n_docs, Tmax)
         tdoc = parent[is_txt]
-        tcnt = np.bincount(tdoc, minlength=n_docs)
-        tmax = int(tcnt.max()) if len(tcnt) else 0
-        tpos = np.arange(len(tdoc)) - np.repeat(
-            np.concatenate([[0], np.cumsum(tcnt)[:-1]]), tcnt)
-        ht_pad = np.full((n_docs, max(tmax, 1)), -1, dtype=np.int64)
-        to_pad = np.full((n_docs, max(tmax, 1)), -1, dtype=np.int64)
-        ht_pad[tdoc, tpos] = h_txt
-        to_pad[tdoc, tpos] = off_np[is_txt]
-        # (n_media, Tmax) similarity vs own doc's padded text row
         mdoc = parent[is_med]
-        sim = (h_med[:, None] * _ALIGN_MUL + ht_pad[mdoc]) % _ALIGN_MOD
-        sim[ht_pad[mdoc] < 0] = -1              # padding never wins
-        best = sim.argmax(axis=1)               # first max = smallest off
-        rows = np.arange(len(mdoc))
-        best_sim = sim[rows, best]
-        keep = best_sim >= 0        # media in text-less docs: no pair
+        tcnt = np.bincount(tdoc, minlength=n_docs)
+        tstart = np.concatenate([[0], np.cumsum(tcnt)[:-1]])
+        toff = off_np[is_txt]
+        pair_cnt = tcnt[mdoc]             # text spans in media's doc
+        total = int(pair_cnt.sum())
+        if total == 0:                    # media in text-less docs only
+            return empty
+        pm = np.repeat(np.arange(len(mdoc)), pair_cnt)
+        offs = np.concatenate([[0], np.cumsum(pair_cnt)[:-1]])
+        pt = (np.arange(total) - np.repeat(offs, pair_cnt)
+              + np.repeat(tstart[mdoc], pair_cnt))
+        sim = (h_med[pm] * _ALIGN_MUL + h_txt[pt]) % _ALIGN_MOD
+        # per-media argmax with smallest-offset tie-break in ONE O(P)
+        # segmented max: composite = sim << 32 | ~offset (offsets are
+        # int32 by schema), so the max composite decodes to (max sim,
+        # min offset) — no O(P log P) pair sort
+        comp = (sim << 32) | (0xFFFFFFFF - toff[pt])
+        med_sel = np.flatnonzero(pair_cnt > 0)
+        best = np.maximum.reduceat(comp, offs[med_sel])
         return pa.Table.from_pydict({
-            "doc_id": pa.array(doc_ids[mdoc][keep],
+            "doc_id": pa.array(doc_ids[mdoc[med_sel]],
                                batch.column("doc_id").type),
             "media_ref": pc.take(ref, pa.array(
-                np.flatnonzero(is_med)[keep])),
-            "offset": pa.array(off_np[is_med][keep], pa.int64()),
-            "best_text_off": pa.array(to_pad[mdoc, best][keep],
-                                      pa.int64()),
-            "sim": pa.array(best_sim[keep], pa.int64())})
+                np.flatnonzero(is_med)[med_sel])),
+            "offset": pa.array(off_np[is_med][med_sel], pa.int64()),
+            "best_text_off": pa.array(
+                0xFFFFFFFF - (best & 0xFFFFFFFF), pa.int64()),
+            "sim": pa.array(best >> 32, pa.int64())})
 
     src = ds if ds is not None else interleaved_docs(sf_dir)
     return src.map_batches(fn, batch_format="pyarrow", batch_size=None)
