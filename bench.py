@@ -908,7 +908,8 @@ def main():
                          "customer_k_anonymity",
                          "corpus_topics",
                          "span_dup_media_conflicts",
-                         "docs_webdataset_shards"]
+                         "docs_webdataset_shards",
+                         "events_value_did"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

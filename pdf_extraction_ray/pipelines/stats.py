@@ -3890,7 +3890,110 @@ ORDER BY t_hours
 """
 
 
+def events_value_did(sf_dir: str):
+    """Difference-in-differences estimate of event value: treatment =
+    odd user_id (the deterministic assignment stand-in for an
+    experiment flag), periods split at the global time midpoint (the
+    drift-tier convention). DiD = (treat_post - treat_pre) -
+    (ctrl_post - ctrl_pre) over cell means — the experimentation
+    readout next to the Welch A/B test. Exactness: per-cell (n, sum)
+    integer partials; each mean is ONE double division and the
+    estimate one fixed expression.
+    Output: (n_c0, n_c1, n_t0, n_t1, mean_c0_x100, mean_c1_x100,
+    mean_t0_x100, mean_t1_x100, did_x100)."""
+    cols = ("n_c0", "n_c1", "n_t0", "n_t1", "mean_c0_x100",
+            "mean_c1_x100", "mean_t0_x100", "mean_t1_x100", "did_x100")
+    empty = pd.DataFrame({c: pd.Series(
+        dtype="int64" if c.startswith("n_") else "float64")
+        for c in cols})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["ts", "user_id", "value"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.Table.from_pydict({"lo": [int(ts.min())],
+                                     "hi": [int(ts.max())]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    if mm.empty:
+        return empty
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    mid = lo + (hi - lo) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        treat = (batch["user_id"].to_numpy(zero_copy_only=False)
+                 % 2).astype(np.int64)
+        post = (ts > mid).astype(np.int64)
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        cell = treat * 2 + post
+        n = np.bincount(cell, minlength=4)
+        s = np.zeros(4, dtype=np.int64)
+        np.add.at(s, cell, v)
+        return pa.Table.from_pydict({
+            "cell": pa.array(np.arange(4), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "s": pa.array(s, pa.int64())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+             .groupby("cell")[["n", "s"]]
+             .agg(lambda col: sum(int(x) for x in col)))
+    n = [int(parts["n"].get(c, 0)) for c in range(4)]
+    if any(x == 0 for x in n):
+        return empty
+    m = [float(int(parts["s"].loc[c])) / n[c] for c in range(4)]
+    return pd.DataFrame({
+        "n_c0": [np.int64(n[0])], "n_c1": [np.int64(n[1])],
+        "n_t0": [np.int64(n[2])], "n_t1": [np.int64(n[3])],
+        "mean_c0_x100": [m[0]], "mean_c1_x100": [m[1]],
+        "mean_t0_x100": [m[2]], "mean_t1_x100": [m[3]],
+        "did_x100": [(m[3] - m[2]) - (m[1] - m[0])]})
+
+
+DID_SQL = """
+WITH b AS (
+  SELECT epoch_us(MIN(ts)) AS lo,
+         epoch_us(MIN(ts))
+           + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid
+  FROM events),
+e AS (
+  SELECT CAST(user_id % 2 AS BIGINT) * 2
+           + CASE WHEN epoch_us(ts) > (SELECT mid FROM b)
+                  THEN 1 ELSE 0 END AS cell,
+         CAST(round(value * 100.0) AS BIGINT) AS v
+  FROM events),
+g AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s
+  FROM e GROUP BY cell),
+x AS (
+  SELECT MAX(CASE WHEN cell = 0 THEN n END) AS n_c0,
+         MAX(CASE WHEN cell = 1 THEN n END) AS n_c1,
+         MAX(CASE WHEN cell = 2 THEN n END) AS n_t0,
+         MAX(CASE WHEN cell = 3 THEN n END) AS n_t1,
+         MAX(CASE WHEN cell = 0 THEN CAST(s AS DOUBLE) / n END) AS m0,
+         MAX(CASE WHEN cell = 1 THEN CAST(s AS DOUBLE) / n END) AS m1,
+         MAX(CASE WHEN cell = 2 THEN CAST(s AS DOUBLE) / n END) AS m2,
+         MAX(CASE WHEN cell = 3 THEN CAST(s AS DOUBLE) / n END) AS m3
+  FROM g)
+SELECT n_c0, n_c1, n_t0, n_t1,
+       m0 AS mean_c0_x100, m1 AS mean_c1_x100,
+       m2 AS mean_t0_x100, m3 AS mean_t1_x100,
+       (m3 - m2) - (m1 - m0) AS did_x100
+FROM x
+WHERE n_c0 IS NOT NULL AND n_c1 IS NOT NULL
+  AND n_t0 IS NOT NULL AND n_t1 IS NOT NULL
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "events_value_did": (events_value_did, DID_SQL),
     "events_qq_drift": (events_qq_drift, QQ_DRIFT_SQL),
     "events_value_welch_ttest": (events_value_welch_ttest, WELCH_SQL),
     "events_value_anova": (events_value_anova, ANOVA_SQL),

@@ -781,3 +781,30 @@ def test_survival_hand_computed_km(tmp_path):
     assert list(out["n_events"]) == [1, 2]
     assert out["surv"].iloc[0] == 0.75
     assert out["surv"].iloc[1] == 0.75 * (1.0 - 2.0 / 3.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_did_hand_computed(tmp_path):
+    """Control (even users) rises 1.00; treated (odd) rises 3.00 ->
+    DiD = +200 cents exactly."""
+    import os
+    d = str(tmp_path)
+    t0 = pd.Timestamp("2024-06-01")
+    t1 = pd.Timestamp("2024-06-30")   # mid falls between the clusters
+    rows = [
+        (0, t0, 10.0), (2, t0, 20.0),       # control pre (mean 15)
+        (0, t1, 11.0), (2, t1, 21.0),       # control post (mean 16)
+        (1, t0, 30.0), (3, t0, 40.0),       # treat pre (mean 35)
+        (1, t1, 33.0), (3, t1, 43.0),       # treat post (mean 38)
+    ]
+    pd.DataFrame({"event_id": np.arange(len(rows), dtype=np.int64),
+                  "user_id": np.array([r[0] for r in rows], np.int64),
+                  "ts": [r[1] for r in rows],
+                  "event_type": ["view"] * len(rows),
+                  "value": [r[2] for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_value_did(d)
+    assert out["mean_c0_x100"].iloc[0] == 1500.0
+    assert out["mean_t1_x100"].iloc[0] == 3800.0
+    assert out["did_x100"].iloc[0] == (3800.0 - 3500.0) - (1600.0 - 1500.0)
+    assert list(out[["n_c0", "n_c1", "n_t0", "n_t1"]].iloc[0]) == [2, 2, 2, 2]
