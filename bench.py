@@ -909,7 +909,8 @@ def main():
                          "corpus_topics",
                          "span_dup_media_conflicts",
                          "docs_webdataset_shards",
-                         "events_value_did"]
+                         "events_value_did",
+                         "events_value_cuped"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -3992,7 +3992,156 @@ WHERE n_c0 IS NOT NULL AND n_c1 IS NOT NULL
 """
 
 
+def events_value_cuped(sf_dir: str):
+    """CUPED variance-reduced treatment effect (Deng et al. 2013):
+    per-user PRE-period value total X (covariate) and POST-period
+    total Y, pooled theta = Cov(X,Y)/Var(X), adjusted effect =
+    mean_t(Y - theta*(X - Xbar)) - mean_c(Y - theta*(X - Xbar)).
+    Treatment = odd user_id, period split at the global midpoint (the
+    DiD conventions). Users missing a period contribute 0 to that
+    period. Exactness: every moment (n, Sx, Sy, Sxy, Sxx per arm) is
+    an exact integer (python big ints / HUGEINT); theta, Xbar and both
+    effects are fixed single float expressions.
+
+    Scale shape: one user-keyed coarse partition exchange builds
+    per-user (x, y) AND reduces them to per-arm moment partials inside
+    the partition — the driver only ever sums 2 x partitions moment
+    rows, never a user table.
+    Output: (n_c, n_t, theta, raw_effect_x100, cuped_effect_x100)."""
+    cols = ("n_c", "n_t", "theta", "raw_effect_x100",
+            "cuped_effect_x100")
+    empty = pd.DataFrame({c: pd.Series(
+        dtype="int64" if c.startswith("n_") else "float64")
+        for c in cols})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["ts", "user_id", "value"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.Table.from_pydict({"lo": [int(ts.min())],
+                                     "hi": [int(ts.max())]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow",
+                        batch_size=None).to_pandas()
+    if mm.empty:
+        return empty
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    mid = lo + (hi - lo) // 2
+
+    def per_user_xy(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = _cents(batch["value"]).to_numpy(zero_copy_only=False)
+        pre = ts <= mid
+        df = pd.DataFrame({"user_id": uid,
+                           "x": np.where(pre, v, 0),
+                           "y": np.where(pre, 0, v)})
+        return _from_pandas(df.groupby("user_id", as_index=False).sum())
+
+    def arm_moments(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user_id", as_index=False)[["x", "y"]].sum()
+        arm = (u["user_id"] % 2).to_numpy(np.int64)
+        rows = []
+        for a in (0, 1):
+            sub = u[arm == a]
+            if len(sub) == 0:
+                continue
+            x = [int(t) for t in sub["x"]]
+            y = [int(t) for t in sub["y"]]
+            rows.append({"arm": a, "n": len(sub), "sx": sum(x),
+                         "sy": sum(y),
+                         "sxy": sum(a_ * b_ for a_, b_ in zip(x, y)),
+                         "sxx": sum(a_ * a_ for a_ in x)})
+        return pd.DataFrame(rows, columns=["arm", "n", "sx", "sy",
+                                           "sxy", "sxx"])
+
+    parts = _coarse_partition_map(
+        ds.map_batches(per_user_xy, batch_format="pyarrow",
+                       batch_size=None),
+        "user_id", arm_moments).to_pandas()
+    if parts.empty:
+        return empty
+    agg = parts.groupby("arm").agg(
+        lambda col: sum(int(t) for t in col))
+    if 0 not in agg.index or 1 not in agg.index:
+        return empty
+    n_c, n_t = int(agg.loc[0, "n"]), int(agg.loc[1, "n"])
+    n = n_c + n_t
+    sx = int(agg.loc[0, "sx"]) + int(agg.loc[1, "sx"])
+    sy = int(agg.loc[0, "sy"]) + int(agg.loc[1, "sy"])
+    sxy = int(agg.loc[0, "sxy"]) + int(agg.loc[1, "sxy"])
+    sxx = int(agg.loc[0, "sxx"]) + int(agg.loc[1, "sxx"])
+    var_num = n * sxx - sx * sx
+    if var_num == 0:
+        return empty
+    theta = float(n * sxy - sx * sy) / float(var_num)
+    xbar = float(sx) / n
+    sy_t, sx_t = int(agg.loc[1, "sy"]), int(agg.loc[1, "sx"])
+    sy_c, sx_c = int(agg.loc[0, "sy"]), int(agg.loc[0, "sx"])
+    raw = float(sy_t) / n_t - float(sy_c) / n_c
+    adj_t = (float(sy_t) - theta * (float(sx_t)
+                                    - float(n_t) * xbar)) / n_t
+    adj_c = (float(sy_c) - theta * (float(sx_c)
+                                    - float(n_c) * xbar)) / n_c
+    return pd.DataFrame({"n_c": [np.int64(n_c)], "n_t": [np.int64(n_t)],
+                         "theta": [theta], "raw_effect_x100": [raw],
+                         "cuped_effect_x100": [adj_t - adj_c]})
+
+
+CUPED_SQL = """
+WITH b AS (
+  SELECT epoch_us(MIN(ts))
+           + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2 AS mid
+  FROM events),
+u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN epoch_us(ts) <= (SELECT mid FROM b)
+                       THEN CAST(round(value * 100.0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN epoch_us(ts) > (SELECT mid FROM b)
+                       THEN CAST(round(value * 100.0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n_t,
+         CAST(SUM(x) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS sx_t,
+         CAST(SUM(y) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS sy_t
+  FROM u),
+x AS (
+  SELECT n - n_t AS n_c, n_t,
+         CAST(CAST(n AS HUGEINT) * sxy
+              - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * sxx
+                  - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS theta,
+         CAST(sx AS DOUBLE) / n AS xbar,
+         sx - sx_t AS sx_c, sy - sy_t AS sy_c, sx_t, sy_t, n, sx
+  FROM m
+  WHERE n_t > 0 AND n - n_t > 0
+    AND CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0)
+SELECT n_c, n_t, theta,
+       CAST(sy_t AS DOUBLE) / n_t - CAST(sy_c AS DOUBLE) / n_c
+           AS raw_effect_x100,
+       (CAST(sy_t AS DOUBLE)
+          - theta * (CAST(sx_t AS DOUBLE) - CAST(n_t AS DOUBLE) * xbar))
+         / n_t
+       - (CAST(sy_c AS DOUBLE)
+          - theta * (CAST(sx_c AS DOUBLE) - CAST(n_c AS DOUBLE) * xbar))
+         / n_c AS cuped_effect_x100
+FROM x
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "events_value_cuped": (events_value_cuped, CUPED_SQL),
     "events_value_did": (events_value_did, DID_SQL),
     "events_qq_drift": (events_qq_drift, QQ_DRIFT_SQL),
     "events_value_welch_ttest": (events_value_welch_ttest, WELCH_SQL),

@@ -808,3 +808,29 @@ def test_did_hand_computed(tmp_path):
     assert out["mean_t1_x100"].iloc[0] == 3800.0
     assert out["did_x100"].iloc[0] == (3800.0 - 3500.0) - (1600.0 - 1500.0)
     assert list(out[["n_c0", "n_c1", "n_t0", "n_t1"]].iloc[0]) == [2, 2, 2, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cuped_perfectly_correlated_covariate(tmp_path):
+    """Y = X + constant lift with heavily unbalanced X across arms:
+    theta == 1 exactly, the raw effect is pure covariate imbalance
+    (+4500c) and CUPED removes it completely (true effect 0)."""
+    import os
+    d = str(tmp_path)
+    pre, post = pd.Timestamp("2024-06-01"), pd.Timestamp("2024-06-30")
+    x = {0: 1000, 2: 2000, 1: 5000, 3: 7000}        # cents
+    rows = []
+    for u, xv in x.items():
+        rows.append((u, pre, xv / 100.0))
+        rows.append((u, post, (xv + 100) / 100.0))
+    pd.DataFrame({"event_id": np.arange(len(rows), dtype=np.int64),
+                  "user_id": np.array([r[0] for r in rows], np.int64),
+                  "ts": [r[1] for r in rows],
+                  "event_type": ["view"] * len(rows),
+                  "value": [r[2] for r in rows]}) \
+        .to_parquet(os.path.join(d, "events.parquet"))
+    out = S.events_value_cuped(d)
+    assert out["theta"].iloc[0] == 1.0
+    assert out["raw_effect_x100"].iloc[0] == 4500.0
+    assert out["cuped_effect_x100"].iloc[0] == 0.0
+    assert list(out[["n_c", "n_t"]].iloc[0]) == [2, 2]
