@@ -910,7 +910,8 @@ def main():
                          "span_dup_media_conflicts",
                          "docs_webdataset_shards",
                          "events_value_did",
-                         "events_value_cuped"]
+                         "events_value_cuped",
+                         "events_assignment_srm"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

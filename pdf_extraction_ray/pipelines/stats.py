@@ -4140,7 +4140,64 @@ FROM x
 """
 
 
+def events_assignment_srm(sf_dir: str):
+    """Sample-ratio-mismatch guardrail for the deterministic odd-user
+    experiment assignment: distinct users per arm and the 1-dof
+    chi-square GOF statistic against the expected 50/50 split,
+    chi2 = (n_t - n_c)^2 / (n_t + n_c) — the first sanity check an
+    experimentation readout (DiD/CUPED above) must pass. Exactness:
+    counts are exact distinct-user integers (per-batch distinct
+    partials, one user-keyed coarse reduce); chi2 is one float
+    division. Output: (n_c, n_t, chi2_srm)."""
+    empty = pd.DataFrame({"n_c": pd.Series(dtype="int64"),
+                          "n_t": pd.Series(dtype="int64"),
+                          "chi2_srm": pd.Series(dtype="float64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = np.unique(batch["user_id"].to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        return pa.Table.from_pydict({"user_id": pa.array(uid,
+                                                         pa.int64())})
+
+    def arm_counts(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].drop_duplicates()
+        arm = (u % 2).to_numpy(np.int64)
+        return pd.DataFrame({"arm": [0, 1],
+                             "n": [int((arm == 0).sum()),
+                                   int((arm == 1).sum())]})
+
+    parts = _coarse_partition_map(
+        rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "user_id", arm_counts).to_pandas()
+    if parts.empty:
+        return empty
+    agg = parts.groupby("arm")["n"].sum()
+    n_c, n_t = int(agg.get(0, 0)), int(agg.get(1, 0))
+    if n_c + n_t == 0:
+        return empty
+    chi2 = float((n_t - n_c) * (n_t - n_c)) / (n_t + n_c)
+    return pd.DataFrame({"n_c": [np.int64(n_c)], "n_t": [np.int64(n_t)],
+                         "chi2_srm": [chi2]})
+
+
+SRM_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+c AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_c,
+         CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n_t
+  FROM u)
+SELECT n_c, n_t,
+       CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE) / (n_t + n_c)
+           AS chi2_srm
+FROM c WHERE n_c + n_t > 0
+"""
+
+
 STATS_QUERIES: dict[str, tuple] = {
+    "events_assignment_srm": (events_assignment_srm, SRM_SQL),
     "events_value_cuped": (events_value_cuped, CUPED_SQL),
     "events_value_did": (events_value_did, DID_SQL),
     "events_qq_drift": (events_qq_drift, QQ_DRIFT_SQL),
