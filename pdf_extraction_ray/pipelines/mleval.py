@@ -689,6 +689,11 @@ def retrieval_eval_ranking(sf_dir: str):
     out = []
     for qid in qids:
         g = top[top["qid"] == qid]
+        if len(g) == 0:
+            # query with zero candidates (e.g. a 1-row corpus): the
+            # oracle's `win` CTE is empty for this qid and emits no
+            # row — skip it here too so both engines agree.
+            continue
         hit_rnk = g.loc[g["rel"] == 1, "rnk"]
         first = int(hit_rnk.min()) if len(hit_rnk) else 0
         out.append((int(qid), int(cnts.get(qid, 0)),

@@ -1309,6 +1309,13 @@ def embedding_bitext_margin(sf_dir: str, wave_rows: int = 4096,
     if (ids % 2 == 0).sum() == 0 or (ids % 2 == 1).sum() == 0:
         return empty
 
+    # Every wave's ray.put ObjectRef is pinned here until the final
+    # result is collected: the as_dataset path builds LAZY map_batches
+    # stages whose closures dereference these after the wave loop ends,
+    # so dropping a ref when the loop variable is reassigned would free
+    # the broadcast query block before the stage runs.
+    _wave_refs: list = []
+
     def side_stats(parity: int, as_dataset: bool = False):
         """(qid, best_vid, best_cos, s_topk) for every parity-side
         vector vs the opposite side — a DataFrame on the driver fast
@@ -1326,8 +1333,14 @@ def embedding_bitext_margin(sf_dir: str, wave_rows: int = 4096,
             qids = qt["vec_id"].to_numpy(np.int64)
             qm = V.quantize(np.stack(qt["embedding"].to_numpy()))
             qref = ray.put((qids, qm))
+            _wave_refs.append(qref)
 
-            def partial(batch: pa.Table) -> pa.Table:
+            # qref/parity are bound at DEFINITION time (default args):
+            # the lazy as_dataset path executes these closures after
+            # the wave loop has moved on, so a free-variable capture
+            # would make every wave read the LAST wave's query block.
+            def partial(batch: pa.Table, qref=qref,
+                        parity=parity) -> pa.Table:
                 qids, qm = ray.get(qref)
                 vids = batch["vec_id"].to_numpy(zero_copy_only=False)
                 m = vids % 2 != parity          # opposite side only
@@ -1469,6 +1482,12 @@ def embedding_bitext_margin(sf_dir: str, wave_rows: int = 4096,
             .head(BITEXT_TOP)
 
     cand = _coarse_partition_map(both, "pair_a", per_part).to_pandas()
+    if cand.empty:
+        # every coarse partition mined zero pairs: Ray drops the schema
+        # of all-empty map_groups output, so sort_values on the named
+        # columns would KeyError — return the typed empty frame the
+        # fast path returns on the same input.
+        return empty.copy()
     return cand.sort_values(["margin_x1e6", "vec_a"],
                             ascending=[False, True]) \
         .head(BITEXT_TOP).reset_index(drop=True)

@@ -279,3 +279,21 @@ def test_ranking_empty_embeddings(tmp_path):
     out = M.retrieval_eval_ranking(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == list(M._RANKING_COLS)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ranking_single_row_corpus_matches_oracle(tmp_path):
+    """Degenerate 1-row corpus: the only query has zero candidates, so
+    the SQL oracle's `win` CTE is empty and emits no row — the Python
+    path must also emit none (not an all-zero row) for parity."""
+    import duckdb
+    _write_emb(str(tmp_path), [np.ones(64)], [0])
+    out = M.retrieval_eval_ranking(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == list(M._RANKING_COLS)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')")
+    orc = con.execute(M.RANKING_SQL).fetchdf()
+    assert len(orc) == 0

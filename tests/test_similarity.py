@@ -458,6 +458,60 @@ def test_bitext_empty_and_single_side(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_bitext_multiwave_scale_path(tmp_path):
+    """wave_rows=2 AND merge_driver_max=0 together — multi-wave LAZY
+    datasets, the combination the default parameters produce at scale.
+    Each wave's closure must see its OWN query block (definition-time
+    binding) and its ObjectRef must stay alive until consumption;
+    a late-binding capture loses every non-final wave's pairs."""
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_bitext_margin)
+    rng = np.random.default_rng(5)
+    d = 64
+    vecs = []
+    for i in range(3):
+        v = rng.normal(size=d)
+        vecs.append(v)          # even id
+        vecs.append(v)          # odd id
+    vecs.extend(rng.normal(size=d) for _ in range(20))
+    pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+        "label": np.zeros(len(vecs), dtype=np.int32)}) \
+        .to_parquet(tmp_path / "embeddings.parquet")
+    fast = embedding_bitext_margin(str(tmp_path))
+    scale = embedding_bitext_margin(str(tmp_path), wave_rows=2,
+                                    merge_driver_max=0)
+    pd.testing.assert_frame_equal(fast, scale)
+    assert set(zip(scale["vec_a"].head(3), scale["vec_b"].head(3))) \
+        == {(0, 1), (2, 3), (4, 5)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bitext_scale_path_zero_pairs_typed_empty(tmp_path):
+    """Scale path on a corpus where no pair survives the positive-
+    cosine gate (sides are antipodal): must return the SAME typed
+    empty frame as the fast path instead of crashing on the
+    schema-less all-empty map_groups output."""
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_bitext_margin, _BITEXT_COLS)
+    d = 64
+    u = np.ones(d, dtype=np.float32)
+    n = 8
+    pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [u if i % 2 == 0 else -u for i in range(n)],
+        "label": np.zeros(n, dtype=np.int32)}) \
+        .to_parquet(tmp_path / "embeddings.parquet")
+    fast = embedding_bitext_margin(str(tmp_path))
+    scale = embedding_bitext_margin(str(tmp_path), wave_rows=2,
+                                    merge_driver_max=0)
+    assert len(fast) == 0 and len(scale) == 0
+    assert list(scale.columns) == list(_BITEXT_COLS)
+    pd.testing.assert_frame_equal(fast, scale)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bitext_exchange_path_matches_driver_merge(emb_dir):
     """Forcing the qid-keyed exchange merge (merge_driver_max=0) must
     reproduce the driver-merge fast path exactly."""
