@@ -2101,17 +2101,23 @@ def corpus_topics(sf_dir: str):
     # to the chosen centroids (ties -> smallest doc_id). Seeding with
     # the K smallest ids collapses whole topics when the id order
     # correlates with content — the planted-vocabulary test pins this.
-    ids_all = pq.read_table(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id"])["doc_id"].to_numpy()
-    if len(ids_all) == 0:
+    # seed selection needs only TWO scalars (min doc_id, corpus count):
+    # a distributed Min/Count aggregate — never the full id column on
+    # the driver (at 10^12 docs one int64 column is terabytes).
+    from ray.data.aggregate import Count, Min
+    id_stats = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"]) \
+        .aggregate(Min("doc_id"), Count())
+    n_docs_total = int(id_stats.get("count()", 0) or 0)
+    if n_docs_total == 0:
         return empty
-    seed_id = int(ids_all.min())
+    seed_id = int(id_stats["min(doc_id)"])
     seed = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "in", [seed_id])]).to_pandas()
     _, _, _, cents = _tf_parts(pa.Table.from_pandas(
         seed, preserve_index=False))
-    k_target = min(TOPICS_K, len(ids_all))
+    k_target = min(TOPICS_K, n_docs_total)
 
     # tokenize + hash ONCE: the iterative passes run over the
     # materialized (doc_id, vec) table in the object store, not over
