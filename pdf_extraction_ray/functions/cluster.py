@@ -23,3 +23,27 @@ def half_pool() -> tuple[int, int]:
     """Autoscaling pool bounds for secondary actor stages: min 1 (never
     starve small sessions), max half the cluster."""
     return (1, max(2, cluster_cpus() // 2))
+
+
+def accel_remote_args(num_gpus: float | None = None,
+                      resources: dict | None = None) -> dict:
+    """Ray remote-args for accelerator-pinned actor-pool stages
+    (SURVEY T3/T8).
+
+    The reference pins its OCR/VLM models to a device by mutating
+    ``CUDA_VISIBLE_DEVICES`` in-process at import time
+    (hybrid_docling_gpt4_processor.py:111-112) — a per-host, one-model
+    assumption. Here the device claim is a Ray scheduling resource
+    instead: ``num_gpus`` (a fraction co-locates 1/f actors per
+    device) and/or a custom ``resources`` map (e.g. rate-limit slots
+    for a remote VLM endpoint). Ray places each actor only on nodes
+    exposing the resource and sets ``CUDA_VISIBLE_DEVICES`` inside the
+    worker itself — no env mutation, multi-tenant safe. Defaulted off:
+    an empty dict leaves CPU-only scheduling untouched.
+    """
+    args: dict = {}
+    if num_gpus is not None:
+        args["num_gpus"] = num_gpus
+    if resources:
+        args["resources"] = dict(resources)
+    return args

@@ -32,21 +32,32 @@ def _corpus_for(sf_dir: str) -> str:
 
 
 def analysis_pipeline(ds: Dataset, *, batch_size: int = 256,
-                      describer_concurrency=None) -> Dataset:
+                      describer_concurrency=None,
+                      describer_num_gpus: float | None = None,
+                      describer_resources: dict | None = None) -> Dataset:
+    """``describer_num_gpus`` / ``describer_resources``: accelerator /
+    rate-limit-slot claim per describer actor (SURVEY T5/T8) — a real
+    VLM pool passes a GPU fraction or an endpoint-slot resource here;
+    defaulted off."""
+    from ..functions.cluster import accel_remote_args
     if describer_concurrency is None:
         from ..functions.cluster import half_pool
         describer_concurrency = half_pool()
     out = extract_pipeline(ds, batch_size=batch_size)
     out = out.map_batches(VisualDescriber, batch_format="pyarrow",
                           batch_size=batch_size,
-                          concurrency=describer_concurrency, num_cpus=1)
+                          concurrency=describer_concurrency, num_cpus=1,
+                          **accel_remote_args(describer_num_gpus,
+                                              describer_resources))
     return out.map_batches(analyze_content_types_batch, batch_format="pyarrow", batch_size=None)
 
 
-def page_analysis_pipeline(ds: Dataset, *, batch_size: int = 256) -> Dataset:
+def page_analysis_pipeline(ds: Dataset, *, batch_size: int = 256,
+                           describer_num_gpus: float | None = None,
+                           describer_resources: dict | None = None) -> Dataset:
     """Page-granular analysis (the reference's per-page VLM unit): layout
     output -> per-(doc, page) describer -> counters."""
-    from ..functions.cluster import half_pool
+    from ..functions.cluster import accel_remote_args, half_pool
     from ..stages.describe import PageVisualDescriber
     from ..stages.layout import layout_parse
     from ..stages.tokenize import classify_spans
@@ -56,7 +67,9 @@ def page_analysis_pipeline(ds: Dataset, *, batch_size: int = 256) -> Dataset:
                         batch_size=batch_size)
     ds = ds.map_batches(PageVisualDescriber, batch_format="pyarrow",
                         batch_size=batch_size,
-                        concurrency=half_pool(), num_cpus=1)
+                        concurrency=half_pool(), num_cpus=1,
+                        **accel_remote_args(describer_num_gpus,
+                                            describer_resources))
     return ds.map_batches(analyze_content_types_batch, batch_format="pyarrow", batch_size=None)
 
 

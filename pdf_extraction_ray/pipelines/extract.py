@@ -164,7 +164,9 @@ def decide_skew_bucketing(input_path: str, *,
 def extract_pipeline(ds: Dataset, *, batch_size: int = 256,
                      layout_mode: str = "tasks",
                      skew_bucketing: bool = False,
-                     layout_concurrency=None) -> Dataset:
+                     layout_concurrency=None,
+                     layout_num_gpus: float | None = None,
+                     layout_resources: dict | None = None) -> Dataset:
     """Wire the three extraction stages onto an interleaved-docs Dataset.
 
     ``batch_size`` is rows (documents) per batch — kept modest because one
@@ -183,6 +185,12 @@ def extract_pipeline(ds: Dataset, *, batch_size: int = 256,
       heavy (real OCR/layout model weights) or concurrency must be
       bounded (rate-limited clients). Measurably slower to dispatch for
       sub-millisecond-per-doc work, so not the default here.
+
+    ``layout_num_gpus`` / ``layout_resources`` (actors mode only): the
+    GPU fraction / custom-resource claim each layout actor schedules
+    against — how a real OCR/layout model pins its device (SURVEY
+    T3/T8; reference env-pins CUDA at
+    hybrid_docling_gpt4_processor.py:111-112). Default off.
     """
     if skew_bucketing:
         ds = spread_skew(ds)
@@ -197,10 +205,13 @@ def extract_pipeline(ds: Dataset, *, batch_size: int = 256,
             # min 1 so small sessions never starve the read/write task
             # pools (two pools with min>=2 deadlock a 4-CPU session)
             layout_concurrency = (1, max(2, cluster_cpus() - 2))
+        from ..functions.cluster import accel_remote_args
         ds = ds.map_batches(LayoutParser, batch_format="pyarrow",
                             batch_size=batch_size,
                             concurrency=layout_concurrency,
-                            num_cpus=1)
+                            num_cpus=1,
+                            **accel_remote_args(layout_num_gpus,
+                                                layout_resources))
     return ds.map_batches(reassemble_spans, batch_format="pyarrow",
                           batch_size=batch_size)
 

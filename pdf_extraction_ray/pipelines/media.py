@@ -65,16 +65,23 @@ def media_table_from_docs(ds: Dataset) -> Dataset:
     return ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
 
-def features_pipeline(ds: Dataset) -> Dataset:
-    """Decode stub features for every media payload in a docs Dataset."""
-    from ..functions.cluster import half_pool
+def features_pipeline(ds: Dataset, *,
+                      decode_num_gpus: float | None = None,
+                      decode_resources: dict | None = None) -> Dataset:
+    """Decode stub features for every media payload in a docs Dataset.
+
+    ``decode_num_gpus`` / ``decode_resources``: per-actor accelerator
+    claim for a real hardware decoder (NVDEC/DALI-class); default off."""
+    from ..functions.cluster import accel_remote_args, half_pool
     media = media_table_from_docs(ds)
     # bytes-bounded batches: payloads are ~260B fakes; real images would
     # push batch_size down to target_bytes/payload_size
     return media.map_batches(MediaDecoder, batch_format="pyarrow",
                              batch_size=512, concurrency=half_pool(),
                              num_cpus=1,
-                             fn_constructor_kwargs={"codec": "stub"})
+                             fn_constructor_kwargs={"codec": "stub"},
+                             **accel_remote_args(decode_num_gpus,
+                                                 decode_resources))
 
 
 def frames_pipeline(ds: Dataset) -> Dataset:

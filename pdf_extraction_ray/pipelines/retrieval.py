@@ -117,21 +117,28 @@ def _partial_topk_fn(qref):
     return partial_topk
 
 
-def _stage1_candidates(sf_dir: str):
+def _stage1_candidates(sf_dir: str, *,
+                       embed_num_gpus: float | None = None,
+                       embed_resources: dict | None = None):
     """Shared stage-1 retrieval: chunk -> actor-pool embed -> per-batch
     partial top-k against the broadcast query matrix. Returns the
     candidate Dataset (query_id, doc_id, chunk_id, chunk_text,
     score_x1e6), k rows per query per batch. One wiring for both the
     single-stage and the reranked pipelines — a tuning change (batch
-    size, pool size, embedder) applies to both."""
+    size, pool size, embedder) applies to both.
+
+    ``embed_num_gpus`` / ``embed_resources``: per-actor accelerator
+    claim for a real embedding model (SURVEY T6/T8); defaulted off."""
     embedder = HashEmbedder()        # driver-side twin embeds the queries
     qref = ray.put(embedder.embed(pa.array(EVAL_QUERIES)))
 
-    from ..functions.cluster import half_pool
+    from ..functions.cluster import accel_remote_args, half_pool
     embedded = chunk_documents_ds(sf_dir) \
         .map_batches(HashEmbedder, batch_format="pyarrow",
                      batch_size=1024, concurrency=half_pool(),
-                     num_cpus=1)
+                     num_cpus=1,
+                     **accel_remote_args(embed_num_gpus,
+                                         embed_resources))
     return embedded.map_batches(_partial_topk_fn(qref),
                                 batch_format="pyarrow", batch_size=None)
 
