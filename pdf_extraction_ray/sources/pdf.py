@@ -10,6 +10,17 @@ literal/hex strings, and a content-stream interpreter for the operator
 subset a layout extractor needs (``BT/Tf/Td/Tj/ET``, path ``m/l/S``,
 ``cm/Do`` image placement, marked content ``BDC/EMC``).
 
+PDF 1.5+ coverage (what common real writers emit, round-4): cross-
+reference **streams** (``/Type /XRef``, binary ``/W``-width entries,
+FlateDecode + PNG predictors incl. Up/Paeth), **object streams**
+(``/Type /ObjStm`` containers addressed by type-2 entries), ``/Prev``
+incremental-update chains (classic and stream sections may mix), and
+composite **Type0 / Identity-H fonts** whose 2-byte CID hex strings
+are decoded through the ``/ToUnicode`` CMap (``bfchar`` + ``bfrange``
+sections). The writer can synthesize each layout
+(``xref_stream`` / ``object_streams`` / ``cid_text`` toggles) so every
+reader path is golden-tested against the classic form.
+
 Serialization conventions (all legal PDF; documented because the parser
 is the other half of the contract):
 
@@ -115,8 +126,10 @@ def _norm_rect(r) -> list[float]:
 # ---------------------------------------------------------------------------
 
 
-def _span_content(span, font, bbox, link_ops) -> str:
-    """Marked-content sequence for one text/boilerplate/image span."""
+def _span_content(span, font, bbox, link_ops, enc=_pdf_string) -> str:
+    """Marked-content sequence for one text/boilerplate/image span.
+    ``enc`` serializes the text string — ``_pdf_string`` for simple
+    fonts, a CID-hex encoder for Type0/Identity-H fonts."""
     rect = _rect_pts(bbox)
     rect_s = " ".join(_num(v) for v in rect)
     mcid = int(span["offset"])
@@ -133,7 +146,7 @@ def _span_content(span, font, bbox, link_ops) -> str:
     props = props[:-2] + extra + ">>"
     return (f"{tag} {props} BDC\n"
             f"BT /F1 {_num(font)} Tf {_num(rect[0])} {_num(rect[1])} Td "
-            f"{_pdf_string(span['text'])} Tj ET\nEMC\n")
+            f"{enc(span['text'])} Tj ET\nEMC\n")
 
 
 def _region_content(region) -> str:
@@ -146,20 +159,94 @@ def _region_content(region) -> str:
     return "\n".join(ops)
 
 
-def synthesize_pdf(row: dict, compress: bool = True) -> bytes:
+def _build_tounicode_cmap(cid_of: dict) -> str:
+    """Standard ToUnicode CMap (PDF 32000-1:2008 §9.10.3) for a
+    char -> CID assignment: consecutive (CID, BMP-codepoint) runs as
+    ``bfrange`` lines, singletons as ``bfchar`` (both <= 100 entries
+    per block, as the spec requires) — so a reader must handle BOTH
+    section kinds, like real writer output."""
+    items = sorted((cid, ch) for ch, cid in cid_of.items())
+    runs: list[tuple[int, int, str]] = []       # (cid_lo, cid_hi, ch_lo)
+    for cid, ch in items:
+        cp = ord(ch)
+        if (runs and cp <= 0xFFFF and 0xD800 > cp
+                and runs[-1][1] == cid - 1
+                and ord(runs[-1][2]) + (cid - runs[-1][0]) == cp
+                and ord(runs[-1][2]) <= 0xFFFF):
+            runs[-1] = (runs[-1][0], cid, runs[-1][2])
+        else:
+            runs.append((cid, cid, ch))
+    ranges = [r for r in runs if r[1] > r[0]]
+    chars = [r for r in runs if r[1] == r[0]]
+    parts = ["/CIDInit /ProcSet findresource begin",
+             "12 dict begin", "begincmap",
+             "/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS)"
+             " /Supplement 0 >> def",
+             "/CMapName /Adobe-Identity-UCS def", "/CMapType 2 def",
+             "1 begincodespacerange", "<0000> <FFFF>",
+             "endcodespacerange"]
+    for i in range(0, len(ranges), 100):
+        blk = ranges[i:i + 100]
+        parts.append(f"{len(blk)} beginbfrange")
+        parts += [f"<{lo:04X}> <{hi:04X}> <{ord(ch):04X}>"
+                  for lo, hi, ch in blk]
+        parts.append("endbfrange")
+    for i in range(0, len(chars), 100):
+        blk = chars[i:i + 100]
+        parts.append(f"{len(blk)} beginbfchar")
+        parts += ["<%04X> <%s>" % (lo, ch.encode("utf-16-be").hex().upper())
+                  for lo, _, ch in blk]
+        parts.append("endbfchar")
+    parts += ["endcmap",
+              "CMapName currentdict /CMap defineresource pop",
+              "end", "end"]
+    return "\n".join(parts) + "\n"
+
+
+def synthesize_pdf(row: dict, compress: bool = True, *,
+                   xref_stream: bool = False,
+                   object_streams: bool = False,
+                   cid_text: bool = False) -> bytes:
     """One DOCS_SCHEMA row -> a complete single-file PDF (bytes).
 
     ``row`` must be schema-typed (``Table.from_pylist(schema=DOCS_SCHEMA)
     .to_pylist()`` shape) so floats are already float32-quantized — the
     writer serializes them exactly and the reader recovers them bit-for-bit.
+
+    Modern-writer modes (all golden-equal to the classic layout; they
+    exercise the features PDF 1.5+ producers emit and PyMuPDF handles
+    for the reference, advanced_layout_extractor.py:282-341):
+
+    - ``xref_stream``: cross-reference STREAM instead of the classic
+      table — binary [1 4 2]-width entries behind FlateDecode with the
+      PNG Up predictor (/DecodeParms /Predictor 12), trailer dict
+      merged into the stream dict.
+    - ``object_streams``: every non-stream object packed into one
+      /ObjStm compressed container, addressed by type-2 xref entries
+      (implies ``xref_stream`` — classic tables cannot express them).
+    - ``cid_text``: text through a composite Type0 /Identity-H font —
+      2-byte CID hex strings that only a /ToUnicode CMap (bfrange +
+      bfchar sections) maps back to Unicode.
     """
+    if object_streams:
+        xref_stream = True
     spans = row["spans"] or []
     n_pages = max(int(row["n_pages"] or 0), 1)
     pages_present = sorted({int(p) for p in (row["page"] or [])}
                            | {int(r["page"]) for r in (row["regions"] or [])}
                            | set(range(1, n_pages + 1)))
 
+    enc = _pdf_string
+    cid_of: dict[str, int] = {}
+    if cid_text:
+        charset = sorted({c for s in spans
+                          if s["kind"] != "image" for c in s["text"]})
+        cid_of = {c: i + 1 for i, c in enumerate(charset)}
+        enc = lambda s: ("<" + "".join(f"{cid_of[c]:04X}" for c in s)  # noqa: E731
+                         + ">")
+
     objs: dict[int, bytes] = {}
+    stream_oids: set[int] = set()    # stream objects can't join an ObjStm
     next_id = 5                      # 1 catalog, 2 pages, 3 info, 4 font
     page_ids = []
     for page_no in pages_present:
@@ -182,10 +269,12 @@ def synthesize_pdf(row: dict, compress: bool = True) -> bytes:
                     f"/MediaRef {_pdf_string(ref)} "
                     f"/Length {len(stream)} >>\nstream\n".encode("latin-1")
                     + stream + b"\nendstream")
+                stream_oids.add(img_id)
                 xobjects[name] = img_id
                 content_parts.append(_span_content(span, font, bbox, f"/{name}"))
             else:
-                content_parts.append(_span_content(span, font, bbox, ""))
+                content_parts.append(
+                    _span_content(span, font, bbox, "", enc=enc))
                 link = float(row["link_density"][i])
                 if link > 0.0:
                     r = _rect_pts(bbox)
@@ -210,6 +299,7 @@ def synthesize_pdf(row: dict, compress: bool = True) -> bytes:
         next_id += 1
         objs[content_id] = (f"<< /Length {len(data)}{filt} >>\nstream\n"
                             .encode("latin-1") + data + b"\nendstream")
+        stream_oids.add(content_id)
 
         res = "/Font << /F1 4 0 R >>"
         if xobjects:
@@ -234,23 +324,116 @@ def synthesize_pdf(row: dict, compress: bool = True) -> bytes:
                .encode("latin-1"))
     objs[3] = (f"<< /Title {_pdf_string(row['doc_id'])} "
                f"/Producer (pdf_extraction_ray) >>").encode("latin-1")
-    objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    if cid_text:
+        desc_id, tou_id = next_id, next_id + 1
+        next_id += 2
+        objs[4] = (f"<< /Type /Font /Subtype /Type0 /BaseFont /PdfXR "
+                   f"/Encoding /Identity-H "
+                   f"/DescendantFonts [{desc_id} 0 R] "
+                   f"/ToUnicode {tou_id} 0 R >>").encode("latin-1")
+        objs[desc_id] = (b"<< /Type /Font /Subtype /CIDFontType2 "
+                         b"/BaseFont /PdfXR /CIDToGIDMap /Identity "
+                         b"/CIDSystemInfo << /Registry (Adobe) "
+                         b"/Ordering (Identity) /Supplement 0 >> >>")
+        cmap_data = _build_tounicode_cmap(cid_of).encode("latin-1",
+                                                         "strict") \
+            if cid_of else b""
+        cfilt = ""
+        if compress:
+            cmap_data = zlib.compress(cmap_data)
+            cfilt = " /Filter /FlateDecode"
+        objs[tou_id] = (f"<< /Length {len(cmap_data)}{cfilt} >>\nstream\n"
+                        .encode("latin-1") + cmap_data + b"\nendstream")
+        stream_oids.add(tou_id)
+    else:
+        objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
 
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
-    offsets = {}
+    offsets: dict[int, int] = {}
+
+    if not xref_stream:
+        for oid in sorted(objs):
+            offsets[oid] = len(out)
+            out += f"{oid} 0 obj\n".encode("latin-1")
+            out += objs[oid]
+            out += b"\nendobj\n"
+        xref_at = len(out)
+        size = max(objs) + 1
+        out += f"xref\n0 {size}\n".encode("latin-1")
+        out += b"0000000000 65535 f \n"
+        for oid in range(1, size):
+            out += f"{offsets[oid]:010d} 00000 n \n".encode("latin-1")
+        out += (f"trailer\n<< /Size {size} /Root 1 0 R /Info 3 0 R >>\n"
+                f"startxref\n{xref_at}\n%%EOF\n").encode("latin-1")
+        return bytes(out)
+
+    # ---- PDF 1.5+ tail: optional ObjStm packing + cross-reference stream
+    in_objstm: dict[int, tuple[int, int]] = {}   # oid -> (objstm id, idx)
+    if object_streams:
+        members = [oid for oid in sorted(objs) if oid not in stream_oids]
+        if members:
+            objstm_id = next_id
+            next_id += 1
+            header = " ".join(
+                f"{oid} {off}" for oid, off in zip(
+                    members,
+                    np.cumsum([0] + [len(objs[m]) + 1
+                                     for m in members[:-1]]).tolist())
+            ).encode("latin-1") + b"\n"
+            body = b"\n".join(objs[m] for m in members) + b"\n"
+            first = len(header)
+            content = header + body
+            sfilt = ""
+            if compress:
+                content = zlib.compress(content)
+                sfilt = " /Filter /FlateDecode"
+            objs[objstm_id] = (
+                f"<< /Type /ObjStm /N {len(members)} /First {first} "
+                f"/Length {len(content)}{sfilt} >>\nstream\n"
+                .encode("latin-1") + content + b"\nendstream")
+            stream_oids.add(objstm_id)
+            for idx, oid in enumerate(members):
+                in_objstm[oid] = (objstm_id, idx)
+                del objs[oid]
+
     for oid in sorted(objs):
         offsets[oid] = len(out)
         out += f"{oid} 0 obj\n".encode("latin-1")
         out += objs[oid]
         out += b"\nendobj\n"
+
     xref_at = len(out)
-    size = max(objs) + 1
-    out += f"xref\n0 {size}\n".encode("latin-1")
-    out += b"0000000000 65535 f \n"
-    for oid in range(1, size):
-        out += f"{offsets[oid]:010d} 00000 n \n".encode("latin-1")
-    out += (f"trailer\n<< /Size {size} /Root 1 0 R /Info 3 0 R >>\n"
-            f"startxref\n{xref_at}\n%%EOF\n").encode("latin-1")
+    xref_id = next_id
+    size = xref_id + 1
+    entries = bytearray()
+    for oid in range(size):
+        if oid == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif oid == xref_id:
+            t, f2, f3 = 1, xref_at, 0
+        elif oid in in_objstm:
+            t, (f2, f3) = 2, in_objstm[oid]
+        else:
+            t, f2, f3 = 1, offsets[oid], 0
+        entries += t.to_bytes(1, "big") + f2.to_bytes(4, "big") \
+            + f3.to_bytes(2, "big")
+    # PNG Up predictor (12) over 7-byte rows — what real writers emit
+    cols = 7
+    rows_m = np.frombuffer(bytes(entries), dtype=np.uint8) \
+        .reshape(-1, cols).astype(np.int16)
+    deltas = np.diff(rows_m, axis=0, prepend=np.zeros((1, cols),
+                                                      dtype=np.int16))
+    pred = np.empty((len(rows_m), cols + 1), dtype=np.uint8)
+    pred[:, 0] = 2                               # filter type: Up
+    pred[:, 1:] = (deltas % 256).astype(np.uint8)
+    xdata = zlib.compress(pred.tobytes())
+    xdict = (f"<< /Type /XRef /Size {size} /W [1 4 2] "
+             f"/Root 1 0 R /Info 3 0 R /Filter /FlateDecode "
+             f"/DecodeParms << /Predictor 12 /Columns {cols} >> "
+             f"/Length {len(xdata)} >>")
+    out += f"{xref_id} 0 obj\n{xdict}\nstream\n".encode("latin-1")
+    out += xdata + b"\nendstream\nendobj\n"
+    out += (f"startxref\n{xref_at}\n%%EOF\n").encode("latin-1")
     return bytes(out)
 
 
@@ -458,8 +641,53 @@ def _parse_value(lex: _Lexer, tok=None):
     return tok
 
 
+def _png_unpredict(data: bytes, columns: int, colors: int = 1,
+                   bpc: int = 8) -> bytes:
+    """Reverse the PNG row predictors (filter types 0-4) applied per
+    /DecodeParms /Predictor >= 10 — every real PDF 1.5 writer runs its
+    xref stream through Up (type 2)."""
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    stride = rowlen + 1
+    if len(data) % stride:
+        raise PdfSyntaxError("predicted stream length not a row multiple")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), stride):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + stride])
+        if ft == 1:                                  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:                                # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:                                # Average
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:                                # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa_ <= pb and pa_ <= pc_ else (
+                    b if pb <= pc_ else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise PdfSyntaxError(f"unknown PNG filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class _PdfReader:
-    """Classic-xref PDF file reader with on-demand object resolution."""
+    """PDF file reader with on-demand object resolution: classic xref
+    tables AND PDF 1.5+ cross-reference streams (binary W-width entries,
+    PNG predictors), /Prev incremental-update chains, and compressed
+    objects inside /ObjStm containers."""
 
     def __init__(self, data: bytes):
         self.data = data
@@ -470,44 +698,120 @@ class _PdfReader:
         lex = _Lexer(tail, at + len(b"startxref"))
         xref_at = lex.next_token()
         self.offsets: dict[int, int] = {}
-        self.trailer = self._read_xref(int(xref_at))
+        self.compressed: dict[int, tuple[int, int]] = {}
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple[list, bytes, int]] = {}
+        self.trailer = self._read_xref_chain(int(xref_at))
+
+    # -- cross-reference parsing ---------------------------------------
+
+    def _read_xref_chain(self, at: int) -> dict:
+        """Newest-first /Prev walk; the first (newest) trailer wins and
+        newer sections' entries shadow older ones."""
+        trailer: dict | None = None
+        seen: set[int] = set()
+        nxt: int | None = at
+        while nxt is not None and nxt not in seen:
+            seen.add(nxt)
+            t = self._read_xref(nxt)
+            if trailer is None:
+                trailer = t
+            prev = t.get("Prev")
+            nxt = int(prev) if prev is not None else None
+        if trailer is None:
+            raise PdfSyntaxError("empty xref chain")
+        return trailer
+
+    def _known(self, num: int) -> bool:
+        return num in self.offsets or num in self.compressed
 
     def _read_xref(self, at: int) -> dict:
         lex = _Lexer(self.data, at)
+        save = lex.pos
         tok = lex.next_token()
-        if not (isinstance(tok, _Op) and tok == "xref"):
-            raise PdfSyntaxError("xref table expected (stream xref unsupported)")
-        while True:
-            save = lex.pos
-            tok = lex.next_token()
-            if isinstance(tok, _Op) and tok == "trailer":
-                return _parse_value(lex)
-            if not isinstance(tok, int):
-                lex.pos = save
-                raise PdfSyntaxError("bad xref subsection")
-            start, count = tok, lex.next_token()
-            lex._skip_ws()
-            for k in range(int(count)):
-                entry = self.data[lex.pos:lex.pos + 20]
-                if entry[17:18] == b"n":
-                    self.offsets.setdefault(start + k, int(entry[:10]))
-                lex.pos += 20
+        if isinstance(tok, _Op) and tok == "xref":     # classic table
+            while True:
+                save = lex.pos
+                tok = lex.next_token()
+                if isinstance(tok, _Op) and tok == "trailer":
+                    return _parse_value(lex)
+                if not isinstance(tok, int):
+                    lex.pos = save
+                    raise PdfSyntaxError("bad xref subsection")
+                start, count = tok, lex.next_token()
+                lex._skip_ws()
+                for k in range(int(count)):
+                    entry = self.data[lex.pos:lex.pos + 20]
+                    if entry[17:18] == b"n" and not self._known(start + k):
+                        self.offsets[start + k] = int(entry[:10])
+                    lex.pos += 20
+        lex.pos = save
+        # PDF 1.5 cross-reference STREAM: "N 0 obj << /Type /XRef ... >>"
+        num, val = self._parse_object_at(at)
+        if not isinstance(val, _Stream) \
+                or str(val.dict.get("Type")) != "XRef":
+            raise PdfSyntaxError("neither xref table nor XRef stream")
+        w = [int(self.resolve(x)) for x in val.dict["W"]]
+        size = int(self.resolve(val.dict["Size"]))
+        index = [int(self.resolve(x))
+                 for x in val.dict.get("Index", [0, size])]
+        entry_len = sum(w)
+        data = val.data
+        pos = 0
+        defaults = (1, 0, 0)           # omitted field 1 defaults to type 1
+        for s in range(0, len(index) - 1, 2):
+            start, count = index[s], index[s + 1]
+            for k in range(count):
+                e = data[pos:pos + entry_len]
+                pos += entry_len
+                f = []
+                o = 0
+                for fi, width in enumerate(w):
+                    f.append(int.from_bytes(e[o:o + width], "big")
+                             if width else defaults[fi])
+                    o += width
+                objn = start + k
+                if self._known(objn):
+                    continue
+                if f[0] == 1:
+                    self.offsets[objn] = f[1]
+                elif f[0] == 2:
+                    self.compressed[objn] = (f[1], f[2])
+                # type 0 = free: skip
+        return val.dict
 
-    def resolve(self, v):
-        if isinstance(v, _Ref):
-            return self.obj(int(v))
-        return v
+    # -- object parsing ------------------------------------------------
 
-    def obj(self, num: int):
-        if num in self._cache:
-            return self._cache[num]
-        lex = _Lexer(self.data, self.offsets[num])
+    def _decode_stream(self, d: dict, raw: bytes) -> bytes:
+        filt = self.resolve(d.get("Filter"))
+        if filt is None:
+            return raw
+        filts = filt if isinstance(filt, list) else [filt]
+        parms = self.resolve(d.get("DecodeParms")) or {}
+        parms_l = parms if isinstance(parms, list) else [parms]
+        for i, f in enumerate(filts):
+            if str(f) != "FlateDecode":
+                raise PdfSyntaxError(f"unsupported filter {f}")
+            raw = zlib.decompress(raw)
+            p = self.resolve(parms_l[i] if i < len(parms_l) else {}) or {}
+            pred = int(self.resolve(p.get("Predictor", 1)) or 1)
+            if pred >= 10:
+                raw = _png_unpredict(
+                    raw, int(self.resolve(p.get("Columns", 1))),
+                    int(self.resolve(p.get("Colors", 1))),
+                    int(self.resolve(p.get("BitsPerComponent", 8))))
+            elif pred != 1:
+                raise PdfSyntaxError(f"unsupported predictor {pred}")
+        return raw
+
+    def _parse_object_at(self, at: int) -> tuple[int, object]:
+        lex = _Lexer(self.data, at)
         onum = lex.next_token()
         gen = lex.next_token()
         kw = lex.next_token()
-        if int(onum) != num or not (isinstance(kw, _Op) and kw == "obj"):
-            raise PdfSyntaxError(f"object {num} not at xref offset")
+        if not isinstance(onum, int) \
+                or not (isinstance(kw, _Op) and kw == "obj"):
+            raise PdfSyntaxError(f"no indirect object at {at}")
         del gen
         val = _parse_value(lex)
         lex._skip_ws()
@@ -522,11 +826,52 @@ class _PdfReader:
                 p += 1
             length = int(self.resolve(val["Length"]))
             raw = self.data[p:p + length]
-            if val.get("Filter") == "FlateDecode":
-                raw = zlib.decompress(raw)
-            val = _Stream(val, raw)
+            val = _Stream(val, self._decode_stream(val, raw))
         else:
             lex.pos = save
+        return int(onum), val
+
+    def resolve(self, v):
+        if isinstance(v, _Ref):
+            return self.obj(int(v))
+        return v
+
+    def _objstm_lookup(self, num: int) -> object:
+        stm_num, idx = self.compressed[num]
+        if stm_num not in self._objstm_cache:
+            stm = self.obj(stm_num)
+            if not isinstance(stm, _Stream) \
+                    or str(stm.dict.get("Type")) != "ObjStm":
+                raise PdfSyntaxError(f"object {num} points into "
+                                     f"non-ObjStm {stm_num}")
+            n = int(self.resolve(stm.dict["N"]))
+            first = int(self.resolve(stm.dict["First"]))
+            hlex = _Lexer(stm.data[:first])
+            pairs = [(int(hlex.next_token()), int(hlex.next_token()))
+                     for _ in range(n)]
+            self._objstm_cache[stm_num] = (pairs, stm.data, first)
+        pairs, data, first = self._objstm_cache[stm_num]
+        onum, off = pairs[idx]
+        if onum != num:                 # tolerate index drift: scan
+            for onum, off in pairs:
+                if onum == num:
+                    break
+            else:
+                raise PdfSyntaxError(f"object {num} not in ObjStm "
+                                     f"{stm_num}")
+        return _parse_value(_Lexer(data, first + off))
+
+    def obj(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        if num in self.offsets:
+            onum, val = self._parse_object_at(self.offsets[num])
+            if onum != num:
+                raise PdfSyntaxError(f"object {num} not at xref offset")
+        elif num in self.compressed:
+            val = self._objstm_lookup(num)
+        else:
+            raise PdfSyntaxError(f"object {num} not in xref")
         self._cache[num] = val
         return val
 
@@ -539,6 +884,34 @@ class _Stream:
         self.data = data
 
 
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """/ToUnicode CMap -> {2-byte code: unicode string}. Handles the
+    two section kinds real writers emit: ``bfchar`` (code -> UTF-16BE
+    hex, possibly a surrogate pair) and the ``<lo> <hi> <start>``
+    form of ``bfrange`` (consecutive codes -> consecutive BMP
+    codepoints)."""
+    import re
+
+    cmap: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for lo, hi, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+                m.group(1)):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = bytes.fromhex(dst.decode("ascii"))
+            # increment applies to the LAST code unit (spec 9.10.3)
+            head, start = base[:-2], int.from_bytes(base[-2:], "big")
+            for k in range(hi_i - lo_i + 1):
+                cmap[lo_i + k] = (head + (start + k).to_bytes(2, "big")) \
+                    .decode("utf-16-be")
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for src, dst in re.findall(
+                rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)):
+            cmap[int(src, 16)] = bytes.fromhex(
+                dst.decode("ascii")).decode("utf-16-be")
+    return cmap
+
+
 # ---------------------------------------------------------------------------
 # content-stream interpreter -> DOCS_SCHEMA row
 # ---------------------------------------------------------------------------
@@ -546,11 +919,13 @@ class _Stream:
 
 def _interp_page(content: bytes, page_no: int, xobjects: dict,
                  spans, fonts, pages, links, bboxes, regions,
-                 mcid_to_span: dict):
+                 mcid_to_span: dict, font_decoders: dict | None = None):
+    font_decoders = font_decoders or {}
     lex = _Lexer(content)
     stack: list = []
     scope_tag = scope_props = None
     cur_font = 0.0
+    cur_font_name = ""
     text_parts: list[str] = []
     segs: list[tuple] = []
     cur_pt = (0.0, 0.0)
@@ -602,9 +977,19 @@ def _interp_page(content: bytes, page_no: int, xobjects: dict,
             stack.clear()
         elif op == "Tf":
             cur_font = float(stack.pop())
-            stack.pop()                      # font resource name
+            cur_font_name = str(stack.pop())     # font resource name
         elif op == "Tj":
-            text_parts.append(str(stack.pop()))
+            s = str(stack.pop())
+            dec = font_decoders.get(cur_font_name)
+            if dec is not None:
+                # composite font: the string is raw 2-byte CIDs
+                # (latin-1 decode is byte-preserving, so re-encoding
+                # recovers them) mapped through the /ToUnicode CMap
+                raw = s.encode("latin-1", "strict")
+                s = "".join(dec.get(int.from_bytes(raw[i:i + 2], "big"),
+                                    "�")
+                            for i in range(0, len(raw) - 1, 2))
+            text_parts.append(s)
         elif op == "m":
             y = float(stack.pop())
             x = float(stack.pop())
@@ -646,10 +1031,18 @@ def parse_pdf(data: bytes) -> dict:
         res = r.resolve(page.get("Resources", {})) or {}
         xdict = r.resolve(res.get("XObject", {})) or {}
         xobjects = {name: r.resolve(ref) for name, ref in xdict.items()}
+        fdict = r.resolve(res.get("Font", {})) or {}
+        font_decoders: dict[str, dict | None] = {}
+        for name, fref in fdict.items():
+            fobj = r.resolve(fref) or {}
+            tou = fobj.get("ToUnicode") if isinstance(fobj, dict) else None
+            font_decoders[str(name)] = (
+                _parse_tounicode(r.resolve(tou).data)
+                if tou is not None else None)
         content = r.resolve(page["Contents"])
         _interp_page(content.data, page_no, xobjects,
                      spans, fonts, pages, links, bboxes, regions,
-                     mcid_to_span)
+                     mcid_to_span, font_decoders)
         for a in (r.resolve(page.get("Annots", [])) or []):
             annots_todo.append((page_no, r.resolve(a)))
 
@@ -701,33 +1094,40 @@ def read_pdf_docs(path: str, *, batch_size: int = 64,
 
 
 def write_pdf_corpus(table: pa.Table, out_dir: str,
-                     compress: bool = True) -> int:
-    """DOCS_SCHEMA table -> one ``.pdf`` file per document. Returns count."""
+                     compress: bool = True, **modes) -> int:
+    """DOCS_SCHEMA table -> one ``.pdf`` file per document. Returns
+    count. ``modes`` forwards the PDF 1.5+ writer toggles
+    (``xref_stream`` / ``object_streams`` / ``cid_text``)."""
     os.makedirs(out_dir, exist_ok=True)
     rows = table.to_pylist()
     for row in rows:
         p = os.path.join(out_dir, f"{row['doc_id']}.pdf")
         tmp = p + f".tmp{os.getpid()}"
         with open(tmp, "wb") as f:
-            f.write(synthesize_pdf(row, compress=compress))
+            f.write(synthesize_pdf(row, compress=compress, **modes))
         os.replace(tmp, p)
     return len(rows)
 
 
-PDFGEN_VERSION = 1
+PDFGEN_VERSION = 2
 
 
 def ensure_pdf_corpus(name: str, seed: int, n_docs: int,
                       pathological_frac: float = 0.01,
                       root: str = "/tmp/pdfxr_fixtures",
-                      compress: bool = True) -> str:
+                      compress: bool = True, **modes) -> str:
     """Cached PDF mirror of ``fixtures.ensure_corpus`` (same generator,
-    same (seed, index) determinism): a directory of ``doc-*.pdf`` files."""
+    same (seed, index) determinism): a directory of ``doc-*.pdf`` files.
+    ``modes`` selects the writer layout (classic table by default,
+    ``xref_stream`` / ``object_streams`` / ``cid_text`` for the modern
+    forms) — part of the cache key."""
     from ..fixtures.generator import generate_docs_table
 
+    mode_key = "".join(f"-{k[0]}{int(bool(v))}"
+                       for k, v in sorted(modes.items()))
     path = os.path.join(
         root, f"{name}-pdf-v{PDFGEN_VERSION}-s{seed}-n{n_docs}"
-              f"-p{pathological_frac}-c{int(compress)}")
+              f"-p{pathological_frac}-c{int(compress)}{mode_key}")
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
@@ -735,10 +1135,7 @@ def ensure_pdf_corpus(name: str, seed: int, n_docs: int,
     for start in range(0, n_docs, 1000):
         tbl = generate_docs_table(seed, start, min(1000, n_docs - start),
                                   pathological_frac)
-        write_pdf_corpus(tbl, path, compress=compress)
+        write_pdf_corpus(tbl, path, compress=compress, **modes)
     with open(done, "w") as f:
-        f.write(f"{seed} {n_docs} {pathological_frac}\n")
+        f.write(f"{seed} {n_docs} {pathological_frac} {modes}\n")
     return path
-
-
-_ = np  # numpy reserved for future vectorized variants (kept for parity)
