@@ -16,6 +16,14 @@ identical job in fresh subprocesses at num_cpus=8 and num_cpus=32 on the
 same cached input and reports throughput at both plus
 ``scaling_efficiency = (thr_32 / thr_8) / 4`` (target >= 0.8).
 
+``--actors``: actor-pool leg under heavy per-actor state (busy-spin
+init + per-page cost): wall, actors started and docs/sec per
+``concurrency`` setting, vs a tasks-mode reference.
+``--streaming``: bucket-actor windowing feed over the events log —
+events/sec, per-phase wall, eager-close fraction.
+``--compare OLD.json [NEW.json]``: anchor-normalized per-query
+regression gate; exits 1 past $GRAFT_REGRESSION_X (default 2.0).
+
 The low-CPU run executes with low-priority spinner processes occupying
 the unused cores ("frequency-equalized" mode): on this host, few-core
 runs turbo ~35% above all-core clocks, which is an artifact a real
@@ -595,6 +603,232 @@ def _skew():
     ray.shutdown()
 
 
+def _actors():
+    """Actor-pool leg of the heavy tier (VERDICT r3 item 4): run the
+    extraction chain in ``layout_mode='actors'`` under HEAVY per-actor
+    state (busy-spin ``__init__`` of $GRAFT_ACTORS_INIT_S sec — the
+    model-load stand-in) plus a per-page busy-spin cost
+    ($GRAFT_ACTORS_COST_US us/page — the OCR/VLM regime), at several
+    ``concurrency`` settings, and MEASURE wall, actors actually
+    started, and docs/sec — so the autoscaling pool's (min, max)
+    sizing is a number, not an assertion. A tasks-mode run with the
+    same per-page cost (no init) is the dispatch-overhead reference."""
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.compute as pc
+    from pdf_extraction_ray.fixtures import ensure_corpus
+    from pdf_extraction_ray.sources import read_docs
+    from pdf_extraction_ray.stages.layout import LayoutParser, layout_parse
+    from pdf_extraction_ray.stages.reassemble import reassemble_spans
+    from pdf_extraction_ray.stages.tokenize import classify_spans
+
+    n = int(os.environ.get("GRAFT_ACTORS_DOCS", "20000"))
+    init_spin_s = float(os.environ.get("GRAFT_ACTORS_INIT_S", "2.0"))
+    cost_us = float(os.environ.get("GRAFT_ACTORS_COST_US", "200"))
+    corpus = ensure_corpus("actorsbench", BENCH_SEED, n, shard_rows=1000,
+                           use_ray=True)
+    read_docs(corpus).count()      # warm page cache
+    pages = read_docs(corpus).sum("n_pages")
+
+    @ray.remote(num_cpus=0)
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def inc(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    class HeavyLayout(LayoutParser):
+        """LayoutParser with model-load and per-page inference costs."""
+
+        def __init__(self, counter=None, init_spin_s=2.0, cost_us=200.0):
+            t_end = time.perf_counter() + init_spin_s
+            while time.perf_counter() < t_end:
+                pass
+            if counter is not None:
+                ray.get(counter.inc.remote())
+            self._sec_per_page = cost_us * 1e-6
+            super().__init__()
+
+        def __call__(self, batch):
+            target = float(pc.sum(batch["n_pages"]).as_py() or 0) \
+                * self._sec_per_page
+            t_end = time.perf_counter() + target
+            while time.perf_counter() < t_end:
+                pass
+            return super().__call__(batch)
+
+    def burn(batch):
+        target = float(pc.sum(batch["n_pages"]).as_py() or 0) \
+            * cost_us * 1e-6
+        t_end = time.perf_counter() + target
+        while time.perf_counter() < t_end:
+            pass
+        return batch
+
+    out_dir = "/tmp/pdfxr_actors_out"
+
+    def run_actor(concurrency):
+        counter = Counter.remote()
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ds = read_docs(corpus) \
+            .map_batches(classify_spans, batch_format="pyarrow",
+                         batch_size=256) \
+            .map_batches(HeavyLayout, batch_format="pyarrow",
+                         batch_size=256, concurrency=concurrency,
+                         num_cpus=1,
+                         fn_constructor_kwargs={
+                             "counter": counter,
+                             "init_spin_s": init_spin_s,
+                             "cost_us": cost_us}) \
+            .map_batches(reassemble_spans, batch_format="pyarrow",
+                         batch_size=256)
+        ds.write_parquet(out_dir)
+        wall = round(time.perf_counter() - t0, 2)
+        return {"wall_s": wall,
+                "actors_started": int(ray.get(counter.get.remote())),
+                "docs_per_sec": round(n / wall, 1)}
+
+    def run_tasks():
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        read_docs(corpus) \
+            .map_batches(classify_spans, batch_format="pyarrow",
+                         batch_size=256) \
+            .map_batches(burn, batch_format="pyarrow", batch_size=256) \
+            .map_batches(layout_parse, batch_format="pyarrow",
+                         batch_size=256) \
+            .map_batches(reassemble_spans, batch_format="pyarrow",
+                         batch_size=256) \
+            .write_parquet(out_dir)
+        wall = round(time.perf_counter() - t0, 2)
+        return {"wall_s": wall, "docs_per_sec": round(n / wall, 1)}
+
+    out = {"metric": "actors_extract_wall_sec", "unit": "sec",
+           "n_docs": n, "pages": int(pages),
+           "init_spin_s": init_spin_s,
+           "heavy_cost_us_per_page": cost_us, "num_cpus": 32,
+           "cpu_calib_miters": _cpu_calib_miters(),
+           "tasks_heavy_no_init": run_tasks(),
+           "autoscale_1_30": run_actor((1, 30)),
+           "autoscale_4_12": run_actor((4, 12)),
+           "fixed_8": run_actor(8)}
+    best = max(k for k in ("autoscale_1_30", "autoscale_4_12", "fixed_8")
+               if out[k]["wall_s"] == min(
+                   out[c]["wall_s"] for c in
+                   ("autoscale_1_30", "autoscale_4_12", "fixed_8")))
+    out["best_pool"] = best
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def _streaming():
+    """Streaming end-to-end latency metric (VERDICT r3 item 5): drive
+    the bucket-actor windowing feed over $GRAFT_SF_DIR's events log and
+    report events/sec + per-phase wall + the fraction of windows the
+    watermark closed eagerly — the analog of the headline docs/s for
+    the streaming tier."""
+    import ray
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from pdf_extraction_ray.pipelines.streaming import stream_windows_bench
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    res = stream_windows_bench(sf_dir)
+    res.update({"metric": "stream_feed_events_per_sec",
+                "value": res["feed_events_per_sec"], "unit": "events/sec",
+                "sf": sf_dir, "num_cpus": 32,
+                "cpu_calib_miters": _cpu_calib_miters()})
+    print(json.dumps(res))
+    ray.shutdown()
+
+
+def _compare(argv):
+    """Per-query regression gate (VERDICT r3 item 7):
+    ``bench.py --compare OLD.json [NEW.json]`` (NEW defaults to the
+    newest BENCH_r*.json). Times are anchor-normalized by each file's
+    ``cpu_calib_miters`` (work = sec x Miter/s, epoch-stable), and the
+    gate FAILS (exit 1) on any common query slower than
+    $GRAFT_REGRESSION_X (default 2.0) or a headline regression past the
+    same bar."""
+    import glob
+
+    paths = [a for a in argv[argv.index("--compare") + 1:]
+             if not a.startswith("--")]
+    if not paths:
+        print(json.dumps({"error": "usage: bench.py --compare OLD [NEW]"}))
+        sys.exit(2)
+    old_p = paths[0]
+    if len(paths) > 1:
+        new_p = paths[1]
+    else:
+        cand = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        new_p = cand[-1] if cand else None
+        if new_p is None or os.path.abspath(new_p) == os.path.abspath(old_p):
+            print(json.dumps({"error": "no NEW bench file found"}))
+            sys.exit(2)
+    thr = float(os.environ.get("GRAFT_REGRESSION_X", "2.0"))
+
+    def _load(p):
+        import re
+        with open(p) as f:
+            d = json.load(f)
+        # driver-recorded BENCH_r{N}.json wraps the bench line under
+        # "parsed"; accept both the raw line and the wrapper
+        if isinstance(d.get("parsed"), dict):
+            return d["parsed"]
+        if "parsed" in d and isinstance(d.get("tail"), str):
+            # older records hold only a truncated tail — scrape the
+            # per-query "name": sec pairs that survived truncation
+            qs = {m.group(1): float(m.group(2)) for m in re.finditer(
+                r'"([a-z0-9_]+)": ([\d.]+)[,}]', d["tail"])}
+            top = {k: qs.pop(k) for k in
+                   ("docs_per_sec", "cpu_calib_miters", "value")
+                   if k in qs}
+            return {"queries": qs, **top}
+        return d
+
+    old, new = _load(old_p), _load(new_p)
+    a_old = float(old.get("cpu_calib_miters") or 1.0)
+    a_new = float(new.get("cpu_calib_miters") or a_old)
+    common = sorted(set(old.get("queries", {}))
+                    & set(new.get("queries", {})))
+    ratios = {}
+    for q in common:
+        t_old, t_new = float(old["queries"][q]), float(new["queries"][q])
+        if t_old <= 0:
+            continue
+        ratios[q] = round((t_new * a_new) / (t_old * a_old), 3)
+    regressions = {q: r for q, r in ratios.items() if r > thr}
+    worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
+    best = sorted(ratios.items(), key=lambda kv: kv[1])[:5]
+    # headline: docs/sec is a rate, so normalize the other way
+    head_ratio = None
+    if old.get("docs_per_sec") and new.get("docs_per_sec"):
+        head_ratio = round((float(old["docs_per_sec"]) / a_old)
+                           / (float(new["docs_per_sec"]) / a_new), 3)
+    head_reg = head_ratio is not None and head_ratio > thr
+    ok = not regressions and not head_reg
+    print(json.dumps({
+        "metric": "bench_compare", "old": os.path.basename(old_p),
+        "new": os.path.basename(new_p), "threshold_x": thr,
+        "anchor_old_miters": a_old, "anchor_new_miters": a_new,
+        "n_common_queries": len(ratios),
+        "headline_slowdown_x": head_ratio,
+        "n_regressions": len(regressions), "regressions": regressions,
+        "worst10": dict(worst), "best5": dict(best), "pass": ok}))
+    sys.exit(0 if ok else 1)
+
+
 def _stats():
     """Print the flagship pipeline's per-stage Ray Data stats (wall
     time, CPU, memory per operator) over the bench corpus — the
@@ -647,6 +881,15 @@ def _parse_stage_stats(stats_text: str) -> dict:
 
 
 def main():
+    if "--compare" in sys.argv:
+        _compare(sys.argv)
+        return
+    if "--actors" in sys.argv:
+        _actors()
+        return
+    if "--streaming" in sys.argv:
+        _streaming()
+        return
     if "--scaling" in sys.argv:
         _scaling()
         return

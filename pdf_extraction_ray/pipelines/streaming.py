@@ -949,6 +949,66 @@ FROM rec GROUP BY user_id ORDER BY user_id
 """
 
 
+def stream_windows_bench(sf_dir: str) -> dict:
+    """Instrumented ``events_stream_windows`` run for the bench sweep:
+    wall per phase (hash-partition staging, bucket feed, flush),
+    end-to-end events/sec through the bucket-actor feed, and how many
+    windows the watermark closed EAGERLY (before the end-of-log flush)
+    — the streaming-ness signal. Same pipeline, same result; only
+    timing and the pre-flush snapshot are added."""
+    import shutil
+    import tempfile
+    import time
+
+    stage = tempfile.mkdtemp(prefix="stream_bench_", dir="/tmp")
+    try:
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = batch["user_id"].to_numpy(zero_copy_only=False) % N_BUCKETS
+            return batch.append_column("bucket",
+                                       pa.array(b.astype(np.int64)))
+
+        t0 = time.perf_counter()
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts", "value"]) \
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         batch_size=None) \
+            .write_parquet(stage, partition_cols=["bucket"])
+        stage_wall = time.perf_counter() - t0
+
+        actors = [WindowActor.remote() for _ in range(N_BUCKETS)]
+        t1 = time.perf_counter()
+        fed = ray.get([_feed_bucket.remote(f"{stage}/bucket={b}",
+                                           actors[b])
+                       for b in range(N_BUCKETS)])
+        feed_wall = time.perf_counter() - t1
+        # pre-flush snapshot: windows already closed by the watermark
+        eager = sum(len(s["closed"]) for s in
+                    ray.get([a.snapshot.remote() for a in actors]))
+        t2 = time.perf_counter()
+        rows = [r for chunk in ray.get([a.flush.remote() for a in actors])
+                for r in chunk]
+        flush_wall = time.perf_counter() - t2
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    n_events = int(sum(fed))
+    n_windows = len(rows)
+    return {
+        "n_events": n_events, "n_buckets": N_BUCKETS,
+        "stage_wall_s": round(stage_wall, 3),
+        "feed_wall_s": round(feed_wall, 3),
+        "flush_wall_s": round(flush_wall, 3),
+        "end_to_end_wall_s": round(stage_wall + feed_wall + flush_wall, 3),
+        "feed_events_per_sec": round(n_events / feed_wall, 1)
+        if feed_wall > 0 else 0.0,
+        "end_to_end_events_per_sec": round(
+            n_events / (stage_wall + feed_wall + flush_wall), 1),
+        "n_windows": n_windows,
+        "n_closed_eagerly": int(eager),
+        "eager_close_frac": round(eager / n_windows, 4)
+        if n_windows else 0.0,
+    }
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "events_rate_limited": (events_rate_limited, RATE_LIMIT_SQL),
     "events_watermark_lateness": (events_watermark_lateness,
