@@ -2233,7 +2233,155 @@ def corpus_topics(sf_dir: str):
         .sort_values(["topic_id", "rank"]).reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Cross-doc duplicate n-gram fraction (FineWeb-style corpus signal)
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 8                    # sliding window width (GPT-3 used 13)
+
+
+def _doc_grams_batch(batch: pa.Table) -> pd.DataFrame:
+    """Distinct (doc_id, gram) pairs for one batch: sliding
+    ``NGRAM_N``-token windows over the whitespace/lowercase token
+    stream, joined with single spaces — byte-identical to the oracle's
+    ``array_to_string(w[i:i+N-1], ' ')``. Vectorized: one
+    ``binary_join_element_wise`` over N shifted views of the flat token
+    array; window validity = same parent doc at both ends. Each doc_id
+    lives in exactly one batch (one row per doc), so per-batch distinct
+    pairs are globally distinct."""
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = as_array(pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(text, ""))),
+        T.TOKEN_SPLIT_RE))
+    flat = as_array(pc.list_flatten(toks))
+    parent = as_array(pc.list_parent_indices(toks)) \
+        .to_numpy(zero_copy_only=False)
+    m = len(flat)
+    if m < NGRAM_N:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "gram": pd.Series(dtype="object")})
+    shifted = [flat.slice(k, m - NGRAM_N + 1) for k in range(NGRAM_N)]
+    grams = pc.binary_join_element_wise(*shifted, " ")
+    valid = parent[:m - NGRAM_N + 1] == parent[NGRAM_N - 1:]
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[parent[:m - NGRAM_N + 1][valid]]
+    df = pd.DataFrame({"doc_id": ids,
+                       "gram": grams.to_numpy(zero_copy_only=False)[valid]})
+    return df.drop_duplicates(ignore_index=True)
+
+
+def docs_dup_ngram_fraction(sf_dir: str):
+    """Per-document CROSS-corpus duplicate n-gram fraction: of each
+    doc's distinct sliding {NGRAM_N}-token grams, how many also occur
+    in at least one OTHER document — the FineWeb/Gopher "duplicated
+    n-gram fraction" quality signal at corpus (not intra-doc)
+    granularity; `doc_repetition` is the intra-doc twin and
+    `doc_dup_block_stats` the disjoint-block one.
+
+    Scale shape: pass 1 ships globally-distinct (gram, doc_id) pairs
+    through ONE gram-keyed coarse exchange, where per-gram doc counts
+    mark dup membership and only (doc_id, partial dup count) rows
+    leave; pass 2 is doc-local (distinct-gram totals, no exchange);
+    the final merge is a doc_id-keyed coarse partition — nothing ever
+    holds the corpus on the driver.
+    Output: (doc_id, n_grams, n_dup, dup_frac_x1e6), docs with >= 1
+    gram."""
+    from .relational import _coarse_partition_map
+
+    cols = ("doc_id", "n_grams", "n_dup", "dup_frac_x1e6")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _n_docs(sf_dir) == 0:
+        return empty
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        return _from_pandas(_doc_grams_batch(batch))
+
+    pairs = _docs(sf_dir).map_batches(pairs_fn, batch_format="pyarrow",
+                                      batch_size=None)
+    # typed empty when NO doc reaches NGRAM_N tokens (all-empty
+    # map_groups output loses its schema); the streaming limit(1)
+    # probe stops after the first non-empty block
+    if len(pairs.limit(1).take(1)) == 0:
+        return empty
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gram")["doc_id"].transform("size")
+        dup = g[nd >= 2]
+        out = dup.groupby("doc_id", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return out.astype("int64")
+
+    dup_counts = _coarse_str_group(pairs, "gram", mark_dups) \
+        .groupby("doc_id").aggregate(Sum("n", alias_name="n_dup"))
+
+    def totals_fn(batch: pa.Table) -> pa.Table:
+        df = _doc_grams_batch(batch)
+        g = df.groupby("doc_id", as_index=False).size() \
+            .rename(columns={"size": "n_grams"})
+        return _from_pandas(g.astype("int64"))
+
+    totals = _docs(sf_dir).map_batches(totals_fn, batch_format="pyarrow",
+                                       batch_size=None)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(len(batch), side, np.int64)))
+        return fn
+
+    def rename_dup(batch: pa.Table) -> pa.Table:
+        if batch.num_columns != 2:    # all-empty map_groups output
+            return pa.Table.from_pydict(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64())})
+        return batch.rename_columns(["doc_id", "n_grams"])
+
+    both = totals.map_batches(tag(0), batch_format="pyarrow",
+                              batch_size=None) \
+        .union(dup_counts.map_batches(rename_dup, batch_format="pyarrow",
+                                      batch_size=None)
+               .map_batches(tag(1), batch_format="pyarrow",
+                            batch_size=None))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g[g["side"] == 0][["doc_id", "n_grams"]]
+        dup = g[g["side"] == 1][["doc_id", "n_grams"]] \
+            .rename(columns={"n_grams": "n_dup"})
+        m = tot.merge(dup, on="doc_id", how="left")
+        m["n_dup"] = m["n_dup"].fillna(0).astype("int64")
+        m["dup_frac_x1e6"] = (m["n_dup"] * 1_000_000) \
+            // np.maximum(m["n_grams"], 1)
+        return m[list(cols)].astype("int64")
+
+    return _coarse_partition_map(both, "doc_id", merge).sort("doc_id")
+
+
+DUP_NGRAM_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents),
+u AS (SELECT doc_id, w,
+             unnest(generate_series(1, len(w) - {NGRAM_N - 1})) AS i
+      FROM t WHERE len(w) >= {NGRAM_N}),
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(w[i:i+{NGRAM_N - 1}], ' ') AS gram
+      FROM u),
+c AS (SELECT gram, COUNT(*) AS nd FROM g GROUP BY gram),
+per AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup
+        FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+SELECT doc_id, n_grams, n_dup,
+       (n_dup * 1000000) // n_grams AS dup_frac_x1e6
+FROM per ORDER BY doc_id
+"""
+
+
 CORPUS_QUERIES: dict[str, tuple] = {
+    "docs_dup_ngram_fraction": (docs_dup_ngram_fraction, DUP_NGRAM_SQL),
     "docs_unimax_alloc": (docs_unimax_alloc, UNIMAX_SQL),
     "corpus_topics": (corpus_topics, None),
     "corpus_dsir_selection": (corpus_dsir_selection, DSIR_SQL),

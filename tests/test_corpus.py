@@ -545,3 +545,56 @@ def test_topics_empty_corpus(empty_tables_dir):
     assert len(out) == 0
     assert list(out.columns) == ["topic_id", "n_docs", "rank", "term",
                                  "cnt"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_ngram_fraction_planted(tmp_path):
+    """Planted cross-doc shared 8-gram runs: doc 0 and doc 1 share an
+    exact 10-token block (3 shared 8-grams each); doc 2 is fully unique;
+    doc 3 repeats ITS OWN gram (intra-doc repetition must NOT count as
+    a cross-doc dup); short docs (<8 tokens) emit no row."""
+    import duckdb
+
+    from pdf_extraction_ray.pipelines.corpus import (
+        DUP_NGRAM_SQL, docs_dup_ngram_fraction)
+    block = " ".join(f"shared{i}" for i in range(10))
+    texts = [
+        f"aaa bbb {block}",                       # doc 0: 12 tokens
+        f"{block} ccc ddd",                       # doc 1: 12 tokens
+        " ".join(f"uniq{i}" for i in range(12)),  # doc 2: unique
+        " ".join(f"rep{i % 8}" for i in range(16)),  # doc 3: self-repeat
+        "short text only",                        # doc 4: no gram
+    ]
+    pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                  "text": texts,
+                  "lang": ["en"] * 5, "source": ["s"] * 5,
+                  "n_chars": np.array([len(t) for t in texts],
+                                      dtype=np.int64)}) \
+        .to_parquet(tmp_path / "documents.parquet")
+    out = docs_dup_ngram_fraction(str(tmp_path)).to_pandas() \
+        .set_index("doc_id")
+    assert 4 not in out.index                     # <8 tokens: no row
+    # docs 0/1: 12 tokens -> 5 grams each; the 10-token shared block
+    # contributes 3 identical 8-grams to both
+    assert out.loc[0, "n_grams"] == 5 and out.loc[0, "n_dup"] == 3
+    assert out.loc[1, "n_grams"] == 5 and out.loc[1, "n_dup"] == 3
+    assert out.loc[0, "dup_frac_x1e6"] == 3 * 1_000_000 // 5
+    assert out.loc[2, "n_dup"] == 0
+    # doc 3: rep0..rep7 repeated -> every window is the SAME cyclic
+    # pattern but only 8 distinct grams, none shared with other docs
+    assert out.loc[3, "n_dup"] == 0
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    orc = con.execute(DUP_NGRAM_SQL).fetchdf().set_index("doc_id")
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  orc.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_ngram_fraction_empty(empty_tables_dir):
+    from pdf_extraction_ray.pipelines.corpus import docs_dup_ngram_fraction
+    out = docs_dup_ngram_fraction(empty_tables_dir)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "n_grams", "n_dup",
+                                 "dup_frac_x1e6"]
