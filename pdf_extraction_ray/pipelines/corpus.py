@@ -2234,6 +2234,131 @@ def corpus_topics(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Distributed quality-classifier training (fastText-style linear model)
+# ---------------------------------------------------------------------------
+
+QC_ITERS = 30               # full-batch gradient-descent steps
+QC_LR = 4.0                 # step size on L2-normalized hashed features
+QC_GRAD_SCALE = 1_000_000_000   # per-doc gradient quantization (x1e9)
+
+
+def _weak_label_batch(batch: pa.Table) -> np.ndarray:
+    """Per-doc Snorkel-style weak label: 1 = high quality (>= 3 voter
+    heuristics agree), 0 = low (<= 1), 2 = abstain — the SAME four
+    voters as ``quality_weak_labels`` (textops), reused so the student
+    model distills exactly the published label model."""
+    from ..functions import text as _T
+    from .textops import (_WL_MIN_TOKENS, _WL_PUNCT_MAX, _WL_STOP_MIN,
+                          _WL_TLEN_HI, _WL_TLEN_LO)
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    q = _T.quality_scores(text)
+    stop = q["stop_ratio_x1e6"].to_numpy(zero_copy_only=False)
+    punct = q["punct_ratio_x1e6"].to_numpy(zero_copy_only=False)
+    tlen = q["mean_token_len_x1e6"].to_numpy(zero_copy_only=False)
+    ntok = q["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+    votes = ((stop >= _WL_STOP_MIN).astype(np.int64)
+             + (punct <= _WL_PUNCT_MAX)
+             + ((tlen >= _WL_TLEN_LO) & (tlen <= _WL_TLEN_HI))
+             + (ntok >= _WL_MIN_TOKENS))
+    return np.where(votes >= 3, 1, np.where(votes <= 1, 0, 2)) \
+        .astype(np.int64)
+
+
+def doc_quality_classifier(sf_dir: str):
+    """Train a LINEAR quality classifier (logistic regression over the
+    64-bucket hashed-TF features of `_tf_parts`, plus bias) fully
+    distributed — the fastText-style student model behind CCNet /
+    FineWeb-Edu quality filters, distilling the repo's own Snorkel-style
+    weak labels (``quality_weak_labels``'s four heuristic voters):
+    train on the non-abstain docs, score EVERY doc. Each GD step
+    broadcasts the weights, every batch emits ONE integer gradient
+    partial, the driver applies the update.
+
+    Determinism at ANY parallelism: per-document gradient rows are
+    floor-quantized to integers (x1e9) BEFORE summation, so the global
+    gradient is an order-invariant int64 sum and every weight update —
+    hence every score — is bit-identical whatever the batch/block
+    layout (pinned by the sharding-invariance test). Iterative, so
+    rows-only for the driver.
+
+    Scale shape: features tokenized/hashed/labeled ONCE into a
+    materialized (doc_id, label, vec) table; each GD step is one
+    streaming pass emitting 66 ints per batch; the scoring pass is
+    batch-local. Output: (doc_id, label [0 low / 1 high / 2 abstain],
+    score_x1e6, pred), sorted by doc_id."""
+    import ray
+
+    cols = ("doc_id", "label", "score_x1e6", "pred")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if _n_docs(sf_dir) == 0:
+        return empty
+    docs = _docs(sf_dir)
+
+    def to_feat(batch: pa.Table) -> pa.Table:
+        doc_ids, _, _, m = _tf_parts(batch)
+        return pa.Table.from_pydict({
+            "doc_id": pa.array(doc_ids.astype(np.int64)),
+            "label": pa.array(_weak_label_batch(batch)),
+            "vec": list(m)})
+
+    feats = docs.map_batches(to_feat, batch_format="pyarrow",
+                             batch_size=None).materialize()
+    d1 = TOPICS_DIMS + 1
+    w = np.zeros(d1, dtype=np.float64)
+
+    def xw(batch: pa.Table, w: np.ndarray):
+        X = np.stack(batch["vec"].to_numpy(zero_copy_only=False))
+        X1 = np.hstack([X, np.ones((len(X), 1))])
+        z = np.clip(X1 @ w, -30.0, 30.0)
+        return X1, 1.0 / (1.0 + np.exp(-z))
+
+    def count_train(batch: pa.Table) -> pa.Table:
+        y = batch["label"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {"n": np.array([(y < 2).sum()], dtype=np.int64)})
+
+    n_train = int(feats.map_batches(count_train, batch_format="pyarrow",
+                                    batch_size=None).sum("n") or 0)
+    if n_train == 0:
+        n_train = 1            # all-abstain corpus: w stays 0
+
+    for _ in range(QC_ITERS):
+        wref = ray.put(w)
+
+        def grad_partial(batch: pa.Table, wref=wref) -> pa.Table:
+            y = batch["label"].to_numpy(zero_copy_only=False)
+            keep = y < 2                       # abstains don't train
+            if not keep.any():
+                return pa.Table.from_pydict(
+                    {"g": [np.zeros(TOPICS_DIMS + 1, dtype=np.int64)]})
+            X1, p = xw(batch, ray.get(wref))
+            per_doc = (X1 * (p - y)[:, None])[keep]
+            gq = np.floor(per_doc * QC_GRAD_SCALE).astype(np.int64) \
+                .sum(axis=0)
+            return pa.Table.from_pydict({"g": [gq]})
+
+        parts = feats.map_batches(grad_partial, batch_format="pyarrow",
+                                  batch_size=None).to_pandas()
+        g_int = np.sum(np.stack(parts["g"].to_numpy()), axis=0)
+        w = w - QC_LR * (g_int / (QC_GRAD_SCALE * float(n_train)))
+
+    wref = ray.put(w)
+
+    def score(batch: pa.Table, wref=wref) -> pa.Table:
+        _, p = xw(batch, ray.get(wref))
+        return pa.Table.from_pydict({
+            "doc_id": batch["doc_id"],
+            "label": batch["label"],
+            "score_x1e6": np.floor(p * 1e6).astype(np.int64),
+            "pred": (p >= 0.5).astype(np.int64)})
+
+    return feats.map_batches(score, batch_format="pyarrow",
+                             batch_size=None).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Cross-doc duplicate n-gram fraction (FineWeb-style corpus signal)
 # ---------------------------------------------------------------------------
 
@@ -2382,6 +2507,7 @@ FROM per ORDER BY doc_id
 
 CORPUS_QUERIES: dict[str, tuple] = {
     "docs_dup_ngram_fraction": (docs_dup_ngram_fraction, DUP_NGRAM_SQL),
+    "doc_quality_classifier": (doc_quality_classifier, None),
     "docs_unimax_alloc": (docs_unimax_alloc, UNIMAX_SQL),
     "corpus_topics": (corpus_topics, None),
     "corpus_dsir_selection": (corpus_dsir_selection, DSIR_SQL),

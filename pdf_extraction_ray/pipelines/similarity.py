@@ -1541,7 +1541,84 @@ LIMIT {BITEXT_TOP}
 """
 
 
+# --- distributed PCA projection -------------------------------------
+
+PCA_COMPONENTS = 2
+
+
+def embedding_pca_project(sf_dir: str):
+    """Distributed PCA of the embeddings table: per-batch EXACT integer
+    second-moment partials (sum q, sum q^T q over the x1e3-quantized
+    grid — int64 matmul, order-invariant), a 64x64 driver
+    eigendecomposition, then a batch-local projection of every vector
+    onto the top-{PCA_COMPONENTS} components. Sign fixed per component
+    (largest-|entry| coordinate positive, lowest index on ties), so the
+    result is unique; integer moment accumulation makes it bit-stable
+    at any block layout (sharding-invariance test). Eigendecomposition
+    is not SQL-expressible -> rows-only; planted-axis recovery and
+    variance-ordering tests check the values.
+
+    Scale shape: the exchange carries ONE (64 + 64x64) integer partial
+    per batch; projection streams. At ~1e12 rows the int64 moment sum
+    approaches overflow for |x| ~ unit-scale embeddings — shard the
+    accumulation by key range and widen to object ints at the driver
+    merge before that point (documented bound, not hit at any test SF).
+    Output: (vec_id, pc1_x1e6, pc2_x1e6)."""
+    import pyarrow.dataset as pads
+
+    from ..functions import vectors as V
+
+    cols = ("vec_id", "pc1_x1e6", "pc2_x1e6")
+    empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    if pads.dataset(f"{sf_dir}/embeddings.parquet").count_rows() == 0:
+        return empty
+
+    src = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        q = V.quantize_batch(batch)
+        return pa.Table.from_pydict({
+            "n": np.array([len(q)], dtype=np.int64),
+            "s1": [q.sum(axis=0)],
+            "s2": [(q.T @ q).ravel()]})
+
+    parts = src.map_batches(moments, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    n = int(parts["n"].sum())
+    s1 = np.sum(np.stack(parts["s1"].to_numpy()), axis=0)
+    d = len(s1)
+    s2 = np.sum(np.stack(parts["s2"].to_numpy()), axis=0) \
+        .reshape(d, d)
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)        # ascending
+    order = np.argsort(evals)[::-1][:PCA_COMPONENTS]
+    comps = []
+    for j in order:
+        v = evecs[:, j]
+        k = int(np.argmax(np.abs(v)))         # first max on ties
+        comps.append(v if v[k] > 0 else -v)
+    proj_m = np.stack(comps, axis=1)          # (d, k)
+    import ray
+    pref = ray.put((mean, proj_m))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean, proj_m = ray.get(pref)
+        q = V.quantize_batch(batch)
+        # q is x1e3-scaled: x1000 brings the projection to x1e6 of
+        # the original embedding units
+        p = np.floor((q - mean) @ proj_m * 1000.0).astype(np.int64)
+        return pa.Table.from_pydict({
+            "vec_id": batch["vec_id"],
+            "pc1_x1e6": p[:, 0], "pc2_x1e6": p[:, 1]})
+
+    return src.map_batches(project, batch_format="pyarrow",
+                           batch_size=None).sort("vec_id")
+
+
 SIMILARITY_QUERIES: dict[str, tuple] = {
+    "embedding_pca_project": (embedding_pca_project, None),
     "embedding_bitext_margin": (embedding_bitext_margin, BITEXT_SQL),
     "embedding_hard_negatives": (embedding_hard_negatives, HARDNEG_SQL),
     "embedding_triplet_mining": (embedding_triplet_mining, TRIPLET_SQL),

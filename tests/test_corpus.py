@@ -598,3 +598,71 @@ def test_dup_ngram_fraction_empty(empty_tables_dir):
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "n_grams", "n_dup",
                                  "dup_frac_x1e6"]
+
+
+def _qc_write(d, n_shards=1):
+    """Two-class separable corpus for the quality-classifier tests:
+    stopword-rich prose (all four weak voters pass -> high) vs punct
+    soup (votes <= 1 -> low), disjoint vocabularies."""
+    high = ("the cat and the dog are in the house with a good plan "
+            "for the day and more the end here now")     # 21 toks
+    low = ",,,,,,,, !!!!!!!! ???????? ;;;;;;;; ::::::::"  # 5 punct toks
+    texts, langs = [], []
+    for i in range(40):
+        texts.append(high + f" extra{i}" if i % 2 == 0
+                     else low + f" x{i}!!!!")
+        langs.append("en")
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": texts, "lang": langs,
+                       "source": ["s"] * 40,
+                       "n_chars": [len(t) for t in texts]})
+    df["n_chars"] = df["n_chars"].astype("int64")
+    os.makedirs(d, exist_ok=True)
+    if n_shards == 1:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+    else:
+        os.makedirs(os.path.join(d, "documents.parquet"), exist_ok=True)
+        for s in range(n_shards):
+            df.iloc[s::n_shards].to_parquet(os.path.join(
+                d, "documents.parquet", f"part-{s}.parquet"))
+    return df
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_classifier_separable(tmp_path):
+    """Distilling the weak labels on a separable two-class corpus:
+    perfect train accuracy and confidently-separated scores."""
+    from pdf_extraction_ray.pipelines.corpus import doc_quality_classifier
+    d = str(tmp_path / "qc")
+    _qc_write(d)
+    out = doc_quality_classifier(d).to_pandas()
+    assert len(out) == 40
+    tr = out[out["label"] < 2]
+    assert set(tr["label"]) == {0, 1}          # both classes labeled
+    assert (tr["label"] == tr["pred"]).all()   # perfect separation
+    assert (tr.loc[tr["label"] == 1, "score_x1e6"] > 800_000).all()
+    assert (tr.loc[tr["label"] == 0, "score_x1e6"] < 200_000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_classifier_sharding_invariant(tmp_path):
+    """Integer-quantized gradient partials make training bit-identical
+    at any block layout: 1-shard vs 5-shard corpora give the SAME
+    scores."""
+    from pdf_extraction_ray.pipelines.corpus import doc_quality_classifier
+    d1, d5 = str(tmp_path / "s1"), str(tmp_path / "s5")
+    _qc_write(d1, n_shards=1)
+    _qc_write(d5, n_shards=5)
+    o1 = doc_quality_classifier(d1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    o5 = doc_quality_classifier(d5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_classifier_empty(empty_tables_dir):
+    from pdf_extraction_ray.pipelines.corpus import doc_quality_classifier
+    out = doc_quality_classifier(empty_tables_dir)
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "label", "score_x1e6", "pred"]

@@ -2,6 +2,8 @@
 paths (every returned score must match the exact kernel; the recall
 queries report real recall)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -521,3 +523,70 @@ def test_bitext_exchange_path_matches_driver_merge(emb_dir):
     fast = embedding_bitext_margin(d)
     slow = embedding_bitext_margin(d, merge_driver_max=0)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def _pca_write(d, vecs, n_shards=1):
+    os.makedirs(d, exist_ok=True)
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+        "label": np.zeros(len(vecs), dtype=np.int32)})
+    if n_shards == 1:
+        df.to_parquet(os.path.join(d, "embeddings.parquet"))
+    else:
+        os.makedirs(os.path.join(d, "embeddings.parquet"), exist_ok=True)
+        for s in range(n_shards):
+            df.iloc[s::n_shards].to_parquet(os.path.join(
+                d, "embeddings.parquet", f"part-{s}.parquet"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_planted_axis_recovery(tmp_path):
+    """Points spread along a planted direction (tiny isotropic noise):
+    the pc1 projection must track the planted coordinate almost
+    perfectly, and pc1 variance must dominate pc2."""
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_pca_project)
+    rng = np.random.default_rng(11)
+    d = 64
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    t = rng.normal(size=200) * 5.0
+    vecs = t[:, None] * u[None, :] + rng.normal(size=(200, d)) * 0.05
+    dd = str(tmp_path / "pca")
+    _pca_write(dd, vecs)
+    out = embedding_pca_project(dd).to_pandas().sort_values("vec_id")
+    p1 = out["pc1_x1e6"].to_numpy(np.float64)
+    p2 = out["pc2_x1e6"].to_numpy(np.float64)
+    corr = abs(np.corrcoef(p1, t)[0, 1])
+    assert corr > 0.999
+    assert p1.var() > 50 * p2.var()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_sharding_invariant(tmp_path):
+    """Integer moment partials: 1-shard vs 4-shard layouts give the
+    bit-identical projection."""
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_pca_project)
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(60, 64))
+    d1, d4 = str(tmp_path / "s1"), str(tmp_path / "s4")
+    _pca_write(d1, vecs, n_shards=1)
+    _pca_write(d4, vecs, n_shards=4)
+    o1 = embedding_pca_project(d1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    o4 = embedding_pca_project(d4).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(o1, o4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pca_empty(tmp_path):
+    from pdf_extraction_ray.pipelines.similarity import (
+        embedding_pca_project)
+    dd = str(tmp_path / "e")
+    _pca_write(dd, [])
+    out = embedding_pca_project(dd)
+    assert len(out) == 0
+    assert list(out.columns) == ["vec_id", "pc1_x1e6", "pc2_x1e6"]
