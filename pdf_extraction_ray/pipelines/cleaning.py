@@ -757,7 +757,185 @@ ORDER BY tot.source
 """
 
 
+# ---------------------------------------------------------------------------
+# JusText-style block classifier (stopword density + link density +
+# context smoothing — Pomikálek 2011; the trafilatura/readability
+# boilerplate heuristic the north rule names)
+# ---------------------------------------------------------------------------
+
+JX_A = 999983               # line-decoration mix (doc term)
+JX_B = 6007                 # line-decoration mix (line term)
+JX_MOD = 1000
+JX_LINK_SUFFIX = " <a>nav menu links</a>"     # r % 7 == 2: nav line
+JX_STOP_SUFFIX = " the and of to in."         # r % 3 == 0: prose line
+JX_STOPWORDS = ("the", "and", "of", "to", "in")
+JX_SHORT_CHARS = 25         # JusText length_low analog
+JX_STOP_MIN_X1E6 = 250_000  # stopwords_high analog
+
+_CLS_GOOD, _CLS_BAD, _CLS_SHORT, _CLS_NEAR = 0, 1, 2, 3
+
+
+def _justext_lines(batch: pa.Table):
+    """Flat per-line arrays (parent doc index, line no, chars,
+    stop_density_x1e6, linked) for one batch, in (doc, line) order —
+    same 40-char render as the C4 tier, with its OWN deterministic
+    decoration: ``r = (doc_id*JX_A + g*JX_B) % JX_MOD`` plants a
+    link-navigation suffix on r%7==2 lines and a stopword-rich prose
+    suffix on r%3==0 lines (link wins when both fire)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    txt = batch.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    txt = pc.fill_null(txt, "")
+    lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    n_chunks = (lens + _LINE - 1) // _LINE
+    parts: list[tuple] = []
+    for g in range(int(n_chunks.max()) if len(ids) else 0):
+        sel = n_chunks > g
+        idx = np.flatnonzero(sel)
+        sl = pc.utf8_slice_codeunits(txt.filter(pa.array(sel)),
+                                     _LINE * g, _LINE * (g + 1))
+        r = (ids[idx] * JX_A + g * JX_B) % JX_MOD
+        suffix = np.select([r % 7 == 2, r % 3 == 0],
+                           [JX_LINK_SUFFIX, JX_STOP_SUFFIX], default="")
+        dec = pc.binary_join_element_wise(sl, pa.array(suffix), "")
+        linked = pc.match_substring(dec, "<a>") \
+            .to_numpy(zero_copy_only=False)
+        chars = pc.utf8_length(dec).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        words = pc.count_substring(dec, " ") \
+            .to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        from ..functions.arrow_utils import as_array
+        toks = as_array(pc.split_pattern_regex(pc.utf8_lower(dec),
+                                               r"\s+"))
+        flat = as_array(pc.list_flatten(toks))
+        par = as_array(pc.list_parent_indices(toks)) \
+            .to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=pa.array(JX_STOPWORDS)) \
+            .to_numpy(zero_copy_only=False)
+        stop_cnt = np.zeros(len(idx), dtype=np.int64)
+        np.add.at(stop_cnt, par[is_stop], 1)
+        parts.append((idx, np.full(len(idx), g, dtype=np.int64), chars,
+                      (stop_cnt * 1_000_000) // words, linked))
+    if not parts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z, np.zeros(0, dtype=bool)
+    parent = np.concatenate([p[0] for p in parts])
+    gno = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((gno, parent))
+    return (parent[order], gno[order],
+            np.concatenate([p[2] for p in parts])[order],
+            np.concatenate([p[3] for p in parts])[order],
+            np.concatenate([p[4] for p in parts])[order])
+
+
+def docs_justext_blocks(sf_dir: str):
+    """JusText-style main-content block classification over the
+    rendered lines: context-free classes first (bad = link-navigation,
+    short = under {JX_SHORT_CHARS} chars, good = stopword density >=
+    0.25 with enough length, near-good otherwise), then ONE
+    context-smoothing pass — a short/near-good line joins the content
+    iff an adjacent line of the same document is context-free good
+    (Pomikálek 2011's neighbor rule, deterministic single pass). The
+    whole operator is batch-local (lines never cross the exchange);
+    the oracle replays render + both passes with LAG/LEAD windows.
+    Output: (doc_id, n_lines, n_good, n_bad, content_chars)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parent, gno, chars, stopd, linked = _justext_lines(batch)
+        cls0 = np.select(
+            [linked, chars < JX_SHORT_CHARS,
+             stopd >= JX_STOP_MIN_X1E6],
+            [_CLS_BAD, _CLS_SHORT, _CLS_GOOD], default=_CLS_NEAR)
+        good0 = cls0 == _CLS_GOOD
+        same_prev = np.zeros(len(parent), dtype=bool)
+        same_next = np.zeros(len(parent), dtype=bool)
+        if len(parent) > 1:
+            same_prev[1:] = parent[1:] == parent[:-1]
+            same_next[:-1] = parent[:-1] == parent[1:]
+        prev_good = np.zeros(len(parent), dtype=bool)
+        next_good = np.zeros(len(parent), dtype=bool)
+        if len(parent) > 1:
+            prev_good[1:] = good0[:-1] & same_prev[1:]
+            next_good[:-1] = good0[1:] & same_next[:-1]
+        undecided = (cls0 == _CLS_SHORT) | (cls0 == _CLS_NEAR)
+        final_good = good0 | (undecided & (prev_good | next_good))
+        n = len(ids)
+        n_lines = np.bincount(parent, minlength=n).astype(np.int64)
+        n_good = np.bincount(parent[final_good], minlength=n) \
+            .astype(np.int64)
+        content = np.zeros(n, dtype=np.int64)
+        np.add.at(content, parent[final_good], chars[final_good])
+        has = n_lines > 0
+        return pa.Table.from_pydict({
+            "doc_id": ids[has], "n_lines": n_lines[has],
+            "n_good": n_good[has],
+            "n_bad": (n_lines - n_good)[has],
+            "content_chars": content[has]})
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          batch_size=None).sort("doc_id")
+
+
+_JXR = f"(CAST(doc_id AS BIGINT) * {JX_A} + g * {JX_B}) % {JX_MOD}"
+
+JUSTEXT_SQL = f"""
+WITH gs AS (
+  SELECT doc_id, coalesce(text, '') AS txt,
+         unnest(range(0, CAST(ceil(length(coalesce(text, ''))
+                                   / {_LINE}.0) AS BIGINT))) AS g
+  FROM documents),
+lines AS (
+  SELECT doc_id, g,
+         substring(txt, 1 + {_LINE} * CAST(g AS INT), {_LINE})
+         || CASE WHEN {_JXR} % 7 = 2 THEN '{JX_LINK_SUFFIX}'
+                 WHEN {_JXR} % 3 = 0 THEN '{JX_STOP_SUFFIX}'
+                 ELSE '' END AS t
+  FROM gs),
+feat AS (
+  SELECT doc_id, g, CAST(length(t) AS BIGINT) AS chars,
+         contains(t, '<a>') AS linked,
+         CAST(len(list_filter(
+                regexp_split_to_array(lower(t), '\\s+'),
+                x -> x IN ({", ".join(f"'{s}'" for s in JX_STOPWORDS)})))
+              AS BIGINT) * 1000000
+           // (length(t) - length(replace(t, ' ', '')) + 1) AS stopd
+  FROM lines),
+cls AS (
+  SELECT doc_id, g, chars,
+         CASE WHEN linked THEN {_CLS_BAD}
+              WHEN chars < {JX_SHORT_CHARS} THEN {_CLS_SHORT}
+              WHEN stopd >= {JX_STOP_MIN_X1E6} THEN {_CLS_GOOD}
+              ELSE {_CLS_NEAR} END AS c0
+  FROM feat),
+ctx AS (
+  SELECT doc_id, g, chars, c0,
+         LAG(c0) OVER w AS pc, LEAD(c0) OVER w AS nc
+  FROM cls WINDOW w AS (PARTITION BY doc_id ORDER BY g)),
+fin AS (
+  SELECT doc_id, chars,
+         coalesce((c0 = {_CLS_GOOD}) OR
+                  (c0 IN ({_CLS_SHORT}, {_CLS_NEAR})
+                   AND ({_CLS_GOOD} IN (pc, nc))),
+                  FALSE) AS good     -- edge lines: NULL neighbor, not good
+  FROM ctx)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (good) AS BIGINT) AS n_good,
+       CAST(count(*) FILTER (NOT good) AS BIGINT) AS n_bad,
+       CAST(coalesce(sum(chars) FILTER (good), 0) AS BIGINT)
+           AS content_chars
+FROM fin GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 CLEANING_QUERIES: dict[str, tuple] = {
+    "docs_justext_blocks": (docs_justext_blocks, JUSTEXT_SQL),
     "docs_c4_line_clean": (docs_c4_line_clean, C4_LINE_CLEAN_SQL),
     "docs_c4_clean_rewrite": (docs_c4_clean_rewrite,
                               C4_CLEAN_REWRITE_SQL),

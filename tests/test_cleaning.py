@@ -247,3 +247,68 @@ class TestSiteTemplates:
                        os.path.join(e, "documents.parquet"))
         assert len(docs_template_lines(e)) == 0
         assert len(docs_template_strip_rewrite(e)) == 0
+
+
+class TestJusText:
+    def test_context_smoothing_semantics(self, tmp_path):
+        """Hand-checkable doc: the line decoration is derived from
+        (doc_id, g), so pick a doc_id and verify the classifier's
+        context rule directly against a python replay of the spec."""
+        from pdf_extraction_ray.pipelines.cleaning import (
+            _CLS_BAD, _CLS_GOOD, _CLS_NEAR, _CLS_SHORT, _LINE, JX_A,
+            JX_B, JX_LINK_SUFFIX, JX_MOD, JX_SHORT_CHARS,
+            JX_STOP_MIN_X1E6, JX_STOP_SUFFIX, JX_STOPWORDS,
+            docs_justext_blocks)
+        rng = np.random.default_rng(3)
+        texts = [" ".join(rng.choice(["alpha", "beta", "gamma", "word"],
+                                     size=60)) for _ in range(8)]
+        df = pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64),
+                           "text": texts})
+        d = str(tmp_path / "jx")
+        os.makedirs(d)
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        out = docs_justext_blocks(d).to_pandas().set_index("doc_id")
+
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            lines = [text[i:i + _LINE]
+                     for i in range(0, len(text), _LINE)]
+            cls0, chars = [], []
+            for g, ln in enumerate(lines):
+                r = (doc_id * JX_A + g * JX_B) % JX_MOD
+                t = ln + (JX_LINK_SUFFIX if r % 7 == 2 else
+                          JX_STOP_SUFFIX if r % 3 == 0 else "")
+                toks = t.lower().split()
+                words = t.count(" ") + 1
+                stopd = sum(x in JX_STOPWORDS for x in toks) \
+                    * 1_000_000 // words
+                chars.append(len(t))
+                cls0.append(_CLS_BAD if "<a>" in t else
+                            _CLS_SHORT if len(t) < JX_SHORT_CHARS else
+                            _CLS_GOOD if stopd >= JX_STOP_MIN_X1E6 else
+                            _CLS_NEAR)
+            good = []
+            for g, c in enumerate(cls0):
+                if c == _CLS_GOOD:
+                    good.append(True)
+                elif c in (_CLS_SHORT, _CLS_NEAR):
+                    good.append(
+                        (g > 0 and cls0[g - 1] == _CLS_GOOD)
+                        or (g + 1 < len(cls0)
+                            and cls0[g + 1] == _CLS_GOOD))
+                else:
+                    good.append(False)
+            assert out.loc[doc_id, "n_lines"] == len(lines)
+            assert out.loc[doc_id, "n_good"] == sum(good)
+            assert out.loc[doc_id, "content_chars"] == sum(
+                c for c, k in zip(chars, good) if k)
+
+    def test_empty_and_blank(self, tmp_path):
+        from pdf_extraction_ray.pipelines.cleaning import (
+            docs_justext_blocks)
+        d = str(tmp_path / "jxe")
+        os.makedirs(d)
+        pd.DataFrame({"doc_id": np.array([0, 1], dtype=np.int64),
+                      "text": ["", None]}) \
+            .to_parquet(os.path.join(d, "documents.parquet"))
+        out = docs_justext_blocks(d).to_pandas()
+        assert len(out) == 0         # zero-length renders: no lines
