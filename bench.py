@@ -1154,7 +1154,12 @@ def main():
                          "docs_webdataset_shards",
                          "events_value_did",
                          "events_value_cuped",
-                         "events_assignment_srm"]
+                         "events_assignment_srm",
+                         # round-4 operators
+                         "docs_dup_ngram_fraction",
+                         "doc_quality_classifier",
+                         "embedding_pca_project",
+                         "docs_justext_blocks"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
