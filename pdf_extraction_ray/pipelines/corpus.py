@@ -2240,6 +2240,7 @@ def corpus_topics(sf_dir: str):
 QC_ITERS = 30               # full-batch gradient-descent steps
 QC_LR = 4.0                 # step size on L2-normalized hashed features
 QC_GRAD_SCALE = 1_000_000_000   # per-doc gradient quantization (x1e9)
+QC_DRIVER_MAX = 65536       # <= this many docs: train on the driver
 
 
 def _weak_label_batch(batch: pa.Table) -> np.ndarray:
@@ -2266,7 +2267,8 @@ def _weak_label_batch(batch: pa.Table) -> np.ndarray:
         .astype(np.int64)
 
 
-def doc_quality_classifier(sf_dir: str):
+def doc_quality_classifier(sf_dir: str,
+                           driver_max: int = QC_DRIVER_MAX):
     """Train a LINEAR quality classifier (logistic regression over the
     64-bucket hashed-TF features of `_tf_parts`, plus bias) fully
     distributed — the fastText-style student model behind CCNet /
@@ -2313,6 +2315,35 @@ def doc_quality_classifier(sf_dir: str):
         X1 = np.hstack([X, np.ones((len(X), 1))])
         z = np.clip(X1 @ w, -30.0, 30.0)
         return X1, 1.0 / (1.0 + np.exp(-z))
+
+    if _n_docs(sf_dir) <= driver_max:
+        # small-corpus fast path: the SAME per-doc integer-quantized
+        # gradient algebra on one in-memory matrix — bit-identical to
+        # the distributed passes by construction (the global gradient
+        # is an order-invariant int64 sum either way; pinned by
+        # test_quality_classifier_driver_path_equals_distributed) —
+        # minus {QC_ITERS}+1 scheduling barriers per run.
+        df = feats.to_pandas().sort_values("doc_id") \
+            .reset_index(drop=True)
+        X = np.stack(df["vec"].to_numpy())
+        X1 = np.hstack([X, np.ones((len(X), 1))])
+        y = df["label"].to_numpy(np.int64)
+        keep = y < 2
+        n_tr = max(int(keep.sum()), 1)
+        for _ in range(QC_ITERS):
+            z = np.clip(X1 @ w, -30.0, 30.0)
+            p = 1.0 / (1.0 + np.exp(-z))
+            per_doc = (X1 * (p - y)[:, None])[keep]
+            g_int = np.floor(per_doc * QC_GRAD_SCALE) \
+                .astype(np.int64).sum(axis=0)
+            w = w - QC_LR * (g_int / (QC_GRAD_SCALE * float(n_tr)))
+        z = np.clip(X1 @ w, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "label": y,
+            "score_x1e6": np.floor(p * 1e6).astype(np.int64),
+            "pred": (p >= 0.5).astype(np.int64)})
 
     def count_train(batch: pa.Table) -> pa.Table:
         y = batch["label"].to_numpy(zero_copy_only=False)
@@ -2397,7 +2428,11 @@ def _doc_grams_batch(batch: pa.Table) -> pd.DataFrame:
     return df.drop_duplicates(ignore_index=True)
 
 
-def docs_dup_ngram_fraction(sf_dir: str):
+DUPN_DRIVER_MAX = 10_000    # <= this many docs: merge pairs driver-side
+
+
+def docs_dup_ngram_fraction(sf_dir: str,
+                            driver_max: int = DUPN_DRIVER_MAX):
     """Per-document CROSS-corpus duplicate n-gram fraction: of each
     doc's distinct sliding {NGRAM_N}-token grams, how many also occur
     in at least one OTHER document — the FineWeb/Gopher "duplicated
@@ -2425,6 +2460,25 @@ def docs_dup_ngram_fraction(sf_dir: str):
 
     pairs = _docs(sf_dir).map_batches(pairs_fn, batch_format="pyarrow",
                                       batch_size=None)
+
+    if _n_docs(sf_dir) <= driver_max:
+        # small-corpus fast path: the distinct (gram, doc) pair set is
+        # bounded by docs x grams-per-doc — one collect, the same
+        # count/merge algebra in pandas (identical to the exchange
+        # path and the SQL oracle; equality pinned by test)
+        df = pairs.to_pandas()
+        if df.empty or "gram" not in df.columns:
+            return empty
+        nd_per_gram = df.groupby("gram")["doc_id"].transform("size")
+        per = df.groupby("doc_id").size().rename("n_grams").to_frame()
+        per["n_dup"] = df.loc[nd_per_gram >= 2] \
+            .groupby("doc_id").size().reindex(per.index, fill_value=0)
+        per = per.reset_index().astype("int64")
+        per["dup_frac_x1e6"] = (per["n_dup"] * 1_000_000) \
+            // per["n_grams"]
+        return per[list(cols)].sort_values("doc_id") \
+            .reset_index(drop=True)
+
     # typed empty when NO doc reaches NGRAM_N tokens (all-empty
     # map_groups output loses its schema); the streaming limit(1)
     # probe stops after the first non-empty block

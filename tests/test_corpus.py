@@ -571,7 +571,8 @@ def test_dup_ngram_fraction_planted(tmp_path):
                   "n_chars": np.array([len(t) for t in texts],
                                       dtype=np.int64)}) \
         .to_parquet(tmp_path / "documents.parquet")
-    out = docs_dup_ngram_fraction(str(tmp_path)).to_pandas() \
+    out = docs_dup_ngram_fraction(str(tmp_path))
+    out = (out.to_pandas() if hasattr(out, "to_pandas") else out) \
         .set_index("doc_id")
     assert 4 not in out.index                     # <8 tokens: no row
     # docs 0/1: 12 tokens -> 5 grams each; the 10-token shared block
@@ -635,7 +636,8 @@ def test_quality_classifier_separable(tmp_path):
     from pdf_extraction_ray.pipelines.corpus import doc_quality_classifier
     d = str(tmp_path / "qc")
     _qc_write(d)
-    out = doc_quality_classifier(d).to_pandas()
+    out = doc_quality_classifier(d)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
     assert len(out) == 40
     tr = out[out["label"] < 2]
     assert set(tr["label"]) == {0, 1}          # both classes labeled
@@ -653,9 +655,9 @@ def test_quality_classifier_sharding_invariant(tmp_path):
     d1, d5 = str(tmp_path / "s1"), str(tmp_path / "s5")
     _qc_write(d1, n_shards=1)
     _qc_write(d5, n_shards=5)
-    o1 = doc_quality_classifier(d1).to_pandas() \
+    o1 = doc_quality_classifier(d1, driver_max=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
-    o5 = doc_quality_classifier(d5).to_pandas() \
+    o5 = doc_quality_classifier(d5, driver_max=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(o1, o5)
 
@@ -666,3 +668,32 @@ def test_quality_classifier_empty(empty_tables_dir):
     out = doc_quality_classifier(empty_tables_dir)
     assert len(out) == 0
     assert list(out.columns) == ["doc_id", "label", "score_x1e6", "pred"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_ngram_scale_path_equals_driver(tmp_path):
+    """Forcing the gram-keyed exchange (driver_max=0) reproduces the
+    driver-merge fast path exactly."""
+    from pdf_extraction_ray.pipelines.corpus import docs_dup_ngram_fraction
+    sf = "/root/testdata/sf0.001"
+    fast = docs_dup_ngram_fraction(sf)
+    fast = fast.to_pandas() if hasattr(fast, "to_pandas") else fast
+    slow = docs_dup_ngram_fraction(sf, driver_max=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        fast.sort_values("doc_id").reset_index(drop=True).astype("int64"),
+        slow.sort_values("doc_id").reset_index(drop=True).astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quality_classifier_driver_path_equals_distributed(tmp_path):
+    """The driver fast path and the distributed GD passes share the
+    order-invariant integer gradient algebra — bit-identical scores."""
+    from pdf_extraction_ray.pipelines.corpus import doc_quality_classifier
+    d = str(tmp_path / "qcp")
+    _qc_write(d, n_shards=3)
+    fast = doc_quality_classifier(d)
+    fast = fast.to_pandas() if hasattr(fast, "to_pandas") else fast
+    slow = doc_quality_classifier(d, driver_max=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        fast.sort_values("doc_id").reset_index(drop=True),
+        slow.sort_values("doc_id").reset_index(drop=True))
