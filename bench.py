@@ -1159,7 +1159,8 @@ def main():
                          "docs_dup_ngram_fraction",
                          "doc_quality_classifier",
                          "embedding_pca_project",
-                         "docs_justext_blocks"]
+                         "docs_justext_blocks",
+                         "preference_bradley_terry"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

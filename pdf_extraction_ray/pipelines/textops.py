@@ -398,6 +398,97 @@ def dpo_pairs_by_source(sf_dir: str):
         .astype("int64")}).reset_index(drop=True)
 
 
+BT_ITERS = 50               # Bradley-Terry MM iterations (Hunter 2004)
+
+
+def preference_bradley_terry(sf_dir: str):
+    """Bradley-Terry preference-strength fitting over mined pairwise
+    comparisons — the reward-model-style readout of the DPO tier:
+    consecutive documents (pair_id = doc_id // 2) with DIFFERENT langs
+    play one "game", won by the higher stopword-ratio quality proxy
+    (exact ties void the game); per-lang strengths then come from
+    Hunter (2004)'s MM iteration on the aggregated win matrix.
+
+    Scale shape: one pair_id-keyed coarse exchange emits (winner,
+    loser) rows, a (winner, loser)-keyed Sum reduces them to the
+    langs x langs win matrix (items-bounded, tiny), and the MM loop
+    runs on the driver over that matrix — iterations never touch the
+    corpus. The win matrix is exact integers, so the fit is
+    deterministic at any parallelism. Iterative -> rows-only; planted
+    transitive-order recovery pins the values.
+    Output: (lang, games, wins, strength_x1e6), strength desc."""
+    from .relational import _coarse_partition_map, _table_empty
+
+    cols = ("lang", "games", "wins", "strength_x1e6")
+    empty = pd.DataFrame({
+        "lang": pd.Series(dtype="object"),
+        **{c: pd.Series(dtype="int64") for c in cols[1:]}})[list(cols)]
+    if _table_empty(sf_dir, "documents"):
+        return empty
+
+    def prep(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks() \
+            if isinstance(batch["text"], pa.ChunkedArray) \
+            else batch["text"]
+        ratio = T.quality_scores(text)["stop_ratio_x1e6"] \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.Table.from_pydict({
+            "pair_id": ids // 2, "doc_id": ids,
+            "lang": batch["lang"], "r": ratio})
+
+    games = _docs(sf_dir, columns=("doc_id", "lang", "text")) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+
+    def play(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pair_id", "doc_id"])
+        out_w, out_l = [], []
+        first = g.groupby("pair_id").nth(0)
+        second = g.groupby("pair_id").nth(1)
+        m = first.merge(second, on="pair_id",
+                        suffixes=("_a", "_b"))
+        m = m[(m["lang_a"] != m["lang_b"]) & (m["r_a"] != m["r_b"])]
+        win_a = m["r_a"] > m["r_b"]
+        out_w = np.where(win_a, m["lang_a"], m["lang_b"])
+        out_l = np.where(win_a, m["lang_b"], m["lang_a"])
+        return pd.DataFrame({"winner": out_w, "loser": out_l,
+                             "n": np.ones(len(m), dtype=np.int64)})
+
+    wm = _coarse_partition_map(games, "pair_id", play) \
+        .groupby(["winner", "loser"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    if wm.empty or "winner" not in wm.columns:
+        return empty
+
+    items = sorted(set(wm["winner"]) | set(wm["loser"]))
+    k = len(items)
+    N = np.zeros((k, k), dtype=np.int64)      # games between i and j
+    W = np.zeros(k, dtype=np.int64)           # wins of i
+    for w_, l_, n_ in wm.itertuples(index=False):
+        i, j = items.index(w_), items.index(l_)
+        N[i, j] += n_
+        N[j, i] += n_
+        W[i] += n_
+    s = np.full(k, 1.0 / k)
+    for _ in range(BT_ITERS):
+        denom = np.zeros(k)
+        for i in range(k):
+            mask = N[i] > 0
+            denom[i] = (N[i, mask] / (s[i] + s[mask])).sum()
+        s = np.where(denom > 0, W / np.maximum(denom, 1e-300), s)
+        s = np.maximum(s, 1e-12)
+        s /= s.sum()
+    out = pd.DataFrame({
+        "lang": items,
+        "games": N.sum(axis=1).astype("int64"),
+        "wins": W.astype("int64"),
+        "strength_x1e6": np.floor(s * 1e6).astype("int64")})
+    return out.sort_values(["strength_x1e6", "lang"],
+                           ascending=[False, True]) \
+        .reset_index(drop=True)[list(cols)]
+
+
 DPO_PAIRS_SQL = rf"""
 WITH q AS (
   SELECT doc_id, source,
@@ -2558,6 +2649,7 @@ TEXT_QUERIES: dict[str, tuple] = {
     "doc_dedup_incremental": (doc_dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "corpus_snapshot_diff": (corpus_snapshot_diff, SNAPSHOT_DIFF_SQL),
     "dpo_pairs_by_source": (dpo_pairs_by_source, DPO_PAIRS_SQL),
+    "preference_bradley_terry": (preference_bradley_terry, None),
     "dedup_weighted_sampling": (dedup_weighted_sampling,
                                 DEDUP_WEIGHTED_SQL),
     "quality_weak_labels": (quality_weak_labels, WEAK_LABELS_SQL),
