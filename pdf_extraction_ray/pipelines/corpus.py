@@ -2064,7 +2064,10 @@ def _tf_parts(batch: pa.Table):
     return doc_ids, parent, flat, m
 
 
-def corpus_topics(sf_dir: str):
+TOPICS_DRIVER_MAX = 65536   # <= this many docs: cluster on the driver
+
+
+def corpus_topics(sf_dir: str, driver_max: int = TOPICS_DRIVER_MAX):
     """Document TOPIC clustering without embeddings: L2-normalized
     64-bucket hashed term-frequency vectors, distributed Lloyd's
     k-means (TOPICS_ITERS streaming passes, deterministic init from the
@@ -2101,23 +2104,64 @@ def corpus_topics(sf_dir: str):
     # to the chosen centroids (ties -> smallest doc_id). Seeding with
     # the K smallest ids collapses whole topics when the id order
     # correlates with content — the planted-vocabulary test pins this.
-    # seed selection needs only TWO scalars (min doc_id, corpus count):
-    # a distributed Min/Count aggregate — never the full id column on
-    # the driver (at 10^12 docs one int64 column is terabytes).
-    from ray.data.aggregate import Count, Min
-    id_stats = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"]) \
-        .aggregate(Min("doc_id"), Count())
-    n_docs_total = int(id_stats.get("count()", 0) or 0)
+    n_docs_total = _n_docs(sf_dir)
     if n_docs_total == 0:
         return empty
+    k_target = min(TOPICS_K, n_docs_total)
+
+    if n_docs_total <= driver_max:
+        # small-corpus fast path: same min-doc seed, same greedy
+        # k-center init (identical (-d2, doc_id) tie rule), same Lloyd
+        # sum/count updates and same term-profile ordering, on one
+        # in-memory matrix — minus the 1 + K-1 + TOPICS_ITERS
+        # scheduling barriers. The distributed path stays default past
+        # the cap and keeps its own tests (driver_max=0 in
+        # test_topics_planted_vocabulary_recovery).
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+        doc_ids_all, parent, flat, m = _tf_parts(tbl)
+        cents = m[int(np.argmin(doc_ids_all))][None, :].copy()
+        while len(cents) < k_target:
+            d2 = ((m[:, None, :] - cents[None, :, :]) ** 2) \
+                .sum(axis=2).min(axis=1)
+            j = np.lexsort((doc_ids_all, -d2))[0]
+            cents = np.vstack([cents, m[j]])
+        for _ in range(TOPICS_ITERS):
+            a = _assign(m, cents)
+            new = cents.copy()
+            for cl in range(len(cents)):
+                sel = a == cl
+                if sel.any():
+                    new[cl] = m[sel].sum(axis=0) / int(sel.sum())
+            cents = new
+        a = _assign(m, cents)
+        df = pd.DataFrame({"cl": a[parent],
+                           "term": flat.to_numpy(zero_copy_only=False)})
+        top = df.groupby(["cl", "term"], as_index=False).size() \
+            .rename(columns={"size": "cnt"}) \
+            .sort_values(["cl", "cnt", "term"],
+                         ascending=[True, False, True]) \
+            .groupby("cl").head(TOPICS_TOP_TERMS).reset_index(drop=True)
+        top["rank"] = top.groupby("cl").cumcount() + 1
+        sizes = np.bincount(a, minlength=len(cents))
+        top["n_docs"] = top["cl"].map(lambda c: int(sizes[c]))
+        out = top.rename(columns={"cl": "topic_id"})[list(cols)]
+        return out.astype({"topic_id": "int64", "n_docs": "int64",
+                           "rank": "int64", "cnt": "int64"}) \
+            .sort_values(["topic_id", "rank"]).reset_index(drop=True)
+
+    # distributed path: seed selection needs only ONE scalar (min
+    # doc_id) — a distributed Min aggregate, never the full id column
+    # on the driver (at 10^12 docs one int64 column is terabytes)
+    from ray.data.aggregate import Min
+    id_stats = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"]).aggregate(Min("doc_id"))
     seed_id = int(id_stats["min(doc_id)"])
     seed = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         filters=[("doc_id", "in", [seed_id])]).to_pandas()
     _, _, _, cents = _tf_parts(pa.Table.from_pandas(
         seed, preserve_index=False))
-    k_target = min(TOPICS_K, n_docs_total)
 
     # tokenize + hash ONCE: the iterative passes run over the
     # materialized (doc_id, vec) table in the object store, not over

@@ -527,15 +527,20 @@ def test_topics_planted_vocabulary_recovery(tmp_path):
         "source": ["s"] * len(texts),
         "n_chars": [len(t) for t in texts]}) \
         .to_parquet(os.path.join(d, "documents.parquet"))
-    out = corpus_topics(d)
     flat_vocab = {w: i for i, v in enumerate(vocabs) for w in v}
-    seen_vocabs = set()
-    for tid, g in out.groupby("topic_id"):
-        owners = {flat_vocab[t] for t in g["term"]}
-        assert len(owners) == 1, f"topic {tid} mixes vocabularies"
-        seen_vocabs |= owners
-    assert seen_vocabs == {0, 1, 2}
-    assert out.groupby("topic_id")["n_docs"].first().sum() == len(texts)
+    # BOTH paths must recover: driver fast path (default at this size)
+    # and the distributed barrier passes (driver_max=0)
+    for dm in (None, 0):
+        out = corpus_topics(d) if dm is None else corpus_topics(
+            d, driver_max=0)
+        seen_vocabs = set()
+        for tid, g in out.groupby("topic_id"):
+            owners = {flat_vocab[t] for t in g["term"]}
+            assert len(owners) == 1, f"topic {tid} mixes vocabularies"
+            seen_vocabs |= owners
+        assert seen_vocabs == {0, 1, 2}
+        assert out.groupby("topic_id")["n_docs"].first().sum() \
+            == len(texts)
 
 
 @pytest.mark.usefixtures("ray_session")
