@@ -203,10 +203,30 @@ def _build_tounicode_cmap(cid_of: dict) -> str:
     return "\n".join(parts) + "\n"
 
 
+def _encode_stream(data: bytes, compress: bool,
+                   stream_filter: str | None) -> tuple[bytes, str]:
+    """(encoded bytes, dict /Filter fragment) for a content stream.
+    Decode order is array order, so the transfer encoding is named
+    FIRST and applied LAST: stored = transfer(zlib(data))."""
+    names = []
+    if compress:
+        data = zlib.compress(data)
+        names.append("FlateDecode")
+    if stream_filter:
+        data = _FILTER_CODECS[stream_filter][0](data)
+        names.insert(0, stream_filter)
+    if not names:
+        return data, ""
+    if len(names) == 1:
+        return data, f" /Filter /{names[0]}"
+    return data, " /Filter [" + " ".join("/" + n for n in names) + "]"
+
+
 def synthesize_pdf(row: dict, compress: bool = True, *,
                    xref_stream: bool = False,
                    object_streams: bool = False,
-                   cid_text: bool = False) -> bytes:
+                   cid_text: bool = False,
+                   stream_filter: str | None = None) -> bytes:
     """One DOCS_SCHEMA row -> a complete single-file PDF (bytes).
 
     ``row`` must be schema-typed (``Table.from_pylist(schema=DOCS_SCHEMA)
@@ -227,6 +247,10 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
     - ``cid_text``: text through a composite Type0 /Identity-H font —
       2-byte CID hex strings that only a /ToUnicode CMap (bfrange +
       bfchar sections) maps back to Unicode.
+    - ``stream_filter``: wrap content streams in one of the classic
+      transfer/compression filters ('ASCIIHexDecode', 'ASCII85Decode',
+      'RunLengthDecode', 'LZWDecode') — chained with FlateDecode when
+      ``compress`` (decode order = array order).
     """
     if object_streams:
         xref_stream = True
@@ -290,11 +314,9 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
             if int(region["page"]) == page_no:
                 content_parts.append(_region_content(region))
 
-        data = "".join(content_parts).encode("latin-1", "strict")
-        filt = ""
-        if compress:
-            data = zlib.compress(data)
-            filt = " /Filter /FlateDecode"
+        data, filt = _encode_stream(
+            "".join(content_parts).encode("latin-1", "strict"),
+            compress, stream_filter)
         content_id = next_id
         next_id += 1
         objs[content_id] = (f"<< /Length {len(data)}{filt} >>\nstream\n"
@@ -641,6 +663,179 @@ def _parse_value(lex: _Lexer, tok=None):
     return tok
 
 
+def _ahx_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (PDF 32000-1 §7.4.2): whitespace ignored, '>'
+    terminates, odd trailing digit pads with 0."""
+    end = data.find(b">")
+    hx = bytes(c for c in (data[:end] if end >= 0 else data)
+               if c not in _WS)
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ahx_encode(data: bytes) -> bytes:
+    return data.hex().upper().encode("ascii") + b">"
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): optional <~ prefix, ~> terminator."""
+    import base64
+    b = bytes(c for c in data if c not in _WS)
+    if b.startswith(b"<~"):
+        b = b[2:]
+    end = b.find(b"~>")
+    if end >= 0:
+        b = b[:end]
+    return base64.a85decode(b)
+
+
+def _a85_encode(data: bytes) -> bytes:
+    import base64
+    return base64.a85encode(data) + b"~>"
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): n<=127 -> n+1 literals; n>=129 ->
+    next byte repeated 257-n times; 128 = EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n == 128:
+            break
+        if n <= 127:
+            out += data[i:i + n + 1]
+            i += n + 1
+        else:
+            out += data[i:i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Minimal valid RunLength encoder: repeat runs >= 3 as run
+    packets, everything else as literal packets."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run]) + data[i:i + 1]
+            i += run
+        else:
+            j = i
+            while j < n and j - i < 128:
+                r = 1
+                while j + r < n and r < 3 and data[j + r] == data[j]:
+                    r += 1
+                if r >= 3:
+                    break
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (§7.4.4): TIFF-style LZW, 9->12-bit codes MSB-first,
+    256 = clear table, 257 = EOD, early-change width bumps."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    buf = bits = 0
+    for byte in data:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (buf >> bits) & ((1 << width) - 1)
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            else:                                 # KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            out += entry
+            prev = entry
+            if next_code >= (1 << width) - early and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder matched to ``_lzw_decode``'s width schedule
+    (early change, clear at 12-bit table exhaustion)."""
+    out = bytearray()
+    buf = bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal buf, bits
+        buf = (buf << width) | code
+        bits += width
+        while bits >= 8:
+            bits -= 8
+            out.append((buf >> bits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # in-loop lockstep: the decoder lags one append (its first code
+        # after a clear appends nothing), so it bumps after OUR
+        # next_code reaches 1 << width — not (1 << width) - early
+        if next_code >= (1 << width):
+            if width < 12:
+                width += 1
+            else:                                 # table full: reset
+                emit(256, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+        # the final emit has NO append on our side but DOES append on
+        # the decoder's — its count catches up to ours, so it bumps
+        # one code earlier than the in-loop rule
+        if next_code >= (1 << width) - early and width < 12:
+            width += 1
+    emit(257, width)
+    if bits:
+        out.append((buf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+_FILTER_CODECS = {
+    "ASCIIHexDecode": (_ahx_encode, _ahx_decode),
+    "ASCII85Decode": (_a85_encode, _a85_decode),
+    "RunLengthDecode": (_rle_encode, _rle_decode),
+    "LZWDecode": (_lzw_encode, _lzw_decode),
+}
+
+
 def _png_unpredict(data: bytes, columns: int, colors: int = 1,
                    bpc: int = 8) -> bytes:
     """Reverse the PNG row predictors (filter types 0-4) applied per
@@ -790,10 +985,18 @@ class _PdfReader:
         parms = self.resolve(d.get("DecodeParms")) or {}
         parms_l = parms if isinstance(parms, list) else [parms]
         for i, f in enumerate(filts):
-            if str(f) != "FlateDecode":
-                raise PdfSyntaxError(f"unsupported filter {f}")
-            raw = zlib.decompress(raw)
+            name = str(f)
             p = self.resolve(parms_l[i] if i < len(parms_l) else {}) or {}
+            if name == "FlateDecode":
+                raw = zlib.decompress(raw)
+            elif name == "LZWDecode":
+                raw = _lzw_decode(
+                    raw, int(self.resolve(p.get("EarlyChange", 1)) or 1))
+            elif name in _FILTER_CODECS:
+                raw = _FILTER_CODECS[name][1](raw)
+                continue                 # transfer encodings: no parms
+            else:
+                raise PdfSyntaxError(f"unsupported filter {f}")
             pred = int(self.resolve(p.get("Predictor", 1)) or 1)
             if pred >= 10:
                 raw = _png_unpredict(
@@ -1109,7 +1312,7 @@ def write_pdf_corpus(table: pa.Table, out_dir: str,
     return len(rows)
 
 
-PDFGEN_VERSION = 2
+PDFGEN_VERSION = 3
 
 
 def ensure_pdf_corpus(name: str, seed: int, n_docs: int,
@@ -1123,8 +1326,9 @@ def ensure_pdf_corpus(name: str, seed: int, n_docs: int,
     forms) — part of the cache key."""
     from ..fixtures.generator import generate_docs_table
 
-    mode_key = "".join(f"-{k[0]}{int(bool(v))}"
-                       for k, v in sorted(modes.items()))
+    mode_key = "".join(
+        f"-{k[0]}{v if isinstance(v, str) else int(bool(v))}"
+        for k, v in sorted(modes.items()))
     path = os.path.join(
         root, f"{name}-pdf-v{PDFGEN_VERSION}-s{seed}-n{n_docs}"
               f"-p{pathological_frac}-c{int(compress)}{mode_key}")

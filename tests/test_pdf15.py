@@ -185,3 +185,49 @@ def test_modern_pdf_golden_output_equality():
     for row in out:
         assert seq(row["spans"]) == seq(golden[row["doc_id"]]), \
             row["doc_id"]
+
+
+FILTERS = ["ASCIIHexDecode", "ASCII85Decode", "RunLengthDecode",
+           "LZWDecode"]
+
+
+@pytest.mark.parametrize("filt", FILTERS)
+def test_stream_filter_roundtrip(filt):
+    """Each classic stream filter round-trips the generator corpus
+    exactly, alone and chained behind FlateDecode (decode order =
+    /Filter array order)."""
+    rows = generate_docs_table(7, 0, 40, pathological_frac=0.02) \
+        .to_pylist()
+    for compress in (False, True):
+        for row in rows:
+            parsed = parse_pdf(synthesize_pdf(
+                row, compress=compress, stream_filter=filt))
+            assert canon(parsed) == canon(row), (filt, row["doc_id"])
+
+
+def test_stream_filter_with_modern_layout():
+    rows = generate_docs_table(9, 0, 15).to_pylist()
+    for row in rows:
+        parsed = parse_pdf(synthesize_pdf(
+            row, object_streams=True, cid_text=True,
+            stream_filter="ASCII85Decode"))
+        assert canon(parsed) == canon(row)
+
+
+def test_codec_kernels_roundtrip_boundaries():
+    """LZW must survive the 9->10->11->12-bit width boundaries AND the
+    12-bit table-full clear/reset; RLE/A85/AHx on the same vectors."""
+    from pdf_extraction_ray.sources.pdf import (
+        _a85_decode, _a85_encode, _ahx_decode, _ahx_encode,
+        _lzw_decode, _lzw_encode, _rle_decode, _rle_encode)
+    rng = np.random.default_rng(7)
+    cases = [b"", b"a", b"ab" * 5000, bytes(range(256)) * 4,
+             rng.integers(0, 256, size=20000, dtype=np.uint8).tobytes(),
+             rng.integers(0, 4, size=60000, dtype=np.uint8).tobytes(),
+             rng.integers(0, 256, size=300000,
+                          dtype=np.uint8).tobytes()]
+    for c in cases:
+        assert _lzw_decode(_lzw_encode(c)) == c
+        assert _rle_decode(_rle_encode(c)) == c
+        assert _a85_decode(_a85_encode(c)) == c
+        assert _ahx_decode(_ahx_encode(c)) == c
