@@ -6281,6 +6281,117 @@ ORDER BY t1, t2, t3
 """
 
 
+ORDERED_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel_steps(sf_dir: str):
+    """Classic ORDERED-step funnel over the event log: per user, the
+    earliest strictly-increasing (ts, event_id) chain view -> click ->
+    purchase; the report counts users completing each prefix (the
+    conversion funnel every product-analytics stack ships; ordering
+    matters — a purchase BEFORE the first view-then-click chain does
+    not convert). Greedy earliest-chain is exact for existence: taking
+    the earliest view, then the earliest later click, then the
+    earliest later purchase finds a chain iff one exists.
+
+    One user-keyed coarse exchange; per-user state is three scalars.
+    Output: (step, event_type, n_users), step 1..{len(ORDERED_FUNNEL_STEPS)}."""
+    cols = ("step", "event_type", "n_users")
+    empty = pd.DataFrame({"step": pd.Series(dtype="int64"),
+                          "event_type": pd.Series(dtype="object"),
+                          "n_users": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
+    ds = rd.read_parquet(_pq(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        keep = np.isin(et, ORDERED_FUNNEL_STEPS)
+        t = batch.filter(pa.array(keep))
+        ts_us = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.Table.from_arrays(
+            [t["user_id"], pa.array(ts_us), t["event_id"],
+             t["event_type"]],
+            names=["user_id", "ts_us", "event_id", "event_type"])
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per partition: for each user walk the 3 steps,
+        # each time the earliest (ts, event_id) strictly after the
+        # previous step's event
+        reached = np.zeros(len(ORDERED_FUNNEL_STEPS), dtype=np.int64)
+        cur: pd.DataFrame | None = None
+        for si, step in enumerate(ORDERED_FUNNEL_STEPS):
+            ev = g[g["event_type"] == step]
+            if si == 0:
+                ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+                cur = ev.groupby("user_id", as_index=False) \
+                    .first()[["user_id", "ts_us", "event_id"]]
+            else:
+                ev = ev.merge(cur, on="user_id",
+                              suffixes=("", "_prev"))
+                after = (ev["ts_us"] > ev["ts_us_prev"]) | \
+                    ((ev["ts_us"] == ev["ts_us_prev"])
+                     & (ev["event_id"] > ev["event_id_prev"]))
+                ev = ev[after].sort_values(
+                    ["user_id", "ts_us", "event_id"])
+                cur = ev.groupby("user_id", as_index=False) \
+                    .first()[["user_id", "ts_us", "event_id"]]
+            reached[si] = len(cur)
+            if cur.empty:
+                break
+        return pd.DataFrame({
+            "step": np.arange(1, len(ORDERED_FUNNEL_STEPS) + 1,
+                              dtype=np.int64),
+            "event_type": list(ORDERED_FUNNEL_STEPS),
+            "n_users": reached})
+
+    agg = _coarse_partition_map(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        "user_id", chain).to_pandas()
+    if agg.empty or "step" not in agg.columns:
+        return empty
+    out = agg.groupby(["step", "event_type"], as_index=False)["n_users"] \
+        .sum().sort_values("step").reset_index(drop=True)
+    return out[list(cols)].astype({"step": "int64", "n_users": "int64"})
+
+
+FUNNEL_STEPS_SQL = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'view'),
+v1 AS (SELECT user_id, ts, event_id FROM v WHERE rn = 1),
+c AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS rn
+  FROM events e JOIN v1 ON v1.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND (e.ts > v1.ts OR (e.ts = v1.ts AND e.event_id > v1.event_id))),
+c1 AS (SELECT user_id, ts, event_id FROM c WHERE rn = 1),
+p AS (
+  SELECT e.user_id,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id
+                            ORDER BY e.ts, e.event_id) AS rn
+  FROM events e JOIN c1 ON c1.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND (e.ts > c1.ts OR (e.ts = c1.ts AND e.event_id > c1.event_id))),
+p1 AS (SELECT user_id FROM p WHERE rn = 1)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS event_type,
+         CAST((SELECT COUNT(*) FROM v1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c1) AS BIGINT)
+  UNION ALL
+  SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p1) AS BIGINT))
+ORDER BY step
+"""
+
+
 def events_conversion_latency(sf_dir: str):
     """Signup-to-purchase conversion latency: per user, the FIRST
     signup event and the FIRST purchase at-or-after it — the
@@ -6826,6 +6937,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_type_transitions": (events_type_transitions,
                                 TYPE_TRANSITIONS_SQL),
     "events_type_trigrams": (events_type_trigrams, TYPE_TRIGRAMS_SQL),
+    "events_funnel_steps": (events_funnel_steps, FUNNEL_STEPS_SQL),
     "events_conversion_latency": (events_conversion_latency,
                                   CONVERSION_LATENCY_SQL),
     "events_quality_checks": (events_quality_checks, QUALITY_CHECKS_SQL),
