@@ -1160,7 +1160,9 @@ def main():
                          "doc_quality_classifier",
                          "embedding_pca_project",
                          "docs_justext_blocks",
-                         "preference_bradley_terry"]
+                         "preference_bradley_terry",
+                         "events_funnel_steps",
+                         "docs_source_vocab_jaccard"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)

@@ -2278,6 +2278,110 @@ def corpus_topics(sf_dir: str, driver_max: int = TOPICS_DRIVER_MAX):
 
 
 # ---------------------------------------------------------------------------
+# Source-vocabulary Jaccard (corpus-comparison matrix)
+# ---------------------------------------------------------------------------
+
+
+def docs_source_vocab_jaccard(sf_dir: str):
+    """Pairwise Jaccard similarity between each SOURCE's distinct token
+    vocabulary — the corpus-comparison matrix a mixture designer reads
+    before weighting sources (complements corpus_snapshot_diff, which
+    diffs docs, not vocabularies). Only pairs sharing >= 1 token emit
+    (the oracle's inner join does the same).
+
+    Scale shape: per-batch distinct (source, token) pairs enter ONE
+    token-keyed coarse exchange; within a bucket each token's distinct
+    source set yields pair-intersection partials and per-source
+    distinct-token partials (vocab-bounded rows), and the driver sums
+    a sources^2-sized table. Output: (source_a, source_b, inter, uni,
+    jaccard_x1e6), ordered."""
+    cols = ("source_a", "source_b", "inter", "uni", "jaccard_x1e6")
+    empty = pd.DataFrame({
+        "source_a": pd.Series(dtype="object"),
+        "source_b": pd.Series(dtype="object"),
+        **{c: pd.Series(dtype="int64") for c in cols[2:]}})[list(cols)]
+    if _n_docs(sf_dir) == 0:
+        return empty
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = as_array(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                pc.fill_null(text, ""))), T.TOKEN_SPLIT_RE))
+        flat = as_array(pc.list_flatten(toks))
+        parent = as_array(pc.list_parent_indices(toks)) \
+            .to_numpy(zero_copy_only=False)
+        src = batch["source"].to_numpy(zero_copy_only=False)[parent]
+        df = pd.DataFrame({"source": src,
+                           "tok": flat.to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates(ignore_index=True)
+        return _from_pandas(df)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates()          # global distinct per token here
+        sizes = d.groupby("source").size().reset_index(name="n")
+        sizes.columns = ["a", "n"]
+        sizes["b"] = ""
+        sizes["kind"] = np.int64(1)
+        m = d.merge(d, on="tok")
+        m = m[m["source_x"] < m["source_y"]]
+        inter = m.groupby(["source_x", "source_y"]).size() \
+            .reset_index(name="n")
+        inter.columns = ["a", "b", "n"]
+        inter["kind"] = np.int64(0)
+        return pd.concat([inter, sizes], ignore_index=True) \
+            [["kind", "a", "b", "n"]].astype(
+            {"kind": "int64", "n": "int64"})
+
+    parts = _coarse_str_group(
+        ds.map_batches(pairs_fn, batch_format="pyarrow",
+                       batch_size=None),
+        "tok", per_bucket).to_pandas()
+    if parts.empty or "kind" not in parts.columns:
+        return empty
+    sizes = parts[parts["kind"] == 1].groupby("a")["n"].sum()
+    inter = parts[parts["kind"] == 0].groupby(["a", "b"],
+                                              as_index=False)["n"].sum()
+    if inter.empty:
+        return empty
+    inter["uni"] = (sizes.reindex(inter["a"]).to_numpy(np.int64)
+                    + sizes.reindex(inter["b"]).to_numpy(np.int64)
+                    - inter["n"].to_numpy(np.int64))
+    inter["jaccard_x1e6"] = (inter["n"] * 1_000_000) // inter["uni"]
+    out = inter.rename(columns={"a": "source_a", "b": "source_b",
+                                "n": "inter"})
+    return out[list(cols)].astype(
+        {"inter": "int64", "uni": "int64", "jaccard_x1e6": "int64"}) \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SOURCE_JACCARD_SQL = r"""
+WITH st AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents)),
+sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+iv AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS inter
+       FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+       GROUP BY sa, sb)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(za.n + zb.n - inter AS BIGINT) AS uni,
+       CAST(inter * 1000000 // (za.n + zb.n - inter) AS BIGINT)
+           AS jaccard_x1e6
+FROM iv
+JOIN sz za ON za.source = iv.sa
+JOIN sz zb ON zb.source = iv.sb
+ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Distributed quality-classifier training (fastText-style linear model)
 # ---------------------------------------------------------------------------
 
@@ -2605,6 +2709,8 @@ FROM per ORDER BY doc_id
 
 CORPUS_QUERIES: dict[str, tuple] = {
     "docs_dup_ngram_fraction": (docs_dup_ngram_fraction, DUP_NGRAM_SQL),
+    "docs_source_vocab_jaccard": (docs_source_vocab_jaccard,
+                                  SOURCE_JACCARD_SQL),
     "doc_quality_classifier": (doc_quality_classifier, None),
     "docs_unimax_alloc": (docs_unimax_alloc, UNIMAX_SQL),
     "corpus_topics": (corpus_topics, None),

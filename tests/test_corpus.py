@@ -702,3 +702,43 @@ def test_quality_classifier_driver_path_equals_distributed(tmp_path):
     pd.testing.assert_frame_equal(
         fast.sort_values("doc_id").reset_index(drop=True),
         slow.sort_values("doc_id").reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_vocab_jaccard_planted(tmp_path):
+    """Hand-checkable vocabularies: s1={a,b,c,d}, s2={c,d,e} ->
+    J = 2/5; s3 disjoint from s1 (no row); s2 ∩ s3 = {x} -> J = 1/4.
+    Oracle agrees on the same table."""
+    import duckdb
+
+    from pdf_extraction_ray.pipelines.corpus import (
+        SOURCE_JACCARD_SQL, docs_source_vocab_jaccard)
+    rows = [
+        (0, "s1", "a b c d"), (1, "s1", "a b"),
+        (2, "s2", "c d e"),
+        (3, "s3", "x y z"), (4, "s2", "x"),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    d = str(tmp_path / "svj")
+    os.makedirs(d)
+    df.to_parquet(os.path.join(d, "documents.parquet"))
+    out = docs_source_vocab_jaccard(d)
+    out = (out.to_pandas() if hasattr(out, "to_pandas") else out)
+    out = out.set_index(["source_a", "source_b"])
+    # s2 vocab = {c, d, e, x}
+    assert out.loc[("s1", "s2"), "inter"] == 2
+    assert out.loc[("s1", "s2"), "uni"] == 6
+    assert out.loc[("s1", "s2"), "jaccard_x1e6"] == 2 * 1_000_000 // 6
+    assert out.loc[("s2", "s3"), "inter"] == 1
+    assert out.loc[("s2", "s3"), "uni"] == 6
+    assert ("s1", "s3") not in out.index     # disjoint: no row
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    orc = con.execute(SOURCE_JACCARD_SQL).fetchdf() \
+        .set_index(["source_a", "source_b"])
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  orc.astype("int64"))
