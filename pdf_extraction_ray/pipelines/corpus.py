@@ -2359,6 +2359,111 @@ def docs_source_vocab_jaccard(sf_dir: str):
         .sort_values(["source_a", "source_b"]).reset_index(drop=True)
 
 
+EMD_BUCKET_TOKENS = 5        # length-histogram bucket width (tokens)
+
+
+def docs_source_length_emd(sf_dir: str):
+    """Pairwise EXACT Wasserstein-1 (earth-mover) distance between each
+    source's document-length distribution (token counts bucketed by
+    {EMD_BUCKET_TOKENS}) — the transport-metric companion to the
+    TVD/KS drift ops: EMD = sum over the integer bucket axis of
+    |CDF_a - CDF_b|, computed as the all-integer
+    sum(|cum_a*n_b - cum_b*n_a| * gap) * 1e6 // (n_a*n_b)
+    (units: buckets, x1e6). Only pairs of non-empty sources emit.
+
+    Scale shape: per-batch (source, bucket) count partials -> one
+    vocab-bounded keyed Sum -> the driver folds a sources x buckets
+    table (tiny) with exact integer arithmetic.
+    Output: (source_a, source_b, emd_x1e6)."""
+    cols = ("source_a", "source_b", "emd_x1e6")
+    empty = pd.DataFrame({
+        "source_a": pd.Series(dtype="object"),
+        "source_b": pd.Series(dtype="object"),
+        "emd_x1e6": pd.Series(dtype="int64")})[list(cols)]
+    if _n_docs(sf_dir) == 0:
+        return empty
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        toks = as_array(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(
+                pc.fill_null(text, ""))), T.TOKEN_SPLIT_RE))
+        n_tok = pc.list_value_length(toks) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({
+            "source": batch["source"].to_numpy(zero_copy_only=False),
+            "b": n_tok // EMD_BUCKET_TOKENS})
+        g = df.groupby(["source", "b"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return _from_pandas(g.astype({"b": "int64", "n": "int64"}))
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby(["source", "b"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    if hist.empty or "source" not in hist.columns:
+        return empty
+    grid = np.sort(hist["b"].unique())
+    srcs = sorted(hist["source"].unique())
+    piv = hist.pivot_table(index="b", columns="source", values="n",
+                           fill_value=0, aggfunc="sum") \
+        .reindex(grid, fill_value=0)
+    cums = piv.cumsum()
+    tot = piv.sum()
+    gaps = np.concatenate([np.diff(grid), [0]]).astype(object)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b_ in srcs[i + 1:]:
+            na, nb = int(tot[a]), int(tot[b_])
+            if na == 0 or nb == 0:
+                continue
+            diff = (cums[a].to_numpy().astype(object) * nb
+                    - cums[b_].to_numpy().astype(object) * na)
+            num = sum(abs(int(d)) * int(g)
+                      for d, g in zip(diff, gaps))
+            rows.append((a, b_, num * 1_000_000 // (na * nb)))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=list(cols)) \
+        .astype({"emd_x1e6": "int64"}) \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SOURCE_EMD_SQL = rf"""
+WITH t AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+              // {EMD_BUCKET_TOKENS} AS BIGINT) AS b
+  FROM documents),
+counts AS (SELECT source, b, COUNT(*) AS n FROM t GROUP BY source, b),
+srcs AS (SELECT source, COUNT(*) AS tot FROM t GROUP BY source),
+grid AS (SELECT DISTINCT b FROM t),
+filled AS (
+  SELECT s.source, g.b, s.tot, COALESCE(c.n, 0) AS n
+  FROM srcs s CROSS JOIN grid g
+  LEFT JOIN counts c ON c.source = s.source AND c.b = g.b),
+cums AS (
+  SELECT source, b, tot,
+         SUM(n) OVER (PARTITION BY source ORDER BY b) AS cum,
+         COALESCE(LEAD(b) OVER (PARTITION BY source ORDER BY b) - b,
+                  0) AS gap
+  FROM filled),
+pairs AS (
+  SELECT a.source AS sa, x.source AS sb,
+         SUM(ABS(a.cum * x.tot - x.cum * a.tot) * a.gap) AS num,
+         MAX(a.tot) AS na, MAX(x.tot) AS nb
+  FROM cums a JOIN cums x ON a.b = x.b AND a.source < x.source
+  GROUP BY sa, sb)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(num * 1000000 // (na * nb) AS BIGINT) AS emd_x1e6
+FROM pairs ORDER BY source_a, source_b
+"""
+
+
 SOURCE_JACCARD_SQL = r"""
 WITH st AS (
   SELECT DISTINCT source, tok FROM (
@@ -2711,6 +2816,7 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "docs_dup_ngram_fraction": (docs_dup_ngram_fraction, DUP_NGRAM_SQL),
     "docs_source_vocab_jaccard": (docs_source_vocab_jaccard,
                                   SOURCE_JACCARD_SQL),
+    "docs_source_length_emd": (docs_source_length_emd, SOURCE_EMD_SQL),
     "doc_quality_classifier": (doc_quality_classifier, None),
     "docs_unimax_alloc": (docs_unimax_alloc, UNIMAX_SQL),
     "corpus_topics": (corpus_topics, None),

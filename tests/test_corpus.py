@@ -742,3 +742,42 @@ def test_source_vocab_jaccard_planted(tmp_path):
         .set_index(["source_a", "source_b"])
     pd.testing.assert_frame_equal(out.astype("int64"),
                                   orc.astype("int64"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_length_emd_planted(tmp_path):
+    """Hand-computable EMD: s1 docs all 5 tokens (bucket 1), s2 all 10
+    (bucket 2) -> mass 1 moved distance 1 bucket = 1e6; s3 split
+    50/50 between buckets 1 and 3 vs s1 (all at 1): |CDF diff| = 0.5
+    on [1,2) and 0.5 on [2,3) -> EMD = 1.0 buckets."""
+    import duckdb
+
+    from pdf_extraction_ray.pipelines.corpus import (
+        SOURCE_EMD_SQL, docs_source_length_emd)
+    five = "a b c d e"            # 5 tokens  -> bucket 1
+    ten = "a b c d e f g h i j"   # 10 tokens -> bucket 2
+    fifteen = ten + " k l m n o"  # 15 tokens -> bucket 3
+    rows = ([(i, "s1", five) for i in range(4)]
+            + [(10 + i, "s2", ten) for i in range(4)]
+            + [(20, "s3", five), (21, "s3", five),
+               (22, "s3", fifteen), (23, "s3", fifteen)])
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["lang"] = "en"
+    df["n_chars"] = df["text"].str.len().astype("int64")
+    d = str(tmp_path / "emd")
+    os.makedirs(d)
+    df.to_parquet(os.path.join(d, "documents.parquet"))
+    out = docs_source_length_emd(d)
+    out = (out.to_pandas() if hasattr(out, "to_pandas") else out) \
+        .set_index(["source_a", "source_b"])
+    assert out.loc[("s1", "s2"), "emd_x1e6"] == 1_000_000
+    assert out.loc[("s1", "s3"), "emd_x1e6"] == 1_000_000
+    assert out.loc[("s2", "s3"), "emd_x1e6"] == 1_000_000
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    orc = con.execute(SOURCE_EMD_SQL).fetchdf() \
+        .set_index(["source_a", "source_b"])
+    pd.testing.assert_frame_equal(out.astype("int64"),
+                                  orc.astype("int64"))
