@@ -1162,7 +1162,8 @@ def main():
                          "docs_justext_blocks",
                          "preference_bradley_terry",
                          "events_funnel_steps",
-                         "docs_source_vocab_jaccard"]
+                         "docs_source_vocab_jaccard",
+                         "docs_source_length_emd"]
         for name in bench_queries:
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
