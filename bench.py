@@ -759,7 +759,10 @@ def _compare(argv):
     ``cpu_calib_miters`` (work = sec x Miter/s, epoch-stable), and the
     gate FAILS (exit 1) on any common query slower than
     $GRAFT_REGRESSION_X (default 2.0) or a headline regression past the
-    same bar."""
+    same bar. Sub-second jitter guard: a regression must ALSO be slower
+    by at least $GRAFT_REGRESSION_MIN_S anchor-normalized seconds
+    (default 1.0) — measured scatter on this shared VM is 0.75-4.5 s
+    for the same sub-second query, so a pure ratio flags noise."""
     import glob
 
     paths = [a for a in argv[argv.index("--compare") + 1:]
@@ -777,6 +780,7 @@ def _compare(argv):
             print(json.dumps({"error": "no NEW bench file found"}))
             sys.exit(2)
     thr = float(os.environ.get("GRAFT_REGRESSION_X", "2.0"))
+    min_s = float(os.environ.get("GRAFT_REGRESSION_MIN_S", "1.0"))
 
     def _load(p):
         import re
@@ -803,12 +807,15 @@ def _compare(argv):
     common = sorted(set(old.get("queries", {}))
                     & set(new.get("queries", {})))
     ratios = {}
+    deltas = {}                    # anchor-normalized seconds slower
     for q in common:
         t_old, t_new = float(old["queries"][q]), float(new["queries"][q])
         if t_old <= 0:
             continue
         ratios[q] = round((t_new * a_new) / (t_old * a_old), 3)
-    regressions = {q: r for q, r in ratios.items() if r > thr}
+        deltas[q] = (t_new * a_new - t_old * a_old) / max(a_new, 1e-9)
+    regressions = {q: r for q, r in ratios.items()
+                   if r > thr and deltas[q] > min_s}
     worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:10]
     best = sorted(ratios.items(), key=lambda kv: kv[1])[:5]
     # headline: docs/sec is a rate, so normalize the other way
@@ -822,7 +829,7 @@ def _compare(argv):
         "metric": "bench_compare", "old": os.path.basename(old_p),
         "new": os.path.basename(new_p), "threshold_x": thr,
         "anchor_old_miters": a_old, "anchor_new_miters": a_new,
-        "n_common_queries": len(ratios),
+        "n_common_queries": len(ratios), "min_delta_s": min_s,
         "headline_slowdown_x": head_ratio,
         "n_regressions": len(regressions), "regressions": regressions,
         "worst10": dict(worst), "best5": dict(best), "pass": ok}))
