@@ -792,12 +792,21 @@ def _compare(argv):
             return d["parsed"]
         if "parsed" in d and isinstance(d.get("tail"), str):
             # older records hold only a truncated tail — scrape the
-            # per-query "name": sec pairs that survived truncation
+            # per-query "name": sec pairs that survived truncation.
+            # Only pairs INSIDE the "queries" object count as queries:
+            # sibling scalars (read_wall_s, n_docs, pages, ...) would
+            # otherwise trip the regression gate spuriously.
+            tail = d["tail"]
+            qstart = tail.find('"queries": {')
+            qtail = tail[qstart:] if qstart >= 0 else tail
+            qend = qtail.find("}")
             qs = {m.group(1): float(m.group(2)) for m in re.finditer(
-                r'"([a-z0-9_]+)": ([\d.]+)[,}]', d["tail"])}
-            top = {k: qs.pop(k) for k in
+                r'"([a-z0-9_]+)": ([\d.]+)[,}]',
+                qtail[:qend + 1] if qend >= 0 else qtail)}
+            top = {k: float(m.group(1)) for k in
                    ("docs_per_sec", "cpu_calib_miters", "value")
-                   if k in qs}
+                   if (m := re.search(rf'"{k}": ([\d.]+)', tail))}
+            qs.pop("value", None)
             return {"queries": qs, **top}
         return d
 

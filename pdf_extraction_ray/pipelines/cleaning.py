@@ -38,6 +38,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from .corpus import _typed_empty_on_no_docs
+
 _LINE = 40                  # chars per rendered line
 _MIN_WORDS = 5              # C4: ">= 5 words per retained line"
 _MIN_KEPT = 3               # C4: ">= 3 sentences per retained page"
@@ -98,6 +100,7 @@ def _line_features(batch: pa.Table):
     return ids, n_lines, n_kept, kept_chars, kept_words, bad
 
 
+@_typed_empty_on_no_docs(doc_id='int64', n_lines='int64', n_kept='int64', kept_chars='int64', kept_words='int64')
 def docs_c4_line_clean(sf_dir: str):
     """C4 line-level cleaning: render 40-char lines, keep lines ending
     in terminal punctuation with >= 5 words, drop pages containing
@@ -159,6 +162,7 @@ ORDER BY doc_id
 """
 
 
+@_typed_empty_on_no_docs(doc_id='int64', clean_text='object')
 def docs_c4_clean_rewrite(sf_dir: str):
     """The REWRITE form of the C4 cleaner: surviving documents carry
     their retained lines re-joined with newlines (the text a training
@@ -268,6 +272,7 @@ ORDER BY doc_id
 BADWORDS = ("dup", "lorem")     # corpus stand-in for the C4 blocklist
 
 
+@_typed_empty_on_no_docs(doc_id='int64', n_tokens='int64')
 def docs_badword_filter(sf_dir: str):
     """C4 blocklist page gate: drop any document whose whitespace token
     set intersects the blocklist; emit (doc_id, n_tokens) for survivors.
@@ -842,6 +847,11 @@ def docs_justext_blocks(sf_dir: str):
     whole operator is batch-local (lines never cross the exchange);
     the oracle replays render + both passes with LAG/LEAD windows.
     Output: (doc_id, n_lines, n_good, n_bad, content_chars)."""
+    from .corpus import _n_docs
+    if _n_docs(sf_dir) == 0:       # typed empty, like the sibling ops
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ("doc_id", "n_lines", "n_good", "n_bad",
+                              "content_chars")})
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 

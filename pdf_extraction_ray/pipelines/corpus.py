@@ -48,6 +48,35 @@ def _n_docs(sf_dir: str) -> int:
     return pads.dataset(f"{sf_dir}/documents.parquet").count_rows()
 
 
+def _n_rows(sf_dir: str, table: str) -> int:
+    """Row count from parquet footers only (single file or shard dir)."""
+    import pyarrow.dataset as pads
+    return pads.dataset(f"{sf_dir}/{table}.parquet").count_rows()
+
+
+def _typed_empty_on_no_docs(_table: str = "documents", **schema):
+    """Decorator: on an EMPTY ``_table`` return a TYPED empty frame
+    instead of running the pipeline — map_batches over zero blocks
+    yields a schema-less Dataset whose to_pandas() has no columns,
+    which KeyErrors column-selecting consumers downstream (and several
+    broadcast-query ops would index row 0 of the empty table). Skipped
+    when the caller supplies its own ``ds`` (composition path: the
+    outer op owns the guard). ``schema`` maps column -> pandas dtype
+    string; order is the output column order."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(sf_dir, *args, **kw):
+            ds = args[0] if args else kw.get("ds")
+            if ds is None and _n_rows(sf_dir, _table) == 0:
+                return pd.DataFrame({c: pd.Series(dtype=t)
+                                     for c, t in schema.items()})
+            return fn(sf_dir, *args, **kw)
+        return wrapper
+    return deco
+
+
 def _from_pandas(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False) \
         .replace_schema_metadata(None)
@@ -2033,6 +2062,12 @@ TOPICS_K = 5
 TOPICS_DIMS = 64
 TOPICS_ITERS = 4
 TOPICS_TOP_TERMS = 10
+# Power-of-two quantization of the normalized TF vectors: every
+# component becomes an exact dyadic k/2^20, so float64 per-cluster sums
+# are EXACT (integer numerators < 2^53 up to ~8e9 docs/cluster) and
+# therefore order-invariant — the driver fast path and the distributed
+# partial-sum path produce bit-identical centroids at any block layout.
+TOPICS_QSCALE = float(2 ** 20)
 
 
 def _tf_parts(batch: pa.Table):
@@ -2061,6 +2096,7 @@ def _tf_parts(batch: pa.Table):
             dtype=np.int64, count=len(enc.dictionary))
         np.add.at(m, (parent, buckets[idx]), 1.0)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    m = np.floor(m * TOPICS_QSCALE) / TOPICS_QSCALE
     return doc_ids, parent, flat, m
 
 
@@ -2114,9 +2150,11 @@ def corpus_topics(sf_dir: str, driver_max: int = TOPICS_DRIVER_MAX):
         # k-center init (identical (-d2, doc_id) tie rule), same Lloyd
         # sum/count updates and same term-profile ordering, on one
         # in-memory matrix — minus the 1 + K-1 + TOPICS_ITERS
-        # scheduling barriers. The distributed path stays default past
-        # the cap and keeps its own tests (driver_max=0 in
-        # test_topics_planted_vocabulary_recovery).
+        # scheduling barriers. BIT-identical to the distributed path:
+        # TOPICS_QSCALE dyadic quantization makes every per-cluster
+        # float64 sum exact hence order-invariant (pinned by
+        # test_topics_driver_vs_distributed_bit_equal). The distributed
+        # path stays default past the cap.
         tbl = pq.read_table(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
         doc_ids_all, parent, flat, m = _tf_parts(tbl)

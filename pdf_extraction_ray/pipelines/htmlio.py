@@ -31,6 +31,8 @@ import pyarrow as pa
 
 import ray.data
 
+from .corpus import _typed_empty_on_no_docs
+
 from ..sources.html import read_html_docs, synthesize_html
 from .extract import extract_pipeline
 from .pdfio import PDF_INGEST_SQL, _render_rows
@@ -74,6 +76,7 @@ def ensure_html_render(sf_dir: str,
     return path
 
 
+@_typed_empty_on_no_docs(doc_id='int64', n_spans='int64', n_title='int64', n_list='int64', n_para='int64', n_chars='int64')
 def html_ingest_extract(sf_dir: str) -> pd.DataFrame:
     """documents -> HTML files -> DOM parse -> extract -> class counts."""
     from .pdfio import _ingest_counts
@@ -136,6 +139,7 @@ def ensure_warc_render(sf_dir: str,
     return path
 
 
+@_typed_empty_on_no_docs(doc_id='int64', n_spans='int64', n_title='int64', n_list='int64', n_para='int64', n_chars='int64')
 def warc_ingest_extract(sf_dir: str) -> pd.DataFrame:
     """documents -> WARC containers -> record scan -> DOM parse ->
     extract -> class counts. Same oracle as the PDF/HTML slices, so the
@@ -158,6 +162,7 @@ FUNNEL_BUDGET_CHARS = 40_000
 _FUNNEL_BUCKETS = 64
 
 
+@_typed_empty_on_no_docs(doc_id='int64', n_spans='int64', n_chars='int64', cum_chars='int64')
 def web_curation_funnel(sf_dir: str) -> pd.DataFrame:
     """The north-star demo as ONE oracled query — documents-in,
     training-set-out, every stage distributed:

@@ -32,6 +32,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .corpus import _typed_empty_on_no_docs
+
 from ..schema import DOCS_SCHEMA
 from ..sources.pdf import read_pdf_docs, synthesize_pdf
 from .extract import extract_pipeline
@@ -147,6 +149,7 @@ def _ingest_counts(out) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+@_typed_empty_on_no_docs(doc_id='int64', n_spans='int64', n_title='int64', n_list='int64', n_para='int64', n_chars='int64')
 def pdf_ingest_extract(sf_dir: str) -> pd.DataFrame:
     """documents -> PDFs -> parse -> extract -> per-doc class counts."""
     pdf_dir = ensure_pdf_render(sf_dir)

@@ -11,6 +11,8 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+
+from .corpus import _typed_empty_on_no_docs
 import ray.data as rd
 from ray.data.aggregate import Sum
 
@@ -32,6 +34,7 @@ def _query_vec(sf_dir: str, vec_id: int) -> np.ndarray:
     return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
+@_typed_empty_on_no_docs(_table='embeddings', vec_id='int64', rank='int64')
 def knn_cosine(sf_dir: str):
     """Brute-force cosine top-k: broadcast query vector, per-batch numpy
     dot products, global sort + limit. Output (vec_id, rank), rank 1-based;
@@ -75,6 +78,7 @@ LIMIT {KNN_K}
 """
 
 
+@_typed_empty_on_no_docs(_table='embeddings', vec_id='int64', cosine_x1e6='int64')
 def knn_cosine_ivf(sf_dir: str):
     """IVF-style scale path: vectors bucketed by nearest of the per-label
     centroids (the 'coarse quantizer'); the query probes the IVF_NPROBE
@@ -161,6 +165,7 @@ def _lsh_sig(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
             * (1 << np.arange(LSH_BITS, dtype=np.int64))).sum(axis=1)
 
 
+@_typed_empty_on_no_docs(_table='embeddings', vec_id='int64', cosine_x1e6='int64')
 def knn_cosine_lsh(sf_dir: str):
     """LSH-bucketed ANN scale path (random-hyperplane signatures): each
     vector hashes to one of 2^LSH_BITS buckets; the query probes its own
@@ -198,6 +203,7 @@ def knn_cosine_lsh(sf_dir: str):
             .limit(KNN_K))
 
 
+@_typed_empty_on_no_docs(_table='embeddings', k='int64', bits='int64', probe_radius='int64', recall_x1e6='int64')
 def knn_lsh_recall(sf_dir: str):
     """Recall@k of the LSH path vs exact brute force."""
     exact = set(knn_cosine(sf_dir).to_pandas()["vec_id"])
@@ -210,6 +216,7 @@ def knn_lsh_recall(sf_dir: str):
         "recall_x1e6": [int(hit * 1_000_000 / max(len(exact), 1))]})
 
 
+@_typed_empty_on_no_docs(_table='embeddings', k='int64', nprobe='int64', recall_x1e6='int64')
 def knn_ivf_recall(sf_dir: str):
     """Recall@k of the IVF path vs exact brute force (quality measurement
     for the approximate scale path; rows-only)."""
@@ -225,6 +232,7 @@ def knn_ivf_recall(sf_dir: str):
 KNN_MULTI_QUERY_IDS = (0, 100, 200, 300, 400)
 
 
+@_typed_empty_on_no_docs(_table='embeddings', query_vec_id='int64', vec_id='int64', rank='int64')
 def knn_multi_query(sf_dir: str):
     """Batched brute-force KNN: ALL queries score in ONE corpus pass via
     a broadcast (Q x d) query matrix and a per-batch matmul — the shape
@@ -343,6 +351,7 @@ def _kmeans_centroids(sf_dir: str, k: int = KMEANS_K,
     return cents, stats
 
 
+@_typed_empty_on_no_docs(_table='embeddings', cluster='int64', n_vectors='int64', inertia_x1e3='int64')
 def embeddings_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means, KMEANS_ITERS iterations — the
     engine's iterative-algorithm representative (not SQL-expressible;
@@ -366,6 +375,7 @@ SEMDEDUP_THRESHOLD_X1E6 = 950_000      # prune at cosine >= 0.95
 SEMDEDUP_CHUNK = 2048
 
 
+@_typed_empty_on_no_docs(_table='embeddings', vec_id='int64', cluster='int64', keep='int64')
 def embeddings_semdedup(sf_dir: str, k: int = KMEANS_K,
                         iters: int = KMEANS_ITERS,
                         threshold_x1e6: int = SEMDEDUP_THRESHOLD_X1E6):
@@ -542,6 +552,7 @@ def _dim_minmax(sf_dir: str):
     return lo, hi
 
 
+@_typed_empty_on_no_docs(_table='embeddings', vec_id='int64', rank='int64')
 def knn_cosine_quantized(sf_dir: str):
     """Brute-force top-k over int8 scalar-quantized vectors — the
     4x-smaller storage path for a 100-TB embedding store. Pass 1
@@ -579,6 +590,7 @@ def knn_cosine_quantized(sf_dir: str):
     return top[["vec_id", "rank"]].astype({"vec_id": "int64"})
 
 
+@_typed_empty_on_no_docs(_table='embeddings', k='int64', levels='int64', recall_x1e6='int64')
 def knn_quantized_recall(sf_dir: str):
     """Recall@k of the int8-quantized path vs exact brute force."""
     exact = set(knn_cosine(sf_dir).to_pandas()["vec_id"])
@@ -672,6 +684,7 @@ def _pq_codebooks(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
 PQ_SHORTLIST = 100   # ADC candidates kept for the exact re-rank
 
 
+@_typed_empty_on_no_docs(_table='embeddings', vec_id='int64', rank='int64')
 def knn_cosine_pq(sf_dir: str):
     """ANN top-k via product quantization with asymmetric distance
     computation (ADC) plus exact re-rank — the production PQ shape:
@@ -735,6 +748,7 @@ def knn_cosine_pq(sf_dir: str):
     return top[["vec_id", "rank"]].astype({"vec_id": "int64"})
 
 
+@_typed_empty_on_no_docs(_table='embeddings', k='int64', m_codes='int64', compression_x='int64', recall_x1e6='int64')
 def knn_pq_recall(sf_dir: str):
     """Recall@k of the PQ/ADC path vs exact brute force, with the
     storage ratio the codes achieve (bytes per vector: PQ_M vs 8*d)."""
@@ -897,6 +911,7 @@ WHERE n >= 2
 TRUNC_D = 16
 
 
+@_typed_empty_on_no_docs(_table='embeddings', vec_id='int64', rank='int64')
 def knn_cosine_truncated(sf_dir: str):
     """Brute-force cosine top-k over only the FIRST TRUNC_D dimensions —
     the Matryoshka/truncated-embedding cheap path (score on a prefix of
@@ -936,6 +951,7 @@ LIMIT {KNN_K}
 """
 
 
+@_typed_empty_on_no_docs(_table='embeddings', k='int64', trunc_d='int64', recall_x1e6='int64')
 def knn_truncated_recall(sf_dir: str):
     """Recall@k of prefix-dimension search vs exact full-dim brute
     force — the quality/number-of-dims trade curve's measured point.
@@ -959,6 +975,7 @@ def knn_truncated_recall(sf_dir: str):
 KNN_FILTER_LABELS = (2, 5)
 
 
+@_typed_empty_on_no_docs(_table='embeddings', vec_id='int64', rank='int64')
 def knn_cosine_filtered(sf_dir: str):
     """Filtered vector search — the vector-DB pattern where a metadata
     predicate (label IN {KNN_FILTER_LABELS}) restricts the candidate

@@ -36,6 +36,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .corpus import _typed_empty_on_no_docs
+
 _SCHUNK = 40            # chars per text chunk
 _TITLE_MOD, _TITLE_AT = 7, 5    # g % 7 == 5 -> title span
 _MEDIA_MOD, _MEDIA_AT = 4, 2    # media span follows chunk when g % 4 == 2
@@ -179,6 +181,7 @@ def _last_title(kind_np: np.ndarray, doc_start: np.ndarray) -> np.ndarray:
     return np.where(last >= doc_start, last, -1)
 
 
+@_typed_empty_on_no_docs(doc_id='int64', media_ref='object', offset='int32', context='object')
 def span_media_context(sf_dir: str, ds=None):
     """(doc_id, media_ref, offset, context): nearest preceding title
     text per media span ('' when the media precedes every title)."""
@@ -236,6 +239,7 @@ ORDER BY w.doc_id, w.off
 """
 
 
+@_typed_empty_on_no_docs(doc_id='int64', section_off='int32', n_spans='int64', n_media='int64', n_chars='int64')
 def span_section_stats(sf_dir: str, ds=None):
     """Windowed aggregate: per-(doc, section) span/media/char counts,
     section = offset of the governing title (-1 = preamble). Batch-local
@@ -309,6 +313,7 @@ FROM w GROUP BY doc_id, sec ORDER BY doc_id, sec
 _PAIR_MIN_CHARS = 150            # section must carry real text
 
 
+@_typed_empty_on_no_docs(doc_id='int64', media_ref='object', context='object', section_chars='int64')
 def span_caption_pairs(sf_dir: str, ds=None):
     """Composed multimodal pair mining over the interleaved payload:
     (media span, governing-section title) pairs kept only when the
@@ -422,6 +427,7 @@ spans AS (
 )"""
 
 
+@_typed_empty_on_no_docs(doc_id='int64', media_ref='object', offset='int32', gap_chars='int64')
 def span_media_gaps(sf_dir: str, ds=None):
     """OBELICS/MMC4-style interleaving statistic: for every media span,
     the count of span-text characters between it and the PREVIOUS media
@@ -487,6 +493,7 @@ FROM m ORDER BY doc_id, off
 _DENSITY_MAX = 200       # max span-text chars per media span to keep
 
 
+@_typed_empty_on_no_docs(doc_id='int64', n_media='int64', n_chars='int64', keep='int64')
 def docs_interleaved_filter(sf_dir: str, ds=None):
     """Doc-level multimodal curation gate over the interleaved payload
     (OBELICS-style): keep a document iff it contains at least one media
@@ -562,6 +569,7 @@ def _line_doc_rows(batch: pa.Table) -> pa.Table:
                                 preserve_index=False)
 
 
+@_typed_empty_on_no_docs(t='object', n='int64', n_docs='int64')
 def span_dup_texts(sf_dir: str):
     """Corpus-global duplicate-line profile over the interleaved
     payload (the CCNet/RefinedWeb 'duplicated lines across documents'
@@ -596,6 +604,7 @@ ORDER BY t
 """
 
 
+@_typed_empty_on_no_docs(doc_id='int64', n_lines='int64', n_removed='int64', kept_chars='int64')
 def span_line_dedup(sf_dir: str):
     """Global keep-first line dedup over the interleaved payload
     (CCNet's cross-document line dedup, downstream of
@@ -693,6 +702,7 @@ FROM r GROUP BY doc_id ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
+@_typed_empty_on_no_docs(doc_id='int64', n_media='int64', rendered='object')
 def docs_render_interleaved(sf_dir: str, ds=None):
     """Serialize each interleaved document into ONE training-sample
     string: spans in offset order, titles prefixed ``# ``, media spans
@@ -791,6 +801,7 @@ def _greedy_bounds(costs: np.ndarray, starts: np.ndarray) -> np.ndarray:
     return np.sort(np.concatenate(bounds))
 
 
+@_typed_empty_on_no_docs(doc_id='int64', seq_id='int64', n_spans='int64', n_media='int64', n_tokens='int64')
 def packed_interleaved(sf_dir: str, ds=None):
     """Media-atomic greedy sequence packing over the interleaved
     payload: walk each document's spans in offset order and start a new
@@ -1278,6 +1289,7 @@ SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM spans)
 """
 
 
+@_typed_empty_on_no_docs(doc_id='int64', n_spans='int64', n_lang_spans='int64', n_langs='int64', major_lang='object')
 def span_lang_mixing(sf_dir: str, ds=None):
     """Per-document language-mixing profile over the interleaved
     payload (code-switch detection — the gate a multilingual curation
@@ -1547,6 +1559,14 @@ def span_media_alignment(sf_dir: str, ds=None):
                 0xFFFFFFFF - (best & 0xFFFFFFFF), pa.int64()),
             "sim": pa.array(best >> 32, pa.int64())})
 
+    if ds is None:
+        from .corpus import _n_docs
+        if _n_docs(sf_dir) == 0:   # typed empty: schema must survive
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "media_ref": pd.Series(dtype="object"),
+                **{c: pd.Series(dtype="int64") for c in
+                   ("offset", "best_text_off", "sim")}})
     src = ds if ds is not None else interleaved_docs(sf_dir)
     return src.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
@@ -1622,6 +1642,14 @@ def span_dup_media_conflicts(sf_dir: str):
     Output: (text_md5, n_docs, n_media_per_doc, n_distinct_refs,
     keep_doc_id)."""
     import hashlib
+
+    from .corpus import _n_docs
+    if _n_docs(sf_dir) == 0:       # typed empty: schema must survive
+        return pd.DataFrame({
+            "text_md5": pd.Series(dtype="object"),
+            **{c: pd.Series(dtype="int64") for c in
+               ("n_docs", "n_media_per_doc", "n_distinct_refs",
+                "keep_doc_id")}})
 
     def per_doc(batch: pa.Table) -> pa.Table:
         doc_ids, parent, _dsb, kind, text, ref, _off = _flat_spans(batch)

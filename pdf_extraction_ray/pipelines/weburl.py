@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+
+from .corpus import _typed_empty_on_no_docs
 from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.urlnorm import normalize_urls
@@ -133,6 +135,7 @@ FROM n GROUP BY url_norm ORDER BY url_norm
 """
 
 
+@_typed_empty_on_no_docs(domain='object', n_docs='int64', n_chars='int64', n_langs='int64')
 def docs_domain_stats(sf_dir: str):
     """Per-domain crawl rollup: doc count, total chars, distinct
     languages. Two-level aggregation — batches pre-compact to

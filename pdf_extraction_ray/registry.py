@@ -50,11 +50,54 @@ def query_families() -> dict[str, dict[str, tuple]]:
     }
 
 
+_TABLES = ("documents", "events", "lineitem", "orders", "customer",
+           "part", "supplier", "nation", "region", "embeddings")
+
+
+def _snapshot_is_empty(sf_dir: str) -> bool:
+    """True iff every table in the snapshot has zero rows (parquet
+    footer counts only; big tables first so the common non-empty case
+    short-circuits after ONE footer read)."""
+    from .pipelines.corpus import _n_rows
+    for t in _TABLES:
+        try:
+            if _n_rows(sf_dir, t) > 0:
+                return False
+        except Exception:
+            return False        # missing table: let the op decide
+    return True
+
+
+def _empty_guarded(fn, schema):
+    """Typed-empty contract at the registry boundary: on a FULLY empty
+    snapshot return the query's typed 0-row frame (dtypes captured at
+    sf0.001, ``empty_schemas.py``) instead of running the pipeline —
+    Ray Data ``map_batches`` over zero blocks loses the output schema,
+    and a column-less frame KeyErrors downstream consumers. Semantics
+    are unchanged: every guarded query already returns 0 rows on an
+    all-empty snapshot; queries with non-empty degenerate outputs are
+    not in the map and run unguarded."""
+    import functools
+
+    import pandas as pd
+
+    @functools.wraps(fn)
+    def wrapper(sf_dir, *args, **kw):
+        if _snapshot_is_empty(sf_dir):
+            return pd.DataFrame({c: pd.Series(dtype=t)
+                                 for c, t in schema})
+        return fn(sf_dir, *args, **kw)
+    return wrapper
+
+
 def all_queries() -> dict[str, tuple]:
+    from .empty_schemas import EMPTY_SCHEMAS
     out: dict[str, tuple] = {}
     for reg in query_families().values():
         out.update(reg)
-    return out
+    return {name: ((fn, sql) if name not in EMPTY_SCHEMAS
+                   else (_empty_guarded(fn, EMPTY_SCHEMAS[name]), sql))
+            for name, (fn, sql) in out.items()}
 
 
 def generate_queries_md() -> str:
@@ -92,6 +135,7 @@ def generate_queries_md() -> str:
             target = fn
             while isinstance(target, functools.partial):
                 target = target.func
+            target = inspect.unwrap(target)
             try:
                 src = os.path.relpath(inspect.getsourcefile(target), root)
                 line = inspect.getsourcelines(target)[1]

@@ -894,6 +894,7 @@ class _PdfReader:
         xref_at = lex.next_token()
         self.offsets: dict[int, int] = {}
         self.compressed: dict[int, tuple[int, int]] = {}
+        self.freed: set[int] = set()
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, tuple[list, bytes, int]] = {}
         self.trailer = self._read_xref_chain(int(xref_at))
@@ -918,7 +919,10 @@ class _PdfReader:
         return trailer
 
     def _known(self, num: int) -> bool:
-        return num in self.offsets or num in self.compressed
+        # A free entry in a NEWER section shadows older in-use entries
+        # (spec 7.5.6: newest section wins, including deletions).
+        return (num in self.offsets or num in self.compressed
+                or num in self.freed)
 
     def _read_xref(self, at: int) -> dict:
         lex = _Lexer(self.data, at)
@@ -937,8 +941,11 @@ class _PdfReader:
                 lex._skip_ws()
                 for k in range(int(count)):
                     entry = self.data[lex.pos:lex.pos + 20]
-                    if entry[17:18] == b"n" and not self._known(start + k):
-                        self.offsets[start + k] = int(entry[:10])
+                    if not self._known(start + k):
+                        if entry[17:18] == b"n":
+                            self.offsets[start + k] = int(entry[:10])
+                        else:          # 'f': deletion shadows older defs
+                            self.freed.add(start + k)
                     lex.pos += 20
         lex.pos = save
         # PDF 1.5 cross-reference STREAM: "N 0 obj << /Type /XRef ... >>"
@@ -972,7 +979,8 @@ class _PdfReader:
                     self.offsets[objn] = f[1]
                 elif f[0] == 2:
                     self.compressed[objn] = (f[1], f[2])
-                # type 0 = free: skip
+                else:                  # type 0 = free: shadow older defs
+                    self.freed.add(objn)
         return val.dict
 
     # -- object parsing ------------------------------------------------
@@ -1073,6 +1081,8 @@ class _PdfReader:
                 raise PdfSyntaxError(f"object {num} not at xref offset")
         elif num in self.compressed:
             val = self._objstm_lookup(num)
+        elif num in self.freed:
+            val = None      # spec 7.3.9: ref to a free object is null
         else:
             raise PdfSyntaxError(f"object {num} not in xref")
         self._cache[num] = val
@@ -1327,7 +1337,7 @@ def ensure_pdf_corpus(name: str, seed: int, n_docs: int,
     from ..fixtures.generator import generate_docs_table
 
     mode_key = "".join(
-        f"-{k[0]}{v if isinstance(v, str) else int(bool(v))}"
+        f"-{k}={v if isinstance(v, str) else int(bool(v))}"
         for k, v in sorted(modes.items()))
     path = os.path.join(
         root, f"{name}-pdf-v{PDFGEN_VERSION}-s{seed}-n{n_docs}"

@@ -117,8 +117,10 @@ class TestC4LineClean:
                             ("n_chars", pa.int64())])
         pq.write_table(schema.empty_table(),
                        os.path.join(d, "documents.parquet"))
-        out = docs_c4_line_clean(d).to_pandas()
+        out = docs_c4_line_clean(d)   # typed-empty guard -> DataFrame
         assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "n_lines", "n_kept",
+                                     "kept_chars", "kept_words"]
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -192,6 +192,9 @@ def test_spans_cleaning_families_on_empty_table(empty_dir):
             assert (df.iloc[0] == 0).all(), name
         else:
             assert len(df) == 0, name
+        # empty results must still be TYPED (schema survives): a
+        # schema-less empty frame KeyErrors column-selecting consumers
+        assert df.shape[1] > 0, f"{name}: schema lost on empty input"
 
 
 @pytest.fixture(scope="module")
@@ -541,6 +544,20 @@ def test_topics_planted_vocabulary_recovery(tmp_path):
         assert seen_vocabs == {0, 1, 2}
         assert out.groupby("topic_id")["n_docs"].first().sum() \
             == len(texts)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topics_driver_vs_distributed_bit_equal():
+    """The driver fast path and the distributed partial-sum path are
+    BIT-identical on real sf0.001 data: TOPICS_QSCALE dyadic
+    quantization makes every float64 per-cluster sum exact, so Lloyd
+    updates are order-invariant across block layouts (ADVICE r4)."""
+    from pdf_extraction_ray.pipelines.corpus import corpus_topics
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    fast = corpus_topics(sf)
+    slow = corpus_topics(sf, driver_max=0)
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  slow.reset_index(drop=True))
 
 
 @pytest.mark.usefixtures("ray_session")

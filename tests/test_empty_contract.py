@@ -1,0 +1,79 @@
+"""Typed-empty contract over a FULLY EMPTY snapshot (round-5).
+
+Empty partitions — and empty snapshots, e.g. a date shard with no data
+yet — are routine at 100-TB scale. Two layers guarantee consumers never
+see a schema-less frame:
+
+1. Per-op guards (``_typed_empty_on_no_docs``) on ops whose pipeline
+   would crash or lose its schema when its primary table is empty
+   (broadcast-query knn ops index row 0; map_batches over zero blocks
+   drops the output schema).
+2. The registry boundary (``registry.all_queries``): every query whose
+   all-empty result is an empty frame has its sf0.001 dtypes recorded
+   in ``empty_schemas.py`` and returns that typed 0-row frame.
+
+The per-family gates in test_corpus.py cover the big families against
+the RAW (unwrapped) callables; this module pins the registry-level
+contract and the families without their own gate.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+import pyarrow.parquet as pq
+
+from pdf_extraction_ray.empty_schemas import EMPTY_SCHEMAS
+from pdf_extraction_ray.registry import all_queries, query_families
+
+
+@pytest.fixture(scope="module")
+def empty_snapshot(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_snapshot")
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 0), os.path.join(d, f"{t}.parquet"))
+    return str(d)
+
+
+def test_empty_schemas_cover_only_registered_queries():
+    names = set(all_queries())
+    stale = set(EMPTY_SCHEMAS) - names
+    assert not stale, f"empty_schemas.py has unregistered entries: {stale}"
+
+
+def test_registry_typed_empty_contract(empty_snapshot):
+    """Every EMPTY_SCHEMAS query returns its typed 0-row frame on an
+    all-empty snapshot — column names, order and dtypes exactly as the
+    non-empty result carries at sf0.001. Instant (footer reads only)."""
+    qs = all_queries()
+    for name, schema in EMPTY_SCHEMAS.items():
+        out = qs[name][0](empty_snapshot)
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        assert len(df) == 0, name
+        assert [(c, str(t)) for c, t in df.dtypes.items()] \
+            == [(c, t) for c, t in schema], name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ungated_families_typed_on_empty(empty_snapshot):
+    """Families without their own empty gate in test_corpus.py: every
+    query must return a TYPED result (no crash, schema survives) over
+    the all-empty snapshot. Runs the real pipelines for queries outside
+    EMPTY_SCHEMAS (the ones with degenerate non-empty outputs)."""
+    gated = {"relational", "tpch", "storage", "streaming", "dedup",
+             "corpus", "textops", "packing", "spans", "cleaning"}
+    qs = all_queries()
+    fams = query_families()
+    for fam in sorted(set(fams) - gated):
+        for name in sorted(fams[fam]):
+            out = qs[name][0](empty_snapshot)
+            df = out if isinstance(out, pd.DataFrame) \
+                else out.to_pandas()
+            assert df is not None, name
+            assert df.shape[1] > 0, \
+                f"{name} ({fam}): schema lost on empty snapshot"

@@ -164,6 +164,27 @@ def test_incremental_update_prev_chain():
     assert canon(parsed)[1:] == canon(row)[1:]       # rest via /Prev
 
 
+def test_incremental_update_free_entry_shadows():
+    """An incremental update that FREES an object must shadow the older
+    definition (spec 7.5.6): the freed /Info object resolves to null,
+    not the resurrected old dictionary, across both classic-table and
+    xref-stream bases."""
+    row = generate_docs_table(12, 0, 1).to_pylist()[0]
+    for kw in ({}, {"xref_stream": True, "object_streams": True}):
+        base = synthesize_pdf(row, **kw)
+        old_xref = int(base[base.rfind(b"startxref") + 9:
+                            base.rfind(b"%%EOF")].strip())
+        upd = bytearray(base)
+        xat = len(upd)
+        upd += (b"xref\n3 1\n" + b"0000000000 00001 f \n"
+                + f"trailer\n<< /Size 99 /Root 1 0 R /Info 3 0 R "
+                  f"/Prev {old_xref} >>\nstartxref\n{xat}\n%%EOF\n"
+                  .encode("ascii"))
+        parsed = parse_pdf(bytes(upd))
+        assert parsed["doc_id"] == ""                # not resurrected
+        assert canon(parsed)[1:] == canon(row)[1:]   # content intact
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_modern_pdf_golden_output_equality():
     """North rule through the modern layout: extraction over an
