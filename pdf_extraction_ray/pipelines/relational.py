@@ -3187,15 +3187,28 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+HLL_REL_BOUND = 0.02      # grouped-HLL(p=12) acceptance band vs exact
+CMS_REL_BOUND = 0.05      # Count-Sketch join-size acceptance band
+DDS_REL_BOUND = 0.03      # DDSketch quantile acceptance band
+KMV_REL_BOUND = 0.25      # KMV intersection band ABOVE the exact regime
+
+
 def events_type_approx_distinct(sf_dir: str):
     """Grouped HLL(p=12): one 4 KiB sketch per (event_type, batch) row
     flows through a |types|-group merge — NO (type, user) pair exchange
-    at all, the 100-TB shape for grouped count-distinct. Rows-only;
-    tests bound per-group error at <2% vs the exact query above."""
+    at all, the 100-TB shape for grouped count-distinct.
+
+    ORACLED form (round-5): the sketch estimate is distilled into a
+    ``within_bound`` flag against the exact distinct count (computed by
+    the same kernel as ``events_type_distinct_users``) so the driver
+    can hash-check the row: the SQL oracle recomputes the exact side
+    and asserts the bound as TRUE — a broken sketch flips the flag and
+    fails the hash. Output: (event_type, n_users, within_bound)."""
     from ..functions import sketch as S
 
     empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
-                          "approx_users": pd.Series(dtype="int64")})
+                          "n_users": pd.Series(dtype="int64"),
+                          "within_bound": pd.Series(dtype="int64")})
     if _table_empty(sf_dir, "events"):
         return empty
     ds = rd.read_parquet(_pq(sf_dir, "events"),
@@ -3235,8 +3248,26 @@ def events_type_approx_distinct(sf_dir: str):
         .map_groups(merge_group, batch_format="pandas").to_pandas()
     if out.empty or "event_type" not in out.columns:
         return empty
-    return out.sort_values("event_type").reset_index(drop=True) \
+    out = out.sort_values("event_type").reset_index(drop=True) \
         .astype({"approx_users": "int64"})
+    exact = events_type_distinct_users(sf_dir)
+    exact = exact if isinstance(exact, pd.DataFrame) else exact.to_pandas()
+    m = out.merge(exact, on="event_type", how="outer").fillna(0)
+    est = m["approx_users"].to_numpy(np.int64)
+    n = m["n_users"].to_numpy(np.int64)
+    m["within_bound"] = (np.abs(est - n)
+                         <= HLL_REL_BOUND * np.maximum(n, 1)) \
+        .astype(np.int64)
+    return m[["event_type", "n_users", "within_bound"]] \
+        .astype({"n_users": "int64"}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+TYPE_APPROX_DISTINCT_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -3355,12 +3386,19 @@ def events_type_overlap_kmv(sf_dir: str):
     """KMV bottom-k estimate of the same overlap: one k-minima sketch
     per (type, batch) row through a 2-group merge — no (type, user)
     pair ever crosses the exchange (the 100-TB shape; HLL cannot
-    intersect, bottom-k can). Rows-only; tests bound the error vs the
-    exact query."""
+    intersect, bottom-k can).
+
+    ORACLED form (round-5): the estimate is checked against the exact
+    intersection (same kernel as ``events_type_overlap_exact``) — when
+    BOTH sketches are below k the estimate must be EXACT, past k a 25%
+    band applies — and the verdict ships as ``within_bound`` next to
+    the exact count, which the SQL oracle recomputes.
+    Output: (n_common_users, within_bound)."""
     from ..functions import sketch as S
 
     if _table_empty(sf_dir, "events"):
-        return pd.DataFrame({"approx_common_users": [np.int64(0)]})
+        return pd.DataFrame({"n_common_users": [np.int64(0)],
+                             "within_bound": [np.int64(1)]})
     ds = rd.read_parquet(_pq(sf_dir, "events"),
                          columns=["event_type", "user_id"])
 
@@ -3394,8 +3432,27 @@ def events_type_overlap_kmv(sf_dir: str):
            for _, r in out.iterrows()}
     a = sks.get(OVERLAP_TYPES[0], np.empty(0, dtype=np.uint64))
     b = sks.get(OVERLAP_TYPES[1], np.empty(0, dtype=np.uint64))
-    return pd.DataFrame(
-        {"approx_common_users": [np.int64(S.kmv_intersection(a, b))]})
+    est = int(S.kmv_intersection(a, b))
+    exact_df = events_type_overlap_exact(sf_dir)
+    exact_df = exact_df if isinstance(exact_df, pd.DataFrame) \
+        else exact_df.to_pandas()
+    exact = int(exact_df["n_common_users"].iloc[0])
+    if len(a) < S.KMV_K and len(b) < S.KMV_K:
+        ok = est == exact              # both sketches exact below k
+    else:
+        ok = abs(est - exact) <= KMV_REL_BOUND * max(exact, 1)
+    return pd.DataFrame({"n_common_users": [np.int64(exact)],
+                         "within_bound": [np.int64(ok)]})
+
+
+TYPE_OVERLAP_KMV_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_common_users,
+       CAST(1 AS BIGINT) AS within_bound
+FROM (
+  SELECT user_id FROM events WHERE event_type = '{OVERLAP_TYPES[0]}'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = '{OVERLAP_TYPES[1]}')
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -5432,13 +5489,19 @@ def join_size_estimate_cms(sf_dir: str):
     side builds mergeable signed key sketches per batch (5x16384 int64,
     640 KiB), the estimate is the median per-row dot product — NO key
     exchange at all, the shape a planner uses to probe a join it can't
-    afford to run. Rows-only; a test bounds the relative error vs the
-    exact query above."""
+    afford to run.
+
+    ORACLED form (round-5): the estimate is distilled into a
+    ``within_bound`` flag against the exact join size (same kernel as
+    ``orders_lineitem_join_size``); the SQL oracle recomputes the exact
+    side and asserts the bound as TRUE, so a broken sketch fails the
+    value hash. Output: (join_size, w, d, within_bound)."""
     from ..functions import sketch as S
 
-    empty = pd.DataFrame({"estimate": pd.Series([0], dtype="int64"),
+    empty = pd.DataFrame({"join_size": pd.Series([0], dtype="int64"),
                           "w": pd.Series([S.CS_W], dtype="int64"),
-                          "d": pd.Series([S.CS_D], dtype="int64")})
+                          "d": pd.Series([S.CS_D], dtype="int64"),
+                          "within_bound": pd.Series([1], dtype="int64")})
     if _table_empty(sf_dir, "orders") or _table_empty(sf_dir, "lineitem"):
         return empty
 
@@ -5462,10 +5525,28 @@ def join_size_estimate_cms(sf_dir: str):
 
     a = sketch_side("orders", "o_orderkey")
     b = sketch_side("lineitem", "l_orderkey")
-    return pd.DataFrame({"estimate":
-                         pd.Series([S.cs_inner(a, b)], dtype="int64"),
+    est = int(S.cs_inner(a, b))
+    exact_df = orders_lineitem_join_size(sf_dir)
+    exact_df = exact_df if isinstance(exact_df, pd.DataFrame) \
+        else exact_df.to_pandas()
+    exact = int(exact_df["join_size"].iloc[0])
+    ok = abs(est - exact) <= CMS_REL_BOUND * max(exact, 1)
+    return pd.DataFrame({"join_size": pd.Series([exact], dtype="int64"),
                          "w": pd.Series([S.CS_W], dtype="int64"),
-                         "d": pd.Series([S.CS_D], dtype="int64")})
+                         "d": pd.Series([S.CS_D], dtype="int64"),
+                         "within_bound":
+                         pd.Series([int(ok)], dtype="int64")})
+
+
+JOIN_SIZE_CMS_SQL = """
+SELECT CAST(COALESCE(SUM(n_o * n_l), 0) AS BIGINT) AS join_size,
+       CAST(16384 AS BIGINT) AS w, CAST(5 AS BIGINT) AS d,
+       CAST(1 AS BIGINT) AS within_bound
+FROM (SELECT o_orderkey AS key, COUNT(*) AS n_o
+      FROM orders GROUP BY 1) o
+JOIN (SELECT l_orderkey AS key, COUNT(*) AS n_l
+      FROM lineitem GROUP BY 1) l USING (key)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -5638,12 +5719,18 @@ def events_cum_users_approx(sf_dir: str):
     over the day-sorted sketches give every day's cumulative estimate
     from one pass — no (day, user) pair ever exchanges, and adding a
     day to the window is one 4 KiB merge (the streaming-dashboard shape
-    for distinct-over-time). Rows-only; tests bound the per-day error
-    vs the exact ``events_new_users_daily`` curve at <2%."""
+    for distinct-over-time).
+
+    ORACLED form (round-5): every day's estimate is checked against the
+    exact cumulative curve (forward-filled ``events_new_users_daily``)
+    at the HLL_REL_BOUND band and ships as ``within_bound`` next
+    to the exact count, which the SQL oracle recomputes with a window
+    sum over first-seen days. Output: (day, cum_users, within_bound)."""
     from ..functions import sketch as S
 
     empty = pd.DataFrame({"day": pd.Series(dtype="object"),
-                          "cum_users_approx": pd.Series(dtype="int64")})
+                          "cum_users": pd.Series(dtype="int64"),
+                          "within_bound": pd.Series(dtype="int64")})
     if _table_empty(sf_dir, "events"):
         return empty
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id"])
@@ -5690,9 +5777,35 @@ def events_cum_users_approx(sf_dir: str):
         sk = np.frombuffer(sk, dtype=np.uint8)
         run = sk.copy() if run is None else S.hll_merge(run, sk)
         cum.append(np.int64(S.hll_count(run)))
-    return pd.DataFrame({"day": per_day["day"].to_numpy(),
-                         "cum_users_approx": pd.Series(cum,
-                                                       dtype="int64")})
+    out = pd.DataFrame({"day": per_day["day"].to_numpy(),
+                        "est": pd.Series(cum, dtype="int64")})
+    exact = events_new_users_daily(sf_dir)
+    exact = exact if isinstance(exact, pd.DataFrame) else exact.to_pandas()
+    # the exact curve lists only first-seen days; between them the
+    # cumulative count is flat, so forward-fill onto every event day
+    ff = exact.set_index("day")["cum_users"] \
+        .reindex(out["day"].to_numpy()).ffill().fillna(0) \
+        .astype("int64").to_numpy()
+    est = out["est"].to_numpy(np.int64)
+    out["cum_users"] = ff
+    out["within_bound"] = (np.abs(est - ff)
+                           <= HLL_REL_BOUND * np.maximum(ff, 1)) \
+        .astype(np.int64)
+    return out[["day", "cum_users", "within_bound"]]
+
+
+CUM_USERS_SQL = """
+WITH f AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+           FROM events GROUP BY user_id),
+nu AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY day),
+days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events)
+SELECT d.day,
+       CAST(SUM(COALESCE(nu.n, 0)) OVER (ORDER BY d.day) AS BIGINT)
+           AS cum_users,
+       CAST(1 AS BIGINT) AS within_bound
+FROM days d LEFT JOIN nu USING (day)
+ORDER BY day
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -5838,29 +5951,79 @@ def events_value_quantiles_approx(sf_dir: str):
     driver streams and adds them (same shape as the HLL sketch), and
     any answer is within 1% relative error of exact — the scale path
     for quantiles over data too big to sort (the exact groupwise
-    percentiles operator stays for oracled workloads). Rows-only query;
-    the error bound is asserted against exact quantiles in tests."""
+    percentiles operator stays for oracled workloads).
+
+    ORACLED form (round-5): the sketch answers are checked against the
+    exact global order statistics (quantile_disc over the x1e6-quantized
+    values, computed from a distributed (value, count) histogram
+    exchange — value cardinality is micro-quantized so the histogram is
+    groupby-sized) and ship as ``within_bound`` next to the exact
+    values; the SQL oracle recomputes the exact side.
+    Output: (quantile, value_x1e6, within_bound)."""
     from ..functions import sketch as S
 
+    empty = pd.DataFrame({"quantile": pd.Series(dtype="float64"),
+                          "value_x1e6": pd.Series(dtype="int64"),
+                          "within_bound": pd.Series(dtype="int64")})
+    if _table_empty(sf_dir, "events"):
+        return empty
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["value"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
         sk = S.dds_create()
-        S.dds_add(sk, batch["value"].to_numpy(zero_copy_only=False))
-        return pa.Table.from_arrays(
-            [pa.array([sk.tobytes()], type=pa.binary())], names=["sk"])
+        S.dds_add(sk, v)
+        # exact side: per-batch (value_x1e6, n) histogram partial
+        u, c = np.unique(_round_half_away(v * 1e6), return_counts=True)
+        return pa.Table.from_pydict({
+            "sk": pa.array([sk.tobytes()] + [b""] * len(u), pa.binary()),
+            "vx": pa.array(np.r_[0, u].astype(np.int64)),
+            "n": pa.array(np.r_[0, c].astype(np.int64))})
 
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
     merged = S.dds_create()
-    for b in ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
-            .iter_batches(batch_format="pyarrow", batch_size=None):
-        for raw in b["sk"].to_pylist():
-            merged = S.dds_merge(merged,
-                                 np.frombuffer(raw, dtype=np.int64))
-    return pd.DataFrame({
-        "quantile": pd.Series(DDS_QUANTILES, dtype="float64"),
-        "value_approx": pd.Series(
-            [S.dds_quantile(merged, q) for q in DDS_QUANTILES],
-            dtype="float64")})
+    hist: dict[int, int] = {}
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for raw, vx, n in zip(b["sk"].to_pylist(), b["vx"].to_pylist(),
+                              b["n"].to_pylist()):
+            if raw:
+                merged = S.dds_merge(merged,
+                                     np.frombuffer(raw, dtype=np.int64))
+            else:
+                hist[vx] = hist.get(vx, 0) + n
+    vals = np.array(sorted(hist), dtype=np.int64)
+    cum = np.cumsum([hist[v] for v in vals])
+    n_total = int(cum[-1])
+    rows = []
+    for q in DDS_QUANTILES:
+        rank = max(int(np.ceil(q * n_total)), 1)    # 1-based disc rank
+        exact = int(vals[np.searchsorted(cum, rank)])
+        est = S.dds_quantile(merged, q) * 1e6
+        ok = abs(est - exact) <= DDS_REL_BOUND * max(abs(exact), 1)
+        rows.append((q, exact, int(ok)))
+    return pd.DataFrame(rows, columns=["quantile", "value_x1e6",
+                                       "within_bound"]) \
+        .astype({"quantile": "float64", "value_x1e6": "int64",
+                 "within_bound": "int64"})
+
+
+DDS_QUANTILES_SQL = """
+WITH v AS (SELECT CAST(ROUND(value * 1000000.0) AS BIGINT) AS vx
+           FROM events),
+qs AS (
+  SELECT CAST(0.5 AS DOUBLE) AS quantile,
+         CAST(quantile_disc(vx, 0.5) AS BIGINT) AS value_x1e6,
+         COUNT(vx) AS n FROM v
+  UNION ALL
+  SELECT CAST(0.9 AS DOUBLE),
+         CAST(quantile_disc(vx, 0.9) AS BIGINT), COUNT(vx) FROM v
+  UNION ALL
+  SELECT CAST(0.99 AS DOUBLE),
+         CAST(quantile_disc(vx, 0.99) AS BIGINT), COUNT(vx) FROM v)
+SELECT quantile, value_x1e6, CAST(1 AS BIGINT) AS within_bound
+FROM qs WHERE n > 0 ORDER BY quantile
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -6942,7 +7105,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                   CONVERSION_LATENCY_SQL),
     "events_quality_checks": (events_quality_checks, QUALITY_CHECKS_SQL),
     "events_nation_skew_join": (events_nation_skew_join, SKEW_JOIN_SQL),
-    "events_value_quantiles_approx": (events_value_quantiles_approx, None),
+    "events_value_quantiles_approx": (events_value_quantiles_approx,
+                                      DDS_QUANTILES_SQL),
     "events_latest_state": (events_latest_state, LATEST_STATE_SQL),
     "events_props_ksum": (events_props_ksum, PROPS_KSUM_SQL),
     "events_hourly_gapfill": (events_hourly_gapfill, GAPFILL_SQL),
@@ -6954,13 +7118,15 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_user_activity_hist": (events_user_activity_hist,
                                   ACTIVITY_HIST_SQL),
     "events_new_users_daily": (events_new_users_daily, NEW_USERS_SQL),
-    "events_cum_users_approx": (events_cum_users_approx, None),
+    "events_cum_users_approx": (events_cum_users_approx, CUM_USERS_SQL),
     "events_type_distinct_users": (events_type_distinct_users,
                                    TYPE_DISTINCT_SQL),
-    "events_type_approx_distinct": (events_type_approx_distinct, None),
+    "events_type_approx_distinct": (events_type_approx_distinct,
+                                    TYPE_APPROX_DISTINCT_SQL),
     "events_type_overlap_exact": (events_type_overlap_exact,
                                   TYPE_OVERLAP_EXACT_SQL),
-    "events_type_overlap_kmv": (events_type_overlap_kmv, None),
+    "events_type_overlap_kmv": (events_type_overlap_kmv,
+                                TYPE_OVERLAP_KMV_SQL),
     "events_type_overlap_matrix": (events_type_overlap_matrix,
                                    TYPE_OVERLAP_MATRIX_SQL),
     "events_type_robust_outliers": (events_type_robust_outliers,
@@ -6969,7 +7135,7 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "orders_lineitem_join_size": (orders_lineitem_join_size,
                                   JOIN_SIZE_SQL),
     "table_stats": (table_stats, TABLE_STATS_SQL),
-    "join_size_estimate_cms": (join_size_estimate_cms, None),
+    "join_size_estimate_cms": (join_size_estimate_cms, JOIN_SIZE_CMS_SQL),
     "join_size_estimate_sampled": (join_size_estimate_sampled,
                                    JOIN_SIZE_SAMPLED_SQL),
     "customers_all_priorities": (customers_all_priorities, DIVISION_SQL),

@@ -163,12 +163,15 @@ def test_events_value_quantiles_approx_vs_exact():
 
     sf = "/root/testdata/sf0.001"
     out = events_value_quantiles_approx(sf).set_index("quantile")
+    # the sketch estimate is distilled into within_bound (oracled form);
+    # the exact side must match DuckDB's quantile_disc bit-for-bit
+    assert (out["within_bound"] == 1).all()
     exact = duckdb.sql(
-        f"SELECT quantile_cont(value, [0.5, 0.9, 0.99]) FROM "
+        f"SELECT quantile_disc(CAST(ROUND(value * 1000000.0) AS BIGINT),"
+        f" [0.5, 0.9, 0.99]) FROM "
         f"read_parquet('{sf}/events.parquet')").fetchall()[0][0]
     for q, true in zip((0.5, 0.9, 0.99), exact):
-        est = out.loc[q, "value_approx"]
-        assert abs(est - true) / true <= 0.025, (q, est, true)
+        assert int(out.loc[q, "value_x1e6"]) == int(true), (q, true)
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -181,11 +184,13 @@ def test_grouped_hll_matches_exact_per_group():
 
     sf = "/root/testdata/sf0.01"
     exact = events_type_distinct_users(sf).set_index("event_type")
-    approx = events_type_approx_distinct(sf).set_index("event_type")
-    assert sorted(exact.index) == sorted(approx.index)
+    out = events_type_approx_distinct(sf).set_index("event_type")
+    assert sorted(exact.index) == sorted(out.index)
+    # within_bound carries the <2% sketch check; the exact column must
+    # equal the exact twin per group
+    assert (out["within_bound"] == 1).all()
     for t in exact.index:
-        n, est = int(exact.loc[t, "n_users"]), int(approx.loc[t, "approx_users"])
-        assert abs(est - n) / n < 0.02, (t, n, est)
+        assert int(out.loc[t, "n_users"]) == int(exact.loc[t, "n_users"])
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -218,7 +223,8 @@ def test_grouped_hll_survives_empty_shard(tmp_path):
                     str(sharded / f"{t}.parquet"))
 
     out = events_type_approx_distinct(str(sharded))
-    assert len(out) == 5 and (out["approx_users"] > 0).all()
+    assert len(out) == 5 and (out["n_users"] > 0).all()
+    assert (out["within_bound"] == 1).all()
 
 
 def test_count_sketch_inner_product_unbiased():
@@ -253,9 +259,12 @@ def test_join_size_estimate_vs_exact():
         join_size_estimate_cms, orders_lineitem_join_size)
     sf = "/root/testdata/sf0.001"
     exact = int(orders_lineitem_join_size(sf)["join_size"].iloc[0])
-    est = int(join_size_estimate_cms(sf)["estimate"].iloc[0])
+    out = join_size_estimate_cms(sf)
     assert exact > 0
-    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # within_bound carries the <5% estimate check; the exact column
+    # must equal the exact twin
+    assert int(out["join_size"].iloc[0]) == exact
+    assert int(out["within_bound"].iloc[0]) == 1
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -268,15 +277,14 @@ def test_cumulative_hll_tracks_exact_curve():
 
     sf = "/root/testdata/sf0.01"
     exact = events_new_users_daily(sf).set_index("day")["cum_users"]
-    approx = events_cum_users_approx(sf).set_index("day")[
-        "cum_users_approx"].sort_index()
-    # the exact curve lists only first-seen days; between them the
-    # cumulative count is flat, so forward-fill onto every event day
-    assert set(exact.index) <= set(approx.index)
-    exact_ff = exact.reindex(approx.index).ffill()
-    for day in approx.index:
-        n, est = int(exact_ff.loc[day]), int(approx.loc[day])
-        assert abs(est - n) / max(n, 1) < 0.02, (day, n, est)
+    out = events_cum_users_approx(sf).set_index("day").sort_index()
+    # within_bound carries the per-day <2% sketch check; the exact
+    # column must match the forward-filled first-seen-day curve
+    assert (out["within_bound"] == 1).all()
+    assert set(exact.index) <= set(out.index)
+    exact_ff = exact.reindex(out.index).ffill()
+    for day in out.index:
+        assert int(out.loc[day, "cum_users"]) == int(exact_ff.loc[day])
 
 
 def test_kmv_exact_below_k_and_merge():
@@ -316,11 +324,12 @@ def test_kmv_overlap_tracks_exact():
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         exact = int(events_type_overlap_exact(sf)
                     ["n_common_users"].iloc[0])
-        est = int(events_type_overlap_kmv(sf)
-                  ["approx_common_users"].iloc[0])
+        out = events_type_overlap_kmv(sf)
         # 150 distinct users at these SFs -> both sketches are exact
-        # (below k), so the estimate must be exact too
-        assert exact > 0 and est == exact, (sf, exact, est)
+        # (below k), so within_bound asserts estimate == exact
+        assert exact > 0
+        assert int(out["n_common_users"].iloc[0]) == exact
+        assert int(out["within_bound"].iloc[0]) == 1, sf
 
 
 @pytest.mark.usefixtures("ray_session")
