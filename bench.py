@@ -1177,7 +1177,7 @@ def main():
                          "embedding_pca_project",
                          "docs_justext_blocks",
                          "preference_bradley_terry",
-                         "events_funnel_steps",
+                         "events_funnel_steps", "events_funnel_steps4",
                          "docs_source_vocab_jaccard",
                          "docs_source_length_emd"]
         for name in bench_queries:

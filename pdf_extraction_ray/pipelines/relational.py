@@ -27,6 +27,8 @@ Scale design notes (these run on ~100 TB inputs in production):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -6447,18 +6449,21 @@ ORDER BY t1, t2, t3
 ORDERED_FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-def events_funnel_steps(sf_dir: str):
-    """Classic ORDERED-step funnel over the event log: per user, the
-    earliest strictly-increasing (ts, event_id) chain view -> click ->
-    purchase; the report counts users completing each prefix (the
-    conversion funnel every product-analytics stack ships; ordering
-    matters — a purchase BEFORE the first view-then-click chain does
-    not convert). Greedy earliest-chain is exact for existence: taking
-    the earliest view, then the earliest later click, then the
-    earliest later purchase finds a chain iff one exists.
+def events_funnel_steps(sf_dir: str,
+                        steps: tuple = ORDERED_FUNNEL_STEPS):
+    """Classic ORDERED-step funnel over the event log, for an ARBITRARY
+    step list (round-5: parameterized from the hard-coded 3-chain): per
+    user, the earliest strictly-increasing (ts, event_id) chain
+    steps[0] -> ... -> steps[k-1]; the report counts users completing
+    each prefix (the conversion funnel every product-analytics stack
+    ships; ordering matters — a purchase BEFORE the first
+    view-then-click chain does not convert). Greedy earliest-chain is
+    exact for existence: taking the earliest occurrence of each step
+    strictly after the previous step's pick finds a chain iff one
+    exists.
 
-    One user-keyed coarse exchange; per-user state is three scalars.
-    Output: (step, event_type, n_users), step 1..{len(ORDERED_FUNNEL_STEPS)}."""
+    One user-keyed coarse exchange; per-user state is k scalars.
+    Output: (step, event_type, n_users), step 1..k."""
     cols = ("step", "event_type", "n_users")
     empty = pd.DataFrame({"step": pd.Series(dtype="int64"),
                           "event_type": pd.Series(dtype="object"),
@@ -6469,9 +6474,11 @@ def events_funnel_steps(sf_dir: str):
                          columns=["user_id", "ts", "event_id",
                                   "event_type"])
 
+    steps = tuple(steps)
+
     def prep(batch: pa.Table) -> pa.Table:
         et = batch["event_type"].to_numpy(zero_copy_only=False)
-        keep = np.isin(et, ORDERED_FUNNEL_STEPS)
+        keep = np.isin(et, steps)
         t = batch.filter(pa.array(keep))
         ts_us = t["ts"].to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
@@ -6481,12 +6488,12 @@ def events_funnel_steps(sf_dir: str):
             names=["user_id", "ts_us", "event_id", "event_type"])
 
     def chain(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized per partition: for each user walk the 3 steps,
+        # vectorized per partition: for each user walk the k steps,
         # each time the earliest (ts, event_id) strictly after the
         # previous step's event
-        reached = np.zeros(len(ORDERED_FUNNEL_STEPS), dtype=np.int64)
+        reached = np.zeros(len(steps), dtype=np.int64)
         cur: pd.DataFrame | None = None
-        for si, step in enumerate(ORDERED_FUNNEL_STEPS):
+        for si, step in enumerate(steps):
             ev = g[g["event_type"] == step]
             if si == 0:
                 ev = ev.sort_values(["user_id", "ts_us", "event_id"])
@@ -6506,9 +6513,8 @@ def events_funnel_steps(sf_dir: str):
             if cur.empty:
                 break
         return pd.DataFrame({
-            "step": np.arange(1, len(ORDERED_FUNNEL_STEPS) + 1,
-                              dtype=np.int64),
-            "event_type": list(ORDERED_FUNNEL_STEPS),
+            "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+            "event_type": list(steps),
             "n_users": reached})
 
     agg = _coarse_partition_map(
@@ -6521,38 +6527,44 @@ def events_funnel_steps(sf_dir: str):
     return out[list(cols)].astype({"step": "int64", "n_users": "int64"})
 
 
-FUNNEL_STEPS_SQL = """
-WITH v AS (
+def funnel_steps_sql(steps: tuple = ORDERED_FUNNEL_STEPS) -> str:
+    """Oracle generator for ``events_funnel_steps`` at ANY step count:
+    one earliest-pick CTE pair per step, each chained strictly after
+    the previous step's (ts, event_id)."""
+    ctes = []
+    for i, s in enumerate(steps):
+        if i == 0:
+            ctes.append(f"""s{i} AS (
   SELECT user_id, ts, event_id,
          ROW_NUMBER() OVER (PARTITION BY user_id
                             ORDER BY ts, event_id) AS rn
-  FROM events WHERE event_type = 'view'),
-v1 AS (SELECT user_id, ts, event_id FROM v WHERE rn = 1),
-c AS (
+  FROM events WHERE event_type = '{s}'),
+s{i}f AS (SELECT user_id, ts, event_id FROM s{i} WHERE rn = 1)""")
+        else:
+            ctes.append(f"""s{i} AS (
   SELECT e.user_id, e.ts, e.event_id,
          ROW_NUMBER() OVER (PARTITION BY e.user_id
                             ORDER BY e.ts, e.event_id) AS rn
-  FROM events e JOIN v1 ON v1.user_id = e.user_id
-  WHERE e.event_type = 'click'
-    AND (e.ts > v1.ts OR (e.ts = v1.ts AND e.event_id > v1.event_id))),
-c1 AS (SELECT user_id, ts, event_id FROM c WHERE rn = 1),
-p AS (
-  SELECT e.user_id,
-         ROW_NUMBER() OVER (PARTITION BY e.user_id
-                            ORDER BY e.ts, e.event_id) AS rn
-  FROM events e JOIN c1 ON c1.user_id = e.user_id
-  WHERE e.event_type = 'purchase'
-    AND (e.ts > c1.ts OR (e.ts = c1.ts AND e.event_id > c1.event_id))),
-p1 AS (SELECT user_id FROM p WHERE rn = 1)
-SELECT * FROM (
-  SELECT 1 AS step, 'view' AS event_type,
-         CAST((SELECT COUNT(*) FROM v1) AS BIGINT) AS n_users
-  UNION ALL
-  SELECT 2, 'click', CAST((SELECT COUNT(*) FROM c1) AS BIGINT)
-  UNION ALL
-  SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM p1) AS BIGINT))
-ORDER BY step
-"""
+  FROM events e JOIN s{i - 1}f p ON p.user_id = e.user_id
+  WHERE e.event_type = '{s}'
+    AND (e.ts > p.ts OR (e.ts = p.ts AND e.event_id > p.event_id))),
+s{i}f AS (SELECT user_id, ts, event_id FROM s{i} WHERE rn = 1)""")
+    sel = "\n  UNION ALL\n".join(
+        (f"  SELECT 1 AS step, '{s}' AS event_type,\n"
+         f"         CAST((SELECT COUNT(*) FROM s0f) AS BIGINT) AS n_users")
+        if i == 0 else
+        f"  SELECT {i + 1}, '{s}', "
+        f"CAST((SELECT COUNT(*) FROM s{i}f) AS BIGINT)"
+        for i, s in enumerate(steps))
+    return ("WITH " + ",\n".join(ctes)
+            + "\nSELECT * FROM (\n" + sel + ")\nORDER BY step")
+
+
+FUNNEL_STEPS_SQL = funnel_steps_sql()
+# the immediate product-analytics ask past the default 3-chain: a
+# 4-step funnel, oracled at both scales (round-5 VERDICT item 7)
+FUNNEL_STEPS_4 = ("view", "click", "signup", "purchase")
+FUNNEL_STEPS_4_SQL = funnel_steps_sql(FUNNEL_STEPS_4)
 
 
 def events_conversion_latency(sf_dir: str):
@@ -7101,6 +7113,9 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
                                 TYPE_TRANSITIONS_SQL),
     "events_type_trigrams": (events_type_trigrams, TYPE_TRIGRAMS_SQL),
     "events_funnel_steps": (events_funnel_steps, FUNNEL_STEPS_SQL),
+    "events_funnel_steps4": (functools.partial(events_funnel_steps,
+                                               steps=FUNNEL_STEPS_4),
+                             FUNNEL_STEPS_4_SQL),
     "events_conversion_latency": (events_conversion_latency,
                                   CONVERSION_LATENCY_SQL),
     "events_quality_checks": (events_quality_checks, QUALITY_CHECKS_SQL),

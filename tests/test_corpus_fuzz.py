@@ -102,7 +102,7 @@ EVENT_QUERIES = [
     "events_lead_lag", "events_value_percentiles",
     "events_type_salted_agg", "events_sliding_windows",
     "events_cohort_retention", "events_asof_orders",
-    "events_funnel_steps",
+    "events_funnel_steps", "events_funnel_steps4",
     "events_asof_next_order", "events_asof_nearest_order",
     "events_stream_topk", "events_type_dow_chisq",
     "events_hourly_acf", "events_key_skew_profile",

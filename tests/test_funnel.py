@@ -63,6 +63,53 @@ def test_funnel_ordering_semantics(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_funnel_four_steps_parameterized(tmp_path):
+    """k=4 chain (round-5: arbitrary step lists): drops must happen at
+    every depth, greedy earliest-pick must not be fooled by a decoy
+    early pick that kills the rest of the chain (greedy is exact for
+    existence), and the generated 4-step oracle agrees."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_funnel_steps, funnel_steps_sql)
+    steps = ("view", "click", "signup", "purchase")
+    rows = [
+        # user 1: full 4-chain in order
+        (1, 1, 10, "view"), (2, 1, 20, "click"),
+        (3, 1, 30, "signup"), (4, 1, 40, "purchase"),
+        # user 2: signup BEFORE the click -> stops at step 2
+        (5, 2, 10, "view"), (6, 2, 30, "click"),
+        (7, 2, 20, "signup"), (8, 2, 40, "purchase"),
+        # user 3: stops at step 3 (no purchase after signup)
+        (9, 3, 10, "view"), (10, 3, 20, "click"),
+        (11, 3, 30, "signup"), (12, 3, 25, "purchase"),
+        # user 4: TWO clicks; only the later one precedes signup —
+        # greedy takes the EARLIEST click (15) and still converts
+        # because signup (30) follows it
+        (13, 4, 10, "view"), (14, 4, 15, "click"),
+        (15, 4, 25, "click"), (16, 4, 30, "signup"),
+        (17, 4, 40, "purchase"),
+        # user 5: view only
+        (18, 5, 10, "view"),
+    ]
+    d = str(tmp_path / "funnel4")
+    _write_events(d, rows)
+    out = events_funnel_steps(d, steps=steps)
+    out = (out.to_pandas() if hasattr(out, "to_pandas") else out) \
+        .set_index("step")
+    assert list(out["event_type"]) == list(steps)
+    assert out.loc[1, "n_users"] == 5      # everyone viewed
+    assert out.loc[2, "n_users"] == 4      # users 1,2,3,4 clicked after
+    assert out.loc[3, "n_users"] == 3      # users 1,3,4 signed up after
+    assert out.loc[4, "n_users"] == 2      # users 1,4 purchased after
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    orc = con.execute(funnel_steps_sql(steps)).fetchdf()
+    pd.testing.assert_frame_equal(
+        out.reset_index().astype({"step": "int64", "n_users": "int64"}),
+        orc.astype({"step": "int64", "n_users": "int64"}))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_funnel_empty(tmp_path):
     from pdf_extraction_ray.pipelines.relational import events_funnel_steps
     d = str(tmp_path / "fe")
