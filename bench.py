@@ -276,6 +276,157 @@ def _spill_counters() -> tuple:
     return spilled, restored
 
 
+def _per_node_spill(logs_dir: str) -> dict:
+    """Per-NODE (spilled, restored) MiB: in an emulated
+    ``ray.cluster_utils.Cluster`` every node runs its own raylet and
+    writes its own ``raylet[.N].out`` under the shared session logs
+    dir, so the per-file counters ARE the per-node numbers."""
+    import glob as _glob
+    out = {}
+    for f in sorted(_glob.glob(os.path.join(logs_dir, "raylet*.out"))):
+        spilled = restored = 0
+        try:
+            with open(f, errors="ignore") as fh:
+                for line in fh:
+                    if "Spilled " in line:
+                        spilled = max(spilled, int(float(
+                            line.split("Spilled ")[1].split(" MiB")[0])))
+                    if "Restored " in line:
+                        restored = max(restored, int(float(
+                            line.split("Restored ")[1].split(" MiB")[0])))
+        except (OSError, ValueError, IndexError):
+            spilled = restored = -1
+        out[os.path.basename(f)] = {"spilled_mib": spilled,
+                                    "restored_mib": restored}
+    return out
+
+
+def _nodes():
+    """Emulated MULTI-NODE tier (round-5 VERDICT item 1): a real Ray
+    cluster topology — head + N-1 worker nodes, each with its own
+    raylet, own object store and own spill directory — built with
+    ``ray.cluster_utils.Cluster`` on this machine. Cross-node object
+    transfer on the wide exchanges, actor placement across nodes and
+    per-node store pressure are all real; only the network is loopback.
+
+    Legs: (1) flagship extraction -> parquet (docs/s + output
+    checksum, byte-compared against the single-node run by
+    tests/test_multinode.py), (2) full-corpus groupby shuffle
+    (cross-node all-to-all; exact group count verified), (3) two
+    sf-table wide queries. Reports per-NODE spill/restore MiB and the
+    scheduling spread of a 64-task probe."""
+    import glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    import ray
+    from ray.cluster_utils import Cluster
+
+    n_nodes = int(os.environ.get("GRAFT_NODES", "4"))
+    cpus_per = int(os.environ.get("GRAFT_NODE_CPUS", "8"))
+    store_mb = int(os.environ.get("GRAFT_NODE_STORE_MB", "512"))
+    n_docs = int(os.environ.get("GRAFT_NODES_DOCS", str(BENCH_DOCS)))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    t_boot = time.perf_counter()
+    cluster = Cluster(initialize_head=True, head_node_args={
+        "num_cpus": cpus_per, "object_store_memory": store_mb << 20,
+        "include_dashboard": False})
+    for _ in range(n_nodes - 1):
+        cluster.add_node(num_cpus=cpus_per,
+                         object_store_memory=store_mb << 20)
+    cluster.wait_for_nodes()
+    ray.init(address=cluster.address, logging_level="ERROR")
+    boot_s = round(time.perf_counter() - t_boot, 1)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    # scheduling-spread probe: 2x-oversubscribed slot-holding tasks
+    # cannot all fit one node, so every node must serve some
+    @ray.remote(num_cpus=1, scheduling_strategy="SPREAD")
+    def _probe():
+        time.sleep(0.5)
+        return ray.get_runtime_context().get_node_id()
+
+    probe_nodes = len(set(ray.get(
+        [_probe.remote() for _ in range(2 * n_nodes * cpus_per)])))
+
+    from pdf_extraction_ray.fixtures import ensure_corpus
+    from pdf_extraction_ray.pipelines import extract_pipeline
+    from pdf_extraction_ray.sources import read_docs
+    corpus = ensure_corpus("bench" if n_docs == BENCH_DOCS else "nodes",
+                           BENCH_SEED, n_docs, shard_rows=5000,
+                           use_ray=True)
+    read_docs(corpus).count()          # warm the page cache
+
+    out_dir = "/tmp/pdfxr_nodes_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    extract_pipeline(read_docs(corpus), batch_size=BENCH_BATCH) \
+        .write_parquet(out_dir)
+    extract_s = time.perf_counter() - t0
+
+    # output checksum over canonically-ordered rows: the multi-node
+    # answer must be byte-identical to single-node (pinned at test
+    # scale by tests/test_multinode.py; recorded here at bench scale)
+    h = hashlib.md5()
+    files = sorted(glob.glob(f"{out_dir}/*.parquet"))
+    rows_out = 0
+    import pyarrow as pa
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    rows_out = tbl.num_rows
+    order = pa.compute.sort_indices(tbl["doc_id"])
+    tbl = tbl.take(order)
+    for r in tbl.to_pylist():
+        h.update(repr((r["doc_id"], r["spans"])).encode())
+    checksum = h.hexdigest()
+
+    # cross-node all-to-all: full-corpus hash groupby
+    from ray.data.aggregate import Count
+    t1 = time.perf_counter()
+    n_groups = (read_docs(corpus)
+                .groupby("doc_id").aggregate(Count(alias_name="n"))
+                .count())
+    shuffle_s = time.perf_counter() - t1
+
+    # wide sf-table queries through the same cluster
+    import __ray_entry__
+    qs = __ray_entry__.queries()
+    wide = {}
+    for qname in ("corpus_heavy_hitters", "events_type_distinct_users"):
+        tq = time.perf_counter()
+        res = qs[qname](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res = res.to_pandas()
+        wide[qname] = round(time.perf_counter() - tq, 3)
+
+    logs_dir = os.path.join(
+        ray._private.worker._global_node.get_session_dir_path(), "logs")
+    per_node = _per_node_spill(logs_dir)
+    nodes = [{"cpus": n["Resources"].get("CPU"),
+              "store_mb": int(n.get("ObjectStoreMemory",
+                                    store_mb << 20)) >> 20,
+              "alive": n["Alive"]} for n in ray.nodes()]
+    print(json.dumps({
+        "metric": "nodes_extract_wall_sec",
+        "value": round(extract_s, 1), "unit": "sec",
+        "n_nodes": n_nodes, "cpus_per_node": cpus_per,
+        "object_store_mb_per_node": store_mb,
+        "boot_sec": boot_s, "probe_nodes_hit": probe_nodes,
+        "n_docs": n_docs, "docs_per_sec": round(n_docs / extract_s, 1),
+        "rows_out": rows_out, "rows_ok": rows_out == n_docs,
+        "output_md5": checksum,
+        "shuffle_wall_sec": round(shuffle_s, 1),
+        "shuffle_groups_ok": n_groups == n_docs,
+        "wide_queries": wide,
+        "per_node_spill": per_node,
+        "nodes": nodes,
+        "cpu_calib_miters": _cpu_calib_miters()}))
+    ray.shutdown()
+    cluster.shutdown()
+
+
 def _ensure_stress_docs(n: int) -> str:
     """Synthesize (once, cached) a sharded n-row documents table with 1%
     planted near-dups — shared by the dedup and corpus stress tiers."""
@@ -917,6 +1068,9 @@ def main():
         return
     if "--spill" in sys.argv:
         _spill()
+        return
+    if "--nodes" in sys.argv:
+        _nodes()
         return
     if "--dedup" in sys.argv:
         _dedup_stress()
