@@ -19,6 +19,20 @@ def default_n_coarse() -> int:
     return max(64, 2 * cluster_cpus())
 
 
+def fixed_heavy_pool(reserve: int = 2) -> tuple[int, int]:
+    """FIXED pool bounds for heavy-state actor stages (round-5; from
+    the measured ``bench.py --actors`` result): under expensive
+    per-actor ``__init__`` (model load), Ray's autoscaling pool ramps
+    far too slowly — on a 14 s job with 2 s init, autoscale (1, 30)
+    started only 4 actors and a fixed pool of 8 finished 2x faster.
+    Since every actor pays init CONCURRENTLY, wall ~= init + work/k is
+    monotone in k, so the right fixed size is simply all usable CPUs
+    (``reserve`` left for the read/write task pools — two pools with
+    nothing left over deadlock a 4-CPU session)."""
+    k = max(2, cluster_cpus() - reserve)
+    return (k, k)
+
+
 def half_pool() -> tuple[int, int]:
     """Autoscaling pool bounds for secondary actor stages: min 1 (never
     starve small sessions), max half the cluster."""

@@ -179,12 +179,18 @@ def extract_pipeline(ds: Dataset, *, batch_size: int = 256,
       (classify -> layout -> reassemble -> sink) into one task stage —
       zero inter-stage transfer, near-linear scaling. Right for light
       parser state (compiled patterns, stub OCR).
-    - ``"actors"``: an autoscaling actor pool
-      (``concurrency=(min, max)``, sized to the cluster) — parser/model
-      state built once per actor in ``__init__``. Right when state is
-      heavy (real OCR/layout model weights) or concurrency must be
-      bounded (rate-limited clients). Measurably slower to dispatch for
-      sub-millisecond-per-doc work, so not the default here.
+    - ``"actors"``: a FIXED-size actor pool (``concurrency=(k, k)``,
+      k = usable CPUs via ``fixed_heavy_pool``) — parser/model state
+      built once per actor in ``__init__``. Right when state is heavy
+      (real OCR/layout model weights) or concurrency must be bounded
+      (rate-limited clients). Fixed, not autoscaling, by default:
+      ``bench.py --actors`` measured autoscale (1, 30) ramping to only
+      4 actors on a 14 s job with 2 s init — a fixed pool of 8 was 2x
+      faster; since actors pay init concurrently, wall ~= init + work/k
+      is monotone in k. Pass ``layout_concurrency=(min, max)`` to get
+      an autoscaling pool back. Measurably slower to dispatch than
+      tasks for sub-millisecond-per-doc work, so not the overall
+      default here.
 
     ``layout_num_gpus`` / ``layout_resources`` (actors mode only): the
     GPU fraction / custom-resource claim each layout actor schedules
@@ -201,10 +207,8 @@ def extract_pipeline(ds: Dataset, *, batch_size: int = 256,
                             batch_size=batch_size)
     else:
         if layout_concurrency is None:
-            from ..functions.cluster import cluster_cpus
-            # min 1 so small sessions never starve the read/write task
-            # pools (two pools with min>=2 deadlock a 4-CPU session)
-            layout_concurrency = (1, max(2, cluster_cpus() - 2))
+            from ..functions.cluster import fixed_heavy_pool
+            layout_concurrency = fixed_heavy_pool()
         from ..functions.cluster import accel_remote_args
         ds = ds.map_batches(LayoutParser, batch_format="pyarrow",
                             batch_size=batch_size,
