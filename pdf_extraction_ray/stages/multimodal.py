@@ -96,14 +96,20 @@ class MediaDecoder:
     """Actor-pool decode stage: payload binary -> typed features.
 
     ``codec="stub"``: deterministic fake decode (dims/energy from payload
-    bytes). Real codecs raise NotImplementedError until their libraries
-    exist in the image — the call sites and schemas don't change.
+    bytes). ``codec="pil"`` dispatches to Pillow when the runtime image
+    has it (``functions/imaging.py`` probe — the lance pattern) and
+    raises NotImplementedError otherwise; other real codecs
+    (libsndfile/ffmpeg) stay gated the same way. The call sites and
+    output schema are identical on every path.
     """
 
     def __init__(self, codec: str = "stub", keep_payload: bool = False):
-        if codec != "stub":
+        if codec == "pil":
+            from ..functions.imaging import pil_image
+            pil_image()            # raises unless Pillow is installed
+        elif codec != "stub":
             raise NotImplementedError(
-                f"codec={codec!r}: real decoders (PIL/libsndfile/ffmpeg) are "
+                f"codec={codec!r}: real decoders (libsndfile/ffmpeg) are "
                 "not available in this environment; use codec='stub'")
         self.codec = codec
         # downstream payload-transform stages (resize) need the bytes;
@@ -123,9 +129,14 @@ class MediaDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = as_array(batch.column("payload")).to_pylist()
+        if self.codec == "pil":
+            from ..functions.imaging import pil_decode
+            decode = pil_decode
+        else:
+            decode = self._decode_stub
         w, ht, nf, en = [], [], [], []
         for p in payloads:
-            a, b, c, d = self._decode_stub(p)
+            a, b, c, d = decode(p)
             w.append(a); ht.append(b); nf.append(c); en.append(d)
         out = batch if self.keep_payload \
             else batch.drop_columns(["payload"])    # prune heavy bytes
@@ -143,10 +154,14 @@ class MediaResizer:
     as MediaDecoder (PIL would replace ``_resize_stub`` only)."""
 
     def __init__(self, max_dim: int = 128, codec: str = "stub"):
-        if codec != "stub":
+        if codec == "pil":
+            from ..functions.imaging import pil_image
+            pil_image()            # raises unless Pillow is installed
+        elif codec != "stub":
             raise NotImplementedError(
                 f"codec={codec!r}: real resize needs an imaging library; "
                 "use codec='stub'")
+        self.codec = codec
         self.max_dim = max_dim
 
     def _dims(self, w: int, h: int) -> tuple[int, int]:
@@ -165,6 +180,10 @@ class MediaResizer:
             w2, h2 = self._dims(w, h)
             nw.append(w2)
             nh.append(h2)
+            if self.codec == "pil":
+                from ..functions.imaging import pil_resize
+                out_payload.append(pil_resize(p, w2, h2))
+                continue
             # deterministic stub: keep a prefix proportional to area ratio
             keep = max(8, int(len(p) * (w2 * h2) / max(w * h, 1)))
             out_payload.append(p[:keep])
