@@ -991,7 +991,35 @@ def _compare(argv):
         head_ratio = round((float(old["docs_per_sec"]) / a_old)
                            / (float(new["docs_per_sec"]) / a_new), 3)
     head_reg = head_ratio is not None and head_ratio > thr
-    ok = not regressions and not head_reg
+    # cross-round history (round-5 VERDICT item 8): append the NEW
+    # record's anchor-normalized per-query work units (sec x Miter/s,
+    # epoch-stable) to BENCH_HISTORY.jsonl and flag any query whose
+    # work units rose MONOTONICALLY across the last 3 records — drift
+    # a pairwise gate under its threshold never sees
+    hist_p = os.path.join(REPO, "BENCH_HISTORY.jsonl")
+    records = []
+    if os.path.exists(hist_p):
+        with open(hist_p) as f:
+            records = [json.loads(x) for x in f if x.strip()]
+    entry = {"file": os.path.basename(new_p), "anchor_miters": a_new,
+             "work_units": {q: round(float(t) * a_new, 2)
+                            for q, t in new.get("queries", {}).items()}}
+    if not records or records[-1]["file"] != entry["file"]:
+        records.append(entry)
+        with open(hist_p, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    monotone = {}
+    if len(records) >= 3:
+        r3 = records[-3:]
+        for q in set(r3[0]["work_units"]) & set(r3[1]["work_units"]) \
+                & set(r3[2]["work_units"]):
+            w = [r["work_units"][q] for r in r3]
+            # strictly rising AND cumulatively past the same
+            # anchor-normalized delta floor the pairwise gate uses
+            if w[0] < w[1] < w[2] \
+                    and (w[2] - w[0]) / max(a_new, 1e-9) > min_s:
+                monotone[q] = [round(x, 1) for x in w]
+    ok = not regressions and not head_reg and not monotone
     print(json.dumps({
         "metric": "bench_compare", "old": os.path.basename(old_p),
         "new": os.path.basename(new_p), "threshold_x": thr,
@@ -999,6 +1027,8 @@ def _compare(argv):
         "n_common_queries": len(ratios), "min_delta_s": min_s,
         "headline_slowdown_x": head_ratio,
         "n_regressions": len(regressions), "regressions": regressions,
+        "history_rounds": len(records),
+        "monotone_3round_slowdowns": monotone,
         "worst10": dict(worst), "best5": dict(best), "pass": ok}))
     sys.exit(0 if ok else 1)
 

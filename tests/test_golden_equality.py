@@ -6,6 +6,8 @@ import numpy as np
 import pyarrow as pa
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 import ray.data as rd
 
 from pdf_extraction_ray.fixtures import golden_extract_table, golden_extract_doc

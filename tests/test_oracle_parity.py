@@ -43,8 +43,27 @@ ORACLED = sorted(__ray_entry__.oracle_sql().keys())
 ROWS_ONLY = sorted(set(__ray_entry__.queries().keys()) - set(ORACLED))
 
 
+def _smoke_oracles() -> set:
+    """One oracled query per registry family — the smoke tier's parity
+    slice (the full ORACLED run stays the gate)."""
+    from pdf_extraction_ray.registry import query_families
+    oracled = set(ORACLED)
+    out = set()
+    for fam in query_families().values():
+        for name in sorted(fam):
+            if name in oracled:
+                out.add(name)
+                break
+    return out
+
+
+SMOKE_ORACLES = _smoke_oracles()
+
+
 @pytest.mark.usefixtures("ray_session")
-@pytest.mark.parametrize("name", ORACLED)
+@pytest.mark.parametrize(
+    "name", [pytest.param(n, marks=pytest.mark.smoke)
+             if n in SMOKE_ORACLES else n for n in ORACLED])
 def test_oracle_parity(name):
     ray_df = _canon(_to_df(__ray_entry__.queries()[name](SF_DIR)))
     duck_df = _canon(_duck(__ray_entry__.oracle_sql()[name]))

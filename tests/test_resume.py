@@ -9,6 +9,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 from pdf_extraction_ray.fixtures import ensure_corpus
 from pdf_extraction_ray.pipelines.resumable import run_extract_resumable
 from pdf_extraction_ray.state.manifest import read_manifests
