@@ -101,6 +101,29 @@ def _pdf_string(s: str) -> str:
     return "<FEFF" + s.encode("utf-16-be").hex().upper() + ">"
 
 
+def _pdf_text_bytes(s: str) -> bytes:
+    """PDF text-string bytes: raw ASCII, else BOM + UTF-16BE (the two
+    forms _pdf_string serializes — this is the pre-encryption payload)."""
+    if s.isascii() and all(0x20 <= ord(c) < 0x7F for c in s):
+        return s.encode("ascii")
+    return b"\xfe\xff" + s.encode("utf-16-be")
+
+
+def _pdf_literal_bytes(b: bytes) -> str:
+    """Arbitrary bytes as a PDF LITERAL string: printable ASCII stays,
+    parens/backslash escape, everything else octal-escapes — the
+    round-trip-exact carrier for encrypted string payloads."""
+    out = []
+    for c in b:
+        if c in (0x28, 0x29, 0x5C):
+            out.append("\\" + chr(c))
+        elif 0x20 <= c < 0x7F:
+            out.append(chr(c))
+        else:
+            out.append(f"\\{c:03o}")
+    return "(" + "".join(out) + ")"
+
+
 def _x_pt(x: float) -> float:
     return float(x) * PAGE_W
 
@@ -122,14 +145,128 @@ def _norm_rect(r) -> list[float]:
 
 
 # ---------------------------------------------------------------------------
+# standard security handler (encryption, PDF 32000-1 §7.6.2-7.6.3)
+# ---------------------------------------------------------------------------
+
+# the spec's 32-byte password padding constant (Table 2, §7.6.3.3)
+_PDF_PAD = bytes((
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A))
+
+
+class _StdSecurity:
+    """Standard security handler, EMPTY user/owner password: RC4-128
+    (V=2/R=3) and AES-128-CBC via /AESV2 crypt filters (V=4/R=4) — the
+    two schemes the vast majority of encrypted real-world PDFs use
+    (the reference gets decryption free from PyMuPDF,
+    advanced_layout_extractor.py:282-297). Algorithms 2/3/5 from
+    §7.6.3.3-7.6.3.4; per-object keys per §7.6.2."""
+
+    def __init__(self, mode: str, id0: bytes, p: int = -4,
+                 o: bytes | None = None):
+        import hashlib
+        from ..functions.crypto import rc4
+        if mode not in ("rc4", "aes128"):
+            raise ValueError(f"unsupported encryption mode {mode!r}")
+        self.mode = mode
+        self.id0 = id0
+        self.p = p
+        self.n = 16                          # /Length 128 -> 16 bytes
+        self.v, self.r = (2, 3) if mode == "rc4" else (4, 4)
+        if o is None:                        # Algorithm 3, empty pwds
+            h = hashlib.md5(_PDF_PAD).digest()
+            for _ in range(50):
+                h = hashlib.md5(h[:self.n]).digest()
+            rk = h[:self.n]
+            o = rc4(rk, _PDF_PAD)
+            for i in range(1, 20):
+                o = rc4(bytes(b ^ i for b in rk), o)
+        self.o = o
+        import struct                        # Algorithm 2 (file key)
+        h = hashlib.md5(_PDF_PAD + self.o + struct.pack("<i", self.p)
+                        + self.id0).digest()
+        for _ in range(50):
+            h = hashlib.md5(h[:self.n]).digest()
+        self.key = h[:self.n]
+        h = hashlib.md5(_PDF_PAD + self.id0).digest()   # Algorithm 5
+        u = rc4(self.key, h)
+        for i in range(1, 20):
+            u = rc4(bytes(b ^ i for b in self.key), u)
+        self.u = u + bytes(16)
+
+    def obj_key(self, num: int, gen: int = 0) -> bytes:
+        import hashlib
+        ext = num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        if self.mode == "aes128":
+            ext += b"sAlT"                   # §7.6.2 AESV2 salt
+        return hashlib.md5(self.key + ext).digest()[:min(self.n + 5, 16)]
+
+    def encrypt(self, data: bytes, num: int, gen: int = 0) -> bytes:
+        from ..functions.crypto import aes_cbc_encrypt, rc4
+        k = self.obj_key(num, gen)
+        if self.mode == "rc4":
+            return rc4(k, data)
+        import hashlib
+        # deterministic per-object IV: spec asks only for uniqueness,
+        # and determinism keeps the writer byte-reproducible
+        iv = hashlib.md5(b"pdfxr-iv" + num.to_bytes(4, "little")
+                         + gen.to_bytes(4, "little") + self.key).digest()
+        return aes_cbc_encrypt(k, iv, data)
+
+    def decrypt(self, data: bytes, num: int, gen: int = 0) -> bytes:
+        from ..functions.crypto import aes_cbc_decrypt, rc4
+        k = self.obj_key(num, gen)
+        if self.mode == "rc4":
+            return rc4(k, data)
+        return aes_cbc_decrypt(k, data)
+
+    def encrypt_dict(self, lit=_pdf_literal_bytes) -> str:
+        common = (f"/Filter /Standard /Length 128 /P {self.p} "
+                  f"/O {lit(self.o)} /U {lit(self.u)}")
+        if self.mode == "rc4":
+            return f"<< {common} /V 2 /R 3 >>"
+        return (f"<< {common} /V 4 /R 4 "
+                f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                f"/Length 16 >> >> /StmF /StdCF /StrF /StdCF >>")
+
+    @classmethod
+    def from_dict(cls, d: dict, id0: bytes) -> "_StdSecurity":
+        filt = str(d.get("Filter"))
+        if filt != "Standard":
+            raise PdfSyntaxError(
+                f"unsupported security handler {filt!r}")
+        v, r = int(d.get("V", 0)), int(d.get("R", 0))
+        if (v, r) == (2, 3):
+            mode = "rc4"
+        elif (v, r) == (4, 4):
+            cf = d.get("CF") or {}
+            cfm = str((cf.get("StdCF") or {}).get("CFM", "V2"))
+            mode = "aes128" if cfm == "AESV2" else "rc4"
+        else:
+            raise PdfSyntaxError(f"unsupported encryption V={v} R={r}")
+        o = str(d.get("O", "")).encode("latin-1")
+        sec = cls(mode, id0, p=int(d.get("P", -4)), o=o)
+        u_file = str(d.get("U", "")).encode("latin-1")
+        if sec.u[:16] != u_file[:16]:        # Algorithm 6, empty pwd
+            raise PdfSyntaxError(
+                "encrypted PDF requires a non-empty user password")
+        return sec
+
+
+# ---------------------------------------------------------------------------
 # writer
 # ---------------------------------------------------------------------------
 
 
-def _span_content(span, font, bbox, link_ops, enc=_pdf_string) -> str:
+def _span_content(span, font, bbox, link_ops, enc=_pdf_string,
+                  inline=False) -> str:
     """Marked-content sequence for one text/boilerplate/image span.
     ``enc`` serializes the text string — ``_pdf_string`` for simple
-    fonts, a CID-hex encoder for Type0/Identity-H fonts."""
+    fonts, a CID-hex encoder for Type0/Identity-H fonts. ``inline``:
+    ``link_ops`` is a complete BI/ID/EI inline image instead of the
+    ``/ImN`` XObject name."""
     rect = _rect_pts(bbox)
     rect_s = " ".join(_num(v) for v in rect)
     mcid = int(span["offset"])
@@ -137,9 +274,10 @@ def _span_content(span, font, bbox, link_ops, enc=_pdf_string) -> str:
     if kind == "image":
         props = f"<</MCID {mcid} /BBox [{rect_s}] /FSize {_num(font)}>>"
         w, h = rect[2] - rect[0], rect[3] - rect[1]
+        img_op = link_ops if inline else f"{link_ops} Do"
         return (f"/Figure {props} BDC\n"
                 f"q {_num(w)} 0 0 {_num(h)} {_num(rect[0])} {_num(rect[1])} cm "
-                f"{link_ops} Do Q\nEMC\n")      # link_ops = /ImN here
+                f"{img_op} Q\nEMC\n")           # link_ops = /ImN here
     tag = "/Artifact" if kind == "boilerplate" else "/P"
     props = f"<</MCID {mcid} /BBox [{rect_s}]>>"
     extra = " /Type /Pagination" if kind == "boilerplate" else ""
@@ -226,7 +364,9 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
                    xref_stream: bool = False,
                    object_streams: bool = False,
                    cid_text: bool = False,
-                   stream_filter: str | None = None) -> bytes:
+                   stream_filter: str | None = None,
+                   encrypt: str | None = None,
+                   inline_images: bool = False) -> bytes:
     """One DOCS_SCHEMA row -> a complete single-file PDF (bytes).
 
     ``row`` must be schema-typed (``Table.from_pylist(schema=DOCS_SCHEMA)
@@ -251,6 +391,16 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
       transfer/compression filters ('ASCIIHexDecode', 'ASCII85Decode',
       'RunLengthDecode', 'LZWDecode') — chained with FlateDecode when
       ``compress`` (decode order = array order).
+    - ``encrypt``: 'rc4' (V=2/R=3 RC4-128) or 'aes128' (V=4/R=4
+      /AESV2 crypt filters), standard security handler with EMPTY
+      user/owner password — streams and top-level strings encrypted
+      with per-object keys; XRef streams and ObjStm member strings
+      stay clear per spec (round-5: the two schemes most encrypted
+      real-world PDFs use).
+    - ``inline_images``: image spans as BI/ID/EI inline images inside
+      the content stream (with the /MediaRef key in the BI dict)
+      instead of image XObjects — the other common image form the
+      reference reads through PyMuPDF.
     """
     if object_streams:
         xref_stream = True
@@ -259,6 +409,26 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
     pages_present = sorted({int(p) for p in (row["page"] or [])}
                            | {int(r["page"]) for r in (row["regions"] or [])}
                            | set(range(1, n_pages + 1)))
+
+    sec: _StdSecurity | None = None
+    if encrypt:
+        import hashlib
+        id0 = hashlib.md5(
+            f"{row['doc_id']}:{n_pages}".encode()).digest()
+        sec = _StdSecurity(encrypt, id0)
+
+    def estr(s: str, oid: int, objstm_member: bool) -> str:
+        """String serializer: encrypted literal for top-level objects
+        of an encrypted file; ObjStm members keep clear strings (the
+        container stream is encrypted wholesale, §7.6.2)."""
+        if sec is None or (object_streams and objstm_member):
+            return _pdf_string(s)
+        return _pdf_literal_bytes(sec.encrypt(_pdf_text_bytes(s), oid))
+
+    def efin(data: bytes, oid: int) -> bytes:
+        """Stream finalizer: encryption is applied LAST (after any
+        filters), so decryption runs first on read."""
+        return data if sec is None else sec.encrypt(data, oid)
 
     enc = _pdf_string
     cid_of: dict[str, int] = {}
@@ -281,16 +451,25 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
             span = spans[i]
             font = row["font_size"][i]
             bbox = row["bbox"][i]
-            if span["kind"] == "image":
+            if span["kind"] == "image" and inline_images:
+                ref = span["media_ref"] or ""
+                # BI/ID/EI inside the content stream: 1x1 gray pixel,
+                # /MediaRef rides in the BI dict (readers ignore
+                # unknown inline-image keys; ours recovers it)
+                bi = (f"BI /W 1 /H 1 /CS /G /BPC 8 "
+                      f"/MediaRef {_pdf_string(ref)} ID ")
+                content_parts.append(_span_content(
+                    span, font, bbox, bi + "\x80 EI", inline=True))
+            elif span["kind"] == "image":
                 name = f"Im{len(xobjects)}"
                 img_id = next_id
                 next_id += 1
                 ref = span["media_ref"] or ""
-                stream = b"\x80"
+                stream = efin(b"\x80", img_id)
                 objs[img_id] = (
                     f"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
                     f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
-                    f"/MediaRef {_pdf_string(ref)} "
+                    f"/MediaRef {estr(ref, img_id, False)} "
                     f"/Length {len(stream)} >>\nstream\n".encode("latin-1")
                     + stream + b"\nendstream")
                 stream_oids.add(img_id)
@@ -319,6 +498,7 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
             compress, stream_filter)
         content_id = next_id
         next_id += 1
+        data = efin(data, content_id)
         objs[content_id] = (f"<< /Length {len(data)}{filt} >>\nstream\n"
                             .encode("latin-1") + data + b"\nendstream")
         stream_oids.add(content_id)
@@ -336,6 +516,10 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
         page += " >>"
         page_id = next_id
         next_id += 1
+        # the annot /URI strings live in the page object: encrypt them
+        # with the page's key now that its id is known
+        page = page.replace("(about:blank)",
+                            estr("about:blank", page_id, True))
         objs[page_id] = page.encode("latin-1")
         page_ids.append(page_id)
 
@@ -344,8 +528,9 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
     kids = " ".join(f"{i} 0 R" for i in page_ids)
     objs[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {len(page_ids)} >>"
                .encode("latin-1"))
-    objs[3] = (f"<< /Title {_pdf_string(row['doc_id'])} "
-               f"/Producer (pdf_extraction_ray) >>").encode("latin-1")
+    objs[3] = (f"<< /Title {estr(row['doc_id'], 3, True)} "
+               f"/Producer {estr('pdf_extraction_ray', 3, True)} >>") \
+        .encode("latin-1")
     if cid_text:
         desc_id, tou_id = next_id, next_id + 1
         next_id += 2
@@ -364,11 +549,21 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
         if compress:
             cmap_data = zlib.compress(cmap_data)
             cfilt = " /Filter /FlateDecode"
+        cmap_data = efin(cmap_data, tou_id)
         objs[tou_id] = (f"<< /Length {len(cmap_data)}{cfilt} >>\nstream\n"
                         .encode("latin-1") + cmap_data + b"\nendstream")
         stream_oids.add(tou_id)
     else:
         objs[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    enc_trailer = ""
+    if sec is not None:
+        enc_id = next_id
+        next_id += 1
+        objs[enc_id] = sec.encrypt_dict().encode("latin-1")
+        stream_oids.add(enc_id)        # §7.5.7: never inside an ObjStm
+        idlit = _pdf_literal_bytes(sec.id0)
+        enc_trailer = f" /Encrypt {enc_id} 0 R /ID [{idlit} {idlit}]"
 
     out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -385,7 +580,8 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
         out += b"0000000000 65535 f \n"
         for oid in range(1, size):
             out += f"{offsets[oid]:010d} 00000 n \n".encode("latin-1")
-        out += (f"trailer\n<< /Size {size} /Root 1 0 R /Info 3 0 R >>\n"
+        out += (f"trailer\n<< /Size {size} /Root 1 0 R /Info 3 0 R"
+                f"{enc_trailer} >>\n"
                 f"startxref\n{xref_at}\n%%EOF\n").encode("latin-1")
         return bytes(out)
 
@@ -409,6 +605,7 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
             if compress:
                 content = zlib.compress(content)
                 sfilt = " /Filter /FlateDecode"
+            content = efin(content, objstm_id)
             objs[objstm_id] = (
                 f"<< /Type /ObjStm /N {len(members)} /First {first} "
                 f"/Length {len(content)}{sfilt} >>\nstream\n"
@@ -448,9 +645,9 @@ def synthesize_pdf(row: dict, compress: bool = True, *,
     pred = np.empty((len(rows_m), cols + 1), dtype=np.uint8)
     pred[:, 0] = 2                               # filter type: Up
     pred[:, 1:] = (deltas % 256).astype(np.uint8)
-    xdata = zlib.compress(pred.tobytes())
+    xdata = zlib.compress(pred.tobytes())   # XRef stream: NEVER encrypted
     xdict = (f"<< /Type /XRef /Size {size} /W [1 4 2] "
-             f"/Root 1 0 R /Info 3 0 R /Filter /FlateDecode "
+             f"/Root 1 0 R /Info 3 0 R{enc_trailer} /Filter /FlateDecode "
              f"/DecodeParms << /Predictor 12 /Columns {cols} >> "
              f"/Length {len(xdata)} >>")
     out += f"{xref_id} 0 obj\n{xdict}\nstream\n".encode("latin-1")
@@ -897,7 +1094,17 @@ class _PdfReader:
         self.freed: set[int] = set()
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, tuple[list, bytes, int]] = {}
+        self._decryptor: _StdSecurity | None = None
+        self._enc_num: int | None = None
         self.trailer = self._read_xref_chain(int(xref_at))
+        enc = self.trailer.get("Encrypt")
+        if enc is not None:
+            if isinstance(enc, _Ref):
+                self._enc_num = int(enc)
+            enc_d = self.resolve(enc)       # parsed BEFORE decryption on
+            ids = self.resolve(self.trailer.get("ID")) or []
+            id0 = str(ids[0]).encode("latin-1") if ids else b""
+            self._decryptor = _StdSecurity.from_dict(enc_d, id0)
 
     # -- cross-reference parsing ---------------------------------------
 
@@ -1037,10 +1244,31 @@ class _PdfReader:
                 p += 1
             length = int(self.resolve(val["Length"]))
             raw = self.data[p:p + length]
+            if self._decryptor is not None \
+                    and str(val.get("Type")) != "XRef":
+                raw = self._decryptor.decrypt(raw, int(onum))
             val = _Stream(val, self._decode_stream(val, raw))
         else:
             lex.pos = save
         return int(onum), val
+
+    def _decrypt_strings(self, v, num: int):
+        """Recursively decrypt string values of a top-level object
+        (§7.6.2). Names are str SUBCLASSES and never encrypted."""
+        if isinstance(v, _Name):
+            return v
+        if isinstance(v, str):
+            raw = self._decryptor.decrypt(v.encode("latin-1"), num)
+            return raw[2:].decode("utf-16-be") \
+                if raw[:2] == b"\xfe\xff" else raw.decode("latin-1")
+        if isinstance(v, dict):
+            return {k: self._decrypt_strings(x, num)
+                    for k, x in v.items()}
+        if isinstance(v, list):
+            return [self._decrypt_strings(x, num) for x in v]
+        if isinstance(v, _Stream):
+            return _Stream(self._decrypt_strings(v.dict, num), v.data)
+        return v
 
     def resolve(self, v):
         if isinstance(v, _Ref):
@@ -1079,7 +1307,13 @@ class _PdfReader:
             onum, val = self._parse_object_at(self.offsets[num])
             if onum != num:
                 raise PdfSyntaxError(f"object {num} not at xref offset")
+            if self._decryptor is not None and num != self._enc_num \
+                    and not (isinstance(val, _Stream)
+                             and str(val.dict.get("Type")) == "XRef"):
+                val = self._decrypt_strings(val, num)
         elif num in self.compressed:
+            # ObjStm member: the container stream was decrypted as a
+            # stream; member strings are NOT separately encrypted
             val = self._objstm_lookup(num)
         elif num in self.freed:
             val = None      # spec 7.3.9: ref to a free object is null
@@ -1143,6 +1377,7 @@ def _interp_page(content: bytes, page_no: int, xobjects: dict,
     segs: list[tuple] = []
     cur_pt = (0.0, 0.0)
     img_name = None
+    inline_ref: str | None = None
     while True:
         tok = lex.next_token()
         if tok is None:
@@ -1154,14 +1389,18 @@ def _interp_page(content: bytes, page_no: int, xobjects: dict,
         if op == "BDC":
             scope_props = stack.pop()
             scope_tag = stack.pop()
-            text_parts, segs, img_name = [], [], None
+            text_parts, segs, img_name, inline_ref = [], [], None, None
         elif op == "EMC":
             props = scope_props or {}
             mcid = int(props.get("MCID", -1))
             bbox = _norm_rect(props.get("BBox", [0, 0, 0, 0]))
-            if img_name is not None:
-                xobj = xobjects.get(str(img_name))
-                ref = str(xobj.dict.get("MediaRef", "")) if xobj else ""
+            if img_name is not None or inline_ref is not None:
+                if img_name is not None:
+                    xobj = xobjects.get(str(img_name))
+                    ref = str(xobj.dict.get("MediaRef", "")) \
+                        if xobj else ""
+                else:
+                    ref = inline_ref
                 spans.append({"kind": "image", "text": "", "media_ref": ref,
                               "offset": mcid})
                 fonts.append(float(props.get("FSize", 0.0)))
@@ -1214,6 +1453,24 @@ def _interp_page(content: bytes, page_no: int, xobjects: dict,
             cur_pt = (x, y)
         elif op == "Do":
             img_name = stack.pop()
+        elif op == "BI":
+            # inline image (§8.9.7): key/value pairs to ID, then raw
+            # sample data (length from W*H*BPC for the uncompressed
+            # forms our writer emits), then EI
+            bi: dict = {}
+            while True:
+                t = lex.next_token()
+                if isinstance(t, _Op) and t == "ID":
+                    break
+                bi[str(t)] = _parse_value(lex)
+            w = int(bi.get("W", bi.get("Width", 1)))
+            h = int(bi.get("H", bi.get("Height", 1)))
+            bpc = int(bi.get("BPC", bi.get("BitsPerComponent", 8)))
+            lex.pos += 1 + max(1, (w * h * bpc + 7) // 8)
+            tok = lex.next_token()              # the EI keyword
+            if not (isinstance(tok, _Op) and tok == "EI"):
+                raise PdfSyntaxError("inline image missing EI")
+            inline_ref = str(bi.get("MediaRef", ""))
         elif op in ("BT", "ET", "S", "s", "q", "Q", "W", "n", "f", "h"):
             stack.clear() if op in ("S", "s") else None
         else:

@@ -1,0 +1,162 @@
+"""PDF encryption (standard security handler) + BI/ID/EI inline images
+(round-5 VERDICT item 5): RC4-128 (V=2/R=3) and AES-128-CBC /AESV2
+(V=4/R=4) with empty passwords, composed with every other writer mode,
+plus inline images carrying /MediaRef through the content stream. The
+reference reads both forms through PyMuPDF
+(advanced_layout_extractor.py:282-297); here both halves are stdlib +
+a pure-python AES pinned to the FIPS-197 vector.
+"""
+
+import numpy as np
+import pytest
+
+from pdf_extraction_ray.fixtures import golden_extract_table
+from pdf_extraction_ray.fixtures.generator import generate_docs_table
+from pdf_extraction_ray.functions.crypto import (aes128_encrypt_block,
+                                                 aes_cbc_decrypt,
+                                                 aes_cbc_encrypt, rc4)
+from pdf_extraction_ray.sources.pdf import (PdfSyntaxError, _StdSecurity,
+                                            parse_pdf, synthesize_pdf)
+
+
+def canon(row):
+    idx = sorted(range(len(row["spans"])),
+                 key=lambda j: (row["page"][j], row["spans"][j]["offset"]))
+    return [row["doc_id"]] + [
+        (row["page"][j], row["spans"][j]["kind"],
+         row["spans"][j]["text"], row["spans"][j]["media_ref"],
+         row["spans"][j]["offset"]) for j in idx]
+
+
+# -- crypto primitives against public vectors -------------------------
+
+def test_aes128_fips197_vector():
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert aes128_encrypt_block(key, pt).hex() \
+        == "69c4e0d86a7b0430d8cdb78070b4c55a"
+
+
+def test_rc4_vector():
+    assert rc4(b"Key", b"Plaintext").hex().upper() \
+        == "BBF316E8D940AF0AD3"
+
+
+def test_aes_cbc_roundtrip_all_sizes():
+    key = bytes(range(16))
+    rng = np.random.default_rng(7)
+    for n in (0, 1, 15, 16, 17, 31, 32, 1000):
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        ct = aes_cbc_encrypt(key, bytes(16), data)
+        assert len(ct) % 16 == 0 and len(ct) >= len(data) + 16
+        assert aes_cbc_decrypt(key, ct) == data
+
+
+# -- writer x reader round-trips --------------------------------------
+
+MODES = [
+    dict(encrypt="rc4"),
+    dict(encrypt="rc4", compress=False),
+    dict(encrypt="aes128"),
+    dict(encrypt="aes128", xref_stream=True),
+    dict(encrypt="rc4", object_streams=True),
+    dict(encrypt="aes128", object_streams=True, cid_text=True),
+    dict(encrypt="rc4", stream_filter="ASCII85Decode"),
+    dict(encrypt="aes128", stream_filter="LZWDecode"),
+    dict(inline_images=True),
+    dict(inline_images=True, compress=False),
+    dict(inline_images=True, cid_text=True),
+    dict(inline_images=True, encrypt="aes128", object_streams=True),
+]
+
+
+@pytest.mark.parametrize("mode", MODES,
+                         ids=["-".join(f"{k}={v}" for k, v in m.items())
+                              for m in MODES])
+def test_roundtrip_span_equality(mode):
+    rows = generate_docs_table(17, 0, 6).to_pylist()
+    for row in rows:
+        parsed = parse_pdf(synthesize_pdf(row, **mode))
+        assert canon(parsed) == canon(row), row["doc_id"]
+
+
+def test_encrypted_bytes_actually_differ():
+    """The plaintext must not appear in the encrypted file (guards a
+    regression where the encrypt hook silently no-ops)."""
+    row = generate_docs_table(18, 0, 1).to_pylist()[0]
+    clear = synthesize_pdf(row, compress=False)
+    for enc in ("rc4", "aes128"):
+        ct = synthesize_pdf(row, compress=False, encrypt=enc)
+        assert b"/Encrypt" in ct
+        texts = [s["text"] for s in row["spans"]
+                 if s["kind"] != "image" and s["text"].isascii()
+                 and len(s["text"]) >= 12]
+        assert texts, "fixture row lost its ascii spans"
+        probe = texts[0][:12].encode("ascii")
+        assert probe in clear
+        assert probe not in ct, enc
+
+
+def test_wrong_password_rejected():
+    """A non-empty user password (simulated by corrupting /U) must be
+    detected by Algorithm 6, not produce garbage output."""
+    row = generate_docs_table(19, 0, 1).to_pylist()[0]
+    pdf = bytearray(synthesize_pdf(row, encrypt="rc4"))
+    sec = _StdSecurity("rc4", __import__("hashlib").md5(
+        f"{row['doc_id']}:{row['n_pages']}".encode()).digest())
+    # locate the serialized /U literal and flip a byte inside it
+    from pdf_extraction_ray.sources.pdf import _pdf_literal_bytes
+    u_lit = _pdf_literal_bytes(sec.u).encode("latin-1")
+    at = bytes(pdf).find(u_lit)
+    assert at > 0
+    # length-preserving corruption: swap a byte for another in the
+    # same escape class so every xref offset stays valid
+    u = bytearray(sec.u)
+    for i, c in enumerate(u[:16]):
+        if c < 0x20:
+            u[i] = 0x01 if c != 0x01 else 0x02
+            break
+        if 0x30 <= c < 0x7A:
+            u[i] = c + 1
+            break
+    else:
+        raise AssertionError("no corruptible byte found")
+    bad = _pdf_literal_bytes(bytes(u)).encode("latin-1")
+    assert len(bad) == len(u_lit) and bad != u_lit
+    pdf[at:at + len(u_lit)] = bad
+    with pytest.raises(PdfSyntaxError, match="password"):
+        parse_pdf(bytes(pdf))
+
+
+def test_unencrypted_output_unchanged():
+    """Adding the encryption machinery must not perturb the default
+    writer by a single byte (golden corpora are cached by content)."""
+    row = generate_docs_table(20, 0, 1).to_pylist()[0]
+    a = synthesize_pdf(row)
+    b = synthesize_pdf(row, encrypt=None, inline_images=False)
+    assert a == b
+    assert b"/Encrypt" not in a
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_encrypted_corpus_golden_equality():
+    """North rule through encryption: extraction over an AES-encrypted
+    raw-PDF corpus is span-for-span identical to the golden extractor
+    on the same generator rows."""
+    import pyarrow as pa
+
+    from pdf_extraction_ray.pipelines import extract_pipeline
+    from pdf_extraction_ray.sources.pdf import (ensure_pdf_corpus,
+                                                read_pdf_docs)
+    n = 40
+    pdf_dir = ensure_pdf_corpus("t-pdfenc", seed=33, n_docs=n,
+                                encrypt="aes128", inline_images=True)
+    docs = generate_docs_table(33, 0, n)
+    golden = {r["doc_id"]: r["spans"]
+              for r in golden_extract_table(docs).to_pylist()}
+    out = extract_pipeline(read_pdf_docs(pdf_dir), batch_size=16)
+    got = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert got.num_rows == n
+    for r in got.to_pylist():
+        assert r["spans"] == golden[r["doc_id"]], r["doc_id"]
