@@ -77,13 +77,20 @@ def _render_rows(batch: pa.Table) -> list[dict]:
     return rows
 
 
-def ensure_pdf_render(sf_dir: str, root: str = "/tmp/pdfxr_fixtures") -> str:
+def ensure_pdf_render(sf_dir: str, root: str = "/tmp/pdfxr_fixtures",
+                      **modes) -> str:
     """Render (once, cached) ``{sf_dir}/documents.parquet`` into a sharded
     directory of real PDF files. Synthesis runs as parallel Ray tasks —
     each batch writes its own files (atomic tmp+rename, so concurrent
-    generations of identical content are safe)."""
+    generations of identical content are safe). ``modes`` forwards the
+    writer toggles (``encrypt`` / ``inline_images`` / ...) and joins
+    the cache key (full kwarg names — ADVICE r4)."""
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = os.path.join(root, f"pdfingest-v{_RENDER_VERSION}-{key}")
+    mode_key = "".join(
+        f"-{k}={v if isinstance(v, str) else int(bool(v))}"
+        for k, v in sorted(modes.items()))
+    path = os.path.join(root,
+                        f"pdfingest-v{_RENDER_VERSION}-{key}{mode_key}")
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path
@@ -97,7 +104,7 @@ def ensure_pdf_render(sf_dir: str, root: str = "/tmp/pdfxr_fixtures") -> str:
             p = os.path.join(sub, f"{int(row['doc_id']):012d}.pdf")
             tmp = p + f".tmp{os.getpid()}"
             with open(tmp, "wb") as f:
-                f.write(synthesize_pdf(row))
+                f.write(synthesize_pdf(row, **modes))
             os.replace(tmp, p)
             n += 1
         return pa.Table.from_pydict({"n": [n]})
@@ -156,6 +163,17 @@ def pdf_ingest_extract(sf_dir: str) -> pd.DataFrame:
     return _ingest_counts(extract_pipeline(read_pdf_docs(pdf_dir)))
 
 
+@_typed_empty_on_no_docs(doc_id='int64', n_spans='int64', n_title='int64', n_list='int64', n_para='int64', n_chars='int64')
+def pdf_ingest_extract_encrypted(sf_dir: str) -> pd.DataFrame:
+    """The same ingestion slice through AES-128-ENCRYPTED PDFs with
+    BI/ID/EI inline images (round-5): decrypt + parse + extract must
+    land on byte-identical per-doc counts, so the clear-corpus oracle
+    doubles as the encrypted path's oracle."""
+    pdf_dir = ensure_pdf_render(sf_dir, encrypt="aes128",
+                                inline_images=True)
+    return _ingest_counts(extract_pipeline(read_pdf_docs(pdf_dir)))
+
+
 _WS_SET = "' ' || chr(9) || chr(13) || chr(10) || chr(12) || chr(11)"
 _HEAD_RE = r"'^#{1,6}[ \t\r\n\f\v]'"
 _LIST_RE = r"'^(?:[-*]|[0-9]+\.)[ \t\r\n\f\v]'"
@@ -194,4 +212,6 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 
 PDFIO_QUERIES: dict[str, tuple] = {
     "pdf_ingest_extract": (pdf_ingest_extract, PDF_INGEST_SQL),
+    "pdf_ingest_extract_encrypted": (pdf_ingest_extract_encrypted,
+                                     PDF_INGEST_SQL),
 }
