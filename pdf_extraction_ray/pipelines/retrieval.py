@@ -249,7 +249,7 @@ def rag_eval_totals(sf_dir: str):
                                 "total_output_tokens"]]
 
 
-@_typed_empty_on_no_docs(_table='embeddings', query_id='int64', query='object', same_answer='bool', token_diff='int64', time_diff_us='int64')
+@_typed_empty_on_no_docs(query_id='int64', query='object', same_answer='bool', token_diff='int64', time_diff_us='int64')
 def rag_ab_compare(sf_dir: str):
     """A/B answer comparison between two retrieval configs (the
     compare_gpt_vs_hybrid.py:129-135 analog: same queries, two systems,
