@@ -81,6 +81,16 @@ def _sorted_lookup(keys_sorted: np.ndarray, probe: np.ndarray):
     return keys_sorted[pos_c] == probe, pos_c
 
 
+def _lookup_vals(vals: np.ndarray, found: np.ndarray,
+                 pos: np.ndarray, default: int = -1) -> np.ndarray:
+    """``np.where(found, vals[pos], default)`` that survives an EMPTY
+    build side (empty partitions are routine at scale; an empty values
+    array cannot be fancy-indexed even under a False mask)."""
+    if len(vals) == 0:
+        return np.full(len(found), default, dtype=np.int64)
+    return np.where(found, vals[pos], default)
+
+
 # ---------------------------------------------------------------------------
 # Q4 — order-priority checking (EXISTS semi over a big-big key join)
 # ---------------------------------------------------------------------------
@@ -902,7 +912,7 @@ def q7_nation_trade(sf_dir: str):
         ship = _ts_us(batch["l_shipdate"])
         found, pos = _sorted_lookup(
             sk_s, batch["l_suppkey"].to_numpy(zero_copy_only=False))
-        snat = np.where(found, snat_s[pos], -1)
+        snat = _lookup_vals(snat_s, found, pos)
         m = (ship >= lo) & (ship < hi) & np.isin(snat, list(pair))
         t = batch.filter(pa.array(m))
         rev = _cents(pc.multiply(t["l_extendedprice"],
@@ -927,7 +937,7 @@ def q7_nation_trade(sf_dir: str):
         ck_s, cnat_s = ray.get(c_ref)
         found, pos = _sorted_lookup(
             ck_s, batch["o_custkey"].to_numpy(zero_copy_only=False))
-        cnat = np.where(found, cnat_s[pos], -1)
+        cnat = _lookup_vals(cnat_s, found, pos)
         m = np.isin(cnat, list(pair))
         n = int(m.sum())
         return pa.Table.from_pydict({
@@ -1050,7 +1060,7 @@ def q8_market_share(sf_dir: str):
         t = batch.filter(pa.array(pfound))
         sfound, spos = _sorted_lookup(
             sk_s, t["l_suppkey"].to_numpy(zero_copy_only=False))
-        snat = np.where(sfound, snat_s[spos], -1)
+        snat = _lookup_vals(snat_s, sfound, spos)
         rev = _cents(pc.multiply(t["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0),
                                              t["l_discount"])), 1e4) \
@@ -1073,7 +1083,7 @@ def q8_market_share(sf_dir: str):
         od = _ts_us(batch["o_orderdate"])
         found, pos = _sorted_lookup(
             ck_s, batch["o_custkey"].to_numpy(zero_copy_only=False))
-        cnat = np.where(found, cnat_s[pos], -1)
+        cnat = _lookup_vals(cnat_s, found, pos)
         m = (od >= lo) & (od < hi) & np.isin(cnat, region_nations)
         n = int(m.sum())
         return pa.Table.from_pydict({
@@ -1184,7 +1194,7 @@ def q9_product_profit(sf_dir: str):
         retail = retail_s[pos[found]]
         sfound, spos = _sorted_lookup(
             sk_s, t["l_suppkey"].to_numpy(zero_copy_only=False))
-        snat = np.where(sfound, snat_s[spos], -1)
+        snat = _lookup_vals(snat_s, sfound, spos)
         rev = _cents(pc.multiply(t["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0),
                                              t["l_discount"])), 1e4) \

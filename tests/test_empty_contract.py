@@ -59,6 +59,42 @@ def test_registry_typed_empty_contract(empty_snapshot):
             == [(c, t) for c, t in schema], name
 
 
+@pytest.fixture(scope="module", params=["customer", "supplier"])
+def one_empty_snapshot(request, tmp_path_factory):
+    """Snapshot with exactly ONE dimension table empty — the partial
+    emptiness a per-day shard of a real lakehouse routinely has."""
+    import shutil
+    t_empty = request.param
+    d = tmp_path_factory.mktemp(f"empty_{t_empty}")
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        if t == t_empty:
+            tbl = pq.read_table(f"{src}/{t}.parquet")
+            pq.write_table(tbl.slice(0, 0),
+                           os.path.join(d, f"{t}.parquet"))
+        else:
+            shutil.copy(f"{src}/{t}.parquet",
+                        os.path.join(d, f"{t}.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_joins_survive_empty_build_side(one_empty_snapshot):
+    """The sorted-broadcast join family must survive an EMPTY build
+    side (regression: np.where(found, vals[pos], -1) fancy-indexed an
+    empty values array and crashed q7/q8 when customer or supplier was
+    empty — an empty dimension shard is routine at scale)."""
+    qs = all_queries()
+    for name in ("q5_nation_revenue", "q7_nation_trade",
+                 "q8_market_share", "q9_product_profit",
+                 "q21_late_suppliers"):
+        out = qs[name][0](one_empty_snapshot)
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        assert df is not None, name
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_ungated_families_typed_on_empty(empty_snapshot):
     """Families without their own empty gate in test_corpus.py: every
