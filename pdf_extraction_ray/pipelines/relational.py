@@ -3980,10 +3980,15 @@ def nation_customer_counts_left(sf_dir: str):
         cmap, rmap = ray.get(cmap_ref), ray.get(rmap_ref)
         nk = batch["n_nationkey"].to_numpy(zero_copy_only=False)
         rk = batch["n_regionkey"].to_numpy(zero_copy_only=False)
+        # region is an INNER side (matches the oracle): a nation whose
+        # region is missing — e.g. an empty region shard — drops out
+        keep = np.array([k in rmap for k in rk], dtype=bool)
+        t = batch.filter(pa.array(keep))
         return pa.Table.from_arrays(
-            [batch["n_name"],
-             pa.array([rmap[k] for k in rk], type=pa.string()),
-             pa.array([int(cmap.get(k, 0)) for k in nk], type=pa.int64())],
+            [t["n_name"],
+             pa.array([rmap[k] for k in rk[keep]], type=pa.string()),
+             pa.array([int(cmap.get(k, 0))
+                       for k in nk[keep]], type=pa.int64())],
             names=["n_name", "r_name", "n_customers"])
 
     return nations.map_batches(attach, batch_format="pyarrow", batch_size=None).sort("n_name")

@@ -527,6 +527,10 @@ def nation_revenue_share(sf_dir: str):
          .groupby("nation")
          .aggregate(_Sum("revenue_x100", alias_name="revenue_x100"))
          .to_pandas())
+    if "revenue_x100" not in g.columns:
+        # empty supplier/nation side: every row joins away (the
+        # all-empty grouped result comes back schema-less)
+        return empty
     total = int(g["revenue_x100"].astype("int64").sum())
     if total == 0:
         return empty

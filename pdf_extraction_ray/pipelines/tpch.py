@@ -337,7 +337,8 @@ def q14_promo_revenue(sf_dir: str):
             .to_numpy(zero_copy_only=False)
         found, pos = _sorted_lookup(
             pk_s, t["l_partkey"].to_numpy(zero_copy_only=False))
-        is_promo = found & promo_s[pos]
+        is_promo = found & _lookup_vals(promo_s, found, pos,
+                                        default=0).astype(bool)
         return pa.Table.from_pydict({
             "promo_rev_x1e4": [np.int64(rev[found & is_promo].sum())],
             "total_rev_x1e4": [np.int64(rev[found].sum())]})
@@ -589,7 +590,11 @@ def q19_disjunctive_revenue(sf_dir: str):
         found, pos = _sorted_lookup(
             pk_s, batch["l_partkey"].to_numpy(zero_copy_only=False))
         qty = _cents(batch["l_quantity"]).to_numpy(zero_copy_only=False)
-        brand, size = brand_s[pos], size_s[pos]
+        if len(pk_s) == 0:       # empty part side: nothing can match
+            brand = np.full(len(batch), "", dtype=object)
+            size = np.full(len(batch), -1, dtype=np.int64)
+        else:
+            brand, size = brand_s[pos], size_s[pos]
         m = np.zeros(len(batch), dtype=bool)
         for b, slo, shi, qlo, qhi in Q19_BRANCHES:
             m |= (brand == b) & (size >= slo) & (size <= shi) \
@@ -1506,7 +1511,8 @@ def q2_min_cost_supplier(sf_dir: str):
     sk, names = ray.get(sref)
     _f, pos = _sorted_lookup(sk, rows["s_suppkey"].to_numpy()
                              .astype(np.int64))
-    rows = rows.assign(s_name=names[pos])
+    rows = rows.assign(s_name=names[pos] if len(names)
+                       else np.full(len(rows), "", dtype=object))
     return rows.sort_values(["cost_x100", "p_partkey", "s_name"]) \
         .head(Q2_LIMIT)[["p_partkey", "s_name", "cost_x100"]] \
         .reset_index(drop=True) \

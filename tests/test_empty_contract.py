@@ -59,7 +59,9 @@ def test_registry_typed_empty_contract(empty_snapshot):
             == [(c, t) for c, t in schema], name
 
 
-@pytest.fixture(scope="module", params=["customer", "supplier"])
+@pytest.fixture(scope="module",
+                params=["customer", "supplier", "part", "nation",
+                        "region"])
 def one_empty_snapshot(request, tmp_path_factory):
     """Snapshot with exactly ONE dimension table empty — the partial
     emptiness a per-day shard of a real lakehouse routinely has."""
@@ -89,7 +91,10 @@ def test_broadcast_joins_survive_empty_build_side(one_empty_snapshot):
     qs = all_queries()
     for name in ("q5_nation_revenue", "q7_nation_trade",
                  "q8_market_share", "q9_product_profit",
-                 "q21_late_suppliers"):
+                 "q14_promo_revenue", "q19_disjunctive_revenue",
+                 "q21_late_suppliers", "q2_min_cost_supplier",
+                 "nation_revenue_share",
+                 "nation_customer_counts_left"):
         out = qs[name][0](one_empty_snapshot)
         df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
         assert df is not None, name
