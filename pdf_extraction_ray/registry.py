@@ -68,7 +68,20 @@ def _snapshot_is_empty(sf_dir: str) -> bool:
     return True
 
 
-def _empty_guarded(fn, schema):
+def _sole_table_empty(sf_dir: str, table) -> bool:
+    """True iff the query's SOLE input table (from EMPTY_WHEN — its
+    oracle references exactly one table, so SQL semantics guarantee an
+    empty result) is empty. One parquet footer read."""
+    if table is None:
+        return False
+    from .pipelines.corpus import _n_rows
+    try:
+        return _n_rows(sf_dir, table) == 0
+    except Exception:
+        return False
+
+
+def _empty_guarded(fn, schema, sole_table=None):
     """Typed-empty contract at the registry boundary: on a FULLY empty
     snapshot return the query's typed 0-row frame (dtypes captured at
     sf0.001, ``empty_schemas.py``) instead of running the pipeline —
@@ -83,7 +96,8 @@ def _empty_guarded(fn, schema):
 
     @functools.wraps(fn)
     def wrapper(sf_dir, *args, **kw):
-        if _snapshot_is_empty(sf_dir):
+        if _sole_table_empty(sf_dir, sole_table) \
+                or _snapshot_is_empty(sf_dir):
             return pd.DataFrame({c: pd.Series(dtype=t)
                                  for c, t in schema})
         return fn(sf_dir, *args, **kw)
@@ -95,8 +109,10 @@ def all_queries() -> dict[str, tuple]:
     out: dict[str, tuple] = {}
     for reg in query_families().values():
         out.update(reg)
+    from .empty_schemas import EMPTY_WHEN
     return {name: ((fn, sql) if name not in EMPTY_SCHEMAS
-                   else (_empty_guarded(fn, EMPTY_SCHEMAS[name]), sql))
+                   else (_empty_guarded(fn, EMPTY_SCHEMAS[name],
+                                        EMPTY_WHEN.get(name)), sql))
             for name, (fn, sql) in out.items()}
 
 

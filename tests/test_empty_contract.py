@@ -24,7 +24,7 @@ import pytest
 
 import pyarrow.parquet as pq
 
-from pdf_extraction_ray.empty_schemas import EMPTY_SCHEMAS
+from pdf_extraction_ray.empty_schemas import EMPTY_SCHEMAS, EMPTY_WHEN
 from pdf_extraction_ray.registry import all_queries, query_families
 
 
@@ -44,6 +44,29 @@ def test_empty_schemas_cover_only_registered_queries():
     names = set(all_queries())
     stale = set(EMPTY_SCHEMAS) - names
     assert not stale, f"empty_schemas.py has unregistered entries: {stale}"
+
+
+def test_empty_when_matches_oracle_table_sets():
+    """EMPTY_WHEN is sound ONLY while each listed query's oracle still
+    references exactly that one table — re-derive from the live SQL so
+    an oracle gaining a second table fails loudly here."""
+    import re
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __ray_entry__
+    oracles = __ray_entry__.oracle_sql()
+    tables = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings")
+    derived = {}
+    for q in EMPTY_SCHEMAS:
+        sql = oracles.get(q)
+        if not sql:
+            continue
+        used = {t for t in tables if re.search(rf"\b{t}\b", sql)}
+        if len(used) == 1:
+            derived[q] = next(iter(used))
+    assert derived == EMPTY_WHEN
 
 
 def test_registry_typed_empty_contract(empty_snapshot):
@@ -80,6 +103,34 @@ def one_empty_snapshot(request, tmp_path_factory):
             shutil.copy(f"{src}/{t}.parquet",
                         os.path.join(d, f"{t}.parquet"))
     return str(d)
+
+
+def test_partial_empty_single_table_queries_typed(tmp_path):
+    """A snapshot whose EVENTS table alone is empty: every
+    single-table events query returns its typed 0-row frame through
+    the registry (the EMPTY_WHEN extension of the contract)."""
+    import shutil
+    d = tmp_path / "ev_empty"
+    d.mkdir()
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        if t == "events":
+            tbl = pq.read_table(f"{src}/{t}.parquet")
+            pq.write_table(tbl.slice(0, 0), str(d / f"{t}.parquet"))
+        else:
+            shutil.copy(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    qs = all_queries()
+    n = 0
+    for name, table in EMPTY_WHEN.items():
+        if table != "events":
+            continue
+        out = qs[name][0](str(d))
+        df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+        assert len(df) == 0 and df.shape[1] > 0, name
+        n += 1
+    assert n >= 10      # the events family is well represented
 
 
 @pytest.mark.usefixtures("ray_session")
