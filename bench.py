@@ -1039,10 +1039,19 @@ def _compare(argv):
     entry = {"file": os.path.basename(new_p), "anchor_miters": a_new,
              "work_units": {q: round(float(t) * a_new, 2)
                             for q, t in new.get("queries", {}).items()}}
-    if not records or records[-1]["file"] != entry["file"]:
+    # only the driver's per-round records join the permanent history:
+    # ad-hoc runs (several per working session) would otherwise stack
+    # same-round entries and make the 3-round monotone window fire on
+    # intra-day noise
+    import re as _re
+    is_round_record = _re.fullmatch(r"BENCH_r\d+\.json", entry["file"])
+    if is_round_record and (not records
+                            or records[-1]["file"] != entry["file"]):
         records.append(entry)
         with open(hist_p, "a") as f:
             f.write(json.dumps(entry) + "\n")
+    elif not is_round_record:
+        records.append(entry)      # in-memory only: gates still see it
     monotone = {}
     if len(records) >= 3:
         r3 = records[-3:]
