@@ -117,3 +117,30 @@ def test_funnel_empty(tmp_path):
     out = events_funnel_steps(d)
     out = out.to_pandas() if hasattr(out, "to_pandas") else out
     assert len(out) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_short_chains(tmp_path):
+    """Degenerate step lists: k=1 counts first-event users; k=2 is the
+    plain strict-order pair — both through the same generated oracle."""
+    from pdf_extraction_ray.pipelines.relational import (
+        events_funnel_steps, funnel_steps_sql)
+    rows = [
+        (1, 1, 10, "view"), (2, 1, 20, "click"),
+        (3, 2, 20, "view"),
+        (4, 3, 10, "click"),            # click with no prior view
+    ]
+    d = str(tmp_path / "short")
+    _write_events(d, rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    for steps, expect in ((("view",), [2]),
+                          (("view", "click"), [2, 1])):
+        out = events_funnel_steps(d, steps=steps)
+        out = (out.to_pandas() if hasattr(out, "to_pandas") else out)
+        assert list(out["n_users"]) == expect, steps
+        orc = con.execute(funnel_steps_sql(steps)).fetchdf()
+        pd.testing.assert_frame_equal(
+            out.astype({"step": "int64", "n_users": "int64"}),
+            orc.astype({"step": "int64", "n_users": "int64"}))

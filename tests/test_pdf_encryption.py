@@ -128,6 +128,27 @@ def test_wrong_password_rejected():
         parse_pdf(bytes(pdf))
 
 
+def test_v4_rc4_crypt_filter_variant_accepted():
+    """Foreign-file form: V=4/R=4 with /CFM /V2 means RC4 under crypt
+    filters (not AES) — the key schedule is identical to V=2/R=3, so
+    from_dict must select the rc4 mode and pass the password check."""
+    sec = _StdSecurity("rc4", b"0123456789abcdef")
+    d = {"Filter": "Standard", "V": 4, "R": 4, "P": -4,
+         "O": sec.o.decode("latin-1"), "U": sec.u.decode("latin-1"),
+         "CF": {"StdCF": {"CFM": "V2"}}}
+    s2 = _StdSecurity.from_dict(d, b"0123456789abcdef")
+    assert s2.mode == "rc4"
+    assert s2.key == sec.key
+
+
+def test_unsupported_encryption_rejected_loudly():
+    for d in ({"Filter": "FooSec", "V": 2, "R": 3},
+              {"Filter": "Standard", "V": 5, "R": 6},   # AES-256
+              {"Filter": "Standard", "V": 1, "R": 2}):  # 40-bit RC4
+        with pytest.raises(PdfSyntaxError):
+            _StdSecurity.from_dict(d, b"")
+
+
 def test_unencrypted_output_unchanged():
     """Adding the encryption machinery must not perturb the default
     writer by a single byte (golden corpora are cached by content)."""
