@@ -5678,9 +5678,17 @@ def events_new_users_daily(sf_dir: str):
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id"])
 
     def first_seen(batch: pa.Table) -> pa.Table:
+        # INTEGER epoch-days through the exchange: min over int days
+        # == min over ISO strings (lexicographic == chronological),
+        # and per-row strftime string building was this op's dominant
+        # cost at sweep scale; the ~|days| strings materialize once at
+        # the end
+        day = (pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+               // 86_400_000_000)
         df = pd.DataFrame({
             "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
-            "day": pc.strftime(batch["ts"], format="%Y-%m-%d").to_pandas()})
+            "day": day})
         return _from_pandas(df.groupby("user_id", as_index=False).min())
 
     first = ds.map_batches(first_seen, batch_format="pyarrow",
@@ -5700,6 +5708,8 @@ def events_new_users_daily(sf_dir: str):
     if out.empty or "day" not in out.columns:
         return empty
     out = out.sort_values("day").reset_index(drop=True)
+    out["day"] = np.array(out["day"].to_numpy(np.int64),
+                          dtype="datetime64[D]").astype(str)
     out["new_users"] = out["new_users"].astype("int64")
     out["cum_users"] = out["new_users"].cumsum().astype("int64")
     return out
@@ -5743,12 +5753,16 @@ def events_cum_users_approx(sf_dir: str):
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["ts", "user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        days = pc.strftime(batch["ts"], format="%Y-%m-%d") \
-            .to_numpy(zero_copy_only=False)
+        # integer epoch-days through the exchange (same reasoning as
+        # events_new_users_daily: per-row strftime dominates); the
+        # |days| strings materialize once after the day-keyed merge
+        days = (pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000)
         ids = batch["user_id"].to_numpy(zero_copy_only=False)
         if len(days) == 0:
             return pa.Table.from_arrays(
-                [pa.array([], pa.string()), pa.array([], pa.binary())],
+                [pa.array([], pa.int64()), pa.array([], pa.binary())],
                 names=["day", "sketch"])
         order = np.argsort(days, kind="stable")
         sd, si = days[order], pd.util.hash_array(ids[order])
@@ -5757,10 +5771,10 @@ def events_cum_users_approx(sf_dir: str):
         for a, b in zip(bounds[:-1], bounds[1:]):
             reg = S.hll_create()
             S.hll_add_hashes(reg, si[a:b])
-            out_d.append(sd[a])
+            out_d.append(int(sd[a]))
             out_s.append(reg.tobytes())
         return pa.Table.from_arrays(
-            [pa.array(out_d, pa.string()), pa.array(out_s, pa.binary())],
+            [pa.array(out_d, pa.int64()), pa.array(out_s, pa.binary())],
             names=["day", "sketch"])
 
     def merge_day(g: pd.DataFrame) -> pd.DataFrame:
@@ -5777,6 +5791,8 @@ def events_cum_users_approx(sf_dir: str):
     if per_day.empty or "day" not in per_day.columns:
         return empty
     per_day = per_day.sort_values("day").reset_index(drop=True)
+    per_day["day"] = np.array(per_day["day"].to_numpy(np.int64),
+                              dtype="datetime64[D]").astype(str)
     # prefix merges over the |days|-sized collected result
     run = None
     cum = []
