@@ -394,7 +394,8 @@ def _nodes():
     import __ray_entry__
     qs = __ray_entry__.queries()
     wide = {}
-    for qname in ("corpus_heavy_hitters", "events_type_distinct_users"):
+    for qname in ("corpus_heavy_hitters", "events_type_distinct_users",
+                  "dedup_minhash_lsh", "corpus_dedup_survivorship"):
         tq = time.perf_counter()
         res = qs[qname](sf_dir)
         if hasattr(res, "to_pandas"):
