@@ -4623,7 +4623,13 @@ def events_sliding_distinct_kmv(sf_dir: str):
     merge — no (window, user) pair ever crosses the exchange (the
     100-TB shape for windowed cardinality; sketches also merge across
     adjacent window PARTIALS, which is how a streaming deployment
-    would maintain them). Rows-only; tests bound vs the exact twin."""
+    would maintain them).
+
+    ORACLED form (round-5, same pattern as the other sketch ops): each
+    window's estimate is checked against the exact twin — EXACT
+    equality while the merged sketch is below k, a 10% band past it —
+    and ships as ``within_bound`` beside the exact count the SQL
+    oracle recomputes. Output: (window_start, n_users, within_bound)."""
     from ..functions import sketch as S
 
     ds = rd.read_parquet(_pq(sf_dir, "events"),
@@ -4657,7 +4663,8 @@ def events_sliding_distinct_kmv(sf_dir: str):
             sk = S2.kmv_merge(sk, np.frombuffer(b, dtype=np.uint64))
         return pd.DataFrame({
             "win_us": [np.int64(g["win_us"].iloc[0])],
-            "approx_users": [np.int64(S2.kmv_distinct(sk))]})
+            "approx_users": [np.int64(S2.kmv_distinct(sk))],
+            "sk_full": [np.int64(len(sk) >= S2.KMV_K)]})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow",
                           batch_size=None)
@@ -4669,11 +4676,44 @@ def events_sliding_distinct_kmv(sf_dir: str):
                       .astype("datetime64[us]"))
         return pa.Table.from_arrays(
             [pc.strftime(ts, format="%Y-%m-%d %H:%M"),
-             batch["approx_users"]],
-            names=["window_start", "approx_users"])
+             batch["approx_users"], batch["sk_full"]],
+            names=["window_start", "approx_users", "sk_full"])
 
-    return agg.map_batches(fmt, batch_format="pyarrow",
-                           batch_size=None).sort("window_start")
+    approx = agg.map_batches(fmt, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    if approx.empty or "window_start" not in approx.columns:
+        return pd.DataFrame({"window_start": pd.Series(dtype="object"),
+                             "n_users": pd.Series(dtype="int64"),
+                             "within_bound": pd.Series(dtype="int64")})
+    exact = events_sliding_distinct(sf_dir)
+    exact = exact if isinstance(exact, pd.DataFrame) \
+        else exact.to_pandas()
+    m = approx.merge(exact, on="window_start", how="outer").fillna(0)
+    est = m["approx_users"].to_numpy(np.int64)
+    n = m["n_users"].to_numpy(np.int64)
+    full = m["sk_full"].to_numpy(np.int64).astype(bool)
+    m["within_bound"] = np.where(
+        full, np.abs(est - n) <= 0.10 * np.maximum(n, 1),
+        est == n).astype(np.int64)
+    return m[["window_start", "n_users", "within_bound"]] \
+        .astype({"n_users": "int64"}) \
+        .sort_values("window_start").reset_index(drop=True)
+
+
+SLIDING_DISTINCT_KMV_SQL = f"""
+WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+w AS (SELECT (us // {SLIDE_STEP_US}) * {SLIDE_STEP_US}
+             - unnest(range({_SLIDE_FANOUT})) * {SLIDE_STEP_US} AS win_us,
+             user_id
+      FROM e)
+SELECT strftime(make_timestamp(win_us), '%Y-%m-%d %H:%M')
+           AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(1 AS BIGINT) AS within_bound
+FROM w
+GROUP BY window_start
+ORDER BY window_start
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -7208,7 +7248,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_sliding_windows": (events_sliding_windows, SLIDING_SQL),
     "events_sliding_distinct": (events_sliding_distinct,
                                 SLIDING_DISTINCT_SQL),
-    "events_sliding_distinct_kmv": (events_sliding_distinct_kmv, None),
+    "events_sliding_distinct_kmv": (events_sliding_distinct_kmv,
+                                    SLIDING_DISTINCT_KMV_SQL),
     "q3_partitioned_join": (q3_partitioned_join, Q3_SQL),
     "q3_auto": (q3_auto, Q3_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),

@@ -343,12 +343,13 @@ def test_kmv_sliding_distinct_tracks_exact():
     sf = "/root/testdata/sf0.001"
     exact = events_sliding_distinct(sf).to_pandas() \
         .set_index("window_start")["n_users"]
-    approx = events_sliding_distinct_kmv(sf).to_pandas() \
-        .set_index("window_start")["approx_users"]
-    assert len(exact) == len(approx) and len(exact) > 0
-    pd_testing = exact.sort_index().to_numpy() \
-        == approx.sort_index().to_numpy()
-    assert pd_testing.all()
+    out = events_sliding_distinct_kmv(sf).set_index("window_start")
+    assert len(exact) == len(out) and len(exact) > 0
+    # below k every window's within_bound asserts estimate == exact,
+    # and the exact column must equal the twin
+    assert (out["within_bound"] == 1).all()
+    assert (exact.sort_index().to_numpy()
+            == out["n_users"].sort_index().to_numpy()).all()
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -363,3 +364,33 @@ def test_overlap_matrix_consistent_with_pair():
     exact = int(events_type_overlap_exact(sf)["n_common_users"].iloc[0])
     assert int(cell["n_common"].iloc[0]) == exact
     assert (m["type_a"] < m["type_b"]).all()      # unordered, no diag
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_sliding_estimation_regime_bound(tmp_path):
+    """Past k distinct users per window the sketch ESTIMATES: plant 5k
+    users in one hour so every covering window's merged sketch is full,
+    and the op's within_bound (10% band in the estimation regime) must
+    still hold while the exact column stays exact."""
+    import os
+    import pandas as pd
+    from pdf_extraction_ray.pipelines.relational import (
+        events_sliding_distinct_kmv)
+    n = 5000
+    df = pd.DataFrame({
+        "event_id": range(n),
+        "user_id": range(n),                       # all distinct
+        "ts": pd.to_datetime(1_700_000_000 + (pd.RangeIndex(n) % 600),
+                             unit="s"),
+        "event_type": ["view"] * n,
+        "value": [0.0] * n,
+        "properties": ["{}"] * n})
+    d = tmp_path / "kmvfull"
+    d.mkdir()
+    df.to_parquet(os.path.join(d, "events.parquet"))
+    out = events_sliding_distinct_kmv(str(d))
+    assert len(out) > 0
+    assert int(out["n_users"].max()) == n          # exact side exact
+    from pdf_extraction_ray.functions.sketch import KMV_K
+    assert int(out["n_users"].max()) > KMV_K       # estimation regime
+    assert (out["within_bound"] == 1).all()        # 10% band holds
