@@ -3114,27 +3114,62 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 def approx_distinct_users(sf_dir: str):
     """HLL(p=12) count-distinct over events.user_id: one 4 KiB sketch per
-    batch flows to the driver-side merge instead of shuffling every key
-    (rows-only check; tests bound the error vs the exact count at <2%)."""
+    batch flows to the driver-side merge instead of shuffling every key.
+
+    ORACLED form (round-5 sketch pattern): the estimate is checked
+    against the exact distinct count (per-batch distinct partials, one
+    tiny exchange) at the HLL_REL_BOUND band and ships as
+    ``within_bound`` beside the exact count the SQL oracle recomputes.
+    Output: (n_users, within_bound)."""
     from ..functions import sketch as S
 
+    if _table_empty(sf_dir, "events"):
+        return pd.DataFrame({"n_users": pd.Series([0], dtype="int64"),
+                             "within_bound":
+                             pd.Series([1], dtype="int64")})
     ds = rd.read_parquet(_pq(sf_dir, "events"), columns=["user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
         reg = S.hll_create()
         ids = batch["user_id"].to_numpy(zero_copy_only=False)
         # hash the int64 array directly (deterministic, no per-element
-        # python string boxing)
+        # python string boxing); the exact side ships the batch's
+        # DISTINCT ids (bounded by true cardinality after the exchange)
         S.hll_add_hashes(reg, pd.util.hash_array(ids))
         return pa.Table.from_arrays(
-            [pa.array([reg.tobytes()], type=pa.binary())], names=["sketch"])
+            [pa.array([reg.tobytes()], type=pa.binary())],
+            names=["sketch"])
 
     merged = S.hll_create()
     for b in ds.map_batches(partial, batch_format="pyarrow", batch_size=None) \
                .iter_batches(batch_format="pyarrow", batch_size=None):
         for sk in b["sketch"].to_pylist():
             merged = S.hll_merge(merged, np.frombuffer(sk, dtype=np.uint8))
-    return pd.DataFrame({"approx_distinct_users": [S.hll_count(merged)]})
+    est = int(S.hll_count(merged))
+
+    # exact twin, scale-honest: per-batch distinct partials -> ONE
+    # uid-keyed exchange of deduped ids -> count groups (never a
+    # driver-side id set)
+    def uniq(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["user_id"].to_numpy(zero_copy_only=False))
+        return pa.Table.from_pydict({"uid": u.astype(np.int64)})
+
+    exact = int(rd.read_parquet(_pq(sf_dir, "events"),
+                                columns=["user_id"])
+                .map_batches(uniq, batch_format="pyarrow",
+                             batch_size=None)
+                .groupby("uid").count().count())
+    ok = abs(est - exact) <= HLL_REL_BOUND * max(exact, 1)
+    return pd.DataFrame({"n_users": pd.Series([exact], dtype="int64"),
+                         "within_bound":
+                         pd.Series([int(ok)], dtype="int64")})
+
+
+APPROX_DISTINCT_SQL = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(1 AS BIGINT) AS within_bound
+FROM events
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -7303,7 +7338,8 @@ RELATIONAL_QUERIES: dict[str, tuple] = {
     "events_running_totals": (events_running_totals, EVENTS_RUNNING_SQL),
     "customers_without_orders": (customers_without_orders, ANTI_JOIN_SQL),
     "top_order_per_customer": (top_order_per_customer, TOP_ORDER_SQL),
-    "approx_distinct_users": (approx_distinct_users, None),
+    "approx_distinct_users": (approx_distinct_users,
+                              APPROX_DISTINCT_SQL),
     "segment_order_revenue_native_join":
         (segment_order_revenue_native_join, NATIVE_JOIN_SQL),
     "events_hash_sample": (events_hash_sample, SAMPLE_SQL),

